@@ -1,0 +1,53 @@
+"""Parquet table loaders for the test corpus.
+
+Reference parity: `catalog search/stage1_extract_csv.py:350-404`
+(load_master_catalog / initialize_master_csvs) reads master CSVs from a
+NAS share; here the durable store is parquet read through
+``spark.read.parquet`` so filter pushdown / column pruning / partition
+discovery are free. At cluster scale the same call reads a 100 TB
+partitioned table — nothing in the loader is size-dependent.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+TABLES = (
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+)
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name not in TABLES:
+        raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    if name == "events":
+        # Parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate
+        # to Spark's microsecond timestamps with integer division (a double
+        # division would lose precision on 1e18-scale nanos). Oracle SQL
+        # applies the same µs truncation so both engines agree exactly.
+        from pyspark.sql import functions as F
+
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str, *names: str) -> dict[str, DataFrame]:
+    return {n: load_table(spark, sf_dir, n) for n in (names or TABLES)}
+
+
+def register_views(spark: SparkSession, sf_dir: str, *names: str) -> None:
+    """Register temp views so plans can also be expressed via spark.sql."""
+    for n, df in load_tables(spark, sf_dir, *names).items():
+        df.createOrReplaceTempView(n)
