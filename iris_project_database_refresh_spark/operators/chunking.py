@@ -1,0 +1,203 @@
+"""Document structuring: sections, chunks, token stats, continuity.
+
+Reference parity:
+* `semantic search/stage_03_content_chunking.py:61-63` — Stage3Chunker
+  packs 500-750 tokens per chunk (hard max 800). Here the same
+  token-window packing runs as a pure Catalyst expression
+  (split → sequence → transform → posexplode); chunk size is a
+  parameter, default scaled to the synthetic corpus.
+* `semantic search/stage_02_section_processing.py:1075`
+  hierarchical_split_sections + 1145 merge_small_sections — coarser
+  windows with a breadcrumb hierarchy string
+  (`generate_hierarchy_string`, line 1118).
+* `semantic search/stage_02b_section_page_correction.py:670`
+  validate_and_fix_continuity — re-expressed as window lag/lead
+  boundary checks.
+
+Scale: chunking/sectioning is embarrassingly parallel per document —
+no shuffle at all (posexplode is a narrow transform). At 100 TB the
+whole stage is scan-limited; that's the point of keeping it out of
+Python. Continuity needs one shuffle on doc_id (uniform key).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+
+# Reference constants (stage_03_content_chunking.py:61-63), kept for the
+# real-corpus configuration.
+REF_MIN_TOKENS = 500
+REF_MAX_TOKENS = 750
+REF_HARD_MAX_TOKENS = 800
+
+# Synthetic-corpus defaults: docs are 25-120 tokens, so scale windows
+# down to exercise multi-chunk/multi-section splits.
+CHUNK_TOKENS = 32
+SECTION_TOKENS = 64
+
+
+def _windows(toks: Column, size: int) -> Column:
+    """Array of space-joined token windows of `size` (last may be short)."""
+    n_windows = F.ceil(F.size(toks) / F.lit(size)).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0), n_windows - 1),
+        lambda i: F.array_join(F.slice(toks, i * size + 1, size), " "),
+    )
+
+
+def chunk_documents(spark: SparkSession, sf_dir: str, size: int = CHUNK_TOKENS) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    return docs.select(
+        "doc_id",
+        "source",
+        F.posexplode(_windows(toks, size)).alias("chunk_number", "chunk_content"),
+    ).select(
+        "doc_id",
+        "source",
+        (F.col("chunk_number") + 1).alias("chunk_number"),  # 1-based like the reference
+        "chunk_content",
+        F.size(tokens(F.col("chunk_content"))).alias("chunk_tokens"),
+    )
+
+
+CHUNK_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks FROM documents
+), expanded AS (
+  SELECT doc_id, source, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i
+  FROM t
+)
+SELECT doc_id, source,
+       i + 1 AS chunk_number,
+       array_to_string(list_slice(toks, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS}), ' ') AS chunk_content,
+       len(list_slice(toks, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS})) AS chunk_tokens
+FROM expanded
+"""
+
+
+def section_split(spark: SparkSession, sf_dir: str, size: int = SECTION_TOKENS) -> DataFrame:
+    """Coarse sections with hierarchy breadcrumbs (source > doc > section)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    sec = docs.select(
+        "doc_id",
+        "source",
+        F.size(toks).alias("doc_tokens"),
+        F.posexplode(_windows(toks, size)).alias("idx", "section_content"),
+    )
+    return sec.select(
+        "doc_id",
+        "source",
+        (F.col("idx") + 1).alias("section_number"),
+        F.concat(
+            F.col("source"), F.lit(" > doc_"), F.col("doc_id"), F.lit(" > sec_"), F.col("idx") + 1
+        ).alias("hierarchy"),
+        "section_content",
+        F.size(tokens(F.col("section_content"))).alias("section_tokens"),
+        F.ceil(F.col("doc_tokens") / F.lit(size)).cast("int").alias("n_sections"),
+    )
+
+
+SECTION_SQL = f"""
+WITH t AS (
+  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks FROM documents
+), expanded AS (
+  SELECT doc_id, source, toks,
+         CAST(ceil(len(toks) / {SECTION_TOKENS}.0) AS INT) AS n_sections,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {SECTION_TOKENS}.0) AS INT) - 1)) AS i
+  FROM t
+)
+SELECT doc_id, source,
+       i + 1 AS section_number,
+       source || ' > doc_' || doc_id || ' > sec_' || (i + 1) AS hierarchy,
+       array_to_string(list_slice(toks, i * {SECTION_TOKENS} + 1, (i + 1) * {SECTION_TOKENS}), ' ') AS section_content,
+       len(list_slice(toks, i * {SECTION_TOKENS} + 1, (i + 1) * {SECTION_TOKENS})) AS section_tokens,
+       n_sections
+FROM expanded
+"""
+
+
+def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus token statistics per (lang, source) — the rollup stage_01
+    prints per chapter (token counts before LLM calls)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    per_doc = docs.select(
+        "lang", "source", F.size(toks).alias("n_tokens"), F.length("text").alias("n_chars")
+    )
+    return per_doc.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.sum("n_chars").alias("total_chars"),
+    )
+
+
+TOKEN_COUNT_SQL = """
+SELECT lang, source,
+       count(*) AS n_docs,
+       sum(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+       round(avg(len(string_split_regex(text, '\\s+'))), 6) AS avg_tokens,
+       max(len(string_split_regex(text, '\\s+'))) AS max_tokens,
+       sum(length(text)) AS total_chars
+FROM documents
+GROUP BY lang, source
+"""
+
+
+def section_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boundary/continuity audit over chunks (stage_02b/03b semantics):
+    token start/end offsets per chunk plus a gap flag against the
+    previous chunk's end."""
+    chunks = chunk_documents(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("chunk_number")
+    start = F.sum("chunk_tokens").over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    return chunks.select(
+        "doc_id",
+        "chunk_number",
+        "chunk_tokens",
+        F.coalesce(start, F.lit(0)).alias("start_token"),
+        (F.coalesce(start, F.lit(0)) + F.col("chunk_tokens")).alias("end_token"),
+        F.coalesce(F.lag("chunk_tokens").over(w), F.lit(0)).alias("prev_chunk_tokens"),
+        (
+            F.coalesce(F.lag("chunk_tokens").over(w), F.lit(0)) < F.lit(CHUNK_TOKENS)
+        ).cast("int").alias("prev_was_short"),
+    )
+
+
+CONTINUITY_SQL = f"""
+WITH chunks AS ({CHUNK_SQL.strip()})
+SELECT doc_id, chunk_number, chunk_tokens,
+       coalesce(sum(chunk_tokens) OVER w_prev, 0) AS start_token,
+       coalesce(sum(chunk_tokens) OVER w_prev, 0) + chunk_tokens AS end_token,
+       coalesce(lag(chunk_tokens) OVER w_ord, 0) AS prev_chunk_tokens,
+       CAST(coalesce(lag(chunk_tokens) OVER w_ord, 0) < {CHUNK_TOKENS} AS INT) AS prev_was_short
+FROM chunks
+WINDOW w_ord AS (PARTITION BY doc_id ORDER BY chunk_number),
+       w_prev AS (PARTITION BY doc_id ORDER BY chunk_number
+                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+"""
+
+
+QUERIES = {
+    "chunk_documents": chunk_documents,
+    "section_split": section_split,
+    "token_count": token_count,
+    "section_continuity": section_continuity,
+}
+
+ORACLES = {
+    "chunk_documents": CHUNK_SQL,
+    "section_split": SECTION_SQL,
+    "token_count": TOKEN_COUNT_SQL,
+    "section_continuity": CONTINUITY_SQL,
+}

@@ -1,0 +1,191 @@
+"""Text analysis operators: language ID, quality scoring, fingerprinting.
+
+Reference parity: the catalog pipeline derives per-document scope/usage
+metadata (`catalog search/stage3_generate_summaries.py`) and validates
+content before deployment (`catalog search/stage5_output_final_csv.py:261`
+validate_csv_data). Those LLM-backed steps are re-expressed as
+deterministic, oracle-checkable heuristics — the standard text-QC
+operators an LLM-training-data pipeline needs.
+
+Everything is built-in expressions (split/filter/size/md5) — zero
+Python in the row path, so these run at parquet scan rate on a
+cluster: one narrow map stage, no shuffle except fingerprint
+clustering (one hash-partition on an md5 key, near-uniform by
+construction).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+
+# Real stopword profiles per supported language. The synthetic corpus is
+# English-vocabulary regardless of its `lang` label, so `lang_id` honestly
+# reports what the text contains; accuracy against the label is part of
+# the output, not assumed.
+STOPWORDS = {
+    "en": ("the", "a", "of", "and", "in", "to", "is"),
+    "es": ("el", "la", "los", "de", "y", "que", "en"),
+    "fr": ("le", "la", "les", "et", "de", "un", "une"),
+    "de": ("der", "die", "das", "und", "ein", "zu", "ist"),
+    "zh": ("de", "shi", "zai", "le", "he", "you", "wo"),
+}
+LANGS = tuple(sorted(STOPWORDS))
+
+
+def _score(toks, words: tuple[str, ...]):
+    return F.size(F.filter(toks, lambda t: t.isin(*words)))
+
+
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-profile language identification.
+
+    argmax over per-language stopword hit counts with deterministic
+    lexicographic tie-break; score 0 → 'und' (undetermined).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    scored = docs.select(
+        "doc_id",
+        F.col("lang").alias("label_lang"),
+        *[_score(toks, STOPWORDS[lang]).alias(f"score_{lang}") for lang in LANGS],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in LANGS])
+    pred = F.when(best == 0, F.lit("und"))
+    for lang in LANGS:  # first lexicographic lang achieving the max wins
+        pred = pred.when(F.col(f"score_{lang}") == best, F.lit(lang))
+    return scored.select(
+        "doc_id",
+        "label_lang",
+        pred.alias("pred_lang"),
+        best.alias("best_score"),
+        (pred == F.col("label_lang")).cast("int").alias("is_correct"),
+    )
+
+
+def _sql_score(lang: str) -> str:
+    words = ", ".join(f"'{w}'" for w in STOPWORDS[lang])
+    return f"len(list_filter(toks, t -> t IN ({words})))"
+
+
+LANG_ID_SQL = f"""
+WITH scored AS (
+  SELECT doc_id, lang AS label_lang,
+         {", ".join(f"{_sql_score(lang)} AS score_{lang}" for lang in LANGS)}
+  FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents)
+), best AS (
+  SELECT *, greatest({", ".join(f"score_{lang}" for lang in LANGS)}) AS best_score FROM scored
+)
+SELECT doc_id, label_lang,
+       CASE WHEN best_score = 0 THEN 'und'
+            {" ".join(f"WHEN score_{lang} = best_score THEN '{lang}'" for lang in LANGS)}
+       END AS pred_lang,
+       best_score,
+       CAST(CASE WHEN best_score = 0 THEN 'und'
+            {" ".join(f"WHEN score_{lang} = best_score THEN '{lang}'" for lang in LANGS)}
+       END = label_lang AS INT) AS is_correct
+FROM best
+"""
+
+
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features + bucket.
+
+    Mirrors stage5 validate_csv_data's required-field/zero-length checks
+    plus the standard training-data quality heuristics (length, lexical
+    diversity, stopword density). Includes the reference's token
+    estimator (`semantic search/stage_01_chapter_processing.py:314`
+    count_tokens: clamp(chars/3.5, chars//10, chars//2)).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    est = F.greatest(
+        F.floor(n_chars / 10),
+        F.least(F.floor(n_chars / 3.5), F.floor(n_chars / 2)),
+    ).cast("bigint")
+    d = docs.select(
+        "doc_id",
+        "source",
+        n_chars.alias("n_chars"),
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        est.alias("est_tokens"),
+        _score(toks, STOPWORDS["en"]).alias("n_stopwords"),
+    )
+    uniq_ratio = F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 6)
+    stop_ratio = F.round(F.col("n_stopwords") / F.col("n_tokens"), 6)
+    avg_tok = F.round((F.col("n_chars") - (F.col("n_tokens") - 1)) / F.col("n_tokens"), 6)
+    return d.select(
+        "*",
+        uniq_ratio.alias("uniq_ratio"),
+        stop_ratio.alias("stopword_ratio"),
+        avg_tok.alias("avg_token_len"),
+        F.when(F.col("n_tokens") < 20, "too_short")
+        .when(uniq_ratio < 0.4, "repetitive")
+        .otherwise("ok")
+        .alias("quality_bucket"),
+    )
+
+
+QUALITY_SQL = """
+WITH d AS (
+  SELECT doc_id, source,
+         length(text) AS n_chars,
+         len(toks) AS n_tokens,
+         len(list_distinct(toks)) AS n_uniq_tokens,
+         CAST(greatest(length(text) // 10,
+                       least(CAST(floor(length(text) / 3.5) AS BIGINT), length(text) // 2)) AS BIGINT) AS est_tokens,
+         len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS n_stopwords
+  FROM (SELECT *, string_split_regex(text, '\\s+') AS toks FROM documents)
+)
+SELECT *,
+       round(n_uniq_tokens / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,
+       round(n_stopwords / CAST(n_tokens AS DOUBLE), 6) AS stopword_ratio,
+       round((n_chars - (n_tokens - 1)) / CAST(n_tokens AS DOUBLE), 6) AS avg_token_len,
+       CASE WHEN n_tokens < 20 THEN 'too_short'
+            WHEN round(n_uniq_tokens / CAST(n_tokens AS DOUBLE), 6) < 0.4 THEN 'repetitive'
+            ELSE 'ok' END AS quality_bucket
+FROM d
+"""
+
+
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """md5 content fingerprint + duplicate-cluster assignment.
+
+    The cluster representative is min(doc_id) per fingerprint — the
+    keep-first rule the catalog merge uses for re-processed files
+    (`catalog search/stage4_update_csv.py:379` delete-then-append keyed
+    on document identity). One shuffle on the fingerprint (uniform key).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("fingerprint")
+    return (
+        docs.select("doc_id", "source", F.md5("text").alias("fingerprint"))
+        .withColumn("cluster_id", F.min("doc_id").over(w))
+        .withColumn("is_dup", (F.col("doc_id") != F.col("cluster_id")).cast("int"))
+    )
+
+
+FINGERPRINT_SQL = """
+SELECT doc_id, source, md5(text) AS fingerprint,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS cluster_id,
+       CAST(doc_id <> min(doc_id) OVER (PARTITION BY md5(text)) AS INT) AS is_dup
+FROM documents
+"""
+
+
+QUERIES = {
+    "lang_id": lang_id,
+    "quality_score": quality_score,
+    "doc_fingerprint": doc_fingerprint,
+}
+
+ORACLES = {
+    "lang_id": LANG_ID_SQL,
+    "quality_score": QUALITY_SQL,
+    "doc_fingerprint": FINGERPRINT_SQL,
+}

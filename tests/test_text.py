@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import chunking, textqc
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+ALL = {**textqc.QUERIES, **chunking.QUERIES}
+ORACLES = {**textqc.ORACLES, **chunking.ORACLES}
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(ALL[name](spark, SF_CORRECT), oracle, ORACLES[name])
+
+
+def test_chunks_cover_all_tokens(spark):
+    """Property: chunk token counts per doc sum to the doc token count."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.functions.text import tokens
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    docs = load_table(spark, SF_CORRECT, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n")
+    )
+    got = (
+        chunking.chunk_documents(spark, SF_CORRECT)
+        .groupBy("doc_id")
+        .agg(F.sum("chunk_tokens").alias("n_chunked"))
+        .join(docs, "doc_id")
+        .where(F.col("n") != F.col("n_chunked"))
+        .count()
+    )
+    assert got == 0
+
+
+def test_chunking_has_no_shuffle(spark):
+    plan = chunking.chunk_documents(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
