@@ -1,0 +1,33 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import dedup
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(dedup.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(dedup.QUERIES[name](spark, SF_CORRECT), oracle, dedup.ORACLES[name])
+
+
+def test_exact_dedup_finds_planted_copies(spark):
+    rows = dedup.dedup_exact(spark, SF_CORRECT).collect()
+    # every doc_id % 7 == 0 original got an exact planted copy
+    assert all(r.cluster_size == 2 and r.n_removed == 1 for r in rows)
+    assert len(rows) >= 70
+
+
+def test_minhash_recall_against_exact(spark):
+    """LSH (4 bands × 4 rows) must recover the high-similarity pairs the
+    exact n-gram pass finds; spot-check recall at jaccard ≥ 0.9."""
+    exact = {
+        (r.id_a, r.id_b)
+        for r in dedup.dedup_ngram_jaccard(spark, SF_CORRECT).collect()
+        if r.jaccard >= 0.9
+    }
+    lsh = {(r.id_a, r.id_b) for r in dedup.dedup_minhash_lsh(spark, SF_CORRECT).collect()}
+    assert exact, "expected planted near-dup pairs at jaccard >= 0.9"
+    recall = len(exact & lsh) / len(exact)
+    assert recall >= 0.9, f"LSH recall {recall:.2f} too low vs exact pairs"
