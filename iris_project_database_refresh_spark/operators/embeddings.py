@@ -1,0 +1,277 @@
+"""Embedding generation & similarity search.
+
+Reference parity: `semantic search/stage_04_embedding_generation.py:444`
+(get_embeddings_batch → 2000-dim vectors) and the pgvector similarity
+queries the iris_semantic_search table serves
+(`database-schema.sql:245`, `database-schema.sql:115` "Vector Search").
+The API-backed embedder is replaced by a deterministic feature-hash
+embedding (oracle-checkable); similarity search runs as brute-force
+exact top-k (the correctness baseline) and a random-hyperplane LSH
+variant (the 100 TB path).
+
+Scale design:
+* queries/planes are tiny → broadcast; the big side is streamed once.
+* brute-force knn: per-partition partial top-k happens inside the
+  window agg's partial sort; at production scale you'd swap the window
+  for an RDD-free ``F.min_by``-style partial aggregation or IVF — the
+  LSH variant here is that path: bucket join shrinks candidates by the
+  bucket fan-in before any ranking.
+* all vector math is zip_with/aggregate on array<double> — JVM
+  codegen, no Python, no UDF serialization on the 100 TB side.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+EMBED_DIM = 16  # feature-hash embedding dims
+KNN_K = 10
+N_QUERIES = 5  # vec_id < 5 are the query vectors
+PAIR_TAU = 0.4
+LSH_PLANES = 4  # 4-bit buckets → 16 buckets
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cosine(a, b):
+    return _dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b)))
+
+
+# --- deterministic feature-hash embedding -----------------------------------
+
+def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash each token into one of EMBED_DIM buckets; dims are bucket
+    counts. Stands in for stage_04's API embedder with a function both
+    engines compute bit-identically (md5-derived bucket)."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    bucket = lambda t: F.conv(F.substring(F.md5(t), 1, 8), 16, 10).cast("bigint") % EMBED_DIM  # noqa: E731
+
+    def dim_count(k: int):
+        return F.size(F.filter(toks, lambda t: bucket(t) == k)).alias(f"e{k}")
+
+    return docs.select("doc_id", *[dim_count(k) for k in range(EMBED_DIM)])
+
+
+EMBED_SQL = f"""
+SELECT doc_id,
+       {", ".join(
+           "len(list_filter(toks, t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) % "
+           f"{EMBED_DIM} = {k})) AS e{k}"
+           for k in range(EMBED_DIM)
+       )}
+FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+"""
+
+
+# --- exact brute-force top-k -------------------------------------------------
+
+def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-k for the first N_QUERIES vectors.
+
+    The query set is broadcast (k×d doubles — bytes); the embedding
+    table streams through once. Ranking uses the rounded cosine so the
+    order is reproducible across engines' float summation.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("v"))
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+KNN_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
+  FROM q JOIN d ON d.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# --- random-hyperplane LSH ANN ----------------------------------------------
+
+def _plane_weight(p: int):
+    """±1 weight for (plane, dim) derived from md5 — portable constant."""
+    return lambda d: F.when(
+        F.conv(F.substring(F.md5(F.concat(F.lit(f"{p}_"), d.cast("string"))), 1, 8), 16, 10)
+        .cast("bigint") % 2 == 0,
+        F.lit(1.0),
+    ).otherwise(F.lit(-1.0))
+
+
+def _bucket_expr(v, n_planes: int = LSH_PLANES):
+    """LSH bucket id: bit p = sign(dot(v, plane_p)) with ±1 planes."""
+    bucket = F.lit(0)
+    for p in range(n_planes):
+        w = _plane_weight(p)
+        proj = F.aggregate(
+            F.zip_with(
+                v,
+                F.sequence(F.lit(1), F.size(v)),
+                lambda x, d: x * w(d),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        bucket = bucket + F.when(proj > 0, F.lit(1 << p)).otherwise(F.lit(0))
+    return bucket
+
+
+def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k: candidates restricted to the query's hyperplane bucket.
+
+    Same output shape as knn_brute_force; recall is the LSH trade-off
+    (measured in tests against the exact result). At 100 TB the bucket
+    join replaces the full cross product — candidate count drops by the
+    bucket fan-in (2^LSH_PLANES) and planes are compile-time constants,
+    so no second table is even read.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    ).withColumn("bucket", _bucket_expr(F.col("v")))
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
+    )
+    scored = (
+        emb.alias("c")
+        .join(
+            F.broadcast(queries),
+            (F.col("bucket") == F.col("qb")) & (F.col("vec_id") != F.col("query_id")),
+        )
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= KNN_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+def _plane_weight_sql(p: int) -> str:
+    return (
+        f"CASE WHEN CAST('0x' || substr(md5('{p}_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 "
+        "THEN 1.0 ELSE -1.0 END"
+    )
+
+
+def _bucket_sql(vcol: str) -> str:
+    terms = []
+    for p in range(LSH_PLANES):
+        proj = (
+            f"list_sum(list_transform(generate_series(1, len({vcol})), "
+            f"d -> {vcol}[d] * {_plane_weight_sql(p)}))"
+        )
+        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
+    return " + ".join(terms)
+
+
+KNN_LSH_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM d
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bucketed WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, c.vec_id AS neighbor_id,
+         round(list_dot_product(qv, c.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+  FROM q JOIN bucketed c ON c.bucket = q.qb AND c.vec_id <> q.query_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
+"""
+
+
+# --- embedding near-duplicate pairs -----------------------------------------
+
+def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All pairs with cosine ≥ PAIR_TAU — the exact baseline that also
+    serves as ANN ground truth. The O(n²) pairing is the correctness
+    reference; the production-scale path is the LSH bucketing above
+    (same-bucket pre-join), which tests measure recall against."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(b, F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= PAIR_TAU)
+    )
+
+
+SIMILARITY_PAIRS_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM d a JOIN d b ON a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {PAIR_TAU}
+"""
+
+
+QUERIES = {
+    "embed_feature_hash": embed_feature_hash,
+    "knn_brute_force": knn_brute_force,
+    "knn_lsh": knn_lsh,
+    "similarity_pairs": similarity_pairs,
+}
+
+ORACLES = {
+    "embed_feature_hash": EMBED_SQL,
+    "knn_brute_force": KNN_SQL,
+    "knn_lsh": KNN_LSH_SQL,
+    "similarity_pairs": SIMILARITY_PAIRS_SQL,
+}

@@ -1,0 +1,39 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import embeddings
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(embeddings.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        embeddings.QUERIES[name](spark, SF_CORRECT), oracle, embeddings.ORACLES[name]
+    )
+
+
+def test_knn_broadcasts_queries(spark):
+    plan = (
+        embeddings.knn_brute_force(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+
+
+def test_lsh_results_are_subset_quality(spark):
+    """LSH neighbors must come from the exact candidate universe and the
+    rank-1 hit should usually agree with exact when the bucket holds it."""
+    exact = {
+        (r.query_id, r.neighbor_id): r.rank
+        for r in embeddings.knn_brute_force(spark, SF_CORRECT).collect()
+    }
+    lsh = embeddings.knn_lsh(spark, SF_CORRECT).collect()
+    assert lsh, "LSH returned nothing — buckets degenerate"
+    hits = sum(1 for r in lsh if (r.query_id, r.neighbor_id) in exact)
+    # recall is a trade-off, but on 16 buckets over 500 vectors some of
+    # the exact top-10 must surface
+    assert hits > 0
