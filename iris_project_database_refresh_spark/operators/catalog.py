@@ -1,0 +1,302 @@
+"""Catalog refresh: delta detection, master merge, validation, upsert.
+
+This is the core loop of the reference — re-expressed as set operations
+Catalyst can optimize instead of pandas merges:
+
+* `catalog_delta` ⇔ `catalog search/stage1_extract_csv.py:612-689`:
+  outer-join NAS snapshot vs master catalog on file_name; left_only →
+  'new', both with NAS mtime (floored to minute) newer → 'updated',
+  right_only → 'deleted', else 'unchanged'.
+* `catalog_merge` ⇔ `catalog search/stage4_update_csv.py:379-520` +
+  get_next_id (line 367): drop records matching delete keys, append
+  replacements with sequential ids starting at max(id)+1.
+* `catalog_validate` ⇔ `catalog search/stage5_output_final_csv.py:261`
+  validate_csv_data: per-source required-field/row-count audit before
+  deployment.
+* `refresh_upsert` ⇔ `semantic search/stage_06_database_upload.py:161`
+  upload_csv_with_staging: staging-table upsert = delete rows whose key
+  appears in the incoming batch, then insert the batch.
+
+The test corpus has no filesystem, so the "NAS snapshot" and "master
+catalog" are derived *deterministically in-query* from `documents`
+(pseudo file metadata + planted new/modified/deleted rows), identically
+in the DuckDB oracle — the operators see realistic mixed deltas while
+staying value-hash checkable.
+
+Scale: each op is one outer/anti join keyed on file identity — hash
+shuffle on a near-unique key (no skew), no window over the whole table
+except sequential-id assignment, which at 100 TB would become
+monotonically_increasing_id or a zipWithIndex-free reservation range;
+kept as the reference's max+row_number semantics here because ids must
+match the oracle exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+BASE_TS = "2024-01-01 00:00:00"
+
+
+def _snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Filesystem listing stand-in (stage1 get_nas_files output shape)."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.concat(F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".txt")).alias("file_path"),
+        F.col("n_chars").alias("file_size"),
+        F.expr(f"timestampadd(MINUTE, doc_id, timestamp'{BASE_TS}')").alias("date_last_modified"),
+        F.col("source").alias("document_source"),
+    )
+
+
+def _master(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master catalog stand-in: drops doc_id%11==3 (→ those read as new),
+    ages mtime by 5 min for doc_id%13==2 (→ updated), and adds
+    catalog-only ghost rows for doc_id%17==0 (→ deleted)."""
+    docs = load_table(spark, sf_dir, "documents")
+    current = docs.where(F.col("doc_id") % 11 != 3).select(
+        (F.col("doc_id") + 1).alias("id"),
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.concat(F.lit("/data/"), F.col("source"), F.lit("/doc_"), F.col("doc_id"), F.lit(".txt")).alias("file_path"),
+        F.col("n_chars").alias("file_size"),
+        F.expr(
+            f"CASE WHEN doc_id % 13 = 2 THEN timestampadd(MINUTE, doc_id - 5, timestamp'{BASE_TS}') "
+            f"ELSE timestampadd(MINUTE, doc_id, timestamp'{BASE_TS}') END"
+        ).alias("date_last_modified"),
+        F.col("source").alias("document_source"),
+    )
+    ghosts = docs.where(F.col("doc_id") % 17 == 0).select(
+        (F.col("doc_id") + 90001).alias("id"),
+        F.concat(F.lit("gone_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.concat(F.lit("/data/"), F.col("source"), F.lit("/gone_"), F.col("doc_id"), F.lit(".txt")).alias("file_path"),
+        F.col("n_chars").alias("file_size"),
+        F.expr(f"timestampadd(MINUTE, doc_id, timestamp'{BASE_TS}')").alias("date_last_modified"),
+        F.col("source").alias("document_source"),
+    )
+    return current.unionAll(ghosts)
+
+
+SNAPSHOT_SQL = f"""
+snapshot AS (
+  SELECT 'doc_' || doc_id || '.txt' AS file_name,
+         '/data/' || source || '/doc_' || doc_id || '.txt' AS file_path,
+         n_chars AS file_size,
+         TIMESTAMP '{BASE_TS}' + INTERVAL (doc_id) MINUTE AS date_last_modified,
+         source AS document_source
+  FROM documents
+)
+"""
+
+MASTER_SQL = f"""
+master AS (
+  SELECT doc_id + 1 AS id,
+         'doc_' || doc_id || '.txt' AS file_name,
+         '/data/' || source || '/doc_' || doc_id || '.txt' AS file_path,
+         n_chars AS file_size,
+         CASE WHEN doc_id % 13 = 2
+              THEN TIMESTAMP '{BASE_TS}' + INTERVAL (doc_id - 5) MINUTE
+              ELSE TIMESTAMP '{BASE_TS}' + INTERVAL (doc_id) MINUTE END AS date_last_modified,
+         source AS document_source
+  FROM documents WHERE doc_id % 11 <> 3
+  UNION ALL
+  SELECT doc_id + 90001,
+         'gone_' || doc_id || '.txt',
+         '/data/' || source || '/gone_' || doc_id || '.txt',
+         n_chars,
+         TIMESTAMP '{BASE_TS}' + INTERVAL (doc_id) MINUTE,
+         source
+  FROM documents WHERE doc_id % 17 = 0
+)
+"""
+
+
+# --- delta detection ---------------------------------------------------------
+
+def catalog_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nas = _snapshot(spark, sf_dir).alias("nas")
+    csv = _master(spark, sf_dir).alias("csv")
+    joined = nas.join(csv, "file_name", "full_outer")
+    nas_min = F.date_trunc("minute", F.col("nas.date_last_modified"))
+    csv_min = F.date_trunc("minute", F.col("csv.date_last_modified"))
+    action = (
+        F.when(F.col("csv.id").isNull(), "new")
+        .when(F.col("nas.file_path").isNull(), "deleted")
+        .when(nas_min > csv_min, "updated")
+        .otherwise("unchanged")
+    )
+    return joined.select(
+        "file_name",
+        F.coalesce(F.col("nas.file_path"), F.col("csv.file_path")).alias("file_path"),
+        F.coalesce(F.col("nas.file_size"), F.col("csv.file_size")).alias("file_size"),
+        F.coalesce(F.col("nas.document_source"), F.col("csv.document_source")).alias("document_source"),
+        action.alias("action"),
+        # the two downstream lists stage1 emits (1C process / 1D delete)
+        action.isin("new", "updated").cast("int").alias("needs_process"),
+        action.isin("updated", "deleted").cast("int").alias("needs_delete"),
+    )
+
+
+CATALOG_DELTA_SQL = f"""
+WITH {SNAPSHOT_SQL.strip()}, {MASTER_SQL.strip()},
+joined AS (
+  SELECT coalesce(n.file_name, m.file_name) AS file_name,
+         coalesce(n.file_path, m.file_path) AS file_path,
+         coalesce(n.file_size, m.file_size) AS file_size,
+         coalesce(n.document_source, m.document_source) AS document_source,
+         CASE WHEN m.id IS NULL THEN 'new'
+              WHEN n.file_path IS NULL THEN 'deleted'
+              WHEN date_trunc('minute', n.date_last_modified) > date_trunc('minute', m.date_last_modified)
+                   THEN 'updated'
+              ELSE 'unchanged' END AS action
+  FROM snapshot n FULL OUTER JOIN master m USING (file_name)
+)
+SELECT file_name, file_path, file_size, document_source, action,
+       CAST(action IN ('new', 'updated') AS INT) AS needs_process,
+       CAST(action IN ('updated', 'deleted') AS INT) AS needs_delete
+FROM joined
+"""
+
+
+# --- master merge (delete + append with sequential ids) ----------------------
+
+def catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Master after one refresh cycle: survivors keep their ids; new and
+    updated files are (re)appended with ids max(id)+1, max(id)+2, …
+    ordered by file_name (stage4 get_next_id semantics)."""
+    delta = catalog_delta(spark, sf_dir)
+    master = _master(spark, sf_dir)
+    survivors = master.join(
+        delta.where(F.col("needs_delete") == 1).select("file_name"), "file_name", "left_anti"
+    ).select("id", "file_name", "file_path", "file_size", "document_source", F.lit("kept").alias("row_status"))
+    max_id = master.agg(F.max("id")).collect()[0][0] or 0
+    incoming = (
+        delta.where(F.col("needs_process") == 1)
+        .select("file_name", "file_path", "file_size", "document_source")
+        .withColumn(
+            "id",
+            F.lit(max_id) + F.row_number().over(Window.orderBy("file_name")),
+        )
+        .select("id", "file_name", "file_path", "file_size", "document_source", F.lit("appended").alias("row_status"))
+    )
+    return survivors.unionAll(incoming)
+
+
+CATALOG_MERGE_SQL = f"""
+WITH {SNAPSHOT_SQL.strip()}, {MASTER_SQL.strip()},
+delta AS (
+  SELECT coalesce(n.file_name, m.file_name) AS file_name,
+         coalesce(n.file_path, m.file_path) AS file_path,
+         coalesce(n.file_size, m.file_size) AS file_size,
+         coalesce(n.document_source, m.document_source) AS document_source,
+         CASE WHEN m.id IS NULL THEN 'new'
+              WHEN n.file_path IS NULL THEN 'deleted'
+              WHEN date_trunc('minute', n.date_last_modified) > date_trunc('minute', m.date_last_modified)
+                   THEN 'updated'
+              ELSE 'unchanged' END AS action
+  FROM snapshot n FULL OUTER JOIN master m USING (file_name)
+)
+SELECT m.id, m.file_name, m.file_path, m.file_size, m.document_source, 'kept' AS row_status
+FROM master m
+WHERE m.file_name NOT IN (SELECT file_name FROM delta WHERE action IN ('updated', 'deleted'))
+UNION ALL
+SELECT (SELECT max(id) FROM master) + row_number() OVER (ORDER BY file_name),
+       file_name, file_path, file_size, document_source, 'appended'
+FROM delta WHERE action IN ('new', 'updated')
+"""
+
+
+# --- pre-deployment validation -----------------------------------------------
+
+def catalog_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source audit of the merged master (stage5 validate_csv_data:
+    required fields present, no duplicate keys, counts)."""
+    merged = catalog_merge(spark, sf_dir)
+    return merged.groupBy("document_source").agg(
+        F.count(F.lit(1)).alias("n_records"),
+        F.sum(F.col("file_name").isNull().cast("int")).alias("n_null_name"),
+        F.sum((F.col("file_size") <= 0).cast("int")).alias("n_bad_size"),
+        (F.count(F.lit(1)) - F.countDistinct("file_name")).alias("n_dup_names"),
+        F.min("id").alias("min_id"),
+        F.max("id").alias("max_id"),
+        F.sum((F.col("row_status") == "appended").cast("int")).alias("n_appended"),
+    )
+
+
+CATALOG_VALIDATE_SQL = f"""
+WITH merged AS ({CATALOG_MERGE_SQL.strip()})
+SELECT document_source,
+       count(*) AS n_records,
+       sum(CAST(file_name IS NULL AS INT)) AS n_null_name,
+       sum(CAST(file_size <= 0 AS INT)) AS n_bad_size,
+       count(*) - count(DISTINCT file_name) AS n_dup_names,
+       min(id) AS min_id,
+       max(id) AS max_id,
+       sum(CAST(row_status = 'appended' AS INT)) AS n_appended
+FROM merged
+GROUP BY document_source
+"""
+
+
+# --- staged upsert (stage_06 semantics) --------------------------------------
+
+def refresh_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delete-then-insert upsert: incoming batch (docs with doc_id%3==0,
+    re-chunk… here re-described) replaces same-key rows in the target.
+    Equivalent to stage_06's staging COPY + DELETE WHERE document_id IN
+    (staging) + INSERT SELECT. Output tags each row kept/replaced."""
+    docs = load_table(spark, sf_dir, "documents")
+    target = docs.select(
+        F.col("doc_id").alias("document_id"),
+        F.col("source").alias("document_source"),
+        F.col("text").alias("content"),
+        F.lit(1).alias("version"),
+    )
+    batch = docs.where(F.col("doc_id") % 3 == 0).select(
+        F.col("doc_id").alias("document_id"),
+        F.col("source").alias("document_source"),
+        F.concat(F.lit("v2: "), F.col("text")).alias("content"),
+        F.lit(2).alias("version"),
+    )
+    kept = target.join(batch.select("document_id"), "document_id", "left_anti")
+    return kept.unionAll(batch).select(
+        "document_id",
+        "document_source",
+        F.substring("content", 1, 16).alias("content_head"),
+        "version",
+    )
+
+
+REFRESH_UPSERT_SQL = """
+WITH target AS (
+  SELECT doc_id AS document_id, source AS document_source, text AS content, 1 AS version
+  FROM documents
+), batch AS (
+  SELECT doc_id AS document_id, source AS document_source, 'v2: ' || text AS content, 2 AS version
+  FROM documents WHERE doc_id % 3 = 0
+), merged AS (
+  SELECT * FROM target WHERE document_id NOT IN (SELECT document_id FROM batch)
+  UNION ALL
+  SELECT * FROM batch
+)
+SELECT document_id, document_source, substr(content, 1, 16) AS content_head, version
+FROM merged
+"""
+
+
+QUERIES = {
+    "catalog_delta": catalog_delta,
+    "catalog_merge": catalog_merge,
+    "catalog_validate": catalog_validate,
+    "refresh_upsert": refresh_upsert,
+}
+
+ORACLES = {
+    "catalog_delta": CATALOG_DELTA_SQL,
+    "catalog_merge": CATALOG_MERGE_SQL,
+    "catalog_validate": CATALOG_VALIDATE_SQL,
+    "refresh_upsert": REFRESH_UPSERT_SQL,
+}

@@ -1,0 +1,157 @@
+"""Multimodal columns: binary payloads + typed metadata + decode stubs.
+
+Reference parity: the prep pipelines shuttle binary documents around —
+`catalog search - docx prep/docx_to_pdf_prep.py`, `catalog search -
+excel prep/excel_to_pdf_prep.py`, `semantic search - ey prep/
+stage_00_chapter_splitter.py` (PDF bytes in, PDF bytes out), and
+`catalog search - vision/stage2_process_vision.py` feeds page images to
+a vision model. Generalized: media lives in an opaque ``binary``
+column with typed metadata; decode/resize/frame-sample run as
+``mapInPandas`` stages.
+
+The container has no image/audio libraries, so the actual decoder is a
+STUB: `decode_features` produces a deterministic md5-derived fake
+feature row (clearly marked below). Everything around it — schema,
+Arrow batching, partition-preserving plumbing — is real and tested; a
+production deployment swaps `_fake_decode` for PIL/ffmpeg behind the
+same signature.
+
+Scale: payload bytes never leave executors; mapInPandas streams Arrow
+batches, so peak memory is one batch of payloads per core, not one
+partition of rows — set MAX_BATCH_ROWS accordingly for big media.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..sources.tables import load_table
+
+MEDIA_TYPES = ("image", "audio", "video")
+MAX_BATCH_ROWS = 256  # keep payload batches bounded for real media sizes
+
+
+def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Opaque binary payloads + typed metadata, derived from documents
+    (payload = utf-8 bytes; a real pipeline reads files via
+    ``spark.read.format('binaryFile')``)."""
+    docs = load_table(spark, sf_dir, "documents")
+    media_type = F.element_at(
+        F.array(*[F.lit(m) for m in MEDIA_TYPES]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"),
+        media_type.alias("media_type"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.struct(
+            F.col("source").alias("origin"),
+            F.col("n_chars").alias("payload_chars"),
+            (F.col("doc_id") % 1000).alias("shard"),
+        ).alias("meta"),
+    )
+
+
+def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed manifest rollup over the media table — the catalog query a
+    prep pipeline runs before dispatching decode work."""
+    m = media_table(spark, sf_dir)
+    return m.groupBy("media_type").agg(
+        F.count(F.lit(1)).alias("n_items"),
+        F.sum(F.octet_length("payload")).alias("total_bytes"),
+        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.countDistinct("meta.origin").alias("n_origins"),
+    )
+
+
+MULTIMODAL_MANIFEST_SQL = """
+SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       count(*) AS n_items,
+       sum(octet_length(encode(text))) AS total_bytes,
+       max(octet_length(encode(text))) AS max_bytes,
+       count(DISTINCT source) AS n_origins
+FROM documents
+GROUP BY 1
+"""
+
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("n_bytes", T.LongType()),
+        T.StructField("f0", T.DoubleType()),
+        T.StructField("f1", T.DoubleType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_decode(payload: bytes) -> tuple[float, float]:
+    """STUB decoder — deterministic md5-derived pseudo-features.
+
+    A real deployment replaces this with e.g. PIL image decode /
+    torchaudio load behind the same (bytes) -> features signature. Kept
+    dependency-free because the decode libraries are not available in
+    this environment.
+    """
+    h = hashlib.md5(payload).hexdigest()
+    return int(h[:8], 16) % 1000 / 1000.0, int(h[8:16], 16) % 1000 / 1000.0
+
+
+def decode_features(media: DataFrame) -> DataFrame:
+    """mapInPandas decode stage: payload bytes → feature row."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                feats = [_fake_decode(p) for p in part["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].to_numpy(),
+                        "media_type": part["media_type"].to_numpy(),
+                        "n_bytes": [len(p) for p in part["payload"]],
+                        "f0": [f[0] for f in feats],
+                        "f1": [f[1] for f in feats],
+                        "decoder": ["fake-md5-v1"] * len(part),
+                    }
+                )
+
+    return media.mapInPandas(fn, FEATURE_SCHEMA)
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Driver-contract entry: decode the media table (stub decoder).
+
+    Oracle-checkable despite the Python path because the fake features
+    are md5-derived — DuckDB reproduces them from the original text.
+    """
+    return decode_features(media_table(spark, sf_dir))
+
+
+MULTIMODAL_FEATURES_SQL = """
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
+       octet_length(encode(text)) AS n_bytes,
+       (CAST('0x' || substr(md5(text), 1, 8) AS BIGINT) % 1000) / 1000.0 AS f0,
+       (CAST('0x' || substr(md5(text), 9, 8) AS BIGINT) % 1000) / 1000.0 AS f1,
+       'fake-md5-v1' AS decoder
+FROM documents
+"""
+
+
+QUERIES = {
+    "multimodal_manifest": multimodal_manifest,
+    "multimodal_features": multimodal_features,
+}
+
+ORACLES = {
+    "multimodal_manifest": MULTIMODAL_MANIFEST_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
+}

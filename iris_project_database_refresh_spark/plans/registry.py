@@ -37,5 +37,9 @@ def _load() -> None:
             continue
         _register(module)
 
+    from ..streaming import pipeline as streaming_pipeline
+
+    _register(streaming_pipeline)
+
 
 _load()

@@ -1,0 +1,43 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import catalog
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(catalog.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(catalog.QUERIES[name](spark, SF_CORRECT), oracle, catalog.ORACLES[name])
+
+
+def test_delta_covers_all_actions(spark):
+    acts = {
+        r.action: r.n
+        for r in catalog.catalog_delta(spark, SF_CORRECT)
+        .groupBy("action")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(acts) == {"new", "updated", "deleted", "unchanged"}, acts
+    assert all(v > 0 for v in acts.values())
+
+
+def test_merge_has_unique_file_names(spark):
+    import pyspark.sql.functions as F
+
+    merged = catalog.catalog_merge(spark, SF_CORRECT)
+    dups = merged.groupBy("file_name").count().where(F.col("count") > 1).count()
+    assert dups == 0
+
+
+def test_upsert_replaces_batch_rows(spark):
+    rows = catalog.refresh_upsert(spark, SF_CORRECT).collect()
+    by_ver = {}
+    for r in rows:
+        by_ver.setdefault(r.version, 0)
+        by_ver[r.version] += 1
+    assert by_ver[2] > 0 and by_ver[1] > 0
+    assert all(r.version == 2 for r in rows if r.document_id % 3 == 0)

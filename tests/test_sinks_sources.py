@@ -1,0 +1,72 @@
+from __future__ import annotations
+
+import glob
+import os
+
+import pyspark.sql.functions as F
+import pytest
+
+from iris_project_database_refresh_spark.operators.chunking import chunk_documents
+from iris_project_database_refresh_spark.sinks.csv_export import export_chunks_csv, pgvector_literal
+from iris_project_database_refresh_spark.sinks.jdbc import JdbcUpsertSink
+from iris_project_database_refresh_spark.sources.filecatalog import snapshot_directory
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_pgvector_literal_matches_reference_format(spark):
+    df = spark.createDataFrame(
+        [([1.5, 2.0, -0.25],), (None,), ([],)], "embedding: array<double>"
+    ).select(pgvector_literal(F.col("embedding")).alias("lit"))
+    got = [r.lit for r in df.collect()]
+    # stage_05_csv_export.py:444 — "[x,y]" with str(float()), '' for NULL/empty
+    assert got == ["[1.5,2.0,-0.25]", "", ""]
+
+
+def test_export_chunks_csv_roundtrip(spark, tmp_path):
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    chunks = (
+        chunk_documents(spark, SF_CORRECT)
+        .withColumn("document_id", F.concat(F.lit("DOC_"), F.col("doc_id")))
+        .withColumn("filename", F.concat(F.col("source"), F.lit(".txt")))
+        .withColumn("chapter_number", F.lit(1))
+        .withColumn("section_number", F.lit(1))
+        .join(emb.withColumnRenamed("vec_id", "doc_id"), "doc_id")
+    )
+    out = str(tmp_path / "export")
+    export_chunks_csv(chunks, out)
+    files = glob.glob(os.path.join(out, "*.csv"))
+    assert files
+    back = spark.read.option("header", True).csv(out)
+    assert back.count() == chunks.count()
+    emb_lits = [r.embedding_literal for r in back.limit(5).collect()]
+    assert all(s.startswith("[") and s.endswith("]") for s in emb_lits)
+
+
+def test_jdbc_sink_sql_generation():
+    sink = JdbcUpsertSink(url="jdbc:postgresql://db/x", table="iris_semantic_search", key_columns=("document_id",))
+    assert sink.delete_sql() == (
+        "DELETE FROM iris_semantic_search WHERE (document_id) IN "
+        "(SELECT document_id FROM iris_semantic_search_staging)"
+    )
+    assert sink.insert_sql(["document_id", "chunk_content"]).startswith(
+        "INSERT INTO iris_semantic_search (document_id, chunk_content) SELECT"
+    )
+    assert sink.truncate_sql() == "TRUNCATE TABLE iris_semantic_search"
+    with pytest.raises(ValueError):
+        JdbcUpsertSink(url="u", table="t", key_columns=())
+
+
+def test_snapshot_directory(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("hello")
+    (tmp_path / ".hidden.txt").write_text("skip me")
+    sub = tmp_path / "sub"
+    sub.mkdir()
+    (sub / "b.pdf").write_text("x" * 100)
+    snap = snapshot_directory(spark, str(tmp_path))
+    rows = {r.file_name: r for r in snap.collect()}
+    assert set(rows) == {"a.txt", "b.pdf"}
+    assert rows["a.txt"].file_size == 5
+    assert rows["b.pdf"].file_size == 100
+    assert rows["a.txt"].date_last_modified is not None

@@ -1,0 +1,65 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import multimodal
+from iris_project_database_refresh_spark.streaming import pipeline as sp
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted({**multimodal.QUERIES, **sp.QUERIES}))
+def test_matches_oracle(spark, oracle, name):
+    merged_q = {**multimodal.QUERIES, **sp.QUERIES}
+    merged_o = {**multimodal.ORACLES, **sp.ORACLES}
+    assert_matches_oracle(merged_q[name](spark, SF_CORRECT), oracle, merged_o[name])
+
+
+def test_streaming_rollup_equals_batch(spark):
+    got = sp.run_available_now(spark, SF_CORRECT, table="rollup_test")
+    want = sp.events_tumbling_agg(spark, SF_CORRECT)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w, f"streaming/batch divergence: {len(g ^ w)} rows differ"
+
+
+def test_stateful_sessionizer_closes_sessions(spark):
+    """availableNow drain of the stateful sessionizer: every closed
+    session must agree with the batch sessionize result for that user."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.operators.relational import sessionize
+    from iris_project_database_refresh_spark.streaming.sessions import streaming_sessionize
+
+    stream = sp.read_events_stream(spark, SF_CORRECT).select("user_id", "event_id", "ts")
+    q = (
+        streaming_sessionize(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = spark.table("sessions_test").collect()
+    assert got, "no sessions closed"
+    batch = {
+        (r.user_id, r.session_start, r.session_end): r.n_events
+        for r in sessionize(spark, SF_CORRECT).collect()
+    }
+    matched = 0
+    for r in got:
+        key = (r.user_id, r.session_start, r.session_end)
+        assert key in batch, f"streamed session not in batch result: {key}"
+        assert batch[key] == r.n_events
+        matched += 1
+    assert matched == len(got)
+
+
+def test_decode_features_batching(spark):
+    media = multimodal.media_table(spark, SF_CORRECT)
+    feats = multimodal.decode_features(media)
+    assert feats.count() == media.count()
+    row = feats.first()
+    assert 0.0 <= row.f0 <= 1.0 and 0.0 <= row.f1 <= 1.0
+    assert row.decoder == "fake-md5-v1"
