@@ -30,8 +30,12 @@ def main() -> None:
     spark = get_session("iris-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    # one warmup to amortize JVM/codegen startup out of per-query numbers
+    # warmups: JVM/codegen (q1) and Python worker pool (tiny mapInPandas),
+    # so per-query numbers reflect steady state rather than spawn cost
     QUERIES["q1_pricing_summary"](spark, SF_DIR).write.format("noop").mode("overwrite").save()
+    spark.range(64).repartition(32).mapInPandas(
+        lambda it: it, "id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     for name, fn in sorted(QUERIES.items()):

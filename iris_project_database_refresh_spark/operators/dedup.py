@@ -14,25 +14,29 @@ runs over ``documents`` plus deterministically *planted* duplicates
 doc_id % 5 == 0) — planted identically in the DuckDB oracle, so results
 stay hash-checkable while exercising real clusters.
 
-Portability: every hash is md5-derived (``md5_int32``-style), because
-Spark and DuckDB both expose md5 — signatures, bands, and candidate
-sets are bit-identical across engines, which is what lets even
-MinHash+LSH carry a full value-checked SQL oracle.
+Shingle representation: tokens are md5-hashed ONCE (the only string
+hashing in the pipeline); shingles are then arithmetic combinations of
+adjacent token hashes (rolling-hash style, overflow-safe int64). No
+shingle strings are ever built — at 100 TB the concat_ws alternative
+allocates ~3× the corpus in short-lived strings and dominated local
+profiles by >10×. Every constant is mirrored in the DuckDB oracles, so
+signatures, bands, and candidate sets stay bit-identical across
+engines.
 
 Scale design (100 TB):
-* shingling/signatures: narrow per-row expressions, no shuffle.
+* token hashing/shingling/signatures: narrow per-row expressions, no
+  shuffle.
+* n-gram inverted index: shuffle on the 8-byte shingle hash; frequent
+  shingles skew → AQE skew-join split (production would also cap
+  document frequency, mirrored in the oracle).
 * LSH: shuffle on (band_idx, band_key) — bounded fan-out (BANDS per
-  doc); candidate pairs deduped before the verify join.
-* verify: jaccard computed only on candidate pairs via array
-  intersection on the two docs' (bounded) distinct-shingle arrays.
-* the O(n²) in-bucket pairing is controlled by band width; skewed
-  buckets would be capped/salted in production (documented here, not
-  needed at test SF).
+  doc); candidate pairs deduped before the verify join; verify is an
+  array_intersect on the two docs' bounded hash arrays.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -52,11 +56,14 @@ AB = [
 N_HASHES = len(AB)
 BANDS, ROWS_PER_BAND = 4, 4
 JACCARD_TAU = 0.6
-SHINGLE = 3
+SHINGLE = 3  # word trigrams
 
-SIMHASH_BITS = 60  # 15 hex digits of md5 → fits signed int64 in both engines
+SIMHASH_BITS = 60
 SIMHASH_BANDS, SIMHASH_BAND_BITS = 4, 15
 HAMMING_TAU = 3  # ≤3 bit flips over 4 bands → ≥1 identical band (pigeonhole)
+
+_M32 = 4294967296  # 2^32
+_LANE = 1048576  # 2^20 — simhash packs three 20-bit lanes into 60 bits
 
 
 # --- shared planted corpus ---------------------------------------------------
@@ -92,28 +99,74 @@ corpus AS (
 )
 """
 
-# Word SHINGLE-grams, distinct, as a Catalyst expression. Spark's
-# sequence() descends when start > stop, so short docs need the guard
-# (DuckDB's generate_series is already empty there).
-_SHINGLES_EXPR = f"""
-CASE WHEN size(toks) < {SHINGLE} THEN array(concat_ws(' ', toks))
-     ELSE array_distinct(transform(sequence(1, size(toks) - {SHINGLE - 1}),
-                                   j -> concat_ws(' ', slice(toks, j, {SHINGLE}))))
+# Token hashes: the single md5 pass. Shingle hashes derive from these
+# arithmetically (both expressions below must stay in lock-step with
+# their *_SQL mirrors).
+_TH_EXPR = "transform(filter(split(text, '\\\\s+'), t -> t != ''), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+_TH_SQL = "list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''), t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT))"
+
+# 32-bit rolling shingle hash (ngram jaccard + minhash space)
+_SH32_EXPR = f"""
+CASE WHEN size(th) < {SHINGLE} THEN array(coalesce(element_at(th, 1), 0L))
+     ELSE array_distinct(transform(sequence(1, size(th) - {SHINGLE - 1}),
+          i -> ((element_at(th, i) * 31 + element_at(th, i + 1)) * 31 + element_at(th, i + 2)) % {_M32}))
+END
+"""
+_SH32_SQL = f"""
+CASE WHEN len(th) < {SHINGLE} THEN [coalesce(th[1], 0)]
+     ELSE list_distinct(list_transform(generate_series(1, len(th) - {SHINGLE - 1}),
+          i -> ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % {_M32}))
 END
 """
 
-_SHINGLES_SQL = f"""
-CASE WHEN len(toks) < {SHINGLE} THEN [array_to_string(toks, ' ')]
-     ELSE list_distinct(list_transform(generate_series(1, len(toks) - {SHINGLE - 1}),
-                                       j -> array_to_string(list_slice(toks, j, j + {SHINGLE - 1}), ' ')))
+# 60-bit shingle hash for simhash: three 20-bit lanes (one per token
+# position, distinct multipliers) packed side by side — all products
+# bounded by 2^52, no overflow.
+_SH60_EXPR = f"""
+CASE WHEN size(th) < {SHINGLE} THEN array(coalesce(element_at(th, 1), 0L))
+     ELSE array_distinct(transform(sequence(1, size(th) - {SHINGLE - 1}),
+          i -> (element_at(th, i) * 13 + 7) % {_LANE}
+             + ((element_at(th, i + 1) * 31 + 5) % {_LANE}) * {_LANE}
+             + ((element_at(th, i + 2) * 61 + 3) % {_LANE}) * {_LANE * _LANE}))
+END
+"""
+_SH60_SQL = f"""
+CASE WHEN len(th) < {SHINGLE} THEN [coalesce(th[1], 0)]
+     ELSE list_distinct(list_transform(generate_series(1, len(th) - {SHINGLE - 1}),
+          i -> (th[i] * 13 + 7) % {_LANE}
+             + ((th[i + 1] * 31 + 5) % {_LANE}) * {_LANE}
+             + ((th[i + 2] * 61 + 3) % {_LANE}) * {_LANE * _LANE}))
 END
 """
 
 
-def _with_shingles(corpus: DataFrame) -> DataFrame:
-    return corpus.withColumn("toks", F.split(F.col("text"), r"\s+")).withColumn(
-        "shingles", F.expr(_SHINGLES_EXPR)
+def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
+    """(doc_id, hashes): distinct shingle hashes per doc.
+
+    Lazily local-checkpointed: Spark's Generate (explode) inlines its
+    child expression and re-evaluates it per OUTPUT row, which turns
+    the downstream explode/self-join into an O(rows×tokens) md5 storm
+    (measured 38 s vs 1.3 s at sf0.1). The checkpoint pins the computed
+    arrays so every consumer — both sides of the self-joins included —
+    scans them once. At cluster scale this becomes persist(DISK_ONLY)
+    or reliable checkpointing; the hash arrays are ~n_shingles×8 bytes
+    per doc, far smaller than the text they derive from.
+    """
+    df = (
+        corpus.withColumn("th", F.expr(_TH_EXPR))
+        .withColumn("hashes", F.expr(expr))
+        .select("doc_id", "hashes")
     )
+    return df.localCheckpoint(eager=False)
+
+
+def _hashes_cte(sql_expr: str) -> str:
+    return f"""
+sh AS (
+  SELECT doc_id, {sql_expr.strip()} AS hashes
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM corpus)
+)
+"""
 
 
 # --- exact dedup -------------------------------------------------------------
@@ -151,14 +204,14 @@ HAVING count(*) > 1
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with Jaccard ≥ τ via inverted-index join.
 
-    explode(shingle) → self-join on shingle → count intersections →
-    jaccard. The shuffle key is the shingle string; frequent shingles
-    create skew, which AQE's skew-join split handles (and a production
-    run would drop ultra-common shingles first, like stopword filtering).
+    explode(shingle hash) → self-join on the 8-byte hash → count
+    intersections → jaccard. Frequent shingles skew the shuffle; AQE's
+    skew-join split handles it (a production run would also cap
+    document frequency, like stopword filtering).
     """
     sh = (
-        _with_shingles(_corpus(spark, sf_dir))
-        .select("doc_id", F.size("shingles").alias("n_sh"), F.explode("shingles").alias("shingle"))
+        _with_hashes(_corpus(spark, sf_dir))
+        .select("doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("shingle"))
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -179,14 +232,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 DEDUP_NGRAM_SQL = f"""
 WITH {CORPUS_SQL.strip()},
-sh AS (
-  SELECT doc_id, len(shingles) AS n_sh, unnest(shingles) AS shingle
-  FROM (SELECT doc_id, {_SHINGLES_SQL.strip()} AS shingles
-        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))
+{_hashes_cte(_SH32_SQL).strip()},
+exploded AS (
+  SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh
 ),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
-  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b,
@@ -204,7 +256,6 @@ def _perm(a: int, b: int):
 
 def _minhash_sigs() -> list:
     """One min-over-shingle-hashes expression per permutation."""
-    # shingle → 32-bit md5 int happens once into `hashes`
     return [
         F.array_min(F.transform(F.col("hashes"), _perm(a, b))).alias(f"sig{i}")
         for i, (a, b) in enumerate(AB)
@@ -216,16 +267,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Signature/band computation is narrow per-row work; the only
     shuffles are the (band_idx, band_key) bucket join and the final
-    verify join on candidate pairs. Every hash is md5-derived so the
-    DuckDB oracle reproduces the exact candidate set.
+    verify join on candidate pairs. All hashes are md5/arithmetic-
+    derived so the DuckDB oracle reproduces the exact candidate set.
     """
-    sh = _with_shingles(_corpus(spark, sf_dir)).withColumn(
-        "hashes",
-        F.transform(
-            F.col("shingles"), lambda s: F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
-        ),
-    )
-    sigs = sh.select("doc_id", "shingles", *_minhash_sigs())
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", "hashes", *_minhash_sigs())
     band_cols = [
         F.concat_ws(
             "_", *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
@@ -233,7 +279,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         for b in range(BANDS)
     ]
     buckets = sigs.select(
-        "doc_id", "shingles", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        "doc_id", "hashes", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -246,8 +292,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.shingles").alias("sh_a"),
-            F.col("b.shingles").alias("sh_b"),
+            F.col("a.hashes").alias("sh_a"),
+            F.col("b.hashes").alias("sh_b"),
         )
         .dropDuplicates(["id_a", "id_b"])
     )
@@ -265,27 +311,21 @@ def _minhash_sql_sigs() -> str:
 
 
 def _band_sql(b: int) -> str:
-    parts = " || '_' || ".join(
+    return " || '_' || ".join(
         f"CAST(sig{b * ROWS_PER_BAND + r} AS VARCHAR)" for r in range(ROWS_PER_BAND)
     )
-    return parts
 
 
 DEDUP_MINHASH_SQL = f"""
 WITH {CORPUS_SQL.strip()},
-sh AS (
-  SELECT doc_id, shingles,
-         list_transform(shingles, s -> CAST('0x' || substr(md5(s), 1, 8) AS BIGINT)) AS hashes
-  FROM (SELECT doc_id, {_SHINGLES_SQL.strip()} AS shingles
-        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))
-),
+{_hashes_cte(_SH32_SQL).strip()},
 sigs AS (
-  SELECT doc_id, shingles,
+  SELECT doc_id, hashes,
          {_minhash_sql_sigs()}
   FROM sh
 ),
 buckets AS (
-  SELECT doc_id, shingles, band_idx, band_key
+  SELECT doc_id, hashes, band_idx, band_key
   FROM sigs, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
 ),
 cand AS (
@@ -295,8 +335,8 @@ cand AS (
 ),
 verified AS (
   SELECT id_a, id_b,
-         len(list_intersect(sa.shingles, sb.shingles)) AS n_inter,
-         len(sa.shingles) + len(sb.shingles) - len(list_intersect(sa.shingles, sb.shingles)) AS n_union
+         len(list_intersect(sa.hashes, sb.hashes)) AS n_inter,
+         len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)) AS n_union
   FROM cand
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
@@ -310,21 +350,18 @@ WHERE n_inter / CAST(n_union AS DOUBLE) >= {JACCARD_TAU}
 # --- SimHash -----------------------------------------------------------------
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """60-bit SimHash over shingles + banded Hamming join.
+    """60-bit SimHash over shingle hashes + banded Hamming join.
 
-    The per-bit majority vote runs as explode -> one aggregation with 60
-    sum(sign) expressions -- a single shuffle on doc_id and a flat agg
-    plan (a nested 60-array-filter expression tree would blow up
-    codegen). Pairs at Hamming distance <= HAMMING_TAU share at least
-    one of the SIMHASH_BANDS 15-bit bands (pigeonhole), so the banded
-    join returns exactly the brute-force result -- which is what the
-    oracle computes.
+    The per-bit majority vote runs as explode → one aggregation with 60
+    sum(sign) expressions — a single shuffle on doc_id and a flat agg
+    plan (a nested 60×array-filter expression tree blows up codegen).
+    Pairs at Hamming distance ≤ HAMMING_TAU share at least one of the
+    SIMHASH_BANDS 15-bit bands (pigeonhole), so the banded join returns
+    exactly the brute-force result — which is what the oracle computes.
     """
-    sh = _with_shingles(_corpus(spark, sf_dir)).select(
-        "doc_id", F.explode("shingles").alias("shingle")
+    exploded = _with_hashes(_corpus(spark, sf_dir), _SH60_EXPR).select(
+        "doc_id", F.explode("hashes").alias("h")
     )
-    h = F.conv(F.substring(F.md5("shingle"), 1, 15), 16, 10).cast("bigint")
-    exploded = sh.select("doc_id", h.alias("h"))
     votes = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -337,7 +374,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
         for j in range(SIMHASH_BITS)
     ]
-    simmed = votes.select("doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash"))
+    # pin the tiny (doc_id, simhash) relation so the banded self-join
+    # doesn't run the 60-expression aggregation twice
+    simmed = votes.select(
+        "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash")
+    ).localCheckpoint(eager=False)
     bands = simmed.select(
         "doc_id",
         "simhash",
@@ -372,7 +413,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _simhash_bits_sql() -> str:
     terms = [
-        f"CASE WHEN len(list_filter(hashes, h -> (h & (1::BIGINT << {j})) <> 0)) * 2 > n_toks "
+        f"CASE WHEN len(list_filter(hashes, h -> (h & (1::BIGINT << {j})) <> 0)) * 2 > len(hashes) "
         f"THEN (1::BIGINT << {j}) ELSE 0 END"
         for j in range(SIMHASH_BITS)
     ]
@@ -381,14 +422,9 @@ def _simhash_bits_sql() -> str:
 
 DEDUP_SIMHASH_SQL = f"""
 WITH {CORPUS_SQL.strip()},
-tok AS (
-  SELECT doc_id, shingles AS toks, len(shingles) AS n_toks,
-         list_transform(shingles, t -> CAST('0x' || substr(md5(t), 1, 15) AS BIGINT)) AS hashes
-  FROM (SELECT doc_id, {_SHINGLES_SQL.strip()} AS shingles
-        FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM corpus))
-),
+{_hashes_cte(_SH60_SQL).strip()},
 simmed AS (
-  SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM tok
+  SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM sh
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
        bit_count(xor(a.simhash, b.simhash)) AS hamming
