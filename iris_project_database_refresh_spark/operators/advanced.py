@@ -1,0 +1,239 @@
+"""Advanced operators: IVF ANN, BPE-ish token counting, winnowing.
+
+* `knn_ivf` — the IVF(-flat) scale path for similarity search: a small
+  deterministic codebook partitions vectors into cells; queries probe
+  the NPROBE nearest cells and rerank only those candidates. At 100 TB
+  the cell assignment is a narrow pass (codebook broadcast), the probe
+  join touches NPROBE/NCELLS of the data, and cells can be written as
+  partition keys so probes become partition-pruned scans. Complements
+  the random-hyperplane LSH variant (`embeddings.knn_lsh`).
+* `token_count_bpe` — subword-ish token counting: regex word/number/
+  punctuation pieces, each split into ≤4-char units (a fixed-fanout
+  stand-in for BPE merges; the reference estimates tokens as chars/3.5
+  — `semantic search/stage_01_chapter_processing.py:314`).
+* `doc_winnow` — winnowing document fingerprints (min rolling hash per
+  sliding window, the standard local fingerprinting scheme): positional
+  k-gram hashes → per-window minima → distinct fingerprint summary.
+
+All three are pure built-in expressions with DuckDB oracles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# --- IVF ---------------------------------------------------------------------
+
+NCELLS = 16
+NPROBE = 4
+IVF_K = 10
+IVF_QUERIES = 5  # vec_id < 5 are queries
+CENTROID_BASE = 100  # vec_id in [100, 100+NCELLS) form the codebook
+
+
+def _as_double(col):
+    return F.transform(col, lambda x: x.cast("double"))
+
+
+def _dot(a, b):
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y), F.lit(0.0), lambda acc, x: acc + x)
+
+
+def _cos(a, b):
+    return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: assign every vector to its nearest codebook centroid, probe
+    the NPROBE nearest cells per query, exact-rerank inside them.
+
+    The codebook here is deterministic (vectors 100..115) so the oracle
+    reproduces cells exactly; production would k-means it — assignment
+    and probing are identical either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+
+    # nearest-cell assignment: broadcast codebook, rank by cosine
+    scored = emb.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "v", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1).select("vec_id", "v", "cell")
+    )
+
+    # queries probe their NPROBE nearest cells
+    probes = (
+        scored.where(F.col("vec_id") < IVF_QUERIES)
+        .withColumn("r", F.row_number().over(w))
+        .where(F.col("r") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "cell")
+    )
+
+    cand = assigned.join(
+        F.broadcast(probes),
+        (assigned.cell == probes.cell) & (assigned.vec_id != probes.query_id),
+    ).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        _cos(F.col("q"), F.col("v")).alias("cosine"),
+    ).dropDuplicates(["query_id", "neighbor_id"])
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id", "rank", "cosine")
+    )
+
+
+KNN_IVF_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM d
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + NCELLS}
+), scored AS (
+  SELECT vec_id, v, cell,
+         round(list_dot_product(v, cv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM d CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, v, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r FROM scored
+  ) WHERE r = 1
+), probes AS (
+  SELECT vec_id AS query_id, v AS q, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r FROM scored
+  ) WHERE r <= {NPROBE} AND vec_id < {IVF_QUERIES}
+), cand AS (
+  SELECT DISTINCT query_id, a.vec_id AS neighbor_id,
+         round(list_dot_product(q, a.v) /
+               (sqrt(list_dot_product(q, q)) * sqrt(list_dot_product(a.v, a.v))), 6) AS cosine
+  FROM assigned a JOIN probes p ON a.cell = p.cell AND a.vec_id <> p.query_id
+)
+SELECT query_id, neighbor_id, rank, cosine FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM cand
+) WHERE rank <= {IVF_K}
+"""
+
+
+# --- BPE-ish token counting --------------------------------------------------
+
+BPE_UNIT = 4  # max chars per subword unit
+
+
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Subword token estimate: regex pieces (letters / digits / other),
+    each piece contributing ceil(len/BPE_UNIT) units — a deterministic
+    stand-in for BPE merges, alongside whitespace and chars/3.5 counts."""
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    n_bpe = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.ceil(F.length(p) / BPE_UNIT).cast("bigint"),
+    )
+    ws = F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+    est = F.floor(F.length("text") / 3.5).cast("bigint")
+    return docs.select(
+        "doc_id",
+        "lang",
+        n_bpe.alias("n_bpe_tokens"),
+        ws.alias("n_ws_tokens"),
+        est.alias("n_est_tokens"),
+        F.round(n_bpe / ws, 6).alias("bpe_per_word"),
+    )
+
+
+TOKEN_BPE_SQL = f"""
+SELECT doc_id, lang,
+       list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                               p -> CAST(ceil(length(p) / {BPE_UNIT}.0) AS BIGINT)))::BIGINT AS n_bpe_tokens,
+       len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n_ws_tokens,
+       CAST(floor(length(text) / 3.5) AS BIGINT) AS n_est_tokens,
+       round(list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                                     p -> CAST(ceil(length(p) / {BPE_UNIT}.0) AS BIGINT)))
+             / CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS DOUBLE), 6) AS bpe_per_word
+FROM documents
+"""
+
+
+# --- winnowing fingerprints --------------------------------------------------
+
+WINNOW_K = 3  # k-gram size (token trigrams, positional)
+WINNOW_W = 4  # window of consecutive k-gram hashes; keep the min of each
+
+_TH = "transform(filter(split(text, '\\\\s+'), t -> t != ''), t -> cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint))"
+_GRAMS = f"transform(sequence(1, greatest(size(th) - {WINNOW_K - 1}, 1)), i -> CASE WHEN size(th) < {WINNOW_K} THEN coalesce(element_at(th, 1), 0L) ELSE ((element_at(th, i) * 31 + element_at(th, i + 1)) * 31 + element_at(th, i + 2)) % 4294967296 END)"
+_WINNOWED = f"array_distinct(transform(sequence(1, greatest(size(grams) - {WINNOW_W - 1}, 1)), i -> array_min(slice(grams, i, {WINNOW_W}))))"
+
+
+def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowed fingerprint summary per document: positional k-gram
+    rolling hashes, min per sliding window, distinct set. Guarantees a
+    shared fingerprint for any sufficiently long shared substring —
+    the property plagiarism/near-dup detectors build on."""
+    docs = load_table(spark, sf_dir, "documents")
+    d = (
+        docs.withColumn("th", F.expr(_TH))
+        .withColumn("grams", F.expr(_GRAMS))
+        .withColumn("fps", F.expr(_WINNOWED))
+    )
+    return d.select(
+        "doc_id",
+        F.size("fps").alias("n_fingerprints"),
+        F.array_min("fps").alias("min_fp"),
+        F.array_max("fps").alias("max_fp"),
+        F.aggregate("fps", F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % F.lit(2**61 - 1)).alias(
+            "fp_sum_mod"
+        ),
+    )
+
+
+DOC_WINNOW_SQL = f"""
+WITH th_t AS (
+  SELECT doc_id,
+         list_transform(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''),
+                        t -> CAST('0x' || substr(md5(t), 1, 8) AS BIGINT)) AS th
+  FROM documents
+), grams_t AS (
+  SELECT doc_id,
+         list_transform(generate_series(1, greatest(len(th) - {WINNOW_K - 1}, 1)),
+             i -> CASE WHEN len(th) < {WINNOW_K} THEN coalesce(th[1], 0)
+                       ELSE ((th[i] * 31 + th[i + 1]) * 31 + th[i + 2]) % 4294967296 END) AS grams
+  FROM th_t
+), fps_t AS (
+  SELECT doc_id,
+         list_distinct(list_transform(generate_series(1, greatest(len(grams) - {WINNOW_W - 1}, 1)),
+             i -> list_min(list_slice(grams, i, i + {WINNOW_W - 1})))) AS fps
+  FROM grams_t
+)
+SELECT doc_id,
+       len(fps) AS n_fingerprints,
+       list_min(fps) AS min_fp,
+       list_max(fps) AS max_fp,
+       list_sum(list_transform(fps, x -> x % {2**61 - 1}))::BIGINT % {2**61 - 1} AS fp_sum_mod
+FROM fps_t
+"""
+
+
+QUERIES = {
+    "knn_ivf": knn_ivf,
+    "token_count_bpe": token_count_bpe,
+    "doc_winnow": doc_winnow,
+}
+
+ORACLES = {
+    "knn_ivf": KNN_IVF_SQL,
+    "token_count_bpe": TOKEN_BPE_SQL,
+    "doc_winnow": DOC_WINNOW_SQL,
+}

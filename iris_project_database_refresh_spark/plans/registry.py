@@ -27,7 +27,7 @@ def _load() -> None:
 
     _register(relational)
 
-    for modname in ("textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal"):
+    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced"):
         try:
             module = __import__(
                 f"iris_project_database_refresh_spark.operators.{modname}",

@@ -1,0 +1,34 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import relational_ext
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(relational_ext.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        relational_ext.QUERIES[name](spark, SF_CORRECT), oracle, relational_ext.ORACLES[name]
+    )
+
+
+def test_q4_uses_semi_join(spark):
+    plan = (
+        relational_ext.q4_order_priority(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "LeftSemi" in plan
+
+
+def test_q6_filters_pushed(spark):
+    plan = (
+        relational_ext.q6_revenue_change(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "PushedFilters: [" in plan and "l_shipdate" in plan and "l_quantity" in plan
