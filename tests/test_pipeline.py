@@ -1,0 +1,53 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iris_project_database_refresh_spark.plans.pipeline import run_refresh
+from iris_project_database_refresh_spark.sources.formats import (
+    read_csv,
+    read_jsonl,
+    write_csv,
+    write_jsonl,
+)
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_full_refresh_pipeline(spark, tmp_path):
+    out = str(tmp_path / "refresh")
+    counts = run_refresh(spark, SF_CORRECT, out)
+    assert counts["delta"] == 530
+    assert counts["master"] == 500
+    assert counts["chunks"] > 500
+    assert counts["validation"] == 20
+    # monitor log: one Success row per stage before the flush
+    logs = spark.read.parquet(out + "/monitor_logs")
+    rows = logs.collect()
+    assert {r.stage_name for r in rows} == {
+        "delta_detection",
+        "section_processing",
+        "content_chunking",
+        "embedding_generation",
+        "catalog_merge",
+        "validation",
+    }
+    assert all(r.status == "Success" and r.duration_ms >= 0 for r in rows)
+    assert len({r.run_uuid for r in rows}) == 1
+
+
+def test_csv_json_roundtrip(spark, tmp_path):
+    df = load_table(spark, SF_CORRECT, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    csv_path, json_path = str(tmp_path / "c.csv"), str(tmp_path / "c.jsonl")
+    write_csv(df, csv_path)
+    write_jsonl(df, json_path)
+    back_csv = read_csv(spark, csv_path, df.schema)
+    back_json = read_jsonl(spark, json_path, df.schema)
+    assert back_csv.schema == df.schema
+    assert back_json.schema == df.schema
+    assert back_csv.count() == df.count() == back_json.count()
+    want = df.agg(F.round(F.sum("c_acctbal"), 2)).first()[0]
+    assert back_csv.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
+    assert back_json.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
