@@ -1,0 +1,102 @@
+"""Distributed versions of operations that naively serialize.
+
+`sequential_ids`: the reference assigns master-CSV ids as max+1, max+2…
+in sorted order (`catalog search/stage4_update_csv.py:367` get_next_id).
+The naive Spark translation — row_number() over a global Window — pulls
+every row through ONE task. This version keeps the exact same output
+while staying parallel:
+
+1. range-repartition by the sort key (distributed sort),
+2. count rows per partition (a tiny job),
+3. broadcast the cumulative offsets,
+4. number rows locally within each partition.
+
+`salted_agg`: two-phase aggregation for skewed group keys — partial
+aggregate on (key, salt), then final aggregate on key. AQE's skew
+handling covers joins; this covers the groupBy-with-mega-key case
+(e.g. counting by a 'language' column where one language is 90% of a
+100 TB corpus).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sequential_ids(
+    df: DataFrame,
+    order_col: str,
+    *,
+    id_col: str = "seq_id",
+    start: int = 1,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Dense 1-based ids in `order_col` order, without a global window.
+
+    Ties in `order_col` get an arbitrary but deterministic-per-run
+    order within the tied range (use a unique key for full
+    determinism, as catalog_merge does with file_name).
+    """
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), F.col(order_col))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    # tiny: one row per partition
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_local = Window.partitionBy("_pid").orderBy(order_col)
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(id_col, F.row_number().over(w_local) + F.col("_offset") + F.lit(start - 1))
+        .drop("_pid", "_offset")
+    )
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, str],
+    *,
+    salt_buckets: int = 32,
+) -> DataFrame:
+    """Two-phase aggregation for skewed keys.
+
+    `aggs`: output_name -> 'fn(col)' where fn ∈ {sum, count, min, max}
+    (the re-aggregable functions; avg = sum/count at the call site).
+    Phase 1 aggregates on (keys…, salt) — spreading a hot key over
+    `salt_buckets` reducers — phase 2 merges the partials.
+    """
+    merge = {"sum": F.sum, "count": F.sum, "min": F.min, "max": F.max}
+    first = {"sum": F.sum, "count": lambda c: F.count(F.lit(1)), "min": F.min, "max": F.max}
+    parsed: dict[str, tuple[str, str]] = {}
+    for out, spec in aggs.items():
+        fn, col = spec.rstrip(")").split("(", 1)
+        if fn not in merge:
+            raise ValueError(f"{fn} is not re-aggregable; use sum/count/min/max")
+        parsed[out] = (fn, col)
+
+    salted = df.withColumn("_salt", (F.rand(seed=42) * salt_buckets).cast("int"))
+    partial = salted.groupBy(*keys, "_salt").agg(
+        *[first[fn](col).alias(out) for out, (fn, col) in parsed.items()]
+    )
+    return partial.groupBy(*keys).agg(
+        *[merge[fn](out).alias(out) for out, (fn, col) in parsed.items()]
+    )
+
+
+def bucketize(col: Column, buckets: int) -> Column:
+    """Stable md5-derived bucket id — the salting key for joins when the
+    skew is in the data, not random (co-partition both sides on it)."""
+    return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % buckets

@@ -173,14 +173,22 @@ def catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         delta.where(F.col("needs_delete") == 1).select("file_name"), "file_name", "left_anti"
     ).select("id", "file_name", "file_path", "file_size", "document_source", F.lit("kept").alias("row_status"))
     max_id = master.agg(F.max("id")).collect()[0][0] or 0
-    incoming = (
-        delta.where(F.col("needs_process") == 1)
-        .select("file_name", "file_path", "file_size", "document_source")
-        .withColumn(
-            "id",
-            F.lit(max_id) + F.row_number().over(Window.orderBy("file_name")),
-        )
-        .select("id", "file_name", "file_path", "file_size", "document_source", F.lit("appended").alias("row_status"))
+    # distributed sequential numbering — a row_number() over a global
+    # Window would drag the whole incoming batch through one task; the
+    # two-pass range-partition + offset join keeps the identical ids
+    # while staying parallel (functions/distributed.sequential_ids).
+    from ..functions.distributed import sequential_ids
+
+    incoming = sequential_ids(
+        delta.where(F.col("needs_process") == 1).select(
+            "file_name", "file_path", "file_size", "document_source"
+        ),
+        "file_name",
+        id_col="id",
+        start=max_id + 1,
+    ).select(
+        "id", "file_name", "file_path", "file_size", "document_source",
+        F.lit("appended").alias("row_status"),
     )
     return survivors.unionAll(incoming)
 

@@ -27,7 +27,7 @@ def _load() -> None:
 
     _register(relational)
 
-    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced"):
+    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced", "tfidf"):
         try:
             module = __import__(
                 f"iris_project_database_refresh_spark.operators.{modname}",

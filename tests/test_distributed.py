@@ -1,0 +1,74 @@
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from iris_project_database_refresh_spark.functions.distributed import (
+    bucketize,
+    salted_agg,
+    sequential_ids,
+)
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT
+
+
+def test_sequential_ids_match_global_window(spark):
+    """Two-pass numbering must equal the single-task global row_number."""
+    from pyspark.sql import Window
+
+    cust = load_table(spark, SF_CORRECT, "customer").select("c_custkey", "c_name")
+    got = {
+        r.c_custkey: r.seq_id
+        for r in sequential_ids(cust, "c_name", start=100).collect()
+    }
+    want = {
+        r.c_custkey: r.seq_id
+        for r in cust.withColumn(
+            "seq_id", F.row_number().over(Window.orderBy("c_name")) + 99
+        ).collect()
+    }
+    assert got == want
+
+
+def test_sequential_ids_no_global_window(spark):
+    cust = load_table(spark, SF_CORRECT, "customer").select("c_custkey", "c_name")
+    plan = (
+        sequential_ids(cust, "c_name")._jdf.queryExecution().optimizedPlan().toString()
+    )
+    # local windows are partitioned by _pid; a global sort-window would
+    # show an empty partition spec
+    assert "windowspecdefinition(_pid" in plan.replace(" ", "").lower() or "_pid" in plan
+
+
+def test_salted_agg_equals_direct(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    got = {
+        (r.l_returnflag): (r.n, round(r.qty, 2), r.mx)
+        for r in salted_agg(
+            li,
+            ["l_returnflag"],
+            {"n": "count(*)", "qty": "sum(l_quantity)", "mx": "max(l_extendedprice)"},
+        ).collect()
+    }
+    want = {
+        (r.l_returnflag): (r.n, round(r.qty, 2), r.mx)
+        for r in li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("l_quantity").alias("qty"),
+            F.max("l_extendedprice").alias("mx"),
+        )
+        .collect()
+    }
+    assert {k: (v[0], v[1]) for k, v in got.items()} == {k: (v[0], v[1]) for k, v in want.items()}
+    assert {k: v[2] for k, v in got.items()} == {k: v[2] for k, v in want.items()}
+
+
+def test_bucketize_stable_and_bounded(spark):
+    df = load_table(spark, SF_CORRECT, "customer").select(
+        "c_custkey", bucketize(F.col("c_custkey"), 16).alias("b")
+    )
+    rows = df.collect()
+    assert all(0 <= r.b < 16 for r in rows)
+    again = {r.c_custkey: r.b for r in df.collect()}
+    assert all(again[r.c_custkey] == r.b for r in rows)
