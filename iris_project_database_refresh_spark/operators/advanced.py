@@ -90,7 +90,7 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.withColumn("rank", F.row_number().over(wr))
         .where(F.col("rank") <= IVF_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cosine")
     )
 
 
@@ -148,7 +148,7 @@ def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "lang",
         n_bpe.alias("n_bpe_tokens"),
-        ws.alias("n_ws_tokens"),
+        ws.cast("bigint").alias("n_ws_tokens"),
         est.alias("n_est_tokens"),
         F.round(n_bpe / ws, 6).alias("bpe_per_word"),
     )
@@ -190,7 +190,7 @@ def doc_winnow(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return d.select(
         "doc_id",
-        F.size("fps").alias("n_fingerprints"),
+        F.size("fps").cast("bigint").alias("n_fingerprints"),
         F.array_min("fps").alias("min_fp"),
         F.array_max("fps").alias("max_fp"),
         F.aggregate("fps", F.lit(0).cast("bigint"), lambda acc, x: (acc + x) % F.lit(2**61 - 1)).alias(

@@ -238,12 +238,12 @@ CATALOG_VALIDATE_SQL = f"""
 WITH merged AS ({CATALOG_MERGE_SQL.strip()})
 SELECT document_source,
        count(*) AS n_records,
-       sum(CAST(file_name IS NULL AS INT)) AS n_null_name,
-       sum(CAST(file_size <= 0 AS INT)) AS n_bad_size,
+       CAST(sum(CAST(file_name IS NULL AS INT)) AS BIGINT) AS n_null_name,
+       CAST(sum(CAST(file_size <= 0 AS INT)) AS BIGINT) AS n_bad_size,
        count(*) - count(DISTINCT file_name) AS n_dup_names,
        min(id) AS min_id,
        max(id) AS max_id,
-       sum(CAST(row_status = 'appended' AS INT)) AS n_appended
+       CAST(sum(CAST(row_status = 'appended' AS INT)) AS BIGINT) AS n_appended
 FROM merged
 GROUP BY document_source
 """

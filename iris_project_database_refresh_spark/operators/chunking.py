@@ -59,9 +59,9 @@ def chunk_documents(spark: SparkSession, sf_dir: str, size: int = CHUNK_TOKENS) 
     ).select(
         "doc_id",
         "source",
-        (F.col("chunk_number") + 1).alias("chunk_number"),  # 1-based like the reference
+        (F.col("chunk_number") + 1).cast("bigint").alias("chunk_number"),  # 1-based like the reference
         "chunk_content",
-        F.size(tokens(F.col("chunk_content"))).alias("chunk_tokens"),
+        F.size(tokens(F.col("chunk_content"))).cast("bigint").alias("chunk_tokens"),
     )
 
 
@@ -94,12 +94,12 @@ def section_split(spark: SparkSession, sf_dir: str, size: int = SECTION_TOKENS) 
     return sec.select(
         "doc_id",
         "source",
-        (F.col("idx") + 1).alias("section_number"),
+        (F.col("idx") + 1).cast("bigint").alias("section_number"),
         F.concat(
             F.col("source"), F.lit(" > doc_"), F.col("doc_id"), F.lit(" > sec_"), F.col("idx") + 1
         ).alias("hierarchy"),
         "section_content",
-        F.size(tokens(F.col("section_content"))).alias("section_tokens"),
+        F.size(tokens(F.col("section_content"))).cast("bigint").alias("section_tokens"),
         F.ceil(F.col("doc_tokens") / F.lit(size)).cast("int").alias("n_sections"),
     )
 
@@ -135,7 +135,7 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_docs"),
         F.sum("n_tokens").alias("total_tokens"),
         F.round(F.avg("n_tokens"), 6).alias("avg_tokens"),
-        F.max("n_tokens").alias("max_tokens"),
+        F.max("n_tokens").cast("bigint").alias("max_tokens"),
         F.sum("n_chars").alias("total_chars"),
     )
 
@@ -143,10 +143,10 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = """
 SELECT lang, source,
        count(*) AS n_docs,
-       sum(len(string_split_regex(text, '\\s+'))) AS total_tokens,
+       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
        round(avg(len(string_split_regex(text, '\\s+'))), 6) AS avg_tokens,
        max(len(string_split_regex(text, '\\s+'))) AS max_tokens,
-       sum(length(text)) AS total_chars
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang, source
 """
@@ -177,8 +177,8 @@ def section_continuity(spark: SparkSession, sf_dir: str) -> DataFrame:
 CONTINUITY_SQL = f"""
 WITH chunks AS ({CHUNK_SQL.strip()})
 SELECT doc_id, chunk_number, chunk_tokens,
-       coalesce(sum(chunk_tokens) OVER w_prev, 0) AS start_token,
-       coalesce(sum(chunk_tokens) OVER w_prev, 0) + chunk_tokens AS end_token,
+       CAST(coalesce(sum(chunk_tokens) OVER w_prev, 0) AS BIGINT) AS start_token,
+       CAST(coalesce(sum(chunk_tokens) OVER w_prev, 0) + chunk_tokens AS BIGINT) AS end_token,
        coalesce(lag(chunk_tokens) OVER w_ord, 0) AS prev_chunk_tokens,
        CAST(coalesce(lag(chunk_tokens) OVER w_ord, 0) < {CHUNK_TOKENS} AS INT) AS prev_was_short
 FROM chunks

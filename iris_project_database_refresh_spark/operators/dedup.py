@@ -427,7 +427,7 @@ simmed AS (
   SELECT doc_id, {_simhash_bits_sql()} AS simhash FROM sh
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-       bit_count(xor(a.simhash, b.simhash)) AS hamming
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
 FROM simmed a JOIN simmed b ON a.doc_id < b.doc_id
 WHERE bit_count(xor(a.simhash, b.simhash)) <= {HAMMING_TAU}
 """

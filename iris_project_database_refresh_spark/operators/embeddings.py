@@ -61,7 +61,7 @@ def embed_feature_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     def dim_count(k: int):
-        return F.size(F.filter(F.col("buckets"), lambda b: b == k)).alias(f"e{k}")
+        return F.size(F.filter(F.col("buckets"), lambda b: b == k)).cast("bigint").alias(f"e{k}")
 
     return docs.withColumn("buckets", buckets).select(
         "doc_id", *[dim_count(k) for k in range(EMBED_DIM)]
@@ -108,7 +108,7 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cosine")
     )
 
 
@@ -190,7 +190,7 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .where(F.col("rank") <= KNN_K)
-        .select("query_id", "neighbor_id", "rank", "cosine")
+        .select("query_id", "neighbor_id", F.col("rank").cast("bigint").alias("rank"), "cosine")
     )
 
 

@@ -64,7 +64,7 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.groupBy("media_type").agg(
         F.count(F.lit(1)).alias("n_items"),
         F.sum(F.octet_length("payload")).alias("total_bytes"),
-        F.max(F.octet_length("payload")).alias("max_bytes"),
+        F.max(F.octet_length("payload")).cast("bigint").alias("max_bytes"),
         F.countDistinct("meta.origin").alias("n_origins"),
     )
 
@@ -72,8 +72,8 @@ def multimodal_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
 MULTIMODAL_MANIFEST_SQL = """
 SELECT CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS media_type,
        count(*) AS n_items,
-       sum(octet_length(encode(text))) AS total_bytes,
-       max(octet_length(encode(text))) AS max_bytes,
+       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+       CAST(max(octet_length(encode(text))) AS BIGINT) AS max_bytes,
        count(DISTINCT source) AS n_origins
 FROM documents
 GROUP BY 1

@@ -79,7 +79,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
-        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .groupBy("l_orderkey", F.col("o_orderdate").cast("timestamp").alias("o_orderdate"), "o_orderpriority")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
         .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -164,13 +164,13 @@ def top_customers_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             F.round("c_acctbal", 2).alias("acctbal"),
-            "rank_in_nation",
+            F.col("rank_in_nation").cast("bigint").alias("rank_in_nation"),
         )
     )
 
 
 TOP_CUSTOMERS_SQL = """
-SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, rank_in_nation
+SELECT n_name, c_custkey, c_name, round(c_acctbal, 2) AS acctbal, CAST(rank_in_nation AS BIGINT) AS rank_in_nation
 FROM (
   SELECT c_custkey, c_name, c_nationkey, c_acctbal,
          row_number() OVER (PARTITION BY c_nationkey ORDER BY c_acctbal DESC, c_custkey ASC) AS rank_in_nation
@@ -263,7 +263,7 @@ WITH events_us AS (
   WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
 ), numbered AS (
   SELECT *, sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS session_id
   FROM flagged
 )
 SELECT user_id, session_id,
@@ -353,7 +353,7 @@ def parse_props(spark: SparkSession, sf_dir: str) -> DataFrame:
 PARSE_PROPS_SQL = """
 SELECT event_type,
        count(*)                                              AS n_events,
-       sum(CAST(props->>'k' AS BIGINT))                      AS sum_k,
+       CAST(sum(CAST(props->>'k' AS BIGINT)) AS BIGINT)      AS sum_k,
        round(avg(CAST(props->>'k' AS BIGINT)), 6)            AS avg_k,
        min(CAST(props->>'k' AS BIGINT))                      AS min_k,
        max(CAST(props->>'k' AS BIGINT))                      AS max_k

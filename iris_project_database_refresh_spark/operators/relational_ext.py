@@ -190,7 +190,7 @@ def q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_custkey",
             "c_name",
             "o_orderkey",
-            "o_orderdate",
+            F.col("o_orderdate").cast("timestamp").alias("o_orderdate"),
             F.round("o_totalprice", 2).alias("totalprice"),
             "total_qty",
         )

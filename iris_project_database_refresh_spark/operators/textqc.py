@@ -61,7 +61,7 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "label_lang",
         pred.alias("pred_lang"),
-        best.alias("best_score"),
+        best.cast("bigint").alias("best_score"),
         (pred == F.col("label_lang")).cast("int").alias("is_correct"),
     )
 
@@ -110,11 +110,11 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = docs.select(
         "doc_id",
         "source",
-        n_chars.alias("n_chars"),
-        F.size(toks).alias("n_tokens"),
-        F.size(F.array_distinct(toks)).alias("n_uniq_tokens"),
+        n_chars.cast("bigint").alias("n_chars"),
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_uniq_tokens"),
         est.alias("est_tokens"),
-        _score(toks, STOPWORDS["en"]).alias("n_stopwords"),
+        _score(toks, STOPWORDS["en"]).cast("bigint").alias("n_stopwords"),
     )
     uniq_ratio = F.round(F.col("n_uniq_tokens") / F.col("n_tokens"), 6)
     stop_ratio = F.round(F.col("n_stopwords") / F.col("n_tokens"), 6)
@@ -134,7 +134,7 @@ def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 QUALITY_SQL = """
 WITH d AS (
   SELECT doc_id, source,
-         length(text) AS n_chars,
+         CAST(length(text) AS BIGINT) AS n_chars,
          len(toks) AS n_tokens,
          len(list_distinct(toks)) AS n_uniq_tokens,
          CAST(greatest(length(text) // 10,

@@ -40,7 +40,7 @@ def top_terms_tfidf(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("term_rank", F.row_number().over(w))
         .where(F.col("term_rank") <= TOP_TERMS)
-        .select("source", "token", "tf", "df", "tfidf", "term_rank")
+        .select("source", "token", "tf", "df", "tfidf", F.col("term_rank").cast("bigint").alias("term_rank"))
     )
 
 
