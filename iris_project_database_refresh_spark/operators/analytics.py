@@ -1,0 +1,137 @@
+"""Analytics operators: grouped model fit, rolling windows, rollups.
+
+* `per_source_linefit` — per-group least-squares fit (n_tokens ~
+  n_chars) via ``applyInPandas``: the grouped-map Pandas-UDF pattern
+  for per-group numerics Catalyst can't express (each group's rows
+  land in one Arrow batch; groups are independent → embarrassingly
+  parallel). Oracle: DuckDB's regr_slope/regr_intercept — same closed
+  form, so values match at 6dp.
+* `events_rolling_1h` — per-user 1-hour rolling sum/count via a RANGE
+  window frame (event-time range, not row count). One shuffle on
+  user_id; the frame is evaluated in a single sorted pass.
+* `monitor_rollup_cube` — ROLLUP over (event_type, day): the OLAP
+  grouping-sets surface for the monitor table
+  (`database-schema.sql:101-106` per-stage/per-day cost summaries).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+
+# --- grouped least-squares via applyInPandas ---------------------------------
+
+def per_source_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.length("text").cast("double").alias("x"),
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("double").alias("y"),
+    )
+
+    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
+        x, y = pdf["x"], pdf["y"]
+        n = float(len(pdf))
+        sx, sy = x.sum(), y.sum()
+        sxx, sxy = (x * x).sum(), (x * y).sum()
+        denom = n * sxx - sx * sx
+        slope = (n * sxy - sx * sy) / denom
+        intercept = (sy - slope * sx) / n
+        return pd.DataFrame(
+            {
+                "source": [pdf["source"].iloc[0]],
+                "n_docs": [int(n)],
+                "slope": [round(slope, 6)],
+                "intercept": [round(intercept, 6)],
+            }
+        )
+
+    return docs.groupBy("source").applyInPandas(
+        fit, "source string, n_docs bigint, slope double, intercept double"
+    )
+
+
+LINEFIT_SQL = """
+SELECT source,
+       count(*) AS n_docs,
+       round(regr_slope(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::DOUBLE,
+                        length(text)::DOUBLE), 6) AS slope,
+       round(regr_intercept(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::DOUBLE,
+                            length(text)::DOUBLE), 6) AS intercept
+FROM documents
+GROUP BY source
+"""
+
+
+# --- event-time RANGE window --------------------------------------------------
+
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").cast("long"))
+        .rangeBetween(-3600, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.count(F.lit(1)).over(w).alias("n_events_1h"),
+        F.round(F.sum("value").over(w), 2).alias("sum_value_1h"),
+    )
+
+
+ROLLING_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+)
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_events_1h,
+       round(sum(value) OVER w, 2) AS sum_value_1h
+FROM events_us
+WINDOW w AS (PARTITION BY user_id ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
+
+# --- ROLLUP grouping sets -------------------------------------------------------
+
+def monitor_rollup_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # duckdb's date_trunc('day') yields DATE; match it
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    return (
+        ev.rollup("event_type", day)
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+            F.grouping_id().alias("grouping_level"),
+        )
+    )
+
+
+ROLLUP_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type, date_trunc('day', ts)) AS BIGINT) AS grouping_level
+FROM events
+GROUP BY ROLLUP (event_type, date_trunc('day', ts))
+"""
+
+
+QUERIES = {
+    "per_source_linefit": per_source_linefit,
+    "events_rolling_1h": events_rolling_1h,
+    "monitor_rollup_cube": monitor_rollup_cube,
+}
+
+ORACLES = {
+    "per_source_linefit": LINEFIT_SQL,
+    "events_rolling_1h": ROLLING_SQL,
+    "monitor_rollup_cube": ROLLUP_SQL,
+}

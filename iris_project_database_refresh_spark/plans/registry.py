@@ -27,7 +27,7 @@ def _load() -> None:
 
     _register(relational)
 
-    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced", "tfidf"):
+    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced", "tfidf", "analytics"):
         try:
             module = __import__(
                 f"iris_project_database_refresh_spark.operators.{modname}",
