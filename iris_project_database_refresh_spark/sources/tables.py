@@ -28,9 +28,19 @@ TABLES = (
 )
 
 
+def _ensure_session_confs(spark: SparkSession) -> None:
+    """Make the engine work on ANY caller-provided session (the driver
+    builds its own): nanos-timestamp parquet needs the legacy long read,
+    and oracle comparisons assume UTC wall-clock rendering. Both confs
+    are runtime-settable and idempotent."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name not in TABLES:
         raise KeyError(f"unknown table {name!r}; expected one of {TABLES}")
+    _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
         # Parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate
