@@ -26,9 +26,10 @@ engines.
 Scale design (100 TB):
 * token hashing/shingling/signatures: narrow per-row expressions, no
   shuffle.
-* n-gram inverted index: shuffle on the 8-byte shingle hash; frequent
-  shingles skew → AQE skew-join split (production would also cap
-  document frequency, mirrored in the oracle).
+* n-gram inverted index: shuffle on the 8-byte shingle hash; shingles
+  above the document-frequency cap (DF_CAP) are dropped before the
+  self-join — stopword semantics, mirrored in the oracle — so every
+  join bucket is bounded by DF_CAP; AQE handles residual skew.
 * LSH: shuffle on (band_idx, band_key) — bounded fan-out (BANDS per
   doc); candidate pairs deduped before the verify join; verify is an
   array_intersect on the two docs' bounded hash arrays.
@@ -201,17 +202,39 @@ HAVING count(*) > 1
 
 # --- exact n-gram Jaccard (ground truth for the approximate methods) ---------
 
+DF_CAP = 16  # stop-shingle cap: drop shingles shared by more docs than this
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All near-dup pairs with Jaccard ≥ τ via inverted-index join.
 
-    explode(shingle hash) → self-join on the 8-byte hash → count
-    intersections → jaccard. Frequent shingles skew the shuffle; AQE's
-    skew-join split handles it (a production run would also cap
-    document frequency, like stopword filtering).
+    explode(shingle hash) → document-frequency cap → self-join on the
+    8-byte hash → count intersections → jaccard. The DF cap is the
+    scale guard: a boilerplate shingle shared by k documents emits
+    O(k²) candidate pairs from its join bucket — AQE can split the
+    partition but not shrink the pair count — so shingles with
+    df > DF_CAP are dropped from the representation entirely
+    (numerator AND denominator, i.e. stopword semantics), mirrored in
+    the oracle. The frequent set is the head of the Zipf curve —
+    tiny relative to the corpus — so it rides a broadcast anti-join;
+    remaining buckets are bounded by DF_CAP ⇒ ≤ DF_CAP²/2 pairs each.
     """
-    sh = (
+    exploded = (
         _with_hashes(_corpus(spark, sf_dir))
-        .select("doc_id", F.size("hashes").alias("n_sh"), F.explode("hashes").alias("shingle"))
+        .select("doc_id", F.explode("hashes").alias("shingle"))
+    )
+    frequent = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    from pyspark.sql import Window
+
+    sh = (
+        exploded.join(F.broadcast(frequent), "shingle", "left_anti")
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "n_sh", "shingle")
     )
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -234,11 +257,21 @@ DEDUP_NGRAM_SQL = f"""
 WITH {CORPUS_SQL.strip()},
 {_hashes_cte(_SH32_SQL).strip()},
 exploded AS (
-  SELECT doc_id, len(hashes) AS n_sh, unnest(hashes) AS shingle FROM sh
+  SELECT doc_id, unnest(hashes) AS shingle FROM sh
+),
+frequent AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > {DF_CAP}
+),
+kept AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh,
+         shingle
+  FROM exploded
+  WHERE shingle NOT IN (SELECT shingle FROM frequent)
 ),
 inter AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
-  FROM exploded a JOIN exploded b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY 1, 2, 3, 4
 )
 SELECT id_a, id_b,

@@ -234,60 +234,89 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
 
 # --- embedding near-duplicate pairs -----------------------------------------
 
+SIM_BLOCKS = 4  # block-grid factor; scale as ceil(n·d·8B / executor_budget)
+
+
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ PAIR_TAU — the exact baseline that also
     serves as ANN ground truth.
 
-    Physical plan: broadcast the L2-normalized matrix (n×d doubles —
-    n·d·8 bytes, trivially broadcastable for any corpus where exact
-    all-pairs is even sane), then each partition block-multiplies its
-    rows against the matrix in numpy (BLAS) inside mapInPandas. That
-    replaces 12.5M per-row higher-order-function cosines with one
-    vectorized GEMM per block — ~40× faster here, and the per-executor
-    pattern that scales: work is O(n²d) either way, but Arrow+BLAS
-    keeps it compute-bound instead of expression-interpreter-bound.
-    Beyond broadcastable n, shard the right side (grid of blocks) or
-    use the LSH bucketing above.
+    Physical plan — fully distributed blocked GEMM, no driver
+    materialization: every vector gets a block id (vec_id % SIM_BLOCKS)
+    and is replicated to each unordered block pair it participates in
+    (row in block k → role "a" of pairs (k, j≥k), role "b" of pairs
+    (i<k, k)). One shuffle groups each block pair onto an executor,
+    where a single numpy/BLAS GEMM scores the a×b cross product.
+    Work is O(n²d) either way (it's exact all-pairs); memory per task
+    is 2n/SIM_BLOCKS vectors, so SIM_BLOCKS scales the per-executor
+    footprint down independently of corpus size — pick SIM_BLOCKS ≈
+    n·d·8B / per-task-memory. Replication factor is SIM_BLOCKS+1,
+    i.e. the standard √(#block-pairs) blow-up of blocked all-pairs.
+    The sub-quadratic path at 100 TB remains knn_lsh/knn_ivf candidate
+    generation; this operator is the exact-scoring backend.
     """
     import numpy as np
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    mat_rows = emb.collect()  # n×d doubles; the broadcast side
-    ids = np.array([r.vec_id for r in mat_rows], dtype=np.int64)
-    m = np.array([r.embedding for r in mat_rows], dtype=np.float64)
-    m /= np.linalg.norm(m, axis=1, keepdims=True)
-    order = np.argsort(ids)
-    ids, m = ids[order], m[order]
-    b_ids = spark.sparkContext.broadcast(ids)
-    b_m = spark.sparkContext.broadcast(m)
+
+    # block-pair assignment as a compile-time literal: blk == k maps to
+    # [(k, j, 'a') for j ≥ k] + [(i, k, 'b') for i < k]
+    def assignments(k: int):
+        structs = [
+            F.struct(F.lit(k).alias("pa"), F.lit(j).alias("pb"), F.lit("a").alias("role"))
+            for j in range(k, SIM_BLOCKS)
+        ] + [
+            F.struct(F.lit(i).alias("pa"), F.lit(k).alias("pb"), F.lit("b").alias("role"))
+            for i in range(k)
+        ]
+        return F.array(*structs)
+
+    blk = (F.col("vec_id") % SIM_BLOCKS).cast("int")
+    asg = F.when(blk == 0, assignments(0))
+    for k in range(1, SIM_BLOCKS):
+        asg = asg.when(blk == k, assignments(k))
+    replicated = (
+        emb.withColumn("asg", asg)
+        .select("vec_id", "embedding", F.explode("asg").alias("g"))
+        .select("vec_id", "embedding", "g.pa", "g.pb", "g.role")
+    )
 
     out_schema = "id_a bigint, id_b bigint, cosine double"
 
-    def block_pairs(batches):
-        all_ids, all_m = b_ids.value, b_m.value
-        for pdf in batches:
-            block = np.array(list(pdf["embedding"]), dtype=np.float64)
-            block /= np.linalg.norm(block, axis=1, keepdims=True)
-            bids = pdf["vec_id"].to_numpy()
-            sims = block @ all_m.T
-            # pre-round threshold with epsilon so hits match the rounded
-            # comparison; round only the (tiny) selected set — rounding
-            # the full n×n matrix costs more than the GEMM itself.
-            cand_a, cand_b = np.nonzero(sims >= PAIR_TAU - 5e-7)
-            keep = all_ids[cand_b] > bids[cand_a]
-            cand_a, cand_b = cand_a[keep], cand_b[keep]
-            vals = np.round(sims[cand_a, cand_b], 6)
-            final = vals >= PAIR_TAU
-            yield pd.DataFrame(
-                {
-                    "id_a": bids[cand_a[final]],
-                    "id_b": all_ids[cand_b[final]],
-                    "cosine": vals[final],
-                }
+    def gemm_block_pair(key, pdf):
+        pa, pb = key
+        a = pdf[pdf["role"] == "a"]
+        b = a if pa == pb else pdf[pdf["role"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
             )
+        am = np.array(list(a["embedding"]), dtype=np.float64)
+        bm = np.array(list(b["embedding"]), dtype=np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        aids = a["vec_id"].to_numpy()
+        bids = b["vec_id"].to_numpy()
+        sims = am @ bm.T
+        # pre-round threshold with epsilon so hits match the rounded
+        # comparison; round only the (tiny) selected set — rounding
+        # the full block matrix costs more than the GEMM itself.
+        ia, ib = np.nonzero(sims >= PAIR_TAU - 5e-7)
+        if pa == pb:
+            # diagonal block: a and b are the same set — strict < dedupes
+            # {x,y}/{y,x} and removes self-pairs
+            keep = aids[ia] < bids[ib]
+            ia, ib = ia[keep], ib[keep]
+        vals = np.round(sims[ia, ib], 6)
+        final = vals >= PAIR_TAU
+        xa, xb = aids[ia[final]], bids[ib[final]]
+        # off-diagonal pairs appear once but in arbitrary id order — orient
+        return pd.DataFrame(
+            {"id_a": np.minimum(xa, xb), "id_b": np.maximum(xa, xb), "cosine": vals[final]}
+        )
 
-    return emb.mapInPandas(block_pairs, out_schema)
+    return replicated.groupBy("pa", "pb").applyInPandas(gemm_block_pair, out_schema)
 
 
 SIMILARITY_PAIRS_SQL = f"""

@@ -24,6 +24,21 @@ def test_knn_broadcasts_queries(spark):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
 
 
+def test_similarity_pairs_no_driver_materialization(spark, monkeypatch):
+    """Building the similarity_pairs plan must not run a job or pull
+    data to the driver — the round-1 version collect()ed the whole
+    embeddings table before the job even started."""
+    from pyspark.sql import DataFrame
+
+    def boom(self, *a, **k):
+        raise AssertionError("driver-side materialization during plan construction")
+
+    for meth in ("collect", "toPandas", "toLocalIterator"):
+        monkeypatch.setattr(DataFrame, meth, boom)
+    df = embeddings.similarity_pairs(spark, SF_CORRECT)
+    assert df.columns == ["id_a", "id_b", "cosine"]
+
+
 def test_lsh_results_are_subset_quality(spark):
     """LSH neighbors must come from the exact candidate universe and the
     rank-1 hit should usually agree with exact when the bucket holds it."""
