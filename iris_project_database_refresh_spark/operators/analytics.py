@@ -1,11 +1,12 @@
 """Analytics operators: grouped model fit, rolling windows, rollups.
 
 * `per_source_linefit` — per-group least-squares fit (n_tokens ~
-  n_chars) via ``applyInPandas``: the grouped-map Pandas-UDF pattern
-  for per-group numerics Catalyst can't express (each group's rows
-  land in one Arrow batch; groups are independent → embarrassingly
-  parallel). Oracle: DuckDB's regr_slope/regr_intercept — same closed
-  form, so values match at 6dp.
+  n_chars) via the built-in ``regr_slope``/``regr_intercept`` SQL
+  aggregates (Spark ≥3.4): one JVM hash aggregation with map-side
+  partials, no Python workers, no group-fits-in-memory constraint.
+  (The grouped-map Arrow pattern this replaced lives on as the
+  template in ``streaming/sessions.py`` for genuinely non-closed-form
+  per-group logic.) Oracle: DuckDB's identical closed form, 6dp.
 * `events_rolling_1h` — per-user 1-hour rolling sum/count via a RANGE
   window frame (event-time range, not row count). One shuffle on
   user_id; the frame is evaluated in a single sorted pass.
@@ -16,7 +17,6 @@
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -32,25 +32,10 @@ def per_source_linefit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).cast("double").alias("y"),
     )
 
-    def fit(pdf: pd.DataFrame) -> pd.DataFrame:
-        x, y = pdf["x"], pdf["y"]
-        n = float(len(pdf))
-        sx, sy = x.sum(), y.sum()
-        sxx, sxy = (x * x).sum(), (x * y).sum()
-        denom = n * sxx - sx * sx
-        slope = (n * sxy - sx * sy) / denom
-        intercept = (sy - slope * sx) / n
-        return pd.DataFrame(
-            {
-                "source": [pdf["source"].iloc[0]],
-                "n_docs": [int(n)],
-                "slope": [round(slope, 6)],
-                "intercept": [round(intercept, 6)],
-            }
-        )
-
-    return docs.groupBy("source").applyInPandas(
-        fit, "source string, n_docs bigint, slope double, intercept double"
+    return docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.round(F.regr_slope("y", "x"), 6).alias("slope"),
+        F.round(F.regr_intercept("y", "x"), 6).alias("intercept"),
     )
 
 

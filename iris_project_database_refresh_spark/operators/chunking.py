@@ -67,7 +67,7 @@ def chunk_documents(spark: SparkSession, sf_dir: str, size: int = CHUNK_TOKENS) 
 
 CHUNK_SQL = f"""
 WITH t AS (
-  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks FROM documents
+  SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents
 ), expanded AS (
   SELECT doc_id, source, toks,
          unnest(generate_series(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i
@@ -106,7 +106,7 @@ def section_split(spark: SparkSession, sf_dir: str, size: int = SECTION_TOKENS) 
 
 SECTION_SQL = f"""
 WITH t AS (
-  SELECT doc_id, source, string_split_regex(text, '\\s+') AS toks FROM documents
+  SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents
 ), expanded AS (
   SELECT doc_id, source, toks,
          CAST(ceil(len(toks) / {SECTION_TOKENS}.0) AS INT) AS n_sections,
@@ -143,9 +143,9 @@ def token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 TOKEN_COUNT_SQL = """
 SELECT lang, source,
        count(*) AS n_docs,
-       CAST(sum(len(string_split_regex(text, '\\s+'))) AS BIGINT) AS total_tokens,
-       round(avg(len(string_split_regex(text, '\\s+'))), 6) AS avg_tokens,
-       max(len(string_split_regex(text, '\\s+'))) AS max_tokens,
+       CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT) AS total_tokens,
+       round(avg(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))), 6) AS avg_tokens,
+       max(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS max_tokens,
        CAST(sum(length(text)) AS BIGINT) AS total_chars
 FROM documents
 GROUP BY lang, source

@@ -75,7 +75,7 @@ SELECT doc_id,
            f"{EMBED_DIM} = {k})) AS e{k}"
            for k in range(EMBED_DIM)
        )}
-FROM (SELECT doc_id, string_split_regex(text, '\\s+') AS toks FROM documents)
+FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents)
 """
 
 

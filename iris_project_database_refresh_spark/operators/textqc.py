@@ -75,7 +75,7 @@ LANG_ID_SQL = f"""
 WITH scored AS (
   SELECT doc_id, lang AS label_lang,
          {", ".join(f"{_sql_score(lang)} AS score_{lang}" for lang in LANGS)}
-  FROM (SELECT doc_id, lang, string_split_regex(text, '\\s+') AS toks FROM documents)
+  FROM (SELECT doc_id, lang, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents)
 ), best AS (
   SELECT *, greatest({", ".join(f"score_{lang}" for lang in LANGS)}) AS best_score FROM scored
 )
@@ -140,7 +140,7 @@ WITH d AS (
          CAST(greatest(length(text) // 10,
                        least(CAST(floor(length(text) / 3.5) AS BIGINT), length(text) // 2)) AS BIGINT) AS est_tokens,
          len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) AS n_stopwords
-  FROM (SELECT *, string_split_regex(text, '\\s+') AS toks FROM documents)
+  FROM (SELECT *, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents)
 )
 SELECT *,
        round(n_uniq_tokens / CAST(n_tokens AS DOUBLE), 6) AS uniq_ratio,

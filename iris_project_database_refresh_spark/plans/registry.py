@@ -23,23 +23,40 @@ def _register(module) -> None:
 
 
 def _load() -> None:
-    from ..operators import relational
-
-    _register(relational)
-
-    for modname in ("relational_ext", "textqc", "chunking", "dedup", "embeddings", "catalog", "multimodal", "advanced", "tfidf", "analytics"):
-        try:
-            module = __import__(
-                f"iris_project_database_refresh_spark.operators.{modname}",
-                fromlist=[modname],
-            )
-        except ImportError:
-            continue
-        _register(module)
-
+    # Unconditional imports: a broken transitive import must fail loudly
+    # here, not silently shrink queries()/oracle_sql() and the
+    # correctness surface (tests/test_pipeline.py asserts the expected
+    # registry size as a second guard).
+    from ..operators import (
+        advanced,
+        analytics,
+        catalog,
+        chunking,
+        dedup,
+        embeddings,
+        multimodal,
+        relational,
+        relational_ext,
+        textqc,
+        tfidf,
+    )
     from ..streaming import pipeline as streaming_pipeline
 
-    _register(streaming_pipeline)
+    for module in (
+        relational,
+        relational_ext,
+        textqc,
+        chunking,
+        dedup,
+        embeddings,
+        catalog,
+        multimodal,
+        advanced,
+        tfidf,
+        analytics,
+        streaming_pipeline,
+    ):
+        _register(module)
 
 
 _load()

@@ -51,3 +51,13 @@ def test_csv_json_roundtrip(spark, tmp_path):
     want = df.agg(F.round(F.sum("c_acctbal"), 2)).first()[0]
     assert back_csv.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
     assert back_json.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
+
+
+def test_registry_is_complete():
+    """A broken transitive import must not silently shrink the
+    correctness surface: every expected query name is registered and
+    every oracle belongs to a registered query."""
+    from iris_project_database_refresh_spark.plans import ORACLES, QUERIES
+
+    assert len(QUERIES) >= 44, sorted(QUERIES)
+    assert set(ORACLES) <= set(QUERIES)
