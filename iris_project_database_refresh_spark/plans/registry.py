@@ -37,6 +37,7 @@ def _load() -> None:
         multimodal,
         relational,
         relational_ext,
+        sectioning,
         textqc,
         tfidf,
     )
@@ -45,6 +46,7 @@ def _load() -> None:
     for module in (
         relational,
         relational_ext,
+        sectioning,
         textqc,
         chunking,
         dedup,

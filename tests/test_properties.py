@@ -65,3 +65,92 @@ def test_chunking_covers_and_preserves(tokens, size):
     flat = [t for c in chunks for t in c]
     assert flat == tokens
     assert all(1 <= len(c) <= size for c in chunks)
+
+
+# --- breakpoint chunker invariants (mirrors operators/sectioning.py) ---------
+
+import re
+
+from iris_project_database_refresh_spark.operators.sectioning import (
+    HARD_MAX_CHUNK,
+    MAX_CHUNK,
+    MIN_CHUNK,
+    PACK_ITERS,
+    TARGET_CHUNK,
+)
+
+
+def _pack_bounds(toks: list[str]) -> list[int]:
+    """Plain-Python mirror of the chunk_breakpoints bounded fold."""
+    n = len(toks)
+    zs = [i + 1 for i, t in enumerate(toks) if t == "<!--"]  # 1-based starts
+
+    def forbidden(b: int) -> bool:
+        return any(z <= b <= z + 2 for z in zs)
+
+    breaks = []
+    for b in range(1, n):  # break after token b (1-based)
+        cur, nxt = toks[b - 1], toks[b]
+        if nxt.startswith("#"):
+            p = 1
+        elif re.search(r"[.!?]$", cur) and re.match(r"^[A-Z]", nxt):
+            p = 3
+        elif re.search(r"[,;]$", cur):
+            p = 5
+        elif nxt == "<!--":
+            p = 9
+        else:
+            continue
+        if not forbidden(b):
+            breaks.append((p, b))
+
+    bounds = [0]
+    for _ in range(PACK_ITERS):
+        pos = bounds[-1]
+        if pos >= n:
+            break
+        if n - pos <= MAX_CHUNK:
+            bounds.append(n)
+            continue
+        cands = [
+            (p, abs(b - pos - TARGET_CHUNK), b)
+            for p, b in breaks
+            if pos + MIN_CHUNK <= b <= pos + HARD_MAX_CHUNK
+        ]
+        bounds.append(min(cands)[2] if cands else min(pos + HARD_MAX_CHUNK, n))
+    return bounds
+
+
+_token = st.one_of(
+    st.sampled_from(WORDS),
+    st.sampled_from([w + s for w in WORDS for s in (".", ",", ";", "!")]),
+    st.sampled_from([w.capitalize() for w in WORDS]),
+    st.sampled_from(["#", "##", "###"]),
+)
+_piece = st.one_of(
+    st.lists(_token, min_size=1, max_size=6),
+    st.just(["<!--", "PageNumber", "3", "-->"]),
+)
+
+
+@given(st.lists(_piece, min_size=1, max_size=40))
+@settings(max_examples=200, deadline=None)
+def test_breakpoint_chunker_invariants(pieces):
+    """Full coverage, size bounds, and no non-fallback break inside a
+    protected zone — the stage_03 contract."""
+    toks = [t for p in pieces for t in p]
+    n = len(toks)
+    bounds = _pack_bounds(toks)
+
+    assert bounds[0] == 0 and bounds[-1] == n  # full coverage
+    assert all(b2 > b1 for b1, b2 in zip(bounds, bounds[1:]))  # monotone
+
+    zs = [i + 1 for i, t in enumerate(toks) if t == "<!--"]
+    for prev, b in zip(bounds, bounds[1:]):
+        size = b - prev
+        assert size <= HARD_MAX_CHUNK or b == n and size <= MAX_CHUNK
+        if b != n:
+            assert size >= MIN_CHUNK
+            # a mid-zone boundary only ever comes from the hard fallback
+            in_zone = any(z <= b <= z + 2 for z in zs)
+            assert not in_zone or size == HARD_MAX_CHUNK
