@@ -201,3 +201,70 @@ ORACLES = {
     "token_count": TOKEN_COUNT_SQL,
     "section_continuity": CONTINUITY_SQL,
 }
+
+
+# --- per-chunk validation gate (stage_05 semantics) --------------------------
+#
+# Reference parity: `semantic search/stage_05_csv_export.py:407`
+# ``validate_chunk`` — required fields (document_id, filename,
+# chunk_number, chunk_content non-null/non-empty), embedding
+# dimensionality (2000 in the reference; EMBED_DIM-scaled here), and
+# integer-coercibility of page/number fields. Defects are planted
+# deterministically (missing filename, emptied content, short
+# embedding, non-numeric page string) so every check path fires, and
+# identically in the oracle. Pure per-row expressions — scan-rate,
+# no shuffle beyond chunk_documents itself.
+
+VALIDATE_DIM = 16  # stands in for the reference's 2000-dim pgvector
+
+
+def chunk_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(spark, sf_dir)
+    key = F.col("doc_id") + F.col("chunk_number")
+    filename = F.when(
+        F.col("doc_id") % 11 != 3,
+        F.concat(F.lit("doc_"), F.col("doc_id").cast("string"), F.lit(".md")),
+    )
+    content = F.when(key % 17 == 4, F.lit("")).otherwise(F.col("chunk_content"))
+    emb = F.sequence(F.lit(1), F.when(key % 19 == 6, VALIDATE_DIM - 1).otherwise(F.lit(VALIDATE_DIM)))
+    page_str = F.when(key % 23 == 7, F.lit("x")).otherwise(F.col("chunk_number").cast("string"))
+
+    err_missing = (filename.isNull() | (content == "")).cast("int")
+    err_emb = (F.size(emb) != VALIDATE_DIM).cast("int")
+    err_int = page_str.try_cast("int").isNull().cast("int")
+    n_errors = err_missing + err_emb + err_int
+    return chunks.select(
+        "doc_id",
+        "chunk_number",
+        err_missing.alias("err_missing_field"),
+        err_emb.alias("err_embedding_dim"),
+        err_int.alias("err_non_integer"),
+        n_errors.cast("bigint").alias("n_errors"),
+        (n_errors == 0).cast("int").alias("is_valid"),
+    )
+
+
+CHUNK_VALIDATE_SQL = f"""
+WITH chunks AS ({{chunk_sql}})
+SELECT doc_id, chunk_number,
+       CAST(fname IS NULL OR content = '' AS INT) AS err_missing_field,
+       CAST(edim <> {VALIDATE_DIM} AS INT) AS err_embedding_dim,
+       CAST(TRY_CAST(pstr AS INT) IS NULL AS INT) AS err_non_integer,
+       CAST(CAST(fname IS NULL OR content = '' AS INT)
+            + CAST(edim <> {VALIDATE_DIM} AS INT)
+            + CAST(TRY_CAST(pstr AS INT) IS NULL AS INT) AS BIGINT) AS n_errors,
+       CAST(CAST(fname IS NULL OR content = '' AS INT)
+            + CAST(edim <> {VALIDATE_DIM} AS INT)
+            + CAST(TRY_CAST(pstr AS INT) IS NULL AS INT) = 0 AS INT) AS is_valid
+FROM (
+  SELECT doc_id, chunk_number,
+         CASE WHEN doc_id % 11 <> 3 THEN 'doc_' || doc_id || '.md' END AS fname,
+         CASE WHEN (doc_id + chunk_number) % 17 = 4 THEN '' ELSE chunk_content END AS content,
+         CASE WHEN (doc_id + chunk_number) % 19 = 6 THEN {VALIDATE_DIM - 1} ELSE {VALIDATE_DIM} END AS edim,
+         CASE WHEN (doc_id + chunk_number) % 23 = 7 THEN 'x' ELSE CAST(chunk_number AS VARCHAR) END AS pstr
+  FROM chunks
+)
+""".format(chunk_sql=CHUNK_SQL.strip())
+
+QUERIES["chunk_validate"] = chunk_validate
+ORACLES["chunk_validate"] = CHUNK_VALIDATE_SQL

@@ -31,6 +31,7 @@ def _load() -> None:
         advanced,
         analytics,
         catalog,
+        chapters,
         chunking,
         dedup,
         embeddings,
@@ -47,6 +48,7 @@ def _load() -> None:
         relational,
         relational_ext,
         sectioning,
+        chapters,
         textqc,
         chunking,
         dedup,
