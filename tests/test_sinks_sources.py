@@ -47,11 +47,12 @@ def test_export_chunks_csv_roundtrip(spark, tmp_path):
 def test_jdbc_sink_sql_generation():
     sink = JdbcUpsertSink(url="jdbc:postgresql://db/x", table="iris_semantic_search", key_columns=("document_id",))
     assert sink.delete_sql() == (
-        "DELETE FROM iris_semantic_search WHERE (document_id) IN "
-        "(SELECT document_id FROM iris_semantic_search_staging)"
+        'DELETE FROM iris_semantic_search WHERE EXISTS '
+        '(SELECT 1 FROM iris_semantic_search_staging s '
+        'WHERE s."document_id" = iris_semantic_search."document_id")'
     )
     assert sink.insert_sql(["document_id", "chunk_content"]).startswith(
-        "INSERT INTO iris_semantic_search (document_id, chunk_content) SELECT"
+        'INSERT INTO iris_semantic_search ("document_id", "chunk_content") SELECT'
     )
     assert sink.truncate_sql() == "TRUNCATE TABLE iris_semantic_search"
     with pytest.raises(ValueError):
