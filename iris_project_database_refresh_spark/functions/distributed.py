@@ -30,6 +30,7 @@ def sequential_ids(
     *,
     id_col: str = "seq_id",
     start: int = 1,
+    start_col: str | None = None,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Dense 1-based ids in `order_col` order, without a global window.
@@ -37,6 +38,10 @@ def sequential_ids(
     Ties in `order_col` get an arbitrary but deterministic-per-run
     order within the tied range (use a unique key for full
     determinism, as catalog_merge does with file_name).
+
+    `start_col` names a (constant) column holding the first id — pass
+    it (e.g. cross-joined from a broadcast 1-row aggregate) to keep the
+    whole plan lazy instead of collecting a scalar on the driver.
     """
     parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
     ranged = df.repartitionByRange(int(parts), F.col(order_col))
@@ -57,11 +62,13 @@ def sequential_ids(
         .select("_pid", "_offset")
     )
     w_local = Window.partitionBy("_pid").orderBy(order_col)
-    return (
+    base = (F.col(start_col) - 1) if start_col else F.lit(start - 1)
+    out = (
         with_pid.join(F.broadcast(offsets), "_pid")
-        .withColumn(id_col, F.row_number().over(w_local) + F.col("_offset") + F.lit(start - 1))
+        .withColumn(id_col, F.row_number().over(w_local) + F.col("_offset") + base)
         .drop("_pid", "_offset")
     )
+    return out.drop(start_col) if start_col else out
 
 
 def salted_agg(

@@ -172,7 +172,10 @@ def catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivors = master.join(
         delta.where(F.col("needs_delete") == 1).select("file_name"), "file_name", "left_anti"
     ).select("id", "file_name", "file_path", "file_size", "document_source", F.lit("kept").alias("row_status"))
-    max_id = master.agg(F.max("id")).collect()[0][0] or 0
+    # next-id as a broadcast 1-row aggregate cross-joined in, so the
+    # whole merge stays one lazy plan (no driver-side scalar collect,
+    # no extra job per invocation).
+    next_id = master.agg((F.coalesce(F.max("id"), F.lit(0)) + 1).alias("_start"))
     # distributed sequential numbering — a row_number() over a global
     # Window would drag the whole incoming batch through one task; the
     # two-pass range-partition + offset join keeps the identical ids
@@ -180,12 +183,12 @@ def catalog_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..functions.distributed import sequential_ids
 
     incoming = sequential_ids(
-        delta.where(F.col("needs_process") == 1).select(
-            "file_name", "file_path", "file_size", "document_source"
-        ),
+        delta.where(F.col("needs_process") == 1)
+        .select("file_name", "file_path", "file_size", "document_source")
+        .crossJoin(F.broadcast(next_id)),
         "file_name",
         id_col="id",
-        start=max_id + 1,
+        start_col="_start",
     ).select(
         "id", "file_name", "file_path", "file_size", "document_source",
         F.lit("appended").alias("row_status"),
