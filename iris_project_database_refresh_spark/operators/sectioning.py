@@ -47,6 +47,40 @@ MAX_LEVEL = 3  # planted heading depth (reference descends H1..H6)
 MIN_EST_TOKENS = 30  # merge threshold (reference MIN_SECTION_TOKENS=250, scaled)
 
 
+def punct_tokens(toks: Column) -> Column:
+    """Deterministic sentence/clause punctuation planted on the token
+    stream (the synthetic corpus has none): every 7th token ends a
+    sentence ('.', next token capitalized), every 5th non-sentence
+    token gets a ','. Exercises the reference's sentence/comma break
+    and sentence-split paths; mirrored in PUNCT_SQL."""
+
+    def cap(t: Column) -> Column:
+        return F.concat(F.upper(F.substring(t, 1, 1)), F.substring(t, 2, 1 << 30))
+
+    return F.transform(
+        toks,
+        lambda t, i: (
+            F.when(i % 7 == 6, F.concat(t, F.lit(".")))
+            .when((i % 7 == 0) & (i > 0), cap(t))
+            .when(i % 5 == 4, F.concat(t, F.lit(",")))
+            .otherwise(t)
+        ),
+    )
+
+
+_FILT_TOKS_SQL = "list_filter(string_split_regex(text, '\\s+'), t -> t <> '')"
+
+# DuckDB mirror of punct_tokens; lambda index i is 1-based there (Spark's
+# is 0-based), hence the shifted modulus conditions.
+PUNCT_SQL = (
+    "list_transform({toks}, (t, i) ->"
+    " CASE WHEN i % 7 = 0 THEN t || '.'"
+    "      WHEN i % 7 = 1 AND i > 1 THEN upper(t[1]) || t[2:]"
+    "      WHEN i % 5 = 0 THEN t || ','"
+    "      ELSE t END)"
+)
+
+
 def _est_tokens(chars: Column) -> Column:
     """stage_01 count_tokens: clamp(chars/3.5, chars//10, chars//2)."""
     return F.greatest(
@@ -302,9 +336,11 @@ def _planted_markdown_paged(docs: DataFrame) -> DataFrame:
 
     Block w carries ``<!-- PageNumber <w+1> -->`` then the heading then
     HEAD_EVERY tokens — the stage_02/03 input shape (page tags precede
-    headings, `stage_02_section_processing.py:936`).
+    headings, `stage_02_section_processing.py:936`). Content tokens are
+    punctuated (punct_tokens) so the sentence/comma break priorities
+    are genuinely exercised.
     """
-    toks = tokens(F.col("text"))
+    toks = punct_tokens(tokens(F.col("text")))
     n_blocks = F.greatest(F.ceil(F.size(toks) / HEAD_EVERY).cast("int"), F.lit(1))
 
     def block(w: Column) -> Column:
@@ -416,7 +452,7 @@ md_t AS (
                 || ' S' || doc_id || '_' || w || chr(10)
                 || array_to_string(list_slice(dtoks, w * {HEAD_EVERY} + 1, (w + 1) * {HEAD_EVERY}), ' ')
          ), chr(10)) AS md
-  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS dtoks
+  FROM (SELECT doc_id, {PUNCT_SQL.format(toks=_FILT_TOKS_SQL)} AS dtoks
         FROM documents)
 )
 """

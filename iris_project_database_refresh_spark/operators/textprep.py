@@ -1,0 +1,204 @@
+"""Text preparation operators: tag stripping, forced sentence splits.
+
+Reference parity:
+* `semantic search/stage_04_embedding_generation.py:406`
+  ``remove_html_tags`` — strip PageHeader/PageFooter HTML comments
+  (case-insensitive, exact stage-2 attribute shape), collapse the
+  leftover blank lines to one, trim. Run on every chunk before
+  embedding.
+* `catalog search/stage3_generate_summaries.py:759`
+  ``force_split_content`` — split content into exactly N sections by
+  distributing sentences evenly (first ``len % N`` sections get one
+  extra); the char-count fallback for sentence-poor content is
+  simplified to token-even distribution (documented, mirrored in the
+  oracle). `:631` ``split_page_into_sections`` min-section semantics
+  are what this guarantees.
+
+Scale design: both operators are pure per-row expressions
+(regexp_replace / array slicing over the token array) — zero shuffle,
+zero Python, scan-rate at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+from .sectioning import _FILT_TOKS_SQL, HEAD_EVERY, PUNCT_SQL, punct_tokens
+
+TAG_RE = r'(?i)<!--\s*Page(?:Header|Footer)\s+PageNumber="\d+"\s+PageReference="[^"]*"\s*-->'
+COLLAPSE_RE = r"\n\s*\n\s*\n+"
+FORCE_SECTIONS = 3
+
+
+# --- strip_page_tags ---------------------------------------------------------
+
+def _tagged_content(docs: DataFrame) -> DataFrame:
+    """(doc_id, content): every HEAD_EVERY-token block wrapped in the
+    exact stage-2 PageHeader/PageFooter tag pair."""
+    toks = tokens(F.col("text"))
+    n_blocks = F.greatest(F.ceil(F.size(toks) / HEAD_EVERY).cast("int"), F.lit(1))
+
+    def block(w: Column) -> Column:
+        page = (w + 1).cast("string")
+        return F.concat(
+            F.lit('<!-- PageHeader PageNumber="'), page,
+            F.lit('" PageReference="p'), page, F.lit('" -->\n'),
+            F.array_join(F.slice(toks, w * HEAD_EVERY + 1, HEAD_EVERY), " "),
+            F.lit('\n<!-- PageFooter PageNumber="'), page,
+            F.lit('" PageReference="p'), page, F.lit('" -->'),
+        )
+
+    content = F.array_join(F.transform(F.sequence(F.lit(0), n_blocks - 1), block), "\n\n")
+    return docs.select("doc_id", content.alias("content"))
+
+
+def strip_page_tags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    tagged = _tagged_content(docs)
+    cleaned = F.trim(
+        F.regexp_replace(
+            F.regexp_replace(F.col("content"), TAG_RE, ""), COLLAPSE_RE, "\n\n"
+        )
+    )
+    return tagged.select(
+        "doc_id",
+        cleaned.alias("clean_content"),
+        F.size(F.regexp_extract_all(F.col("content"), F.lit(TAG_RE), F.lit(0)))
+        .cast("bigint")
+        .alias("n_tags_removed"),
+        F.length("content").cast("bigint").alias("chars_before"),
+        F.length(cleaned).cast("bigint").alias("chars_after"),
+    )
+
+
+_TAGGED_SQL = f"""
+tagged AS (
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0,
+             greatest(CAST(ceil(len(toks) / {HEAD_EVERY}.0) AS INT), 1) - 1),
+           w -> '<!-- PageHeader PageNumber="' || (w + 1) || '" PageReference="p' || (w + 1) || '" -->' || chr(10)
+                || array_to_string(list_slice(toks, w * {HEAD_EVERY} + 1, (w + 1) * {HEAD_EVERY}), ' ')
+                || chr(10) || '<!-- PageFooter PageNumber="' || (w + 1) || '" PageReference="p' || (w + 1) || '" -->'
+         ), chr(10) || chr(10)) AS content
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+)
+"""
+
+STRIP_TAGS_SQL = f"""
+WITH {_TAGGED_SQL.strip()}
+SELECT doc_id,
+       trim(regexp_replace(regexp_replace(content, '{TAG_RE}', '', 'g'),
+                           '{COLLAPSE_RE}', chr(10) || chr(10), 'g')) AS clean_content,
+       CAST(len(regexp_extract_all(content, '{TAG_RE}')) AS BIGINT) AS n_tags_removed,
+       CAST(length(content) AS BIGINT) AS chars_before,
+       CAST(length(trim(regexp_replace(regexp_replace(content, '{TAG_RE}', '', 'g'),
+                        '{COLLAPSE_RE}', chr(10) || chr(10), 'g'))) AS BIGINT) AS chars_after
+FROM tagged
+"""
+
+
+# --- force_split_sentences ---------------------------------------------------
+
+def force_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = punct_tokens(tokens(F.col("text")))
+    base = docs.select("doc_id", toks.alias("toks"), F.size(toks).alias("n"))
+
+    tk = lambda i: F.element_at(F.col("toks"), i)  # noqa: E731
+    n = F.col("n")
+    # sentence boundaries: after tokens ending [.!?], always after the last
+    # (array_sort: distinct is not order-preserving in every engine)
+    bpos = F.array_sort(F.array_distinct(
+        F.concat(
+            F.filter(
+                F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
+                lambda i: (i <= n) & tk(i).rlike(r"[.!?]$"),
+            ),
+            F.when(n > 0, F.array(n)).otherwise(F.array().cast("array<int>")),
+        )
+    ))
+    pre = base.withColumn("bpos", bpos).withColumn("m", F.size("bpos"))
+
+    m = F.col("m")
+    k_eff = F.least(F.lit(FORCE_SECTIONS), m)
+
+    def section(i: Column) -> Column:
+        # sentences distributed evenly: first (m % k) sections get one extra
+        bs = F.floor(m / k_eff).cast("int")
+        extra = (m % k_eff).cast("int")
+        s_i = (i - 1) * bs + F.least(i - 1, extra) + 1  # first sentence (1-based)
+        e_i = s_i + bs + F.when(i <= extra, 1).otherwise(0) - 1  # last sentence
+        tok_from = (
+            F.when(s_i == 1, F.lit(0)).otherwise(F.element_at(F.col("bpos"), s_i - 1)) + 1
+        )
+        tok_to = F.element_at(F.col("bpos"), e_i)
+        return F.struct(
+            i.cast("bigint").alias("section_id"),
+            F.array_join(F.slice(F.col("toks"), tok_from, tok_to - tok_from + 1), " ").alias(
+                "section_content"
+            ),
+            (e_i - s_i + 1).cast("bigint").alias("n_sentences"),
+            (tok_to - tok_from + 1).cast("bigint").alias("n_tokens"),
+        )
+
+    empty = F.array(
+        F.struct(
+            F.lit(1).cast("bigint").alias("section_id"),
+            F.lit("").alias("section_content"),
+            F.lit(0).cast("bigint").alias("n_sentences"),
+            F.lit(0).cast("bigint").alias("n_tokens"),
+        )
+    )
+    secs = F.when(m == 0, empty).otherwise(
+        F.transform(F.sequence(F.lit(1), k_eff.cast("int")), section)
+    )
+    return pre.select("doc_id", F.inline(secs))
+
+
+FORCE_SPLIT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, toks, len(toks) AS n
+  FROM (SELECT doc_id, {PUNCT_SQL.format(toks=_FILT_TOKS_SQL)} AS toks
+        FROM documents)
+),
+pre AS (
+  SELECT doc_id, toks, n,
+         list_sort(list_distinct(list_concat(
+             list_filter(generate_series(1, greatest(n, 1)),
+                         i -> i <= n AND regexp_matches(toks[i], '[.!?]$')),
+             CASE WHEN n > 0 THEN [n] ELSE [] END))) AS bpos
+  FROM base
+),
+sized AS (SELECT *, len(bpos) AS m, least({FORCE_SECTIONS}, len(bpos)) AS k FROM pre)
+SELECT doc_id,
+       CAST(i AS BIGINT) AS section_id,
+       CASE WHEN m = 0 THEN ''
+            ELSE array_to_string(list_slice(toks,
+                   coalesce(bpos[(i - 1) * (m // k) + least(i - 1, m % k)], 0) + 1,
+                   bpos[(i - 1) * (m // k) + least(i - 1, m % k)
+                        + (m // k) + CASE WHEN i <= m % k THEN 1 ELSE 0 END]), ' ')
+       END AS section_content,
+       CAST(CASE WHEN m = 0 THEN 0
+            ELSE (m // k) + CASE WHEN i <= m % k THEN 1 ELSE 0 END END AS BIGINT) AS n_sentences,
+       CAST(CASE WHEN m = 0 THEN 0
+            ELSE bpos[(i - 1) * (m // k) + least(i - 1, m % k)
+                      + (m // k) + CASE WHEN i <= m % k THEN 1 ELSE 0 END]
+                 - coalesce(bpos[(i - 1) * (m // k) + least(i - 1, m % k)], 0)
+       END AS BIGINT) AS n_tokens
+FROM sized, (SELECT unnest(generate_series(1, greatest(k, 1))) AS i)
+"""
+
+
+QUERIES = {
+    "strip_page_tags": strip_page_tags,
+    "force_split_sentences": force_split_sentences,
+}
+
+ORACLES = {
+    "strip_page_tags": STRIP_TAGS_SQL,
+    "force_split_sentences": FORCE_SPLIT_SQL,
+}

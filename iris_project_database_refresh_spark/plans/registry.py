@@ -39,6 +39,7 @@ def _load() -> None:
         relational,
         relational_ext,
         sectioning,
+        textprep,
         textqc,
         tfidf,
     )
@@ -49,6 +50,7 @@ def _load() -> None:
         relational_ext,
         sectioning,
         chapters,
+        textprep,
         textqc,
         chunking,
         dedup,
