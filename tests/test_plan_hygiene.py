@@ -37,3 +37,21 @@ def test_scan_prunes_columns(spark, name):
     for s in scans:
         n_fields = len([f for f in s.split(",") if "#" in f])
         assert n_fields <= 7, f"{name}: scan appears unpruned ({n_fields} cols): {s[:160]}"
+
+
+# Operators designed as pure per-row array expressions: their physical
+# plans must contain NO Exchange (shuffle) and no Python workers — the
+# whole point of keeping them in Catalyst is scan-rate execution.
+NARROW_QUERIES = [
+    "chunk_breakpoints",
+    "chapter_summarize",
+    "strip_page_tags",
+    "force_split_sentences",
+]
+
+
+@pytest.mark.parametrize("name", NARROW_QUERIES)
+def test_narrow_operators_have_no_shuffle(spark, name):
+    plan = QUERIES[name](spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:400]}"
+    assert "Python" not in plan and "InPandas" not in plan, f"{name} leaves the JVM"
