@@ -43,6 +43,7 @@ def _load() -> None:
         textqc,
         tfidf,
     )
+    from ..streaming import dedup as streaming_dedup
     from ..streaming import pipeline as streaming_pipeline
 
     for module in (
@@ -61,6 +62,7 @@ def _load() -> None:
         tfidf,
         analytics,
         streaming_pipeline,
+        streaming_dedup,
     ):
         _register(module)
 

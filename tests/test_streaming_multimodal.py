@@ -63,3 +63,18 @@ def test_decode_features_batching(spark):
     row = feats.first()
     assert 0.0 <= row.f0 <= 1.0 and 0.0 <= row.f1 <= 1.0
     assert row.decoder == "fake-md5-v1"
+
+
+def test_streaming_dedup_matches_batch(spark):
+    """dropDuplicatesWithinWatermark over the self-unioned stream must
+    reproduce the batch distinct exactly."""
+    from iris_project_database_refresh_spark.streaming.dedup import (
+        events_dedup,
+        run_dedup_available_now,
+    )
+
+    got = run_dedup_available_now(spark, SF_CORRECT)
+    want = events_dedup(spark, SF_CORRECT)
+    assert got.count() == want.count()
+    key = lambda r: (r.event_id,)  # noqa: E731
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
