@@ -363,7 +363,9 @@ def _planted_markdown_paged(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", md.alias("md"))
 
 
-def chunk_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared greedy-packing core: one row per chunk with its token
+    bounds (s, e], carrying toks and the page-tag zone starts (zs)."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     md = _planted_markdown_paged(docs)
 
@@ -431,7 +433,11 @@ def chunk_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.element_at(bounds, i + 1).alias("e"),
         ),
     )
-    rows = pre.select("doc_id", "toks", F.inline(chunks))
+    return pre.select("doc_id", "toks", "zs", F.inline(chunks))
+
+
+def chunk_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    rows = _packed_chunks(spark, sf_dir)
     return rows.select(
         "doc_id",
         "chunk_number",
@@ -439,6 +445,34 @@ def chunk_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.slice(F.col("toks"), F.col("s") + 1, F.col("e") - F.col("s")), " "
         ).alias("chunk_content"),
         (F.col("e") - F.col("s")).cast("bigint").alias("chunk_tokens"),
+    )
+
+
+def chunk_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-level page assignment (stage_03b semantics).
+
+    Reference parity: `semantic search/stage_03b_chunk_page_correction.py:261`
+    ``extract_page_tags_with_positions`` + `:304` ``build_page_ranges`` +
+    `:384` ``determine_pages_for_position_range`` — each chunk gets the
+    min/max page whose range overlaps its positions. In token space a
+    token's page is the number of page-tag starts at-or-before it, so
+    the overlap collapses to two prefix counts over the zone-start
+    array — still pure per-row expressions, zero shuffle.
+    """
+    rows = _packed_chunks(spark, sf_dir)
+
+    def page_of(i: Column) -> Column:
+        return F.size(F.filter(F.col("zs"), lambda z: z <= i))
+
+    start_page = page_of(F.col("s") + 1)
+    end_page = page_of(F.col("e"))
+    return rows.select(
+        "doc_id",
+        "chunk_number",
+        (F.col("e") - F.col("s")).cast("bigint").alias("chunk_tokens"),
+        start_page.cast("bigint").alias("chunk_start_page"),
+        end_page.cast("bigint").alias("chunk_end_page"),
+        (end_page - start_page + 1).cast("bigint").alias("chunk_page_count"),
     )
 
 
@@ -467,7 +501,7 @@ pre AS (
         FROM md_t)
 ),
 pre2 AS (
-  SELECT doc_id, toks, n,
+  SELECT doc_id, toks, n, zs,
          list_filter(
            list_transform(generate_series(1, greatest(n - 1, 1)),
              i -> struct_pack(
@@ -507,5 +541,22 @@ FROM packing p JOIN pre2 q ON p.doc_id = q.doc_id
 WHERE p.chunk_number >= 1
 """
 
+# same packing CTEs, page-assignment final select (stage_03b)
+CHUNK_PAGES_SQL = (
+    CHUNK_BREAKPOINTS_SQL[: CHUNK_BREAKPOINTS_SQL.rindex("SELECT p.doc_id")]
+    + """SELECT p.doc_id,
+       CAST(p.chunk_number AS BIGINT) AS chunk_number,
+       CAST(p.e - p.s AS BIGINT) AS chunk_tokens,
+       CAST(len(list_filter(q.zs, z -> z <= p.s + 1)) AS BIGINT) AS chunk_start_page,
+       CAST(len(list_filter(q.zs, z -> z <= p.e)) AS BIGINT) AS chunk_end_page,
+       CAST(len(list_filter(q.zs, z -> z <= p.e))
+            - len(list_filter(q.zs, z -> z <= p.s + 1)) + 1 AS BIGINT) AS chunk_page_count
+FROM packing p JOIN pre2 q ON p.doc_id = q.doc_id
+WHERE p.chunk_number >= 1
+"""
+)
+
 QUERIES["chunk_breakpoints"] = chunk_breakpoints
 ORACLES["chunk_breakpoints"] = CHUNK_BREAKPOINTS_SQL
+QUERIES["chunk_pages"] = chunk_pages
+ORACLES["chunk_pages"] = CHUNK_PAGES_SQL
