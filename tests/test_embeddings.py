@@ -52,3 +52,15 @@ def test_lsh_results_are_subset_quality(spark):
     # recall is a trade-off, but on 16 buckets over 500 vectors some of
     # the exact top-10 must surface
     assert hits > 0
+
+
+def test_similarity_pairs_invariant_to_block_count(spark, monkeypatch):
+    """The blocked GEMM must return the same pairs for any SIM_BLOCKS —
+    the grid factor only changes per-task memory, never the result."""
+    base = sorted(map(tuple, embeddings.similarity_pairs(spark, SF_CORRECT).collect()))
+    monkeypatch.setattr(embeddings, "SIM_BLOCKS", 1)
+    single = sorted(map(tuple, embeddings.similarity_pairs(spark, SF_CORRECT).collect()))
+    monkeypatch.setattr(embeddings, "SIM_BLOCKS", 3)
+    three = sorted(map(tuple, embeddings.similarity_pairs(spark, SF_CORRECT).collect()))
+    assert base == single == three
+    assert len(base) > 0

@@ -154,3 +154,48 @@ def test_breakpoint_chunker_invariants(pieces):
             # a mid-zone boundary only ever comes from the hard fallback
             in_zone = any(z <= b <= z + 2 for z in zs)
             assert not in_zone or size == HARD_MAX_CHUNK
+
+
+# --- merge-small sectioning invariants (mirrors operators/sectioning.py) -----
+
+from iris_project_database_refresh_spark.operators.sectioning import MIN_EST_TOKENS
+
+
+def _merge_groups(levels: list[int], est: list[int]) -> list[list[int]]:
+    """Plain-Python mirror of the prefix-sum merge grouping."""
+    groups: list[list[int]] = []
+    for i, (lv, e) in enumerate(zip(levels, est)):
+        merge = (
+            e < MIN_EST_TOKENS
+            and i > 0
+            and lv >= levels[i - 1]
+        )
+        if merge and groups:
+            groups[-1].append(i)
+        else:
+            groups.append([i])
+    return groups
+
+
+@given(
+    st.lists(st.tuples(st.integers(1, 3), st.integers(0, 120)), min_size=1, max_size=20)
+)
+@settings(max_examples=200, deadline=None)
+def test_merge_small_invariants(secs):
+    """Every section lands in exactly one group; groups are contiguous;
+    a group's head is either large enough or blocked from merging by a
+    shallower predecessor."""
+    levels = [lv for lv, _ in secs]
+    est = [e for _, e in secs]
+    groups = _merge_groups(levels, est)
+
+    flat = [i for g in groups for i in g]
+    assert flat == list(range(len(secs)))  # partition, order-preserving
+
+    for g in groups:
+        head = g[0]
+        # head didn't merge backwards: first section, large, or level drop
+        assert head == 0 or est[head] >= MIN_EST_TOKENS or levels[head] < levels[head - 1]
+        # every non-head member merged legally
+        for i in g[1:]:
+            assert est[i] < MIN_EST_TOKENS and levels[i] >= levels[i - 1]
