@@ -384,10 +384,17 @@ def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.exists(F.col("zs"), lambda z: (b >= z) & (b <= z + 2))
 
     def priority(i: Column) -> Column:
+        # last-char/first-char tests instead of regex: same semantics,
+        # ~2x cheaper over tens of millions of token evaluations
+        last = lambda c: F.substring(c, -1, 1)  # noqa: E731
         return (
             F.when(tk(i + 1).startswith("#"), 1)  # heading starts next token
-            .when(tk(i).rlike(r"[.!?]$") & tk(i + 1).rlike("^[A-Z]"), 3)  # sentence end
-            .when(tk(i).rlike("[,;]$"), 5)  # comma/semicolon
+            .when(
+                last(tk(i)).isin(".", "!", "?")
+                & F.substring(tk(i + 1), 1, 1).between("A", "Z"),
+                3,
+            )  # sentence end
+            .when(last(tk(i)).isin(",", ";"), 5)  # comma/semicolon
             .when(tk(i + 1) == "<!--", 9)  # zone-boundary fallback
         )
 
@@ -506,9 +513,9 @@ pre2 AS (
            list_transform(generate_series(1, greatest(n - 1, 1)),
              i -> struct_pack(
                     p := CASE WHEN toks[i + 1] LIKE '#%%' THEN 1
-                              WHEN regexp_matches(toks[i], '[.!?]$')
-                                   AND regexp_matches(toks[i + 1], '^[A-Z]') THEN 3
-                              WHEN regexp_matches(toks[i], '[,;]$') THEN 5
+                              WHEN toks[i][-1] IN ('.', '!', '?')
+                                   AND toks[i + 1][1] BETWEEN 'A' AND 'Z' THEN 3
+                              WHEN toks[i][-1] IN (',', ';') THEN 5
                               WHEN toks[i + 1] = '<!--' THEN 9
                          END,
                     b := i)),

@@ -116,7 +116,7 @@ def force_split_sentences(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.concat(
             F.filter(
                 F.sequence(F.lit(1), F.greatest(n, F.lit(1))),
-                lambda i: (i <= n) & tk(i).rlike(r"[.!?]$"),
+                lambda i: (i <= n) & F.substring(tk(i), -1, 1).isin(".", "!", "?"),
             ),
             F.when(n > 0, F.array(n)).otherwise(F.array().cast("array<int>")),
         )
@@ -169,7 +169,7 @@ pre AS (
   SELECT doc_id, toks, n,
          list_sort(list_distinct(list_concat(
              list_filter(generate_series(1, greatest(n, 1)),
-                         i -> i <= n AND regexp_matches(toks[i], '[.!?]$')),
+                         i -> i <= n AND toks[i][-1] IN ('.', '!', '?')),
              CASE WHEN n > 0 THEN [n] ELSE [] END))) AS bpos
   FROM base
 ),
