@@ -345,3 +345,58 @@ ORACLES = {
     "knn_lsh": KNN_LSH_SQL,
     "similarity_pairs": SIMILARITY_PAIRS_SQL,
 }
+
+
+# --- embedding-cosine near-duplicate pairs via LSH bucketing -----------------
+
+def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate pairs (cosine >= PAIR_TAU) restricted to
+    same-LSH-bucket candidates — the sub-quadratic scale path that the
+    exact blocked-GEMM `similarity_pairs` serves as ground truth for.
+
+    Plan: one narrow pass computes each vector's hyperplane bucket
+    (compile-time ±1 planes), one shuffle on the bucket id joins
+    candidates, cosine verified with JVM zip_with/aggregate
+    expressions. Candidate count drops by the bucket fan-in
+    (2^LSH_PLANES); recall vs the exact pairs is measured in tests.
+    At 100 TB: add bands (OR-amplification) the same way
+    dedup_minhash_lsh does to recover recall.
+    """
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("bucket", _bucket_expr(F.col("v")))
+    )
+    a, b = emb.alias("a"), emb.alias("b")
+    pair_cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    return (
+        a.join(
+            b,
+            (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            pair_cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= PAIR_TAU)
+    )
+
+
+DEDUP_EMB_LSH_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), bucketed AS (
+  SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM d
+)
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       round(list_dot_product(a.v, b.v) /
+             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.v, b.v) /
+            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {PAIR_TAU}
+"""
+
+QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
+ORACLES["dedup_embedding_lsh"] = DEDUP_EMB_LSH_SQL

@@ -64,3 +64,18 @@ def test_similarity_pairs_invariant_to_block_count(spark, monkeypatch):
     three = sorted(map(tuple, embeddings.similarity_pairs(spark, SF_CORRECT).collect()))
     assert base == single == three
     assert len(base) > 0
+
+
+def test_embedding_lsh_recall_vs_exact(spark):
+    """Bucketed near-dup pairs must be a subset of the exact pairs with
+    nontrivial recall (same-bucket candidates only)."""
+    exact = set(
+        (r.id_a, r.id_b) for r in embeddings.similarity_pairs(spark, SF_CORRECT).collect()
+    )
+    lsh = [
+        (r.id_a, r.id_b)
+        for r in embeddings.dedup_embedding_lsh(spark, SF_CORRECT).collect()
+    ]
+    assert lsh, "no bucketed pairs at all"
+    assert set(lsh) <= exact  # cosine threshold identical -> subset
+    assert len(lsh) / len(exact) > 0.1  # 16 buckets, tau=0.4: some recall
