@@ -155,3 +155,126 @@ ORACLES = {
     "multimodal_manifest": MULTIMODAL_MANIFEST_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
 }
+
+
+# --- frame sampling (video fan-out) ------------------------------------------
+
+N_FRAMES = 4
+FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_frame(payload: bytes, idx: int) -> str:
+    """STUB frame extractor — md5 of payload + frame index stands in for
+    an ffmpeg seek+decode; same (bytes, idx) -> frame signature."""
+    return hashlib.md5(payload + b"#" + str(idx).encode()).hexdigest()
+
+
+def sample_frames(media: DataFrame) -> DataFrame:
+    """mapInPandas fan-out: each video item emits N_FRAMES frame rows.
+    Bounded batches as in decode_features; the fan-out multiplies rows,
+    not payload copies (frames are derived per-row, payloads never
+    duplicated across the batch)."""
+
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            vids = pdf[pdf["media_type"] == "video"]
+            for start in range(0, len(vids), MAX_BATCH_ROWS):
+                part = vids.iloc[start : start + MAX_BATCH_ROWS]
+                rows = {
+                    "media_id": [], "frame_idx": [], "ts_ms": [],
+                    "frame_hash": [], "decoder": [],
+                }
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    for j in range(N_FRAMES):
+                        rows["media_id"].append(mid)
+                        rows["frame_idx"].append(j)
+                        rows["ts_ms"].append(j * 1000)
+                        rows["frame_hash"].append(_fake_frame(payload, j))
+                        rows["decoder"].append("fake-md5-v1")
+                yield pd.DataFrame(rows)
+
+    return media.mapInPandas(fn, FRAME_SCHEMA)
+
+
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return sample_frames(media_table(spark, sf_dir))
+
+
+MULTIMODAL_FRAMES_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(j AS BIGINT) AS frame_idx,
+       CAST(j * 1000 AS BIGINT) AS ts_ms,
+       md5(text || '#' || j) AS frame_hash,
+       'fake-md5-v1' AS decoder
+FROM documents, (SELECT unnest(generate_series(0, {N_FRAMES - 1})) AS j)
+WHERE doc_id % 3 = 2
+"""
+
+
+# --- resize (1:1 binary transform) -------------------------------------------
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("bytes_before", T.LongType()),
+        T.StructField("bytes_after", T.LongType()),
+        T.StructField("resized_hash", T.StringType()),
+        T.StructField("decoder", T.StringType()),
+    ]
+)
+
+
+def _fake_resize(payload: bytes) -> bytes:
+    """STUB resize — keeps the leading quarter of the payload (a stand-in
+    for a PIL thumbnail(); same bytes -> bytes signature)."""
+    keep = (len(payload) + 3) // 4
+    return payload[:keep]
+
+
+def resize_media(media: DataFrame) -> DataFrame:
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            imgs = pdf[pdf["media_type"] == "image"]
+            for start in range(0, len(imgs), MAX_BATCH_ROWS):
+                part = imgs.iloc[start : start + MAX_BATCH_ROWS]
+                resized = [_fake_resize(p) for p in part["payload"]]
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].to_numpy(),
+                        "bytes_before": [len(p) for p in part["payload"]],
+                        "bytes_after": [len(r) for r in resized],
+                        "resized_hash": [hashlib.md5(r).hexdigest() for r in resized],
+                        "decoder": ["fake-md5-v1"] * len(part),
+                    }
+                )
+
+    return media.mapInPandas(fn, RESIZE_SCHEMA)
+
+
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return resize_media(media_table(spark, sf_dir))
+
+
+# text is ASCII in the synthetic corpus, so byte slicing == char slicing
+MULTIMODAL_RESIZE_SQL = """
+SELECT doc_id AS media_id,
+       CAST(octet_length(encode(text)) AS BIGINT) AS bytes_before,
+       CAST((octet_length(encode(text)) + 3) // 4 AS BIGINT) AS bytes_after,
+       md5(substr(text, 1, (octet_length(encode(text)) + 3) // 4)) AS resized_hash,
+       'fake-md5-v1' AS decoder
+FROM documents
+WHERE doc_id % 3 = 0
+"""
+
+QUERIES["multimodal_framesample"] = multimodal_framesample
+ORACLES["multimodal_framesample"] = MULTIMODAL_FRAMES_SQL
+QUERIES["multimodal_resize"] = multimodal_resize
+ORACLES["multimodal_resize"] = MULTIMODAL_RESIZE_SQL
