@@ -479,3 +479,113 @@ ORACLES = {
     "dedup_minhash_lsh": DEDUP_MINHASH_SQL,
     "dedup_simhash": DEDUP_SIMHASH_SQL,
 }
+
+
+# --- near-dup clusters: connected components over candidate pairs ------------
+
+CC_ROUNDS = 4  # label-propagation rounds: covers component diameter 2^4
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs:
+    every document in a duplicate cluster gets the cluster's min doc_id
+    as component_id — the survivorship key the reference's
+    delete-then-append merge needs when duplicates are transitive
+    (A~B, B~C => one cluster, one survivor).
+
+    Spark-first shape: iterative min-label propagation. Each round
+    joins current labels across the (undirected) edge set and takes the
+    elementwise min — CC_ROUNDS rounds cover any component of diameter
+    <= 2^CC_ROUNDS under min-propagation (planted clusters have
+    diameter <= 2; real corpora use until-fixpoint driving with
+    localCheckpoint per round). All joins shuffle on doc_id-sized keys;
+    no driver materialization. Oracle: recursive-CTE reachability with
+    min aggregation — same fixpoint.
+    """
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    edges = pairs.unionAll(
+        pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
+    ).localCheckpoint(eager=False)  # pin: reused every round
+
+    members = edges.select(F.col("id_a").alias("doc_id")).distinct()
+    labels = members.withColumn("label", F.col("doc_id"))
+    for _ in range(CC_ROUNDS):
+        neighbor_min = (
+            edges.join(labels, edges.id_b == labels.doc_id)
+            .groupBy(F.col("id_a").alias("doc_id"))
+            .agg(F.min("label").alias("nb_label"))
+        )
+        labels = (
+            labels.join(neighbor_min, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))).alias(
+                    "label"
+                ),
+            )
+        )
+    comp = labels.select("doc_id", F.col("label").alias("component_id"))
+    return (
+        comp.groupBy("component_id")
+        .agg(
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sort_array(F.collect_list("doc_id")).alias("members"),
+        )
+        .select(
+            "component_id",
+            "cluster_size",
+            F.array_join(F.transform(F.col("members"), lambda m: m.cast("string")), ",").alias(
+                "members"
+            ),
+        )
+    )
+
+
+DEDUP_COMPONENTS_SQL = f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, hashes, band_idx, band_key
+  FROM sigs, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+verified AS (
+  SELECT id_a, id_b
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  WHERE len(list_intersect(sa.hashes, sb.hashes))
+        / CAST(len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+        >= {JACCARD_TAU}
+),
+edges AS (
+  SELECT id_a, id_b FROM verified
+  UNION ALL
+  SELECT id_b, id_a FROM verified
+),
+reach AS (
+  SELECT id_a AS doc_id, id_b AS other FROM edges
+  UNION
+  SELECT r.doc_id, e.id_b
+  FROM reach r JOIN edges e ON r.other = e.id_a
+)
+SELECT component_id, count(*) AS cluster_size,
+       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+FROM (
+  SELECT doc_id, least(doc_id, min(other)) AS component_id
+  FROM reach GROUP BY doc_id
+)
+GROUP BY component_id
+"""
+
+QUERIES["dedup_components"] = dedup_components
+ORACLES["dedup_components"] = DEDUP_COMPONENTS_SQL
