@@ -92,16 +92,22 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", _as_double("embedding").alias("v")
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn"),
     )
     scored = (
         load_table(spark, sf_dir, "embeddings")
         .select(F.col("vec_id").alias("neighbor_id"), _as_double("embedding").alias("v"))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
         .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+            # norms factored out per row — one dot per pair, same tree
+            F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -115,13 +121,14 @@ def knn_brute_force(spark: SparkSession, sf_dir: str) -> DataFrame:
 KNN_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}
 ), scored AS (
-  SELECT query_id, d.vec_id AS neighbor_id,
-         round(list_dot_product(qv, v) /
-               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cosine
-  FROM q JOIN d ON d.vec_id <> q.query_id
+  SELECT query_id, n.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+  FROM q JOIN n ON n.vec_id <> q.query_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
@@ -168,11 +175,17 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucket fan-in (2^LSH_PLANES) and planes are compile-time constants,
     so no second table is even read.
     """
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    ).withColumn("bucket", _bucket_expr(F.col("v")))
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("bucket", _bucket_expr(F.col("v")))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
-        F.col("vec_id").alias("query_id"), F.col("v").alias("q"), F.col("bucket").alias("qb")
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("bucket").alias("qb"),
+        F.col("vn").alias("qn"),
     )
     scored = (
         emb.alias("c")
@@ -183,7 +196,9 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             F.col("vec_id").alias("neighbor_id"),
-            F.round(_cosine(F.col("q"), F.col("v")), 6).alias("cosine"),
+            F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("c.vn")), 6).alias(
+                "cosine"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
@@ -216,13 +231,15 @@ KNN_LSH_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), bucketed AS (
-  SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM d
+  SELECT vec_id, v, {_bucket_sql("v")} AS bucket,
+         sqrt(list_dot_product(v, v)) AS nrm
+  FROM d
 ), q AS (
-  SELECT vec_id AS query_id, v AS qv, bucket AS qb FROM bucketed WHERE vec_id < {N_QUERIES}
+  SELECT vec_id AS query_id, v AS qv, bucket AS qb, nrm AS qn
+  FROM bucketed WHERE vec_id < {N_QUERIES}
 ), scored AS (
   SELECT query_id, c.vec_id AS neighbor_id,
-         round(list_dot_product(qv, c.v) /
-               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cosine
+         round(list_dot_product(qv, c.v) / (qn * c.nrm), 6) AS cosine
   FROM q JOIN bucketed c ON c.bucket = q.qb AND c.vec_id <> q.query_id
 ), ranked AS (
   SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
@@ -366,9 +383,14 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("bucket", _bucket_expr(F.col("v")))
+        # norm factored out per vector: one dot product per PAIR instead
+        # of three — same expression tree, so values are bit-identical
+        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     a, b = emb.alias("a"), emb.alias("b")
-    pair_cos = F.round(_cosine(F.col("a.v"), F.col("b.v")), 6)
+    pair_cos = F.round(
+        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
+    )
     return (
         a.join(
             b,
@@ -388,14 +410,12 @@ DEDUP_EMB_LSH_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), bucketed AS (
-  SELECT vec_id, v, {_bucket_sql("v")} AS bucket FROM d
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql("v")} AS bucket FROM d
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) /
-             (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
 FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) /
-            (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= {PAIR_TAU}
+WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {PAIR_TAU}
 """
 
 QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
