@@ -354,17 +354,18 @@ WHERE total_revenue = (SELECT max(total_revenue) FROM rev)
 def q17_small_qty_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Revenue from orders below 20% of the part's average quantity
     (TPC-H Q17, p_container replaced by p_type in this schema). The
-    correlated avg-subquery becomes a per-part aggregate broadcast back
-    onto the fact scan."""
+    correlated avg-subquery becomes a window over the part-filtered
+    fact join — one scan of lineitem, one shuffle on partkey, and no
+    broadcast of a fact-derived aggregate (which would not fit at
+    scale)."""
+    from pyspark.sql import Window
+
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
-    avg_qty = (
-        li.groupBy(F.col("l_partkey").alias("ap_partkey"))
-        .agg((F.avg("l_quantity") * 0.2).alias("qty_threshold"))
-    )
+    w = Window.partitionBy("l_partkey")
     return (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(F.broadcast(avg_qty), li.l_partkey == F.col("ap_partkey"))
+        .withColumn("qty_threshold", F.avg("l_quantity").over(w) * 0.2)
         .where(F.col("l_quantity") < F.col("qty_threshold"))
         .agg(
             F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"),
