@@ -189,3 +189,52 @@ ORACLES = {
     "quality_score": QUALITY_SQL,
     "doc_fingerprint": FINGERPRINT_SQL,
 }
+
+
+# --- deterministic stratified sampling (data-mixing weights) -----------------
+
+def corpus_sample_mix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source mixing-weight sampling: each source gets a
+    deterministic sampling rate, membership decided by an md5
+    hash-bernoulli on doc_id — reproducible across engines and runs,
+    unlike ``df.sample()`` whose RNG stream is engine-specific. This is
+    the training-data mixing primitive (upweight/downweight sources);
+    the survivors plus per-source audit counts come back in one pass.
+
+    Scale: per-row hash + filter (scan-rate), then one tiny agg on
+    source — no data movement proportional to the corpus.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    # rate in percent: deterministic per source name, spanning 20-90
+    rate = 20 + F.pmod(F.length("source") * 37 + F.ascii(F.substring("source", -1, 1)), F.lit(71))
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("bigint"),
+        F.lit(100),
+    )
+    flagged = docs.select(
+        "doc_id", "source", rate.cast("bigint").alias("rate_pct"), bucket.alias("bucket")
+    ).withColumn("sampled", (F.col("bucket") < F.col("rate_pct")).cast("int"))
+    return flagged.groupBy("source", "rate_pct").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("sampled").alias("n_sampled"),
+        F.round(F.sum("sampled") / F.count(F.lit(1)), 6).alias("realized_rate"),
+    )
+
+
+SAMPLE_MIX_SQL = """
+WITH flagged AS (
+  SELECT doc_id, source,
+         CAST(20 + (length(source) * 37 + ascii(source[-1])) % 71 AS BIGINT) AS rate_pct,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100 AS bucket
+  FROM documents
+)
+SELECT source, rate_pct,
+       count(*) AS n_docs,
+       CAST(sum(CAST(bucket < rate_pct AS INT)) AS BIGINT) AS n_sampled,
+       round(sum(CAST(bucket < rate_pct AS INT)) / CAST(count(*) AS DOUBLE), 6) AS realized_rate
+FROM flagged
+GROUP BY source, rate_pct
+"""
+
+QUERIES["corpus_sample_mix"] = corpus_sample_mix
+ORACLES["corpus_sample_mix"] = SAMPLE_MIX_SQL
