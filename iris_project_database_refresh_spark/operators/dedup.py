@@ -589,3 +589,127 @@ GROUP BY component_id
 
 QUERIES["dedup_components"] = dedup_components
 ORACLES["dedup_components"] = DEDUP_COMPONENTS_SQL
+
+
+# --- cross-document repeated-substring coverage ------------------------------
+
+SPAN = 8  # tokens per span (ExactSubstr-style window)
+
+
+def _span_expr_spark() -> str:
+    """Positional SPAN-gram rolling hashes (NOT distinct — positions
+    matter for coverage)."""
+    acc = "element_at(th, i)"
+    for j in range(1, SPAN):
+        acc = f"(({acc} * 31 + element_at(th, i + {j})) % {_M32})"
+    return (
+        f"CASE WHEN size(th) < {SPAN} THEN array()"
+        f" ELSE transform(sequence(1, size(th) - {SPAN - 1}), i -> {acc}) END"
+    )
+
+
+def _span_expr_sql() -> str:
+    acc = "th[i]"
+    for j in range(1, SPAN):
+        acc = f"(({acc} * 31 + th[i + {j}]) % {_M32})"
+    return (
+        f"CASE WHEN len(th) < {SPAN} THEN [] "
+        f"ELSE list_transform(generate_series(1, len(th) - {SPAN - 1}), i -> {acc}) END"
+    )
+
+
+def dedup_substring_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document coverage by cross-document repeated substrings —
+    the ExactSubstr-dedup statistic ("how much of this doc appears
+    verbatim elsewhere"): positional SPAN-token rolling hashes, spans
+    occurring in >= 2 documents, interval-union coverage per doc.
+
+    Scale design: one shuffle on the span hash (inverted index, same
+    bounded-bucket considerations as dedup_ngram_jaccard), the join
+    back is co-partitioned on the same key, then one doc_id window for
+    the interval union (running max of span ends — no quadratic pair
+    expansion anywhere; this measures cross-doc repetition without
+    materializing pairs at all).
+    """
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir)
+    th = c.withColumn("th", F.expr(_TH_EXPR))
+    spans = (
+        th.withColumn("spans", F.expr(_span_expr_spark()))
+        .select("doc_id", F.size("th").alias("n_tokens"), "spans")
+        .localCheckpoint(eager=False)  # pin: Generate would re-hash per output row
+    )
+    exploded = spans.select(
+        "doc_id", "n_tokens", F.posexplode("spans").alias("pos0", "h")
+    ).select("doc_id", "n_tokens", (F.col("pos0") + 1).alias("pos"), "h")
+    repeated = (
+        exploded.groupBy("h")
+        .agg(F.countDistinct("doc_id").alias("ndocs"))
+        .where(F.col("ndocs") >= 2)
+        .select("h")
+    )
+    hits = exploded.join(repeated, "h")
+    w_prev = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    prev_end = F.max(F.col("pos") + SPAN - 1).over(w_prev)
+    contrib = F.greatest(
+        F.lit(0),
+        (F.col("pos") + SPAN - 1) - F.greatest(F.col("pos") - 1, F.coalesce(prev_end, F.lit(0))),
+    )
+    per_doc = (
+        hits.withColumn("contrib", contrib)
+        .groupBy("doc_id", "n_tokens")
+        .agg(
+            F.count(F.lit(1)).alias("n_repeated_spans"),
+            F.sum("contrib").alias("covered_tokens"),
+        )
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        "n_repeated_spans",
+        F.col("covered_tokens").cast("bigint").alias("covered_tokens"),
+        F.round(F.col("covered_tokens") / F.col("n_tokens"), 6).alias("dup_fraction"),
+    )
+
+
+DEDUP_SUBSTRING_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+spans_t AS (
+  SELECT doc_id, len(th) AS n_tokens, {_span_expr_sql()} AS spans
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM corpus)
+),
+exploded AS (
+  SELECT doc_id, n_tokens, i AS pos, spans[i] AS h
+  FROM spans_t, (SELECT unnest(generate_series(1, len(spans))) AS i)
+),
+repeated AS (
+  SELECT h FROM exploded GROUP BY h HAVING count(DISTINCT doc_id) >= 2
+),
+hits AS (
+  SELECT e.* FROM exploded e JOIN repeated USING (h)
+),
+contribs AS (
+  SELECT doc_id, n_tokens,
+         greatest(0, (pos + {SPAN} - 1)
+                  - greatest(pos - 1,
+                             coalesce(max(pos + {SPAN} - 1) OVER (
+                                 PARTITION BY doc_id ORDER BY pos
+                                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0))) AS contrib
+  FROM hits
+)
+SELECT doc_id,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       count(*) AS n_repeated_spans,
+       CAST(sum(contrib) AS BIGINT) AS covered_tokens,
+       round(sum(contrib) / CAST(n_tokens AS DOUBLE), 6) AS dup_fraction
+FROM contribs
+GROUP BY doc_id, n_tokens
+"""
+
+QUERIES["dedup_substring_stats"] = dedup_substring_stats
+ORACLES["dedup_substring_stats"] = DEDUP_SUBSTRING_SQL
