@@ -713,3 +713,101 @@ GROUP BY doc_id, n_tokens
 
 QUERIES["dedup_substring_stats"] = dedup_substring_stats
 ORACLES["dedup_substring_stats"] = DEDUP_SUBSTRING_SQL
+
+
+# --- incremental dedup: new batch vs existing master -------------------------
+
+def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Refresh-cycle dedup: match an INCOMING batch against the EXISTING
+    master only (the reference's per-cycle shape — stage4/stage_05 merge
+    replaces master rows matched by the incoming batch; it never
+    re-pairs master against itself). The planted copies (+100000 exact,
+    +200000 near) act as the incoming batch; originals are the master.
+
+    Asymmetric banded-LSH join: master bucket index could be
+    precomputed/persisted across cycles; the incoming side is small, so
+    at 100 TB this is (incoming x bands) probing a bucketed master —
+    cost proportional to the BATCH, not the corpus. Output: per
+    incoming doc, its best master match (max jaccard, min doc_id
+    tie-break) — the delete-key the merge needs.
+    """
+    corpus = _corpus(spark, sf_dir)
+    sh = _with_hashes(corpus)
+    master = sh.where(F.col("doc_id") < 100000)
+    incoming = sh.where(F.col("doc_id") >= 100000)
+
+    def banded(df: DataFrame) -> DataFrame:
+        sigs = df.select("doc_id", "hashes", *_minhash_sigs())
+        band_cols = [
+            F.concat_ws(
+                "_", *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+            ).alias(f"band{b}")
+            for b in range(BANDS)
+        ]
+        return sigs.select(
+            "doc_id", "hashes", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        )
+
+    a = banded(incoming).select(
+        F.col("doc_id").alias("new_id"), F.col("hashes").alias("sh_new"), "band_idx", "band_key"
+    )
+    b = banded(master).select(
+        F.col("doc_id").alias("master_id"), F.col("hashes").alias("sh_m"), "band_idx", "band_key"
+    )
+    cand = (
+        a.join(b, ["band_idx", "band_key"])
+        .dropDuplicates(["new_id", "master_id"])
+    )
+    inter = F.size(F.array_intersect("sh_new", "sh_m"))
+    union = F.size("sh_new") + F.size("sh_m") - inter
+    jac = inter / union
+    scored = cand.where(jac >= JACCARD_TAU).select(
+        "new_id", "master_id", F.round(jac, 6).alias("jaccard")
+    )
+    # best master match per incoming doc: max jaccard, min master_id —
+    # encoded numerically (jaccard is already rounded to 6dp) so both
+    # engines agree on the argmax
+    key = (F.col("jaccard") * 1000000).cast("bigint") * 1000000 - F.col("master_id")
+    best = scored.groupBy("new_id").agg(
+        F.max_by("master_id", key).alias("master_id"),
+        F.max("jaccard").alias("jaccard"),
+    )
+    return best
+
+
+DEDUP_INCREMENTAL_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, hashes, band_idx, band_key
+  FROM sigs, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS new_id, b.doc_id AS master_id,
+         a.hashes AS sh_new, b.hashes AS sh_m
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key
+  WHERE a.doc_id >= 100000 AND b.doc_id < 100000
+),
+scored AS (
+  SELECT new_id, master_id,
+         round(len(list_intersect(sh_new, sh_m))
+               / CAST(len(sh_new) + len(sh_m) - len(list_intersect(sh_new, sh_m)) AS DOUBLE), 6) AS jaccard
+  FROM cand
+  WHERE len(list_intersect(sh_new, sh_m))
+        / CAST(len(sh_new) + len(sh_m) - len(list_intersect(sh_new, sh_m)) AS DOUBLE) >= {JACCARD_TAU}
+)
+SELECT new_id,
+       max_by(master_id, CAST(jaccard * 1000000 AS BIGINT) * 1000000 - master_id) AS master_id,
+       max(jaccard) AS jaccard
+FROM scored
+GROUP BY new_id
+"""
+
+QUERIES["dedup_incremental"] = dedup_incremental
+ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
