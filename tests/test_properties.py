@@ -199,3 +199,28 @@ def test_merge_small_invariants(secs):
         # every non-head member merged legally
         for i in g[1:]:
             assert est[i] < MIN_EST_TOKENS and levels[i] >= levels[i - 1]
+
+
+# --- interval-union coverage (mirrors dedup_substring_stats) -----------------
+
+from iris_project_database_refresh_spark.operators.dedup import SPAN
+
+
+def _coverage(positions: list[int]) -> int:
+    """Plain-Python mirror of the running-max interval-union window."""
+    covered = 0
+    prev_end = 0
+    for p in sorted(positions):
+        end = p + SPAN - 1
+        covered += max(0, end - max(p - 1, prev_end))
+        prev_end = max(prev_end, end)
+    return covered
+
+
+@given(st.lists(st.integers(1, 200), min_size=0, max_size=60))
+@settings(max_examples=300, deadline=None)
+def test_interval_union_coverage(positions):
+    """The window formula must equal the brute-force union size of the
+    [p, p+SPAN-1] intervals."""
+    brute = len({j for p in positions for j in range(p, p + SPAN)})
+    assert _coverage(positions) == brute
