@@ -107,3 +107,45 @@ def bucketize(col: Column, buckets: int) -> Column:
     """Stable md5-derived bucket id — the salting key for joins when the
     skew is in the data, not random (co-partition both sides on it)."""
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % buckets
+
+
+def global_cumsum(
+    df: DataFrame,
+    order_col: str,
+    value_col: str,
+    *,
+    out_col: str = "cum_offset",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exclusive prefix sum of `value_col` in `order_col` order, without
+    a global window (which would drag every row through one task):
+    range-repartition on the order key, sum per partition (tiny job),
+    broadcast the partition offsets, then a local window per partition.
+    Same two-pass shape as sequential_ids."""
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), F.col(order_col))
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+    offsets = (
+        with_pid.groupBy("_pid")
+        .agg(F.sum(value_col).alias("_n"))
+        .withColumn(
+            "_offset",
+            F.coalesce(
+                F.sum("_n").over(
+                    Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ),
+        )
+        .select("_pid", "_offset")
+    )
+    w_local = (
+        Window.partitionBy("_pid").orderBy(order_col).rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        with_pid.join(F.broadcast(offsets), "_pid")
+        .withColumn(
+            out_col, F.coalesce(F.sum(value_col).over(w_local), F.lit(0)) + F.col("_offset")
+        )
+        .drop("_pid", "_offset")
+    )

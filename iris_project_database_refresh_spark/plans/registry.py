@@ -36,6 +36,7 @@ def _load() -> None:
         dedup,
         embeddings,
         multimodal,
+        packing,
         relational,
         relational_ext,
         sectioning,
@@ -59,6 +60,7 @@ def _load() -> None:
         catalog,
         multimodal,
         advanced,
+        packing,
         tfidf,
         analytics,
         streaming_pipeline,

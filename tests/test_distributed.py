@@ -72,3 +72,20 @@ def test_bucketize_stable_and_bounded(spark):
     assert all(0 <= r.b < 16 for r in rows)
     again = {r.c_custkey: r.b for r in df.collect()}
     assert all(again[r.c_custkey] == r.b for r in rows)
+
+
+def test_global_cumsum_matches_naive_window(spark):
+    from pyspark.sql import Window
+
+    from iris_project_database_refresh_spark.functions.distributed import global_cumsum
+
+    df = spark.range(0, 1000).select(
+        F.col("id").alias("k"), (F.col("id") % 17 + 1).alias("v")
+    )
+    got = {r.k: r.off for r in global_cumsum(df, "k", "v", out_col="off").collect()}
+    w = Window.orderBy("k").rowsBetween(Window.unboundedPreceding, -1)
+    want = {
+        r.k: r.off
+        for r in df.withColumn("off", F.coalesce(F.sum("v").over(w), F.lit(0))).collect()
+    }
+    assert got == want
