@@ -238,3 +238,123 @@ GROUP BY source, rate_pct
 
 QUERIES["corpus_sample_mix"] = corpus_sample_mix
 ORACLES["corpus_sample_mix"] = SAMPLE_MIX_SQL
+
+
+# --- repetition stats (Gopher-style quality rules) ---------------------------
+
+def quality_repetition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition signals: fraction of duplicate word
+    trigrams and the share of the most frequent trigram — the standard
+    repetition filters for pretraining corpora (catches boilerplate and
+    degenerate repetition). Pure per-row array math over the token
+    array (O(k^2) in doc trigrams, k bounded by doc length) — zero
+    shuffle, scan-rate."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    tri = F.transform(
+        F.sequence(F.lit(1), F.greatest(F.size(toks) - 2, F.lit(0))),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(toks, i),
+            F.element_at(toks, i + 1),
+            F.element_at(toks, i + 2),
+        ),
+    )
+    base = docs.select("doc_id", tri.alias("tri")).select(
+        "doc_id",
+        F.size("tri").alias("n_tri"),
+        F.size(F.array_distinct("tri")).alias("n_uniq"),
+        F.array_max(
+            F.transform(
+                F.array_distinct("tri"),
+                lambda t: F.size(F.filter(F.col("tri"), lambda x: x == t)),
+            )
+        ).alias("top_count"),
+    )
+    return base.select(
+        "doc_id",
+        F.col("n_tri").cast("bigint").alias("n_trigrams"),
+        F.col("n_uniq").cast("bigint").alias("n_unique_trigrams"),
+        F.when(F.col("n_tri") > 0, F.round((F.col("n_tri") - F.col("n_uniq")) / F.col("n_tri"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("dup_trigram_fraction"),
+        F.coalesce(F.col("top_count"), F.lit(0)).cast("bigint").alias("top_trigram_count"),
+        F.when(F.col("n_tri") > 0, F.round(F.coalesce(F.col("top_count"), F.lit(0)) / F.col("n_tri"), 6))
+        .otherwise(F.lit(0.0))
+        .alias("top_trigram_share"),
+    )
+
+
+QUALITY_REPETITION_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(generate_series(1, len(toks) - 2),
+                                  i -> toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) END AS tri
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+s AS (
+  SELECT doc_id, len(tri) AS n_tri, len(list_distinct(tri)) AS n_uniq,
+         list_max(list_transform(list_distinct(tri),
+                                 t -> len(list_filter(tri, x -> x = t)))) AS top_count
+  FROM t
+)
+SELECT doc_id,
+       CAST(n_tri AS BIGINT) AS n_trigrams,
+       CAST(n_uniq AS BIGINT) AS n_unique_trigrams,
+       CASE WHEN n_tri > 0 THEN round((n_tri - n_uniq) / CAST(n_tri AS DOUBLE), 6) ELSE 0.0 END AS dup_trigram_fraction,
+       CAST(coalesce(top_count, 0) AS BIGINT) AS top_trigram_count,
+       CASE WHEN n_tri > 0 THEN round(coalesce(top_count, 0) / CAST(n_tri AS DOUBLE), 6) ELSE 0.0 END AS top_trigram_share
+FROM s
+"""
+
+
+# --- unigram log-probability scoring (perplexity-filter analogue) ------------
+
+def quality_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean unigram log10-probability under the corpus's
+    own unigram distribution — the deterministic stand-in for
+    perplexity filtering (low scores = rare-token-heavy / junk docs).
+
+    Plan: one groupBy on token builds the vocabulary with counts; the
+    per-doc pass explodes tokens and joins the vocab on token (Zipf
+    skew on hot tokens — AQE skew handling; the vocab could also be
+    broadcast when it fits), then one agg per doc. The corpus total is
+    a 1-row broadcast.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select("doc_id", F.log10(F.col("cnt") / F.col("total")).alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.round(F.avg("lp"), 6).alias("mean_log10_prob"),
+        F.round(F.min("lp"), 6).alias("min_log10_prob"),
+    )
+
+
+QUALITY_UNIGRAM_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT sum(cnt) AS total FROM vocab)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       round(avg(log10(cnt / CAST(total AS DOUBLE))), 6) AS mean_log10_prob,
+       round(min(log10(cnt / CAST(total AS DOUBLE))), 6) AS min_log10_prob
+FROM toks JOIN vocab USING (token), total
+GROUP BY doc_id
+"""
+
+QUERIES["quality_repetition"] = quality_repetition
+ORACLES["quality_repetition"] = QUALITY_REPETITION_SQL
+QUERIES["quality_unigram_logprob"] = quality_unigram_logprob
+ORACLES["quality_unigram_logprob"] = QUALITY_UNIGRAM_SQL
