@@ -331,38 +331,6 @@ PACK_ITERS = 32
 _ENC = 1 << 20  # numeric argmin encoding base
 
 
-def _planted_markdown_paged(docs: DataFrame) -> DataFrame:
-    """(doc_id, md): markdown with page-tag lines + headings planted.
-
-    Block w carries ``<!-- PageNumber <w+1> -->`` then the heading then
-    HEAD_EVERY tokens — the stage_02/03 input shape (page tags precede
-    headings, `stage_02_section_processing.py:936`). Content tokens are
-    punctuated (punct_tokens) so the sentence/comma break priorities
-    are genuinely exercised.
-    """
-    toks = punct_tokens(tokens(F.col("text")))
-    n_blocks = F.greatest(F.ceil(F.size(toks) / HEAD_EVERY).cast("int"), F.lit(1))
-
-    def block(w: Column) -> Column:
-        level = F.when(w == 0, F.lit(1)).otherwise(1 + F.pmod(w + F.col("doc_id"), MAX_LEVEL))
-        hashes = F.when(level == 1, "#").when(level == 2, "##").otherwise(F.lit("###"))
-        return F.concat(
-            F.lit("<!-- PageNumber "),
-            (w + 1).cast("string"),
-            F.lit(" -->\n"),
-            hashes,
-            F.lit(" S"),
-            F.col("doc_id").cast("string"),
-            F.lit("_"),
-            w.cast("string"),
-            F.lit("\n"),
-            F.array_join(F.slice(toks, w * HEAD_EVERY + 1, HEAD_EVERY), " "),
-        )
-
-    md = F.array_join(F.transform(F.sequence(F.lit(0), n_blocks - 1), block), "\n")
-    return docs.select("doc_id", md.alias("md"))
-
-
 def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared greedy-packing core: one row per chunk with its token
     bounds (s, e], carrying toks and the page-tag zone starts (zs).
