@@ -39,6 +39,7 @@ def _load() -> None:
         packing,
         relational,
         relational_ext,
+        relational_full,
         sectioning,
         textprep,
         textqc,
@@ -50,6 +51,7 @@ def _load() -> None:
     for module in (
         relational,
         relational_ext,
+        relational_full,
         sectioning,
         chapters,
         textprep,
