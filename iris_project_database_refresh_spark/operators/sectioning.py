@@ -389,13 +389,23 @@ def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
             .when(tk(i + 1) == "<!--", 9)  # zone-boundary fallback
         )
 
-    # break candidates: break after token b (1 <= b < n), zone-filtered
-    breaks = F.filter(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
-            lambda i: F.struct(priority(i).alias("p"), i.alias("b")),
+    # break candidates: break after token b (1 <= b < n), zone-filtered.
+    # The never-taken coalesce branch double-references `zs` so that on
+    # paths where column pruning drops zs from the output (it's only
+    # carried forward for chunk_pages), CollapseProject can't inline the
+    # zstarts scan into the per-candidate `forbidden` lambda — that
+    # rebuild-per-candidate is O(n^2) per doc.
+    breaks = F.coalesce(
+        F.when(
+            F.size(F.col("zs")) < 0, F.array().cast("array<struct<p:int,b:int>>")
         ),
-        lambda x: (x["b"] < n) & x["p"].isNotNull() & ~forbidden(x["b"]),
+        F.filter(
+            F.transform(
+                F.sequence(F.lit(1), F.greatest(n - 1, F.lit(1))),
+                lambda i: F.struct(priority(i).alias("p"), i.alias("b")),
+            ),
+            lambda x: (x["b"] < n) & x["p"].isNotNull() & ~forbidden(x["b"]),
+        ),
     )
     pre = base.withColumn("zs", zstarts).withColumn("breaks", breaks)
 
@@ -427,18 +437,39 @@ def _packed_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (HOFs are interpreted, not codegen'd; iteration count is the
     # dominant cost, and the bound adapts to any doc length)
     iters = (F.ceil(n / MIN_CHUNK) + 1).cast("int")
-    bounds = F.aggregate(
-        F.sequence(F.lit(1), F.greatest(iters, F.lit(1))), F.array(F.lit(0)), step
-    )
-    chunks = F.transform(
-        F.sequence(F.lit(1), F.size(bounds) - 1),
-        lambda i: F.struct(
-            i.cast("bigint").alias("chunk_number"),
-            F.element_at(bounds, i).alias("s"),
-            F.element_at(bounds, i + 1).alias("e"),
+    # The never-taken coalesce branch is a SECOND reference to `breaks`:
+    # with only the in-fold reference, column pruning (which drops
+    # breaks from the projection output on paths that don't carry it
+    # forward) makes it single-use and CollapseProject inlines the whole
+    # breaks construction into the fold lambda — rebuilt every
+    # iteration, O(n^2) per doc (measured 2x slower). Costs one size()
+    # per row.
+    bounds = F.coalesce(
+        F.when(F.size(F.col("breaks")) < 0, F.array(F.lit(0))),
+        F.aggregate(
+            F.sequence(F.lit(1), F.greatest(iters, F.lit(1))), F.array(F.lit(0)), step
         ),
     )
-    return pre.select("doc_id", "toks", "zs", F.inline(chunks))
+    # materialize the fold ONCE per row before slicing chunk structs out
+    # of it: interpreted HOFs re-evaluate an inlined sub-expression at
+    # every reference, and `chunks` references the bounds array ~2x per
+    # chunk (s and e) plus once for its size. `breaks` must stay in the
+    # projection's OUTPUT: referenced only inside the fold it would be
+    # single-use, and CollapseProject would inline its construction into
+    # the fold lambda — rebuilt at every iteration (measured 2x slower
+    # than not materializing bounds at all).
+    with_bounds = pre.select(
+        "doc_id", "toks", "n", "zs", "breaks", bounds.alias("bounds")
+    )
+    chunks = F.transform(
+        F.sequence(F.lit(1), F.size(F.col("bounds")) - 1),
+        lambda i: F.struct(
+            i.cast("bigint").alias("chunk_number"),
+            F.element_at(F.col("bounds"), i).alias("s"),
+            F.element_at(F.col("bounds"), i + 1).alias("e"),
+        ),
+    )
+    return with_bounds.select("doc_id", "toks", "zs", F.inline(chunks))
 
 
 def chunk_breakpoints(spark: SparkSession, sf_dir: str) -> DataFrame:
