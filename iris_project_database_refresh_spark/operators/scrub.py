@@ -1,0 +1,281 @@
+"""Corpus scrubbing + corpus-level statistics operators: PII redaction,
+PMI collocations, and int8 embedding quantization.
+
+Reference parity: the reference pipeline cleans content before
+embedding (`semantic search/stage_02_section_processing.py` tag
+stripping, `catalog search/stage3_generate_summaries.py` content
+normalization); these add the scrubbing passes a pretraining-data
+pipeline layers on top (C4/Gopher-style redaction, collocation
+statistics for tokenizer/vocab work, storage-shrinking quantization for
+embedding tables).
+
+The synthetic corpus contains no real PII, so ``scrub_pii`` plants
+deterministic contact strings in-query (the same pattern the
+sectioning/paging operators use for headings and page tags) and the
+oracle plants identically — both engines then scrub with the same
+regexes.
+
+Scale notes (100 TB):
+- ``scrub_pii`` is pure per-row JVM regex — scan-rate, zero shuffle;
+- ``collocations_pmi`` reduces the corpus to unigram/bigram count
+  tables (one shuffle each, map-side partial aggs); the unigram side
+  joins back in as a broadcast (vocabularies are bounded — millions of
+  rows, not corpus-sized) and the totals as broadcast 1-row aggregates;
+- ``embed_quantize`` is per-row array math, zero shuffle; floor(x+0.5)
+  instead of round() so both engines derive identical integers from
+  identical doubles regardless of their round-half conventions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+EMAIL_RE = r"[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+URL_RE = r"https?://[^\s]+"
+PHONE_RE = r"\b555-[0-9]{4}\b"
+
+
+# --- PII scrubbing ------------------------------------------------------------
+
+def _planted(docs: DataFrame) -> DataFrame:
+    """Plant deterministic contact strings: every doc gets one email,
+    one URL and one phone; every third doc an extra reply-to email."""
+    did = F.col("doc_id").cast("string")
+    extra = F.when(
+        F.col("doc_id") % 3 == 0,
+        F.concat(F.lit(" reply to admin"), did, F.lit("@corp.example.org")),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("From user"), did, F.lit("@example.com visit https://docs.example/"),
+            did, F.lit(" or call 555-"),
+            F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+            extra, F.lit(" . "), F.col("text"),
+        ).alias("content"),
+    )
+
+
+def scrub_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails, URLs and phone numbers to typed placeholder
+    tokens, reporting per-document match counts and the net character
+    shrink. URL first (emails can be URL userinfo), then email, then
+    phone."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("content")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return _planted(docs).select(
+        "doc_id",
+        scrubbed.alias("scrubbed"),
+        F.size(F.regexp_extract_all(c, F.lit(EMAIL_RE), F.lit(0))).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(c, F.lit(URL_RE), F.lit(0))).cast("bigint").alias("n_urls"),
+        F.size(F.regexp_extract_all(c, F.lit(PHONE_RE), F.lit(0))).cast("bigint").alias("n_phones"),
+        (F.length(c) - F.length(scrubbed)).cast("bigint").alias("chars_removed"),
+    )
+
+
+_PLANTED_SQL = """
+planted AS (
+  SELECT doc_id,
+         'From user' || CAST(doc_id AS VARCHAR) || '@example.com visit https://docs.example/'
+           || CAST(doc_id AS VARCHAR) || ' or call 555-'
+           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+           || CASE WHEN doc_id % 3 = 0
+                   THEN ' reply to admin' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+                   ELSE '' END
+           || ' . ' || text AS content
+  FROM documents
+)
+"""
+
+SCRUB_PII_SQL = f"""
+WITH {_PLANTED_SQL.strip()},
+s AS (
+  SELECT doc_id, content,
+         regexp_replace(regexp_replace(regexp_replace(content,
+             '{URL_RE}', '<URL>', 'g'),
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS scrubbed
+  FROM planted
+)
+SELECT doc_id, scrubbed,
+       CAST(len(regexp_extract_all(content, '{EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(content, '{URL_RE}')) AS BIGINT) AS n_urls,
+       CAST(len(regexp_extract_all(content, '{PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(length(content) - length(scrubbed) AS BIGINT) AS chars_removed
+FROM s
+"""
+
+
+# --- PMI collocations ---------------------------------------------------------
+
+MIN_PAIR_COUNT = 5
+TOP_COLLOCATIONS = 50
+
+
+def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top bigram collocations by pointwise mutual information:
+    log10((c12/N2) / ((c1/N1) * (c2/N1))). One shuffle each for the
+    bigram and unigram count tables; unigram counts and both totals
+    come back as broadcasts."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.select(
+        F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks")
+    )
+    uni = (
+        toks.select(F.explode("toks").alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    pairs = toks.select(
+        F.explode(
+            F.when(F.size("toks") < 2, F.array().cast("array<struct<w1:string,w2:string>>"))
+            .otherwise(
+                F.zip_with(
+                    F.slice(F.col("toks"), 1, F.size("toks") - 1),
+                    F.slice(F.col("toks"), 2, F.size("toks") - 1),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    n1 = uni.agg(F.sum("c").alias("n1"))
+    n2 = big.agg(F.sum("c12").alias("n2"))
+    u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
+    u2 = uni.select(F.col("w").alias("u2w"), F.col("c").alias("c2"))
+    pmi = F.round(
+        F.log10(
+            (F.col("c12") / F.col("n2"))
+            / ((F.col("c1") / F.col("n1")) * (F.col("c2") / F.col("n1")))
+        ),
+        6,
+    )
+    return (
+        big.where(F.col("c12") >= MIN_PAIR_COUNT)
+        .join(F.broadcast(u1), F.col("w1") == F.col("u1w"))
+        .join(F.broadcast(u2), F.col("w2") == F.col("u2w"))
+        .join(F.broadcast(n1))
+        .join(F.broadcast(n2))
+        .select("w1", "w2", "c12", pmi.alias("pmi"))
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(TOP_COLLOCATIONS)
+    )
+
+
+COLLOCATIONS_SQL = f"""
+WITH t AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(toks) AS w FROM t)
+  GROUP BY w
+),
+big AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c12
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+tot AS (SELECT (SELECT sum(c) FROM uni) AS n1, (SELECT sum(c12) FROM big) AS n2)
+SELECT w1, w2, c12,
+       round(log10((c12 / CAST(n2 AS DOUBLE))
+                   / ((u1.c / CAST(n1 AS DOUBLE)) * (u2.c / CAST(n1 AS DOUBLE)))), 6) AS pmi
+FROM big
+JOIN uni u1 ON w1 = u1.w
+JOIN uni u2 ON w2 = u2.w
+CROSS JOIN tot
+WHERE c12 >= {MIN_PAIR_COUNT}
+ORDER BY pmi DESC, w1, w2
+LIMIT {TOP_COLLOCATIONS}
+"""
+
+
+# --- int8 embedding quantization ----------------------------------------------
+
+def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization of the embedding column:
+    scale = max |x|, q_i = floor(x_i / scale * 127 + 0.5), plus the max
+    absolute reconstruction error. floor(x + 0.5) on identical doubles
+    is bit-identical across engines (round() half-conventions differ)."""
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    vec = emb.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+    )
+    scaled = vec.select(
+        "vec_id", "v", F.array_max(F.transform("v", F.abs)).alias("scale")
+    )
+    q = F.when(F.col("scale") == 0, F.transform("v", lambda x: F.lit(0))).otherwise(
+        F.transform("v", lambda x: F.floor(x / F.col("scale") * 127 + 0.5).cast("int"))
+    )
+    qcol = scaled.select("vec_id", "v", "scale", q.alias("q"))
+    err = F.when(F.col("scale") == 0, F.lit(0.0)).otherwise(
+        F.array_max(
+            F.zip_with(
+                F.col("v"),
+                F.col("q"),
+                lambda x, qi: F.abs(x - qi * F.col("scale") / 127),
+            )
+        )
+    )
+    # floor-based 6dp rounding, NOT F.round: Spark rounds the shortest
+    # decimal repr (BigDecimal.valueOf) so 0.0012175-as-printed rounds
+    # up even when the binary double is below the midpoint; floor on
+    # identical doubles is bit-identical across engines.
+    # err is computed in its OWN projection: putting it in the same
+    # select as the `scale`-named rounded alias makes the lambda's
+    # F.col("scale") resolve laterally to the rounded value.
+    r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
+    raw = qcol.select("vec_id", "q", "scale", err.alias("raw_err"))
+    return raw.select(
+        "vec_id",
+        F.col("q").alias("qvec"),
+        r6(F.col("scale")).alias("scale"),
+        r6(F.col("raw_err")).alias("max_abs_err"),
+    )
+
+
+EMBED_QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) AS scale FROM v
+),
+q AS (
+  SELECT vec_id, v, scale,
+         CASE WHEN scale = 0 THEN list_transform(v, x -> 0)
+              ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) END AS qvec
+  FROM s
+)
+SELECT vec_id, qvec, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+       CASE WHEN scale = 0 THEN 0.0
+            ELSE floor(list_max(list_transform(generate_series(1, len(v)),
+                                i -> abs(v[i] - qvec[i] * scale / 127))) * 1e6 + 0.5) / 1e6
+       END AS max_abs_err
+FROM q
+"""
+
+
+QUERIES = {
+    "scrub_pii": scrub_pii,
+    "collocations_pmi": collocations_pmi,
+    "embed_quantize": embed_quantize,
+}
+
+ORACLES = {
+    "scrub_pii": SCRUB_PII_SQL,
+    "collocations_pmi": COLLOCATIONS_SQL,
+    "embed_quantize": EMBED_QUANTIZE_SQL,
+}

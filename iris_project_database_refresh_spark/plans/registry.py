@@ -40,6 +40,7 @@ def _load() -> None:
         relational,
         relational_ext,
         relational_full,
+        scrub,
         sectioning,
         textprep,
         textqc,
@@ -63,6 +64,7 @@ def _load() -> None:
         multimodal,
         advanced,
         packing,
+        scrub,
         tfidf,
         analytics,
         streaming_pipeline,

@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import scrub
+
+from .conftest import SF_CORRECT, SF_SMOKE, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(scrub.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        scrub.QUERIES[name](spark, SF_CORRECT), oracle, scrub.ORACLES[name]
+    )
+
+
+def test_scrub_removes_all_pii(spark):
+    rows = scrub.scrub_pii(spark, SF_SMOKE).collect()
+    for r in rows:
+        assert "@" not in r["scrubbed"]
+        assert "http" not in r["scrubbed"].replace("<URL>", "")
+        assert r["n_emails"] >= 1 and r["n_urls"] >= 1 and r["n_phones"] >= 1
+        assert r["chars_removed"] >= 0 or "<EMAIL>" in r["scrubbed"]
+
+
+def test_scrub_is_scan_only(spark):
+    plan = (
+        scrub.scrub_pii(spark, SF_SMOKE)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "Exchange" not in plan  # pure per-row regex, zero shuffle
+
+
+def test_quantize_roundtrip_error_bounded(spark):
+    rows = scrub.embed_quantize(spark, SF_SMOKE).collect()
+    for r in rows:
+        # symmetric int8: |err| <= scale/254 + fp noise
+        assert r["max_abs_err"] <= r["scale"] / 254 + 1e-6
+        assert all(-127 <= q <= 127 for q in r["qvec"])
+
+
+def test_collocations_min_count(spark):
+    rows = scrub.collocations_pmi(spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r["c12"] >= scrub.MIN_PAIR_COUNT for r in rows)
+    # top-k is sorted by pmi desc
+    pmis = [r["pmi"] for r in rows]
+    assert pmis == sorted(pmis, reverse=True)
+
+
+def test_collocations_unigrams_broadcast(spark):
+    plan = (
+        scrub.collocations_pmi(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
