@@ -129,10 +129,14 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks")
     )
+    # localCheckpoint pins the count tables so the four consumers
+    # (u1, u2, total-tokens, total-bigrams) don't each re-scan the
+    # corpus — without it the plan reads documents five times
     uni = (
         toks.select(F.explode("toks").alias("w"))
         .groupBy("w")
         .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
     )
     pairs = toks.select(
         F.explode(
@@ -146,7 +150,11 @@ def collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("p")
     ).select("p.w1", "p.w2")
-    big = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    big = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
     n1 = uni.agg(F.sum("c").alias("n1"))
     n2 = big.agg(F.sum("c12").alias("n2"))
     u1 = uni.select(F.col("w").alias("u1w"), F.col("c").alias("c1"))
