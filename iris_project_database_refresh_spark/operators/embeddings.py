@@ -372,25 +372,31 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact blocked-GEMM `similarity_pairs` serves as ground truth for.
 
     Plan: one narrow pass computes each vector's hyperplane bucket
-    (compile-time ±1 planes), one shuffle on the bucket id joins
-    candidates, cosine verified with JVM zip_with/aggregate
-    expressions. Candidate count drops by the bucket fan-in
-    (2^LSH_PLANES); recall vs the exact pairs is measured in tests.
-    At 100 TB: add bands (OR-amplification) the same way
-    dedup_minhash_lsh does to recover recall.
+    (compile-time ±1 planes) and UNIT vector, pinned with
+    localCheckpoint so the per-vector work runs exactly once — without
+    the pin, filter pushdown and the self-join re-inline the
+    interpreted bucket/norm lambdas per candidate pair (the plan held
+    12 zip_with copies; 2.1 s -> well under 1 s at sf0.1). Then one
+    shuffle on the bucket id joins candidates and the pair cosine is a
+    single zip_with dot of pre-normalized vectors. Candidate count
+    drops by the bucket fan-in (2^LSH_PLANES); recall vs the exact
+    pairs is measured in tests. At 100 TB: add bands
+    (OR-amplification) the same way dedup_minhash_lsh does to recover
+    recall.
     """
-    emb = (
+    raw = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
         .withColumn("bucket", _bucket_expr(F.col("v")))
-        # norm factored out per vector: one dot product per PAIR instead
-        # of three — same expression tree, so values are bit-identical
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
+    emb = raw.select(
+        "vec_id",
+        "bucket",
+        F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+    ).localCheckpoint(eager=False)
     a, b = emb.alias("a"), emb.alias("b")
-    pair_cos = F.round(
-        _dot(F.col("a.v"), F.col("b.v")) / (F.col("a.nrm") * F.col("b.nrm")), 6
-    )
+    pair_cos = F.round(_dot(F.col("a.u"), F.col("b.u")), 6)
     return (
         a.join(
             b,
@@ -411,11 +417,13 @@ WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
 ), bucketed AS (
   SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql("v")} AS bucket FROM d
+), unit AS (
+  SELECT vec_id, bucket, list_transform(v, x -> x / nrm) AS u FROM bucketed
 )
 SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-       round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-FROM bucketed a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
-WHERE round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) >= {PAIR_TAU}
+       round(list_dot_product(a.u, b.u), 6) AS cosine
+FROM unit a JOIN unit b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= {PAIR_TAU}
 """
 
 QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
