@@ -47,6 +47,7 @@ def _load() -> None:
         tfidf,
     )
     from ..streaming import dedup as streaming_dedup
+    from ..streaming import enrich as streaming_enrich
     from ..streaming import pipeline as streaming_pipeline
 
     for module in (
@@ -69,6 +70,7 @@ def _load() -> None:
         analytics,
         streaming_pipeline,
         streaming_dedup,
+        streaming_enrich,
     ):
         _register(module)
 

@@ -78,3 +78,11 @@ def test_streaming_dedup_matches_batch(spark):
     assert got.count() == want.count()
     key = lambda r: (r.event_id,)  # noqa: E731
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_static_enrichment_equals_batch(spark):
+    from iris_project_database_refresh_spark.streaming import enrich
+
+    got = enrich.run_enriched_available_now(spark, SF_CORRECT, table="enrich_test")
+    want = enrich.events_enriched_agg(spark, SF_CORRECT)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
