@@ -486,22 +486,10 @@ ORACLES = {
 CC_ROUNDS = 4  # label-propagation rounds: covers component diameter 2^4
 
 
-def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over the MinHash-LSH near-dup pairs:
-    every document in a duplicate cluster gets the cluster's min doc_id
-    as component_id — the survivorship key the reference's
-    delete-then-append merge needs when duplicates are transitive
-    (A~B, B~C => one cluster, one survivor).
-
-    Spark-first shape: iterative min-label propagation. Each round
-    joins current labels across the (undirected) edge set and takes the
-    elementwise min — CC_ROUNDS rounds cover any component of diameter
-    <= 2^CC_ROUNDS under min-propagation (planted clusters have
-    diameter <= 2; real corpora use until-fixpoint driving with
-    localCheckpoint per round). All joins shuffle on doc_id-sized keys;
-    no driver materialization. Oracle: recursive-CTE reachability with
-    min aggregation — same fixpoint.
-    """
+def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, component_id) labels from min-label propagation over
+    the MinHash-LSH near-dup edges; shared by the cluster formatting
+    and survivor-selection operators."""
     pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
     edges = pairs.unionAll(
         pairs.select(F.col("id_b").alias("id_a"), F.col("id_a").alias("id_b"))
@@ -524,7 +512,26 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-    comp = labels.select("doc_id", F.col("label").alias("component_id"))
+    return labels.select("doc_id", F.col("label").alias("component_id"))
+
+
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over the MinHash-LSH near-dup pairs:
+    every document in a duplicate cluster gets the cluster's min doc_id
+    as component_id — the survivorship key the reference's
+    delete-then-append merge needs when duplicates are transitive
+    (A~B, B~C => one cluster, one survivor).
+
+    Spark-first shape: iterative min-label propagation. Each round
+    joins current labels across the (undirected) edge set and takes the
+    elementwise min — CC_ROUNDS rounds cover any component of diameter
+    <= 2^CC_ROUNDS under min-propagation (planted clusters have
+    diameter <= 2; real corpora use until-fixpoint driving with
+    localCheckpoint per round). All joins shuffle on doc_id-sized keys;
+    no driver materialization. Oracle: recursive-CTE reachability with
+    min aggregation — same fixpoint.
+    """
+    comp = _components(spark, sf_dir)
     return (
         comp.groupBy("component_id")
         .agg(
@@ -589,6 +596,60 @@ GROUP BY component_id
 
 QUERIES["dedup_components"] = dedup_components
 ORACLES["dedup_components"] = DEDUP_COMPONENTS_SQL
+
+
+# --- survivor selection: keep the best document per near-dup cluster ---------
+
+def dedup_keep_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per near-dup cluster, pick the survivor by the keep-longest
+    policy (max characters, ties to the lowest doc_id) — the
+    end-to-end dedup decision the reference's delete-then-append merge
+    applies per file key (`catalog search/stage4_update_csv.py:379`),
+    generalized to transitive near-dup clusters.
+
+    Plan: the component labels join the corpus on doc_id (one shuffle;
+    clusters are a small fraction of the corpus), then one window per
+    component picks the survivor — both window functions share the
+    same partitioning, one exchange."""
+    from pyspark.sql import Window
+
+    comp = _components(spark, sf_dir)
+    corpus = _corpus(spark, sf_dir).select("doc_id", F.length("text").alias("n_chars"))
+    w = Window.partitionBy("component_id")
+    ranked = (
+        comp.join(corpus, "doc_id")
+        .withColumn("rn", F.row_number().over(w.orderBy(F.desc("n_chars"), "doc_id")))
+        .withColumn("cluster_size", F.count(F.lit(1)).over(w))
+    )
+    return ranked.where(F.col("rn") == 1).select(
+        "component_id",
+        F.col("doc_id").alias("survivor_id"),
+        F.col("n_chars").cast("bigint").alias("survivor_chars"),
+        F.col("cluster_size").cast("bigint").alias("cluster_size"),
+        (F.col("cluster_size") - 1).cast("bigint").alias("n_removed"),
+    )
+
+
+_CC_COMP_PREFIX_SQL = DEDUP_COMPONENTS_SQL[: DEDUP_COMPONENTS_SQL.index("SELECT component_id")]
+
+DEDUP_KEEP_BEST_SQL = f"""{_CC_COMP_PREFIX_SQL}
+SELECT component_id, survivor_id, survivor_chars, cluster_size, n_removed
+FROM (
+  SELECT c.component_id, d.doc_id AS survivor_id,
+         CAST(length(d.text) AS BIGINT) AS survivor_chars,
+         row_number() OVER (PARTITION BY c.component_id
+                            ORDER BY length(d.text) DESC, d.doc_id) AS rn,
+         CAST(count(*) OVER (PARTITION BY c.component_id) AS BIGINT) AS cluster_size,
+         CAST(count(*) OVER (PARTITION BY c.component_id) - 1 AS BIGINT) AS n_removed
+  FROM (SELECT doc_id, least(doc_id, min(other)) AS component_id
+        FROM reach GROUP BY doc_id) c
+  JOIN corpus d ON c.doc_id = d.doc_id
+)
+WHERE rn = 1
+"""
+
+QUERIES["dedup_keep_best"] = dedup_keep_best
+ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL
 
 
 # --- cross-document repeated-substring coverage ------------------------------
