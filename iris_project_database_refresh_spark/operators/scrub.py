@@ -276,14 +276,80 @@ FROM q
 """
 
 
+# --- vocabulary statistics (Zipf curve + coverage) ----------------------------
+
+VOCAB_TOP = 100
+
+
+def vocab_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary ranked by frequency with cumulative coverage —
+    the tokenizer-design view (how many types cover 90% of tokens, the
+    Zipf head/tail shape).
+
+    The rank/cumsum windows run over the COUNT TABLE, not the corpus:
+    vocabulary size is bounded (~1e6 types at any corpus size), so the
+    unpartitioned window is a deliberate, documented exception to the
+    no-global-window rule — its input is always small. The corpus-sized
+    work is the one token-count shuffle."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    uni = (
+        docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    total = uni.agg(F.sum("c").alias("total"))
+    order = Window.orderBy(F.desc("c"), "w")
+    ranked = (
+        uni.join(F.broadcast(total))
+        .withColumn("rank", F.row_number().over(order))
+        .withColumn("cum_c", F.sum("c").over(order.rowsBetween(Window.unboundedPreceding, 0)))
+    )
+    return (
+        ranked.where(F.col("rank") <= VOCAB_TOP)
+        .select(
+            "rank",
+            F.col("w").alias("token"),
+            F.col("c").alias("count"),
+            F.round(F.col("c") / F.col("total"), 6).alias("frequency"),
+            F.round(F.col("cum_c") / F.col("total"), 6).alias("cum_coverage"),
+        )
+    )
+
+
+VOCAB_STATS_SQL = f"""
+WITH uni AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+),
+ranked AS (
+  SELECT w, c,
+         row_number() OVER (ORDER BY c DESC, w) AS rank,
+         sum(c) OVER (ORDER BY c DESC, w ROWS UNBOUNDED PRECEDING) AS cum_c,
+         (SELECT sum(c) FROM uni) AS total
+  FROM uni
+)
+SELECT CAST(rank AS INT) AS rank, w AS token, c AS count,
+       round(c / CAST(total AS DOUBLE), 6) AS frequency,
+       round(cum_c / CAST(total AS DOUBLE), 6) AS cum_coverage
+FROM ranked WHERE rank <= {VOCAB_TOP}
+"""
+
+
 QUERIES = {
     "scrub_pii": scrub_pii,
     "collocations_pmi": collocations_pmi,
     "embed_quantize": embed_quantize,
+    "vocab_stats": vocab_stats,
 }
 
 ORACLES = {
     "scrub_pii": SCRUB_PII_SQL,
     "collocations_pmi": COLLOCATIONS_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
+    "vocab_stats": VOCAB_STATS_SQL,
 }
