@@ -652,6 +652,7 @@ QUERIES["dedup_keep_best"] = dedup_keep_best
 ORACLES["dedup_keep_best"] = DEDUP_KEEP_BEST_SQL
 
 
+
 # --- cross-document repeated-substring coverage ------------------------------
 
 SPAN = 8  # tokens per span (ExactSubstr-style window)
@@ -872,3 +873,85 @@ GROUP BY new_id
 
 QUERIES["dedup_incremental"] = dedup_incremental
 ORACLES["dedup_incremental"] = DEDUP_INCREMENTAL_SQL
+
+
+# --- benchmark decontamination -----------------------------------------------
+
+BENCH_MOD = 97  # doc_id % 97 == 0 -> "benchmark" doc (planted in-query)
+
+
+def doc_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set decontamination: training documents sharing any
+    SPAN-token sequence with the benchmark set, with overlap counts —
+    the n-gram-overlap filter every pretraining pipeline runs before
+    training (remove eval contamination). The benchmark set is planted
+    in-query (every BENCH_MOD-th doc), like the other derived corpora.
+
+    Plan: the benchmark's distinct span hashes are a tiny relation →
+    broadcast inner join against the training side's exploded distinct
+    spans, then one per-doc aggregation. The training corpus streams
+    once; no shuffle of corpus-sized data on the benchmark side. At
+    real scale the benchmark stays broadcast-sized by construction
+    (eval sets are millions of n-grams, not billions)."""
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    contaminated = base.where(F.col("doc_id") % BENCH_MOD == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.concat(F.col("text"), F.lit(" clean tail appended for padding")).alias("text"),
+    )
+    docs = base.unionAll(contaminated)
+    spans = (
+        docs.withColumn("th", F.expr(_TH_EXPR))
+        .select("doc_id", F.expr(_span_expr_spark()).alias("spans"))
+        .select("doc_id", F.array_distinct("spans").alias("spans"))
+        .localCheckpoint(eager=False)  # pin: both sides derive from it
+    )
+    bench = (
+        spans.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode("spans").alias("h"))
+        .distinct()
+    )
+    train = spans.where(F.col("doc_id") % BENCH_MOD != 0).select(
+        "doc_id", F.size("spans").alias("n_spans"), F.explode("spans").alias("h")
+    )
+    return (
+        train.join(F.broadcast(bench), "h")
+        .groupBy("doc_id", "n_spans")
+        .agg(F.count(F.lit(1)).alias("n_overlap_spans"))
+        .select(
+            "doc_id",
+            F.col("n_spans").cast("bigint").alias("n_spans"),
+            "n_overlap_spans",
+            F.round(F.col("n_overlap_spans") / F.col("n_spans"), 6).alias(
+                "contamination"
+            ),
+        )
+    )
+
+
+DOC_DECONTAMINATE_SQL = f"""
+WITH decon_corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000, text || ' clean tail appended for padding'
+  FROM documents WHERE doc_id % {BENCH_MOD} = 0
+),
+spans_t AS (
+  SELECT doc_id, list_distinct({_span_expr_sql()}) AS spans
+  FROM (SELECT doc_id, {_TH_SQL} AS th FROM decon_corpus)
+),
+bench AS (
+  SELECT DISTINCT unnest(spans) AS h FROM spans_t WHERE doc_id % {BENCH_MOD} = 0
+),
+train AS (
+  SELECT doc_id, len(spans) AS n_spans, unnest(spans) AS h
+  FROM spans_t WHERE doc_id % {BENCH_MOD} <> 0
+)
+SELECT doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+       count(*) AS n_overlap_spans,
+       round(count(*) / CAST(n_spans AS DOUBLE), 6) AS contamination
+FROM train JOIN bench USING (h)
+GROUP BY doc_id, n_spans
+"""
+
+QUERIES["doc_decontaminate"] = doc_decontaminate
+ORACLES["doc_decontaminate"] = DOC_DECONTAMINATE_SQL

@@ -31,3 +31,18 @@ def test_minhash_recall_against_exact(spark):
     assert exact, "expected planted near-dup pairs at jaccard >= 0.9"
     recall = len(exact & lsh) / len(exact)
     assert recall >= 0.9, f"LSH recall {recall:.2f} too low vs exact pairs"
+
+
+def test_decontaminate_catches_planted(spark):
+    from iris_project_database_refresh_spark.operators.dedup import (
+        BENCH_MOD,
+        doc_decontaminate,
+    )
+
+    rows = doc_decontaminate(spark, SF_CORRECT).collect()
+    planted = {r["doc_id"] for r in rows if r["doc_id"] >= 300000}
+    # every planted contaminated doc is flagged with high contamination
+    assert planted == {d + 300000 for d in range(0, 500, BENCH_MOD)}
+    for r in rows:
+        if r["doc_id"] >= 300000:
+            assert r["contamination"] > 0.5
