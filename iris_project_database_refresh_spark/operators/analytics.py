@@ -109,13 +109,97 @@ GROUP BY ROLLUP (event_type, date_trunc('day', ts))
 """
 
 
+
+# --- binned range join --------------------------------------------------------
+#
+# Spark has no native range-join optimization: `a JOIN b ON ts BETWEEN
+# start AND end` plans as BroadcastNestedLoopJoin (or worse, a
+# cartesian) — O(|a|x|b|) comparisons. The scale-safe pattern is to BIN
+# time: explode each interval into the day buckets it covers (bounded
+# fan-out: interval length / bin width + 1), equi-join events on
+# (user, bin) — an ordinary shuffled hash join — and apply the exact
+# BETWEEN as a residual filter. The oracle runs the naive BETWEEN join;
+# results agree exactly because binning only prunes candidates.
+#
+# Maintenance windows are planted in-query (the house pattern): per
+# user, WINDOWS_PER_USER 36-hour windows on a weekly cadence offset by
+# user id. Integer-second arithmetic throughout: Spark unix_timestamp
+# truncates to seconds while DuckDB epoch() keeps microseconds, but
+# floor(x) >= s  <=>  x >= s and floor(x) < e <=> x < e for integer
+# bounds, so the two residual filters admit identical event sets.
+
+BIN_S = 86400  # 1-day bins
+WINDOW_LEN_S = 36 * 3600
+WINDOWS_PER_USER = 4
+EPOCH_2024 = 1704067200  # 2024-01-01 00:00:00 UTC
+
+
+def range_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_timestamp("ts").alias("es"), "value"
+    )
+    users = ev.select("user_id").distinct()
+    iv = (
+        users.select(
+            "user_id", F.explode(F.sequence(F.lit(0), F.lit(WINDOWS_PER_USER - 1))).alias("k")
+        )
+        .select(
+            "user_id",
+            (F.col("user_id") * 10 + F.col("k")).alias("interval_id"),
+            (
+                F.lit(EPOCH_2024)
+                + (F.col("user_id") % 5 + F.col("k") * 7) * BIN_S
+            ).alias("start_s"),
+        )
+        .withColumn("end_s", F.col("start_s") + WINDOW_LEN_S)
+    )
+    binned_iv = iv.select(
+        "user_id",
+        "interval_id",
+        "start_s",
+        "end_s",
+        F.explode(
+            F.sequence(
+                F.floor(F.col("start_s") / BIN_S),
+                F.floor((F.col("end_s") - 1) / BIN_S),
+            )
+        ).alias("bin"),
+    )
+    binned_ev = ev.withColumn("bin", F.floor(F.col("es") / BIN_S))
+    return (
+        binned_ev.join(binned_iv, ["user_id", "bin"])
+        .where((F.col("es") >= F.col("start_s")) & (F.col("es") < F.col("end_s")))
+        .groupBy("interval_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+    )
+
+
+RANGE_JOIN_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+iv AS (
+  SELECT user_id, user_id * 10 + k AS interval_id,
+         {EPOCH_2024} + (user_id % 5 + k * 7) * {BIN_S} AS start_s
+  FROM users, (SELECT unnest(generate_series(0, {WINDOWS_PER_USER - 1})) AS k)
+)
+SELECT interval_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+FROM iv JOIN events ON events.user_id = iv.user_id
+  AND epoch(ts) >= start_s AND epoch(ts) < start_s + {WINDOW_LEN_S}
+GROUP BY interval_id
+"""
+
+
 QUERIES = {
+    "range_join_binned": range_join_binned,
     "per_source_linefit": per_source_linefit,
     "events_rolling_1h": events_rolling_1h,
     "monitor_rollup_cube": monitor_rollup_cube,
 }
 
 ORACLES = {
+    "range_join_binned": RANGE_JOIN_SQL,
     "per_source_linefit": LINEFIT_SQL,
     "events_rolling_1h": ROLLING_SQL,
     "monitor_rollup_cube": ROLLUP_SQL,

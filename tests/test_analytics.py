@@ -18,3 +18,18 @@ def test_rollup_has_grand_total(spark):
     rows = analytics.monitor_rollup_cube(spark, SF_CORRECT).collect()
     grand = [r for r in rows if r.grouping_level == 3]
     assert len(grand) == 1 and grand[0].n_events == 10000
+
+
+def test_range_join_is_equi_join(spark):
+    from iris_project_database_refresh_spark.operators.analytics import range_join_binned
+
+    plan = (
+        range_join_binned(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the whole point of binning: an ordinary equi-join, not a
+    # nested-loop over the BETWEEN predicate
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
