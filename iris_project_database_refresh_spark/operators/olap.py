@@ -1,0 +1,172 @@
+"""OLAP surface operators: exact quantile rollups, pivot tables,
+time-spine gap filling.
+
+These complete the monitor-table analytics family (reference:
+``database-schema.sql`` process_monitor_logs reporting plus the
+per-stage cost/latency summaries in ``catalog search/stage*`` logging)
+with three shapes every warehouse user expects:
+
+* `monitor_quantiles` — per-event-type exact p50/p90/p99 of ``value``
+  via the built-in ``percentile`` aggregate. Exact percentile buffers
+  the group's values (ObjectHashAggregate with mergeable partial
+  buffers), which is fine for bounded group counts but NOT the 100 TB
+  path — there you switch the same query to ``percentile_approx``
+  (GK-sketch: bounded memory, mergeable partials, map-side combine).
+  The exact form is kept here because it is bit-comparable to DuckDB's
+  ``quantile_cont`` (both linear-interpolate at index p*(n-1)), which
+  an approx sketch can never be.
+* `events_pivot` — day x event_type pivot with EXPLICIT pivot values.
+  Passing the value list is not cosmetic: without it Spark runs an
+  extra values-discovery job over the fact table, and the output schema
+  becomes data-dependent (a new event type silently widens the table).
+  With explicit values this is one hash aggregation with map-side
+  partials and a single shuffle on the day key.
+* `events_gapfill` — per-user hourly activity with missing hours
+  materialized from a generated time spine and values forward-filled
+  (``last(..., ignorenulls=True)`` over an ordered per-user window).
+  The spine is built distributively: per-user [min,max] hour spans ->
+  ``sequence()`` + ``explode`` (fan-out bounded by span/granularity;
+  no driver-side range materialization), left-joined back to the
+  hourly aggregate on the same (user_id, hour) keys. All shuffles are
+  over the *hourly aggregate* (|users| x |hours| rows), never the raw
+  event stream, so the expensive table is touched exactly once.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+# --- exact quantile rollup ----------------------------------------------------
+
+def monitor_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    return ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90"),
+        F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99"),
+    )
+
+
+QUANTILES_SQL = """
+SELECT event_type,
+       count(*) AS n,
+       round(quantile_cont(value, 0.5), 6) AS p50,
+       round(quantile_cont(value, 0.9), 6) AS p90,
+       round(quantile_cont(value, 0.99), 6) AS p99
+FROM events
+GROUP BY event_type
+"""
+
+
+# --- pivot with explicit values -----------------------------------------------
+
+def events_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    day = F.date_trunc("day", F.col("ts")).cast("date").alias("day")
+    pivoted = (
+        ev.select(day, "event_type", "value")
+        .groupBy("day")
+        .pivot("event_type", EVENT_TYPES)
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("value"),
+        )
+    )
+    # missing (day, type) cells surface as NULL from pivot; report 0 so
+    # the table is closed under downstream arithmetic (and matches the
+    # oracle's FILTER-aggregate, which counts empty sets as 0)
+    fixed = [
+        F.coalesce(F.col(f"{t}_{m}"), F.lit(0).cast(dt)).alias(f"{t}_{m}")
+        for t in EVENT_TYPES
+        for m, dt in (("n", "long"), ("value", "double"))
+    ]
+    return pivoted.select("day", *fixed)
+
+
+PIVOT_SQL = """
+SELECT date_trunc('day', ts) AS day,
+       {cols}
+FROM events
+GROUP BY date_trunc('day', ts)
+""".format(
+    cols=",\n       ".join(
+        f"count(*) FILTER (event_type = '{t}') AS {t}_n,\n"
+        f"       round(coalesce(sum(value) FILTER (event_type = '{t}'), 0), 2) AS {t}_value"
+        for t in EVENT_TYPES
+    )
+)
+
+
+# --- time-spine gap fill ------------------------------------------------------
+
+def events_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    # localCheckpoint pins the bounded hourly aggregate: both the spine
+    # (span min/max) and the join right side consume it, and without the
+    # pin lineage recomputes it — scanning the raw event stream twice
+    hourly = (
+        ev.select("user_id", F.date_trunc("hour", "ts").alias("hour"), "value")
+        .groupBy("user_id", "hour")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    spine = (
+        hourly.groupBy("user_id")
+        .agg(F.min("hour").alias("h0"), F.max("hour").alias("h1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("h0", "h1", F.expr("interval 1 hour"))).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return spine.join(hourly, ["user_id", "hour"], "left").select(
+        "user_id",
+        "hour",
+        F.coalesce("n_events", F.lit(0)).alias("n_events"),
+        F.last("sum_value", ignorenulls=True).over(w).alias("filled_value"),
+    )
+
+
+GAPFILL_SQL = """
+WITH hourly AS (
+  SELECT user_id, date_trunc('hour', ts) AS hour,
+         count(*) AS n_events, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+spans AS (SELECT user_id, min(hour) AS h0, max(hour) AS h1 FROM hourly GROUP BY 1),
+spine AS (
+  SELECT user_id, unnest(generate_series(h0, h1, INTERVAL 1 HOUR)) AS hour FROM spans
+)
+SELECT s.user_id, s.hour,
+       coalesce(h.n_events, 0) AS n_events,
+       last_value(h.sum_value IGNORE NULLS)
+         OVER (PARTITION BY s.user_id ORDER BY s.hour) AS filled_value
+FROM spine s LEFT JOIN hourly h USING (user_id, hour)
+"""
+
+
+QUERIES = {
+    "monitor_quantiles": monitor_quantiles,
+    "events_pivot": events_pivot,
+    "events_gapfill": events_gapfill,
+}
+
+ORACLES = {
+    "monitor_quantiles": QUANTILES_SQL,
+    "events_pivot": PIVOT_SQL,
+    "events_gapfill": GAPFILL_SQL,
+}

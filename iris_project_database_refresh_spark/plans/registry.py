@@ -36,6 +36,7 @@ def _load() -> None:
         dedup,
         embeddings,
         multimodal,
+        olap,
         packing,
         relational,
         relational_ext,
@@ -68,6 +69,7 @@ def _load() -> None:
         scrub,
         tfidf,
         analytics,
+        olap,
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,

@@ -1,0 +1,60 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import olap
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(olap.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        olap.QUERIES[name](spark, SF_CORRECT), oracle, olap.ORACLES[name]
+    )
+
+
+def test_gapfill_spine_is_contiguous_and_lossless(spark):
+    """The spine covers every hour in each user's [min, max] span with
+    no gaps, and filling never invents or drops events."""
+    out = olap.events_gapfill(spark, SF_CORRECT)
+    ev = load_table(spark, SF_CORRECT, "events")
+
+    n_total = out.agg(F.sum("n_events")).first()[0]
+    assert n_total == ev.count()
+
+    spans = out.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        (
+            (F.unix_timestamp(F.max("hour")) - F.unix_timestamp(F.min("hour"))) / 3600 + 1
+        ).alias("expected"),
+    )
+    bad = spans.where(F.col("n_hours") != F.col("expected")).count()
+    assert bad == 0
+
+    # forward fill leaves no NULLs after each user's first active hour
+    w_null = out.where(F.col("filled_value").isNull()).count()
+    assert w_null == 0
+
+
+def test_pivot_counts_sum_to_table_size(spark):
+    out = olap.events_pivot(spark, SF_CORRECT)
+    total = out.select(
+        sum(F.sum(f"{t}_n") for t in olap.EVENT_TYPES).alias("n")
+    ).first()["n"]
+    assert total == load_table(spark, SF_CORRECT, "events").count()
+
+
+def test_pivot_has_no_values_discovery_job(spark):
+    """Explicit pivot values: the plan must scan events exactly once
+    (no separate distinct-values job is even *planned* — discovery
+    happens eagerly at DataFrame-construction time otherwise)."""
+    plan = (
+        olap.events_pivot(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 1
