@@ -1,0 +1,150 @@
+"""User-journey analytics over the event stream: conversion funnels
+and cohort retention.
+
+Extends the monitor/event analytics family (reference:
+``database-schema.sql`` process_monitor_logs usage reporting) with the
+two behavioral shapes every event warehouse is asked for:
+
+* `events_funnel` — ordered-step conversion (view -> click ->
+  purchase) with a per-step conversion window. Each user's relevant
+  events collapse into ONE sorted array (a single shuffle on user_id),
+  and the sequential "first step-k event after step-(k-1)" scan is pure
+  Catalyst array algebra (``filter``/``transform``/``array_min`` over
+  the per-user list) — no self-joins of the fact table per step, which
+  is the naive formulation's cost (3 shuffled scans). Per-user state is
+  bounded by that user's event count in the funnel types; at 100 TB
+  you'd additionally bound the collection window (e.g. 30 days), which
+  composes as one more filter before the groupBy.
+* `cohort_retention` — weekly cohort x week-offset retention counts by
+  customer segment. The raw stream collapses to distinct (user, week)
+  activity first (shuffle #1); cohort assignment is a per-user min over
+  that bounded activity table (shuffle #2 on user_id); the segment
+  dimension joins as a broadcast. All downstream work runs on
+  |users| x |weeks| rows, never raw events.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+FUNNEL_STEPS = ["view", "click", "purchase"]
+STEP_WINDOW_US = 24 * 3600 * 1_000_000  # each step must convert within 24h
+
+
+def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin(*FUNNEL_STEPS))
+        .select("user_id", F.unix_micros("ts").alias("t"), F.col("event_type").alias("typ"))
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "typ"))).alias("evs")
+    )
+
+    def first_after(step: str, prev):
+        # min ts of a `step` event strictly after `prev`, within the window
+        cond = (
+            (lambda e: e["typ"] == step)
+            if prev is None
+            else (lambda e: (e["typ"] == step) & (e["t"] > prev) & (e["t"] <= prev + STEP_WINDOW_US))
+        )
+        return F.array_min(F.transform(F.filter("evs", cond), lambda e: e["t"]))
+
+    staged = per_user.withColumn("t1", first_after("view", None))
+    staged = staged.withColumn("t2", first_after("click", F.col("t1")))
+    staged = staged.withColumn("t3", first_after("purchase", F.col("t2")))
+    return staged.agg(
+        F.count("t1").alias("step1_users"),
+        F.count("t2").alias("step2_users"),
+        F.count("t3").alias("step3_users"),
+        F.round(F.count("t2") / F.count("t1"), 4).alias("rate_12"),
+        F.round(F.count("t3") / F.count("t2"), 4).alias("rate_23"),
+    )
+
+
+FUNNEL_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := epoch_us(ts), typ := event_type))) AS evs
+  FROM events_us
+  WHERE event_type IN ('view', 'click', 'purchase')
+  GROUP BY user_id
+),
+s1 AS (
+  SELECT user_id, evs,
+         list_min(list_transform(list_filter(evs, e -> e.typ = 'view'), e -> e.t)) AS t1
+  FROM per_user
+),
+s2 AS (
+  SELECT user_id, evs, t1,
+         list_min(list_transform(list_filter(evs,
+           e -> e.typ = 'click' AND e.t > t1 AND e.t <= t1 + {STEP_WINDOW_US}), e -> e.t)) AS t2
+  FROM s1
+),
+s3 AS (
+  SELECT t1, t2,
+         list_min(list_transform(list_filter(evs,
+           e -> e.typ = 'purchase' AND e.t > t2 AND e.t <= t2 + {STEP_WINDOW_US}), e -> e.t)) AS t3
+  FROM s2
+)
+SELECT count(t1) AS step1_users,
+       count(t2) AS step2_users,
+       count(t3) AS step3_users,
+       round(count(t2) / count(t1), 4) AS rate_12,
+       round(count(t3) / count(t2), 4) AS rate_23
+FROM s3
+"""
+
+
+def cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("week", "ts").cast("date").alias("week")
+    ).distinct()
+    cohorts = activity.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    seg = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), F.col("c_mktsegment").alias("segment")
+    )
+    return (
+        activity.join(cohorts, "user_id")
+        .join(F.broadcast(seg), "user_id")
+        .groupBy(
+            "segment",
+            "cohort_week",
+            F.floor(F.datediff("week", "cohort_week") / 7).cast("long").alias("offset_weeks"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+
+
+COHORT_SQL = """
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS DATE) AS week FROM events
+),
+cohorts AS (SELECT user_id, min(week) AS cohort_week FROM activity GROUP BY 1)
+SELECT c.c_mktsegment AS segment,
+       cohort_week,
+       CAST(date_diff('week', cohort_week, week) AS BIGINT) AS offset_weeks,
+       count(*) AS n_users
+FROM activity
+JOIN cohorts USING (user_id)
+JOIN customer c ON c.c_custkey = activity.user_id
+GROUP BY 1, 2, 3
+"""
+
+
+QUERIES = {
+    "events_funnel": events_funnel,
+    "cohort_retention": cohort_retention,
+}
+
+ORACLES = {
+    "events_funnel": FUNNEL_SQL,
+    "cohort_retention": COHORT_SQL,
+}

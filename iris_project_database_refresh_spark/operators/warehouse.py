@@ -1,0 +1,132 @@
+"""Warehouse maintenance operators: SCD2 interval materialization and
+column profiling.
+
+Both extend the catalog-refresh family (reference: ``catalog
+search/stage4_update_csv.py`` master-merge semantics and
+``stage5_output_final_csv.py`` validate_csv_data): stage4 keeps only
+the latest record per document — SCD2 is the standard warehouse answer
+when history must be queryable instead of overwritten, and the profile
+is the column-level generalization of stage5's per-field checks.
+
+* `scd2_intervals` — slowly-changing-dimension type-2 build: a change
+  history (planted deterministically in-query, the house pattern:
+  1-3 versions per doc on a per-doc cadence) becomes validity
+  intervals via ``lead(valid_from)`` over a per-key window —
+  half-open [valid_from, valid_to), NULL-terminated current rows.
+  One shuffle on the business key; the window is a single sorted pass.
+* `table_profile` — per-column profile of the lineitem measures
+  (count / nulls / min / max / mean / stddev / distinct) computed in
+  ONE aggregation pass, then unpivoted to long form via an in-plan
+  explode of per-column structs (no second scan, no driver work).
+  The exact multi-column count(DISTINCT) plans an Expand (x4 row
+  multiplier before partial aggs) — kept because it is bit-comparable
+  to the DuckDB oracle; at 100 TB the same query swaps in
+  ``approx_count_distinct`` (HLL: one pass, no Expand, mergeable).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+MAX_VERSIONS = 3  # planted history: doc_id % 3 + 1 versions per doc
+
+
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    vers = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), (F.col("doc_id") % MAX_VERSIONS).cast("int"))).alias("k"),
+    ).select(
+        "doc_id",
+        F.date_add(
+            F.to_date(F.lit("2024-01-01")),
+            ((F.col("doc_id") % 7 + 1) * F.col("k")).cast("int"),
+        ).alias("valid_from"),
+        F.substring(F.md5(F.concat_ws("-", "doc_id", "k")), 1, 8).alias("attr"),
+    )
+    w = Window.partitionBy("doc_id").orderBy("valid_from")
+    return vers.select(
+        "doc_id",
+        "attr",
+        "valid_from",
+        F.lead("valid_from").over(w).alias("valid_to"),
+    ).withColumn("is_current", F.col("valid_to").isNull())
+
+
+SCD2_SQL = f"""
+WITH vers AS (
+  SELECT doc_id,
+         DATE '2024-01-01' + CAST((doc_id % 7 + 1) * k AS INTEGER) AS valid_from,
+         substring(md5(doc_id::VARCHAR || '-' || k::VARCHAR), 1, 8) AS attr
+  FROM documents
+  CROSS JOIN (VALUES (0), (1), (2)) v(k)
+  WHERE k <= doc_id % {MAX_VERSIONS}
+)
+SELECT doc_id, attr, valid_from,
+       lead(valid_from) OVER w AS valid_to,
+       lead(valid_from) OVER w IS NULL AS is_current
+FROM vers
+WINDOW w AS (PARTITION BY doc_id ORDER BY valid_from)
+"""
+
+
+PROFILE_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+
+
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(*PROFILE_COLS)
+    aggs = []
+    for c in PROFILE_COLS:
+        aggs += [
+            F.count(c).alias(f"{c}_n"),
+            F.sum(F.col(c).isNull().cast("long")).alias(f"{c}_nulls"),
+            F.round(F.min(c), 6).alias(f"{c}_min"),
+            F.round(F.max(c), 6).alias(f"{c}_max"),
+            F.round(F.avg(c), 6).alias(f"{c}_avg"),
+            F.round(F.stddev_samp(c), 6).alias(f"{c}_std"),
+            F.countDistinct(c).alias(f"{c}_nd"),
+        ]
+    wide = li.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(c).alias("col_name"),
+            F.col(f"{c}_n").alias("n_rows"),
+            F.col(f"{c}_nulls").alias("n_null"),
+            F.col(f"{c}_min").alias("min_v"),
+            F.col(f"{c}_max").alias("max_v"),
+            F.col(f"{c}_avg").alias("avg_v"),
+            F.col(f"{c}_std").alias("std_v"),
+            F.col(f"{c}_nd").alias("n_distinct"),
+        )
+        for c in PROFILE_COLS
+    ]
+    return wide.select(F.explode(F.array(*structs)).alias("s")).select("s.*")
+
+
+PROFILE_SQL = "\nUNION ALL\n".join(
+    f"""
+SELECT '{c}' AS col_name,
+       count({c}) AS n_rows,
+       count(*) - count({c}) AS n_null,
+       round(min({c}), 6) AS min_v,
+       round(max({c}), 6) AS max_v,
+       round(avg({c}), 6) AS avg_v,
+       round(stddev_samp({c}), 6) AS std_v,
+       count(DISTINCT {c}) AS n_distinct
+FROM lineitem"""
+    for c in PROFILE_COLS
+)
+
+
+QUERIES = {
+    "scd2_intervals": scd2_intervals,
+    "table_profile": table_profile,
+}
+
+ORACLES = {
+    "scd2_intervals": SCD2_SQL,
+    "table_profile": PROFILE_SQL,
+}

@@ -35,6 +35,7 @@ def _load() -> None:
         chunking,
         dedup,
         embeddings,
+        journeys,
         multimodal,
         olap,
         packing,
@@ -46,6 +47,7 @@ def _load() -> None:
         textprep,
         textqc,
         tfidf,
+        warehouse,
     )
     from ..streaming import dedup as streaming_dedup
     from ..streaming import enrich as streaming_enrich
@@ -70,6 +72,8 @@ def _load() -> None:
         tfidf,
         analytics,
         olap,
+        journeys,
+        warehouse,
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,

@@ -1,0 +1,56 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import journeys, warehouse
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+ALL = {**journeys.QUERIES, **warehouse.QUERIES}
+ORACLES = {**journeys.ORACLES, **warehouse.ORACLES}
+
+
+@pytest.mark.parametrize("name", sorted(ALL))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(ALL[name](spark, SF_CORRECT), oracle, ORACLES[name])
+
+
+def test_funnel_is_monotone(spark):
+    row = journeys.events_funnel(spark, SF_CORRECT).first()
+    assert row.step1_users >= row.step2_users >= row.step3_users
+    assert row.step2_users > 0  # the 24h window is not degenerate
+
+
+def test_cohort_offsets_start_at_zero(spark):
+    out = journeys.cohort_retention(spark, SF_CORRECT)
+    assert out.agg(F.min("offset_weeks")).first()[0] == 0
+    assert out.where(F.col("n_users") <= 0).count() == 0
+
+
+def test_scd2_intervals_partition_history(spark):
+    """Per key: exactly one current row, no overlapping intervals, and
+    each non-current row's valid_to equals the next valid_from."""
+    out = warehouse.scd2_intervals(spark, SF_CORRECT)
+    per_doc = out.groupBy("doc_id").agg(
+        F.sum(F.col("is_current").cast("long")).alias("n_current"),
+        F.sum((F.col("valid_to") <= F.col("valid_from")).cast("long")).alias("n_inverted"),
+    )
+    bad = per_doc.where((F.col("n_current") != 1) | (F.col("n_inverted") > 0)).count()
+    assert bad == 0
+    # versions per doc follow the planted cadence
+    counts = out.groupBy("doc_id").count()
+    mismatch = counts.where(
+        F.col("count") != (F.col("doc_id") % warehouse.MAX_VERSIONS + 1)
+    ).count()
+    assert mismatch == 0
+
+
+def test_profile_accounts_for_every_row(spark):
+    out = warehouse.table_profile(spark, SF_CORRECT).collect()
+    n_table = load_table(spark, SF_CORRECT, "lineitem").count()
+    assert len(out) == len(warehouse.PROFILE_COLS)
+    for r in out:
+        assert r.n_rows + r.n_null == n_table
+        assert r.min_v <= r.avg_v <= r.max_v
