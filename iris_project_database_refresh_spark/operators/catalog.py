@@ -298,11 +298,95 @@ FROM merged
 """
 
 
+# --- fuzzy file-name reconciliation -------------------------------------------
+#
+# stage1's delta detection (stage1_extract_csv.py:612-689) matches NAS
+# files to catalog rows by EXACT file_name; renamed-in-place files
+# (report_v1 -> report_v2, fixed typos) register as delete+new and lose
+# their history. `fuzzy_match_names` is the reconciliation pass: match
+# the two snapshots under levenshtein distance <= 2.
+#
+# Naively that is an all-pairs string-distance join — O(n^2) distance
+# evaluations, a cartesian at 100 TB. The scale shape here is PREFIX
+# BLOCKING: both sides hash-join on the first 4 name characters (an
+# ordinary equi-join), and the edit distance runs only inside each
+# bounded block as a residual filter. Blocking on a stable prefix is the
+# documented contract (filename stems are stable in the reference's
+# corpus; edits cluster in version suffixes/extensions) — an edit inside
+# the first 4 chars would be missed, exactly like an LSH band miss.
+# Spark evaluates the residual with the THRESHOLDED levenshtein
+# (early-exits once distance exceeds 2, returning -1) so per-pair cost
+# is O(len * 2) not O(len^2).
+#
+# Both snapshots are planted deterministically from `documents` (house
+# pattern): side B perturbs ~3/5 of names with 1-2 character edits at
+# positions >= 6 (substitutions / a trailing deletion), mirrored exactly
+# in the oracle.
+
+def fuzzy_match_names(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    base = F.concat(F.substring(F.md5(ds), 1, 10), F.lit("_"), ds, F.lit(".txt"))
+    tail = lambda pos: F.col("name").substr(F.lit(pos), F.length("name"))  # noqa: E731
+    named = docs.select("doc_id", base.alias("name"), (F.col("doc_id") % 5).alias("m"))
+    side_a = named.select(F.col("name").alias("name_a"))
+    side_b = named.select(
+        F.when(
+            F.col("m") == 0,
+            F.concat(F.substring("name", 1, 5), F.lit("z"), tail(7)),
+        )
+        .when(F.col("m") == 1, F.col("name").substr(F.lit(1), F.length("name") - 1))
+        .when(
+            F.col("m") == 2,
+            F.concat(
+                F.substring("name", 1, 5),
+                F.lit("z"),
+                F.substring("name", 7, 1),
+                F.lit("q"),
+                tail(9),
+            ),
+        )
+        .otherwise(F.col("name"))
+        .alias("name_b")
+    )
+    a = side_a.withColumn("blk", F.substring("name_a", 1, 4))
+    b = side_b.withColumn("blk", F.substring("name_b", 1, 4))
+    return (
+        a.join(b, "blk")
+        .select("name_a", "name_b", F.levenshtein("name_a", "name_b", 2).alias("dist"))
+        .where(F.col("dist") >= 0)
+    )
+
+
+FUZZY_MATCH_SQL = """
+WITH named AS (
+  SELECT doc_id,
+         substr(md5(doc_id::VARCHAR), 1, 10) || '_' || doc_id::VARCHAR || '.txt' AS name,
+         doc_id % 5 AS m
+  FROM documents
+),
+side_a AS (SELECT name AS name_a FROM named),
+side_b AS (
+  SELECT CASE
+           WHEN m = 0 THEN substr(name, 1, 5) || 'z' || substr(name, 7)
+           WHEN m = 1 THEN substr(name, 1, length(name) - 1)
+           WHEN m = 2 THEN substr(name, 1, 5) || 'z' || substr(name, 7, 1) || 'q' || substr(name, 9)
+           ELSE name
+         END AS name_b
+  FROM named
+)
+SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+FROM side_a JOIN side_b ON substr(name_a, 1, 4) = substr(name_b, 1, 4)
+WHERE levenshtein(name_a, name_b) <= 2
+"""
+
+
 QUERIES = {
     "catalog_delta": catalog_delta,
     "catalog_merge": catalog_merge,
     "catalog_validate": catalog_validate,
     "refresh_upsert": refresh_upsert,
+    "fuzzy_match_names": fuzzy_match_names,
 }
 
 ORACLES = {
@@ -310,4 +394,5 @@ ORACLES = {
     "catalog_merge": CATALOG_MERGE_SQL,
     "catalog_validate": CATALOG_VALIDATE_SQL,
     "refresh_upsert": REFRESH_UPSERT_SQL,
+    "fuzzy_match_names": FUZZY_MATCH_SQL,
 }

@@ -159,14 +159,108 @@ FROM spine s LEFT JOIN hourly h USING (user_id, hour)
 """
 
 
+# --- ntile quartiles ----------------------------------------------------------
+#
+# Per-user purchase spend bucketed into quartiles. The ntile window is
+# global-ordered, which means a single-partition sort — acceptable ONLY
+# because it runs over the per-user aggregate (bounded by |users|, like
+# vocab_stats' global rank over the bounded vocabulary), never the raw
+# stream. Ties are broken by (spend, user_id) so bucket assignment is
+# deterministic across engines.
+
+def user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    spend = (
+        ev.where(F.col("event_type") == "purchase")
+        .groupBy("user_id")
+        .agg(F.round(F.sum("value"), 2).alias("spend"))
+    )
+    w = Window.orderBy("spend", "user_id")
+    return (
+        spend.select("user_id", "spend", F.ntile(4).over(w).alias("quartile"))
+        .groupBy("quartile")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.round(F.min("spend"), 2).alias("lo"),
+            F.round(F.max("spend"), 2).alias("hi"),
+            F.round(F.avg("spend"), 6).alias("avg_spend"),
+        )
+    )
+
+
+QUARTILES_SQL = """
+WITH spend AS (
+  SELECT user_id, round(sum(value), 2) AS spend
+  FROM events WHERE event_type = 'purchase' GROUP BY 1
+),
+q AS (
+  SELECT user_id, spend, ntile(4) OVER (ORDER BY spend, user_id) AS quartile FROM spend
+)
+SELECT quartile, count(*) AS n_users,
+       round(min(spend), 2) AS lo,
+       round(max(spend), 2) AS hi,
+       round(avg(spend), 6) AS avg_spend
+FROM q GROUP BY quartile
+"""
+
+
+# --- IQR outlier detection ----------------------------------------------------
+#
+# Tukey fences per event type: bounds from exact quartiles (5-row
+# result), broadcast back onto the stream, one counting pass. The
+# threshold is rounded to 6dp on BOTH sides before comparing — the two
+# engines' interpolations agree to ~1e-12 but not bit-exactly, and an
+# unrounded fence sitting exactly on a data value would flip the count.
+
+def outlier_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.25)").alias("q1"),
+        F.expr("percentile(value, 0.75)").alias("q3"),
+    )
+    fenced = bounds.select(
+        "event_type",
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias("fence"),
+    )
+    return (
+        ev.join(F.broadcast(fenced), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.sum((F.col("value") > F.col("fence")).cast("long")).alias("n_outliers"),
+            F.count(F.lit(1)).alias("n_total"),
+            F.round(F.max("value"), 2).alias("max_value"),
+        )
+    )
+
+
+OUTLIER_SQL = """
+WITH b AS (
+  SELECT event_type,
+         round(quantile_cont(value, 0.75)
+               + 1.5 * (quantile_cont(value, 0.75) - quantile_cont(value, 0.25)), 6) AS fence
+  FROM events GROUP BY 1
+)
+SELECT e.event_type,
+       count(*) FILTER (value > fence) AS n_outliers,
+       count(*) AS n_total,
+       round(max(value), 2) AS max_value
+FROM events e JOIN b USING (event_type)
+GROUP BY e.event_type
+"""
+
+
 QUERIES = {
     "monitor_quantiles": monitor_quantiles,
     "events_pivot": events_pivot,
     "events_gapfill": events_gapfill,
+    "user_spend_quartiles": user_spend_quartiles,
+    "outlier_iqr": outlier_iqr,
 }
 
 ORACLES = {
     "monitor_quantiles": QUANTILES_SQL,
     "events_pivot": PIVOT_SQL,
     "events_gapfill": GAPFILL_SQL,
+    "user_spend_quartiles": QUARTILES_SQL,
+    "outlier_iqr": OUTLIER_SQL,
 }

@@ -47,6 +47,37 @@ def test_pivot_counts_sum_to_table_size(spark):
     assert total == load_table(spark, SF_CORRECT, "events").count()
 
 
+def test_quartiles_are_balanced_and_ordered(spark):
+    rows = {r.quartile: r for r in olap.user_spend_quartiles(spark, SF_CORRECT).collect()}
+    assert sorted(rows) == [1, 2, 3, 4]
+    # ntile balance: bucket sizes differ by at most 1
+    sizes = [rows[q].n_users for q in sorted(rows)]
+    assert max(sizes) - min(sizes) <= 1
+    # buckets are ordered ranges
+    for q in (1, 2, 3):
+        assert rows[q].hi <= rows[q + 1].lo
+
+
+def test_outlier_fences_are_sane(spark):
+    for r in olap.outlier_iqr(spark, SF_CORRECT).collect():
+        assert 0 < r.n_outliers < r.n_total
+
+
+def test_fuzzy_match_no_false_negatives(spark):
+    """Every planted perturbation (edits at positions >= 6, within the
+    blocking contract) must be recovered, with the planted distance."""
+    from iris_project_database_refresh_spark.operators import catalog
+
+    out = catalog.fuzzy_match_names(spark, SF_CORRECT)
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert out.count() == docs.count()
+    by_dist = {r.dist: r["count"] for r in out.groupBy("dist").count().collect()}
+    n, per = docs.count(), docs.count() // 5
+    assert by_dist[0] == n - 3 * per  # m in {3, 4} plus unperturbed remainder
+    assert by_dist[1] == 2 * per  # substitution (m=0) + deletion (m=1)
+    assert by_dist[2] == per  # double substitution (m=2)
+
+
 def test_pivot_has_no_values_discovery_job(spark):
     """Explicit pivot values: the plan must scan events exactly once
     (no separate distinct-values job is even *planned* — discovery
