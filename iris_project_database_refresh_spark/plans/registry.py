@@ -43,6 +43,7 @@ def _load() -> None:
         relational_ext,
         relational_full,
         scrub,
+        search,
         sectioning,
         textprep,
         textqc,
@@ -74,6 +75,7 @@ def _load() -> None:
         olap,
         journeys,
         warehouse,
+        search,
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,

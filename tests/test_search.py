@@ -1,0 +1,50 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import search
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(search.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(search.QUERIES[name](spark, SF_CORRECT), oracle, search.ORACLES[name])
+
+
+def test_bm25_is_a_ranked_topk(spark):
+    rows = search.bm25_search(spark, SF_CORRECT).collect()
+    assert len(rows) == search.TOP_K
+    scores = [r.score for r in rows]
+    assert scores == sorted(scores, reverse=True)
+    assert all(s > 0 for s in scores)
+
+
+def test_rrf_fuses_both_rankers(spark):
+    out = search.hybrid_search_rrf(spark, SF_CORRECT)
+    rows = out.collect()
+    assert len(rows) == search.TOP_K
+    # the fused list must contain docs ranked by each side
+    assert any(r.rank_lex is not None for r in rows)
+    assert any(r.rank_sem is not None for r in rows)
+    # RRF score equals the sum of the per-ranker contributions
+    for r in rows:
+        want = sum(
+            1.0 / (search.RRF_K + rank)
+            for rank in (r.rank_lex, r.rank_sem)
+            if rank is not None
+        )
+        assert abs(r.rrf_score - want) < 1e-6
+
+
+def test_bm25_tokenizes_once(spark):
+    """The per-doc projection is pinned: the corpus scan must not appear
+    twice in the executed plan (stats + scoring share one pass)."""
+    plan = (
+        search.bm25_search(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("FileScan parquet") == 0  # subsumed by the pinned RDD
