@@ -1,0 +1,90 @@
+"""Hive-partitioned parquet layout: pruned reads and copy-on-write
+merge.
+
+The reference rewrites its whole master file every refresh cycle
+(`catalog search/stage4_update_csv.py` loads + rewrites the full CSV;
+`semantic search/stage_06_database_upload.py` stages full-table
+deletes) — acceptable for thousands of rows, impossible at 100 TB. The
+lakehouse answer is a partitioned layout where the refresh touches only
+the partitions the delta lands in:
+
+* `write_partitioned` — hive-style ``partitionBy`` parquet layout
+  (e.g. ``day=2024-01-05/``). Each partition's data is coalesced
+  through ``repartition(partition cols)`` first so one task owns one
+  partition directory (no small-file explosion — the same concern
+  `shards.py` handles for hash layout).
+* `read_pruned` — reads with a partition predicate; the scan's
+  ``PartitionFilters`` prune directories BEFORE any IO (asserted in
+  tests) — the mechanism that makes a 100 TB table behave like the
+  few-GB slice a query actually touches.
+* `cow_merge` — copy-on-write upsert: join the incoming batch's
+  partition keys against the layout, rewrite ONLY the impacted
+  partition directories (``INSERT OVERWRITE`` on a partition subset via
+  dynamic partition overwrite), leave every other file untouched
+  (asserted byte-identical in tests). This is the stage4 master-merge
+  re-expressed so refresh cost scales with the delta, not the corpus —
+  the same motivation as `dedup_incremental`'s batch-vs-master probe.
+
+Dynamic partition overwrite (``spark.sql.sources.partitionOverwriteMode
+= dynamic``) is the load-bearing setting: static mode would truncate
+the whole table before writing the delta.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def write_partitioned(df: DataFrame, path: str, partition_cols: list[str]) -> None:
+    """Write a hive-partitioned parquet layout, one file per partition."""
+    (
+        df.repartition(*[F.col(c) for c in partition_cols])
+        .write.partitionBy(*partition_cols)
+        .mode("overwrite")
+        .parquet(path)
+    )
+
+
+def read_pruned(spark: SparkSession, path: str, predicate: str) -> DataFrame:
+    """Read the layout with a partition predicate (pruned at planning)."""
+    return spark.read.parquet(path).where(predicate)
+
+
+def cow_merge(
+    spark: SparkSession,
+    path: str,
+    batch: DataFrame,
+    key_col: str,
+    partition_cols: list[str],
+) -> None:
+    """Copy-on-write upsert of ``batch`` into the layout at ``path``.
+
+    Only partitions containing batch rows are rewritten: existing rows
+    in those partitions whose key does NOT appear in the batch are
+    carried over, batch rows replace/append the rest. Partitions with
+    no batch rows keep their files byte-for-byte.
+    """
+    prev_mode = spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        impacted = batch.select(*partition_cols).distinct()
+        existing = spark.read.parquet(path)
+        # carried = rows in impacted partitions, not replaced by the batch
+        carried = existing.join(F.broadcast(impacted), partition_cols, "left_semi").join(
+            batch.select(key_col), [key_col], "left_anti"
+        )
+        # eager pin: the write targets the same path it reads, so the
+        # carried rows must be fully materialized before any file is
+        # replaced (also satisfies Spark's read/overwrite cycle check).
+        # Cost is proportional to the impacted partitions — i.e. to the
+        # delta — which is the whole point of the copy-on-write layout.
+        merged = carried.unionByName(batch).localCheckpoint(eager=True)
+        (
+            merged.repartition(*[F.col(c) for c in partition_cols])
+            .write.partitionBy(*partition_cols)
+            .mode("overwrite")  # dynamic: overwrites ONLY written partitions
+            .parquet(path)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
