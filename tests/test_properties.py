@@ -34,19 +34,38 @@ def _minhash_sig(hashes: set[int]) -> list[int]:
     return [min((a * x + b) % P for x in hashes) for a, b in AB]
 
 
-@given(
-    st.lists(st.sampled_from(WORDS), min_size=3, max_size=60),
-    st.lists(st.sampled_from(WORDS), min_size=3, max_size=60),
-)
-@settings(max_examples=200, deadline=None)
-def test_minhash_estimates_jaccard(t1, t2):
-    """Signature agreement rate must approximate true Jaccard within a
-    tolerance consistent with 16 permutations (σ ≈ sqrt(j(1-j)/16))."""
-    h1, h2 = _shingle_hashes(t1), _shingle_hashes(t2)
-    true_j = len(h1 & h2) / len(h1 | h2)
-    s1, s2 = _minhash_sig(h1), _minhash_sig(h2)
-    est = sum(a == b for a, b in zip(s1, s2)) / len(AB)
-    assert abs(est - true_j) <= 0.45  # 16 perms → generous but real bound
+def test_minhash_estimates_jaccard():
+    """Signature agreement rate approximates true Jaccard *on average*.
+
+    The production permutations (AB) are fixed, so for any tight
+    per-example bound there exists an adversarial input pair that breaks
+    it — the estimator's guarantee is statistical, not per-pair. Assert
+    the mean absolute deviation over a seeded corpus of pairs is within
+    what 16 permutations promise (σ ≈ sqrt(j(1-j)/16) ≤ 0.125, so mean
+    |est−j| ≈ 0.1), plus a generous per-pair sanity ceiling.
+    """
+    import random
+
+    rng = random.Random(20260813)
+    devs = []
+    for _ in range(300):
+        n1 = rng.randint(3, 60)
+        n2 = rng.randint(3, 60)
+        t1 = [rng.choice(WORDS) for _ in range(n1)]
+        # overlap: splice a prefix of t1 into t2 with random probability
+        keep = rng.random()
+        t2 = [
+            t1[i % n1] if rng.random() < keep else rng.choice(WORDS)
+            for i in range(n2)
+        ]
+        h1, h2 = _shingle_hashes(t1), _shingle_hashes(t2)
+        true_j = len(h1 & h2) / len(h1 | h2)
+        s1, s2 = _minhash_sig(h1), _minhash_sig(h2)
+        est = sum(a == b for a, b in zip(s1, s2)) / len(AB)
+        devs.append(abs(est - true_j))
+    devs.sort()
+    assert sum(devs) / len(devs) <= 0.15
+    assert devs[int(0.95 * len(devs))] <= 0.40
 
 
 @given(st.lists(st.sampled_from(WORDS), min_size=3, max_size=60))
