@@ -1,0 +1,314 @@
+"""Mergeable-sketch and deterministic-sampling operators.
+
+The 100 TB versions of "how many distinct users", "what are the hot
+tokens" and "give me a representative subset" are sketches and hash
+sampling, not exact global passes. Spark ships approximate built-ins
+(``approx_count_distinct`` = HLL++, ``percentile_approx`` = GK) but
+their estimates are engine-internal, so an oracle can never reproduce
+them. These operators instead implement the *classic published
+sketches whose estimates are pure arithmetic over md5 hashes* — both
+engines compute the identical estimate, so the driver's value-hash
+gate applies to the approximation itself, not just to an exact
+fallback:
+
+* `approx_distinct_kmv` — K-minimum-values (KMV / bottom-k theta
+  sketch): the K smallest 32-bit hashes of the distinct keys estimate
+  the distinct count as (K-1) * 2^32 / h_K. The sketch is mergeable
+  (union = K smallest of the combined bottom-K sets), which is what
+  makes it a map-side-combinable partial aggregate at scale; here the
+  per-group bottom-K is produced by a rank-limited window, which Spark
+  compiles to WindowGroupLimit (partial top-K per partition before the
+  shuffle — the mergeability, expressed in Catalyst). The exact
+  distinct count rides along as the audit column.
+* `heavy_hitters_cms` — count-min sketch: D=4 md5-seeded hash rows x
+  W=1024 buckets of summed counts; a token's estimate is the min of
+  its D bucket counters, an upper bound with overestimate bounded by
+  (total mass)/W per row. The corpus collapses to the vocabulary count
+  table FIRST (one shuffle); the 4x bucket fan-out and the 4096-row
+  sketch are vocabulary-sized, never corpus-sized, and the sketch
+  broadcasts back onto the exact top-K candidates for the
+  overestimate audit.
+* `stratified_sample` — per-stratum fixed quota (N per source) by md5
+  order: reproducible across runs AND engines, unlike ``sample()``
+  (RNG, partition-layout dependent). Rank-limited window →
+  WindowGroupLimit partial top-N per partition, so each executor
+  forwards at most N rows per stratum.
+* `weighted_sample_priority` — Duffield-Lund-Thorup priority
+  sampling: priority q_i = w_i / u_i with u_i a hash-uniform in (0,1);
+  the K highest-priority rows form a weight-proportional sample with
+  unbiased subset-sum estimators. u_i = (h_i + 0.5) / 2^32 is exact in
+  binary64 and q_i needs one multiply + one divide — both correctly
+  rounded under IEEE 754, so the ranking is bit-identical across
+  engines with no transcendental (the textbook exponential-race key
+  -ln(u)/w would hinge on libm agreement). Global top-K compiles to
+  TakeOrderedAndProject: per-partition partial top-K, no full sort.
+
+Sampling weights/quotas echo the reference's per-source document
+handling (catalog search/stage_01 groups by source before processing);
+the sketches serve the monitor rollups (database-schema.sql
+process_monitor_logs) where exact count-distinct over an unbounded log
+is the query you stop running first at scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..functions.text import md5_int32, tokens
+from ..sources.tables import load_table
+
+KMV_K = 32
+CMS_D = 4
+CMS_W = 1024
+CMS_TOPK = 20
+STRATUM_N = 10  # < per-source count at every SF, so the quota actually samples
+PRIORITY_K = 20
+
+_TWO32 = 4294967296.0
+
+
+# --- KMV distinct sketch ------------------------------------------------------
+
+def approx_distinct_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count + KMV estimate.
+
+    The distinct pass shuffles once on (event_type, h); both the exact
+    count and the bottom-K window consume that deduplicated table, so
+    the raw stream is scanned once. At 100 TB the exact-count column is
+    the one you drop; the bottom-K sketch is the artifact you keep and
+    merge across days/partitions.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    dh = (
+        ev.select("event_type", md5_int32(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+        .localCheckpoint(eager=False)  # exact count + sketch both consume it
+    )
+    exact = dh.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    bottomk = (
+        dh.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy("event_type")
+        .agg(F.max("h").alias("hk"), F.count(F.lit(1)).alias("k_got"))
+    )
+    est = F.when(
+        F.col("k_got") >= KMV_K,
+        F.round(F.lit((KMV_K - 1) * _TWO32) / F.col("hk"), 2),
+    ).otherwise(F.col("n_exact").cast("double"))
+    return (
+        exact.join(bottomk, "event_type")
+        .withColumn("kmv_est", est)
+        .select(
+            "event_type",
+            "n_exact",
+            "kmv_est",
+            F.round(F.abs(F.col("kmv_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+KMV_SQL = f"""
+WITH dh AS (
+  SELECT DISTINCT event_type,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events
+), exact AS (
+  SELECT event_type, count(*) AS n_exact FROM dh GROUP BY 1
+), bottomk AS (
+  SELECT event_type, max(h) AS hk, count(*) AS k_got FROM (
+    SELECT event_type, h, row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn FROM dh
+  ) WHERE rn <= {KMV_K} GROUP BY 1
+), j AS (
+  SELECT e.event_type, n_exact,
+         CASE WHEN k_got >= {KMV_K}
+              THEN round({(KMV_K - 1)} * {_TWO32} / hk, 2)
+              ELSE CAST(n_exact AS DOUBLE) END AS kmv_est
+  FROM exact e JOIN bottomk b USING (event_type)
+)
+SELECT event_type, n_exact, kmv_est,
+       round(abs(kmv_est - n_exact) / n_exact, 4) AS rel_err
+FROM j
+"""
+
+
+# --- count-min sketch heavy hitters -------------------------------------------
+
+def _cms_bucket(tok: F.Column, d: int) -> F.Column:
+    return md5_int32(F.concat(F.lit(f"{d}:"), tok)) % CMS_W
+
+
+def heavy_hitters_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-K tokens with their count-min-sketch estimates.
+
+    One corpus-sized shuffle (token counts); everything after runs over
+    the bounded vocabulary: the 4x (row, bucket) fan-out feeds a
+    4096-cell sketch, the exact top-K candidates come from a
+    TakeOrderedAndProject over the same pinned count table, and the
+    sketch broadcasts onto the candidates for the min-of-rows estimate.
+    cms_n >= exact_n always (count-min never underestimates).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)  # candidates + sketch both consume it
+    )
+    pairs = cnt.select(
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("p.d", "p.bucket", "n")
+    sketch = pairs.groupBy("d", "bucket").agg(F.sum("n").alias("c"))
+    cand = cnt.orderBy(F.desc("n"), F.asc("token")).limit(CMS_TOPK)
+    cand_buckets = cand.select(
+        "token",
+        "n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("d"), _cms_bucket(F.col("token"), d).alias("bucket")
+                    )
+                    for d in range(CMS_D)
+                ]
+            )
+        ).alias("p"),
+    ).select("token", "n", "p.d", "p.bucket")
+    return (
+        cand_buckets.join(F.broadcast(sketch), ["d", "bucket"])
+        .groupBy("token")
+        .agg(
+            F.max("n").alias("exact_n"),
+            F.min("c").alias("cms_n"),
+        )
+        .select(
+            "token",
+            "exact_n",
+            "cms_n",
+            (F.col("cms_n") - F.col("exact_n")).alias("overcount"),
+        )
+    )
+
+
+# bucket_d(token) = md5("{d}:{token}")[0:8] as uint32, mod W — identical
+# arithmetic to the Spark-side _cms_bucket
+_CMS_BUCKET_SQL = (
+    "CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || token), 1, 8) AS BIGINT) % "
+    + str(CMS_W)
+)
+
+CMS_SQL = f"""
+WITH toks AS (
+  SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+), c AS (
+  SELECT token, count(*) AS n FROM toks GROUP BY token
+), pairs AS (
+  SELECT d, {_CMS_BUCKET_SQL} AS bucket, n
+  FROM c CROSS JOIN (SELECT unnest(range({CMS_D})) AS d)
+), sketch AS (
+  SELECT d, bucket, sum(n) AS c FROM pairs GROUP BY d, bucket
+), cand AS (
+  SELECT token, n FROM c ORDER BY n DESC, token ASC LIMIT {CMS_TOPK}
+), cb AS (
+  SELECT token, n, d, {_CMS_BUCKET_SQL} AS bucket
+  FROM cand CROSS JOIN (SELECT unnest(range({CMS_D})) AS d)
+)
+SELECT cb.token,
+       max(cb.n) AS exact_n,
+       min(s.c) AS cms_n,
+       min(s.c) - max(cb.n) AS overcount
+FROM cb JOIN sketch s USING (d, bucket)
+GROUP BY cb.token
+"""
+
+
+# --- stratified sample --------------------------------------------------------
+
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed per-source quota by md5 order — deterministic stratified
+    sampling. Unlike ``df.sample()`` this is stable across runs,
+    partition layouts and engines; the rank-limited window becomes a
+    WindowGroupLimit (per-partition partial top-N before the shuffle)."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", md5_int32(F.col("doc_id").cast("string")).alias("h")
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w))
+        .where(F.col("sample_rank") <= STRATUM_N)
+        .select("doc_id", "source", F.col("sample_rank").cast("bigint").alias("sample_rank"))
+    )
+
+
+STRATIFIED_SQL = f"""
+SELECT doc_id, source, sample_rank FROM (
+  SELECT doc_id, source,
+         row_number() OVER (
+           PARTITION BY source
+           ORDER BY CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT), doc_id
+         ) AS sample_rank
+  FROM documents
+) WHERE sample_rank <= {STRATUM_N}
+"""
+
+
+# --- weighted priority sample -------------------------------------------------
+
+def weighted_sample_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Priority sampling (Duffield-Lund-Thorup): q = w / u with
+    hash-uniform u; global top-K by q. Selection probability grows with
+    weight (n_chars), and the ranking uses only one IEEE multiply +
+    divide so both engines order identically — no libm dependence."""
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        "source",
+        "n_chars",
+        md5_int32(F.col("doc_id").cast("string")).alias("h"),
+    )
+    pri = (F.col("n_chars").cast("double") * F.lit(_TWO32)) / (F.col("h") + F.lit(0.5))
+    return (
+        docs.withColumn("priority", pri)
+        .orderBy(F.desc("priority"), F.asc("doc_id"))
+        .limit(PRIORITY_K)
+        .select("doc_id", "source", "n_chars", F.round("priority", 4).alias("priority"))
+    )
+
+
+PRIORITY_SQL = f"""
+SELECT doc_id, source, n_chars, round(priority, 4) AS priority FROM (
+  SELECT doc_id, source, n_chars,
+         CAST(n_chars AS DOUBLE) * {_TWO32}
+           / (CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) + 0.5)
+           AS priority
+  FROM documents
+) ORDER BY priority DESC, doc_id ASC LIMIT {PRIORITY_K}
+"""
+
+
+QUERIES = {
+    "approx_distinct_kmv": approx_distinct_kmv,
+    "heavy_hitters_cms": heavy_hitters_cms,
+    "stratified_sample": stratified_sample,
+    "weighted_sample_priority": weighted_sample_priority,
+}
+
+ORACLES = {
+    "approx_distinct_kmv": KMV_SQL,
+    "heavy_hitters_cms": CMS_SQL,
+    "stratified_sample": STRATIFIED_SQL,
+    "weighted_sample_priority": PRIORITY_SQL,
+}

@@ -45,6 +45,7 @@ def _load() -> None:
         scrub,
         search,
         sectioning,
+        sketches,
         textprep,
         textqc,
         tfidf,
@@ -76,6 +77,7 @@ def _load() -> None:
         journeys,
         warehouse,
         search,
+        sketches,
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,

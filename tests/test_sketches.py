@@ -1,0 +1,67 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import sketches
+from iris_project_database_refresh_spark.sources.tables import load_table
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(sketches.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        sketches.QUERIES[name](spark, SF_CORRECT), oracle, sketches.ORACLES[name]
+    )
+
+
+def test_kmv_estimate_is_in_sketch_error_range(spark):
+    """KMV with K=32 has relative standard error ~ 1/sqrt(K-2) ≈ 0.18;
+    every group estimate should land within a few multiples of that."""
+    rows = sketches.approx_distinct_kmv(spark, SF_CORRECT).collect()
+    assert len(rows) > 0
+    for r in rows:
+        assert r.kmv_est > 0
+        assert r.rel_err <= 0.6  # ~3.3 RSE — generous but real bound
+
+
+def test_cms_never_underestimates(spark):
+    rows = sketches.heavy_hitters_cms(spark, SF_CORRECT).collect()
+    assert len(rows) == sketches.CMS_TOPK
+    for r in rows:
+        assert r.cms_n >= r.exact_n
+        assert r.overcount == r.cms_n - r.exact_n
+
+
+def test_stratified_sample_quota_and_coverage(spark):
+    out = sketches.stratified_sample(spark, SF_CORRECT)
+    per = {r.source: r.n for r in out.groupBy("source").agg(F.count("*").alias("n")).collect()}
+    docs = load_table(spark, SF_CORRECT, "documents")
+    sources = {r.source for r in docs.select("source").distinct().collect()}
+    # every stratum present, none over quota
+    assert set(per) == sources
+    assert all(n <= sketches.STRATUM_N for n in per.values())
+    # it is a strict sample at this SF (quota < stratum size)
+    assert out.count() < docs.count()
+
+
+def test_priority_sample_favors_heavy_docs(spark):
+    """Weight-proportional selection: the sampled docs' mean n_chars
+    must exceed the corpus mean (priority q = w/u ranks heavy docs up)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    corpus_mean = docs.agg(F.avg("n_chars")).first()[0]
+    sample = sketches.weighted_sample_priority(spark, SF_CORRECT)
+    assert sample.count() == sketches.PRIORITY_K
+    sample_mean = sample.agg(F.avg("n_chars")).first()[0]
+    assert sample_mean > corpus_mean
+
+
+def test_sampling_windows_use_group_limit(spark):
+    """Both rank-limited samplers must compile to WindowGroupLimit /
+    TakeOrderedAndProject — partial top-N before any shuffle — not a
+    full per-partition sort of the corpus."""
+    strat = sketches.stratified_sample(spark, SF_CORRECT)
+    assert "WindowGroupLimit" in strat._jdf.queryExecution().executedPlan().toString()
+    pri = sketches.weighted_sample_priority(spark, SF_CORRECT)
+    assert "TakeOrderedAndProject" in pri._jdf.queryExecution().executedPlan().toString()
