@@ -43,13 +43,27 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     _ensure_session_confs(spark)
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     if name == "events":
-        # Parquet TIMESTAMP(NANOS) arrives as long (nanosAsLong); truncate
-        # to Spark's microsecond timestamps with integer division (a double
-        # division would lose precision on 1e18-scale nanos). Oracle SQL
-        # applies the same µs truncation so both engines agree exactly.
-        from pyspark.sql import functions as F
+        df = _normalize_event_ts(df)
+    return df
 
-        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+def _normalize_event_ts(df: DataFrame):
+    """Normalize ``events.ts`` to a session-TZ microsecond TIMESTAMP
+    regardless of how the corpus was written. Generations of the test
+    corpus have used parquet TIMESTAMP(NANOS) (arrives as long under
+    nanosAsLong — truncate with integer division; a double division
+    would lose precision on 1e18-scale nanos), TIMESTAMP_NTZ(µs), and
+    TIMESTAMP(µs). Oracle SQL applies the same µs truncation so both
+    engines agree exactly."""
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    ts_type = df.schema["ts"].dataType
+    if isinstance(ts_type, T.LongType):
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if isinstance(ts_type, T.TimestampNTZType):
+        # Session TZ is pinned to UTC, so the wall clock is preserved.
+        return df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -23,28 +23,24 @@ from pyspark.sql import types as T
 WINDOW = "15 minutes"
 WATERMARK = "30 minutes"
 
-# Raw parquet schema (ts is TIMESTAMP(NANOS) → long under nanosAsLong).
-EVENTS_RAW_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_raw_schema(spark: SparkSession, sf_dir: str) -> T.StructType:
+    """FileStreamSource requires a user-supplied schema; take it from a
+    one-off batch footer read so the stream follows whichever physical
+    ts type (long nanos / NTZ µs / µs) this corpus generation uses."""
+    return spark.read.parquet(os.path.join(sf_dir, "events.parquet")).schema
 
 
 def _normalize(df: DataFrame) -> DataFrame:
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    from ..sources.tables import _normalize_event_ts
+
+    return _normalize_event_ts(df)
 
 
 def read_events_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource needs a directory basePath; select just the events
     # file(s) with a glob filter (arriving files would match it too).
     return _normalize(
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(_events_raw_schema(spark, sf_dir))
         .format("parquet")
         .option("pathGlobFilter", "events.parquet")
         .load(sf_dir)
