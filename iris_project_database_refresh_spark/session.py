@@ -33,7 +33,14 @@ def get_session(app_name: str = "iris-spark", shuffle_partitions: int | None = N
         # events.parquet carries TIMESTAMP(NANOS); Spark has no nanos type,
         # so read as long and convert in the loader (sources/tables.py).
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local[N] runs all executor threads inside the driver JVM, so the
+        # driver heap IS the cluster memory; 24g keeps the block manager
+        # from thrashing when many queries' pinned (localCheckpoint) hash
+        # arrays coexist in one long session (bench runs ~100 queries).
+        # Frequent periodic GC lets the ContextCleaner release checkpoint
+        # blocks whose DataFrames are no longer referenced.
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
+        .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
     )
     return builder.getOrCreate()
