@@ -1,0 +1,104 @@
+"""Recursive time-series operators: per-user EWMA.
+
+Reference parity: the process monitor's per-stage timing stream
+(`database-schema.sql:258` process_monitor_logs) is the kind of series
+the reference eyeballs for drift; an exponentially-weighted moving
+average is the standard smoother for it. SQL window frames cannot
+express EWMA (each output depends on the *previous output*, not a
+frame of inputs), so this is a genuinely recursive per-key fold:
+
+    e_1 = v_1;  e_i = (1 - ALPHA) * e_{i-1} + ALPHA * v_i
+
+Spark-first shape: one shuffle groups each user's events, a sorted
+struct array fixes the order (ts, event_id — deterministic under ts
+ties), and ``F.aggregate`` runs the fold as a JVM array expression —
+no Python, no iterative driver loop, state bounded by one user's
+events. The DuckDB oracle runs the *same* fold via ``list_reduce``
+with the identical operation order, so IEEE doubles agree bit-for-bit
+before the 6dp presentation rounding.
+
+Scale: cost is one shuffle on user_id plus linear per-row work; a
+single user's history must fit in one task (the same bound the
+sessionizer and funnel already carry). For unbounded histories the
+streaming analogue is ``applyInPandasWithState`` carrying e_{i-1} as
+state (see streaming/sessions.py for the template).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+ALPHA = 0.25
+
+QUERIES = {}
+ORACLES = {}
+
+
+def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "value"
+    )
+    per_user = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(F.struct("t", "event_id", "value"))).alias("evs")
+    )
+    folded = per_user.select(
+        "user_id",
+        "evs",
+        F.expr(
+            f"""
+            aggregate(
+              slice(transform(evs, e -> e.value), 2, greatest(size(evs) - 1, 0)),
+              array(evs[0].value),
+              (acc, x) -> acc || array(element_at(acc, -1) * {1 - ALPHA} + {ALPHA} * x)
+            )
+            """
+        ).alias("ew"),
+    )
+    return folded.select(
+        "user_id",
+        F.posexplode(F.arrays_zip("evs", "ew")).alias("pos", "z"),
+    ).select(
+        "user_id",
+        F.col("z.evs.event_id").alias("event_id"),
+        F.timestamp_micros(F.col("z.evs.t")).alias("ts"),
+        F.col("z.evs.value").alias("value"),
+        # floor-based 6dp rounding: both engines compute the identical
+        # floor(x*1e6 + 0.5)/1e6 on the identical fold result, so there is
+        # no round-half boundary to disagree on (DuckDB's round() on
+        # DOUBLE resolves .5-ulp neighbors differently from Spark's).
+        (F.floor(F.col("z.ew") * 1e6 + F.lit(0.5)) / 1e6).alias("ewma"),
+    )
+
+
+EWMA_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := epoch_us(ts), event_id := event_id,
+                                    value := value))) AS evs
+  FROM events_us
+  GROUP BY user_id
+),
+folded AS (
+  SELECT user_id, evs,
+         list_reduce(
+           list_transform(evs, e -> [e.value::DOUBLE]),
+           (acc, x) -> list_append(acc, acc[len(acc)] * ({1 - ALPHA})::DOUBLE + ({ALPHA})::DOUBLE * x[1])
+         ) AS ew
+  FROM per_user
+)
+SELECT user_id,
+       evs[i].event_id AS event_id,
+       make_timestamp(evs[i].t) AS ts,
+       evs[i].value AS value,
+       floor(ew[i] * (1000000)::DOUBLE + (0.5)::DOUBLE) / (1000000)::DOUBLE AS ewma
+FROM folded, (SELECT unnest(generate_series(1, len(evs))) AS i)
+"""
+
+QUERIES["events_ewma"] = events_ewma
+ORACLES["events_ewma"] = EWMA_SQL

@@ -49,6 +49,7 @@ def _load() -> None:
         textprep,
         textqc,
         tfidf,
+        timeseries,
         warehouse,
     )
     from ..streaming import dedup as streaming_dedup
@@ -73,6 +74,7 @@ def _load() -> None:
         scrub,
         tfidf,
         analytics,
+        timeseries,
         olap,
         journeys,
         warehouse,
