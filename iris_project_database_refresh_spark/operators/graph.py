@@ -1,0 +1,139 @@
+"""Iterative graph analytics: PageRank over a planted document graph.
+
+The reference's catalog is a document collection with cross-references
+(the master catalog's per-document usage/description records are what
+an authority ranking would consume); the corpus itself has no link
+column, so — like the heading/page-tag/PII operators — the edge set is
+planted deterministically in-query: node u (doc_id, contiguous
+0..N-1) links to (u*31+7) % N, (u*17+3) % N and (u*13+11) % N
+(de-duplicated; self-loops kept). Same formulas in the oracle, so both
+engines build the identical graph.
+
+Spark-first shape: the classic iterative join — edges are computed
+once and pinned (lazy localCheckpoint, the dedup_components pattern);
+each of PR_ITERS rounds is ranks ⋈ edges → groupBy(dst) → sum, plus a
+left join back onto the node set so sink-free nodes still receive the
+teleport mass. Ranks are SCALED INTEGERS (SCALE = 1e12) with floor
+division at every step, so per-node sums are exact and order-
+independent — the trick that makes an iterative float algorithm
+oracle-reproducible (same device as q9's scaled-integer profit). The
+DuckDB oracle unrolls the three rounds as CTEs with `//`.
+
+Scale: per round, one shuffle of the edge list on dst + one broadcast-
+able node join; edge state is narrow (src, dst, outdeg). At 100 TB the
+same loop runs with edges bucketed by dst so every round reuses one
+co-located layout (sources/bucketed.py); rounds are bounded by the
+damping horizon, not data size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+SCALE = 10**12
+PR_ITERS = 3
+TOP_K = 20
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _nodes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "documents").select("doc_id")
+
+
+def pagerank_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    # 1-row broadcast of N keeps the whole plan lazy (q11 pattern)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+        )
+    )
+    edges = (
+        with_n.select(
+            F.col("doc_id").alias("src"),
+            F.size(targets).cast("bigint").alias("outdeg"),
+            F.explode(targets).alias("dst"),
+        )
+        .localCheckpoint(eager=False)  # pin: reused every round
+    )
+
+    ranks = with_n.select(
+        "doc_id", F.expr(f"cast({SCALE} as bigint) div n").alias("rank"), "n"
+    )
+    for _ in range(PR_ITERS):
+        contrib = (
+            edges.join(ranks.select(F.col("doc_id").alias("src"), "rank"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.expr("(85 * rank) div 100 div outdeg")).alias("mass"))
+        )
+        ranks = (
+            ranks.select("doc_id", "n")
+            .join(contrib, "doc_id", "left")
+            .select(
+                "doc_id",
+                (
+                    F.expr(f"(15 * cast({SCALE} as bigint)) div 100 div n")
+                    + F.coalesce(F.col("mass"), F.lit(0))
+                ).alias("rank"),
+                "n",
+            )
+        )
+    return (
+        ranks.select(
+            "doc_id",
+            F.col("rank").alias("rank_scaled"),
+            (F.floor(F.col("rank") / SCALE * 1e6 + F.lit(0.5)) / 1e6).alias("rank"),
+        )
+        .orderBy(F.desc("rank_scaled"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def _round_sql(prev: str, rnd: str) -> str:
+    return f"""
+{rnd} AS (
+  SELECT n.doc_id,
+         (15 * {SCALE}::BIGINT) // 100 // n.n + coalesce(c.mass, 0) AS rank, n.n
+  FROM (SELECT doc_id, n FROM {prev}) n
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, sum((85 * r.rank) // 100 // e.outdeg) AS mass
+    FROM edges e JOIN {prev} r ON e.src = r.doc_id
+    GROUP BY e.dst
+  ) c ON n.doc_id = c.doc_id
+)"""
+
+
+PAGERANK_SQL = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+targets AS (
+  SELECT doc_id,
+         list_distinct([(doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n,
+                        (doc_id * 13 + 11) % n]) AS ts, n
+  FROM documents, nn
+),
+edges AS (
+  SELECT doc_id AS src, len(ts)::BIGINT AS outdeg, unnest(ts) AS dst
+  FROM targets
+),
+r0 AS (
+  SELECT doc_id, {SCALE}::BIGINT // n AS rank, n FROM documents, nn
+),{",".join(_round_sql(f"r{i}", f"r{i + 1}") for i in range(PR_ITERS))}
+SELECT doc_id, rank AS rank_scaled,
+       floor(rank / {SCALE}::DOUBLE * (1000000)::DOUBLE + (0.5)::DOUBLE)
+           / (1000000)::DOUBLE AS rank
+FROM r{PR_ITERS}
+ORDER BY rank_scaled DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["pagerank_docs"] = pagerank_docs
+ORACLES["pagerank_docs"] = PAGERANK_SQL

@@ -35,6 +35,7 @@ def _load() -> None:
         chunking,
         dedup,
         embeddings,
+        graph,
         journeys,
         multimodal,
         olap,
@@ -77,6 +78,7 @@ def _load() -> None:
         timeseries,
         olap,
         journeys,
+        graph,
         warehouse,
         search,
         sketches,

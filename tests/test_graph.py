@@ -1,0 +1,28 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import graph
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(graph.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        graph.QUERIES[name](spark, SF_CORRECT), oracle, graph.ORACLES[name]
+    )
+
+
+def test_pagerank_shape_and_authority(spark):
+    rows = graph.pagerank_docs(spark, SF_CORRECT).collect()
+    assert len(rows) == graph.TOP_K
+    # sorted by rank desc with doc_id tie-break
+    ranks = [r.rank_scaled for r in rows]
+    assert ranks == sorted(ranks, reverse=True)
+    # the planted graph concentrates mass: every top-20 node beats the
+    # uniform prior SCALE/N (N=500 at sf0.01)
+    assert all(r.rank_scaled > graph.SCALE // 500 for r in rows)
+    # presentation rank is the scaled rank, floor-rounded to 6dp
+    for r in rows:
+        assert abs(r.rank - r.rank_scaled / graph.SCALE) < 1e-6
