@@ -1,0 +1,233 @@
+"""Corpus language-model operators: a BPE training step and a smoothed
+bigram LM document scorer.
+
+Reference parity: the reference counts tokens with a BPE tokenizer's
+notion of subwords (`semantic search/stage_01_chapter_processing.py:314`
+count_tokens) and filters/scores documents before embedding; training
+the tokenizer itself and perplexity-scoring the corpus are the two
+corpus-level models a 100 TB training-data pipeline adds on top.
+
+* `bpe_merge_step` — ONE iteration of byte-pair-encoding training,
+  exactly as a distributed engine runs it: aggregate the corpus to its
+  word vocabulary once (all later work is bounded by vocab size, not
+  corpus size), count adjacent symbol pairs weighted by word frequency,
+  pick the argmax merge (count desc, pair asc — deterministic), apply
+  it to every word with the greedy left-to-right non-overlapping fold,
+  and emit the post-merge pair counts that seed the next iteration.
+  The merge application is a genuinely sequential per-word recursion —
+  F.aggregate on Spark, list_reduce on DuckDB, identical branch logic,
+  pure integers elsewhere, so the oracle hash-matches an iterative
+  trainer's step.
+
+* `quality_bigram_logprob` — per-document mean/min log10 P(w_i|w_{i-1})
+  under the corpus's own add-k-smoothed bigram model (k=0.5): the
+  conditional-perplexity filter that catches shuffled-word junk which
+  the unigram scorer (textqc.quality_unigram_logprob) cannot see.
+
+Scale: the vocabulary/bigram tables are the Zipf head — tiny next to
+the corpus; the per-doc pass is explode → two key joins (AQE handles
+hot-token skew) → one agg. BPE's fold runs over words of bounded
+length, zero Python anywhere.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.text import tokens
+from ..sources.tables import load_table
+
+TOP_PAIRS = 10
+ADD_K = 0.5
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcnt"))
+    )
+
+
+_CHARS = "transform(sequence(1, length(word)), i -> substring(word, i, 1))"
+_PAIRS = (
+    "CASE WHEN size(syms) < 2 THEN array() "
+    "ELSE transform(sequence(1, size(syms) - 1), "
+    "i -> struct(element_at(syms, i) AS ma, element_at(syms, i + 1) AS mb)) END"
+)
+
+
+def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _vocab(spark, sf_dir).withColumn("syms", F.expr(_CHARS))
+    pair_counts = (
+        vocab.select("wcnt", F.explode(F.expr(_PAIRS)).alias("p"))
+        .groupBy(F.col("p.ma").alias("ma"), F.col("p.mb").alias("mb"))
+        .agg(F.sum("wcnt").alias("n"))
+    )
+    best = (
+        pair_counts.orderBy(F.desc("n"), "ma", "mb")
+        .limit(1)
+        .select(F.col("ma").alias("best_a"), F.col("mb").alias("best_b"))
+    )
+    merged = (
+        vocab.crossJoin(F.broadcast(best))
+        .withColumn(
+            "msyms",
+            F.aggregate(
+                F.col("syms"),
+                F.expr("cast(array() as array<string>)"),
+                lambda acc, s: F.when(
+                    (F.size(acc) > 0)
+                    & (F.element_at(acc, -1) == F.col("best_a"))
+                    & (s == F.col("best_b")),
+                    F.concat(
+                        F.slice(acc, 1, F.size(acc) - 1),
+                        F.array(F.concat(F.col("best_a"), F.col("best_b"))),
+                    ),
+                ).otherwise(F.concat(acc, F.array(s))),
+            ),
+        )
+        .withColumnRenamed("msyms", "newsyms")
+    )
+    after = (
+        merged.select(
+            "wcnt",
+            "best_a",
+            "best_b",
+            F.explode(
+                F.expr(_PAIRS.replace("syms", "newsyms"))
+            ).alias("p"),
+        )
+        .groupBy(
+            F.concat(F.col("best_a"), F.col("best_b")).alias("new_symbol"),
+            F.concat_ws(" ", F.col("p.ma"), F.col("p.mb")).alias("pair"),
+        )
+        .agg(F.sum("wcnt").alias("pair_count"))
+    )
+    return after.orderBy(F.desc("pair_count"), "pair").limit(TOP_PAIRS)
+
+
+BPE_SQL = f"""
+WITH vocab AS (
+  SELECT word, count(*) AS wcnt,
+         list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+pair_counts AS (
+  SELECT p.ma AS ma, p.mb AS mb, sum(wcnt) AS n
+  FROM (SELECT wcnt,
+               unnest(CASE WHEN len(syms) < 2 THEN []
+                      ELSE list_transform(generate_series(1, len(syms) - 1),
+                           i -> struct_pack(ma := syms[i], mb := syms[i + 1])) END) AS p
+        FROM vocab)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT ma AS best_a, mb AS best_b FROM pair_counts ORDER BY n DESC, ma, mb LIMIT 1
+),
+merged AS (
+  SELECT wcnt, best_a, best_b,
+         list_reduce(
+           list_transform(syms, s -> [s]),
+           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = best_a AND x[1] = best_b
+                       THEN list_append(acc[1:len(acc) - 1], best_a || best_b)
+                       ELSE list_append(acc, x[1]) END
+         ) AS newsyms
+  FROM vocab, best
+),
+after AS (
+  SELECT best_a || best_b AS new_symbol,
+         p.ma || ' ' || p.mb AS pair,
+         sum(wcnt) AS pair_count
+  FROM (SELECT wcnt, best_a, best_b,
+               unnest(CASE WHEN len(newsyms) < 2 THEN []
+                      ELSE list_transform(generate_series(1, len(newsyms) - 1),
+                           i -> struct_pack(ma := newsyms[i], mb := newsyms[i + 1])) END) AS p
+        FROM merged)
+  GROUP BY 1, 2
+)
+SELECT new_symbol, pair, pair_count
+FROM after ORDER BY pair_count DESC, pair LIMIT {TOP_PAIRS}
+"""
+
+QUERIES["bpe_merge_step"] = bpe_merge_step
+ORACLES["bpe_merge_step"] = BPE_SQL
+
+
+# --- add-k smoothed bigram LM scoring ----------------------------------------
+
+def quality_bigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)) END"
+            )
+        ).alias("bg"),
+    ).select("doc_id", F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+
+    uni = (
+        docs.select(F.explode(tokens(F.col("text"))).alias("w1"))
+        .groupBy("w1")
+        .agg(F.count(F.lit(1)).alias("c1"))
+    )
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    vsize = uni.agg(F.count(F.lit(1)).alias("v"))
+
+    lp = F.log10(
+        (F.col("c2") + F.lit(ADD_K)) / (F.col("c1") + F.lit(ADD_K) * F.col("v"))
+    )
+    scored = (
+        bigrams.join(bi, ["w1", "w2"])
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(vsize))
+        .select("doc_id", lp.alias("lp"))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bigrams"),
+        F.round(F.avg("lp"), 6).alias("mean_log10_prob"),
+        F.round(F.min("lp"), 6).alias("min_log10_prob"),
+    )
+
+
+BIGRAM_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT doc_id, p.w1 AS w1, p.w2 AS w2
+  FROM (SELECT doc_id,
+               unnest(CASE WHEN len(toks) < 2 THEN []
+                      ELSE list_transform(generate_series(1, len(toks) - 1),
+                           i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) END) AS p
+        FROM toks)
+),
+uni AS (
+  SELECT w1, count(*) AS c1
+  FROM (SELECT unnest(toks) AS w1 FROM toks)
+  GROUP BY w1
+),
+bi AS (SELECT w1, w2, count(*) AS c2 FROM bigrams GROUP BY w1, w2),
+vsize AS (SELECT count(*) AS v FROM uni)
+SELECT doc_id,
+       count(*) AS n_bigrams,
+       round(avg(log10((c2 + {ADD_K}) / (c1 + {ADD_K} * v))), 6) AS mean_log10_prob,
+       round(min(log10((c2 + {ADD_K}) / (c1 + {ADD_K} * v))), 6) AS min_log10_prob
+FROM bigrams JOIN bi USING (w1, w2) JOIN uni USING (w1), vsize
+GROUP BY doc_id
+"""
+
+QUERIES["quality_bigram_logprob"] = quality_bigram_logprob
+ORACLES["quality_bigram_logprob"] = BIGRAM_SQL

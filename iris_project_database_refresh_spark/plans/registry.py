@@ -47,6 +47,7 @@ def _load() -> None:
         search,
         sectioning,
         sketches,
+        textmodel,
         textprep,
         textqc,
         tfidf,
@@ -75,6 +76,7 @@ def _load() -> None:
         scrub,
         tfidf,
         analytics,
+        textmodel,
         timeseries,
         olap,
         journeys,
