@@ -1,0 +1,180 @@
+"""Product-quantization ANN (`knn_pq`) — the memory-side scale path for
+similarity search, complementing the recall-side paths (hyperplane LSH
+`embeddings.knn_lsh`, IVF `advanced.knn_ivf`).
+
+PQ splits each D-dim vector into M subvectors and replaces every
+subvector with the id of its nearest centroid from a per-subspace
+codebook of size KCENT: the vector compresses to M small codes
+(M bytes here vs D×8 bytes raw — the reason PQ is the standard way to
+fit billion-vector indexes in RAM). Queries stay uncompressed and
+score candidates with the asymmetric distance computation (ADC): a
+per-query lookup table of subspace dot products, summed over each
+candidate's codes.
+
+Deterministic stand-ins, like IVF: the codebook is the subvectors of
+vectors CENTROID_BASE..CENTROID_BASE+KCENT-1 (production trains
+k-means per subspace; encode/ADC are identical either way). All
+scores that cross an argmin or a groupBy-sum are floor-scaled to
+integers first, so neither engine's summation order nor round-half
+behavior can flip a code assignment or a rank — that is what makes an
+*approximate* index oracle-reproducible in DuckDB.
+
+Plan shape at 100 TB: the codebook (M×KCENT subvectors) and the
+per-query ADC tables (M×KCENT entries per query) broadcast; encoding
+is one narrow pass over the vectors (explode by subspace, min_by per
+(vector, subspace)); candidate scoring shuffles only (vector, code)
+rows of a few bytes. Exact cosine is computed only for the final
+top-K rows per query.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+from .advanced import CENTROID_BASE, _as_double, _cos
+
+M = 8  # subspaces
+SUBD = 8  # dims per subspace (M * SUBD = 64 = embedding dim)
+KCENT = 16  # centroids per subspace
+PQ_K = 10
+PQ_QUERIES = 5  # vec_id < 5 are queries
+
+QUERIES = {}
+ORACLES = {}
+
+
+def _sub_l2_scaled() -> F.Column:
+    """floor(1e6 * ||sv - cv||^2 + 0.5) as an exact integer key."""
+    d2 = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(d2 * 1e6 + F.lit(0.5)).cast("bigint")
+
+
+def _sub_dot_scaled() -> F.Column:
+    dot = F.aggregate(
+        F.zip_with("sv", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    return F.floor(dot * 1e6 + F.lit(0.5)).cast("bigint")
+
+
+def knn_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    # one row per (vector, subspace): the narrow encode-side stream
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        "v",
+    ).select(
+        "vec_id", "m", F.expr(f"slice(v, m * {SUBD} + 1, {SUBD})").alias("sv")
+    )
+    cb = sub.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KCENT)
+    ).select((F.col("vec_id") - CENTROID_BASE).alias("k"), "m", F.col("sv").alias("cv"))
+
+    # encode: nearest centroid per (vector, subspace) — min over exact ints
+    codes = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", _sub_l2_scaled().alias("di"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("di", "k")).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("k"))
+    )
+
+    # per-query ADC lookup table (subspace dot with every centroid)
+    dt = (
+        sub.where(F.col("vec_id") < PQ_QUERIES)
+        .select(F.col("vec_id").alias("query_id"), "m", "sv")
+        .join(F.broadcast(cb.withColumnRenamed("m", "cm")), F.col("m") == F.col("cm"))
+        .select("query_id", "m", "k", _sub_dot_scaled().alias("sdot"))
+    )
+
+    adc = (
+        codes.join(F.broadcast(dt), ["m", "k"])
+        .where(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("sdot").alias("sadc"))
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sadc"), F.asc("vec_id"))
+    top = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= PQ_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sadc")
+    )
+
+    # exact cosine audit on the surviving top-K rows only
+    q_vecs = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    return (
+        top.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.col("sadc") / 1e6).alias("adc_dot"),
+            _cos(F.col("q"), F.col("v")).alias("cosine"),
+        )
+    )
+
+
+KNN_PQ_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {SUBD} + 1, m * {SUBD} + {SUBD}) AS sv
+  FROM d, (SELECT unnest(generate_series(0, {M - 1})) AS m)
+),
+cb AS (
+  SELECT vec_id - {CENTROID_BASE} AS k, m, sv AS cv
+  FROM sub WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KCENT}
+),
+codes AS (
+  SELECT vec_id, m,
+         min(struct_pack(
+           di := floor(1e6 * list_sum(list_transform(generate_series(1, {SUBD}),
+                 i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) + (0.5)::DOUBLE)::BIGINT,
+           k := k)).k AS k
+  FROM sub JOIN cb USING (m)
+  GROUP BY vec_id, m
+),
+dt AS (
+  SELECT s.vec_id AS query_id, s.m AS m, cb.k AS k,
+         floor(1e6 * list_sum(list_transform(generate_series(1, {SUBD}),
+               i -> s.sv[i] * cb.cv[i])) + (0.5)::DOUBLE)::BIGINT AS sdot
+  FROM sub s JOIN cb ON s.m = cb.m
+  WHERE s.vec_id < {PQ_QUERIES}
+),
+adc AS (
+  SELECT query_id, vec_id, sum(sdot)::BIGINT AS sadc
+  FROM codes JOIN dt USING (m, k)
+  WHERE vec_id <> query_id
+  GROUP BY query_id, vec_id
+),
+top AS (
+  SELECT query_id, vec_id AS neighbor_id, rank, sadc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sadc DESC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {PQ_K}
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       sadc / (1000000)::DOUBLE AS adc_dot,
+       round(list_dot_product(q.v, n.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+FROM top
+JOIN d n ON top.neighbor_id = n.vec_id
+JOIN d q ON top.query_id = q.vec_id
+"""
+
+QUERIES["knn_pq"] = knn_pq
+ORACLES["knn_pq"] = KNN_PQ_SQL

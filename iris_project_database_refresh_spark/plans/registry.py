@@ -40,6 +40,7 @@ def _load() -> None:
         multimodal,
         olap,
         packing,
+        pq,
         relational,
         relational_ext,
         relational_full,
@@ -72,6 +73,7 @@ def _load() -> None:
         catalog,
         multimodal,
         advanced,
+        pq,
         packing,
         scrub,
         tfidf,

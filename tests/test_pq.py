@@ -1,0 +1,44 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import pq
+from iris_project_database_refresh_spark.operators.embeddings import knn_brute_force
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(pq.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(pq.QUERIES[name](spark, SF_CORRECT), oracle, pq.ORACLES[name])
+
+
+def test_pq_recall_vs_exact(spark):
+    """ADC over a hash-derived (untrained) codebook is a weak quantizer,
+    but it must still beat random chance by a wide margin: random top-10
+    from ~500 vectors would overlap the exact top-10 by ~0.2 elements."""
+    approx = pq.knn_pq(spark, SF_CORRECT).collect()
+    exact = knn_brute_force(spark, SF_CORRECT).collect()
+    by_q_a: dict[int, set] = {}
+    by_q_e: dict[int, set] = {}
+    for r in approx:
+        by_q_a.setdefault(r.query_id, set()).add(r.neighbor_id)
+    for r in exact:
+        by_q_e.setdefault(r.query_id, set()).add(r.neighbor_id)
+    overlaps = [len(by_q_a[q] & by_q_e[q]) for q in by_q_a if q in by_q_e]
+    assert overlaps and sum(overlaps) / len(overlaps) >= 1.0
+
+
+def test_pq_shape(spark):
+    rows = pq.knn_pq(spark, SF_CORRECT).collect()
+    per_q: dict[int, list] = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(pq.PQ_QUERIES))
+    for q, rs in per_q.items():
+        assert len(rs) == pq.PQ_K
+        rs.sort(key=lambda r: r.rank)
+        # ADC scores are non-increasing in rank; no query returns itself
+        scores = [r.adc_dot for r in rs]
+        assert scores == sorted(scores, reverse=True)
+        assert all(r.neighbor_id != q for r in rs)
