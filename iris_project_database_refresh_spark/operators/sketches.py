@@ -299,8 +299,114 @@ SELECT doc_id, source, n_chars, round(priority, 4) AS priority FROM (
 """
 
 
+# --- HyperLogLog distinct sketch ---------------------------------------------
+
+HLL_M = 64  # registers (6-bit bucket index over the 32-bit hash)
+_HLL_RESTBITS = 26  # remaining hash bits feeding the rho (leading-zeros) rank
+# alpha_m * m^2 * 2^30 precomputed in Python so both engines divide the
+# SAME float constant by the exact integer register sum.
+_HLL_NUM = (0.7213 / (1 + 1.079 / HLL_M)) * HLL_M * HLL_M * float(2**30)
+
+
+def approx_distinct_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct users per event type: exact count + HyperLogLog estimate.
+
+    Unlike KMV (bottom-K of the DISTINCT keys), HLL needs no distinct
+    pass at all: registers are per-bucket maxima of the rho rank, and
+    max() is idempotent — duplicates collapse in the map-side partial
+    aggregate. That makes this the cheapest mergeable distinct sketch
+    at 100 TB: one narrow groupBy(event_type, bucket) max, register
+    state m=64 ints per group, union = elementwise max.
+
+    Oracle-reproducibility: rho = 27 - bitlength(rest) is pure integer
+    arithmetic (length(bin(x)) in both engines); the harmonic-mean
+    denominator sums the dyadic rationals 2^-M_j exactly as integers
+    2^(30 - M_j), so the published estimator alpha_m * m^2 / sum
+    becomes one float division of identical operands in both engines.
+    The plain estimator is used (no small/large-range corrections —
+    they need ln(), whose libm rounding differs across engines); at
+    n/m well above 2.5 that is the textbook operating range, and the
+    exact count rides along as the audit column.
+    """
+    ev = load_table(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        md5_int32(F.col("user_id").cast("string")).alias("h"),
+    ).select(
+        "event_type",
+        (F.col("h") % HLL_M).alias("bucket"),
+        F.expr(f"h div {HLL_M}").alias("rest"),
+    )
+    # rho = leading zeros of the 26-bit rest + 1 = 27 - bitlength(rest);
+    # rest = 0 (all zeros) takes the max rank 27
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_RESTBITS + 1)).otherwise(
+        F.lit(_HLL_RESTBITS + 1) - F.length(F.bin("rest"))
+    )
+    regs = (
+        hashed.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    # exact denominator: sum of 2^(30 - reg) over the m registers,
+    # empty registers contributing 2^30 each
+    per_type = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - reg)")).alias("s_present"),
+        F.count(F.lit(1)).alias("n_regs"),
+    )
+    denom = F.col("s_present") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(2**30)
+    est = F.round(F.lit(_HLL_NUM) / denom, 2)
+
+    exact = ev.distinct().groupBy("event_type").agg(F.count(F.lit(1)).alias("n_exact"))
+    return (
+        exact.join(per_type, "event_type")
+        .withColumn("hll_est", est)
+        .select(
+            "event_type",
+            "n_exact",
+            "hll_est",
+            F.round(F.abs(F.col("hll_est") - F.col("n_exact")) / F.col("n_exact"), 4).alias(
+                "rel_err"
+            ),
+        )
+    )
+
+
+HLL_SQL = f"""
+WITH hashed AS (
+  SELECT event_type,
+         h % {HLL_M} AS bucket,
+         h // {HLL_M} AS rest
+  FROM (SELECT event_type,
+               CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+        FROM events)
+),
+regs AS (
+  SELECT event_type, bucket,
+         max(CASE WHEN rest = 0 THEN {_HLL_RESTBITS + 1}
+                  ELSE {_HLL_RESTBITS + 1} - length(bin(rest)) END) AS reg
+  FROM hashed
+  GROUP BY event_type, bucket
+),
+per_type AS (
+  SELECT event_type,
+         sum(1::BIGINT << (30 - reg))::BIGINT AS s_present,
+         count(*) AS n_regs
+  FROM regs GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(DISTINCT user_id) AS n_exact FROM events GROUP BY event_type
+)
+SELECT event_type, n_exact,
+       round({_HLL_NUM!r} / (s_present + ({HLL_M} - n_regs) * (1::BIGINT << 30)), 2) AS hll_est,
+       round(abs(round({_HLL_NUM!r} / (s_present + ({HLL_M} - n_regs) * (1::BIGINT << 30)), 2) - n_exact)
+             / n_exact, 4) AS rel_err
+FROM exact JOIN per_type USING (event_type)
+"""
+
+
 QUERIES = {
     "approx_distinct_kmv": approx_distinct_kmv,
+    "approx_distinct_hll": approx_distinct_hll,
     "heavy_hitters_cms": heavy_hitters_cms,
     "stratified_sample": stratified_sample,
     "weighted_sample_priority": weighted_sample_priority,
@@ -308,6 +414,7 @@ QUERIES = {
 
 ORACLES = {
     "approx_distinct_kmv": KMV_SQL,
+    "approx_distinct_hll": HLL_SQL,
     "heavy_hitters_cms": CMS_SQL,
     "stratified_sample": STRATIFIED_SQL,
     "weighted_sample_priority": PRIORITY_SQL,

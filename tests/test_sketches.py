@@ -65,3 +65,44 @@ def test_sampling_windows_use_group_limit(spark):
     assert "WindowGroupLimit" in strat._jdf.queryExecution().executedPlan().toString()
     pri = sketches.weighted_sample_priority(spark, SF_CORRECT)
     assert "TakeOrderedAndProject" in pri._jdf.queryExecution().executedPlan().toString()
+
+
+def test_hll_estimate_within_sketch_error(spark):
+    rows = sketches.approx_distinct_hll(spark, SF_CORRECT).collect()
+    assert rows
+    # sigma ~ 1.04/sqrt(64) ~ 13%; 3 sigma bound with n/m ~ 2.3 headroom
+    for r in rows:
+        assert r.rel_err < 0.40
+        assert r.hll_est > 0
+
+
+def test_hll_is_duplicate_insensitive(spark):
+    """max-register sketches must not move when the stream repeats:
+    doubling every event leaves all registers — and the estimate —
+    unchanged (what makes HLL distinct-counting, not counting)."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events")
+    doubled = ev.unionAll(ev)
+    doubled.createOrReplaceTempView("hll_doubled_events")
+    base = {r.event_type: r.hll_est for r in sketches.approx_distinct_hll(spark, SF_CORRECT).collect()}
+
+    # rebuild the sketch over the doubled stream via the same expressions
+    from pyspark.sql import functions as F
+    from iris_project_database_refresh_spark.functions.text import md5_int32
+
+    hashed = doubled.select(
+        "event_type", md5_int32(F.col("user_id").cast("string")).alias("h")
+    ).select("event_type", (F.col("h") % sketches.HLL_M).alias("bucket"),
+             F.expr(f"h div {sketches.HLL_M}").alias("rest"))
+    rho = F.when(F.col("rest") == 0, F.lit(27)).otherwise(F.lit(27) - F.length(F.bin("rest")))
+    regs = hashed.select("event_type", "bucket", rho.alias("rho")).groupBy(
+        "event_type", "bucket").agg(F.max("rho").alias("reg"))
+    per = regs.groupBy("event_type").agg(
+        F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - reg)")).alias("s"),
+        F.count(F.lit(1)).alias("n"))
+    est = {
+        r.event_type: round(sketches._HLL_NUM / (r.s + (sketches.HLL_M - r.n) * 2**30), 2)
+        for r in per.collect()
+    }
+    assert est == base
