@@ -191,11 +191,55 @@ GROUP BY interval_id
 """
 
 
+# --- two-phase salted aggregation (skewed-key rollup) ------------------------
+
+def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The monitor rollup routed through ``functions.distributed.
+    salted_agg``: partial aggregate on (event_type, salt) — spreading
+    any hot key across 32 reducers — then merge the partials on
+    event_type. Result is identical to the direct groupBy (the oracle
+    IS the direct groupBy); what changes is the physical plan, which
+    the tests pin: two aggregation exchanges, the first carrying the
+    salt. At 100 TB this is the groupBy-with-mega-key defense (one
+    event type being 90% of the stream), the aggregation analogue of
+    AQE's skew-join splitting — AQE does not salt aggregations.
+
+    sum(value) is re-aggregated from per-salt partials, so the float
+    addition tree differs from a direct sum; the 2dp rounding absorbs
+    that (same contract monitor_rollup already relies on).
+    """
+    from ..functions.distributed import salted_agg
+
+    ev = load_table(spark, sf_dir, "events")
+    out = salted_agg(
+        ev,
+        ["event_type"],
+        {"n_events": "count(*)", "sum_value": "sum(value)", "max_value": "max(value)"},
+    )
+    return out.select(
+        "event_type",
+        "n_events",
+        F.round(F.col("sum_value"), 2).alias("sum_value"),
+        F.round(F.col("max_value"), 2).alias("max_value"),
+    )
+
+
+SALTED_ROLLUP_SQL = """
+SELECT event_type,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       round(max(value), 2) AS max_value
+FROM events
+GROUP BY event_type
+"""
+
+
 QUERIES = {
     "range_join_binned": range_join_binned,
     "per_source_linefit": per_source_linefit,
     "events_rolling_1h": events_rolling_1h,
     "monitor_rollup_cube": monitor_rollup_cube,
+    "events_salted_rollup": events_salted_rollup,
 }
 
 ORACLES = {
@@ -203,4 +247,5 @@ ORACLES = {
     "per_source_linefit": LINEFIT_SQL,
     "events_rolling_1h": ROLLING_SQL,
     "monitor_rollup_cube": ROLLUP_SQL,
+    "events_salted_rollup": SALTED_ROLLUP_SQL,
 }

@@ -524,10 +524,11 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Spark-first shape: iterative min-label propagation. Each round
     joins current labels across the (undirected) edge set and takes the
-    elementwise min — CC_ROUNDS rounds cover any component of diameter
-    <= 2^CC_ROUNDS under min-propagation (planted clusters have
-    diameter <= 2; real corpora use until-fixpoint driving with
-    localCheckpoint per round). All joins shuffle on doc_id-sized keys;
+    elementwise min — after k rounds every node has the min label
+    within k hops, so CC_ROUNDS rounds cover components of diameter
+    <= CC_ROUNDS (planted clusters have diameter <= 2; real corpora
+    use until-fixpoint driving with localCheckpoint per round, or
+    large-star/small-star pointer doubling for O(log d) rounds). All joins shuffle on doc_id-sized keys;
     no driver materialization. Oracle: recursive-CTE reachability with
     min aggregation — same fixpoint.
     """

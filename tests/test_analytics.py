@@ -33,3 +33,16 @@ def test_range_join_is_equi_join(spark):
     # nested-loop over the BETWEEN predicate
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_salted_rollup_plan_has_two_phases(spark):
+    plan = (
+        analytics.events_salted_rollup(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # phase 1 groups on (event_type, _salt): the salt must reach the
+    # first exchange; phase 2 merges on event_type alone
+    assert "_salt" in plan
+    assert plan.count("Exchange") == 2
