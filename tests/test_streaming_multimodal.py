@@ -86,3 +86,44 @@ def test_stream_static_enrichment_equals_batch(spark):
     got = enrich.run_enriched_available_now(spark, SF_CORRECT, table="enrich_test")
     want = enrich.events_enriched_agg(spark, SF_CORRECT)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_streaming_ewma_equals_batch(spark):
+    """availableNow drain of the stateful EWMA: the final smoothed value
+    per user must equal the batch fold's last row exactly (identical
+    IEEE op order in both paths)."""
+    from iris_project_database_refresh_spark.operators.timeseries import events_ewma
+    from iris_project_database_refresh_spark.streaming.ewma import streaming_ewma
+
+    stream = sp.read_events_stream(spark, SF_CORRECT).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    q = (
+        streaming_ewma(stream)
+        .writeStream.format("memory")
+        .queryName("ewma_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    n_streamed = {}
+    for r in spark.table("ewma_test").collect():
+        # multiple micro-batches re-emit a user; keep the latest state
+        if r.user_id not in n_streamed or r.n_events > n_streamed[r.user_id]:
+            n_streamed[r.user_id] = r.n_events
+            got[r.user_id] = (r.last_ts, r.ewma)
+
+    last_batch = {}
+    for r in events_ewma(spark, SF_CORRECT).collect():
+        cur = last_batch.get(r.user_id)
+        if cur is None or (r.ts, r.event_id) > cur[0]:
+            last_batch[r.user_id] = ((r.ts, r.event_id), r.ewma)
+
+    assert set(got) == set(last_batch)
+    for uid, (last_ts, ewma) in got.items():
+        (batch_ts, _), batch_ewma = last_batch[uid]
+        assert last_ts == batch_ts
+        # batch output is floor-rounded to 6dp; state keeps full precision
+        assert abs(ewma - batch_ewma) < 1e-6
