@@ -231,3 +231,139 @@ GROUP BY doc_id
 
 QUERIES["quality_bigram_logprob"] = quality_bigram_logprob
 ORACLES["quality_bigram_logprob"] = BIGRAM_SQL
+
+
+# --- greedy longest-match subword segmentation -------------------------------
+
+VOCAB_K = 64  # multi-char subword vocabulary size (singles are implicit)
+MAX_PIECE = 4
+
+
+def tokenizer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Apply a subword tokenizer: greedy longest-match segmentation of
+    every word against a corpus-derived vocabulary (the top VOCAB_K
+    2..4-char substrings by weighted frequency; single characters are
+    the implicit fallback) — the WordPiece-style inference pass to
+    `bpe_merge_step`'s training pass, and the deterministic stand-in
+    for the reference's tiktoken counting
+    (`semantic search/stage_01_chapter_processing.py:314`).
+
+    Scale shape: segmentation cost is bounded by the DISTINCT-word
+    table, not the corpus — each distinct word is segmented once by a
+    JVM fold (longest-match-at-position is a recursion, inexpressible
+    as SQL windows) and the per-word piece count joins back onto the
+    exploded corpus. The vocabulary rides a 1-row sorted-array
+    broadcast. The oracle runs the identical fold via list_reduce with
+    a prepended init accumulator.
+    """
+    vocab_words = _vocab(spark, sf_dir)  # (word, wcnt), distinct words
+
+    subs = vocab_words.select(
+        "wcnt",
+        F.explode(
+            F.expr(
+                f"flatten(transform(sequence(2, {MAX_PIECE}), "
+                "l -> CASE WHEN length(word) >= l THEN "
+                "transform(sequence(1, length(word) - l + 1), i -> substring(word, i, l)) "
+                "ELSE cast(array() as array<string>) END))"
+            )
+        ).alias("sub"),
+    )
+    top = (
+        subs.groupBy("sub")
+        .agg(F.sum("wcnt").alias("n"))
+        .orderBy(F.desc("n"), "sub")
+        .limit(VOCAB_K)
+        .agg(F.sort_array(F.collect_list("sub")).alias("vocab"))
+    )
+
+    fold = f"""
+    aggregate(sequence(1, length(word)), named_struct('pos', 1, 'n', 0),
+      (acc, j) -> CASE WHEN j != acc.pos THEN acc
+        WHEN length(word) - acc.pos >= 3 AND array_contains(vocab, substring(word, acc.pos, 4)) THEN named_struct('pos', acc.pos + 4, 'n', acc.n + 1)
+        WHEN length(word) - acc.pos >= 2 AND array_contains(vocab, substring(word, acc.pos, 3)) THEN named_struct('pos', acc.pos + 3, 'n', acc.n + 1)
+        WHEN length(word) - acc.pos >= 1 AND array_contains(vocab, substring(word, acc.pos, 2)) THEN named_struct('pos', acc.pos + 2, 'n', acc.n + 1)
+        ELSE named_struct('pos', acc.pos + 1, 'n', acc.n + 1) END,
+      acc -> acc.n)
+    """
+    segmented = vocab_words.crossJoin(F.broadcast(top)).select(
+        "word", F.expr(fold).cast("bigint").alias("n_pieces")
+    )
+
+    doc_words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        doc_words.join(segmented, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_pieces").alias("n_pieces"),
+            F.round(F.sum("n_pieces") / F.count(F.lit(1)), 6).alias("pieces_per_word"),
+        )
+    )
+
+
+SEGMENT_SQL = f"""
+WITH RECURSIVE vocab_words AS (
+  SELECT word, count(*) AS wcnt
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY word
+),
+subs AS (
+  SELECT sub, sum(wcnt) AS n
+  FROM (SELECT wcnt,
+               unnest(flatten(list_transform(generate_series(2, {MAX_PIECE}),
+                 l -> CASE WHEN length(word) >= l
+                      THEN list_transform(generate_series(1, length(word) - l + 1),
+                                          i -> substr(word, i, l))
+                      ELSE [] END))) AS sub
+        FROM vocab_words)
+  GROUP BY sub
+),
+top_subs AS (
+  SELECT sub FROM subs ORDER BY n DESC, sub LIMIT {VOCAB_K}
+),
+-- per-(word, position) longest vocab match as a plain relational join,
+-- then the greedy walk as a recursive CTE (bounded by word length).
+-- DuckDB 1.0's list_reduce gives nondeterministic results on larger
+-- vectorized inputs (observed: same query, different per-row folds
+-- run-to-run), so the oracle uses no folds at all — the recursive CTE
+-- is the same device the connected-components oracle relies on.
+positions AS (
+  SELECT word, unnest(generate_series(1, length(word))) AS j FROM vocab_words
+),
+matched AS (
+  SELECT p.word, p.j, coalesce(max(CASE WHEN ts.sub IS NOT NULL THEN c.l END), 1)::BIGINT AS ml
+  FROM positions p
+  LEFT JOIN (SELECT word, j, l
+             FROM positions, (SELECT unnest([2, 3, {MAX_PIECE}]) AS l)
+             WHERE j + l - 1 <= length(word)) c
+    ON p.word = c.word AND p.j = c.j
+  LEFT JOIN top_subs ts ON substr(c.word, c.j::INT, c.l::INT) = ts.sub
+  GROUP BY p.word, p.j
+),
+walk AS (
+  SELECT word, 1::BIGINT AS pos, 0::BIGINT AS n, length(word)::BIGINT AS len
+  FROM vocab_words
+  UNION ALL
+  SELECT w.word, w.pos + m.ml, w.n + 1, w.len
+  FROM walk w JOIN matched m ON m.word = w.word AND m.j = w.pos
+  WHERE w.pos <= w.len
+),
+segmented AS (
+  SELECT word, max(n)::BIGINT AS n_pieces FROM walk WHERE pos > len GROUP BY word
+)
+SELECT doc_id,
+       count(*) AS n_words,
+       sum(n_pieces)::BIGINT AS n_pieces,
+       round(sum(n_pieces) / CAST(count(*) AS DOUBLE), 6) AS pieces_per_word
+FROM (SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+      FROM documents) dw
+JOIN segmented USING (word)
+GROUP BY doc_id
+"""
+
+QUERIES["tokenizer_segment"] = tokenizer_segment
+ORACLES["tokenizer_segment"] = SEGMENT_SQL

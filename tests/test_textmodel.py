@@ -46,3 +46,52 @@ def test_bigram_logprob_is_conditional(spark):
     }
     for r in rows:
         assert r.n_bigrams == nt[r.doc_id] - 1
+
+
+def test_tokenizer_segment_greedy_reference(spark, oracle):
+    """Greedy longest-match must agree with a direct Python reference
+    on every distinct word (guards both engines' fold implementations)."""
+    import pyspark.sql.functions as F
+
+    vocab_rows = oracle.execute(
+        """
+        WITH vocab_words AS (
+          SELECT word, count(*) AS wcnt
+          FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+                FROM documents) GROUP BY word),
+        subs AS (
+          SELECT sub, sum(wcnt) AS n
+          FROM (SELECT wcnt, unnest(flatten(list_transform(generate_series(2, 4),
+                l -> CASE WHEN length(word) >= l
+                     THEN list_transform(generate_series(1, length(word) - l + 1), i -> substr(word, i, l))
+                     ELSE [] END))) AS sub FROM vocab_words) GROUP BY sub)
+        SELECT sub FROM subs ORDER BY n DESC, sub LIMIT 64
+        """
+    ).fetchall()
+    V = {r[0] for r in vocab_rows}
+
+    def greedy(w: str) -> int:
+        pos, n = 0, 0
+        while pos < len(w):
+            for l in (4, 3, 2):
+                if pos + l <= len(w) and w[pos : pos + l] in V:
+                    pos += l
+                    break
+            else:
+                pos += 1
+            n += 1
+        return n
+
+    docs = textmodel.tokenizer_segment(spark, SF_CORRECT).collect()
+    from iris_project_database_refresh_spark.functions.text import tokens
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    words = {
+        r.doc_id: r.ws
+        for r in load_table(spark, SF_CORRECT, "documents")
+        .select("doc_id", tokens(F.col("text")).alias("ws"))
+        .collect()
+    }
+    for r in docs:
+        assert r.n_pieces == sum(greedy(w) for w in words[r.doc_id])
+        assert r.n_words == len(words[r.doc_id])
