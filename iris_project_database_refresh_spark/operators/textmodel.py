@@ -113,7 +113,7 @@ def bpe_merge_step(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 BPE_SQL = f"""
-WITH vocab AS (
+WITH RECURSIVE vocab AS (
   SELECT word, count(*) AS wcnt,
          list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
   FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
@@ -132,15 +132,21 @@ pair_counts AS (
 best AS (
   SELECT ma AS best_a, mb AS best_b FROM pair_counts ORDER BY n DESC, ma, mb LIMIT 1
 ),
-merged AS (
-  SELECT wcnt, best_a, best_b,
-         list_reduce(
-           list_transform(syms, s -> [s]),
-           (acc, x) -> CASE WHEN len(acc) > 0 AND acc[len(acc)] = best_a AND x[1] = best_b
-                       THEN list_append(acc[1:len(acc) - 1], best_a || best_b)
-                       ELSE list_append(acc, x[1]) END
-         ) AS newsyms
+-- greedy merge application as a recursive CTE (no lambda folds: DuckDB
+-- 1.0's list_reduce is nondeterministic on larger vectorized inputs)
+walk AS (
+  SELECT word, wcnt, best_a, best_b, syms, len(syms)::BIGINT AS L,
+         1::BIGINT AS i, []::VARCHAR[] AS acc
   FROM vocab, best
+  UNION ALL
+  SELECT word, wcnt, best_a, best_b, syms, L, i + 1,
+         CASE WHEN len(acc) > 0 AND acc[len(acc)] = best_a AND syms[i::INT] = best_b
+              THEN list_append(acc[1:len(acc) - 1], best_a || best_b)
+              ELSE list_append(acc, syms[i::INT]) END
+  FROM walk WHERE i <= L
+),
+merged AS (
+  SELECT wcnt, best_a, best_b, acc AS newsyms FROM walk WHERE i = L + 1
 ),
 after AS (
   SELECT best_a || best_b AS new_symbol,

@@ -73,8 +73,13 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# The recursion runs as a recursive CTE rather than list_reduce:
+# DuckDB 1.0's list_reduce produced nondeterministic folds on larger
+# vectorized inputs (observed on tokenizer_segment), so no oracle in
+# this repo folds with lambdas. The step expression keeps the exact
+# IEEE op order of the Spark fold: e*(1-a) + a*v.
 EWMA_SQL = f"""
-WITH events_us AS (
+WITH RECURSIVE events_us AS (
   SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
 ),
 per_user AS (
@@ -84,20 +89,21 @@ per_user AS (
   FROM events_us
   GROUP BY user_id
 ),
-folded AS (
-  SELECT user_id, evs,
-         list_reduce(
-           list_transform(evs, e -> [e.value::DOUBLE]),
-           (acc, x) -> list_append(acc, acc[len(acc)] * ({1 - ALPHA})::DOUBLE + ({ALPHA})::DOUBLE * x[1])
-         ) AS ew
+walk AS (
+  SELECT user_id, evs, len(evs)::BIGINT AS n, 1::BIGINT AS i,
+         evs[1].value::DOUBLE AS e
   FROM per_user
+  UNION ALL
+  SELECT user_id, evs, n, i + 1,
+         e * ({1 - ALPHA})::DOUBLE + ({ALPHA})::DOUBLE * evs[(i + 1)::INT].value
+  FROM walk WHERE i < n
 )
 SELECT user_id,
-       evs[i].event_id AS event_id,
-       make_timestamp(evs[i].t) AS ts,
-       evs[i].value AS value,
-       floor(ew[i] * (1000000)::DOUBLE + (0.5)::DOUBLE) / (1000000)::DOUBLE AS ewma
-FROM folded, (SELECT unnest(generate_series(1, len(evs))) AS i)
+       evs[i::INT].event_id AS event_id,
+       make_timestamp(evs[i::INT].t) AS ts,
+       evs[i::INT].value AS value,
+       floor(e * (1000000)::DOUBLE + (0.5)::DOUBLE) / (1000000)::DOUBLE AS ewma
+FROM walk
 """
 
 QUERIES["events_ewma"] = events_ewma
