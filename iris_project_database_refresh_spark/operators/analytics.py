@@ -191,6 +191,92 @@ GROUP BY interval_id
 """
 
 
+# --- interval OVERLAP join (bin-bucketed) ------------------------------------
+#
+# The overlap complement to range_join_binned's containment semantics:
+# two per-user interval families (think sessions vs promotion windows),
+# pairs where a.start < b.end AND b.start < a.end. Spark has no native
+# interval-join optimization — the naive plan is a nested loop over the
+# two inequalities — so both sides explode their covered day bins and
+# meet in an ordinary (user_id, bin) equi-join; a multi-bin overlap is
+# found once per shared bin, so candidates dedup before the residual
+# check. Bin width trades fan-out (intervals span len/BIN_S bins)
+# against bucket size — the standard interval-bucketing join.
+
+OVL_A_LEN_S = 36 * 3600
+OVL_B_LEN_S = 24 * 3600
+OVL_PER_USER = 2
+OVL_SPAN_DAYS = 28
+
+
+def interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    users = load_table(spark, sf_dir, "events").select("user_id").distinct()
+    ks = F.explode(F.sequence(F.lit(0), F.lit(OVL_PER_USER - 1))).alias("k")
+
+    def fam(mult: int, off: int, length: int, tag: str):
+        start = (
+            F.lit(EPOCH_2024)
+            + ((F.col("user_id") * mult + F.col("k") * off) % OVL_SPAN_DAYS) * BIN_S
+        )
+        return users.select("user_id", ks).select(
+            "user_id",
+            (F.col("user_id") * 10 + F.col("k")).alias(f"{tag}_id"),
+            start.alias(f"{tag}_start"),
+            (start + length).alias(f"{tag}_end"),
+        )
+
+    a, b = fam(3, 11, OVL_A_LEN_S, "a"), fam(5, 7, OVL_B_LEN_S, "b")
+
+    def binned(df, tag):
+        return df.withColumn(
+            "bin",
+            F.explode(
+                F.sequence(
+                    F.floor(F.col(f"{tag}_start") / BIN_S),
+                    F.floor((F.col(f"{tag}_end") - 1) / BIN_S),
+                )
+            ),
+        )
+
+    cand = (
+        binned(a, "a")
+        .join(binned(b, "b"), ["user_id", "bin"])
+        .dropDuplicates(["a_id", "b_id"])
+        .where((F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end")))
+    )
+    return cand.select(
+        "user_id",
+        "a_id",
+        "b_id",
+        (
+            F.least(F.col("a_end"), F.col("b_end"))
+            - F.greatest(F.col("a_start"), F.col("b_start"))
+        ).alias("overlap_s"),
+    )
+
+
+INTERVAL_OVERLAP_SQL = f"""
+WITH users AS (SELECT DISTINCT user_id FROM events),
+ks AS (SELECT unnest(generate_series(0, {OVL_PER_USER - 1})) AS k),
+a AS (
+  SELECT user_id, user_id * 10 + k AS a_id,
+         {EPOCH_2024} + ((user_id * 3 + k * 11) % {OVL_SPAN_DAYS}) * {BIN_S} AS a_start,
+         {EPOCH_2024} + ((user_id * 3 + k * 11) % {OVL_SPAN_DAYS}) * {BIN_S} + {OVL_A_LEN_S} AS a_end
+  FROM users, ks
+),
+b AS (
+  SELECT user_id, user_id * 10 + k AS b_id,
+         {EPOCH_2024} + ((user_id * 5 + k * 7) % {OVL_SPAN_DAYS}) * {BIN_S} AS b_start,
+         {EPOCH_2024} + ((user_id * 5 + k * 7) % {OVL_SPAN_DAYS}) * {BIN_S} + {OVL_B_LEN_S} AS b_end
+  FROM users, ks
+)
+SELECT a.user_id AS user_id, a_id, b_id,
+       least(a_end, b_end) - greatest(a_start, b_start) AS overlap_s
+FROM a JOIN b ON a.user_id = b.user_id
+ AND a_start < b_end AND b_start < a_end
+"""
+
+
 # --- two-phase salted aggregation (skewed-key rollup) ------------------------
 
 def events_salted_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -240,6 +326,7 @@ QUERIES = {
     "events_rolling_1h": events_rolling_1h,
     "monitor_rollup_cube": monitor_rollup_cube,
     "events_salted_rollup": events_salted_rollup,
+    "interval_overlap_join": interval_overlap_join,
 }
 
 ORACLES = {
@@ -248,4 +335,5 @@ ORACLES = {
     "events_rolling_1h": ROLLING_SQL,
     "monitor_rollup_cube": ROLLUP_SQL,
     "events_salted_rollup": SALTED_ROLLUP_SQL,
+    "interval_overlap_join": INTERVAL_OVERLAP_SQL,
 }

@@ -46,3 +46,14 @@ def test_salted_rollup_plan_has_two_phases(spark):
     # first exchange; phase 2 merges on event_type alone
     assert "_salt" in plan
     assert plan.count("Exchange") == 2
+
+
+def test_interval_overlap_is_equi_join(spark):
+    df = analytics.interval_overlap_join(spark, SF_CORRECT)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
+    assert rows
+    # overlap length is positive and bounded by the shorter family
+    assert all(0 < r.overlap_s <= analytics.OVL_B_LEN_S for r in rows)
