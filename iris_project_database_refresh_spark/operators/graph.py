@@ -137,3 +137,100 @@ LIMIT {TOP_K}
 
 QUERIES["pagerank_docs"] = pagerank_docs
 ORACLES["pagerank_docs"] = PAGERANK_SQL
+
+
+# --- triangle counting -------------------------------------------------------
+
+TRI_TOP = 20
+
+
+def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle participation per node over the planted doc graph —
+    the standard distributed triangle enumeration: orient every
+    undirected edge low→high, join edges on the shared middle vertex
+    (producing ordered wedges a<b<c), close each wedge with a semi-join
+    back onto the edge set. Ordering makes each triangle appear exactly
+    once; the heavy steps are two equi-joins on vertex ids. At 100 TB
+    the wedge join is the known hot spot (high-degree vertices fan
+    out quadratically) — the production guard is degree-capping or
+    splitting high-degree vertices, same family as the dedup DF cap.
+
+    Output: top TRI_TOP nodes by triangle participation (each triangle
+    credits its three vertices) with the global triangle count as an
+    audit column. Pure integers — exact in both engines.
+    """
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    # ring edges u->u+1, u->u+2 guarantee a triangle per vertex (the
+    # wedge (u, u+1, u+2) always closes); the hashed edge adds irregular
+    # extra triangles so the count isn't merely N
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    und = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(
+            F.least("u", "v").alias("a"),
+            F.greatest("u", "v").alias("b"),
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed three times below
+    )
+    wedges = und.alias("e1").join(
+        und.alias("e2"), F.col("e1.b") == F.col("e2.a")
+    ).select(
+        F.col("e1.a").alias("x"), F.col("e1.b").alias("y"), F.col("e2.b").alias("z")
+    )
+    tris = wedges.join(
+        und.alias("e3"),
+        (F.col("x") == F.col("e3.a")) & (F.col("z") == F.col("e3.b")),
+        "leftsemi",
+    )
+    total = tris.agg(F.count(F.lit(1)).alias("n_triangles_total"))
+    per_node = (
+        tris.select(F.explode(F.array("x", "y", "z")).alias("doc_id"))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+        .crossJoin(F.broadcast(total))
+        .orderBy(F.desc("n_triangles"), "doc_id")
+        .limit(TRI_TOP)
+    )
+    return per_node
+
+
+TRIANGLE_SQL = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (
+  SELECT doc_id AS u, unnest(ts) AS v FROM tlists
+),
+und AS (
+  SELECT DISTINCT least(u, v) AS a, greatest(u, v) AS b
+  FROM directed WHERE u <> v
+),
+tris AS (
+  SELECT e1.a AS x, e1.b AS y, e2.b AS z
+  FROM und e1
+  JOIN und e2 ON e1.b = e2.a
+  WHERE EXISTS (SELECT 1 FROM und e3 WHERE e3.a = e1.a AND e3.b = e2.b)
+),
+total AS (SELECT count(*)::BIGINT AS n_triangles_total FROM tris)
+SELECT doc_id, count(*)::BIGINT AS n_triangles, n_triangles_total
+FROM (SELECT unnest([x, y, z]) AS doc_id FROM tris), total
+GROUP BY doc_id, n_triangles_total
+ORDER BY n_triangles DESC, doc_id
+LIMIT {TRI_TOP}
+"""
+
+QUERIES["triangle_count"] = triangle_count
+ORACLES["triangle_count"] = TRIANGLE_SQL

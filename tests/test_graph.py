@@ -26,3 +26,15 @@ def test_pagerank_shape_and_authority(spark):
     # presentation rank is the scaled rank, floor-rounded to 6dp
     for r in rows:
         assert abs(r.rank - r.rank_scaled / graph.SCALE) < 1e-6
+
+
+def test_triangle_count_ring_floor(spark):
+    rows = graph.triangle_count(spark, SF_CORRECT).collect()
+    assert len(rows) == graph.TRI_TOP
+    total = rows[0].n_triangles_total
+    assert all(r.n_triangles_total == total for r in rows)
+    # the ring wedges (u, u+1, u+2) alone close N triangles
+    assert total >= 500
+    # participation is sorted desc with id tie-break
+    counts = [r.n_triangles for r in rows]
+    assert counts == sorted(counts, reverse=True)
