@@ -249,12 +249,125 @@ GROUP BY e.event_type
 """
 
 
+# --- analytic-window completeness suite --------------------------------------
+
+WSUITE_SAMPLE = 97  # keep every 97th event so output stays bounded
+
+
+def events_window_suite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One query exercising the full analytic-window surface on the
+    monitor stream: lag/lead, row_number, percent_rank, cume_dist and
+    ntile over (event_type ORDER BY ts, event_id). All five share one
+    window partitioning, so the plan pays a single sort-exchange pair —
+    the thing to check when stacking analytics at 100 TB is that
+    Catalyst collapses same-spec windows into one Window operator
+    rather than re-sorting per function. percent_rank/cume_dist are the
+    same (rank-1)/(n-1), rank/n rationals in both engines — exact in
+    binary64. Output keeps every WSUITE_SAMPLE-th event (computed over
+    the FULL partitions, filtered after)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    out = ev.select(
+        "event_id",
+        "event_type",
+        "ts",
+        "value",
+        F.lag("value").over(w).alias("prev_value"),
+        F.lead("value").over(w).alias("next_value"),
+        F.row_number().over(w).alias("rn"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    return out.where(F.col("event_id") % WSUITE_SAMPLE == 0)
+
+
+WINDOW_SUITE_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+win AS (
+  SELECT event_id, event_type, ts, value,
+         lag(value) OVER w AS prev_value,
+         lead(value) OVER w AS next_value,
+         row_number() OVER w AS rn,
+         round(percent_rank() OVER w, 9) AS pct_rank,
+         round(cume_dist() OVER w, 9) AS cume,
+         ntile(10) OVER w AS decile
+  FROM events_us
+  WINDOW w AS (PARTITION BY event_type ORDER BY ts, event_id)
+)
+SELECT * FROM win WHERE event_id % {WSUITE_SAMPLE} = 0
+"""
+
+
+# --- equi-width value histogram ----------------------------------------------
+
+HIST_BINS = 20
+
+
+def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type equi-width histogram of `value`: global min/max
+    per type come from one tiny aggregate broadcast back onto the
+    stream, the bin index is pure arithmetic, and counts reduce
+    map-side — the distributed histogram every profiler/monitor
+    dashboard needs at scale (one narrow pass + one bounded shuffle).
+    The top edge folds into the last bin (least with NBINS-1)."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    bounds = ev.groupBy("event_type").agg(
+        F.min("value").alias("lo"), F.max("value").alias("hi")
+    )
+    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        "lo",
+        "hi",
+        F.least(
+            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
+            F.lit(HIST_BINS - 1),
+        ).alias("bin"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(F.broadcast(bounds), "event_type")
+        .select(
+            "event_type",
+            "bin",
+            F.round(F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / HIST_BINS), 6).alias("bin_lo"),
+            "n",
+        )
+    )
+
+
+HISTOGRAM_SQL = f"""
+WITH bounds AS (
+  SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         least(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / {HIST_BINS})) AS INT),
+               {HIST_BINS - 1}) AS bin
+  FROM events e JOIN bounds b USING (event_type)
+)
+SELECT event_type, bin,
+       round(lo + bin * ((hi - lo) / {HIST_BINS}), 6) AS bin_lo,
+       count(*) AS n
+FROM binned JOIN bounds USING (event_type)
+GROUP BY event_type, bin, lo, hi
+"""
+
+
 QUERIES = {
     "monitor_quantiles": monitor_quantiles,
     "events_pivot": events_pivot,
     "events_gapfill": events_gapfill,
     "user_spend_quartiles": user_spend_quartiles,
     "outlier_iqr": outlier_iqr,
+    "events_window_suite": events_window_suite,
+    "events_histogram": events_histogram,
 }
 
 ORACLES = {
@@ -263,4 +376,6 @@ ORACLES = {
     "events_gapfill": GAPFILL_SQL,
     "user_spend_quartiles": QUARTILES_SQL,
     "outlier_iqr": OUTLIER_SQL,
+    "events_window_suite": WINDOW_SUITE_SQL,
+    "events_histogram": HISTOGRAM_SQL,
 }

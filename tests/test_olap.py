@@ -89,3 +89,36 @@ def test_pivot_has_no_values_discovery_job(spark):
         .toString()
     )
     assert plan.count("FileScan parquet") == 1
+
+
+def test_window_suite_single_window_operator(spark):
+    """All six analytic functions share one window spec, so Catalyst
+    must evaluate them in ONE Window operator over one sort."""
+    plan = (
+        olap.events_window_suite(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert plan.count("Window") == 1 or plan.count("RunningWindowFunction") <= 1
+    assert plan.count("Exchange") == 1
+
+
+def test_histogram_covers_all_rows(spark):
+    import pyspark.sql.functions as F
+
+    rows = olap.events_histogram(spark, SF_CORRECT).collect()
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    per_type = {
+        r.event_type: r.n
+        for r in load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {}
+    for r in rows:
+        assert 0 <= r.bin < olap.HIST_BINS
+        got[r.event_type] = got.get(r.event_type, 0) + r.n
+    assert got == per_type
