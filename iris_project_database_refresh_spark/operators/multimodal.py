@@ -278,3 +278,151 @@ QUERIES["multimodal_framesample"] = multimodal_framesample
 ORACLES["multimodal_framesample"] = MULTIMODAL_FRAMES_SQL
 QUERIES["multimodal_resize"] = multimodal_resize
 ORACLES["multimodal_resize"] = MULTIMODAL_RESIZE_SQL
+
+
+# --- perceptual-hash near-dup pairs ------------------------------------------
+#
+# The image-dedup flow a training pipeline runs over media: decode →
+# perceptual hash → banded Hamming join. The hash kernel here is a real
+# locality-preserving function of the payload BYTES (no media libs
+# needed): a difference hash (dHash) — split the payload into PH_BITS+1
+# chunks and set bit i when chunk i's byte-energy exceeds chunk i+1's,
+# the published gradient-sign design. Gradient bits are balanced by
+# construction (an energy-vs-mean variant saturated: one all-ones band
+# bucket held a third of the corpus, re-creating the quadratic hot
+# bucket the dedup DF cap exists for). Near-identical payloads land at
+# small Hamming distance; exact copies at 0. Banding mirrors
+# operators/dedup.dedup_simhash: with
+# PH_BANDS bands, any pair within Hamming distance < PH_BANDS shares
+# at least one exact band (pigeonhole), so the bucket join finds
+# every pair the threshold admits — no all-pairs product.
+#
+# The kernel runs in the same Arrow-batched mapInPandas stage as the
+# other media kernels (payload bytes never reach the driver); the
+# oracle recomputes the identical integer hash from the text (ASCII
+# corpus: bytes == code points).
+
+PH_BITS = 60
+PH_BANDS = 4
+PH_BAND_BITS = PH_BITS // PH_BANDS  # 15
+PH_TAU = 1  # pairs with Hamming <= 1 < PH_BANDS are guaranteed found
+
+PHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("phash", T.LongType()),
+    ]
+)
+
+
+def _byte_energy_phash(payload: bytes) -> int:
+    """Locality-preserving 60-bit byte-gradient (dHash) hash."""
+    L = len(payload)
+    if L == 0:
+        return 0
+    cs = -(-L // (PH_BITS + 1))  # ceil over PH_BITS+1 chunks
+    sums = [sum(payload[i * cs : (i + 1) * cs]) for i in range(PH_BITS + 1)]
+    h = 0
+    for i in range(PH_BITS):
+        if sums[i] > sums[i + 1]:
+            h |= 1 << i
+    return h
+
+
+def phash_media(media: DataFrame) -> DataFrame:
+    def fn(batches: Iterable[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                yield pd.DataFrame(
+                    {
+                        "media_id": part["media_id"].to_numpy(),
+                        "phash": [_byte_energy_phash(p) for p in part["payload"]],
+                    }
+                )
+
+    return media.mapInPandas(fn, PHASH_SCHEMA)
+
+
+def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup media pairs via banded Hamming join over the byte-energy
+    pHash. The media set is the dedup corpus (documents + planted
+    copies) as payloads, so exact-copy pairs exist at distance 0."""
+    from .dedup import _corpus
+
+    media = _corpus(spark, sf_dir).select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("payload"),
+        F.lit("image").alias("media_type"),
+    )
+    hashed = phash_media(media).localCheckpoint(eager=False)  # both join sides
+    bands = hashed.select(
+        "media_id",
+        "phash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.expr(
+                        f"(phash div {1 << (b * PH_BAND_BITS)}) % {1 << PH_BAND_BITS}"
+                    )
+                    for b in range(PH_BANDS)
+                ]
+            )
+        ).alias("band_idx", "band_key"),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.media_id") < F.col("b.media_id")),
+        )
+        .select(
+            F.col("a.media_id").alias("id_a"),
+            F.col("b.media_id").alias("id_b"),
+            F.col("a.phash").alias("ha"),
+            F.col("b.phash").alias("hb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    dist = F.bit_count(F.expr("ha ^ hb"))
+    return cand.where(dist <= PH_TAU).select(
+        "id_a", "id_b", dist.cast("bigint").alias("hamming")
+    )
+
+
+def _phash_sql_expr() -> str:
+    """60-bit byte-gradient (dHash) of `text` as pure SQL (ASCII corpus:
+    bytes == code points). Chunk sums computed once into a list, bits
+    from adjacent comparisons."""
+    cs = f"CAST(ceil(length(text) / {PH_BITS + 1}.0) AS BIGINT)"
+    sums = (
+        f"list_transform(generate_series(0, {PH_BITS}), i -> "
+        "coalesce(list_sum(list_transform(generate_series(i * cs + 1, least((i + 1) * cs, length(text))), "
+        "p -> ascii(substr(text, p, 1)))), 0))"
+    )
+    bits = " + ".join(
+        f"(CASE WHEN sums[{i + 1}] > sums[{i + 2}] THEN {1 << i} ELSE 0 END)" for i in range(PH_BITS)
+    )
+    return (
+        f"SELECT doc_id, {bits} AS phash FROM "
+        f"(SELECT doc_id, {sums} AS sums FROM (SELECT doc_id, text, {cs} AS cs FROM corpus))"
+    )
+
+
+from .dedup import CORPUS_SQL as _DEDUP_CORPUS_SQL
+
+MULTIMODAL_PHASH_SQL = f"""
+WITH {_DEDUP_CORPUS_SQL.strip()},
+hashed AS ({{phash_inner}}),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         bit_count(xor(a.phash, b.phash))::BIGINT AS hamming
+  FROM hashed a JOIN hashed b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {PH_TAU}
+""".format(phash_inner=_phash_sql_expr())
+
+QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
+ORACLES["multimodal_phash_dedup"] = MULTIMODAL_PHASH_SQL

@@ -127,3 +127,23 @@ def test_streaming_ewma_equals_batch(spark):
         assert last_ts == batch_ts
         # batch output is floor-rounded to 6dp; state keeps full precision
         assert abs(ewma - batch_ewma) < 1e-6
+
+
+def test_phash_finds_planted_exact_copies(spark):
+    """Every planted exact copy (doc_id + 100000) must pair with its
+    original at Hamming distance 0; the banded join may surface more
+    near pairs, never fewer."""
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        multimodal_phash_dedup,
+    )
+
+    rows = multimodal_phash_dedup(spark, SF_CORRECT).collect()
+    pairs = {(r.id_a, r.id_b): r.hamming for r in rows}
+    import duckdb  # count planted copies
+
+    n_planted = duckdb.connect().execute(
+        f"SELECT count(*) FROM read_parquet('{SF_CORRECT}/documents.parquet') WHERE doc_id % 7 = 0"
+    ).fetchone()[0]
+    found = [d for (a, b), d in pairs.items() if b == a + 100000]
+    assert len(found) == n_planted
+    assert all(d == 0 for d in found)
