@@ -178,3 +178,78 @@ JOIN d q ON top.query_id = q.vec_id
 
 QUERIES["knn_pq"] = knn_pq
 ORACLES["knn_pq"] = KNN_PQ_SQL
+
+
+# --- ANN recall evaluation ---------------------------------------------------
+
+def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@K of every approximate index (hyperplane LSH, IVF, PQ)
+    against the exact brute-force top-K, per query — the evaluation
+    harness an ANN deployment runs before switching indexes, expressed
+    as one composed query. The exact result is pinned once (lazy
+    localCheckpoint) and each method's hits are a semi-join against it;
+    queries with zero hits still appear via the left join from the
+    query-id set. Everything is counts of exact-id matches — oracle-
+    reproducible because every index here is itself deterministic."""
+    from .advanced import knn_ivf
+    from .embeddings import KNN_K, knn_brute_force, knn_lsh
+
+    exact = (
+        knn_brute_force(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # consumed by every method below
+    )
+    qids = exact.select("query_id").distinct()
+    parts = []
+    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq)):
+        m = fn(spark, sf_dir).select("query_id", "neighbor_id")
+        hits = (
+            m.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("n_hits"))
+        )
+        parts.append(
+            qids.join(hits, "query_id", "left").select(
+                F.lit(name).alias("method"),
+                "query_id",
+                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+                F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / KNN_K, 4).alias("recall"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out
+
+
+def _recall_sql() -> str:
+    from .advanced import KNN_IVF_SQL
+    from .embeddings import KNN_K, KNN_LSH_SQL, KNN_SQL
+
+    methods = {"lsh": KNN_LSH_SQL, "ivf": KNN_IVF_SQL, "pq": KNN_PQ_SQL}
+    arms = "\nUNION ALL\n".join(
+        f"""
+SELECT '{name}' AS method, q.query_id,
+       count(e.neighbor_id)::BIGINT AS n_hits,
+       round(count(e.neighbor_id) / {KNN_K}.0, 4) AS recall
+FROM qids q
+LEFT JOIN (
+  SELECT m.query_id, m.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM ({sql})) m
+  JOIN exact e2 ON m.query_id = e2.query_id AND m.neighbor_id = e2.neighbor_id
+) e ON q.query_id = e.query_id
+GROUP BY q.query_id
+"""
+        for name, sql in methods.items()
+    )
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+qids AS (SELECT DISTINCT query_id FROM exact)
+{arms}
+"""
+
+
+ANN_RECALL_SQL = _recall_sql()
+
+QUERIES["ann_recall_eval"] = ann_recall_eval
+ORACLES["ann_recall_eval"] = ANN_RECALL_SQL

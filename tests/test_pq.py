@@ -42,3 +42,19 @@ def test_pq_shape(spark):
         scores = [r.adc_dot for r in rs]
         assert scores == sorted(scores, reverse=True)
         assert all(r.neighbor_id != q for r in rs)
+
+
+def test_recall_eval_shape_and_bounds(spark):
+    rows = pq.ann_recall_eval(spark, SF_CORRECT).collect()
+    assert {r.method for r in rows} == {"lsh", "ivf", "pq"}
+    per = {}
+    for r in rows:
+        assert 0.0 <= r.recall <= 1.0
+        assert r.n_hits == round(r.recall * 10)
+        per.setdefault(r.method, []).append(r.recall)
+    # every method covers all 5 queries; bucketed candidates never beat exact
+    assert all(len(v) == 5 for v in per.values())
+    # untrained deterministic indexes are weak quantizers, but each must
+    # beat zero overall (random top-10 of ~500 would average ~0.02)
+    for method, recalls in per.items():
+        assert sum(recalls) > 0, method
