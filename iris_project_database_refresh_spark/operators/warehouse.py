@@ -121,12 +121,55 @@ FROM lineitem"""
 )
 
 
+# --- point-in-time reconstruction (time travel over SCD2) --------------------
+
+ASOF_DATE = "2024-01-08"
+
+
+def catalog_asof_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reconstruct the catalog's state as of ASOF_DATE from the SCD2
+    validity intervals — the time-travel query a warehouse answers
+    after history is kept instead of overwritten (the queryable
+    complement of the reference's keep-latest merge, stage4). One row
+    per key whose history had started by the cutoff: the version with
+    `valid_from <= T < coalesce(valid_to, +inf)`. The half-open
+    interval filter is a pure predicate on the interval table — at
+    100 TB it rides partition pruning when intervals are laid out by
+    valid_from (sinks/partitioned.py)."""
+    t = F.to_date(F.lit(ASOF_DATE))
+    iv = scd2_intervals(spark, sf_dir)
+    state = iv.where(
+        (F.col("valid_from") <= t)
+        & (F.col("valid_to").isNull() | (F.col("valid_to") > t))
+    )
+    return state.select(
+        "doc_id",
+        "attr",
+        "valid_from",
+        F.datediff(t, F.col("valid_from")).cast("bigint").alias("age_days"),
+        F.col("valid_to").isNull().alias("is_open_ended"),
+    )
+
+
+ASOF_STATE_SQL = f"""
+WITH iv AS ({SCD2_SQL})
+SELECT doc_id, attr, valid_from,
+       (DATE '{ASOF_DATE}' - valid_from)::BIGINT AS age_days,
+       valid_to IS NULL AS is_open_ended
+FROM iv
+WHERE valid_from <= DATE '{ASOF_DATE}'
+  AND (valid_to IS NULL OR valid_to > DATE '{ASOF_DATE}')
+"""
+
+
 QUERIES = {
     "scd2_intervals": scd2_intervals,
     "table_profile": table_profile,
+    "catalog_asof_state": catalog_asof_state,
 }
 
 ORACLES = {
     "scd2_intervals": SCD2_SQL,
     "table_profile": PROFILE_SQL,
+    "catalog_asof_state": ASOF_STATE_SQL,
 }

@@ -54,3 +54,18 @@ def test_profile_accounts_for_every_row(spark):
     for r in out:
         assert r.n_rows + r.n_null == n_table
         assert r.min_v <= r.avg_v <= r.max_v
+
+
+def test_asof_state_is_a_function_of_keys(spark):
+    """Point-in-time reconstruction: at most one version per key, and
+    every key whose history started by the cutoff is present."""
+    from iris_project_database_refresh_spark.operators.warehouse import (
+        catalog_asof_state,
+    )
+
+    rows = catalog_asof_state(spark, SF_CORRECT).collect()
+    ids = [r.doc_id for r in rows]
+    assert len(ids) == len(set(ids))
+    # every doc has a version at 2024-01-01 <= cutoff, so all 500 appear
+    assert len(ids) == 500
+    assert all(r.age_days >= 0 for r in rows)
