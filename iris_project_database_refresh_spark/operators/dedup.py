@@ -956,3 +956,132 @@ GROUP BY doc_id, n_spans
 
 QUERIES["doc_decontaminate"] = doc_decontaminate
 ORACLES["doc_decontaminate"] = DOC_DECONTAMINATE_SQL
+
+
+# --- Bloom-filter prefilter for the incremental refresh ----------------------
+#
+# Before the refresh cycle runs any expensive near-dup machinery, a
+# Bloom filter over the master corpus' content fingerprints answers
+# "definitely new" for most of the incoming batch — the standard
+# at-scale prefilter (Spark exposes one internally via
+# DataFrameStatFunctions.bloomFilter, but its bit layout is
+# engine-private; this one is md5-derived so the oracle reproduces the
+# filter bit-for-bit, false positives included). The filter is built
+# as BLOOM_BITS/64 64-bit words via a bit_or aggregation — mergeable
+# map-side partials, so construction is one narrow pass over master —
+# and broadcasts to the probe side. Probes needing exact confirmation
+# (all K bits set) verify by fingerprint join; the output one-row
+# audit counts definite-news, confirmed dups, and false positives.
+
+BLOOM_BITS = 4092  # 66 words x 62 bits (62-bit words: shift 63 overflows BIGINT in both engines); ~8 bits per master
+BLOOM_K = 3
+
+
+def _bloom_positions(col: str) -> list:
+    """K md5-derived bit positions for a fingerprint column."""
+    return [
+        (
+            F.conv(F.substring(F.md5(F.concat_ws("#", F.col(col), F.lit(str(j)))), 1, 8), 16, 10)
+            .cast("bigint") % BLOOM_BITS
+        ).alias(f"p{j}")
+        for j in range(BLOOM_K)
+    ]
+
+
+def dedup_bloom_prefilter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _corpus(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    master = sh.where(F.col("doc_id") < 100000)
+    incoming = sh.where(F.col("doc_id") >= 100000)
+
+    m_pos = master.select(*_bloom_positions("fp")).select(
+        F.explode(F.array(*[F.col(f"p{j}") for j in range(BLOOM_K)])).alias("pos")
+    )
+    words = (
+        m_pos.select(
+            F.expr("pos div 62").alias("word_idx"),
+            F.expr("shiftleft(cast(1 as bigint), cast(pos % 62 as int))").alias("bit"),
+        )
+        .groupBy("word_idx")
+        .agg(F.bit_or("bit").alias("word"))
+    )
+
+    probes = incoming.select("doc_id", "fp", *_bloom_positions("fp")).select(
+        "doc_id",
+        "fp",
+        F.posexplode(F.array(*[F.col(f"p{j}") for j in range(BLOOM_K)])).alias("j", "pos"),
+    )
+    checked = (
+        probes.join(F.broadcast(words), F.expr("pos div 62") == F.col("word_idx"), "left")
+        .select(
+            "doc_id",
+            "fp",
+            (
+                F.coalesce(F.col("word"), F.lit(0)).bitwiseAND(
+                    F.expr("shiftleft(cast(1 as bigint), cast(pos % 62 as int))")
+                )
+                != 0
+            ).cast("int").alias("hit"),
+        )
+        .groupBy("doc_id", "fp")
+        .agg((F.sum("hit") == BLOOM_K).alias("maybe"))
+    )
+    confirmed = checked.join(
+        master.select(F.col("fp").alias("fp"), F.lit(1).alias("in_master")).distinct(),
+        "fp",
+        "left",
+    )
+    return confirmed.agg(
+        F.count(F.lit(1)).alias("n_incoming"),
+        F.sum((~F.col("maybe")).cast("long")).alias("n_definitely_new"),
+        F.sum(F.col("maybe").cast("long")).alias("n_maybe"),
+        F.sum((F.col("maybe") & F.col("in_master").isNotNull()).cast("long")).alias("n_true_dup"),
+        F.sum((F.col("maybe") & F.col("in_master").isNull()).cast("long")).alias(
+            "n_false_positive"
+        ),
+    )
+
+
+def _bloom_pos_sql(fp: str, j: int) -> str:
+    return f"CAST('0x' || substr(md5({fp} || '#' || '{j}'), 1, 8) AS BIGINT) % {BLOOM_BITS}"
+
+
+DEDUP_BLOOM_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+fps AS (SELECT doc_id, md5(text) AS fp FROM corpus),
+master AS (SELECT * FROM fps WHERE doc_id < 100000),
+incoming AS (SELECT * FROM fps WHERE doc_id >= 100000),
+m_pos AS (
+  SELECT unnest([{", ".join(_bloom_pos_sql("fp", j) for j in range(BLOOM_K))}]) AS pos
+  FROM master
+),
+words AS (
+  SELECT pos // 62 AS word_idx, bit_or(1::BIGINT << CAST(pos % 62 AS INT)) AS word
+  FROM m_pos GROUP BY pos // 62
+),
+probes AS (
+  SELECT doc_id, fp,
+         unnest([{", ".join(_bloom_pos_sql("fp", j) for j in range(BLOOM_K))}]) AS pos
+  FROM incoming
+),
+checked AS (
+  SELECT doc_id, fp,
+         (sum(CASE WHEN (coalesce(word, 0) & (1::BIGINT << CAST(pos % 62 AS INT))) <> 0
+                   THEN 1 ELSE 0 END) = {BLOOM_K}) AS maybe
+  FROM probes LEFT JOIN words ON pos // 62 = word_idx
+  GROUP BY doc_id, fp
+),
+confirmed AS (
+  SELECT c.*, m.in_master
+  FROM checked c
+  LEFT JOIN (SELECT DISTINCT fp, 1 AS in_master FROM master) m USING (fp)
+)
+SELECT count(*) AS n_incoming,
+       sum(CASE WHEN NOT maybe THEN 1 ELSE 0 END)::BIGINT AS n_definitely_new,
+       sum(CASE WHEN maybe THEN 1 ELSE 0 END)::BIGINT AS n_maybe,
+       sum(CASE WHEN maybe AND in_master IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_true_dup,
+       sum(CASE WHEN maybe AND in_master IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_false_positive
+FROM confirmed
+"""
+
+QUERIES["dedup_bloom_prefilter"] = dedup_bloom_prefilter
+ORACLES["dedup_bloom_prefilter"] = DEDUP_BLOOM_SQL

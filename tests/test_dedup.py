@@ -46,3 +46,19 @@ def test_decontaminate_catches_planted(spark):
     for r in rows:
         if r["doc_id"] >= 300000:
             assert r["contamination"] > 0.5
+
+
+def test_bloom_prefilter_catches_every_true_dup(spark):
+    """A Bloom filter has no false negatives: every planted exact copy
+    must land in the maybe set and be confirmed; false positives are
+    the price, and must stay a small fraction of incoming."""
+    from iris_project_database_refresh_spark.operators.dedup import (
+        dedup_bloom_prefilter,
+    )
+
+    (row,) = dedup_bloom_prefilter(spark, SF_CORRECT).collect()
+    assert row.n_incoming == row.n_definitely_new + row.n_maybe
+    assert row.n_maybe == row.n_true_dup + row.n_false_positive
+    # planted exact copies: doc_id % 7 == 0 over 500 docs = 72
+    assert row.n_true_dup == 72
+    assert row.n_false_positive <= row.n_incoming * 0.1
