@@ -139,12 +139,60 @@ GROUP BY 1, 2, 3
 """
 
 
+# --- first-order transition matrix -------------------------------------------
+
+def events_markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over user journeys: for
+    every (current, next) event-type pair, the transition count and
+    P(next | current) — the journey summary behind "what do users do
+    after X". One window pass (lead over user_id ordered by ts,
+    event_id — same partitioning the sessionizer uses) produces the
+    transition stream; counts reduce map-side; row totals come back as
+    a broadcast join. Probabilities are count ratios — exact rationals
+    in binary64, same division in both engines."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    totals = trans.groupBy("cur").agg(F.sum("n").alias("row_total"))
+    return trans.join(F.broadcast(totals), "cur").select(
+        "cur",
+        "nxt",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("p_next"),
+    )
+
+
+MARKOV_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+trans AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events_us
+),
+counts AS (
+  SELECT cur, nxt, count(*) AS n FROM trans WHERE nxt IS NOT NULL GROUP BY cur, nxt
+),
+totals AS (SELECT cur, sum(n) AS row_total FROM counts GROUP BY cur)
+SELECT cur, nxt, n, round(n / CAST(row_total AS DOUBLE), 6) AS p_next
+FROM counts JOIN totals USING (cur)
+"""
+
+
 QUERIES = {
     "events_funnel": events_funnel,
     "cohort_retention": cohort_retention,
+    "events_markov_transitions": events_markov_transitions,
 }
 
 ORACLES = {
     "events_funnel": FUNNEL_SQL,
     "cohort_retention": COHORT_SQL,
+    "events_markov_transitions": MARKOV_SQL,
 }

@@ -69,3 +69,17 @@ def test_asof_state_is_a_function_of_keys(spark):
     # every doc has a version at 2024-01-01 <= cutoff, so all 500 appear
     assert len(ids) == 500
     assert all(r.age_days >= 0 for r in rows)
+
+
+def test_markov_rows_sum_to_one(spark):
+    from iris_project_database_refresh_spark.operators.journeys import (
+        events_markov_transitions,
+    )
+
+    rows = events_markov_transitions(spark, SF_CORRECT).collect()
+    per_cur = {}
+    for r in rows:
+        assert 0 < r.p_next <= 1
+        per_cur.setdefault(r.cur, 0.0)
+        per_cur[r.cur] += r.p_next
+    assert per_cur and all(abs(s - 1.0) < 1e-4 for s in per_cur.values())
