@@ -162,14 +162,82 @@ WHERE valid_from <= DATE '{ASOF_DATE}'
 """
 
 
+# --- RFM customer segmentation -----------------------------------------------
+
+RFM_TILES = 4
+
+
+def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recency/Frequency/Monetary segmentation over the orders fact —
+    the standard warehouse customer scoring. The fact collapses to one
+    row per customer first (one shuffle); the three ntile windows then
+    run over the bounded per-customer table only, each with a total
+    order (metric + custkey tie-break) so quartile assignment is
+    deterministic in both engines. The composite segment code is
+    r*100 + f*10 + m."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    )
+    r_w = Window.orderBy(F.desc("last_order"), "custkey")
+    f_w = Window.orderBy(F.desc("n_orders"), "custkey")
+    m_w = Window.orderBy(F.desc("total_spend"), "custkey")
+    scored = per_cust.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
+        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
+        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
+    )
+    return scored.select(
+        "custkey",
+        "last_order",
+        "n_orders",
+        "total_spend",
+        "r_score",
+        "f_score",
+        "m_score",
+        (F.col("r_score") * 100 + F.col("f_score") * 10 + F.col("m_score")).alias("rfm_code"),
+    )
+
+
+RFM_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey AS custkey,
+         max(o_orderdate) AS last_order,
+         count(*) AS n_orders,
+         round(sum(o_totalprice), 2) AS total_spend
+  FROM orders GROUP BY o_custkey
+)
+SELECT custkey, last_order, n_orders, total_spend,
+       r_score, f_score, m_score,
+       r_score * 100 + f_score * 10 + m_score AS rfm_code
+FROM (
+  SELECT *,
+         ntile({RFM_TILES}) OVER (ORDER BY last_order DESC, custkey) AS r_score,
+         ntile({RFM_TILES}) OVER (ORDER BY n_orders DESC, custkey) AS f_score,
+         ntile({RFM_TILES}) OVER (ORDER BY total_spend DESC, custkey) AS m_score
+  FROM per_cust
+)
+"""
+
+
 QUERIES = {
     "scd2_intervals": scd2_intervals,
     "table_profile": table_profile,
     "catalog_asof_state": catalog_asof_state,
+    "customer_rfm": customer_rfm,
 }
 
 ORACLES = {
     "scd2_intervals": SCD2_SQL,
     "table_profile": PROFILE_SQL,
     "catalog_asof_state": ASOF_STATE_SQL,
+    "customer_rfm": RFM_SQL,
 }

@@ -83,3 +83,22 @@ def test_markov_rows_sum_to_one(spark):
         per_cur.setdefault(r.cur, 0.0)
         per_cur[r.cur] += r.p_next
     assert per_cur and all(abs(s - 1.0) < 1e-4 for s in per_cur.values())
+
+
+def test_rfm_tiles_balanced(spark):
+    from iris_project_database_refresh_spark.operators.warehouse import (
+        RFM_TILES,
+        customer_rfm,
+    )
+
+    rows = customer_rfm(spark, SF_CORRECT).collect()
+    n = len(rows)
+    for col in ("r_score", "f_score", "m_score"):
+        counts = {}
+        for r in rows:
+            v = getattr(r, col)
+            assert 1 <= v <= RFM_TILES
+            counts[v] = counts.get(v, 0) + 1
+        # ntile keeps tile sizes within 1 of each other
+        assert max(counts.values()) - min(counts.values()) <= 1
+        assert sum(counts.values()) == n
