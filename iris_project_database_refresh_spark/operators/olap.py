@@ -360,6 +360,59 @@ GROUP BY event_type, bin, lo, hi
 """
 
 
+# --- equi-DEPTH histogram ----------------------------------------------------
+
+DEPTH_BINS = 10
+
+
+def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-count companion to `events_histogram`: bin edges are the
+    exact interior percentiles per event type (one bounded aggregate —
+    `percentile` here, `percentile_approx`'s mergeable GK sketch at
+    100 TB), broadcast back onto the stream; a row's bin is the number
+    of edges strictly below its value (an array count, no per-bin
+    join). Equal-width shows the distribution's shape; equal-depth
+    gives stable per-bin sample sizes for downstream stats."""
+    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    qs = [i / DEPTH_BINS for i in range(1, DEPTH_BINS)]
+    edges = ev.groupBy("event_type").agg(
+        F.expr(f"percentile(value, array({', '.join(str(q) for q in qs)}))").alias("edges")
+    )
+    binned = ev.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        F.size(F.filter("edges", lambda e: e < F.col("value"))).alias("bin"),
+        F.col("value"),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 2).alias("bin_min"),
+            F.round(F.max("value"), 2).alias("bin_max"),
+        )
+    )
+
+
+EQUIDEPTH_SQL = f"""
+WITH edges AS (
+  SELECT event_type,
+         quantile_cont(value, [{", ".join(str(i / DEPTH_BINS) for i in range(1, DEPTH_BINS))}]) AS edges
+  FROM events GROUP BY event_type
+),
+binned AS (
+  SELECT e.event_type,
+         len(list_filter(edges, x -> x < e.value)) AS bin,
+         e.value
+  FROM events e JOIN edges USING (event_type)
+)
+SELECT event_type, bin, count(*) AS n,
+       round(min(value), 2) AS bin_min,
+       round(max(value), 2) AS bin_max
+FROM binned
+GROUP BY event_type, bin
+"""
+
+
 QUERIES = {
     "monitor_quantiles": monitor_quantiles,
     "events_pivot": events_pivot,
@@ -368,6 +421,7 @@ QUERIES = {
     "outlier_iqr": outlier_iqr,
     "events_window_suite": events_window_suite,
     "events_histogram": events_histogram,
+    "events_histogram_equidepth": events_histogram_equidepth,
 }
 
 ORACLES = {
@@ -378,4 +432,5 @@ ORACLES = {
     "outlier_iqr": OUTLIER_SQL,
     "events_window_suite": WINDOW_SUITE_SQL,
     "events_histogram": HISTOGRAM_SQL,
+    "events_histogram_equidepth": EQUIDEPTH_SQL,
 }

@@ -122,3 +122,15 @@ def test_histogram_covers_all_rows(spark):
         assert 0 <= r.bin < olap.HIST_BINS
         got[r.event_type] = got.get(r.event_type, 0) + r.n
     assert got == per_type
+
+
+def test_equidepth_bins_balanced(spark):
+    rows = olap.events_histogram_equidepth(spark, SF_CORRECT).collect()
+    per_type = {}
+    for r in rows:
+        assert 0 <= r.bin < olap.DEPTH_BINS
+        assert r.bin_min <= r.bin_max
+        per_type.setdefault(r.event_type, []).append(r.n)
+    for counts in per_type.values():
+        # equal-depth: every bin within a few rows of n/bins (edge ties)
+        assert max(counts) - min(counts) <= max(counts) * 0.1 + 5
