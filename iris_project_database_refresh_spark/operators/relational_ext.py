@@ -488,3 +488,74 @@ GROUP BY 1
 
 QUERIES["q8_market_share"] = q8_market_share
 ORACLES["q8_market_share"] = Q8_SQL
+
+
+# --- order backlog (sweep-line interval counting) ----------------------------
+
+def orders_open_backlog(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """How many orders are open on each day — interval counting by the
+    sweep-line device: each order contributes a +1 event at its order
+    date and a -1 at its close (the max ship date of its lines), the
+    daily net aggregates in one pass, and the backlog is a running sum
+    over the bounded day table (~2,500 rows at any scale factor, so the
+    single-partition cumulative window is safe; the corpus-sized work
+    is the per-order max-shipdate aggregation and one join, both on
+    orderkey). The pattern is the general one for "how many intervals
+    cover X" questions — reservations, sessions, open files — without
+    exploding interval×day pairs."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.date_trunc("day", "o_orderdate").cast("date").alias("open_day")
+    )
+    closes = (
+        load_table(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.date_trunc("day", F.max("l_shipdate")).cast("date").alias("close_day"))
+    )
+    spans = orders.join(closes, orders.o_orderkey == closes.l_orderkey)
+    deltas = spans.select(
+        F.col("open_day").alias("day"), F.lit(1).alias("opened"), F.lit(0).alias("closed")
+    ).unionAll(
+        spans.select(
+            F.col("close_day").alias("day"), F.lit(0).alias("opened"), F.lit(1).alias("closed")
+        )
+    )
+    daily = deltas.groupBy("day").agg(
+        F.sum("opened").alias("n_opened"), F.sum("closed").alias("n_closed")
+    )
+    from pyspark.sql import Window
+
+    w = Window.orderBy("day").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    return daily.select(
+        "day",
+        "n_opened",
+        "n_closed",
+        F.sum(F.col("n_opened") - F.col("n_closed")).over(w).alias("open_backlog"),
+    )
+
+
+BACKLOG_SQL = """
+WITH closes AS (
+  SELECT l_orderkey, CAST(date_trunc('day', max(l_shipdate)) AS DATE) AS close_day
+  FROM lineitem GROUP BY l_orderkey
+),
+spans AS (
+  SELECT CAST(date_trunc('day', o_orderdate) AS DATE) AS open_day, close_day
+  FROM orders JOIN closes ON o_orderkey = l_orderkey
+),
+deltas AS (
+  SELECT open_day AS day, 1 AS opened, 0 AS closed FROM spans
+  UNION ALL
+  SELECT close_day AS day, 0 AS opened, 1 AS closed FROM spans
+),
+daily AS (
+  SELECT day, sum(opened)::BIGINT AS n_opened, sum(closed)::BIGINT AS n_closed
+  FROM deltas GROUP BY day
+)
+SELECT day, n_opened, n_closed,
+       sum(n_opened - n_closed) OVER (ORDER BY day
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)::BIGINT AS open_backlog
+FROM daily
+"""
+
+QUERIES["orders_open_backlog"] = orders_open_backlog
+ORACLES["orders_open_backlog"] = BACKLOG_SQL

@@ -32,3 +32,16 @@ def test_q6_filters_pushed(spark):
         .toString()
     )
     assert "PushedFilters: [" in plan and "l_shipdate" in plan and "l_quantity" in plan
+
+
+def test_backlog_conserves_orders(spark):
+    """Sweep-line invariant: total opened == total closed == orders with
+    lines, and the backlog returns to zero at the end of the horizon."""
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        orders_open_backlog,
+    )
+
+    rows = sorted(orders_open_backlog(spark, SF_CORRECT).collect(), key=lambda r: r.day)
+    assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
+    assert rows[-1].open_backlog == 0
+    assert all(r.open_backlog >= 0 for r in rows)
