@@ -1,149 +1,178 @@
-"""K-means (Lloyd) iteration over the embedding table.
+"""Iterative clustering: k-means over the embedding table.
 
-`knn_ivf` (operators/advanced.py) probes a deterministic codebook and
-documents that production would k-means it. This operator supplies that
-missing piece as a distributed Lloyd step — the building block you loop
-to convergence:
+The missing piece between the ANN indexes (which *assume* a codebook)
+and a real pipeline (which *trains* one): Lloyd's algorithm, expressed
+Spark-first — per round, one broadcast of the K centroids, one narrow
+assignment pass, one shuffle to re-aggregate centroids. KMEANS_ITERS
+rounds are unrolled (production drives until centroid movement < eps;
+the per-round plan is identical).
 
-* **assign**: broadcast the current centroids, score every vector by
-  squared L2 (rounded 6dp so the argmin ranking is identical in the
-  oracle engine), keep the nearest cell. One narrow pass over the
-  corpus, no shuffle — the centroid table is the small side by
-  construction.
-* **update**: `posexplode` the assigned vectors and average per
-  (cell, component). The shuffle key is (cell, idx) — NCELLS × dim
-  groups — so the reduce side is codebook-sized, not corpus-sized, and
-  partial aggregation combines map-side. This is the standard scalable
-  formulation (component-wise mean as a grouped aggregate), not a
-  collect-and-average on the driver.
-* **audit**: per cell, the assignment count, mean distance, centroid
-  shift |new − old| (the convergence criterion a driver loop would
-  test) and the new centroid norm.
+Oracle-reproducibility is the hard part for an iterative float
+algorithm, and the same two devices used for PageRank apply:
 
-The squared-distance fold runs in index order on both engines
-(`aggregate(zip_with(...))` in Spark, `list_sum(list_transform(range))`
-in DuckDB), so the values agree bit-for-bit before rounding — the
-expansion ‖a‖²−2a·b+‖b‖² would NOT (different rounding path, and with
-~8k scored pairs a 1e-9 discrepancy lands on a 6dp rounding boundary
-often enough to flip hashes).
+* vectors are floor-quantized to integers once (q = floor(v*1000+.5),
+  identical bits in both engines since the parquet doubles are), so
+  distances and centroid sums are EXACT integers — no float summation
+  order to disagree on;
+* centroid updates use integer floor division (sum div count), so the
+  round-k centroids are exactly equal across engines, which makes the
+  round-(k+1) assignment exactly equal, inductively.
 
-Iterating: a driver loop would re-feed `newc` as the next centroids
-(checkpointing each round to truncate lineage). One step is the honest
-unit to oracle-check — k rounds is k× the same plan.
+Initialization is data-derived and deterministic (the quantized
+vectors CENTROID_BASE..+K-1 — the IVF codebook convention). Empty
+clusters keep their previous centroid (left join + coalesce, mirrored
+in the oracle).
 
-Reference parity: the reference pipeline assigns embeddings to
-pgvector index cells server-side (database-schema.sql:245 VECTOR
-column + ivfflat index, whose build step IS k-means clustering);
-this operator is the Spark-side equivalent of that index build.
+Scale: assignment is a broadcast nested pass (K×D integers per
+executor); the update shuffles (cluster, dim, partial-sum) triples
+with map-side combine — the textbook distributed Lloyd's step. At
+100 TB you add mini-batching per round; the plan shape is unchanged.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from .advanced import CENTROID_BASE
 
-NCELLS = 16
-CENTROID_BASE = 100  # same deterministic seed codebook as knn_ivf
+KMEANS_K = 8
+KMEANS_ITERS = 2
+DIM = 64
+QSCALE = 1000
+
+QUERIES = {}
+ORACLES = {}
 
 
-def _as_double(col):
-    return F.transform(col, lambda x: x.cast("double"))
+def _qvecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = F.transform(
+        "embedding", lambda x: F.floor(x.cast("double") * QSCALE + F.lit(0.5)).cast("bigint")
+    )
+    return emb.select("vec_id", q.alias("q"))
 
 
-def _sq_l2(a, b):
-    return F.round(
-        F.aggregate(
-            F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        ),
-        6,
+_DIST = "aggregate(zip_with(q, c, (a, b) -> (a - b) * (a - b)), cast(0 as bigint), (acc, x) -> acc + x)"
+
+
+def _assign(vecs: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, q, cid, dist): nearest centroid per vector, integer L2."""
+    scored = vecs.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "q", "cid", F.expr(_DIST).alias("dist")
+    )
+    return (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("dist", "cid", "q")).alias("s"))
+        .select("vec_id", F.col("s.q").alias("q"), F.col("s.cid").alias("cid"), F.col("s.dist").alias("dist"))
     )
 
 
-def kmeans_lloyd_step(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
+def _update(assigned: DataFrame, cents_prev: DataFrame) -> DataFrame:
+    """New centroids: per-dimension integer mean; empty clusters keep
+    their previous centroid."""
+    sums = (
+        assigned.select("cid", F.posexplode("q").alias("pos", "v"))
+        .groupBy("cid", "pos")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
     )
-    cents = emb.where(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-
-    scored = emb.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "v", "cell", _sq_l2(F.col("v"), F.col("cv")).alias("d2")
+    new = (
+        sums.groupBy("cid")
+        .agg(F.sort_array(F.collect_list(F.struct("pos", F.expr("s div n").alias("m")))).alias("ms"))
+        .select("cid", F.expr("transform(ms, x -> x.m)").alias("c_new"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.asc("d2"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "v", "cell", "d2")
-        .localCheckpoint(eager=False)  # counts + component means both consume it
-    )
-
-    counts = assigned.groupBy("cell").agg(
-        F.count(F.lit(1)).alias("n_assigned"),
-        F.round(F.avg(F.sqrt("d2")), 6).alias("mean_dist"),
+    return (
+        cents_prev.join(new, "cid", "left")
+        .select("cid", F.coalesce(F.col("c_new"), F.col("c")).alias("c"))
     )
 
-    comp = assigned.select("cell", F.posexplode("v").alias("idx", "val"))
-    newc = comp.groupBy("cell", "idx").agg(F.avg("val").alias("nv"))
-    oldc = cents.select("cell", F.posexplode("cv").alias("idx", "ov"))
-    shift = (
-        newc.join(oldc, ["cell", "idx"])
-        .groupBy("cell")
+
+def kmeans_embeddings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)  # reused every round
+    cents = (
+        vecs.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KMEANS_K))
+        .select((F.col("vec_id") - CENTROID_BASE).alias("cid"), F.col("q").alias("c"))
+    )
+    for _ in range(KMEANS_ITERS):
+        assigned = _assign(vecs, cents)
+        cents = _update(assigned, cents)
+    final = _assign(vecs, cents)
+    return (
+        final.groupBy("cid")
         .agg(
-            F.round(
-                F.sqrt(F.sum((F.col("nv") - F.col("ov")) * (F.col("nv") - F.col("ov")))), 6
-            ).alias("centroid_shift"),
-            F.round(F.sqrt(F.sum(F.col("nv") * F.col("nv"))), 6).alias("new_norm"),
+            F.count(F.lit(1)).alias("cluster_size"),
+            F.sum("dist").alias("inertia"),
+            F.min("vec_id").alias("min_member"),
+        )
+        .join(
+            cents.select("cid", F.expr("aggregate(c, cast(0 as bigint), (a, x) -> a + x)").alias("centroid_sum")),
+            "cid",
         )
     )
-    return counts.join(shift, "cell").select(
-        "cell", "n_assigned", "mean_dist", "centroid_shift", "new_norm"
-    )
 
 
-# posexplode is 0-based; DuckDB lists are 1-based — range shifted so idx
-# values agree (they only meet inside the per-engine joins, but keeping
-# them aligned makes the CTEs diffable against the Spark code)
-KMEANS_SQL = f"""
-WITH d AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), cents AS (
-  SELECT vec_id AS cell, v AS cv FROM d
-  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + NCELLS}
-), scored AS (
-  SELECT vec_id, v, cell,
-         round(list_sum(list_transform(range(1, len(v) + 1),
-                                       i -> (v[i] - cv[i]) * (v[i] - cv[i]))), 6) AS d2
-  FROM d CROSS JOIN cents
-), assigned AS (
-  SELECT vec_id, v, cell, d2 FROM (
-    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, cell ASC) AS r
-    FROM scored
-  ) WHERE r = 1
-), counts AS (
-  SELECT cell, count(*) AS n_assigned, round(avg(sqrt(d2)), 6) AS mean_dist
-  FROM assigned GROUP BY cell
-), comp AS (
-  SELECT cell, unnest(range(1, len(v) + 1)) AS idx, unnest(v) AS val FROM assigned
-), newc AS (
-  SELECT cell, idx, avg(val) AS nv FROM comp GROUP BY cell, idx
-), oldc AS (
-  SELECT cell, unnest(range(1, len(cv) + 1)) AS idx, unnest(cv) AS ov FROM cents
-), shift AS (
-  SELECT cell,
-         round(sqrt(sum((nv - ov) * (nv - ov))), 6) AS centroid_shift,
-         round(sqrt(sum(nv * nv)), 6) AS new_norm
-  FROM newc JOIN oldc USING (cell, idx)
-  GROUP BY cell
-)
-SELECT cell, n_assigned, mean_dist, centroid_shift, new_norm
-FROM counts JOIN shift USING (cell)
+def _sql_dist(q: str, c: str) -> str:
+    return f"list_sum(list_transform(generate_series(1, {DIM}), i -> ({q}[i] - {c}[i]) * ({q}[i] - {c}[i])))"
+
+
+def _sql_assign(vecs: str, cents: str, out: str) -> str:
+    return f"""
+{out} AS (
+  SELECT vec_id, q, (min(struct_pack(dist := d, cid := cid))).cid AS cid,
+         (min(struct_pack(dist := d, cid := cid))).dist AS dist
+  FROM (SELECT v.vec_id, v.q, c.cid, {_sql_dist("v.q", "c.c")} AS d
+        FROM {vecs} v CROSS JOIN {cents} c)
+  GROUP BY vec_id, q
+)"""
+
+
+def _sql_update(assigned: str, prev: str, out: str) -> str:
+    return f"""
+{out}_sums AS (
+  SELECT cid, pos, sum(q[pos]) AS s, count(*) AS n
+  FROM {assigned}, (SELECT unnest(generate_series(1, {DIM})) AS pos)
+  GROUP BY cid, pos
+),
+{out}_new AS (
+  SELECT cid, list(s // n ORDER BY pos) AS c_new FROM {out}_sums GROUP BY cid
+),
+{out} AS (
+  SELECT p.cid, coalesce(n.c_new, p.c) AS c
+  FROM {prev} p LEFT JOIN {out}_new n USING (cid)
+)"""
+
+
+def _kmeans_sql() -> str:
+    parts = [
+        f"""vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cid, q AS c FROM vecs
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for r in range(KMEANS_ITERS):
+        parts.append(_sql_assign("vecs", prev, f"a{r}").strip())
+        parts.append(_sql_update(f"a{r}", prev, f"c{r + 1}").strip())
+        prev = f"c{r + 1}"
+    parts.append(_sql_assign("vecs", prev, "afinal").strip())
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cid, count(*) AS cluster_size, sum(dist)::BIGINT AS inertia,
+       min(vec_id) AS min_member, centroid_sum
+FROM afinal
+JOIN (SELECT cid, list_sum(c)::BIGINT AS centroid_sum FROM {prev} GROUP BY cid, c) USING (cid)
+GROUP BY cid, centroid_sum
 """
 
 
-QUERIES = {"kmeans_lloyd_step": kmeans_lloyd_step}
-ORACLES = {"kmeans_lloyd_step": KMEANS_SQL}
+KMEANS_SQL = _kmeans_sql()
+
+QUERIES["kmeans_embeddings"] = kmeans_embeddings
+ORACLES["kmeans_embeddings"] = KMEANS_SQL

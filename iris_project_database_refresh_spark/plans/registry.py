@@ -33,6 +33,7 @@ def _load() -> None:
         catalog,
         chapters,
         chunking,
+        clustering,
         dedup,
         embeddings,
         graph,
@@ -74,6 +75,7 @@ def _load() -> None:
         multimodal,
         advanced,
         pq,
+        clustering,
         packing,
         scrub,
         tfidf,

@@ -1,0 +1,41 @@
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from iris_project_database_refresh_spark.operators import clustering
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(clustering.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        clustering.QUERIES[name](spark, SF_CORRECT), oracle, clustering.ORACLES[name]
+    )
+
+
+def test_kmeans_partitions_all_vectors(spark):
+    rows = clustering.kmeans_embeddings(spark, SF_CORRECT).collect()
+    assert 1 <= len(rows) <= clustering.KMEANS_K
+    n_vecs = (
+        clustering._qvecs(spark, SF_CORRECT).count()
+    )
+    assert sum(r.cluster_size for r in rows) == n_vecs
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_kmeans_training_reduces_inertia(spark):
+    """Lloyd's guarantee: total inertia under the trained centroids is
+    no worse than under the initial codebook."""
+    vecs = clustering._qvecs(spark, SF_CORRECT).localCheckpoint(eager=False)
+    cents0 = vecs.where(
+        (F.col("vec_id") >= 100) & (F.col("vec_id") < 100 + clustering.KMEANS_K)
+    ).select((F.col("vec_id") - 100).alias("cid"), F.col("q").alias("c"))
+    inertia0 = (
+        clustering._assign(vecs, cents0).agg(F.sum("dist").alias("i")).collect()[0].i
+    )
+    trained = sum(
+        r.inertia for r in clustering.kmeans_embeddings(spark, SF_CORRECT).collect()
+    )
+    assert trained <= inertia0
