@@ -1,4 +1,4 @@
-"""Recursive time-series operators: per-user EWMA.
+"""Recursive time-series operators: per-user EWMA + CUSUM drift alarms.
 
 Reference parity: the process monitor's per-stage timing stream
 (`database-schema.sql:258` process_monitor_logs) is the kind of series
@@ -108,3 +108,92 @@ FROM walk
 
 QUERIES["events_ewma"] = events_ewma
 ORACLES["events_ewma"] = EWMA_SQL
+
+
+# --- CUSUM changepoint detection ---------------------------------------------
+#
+# Drift detection over the monitor stream (the check the reference's
+# process-monitor dashboards eyeball): one-sided CUSUM over each event
+# type's daily volume, s_t = max(0, s_{t-1} + (x_t - target)), alarm
+# when s_t exceeds H. Another output-depends-on-previous-output
+# recursion — F.aggregate on Spark, recursive CTE on DuckDB — and it
+# is exactly engine-equal because everything is integers: daily sums
+# scale to cents, the target is an integer floor of the global daily
+# mean, and H is an integer division of it. The corpus-sized work is
+# one (type, day) aggregation; the fold runs over the bounded day
+# series per type.
+
+CUSUM_H_DIV = 2  # alarm threshold H = target/2 (sized to the synthetic stream's drift)
+
+
+def events_cusum_alarm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+    )
+    per_type = daily.groupBy("event_type").agg(
+        F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"),
+        F.expr("sum(x) div count(*)").alias("target"),
+    )
+    folded = per_type.select(
+        "event_type",
+        "days",
+        "target",
+        F.expr(
+            """
+            aggregate(slice(days, 2, greatest(size(days) - 1, 0)),
+              array(greatest(cast(0 as bigint), days[0].x - target)),
+              (acc, d) -> acc || array(greatest(cast(0 as bigint),
+                  element_at(acc, -1) + (d.x - target))))
+            """
+        ).alias("s"),
+    )
+    out = folded.select(
+        "event_type",
+        "target",
+        F.posexplode(F.arrays_zip("days", "s")).alias("pos", "z"),
+    ).select(
+        "event_type",
+        F.col("z.days.day").alias("day"),
+        F.col("z.days.x").alias("x"),
+        F.col("z.s").alias("cusum"),
+        (F.col("z.s") > F.expr(f"target div {CUSUM_H_DIV}")).alias("alarm"),
+    )
+    return out.where(F.col("alarm"))
+
+
+CUSUM_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(floor(value * 100 + (0.5)::DOUBLE)::BIGINT)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type,
+         list_sort(list(struct_pack(day := day, x := x))) AS days,
+         (sum(x) // count(*))::BIGINT AS target
+  FROM daily GROUP BY event_type
+),
+walk AS (
+  SELECT event_type, days, target, len(days)::BIGINT AS n, 1::BIGINT AS i,
+         greatest(0::BIGINT, days[1].x - target) AS s
+  FROM per_type
+  UNION ALL
+  SELECT event_type, days, target, n, i + 1,
+         greatest(0::BIGINT, s + (days[(i + 1)::INT].x - target))
+  FROM walk WHERE i < n
+)
+SELECT event_type, days[i::INT].day AS day, days[i::INT].x AS x,
+       s AS cusum, s > target // {CUSUM_H_DIV} AS alarm
+FROM walk
+WHERE s > target // {CUSUM_H_DIV}
+"""
+
+QUERIES["events_cusum_alarm"] = events_cusum_alarm
+ORACLES["events_cusum_alarm"] = CUSUM_SQL

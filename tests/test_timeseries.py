@@ -43,3 +43,38 @@ def test_ewma_one_shuffle(spark):
     # exchange, no Python workers, no window exchange on top
     assert plan.count("Exchange") == 1
     assert "Python" not in plan
+
+
+def test_cusum_alarm_semantics(spark):
+    """Every alarm row's CUSUM must exceed the threshold, and the
+    statistic is reproducible from the daily series by a direct fold."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.operators.timeseries import (
+        CUSUM_H_DIV,
+        events_cusum_alarm,
+    )
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    rows = events_cusum_alarm(spark, SF_CORRECT).collect()
+    assert rows
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    for et, pts in series.items():
+        pts.sort()
+        target = sum(x for _, x in pts) // len(pts)
+        s = 0
+        expect = {}
+        for day, x in pts:
+            s = max(0, s + (x - target))
+            if s > target // CUSUM_H_DIV:
+                expect[day] = s
+        got = {r.day: r.cusum for r in rows if r.event_type == et}
+        assert got == expect
