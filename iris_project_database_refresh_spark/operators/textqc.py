@@ -395,3 +395,42 @@ QUERIES["quality_repetition"] = quality_repetition
 ORACLES["quality_repetition"] = QUALITY_REPETITION_SQL
 QUERIES["quality_unigram_logprob"] = quality_unigram_logprob
 ORACLES["quality_unigram_logprob"] = QUALITY_UNIGRAM_SQL
+
+
+# --- language-ID confusion matrix --------------------------------------------
+
+def lang_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classifier evaluation as a query: the (label, prediction)
+    confusion matrix for the stopword language identifier, with
+    per-cell share of the label's row — precision/recall read straight
+    off it. Composes the lang_id operator (one narrow pass) with one
+    bounded (label, pred) aggregation; row totals broadcast back. The
+    evaluation-harness pattern ann_recall_eval applies to ANN, applied
+    to classification."""
+    preds = lang_id(spark, sf_dir).select("label_lang", "pred_lang")
+    cells = preds.groupBy("label_lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = cells.groupBy("label_lang").agg(F.sum("n").alias("row_total"))
+    return cells.join(F.broadcast(totals), "label_lang").select(
+        "label_lang",
+        "pred_lang",
+        "n",
+        F.round(F.col("n") / F.col("row_total"), 6).alias("row_share"),
+        (F.col("label_lang") == F.col("pred_lang")).alias("is_diagonal"),
+    )
+
+
+LANG_CONFUSION_SQL = f"""
+WITH preds AS ({LANG_ID_SQL}),
+cells AS (
+  SELECT label_lang, pred_lang, count(*) AS n
+  FROM preds GROUP BY label_lang, pred_lang
+),
+totals AS (SELECT label_lang, sum(n) AS row_total FROM cells GROUP BY label_lang)
+SELECT label_lang, pred_lang, n,
+       round(n / CAST(row_total AS DOUBLE), 6) AS row_share,
+       label_lang = pred_lang AS is_diagonal
+FROM cells JOIN totals USING (label_lang)
+"""
+
+QUERIES["lang_confusion"] = lang_confusion
+ORACLES["lang_confusion"] = LANG_CONFUSION_SQL

@@ -39,3 +39,22 @@ def test_chunks_cover_all_tokens(spark):
 def test_chunking_has_no_shuffle(spark):
     plan = chunking.chunk_documents(spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_lang_confusion_consistency(spark):
+    from iris_project_database_refresh_spark.operators.textqc import (
+        lang_confusion,
+        lang_id,
+    )
+
+    cells = lang_confusion(spark, SF_CORRECT).collect()
+    preds = lang_id(spark, SF_CORRECT).collect()
+    assert sum(r.n for r in cells) == len(preds)
+    # diagonal mass equals lang_id's correct count; row shares sum to 1
+    diag = sum(r.n for r in cells if r.is_diagonal)
+    assert diag == sum(r.is_correct for r in preds)
+    rows = {}
+    for r in cells:
+        rows.setdefault(r.label_lang, 0.0)
+        rows[r.label_lang] += r.row_share
+    assert all(abs(s - 1.0) < 1e-4 for s in rows.values())
