@@ -559,3 +559,72 @@ FROM daily
 
 QUERIES["orders_open_backlog"] = orders_open_backlog
 ORACLES["orders_open_backlog"] = BACKLOG_SQL
+
+
+# --- market-basket co-purchase lift ------------------------------------------
+
+BASKET_MIN_PAIR = 3
+BASKET_TOP = 20
+
+
+def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top co-purchased part pairs with lift = P(a,b)/(P(a)P(b)) — the
+    market-basket query behind "bought together". Baskets are distinct
+    (order, part) rows; the pair join is the inverted-index self-join
+    on orderkey, bounded by the lines-per-order fan-out (<= 7 here; on
+    a real catalog the hot-part cap — the dedup DF-cap device — bounds
+    it). Marginals and the basket total rejoin as broadcasts; lift is
+    one division of exact integers, identical in both engines. Output:
+    top pairs by support with deterministic tie-breaks."""
+    baskets = (
+        load_table(spark, sf_dir, "lineitem")
+        .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
+        .distinct()
+        .localCheckpoint(eager=False)  # pair join + marginals + total
+    )
+    n_orders = baskets.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
+    marg = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
+        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        .agg(F.count(F.lit(1)).alias("n_ab"))
+        .where(F.col("n_ab") >= BASKET_MIN_PAIR)
+    )
+    scored = (
+        pairs.join(F.broadcast(marg.select(F.col("pk").alias("part_a"), F.col("n_pk").alias("n_a"))), "part_a")
+        .join(F.broadcast(marg.select(F.col("pk").alias("part_b"), F.col("n_pk").alias("n_b"))), "part_b")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "part_a",
+            "part_b",
+            "n_ab",
+            "n_a",
+            "n_b",
+            F.round(F.col("n_ab") * F.col("n_orders") / (F.col("n_a") * F.col("n_b")), 6).alias("lift"),
+        )
+    )
+    return scored.orderBy(F.desc("n_ab"), "part_a", "part_b").limit(BASKET_TOP)
+
+
+COPURCHASE_SQL = f"""
+WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+n_orders AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
+marg AS (SELECT pk, count(*) AS n_pk FROM baskets GROUP BY pk),
+pairs AS (
+  SELECT a.pk AS part_a, b.pk AS part_b, count(*) AS n_ab
+  FROM baskets a JOIN baskets b ON a.ok = b.ok AND a.pk < b.pk
+  GROUP BY 1, 2
+  HAVING count(*) >= {BASKET_MIN_PAIR}
+)
+SELECT part_a, part_b, n_ab, ma.n_pk AS n_a, mb.n_pk AS n_b,
+       round(n_ab * n_orders / CAST(ma.n_pk * mb.n_pk AS DOUBLE), 6) AS lift
+FROM pairs
+JOIN marg ma ON part_a = ma.pk
+JOIN marg mb ON part_b = mb.pk, n_orders
+ORDER BY n_ab DESC, part_a, part_b
+LIMIT {BASKET_TOP}
+"""
+
+QUERIES["part_copurchase_lift"] = part_copurchase_lift
+ORACLES["part_copurchase_lift"] = COPURCHASE_SQL

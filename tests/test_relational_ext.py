@@ -45,3 +45,21 @@ def test_backlog_conserves_orders(spark):
     assert sum(r.n_opened for r in rows) == sum(r.n_closed for r in rows)
     assert rows[-1].open_backlog == 0
     assert all(r.open_backlog >= 0 for r in rows)
+
+
+def test_copurchase_lift_sane(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        BASKET_MIN_PAIR,
+        BASKET_TOP,
+        part_copurchase_lift,
+    )
+
+    rows = part_copurchase_lift(spark, SF_CORRECT).collect()
+    assert len(rows) == BASKET_TOP
+    for r in rows:
+        assert r.part_a < r.part_b
+        assert r.n_ab >= BASKET_MIN_PAIR
+        assert r.n_ab <= min(r.n_a, r.n_b)
+        assert r.lift > 0
+    supports = [r.n_ab for r in rows]
+    assert supports == sorted(supports, reverse=True)
