@@ -196,3 +196,48 @@ ORACLES = {
     "cohort_retention": COHORT_SQL,
     "events_markov_transitions": MARKOV_SQL,
 }
+
+
+# --- behavioral entropy ------------------------------------------------------
+
+def user_behavior_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user Shannon entropy over the event-type distribution —
+    the diversity score that separates single-purpose accounts
+    (entropy ~ 0) from broad ones (~ log2(5)). Two bounded
+    aggregations: (user, type) counts, then one entropy sum per user
+    over <= |event types| rows; -p*log2(p) terms round at 6dp like the
+    other log-based scores."""
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id", "event_type").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("user_id").agg(
+        F.sum("n").alias("total"), F.count(F.lit(1)).alias("n_types")
+    )
+    p = F.col("n") / F.col("total")
+    return (
+        counts.join(totals, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.max("total").cast("bigint").alias("n_events"),
+            F.max("n_types").cast("bigint").alias("n_types"),
+            F.round(-F.sum(p * F.log2(p)), 6).alias("entropy_bits"),
+        )
+    )
+
+
+ENTROPY_SQL = """
+WITH counts AS (
+  SELECT user_id, event_type, count(*) AS n FROM events GROUP BY 1, 2
+),
+totals AS (
+  SELECT user_id, sum(n) AS total, count(*) AS n_types FROM counts GROUP BY user_id
+)
+SELECT user_id,
+       max(total)::BIGINT AS n_events,
+       max(n_types)::BIGINT AS n_types,
+       round(-sum((n / CAST(total AS DOUBLE)) * log2(n / CAST(total AS DOUBLE))), 6) AS entropy_bits
+FROM counts JOIN totals USING (user_id)
+GROUP BY user_id
+"""
+
+QUERIES["user_behavior_entropy"] = user_behavior_entropy
+ORACLES["user_behavior_entropy"] = ENTROPY_SQL

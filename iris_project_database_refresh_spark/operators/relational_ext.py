@@ -628,3 +628,61 @@ LIMIT {BASKET_TOP}
 
 QUERIES["part_copurchase_lift"] = part_copurchase_lift
 ORACLES["part_copurchase_lift"] = COPURCHASE_SQL
+
+
+# --- Pareto (cumulative-share) curve -----------------------------------------
+
+def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative revenue concentration by supplier (the 80/20 curve):
+    suppliers ranked by revenue, each with its cumulative share of the
+    total. Revenue aggregates once from the fact (integer cents so the
+    cumulative sums are exact); ranking and the running sum are windows
+    over the bounded supplier table; the grand total rejoins as a 1-row
+    broadcast (lazy, q11 pattern)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
+    total = rev.agg(F.sum("rev_cents").alias("total_cents"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("rev_cents"), "l_suppkey")
+    ranked = rev.select(
+        F.col("l_suppkey").alias("suppkey"),
+        "rev_cents",
+        F.row_number().over(w).alias("rank"),
+        F.sum("rev_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
+            "cum_cents"
+        ),
+    )
+    return ranked.crossJoin(F.broadcast(total)).select(
+        "suppkey",
+        "rank",
+        F.round(F.col("rev_cents") / 100.0, 2).alias("revenue"),
+        F.round(F.col("cum_cents") / F.col("total_cents"), 6).alias("cum_share"),
+    )
+
+
+PARETO_SQL = """
+WITH rev AS (
+  SELECT l_suppkey, sum(floor(l_extendedprice * (1 - l_discount) * 100 + (0.5)::DOUBLE)::BIGINT) AS rev_cents
+  FROM lineitem GROUP BY l_suppkey
+),
+total AS (SELECT sum(rev_cents) AS total_cents FROM rev),
+ranked AS (
+  SELECT l_suppkey AS suppkey, rev_cents,
+         row_number() OVER w AS rank,
+         sum(rev_cents) OVER (ORDER BY rev_cents DESC, l_suppkey
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_cents
+  FROM rev
+  WINDOW w AS (ORDER BY rev_cents DESC, l_suppkey)
+)
+SELECT suppkey, rank,
+       round(rev_cents / 100.0, 2) AS revenue,
+       round(cum_cents / CAST(total_cents AS DOUBLE), 6) AS cum_share
+FROM ranked, total
+"""
+
+QUERIES["supplier_pareto"] = supplier_pareto
+ORACLES["supplier_pareto"] = PARETO_SQL

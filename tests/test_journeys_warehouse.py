@@ -102,3 +102,29 @@ def test_rfm_tiles_balanced(spark):
         # ntile keeps tile sizes within 1 of each other
         assert max(counts.values()) - min(counts.values()) <= 1
         assert sum(counts.values()) == n
+
+
+def test_entropy_bounds(spark):
+    import math
+
+    from iris_project_database_refresh_spark.operators.journeys import (
+        user_behavior_entropy,
+    )
+
+    rows = user_behavior_entropy(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.entropy_bits <= math.log2(r.n_types) + 1e-9
+
+
+def test_pareto_curve_monotone(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        supplier_pareto,
+    )
+
+    rows = sorted(supplier_pareto(spark, SF_CORRECT).collect(), key=lambda r: r.rank)
+    shares = [r.cum_share for r in rows]
+    assert all(a <= b + 1e-9 for a, b in zip(shares, shares[1:]))
+    assert abs(shares[-1] - 1.0) < 1e-6
+    revs = [r.revenue for r in rows]
+    assert revs == sorted(revs, reverse=True)
