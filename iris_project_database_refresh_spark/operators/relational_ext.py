@@ -686,3 +686,74 @@ FROM ranked, total
 
 QUERIES["supplier_pareto"] = supplier_pareto
 ORACLES["supplier_pareto"] = PARETO_SQL
+
+
+# --- bilateral trade matrix --------------------------------------------------
+
+def nation_trade_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full bilateral trade-volume matrix (every supplier nation ×
+    customer nation) — the rollup generalizing q7's two-nation volume
+    query. One pass over the fact stream with all four dimension hops
+    as broadcast joins (customer → nation, supplier → nation), the
+    orders hop as the one fact-fact shuffle on orderkey, revenue
+    in integer cents so cell sums are exact, and each nation's export
+    share computed against its row total (broadcast back). The fact is
+    scanned once; the matrix itself is |nations|² bounded."""
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+
+    cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
+        "bigint"
+    )
+    cells = (
+        li.select("l_orderkey", "l_suppkey", cents.alias("cents"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))  # fact-fact: shuffle on orderkey
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("sk"), F.col("n_name").alias("supp_nation"))),
+            F.col("s_nationkey") == F.col("sk"),
+        )
+        .join(
+            F.broadcast(nation.select(F.col("n_nationkey").alias("ck"), F.col("n_name").alias("cust_nation"))),
+            F.col("c_nationkey") == F.col("ck"),
+        )
+        .groupBy("supp_nation", "cust_nation")
+        .agg(F.sum("cents").alias("cents"), F.count(F.lit(1)).alias("n_lines"))
+    )
+    row_totals = cells.groupBy("supp_nation").agg(F.sum("cents").alias("row_cents"))
+    return cells.join(F.broadcast(row_totals), "supp_nation").select(
+        "supp_nation",
+        "cust_nation",
+        F.round(F.col("cents") / 100.0, 2).alias("revenue"),
+        "n_lines",
+        F.round(F.col("cents") / F.col("row_cents"), 6).alias("export_share"),
+    )
+
+
+TRADE_MATRIX_SQL = """
+WITH cells AS (
+  SELECT ns.n_name AS supp_nation, nc.n_name AS cust_nation,
+         sum(floor(l_extendedprice * (1 - l_discount) * 100 + (0.5)::DOUBLE)::BIGINT) AS cents,
+         count(*) AS n_lines
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ns ON s_nationkey = ns.n_nationkey
+  JOIN nation nc ON c_nationkey = nc.n_nationkey
+  GROUP BY 1, 2
+),
+row_totals AS (SELECT supp_nation, sum(cents) AS row_cents FROM cells GROUP BY supp_nation)
+SELECT supp_nation, cust_nation,
+       round(cents / 100.0, 2) AS revenue,
+       n_lines,
+       round(cents / CAST(row_cents AS DOUBLE), 6) AS export_share
+FROM cells JOIN row_totals USING (supp_nation)
+"""
+
+QUERIES["nation_trade_matrix"] = nation_trade_matrix
+ORACLES["nation_trade_matrix"] = TRADE_MATRIX_SQL

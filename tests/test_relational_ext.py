@@ -63,3 +63,18 @@ def test_copurchase_lift_sane(spark):
         assert r.lift > 0
     supports = [r.n_ab for r in rows]
     assert supports == sorted(supports, reverse=True)
+
+
+def test_trade_matrix_complete_and_stochastic(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        nation_trade_matrix,
+    )
+
+    rows = nation_trade_matrix(spark, SF_CORRECT).collect()
+    # full 25x25 bilateral matrix at this SF
+    assert len(rows) == 625
+    shares = {}
+    for r in rows:
+        shares.setdefault(r.supp_nation, 0.0)
+        shares[r.supp_nation] += r.export_share
+    assert all(abs(s - 1.0) < 1e-3 for s in shares.values())
