@@ -241,3 +241,68 @@ GROUP BY user_id
 
 QUERIES["user_behavior_entropy"] = user_behavior_entropy
 ORACLES["user_behavior_entropy"] = ENTROPY_SQL
+
+
+# --- engagement metrics (DAU / WAU / stickiness) -----------------------------
+
+WAU_DAYS = 7
+
+
+def events_engagement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily active users, trailing-7-day active users, and stickiness
+    (DAU/WAU) per day. WAU is NOT decomposable from daily counts
+    (distinct users over a sliding window), so each (user, day)
+    activity row is exploded onto the WAU_DAYS windows it contributes
+    to — a bounded 7x fan-out of the distinct-activity table, never of
+    the raw stream — and the window's distinct count collapses back.
+    Days with no 7-day history (the first WAU_DAYS-1 days) still report
+    (their partial window), matching the oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    activity = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).distinct().localCheckpoint(eager=False)  # DAU + WAU fan-out both consume it
+
+    dau = activity.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    fanned = activity.select(
+        "user_id",
+        F.explode(
+            F.expr(f"sequence(day, date_add(day, {WAU_DAYS - 1}), interval 1 day)")
+        ).alias("wday"),
+    )
+    # only report days that actually exist in the stream
+    wau = (
+        fanned.groupBy(F.col("wday").alias("day"))
+        .agg(F.countDistinct("user_id").alias("wau"))
+        .join(dau.select("day"), "day", "leftsemi")
+    )
+    return (
+        dau.join(wau, "day")
+        .select(
+            "day",
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+    )
+
+
+ENGAGEMENT_SQL = f"""
+WITH activity AS (
+  SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS day FROM events
+),
+dau AS (SELECT day, count(*) AS dau FROM activity GROUP BY day),
+fanned AS (
+  SELECT user_id, unnest(generate_series(day, day + {WAU_DAYS - 1}, INTERVAL 1 DAY))::DATE AS day
+  FROM activity
+),
+wau AS (
+  SELECT day, count(DISTINCT user_id) AS wau
+  FROM fanned WHERE day IN (SELECT day FROM dau)
+  GROUP BY day
+)
+SELECT day, dau, wau, round(dau / CAST(wau AS DOUBLE), 6) AS stickiness
+FROM dau JOIN wau USING (day)
+"""
+
+QUERIES["events_engagement"] = events_engagement
+ORACLES["events_engagement"] = ENGAGEMENT_SQL

@@ -128,3 +128,16 @@ def test_pareto_curve_monotone(spark):
     assert abs(shares[-1] - 1.0) < 1e-6
     revs = [r.revenue for r in rows]
     assert revs == sorted(revs, reverse=True)
+
+
+def test_engagement_invariants(spark):
+    from iris_project_database_refresh_spark.operators.journeys import (
+        events_engagement,
+    )
+
+    rows = sorted(events_engagement(spark, SF_CORRECT).collect(), key=lambda r: r.day)
+    assert rows
+    for r in rows:
+        # weekly actives can never be fewer than a single day's actives
+        assert r.wau >= r.dau
+        assert 0 < r.stickiness <= 1
