@@ -757,3 +757,63 @@ FROM cells JOIN row_totals USING (supp_nation)
 
 QUERIES["nation_trade_matrix"] = nation_trade_matrix
 ORACLES["nation_trade_matrix"] = TRADE_MATRIX_SQL
+
+
+# --- return rates with Wilson confidence bounds ------------------------------
+
+WILSON_Z = 1.96
+
+
+def brand_return_rates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-brand return rate with the Wilson-score lower bound — the
+    statistically honest ranking for "worst brands" (a raw rate ranks
+    a 1-for-2 brand above a 400-for-1000 one; the Wilson bound
+    penalizes small samples). One broadcast dim join, one bounded
+    aggregation; the bound is a fixed float expression evaluated in
+    the identical operation order in both engines (sqrt is correctly
+    rounded under IEEE 754, so identical inputs give identical
+    doubles)."""
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_returnflag")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    agg = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("l_returnflag") == "R").cast("long")).alias("n_returned"),
+        )
+    )
+    z2 = WILSON_Z * WILSON_Z
+    p = F.col("n_returned") / F.col("n_lines")
+    n = F.col("n_lines")
+    lower = (
+        p + F.lit(z2) / (2 * n)
+        - F.lit(WILSON_Z) * F.sqrt(p * (1 - p) / n + F.lit(z2) / (4 * n * n))
+    ) / (1 + F.lit(z2) / n)
+    return agg.select(
+        "p_brand",
+        "n_lines",
+        "n_returned",
+        F.round(p, 6).alias("return_rate"),
+        F.round(lower, 6).alias("wilson_lower"),
+    )
+
+
+WILSON_SQL = f"""
+WITH agg AS (
+  SELECT p_brand, count(*) AS n_lines,
+         sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END)::BIGINT AS n_returned
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand
+)
+SELECT p_brand, n_lines, n_returned,
+       round(n_returned / CAST(n_lines AS DOUBLE), 6) AS return_rate,
+       round((n_returned / CAST(n_lines AS DOUBLE) + {WILSON_Z * WILSON_Z} / (2 * n_lines)
+              - {WILSON_Z} * sqrt((n_returned / CAST(n_lines AS DOUBLE)) * (1 - n_returned / CAST(n_lines AS DOUBLE)) / n_lines
+                                  + {WILSON_Z * WILSON_Z} / (4 * n_lines * n_lines)))
+             / (1 + {WILSON_Z * WILSON_Z} / n_lines), 6) AS wilson_lower
+FROM agg
+"""
+
+QUERIES["brand_return_rates"] = brand_return_rates
+ORACLES["brand_return_rates"] = WILSON_SQL

@@ -78,3 +78,15 @@ def test_trade_matrix_complete_and_stochastic(spark):
         shares.setdefault(r.supp_nation, 0.0)
         shares[r.supp_nation] += r.export_share
     assert all(abs(s - 1.0) < 1e-3 for s in shares.values())
+
+
+def test_wilson_bound_below_rate(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        brand_return_rates,
+    )
+
+    rows = brand_return_rates(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.wilson_lower <= r.return_rate <= 1
+        assert r.n_returned <= r.n_lines
