@@ -306,3 +306,42 @@ FROM dau JOIN wau USING (day)
 
 QUERIES["events_engagement"] = events_engagement
 ORACLES["events_engagement"] = ENGAGEMENT_SQL
+
+
+# --- hour-of-day x day-of-week seasonality -----------------------------------
+
+def events_seasonality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The load-profile heatmap behind every monitor dashboard:
+    (day-of-week, hour-of-day) event counts with each cell's share of
+    the total — one bounded 7x24 aggregation over the stream, total
+    rejoined as a lazy 1-row broadcast. dayofweek follows ISO here
+    (1 = Monday) to match DuckDB's isodow."""
+    ev = load_table(spark, sf_dir, "events")
+    cells = ev.groupBy(
+        F.expr("((dayofweek(ts) + 5) % 7) + 1").alias("iso_dow"),
+        F.hour("ts").alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("n"), F.round(F.sum("value"), 2).alias("sum_value"))
+    total = cells.agg(F.sum("n").alias("total"))
+    return cells.crossJoin(F.broadcast(total)).select(
+        "iso_dow",
+        "hour",
+        "n",
+        "sum_value",
+        F.round(F.col("n") / F.col("total"), 6).alias("share"),
+    )
+
+
+SEASONALITY_SQL = """
+WITH cells AS (
+  SELECT isodow(ts)::BIGINT AS iso_dow, hour(ts)::INT AS hour,
+         count(*) AS n, round(sum(value), 2) AS sum_value
+  FROM events GROUP BY 1, 2
+),
+total AS (SELECT sum(n) AS total FROM cells)
+SELECT iso_dow, hour, n, sum_value,
+       round(n / CAST(total AS DOUBLE), 6) AS share
+FROM cells, total
+"""
+
+QUERIES["events_seasonality"] = events_seasonality
+ORACLES["events_seasonality"] = SEASONALITY_SQL

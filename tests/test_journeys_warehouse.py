@@ -141,3 +141,16 @@ def test_engagement_invariants(spark):
         # weekly actives can never be fewer than a single day's actives
         assert r.wau >= r.dau
         assert 0 < r.stickiness <= 1
+
+
+def test_seasonality_covers_the_week(spark):
+    from iris_project_database_refresh_spark.operators.journeys import (
+        events_seasonality,
+    )
+
+    rows = events_seasonality(spark, SF_CORRECT).collect()
+    assert len(rows) == 7 * 24
+    assert {r.iso_dow for r in rows} == set(range(1, 8))
+    assert {r.hour for r in rows} == set(range(24))
+    assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
+    assert sum(r.n for r in rows) == 10000
