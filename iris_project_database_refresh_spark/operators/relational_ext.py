@@ -565,21 +565,40 @@ ORACLES["orders_open_backlog"] = BACKLOG_SQL
 
 BASKET_MIN_PAIR = 3
 BASKET_TOP = 20
+BASKET_CAP = 24  # mega-basket cap: orders with more distinct parts are dropped
 
 
 def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top co-purchased part pairs with lift = P(a,b)/(P(a)P(b)) — the
     market-basket query behind "bought together". Baskets are distinct
     (order, part) rows; the pair join is the inverted-index self-join
-    on orderkey, bounded by the lines-per-order fan-out (<= 7 here; on
-    a real catalog the hot-part cap — the dedup DF-cap device — bounds
-    it). Marginals and the basket total rejoin as broadcasts; lift is
-    one division of exact integers, identical in both engines. Output:
-    top pairs by support with deterministic tie-breaks."""
-    baskets = (
+    on orderkey. The scale guard is the mega-basket cap (the dedup
+    DF-cap device, ``dedup.py DF_CAP``): a basket of B parts emits
+    B²/2 pairs inside one join key — AQE can split the partition but
+    not shrink the pair count — so baskets with more than BASKET_CAP
+    distinct parts are dropped from the representation entirely
+    (pairs, marginals AND the order total — stopword semantics),
+    mirrored in the oracle. The hot set is the tail of the basket-size
+    distribution — tiny — so it rides a broadcast anti-join; surviving
+    join buckets are bounded by BASKET_CAP ⇒ ≤ CAP²/2 pairs each.
+    TPC-H orders have ≤ 7 lines, so at test scale the cap drops
+    nothing and the oracle comparison is unchanged. Marginals and the
+    basket total rejoin as broadcasts; lift is one division of exact
+    integers, identical in both engines. Output: top pairs by support
+    with deterministic tie-breaks."""
+    raw = (
         load_table(spark, sf_dir, "lineitem")
         .select(F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk"))
         .distinct()
+    )
+    hot = (
+        raw.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+        .where(F.col("n_parts") > BASKET_CAP)
+        .select("ok")
+    )
+    baskets = (
+        raw.join(F.broadcast(hot), "ok", "left_anti")
         .localCheckpoint(eager=False)  # pair join + marginals + total
     )
     n_orders = baskets.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
@@ -608,7 +627,9 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 COPURCHASE_SQL = f"""
-WITH baskets AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+WITH raw AS (SELECT DISTINCT l_orderkey AS ok, l_partkey AS pk FROM lineitem),
+hot AS (SELECT ok FROM raw GROUP BY ok HAVING count(*) > {BASKET_CAP}),
+baskets AS (SELECT ok, pk FROM raw WHERE ok NOT IN (SELECT ok FROM hot)),
 n_orders AS (SELECT count(DISTINCT ok) AS n_orders FROM baskets),
 marg AS (SELECT pk, count(*) AS n_pk FROM baskets GROUP BY pk),
 pairs AS (

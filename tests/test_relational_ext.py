@@ -65,6 +65,63 @@ def test_copurchase_lift_sane(spark):
     assert supports == sorted(supports, reverse=True)
 
 
+def test_copurchase_mega_basket_capped(spark, tmp_path):
+    """The mega-basket cap bounds pair fan-out: a planted order with 200
+    distinct parts (which alone would emit 19,900 pairs into one join
+    key) is dropped entirely — its exclusive parts never reach the
+    output, the surviving per-basket fan-out is bounded by BASKET_CAP,
+    and the capped Spark plan still matches the capped oracle on the
+    planted corpus."""
+    import duckdb
+
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        BASKET_CAP,
+        COPURCHASE_SQL,
+        part_copurchase_lift,
+    )
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import assert_matches_oracle
+
+    base = load_table(spark, "/root/testdata/sf0.001", "lineitem")
+    mega = spark.createDataFrame(
+        [(77_000_001, 10_000_000 + i) for i in range(200)]
+        # plus 40 normal planted baskets sharing one pair — support 40
+        # dominates the sf0.001 corpus, so the pair must reach the top-20
+        + [(77_000_002 + j, 10_000_300 + k) for j in range(40) for k in range(2)],
+        "l_orderkey bigint, l_partkey bigint",
+    )
+    planted = base.select("l_orderkey", "l_partkey").unionByName(mega)
+    out = str(tmp_path / "sf_planted")
+    planted.coalesce(1).write.mode("overwrite").parquet(out + "/lineitem.parquet")
+
+    df = part_copurchase_lift(spark, out)
+    rows = df.collect()
+    mega_parts = {10_000_000 + i for i in range(200)}
+    assert all(
+        r.part_a not in mega_parts and r.part_b not in mega_parts for r in rows
+    ), "mega-basket parts leaked through the cap"
+    # the planted normal pair (within cap) survives
+    assert any(r.part_a == 10_000_300 and r.part_b == 10_000_301 for r in rows)
+
+    # fan-out bound: no surviving basket exceeds BASKET_CAP parts
+    capped = (
+        load_table(spark, out, "lineitem")
+        .select("l_orderkey", "l_partkey")
+        .distinct()
+        .groupBy("l_orderkey")
+        .count()
+    )
+    assert capped.filter(f"count > {BASKET_CAP}").count() == 1  # only the mega order
+
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{out}/lineitem.parquet/*.parquet')"
+    )
+    assert_matches_oracle(df, con, COPURCHASE_SQL)
+    con.close()
+
+
 def test_trade_matrix_complete_and_stochastic(spark):
     from iris_project_database_refresh_spark.operators.relational_ext import (
         nation_trade_matrix,
