@@ -1,0 +1,227 @@
+"""Process-monitor cost accounting — the JSONB ``llm_calls`` rollup and
+the batched-call orchestration shape.
+
+The reference's ``process_monitor_logs`` table stores one JSON **array**
+of per-call records per stage row and derives ``total_tokens`` /
+``total_cost`` as sums over that array (`database-schema.sql:267-269`,
+array shape documented at `:283`:
+``[{"model", "input_tokens", "output_tokens", "cost", ...}]``), and the
+embedding stage issues those calls in bounded batches with retry
+(`semantic search/stage_04_embedding_generation.py:826`
+``generate_embeddings``, max_batch_size=50). Here:
+
+* ``monitor_llm_costs`` — plants a deterministic ``llm_calls`` JSON
+  array per event (the house planted-data pattern: synthesized from
+  event_id/props so both engines derive identical data with no side
+  file), then runs the real parse path — ``from_json`` to
+  ``array<struct>`` → ``explode`` → per-(stage, model) sums. The JSON
+  round-trip (to_json → from_json) is deliberate: it exercises exactly
+  the JSONB array aggregation the reference performs.
+* ``embed_batch_log`` — assigns every document a deterministic batch id
+  (50 docs per API call, stage_04 semantics), builds the per-batch
+  call-log rows, and joins the embeddings back to their batch — the
+  orchestration ledger that feeds the rollup above.
+
+Scale notes
+-----------
+* The call array is bounded (≤ 3 planted calls/event; the reference
+  caps calls-per-stage similarly), so explode fan-out is a small
+  constant factor and the only shuffle is the final (stage, model)
+  aggregation with map-side partials.
+* Costs are integer micro-dollars until the final division, so the
+  sums are exact and engine-independent (the house integer-scaling
+  discipline).
+* ``embed_batch_log``'s row_number runs per source partition — the
+  global sequential batch numbering uses source as the partition key
+  so no single-partition window bottleneck appears at corpus scale.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+# Planted-call constants — mirrored literally in the oracle SQL.
+MAX_CALLS = 3  # calls per stage row: 1 + event_id % 3
+IN_RATE_MICRO = 30  # $ 0.000030 per input token
+OUT_RATE_MICRO = 60  # $ 0.000060 per output token
+EMBED_BATCH = 50  # stage_04 max_batch_size
+EMBED_RATE_MICRO = 2  # $ 0.000002 per embedded token
+
+_CALLS_SCHEMA = "array<struct<model:string,input_tokens:bigint,output_tokens:bigint>>"
+
+
+def _planted_calls():
+    """Deterministic llm_calls array from (event_id, props.k)."""
+    k = F.get_json_object(F.col("props"), "$.k").cast("bigint")
+    n_calls = (F.col("event_id") % MAX_CALLS + 1).cast("int")
+    return F.transform(
+        F.sequence(F.lit(0).cast("bigint"), (n_calls - 1).cast("bigint")),
+        lambda i: F.struct(
+            F.concat(F.lit("model_"), ((F.col("event_id") + i) % 2).cast("string")).alias(
+                "model"
+            ),
+            ((k * 7 + i * 13) % 500 + 1).alias("input_tokens"),
+            ((k * 3 + i * 5) % 300 + 1).alias("output_tokens"),
+        ),
+    )
+
+
+def monitor_llm_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total_tokens/total_cost per (stage, model) over the llm_calls
+    JSON array — ``from_json`` → ``explode`` → sum, the JSONB rollup of
+    `database-schema.sql:267-269`. event_type plays stage_name."""
+    ev = load_table(spark, sf_dir, "events")
+    payload = ev.select(
+        F.col("event_type").alias("stage_name"),
+        F.to_json(_planted_calls()).alias("llm_calls"),  # the JSONB column
+    )
+    calls = payload.select(
+        "stage_name",
+        F.explode(F.from_json("llm_calls", _CALLS_SCHEMA)).alias("call"),
+    )
+    return (
+        calls.groupBy("stage_name", F.col("call.model").alias("model"))
+        .agg(
+            F.count(F.lit(1)).alias("n_calls"),
+            F.sum("call.input_tokens").alias("total_input_tokens"),
+            F.sum("call.output_tokens").alias("total_output_tokens"),
+        )
+        .select(
+            "stage_name",
+            "model",
+            "n_calls",
+            "total_input_tokens",
+            "total_output_tokens",
+            (F.col("total_input_tokens") + F.col("total_output_tokens")).alias(
+                "total_tokens"
+            ),
+            F.round(
+                (
+                    F.col("total_input_tokens") * IN_RATE_MICRO
+                    + F.col("total_output_tokens") * OUT_RATE_MICRO
+                )
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("total_cost"),
+        )
+    )
+
+
+MONITOR_LLM_COSTS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+),
+calls AS (
+  SELECT event_type AS stage_name,
+         'model_' || CAST((event_id + i) % 2 AS VARCHAR) AS model,
+         (k * 7 + i * 13) % 500 + 1 AS input_tokens,
+         (k * 3 + i * 5) % 300 + 1 AS output_tokens
+  FROM ev, unnest(generate_series(0, event_id % {MAX_CALLS})) AS t(i)
+)
+SELECT stage_name,
+       model,
+       count(*) AS n_calls,
+       CAST(sum(input_tokens) AS BIGINT)  AS total_input_tokens,
+       CAST(sum(output_tokens) AS BIGINT) AS total_output_tokens,
+       CAST(sum(input_tokens + output_tokens) AS BIGINT) AS total_tokens,
+       round((sum(input_tokens) * {IN_RATE_MICRO}
+              + sum(output_tokens) * {OUT_RATE_MICRO}) / 1000000.0, 6) AS total_cost
+FROM calls
+GROUP BY stage_name, model
+"""
+
+
+def embed_batch_log(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-batch embedding call-log joined back to the vectors it
+    produced — stage_04's bounded-batch orchestration
+    (`stage_04_embedding_generation.py:826`, max_batch_size=50) as a
+    deterministic ledger. Documents are batched per source in doc_id
+    order (source is the partition key, so the numbering window never
+    concentrates the corpus in one task); each batch row carries the
+    item count, the doc-id span, the summed token estimate, and the
+    integer-micro cost; the embeddings table joins back on vec_id ==
+    doc_id to prove every vector is accounted to exactly one batch."""
+    docs = load_table(spark, sf_dir, "documents")
+    # Integer division on both sides: DuckDB CAST(double AS BIGINT)
+    # rounds half-to-even while Spark's cast truncates, so any double
+    # intermediate here would flip boundary rows between engines.
+    batched = docs.select(
+        "doc_id",
+        "source",
+        (F.expr("n_chars div 4") + 1).alias("est_tokens"),
+        F.expr(f"(row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) div {EMBED_BATCH}").alias(
+            "batch_seq"
+        ),
+    )
+    log = batched.groupBy("source", "batch_seq").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("doc_id").alias("first_doc"),
+        F.max("doc_id").alias("last_doc"),
+        F.sum("est_tokens").alias("batch_tokens"),
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("doc_id"), F.lit(1).alias("has_vec")
+    )
+    vec_counts = (
+        batched.join(emb, "doc_id")
+        .groupBy("source", "batch_seq")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    return (
+        log.join(vec_counts, ["source", "batch_seq"], "left")
+        .select(
+            "source",
+            "batch_seq",
+            "n_docs",
+            F.coalesce("n_vectors", F.lit(0)).alias("n_vectors"),
+            "first_doc",
+            "last_doc",
+            "batch_tokens",
+            F.round(F.col("batch_tokens") * EMBED_RATE_MICRO / F.lit(1_000_000.0), 6).alias(
+                "batch_cost"
+            ),
+        )
+    )
+
+
+EMBED_BATCH_LOG_SQL = f"""
+WITH batched AS (
+  SELECT doc_id, source,
+         n_chars // 4 + 1 AS est_tokens,
+         (row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1)
+             // {EMBED_BATCH} AS batch_seq
+  FROM documents
+),
+log AS (
+  SELECT source, batch_seq,
+         count(*) AS n_docs,
+         min(doc_id) AS first_doc,
+         max(doc_id) AS last_doc,
+         CAST(sum(est_tokens) AS BIGINT) AS batch_tokens
+  FROM batched GROUP BY source, batch_seq
+),
+vec_counts AS (
+  SELECT b.source, b.batch_seq, count(*) AS n_vectors
+  FROM batched b JOIN embeddings e ON e.vec_id = b.doc_id
+  GROUP BY b.source, b.batch_seq
+)
+SELECT l.source, l.batch_seq, l.n_docs,
+       coalesce(v.n_vectors, 0) AS n_vectors,
+       l.first_doc, l.last_doc, l.batch_tokens,
+       round(l.batch_tokens * {EMBED_RATE_MICRO} / 1000000.0, 6) AS batch_cost
+FROM log l LEFT JOIN vec_counts v USING (source, batch_seq)
+"""
+
+
+QUERIES = {
+    "monitor_llm_costs": monitor_llm_costs,
+    "embed_batch_log": embed_batch_log,
+}
+
+ORACLES = {
+    "monitor_llm_costs": MONITOR_LLM_COSTS_SQL,
+    "embed_batch_log": EMBED_BATCH_LOG_SQL,
+}

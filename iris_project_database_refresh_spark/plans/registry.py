@@ -38,6 +38,7 @@ def _load() -> None:
         embeddings,
         graph,
         journeys,
+        monitor,
         multimodal,
         olap,
         packing,
@@ -84,6 +85,7 @@ def _load() -> None:
         timeseries,
         olap,
         journeys,
+        monitor,
         graph,
         warehouse,
         search,
@@ -121,6 +123,8 @@ _DRIVER_PRIORITY = [
     "events_enriched_agg",
     # round-2 hash-only failures, re-verified after the oracle cast fix:
     "q12_late_lines", "section_hierarchy",
+    # round-3 additions — never driver-checked by definition:
+    "monitor_llm_costs", "embed_batch_log",
 ]
 
 

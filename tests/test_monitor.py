@@ -1,0 +1,58 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import monitor
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(monitor.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(
+        monitor.QUERIES[name](spark, SF_CORRECT), oracle, monitor.ORACLES[name]
+    )
+
+
+def test_llm_costs_json_roundtrip_consistency(spark):
+    """The rollup's totals reconcile with the planted-array ground truth:
+    every event contributes 1 + event_id % 3 calls, so n_calls summed
+    over all (stage, model) groups equals that sum exactly, and
+    total_tokens == total_input + total_output per row."""
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    rows = monitor.monitor_llm_costs(spark, SF_CORRECT).collect()
+    ev = load_table(spark, SF_CORRECT, "events")
+    want_calls = ev.select(
+        F.sum(F.col("event_id") % monitor.MAX_CALLS + 1).alias("s")
+    ).collect()[0]["s"]
+    assert sum(r.n_calls for r in rows) == want_calls
+    for r in rows:
+        assert r.total_tokens == r.total_input_tokens + r.total_output_tokens
+        assert r.total_cost > 0
+
+
+def test_embed_batch_log_partitions_every_doc_once(spark):
+    """Batch ledger invariants: batches are ≤ EMBED_BATCH docs, doc
+    counts sum to the corpus size, every vector lands in exactly one
+    batch, and doc-id spans never overlap within a source."""
+    rows = monitor.embed_batch_log(spark, SF_CORRECT).collect()
+    assert all(1 <= r.n_docs <= monitor.EMBED_BATCH for r in rows)
+    assert all(r.n_vectors <= r.n_docs for r in rows)
+    by_source: dict[str, list] = {}
+    for r in rows:
+        by_source.setdefault(r.source, []).append(r)
+    for batches in by_source.values():
+        batches.sort(key=lambda r: r.batch_seq)
+        # consecutive batch_seq, non-overlapping ordered spans
+        assert [b.batch_seq for b in batches] == list(range(len(batches)))
+        for prev, nxt in zip(batches, batches[1:]):
+            assert prev.last_doc < nxt.first_doc
+    n_docs_total = sum(r.n_docs for r in rows)
+    n_vecs_total = sum(r.n_vectors for r in rows)
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    assert n_docs_total == load_table(spark, SF_CORRECT, "documents").count()
+    assert n_vecs_total == load_table(spark, SF_CORRECT, "embeddings").count()
