@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from ..operators import catalog, chunking, embeddings
 from ..sinks.csv_export import export_chunks_csv  # noqa: F401  (re-export for users)
+from ..sinks.deployment import generate_deployment_metadata, write_deployment_metadata
 
 
 class StageMonitor:
@@ -80,4 +81,15 @@ def run_refresh(spark: SparkSession, sf_dir: str, out_dir: str) -> dict[str, int
     mon.run("catalog_merge", write, "master", catalog.catalog_merge(spark, sf_dir))
     mon.run("validation", write, "validation", catalog.catalog_validate(spark, sf_dir))
     mon.run("monitor_flush", write, "monitor_logs", mon.to_df(spark))
+
+    # IT-handoff manifest next to the stage outputs
+    # (`stage5_output_final_csv.py:431` generate_deployment_metadata).
+    meta = generate_deployment_metadata(
+        spark.read.parquet(os.path.join(out_dir, "master")),
+        spark.read.parquet(os.path.join(out_dir, "chunks")),
+        catalog_file="master",
+        content_file="chunks",
+    )
+    meta["file_info"]["stage_outputs"] = counts
+    write_deployment_metadata(meta, out_dir)
     return counts

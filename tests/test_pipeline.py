@@ -35,6 +35,33 @@ def test_full_refresh_pipeline(spark, tmp_path):
     assert all(r.status == "Success" and r.duration_ms >= 0 for r in rows)
     assert len({r.run_uuid for r in rows}) == 1
 
+    # deployment manifest: written next to the outputs, counts/schema
+    # match the data it describes, delete statement covers every source
+    import glob
+    import json
+
+    manifests = glob.glob(out + "/deployment_metadata_*.json")
+    assert len(manifests) == 1
+    meta = json.load(open(manifests[0]))
+    master = spark.read.parquet(out + "/master")
+    chunks = spark.read.parquet(out + "/chunks")
+    assert meta["file_info"]["catalog_records"] == master.count() == counts["master"]
+    assert meta["file_info"]["content_records"] == chunks.count() == counts["chunks"]
+    assert meta["schema_info"]["catalog_columns"] == master.columns
+    assert meta["schema_info"]["content_columns"] == chunks.columns
+    assert meta["file_info"]["stage_outputs"] == counts
+    srcs = meta["deployment_info"]["document_sources"]
+    for s in srcs:
+        assert f"'{s}'" in meta["instructions"]["delete_query"]
+    # hash is content-determined: recomputing over the written parquet agrees
+    from iris_project_database_refresh_spark.sinks.deployment import (
+        dataframe_content_hash,
+    )
+
+    assert meta["file_info"]["catalog_hash"] == dataframe_content_hash(master)
+    # and order-insensitive: a shuffled frame hashes identically
+    assert dataframe_content_hash(master.orderBy(F.rand(7))) == meta["file_info"]["catalog_hash"]
+
 
 def test_csv_json_roundtrip(spark, tmp_path):
     df = load_table(spark, SF_CORRECT, "customer").select(
