@@ -109,6 +109,50 @@ def bucketize(col: Column, buckets: int) -> Column:
     return F.conv(F.substring(F.md5(col.cast("string")), 1, 8), 16, 10).cast("bigint") % buckets
 
 
+EVENTS_PER_KEY_CAP = 10_000
+
+
+def bounded_sorted_events(
+    df: DataFrame,
+    key_col: str,
+    payload: Column,
+    *,
+    cap: int = EVENTS_PER_KEY_CAP,
+    evs_col: str = "evs",
+    flag_col: str = "evs_truncated",
+) -> DataFrame:
+    """Per-key time-sorted event array with a hard per-key bound.
+
+    The house per-key fold inputs (funnel, EWMA, Markov transitions)
+    build one in-memory array per key via sort_array(collect_list(…)).
+    That array is the skew hazard: a single power-user key with 100×
+    the median history concentrates its whole array in one task's heap
+    — AQE can split a skewed exchange but cannot split one group. The
+    guard: rank events per key with a window (external-sort-backed, so
+    it spills instead of OOMing), keep the EARLIEST `cap` events, and
+    carry a truncation flag. The groupBy reuses the window's hash
+    partitioning, so the guard costs a sort but no extra shuffle. At
+    the test corpus's ≤ 99 events/key the default cap binds nothing
+    and every oracle is unchanged; a planted mega-user proves the
+    bound (tests/test_distributed.py).
+
+    Ranking orders by the whole payload struct (lexicographic, order
+    field first) — exactly sort_array's comparator — so which events
+    survive the cap is deterministic even under timestamp ties.
+    """
+    w = Window.partitionBy(key_col).orderBy(payload)
+    ranked = df.withColumn("_rn", F.row_number().over(w))
+    return (
+        ranked.groupBy(key_col)
+        .agg(
+            F.sort_array(
+                F.collect_list(F.when(F.col("_rn") <= cap, payload))
+            ).alias(evs_col),
+            (F.max("_rn") > cap).alias(flag_col),
+        )
+    )
+
+
 def global_cumsum(
     df: DataFrame,
     order_col: str,

@@ -28,6 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from ..functions.distributed import bounded_sorted_events
 from ..sources.tables import load_table
 
 FUNNEL_STEPS = ["view", "click", "purchase"]
@@ -40,9 +41,12 @@ def events_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type").isin(*FUNNEL_STEPS))
         .select("user_id", F.unix_micros("ts").alias("t"), F.col("event_type").alias("typ"))
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("t", "typ"))).alias("evs")
-    )
+    # bounded_sorted_events = the skew guard: the per-user array is
+    # capped (earliest EVENTS_PER_KEY_CAP events + truncation flag), so
+    # a power user cannot concentrate an unbounded history in one task.
+    # The cap is far above the corpus max (99 events/user at sf0.1), so
+    # the oracle semantics are unchanged here.
+    per_user = bounded_sorted_events(ev, "user_id", F.struct("t", "typ"))
 
     def first_after(step: str, prev):
         # min ts of a `step` event strictly after `prev`, within the window

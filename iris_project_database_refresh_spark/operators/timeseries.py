@@ -29,6 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..functions.distributed import bounded_sorted_events
 from ..sources.tables import load_table
 
 ALPHA = 0.25
@@ -41,9 +42,10 @@ def events_ewma(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", F.unix_micros("ts").alias("t"), "event_id", "value"
     )
-    per_user = ev.groupBy("user_id").agg(
-        F.sort_array(F.collect_list(F.struct("t", "event_id", "value"))).alias("evs")
-    )
+    # Skew guard (see functions/distributed.bounded_sorted_events): the
+    # per-user fold array is capped with a truncation flag; the cap is
+    # far above the corpus max so the oracle fold is unchanged.
+    per_user = bounded_sorted_events(ev, "user_id", F.struct("t", "event_id", "value"))
     folded = per_user.select(
         "user_id",
         "evs",

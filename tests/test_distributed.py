@@ -89,3 +89,53 @@ def test_global_cumsum_matches_naive_window(spark):
         for r in df.withColumn("off", F.coalesce(F.sum("v").over(w), F.lit(0))).collect()
     }
     assert got == want
+
+
+def test_bounded_sorted_events_caps_power_user(spark):
+    """The fold-input skew guard: a planted power user with 100x the
+    median history gets exactly `cap` (earliest) events and a raised
+    truncation flag; normal users are untouched and unflagged, so the
+    per-task array memory is bounded regardless of key skew."""
+    from iris_project_database_refresh_spark.functions.distributed import (
+        bounded_sorted_events,
+    )
+
+    rows = [(99, t, float(t)) for t in range(1000)]  # the power user
+    for u in range(10):
+        rows += [(u, t, float(t)) for t in range(10)]
+    df = spark.createDataFrame(rows, "user_id long, t long, value double")
+
+    out = bounded_sorted_events(
+        df, "user_id", F.struct("t", "value"), cap=50
+    ).collect()
+    by_user = {r.user_id: r for r in out}
+    assert len(by_user[99].evs) == 50
+    assert by_user[99].evs_truncated is True
+    # earliest-N semantics, sorted ascending
+    assert [e.t for e in by_user[99].evs] == list(range(50))
+    for u in range(10):
+        assert len(by_user[u].evs) == 10
+        assert by_user[u].evs_truncated is False
+        assert [e.t for e in by_user[u].evs] == list(range(10))
+
+
+def test_bounded_sorted_events_unbinding_cap_matches_sort_array(spark):
+    """With the default (unbinding) cap the guard is a drop-in for
+    sort_array(collect_list(...)) — byte-identical arrays on the real
+    corpus table, so the graded fold oracles are unaffected."""
+    from iris_project_database_refresh_spark.functions.distributed import (
+        bounded_sorted_events,
+    )
+
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id", "value"
+    )
+    payload = F.struct("t", "event_id", "value")
+    got = bounded_sorted_events(ev, "user_id", payload)
+    want = ev.groupBy("user_id").agg(
+        F.sort_array(F.collect_list(payload)).alias("evs")
+    )
+    g = {r.user_id: r.evs for r in got.collect()}
+    assert all(not r.evs_truncated for r in got.collect())
+    w = {r.user_id: r.evs for r in want.collect()}
+    assert g == w
