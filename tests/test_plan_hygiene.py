@@ -55,3 +55,40 @@ def test_narrow_operators_have_no_shuffle(spark, name):
     plan = QUERIES[name](spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, f"{name} shuffles:\n{plan[:400]}"
     assert "Python" not in plan and "InPandas" not in plan, f"{name} leaves the JVM"
+
+
+# Fact-fact shuffles that must stay AQE-skew-splittable: these are the
+# joins where one hot key (a mega-order, a dominant nation pair, a hot
+# time bin) would otherwise pin a 100 TB run on one task. Broadcast
+# would be wrong (both sides scale with the fact table), so the plan we
+# want is a shuffle join under an AdaptiveSparkPlan with skew-join
+# handling enabled — AQE then splits oversized partitions at runtime.
+SKEW_JOIN_QUERIES = ["q21_waiting_suppliers", "nation_trade_matrix", "interval_overlap_join"]
+
+
+@pytest.mark.parametrize("name", SKEW_JOIN_QUERIES)
+def test_fact_fact_joins_are_aqe_skew_splittable(spark, name):
+    """At sf0.01 the planner auto-broadcasts the tiny fact sides — the
+    correct small-scale choice. What must hold for the 100× story is
+    that the fact joins are not HINT-pinned to broadcast: with the
+    auto-broadcast threshold disabled (statistics say "too big", the
+    100 TB situation), the plan must degrade to a shuffle join under an
+    AdaptiveSparkPlan with skew-join handling on — exactly the shape
+    AQE's skew rule can split at runtime."""
+    assert spark.conf.get("spark.sql.adaptive.enabled") == "true"
+    assert spark.conf.get("spark.sql.adaptive.skewJoin.enabled") == "true"
+    threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        plan = (
+            QUERIES[name](spark, SF_CORRECT)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+    assert plan.startswith("AdaptiveSparkPlan"), f"{name}: not adaptive:\n{plan[:200]}"
+    assert (
+        "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
+    ), f"{name}: fact join appears hint-pinned to broadcast:\n{plan[:400]}"
