@@ -314,20 +314,25 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream, the bin index is pure arithmetic, and counts reduce
     map-side — the distributed histogram every profiler/monitor
     dashboard needs at scale (one narrow pass + one bounded shuffle).
-    The top edge folds into the last bin (least with NBINS-1)."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
-    bounds = ev.groupBy("event_type").agg(
-        F.min("value").alias("lo"), F.max("value").alias("hi")
+
+    Binning runs entirely in the integer-cents domain (the cusum
+    device: floor(value*100 + 0.5)): bin = (v-lo)*NBINS div (span+1),
+    so there is no floating-point edge for a data value to tie against
+    — a 1-ulp divergence between engines cannot flip a bin — and a
+    constant-valued type (span = 0) degenerates to bin 0 instead of a
+    NaN bin (Spark) vs cast error (DuckDB)."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v_c")
     )
-    width = (F.col("hi") - F.col("lo")) / HIST_BINS
+    bounds = ev.groupBy("event_type").agg(
+        F.min("v_c").alias("lo_c"), F.max("v_c").alias("hi_c")
+    )
+    span = F.col("hi_c") - F.col("lo_c")
     binned = ev.join(F.broadcast(bounds), "event_type").select(
         "event_type",
-        "lo",
-        "hi",
-        F.least(
-            F.floor((F.col("value") - F.col("lo")) / width).cast("int"),
-            F.lit(HIST_BINS - 1),
-        ).alias("bin"),
+        "lo_c",
+        "hi_c",
+        F.expr(f"(v_c - lo_c) * {HIST_BINS} div (hi_c - lo_c + 1)").cast("int").alias("bin"),
     )
     return (
         binned.groupBy("event_type", "bin")
@@ -336,27 +341,33 @@ def events_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "event_type",
             "bin",
-            F.round(F.col("lo") + F.col("bin") * ((F.col("hi") - F.col("lo")) / HIST_BINS), 6).alias("bin_lo"),
+            # integer-derived edge, one identical double expression in
+            # both engines
+            F.round((F.col("lo_c") + F.col("bin") * ((span + 1) / HIST_BINS)) / 100.0, 6).alias(
+                "bin_lo"
+            ),
             "n",
         )
     )
 
 
 HISTOGRAM_SQL = f"""
-WITH bounds AS (
-  SELECT event_type, min(value) AS lo, max(value) AS hi FROM events GROUP BY event_type
+WITH ev AS (
+  SELECT event_type, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events
+),
+bounds AS (
+  SELECT event_type, min(v_c) AS lo_c, max(v_c) AS hi_c FROM ev GROUP BY event_type
 ),
 binned AS (
   SELECT e.event_type,
-         least(CAST(floor((e.value - b.lo) / ((b.hi - b.lo) / {HIST_BINS})) AS INT),
-               {HIST_BINS - 1}) AS bin
-  FROM events e JOIN bounds b USING (event_type)
+         CAST((e.v_c - b.lo_c) * {HIST_BINS} // (b.hi_c - b.lo_c + 1) AS INT) AS bin
+  FROM ev e JOIN bounds b USING (event_type)
 )
 SELECT event_type, bin,
-       round(lo + bin * ((hi - lo) / {HIST_BINS}), 6) AS bin_lo,
+       round((lo_c + bin * ((hi_c - lo_c + 1) / {HIST_BINS})) / 100.0, 6) AS bin_lo,
        count(*) AS n
 FROM binned JOIN bounds USING (event_type)
-GROUP BY event_type, bin, lo, hi
+GROUP BY event_type, bin, lo_c, hi_c
 """
 
 
@@ -372,15 +383,30 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB), broadcast back onto the stream; a row's bin is the number
     of edges strictly below its value (an array count, no per-bin
     join). Equal-width shows the distribution's shape; equal-depth
-    gives stable per-bin sample sizes for downstream stats."""
-    ev = load_table(spark, sf_dir, "events").select("event_type", "value")
+    gives stable per-bin sample sizes for downstream stats.
+
+    Edge comparisons run on an integer grid (the cusum device):
+    values are quantized to cents, percentiles are computed over the
+    integer-cent domain, and each edge is snapped to a milli-cent
+    integer (floor(e*1000 + 0.5)) before the strict < against
+    v_c*1000. Interpolated edges of integer inputs at q = i/10 are
+    exact multiples of 0.1 cent, so a 1-ulp divergence between Spark
+    `percentile` and DuckDB `quantile_cont` sits ~500 grid units away
+    from the snap boundary and can never flip a row's bin."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v_c")
+    )
     qs = [i / DEPTH_BINS for i in range(1, DEPTH_BINS)]
     edges = ev.groupBy("event_type").agg(
-        F.expr(f"percentile(value, array({', '.join(str(q) for q in qs)}))").alias("edges")
+        F.expr(
+            "transform(percentile(v_c, array({qs})), e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))".format(
+                qs=", ".join(str(q) for q in qs)
+            )
+        ).alias("edges")
     )
     binned = ev.join(F.broadcast(edges), "event_type").select(
         "event_type",
-        F.size(F.filter("edges", lambda e: e < F.col("value"))).alias("bin"),
+        F.size(F.filter("edges", lambda e: e < F.col("v_c") * 1000)).alias("bin"),
         F.col("value"),
     )
     return (
@@ -394,16 +420,22 @@ def events_histogram_equidepth(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 EQUIDEPTH_SQL = f"""
-WITH edges AS (
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events
+),
+edges AS (
   SELECT event_type,
-         quantile_cont(value, [{", ".join(str(i / DEPTH_BINS) for i in range(1, DEPTH_BINS))}]) AS edges
-  FROM events GROUP BY event_type
+         list_transform(
+           quantile_cont(v_c, [{", ".join(str(i / DEPTH_BINS) for i in range(1, DEPTH_BINS))}]),
+           e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)
+         ) AS edges
+  FROM ev GROUP BY event_type
 ),
 binned AS (
   SELECT e.event_type,
-         len(list_filter(edges, x -> x < e.value)) AS bin,
+         len(list_filter(edges, x -> x < e.v_c * 1000)) AS bin,
          e.value
-  FROM events e JOIN edges USING (event_type)
+  FROM ev e JOIN edges USING (event_type)
 )
 SELECT event_type, bin, count(*) AS n,
        round(min(value), 2) AS bin_min,

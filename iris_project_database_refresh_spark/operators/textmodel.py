@@ -15,9 +15,10 @@ corpus-level models a 100 TB training-data pipeline adds on top.
   it to every word with the greedy left-to-right non-overlapping fold,
   and emit the post-merge pair counts that seed the next iteration.
   The merge application is a genuinely sequential per-word recursion —
-  F.aggregate on Spark, list_reduce on DuckDB, identical branch logic,
-  pure integers elsewhere, so the oracle hash-matches an iterative
-  trainer's step.
+  F.aggregate on Spark, a recursive CTE on DuckDB (list_reduce proved
+  nondeterministic on larger vectorized inputs; see the inline SQL
+  comment) with identical branch logic, pure integers elsewhere, so
+  the oracle hash-matches an iterative trainer's step.
 
 * `quality_bigram_logprob` — per-document mean/min log10 P(w_i|w_{i-1})
   under the corpus's own add-k-smoothed bigram model (k=0.5): the
@@ -259,8 +260,9 @@ def tokenizer_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     JVM fold (longest-match-at-position is a recursion, inexpressible
     as SQL windows) and the per-word piece count joins back onto the
     exploded corpus. The vocabulary rides a 1-row sorted-array
-    broadcast. The oracle runs the identical fold via list_reduce with
-    a prepended init accumulator.
+    broadcast. The oracle runs the identical fold via a recursive CTE
+    with the same step logic (not list_reduce, which was found
+    nondeterministic — see the inline SQL comment).
     """
     vocab_words = _vocab(spark, sf_dir)  # (word, wcnt), distinct words
 

@@ -13,9 +13,10 @@ Spark-first shape: one shuffle groups each user's events, a sorted
 struct array fixes the order (ts, event_id — deterministic under ts
 ties), and ``F.aggregate`` runs the fold as a JVM array expression —
 no Python, no iterative driver loop, state bounded by one user's
-events. The DuckDB oracle runs the *same* fold via ``list_reduce``
-with the identical operation order, so IEEE doubles agree bit-for-bit
-before the 6dp presentation rounding.
+events. The DuckDB oracle runs the *same* fold via a recursive CTE
+with the identical IEEE operation order (not ``list_reduce``, which
+was found nondeterministic — see the inline comment below), so the
+doubles agree bit-for-bit before the 6dp presentation rounding.
 
 Scale: cost is one shuffle on user_id plus linear per-row work; a
 single user's history must fit in one task (the same bound the
