@@ -445,6 +445,81 @@ GROUP BY event_type, bin
 """
 
 
+
+
+# --- median/MAD anomaly detection --------------------------------------------
+#
+# Robust outlier flagging per event type: |v - median| > (7/2) * MAD.
+# Everything runs in integer quarter-cents: v4 = 4 * cents is a
+# multiple of 4, so the interpolated median of v4 is always a whole
+# integer (two middles average to a multiple of 2) and the median of
+# the integer deviations is at worst a half — snapped with the
+# floor(x + 0.5) device. The 3.5-sigma-equivalent threshold compares
+# 2*dev > 7*mad2 — pure integers, no edge for engines to disagree on.
+
+MAD_K_NUM = 7  # threshold: dev > 3.5 * MAD  ==  2*dev > 7 * mad
+MAD_K_DEN = 2
+
+
+def events_anomaly_mad(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose value deviates from the per-type median by more
+    than 3.5 MAD — the robust monitor-alarm cousin of outlier_iqr
+    (median/MAD tolerate 50% contamination; quartile fences ~25%).
+    Two tiny per-type aggregates broadcast back onto the stream; the
+    flagging pass is narrow."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        "event_type",
+        "value",
+        (F.floor(F.col("value") * 100 + F.lit(0.5)) * 4).alias("v4"),
+    )
+    med = ev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(v4, 0.5)") + F.lit(0.5)).cast("bigint").alias("med4")
+    )
+    dev = ev.join(F.broadcast(med), "event_type").withColumn(
+        "dev", F.abs(F.col("v4") - F.col("med4"))
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.floor(F.expr("percentile(dev, 0.5)") * 2 + F.lit(0.5)).cast("bigint").alias("mad2")
+    )
+    return (
+        dev.join(F.broadcast(mad), "event_type")
+        .where(F.col("dev") * 2 * MAD_K_DEN > MAD_K_NUM * F.col("mad2"))
+        .select(
+            "event_id",
+            "event_type",
+            "value",
+            F.round(F.col("med4") / 400.0, 6).alias("median_value"),
+            F.round(F.col("mad2") / 800.0, 6).alias("mad_value"),
+        )
+    )
+
+
+ANOMALY_MAD_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, value,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) * 4 AS v4
+  FROM events
+),
+med AS (
+  SELECT event_type, CAST(floor(quantile_cont(v4, 0.5) + 0.5) AS BIGINT) AS med4
+  FROM ev GROUP BY event_type
+),
+dev AS (
+  SELECT e.*, m.med4, abs(e.v4 - m.med4) AS dev
+  FROM ev e JOIN med m USING (event_type)
+),
+mad AS (
+  SELECT event_type, CAST(floor(quantile_cont(dev, 0.5) * 2 + 0.5) AS BIGINT) AS mad2
+  FROM dev GROUP BY event_type
+)
+SELECT d.event_id, d.event_type, d.value,
+       round(d.med4 / 400.0, 6) AS median_value,
+       round(m.mad2 / 800.0, 6) AS mad_value
+FROM dev d JOIN mad m USING (event_type)
+WHERE d.dev * 2 * {MAD_K_DEN} > {MAD_K_NUM} * m.mad2
+"""
+
 QUERIES = {
     "monitor_quantiles": monitor_quantiles,
     "events_pivot": events_pivot,
@@ -454,6 +529,7 @@ QUERIES = {
     "events_window_suite": events_window_suite,
     "events_histogram": events_histogram,
     "events_histogram_equidepth": events_histogram_equidepth,
+    "events_anomaly_mad": events_anomaly_mad,
 }
 
 ORACLES = {
@@ -465,4 +541,5 @@ ORACLES = {
     "events_window_suite": WINDOW_SUITE_SQL,
     "events_histogram": HISTOGRAM_SQL,
     "events_histogram_equidepth": EQUIDEPTH_SQL,
+    "events_anomaly_mad": ANOMALY_MAD_SQL,
 }

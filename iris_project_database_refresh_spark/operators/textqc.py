@@ -434,3 +434,85 @@ FROM cells JOIN totals USING (label_lang)
 
 QUERIES["lang_confusion"] = lang_confusion
 ORACLES["lang_confusion"] = LANG_CONFUSION_SQL
+
+
+# --- Gopher-style quality rules ----------------------------------------------
+#
+# The published rule-based document filter from the Gopher corpus work
+# (Rae et al. 2021, public): word-count bounds, mean-word-length bounds,
+# minimum alphabetic-word ratio, minimum stopword evidence. Every
+# threshold comparison runs on integers (sum_chars >= 3*n_words instead
+# of mean >= 3.0), so no floating-point boundary exists for the two
+# engines to disagree on. One narrow map stage — scan-rate at 100 TB.
+
+GOPHER_MIN_WORDS = 50
+GOPHER_MAX_WORDS = 100_000
+GOPHER_MIN_MEAN_WL = 3  # mean word length in [3, 10]
+GOPHER_MAX_MEAN_WL = 10
+GOPHER_ALPHA_NUM = 4  # alpha-word ratio >= 4/5
+GOPHER_ALPHA_DEN = 5
+GOPHER_MIN_STOP_HITS = 2
+
+
+def quality_gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document Gopher rule flags + overall pass verdict."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(transform(filter(split(text, '\\\\s+'), t -> t <> ''),"
+            " t -> length(t)), 0L, (a, x) -> a + CAST(x AS LONG))"
+        ).alias("sum_chars"),
+        F.size(F.filter(toks, lambda t: t.rlike("[a-z]"))).cast("bigint").alias("alpha_words"),
+        F.size(F.filter(toks, lambda t: t.isin(*STOPWORDS["en"]))).cast("bigint").alias("stop_hits"),
+    )
+    ok_count = (F.col("n_words") >= GOPHER_MIN_WORDS) & (F.col("n_words") <= GOPHER_MAX_WORDS)
+    ok_mwl = (F.col("sum_chars") >= GOPHER_MIN_MEAN_WL * F.col("n_words")) & (
+        F.col("sum_chars") <= GOPHER_MAX_MEAN_WL * F.col("n_words")
+    )
+    ok_alpha = F.col("alpha_words") * GOPHER_ALPHA_DEN >= GOPHER_ALPHA_NUM * F.col("n_words")
+    ok_stop = F.col("stop_hits") >= GOPHER_MIN_STOP_HITS
+    return base.select(
+        "doc_id",
+        "n_words",
+        "sum_chars",
+        "alpha_words",
+        "stop_hits",
+        ok_count.cast("int").alias("ok_word_count"),
+        ok_mwl.cast("int").alias("ok_mean_word_len"),
+        ok_alpha.cast("int").alias("ok_alpha_ratio"),
+        ok_stop.cast("int").alias("ok_stopwords"),
+        (ok_count & ok_mwl & ok_alpha & ok_stop).cast("int").alias("gopher_pass"),
+    )
+
+
+_EN_STOPS_SQL = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+
+GOPHER_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_words,
+         CAST(coalesce(list_sum(list_transform(toks, t -> length(t))), 0) AS BIGINT) AS sum_chars,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '[a-z]'))) AS BIGINT) AS alpha_words,
+         CAST(len(list_filter(toks, t -> t IN ({_EN_STOPS_SQL}))) AS BIGINT) AS stop_hits
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+)
+SELECT doc_id, n_words, sum_chars, alpha_words, stop_hits,
+       CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS} AS INT) AS ok_word_count,
+       CAST(sum_chars >= {GOPHER_MIN_MEAN_WL} * n_words
+            AND sum_chars <= {GOPHER_MAX_MEAN_WL} * n_words AS INT) AS ok_mean_word_len,
+       CAST(alpha_words * {GOPHER_ALPHA_DEN} >= {GOPHER_ALPHA_NUM} * n_words AS INT) AS ok_alpha_ratio,
+       CAST(stop_hits >= {GOPHER_MIN_STOP_HITS} AS INT) AS ok_stopwords,
+       CAST(n_words >= {GOPHER_MIN_WORDS} AND n_words <= {GOPHER_MAX_WORDS}
+            AND sum_chars >= {GOPHER_MIN_MEAN_WL} * n_words
+            AND sum_chars <= {GOPHER_MAX_MEAN_WL} * n_words
+            AND alpha_words * {GOPHER_ALPHA_DEN} >= {GOPHER_ALPHA_NUM} * n_words
+            AND stop_hits >= {GOPHER_MIN_STOP_HITS} AS INT) AS gopher_pass
+FROM base
+"""
+
+QUERIES["quality_gopher_rules"] = quality_gopher_rules
+ORACLES["quality_gopher_rules"] = GOPHER_SQL
