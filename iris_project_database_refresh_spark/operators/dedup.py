@@ -1085,3 +1085,121 @@ FROM confirmed
 
 QUERIES["dedup_bloom_prefilter"] = dedup_bloom_prefilter
 ORACLES["dedup_bloom_prefilter"] = DEDUP_BLOOM_SQL
+
+
+# --- corpus-overlap estimation between sources --------------------------------
+#
+# Union-MinHash per source: a source's signature component i is the min
+# of permutation i over ALL shingles its documents contain — mergeable
+# (min is associative/commutative), so at 100 TB each source signature
+# reduces map-side to one 16-long row regardless of corpus size. The
+# pairwise estimate (fraction of matching components) then costs
+# |sources|² over a broadcast-size table. The EXACT overlap is computed
+# alongside for evaluation — affordable here because the per-shingle
+# source fan-out is bounded by |sources| (20), so the shingle-bucket
+# self-join emits ≤ |sources|²/2 pairs per shingle, not |docs|².
+
+def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-overlap matrix: MinHash Jaccard estimate next to
+    the exact shingle Jaccard it approximates (the recall-eval pattern:
+    the sketch and its ground truth in one result)."""
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    hashed = docs.withColumn("th", F.expr(_TH_EXPR)).withColumn(
+        "hashes", F.expr(_SH32_EXPR)
+    )
+    pairs_src = (
+        hashed.select("source", F.explode("hashes").alias("shingle"))
+        .distinct()
+        .localCheckpoint(eager=False)  # sigs + sizes + bucket join
+    )
+    sigs = pairs_src.groupBy("source").agg(
+        *[
+            F.min((F.lit(a) * F.col("shingle") + F.lit(b)) % F.lit(P)).alias(f"sig{i}")
+            for i, (a, b) in enumerate(AB)
+        ]
+    )
+    sizes = pairs_src.groupBy("source").agg(F.count(F.lit(1)).alias("n_shingles"))
+    a, b = pairs_src.alias("a"), pairs_src.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sigs.alias("sa"), sigs.alias("sb")
+    match_expr = sum(
+        F.when(F.col(f"sa.sig{i}") == F.col(f"sb.sig{i}"), 1).otherwise(0)
+        for i in range(N_HASHES)
+    )
+    est = (
+        sa.join(sb, F.col("sa.source") < F.col("sb.source"))
+        .select(
+            F.col("sa.source").alias("src_a"),
+            F.col("sb.source").alias("src_b"),
+            match_expr.alias("n_match"),
+        )
+    )
+    return (
+        est.join(inter, ["src_a", "src_b"], "left")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_a"), F.col("n_shingles").alias("n_a"))), "src_a")
+        .join(F.broadcast(sizes.select(F.col("source").alias("src_b"), F.col("n_shingles").alias("n_b"))), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_match",
+            F.round(F.col("n_match") / F.lit(float(N_HASHES)), 6).alias("est_jaccard"),
+            F.coalesce("n_inter", F.lit(0)).alias("n_inter"),
+            "n_a",
+            "n_b",
+            F.round(
+                F.coalesce("n_inter", F.lit(0))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce("n_inter", F.lit(0))).cast("double"),
+                6,
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+SOURCE_OVERLAP_SQL = f"""
+WITH hashed AS (
+  SELECT source, {_SH32_SQL.strip()} AS hashes
+  FROM (SELECT source, {_TH_SQL} AS th FROM documents)
+),
+pairs_src AS (
+  SELECT DISTINCT source, unnest(hashes) AS shingle FROM hashed
+),
+sigs AS (
+  SELECT source,
+         {", ".join(f"min(({a} * shingle + {b}) % {P}) AS sig{i}" for i, (a, b) in enumerate(AB))}
+  FROM pairs_src GROUP BY source
+),
+sizes AS (SELECT source, count(*) AS n_shingles FROM pairs_src GROUP BY source),
+inter AS (
+  SELECT a.source AS src_a, b.source AS src_b, count(*) AS n_inter
+  FROM pairs_src a JOIN pairs_src b
+    ON a.shingle = b.shingle AND a.source < b.source
+  GROUP BY 1, 2
+),
+est AS (
+  SELECT sa.source AS src_a, sb.source AS src_b,
+         {" + ".join(f"CASE WHEN sa.sig{i} = sb.sig{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))} AS n_match
+  FROM sigs sa JOIN sigs sb ON sa.source < sb.source
+)
+SELECT e.src_a, e.src_b, e.n_match,
+       round(e.n_match / {float(N_HASHES)}, 6) AS est_jaccard,
+       coalesce(i.n_inter, 0) AS n_inter,
+       za.n_shingles AS n_a,
+       zb.n_shingles AS n_b,
+       round(coalesce(i.n_inter, 0)
+             / CAST(za.n_shingles + zb.n_shingles - coalesce(i.n_inter, 0) AS DOUBLE), 6) AS exact_jaccard
+FROM est e
+LEFT JOIN inter i ON e.src_a = i.src_a AND e.src_b = i.src_b
+JOIN sizes za ON za.source = e.src_a
+JOIN sizes zb ON zb.source = e.src_b
+"""
+
+QUERIES["source_overlap_minhash"] = source_overlap_minhash
+ORACLES["source_overlap_minhash"] = SOURCE_OVERLAP_SQL

@@ -349,3 +349,115 @@ FROM cells, total
 
 QUERIES["events_seasonality"] = events_seasonality
 ORACLES["events_seasonality"] = SEASONALITY_SQL
+
+
+# --- U-shaped multi-touch attribution ----------------------------------------
+#
+# Position-based credit for each purchase over the touches (view/click)
+# that preceded it within 24 h: 40% to the first touch, 40% to the
+# last, the remaining 20% split over the middles (1.0 / 0.5+0.5 for
+# one- and two-touch paths). Credit is integer micro-units — first/
+# last get 400_000, each middle gets 200_000 div (n-2) — so the final
+# sums are exact integers in both engines (double credit summed across
+# a shuffle would be order-sensitive). The conversion⋈touch join is
+# user-partitioned with a bounded time window, so per-key fan-out is
+# the user's 24 h touch count, not their full history.
+
+ATTR_WINDOW_US = 24 * 3600 * 1_000_000
+_CR_FULL = 1_000_000
+_CR_HALF = 500_000
+_CR_EDGE = 400_000
+_CR_MID_POOL = 200_000
+
+
+def attribution_u_shaped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_touch"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    convs = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_conv"),
+        F.col("event_id").alias("conv_id"),
+    )
+    j = convs.join(
+        touches,
+        (convs.user_id == touches.user_id)
+        & (touches.t_touch < convs.t_conv)
+        & (touches.t_touch >= convs.t_conv - ATTR_WINDOW_US),
+    ).select("conv_id", "touch_id", "touch_type", "t_touch")
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("t_touch", "touch_id")
+    ranked = j.select(
+        "conv_id",
+        "touch_id",
+        "touch_type",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    credit = (
+        F.when(F.col("n") == 1, _CR_FULL)
+        .when(F.col("n") == 2, _CR_HALF)
+        .when((F.col("rn") == 1) | (F.col("rn") == F.col("n")), _CR_EDGE)
+        .otherwise(F.expr(f"{_CR_MID_POOL} div (n - 2)"))
+    )
+    return (
+        ranked.withColumn("credit_micro", credit.cast("bigint"))
+        .groupBy("touch_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_touches"),
+            F.countDistinct("conv_id").alias("n_conversions"),
+            F.sum("credit_micro").alias("credit_micro_total"),
+            F.round(F.sum("credit_micro") / 1e6, 6).alias("total_credit"),
+        )
+    )
+
+
+ATTRIBUTION_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+touches AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_touch,
+         event_id AS touch_id, event_type AS touch_type
+  FROM events_us WHERE event_type IN ('view', 'click')
+),
+convs AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS t_conv, event_id AS conv_id
+  FROM events_us WHERE event_type = 'purchase'
+),
+j AS (
+  SELECT c.conv_id, t.touch_id, t.touch_type, t.t_touch
+  FROM convs c JOIN touches t
+    ON c.user_id = t.user_id
+   AND t.t_touch < c.t_conv
+   AND t.t_touch >= c.t_conv - {ATTR_WINDOW_US}
+),
+ranked AS (
+  SELECT conv_id, touch_id, touch_type,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t_touch, touch_id) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM j
+),
+credited AS (
+  SELECT touch_type, conv_id,
+         CASE WHEN n = 1 THEN {_CR_FULL}
+              WHEN n = 2 THEN {_CR_HALF}
+              WHEN rn = 1 OR rn = n THEN {_CR_EDGE}
+              ELSE {_CR_MID_POOL} // (n - 2) END AS credit_micro
+  FROM ranked
+)
+SELECT touch_type,
+       count(*) AS n_touches,
+       count(DISTINCT conv_id) AS n_conversions,
+       CAST(sum(credit_micro) AS BIGINT) AS credit_micro_total,
+       round(sum(credit_micro) / 1000000.0, 6) AS total_credit
+FROM credited
+GROUP BY touch_type
+"""
+
+QUERIES["attribution_u_shaped"] = attribution_u_shaped
+ORACLES["attribution_u_shaped"] = ATTRIBUTION_SQL
