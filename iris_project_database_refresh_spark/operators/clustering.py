@@ -176,3 +176,107 @@ KMEANS_SQL = _kmeans_sql()
 
 QUERIES["kmeans_embeddings"] = kmeans_embeddings
 ORACLES["kmeans_embeddings"] = KMEANS_SQL
+
+
+# ---------------------------------------------------------------------------
+# semantic_dedup — SemDeDup (Abbas et al. 2023, public): k-means the
+# embedding space, then look for near-duplicate pairs ONLY within each
+# cluster. The cluster restriction is the published scale device: the
+# candidate set shrinks from O(n²) to sum of per-cluster sizes squared,
+# and clusters are embarrassingly parallel. This composes the repo's
+# deterministic integer k-means (exactly engine-equal assignments, see
+# module docstring) with the 6dp-rounded cosine threshold device from
+# `dedup_embedding_lsh` (operators/embeddings.py:370) — so the oracle
+# reproduces the full pipeline, clusters included, not just the verify.
+#
+# Scale notes: the self-join key is the cluster id; a mega-cluster would
+# re-create the quadratic blowup, so production adds a cluster-size cap
+# (recluster oversized cells with a larger K — the IVF convention); at
+# sf the clusters are ~n/K so the join is bounded. Unit vectors are
+# pinned once (localCheckpoint) so norm lambdas don't re-inline into
+# the join condition (the CollapseProject hazard documented at
+# embeddings.py:370).
+
+SEMDEDUP_TAU = 0.4  # PAIR_TAU: same near-dup bar as the LSH/GEMM family
+
+
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)
+    cents = (
+        vecs.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KMEANS_K))
+        .select((F.col("vec_id") - CENTROID_BASE).alias("cid"), F.col("q").alias("c"))
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _update(_assign(vecs, cents), cents)
+    assigned = _assign(vecs, cents).select("vec_id", "cid")
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    nrm = F.sqrt(F.expr("aggregate(zip_with(v, v, (a, b) -> a * b), cast(0 as double), (acc, x) -> acc + x)"))
+    unit = (
+        emb.withColumn("nrm", nrm)
+        .join(assigned, "vec_id")
+        .select("vec_id", "cid", F.transform("v", lambda x: x / F.col("nrm")).alias("u"))
+        .localCheckpoint(eager=False)
+    )
+    a, b = unit.alias("a"), unit.alias("b")
+    cos = F.round(
+        F.expr(
+            "aggregate(zip_with(a.u, b.u, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+        ),
+        6,
+    )
+    return (
+        a.join(b, (F.col("a.cid") == F.col("b.cid")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .select(
+            F.col("a.cid").alias("cid"),
+            F.col("a.vec_id").alias("id_keep"),
+            F.col("b.vec_id").alias("id_drop"),
+            cos.alias("cosine"),
+        )
+        .where(F.col("cosine") >= SEMDEDUP_TAU)
+    )
+
+
+def _semantic_dedup_sql() -> str:
+    parts = [
+        f"""vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cid, q AS c FROM vecs
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for r in range(KMEANS_ITERS):
+        parts.append(_sql_assign("vecs", prev, f"a{r}").strip())
+        parts.append(_sql_update(f"a{r}", prev, f"c{r + 1}").strip())
+        prev = f"c{r + 1}"
+    parts.append(_sql_assign("vecs", prev, "afinal").strip())
+    parts.append(
+        """unit AS (
+  SELECT e.vec_id, a.cid, list_transform(e.embedding::DOUBLE[], x -> x / nrm) AS u
+  FROM (SELECT vec_id, embedding,
+               sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        FROM embeddings) e
+  JOIN afinal a USING (vec_id)
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT a.cid AS cid, a.vec_id AS id_keep, b.vec_id AS id_drop,
+       round(list_dot_product(a.u, b.u), 6) AS cosine
+FROM unit a JOIN unit b ON a.cid = b.cid AND a.vec_id < b.vec_id
+WHERE round(list_dot_product(a.u, b.u), 6) >= {SEMDEDUP_TAU}
+"""
+
+
+SEMDEDUP_SQL = _semantic_dedup_sql()
+
+QUERIES["semantic_dedup"] = semantic_dedup
+ORACLES["semantic_dedup"] = SEMDEDUP_SQL

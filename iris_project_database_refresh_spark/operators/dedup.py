@@ -1104,8 +1104,15 @@ def source_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact shingle Jaccard it approximates (the recall-eval pattern:
     the sketch and its ground truth in one result)."""
     docs = load_table(spark, sf_dir, "documents").select("source", "text")
-    hashed = docs.withColumn("th", F.expr(_TH_EXPR)).withColumn(
-        "hashes", F.expr(_SH32_EXPR)
+    # Pin the shingle ARRAYS before the explode: Generate inlines its
+    # child otherwise and re-hashes the document per emitted shingle —
+    # the O(rows x tokens) md5 storm documented at _with_hashes (this
+    # exact query measured 50 s -> 2 s at sf0.1 from this one pin).
+    hashed = (
+        docs.withColumn("th", F.expr(_TH_EXPR))
+        .withColumn("hashes", F.expr(_SH32_EXPR))
+        .select("source", "hashes")
+        .localCheckpoint(eager=False)
     )
     pairs_src = (
         hashed.select("source", F.explode("hashes").alias("shingle"))
@@ -1203,3 +1210,218 @@ JOIN sizes zb ON zb.source = e.src_b
 
 QUERIES["source_overlap_minhash"] = source_overlap_minhash
 ORACLES["source_overlap_minhash"] = SOURCE_OVERLAP_SQL
+
+
+# --- line-level boilerplate dedup (CCNet-style) ------------------------------
+#
+# CCNet (Wenzek et al. 2019, public) dedups at PARAGRAPH granularity:
+# hash each line, drop lines whose hash recurs across documents. The
+# reference dedups whole files (stage4 delete-then-append); this is the
+# finer-grained corpus-cleaning version an LLM pipeline runs. The
+# synthetic docs are single-line, so "lines" are planted as fixed
+# LINE_W-token windows (the house planted-structure pattern), which the
+# planted exact/near copies in `_corpus` genuinely duplicate.
+#
+# Line hashes follow the module's no-string rule: a positional
+# weighted sum of the per-token md5 hashes (weights < 2^20, tokens
+# < 2^32 -> products < 2^52, sums < 2^56: overflow-safe in both
+# engines, and order-independent summation keeps it engine-exact).
+#
+# Scale (100 TB): per-doc line hashing is narrow; the cross-doc count
+# is one (line_hash) aggregation with map-side combine — a universal
+# boilerplate line collapses into ONE row, never a pair join — and the
+# count rejoins on the hash key. No pair materialization anywhere.
+
+LINE_W = 15
+_LINE_MULT = [31, 961, 29791, 923521, 317599, 408385, 77023, 290561,
+              618783, 307905, 107871, 198273, 903583, 748097, 122335]
+
+_LINE_TERMS = " + ".join(
+    f"coalesce(try_element_at(th, CAST(i * {LINE_W} + {j} AS INT)), 0L) * {m}L"
+    for j, m in enumerate(_LINE_MULT, start=1)
+)
+_LINES_EXPR = f"""
+transform(sequence(0, cast(ceil(size(th) / {float(LINE_W)}) as int) - 1),
+          i -> ({_LINE_TERMS}) % {_M32})
+"""
+
+_LINE_TERMS_SQL = " + ".join(
+    f"coalesce(th[i * {LINE_W} + {j}], 0) * {m}" for j, m in enumerate(_LINE_MULT, start=1)
+)
+_LINES_SQL = f"""
+list_transform(generate_series(0, CAST(ceil(len(th) / {float(LINE_W)}) AS INT) - 1),
+               i -> ({_LINE_TERMS_SQL}) % {_M32})
+"""
+
+
+def dedup_lines(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc boilerplate-line statistics: lines whose hash occurs in
+    at least one OTHER document are duplicated lines; dup share in
+    integer basis points."""
+    # line-hash ARRAYS pinned before the explode (the Generate-inlining
+    # md5-storm hazard documented at _with_hashes)
+    arrays = (
+        _corpus(spark, sf_dir)
+        .withColumn("th", F.expr(_TH_EXPR))
+        .select("doc_id", F.expr(_LINES_EXPR).alias("lhs"))
+        .localCheckpoint(eager=False)
+    )
+    lines = arrays.select("doc_id", F.posexplode("lhs").alias("line_idx", "lh"))
+    counts = lines.groupBy("lh").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        lines.join(counts, "lh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("dup_lines"),
+        )
+        .select(
+            "doc_id",
+            "n_lines",
+            "dup_lines",
+            F.expr("dup_lines * 10000 div n_lines").alias("dup_bp"),
+        )
+    )
+
+
+DEDUP_LINES_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+th_t AS (
+  SELECT doc_id, {_TH_SQL} AS th FROM corpus
+),
+lines AS (
+  SELECT doc_id, unnest({_LINES_SQL.strip()}) AS lh FROM th_t
+),
+counts AS (
+  SELECT lh, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY lh
+)
+SELECT doc_id,
+       count(*) AS n_lines,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_lines,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) * 10000
+           // count(*) AS dup_bp
+FROM lines JOIN counts USING (lh)
+GROUP BY doc_id
+"""
+
+QUERIES["dedup_lines"] = dedup_lines
+ORACLES["dedup_lines"] = DEDUP_LINES_SQL
+
+
+# --- content-defined chunk dedup (FastCDC-style) -----------------------------
+#
+# The shift-robust companion to `dedup_lines`: fixed windows break when
+# a prefix insertion shifts every later line, content-defined chunking
+# (the rolling-hash boundary device of LBFS/FastCDC, public) re-syncs
+# because boundaries depend on content, not position. Boundary rule:
+# token i ends a chunk when its md5 hash % CDC_DIV == 0 (expected chunk
+# length = CDC_DIV tokens). Chunk hash = positionally-weighted sum of
+# the chunk's token hashes relative to the chunk start (weight < 2^9
+# cap via modular cycling of _LINE_MULT, products < 2^52 — overflow
+# safe both engines).
+#
+# Scale: identical shape to dedup_lines — narrow chunking, one
+# (chunk_hash) count aggregation, hash-key rejoin. No pair join.
+
+CDC_DIV = 16  # expected chunk length in tokens
+
+
+def _cdc_chunks_exprs():
+    # boundaries: 0, every i with th[i] % DIV == 0, and len(th)
+    spark_bounds = (
+        f"concat(array(0), filter(sequence(1, size(th)), i -> element_at(th, i) % {CDC_DIV} = 0"
+        f" AND i < size(th)), array(size(th)))"
+    )
+    mults = ", ".join(str(m) for m in _LINE_MULT)
+    spark_chunks = f"""
+transform(sequence(1, size(b) - 1), k ->
+  struct(
+    element_at(b, CAST(k + 1 AS INT)) - element_at(b, k) AS clen,
+    aggregate(sequence(element_at(b, k) + 1, element_at(b, CAST(k + 1 AS INT))),
+              0L,
+              (acc, j) -> acc + element_at(th, CAST(j AS INT))
+                  * element_at(array({mults}), CAST((j - element_at(b, k) - 1) % {len(_LINE_MULT)} + 1 AS INT)),
+              acc -> acc % {_M32}) AS chash))
+"""
+    sql_bounds = (
+        f"list_concat([0], list_concat(list_filter(generate_series(1, len(th)),"
+        f" i -> th[i] % {CDC_DIV} = 0 AND i < len(th)), [len(th)]))"
+    )
+    sql_chunks = f"""
+list_transform(generate_series(1, len(b) - 1), k ->
+  struct_pack(
+    clen := b[k + 1] - b[k],
+    chash := list_sum(list_transform(generate_series(b[k] + 1, b[k + 1]),
+                j -> th[j] * ([{mults}])[(j - b[k] - 1) % {len(_LINE_MULT)} + 1])) % {_M32}))
+"""
+    return spark_bounds, spark_chunks, sql_bounds, sql_chunks
+
+
+_CDC_SPARK_BOUNDS, _CDC_SPARK_CHUNKS, _CDC_SQL_BOUNDS, _CDC_SQL_CHUNKS = _cdc_chunks_exprs()
+
+
+def dedup_cdc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc content-defined-chunk dedup statistics: chunks whose
+    hash recurs in another document, plus total/duplicated token
+    coverage (the byte-savings a CDC dedup store would realize)."""
+    # chunk-struct ARRAYS pinned before the explode (the
+    # Generate-inlining md5-storm hazard documented at _with_hashes)
+    arrays = (
+        _corpus(spark, sf_dir)
+        .withColumn("th", F.expr(_TH_EXPR))
+        .where(F.size("th") > 0)
+        .withColumn("b", F.expr(_CDC_SPARK_BOUNDS))
+        .select("doc_id", F.expr(_CDC_SPARK_CHUNKS).alias("cs"))
+        .localCheckpoint(eager=False)
+    )
+    chunks = arrays.select("doc_id", F.explode("cs").alias("c")).select(
+        "doc_id", F.col("c.clen").alias("clen"), F.col("c.chash").alias("chash")
+    )
+    counts = chunks.groupBy("chash").agg(F.count_distinct("doc_id").alias("n_docs"))
+    return (
+        chunks.join(counts, "chash")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_chunks"),
+            F.sum("clen").alias("n_tokens"),
+            F.sum((F.col("n_docs") >= 2).cast("bigint")).alias("dup_chunks"),
+            F.sum(F.when(F.col("n_docs") >= 2, F.col("clen")).otherwise(F.lit(0))).alias("dup_tokens"),
+        )
+        .select(
+            "doc_id",
+            "n_chunks",
+            "n_tokens",
+            "dup_chunks",
+            "dup_tokens",
+            F.expr("dup_tokens * 10000 div n_tokens").alias("dup_token_bp"),
+        )
+    )
+
+
+DEDUP_CDC_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+th_t AS (
+  SELECT doc_id, {_TH_SQL} AS th FROM corpus
+),
+bounded AS (
+  SELECT doc_id, th, {_CDC_SQL_BOUNDS} AS b FROM th_t WHERE len(th) > 0
+),
+chunks AS (
+  SELECT doc_id, unnest({_CDC_SQL_CHUNKS.strip()}, recursive := true) FROM bounded
+),
+counts AS (
+  SELECT chash, count(DISTINCT doc_id) AS n_docs FROM chunks GROUP BY chash
+)
+SELECT doc_id,
+       count(*) AS n_chunks,
+       CAST(sum(clen) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS dup_chunks,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) AS BIGINT) AS dup_tokens,
+       CAST(sum(CASE WHEN n_docs >= 2 THEN clen ELSE 0 END) AS BIGINT) * 10000
+           // CAST(sum(clen) AS BIGINT) AS dup_token_bp
+FROM chunks JOIN counts USING (chash)
+GROUP BY doc_id
+"""
+
+QUERIES["dedup_cdc_chunks"] = dedup_cdc_chunks
+ORACLES["dedup_cdc_chunks"] = DEDUP_CDC_SQL

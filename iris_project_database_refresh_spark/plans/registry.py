@@ -59,6 +59,7 @@ def _load() -> None:
     )
     from ..streaming import dedup as streaming_dedup
     from ..streaming import enrich as streaming_enrich
+    from ..streaming import joins as streaming_joins
     from ..streaming import pipeline as streaming_pipeline
 
     for module in (
@@ -93,6 +94,7 @@ def _load() -> None:
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,
+        streaming_joins,
     ):
         _register(module)
 
@@ -103,6 +105,14 @@ def _load() -> None:
 # onto the unchecked surface.  Newly added queries belong here too — they
 # are by definition unchecked.
 _DRIVER_PRIORITY = [
+    # round-2 hash-only failures, re-verified after the oracle cast fix —
+    # these are the only red rows, so they go first:
+    "q12_late_lines", "section_hierarchy",
+    # round-3 additions — never driver-checked by definition:
+    "monitor_llm_costs", "embed_batch_log", "quality_gopher_rules",
+    "source_overlap_minhash", "events_anomaly_mad", "attribution_u_shaped",
+    "events_view_purchase_join", "semantic_dedup", "dedup_lines",
+    "dedup_cdc_chunks",
     "chunk_validate", "dedup_components", "dedup_keep_best",
     "dedup_substring_stats", "dedup_incremental", "doc_decontaminate",
     "dedup_bloom_prefilter", "dedup_embedding_lsh", "fuzzy_match_names",
@@ -121,10 +131,6 @@ _DRIVER_PRIORITY = [
     "approx_distinct_kmv", "approx_distinct_hll", "heavy_hitters_cms",
     "stratified_sample", "weighted_sample_priority", "events_dedup",
     "events_enriched_agg",
-    # round-2 hash-only failures, re-verified after the oracle cast fix:
-    "q12_late_lines", "section_hierarchy",
-    # round-3 additions — never driver-checked by definition:
-    "monitor_llm_costs", "embed_batch_log",
 ]
 
 

@@ -39,3 +39,20 @@ def test_kmeans_training_reduces_inertia(spark):
         r.inertia for r in clustering.kmeans_embeddings(spark, SF_CORRECT).collect()
     )
     assert trained <= inertia0
+
+
+def test_semantic_dedup_pairs_are_exact_pairs(spark):
+    """Cluster restriction may only REMOVE pairs: every semantic_dedup
+    pair must appear in the exact all-pairs result at the same tau,
+    with the same cosine."""
+    from iris_project_database_refresh_spark.operators.embeddings import similarity_pairs
+
+    sem = {
+        (r.id_keep, r.id_drop, r.cosine)
+        for r in clustering.semantic_dedup(spark, SF_CORRECT).collect()
+    }
+    exact = {
+        (r.id_a, r.id_b, r.cosine) for r in similarity_pairs(spark, SF_CORRECT).collect()
+    }
+    assert sem, "no within-cluster near-dup pairs found"
+    assert sem <= exact

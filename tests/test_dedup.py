@@ -62,3 +62,24 @@ def test_bloom_prefilter_catches_every_true_dup(spark):
     # planted exact copies: doc_id % 7 == 0 over 500 docs = 72
     assert row.n_true_dup == 72
     assert row.n_false_positive <= row.n_incoming * 0.1
+
+
+def test_dedup_lines_flags_planted_copies(spark):
+    rows = {r.doc_id: r for r in dedup.dedup_lines(spark, SF_CORRECT).collect()}
+    # exact planted copies (doc_id+100000) share EVERY line with their original
+    exact = [r for d, r in rows.items() if d >= 100000 and d < 200000]
+    assert exact and all(r.dup_bp == 10000 for r in exact)
+    # originals of exact copies are flagged symmetrically
+    assert all(rows[d - 100000].dup_bp == 10000 for d in rows if 100000 <= d < 200000)
+
+
+def test_cdc_chunks_resync_on_near_copies(spark):
+    rows = {r.doc_id: r for r in dedup.dedup_cdc_chunks(spark, SF_CORRECT).collect()}
+    exact = [r for d, r in rows.items() if 100000 <= d < 200000]
+    assert exact and all(r.dup_token_bp == 10000 for r in exact)
+    # content-defined boundaries re-sync on the 90%-prefix near copies:
+    # the shared prefix produces shared chunks for the large majority
+    near = [r for d, r in rows.items() if d >= 200000]
+    assert near
+    flagged = sum(1 for r in near if r.dup_tokens > 0)
+    assert flagged >= int(0.9 * len(near)), f"{flagged}/{len(near)}"

@@ -3,15 +3,16 @@ from __future__ import annotations
 import pytest
 
 from iris_project_database_refresh_spark.operators import multimodal
+from iris_project_database_refresh_spark.streaming import joins as sj
 from iris_project_database_refresh_spark.streaming import pipeline as sp
 
 from .conftest import SF_CORRECT, assert_matches_oracle
 
 
-@pytest.mark.parametrize("name", sorted({**multimodal.QUERIES, **sp.QUERIES}))
+@pytest.mark.parametrize("name", sorted({**multimodal.QUERIES, **sp.QUERIES, **sj.QUERIES}))
 def test_matches_oracle(spark, oracle, name):
-    merged_q = {**multimodal.QUERIES, **sp.QUERIES}
-    merged_o = {**multimodal.ORACLES, **sp.ORACLES}
+    merged_q = {**multimodal.QUERIES, **sp.QUERIES, **sj.QUERIES}
+    merged_o = {**multimodal.ORACLES, **sp.ORACLES, **sj.ORACLES}
     assert_matches_oracle(merged_q[name](spark, SF_CORRECT), oracle, merged_o[name])
 
 
@@ -113,6 +114,15 @@ def test_streaming_dedup_matches_batch(spark):
     want = events_dedup(spark, SF_CORRECT)
     assert got.count() == want.count()
     key = lambda r: (r.event_id,)  # noqa: E731
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_stream_stream_join_equals_batch(spark):
+    """The watermarked stream-stream interval join must produce exactly
+    the batch join's pairs once the directory is drained (watermark
+    eviction may not drop any legitimate match)."""
+    got = sj.run_join_available_now(spark, SF_CORRECT, table="vp_join_test")
+    want = sj.events_view_purchase_join(spark, SF_CORRECT)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
 
 
