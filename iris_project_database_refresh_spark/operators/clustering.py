@@ -280,3 +280,127 @@ SEMDEDUP_SQL = _semantic_dedup_sql()
 
 QUERIES["semantic_dedup"] = semantic_dedup
 ORACLES["semantic_dedup"] = SEMDEDUP_SQL
+
+
+# ---------------------------------------------------------------------------
+# embed_pca_power — dominant principal direction of the embedding cloud
+# via the power method (the whitening/compression primitive an embedding
+# pipeline runs before PQ/IVF; stage_04 produces the vectors this would
+# post-process).
+#
+# Why it needs the house integer devices: the power method is an
+# iterative FLOAT algorithm (y = Gx; x = y/||y||), and float summation
+# order differs across engines. Same treatment as PageRank/k-means:
+#
+# * vectors quantize once to integers (QSCALE, identical bits);
+# * the Gram matrix uses the MEAN outer product with floor division
+#   (g_ij = sum(q_i q_j) div n) so entries are bounded ~QSCALE^2
+#   REGARDLESS of corpus size — no overflow at any scale factor, and
+#   the 64x64 result is a broadcast constant;
+# * per-round renormalization maps y to +/-[0, 2^10] exactly:
+#   x = sign(y) * ((abs(y) * 1024) div max_abs(y)) — abs() keeps the
+#   floor division on non-negative integers, where Spark's `div` and
+#   DuckDB's `//` agree (they differ on negatives: trunc vs floor).
+#
+# Scale: the (i, j) partial-sum shuffle is 64^2 cells with map-side
+# combine (the same shape as the k-means update); everything after the
+# Gram matrix is work on a 4096-row table, independent of corpus size.
+# The outer-product fan-out rides a pinned array (the pre-explode
+# localCheckpoint device) so quantization runs once per vector.
+
+PCA_ITERS = 3
+PCA_NORM = 1024  # renormalization target after each round
+
+
+def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)
+    n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
+    outer = (
+        vecs.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
+        .select("i", "qi", F.posexplode("q").alias("j", "qj"))
+        .groupBy("i", "j")
+        .agg(F.sum(F.col("qi") * F.col("qj")).alias("s"))
+    )
+    return outer.crossJoin(F.broadcast(n)).select("i", "j", F.expr("s div n").alias("g"))
+
+
+def _power_round(gram: DataFrame, x: DataFrame) -> DataFrame:
+    """One power-method round on the 64x64 integer Gram table."""
+    y = (
+        gram.join(x.withColumnRenamed("w", "xj"), gram["j"] == x["pos"])
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("xj")).alias("y"))
+    )
+    m = y.groupBy().agg(F.max(F.abs(F.col("y"))).alias("m"))
+    return y.crossJoin(F.broadcast(m)).select(
+        F.col("i").alias("pos"),
+        F.expr(f"sign(y) * ((abs(y) * {PCA_NORM}) div m)").cast("bigint").alias("w"),
+    )
+
+
+def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = _gram(spark, sf_dir).localCheckpoint(eager=False)  # reused per round
+    x = gram.where((F.col("i") == 0)).select("j", F.lit(1).cast("bigint").alias("w")).select(
+        F.col("j").alias("pos"), "w"
+    )
+    for _ in range(PCA_ITERS):
+        x = _power_round(gram, x)
+    # Rayleigh quotient as an exact integer pair: lam_num = x'Gx,
+    # lam_den = x'x — the dominant-eigenvalue estimate without a
+    # cross-engine float division.
+    xgx = (
+        gram.join(x.select(F.col("pos").alias("i"), F.col("w").alias("xi")), "i")
+        .join(x.select(F.col("pos").alias("j"), F.col("w").alias("xj")), "j")
+        .groupBy()
+        .agg(F.sum(F.col("g") * F.col("xi") * F.col("xj")).alias("lam_num"))
+    )
+    xx = x.groupBy().agg(F.sum(F.col("w") * F.col("w")).alias("lam_den"))
+    return x.crossJoin(F.broadcast(xgx)).crossJoin(F.broadcast(xx))
+
+
+def _pca_sql() -> str:
+    rounds = []
+    prev = "x0"
+    for r in range(PCA_ITERS):
+        rounds.append(
+            f"""y{r} AS (
+  SELECT g.i, sum(g.g * x.w) AS y FROM gram g JOIN {prev} x ON g.j = x.pos GROUP BY g.i
+),
+m{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+x{r + 1} AS (
+  SELECT i AS pos, CAST(sign(y) * ((abs(y) * {PCA_NORM}) // m) AS BIGINT) AS w
+  FROM y{r}, m{r}
+)"""
+        )
+        prev = f"x{r + 1}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+outer_p AS (
+  SELECT i.i, j.j, sum(v.q[i.i + 1] * v.q[j.j + 1]) AS s
+  FROM vecs v,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS i) i,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS j) j
+  GROUP BY i.i, j.j
+),
+n_t AS (SELECT count(*) AS n FROM vecs),
+gram AS (SELECT i, j, s // n AS g FROM outer_p, n_t),
+x0 AS (SELECT j AS pos, CAST(1 AS BIGINT) AS w FROM gram WHERE i = 0),
+{body},
+lam AS (
+  SELECT sum(g.g * xi.w * xj.w) AS lam_num
+  FROM gram g JOIN {prev} xi ON g.i = xi.pos JOIN {prev} xj ON g.j = xj.pos
+),
+den AS (SELECT sum(w * w) AS lam_den FROM {prev})
+SELECT pos, w, lam_num, CAST(lam_den AS BIGINT) AS lam_den FROM {prev}, lam, den
+"""
+
+
+PCA_SQL = _pca_sql()
+
+QUERIES["embed_pca_power"] = embed_pca_power
+ORACLES["embed_pca_power"] = PCA_SQL

@@ -202,3 +202,67 @@ ORACLES = {
     "strip_page_tags": STRIP_TAGS_SQL,
     "force_split_sentences": FORCE_SPLIT_SQL,
 }
+
+
+# --- text_normalize ----------------------------------------------------------
+#
+# Whitespace/control normalization — the C4-style cleanup (Raffel et
+# al. 2020, public) every corpus ingest runs before tokenization, and
+# the generalization of the reference's own cleanup passes
+# (`stage_04_embedding_generation.py:406` remove_html_tags ends with
+# exactly this collapse-and-trim; the docx/excel prep pipelines emit
+# tab/CR-ridden text this pass repairs). Dirt is PLANTED in-query (the
+# house pattern): leading tabs, doubled spaces for even doc_ids, a
+# trailing space-CR tail — so normalization provably restores the
+# original text bit-for-bit (`restored` == 1 for every row, tested).
+#
+# Scale: pure per-row regexp_replace chain — zero shuffle, zero
+# Python, scan-rate at 100 TB.
+
+def _dirty(docs: DataFrame) -> Column:
+    doubled = F.when(F.col("doc_id") % 2 == 0, F.regexp_replace("text", " ", "  ")).otherwise(
+        F.col("text")
+    )
+    return F.concat(F.lit("\t\t"), doubled, F.lit(" \r "))
+
+
+def text_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    raw = _dirty(docs)
+    clean = F.trim(
+        F.regexp_replace(F.regexp_replace(raw, "[\\t\\r]", " "), " {2,}", " ")
+    )
+    return docs.select(
+        "doc_id",
+        F.length(raw).cast("bigint").alias("n_raw"),
+        F.length(clean).cast("bigint").alias("n_clean"),
+        (F.length(raw) - F.length(clean)).cast("bigint").alias("n_removed"),
+        (clean == F.col("text")).cast("int").alias("restored"),
+        F.md5(clean).alias("clean_hash"),
+    )
+
+
+TEXT_NORMALIZE_SQL = r"""
+WITH dirty AS (
+  SELECT doc_id, text,
+         chr(9) || chr(9) ||
+         CASE WHEN doc_id % 2 = 0 THEN replace(text, ' ', '  ') ELSE text END
+         || ' ' || chr(13) || ' ' AS raw
+  FROM documents
+),
+cleaned AS (
+  SELECT doc_id, text, raw,
+         trim(regexp_replace(regexp_replace(raw, '[\t\r]', ' ', 'g'), ' {2,}', ' ', 'g')) AS clean
+  FROM dirty
+)
+SELECT doc_id,
+       CAST(length(raw) AS BIGINT) AS n_raw,
+       CAST(length(clean) AS BIGINT) AS n_clean,
+       CAST(length(raw) - length(clean) AS BIGINT) AS n_removed,
+       CAST(clean = text AS INT) AS restored,
+       md5(clean) AS clean_hash
+FROM cleaned
+"""
+
+QUERIES["text_normalize"] = text_normalize
+ORACLES["text_normalize"] = TEXT_NORMALIZE_SQL

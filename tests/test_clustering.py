@@ -56,3 +56,16 @@ def test_semantic_dedup_pairs_are_exact_pairs(spark):
     }
     assert sem, "no within-cluster near-dup pairs found"
     assert sem <= exact
+
+
+def test_pca_rayleigh_dominates_average_eigenvalue(spark):
+    """The power-method direction must score at least the average
+    eigenvalue: x'Gx/x'x >= trace(G)/64 (exact-integer comparison)."""
+    rows = clustering.embed_pca_power(spark, SF_CORRECT).collect()
+    assert len(rows) == clustering.DIM
+    lam_num, lam_den = rows[0].lam_num, rows[0].lam_den
+    gram = {
+        (r.i, r.j): r.g for r in clustering._gram(spark, SF_CORRECT).collect()
+    }
+    trace = sum(gram[(d, d)] for d in range(clustering.DIM))
+    assert lam_num * clustering.DIM >= trace * lam_den
