@@ -516,3 +516,115 @@ FROM base
 
 QUERIES["quality_gopher_rules"] = quality_gopher_rules
 ORACLES["quality_gopher_rules"] = GOPHER_SQL
+
+
+# --- dataset_card_stats ------------------------------------------------------
+#
+# The per-source "dataset card" a training-data pipeline publishes with
+# every corpus release (datasheet/data-statement practice, public):
+# volume (docs, tokens, chars), exact-duplication rate, language
+# breakdown (dominant language + its share), and a quality pass rate
+# (the Gopher word-count band reused from quality_gopher_rules). The
+# reference's stage5 validation emits exactly this shape per
+# document_source (`stage5_output_final_csv.py` validate_csv_data +
+# record counts); this is its corpus-statistics generalization.
+#
+# Scale: one scan; per-(source, lang) partials collapse into per-source
+# rows (two bounded aggregations with map-side combine); the dominant
+# language is max(struct(count, lang)) over the bounded per-source-lang
+# table — deterministic, no window over the corpus. Distinct-text
+# counting reuses the md5 fingerprint (the 100 TB path swaps in
+# approx_count_distinct, as table_profile documents).
+
+def dataset_card_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "source",
+        "lang",
+        F.size(toks).cast("bigint").alias("n_words"),
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.md5("text").alias("fp"),
+    )
+    per_lang = base.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n_docs_lang"))
+    lang_top = (
+        per_lang.groupBy("source")
+        .agg(
+            F.max(F.struct(F.col("n_docs_lang"), F.col("lang"))).alias("top"),
+            F.count(F.lit(1)).alias("n_langs"),
+        )
+        .select(
+            "source",
+            F.col("top.lang").alias("top_lang"),
+            F.col("top.n_docs_lang").alias("top_lang_docs"),
+            "n_langs",
+        )
+    )
+    per_source = base.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_tokens"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.count_distinct("fp").alias("n_unique_docs"),
+        F.sum(
+            ((F.col("n_words") >= 50) & (F.col("n_words") <= 100000)).cast("bigint")
+        ).alias("n_quality_pass"),
+    )
+    return (
+        per_source.join(lang_top, "source")
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            "sum_chars",
+            F.expr("n_tokens div n_docs").alias("mean_tokens"),
+            F.expr("(n_docs - n_unique_docs) * 10000 div n_docs").alias("dup_bp"),
+            "top_lang",
+            F.expr("top_lang_docs * 10000 div n_docs").alias("top_lang_bp"),
+            "n_langs",
+            F.expr("n_quality_pass * 10000 div n_docs").alias("quality_bp"),
+        )
+    )
+
+
+DATASET_CARD_SQL = """
+WITH base AS (
+  SELECT source, lang,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS n_words,
+         CAST(n_chars AS BIGINT) AS n_chars,
+         md5(text) AS fp
+  FROM documents
+),
+per_lang AS (
+  SELECT source, lang, count(*) AS n_docs_lang FROM base GROUP BY source, lang
+),
+lang_top AS (
+  SELECT source,
+         (max(struct_pack(n_docs_lang := n_docs_lang, lang := lang))).lang AS top_lang,
+         (max(struct_pack(n_docs_lang := n_docs_lang, lang := lang))).n_docs_lang AS top_lang_docs,
+         count(*) AS n_langs
+  FROM per_lang GROUP BY source
+),
+per_source AS (
+  SELECT source,
+         count(*) AS n_docs,
+         sum(n_words) AS n_tokens,
+         sum(n_chars) AS sum_chars,
+         count(DISTINCT fp) AS n_unique_docs,
+         sum(CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END) AS n_quality_pass
+  FROM base GROUP BY source
+)
+SELECT s.source,
+       s.n_docs,
+       CAST(s.n_tokens AS BIGINT) AS n_tokens,
+       CAST(s.sum_chars AS BIGINT) AS sum_chars,
+       CAST(s.n_tokens // s.n_docs AS BIGINT) AS mean_tokens,
+       CAST((s.n_docs - s.n_unique_docs) * 10000 // s.n_docs AS BIGINT) AS dup_bp,
+       l.top_lang,
+       CAST(l.top_lang_docs * 10000 // s.n_docs AS BIGINT) AS top_lang_bp,
+       CAST(l.n_langs AS BIGINT) AS n_langs,
+       CAST(s.n_quality_pass * 10000 // s.n_docs AS BIGINT) AS quality_bp
+FROM per_source s JOIN lang_top l USING (source)
+"""
+
+QUERIES["dataset_card_stats"] = dataset_card_stats
+ORACLES["dataset_card_stats"] = DATASET_CARD_SQL
