@@ -449,3 +449,151 @@ WHERE round(list_dot_product(a.u, b.u), 6) >= {PAIR_TAU}
 
 QUERIES["dedup_embedding_lsh"] = dedup_embedding_lsh
 ORACLES["dedup_embedding_lsh"] = DEDUP_EMB_LSH_SQL
+
+
+# --- contrastive_pairs — hard-negative/positive mining ------------------------
+#
+# Contrastive-training data prep (SimCLR/DPR practice, public): for
+# each anchor vector, the HARD NEGATIVE is the most-similar vector with
+# a DIFFERENT label (the confusable impostor worth training against)
+# and the hard positive is the most-similar same-label vector. The
+# embeddings table's integer `label` column drives the split.
+#
+# Scale: identical shape to knn_brute_force — anchors broadcast (k x d
+# doubles), the corpus streams once, per-anchor argmaxes are
+# conditional max(struct) aggregates (map-side combine), no window over
+# the corpus. Ranking keys use the 6dp-rounded cosine with vec_id
+# tie-break, so argmaxes are engine-deterministic.
+
+def contrastive_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+    )
+    scored = emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id")).select(
+        "anchor_id",
+        "anchor_label",
+        "vec_id",
+        "label",
+        F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias("cosine"),
+    )
+    same = F.col("label") == F.col("anchor_label")
+    pick = lambda cond: F.max(F.when(cond, F.struct("cosine", "vec_id")))  # noqa: E731
+    return (
+        scored.groupBy("anchor_id", "anchor_label")
+        .agg(
+            pick(same).alias("pos"),
+            pick(~same).alias("neg"),
+        )
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("pos.vec_id").alias("hard_positive_id"),
+            F.col("pos.cosine").alias("positive_cosine"),
+            F.col("neg.vec_id").alias("hard_negative_id"),
+            F.col("neg.cosine").alias("negative_cosine"),
+            # margin in 1e-6 units: each cosine floors to integer
+            # micros FIRST (0.5-offset floor, the house device), then
+            # the subtraction is exact — a double (pos-neg)*1e6 cast
+            # diverges because Spark truncates where DuckDB rounds
+            (
+                F.floor(F.col("pos.cosine") * 1000000 + F.lit(0.5))
+                - F.floor(F.col("neg.cosine") * 1000000 + F.lit(0.5))
+            ).cast("bigint").alias("margin_micro"),
+        )
+    )
+
+
+CONTRASTIVE_SQL = f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+), a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT anchor_id, anchor_label, n.vec_id, n.label,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+  FROM a JOIN n ON n.vec_id <> a.anchor_id
+)
+SELECT anchor_id, anchor_label,
+       (max(CASE WHEN label = anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).vec_id AS hard_positive_id,
+       (max(CASE WHEN label = anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).cosine AS positive_cosine,
+       (max(CASE WHEN label <> anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).vec_id AS hard_negative_id,
+       (max(CASE WHEN label <> anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).cosine AS negative_cosine,
+       CAST(floor((max(CASE WHEN label = anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).cosine * 1000000 + 0.5)
+          - floor((max(CASE WHEN label <> anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).cosine * 1000000 + 0.5) AS BIGINT) AS margin_micro
+FROM scored
+GROUP BY anchor_id, anchor_label
+"""
+
+QUERIES["contrastive_pairs"] = contrastive_pairs
+ORACLES["contrastive_pairs"] = CONTRASTIVE_SQL
+
+
+# --- embed_drift_stats — snapshot drift monitor -------------------------------
+#
+# The refresh-cycle health check: after a re-embedding run (stage_04
+# regenerates vectors when the model or content changes), compare the
+# new snapshot's per-dimension distribution against the previous one
+# and alarm on drift. Snapshots are planted as the vec_id parity split
+# (house pattern). All statistics use the QSCALE-quantized integers
+# with floor division, so means and drifts are exact engine-equal
+# integers — no float mean to disagree on.
+#
+# Scale: one scan, posexplode to (dim, value) partials, two bounded
+# 64-row aggregations — the same (key, dim) partial-sum shape as the
+# k-means update. Map-side combine does the heavy lifting.
+
+DRIFT_QSCALE = 1000
+
+
+def embed_drift_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {DRIFT_QSCALE} + 0.5d) as bigint))"
+        ).alias("q"),
+    )
+    per_dim = (
+        emb.select((F.col("vec_id") % 2).alias("snap"), F.posexplode("q").alias("dim", "v"))
+        .groupBy("snap", "dim")
+        .agg(F.sum("v").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("snap", "dim", F.expr("s div n").alias("mean_q"))
+    )
+    prev = per_dim.where(F.col("snap") == 0).select("dim", F.col("mean_q").alias("mean_prev"))
+    cur = per_dim.where(F.col("snap") == 1).select("dim", F.col("mean_q").alias("mean_cur"))
+    return prev.join(cur, "dim").select(
+        "dim",
+        "mean_prev",
+        "mean_cur",
+        F.abs(F.col("mean_cur") - F.col("mean_prev")).alias("drift_abs"),
+        (F.abs(F.col("mean_cur") - F.col("mean_prev")) >= 5).cast("int").alias("drift_alarm"),
+    )
+
+
+EMBED_DRIFT_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {DRIFT_QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT vec_id % 2 AS snap, d.dim, sum(q.q[d.dim + 1]) // count(*) AS mean_q
+  FROM q, (SELECT unnest(generate_series(0, 63)) AS dim) d
+  GROUP BY 1, 2
+)
+SELECT p.dim, p.mean_q AS mean_prev, c.mean_q AS mean_cur,
+       abs(c.mean_q - p.mean_q) AS drift_abs,
+       CAST(abs(c.mean_q - p.mean_q) >= 5 AS INT) AS drift_alarm
+FROM per_dim p JOIN per_dim c ON p.dim = c.dim AND p.snap = 0 AND c.snap = 1
+"""
+
+QUERIES["embed_drift_stats"] = embed_drift_stats
+ORACLES["embed_drift_stats"] = EMBED_DRIFT_SQL
