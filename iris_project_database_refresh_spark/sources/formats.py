@@ -28,3 +28,16 @@ def write_jsonl(df: DataFrame, path: str) -> None:
 
 def read_jsonl(spark: SparkSession, path: str, schema) -> DataFrame:
     return spark.read.schema(schema).json(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC interchange — the columnar alternative to parquet that ships
+    in Spark's builtin catalog (no external package). Same pushdown and
+    column-pruning behavior; useful when the downstream warehouse is
+    Hive/Trino-flavored."""
+    df.write.mode("overwrite").orc(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    # ORC files embed their schema; no pinning needed on re-read.
+    return spark.read.orc(path)

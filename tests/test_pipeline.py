@@ -80,6 +80,26 @@ def test_csv_json_roundtrip(spark, tmp_path):
     assert back_json.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
 
 
+def test_orc_roundtrip_with_pushdown(spark, tmp_path):
+    from iris_project_database_refresh_spark.sources.formats import read_orc, write_orc
+
+    df = load_table(spark, SF_CORRECT, "customer").select(
+        "c_custkey", "c_name", "c_acctbal", "c_mktsegment"
+    )
+    path = str(tmp_path / "c.orc")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert back.schema == df.schema
+    assert back.count() == df.count()
+    want = df.agg(F.round(F.sum("c_acctbal"), 2)).first()[0]
+    assert back.agg(F.round(F.sum("c_acctbal"), 2)).first()[0] == want
+    # predicate pushdown reaches the ORC scan, as with parquet
+    plan = (
+        back.where(F.col("c_custkey") == 42)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "PushedFilters: [" in plan and "c_custkey" in plan.split("PushedFilters")[1][:120]
+
+
 def test_registry_is_complete():
     """A broken transitive import must not silently shrink the
     correctness surface: every expected query name is registered and
