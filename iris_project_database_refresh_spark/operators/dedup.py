@@ -1425,3 +1425,153 @@ GROUP BY doc_id
 
 QUERIES["dedup_cdc_chunks"] = dedup_cdc_chunks
 ORACLES["dedup_cdc_chunks"] = DEDUP_CDC_SQL
+
+
+# --- dedup_recall_eval — the dedup counterpart of ann_recall_eval -------------
+#
+# The measurement a dedup deployment runs before trusting banded LSH:
+# how many of the TRUE near-dup pairs does the banded candidate stage
+# recover? Apples-to-apples on one metric: both the ground truth and
+# the LSH signatures are built from the SAME DF-capped shingle
+# representation (`dedup_ngram_jaccard` semantics), so the only
+# difference between the two pipelines is the banding approximation
+# being measured. Signatures come straight off the exploded (doc,
+# shingle) rows as 16 grouped mins — no per-doc arrays needed — and a
+# truth pair counts as found when any band bucket contains both docs.
+#
+# Scale: the truth side is the existing DF-cap-bounded inverted-index
+# join; the LSH side adds one (band_idx, band_key) bucket join over
+# BANDS rows per doc. The final correlation is a left join on the
+# bounded truth-pair set. Summary counts ride along as a 1-row
+# broadcast so recall is readable off any row.
+
+def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    exploded = (
+        _with_hashes(_corpus(spark, sf_dir))
+        .select("doc_id", F.explode("hashes").alias("shingle"))
+    )
+    frequent = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    from pyspark.sql import Window
+
+    kept = (
+        exploded.join(F.broadcast(frequent), "shingle", "left_anti")
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .localCheckpoint(eager=False)  # truth join + signature aggs share it
+    )
+    a, b = kept.alias("a"), kept.alias("b")
+    jac = F.col("n_inter") / (F.col("n_a") + F.col("n_b") - F.col("n_inter"))
+    truth = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.n_sh").alias("n_a"),
+            F.col("b.n_sh").alias("n_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+        .where(jac >= JACCARD_TAU)
+        .select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+    )
+    sigs = kept.groupBy("doc_id").agg(
+        *[
+            F.min((F.lit(p_a) * F.col("shingle") + F.lit(p_b)) % F.lit(P)).alias(f"sig{i}")
+            for i, (p_a, p_b) in enumerate(AB)
+        ]
+    )
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{bb * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{bb}")
+        for bb in range(BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    ba, bb = buckets.alias("ba"), buckets.alias("bb")
+    cand = (
+        ba.join(
+            bb,
+            (F.col("ba.band_idx") == F.col("bb.band_idx"))
+            & (F.col("ba.band_key") == F.col("bb.band_key"))
+            & (F.col("ba.doc_id") < F.col("bb.doc_id")),
+        )
+        .select(F.col("ba.doc_id").alias("id_a"), F.col("bb.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+        .withColumn("found", F.lit(1))
+    )
+    scored = truth.join(cand, ["id_a", "id_b"], "left").select(
+        "id_a", "id_b", "jaccard", F.coalesce("found", F.lit(0)).alias("found_by_lsh")
+    )
+    summary = scored.groupBy().agg(
+        F.count(F.lit(1)).alias("n_truth"), F.sum("found_by_lsh").alias("n_found")
+    )
+    return scored.crossJoin(F.broadcast(summary)).select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        "found_by_lsh",
+        "n_truth",
+        "n_found",
+        F.expr("n_found * 10000 div n_truth").alias("recall_bp"),
+    )
+
+
+DEDUP_RECALL_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+exploded AS (
+  SELECT doc_id, unnest(hashes) AS shingle FROM sh
+),
+frequent AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > {DF_CAP}
+),
+kept AS (
+  SELECT doc_id,
+         count(*) OVER (PARTITION BY doc_id) AS n_sh,
+         shingle
+  FROM exploded
+  WHERE shingle NOT IN (SELECT shingle FROM frequent)
+),
+truth AS (
+  SELECT id_a, id_b, round(n_inter / CAST(n_a + n_b - n_inter AS DOUBLE), 6) AS jaccard
+  FROM (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, a.n_sh AS n_a, b.n_sh AS n_b, count(*) AS n_inter
+    FROM kept a JOIN kept b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    GROUP BY 1, 2, 3, 4
+  )
+  WHERE n_inter / CAST(n_a + n_b - n_inter AS DOUBLE) >= {JACCARD_TAU}
+),
+sigs AS (
+  SELECT doc_id,
+         {", ".join(f"min(({p_a} * shingle + {p_b}) % {P}) AS sig{i}" for i, (p_a, p_b) in enumerate(AB))}
+  FROM kept GROUP BY doc_id
+),
+buckets AS (
+  SELECT doc_id, band_idx, band_key
+  FROM sigs, LATERAL (VALUES {", ".join(f"({bb}, {_band_sql(bb)})" for bb in range(BANDS))}) AS v(band_idx, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT t.id_a, t.id_b, t.jaccard,
+         CASE WHEN c.id_a IS NULL THEN 0 ELSE 1 END AS found_by_lsh
+  FROM truth t LEFT JOIN cand c ON t.id_a = c.id_a AND t.id_b = c.id_b
+),
+summary AS (
+  SELECT count(*) AS n_truth, CAST(sum(found_by_lsh) AS BIGINT) AS n_found FROM scored
+)
+SELECT id_a, id_b, jaccard, found_by_lsh, n_truth, n_found,
+       n_found * 10000 // n_truth AS recall_bp
+FROM scored, summary
+"""
+
+QUERIES["dedup_recall_eval"] = dedup_recall_eval
+ORACLES["dedup_recall_eval"] = DEDUP_RECALL_SQL

@@ -83,3 +83,13 @@ def test_cdc_chunks_resync_on_near_copies(spark):
     assert near
     flagged = sum(1 for r in near if r.dup_tokens > 0)
     assert flagged >= int(0.9 * len(near)), f"{flagged}/{len(near)}"
+
+
+def test_recall_eval_summary_is_consistent(spark):
+    rows = dedup.dedup_recall_eval(spark, SF_CORRECT).collect()
+    assert rows
+    n_truth, n_found = rows[0].n_truth, rows[0].n_found
+    assert n_truth == len(rows)
+    assert n_found == sum(r.found_by_lsh for r in rows)
+    # banded LSH at (4 bands x 4 rows) is high-recall at tau=0.6
+    assert rows[0].recall_bp >= 9000
