@@ -628,3 +628,60 @@ FROM per_source s JOIN lang_top l USING (source)
 
 QUERIES["dataset_card_stats"] = dataset_card_stats
 ORACLES["dataset_card_stats"] = DATASET_CARD_SQL
+
+
+# --- corpus_ppl_buckets ------------------------------------------------------
+#
+# CCNet's head/middle/tail partitioning (Wenzek et al. 2019, public):
+# score every document under a language model, split each source into
+# perplexity tertiles, and let downstream sampling prefer the head.
+# The LM score is the deterministic unigram mean log-prob from
+# quality_unigram_logprob (same plan: vocab join + 1-row broadcast
+# total); the tertile runs per source over the ROUNDED score with a
+# doc_id tie-break, so bucket assignment is engine-deterministic.
+#
+# Scale: the ntile window partitions by source — no global window; the
+# per-source ordering is over per-doc rows (already collapsed from
+# tokens), the same bounded-window shape as customer_rfm.
+
+def corpus_ppl_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .groupBy("doc_id", "source")
+        .agg(F.round(F.avg(F.log10(F.col("cnt") / F.col("total"))), 6).alias("mean_lp"))
+    )
+    w = Window.partitionBy("source").orderBy(F.desc("mean_lp"), F.asc("doc_id"))
+    return scored.select(
+        "doc_id",
+        "source",
+        "mean_lp",
+        F.ntile(3).over(w).cast("bigint").alias("ppl_bucket"),
+    )
+
+
+CORPUS_PPL_SQL = """
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*) AS cnt FROM toks GROUP BY token),
+total AS (SELECT sum(cnt) AS total FROM vocab),
+scored AS (
+  SELECT doc_id, source,
+         round(avg(log10(cnt / CAST(total AS DOUBLE))), 6) AS mean_lp
+  FROM toks JOIN vocab USING (token), total
+  GROUP BY doc_id, source
+)
+SELECT doc_id, source, mean_lp,
+       CAST(ntile(3) OVER (PARTITION BY source ORDER BY mean_lp DESC, doc_id ASC) AS BIGINT) AS ppl_bucket
+FROM scored
+"""
+
+QUERIES["corpus_ppl_buckets"] = corpus_ppl_buckets
+ORACLES["corpus_ppl_buckets"] = CORPUS_PPL_SQL
