@@ -383,3 +383,90 @@ ORACLES = {
     "as_of_join": AS_OF_SQL,
     "parse_props": PARSE_PROPS_SQL,
 }
+
+
+# --- as-of join with direction + tolerance -----------------------------------
+
+ASOF_TOLERANCE_S = 1800  # 30 min
+
+
+def as_of_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_asof-complete variant of `as_of_join`: BOTH directions
+    (most recent prior view AND next following view per purchase) with
+    a 30-minute tolerance — matches outside it are nulled, pandas
+    merge_asof semantics.
+
+    Same scalable carried-window shape as `as_of_join` (one user_id
+    shuffle, no range self-join): the backward match rides
+    last(ignorenulls) over preceding rows, the forward match rides
+    first(ignorenulls) over following rows — both directions share the
+    one sort.
+    """
+    ev = load_table(spark, sf_dir, "events").where(F.col("event_type").isin("view", "purchase"))
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow - 1)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow + 1, Window.unboundedFollowing)
+    )
+    view_ts = F.when(F.col("event_type") == "view", F.col("ts"))
+    raw = (
+        ev.withColumn("back_raw", F.last(view_ts, ignorenulls=True).over(wb))
+        .withColumn("fwd_raw", F.first(view_ts, ignorenulls=True).over(wf))
+        .where(F.col("event_type") == "purchase")
+    )
+    back_secs = F.col("ts").cast("long") - F.col("back_raw").cast("long")
+    fwd_secs = F.col("fwd_raw").cast("long") - F.col("ts").cast("long")
+    back_ok = back_secs <= ASOF_TOLERANCE_S
+    fwd_ok = fwd_secs <= ASOF_TOLERANCE_S
+    return raw.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(back_ok, F.col("back_raw")).alias("back_view_ts"),
+        F.when(back_ok, back_secs).alias("back_secs"),
+        F.when(fwd_ok, F.col("fwd_raw")).alias("fwd_view_ts"),
+        F.when(fwd_ok, fwd_secs).alias("fwd_secs"),
+        (back_ok.cast("int") + F.lit(0)).alias("back_matched"),
+        (fwd_ok.cast("int") + F.lit(0)).alias("fwd_matched"),
+    ).fillna({"back_matched": 0, "fwd_matched": 0})
+
+
+AS_OF_TOLERANCE_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), ev AS (
+  SELECT * FROM events_us WHERE event_type IN ('view', 'purchase')
+), carried AS (
+  SELECT event_id, user_id, ts, event_type,
+         last_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS back_raw,
+         first_value(CASE WHEN event_type = 'view' THEN ts END IGNORE NULLS)
+           OVER (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS fwd_raw
+  FROM ev
+), scored AS (
+  SELECT event_id, user_id, ts,
+         back_raw,
+         CAST(floor(epoch(ts)) AS BIGINT) - CAST(floor(epoch(back_raw)) AS BIGINT) AS back_secs,
+         fwd_raw,
+         CAST(floor(epoch(fwd_raw)) AS BIGINT) - CAST(floor(epoch(ts)) AS BIGINT) AS fwd_secs
+  FROM carried WHERE event_type = 'purchase'
+)
+SELECT event_id, user_id, ts,
+       CASE WHEN back_secs <= {ASOF_TOLERANCE_S} THEN back_raw END AS back_view_ts,
+       CASE WHEN back_secs <= {ASOF_TOLERANCE_S} THEN back_secs END AS back_secs,
+       CASE WHEN fwd_secs <= {ASOF_TOLERANCE_S} THEN fwd_raw END AS fwd_view_ts,
+       CASE WHEN fwd_secs <= {ASOF_TOLERANCE_S} THEN fwd_secs END AS fwd_secs,
+       coalesce(CAST(back_secs <= {ASOF_TOLERANCE_S} AS INT), 0) AS back_matched,
+       coalesce(CAST(fwd_secs <= {ASOF_TOLERANCE_S} AS INT), 0) AS fwd_matched
+FROM scored
+"""
+
+QUERIES["as_of_join_tolerance"] = as_of_join_tolerance
+ORACLES["as_of_join_tolerance"] = AS_OF_TOLERANCE_SQL
