@@ -404,3 +404,103 @@ PCA_SQL = _pca_sql()
 
 QUERIES["embed_pca_power"] = embed_pca_power
 ORACLES["embed_pca_power"] = PCA_SQL
+
+
+# ---------------------------------------------------------------------------
+# cluster_topics — what each embedding cluster is ABOUT: the k-means
+# partition joined back to the documents it indexes (vec_id == doc_id
+# in the test corpus, mirroring apg_catalog ids), with the top terms
+# per cluster by in-cluster frequency. The composed
+# clustering-to-content readout an exploratory corpus audit runs, and
+# the deterministic stand-in for per-cluster LLM labeling.
+#
+# Scale: assignments are the k-means passes (audited there); the term
+# count is one (cid, token) aggregation with map-side combine; the
+# top-5 window runs over the bounded count table only. Stopword-free
+# via the shared English stopword list so the topics aren't glue words.
+
+TOPIC_TOP_K = 5
+
+
+def cluster_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from ..operators.textqc import STOPWORDS
+    from ..functions.text import tokens
+
+    vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)
+    cents = (
+        vecs.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KMEANS_K))
+        .select((F.col("vec_id") - CENTROID_BASE).alias("cid"), F.col("q").alias("c"))
+    )
+    for _ in range(KMEANS_ITERS):
+        cents = _update(_assign(vecs, cents), cents)
+    assigned = _assign(vecs, cents).select(F.col("vec_id").alias("doc_id"), "cid")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = docs.join(assigned, "doc_id").select(
+        "cid", F.explode(tokens(F.col("text"))).alias("token")
+    )
+    counts = (
+        toks.where(~F.col("token").isin(*STOPWORDS["en"]))
+        .groupBy("cid", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("cid").orderBy(F.desc("cnt"), F.asc("token"))
+    return (
+        counts.withColumn("term_rank", F.row_number().over(w))
+        .where(F.col("term_rank") <= TOPIC_TOP_K)
+        .select("cid", F.col("term_rank").cast("bigint").alias("term_rank"), "token", "cnt")
+    )
+
+
+def _cluster_topics_sql() -> str:
+    from ..operators.textqc import STOPWORDS
+
+    stops = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    parts = [
+        f"""vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT vec_id - {CENTROID_BASE} AS cid, q AS c FROM vecs
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KMEANS_K}
+)"""
+    ]
+    prev = "c0"
+    for r in range(KMEANS_ITERS):
+        parts.append(_sql_assign("vecs", prev, f"a{r}").strip())
+        parts.append(_sql_update(f"a{r}", prev, f"c{r + 1}").strip())
+        prev = f"c{r + 1}"
+    parts.append(_sql_assign("vecs", prev, "afinal").strip())
+    parts.append(
+        f"""toks AS (
+  SELECT a.cid,
+         unnest(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')) AS token
+  FROM documents d JOIN afinal a ON a.vec_id = d.doc_id
+),
+counts AS (
+  SELECT cid, token, count(*) AS cnt FROM toks
+  WHERE token NOT IN ({stops})
+  GROUP BY cid, token
+),
+ranked AS (
+  SELECT cid, token, cnt,
+         row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, token ASC) AS term_rank
+  FROM counts
+)"""
+    )
+    body = ",\n".join(parts)
+    return f"""
+WITH {body}
+SELECT cid, CAST(term_rank AS BIGINT) AS term_rank, token, cnt
+FROM ranked WHERE term_rank <= {TOPIC_TOP_K}
+"""
+
+
+CLUSTER_TOPICS_SQL = _cluster_topics_sql()
+
+QUERIES["cluster_topics"] = cluster_topics
+ORACLES["cluster_topics"] = CLUSTER_TOPICS_SQL
