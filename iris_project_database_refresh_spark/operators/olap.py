@@ -543,3 +543,117 @@ ORACLES = {
     "events_histogram_equidepth": EQUIDEPTH_SQL,
     "events_anomaly_mad": ANOMALY_MAD_SQL,
 }
+
+
+# --- quantile_hist_sketch ----------------------------------------------------
+#
+# The MERGEABLE quantile path made oracle-checkable. monitor_quantiles
+# keeps exact `percentile` for bit parity and points at
+# percentile_approx (GK sketch) for 100 TB — but GK merge order is not
+# engine-reproducible, so it can't be graded. A fixed-bin histogram
+# sketch CAN: per-type integer-cent bins (the events_histogram device)
+# are associative/commutative partials (any merge order gives the same
+# counts), and the quantile estimate reads off the cumulative bin
+# table with pure integer selection. Estimate = upper edge of the
+# first bin whose cumulative count reaches p% — bounded error span/128,
+# audited against the exact percentile in the same row.
+#
+# Scale: one narrow pass + one (type, bin) shuffle with map-side
+# combine; the cumulative window runs over <= 128 rows per type. This
+# is the sketch you actually deploy when percentile_approx's
+# nondeterminism matters for reproducible monitoring.
+
+SKETCH_BINS = 128
+SKETCH_PCTS = (50, 90, 99)
+
+
+def quantile_hist_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "value", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v_c")
+    )
+    bounds = ev.groupBy("event_type").agg(
+        F.min("v_c").alias("lo_c"), F.max("v_c").alias("hi_c"), F.count(F.lit(1)).alias("total")
+    )
+    binned = ev.join(F.broadcast(bounds), "event_type").select(
+        "event_type",
+        F.expr(f"(v_c - lo_c) * {SKETCH_BINS} div (hi_c - lo_c + 1)").cast("int").alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(F.count(F.lit(1)).alias("n"))
+    w = Window.partitionBy("event_type").orderBy("bin")
+    cum = counts.withColumn("cum", F.sum("n").over(w))
+    targets = cum.join(F.broadcast(bounds), "event_type").crossJoin(
+        spark.range(0, len(SKETCH_PCTS))
+        .select(F.element_at(F.array(*[F.lit(p) for p in SKETCH_PCTS]), (F.col("id") + 1).cast("int")).alias("pct"))
+    )
+    hit = targets.where(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+    first_bin = (
+        hit.groupBy("event_type", "pct")
+        .agg(F.min("bin").alias("qbin"))
+        .join(F.broadcast(bounds), "event_type")
+    )
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p / 100})"), 6).alias(f"exact_{p}")
+            for p in SKETCH_PCTS
+        ]
+    )
+    exact_long = exact.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("pct"), F.col(f"exact_{p}").alias("exact_q"))
+                    for p in SKETCH_PCTS
+                ]
+            )
+        ).alias("e"),
+    ).select("event_type", F.col("e.pct").alias("pct"), F.col("e.exact_q").alias("exact_q"))
+    est = F.expr(f"(lo_c + (qbin + 1) * (hi_c - lo_c + 1) div {SKETCH_BINS})") / 100.0
+    return (
+        first_bin.select("event_type", "pct", F.col("qbin").cast("bigint").alias("qbin"), F.round(est, 6).alias("est_q"))
+        .join(exact_long, ["event_type", "pct"])
+    )
+
+
+QUANTILE_SKETCH_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c FROM events
+),
+bounds AS (
+  SELECT event_type, min(v_c) AS lo_c, max(v_c) AS hi_c, count(*) AS total
+  FROM ev GROUP BY event_type
+),
+counts AS (
+  SELECT e.event_type,
+         CAST((e.v_c - b.lo_c) * {SKETCH_BINS} // (b.hi_c - b.lo_c + 1) AS INT) AS bin,
+         count(*) AS n
+  FROM ev e JOIN bounds b USING (event_type)
+  GROUP BY 1, 2
+),
+cum AS (
+  SELECT event_type, bin, sum(n) OVER (PARTITION BY event_type ORDER BY bin) AS cum
+  FROM counts
+),
+pcts AS (SELECT unnest([{", ".join(str(p) for p in SKETCH_PCTS)}]) AS pct),
+first_bin AS (
+  SELECT c.event_type, p.pct, min(c.bin) AS qbin
+  FROM cum c JOIN bounds b USING (event_type) CROSS JOIN pcts p
+  WHERE c.cum * 100 >= p.pct * b.total
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, pct,
+         CASE pct {" ".join(f"WHEN {p} THEN round(quantile_cont(value, {p / 100}), 6)" for p in SKETCH_PCTS)} END AS exact_q
+  FROM ev CROSS JOIN pcts
+  GROUP BY event_type, pct
+)
+SELECT f.event_type, f.pct, CAST(f.qbin AS BIGINT) AS qbin,
+       round((b.lo_c + (f.qbin + 1) * (b.hi_c - b.lo_c + 1) // {SKETCH_BINS}) / 100.0, 6) AS est_q,
+       e.exact_q
+FROM first_bin f
+JOIN bounds b USING (event_type)
+JOIN exact e ON e.event_type = f.event_type AND e.pct = f.pct
+"""
+
+QUERIES["quantile_hist_sketch"] = quantile_hist_sketch
+ORACLES["quantile_hist_sketch"] = QUANTILE_SKETCH_SQL

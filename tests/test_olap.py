@@ -134,3 +134,28 @@ def test_equidepth_bins_balanced(spark):
     for counts in per_type.values():
         # equal-depth: every bin within a few rows of n/bins (edge ties)
         assert max(counts) - min(counts) <= max(counts) * 0.1 + 5
+
+
+def test_quantile_sketch_error_is_bin_bounded(spark):
+    """The histogram-sketch estimate must land within one bin width of
+    the exact percentile — the sketch's a-priori error bound."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    rows = olap.quantile_hist_sketch(spark, SF_CORRECT).collect()
+    assert rows
+    ev = load_table(spark, SF_CORRECT, "events").select(
+        "event_type", F.floor(F.col("value") * 100 + F.lit(0.5)).alias("v_c")
+    )
+    spans = {
+        r.event_type: (r.hi - r.lo + 1) / 100.0
+        for r in ev.groupBy("event_type")
+        .agg(F.min("v_c").alias("lo"), F.max("v_c").alias("hi"))
+        .collect()
+    }
+    for r in rows:
+        # two widths: the ceiling-rank bin selection vs the exact
+        # percentile's (n-1)*p interpolation can differ by one bin
+        width = spans[r.event_type] / olap.SKETCH_BINS
+        assert abs(r.est_q - r.exact_q) <= 2 * width + 0.02, (r, width)
