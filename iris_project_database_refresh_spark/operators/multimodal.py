@@ -501,3 +501,162 @@ SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= {PH_TAU}
 
 QUERIES["multimodal_phash_dedup"] = multimodal_phash_dedup
 ORACLES["multimodal_phash_dedup"] = MULTIMODAL_PHASH_SQL
+
+
+# --- audio: planted WAV containers + dependency-free header kernel -----------
+#
+# The audio analogue of the image-header tier: the docx/excel prep
+# pipelines do real binary container work on documents; an audio prep
+# pipeline does the same on WAV/RIFF containers. Audio rows of the
+# media table get REAL WAV bytes — a 44-byte PCM header built from
+# deterministic per-item parameters + the document text as sample
+# data — entirely with JVM expressions (unhex of little-endian hex),
+# and the Arrow-batched kernel parses the RIFF/fmt/data chunk walk
+# with stdlib struct, no media libraries. The oracle recomputes the
+# planted parameters arithmetically, so a kernel that mis-parses any
+# field hash-mismatches.
+#
+# Scale: container bytes never leave executors; the kernel is a
+# bounded mapInPandas batch like the image path.
+
+AUDIO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def _le_hex(col, nbytes: int):
+    """Little-endian fixed-width hex string of an integer column."""
+    c = col.cast("bigint")
+    parts = [
+        F.format_string("%02X", ((c.bitwiseAND(F.lit(255 << (8 * i)))) / (1 << (8 * i))).cast("int"))
+        for i in range(nbytes)
+    ]
+    return F.concat(*parts)
+
+
+def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): audio-typed items as real PCM WAV bytes.
+
+    rate in {8000, 12000, 16000, 20000}, channels in {1, 2}, 16-bit;
+    sample data = the document's utf-8 bytes truncated to a whole
+    number of frames."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    rate = (F.lit(8000) + (F.col("doc_id") % 4) * 4000).cast("bigint")
+    channels = (F.lit(1) + F.col("doc_id") % 2).cast("bigint")
+    block = channels * 2  # 16-bit PCM frame size
+    data_size = (F.octet_length(F.encode("text", "utf-8")) / block).cast("bigint") * block
+    header_hex = F.concat(
+        F.lit("52494646"),                      # 'RIFF'
+        _le_hex(data_size + 36, 4),
+        F.lit("57415645"),                      # 'WAVE'
+        F.lit("666d7420"),                      # 'fmt '
+        _le_hex(F.lit(16), 4),
+        _le_hex(F.lit(1), 2),                   # PCM
+        _le_hex(channels, 2),
+        _le_hex(rate, 4),
+        _le_hex(rate * block, 4),               # byte rate
+        _le_hex(block, 2),
+        _le_hex(F.lit(16), 2),                  # bits per sample
+        F.lit("64617461"),                      # 'data'
+        _le_hex(data_size, 4),
+    )
+    payload = F.concat(
+        F.unhex(header_hex),
+        F.encode("text", "utf-8").substr(F.lit(1), data_size.cast("int")),
+    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_wav_header(payload: bytes) -> tuple[int, int, int, int] | None:
+    """(sample_rate, channels, bits, n_frames) via the RIFF chunk walk,
+    None for non-WAV bytes."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = bits = None
+    n_frames = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(payload):
+            _, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+            bits = struct.unpack("<H", payload[i + 22 : i + 24])[0]
+        elif cid == b"data" and channels:
+            n_frames = size // (channels * (bits // 8))
+        i += 8 + size + (size % 2)
+    if rate is None or n_frames is None:
+        return None
+    return rate, channels, bits, n_frames
+
+
+def multimodal_audio_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched WAV header parse over the planted audio items."""
+    audio = audio_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_wav_header(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rate, channels, bits, n_frames = parsed
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "sample_rate": rate,
+                            "channels": channels,
+                            "bits": bits,
+                            "n_frames": n_frames,
+                            "duration_ms": n_frames * 1000 // rate,
+                            "parser": "wav-stdlib",
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows,
+                    columns=[f.name for f in AUDIO_SCHEMA.fields],
+                ).astype(
+                    {
+                        "media_id": "int64",
+                        "sample_rate": "int64",
+                        "channels": "int64",
+                        "bits": "int64",
+                        "n_frames": "int64",
+                        "duration_ms": "int64",
+                    }
+                )
+
+    return audio.mapInPandas(fn, AUDIO_SCHEMA)
+
+
+# The oracle recomputes every field from the planted parameters — the
+# kernel must recover them from the bytes to match.
+MULTIMODAL_AUDIO_SQL = """
+SELECT doc_id AS media_id,
+       CAST(8000 + (doc_id % 4) * 4000 AS BIGINT) AS sample_rate,
+       CAST(1 + doc_id % 2 AS BIGINT) AS channels,
+       CAST(16 AS BIGINT) AS bits,
+       CAST(octet_length(encode(text)) // ((1 + doc_id % 2) * 2) AS BIGINT) AS n_frames,
+       CAST((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * 1000
+            // (8000 + (doc_id % 4) * 4000) AS BIGINT) AS duration_ms,
+       'wav-stdlib' AS parser
+FROM documents
+WHERE doc_id % 3 = 1
+"""
+
+QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
+ORACLES["multimodal_audio_stats"] = MULTIMODAL_AUDIO_SQL

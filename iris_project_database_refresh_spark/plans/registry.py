@@ -115,7 +115,7 @@ _DRIVER_PRIORITY = [
     "dedup_cdc_chunks", "embed_pca_power", "text_normalize",
     "dataset_card_stats", "contrastive_pairs", "embed_drift_stats",
     "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
-    "cluster_topics", "quantile_hist_sketch",
+    "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
     "chunk_validate", "dedup_components", "dedup_keep_best",
     "dedup_substring_stats", "dedup_incremental", "doc_decontaminate",
     "dedup_bloom_prefilter", "dedup_embedding_lsh", "fuzzy_match_names",

@@ -193,3 +193,21 @@ def test_phash_finds_planted_exact_copies(spark):
     found = [d for (a, b), d in pairs.items() if b == a + 100000]
     assert len(found) == n_planted
     assert all(d == 0 for d in found)
+
+
+def test_wav_header_parser_rejects_non_audio():
+    from iris_project_database_refresh_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(b"this is just document text, not RIFF") is None
+    assert parse_wav_header(b"RIFF\x00\x00\x00\x00JUNK") is None
+    assert parse_wav_header(b"") is None
+    # a minimal valid container round-trips its fields
+    import struct
+
+    data = b"ab" * 10
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    assert parse_wav_header(hdr + data) == (16000, 2, 16, 5)
