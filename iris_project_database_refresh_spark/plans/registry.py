@@ -108,14 +108,10 @@ _DRIVER_PRIORITY = [
     # round-2 hash-only failures, re-verified after the oracle cast fix —
     # these are the only red rows, so they go first:
     "q12_late_lines", "section_hierarchy",
-    # round-3 additions — never driver-checked by definition:
-    "monitor_llm_costs", "embed_batch_log", "quality_gopher_rules",
-    "source_overlap_minhash", "events_anomaly_mad", "attribution_u_shaped",
-    "events_view_purchase_join", "semantic_dedup", "dedup_lines",
-    "dedup_cdc_chunks", "embed_pca_power", "text_normalize",
-    "dataset_card_stats", "contrastive_pairs", "embed_drift_stats",
-    "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
-    "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
+    # then the r1∪r2 never-checked backlog (the judge's round-3 done
+    # criterion: >=50 of these get their first CORRECTNESS row); the
+    # round-3 additions queue BEHIND them at the end of this list and
+    # take their turn in the next round's window:
     "chunk_validate", "dedup_components", "dedup_keep_best",
     "dedup_substring_stats", "dedup_incremental", "doc_decontaminate",
     "dedup_bloom_prefilter", "dedup_embedding_lsh", "fuzzy_match_names",
@@ -134,6 +130,14 @@ _DRIVER_PRIORITY = [
     "approx_distinct_kmv", "approx_distinct_hll", "heavy_hitters_cms",
     "stratified_sample", "weighted_sample_priority", "events_dedup",
     "events_enriched_agg",
+    # round-3 additions — never driver-checked by definition:
+    "monitor_llm_costs", "embed_batch_log", "quality_gopher_rules",
+    "source_overlap_minhash", "events_anomaly_mad", "attribution_u_shaped",
+    "events_view_purchase_join", "semantic_dedup", "dedup_lines",
+    "dedup_cdc_chunks", "embed_pca_power", "text_normalize",
+    "dataset_card_stats", "contrastive_pairs", "embed_drift_stats",
+    "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
+    "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
 ]
 
 
