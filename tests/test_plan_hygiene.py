@@ -47,6 +47,7 @@ NARROW_QUERIES = [
     "chapter_summarize",
     "strip_page_tags",
     "force_split_sentences",
+    "text_normalize",
 ]
 
 
