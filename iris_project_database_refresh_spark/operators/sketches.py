@@ -419,3 +419,112 @@ ORACLES = {
     "stratified_sample": STRATIFIED_SQL,
     "weighted_sample_priority": PRIORITY_SQL,
 }
+
+
+# --- CMS inner-product join-size estimate ------------------------------------
+#
+# The query-optimizer sketch (Cormode & Muthukrishnan 2005, public):
+# the equi-join cardinality |A ⋈_k B| = Σ_k a_k·b_k is estimated by the
+# inner product of the two sides' count-min rows — min over the D rows
+# of Σ_bucket cmsA[d][w]·cmsB[d][w] — without ever joining A to B.
+# Never underestimates (same one-sided guarantee as the point query).
+# Exact answer computed alongside from the bounded per-key count
+# tables (the sketch-with-its-ground-truth house pattern).
+#
+# Scale: each side collapses to per-key counts (map-side combine),
+# then to a D×W=4096-cell sketch — mergeable across partitions/days;
+# the estimate itself is a 4096-row join, corpus-size-independent. At
+# 100 TB you estimate tomorrow's join size from two kilobyte sketches
+# instead of running the join.
+
+def join_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str):
+        keys = (
+            ev.where(F.col("event_type") == event_type)
+            .groupBy("user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        cells = keys.select(
+            "n",
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(d).alias("d"),
+                            _cms_bucket(F.col("user_id").cast("string"), d).alias("bucket"),
+                        )
+                        for d in range(CMS_D)
+                    ]
+                )
+            ).alias("p"),
+        ).select("p.d", "p.bucket", "n")
+        return keys, cells.groupBy("d", "bucket").agg(F.sum("n").alias("c"))
+
+    ka, ca = side("view")
+    kb, cb = side("purchase")
+    est_rows = (
+        ca.join(cb.withColumnRenamed("c", "c2"), ["d", "bucket"])
+        .groupBy("d")
+        .agg(F.sum(F.col("c") * F.col("c2")).alias("est_d"))
+    )
+    est_min = est_rows.groupBy().agg(F.min("est_d").alias("est_join_rows"))
+    exact = (
+        ka.withColumnRenamed("n", "na")
+        .join(kb.withColumnRenamed("n", "nb"), "user_id")
+        .groupBy()
+        .agg(F.sum(F.col("na") * F.col("nb")).alias("exact_join_rows"))
+    )
+    return (
+        est_rows.crossJoin(F.broadcast(est_min))
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "d",
+            "est_d",
+            "est_join_rows",
+            "exact_join_rows",
+            (F.col("est_join_rows") - F.col("exact_join_rows")).alias("overcount"),
+        )
+    )
+
+
+# key_d(user) = md5("{d}:{user}")[0:8] as uint32, mod W — identical to
+# the Spark-side _cms_bucket over the stringified key
+_CMS_KEY_SQL = (
+    "CAST('0x' || substr(md5(CAST(d AS VARCHAR) || ':' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % "
+    + str(CMS_W)
+)
+
+JOIN_SIZE_SQL = f"""
+WITH ka AS (
+  SELECT user_id, count(*) AS n FROM events WHERE event_type = 'view' GROUP BY user_id
+),
+kb AS (
+  SELECT user_id, count(*) AS n FROM events WHERE event_type = 'purchase' GROUP BY user_id
+),
+ds AS (SELECT unnest(generate_series(0, {CMS_D - 1})) AS d),
+ca AS (
+  SELECT d, {_CMS_KEY_SQL} AS bucket, sum(n) AS c FROM ka, ds GROUP BY 1, 2
+),
+cb AS (
+  SELECT d, {_CMS_KEY_SQL} AS bucket, sum(n) AS c FROM kb, ds GROUP BY 1, 2
+),
+est AS (
+  SELECT ca.d, sum(ca.c * cb.c) AS est_d
+  FROM ca JOIN cb ON ca.d = cb.d AND ca.bucket = cb.bucket
+  GROUP BY ca.d
+),
+est_min AS (SELECT min(est_d) AS est_join_rows FROM est),
+exact AS (
+  SELECT sum(ka.n * kb.n) AS exact_join_rows FROM ka JOIN kb USING (user_id)
+)
+SELECT d, CAST(est_d AS BIGINT) AS est_d,
+       CAST(est_join_rows AS BIGINT) AS est_join_rows,
+       CAST(exact_join_rows AS BIGINT) AS exact_join_rows,
+       CAST(est_join_rows - exact_join_rows AS BIGINT) AS overcount
+FROM est, est_min, exact
+"""
+
+QUERIES["join_size_cms"] = join_size_cms
+ORACLES["join_size_cms"] = JOIN_SIZE_SQL

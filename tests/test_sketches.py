@@ -106,3 +106,20 @@ def test_hll_is_duplicate_insensitive(spark):
         for r in per.collect()
     }
     assert est == base
+
+
+def test_join_size_cms_never_underestimates(spark):
+    """CM inner-product one-sided guarantee: the estimate (and every
+    per-row estimate) bounds the true join cardinality from above, and
+    the true cardinality equals the materialized join's row count."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    rows = sketches.join_size_cms(spark, SF_CORRECT).collect()
+    assert rows and all(r.est_d >= r.exact_join_rows for r in rows)
+    assert all(r.overcount >= 0 for r in rows)
+    ev = load_table(spark, SF_CORRECT, "events")
+    v = ev.where(F.col("event_type") == "view").select("user_id")
+    p = ev.where(F.col("event_type") == "purchase").select("user_id")
+    assert rows[0].exact_join_rows == v.join(p, "user_id").count()
