@@ -396,3 +396,105 @@ ORACLES = {
     "refresh_upsert": REFRESH_UPSERT_SQL,
     "fuzzy_match_names": FUZZY_MATCH_SQL,
 }
+
+
+# --- entity resolution: blocked best-match assignment -------------------------
+#
+# The decision stage1's reconciliation actually needs on top of
+# `fuzzy_match_names`' candidate pairs: for every incoming file name,
+# ONE verdict — exact survivor, fuzzy rename (with its best catalog
+# match), or genuinely new. Same prefix-blocking scale shape (equi-join
+# on the 4-char block, thresholded levenshtein residual inside bounded
+# blocks, never all-pairs); the best match is a deterministic
+# min(struct(dist, name)) aggregate per incoming name — argmin without
+# a window over the join output.
+#
+# Planted snapshot (house pattern): m in {0,1,2} are 1-2-char renames,
+# m=3 unchanged, m=4 a brand-new file whose name shares no block.
+
+def entity_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    ds = F.col("doc_id").cast("string")
+    base = F.concat(F.substring(F.md5(ds), 1, 10), F.lit("_"), ds, F.lit(".txt"))
+    tail = lambda pos: F.col("name").substr(F.lit(pos), F.length("name"))  # noqa: E731
+    named = docs.select("doc_id", base.alias("name"), (F.col("doc_id") % 5).alias("m"))
+    catalog = named.select(F.col("name").alias("name_a"))
+    incoming = named.select(
+        F.when(F.col("m") == 0, F.concat(F.substring("name", 1, 5), F.lit("z"), tail(7)))
+        .when(F.col("m") == 1, F.col("name").substr(F.lit(1), F.length("name") - 1))
+        .when(
+            F.col("m") == 2,
+            F.concat(
+                F.substring("name", 1, 5), F.lit("z"),
+                F.substring("name", 7, 1), F.lit("q"), tail(9),
+            ),
+        )
+        .when(
+            F.col("m") == 4,
+            F.concat(F.lit("new_"), F.substring(F.md5(F.concat(F.lit("n"), ds)), 1, 10), F.lit(".txt")),
+        )
+        .otherwise(F.col("name"))
+        .alias("name_b")
+    )
+    a = catalog.withColumn("blk", F.substring("name_a", 1, 4))
+    b = incoming.withColumn("blk", F.substring("name_b", 1, 4))
+    scored = a.join(b, "blk", "right").select(
+        "name_b",
+        F.when(F.levenshtein("name_a", "name_b", 2) >= 0, F.col("name_a")).alias("cand"),
+        F.when(F.levenshtein("name_a", "name_b", 2) >= 0, F.levenshtein("name_a", "name_b", 2)).alias("dist"),
+    )
+    best = scored.groupBy("name_b").agg(
+        F.min(F.when(F.col("dist").isNotNull(), F.struct("dist", "cand"))).alias("m")
+    )
+    return best.select(
+        "name_b",
+        F.col("m.cand").alias("best_match"),
+        F.col("m.dist").alias("dist"),
+        F.when(F.col("m.dist") == 0, "exact")
+        .when(F.col("m.dist").isNotNull(), "fuzzy")
+        .otherwise("new")
+        .alias("match_type"),
+    )
+
+
+ENTITY_RESOLVE_SQL = """
+WITH named AS (
+  SELECT doc_id,
+         substr(md5(doc_id::VARCHAR), 1, 10) || '_' || doc_id::VARCHAR || '.txt' AS name,
+         doc_id % 5 AS m
+  FROM documents
+),
+catalog_side AS (SELECT name AS name_a FROM named),
+incoming AS (
+  SELECT CASE
+           WHEN m = 0 THEN substr(name, 1, 5) || 'z' || substr(name, 7)
+           WHEN m = 1 THEN substr(name, 1, length(name) - 1)
+           WHEN m = 2 THEN substr(name, 1, 5) || 'z' || substr(name, 7, 1) || 'q' || substr(name, 9)
+           WHEN m = 4 THEN 'new_' || substr(md5('n' || doc_id::VARCHAR), 1, 10) || '.txt'
+           ELSE name
+         END AS name_b
+  FROM named
+),
+scored AS (
+  SELECT i.name_b,
+         CASE WHEN levenshtein(a.name_a, i.name_b) <= 2 THEN a.name_a END AS cand,
+         CASE WHEN levenshtein(a.name_a, i.name_b) <= 2 THEN levenshtein(a.name_a, i.name_b) END AS dist
+  FROM incoming i
+  LEFT JOIN catalog_side a ON substr(a.name_a, 1, 4) = substr(i.name_b, 1, 4)
+),
+best AS (
+  SELECT name_b,
+         min(CASE WHEN dist IS NOT NULL THEN struct_pack(dist := dist, cand := cand) END) AS m
+  FROM scored GROUP BY name_b
+)
+SELECT name_b,
+       m.cand AS best_match,
+       m.dist AS dist,
+       CASE WHEN m.dist = 0 THEN 'exact'
+            WHEN m.dist IS NOT NULL THEN 'fuzzy'
+            ELSE 'new' END AS match_type
+FROM best
+"""
+
+QUERIES["entity_resolve"] = entity_resolve
+ORACLES["entity_resolve"] = ENTITY_RESOLVE_SQL

@@ -41,3 +41,14 @@ def test_upsert_replaces_batch_rows(spark):
         by_ver[r.version] += 1
     assert by_ver[2] > 0 and by_ver[1] > 0
     assert all(r.version == 2 for r in rows if r.document_id % 3 == 0)
+
+
+def test_entity_resolve_classifies_planted_snapshot(spark):
+    rows = {r.name_b: r for r in catalog.entity_resolve(spark, SF_CORRECT).collect()}
+    kinds = {}
+    for r in rows.values():
+        kinds[r.match_type] = kinds.get(r.match_type, 0) + 1
+    # every planted class appears, and new files never get a match
+    assert set(kinds) == {"exact", "fuzzy", "new"}, kinds
+    assert all(r.best_match is None for r in rows.values() if r.match_type == "new")
+    assert all(r.dist in (1, 2) for r in rows.values() if r.match_type == "fuzzy")
