@@ -685,3 +685,76 @@ FROM scored
 
 QUERIES["corpus_ppl_buckets"] = corpus_ppl_buckets
 ORACLES["corpus_ppl_buckets"] = CORPUS_PPL_SQL
+
+
+# --- quality_filter_verdict --------------------------------------------------
+#
+# The whole filter battery composed into the single keep/drop decision
+# a corpus build actually executes (Gopher rules + repetition filters +
+# LM score floor), with a reason bitmask so dropped documents are
+# auditable. Each signal is the already-oracle-checked operator's
+# output (engine-equal bit-for-bit), so the thresholds compare
+# identical values in both engines.
+#
+# Scale: three per-doc signal tables (each one narrow pass or one
+# bounded shuffle, audited at their own entries) joined on doc_id —
+# co-partitioned hash joins, no new corpus-sized work.
+
+REASON_GOPHER = 1
+REASON_REPETITION = 2
+REASON_LM = 4
+DUP_TRI_MAX = 0.0151          # duplicate-trigram fraction cap
+TOP_TRI_MAX = 0.1011          # single-trigram dominance cap
+MEAN_LP_MIN = -1.5001         # unigram LM score floor (log10)
+
+
+def quality_filter_verdict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = quality_gopher_rules(spark, sf_dir).select("doc_id", "gopher_pass")
+    r = quality_repetition(spark, sf_dir).select(
+        "doc_id", "dup_trigram_fraction", "top_trigram_share"
+    )
+    u = quality_unigram_logprob(spark, sf_dir).select("doc_id", "mean_log10_prob")
+    j = g.join(r, "doc_id").join(u, "doc_id")
+    rep_ok = (F.col("dup_trigram_fraction") <= DUP_TRI_MAX) & (
+        F.col("top_trigram_share") <= TOP_TRI_MAX
+    )
+    lm_ok = F.col("mean_log10_prob") >= MEAN_LP_MIN
+    reason = (
+        F.when(F.col("gopher_pass") == 0, REASON_GOPHER).otherwise(0)
+        + F.when(~rep_ok, REASON_REPETITION).otherwise(0)
+        + F.when(~lm_ok, REASON_LM).otherwise(0)
+    )
+    return j.select(
+        "doc_id",
+        "gopher_pass",
+        rep_ok.cast("int").alias("repetition_pass"),
+        lm_ok.cast("int").alias("lm_pass"),
+        reason.cast("bigint").alias("drop_reasons"),
+        (reason == 0).cast("int").alias("keep"),
+    )
+
+
+QUALITY_VERDICT_SQL = f"""
+WITH g AS ({GOPHER_SQL.strip()}),
+r AS ({QUALITY_REPETITION_SQL.strip()}),
+u AS ({QUALITY_UNIGRAM_SQL.strip()}),
+j AS (
+  SELECT g.doc_id, g.gopher_pass, r.dup_trigram_fraction, r.top_trigram_share,
+         u.mean_log10_prob
+  FROM g JOIN r USING (doc_id) JOIN u USING (doc_id)
+)
+SELECT doc_id,
+       gopher_pass,
+       CAST(dup_trigram_fraction <= {DUP_TRI_MAX} AND top_trigram_share <= {TOP_TRI_MAX} AS INT) AS repetition_pass,
+       CAST(mean_log10_prob >= {MEAN_LP_MIN} AS INT) AS lm_pass,
+       CAST(CASE WHEN gopher_pass = 0 THEN {REASON_GOPHER} ELSE 0 END
+          + CASE WHEN NOT (dup_trigram_fraction <= {DUP_TRI_MAX} AND top_trigram_share <= {TOP_TRI_MAX}) THEN {REASON_REPETITION} ELSE 0 END
+          + CASE WHEN NOT (mean_log10_prob >= {MEAN_LP_MIN}) THEN {REASON_LM} ELSE 0 END AS BIGINT) AS drop_reasons,
+       CAST(gopher_pass = 1
+            AND dup_trigram_fraction <= {DUP_TRI_MAX} AND top_trigram_share <= {TOP_TRI_MAX}
+            AND mean_log10_prob >= {MEAN_LP_MIN} AS INT) AS keep
+FROM j
+"""
+
+QUERIES["quality_filter_verdict"] = quality_filter_verdict
+ORACLES["quality_filter_verdict"] = QUALITY_VERDICT_SQL

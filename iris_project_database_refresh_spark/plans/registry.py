@@ -138,7 +138,7 @@ _DRIVER_PRIORITY = [
     "dataset_card_stats", "contrastive_pairs", "embed_drift_stats",
     "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
     "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
-    "join_size_cms", "entity_resolve",
+    "join_size_cms", "entity_resolve", "quality_filter_verdict",
 ]
 
 

@@ -71,3 +71,25 @@ def test_snapshot_directory(spark, tmp_path):
     assert rows["a.txt"].file_size == 5
     assert rows["b.pdf"].file_size == 100
     assert rows["a.txt"].date_last_modified is not None
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Refresh cycles add columns over time (the reference's master CSV
+    grew columns across stage versions): old partitions must stay
+    readable next to new ones via mergeSchema, with the missing column
+    null-filled — the schema-evolution contract of the parquet layout."""
+    import pyspark.sql.functions as F
+
+    path = str(tmp_path / "evolving")
+    v1 = spark.range(5).select(F.col("id"), F.lit("a").alias("src"))
+    v1.write.mode("overwrite").parquet(path)
+    v2 = spark.range(5, 8).select(
+        F.col("id"), F.lit("b").alias("src"), F.lit(2).alias("stage_version")
+    )
+    v2.write.mode("append").parquet(path)
+    back = spark.read.option("mergeSchema", True).parquet(path)
+    assert set(back.columns) == {"id", "src", "stage_version"}
+    assert back.count() == 8
+    nulls = back.where(F.col("stage_version").isNull()).count()
+    assert nulls == 5  # every v1 row null-fills the new column
+    assert back.where(F.col("stage_version") == 2).count() == 3
