@@ -597,3 +597,140 @@ FROM per_dim p JOIN per_dim c ON p.dim = c.dim AND p.snap = 0 AND c.snap = 1
 
 QUERIES["embed_drift_stats"] = embed_drift_stats
 ORACLES["embed_drift_stats"] = EMBED_DRIFT_SQL
+
+
+# --- knn_graph — the full k-NN graph via blocked GEMM -------------------------
+#
+# Every vector's exact top-K cosine neighbors (not just the N_QUERIES
+# probe set): the artifact semantic clustering / graph-based dedup
+# pipelines build once and reuse. Same distributed blocked-GEMM
+# backend as similarity_pairs — block-pair applyInPandas tasks, no
+# driver materialization — but each task emits per-ROW partial top-Ks
+# for both blocks of its pair, and a bounded merge (collect + sort +
+# slice over SIM_BLOCKS×K entries per vector) finishes the job. The
+# top-k-merge property makes the partials lossless: the global top-K
+# under (cosine desc, id asc) is contained in the union of per-block
+# top-Ks under the same total order.
+#
+# Scale: identical replication factor to similarity_pairs; the merge
+# state per vector is SIM_BLOCKS·K structs — kilobytes — regardless of
+# corpus size. Ranking uses the 6dp-rounded cosine with id tie-break
+# (the house device), so ranks are engine-deterministic.
+
+def knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+
+    def assignments(k: int):
+        structs = [
+            F.struct(F.lit(k).alias("pa"), F.lit(j).alias("pb"), F.lit("a").alias("role"))
+            for j in range(k, SIM_BLOCKS)
+        ] + [
+            F.struct(F.lit(i).alias("pa"), F.lit(k).alias("pb"), F.lit("b").alias("role"))
+            for i in range(k)
+        ]
+        return F.array(*structs)
+
+    blk = (F.col("vec_id") % SIM_BLOCKS).cast("int")
+    asg = F.when(blk == 0, assignments(0))
+    for k in range(1, SIM_BLOCKS):
+        asg = asg.when(blk == k, assignments(k))
+    replicated = (
+        emb.withColumn("asg", asg)
+        .select("vec_id", "embedding", F.explode("asg").alias("g"))
+        .select("vec_id", "embedding", "g.pa", "g.pb", "g.role")
+    )
+
+    out_schema = "vec_id bigint, neighbor_id bigint, cosine double"
+
+    def partial_topk(key, pdf):
+        pa, pb = key
+        a = pdf[pdf["role"] == "a"]
+        b = a if pa == pb else pdf[pdf["role"] == "b"]
+        if a.empty or b.empty:
+            return pd.DataFrame({"vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+                {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+            )
+        am = np.array(list(a["embedding"]), dtype=np.float64)
+        bm = np.array(list(b["embedding"]), dtype=np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        aids = a["vec_id"].to_numpy()
+        bids = b["vec_id"].to_numpy()
+        sims = np.round(am @ bm.T, 6)
+
+        frames = []
+
+        def rows_topk(ids_q, ids_c, mat):
+            # per query row: top-K among this block's candidates under
+            # (cosine desc, neighbor id asc)
+            out_q, out_c, out_s = [], [], []
+            for qi in range(mat.shape[0]):
+                row = mat[qi]
+                mask = ids_c != ids_q[qi]
+                cand_ids, cand = ids_c[mask], row[mask]
+                if cand.size == 0:
+                    continue
+                order = np.lexsort((cand_ids, -cand))[:KNN_K]
+                out_q.extend([ids_q[qi]] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(cand[order])
+            return pd.DataFrame({"vec_id": out_q, "neighbor_id": out_c, "cosine": out_s})
+
+        frames.append(rows_topk(aids, bids, sims))
+        if pa != pb:
+            frames.append(rows_topk(bids, aids, sims.T))
+        return pd.concat(frames, ignore_index=True).astype(
+            {"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+
+    partials = replicated.groupBy("pa", "pb").applyInPandas(partial_topk, out_schema)
+    merged = (
+        partials.groupBy("vec_id")
+        .agg(
+            F.slice(
+                F.array_sort(
+                    F.collect_list(
+                        F.struct(
+                            (-F.floor(F.col("cosine") * 1000000 + F.lit(0.5)))
+                            .cast("bigint")
+                            .alias("negc"),
+                            F.col("neighbor_id").alias("nid"),
+                            F.col("cosine").alias("c"),
+                        )
+                    )
+                ),
+                1,
+                KNN_K,
+            ).alias("top")
+        )
+    )
+    return merged.select("vec_id", F.posexplode("top").alias("pos", "t")).select(
+        "vec_id",
+        (F.col("pos") + 1).cast("bigint").alias("rank"),
+        F.col("t.nid").alias("neighbor_id"),
+        F.col("t.c").alias("cosine"),
+    )
+
+
+KNN_GRAPH_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+), scored AS (
+  SELECT a.vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+  FROM n a JOIN n b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+)
+SELECT vec_id, CAST(rank AS BIGINT) AS rank, neighbor_id, cosine
+FROM ranked WHERE rank <= {KNN_K}
+"""
+
+QUERIES["knn_graph"] = knn_graph
+ORACLES["knn_graph"] = KNN_GRAPH_SQL

@@ -79,3 +79,19 @@ def test_embedding_lsh_recall_vs_exact(spark):
     assert lsh, "no bucketed pairs at all"
     assert set(lsh) <= exact  # cosine threshold identical -> subset
     assert len(lsh) / len(exact) > 0.1  # 16 buckets, tau=0.4: some recall
+
+
+def test_knn_graph_agrees_with_brute_force_probes(spark):
+    """The full graph restricted to the probe set must equal the
+    probe-set brute force exactly — two independent implementations of
+    the same ranking."""
+    graph = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in embeddings.knn_graph(spark, SF_CORRECT).collect()
+        if r.vec_id < embeddings.N_QUERIES
+    }
+    probe = {
+        (r.query_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in embeddings.knn_brute_force(spark, SF_CORRECT).collect()
+    }
+    assert graph == probe
