@@ -504,3 +504,63 @@ CLUSTER_TOPICS_SQL = _cluster_topics_sql()
 
 QUERIES["cluster_topics"] = cluster_topics
 ORACLES["cluster_topics"] = CLUSTER_TOPICS_SQL
+
+
+# ---------------------------------------------------------------------------
+# embed_project_pc1 — APPLY the trained principal direction: project
+# every vector onto embed_pca_power's dominant component. Training and
+# inference as separate operators is the kmeans→IVF convention; the
+# projection is an exact integer dot product (quantized vector ×
+# integer direction), so per-vector coordinates are engine-equal with
+# no float summation anywhere. The projection histogram (16 integer
+# buckets over the coordinate range) rides along — the 1-D sketch of
+# the embedding cloud a drift monitor would track.
+#
+# Scale: the direction is a 64-int broadcast; projection is one narrow
+# zip_with pass; bucket bounds are a 1-row broadcast aggregate.
+
+def embed_project_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = _gram(spark, sf_dir).localCheckpoint(eager=False)
+    x = gram.where((F.col("i") == 0)).select(F.col("j").alias("pos"), F.lit(1).cast("bigint").alias("w"))
+    for _ in range(PCA_ITERS):
+        x = _power_round(gram, x)
+    direction = x.groupBy().agg(
+        F.expr("transform(array_sort(collect_list(struct(pos, w))), s -> s.w)").alias("dvec")
+    )
+    vecs = _qvecs(spark, sf_dir)
+    proj = F.expr(
+        "aggregate(zip_with(q, dvec, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"
+    )
+    projected = vecs.crossJoin(F.broadcast(direction)).select("vec_id", proj.alias("proj"))
+    bounds = projected.groupBy().agg(F.min("proj").alias("lo"), F.max("proj").alias("hi"))
+    return projected.crossJoin(F.broadcast(bounds)).select(
+        "vec_id",
+        "proj",
+        F.expr("cast((proj - lo) * 16 div (hi - lo + 1) as bigint)").alias("proj_bucket"),
+    )
+
+
+def _project_sql() -> str:
+    base = _pca_sql()
+    # reuse the PCA CTE chain up to the final direction x{PCA_ITERS}
+    head = base.split("lam AS (")[0].rstrip().rstrip(",")
+    return f"""{head},
+direction AS (
+  SELECT list(w ORDER BY pos) AS dvec FROM x{PCA_ITERS}
+),
+projected AS (
+  SELECT vec_id,
+         list_sum(list_transform(generate_series(1, {DIM}), i -> q[i] * dvec[i])) AS proj
+  FROM vecs, direction
+),
+bounds AS (SELECT min(proj) AS lo, max(proj) AS hi FROM projected)
+SELECT vec_id, CAST(proj AS BIGINT) AS proj,
+       CAST((proj - lo) * 16 // (hi - lo + 1) AS BIGINT) AS proj_bucket
+FROM projected, bounds
+"""
+
+
+PROJECT_PC1_SQL = _project_sql()
+
+QUERIES["embed_project_pc1"] = embed_project_pc1
+ORACLES["embed_project_pc1"] = PROJECT_PC1_SQL

@@ -461,3 +461,98 @@ GROUP BY touch_type
 
 QUERIES["attribution_u_shaped"] = attribution_u_shaped
 ORACLES["attribution_u_shaped"] = ATTRIBUTION_SQL
+
+
+# --- events_top_paths --------------------------------------------------------
+#
+# The most-travelled session journeys: sessionize (same 30-minute gap
+# rule as `sessionize`), render each session as its ordered
+# event-type path, count paths, keep the top 10. The product question
+# behind the Markov matrix — full paths instead of one-step
+# transitions.
+#
+# Scale: two windows on the user partitioning (lag + running sum — the
+# sessionize shape), one bounded per-session collect capped at
+# PATH_CAP steps (the per-key skew guard; mirrored in the oracle so
+# semantics stay engine-equal), then a path-count aggregation and a
+# TakeOrdered top-10. No corpus-sized window.
+
+PATH_CAP = 20
+
+
+def events_top_paths(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .relational import SESSION_GAP_MIN
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_micros("ts") - F.unix_micros(F.lag("ts").over(w))
+    new_session = F.when(gap.isNull() | (gap > SESSION_GAP_MIN * 60 * 1000000), 1).otherwise(0)
+    sessions = ev.withColumn(
+        "session_idx", F.sum(new_session).over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    paths = (
+        sessions.groupBy("user_id", "session_idx")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.slice(
+                        F.array_sort(
+                            F.collect_list(
+                                F.struct(F.unix_micros("ts").alias("t"), "event_id", "event_type")
+                            )
+                        ),
+                        1,
+                        PATH_CAP,
+                    ),
+                    lambda e: e["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.desc("n_sessions"), F.asc("path"))
+        .limit(10)
+    )
+
+
+TOP_PATHS_SQL = f"""
+WITH ev AS (
+  SELECT user_id, event_id, date_trunc('microseconds', ts) AS ts, event_type FROM events
+),
+flagged AS (
+  SELECT user_id, event_id, ts, event_type,
+         CASE WHEN epoch_us(ts) - epoch_us(lag(ts) OVER w) <= {30 * 60 * 1000000}
+              THEN 0 ELSE 1 END AS new_session
+  FROM ev
+  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+numbered AS (
+  SELECT user_id, event_id, ts, event_type,
+         sum(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS UNBOUNDED PRECEDING) AS session_idx
+  FROM flagged
+),
+paths AS (
+  SELECT user_id, session_idx,
+         array_to_string(
+           list_transform(
+             list_slice(list(struct_pack(t := epoch_us(ts), event_id := event_id,
+                                         event_type := event_type)
+                             ORDER BY epoch_us(ts), event_id), 1, {PATH_CAP}),
+             e -> e.event_type),
+           '>') AS path
+  FROM numbered
+  GROUP BY user_id, session_idx
+)
+SELECT path, count(*) AS n_sessions
+FROM paths
+GROUP BY path
+ORDER BY n_sessions DESC, path ASC
+LIMIT 10
+"""
+
+QUERIES["events_top_paths"] = events_top_paths
+ORACLES["events_top_paths"] = TOP_PATHS_SQL

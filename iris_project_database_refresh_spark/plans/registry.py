@@ -139,7 +139,7 @@ _DRIVER_PRIORITY = [
     "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
     "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
     "join_size_cms", "entity_resolve", "quality_filter_verdict",
-    "knn_graph",
+    "knn_graph", "events_top_paths", "embed_project_pc1",
 ]
 
 
