@@ -208,3 +208,158 @@ ORACLES = {
     "bm25_search": BM25_SQL,
     "hybrid_search_rrf": HYBRID_SQL,
 }
+
+
+# --- bm25_prf_search — pseudo-relevance-feedback expansion --------------------
+#
+# Rocchio-style PRF (classic public IR): run the base BM25 query, take
+# the top FB_DOCS results as pseudo-relevant, mine the EXP_TERMS most
+# frequent non-stopword/non-query terms from them, and re-rank with
+# the expanded query (expansion terms down-weighted by EXP_WEIGHT).
+# The catalog-search flow a retrieval deployment actually ships when
+# recall matters.
+#
+# Determinism device: the expansion is pivoted to a ONE-ROW broadcast
+# (term1, term2 columns), so the re-scoring stays a fixed expression
+# tree — no data-dependent float summation order for engines to
+# disagree on. Ranks/selection use rounded scores with id/term
+# tie-breaks throughout.
+#
+# Scale: feedback mining explodes tokens of FB_DOCS documents only
+# (bounded); the re-rank is one more narrow pass over the corpus with
+# two size(filter()) counters + the same 1-row stats broadcast as the
+# base ranking; top-k is TakeOrderedAndProject.
+
+FB_DOCS = 5
+EXP_TERMS = 2
+EXP_WEIGHT = 0.5
+
+from .textqc import STOPWORDS as _STOPWORDS  # noqa: E402
+
+
+def bm25_prf_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = _bm25_scored(spark, sf_dir).localCheckpoint(eager=False)
+    fb = base.orderBy(F.desc("score"), F.asc("doc_id")).limit(FB_DOCS)
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    banned = list(_STOPWORDS["en"]) + QUERY_TERMS
+    fb_terms = (
+        docs.join(fb.select("doc_id"), "doc_id")
+        .select(F.explode(toks).alias("term"))
+        .where(~F.col("term").isin(*banned))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(F.desc("cnt"), F.asc("term"))
+        .limit(EXP_TERMS)
+    )
+    w = Window.orderBy(F.desc("cnt"), F.asc("term"))
+    exp_row = (
+        fb_terms.withColumn("r", F.row_number().over(w))
+        .groupBy()
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("term"))).alias("term1"),
+            F.max(F.when(F.col("r") == 2, F.col("term"))).alias("term2"),
+        )
+    )
+
+    per_doc = docs.crossJoin(F.broadcast(exp_row)).select(
+        "doc_id",
+        F.size(toks).alias("len_d"),
+        F.size(F.filter(toks, lambda t: t == F.col("term1"))).alias("etf_1"),
+        F.size(F.filter(toks, lambda t: t == F.col("term2"))).alias("etf_2"),
+    ).localCheckpoint(eager=False)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len_d").alias("avg_len"),
+        F.sum((F.col("etf_1") > 0).cast("long")).cast("double").alias("edf_1"),
+        F.sum((F.col("etf_2") > 0).cast("long")).cast("double").alias("edf_2"),
+    )
+
+    def bm25_term(tf, df):
+        return (
+            F.log((F.col("n_docs") - df + 0.5) / (df + 0.5) + 1.0)
+            * (tf * (BM25_K1 + 1))
+            / (tf + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len_d") / F.col("avg_len")))
+        )
+
+    exp_score = (
+        per_doc.crossJoin(F.broadcast(stats))
+        .select(
+            "doc_id",
+            F.round(
+                bm25_term(F.col("etf_1"), F.col("edf_1"))
+                + bm25_term(F.col("etf_2"), F.col("edf_2")),
+                6,
+            ).alias("exp_score"),
+        )
+    )
+    final = (
+        base.join(exp_score, "doc_id", "full")
+        .select(
+            "doc_id",
+            F.round(
+                F.coalesce("score", F.lit(0.0)) + EXP_WEIGHT * F.coalesce("exp_score", F.lit(0.0)),
+                6,
+            ).alias("score"),
+        )
+        .where(F.col("score") > 0)
+    )
+    return final.orderBy(F.desc("score"), F.asc("doc_id")).limit(TOP_K)
+
+
+_BANNED_SQL = ", ".join(f"'{t}'" for t in sorted(set(list(_STOPWORDS["en"]) + QUERY_TERMS)))
+
+BM25_PRF_SQL = f"""
+WITH base AS ({_BM25_SCORED_SQL}),
+fb AS (SELECT doc_id FROM base ORDER BY score DESC, doc_id LIMIT {FB_DOCS}),
+fb_terms AS (
+  SELECT term, count(*) AS cnt
+  FROM (SELECT unnest(list_filter(string_split_regex(d.text, '\\s+'), t -> t <> '')) AS term
+        FROM documents d JOIN fb USING (doc_id))
+  WHERE term NOT IN ({_BANNED_SQL})
+  GROUP BY term
+  ORDER BY cnt DESC, term ASC
+  LIMIT {EXP_TERMS}
+),
+exp_row AS (
+  SELECT max(CASE WHEN r = 1 THEN term END) AS term1,
+         max(CASE WHEN r = 2 THEN term END) AS term2
+  FROM (SELECT term, row_number() OVER (ORDER BY cnt DESC, term ASC) AS r FROM fb_terms)
+),
+per_doc AS (
+  SELECT doc_id, len(toks) AS len_d,
+         len(list_filter(toks, t -> t = term1)) AS etf_1,
+         len(list_filter(toks, t -> t = term2)) AS etf_2
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents), exp_row
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len_d) AS avg_len,
+         CAST(sum(CASE WHEN etf_1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS edf_1,
+         CAST(sum(CASE WHEN etf_2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS edf_2
+  FROM per_doc
+),
+exp_score AS (
+  SELECT doc_id,
+         round(
+           ln((n_docs - edf_1 + 0.5::DOUBLE) / (edf_1 + 0.5::DOUBLE) + 1.0)
+             * (etf_1 * ({BM25_K1}::DOUBLE + 1))
+             / (etf_1 + {BM25_K1}::DOUBLE * (1 - {BM25_B}::DOUBLE + {BM25_B}::DOUBLE * len_d / avg_len))
+         + ln((n_docs - edf_2 + 0.5::DOUBLE) / (edf_2 + 0.5::DOUBLE) + 1.0)
+             * (etf_2 * ({BM25_K1}::DOUBLE + 1))
+             / (etf_2 + {BM25_K1}::DOUBLE * (1 - {BM25_B}::DOUBLE + {BM25_B}::DOUBLE * len_d / avg_len)),
+         6) AS exp_score
+  FROM per_doc CROSS JOIN stats
+),
+final AS (
+  SELECT coalesce(b.doc_id, e.doc_id) AS doc_id,
+         round(coalesce(b.score, 0) + {EXP_WEIGHT}::DOUBLE * coalesce(e.exp_score, 0), 6) AS score
+  FROM base b FULL OUTER JOIN exp_score e ON b.doc_id = e.doc_id
+)
+SELECT doc_id, score FROM final WHERE score > 0
+ORDER BY score DESC, doc_id LIMIT {TOP_K}
+"""
+
+QUERIES["bm25_prf_search"] = bm25_prf_search
+ORACLES["bm25_prf_search"] = BM25_PRF_SQL
