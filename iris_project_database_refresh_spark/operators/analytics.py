@@ -337,3 +337,42 @@ ORACLES = {
     "events_salted_rollup": SALTED_ROLLUP_SQL,
     "interval_overlap_join": INTERVAL_OVERLAP_SQL,
 }
+
+
+# --- explicit GROUPING SETS --------------------------------------------------
+#
+# The third member of the OLAP grouping family (ROLLUP lives at
+# monitor_rollup_cube, pivot at events_pivot): arbitrary GROUPING SETS
+# — per-type totals, per-day totals, and the grand total in ONE pass,
+# WITHOUT the intermediate (type, day) cells a ROLLUP/CUBE would also
+# compute. One scan, one Expand (3 replicas instead of a cube's 4),
+# map-side partial aggregation; grouping_id distinguishes the sets.
+
+def monitor_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # materialize the day column first: groupingSets identifies grouping
+    # columns by expression identity, so a repeated date_trunc alias
+    # would register as separate columns and skew grouping_id
+    ev = load_table(spark, sf_dir, "events").withColumn(
+        "day", F.date_trunc("day", F.col("ts")).cast("date")
+    )
+    return ev.groupingSets(
+        [[F.col("event_type")], [F.col("day")], []], F.col("event_type"), F.col("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.grouping_id().alias("grouping_level"),
+    )
+
+
+GROUPING_SETS_SQL = """
+SELECT event_type,
+       date_trunc('day', ts) AS day,
+       count(*) AS n_events,
+       round(sum(value), 2) AS sum_value,
+       CAST(grouping(event_type, date_trunc('day', ts)) AS BIGINT) AS grouping_level
+FROM events
+GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
+"""
+
+QUERIES["monitor_grouping_sets"] = monitor_grouping_sets
+ORACLES["monitor_grouping_sets"] = GROUPING_SETS_SQL

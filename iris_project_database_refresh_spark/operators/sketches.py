@@ -528,3 +528,116 @@ FROM est, est_min, exact
 
 QUERIES["join_size_cms"] = join_size_cms
 ORACLES["join_size_cms"] = JOIN_SIZE_SQL
+
+
+# --- theta-sketch set operations ---------------------------------------------
+#
+# The KMV/theta sketch's real superpower over HLL: SET ALGEBRA
+# (Dasgupta et al., theta sketches — public). Distinct viewers A and
+# purchasers B each reduce to a bottom-K hash sample with threshold
+# theta = K-th minimum; then |A ∪ B| comes from the merged bottom-K,
+# and |A ∩ B| from the common samples below min(theta_A, theta_B)
+# scaled by 2^32/theta — overlap analytics (audience intersection,
+# cross-source contamination) without touching the raw sets again.
+# Exact answers audited alongside (the house sketch pattern).
+#
+# Scale: each side is one distinct pass + a K-row sample; union/
+# intersection estimates are joins over K-row tables. The samples are
+# mergeable across partitions/days — the warehouse keeps kilobytes.
+
+def distinct_set_ops_kmv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+
+    def side(event_type: str):
+        h = (
+            ev.where(F.col("event_type") == event_type)
+            .select(md5_int32(F.col("user_id").cast("string")).alias("h"))
+            .distinct()
+            .localCheckpoint(eager=False)  # sample + exact counts share it
+        )
+        w = Window.orderBy("h")
+        sample = h.withColumn("rn", F.row_number().over(w)).where(F.col("rn") <= KMV_K)
+        theta = sample.groupBy().agg(F.max("h").alias("theta"))
+        return h, sample.select("h"), theta
+
+    ha, sa, ta = side("view")
+    hb, sb, tb = side("purchase")
+
+    exact_inter = ha.join(hb, "h").groupBy().agg(F.count(F.lit(1)).alias("exact_inter"))
+    exact_union = (
+        ha.unionAll(hb).distinct().groupBy().agg(F.count(F.lit(1)).alias("exact_union"))
+    )
+    merged = ha.unionAll(hb).distinct()
+    wu = Window.orderBy("h")
+    union_k = (
+        merged.withColumn("rn", F.row_number().over(wu))
+        .where(F.col("rn") <= KMV_K)
+        .groupBy()
+        .agg(F.max("h").alias("hk_u"), F.count(F.lit(1)).alias("k_u"))
+    )
+    theta = (
+        ta.select(F.col("theta").alias("theta_a"))
+        .crossJoin(tb.select(F.col("theta").alias("theta_b")))
+        .select(F.least("theta_a", "theta_b").alias("theta_min"))
+    )
+    common_below = (
+        sa.join(sb, "h")
+        .crossJoin(F.broadcast(theta))
+        .where(F.col("h") < F.col("theta_min"))
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    est_union = F.when(
+        F.col("k_u") >= KMV_K, F.round(F.lit((KMV_K - 1) * _TWO32) / F.col("hk_u"), 2)
+    ).otherwise(F.col("exact_union").cast("double"))
+    est_inter = F.round(F.col("n_common") * F.lit(_TWO32) / F.col("theta_min"), 2)
+    return (
+        exact_union.crossJoin(F.broadcast(exact_inter))
+        .crossJoin(F.broadcast(union_k))
+        .crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(common_below))
+        .select(
+            "exact_union",
+            est_union.alias("est_union"),
+            "exact_inter",
+            est_inter.alias("est_inter"),
+            F.col("n_common").cast("bigint").alias("n_common_samples"),
+        )
+    )
+
+
+DISTINCT_SET_OPS_SQL = f"""
+WITH ha AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events WHERE event_type = 'view'
+),
+hb AS (
+  SELECT DISTINCT CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) AS h
+  FROM events WHERE event_type = 'purchase'
+),
+sa AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM ha) WHERE rn <= {KMV_K}),
+sb AS (SELECT h FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM hb) WHERE rn <= {KMV_K}),
+theta AS (
+  SELECT least((SELECT max(h) FROM sa), (SELECT max(h) FROM sb)) AS theta_min
+),
+merged AS (SELECT h FROM ha UNION SELECT h FROM hb),
+union_k AS (
+  SELECT max(h) AS hk_u, count(*) AS k_u
+  FROM (SELECT h, row_number() OVER (ORDER BY h) AS rn FROM merged) WHERE rn <= {KMV_K}
+),
+exact_union AS (SELECT count(*) AS exact_union FROM merged),
+exact_inter AS (SELECT count(*) AS exact_inter FROM ha JOIN hb USING (h)),
+common_below AS (
+  SELECT count(*) AS n_common FROM sa JOIN sb USING (h), theta WHERE h < theta_min
+)
+SELECT exact_union,
+       CASE WHEN k_u >= {KMV_K} THEN round({(KMV_K - 1)} * {_TWO32} / hk_u, 2)
+            ELSE CAST(exact_union AS DOUBLE) END AS est_union,
+       exact_inter,
+       round(n_common * {_TWO32} / theta_min, 2) AS est_inter,
+       CAST(n_common AS BIGINT) AS n_common_samples
+FROM exact_union, exact_inter, union_k, theta, common_below
+"""
+
+QUERIES["distinct_set_ops_kmv"] = distinct_set_ops_kmv
+ORACLES["distinct_set_ops_kmv"] = DISTINCT_SET_OPS_SQL

@@ -140,7 +140,7 @@ _DRIVER_PRIORITY = [
     "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
     "join_size_cms", "entity_resolve", "quality_filter_verdict",
     "knn_graph", "events_top_paths", "embed_project_pc1",
-    "bm25_prf_search",
+    "bm25_prf_search", "monitor_grouping_sets", "distinct_set_ops_kmv",
 ]
 
 
