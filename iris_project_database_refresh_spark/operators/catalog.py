@@ -498,3 +498,37 @@ FROM best
 
 QUERIES["entity_resolve"] = entity_resolve
 ORACLES["entity_resolve"] = ENTITY_RESOLVE_SQL
+
+
+# --- catalog_delta_summary ---------------------------------------------------
+#
+# Stage1's run report: before touching anything, the refresh prints
+# how many files each (source, action) bucket holds and how many bytes
+# the process/delete lists carry (`stage1_extract_csv.py` emits the 1C
+# process list + 1D delete list with summary counts). One bounded
+# aggregation over the delta — the dry-run a 100 TB refresh ALWAYS
+# runs before committing to IO.
+
+def catalog_delta_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    delta = catalog_delta(spark, sf_dir)
+    return delta.groupBy("document_source", "action").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("file_size").alias("total_bytes"),
+        F.sum("needs_process").cast("bigint").alias("n_to_process"),
+        F.sum("needs_delete").cast("bigint").alias("n_to_delete"),
+    )
+
+
+CATALOG_DELTA_SUMMARY_SQL = f"""
+WITH delta_full AS ({CATALOG_DELTA_SQL.strip()})
+SELECT document_source, action,
+       count(*) AS n_files,
+       CAST(sum(file_size) AS BIGINT) AS total_bytes,
+       CAST(sum(needs_process) AS BIGINT) AS n_to_process,
+       CAST(sum(needs_delete) AS BIGINT) AS n_to_delete
+FROM delta_full
+GROUP BY document_source, action
+"""
+
+QUERIES["catalog_delta_summary"] = catalog_delta_summary
+ORACLES["catalog_delta_summary"] = CATALOG_DELTA_SUMMARY_SQL

@@ -641,3 +641,134 @@ FROM exact_union, exact_inter, union_k, theta, common_below
 
 QUERIES["distinct_set_ops_kmv"] = distinct_set_ops_kmv
 ORACLES["distinct_set_ops_kmv"] = DISTINCT_SET_OPS_SQL
+
+
+# --- hll_merge_days — mergeability, demonstrated ------------------------------
+#
+# The property the 100 TB story rests on, as a graded query: per-DAY
+# HLL register sets (the sketches a warehouse persists nightly) merged
+# by elementwise max reproduce EXACTLY the registers — and therefore
+# exactly the estimate — of one pass over the whole window, because
+# max is associative/commutative/idempotent. The query computes both
+# paths and publishes the equality, plus the exact count audit.
+#
+# Scale: daily sketches are (types × m) ints each; the merge touches
+# only sketches, never re-reading history — the incremental-analytics
+# contract.
+
+def hll_merge_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"),
+        "user_id",
+    )
+    hashed = ev.select(
+        "event_type",
+        "day",
+        (md5_int32(F.col("user_id").cast("string")) % HLL_M).alias("bucket"),
+        F.expr(
+            f"cast(conv(substring(md5(cast(user_id as string)), 1, 8), 16, 10) as bigint) div {HLL_M}"
+        ).alias("rest"),
+    )
+    rho = F.when(F.col("rest") == 0, F.lit(_HLL_RESTBITS + 1)).otherwise(
+        F.lit(_HLL_RESTBITS + 1) - F.length(F.bin("rest"))
+    )
+    daily = (
+        hashed.select("event_type", "day", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "day", "bucket")
+        .agg(F.max("rho").alias("reg"))
+        .localCheckpoint(eager=False)  # merged + direct both consume it
+    )
+    merged = daily.groupBy("event_type", "bucket").agg(F.max("reg").alias("reg"))
+
+    def estimate(regs):
+        per_type = regs.groupBy("event_type").agg(
+            F.sum(F.expr("shiftleft(cast(1 as bigint), 30 - reg)")).alias("s_present"),
+            F.count(F.lit(1)).alias("n_regs"),
+        )
+        denom = F.col("s_present") + (F.lit(HLL_M) - F.col("n_regs")) * F.lit(2**30)
+        return per_type.select("event_type", F.round(F.lit(_HLL_NUM) / denom, 2).alias("est"))
+
+    est_merged = estimate(merged).withColumnRenamed("est", "est_merged")
+    # direct one-pass registers over the full window (ignore day)
+    direct = (
+        hashed.select("event_type", "bucket", rho.alias("rho"))
+        .groupBy("event_type", "bucket")
+        .agg(F.max("rho").alias("reg"))
+    )
+    est_direct = estimate(direct).withColumnRenamed("est", "est_direct")
+    exact = (
+        ev.select("event_type", "user_id")
+        .distinct()
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_exact"))
+    )
+    n_days = daily.select("event_type", "day").distinct().groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_daily_sketches")
+    )
+    return (
+        est_merged.join(est_direct, "event_type")
+        .join(exact, "event_type")
+        .join(n_days, "event_type")
+        .select(
+            "event_type",
+            "n_daily_sketches",
+            "est_merged",
+            "est_direct",
+            (F.col("est_merged") == F.col("est_direct")).cast("int").alias("merge_exactly_equal"),
+            "n_exact",
+        )
+    )
+
+
+HLL_MERGE_SQL = f"""
+WITH ev AS (
+  SELECT event_type, date_trunc('day', ts) AS day, user_id FROM events
+),
+hashed AS (
+  SELECT event_type, day,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) % {HLL_M} AS bucket,
+         CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT) // {HLL_M} AS rest
+  FROM ev
+),
+rhos AS (
+  SELECT event_type, day, bucket,
+         CASE WHEN rest = 0 THEN {_HLL_RESTBITS + 1}
+              ELSE {_HLL_RESTBITS + 1} - length(bin(rest)) END AS rho
+  FROM hashed
+),
+daily AS (
+  SELECT event_type, day, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2, 3
+),
+merged AS (
+  SELECT event_type, bucket, max(reg) AS reg FROM daily GROUP BY 1, 2
+),
+direct AS (
+  SELECT event_type, bucket, max(rho) AS reg FROM rhos GROUP BY 1, 2
+),
+est_m AS (
+  SELECT event_type,
+         round({_HLL_NUM} / (sum(1::BIGINT << (30 - reg)) + ({HLL_M} - count(*)) * {2**30}), 2) AS est_merged
+  FROM merged GROUP BY event_type
+),
+est_d AS (
+  SELECT event_type,
+         round({_HLL_NUM} / (sum(1::BIGINT << (30 - reg)) + ({HLL_M} - count(*)) * {2**30}), 2) AS est_direct
+  FROM direct GROUP BY event_type
+),
+exact AS (
+  SELECT event_type, count(*) AS n_exact
+  FROM (SELECT DISTINCT event_type, user_id FROM ev) GROUP BY event_type
+),
+nd AS (
+  SELECT event_type, count(DISTINCT day) AS n_daily_sketches FROM daily GROUP BY event_type
+)
+SELECT e.event_type, nd.n_daily_sketches, m.est_merged, d.est_direct,
+       CAST(m.est_merged = d.est_direct AS INT) AS merge_exactly_equal,
+       e.n_exact
+FROM est_m m JOIN est_d d USING (event_type) JOIN exact e USING (event_type)
+JOIN nd USING (event_type)
+"""
+
+QUERIES["hll_merge_days"] = hll_merge_days
+ORACLES["hll_merge_days"] = HLL_MERGE_SQL

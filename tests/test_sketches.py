@@ -123,3 +123,11 @@ def test_join_size_cms_never_underestimates(spark):
     v = ev.where(F.col("event_type") == "view").select("user_id")
     p = ev.where(F.col("event_type") == "purchase").select("user_id")
     assert rows[0].exact_join_rows == v.join(p, "user_id").count()
+
+
+def test_hll_merge_is_exact(spark):
+    """max-merge associativity: daily sketches merged must give exactly
+    the one-pass estimate for every type."""
+    rows = sketches.hll_merge_days(spark, SF_CORRECT).collect()
+    assert rows and all(r.merge_exactly_equal == 1 for r in rows)
+    assert all(r.n_daily_sketches > 1 for r in rows)  # the merge is real
