@@ -838,3 +838,101 @@ FROM agg
 
 QUERIES["brand_return_rates"] = brand_return_rates
 ORACLES["brand_return_rates"] = WILSON_SQL
+
+
+# --- orders_refresh_streams (TPC-H RF1/RF2 analogue) --------------------------
+#
+# TPC-H pairs its 22 queries with two REFRESH functions: RF1 inserts a
+# batch of new orders+lineitems, RF2 deletes an old batch — the same
+# delete+insert cycle the reference's stage4/stage_06 run on catalog
+# rows, exercised here on the FACT tables with referential integrity.
+# Planted batches (house pattern): orders with o_orderkey % 97 == 7
+# are the delete stream; the insert stream clones orders with
+# o_orderkey % 89 == 11 under key+100,000,000 (collision-free: keys
+# stay < 10^8 at every SF).
+#
+# Output: per-orderstatus row counts before/after for both tables plus
+# the orphan audit (lineitems whose order vanished — must be 0 after
+# the paired delete). Scale: two broadcast anti-joins (the delete keys
+# are a batch, not a corpus) + unions; counts reduce map-side.
+
+def orders_refresh_streams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    lineitem = load_table(spark, sf_dir, "lineitem")
+    del_keys = orders.where(F.col("o_orderkey") % 97 == 7).select("o_orderkey")
+    ins_orders = orders.where(F.col("o_orderkey") % 89 == 11).select(
+        (F.col("o_orderkey") + 100000000).alias("o_orderkey"),
+        F.col("o_custkey"),
+        F.col("o_orderstatus"),
+        F.col("o_totalprice"),
+        F.col("o_orderdate"),
+        F.col("o_orderpriority"),
+    )
+    ins_lines = lineitem.where(F.col("l_orderkey") % 89 == 11).select(
+        (F.col("l_orderkey") + 100000000).alias("l_orderkey"), "l_linenumber"
+    )
+    orders_after = (
+        orders.join(del_keys, "o_orderkey", "left_anti")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+                "o_orderdate", "o_orderpriority")
+        .unionAll(ins_orders)
+    )
+    lines_after = (
+        lineitem.select("l_orderkey", "l_linenumber")
+        .join(del_keys.withColumnRenamed("o_orderkey", "l_orderkey"), "l_orderkey", "left_anti")
+        .unionAll(ins_lines)
+    )
+    before = orders.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders_before")
+    )
+    after = orders_after.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).alias("orders_after")
+    )
+    orphans = (
+        lines_after.join(
+            orders_after.select(F.col("o_orderkey").alias("l_orderkey")), "l_orderkey", "left_anti"
+        )
+        .groupBy()
+        .agg(F.count(F.lit(1)).alias("n_orphan_lineitems"))
+    )
+    lines_total = lines_after.groupBy().agg(F.count(F.lit(1)).alias("lineitems_after"))
+    return (
+        before.join(after, "o_orderstatus")
+        .crossJoin(F.broadcast(orphans))
+        .crossJoin(F.broadcast(lines_total))
+    )
+
+
+ORDERS_REFRESH_SQL = """
+WITH del_keys AS (
+  SELECT o_orderkey FROM orders WHERE o_orderkey % 97 = 7
+),
+orders_after AS (
+  SELECT o_orderkey, o_orderstatus FROM orders
+  WHERE o_orderkey NOT IN (SELECT o_orderkey FROM del_keys)
+  UNION ALL
+  SELECT o_orderkey + 100000000, o_orderstatus FROM orders WHERE o_orderkey % 89 = 11
+),
+lines_after AS (
+  SELECT l_orderkey FROM lineitem
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM del_keys)
+  UNION ALL
+  SELECT l_orderkey + 100000000 FROM lineitem WHERE l_orderkey % 89 = 11
+),
+before_t AS (
+  SELECT o_orderstatus, count(*) AS orders_before FROM orders GROUP BY o_orderstatus
+),
+after_t AS (
+  SELECT o_orderstatus, count(*) AS orders_after FROM orders_after GROUP BY o_orderstatus
+),
+orphans AS (
+  SELECT count(*) AS n_orphan_lineitems FROM lines_after
+  WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders_after)
+),
+lt AS (SELECT count(*) AS lineitems_after FROM lines_after)
+SELECT b.o_orderstatus, b.orders_before, a.orders_after, o.n_orphan_lineitems, lt.lineitems_after
+FROM before_t b JOIN after_t a USING (o_orderstatus), orphans o, lt
+"""
+
+QUERIES["orders_refresh_streams"] = orders_refresh_streams
+ORACLES["orders_refresh_streams"] = ORDERS_REFRESH_SQL

@@ -241,3 +241,67 @@ ORACLES = {
     "catalog_asof_state": ASOF_STATE_SQL,
     "customer_rfm": RFM_SQL,
 }
+
+
+# --- customer_segment_migration ----------------------------------------------
+#
+# The follow-up question RFM scoring exists to answer: who MOVED?
+# Spend quartiles are computed independently for two halves of the
+# order history (cutoff 1998-07-01, mid-range of the corpus dates) and
+# the transition matrix counts customers per (tier_then, tier_now),
+# with tier 0 for absent-in-period (new / churned customers). The
+# warehouse report behind retention programs.
+#
+# Scale: each period collapses to per-customer rows first; the ntile
+# windows run over the bounded customer table (deterministic
+# spend-desc + custkey order, the customer_rfm device); the matrix is
+# a full outer join of two customer-sized tables + one bounded count.
+
+MIGRATION_CUTOFF = "1998-07-01"
+
+
+def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderdate", "o_totalprice"
+    )
+
+    def tiers(period_filter):
+        per_cust = (
+            orders.where(period_filter)
+            .groupBy(F.col("o_custkey").alias("custkey"))
+            .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
+        )
+        w = Window.orderBy(F.desc("spend"), "custkey")
+        return per_cust.select("custkey", F.ntile(RFM_TILES).over(w).alias("tier"))
+
+    p1 = tiers(F.col("o_orderdate") < MIGRATION_CUTOFF).withColumnRenamed("tier", "tier_then")
+    p2 = tiers(F.col("o_orderdate") >= MIGRATION_CUTOFF).withColumnRenamed("tier", "tier_now")
+    joined = p1.join(p2, "custkey", "full").select(
+        F.coalesce("tier_then", F.lit(0)).alias("tier_then"),
+        F.coalesce("tier_now", F.lit(0)).alias("tier_now"),
+    )
+    return joined.groupBy("tier_then", "tier_now").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+SEGMENT_MIGRATION_SQL = f"""
+WITH p1 AS (
+  SELECT custkey, ntile({RFM_TILES}) OVER (ORDER BY spend DESC, custkey) AS tier_then
+  FROM (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+        FROM orders WHERE o_orderdate < TIMESTAMP '{MIGRATION_CUTOFF}' GROUP BY o_custkey)
+),
+p2 AS (
+  SELECT custkey, ntile({RFM_TILES}) OVER (ORDER BY spend DESC, custkey) AS tier_now
+  FROM (SELECT o_custkey AS custkey, round(sum(o_totalprice), 2) AS spend
+        FROM orders WHERE o_orderdate >= TIMESTAMP '{MIGRATION_CUTOFF}' GROUP BY o_custkey)
+)
+SELECT coalesce(tier_then, 0) AS tier_then,
+       coalesce(tier_now, 0) AS tier_now,
+       count(*) AS n_customers
+FROM p1 FULL OUTER JOIN p2 USING (custkey)
+GROUP BY 1, 2
+"""
+
+QUERIES["customer_segment_migration"] = customer_segment_migration
+ORACLES["customer_segment_migration"] = SEGMENT_MIGRATION_SQL

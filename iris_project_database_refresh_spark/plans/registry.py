@@ -141,7 +141,8 @@ _DRIVER_PRIORITY = [
     "join_size_cms", "entity_resolve", "quality_filter_verdict",
     "knn_graph", "events_top_paths", "embed_project_pc1",
     "bm25_prf_search", "monitor_grouping_sets", "distinct_set_ops_kmv",
-    "catalog_delta_summary", "hll_merge_days",
+    "catalog_delta_summary", "hll_merge_days", "orders_refresh_streams",
+    "customer_segment_migration",
 ]
 
 

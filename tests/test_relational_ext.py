@@ -147,3 +147,11 @@ def test_wilson_bound_below_rate(spark):
     for r in rows:
         assert 0 <= r.wilson_lower <= r.return_rate <= 1
         assert r.n_returned <= r.n_lines
+
+
+def test_refresh_streams_keep_referential_integrity(spark):
+    rows = relational_ext.orders_refresh_streams(spark, SF_CORRECT).collect()
+    assert rows
+    assert all(r.n_orphan_lineitems == 0 for r in rows)
+    # the streams really changed the table
+    assert sum(r.orders_before for r in rows) != sum(r.orders_after for r in rows)
