@@ -69,16 +69,14 @@ def _planted_calls():
     )
 
 
-def monitor_llm_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """total_tokens/total_cost per (stage, model) over the llm_calls
-    JSON array — ``from_json`` → ``explode`` → sum, the JSONB rollup of
-    `database-schema.sql:267-269`. event_type plays stage_name."""
-    ev = load_table(spark, sf_dir, "events")
-    payload = ev.select(
+def llm_cost_rollup(events: DataFrame) -> DataFrame:
+    """The shared rollup transform — ``from_json`` → ``explode`` → sum
+    per (stage, model); works on both batch and streaming frames (the
+    streaming twin lives in ``streaming/costs.py``)."""
+    calls = events.select(
         F.col("event_type").alias("stage_name"),
         F.to_json(_planted_calls()).alias("llm_calls"),  # the JSONB column
-    )
-    calls = payload.select(
+    ).select(
         "stage_name",
         F.explode(F.from_json("llm_calls", _CALLS_SCHEMA)).alias("call"),
     )
@@ -108,6 +106,13 @@ def monitor_llm_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("total_cost"),
         )
     )
+
+
+def monitor_llm_costs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """total_tokens/total_cost per (stage, model) over the llm_calls
+    JSON array — the JSONB rollup of `database-schema.sql:267-269`.
+    event_type plays stage_name."""
+    return llm_cost_rollup(load_table(spark, sf_dir, "events"))
 
 
 MONITOR_LLM_COSTS_SQL = f"""

@@ -211,3 +211,14 @@ def test_wav_header_parser_rejects_non_audio():
         + b"data" + struct.pack("<I", len(data))
     )
     assert parse_wav_header(hdr + data) == (16000, 2, 16, 5)
+
+
+def test_streaming_llm_costs_equals_batch(spark):
+    from iris_project_database_refresh_spark.operators.monitor import monitor_llm_costs
+    from iris_project_database_refresh_spark.streaming.costs import (
+        run_llm_costs_available_now,
+    )
+
+    got = run_llm_costs_available_now(spark, SF_CORRECT)
+    want = monitor_llm_costs(spark, SF_CORRECT)
+    assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
