@@ -660,3 +660,205 @@ WHERE doc_id % 3 = 1
 
 QUERIES["multimodal_audio_stats"] = multimodal_audio_stats
 ORACLES["multimodal_audio_stats"] = MULTIMODAL_AUDIO_SQL
+
+
+# --- video: planted Y4M containers + dependency-free stream kernel -----------
+#
+# Completes the real-container triple (image headers / WAV audio / Y4M
+# video). YUV4MPEG2 is the public uncompressed-video interchange format
+# (mjpegtools; what ffmpeg emits with `-f yuv4mpegpipe`): a plain-text
+# stream header `YUV4MPEG2 W.. H.. F<num>:<den> Ip A1:1 C420\n`
+# followed by `FRAME\n` + width*height*3/2 raw C420 bytes per frame —
+# parseable with stdlib only, like the reference prep pipelines'
+# binary-document walks (`catalog search - docx prep/docx_to_pdf_prep.py`).
+# Video rows of the media table get REAL Y4M bytes built entirely with
+# JVM expressions; the Arrow-batched kernel must recover every header
+# field AND the frame count from the byte stream — the oracle
+# recomputes them arithmetically from the planted parameters, so any
+# mis-parse (wrong chroma frame size, off-by-one frame walk)
+# hash-mismatches.
+#
+# Scale: same contract as the audio path — payload bytes never leave
+# executors, bounded mapInPandas batches; frame sampling at 100 TB
+# seeks header + frame offsets instead of materializing frames.
+
+VIDEO_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("fps_num", T.LongType()),
+        T.StructField("fps_den", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+VIDEO_MAX_FRAMES = 8  # planted cap: frames available from the text bytes
+
+
+def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): video-typed items as real Y4M byte streams.
+
+    width in {4,6,8,10}, height in {4,6,8} (even — C420 chroma needs
+    it), fps in {24,25}; frame data = consecutive slices of the
+    document's utf-8 bytes, up to VIDEO_MAX_FRAMES frames."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    prepared = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.encode("text", "utf-8").alias("tbytes"),
+        (F.lit(4) + (F.col("doc_id") % 4) * 2).cast("int").alias("w"),
+        (F.lit(4) + (F.col("doc_id") % 3) * 2).cast("int").alias("h"),
+        (F.lit(24) + F.col("doc_id") % 2).cast("int").alias("fps"),
+    ).select(
+        "media_id",
+        "tbytes",
+        "w",
+        "h",
+        "fps",
+        F.expr("cast(w * h * 3 / 2 as int)").alias("fs"),
+    ).select(
+        "*",
+        F.expr(f"least(octet_length(tbytes) div fs, {VIDEO_MAX_FRAMES})").alias("n_frames"),
+    )
+    header = F.concat(
+        F.encode(F.format_string("YUV4MPEG2 W%d H%d F%d:1 Ip A1:1 C420", "w", "h", "fps"), "utf-8"),
+        F.unhex(F.lit("0A")),
+    )
+    frames = F.expr(
+        """
+        CASE WHEN n_frames >= 1 THEN
+          aggregate(sequence(1, n_frames), cast('' as binary),
+            (acc, i) -> concat(acc, encode('FRAME', 'utf-8'), unhex('0A'),
+                               substring(tbytes, (i - 1) * fs + 1, fs)))
+        ELSE cast('' as binary) END
+        """
+    )
+    return prepared.select("media_id", F.concat(header, frames).alias("payload"))
+
+
+def parse_y4m_stream(payload: bytes) -> tuple[int, int, int, int, int] | None:
+    """(width, height, fps_num, fps_den, n_frames) via the Y4M stream
+    walk — header token parse, chroma-derived frame size, FRAME-marker
+    walk with exact-consumption check; None for non-Y4M bytes."""
+    if not payload.startswith(b"YUV4MPEG2"):
+        return None
+    nl = payload.find(b"\n")
+    if nl < 0:
+        return None
+    w = h = num = den = None
+    chroma = b"420"
+    for tok in payload[9:nl].split(b" "):
+        if not tok:
+            continue
+        key, val = tok[:1], tok[1:]
+        try:
+            if key == b"W":
+                w = int(val)
+            elif key == b"H":
+                h = int(val)
+            elif key == b"F":
+                a, b = val.split(b":")
+                num, den = int(a), int(b)
+            elif key == b"C":
+                chroma = val
+        except ValueError:
+            return None
+    if not (w and h and num and den):
+        return None
+    if chroma.startswith(b"420"):
+        frame_size = w * h * 3 // 2
+    elif chroma.startswith(b"422"):
+        frame_size = w * h * 2
+    elif chroma.startswith(b"444"):
+        frame_size = w * h * 3
+    else:
+        return None
+    i, n_frames = nl + 1, 0
+    while i < len(payload):
+        if payload[i : i + 5] != b"FRAME":
+            return None
+        j = payload.find(b"\n", i)
+        if j < 0:
+            return None
+        i = j + 1 + frame_size
+        if i > len(payload):
+            return None  # truncated frame
+        n_frames += 1
+    return w, h, num, den, n_frames
+
+
+def multimodal_video_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Y4M stream parse over the planted video items."""
+    video = video_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_y4m_stream(bytes(payload))
+                    if parsed is None:
+                        continue
+                    w, h, num, den, n_frames = parsed
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "width": w,
+                            "height": h,
+                            "fps_num": num,
+                            "fps_den": den,
+                            "n_frames": n_frames,
+                            "duration_ms": n_frames * 1000 * den // num,
+                            "parser": "y4m-stdlib",
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in VIDEO_SCHEMA.fields]
+                ).astype(
+                    {
+                        "media_id": "int64",
+                        "width": "int64",
+                        "height": "int64",
+                        "fps_num": "int64",
+                        "fps_den": "int64",
+                        "n_frames": "int64",
+                        "duration_ms": "int64",
+                    }
+                )
+
+    return video.mapInPandas(fn, VIDEO_SCHEMA)
+
+
+# The oracle recomputes every field from the planted parameters — the
+# kernel must recover them from the byte stream to match.
+MULTIMODAL_VIDEO_SQL = f"""
+WITH params AS (
+  SELECT doc_id,
+         4 + (doc_id % 4) * 2 AS w,
+         4 + (doc_id % 3) * 2 AS h,
+         24 + doc_id % 2 AS fps,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+), sized AS (
+  SELECT doc_id, w, h, fps,
+         least(nb // (w * h * 3 // 2), {VIDEO_MAX_FRAMES}) AS n_frames
+  FROM params
+)
+SELECT doc_id AS media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(fps AS BIGINT) AS fps_num,
+       CAST(1 AS BIGINT) AS fps_den,
+       CAST(n_frames AS BIGINT) AS n_frames,
+       CAST(n_frames * 1000 // fps AS BIGINT) AS duration_ms,
+       'y4m-stdlib' AS parser
+FROM sized
+"""
+
+QUERIES["multimodal_video_stats"] = multimodal_video_stats
+ORACLES["multimodal_video_stats"] = MULTIMODAL_VIDEO_SQL

@@ -143,6 +143,8 @@ _DRIVER_PRIORITY = [
     "bm25_prf_search", "monitor_grouping_sets", "distinct_set_ops_kmv",
     "catalog_delta_summary", "hll_merge_days", "orders_refresh_streams",
     "customer_segment_migration",
+    # round-3 second-session additions:
+    "multimodal_video_stats",
 ]
 
 

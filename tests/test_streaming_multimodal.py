@@ -222,3 +222,19 @@ def test_streaming_llm_costs_equals_batch(spark):
     got = run_llm_costs_available_now(spark, SF_CORRECT)
     want = monitor_llm_costs(spark, SF_CORRECT)
     assert sorted(map(tuple, got.collect())) == sorted(map(tuple, want.collect()))
+
+
+def test_y4m_stream_parser_rejects_non_video():
+    from iris_project_database_refresh_spark.operators.multimodal import parse_y4m_stream
+
+    assert parse_y4m_stream(b"plain document text") is None
+    assert parse_y4m_stream(b"YUV4MPEG2 W4 H4") is None  # no newline
+    assert parse_y4m_stream(b"YUV4MPEG2 W4 H4\nJUNK") is None  # bad frame marker
+    assert parse_y4m_stream(b"YUV4MPEG2 W4 H4 F25:1\nFRAME\nxx") is None  # truncated
+    # a minimal valid stream round-trips header fields and frame count
+    frame = b"y" * 16 + b"u" * 4 + b"v" * 4  # 4x4 C420 = 24 bytes
+    stream = b"YUV4MPEG2 W4 H4 F30:1 Ip A1:1 C420\n" + (b"FRAME\n" + frame) * 3
+    assert parse_y4m_stream(stream) == (4, 4, 30, 1, 3)
+    # chroma variants change the frame size
+    s422 = b"YUV4MPEG2 W4 H4 F24:1 C422\n" + b"FRAME\n" + b"x" * 32
+    assert parse_y4m_stream(s422) == (4, 4, 24, 1, 1)
