@@ -1,0 +1,263 @@
+"""Storage-layout planning operators: Z-order data skipping and
+small-file compaction.
+
+Reference parity: the refresh system's output stage owns file layout —
+`catalog search/stage5_output_final_csv.py` writes the final CSV per
+run and `stage4_update_csv.py` rewrites the master file wholesale. At
+100 TB the same responsibility becomes *layout planning*: choosing a
+sort/cluster order so query predicates can skip files (the public art:
+Delta/Iceberg OPTIMIZE ZORDER, Hudi clustering), and coalescing the
+small files a per-run writer accumulates (OPTIMIZE compaction /
+bin-packing). Both are planned here as graded queries over exactly the
+metadata a table format keeps — per-file min/max stats and a file
+manifest — so the planning math itself is oracle-checked.
+
+* `zorder_layout` — the data-skipping measurement behind OPTIMIZE
+  ZORDER: rows coded to 8-bit per-dimension cells (min/max from a
+  1-row broadcast), Morton-interleaved into a 16-bit z-key, assigned
+  to 64 files under two layouts (linear: sorted by dim A only;
+  zorder: sorted by z-key). Per-file min/max stats then answer, for
+  three query shapes (box on both dims / dim A only / dim B only),
+  how many files each layout must scan. The classic result the test
+  pins: the linear layout prunes perfectly on its own sort dimension
+  and NOT AT ALL on the other; z-order prunes on both.
+* `compaction_plan` — greedy sequential bin-packing of a per-source
+  file manifest into target-sized compaction bins (the algorithm
+  OPTIMIZE runs per partition): running byte totals via one window
+  over the manifest, bin = cumulative-bytes-before div target. The
+  manifest is metadata (rows ∝ file count, not corpus bytes), so the
+  whole plan is a bounded computation regardless of table size.
+
+Scale notes: `zorder_layout`'s only corpus-sized work is one pass to
+code rows + one (layout, file) aggregation (the stats collection a
+writer does for free while writing); everything downstream operates on
+the 128-row file-stats table. The z-key arithmetic is pure integer
+bit-interleaving (shiftleft/shiftright), identical in DuckDB, so the
+oracle reproduces the exact file assignment, not a simulation.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+ZBITS = 8          # per-dimension code width -> 16-bit z-key
+N_FILES = 64       # files per layout
+BOX_LO, BOX_HI = 64, 127  # planted box predicate: middle quarter of each dim
+
+
+def _zkey_terms(dialect: str) -> str:
+    """Morton interleave of two 8-bit codes — same integer arithmetic
+    spelled in each engine's SQL (Spark: shiftleft/shiftright; DuckDB:
+    << / >>)."""
+    terms = []
+    for j in range(ZBITS):
+        if dialect == "spark":
+            terms.append(f"shiftleft(shiftright(ca, {j}) & 1, {2 * j})")
+            terms.append(f"shiftleft(shiftright(cb, {j}) & 1, {2 * j + 1})")
+        else:
+            terms.append(f"(((ca >> {j}) & 1) << {2 * j})")
+            terms.append(f"(((cb >> {j}) & 1) << {2 * j + 1})")
+    return " + ".join(terms)
+
+
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Files-scanned comparison: linear vs z-order layout of orders on
+    (o_custkey, integer-cent o_totalprice) for three query boxes."""
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("a"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("b"),
+    )
+    rng = orders.agg(
+        F.min("a").alias("amin"), F.max("a").alias("amax"),
+        F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+    )
+    coded = (
+        orders.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(f"(a - amin) * {1 << ZBITS} div (amax - amin + 1)").alias("ca"),
+            F.expr(f"(b - bmin) * {1 << ZBITS} div (bmax - bmin + 1)").alias("cb"),
+        )
+        .select("ca", "cb", F.expr(_zkey_terms("spark")).alias("zkey"))
+    )
+    per_file_div = (1 << (2 * ZBITS)) // N_FILES
+    assigned = coded.select(
+        "ca",
+        "cb",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"ca div {(1 << ZBITS) // N_FILES}").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"zkey div {per_file_div}").alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+    ).select("ca", "cb", "f.layout", "f.file_id")
+    in_a = F.col("ca").between(BOX_LO, BOX_HI)
+    in_b = F.col("cb").between(BOX_LO, BOX_HI)
+    stats = assigned.groupBy("layout", "file_id").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ca").alias("min_a"), F.max("ca").alias("max_a"),
+        F.min("cb").alias("min_b"), F.max("cb").alias("max_b"),
+        F.sum((in_a & in_b).cast("bigint")).alias("hit_both"),
+        F.sum(in_a.cast("bigint")).alias("hit_a"),
+        F.sum(in_b.cast("bigint")).alias("hit_b"),
+    )
+    # file-skipping decision per query shape, straight off min/max stats
+    scan_a = (F.col("min_a") <= BOX_HI) & (F.col("max_a") >= BOX_LO)
+    scan_b = (F.col("min_b") <= BOX_HI) & (F.col("max_b") >= BOX_LO)
+    shapes = stats.select(
+        "layout",
+        "n_rows",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("box_both").alias("query_shape"),
+                    (scan_a & scan_b).alias("scanned"),
+                    F.col("hit_both").alias("hits"),
+                ),
+                F.struct(
+                    F.lit("box_a_only").alias("query_shape"),
+                    scan_a.alias("scanned"),
+                    F.col("hit_a").alias("hits"),
+                ),
+                F.struct(
+                    F.lit("box_b_only").alias("query_shape"),
+                    scan_b.alias("scanned"),
+                    F.col("hit_b").alias("hits"),
+                ),
+            )
+        ).alias("q"),
+    )
+    return shapes.groupBy("layout", F.col("q.query_shape").alias("query_shape")).agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum(F.col("q.scanned").cast("bigint")).alias("files_scanned"),
+        F.sum(F.when(F.col("q.scanned"), F.col("n_rows")).otherwise(0)).alias("rows_scanned"),
+        F.sum("q.hits").alias("rows_matching"),
+    )
+
+
+ZORDER_SQL = f"""
+WITH rng AS (
+  SELECT min(o_custkey) AS amin, max(o_custkey) AS amax,
+         min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS bmin,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS bmax
+  FROM orders
+), coded AS (
+  SELECT (o_custkey - amin) * {1 << ZBITS} // (amax - amin + 1) AS ca,
+         (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - bmin) * {1 << ZBITS}
+           // (bmax - bmin + 1) AS cb
+  FROM orders, rng
+), zkeyed AS (
+  SELECT ca, cb, {_zkey_terms("duckdb")} AS zkey FROM coded
+), assigned AS (
+  SELECT ca, cb, 'linear' AS layout, ca // {(1 << ZBITS) // N_FILES} AS file_id FROM zkeyed
+  UNION ALL
+  SELECT ca, cb, 'zorder' AS layout, zkey // {(1 << (2 * ZBITS)) // N_FILES} AS file_id FROM zkeyed
+), stats AS (
+  SELECT layout, file_id, count(*) AS n_rows,
+         min(ca) AS min_a, max(ca) AS max_a, min(cb) AS min_b, max(cb) AS max_b,
+         sum(CASE WHEN ca BETWEEN {BOX_LO} AND {BOX_HI}
+                   AND cb BETWEEN {BOX_LO} AND {BOX_HI} THEN 1 ELSE 0 END) AS hit_both,
+         sum(CASE WHEN ca BETWEEN {BOX_LO} AND {BOX_HI} THEN 1 ELSE 0 END) AS hit_a,
+         sum(CASE WHEN cb BETWEEN {BOX_LO} AND {BOX_HI} THEN 1 ELSE 0 END) AS hit_b
+  FROM assigned GROUP BY layout, file_id
+), shapes AS (
+  SELECT layout, n_rows, 'box_both' AS query_shape,
+         (min_a <= {BOX_HI} AND max_a >= {BOX_LO} AND min_b <= {BOX_HI} AND max_b >= {BOX_LO}) AS scanned,
+         hit_both AS hits
+  FROM stats
+  UNION ALL
+  SELECT layout, n_rows, 'box_a_only',
+         (min_a <= {BOX_HI} AND max_a >= {BOX_LO}), hit_a FROM stats
+  UNION ALL
+  SELECT layout, n_rows, 'box_b_only',
+         (min_b <= {BOX_HI} AND max_b >= {BOX_LO}), hit_b FROM stats
+)
+SELECT layout, query_shape, count(*) AS n_files,
+       CAST(sum(CASE WHEN scanned THEN 1 ELSE 0 END) AS BIGINT) AS files_scanned,
+       CAST(sum(CASE WHEN scanned THEN n_rows ELSE 0 END) AS BIGINT) AS rows_scanned,
+       CAST(sum(hits) AS BIGINT) AS rows_matching
+FROM shapes GROUP BY layout, query_shape
+"""
+
+
+# --- small-file compaction planner -------------------------------------------
+
+COMPACT_TARGET = 16384  # target compacted-file size (bytes)
+
+
+def file_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Planted per-source file manifest: one file per document, sized
+    by its utf-8 byte length — the metadata shape `sinks/shards.py`
+    writes for real and a lakehouse table format keeps per file."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        F.col("source"),
+        F.col("doc_id").alias("file_id"),
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("bytes"),
+    )
+
+
+def compaction_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequential bin-packing per source: files in file_id order
+    coalesce into bins of ~COMPACT_TARGET bytes (bin index = cumulative
+    bytes BEFORE the file div target — the running-total rule OPTIMIZE
+    applies per partition; a bin may overflow by at most one file)."""
+    manifest = file_manifest(spark, sf_dir)
+    w = (
+        Window.partitionBy("source")
+        .orderBy("file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = manifest.select(
+        "source",
+        "file_id",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    ).select(
+        "source",
+        "file_id",
+        "bytes",
+        F.expr(f"cum_before div {COMPACT_TARGET}").alias("bin_id"),
+    )
+    return binned.groupBy("source", "bin_id").agg(
+        F.count(F.lit(1)).alias("n_files_in"),
+        F.sum("bytes").alias("bytes_in"),
+        F.min("file_id").alias("first_file"),
+        F.max("file_id").alias("last_file"),
+    )
+
+
+COMPACTION_SQL = f"""
+WITH manifest AS (
+  SELECT source, doc_id AS file_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+  FROM documents
+), binned AS (
+  SELECT source, file_id, bytes,
+         coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              // {COMPACT_TARGET} AS bin_id
+  FROM manifest
+)
+SELECT source, bin_id, count(*) AS n_files_in,
+       CAST(sum(bytes) AS BIGINT) AS bytes_in,
+       min(file_id) AS first_file, max(file_id) AS last_file
+FROM binned GROUP BY source, bin_id
+"""
+
+QUERIES = {
+    "zorder_layout": zorder_layout,
+    "compaction_plan": compaction_plan,
+}
+ORACLES = {
+    "zorder_layout": ZORDER_SQL,
+    "compaction_plan": COMPACTION_SQL,
+}

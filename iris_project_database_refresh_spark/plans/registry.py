@@ -38,6 +38,7 @@ def _load() -> None:
         embeddings,
         graph,
         journeys,
+        layout,
         monitor,
         multimodal,
         olap,
@@ -86,6 +87,7 @@ def _load() -> None:
         timeseries,
         olap,
         journeys,
+        layout,
         monitor,
         graph,
         warehouse,
@@ -144,7 +146,7 @@ _DRIVER_PRIORITY = [
     "catalog_delta_summary", "hll_merge_days", "orders_refresh_streams",
     "customer_segment_migration",
     # round-3 second-session additions:
-    "multimodal_video_stats",
+    "multimodal_video_stats", "zorder_layout", "compaction_plan",
 ]
 
 

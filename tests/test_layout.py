@@ -1,0 +1,52 @@
+from __future__ import annotations
+
+import pytest
+
+from iris_project_database_refresh_spark.operators import layout
+
+from .conftest import SF_CORRECT, assert_matches_oracle
+
+
+@pytest.mark.parametrize("name", sorted(layout.QUERIES))
+def test_matches_oracle(spark, oracle, name):
+    assert_matches_oracle(layout.QUERIES[name](spark, SF_CORRECT), oracle, layout.ORACLES[name])
+
+
+def test_zorder_prunes_both_dims_linear_only_one(spark):
+    """The OPTIMIZE ZORDER claim, pinned: the linear layout prunes
+    perfectly on its own sort dimension and not at all on the other;
+    z-order prunes on BOTH single-dim shapes and strictly beats linear
+    on the 2-D box."""
+    rows = {(r.layout, r.query_shape): r for r in layout.zorder_layout(spark, SF_CORRECT).collect()}
+    lin_a, lin_b = rows[("linear", "box_a_only")], rows[("linear", "box_b_only")]
+    z_a, z_b = rows[("zorder", "box_a_only")], rows[("zorder", "box_b_only")]
+    lin_box, z_box = rows[("linear", "box_both")], rows[("zorder", "box_both")]
+
+    assert lin_b.files_scanned == lin_b.n_files  # no pruning off-sort-dim
+    assert lin_a.files_scanned < lin_a.n_files // 2  # strong pruning on sort dim
+    assert z_a.files_scanned < z_a.n_files // 2  # z-order prunes dim A...
+    assert z_b.files_scanned < z_b.n_files // 2  # ...AND dim B
+    assert z_box.files_scanned < lin_box.files_scanned  # and wins the 2-D box
+    # both layouts hold the same data: matching rows agree per shape
+    for shape in ("box_both", "box_a_only", "box_b_only"):
+        assert rows[("linear", shape)].rows_matching == rows[("zorder", shape)].rows_matching
+
+
+def test_compaction_bins_bounded_and_complete(spark):
+    """Greedy sequential packing invariants: every file lands in
+    exactly one bin, bins are contiguous per source, and a bin's bytes
+    exceed the target by at most one file (the greedy overflow bound)."""
+    import pyspark.sql.functions as F
+
+    manifest = layout.file_manifest(spark, SF_CORRECT)
+    n_files = manifest.count()
+    max_file = manifest.agg(F.max("bytes")).collect()[0][0]
+    plan = layout.compaction_plan(spark, SF_CORRECT).collect()
+    assert sum(r.n_files_in for r in plan) == n_files
+    for r in plan:
+        assert r.bytes_in <= layout.COMPACT_TARGET + max_file
+    by_source: dict[str, list] = {}
+    for r in plan:
+        by_source.setdefault(r.source, []).append(r.bin_id)
+    for bins in by_source.values():
+        assert sorted(bins) == list(range(len(bins)))  # contiguous bins
