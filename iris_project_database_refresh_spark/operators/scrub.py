@@ -340,11 +340,133 @@ FROM ranked WHERE rank <= {VOCAB_TOP}
 """
 
 
+
+
+# --- URL canonicalization dedup ----------------------------------------------
+#
+# The web-pipeline companion of `dedup_exact`: crawl corpora key their
+# first dedup pass on a CANONICAL URL (CommonCrawl/C4 practice —
+# lowercase scheme+host, strip www., default ports, fragments and
+# tracking params, trailing slash) because the same page arrives under
+# dozens of raw spellings. URLs are planted deterministically in-query
+# (the house pattern): every group of 7 consecutive doc_ids shares a
+# page identity but varies case, www., port, tracking params, fragment
+# and trailing slash — so the canonicalizer must merge exactly those.
+#
+# Scale: the whole normalization chain is per-row JVM regex/array work
+# (zero shuffle); the dedup itself is ONE canonical-key aggregation —
+# identical shape to dedup_exact, scan-rate at 100 TB.
+
+_URL_HOSTS = (
+    "WWW.Example.COM",   # case + www
+    "example.com:80",    # default port
+    "Example.Com",       # case only
+)
+_URL_SUFFIXES = (
+    "",
+    "/",
+    "?utm_source=feed",
+    "?id=1&utm_medium=email",
+    "#section-2",
+)
+
+
+def _planted_urls(docs: DataFrame) -> DataFrame:
+    host = F.element_at(F.array(*[F.lit(h) for h in _URL_HOSTS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    suffix = F.element_at(
+        F.array(*[F.lit(x) for x in _URL_SUFFIXES]), (F.col("doc_id") % 5 + 1).cast("int")
+    )
+    scheme = F.when(F.col("doc_id") % 2 == 0, F.lit("HTTP")).otherwise(F.lit("http"))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            scheme, F.lit("://"), host, F.lit("/Docs/"),
+            (F.col("doc_id") / 7).cast("bigint").cast("string"), suffix,
+        ).alias("url"),
+    )
+
+
+def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    raw = _planted_urls(docs)
+    parts = raw.select(
+        "doc_id",
+        "url",
+        F.regexp_extract("url", r"^([^:]+)://", 1).alias("scheme"),
+        F.regexp_extract("url", r"^[^:]+://([^/?#]+)", 1).alias("host"),
+        F.regexp_extract("url", r"^[^:]+://[^/?#]+([^?#]*)", 1).alias("path"),
+        F.regexp_extract("url", r"\?([^#]*)", 1).alias("query"),
+    )
+    canon_host = F.regexp_replace(
+        F.regexp_replace(F.lower("host"), r"^www\.", ""), r":(80|443)$", ""
+    )
+    canon_path = F.when(F.col("path") == "/", F.col("path")).otherwise(
+        F.regexp_replace("path", r"/$", "")
+    )
+    kept_params = F.filter(
+        F.split("query", "&"),
+        lambda p: (p != "") & ~p.rlike(r"^(utm_[a-z]+|fbclid)="),
+    )
+    canon_query = F.when(
+        F.size(kept_params) > 0, F.concat(F.lit("?"), F.array_join(kept_params, "&"))
+    ).otherwise(F.lit(""))
+    canonical = F.concat(F.lower("scheme"), F.lit("://"), canon_host, canon_path, canon_query)
+    return (
+        parts.select("doc_id", "url", canonical.alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_urls"),
+            F.countDistinct("url").alias("n_raw_forms"),
+        )
+    )
+
+
+DEDUP_URL_SQL = """
+WITH raw AS (
+  SELECT doc_id,
+         (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||
+         (CASE doc_id % 3 WHEN 0 THEN 'WWW.Example.COM'
+                          WHEN 1 THEN 'example.com:80'
+                          ELSE 'Example.Com' END) ||
+         '/Docs/' || CAST(doc_id // 7 AS VARCHAR) ||
+         (CASE doc_id % 5 WHEN 0 THEN '' WHEN 1 THEN '/'
+                          WHEN 2 THEN '?utm_source=feed'
+                          WHEN 3 THEN '?id=1&utm_medium=email'
+                          ELSE '#section-2' END) AS url
+  FROM documents
+), parts AS (
+  SELECT doc_id, url,
+         regexp_extract(url, '^([^:]+)://', 1) AS scheme,
+         regexp_extract(url, '^[^:]+://([^/?#]+)', 1) AS host,
+         regexp_extract(url, '^[^:]+://[^/?#]+([^?#]*)', 1) AS path,
+         regexp_extract(url, '\?([^#]*)', 1) AS query
+  FROM raw
+), canon AS (
+  SELECT doc_id, url,
+         lower(scheme) || '://' ||
+         regexp_replace(regexp_replace(lower(host), '^www\.', ''), ':(80|443)$', '') ||
+         (CASE WHEN path = '/' THEN path ELSE regexp_replace(path, '/$', '') END) ||
+         (CASE WHEN len(kept) > 0 THEN '?' || list_aggregate(kept, 'string_agg', '&') ELSE '' END)
+           AS canonical_url
+  FROM (
+    SELECT *, list_filter(string_split(query, '&'),
+                          p -> p <> '' AND NOT regexp_matches(p, '^(utm_[a-z]+|fbclid)=')) AS kept
+    FROM parts
+  )
+)
+SELECT canonical_url, min(doc_id) AS keep_doc_id,
+       count(*) AS n_urls, count(DISTINCT url) AS n_raw_forms
+FROM canon GROUP BY canonical_url
+"""
+
+
 QUERIES = {
     "scrub_pii": scrub_pii,
     "collocations_pmi": collocations_pmi,
     "embed_quantize": embed_quantize,
     "vocab_stats": vocab_stats,
+    "dedup_url_normalize": dedup_url_normalize,
 }
 
 ORACLES = {
@@ -352,4 +474,5 @@ ORACLES = {
     "collocations_pmi": COLLOCATIONS_SQL,
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "vocab_stats": VOCAB_STATS_SQL,
+    "dedup_url_normalize": DEDUP_URL_SQL,
 }

@@ -56,3 +56,19 @@ def test_collocations_unigrams_broadcast(spark):
         .toString()
     )
     assert "BroadcastHashJoin" in plan and "SortMergeJoin" not in plan
+
+
+def test_url_canonicalization_merges_planted_variants(spark):
+    """Groups of 7 consecutive doc_ids share a page identity: the six
+    cosmetic variants (case, www., :80, utm params, fragment, trailing
+    slash) must merge into ONE canonical URL, while the genuinely different
+    query (?id=1) must stay its own page."""
+    from .conftest import SF_CORRECT
+
+    rows = scrub.QUERIES["dedup_url_normalize"](spark, SF_CORRECT).collect()
+    by_url = {r.canonical_url: r for r in rows}
+    assert "http://example.com/Docs/0" in by_url
+    assert by_url["http://example.com/Docs/0"].n_urls == 6  # all cosmetic variants merged
+    assert by_url["http://example.com/Docs/0?id=1"].n_urls == 1  # real param kept separate
+    for url in by_url:
+        assert "utm_" not in url and "#" not in url and "www." not in url and ":80" not in url
