@@ -253,3 +253,141 @@ ANN_RECALL_SQL = _recall_sql()
 
 QUERIES["ann_recall_eval"] = ann_recall_eval
 ORACLES["ann_recall_eval"] = ANN_RECALL_SQL
+
+
+# --- Matryoshka truncation recall --------------------------------------------
+#
+# Matryoshka representation learning (Kusupati et al. 2022, public)
+# trains embeddings whose PREFIX is itself a usable embedding — the
+# deployment trick is to search with a short prefix (16 of 64 dims =
+# 4x less IO/FLOPs/memory-bandwidth) and measure what recall that
+# buys back. This is the third recall harness next to ann_recall_eval
+# (index approximation) and dedup_recall_eval (LSH banding): it
+# measures DIMENSIONALITY approximation, the knob a 100 TB vector
+# store turns first because it shrinks the stored bytes themselves.
+#
+# Shape: one pass over the corpus scores full + both prefixes per
+# candidate (three fixed expression trees, norms factored per row);
+# three rank windows per query partition; recall joins each prefix
+# top-K against the full-dim top-K. Rounded cosines + id tie-breaks
+# make every ranking engine-reproducible. Scale: queries broadcast,
+# corpus streams once; the windows are the measurement-harness cost —
+# production serves from the prefix index and skips the full-dim arm.
+
+MRL_PREFIXES = (16, 32)  # prefix lengths evaluated against full 64-dim
+
+
+def matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+    def cos(a: str, b: str) -> F.Column:
+        d = dot.format(a=a, b=b)
+        na = dot.format(a=a, b=a)
+        nb = dot.format(a=b, b=b)
+        return F.round(F.expr(f"({d}) / (sqrt({na}) * sqrt({nb}))"), 6)
+
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos("q", "v").alias("cos_full"),
+            *[
+                cos(f"slice(q, 1, {p})", f"slice(v, 1, {p})").alias(f"cos_{p}")
+                for p in MRL_PREFIXES
+            ],
+        )
+        .localCheckpoint(eager=False)  # one scoring pass feeds all three rankings
+    )
+
+    def topk(col: str) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("neighbor_id"))
+        return (
+            scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= PQ_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    truth = topk("cos_full")
+    out = None
+    for p in MRL_PREFIXES:
+        hits = (
+            topk(f"cos_{p}")
+            .join(truth, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("hits"))
+        )
+        arm = (
+            queries.select("query_id")
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(p).cast("bigint").alias("prefix_dims"),
+                F.coalesce(F.col("hits"), F.lit(0)).cast("bigint").alias("hits"),
+                (F.coalesce(F.col("hits"), F.lit(0)) * 10000 / PQ_K)
+                .cast("bigint")
+                .alias("recall_bp"),
+            )
+        )
+        out = arm if out is None else out.unionByName(arm)
+    return out
+
+
+def _mrl_sql() -> str:
+    def cos(a: str, b: str) -> str:
+        return f"round(list_dot_product({a}, {b}) / (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+
+    arms = "\nUNION ALL\n".join(
+        f"""
+SELECT q.query_id, CAST({p} AS BIGINT) AS prefix_dims,
+       CAST(coalesce(h.hits, 0) AS BIGINT) AS hits,
+       CAST(coalesce(h.hits, 0) * 10000 / {PQ_K} AS BIGINT) AS recall_bp
+FROM qids q LEFT JOIN (
+  SELECT t.query_id, count(*) AS hits
+  FROM (SELECT query_id, neighbor_id FROM ranked WHERE rank_{p} <= {PQ_K}) t
+  JOIN (SELECT query_id, neighbor_id FROM ranked WHERE rank_full <= {PQ_K}) f
+    ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY t.query_id
+) h ON q.query_id = h.query_id
+"""
+        for p in MRL_PREFIXES
+    )
+    rank_cols = ", ".join(
+        [
+            "row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank_full",
+        ]
+        + [
+            f"row_number() OVER (PARTITION BY query_id ORDER BY cos_{p} DESC, neighbor_id ASC) AS rank_{p}"
+            for p in MRL_PREFIXES
+        ]
+    )
+    prefix_cols = ", ".join(
+        [cos("qv", "v") + " AS cos_full"]
+        + [cos(f"qv[1:{p}]", f"v[1:{p}]") + f" AS cos_{p}" for p in MRL_PREFIXES]
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {PQ_QUERIES}
+), scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id, {prefix_cols}
+  FROM q JOIN d ON d.vec_id <> q.query_id
+), ranked AS (
+  SELECT query_id, neighbor_id, {rank_cols} FROM scored
+), qids AS (SELECT DISTINCT query_id FROM q)
+{arms}
+"""
+
+
+MATRYOSHKA_SQL = _mrl_sql()
+
+QUERIES["matryoshka_recall"] = matryoshka_recall
+ORACLES["matryoshka_recall"] = MATRYOSHKA_SQL

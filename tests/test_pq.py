@@ -58,3 +58,13 @@ def test_recall_eval_shape_and_bounds(spark):
     # beat zero overall (random top-10 of ~500 would average ~0.02)
     for method, recalls in per.items():
         assert sum(recalls) > 0, method
+
+
+def test_matryoshka_recall_bounds(spark):
+    """One row per (query, prefix); hits bounded by K; recall in basis
+    points consistent with hits."""
+    rows = pq.matryoshka_recall(spark, SF_CORRECT).collect()
+    assert len(rows) == pq.PQ_QUERIES * len(pq.MRL_PREFIXES)
+    for r in rows:
+        assert 0 <= r.hits <= pq.PQ_K
+        assert r.recall_bp == r.hits * 10000 // pq.PQ_K
