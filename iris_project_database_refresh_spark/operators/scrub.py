@@ -461,12 +461,93 @@ FROM canon GROUP BY canonical_url
 """
 
 
+
+
+# --- Zipf law fit -------------------------------------------------------------
+#
+# Fits log(freq) ~ alpha * log(rank) over the ranked vocabulary — the
+# corpus-health diagnostic (natural text tracks Zipf with alpha near
+# -1; generated/templated junk departs). Least squares runs on EXACT
+# INTEGER sums: ln values quantize to 1e-4 fixed-point first (bounded
+# ~1.4e5, so every sum stays far inside BIGINT), making the five sums
+# order-independent — float summation order never touches the result,
+# the device the repo uses everywhere floats would make a hash flaky.
+# The ranked vocab is bounded (ZIPF_TOP rows); the only corpus-sized
+# work is the word-count shuffle vocab_stats already models.
+
+ZIPF_TOP = 500   # fit over the top-N ranks
+_LQ = 10_000     # ln fixed-point scale
+
+
+def zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    counts = (
+        docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    from pyspark.sql import Window as _W
+
+    ranked = (
+        counts.withColumn(
+            "rank", F.row_number().over(_W.orderBy(F.desc("c"), F.asc("w")))
+        )
+        .where(F.col("rank") <= ZIPF_TOP)
+        .select(
+            F.expr(f"cast(floor(ln(rank) * {_LQ}) as bigint)").alias("x"),
+            F.expr(f"cast(floor(ln(c) * {_LQ}) as bigint)").alias("y"),
+        )
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / (F.col("n") * _LQ), 6
+        ).alias("intercept_ln"),
+    )
+
+
+ZIPF_SQL = f"""
+WITH counts AS (
+  SELECT w, count(*) AS c
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')) AS w
+        FROM documents)
+  GROUP BY w
+), ranked AS (
+  SELECT CAST(floor(ln(rank) * {_LQ}) AS BIGINT) AS x,
+         CAST(floor(ln(c) * {_LQ}) AS BIGINT) AS y
+  FROM (SELECT c, row_number() OVER (ORDER BY c DESC, w ASC) AS rank FROM counts)
+  WHERE rank <= {ZIPF_TOP}
+), sums AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM ranked
+)
+SELECT CAST(n AS BIGINT) AS n_terms,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope,
+       round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n * {_LQ} AS DOUBLE), 6) AS intercept_ln
+FROM sums
+"""
+
+
 QUERIES = {
     "scrub_pii": scrub_pii,
     "collocations_pmi": collocations_pmi,
     "embed_quantize": embed_quantize,
     "vocab_stats": vocab_stats,
     "dedup_url_normalize": dedup_url_normalize,
+    "zipf_fit": zipf_fit,
 }
 
 ORACLES = {
@@ -475,4 +556,5 @@ ORACLES = {
     "embed_quantize": EMBED_QUANTIZE_SQL,
     "vocab_stats": VOCAB_STATS_SQL,
     "dedup_url_normalize": DEDUP_URL_SQL,
+    "zipf_fit": ZIPF_SQL,
 }

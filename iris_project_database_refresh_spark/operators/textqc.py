@@ -758,3 +758,61 @@ FROM j
 
 QUERIES["quality_filter_verdict"] = quality_filter_verdict
 ORACLES["quality_filter_verdict"] = QUALITY_VERDICT_SQL
+
+
+# --- readability scoring ------------------------------------------------------
+#
+# Flesch reading-ease / Flesch-Kincaid grade as a corpus QC feature
+# (the classic readability pair; public formulas). Syllables use the
+# standard dependency-free proxy — vowel-group count — which is what
+# readability tooling falls back to without a pronunciation dict.
+# All scores are exact integers in milli-points: the formulas'
+# constants scale to integers (206.835 -> 206835) and the two ratios
+# become integer divisions, so both engines produce bit-identical
+# scores (positive operands: trunc == floor in Spark div and DuckDB //).
+# Pure per-row JVM regex + arithmetic — zero shuffle, scan-rate.
+
+def readability_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    stats = docs.select(
+        "doc_id",
+        F.greatest(F.size(tokens(F.col("text"))), F.lit(1)).cast("bigint").alias("n_words"),
+        F.greatest(
+            F.size(F.regexp_extract_all("text", F.lit(r"[.!?]"), 0)), F.lit(1)
+        ).cast("bigint").alias("n_sentences"),
+        F.greatest(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit(r"[aeiouy]+"), 0)), F.lit(1)
+        ).cast("bigint").alias("n_syllables"),
+    )
+    return stats.select(
+        "*",
+        F.expr(
+            "206835 - (1015000 * n_words) div n_sentences - (84600 * n_syllables) div n_words"
+        ).alias("flesch_milli"),
+        F.expr(
+            "(390 * n_words) div n_sentences + (11800 * n_syllables) div n_words - 15590"
+        ).alias("fk_grade_milli"),
+    )
+
+
+READABILITY_SQL = """
+WITH stats AS (
+  SELECT doc_id,
+         greatest(len(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')), 1) AS n_words,
+         greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS n_sentences,
+         greatest(len(regexp_extract_all(lower(text), '[aeiouy]+')), 1) AS n_syllables
+  FROM documents
+)
+SELECT doc_id,
+       CAST(n_words AS BIGINT) AS n_words,
+       CAST(n_sentences AS BIGINT) AS n_sentences,
+       CAST(n_syllables AS BIGINT) AS n_syllables,
+       CAST(206835 - (1015000 * n_words) // n_sentences
+                   - (84600 * n_syllables) // n_words AS BIGINT) AS flesch_milli,
+       CAST((390 * n_words) // n_sentences
+          + (11800 * n_syllables) // n_words - 15590 AS BIGINT) AS fk_grade_milli
+FROM stats
+"""
+
+QUERIES["readability_scores"] = readability_scores
+ORACLES["readability_scores"] = READABILITY_SQL

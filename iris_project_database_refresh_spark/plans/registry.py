@@ -147,7 +147,7 @@ _DRIVER_PRIORITY = [
     "customer_segment_migration",
     # round-3 second-session additions:
     "multimodal_video_stats", "zorder_layout", "compaction_plan",
-    "dedup_url_normalize", "matryoshka_recall",
+    "dedup_url_normalize", "matryoshka_recall", "readability_scores", "zipf_fit",
 ]
 
 
