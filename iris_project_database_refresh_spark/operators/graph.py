@@ -234,3 +234,112 @@ LIMIT {TRI_TOP}
 
 QUERIES["triangle_count"] = triangle_count
 ORACLES["triangle_count"] = TRIANGLE_SQL
+
+
+# --- Jaccard link prediction -------------------------------------------------
+
+LINK_TOP = 20
+
+
+def graph_jaccard_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Common-neighbor / Jaccard link prediction over the planted doc
+    graph — the standard "related documents you haven't linked yet"
+    scorer (public link-prediction baseline). Distributed shape: the
+    undirected edge set (pinned once, the triangle_count device) joins
+    itself on the shared middle vertex to enumerate 2-paths; counting
+    per endpoint pair gives |N(u) ∩ N(v)|; per-node degrees rejoin and
+    Jaccard = common / (deg_u + deg_v - common), kept in exact integer
+    basis points. Existing edges drop via one anti-join; top-K by
+    (score, pair) compiles to TakeOrderedAndProject. At 100 TB the
+    2-path join is the hot spot — same quadratic-hub exposure as the
+    wedge join, same production guard (degree cap, the dedup DF-cap
+    family).
+    """
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    # adjacency as symmetric (node, neighbor) rows — both directions
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed four times below
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    paths2 = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.y") == F.col("r.x"))
+        .where(F.col("l.x") < F.col("r.y"))
+        .select(F.col("l.x").alias("a"), F.col("r.y").alias("b"))
+    )
+    common = paths2.groupBy("a", "b").agg(F.count(F.lit(1)).alias("common_neighbors"))
+    existing = adj.where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    )
+    candidates = common.join(existing, ["a", "b"], "left_anti")
+    scored = (
+        candidates.join(deg.withColumnRenamed("x", "a").withColumnRenamed("deg", "deg_a"), "a")
+        .join(deg.withColumnRenamed("x", "b").withColumnRenamed("deg", "deg_b"), "b")
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            F.expr(
+                "cast(common_neighbors * 10000 div (deg_a + deg_b - common_neighbors) as bigint)"
+            ).alias("jaccard_bp"),
+        )
+    )
+    return scored.orderBy(F.desc("jaccard_bp"), "a", "b").limit(LINK_TOP)
+
+
+JACCARD_LINKS_SQL = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (
+  SELECT doc_id AS u, unnest(ts) AS v FROM tlists
+),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+deg AS (SELECT x, count(*) AS deg FROM adj GROUP BY x),
+common AS (
+  SELECT l.x AS a, r.y AS b, count(*) AS common_neighbors
+  FROM adj l JOIN adj r ON l.y = r.x
+  WHERE l.x < r.y
+  GROUP BY l.x, r.y
+),
+candidates AS (
+  SELECT c.* FROM common c
+  WHERE NOT EXISTS (SELECT 1 FROM adj e WHERE e.x = c.a AND e.y = c.b)
+)
+SELECT a, b, common_neighbors,
+       CAST(common_neighbors * 10000 // (da.deg + db.deg - common_neighbors) AS BIGINT)
+         AS jaccard_bp
+FROM candidates JOIN deg da ON da.x = a JOIN deg db ON db.x = b
+ORDER BY jaccard_bp DESC, a, b
+LIMIT {LINK_TOP}
+"""
+
+QUERIES["graph_jaccard_links"] = graph_jaccard_links
+ORACLES["graph_jaccard_links"] = JACCARD_LINKS_SQL

@@ -556,3 +556,100 @@ LIMIT 10
 
 QUERIES["events_top_paths"] = events_top_paths
 ORACLES["events_top_paths"] = TOP_PATHS_SQL
+
+
+# --- time-to-convert distribution --------------------------------------------
+#
+# The latency companion of `events_funnel`: not just WHO converts
+# (view -> purchase) but HOW FAST — the distribution product teams
+# monitor (p50/p90 time-to-convert) per refresh. Same one-shuffle
+# shape as the funnel: per-user histories collapse once through the
+# skew-capped sorted-array device, the first-view/first-purchase walk
+# is a JVM array expression, and the final distribution is a 1-row
+# aggregate over per-user latencies. Exact `percentile` keeps oracle
+# bit-parity (Spark percentile ≡ DuckDB quantile_cont linear
+# interpolation — the monitor_quantiles device); percentile_approx is
+# the documented 100 TB swap.
+
+CONVERT_WINDOW_US = 7 * 24 * 3600 * 1_000_000  # purchase within 7 days of first view
+
+
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = (
+        load_table(spark, sf_dir, "events")
+        .where(F.col("event_type").isin("view", "purchase"))
+        .select("user_id", F.unix_micros("ts").alias("t"), F.col("event_type").alias("typ"))
+    )
+    per_user = bounded_sorted_events(ev, "user_id", F.struct("t", "typ"))
+    staged = per_user.withColumn(
+        "t_view",
+        F.array_min(F.transform(F.filter("evs", lambda e: e["typ"] == "view"), lambda e: e["t"])),
+    ).withColumn(
+        "t_purch",
+        F.array_min(
+            F.transform(
+                F.filter(
+                    "evs",
+                    lambda e: (e["typ"] == "purchase")
+                    & (e["t"] > F.col("t_view"))
+                    & (e["t"] <= F.col("t_view") + CONVERT_WINDOW_US),
+                ),
+                lambda e: e["t"],
+            )
+        ),
+    )
+    lat = staged.select(
+        "t_view",
+        F.expr("cast((t_purch - t_view) div 1000000 as bigint)").alias("latency_s"),
+    )
+    return lat.agg(
+        F.count("t_view").alias("n_viewers"),
+        F.count("latency_s").alias("n_converted"),
+        F.expr("cast(count(latency_s) * 10000 div count(t_view) as bigint)").alias(
+            "conversion_bp"
+        ),
+        F.min("latency_s").alias("min_s"),
+        F.round(F.expr("percentile(latency_s, 0.5)"), 6).alias("p50_s"),
+        F.round(F.expr("percentile(latency_s, 0.9)"), 6).alias("p90_s"),
+        F.max("latency_s").alias("max_s"),
+        F.expr("cast(sum(latency_s) div count(latency_s) as bigint)").alias("mean_s_floor"),
+    )
+
+
+TIME_TO_CONVERT_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := epoch_us(ts), typ := event_type))) AS evs
+  FROM events_us
+  WHERE event_type IN ('view', 'purchase')
+  GROUP BY user_id
+),
+staged AS (
+  SELECT user_id, evs,
+         list_min(list_transform(list_filter(evs, e -> e.typ = 'view'), e -> e.t)) AS t_view
+  FROM per_user
+),
+lat AS (
+  SELECT t_view,
+         (list_min(list_transform(list_filter(evs,
+            e -> e.typ = 'purchase' AND e.t > t_view
+                 AND e.t <= t_view + {CONVERT_WINDOW_US}), e -> e.t)) - t_view)
+           // 1000000 AS latency_s
+  FROM staged
+)
+SELECT count(t_view) AS n_viewers,
+       count(latency_s) AS n_converted,
+       CAST(count(latency_s) * 10000 // count(t_view) AS BIGINT) AS conversion_bp,
+       CAST(min(latency_s) AS BIGINT) AS min_s,
+       round(quantile_cont(latency_s, 0.5), 6) AS p50_s,
+       round(quantile_cont(latency_s, 0.9), 6) AS p90_s,
+       CAST(max(latency_s) AS BIGINT) AS max_s,
+       CAST(sum(latency_s) // count(latency_s) AS BIGINT) AS mean_s_floor
+FROM lat
+"""
+
+QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
+ORACLES["funnel_time_to_convert"] = TIME_TO_CONVERT_SQL
