@@ -657,3 +657,108 @@ JOIN exact e ON e.event_type = f.event_type AND e.pct = f.pct
 
 QUERIES["quantile_hist_sketch"] = quantile_hist_sketch
 ORACLES["quantile_hist_sketch"] = QUANTILE_SKETCH_SQL
+
+
+# --- hopping (sliding) window aggregation ------------------------------------
+#
+# Completes the window-type surface next to the tumbling batch twin
+# (`streaming/pipeline.events_tumbling_agg`) and the session operators:
+# a 2-hour window hopping every hour — each event lands in exactly
+# TWO windows, which is what `F.window(ts, 2h, 1h)` expands to via
+# Expand/explode. Sums carried as exact integer cents (the cusum
+# device) so overlap double-counting is exactly reproducible. Scale:
+# the fan-out factor is window/slide (2x here) ahead of one grouped
+# shuffle — the standard cost of hopping windows, bounded and known.
+
+def events_hopping_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "ts", "event_type", F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents")
+    )
+    return (
+        ev.groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_cents")
+    )
+
+
+EVENTS_HOPPING_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), fanned AS (
+  SELECT unnest([date_trunc('hour', ts), date_trunc('hour', ts) - INTERVAL 1 HOUR])
+           AS window_start,
+         event_type,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events_us
+)
+SELECT window_start, event_type, count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM fanned GROUP BY 1, 2
+"""
+
+QUERIES["events_hopping_agg"] = events_hopping_agg
+ORACLES["events_hopping_agg"] = EVENTS_HOPPING_SQL
+
+
+# --- native session-window aggregation ---------------------------------------
+#
+# The built-in `session_window` (Spark's native gap-session operator —
+# the same semantics `operators/relational.sessionize` derives with
+# lag + cumulative sum, and `streaming/sessions.py` maintains
+# statefully): groups merge while consecutive events are within the
+# 30-minute gap; window end = last event + gap. Graded against an
+# oracle that reconstructs identical sessions via the lag/cumsum
+# rewrite — so Spark's built-in session assembly is itself
+# oracle-checked. One shuffle on user_id; session assembly is a
+# sorted in-partition merge.
+
+SESSION_GAP_MIN = 30
+
+
+def events_session_window_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents")
+    )
+    return (
+        ev.groupBy(F.session_window("ts", f"{SESSION_GAP_MIN} minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.sum("cents").alias("total_cents"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "total_cents",
+        )
+    )
+
+
+EVENTS_SESSION_WINDOW_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), flagged AS (
+  SELECT user_id, ts, CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   > INTERVAL {SESSION_GAP_MIN} MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS is_new
+  FROM events_us
+), sessions AS (
+  SELECT user_id, ts, cents,
+         sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM flagged
+)
+SELECT user_id,
+       min(ts) AS session_start,
+       max(ts) + INTERVAL {SESSION_GAP_MIN} MINUTE AS session_end,
+       count(*) AS n_events,
+       CAST(sum(cents) AS BIGINT) AS total_cents
+FROM sessions GROUP BY user_id, session_id
+"""
+
+QUERIES["events_session_window_agg"] = events_session_window_agg
+ORACLES["events_session_window_agg"] = EVENTS_SESSION_WINDOW_SQL

@@ -148,7 +148,8 @@ _DRIVER_PRIORITY = [
     # round-3 second-session additions:
     "multimodal_video_stats", "zorder_layout", "compaction_plan",
     "dedup_url_normalize", "matryoshka_recall", "readability_scores", "zipf_fit",
-    "funnel_time_to_convert", "graph_jaccard_links",
+    "funnel_time_to_convert", "graph_jaccard_links", "events_hopping_agg",
+    "events_session_window_agg",
 ]
 
 
