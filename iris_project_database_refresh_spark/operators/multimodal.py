@@ -862,3 +862,122 @@ FROM sized
 
 QUERIES["multimodal_video_stats"] = multimodal_video_stats
 ORACLES["multimodal_video_stats"] = MULTIMODAL_VIDEO_SQL
+
+
+# --- real frame sampling over the Y4M containers -----------------------------
+#
+# Upgrades the frame-sampling story from the stub seam to a REAL
+# container walk: the kernel steps through the Y4M stream and hashes
+# each frame's actual bytes. Byte fidelity is oracle-proven in the hex
+# domain — DuckDB cannot slice BLOBs, but slicing hex(bytes) by
+# character pairs is the same operation, so frame_hash =
+# md5(uppercase-hex(frame bytes)) is reproducible from the planted
+# construction: any off-by-one in the kernel's frame walk shifts the
+# hex slice and hash-mismatches. Fan-out contract matches
+# `sample_frames`: rows multiply, payloads never duplicate.
+
+FRAME_Y4M_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("frame_idx", T.LongType()),
+        T.StructField("ts_ms", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("frame_hash", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def iter_y4m_frames(payload: bytes):
+    """Yield (frame_idx, width, height, fps_num, fps_den, frame_bytes)
+    by walking the stream; stops silently on malformed input (the
+    header parse in parse_y4m_stream is the validator)."""
+    head = parse_y4m_stream(payload)
+    if head is None:
+        return
+    w, h, num, den, _ = head
+    frame_size = w * h * 3 // 2  # planted streams are C420
+    i = payload.find(b"\n") + 1
+    idx = 0
+    while i < len(payload):
+        j = payload.find(b"\n", i)
+        if j < 0:
+            return
+        start = j + 1
+        yield idx, w, h, num, den, payload[start : start + frame_size]
+        i = start + frame_size
+        idx += 1
+
+
+def multimodal_framesample_y4m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = video_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    for idx, w, h, num, den, frame in iter_y4m_frames(bytes(payload)):
+                        rows.append(
+                            {
+                                "media_id": int(mid),
+                                "frame_idx": idx,
+                                "ts_ms": idx * 1000 * den // num,
+                                "width": w,
+                                "height": h,
+                                "frame_hash": hashlib.md5(
+                                    frame.hex().upper().encode()
+                                ).hexdigest(),
+                                "parser": "y4m-stdlib",
+                            }
+                        )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in FRAME_Y4M_SCHEMA.fields]
+                ).astype(
+                    {
+                        "media_id": "int64",
+                        "frame_idx": "int64",
+                        "ts_ms": "int64",
+                        "width": "int64",
+                        "height": "int64",
+                    }
+                )
+
+    return video.mapInPandas(fn, FRAME_Y4M_SCHEMA)
+
+
+# The oracle re-derives every frame's hash from the planted text bytes
+# via hex-domain slicing — the kernel's frame walk must land on the
+# exact same byte ranges.
+MULTIMODAL_FRAMES_Y4M_SQL = f"""
+WITH params AS (
+  SELECT doc_id, hex(encode(text)) AS thex,
+         4 + (doc_id % 4) * 2 AS w,
+         4 + (doc_id % 3) * 2 AS h,
+         24 + doc_id % 2 AS fps,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+), sized AS (
+  SELECT doc_id, thex, w, h, fps, (w * h * 3 // 2) AS fs,
+         least(nb // (w * h * 3 // 2), {VIDEO_MAX_FRAMES}) AS n_frames
+  FROM params
+), fanned AS (
+  SELECT doc_id, thex, w, h, fps, fs, unnest(range(n_frames)) AS frame_idx
+  FROM sized WHERE n_frames > 0
+)
+SELECT doc_id AS media_id,
+       CAST(frame_idx AS BIGINT) AS frame_idx,
+       CAST(frame_idx * 1000 // fps AS BIGINT) AS ts_ms,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       md5(substring(thex, frame_idx * fs * 2 + 1, fs * 2)) AS frame_hash,
+       'y4m-stdlib' AS parser
+FROM fanned
+"""
+
+QUERIES["multimodal_framesample_y4m"] = multimodal_framesample_y4m
+ORACLES["multimodal_framesample_y4m"] = MULTIMODAL_FRAMES_Y4M_SQL

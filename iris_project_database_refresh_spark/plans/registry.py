@@ -149,7 +149,7 @@ _DRIVER_PRIORITY = [
     "multimodal_video_stats", "zorder_layout", "compaction_plan",
     "dedup_url_normalize", "matryoshka_recall", "readability_scores", "zipf_fit",
     "funnel_time_to_convert", "graph_jaccard_links", "events_hopping_agg",
-    "events_session_window_agg",
+    "events_session_window_agg", "multimodal_framesample_y4m",
 ]
 
 
