@@ -1,0 +1,217 @@
+"""Snapshot-log table format: versioned manifests + time travel over
+plain parquet.
+
+The reference keeps exactly one current state — stage4 overwrites the
+master CSV in place (`catalog search/stage4_update_csv.py`) and keeps
+dated backups next to it (`backup_[date]` copies). At 100 TB that
+pattern becomes a metadata LOG over immutable data files — the public
+lakehouse design (Delta/Iceberg transaction logs): every refresh
+appends a JSON manifest listing the live files, so
+
+* readers resolve a table VERSION from kilobytes of metadata instead
+  of directory listings (planning cost ∝ file count, not data bytes);
+* every previous version stays queryable (time travel) because data
+  files are immutable — an overwrite only changes which files a
+  manifest points at;
+* refresh cost scales with the delta: unchanged files are carried by
+  reference from the previous manifest, never rewritten (asserted
+  byte-identical in tests).
+
+Layout:
+
+    table_dir/
+      data/part-<version>-<n>.parquet   -- immutable data files
+      _log/v000001.json                 -- one manifest per commit
+
+Manifest: {"version", "committed_at", "operation", "files": [{"path",
+"rows", "partition": {col: value}}], "schema": [...]}. `files` is the
+COMPLETE live set at that version (simple and O(files); the
+incremental add/remove encoding plus periodic checkpoints is the known
+production refinement — Delta's exact structure).
+
+Commit protocol: manifests are written to a temp name then atomically
+renamed to v{N}; the highest contiguous v{N} wins, so a crashed writer
+leaves no torn state behind (single-writer semantics; multi-writer
+needs a CAS on the log — the documented service-side extension).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _log_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "_log")
+
+
+def _data_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "data")
+
+
+def _versions(table_dir: str) -> list[int]:
+    d = _log_dir(table_dir)
+    if not os.path.isdir(d):
+        return []
+    out = []
+    for name in os.listdir(d):
+        if name.startswith("v") and name.endswith(".json"):
+            out.append(int(name[1:-5]))
+    return sorted(out)
+
+
+def _read_manifest(table_dir: str, version: int) -> dict:
+    with open(os.path.join(_log_dir(table_dir), f"v{version:06d}.json")) as f:
+        return json.load(f)
+
+
+def _write_files(df: DataFrame, table_dir: str, version: int, partition_col: str | None):
+    """Write immutable data files for this commit; one file per
+    partition value when partitioned (the shards.py small-file rule),
+    else one file per task. Returns file entries with row counts."""
+    staging = os.path.join(_data_dir(table_dir), f".staging-{uuid.uuid4().hex}")
+    if partition_col:
+        df.repartition(partition_col).write.partitionBy(partition_col).parquet(staging)
+    else:
+        df.write.parquet(staging)
+    entries = []
+    n = 0
+    for root, _dirs, names in os.walk(staging):
+        for name in sorted(names):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.relpath(root, staging)
+            part = {}
+            if rel != ".":
+                for seg in rel.split(os.sep):
+                    k, _, v = seg.partition("=")
+                    part[k] = v
+            final = f"part-{version:06d}-{n:05d}.parquet"
+            os.replace(os.path.join(root, name), os.path.join(_data_dir(table_dir), final))
+            entries.append({"path": final, "partition": part})
+            n += 1
+    # clean the staging skeleton
+    for root, dirs, names in os.walk(staging, topdown=False):
+        for name in names:
+            os.unlink(os.path.join(root, name))
+        for d in dirs:
+            os.rmdir(os.path.join(root, d))
+    os.rmdir(staging)
+    return entries
+
+
+def _commit(table_dir: str, manifest: dict, version: int) -> None:
+    tmp = os.path.join(_log_dir(table_dir), f".tmp-{uuid.uuid4().hex}.json")
+    with open(tmp, "w") as f:
+        json.dump(manifest, f, indent=1, sort_keys=True)
+    os.replace(tmp, os.path.join(_log_dir(table_dir), f"v{version:06d}.json"))
+
+
+def snapshot_write(
+    df: DataFrame,
+    table_dir: str,
+    *,
+    mode: str = "append",
+    partition_col: str | None = None,
+) -> int:
+    """Commit a new snapshot; returns the committed version.
+
+    mode='append' carries every previous file forward by reference and
+    adds this batch's files; mode='overwrite_partitions' (requires
+    partition_col) carries forward only files whose partition value is
+    NOT present in the batch — the COW merge, files untouched on disk.
+    """
+    os.makedirs(_log_dir(table_dir), exist_ok=True)
+    os.makedirs(_data_dir(table_dir), exist_ok=True)
+    vs = _versions(table_dir)
+    version = (vs[-1] + 1) if vs else 1
+    prev_files = _read_manifest(table_dir, vs[-1])["files"] if vs else []
+
+    new_entries = _write_files(df, table_dir, version, partition_col)
+    if mode == "append":
+        carried = prev_files
+    elif mode == "overwrite_partitions":
+        if not partition_col:
+            raise ValueError("overwrite_partitions requires partition_col")
+        touched = {e["partition"].get(partition_col) for e in new_entries}
+        carried = [
+            e for e in prev_files if e["partition"].get(partition_col) not in touched
+        ]
+    else:
+        raise ValueError(f"unknown mode {mode!r}")
+
+    manifest = {
+        "version": version,
+        "committed_at": int(time.time() * 1000),
+        "operation": mode,
+        "schema": df.schema.jsonValue(),
+        "files": carried + new_entries,
+    }
+    _commit(table_dir, manifest, version)
+    return version
+
+
+def snapshot_read(
+    spark: SparkSession, table_dir: str, *, version: int | None = None
+) -> DataFrame:
+    """Read the table as of `version` (default: latest). Partition
+    values come back as columns, reconstructed from manifest metadata —
+    no directory listing, no partition discovery job."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    v = vs[-1] if version is None else version
+    if v not in vs:
+        raise FileNotFoundError(f"version {v} not in log (have {vs})")
+    m = _read_manifest(table_dir, v)
+    if not m["files"]:
+        return spark.createDataFrame([], schema="")
+    part_cols = sorted({k for e in m["files"] for k in e["partition"]})
+    dfs = []
+    # group files by partition tuple so each group is ONE multi-path read
+    by_part: dict[tuple, list[str]] = {}
+    for e in m["files"]:
+        key = tuple(e["partition"].get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(
+            os.path.join(_data_dir(table_dir), e["path"])
+        )
+    for key, paths in sorted(by_part.items()):
+        part = spark.read.parquet(*paths)
+        for c, val in zip(part_cols, key):
+            part = part.withColumn(c, F.lit(val))
+        dfs.append(part)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    # restore the committed schema: column order AND partition-column
+    # types (partition values travel as strings in the manifest)
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(m["schema"])
+    return out.select(
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in part_cols
+            else F.col(f.name)
+            for f in schema.fields
+        ]
+    )
+
+
+def snapshot_history(table_dir: str) -> list[dict]:
+    """The audit trail: (version, operation, n_files, committed_at)."""
+    return [
+        {
+            "version": m["version"],
+            "operation": m["operation"],
+            "n_files": len(m["files"]),
+            "committed_at": m["committed_at"],
+        }
+        for m in (_read_manifest(table_dir, v) for v in _versions(table_dir))
+    ]
