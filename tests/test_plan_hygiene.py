@@ -93,3 +93,46 @@ def test_fact_fact_joins_are_aqe_skew_splittable(spark, name):
     assert (
         "SortMergeJoin" in plan or "ShuffledHashJoin" in plan
     ), f"{name}: fact join appears hint-pinned to broadcast:\n{plan[:400]}"
+
+
+def test_runtime_bloom_filter_prunes_fact_side(spark):
+    """The 100 TB semi-join-pushdown story, CI-pinned: when a fact-fact
+    join has a selective filter on one side and the other side's scan
+    is large, Spark must inject a runtime bloom filter (bloom_filter_agg
+    on the filtered side, might_contain guarding the big scan) so the
+    shuffle only carries rows that can survive the join. At sf0.01 the
+    scans are below the 10 GB application-side default, so the test
+    simulates the 100 TB condition by lowering that threshold (and
+    disabling auto-broadcast, as AQE would for fact-sized sides)."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    assert spark.conf.get("spark.sql.optimizer.runtime.bloomFilter.enabled") == "true"
+    broadcast_thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    scan_thr = spark.conf.get(
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold"
+    )
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold", "0"
+        )
+        li = load_table(spark, SF_CORRECT, "lineitem")
+        urgent = load_table(spark, SF_CORRECT, "orders").where(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(urgent, li.l_orderkey == urgent.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        plan = j._jdf.queryExecution().executedPlan().toString()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", broadcast_thr)
+        spark.conf.set(
+            "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold",
+            scan_thr,
+        )
+    assert "bloom_filter_agg" in plan, f"no runtime bloom built:\n{plan[:500]}"
+    assert "might_contain" in plan, f"no bloom probe on the fact scan:\n{plan[:500]}"
