@@ -305,3 +305,74 @@ GROUP BY 1, 2
 
 QUERIES["customer_segment_migration"] = customer_segment_migration
 ORACLES["customer_segment_migration"] = SEGMENT_MIGRATION_SQL
+
+
+# --- weekly seasonality index over the orders fact ----------------------------
+#
+# Classical ratio-to-moving-average decomposition (the textbook
+# seasonal-index method): daily order revenue divided by its centered
+# 7-day moving average gives a detrended ratio; averaging ratios per
+# ISO weekday yields the weekly seasonal profile a refresh-cadence
+# planner reads ("Mondays run 1.2x trend"). All arithmetic is exact
+# integers — cents for revenue, basis points for ratios, floor
+# division everywhere (positive operands, so Spark `div` == DuckDB
+# `//`) — the house device that keeps derived averages hash-stable.
+#
+# Scale: the corpus-sized work is ONE (day) aggregation with map-side
+# combine; the moving-average window, ratios and the final per-dow
+# rollup all run on the bounded day table (365-ish rows per year of
+# history regardless of fact size).
+
+def orders_seasonal_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.to_date("o_orderdate").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum(F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)")).alias("cents"),
+    )
+    w = Window.orderBy("day").rowsBetween(-3, 3)
+    trended = daily.select(
+        "day",
+        "n_orders",
+        "cents",
+        F.count(F.lit(1)).over(w).alias("win_n"),
+        F.sum("cents").over(w).alias("win_cents"),
+    ).where(F.col("win_n") == 7)  # full centered weeks only — no edge bias
+    ratios = trended.select(
+        "day",
+        F.expr("((dayofweek(day) + 5) % 7) + 1").cast("bigint").alias("iso_dow"),
+        F.expr("cents * 10000 div (win_cents div 7)").alias("ratio_bp"),
+    )
+    return ratios.groupBy("iso_dow").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.expr("cast(sum(ratio_bp) div count(1) as bigint)").alias("seasonal_index_bp"),
+        F.min("ratio_bp").alias("min_ratio_bp"),
+        F.max("ratio_bp").alias("max_ratio_bp"),
+    )
+
+
+SEASONAL_INDEX_SQL = """
+WITH daily AS (
+  SELECT CAST(o_orderdate AS DATE) AS day,
+         count(*) AS n_orders,
+         sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS cents
+  FROM orders GROUP BY 1
+), trended AS (
+  SELECT day, n_orders, cents,
+         count(*) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_n,
+         sum(cents) OVER (ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING) AS win_cents
+  FROM daily
+), ratios AS (
+  SELECT isodow(day)::BIGINT AS iso_dow,
+         cents * 10000 // (win_cents // 7) AS ratio_bp
+  FROM trended WHERE win_n = 7
+)
+SELECT iso_dow,
+       count(*) AS n_days,
+       CAST(sum(ratio_bp) // count(*) AS BIGINT) AS seasonal_index_bp,
+       CAST(min(ratio_bp) AS BIGINT) AS min_ratio_bp,
+       CAST(max(ratio_bp) AS BIGINT) AS max_ratio_bp
+FROM ratios GROUP BY iso_dow
+"""
+
+QUERIES["orders_seasonal_index"] = orders_seasonal_index
+ORACLES["orders_seasonal_index"] = SEASONAL_INDEX_SQL

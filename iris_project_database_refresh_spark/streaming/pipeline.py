@@ -103,3 +103,35 @@ GROUP BY 1, 2
 
 QUERIES = {"events_tumbling_agg": events_tumbling_agg}
 ORACLES = {"events_tumbling_agg": EVENTS_TUMBLING_SQL}
+
+
+def hopping_rollup(events: DataFrame) -> DataFrame:
+    """Hopping-window twin of `operators/olap.events_hopping_agg`: the
+    2 h / 1 h sliding window streamed with a watermark. State is
+    (windows in watermark horizon) x (event types) x 2 overlapping
+    windows — bounded on an unbounded stream, same eviction contract
+    as the tumbling rollup."""
+    return (
+        events.withWatermark("ts", WATERMARK)
+        .groupBy(F.window("ts", "2 hours", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("total_cents"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events", "total_cents")
+    )
+
+
+def run_hopping_available_now(
+    spark: SparkSession, sf_dir: str, *, table: str = "events_hopping"
+) -> DataFrame:
+    q = (
+        hopping_rollup(read_events_stream(spark, sf_dir))
+        .writeStream.format("memory")
+        .queryName(table)
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(table)

@@ -238,3 +238,16 @@ def test_y4m_stream_parser_rejects_non_video():
     # chroma variants change the frame size
     s422 = b"YUV4MPEG2 W4 H4 F24:1 C422\n" + b"FRAME\n" + b"x" * 32
     assert parse_y4m_stream(s422) == (4, 4, 24, 1, 1)
+
+
+def test_streaming_hopping_equals_batch(spark):
+    """availableNow drain of the hopping-window rollup must equal the
+    batch events_hopping_agg bit-for-bit (every event in exactly
+    window/slide = 2 windows on both paths)."""
+    from iris_project_database_refresh_spark.operators.olap import events_hopping_agg
+
+    got = sp.run_hopping_available_now(spark, SF_CORRECT)
+    want = events_hopping_agg(spark, SF_CORRECT)
+    g = {tuple(r) for r in got.collect()}
+    w = {tuple(r) for r in want.collect()}
+    assert g == w, f"streaming/batch divergence: {len(g ^ w)} rows differ"
