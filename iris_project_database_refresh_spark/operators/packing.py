@@ -82,3 +82,127 @@ GROUP BY example_id
 
 QUERIES = {"pack_examples": pack_examples}
 ORACLES = {"pack_examples": PACK_SQL}
+
+
+# --- no-split best-fit packing ------------------------------------------------
+#
+# The truncation-free alternative to concat-and-chunk (public result:
+# best-fit packing removes the truncations that hurt LM quality —
+# "Fewer Truncations Improve Language Modeling", Ding et al. 2024).
+# Documents NEVER split: within each (source, shelf) group, docs sort
+# by (len desc, doc_id) and a first-fit-decreasing fold places each in
+# the fullest bin it fits (ties to the lowest bin index), opening a
+# new bin otherwise. Grouping into SHELF-sized folds is the
+# distributed form — packing runs within bounded groups exactly like
+# practical implementations pack within partitions, which also bounds
+# the fold state (≤ SHELF bin loads) and the fold cost (≤ SHELF²) per
+# group. The report compares realized fill against the concat lower
+# bound ceil(tokens/C): the price of never truncating, per source.
+#
+# Engine parity: the fold is pure integer arithmetic; the oracle runs
+# the identical FFD recursion as a recursive CTE (the tokenizer_segment
+# device) with 1-indexed list surgery on the bin-load list.
+
+PACK_C = 256   # bin capacity (tokens)
+PACK_SHELF = 64  # docs per fold group
+
+
+def pack_best_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.size(tokens(F.col("text"))).cast("bigint").alias("n"),
+    ).where((F.col("n") > 0) & (F.col("n") <= PACK_C))
+    from pyspark.sql import Window as _W
+
+    ranked = sized.withColumn(
+        "shelf",
+        F.expr(f"cast((row_number() over (partition by source order by md5(cast(doc_id as string)), doc_id) - 1) div {PACK_SHELF} as bigint)"),
+    )
+    grouped = ranked.groupBy("source", "shelf").agg(
+        F.expr("array_sort(collect_list(struct(-n as negn, doc_id, n)))").alias("items"),
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n").alias("tokens"),
+    )
+    # FFD fold: state = bin loads; best fitting bin = max load that
+    # still fits, ties to the first (lowest-index) such bin.
+    fold = F.expr(
+        f"""
+        aggregate(
+          items,
+          cast(array() as array<bigint>),
+          (bins, it) -> CASE
+            WHEN size(filter(bins, b -> b + it.n <= {PACK_C})) > 0 THEN
+              transform(bins, (b, i) ->
+                CASE WHEN i = array_position(bins,
+                        array_max(filter(bins, b2 -> b2 + it.n <= {PACK_C}))) - 1
+                     THEN b + it.n ELSE b END)
+            ELSE concat(bins, array(it.n))
+          END)
+        """
+    )
+    packed = grouped.select(
+        "source", "shelf", "n_docs", "tokens", F.size(fold).cast("bigint").alias("n_bins")
+    )
+    return packed.groupBy("source").agg(
+        F.sum("n_docs").alias("n_docs"),
+        F.sum("tokens").alias("total_tokens"),
+        F.sum("n_bins").alias("bins_ffd"),
+        F.expr(f"cast((sum(tokens) + {PACK_C} - 1) div {PACK_C} as bigint)").alias(
+            "bins_concat_lower_bound"
+        ),
+        F.expr(f"cast(sum(tokens) * 10000 div (sum(n_bins) * {PACK_C}) as bigint)").alias(
+            "fill_bp"
+        ),
+    )
+
+
+PACK_BEST_FIT_SQL = f"""
+WITH RECURSIVE sized AS (
+  SELECT doc_id, source,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+    AND len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) <= {PACK_C}
+), ranked AS (
+  SELECT *, (row_number() OVER (PARTITION BY source
+               ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) - 1) // {PACK_SHELF} AS shelf
+  FROM sized
+), grouped AS (
+  SELECT source, shelf,
+         list_transform(
+           list_sort(list(struct_pack(negn := -n, doc_id := doc_id, n := n))),
+           s -> s.n) AS lens,
+         count(*) AS n_docs, sum(n) AS tokens
+  FROM ranked GROUP BY source, shelf
+), steps AS (
+  SELECT source, shelf, lens, n_docs, tokens,
+         0 AS k, CAST([] AS BIGINT[]) AS bins
+  FROM grouped
+  UNION ALL
+  SELECT source, shelf, lens, n_docs, tokens, k + 1,
+         CASE
+           WHEN len(list_filter(bins, b -> b + lens[k + 1] <= {PACK_C})) > 0 THEN
+             list_transform(range(1, len(bins) + 1), i ->
+               CASE WHEN i = list_position(bins,
+                       list_max(list_filter(bins, b -> b + lens[k + 1] <= {PACK_C})))
+                    THEN bins[i] + lens[k + 1] ELSE bins[i] END)
+           ELSE list_append(bins, lens[k + 1])
+         END
+  FROM steps WHERE k < len(lens)
+), final AS (
+  SELECT source, shelf, n_docs, tokens, len(bins) AS n_bins
+  FROM steps WHERE k = len(lens)
+)
+SELECT source,
+       CAST(sum(n_docs) AS BIGINT) AS n_docs,
+       CAST(sum(tokens) AS BIGINT) AS total_tokens,
+       CAST(sum(n_bins) AS BIGINT) AS bins_ffd,
+       CAST((sum(tokens) + {PACK_C} - 1) // {PACK_C} AS BIGINT) AS bins_concat_lower_bound,
+       CAST(sum(tokens) * 10000 // (sum(n_bins) * {PACK_C}) AS BIGINT) AS fill_bp
+FROM final GROUP BY source
+"""
+
+QUERIES["pack_best_fit"] = pack_best_fit
+ORACLES["pack_best_fit"] = PACK_BEST_FIT_SQL

@@ -31,3 +31,28 @@ def test_normalize_restores_original_text(spark):
     rows = textprep.text_normalize(spark, SF_CORRECT).collect()
     assert rows and all(r.restored == 1 for r in rows)
     assert all(r.n_removed > 0 for r in rows)  # the dirt was really planted
+
+
+def test_best_fit_beats_nothing_and_respects_capacity(spark):
+    """FFD invariants: bins can never beat the concat lower bound,
+    fill can never exceed 100%, and every doc was placed (token
+    conservation vs the sized corpus)."""
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.functions.text import tokens
+    from iris_project_database_refresh_spark.operators.packing import PACK_C, pack_best_fit
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    rows = pack_best_fit(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.bins_ffd >= r.bins_concat_lower_bound
+        assert 0 < r.fill_bp <= 10000
+    want_tokens = (
+        load_table(spark, SF_CORRECT, "documents")
+        .select(F.size(tokens(F.col("text"))).alias("n"))
+        .where((F.col("n") > 0) & (F.col("n") <= PACK_C))
+        .agg(F.sum("n"))
+        .collect()[0][0]
+    )
+    assert sum(r.total_tokens for r in rows) == want_tokens
