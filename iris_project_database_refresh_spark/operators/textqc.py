@@ -816,3 +816,65 @@ FROM stats
 
 QUERIES["readability_scores"] = readability_scores
 ORACLES["readability_scores"] = READABILITY_SQL
+
+
+# --- temperature-scaled mixture weights --------------------------------------
+#
+# The data-mixing step between dataset cards and sampling: rebalance
+# per-source sampling shares with temperature alpha = 0.5 (the
+# multilingual/multi-corpus practice — upsample small sources,
+# downsample dominant ones; alpha = 0.5 makes the reweighting
+# IEEE-exact because p^0.5 is a correctly-rounded sqrt in both
+# engines, the same determinism argument as the cosine device).
+# `corpus_sample_mix` consumes shares like these; `effective_epochs`
+# (alpha share / natural share) is the upsampling factor a training
+# run would apply per source. One bounded per-source aggregation; the
+# share normalization is a 1-row lazy broadcast.
+
+def mixture_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(F.size(tokens(F.col("text")))).cast("bigint").alias("n_tokens"),
+    )
+    totals = per_src.agg(
+        F.sum("n_tokens").alias("tot_tokens"),
+        F.sum(F.sqrt(F.col("n_tokens").cast("double"))).alias("tot_sqrt"),
+    )
+    joined = per_src.crossJoin(F.broadcast(totals))
+    nat_bp = F.expr("cast(n_tokens * 10000 div tot_tokens as bigint)")
+    alpha_share = F.round(F.sqrt(F.col("n_tokens").cast("double")) / F.col("tot_sqrt"), 6)
+    return joined.select(
+        "source",
+        "n_docs",
+        "n_tokens",
+        nat_bp.alias("natural_share_bp"),
+        alpha_share.alias("alpha_share"),
+        F.round(
+            F.sqrt(F.col("n_tokens").cast("double"))
+            / F.col("tot_sqrt")
+            / (F.col("n_tokens") / F.col("tot_tokens")),
+            4,
+        ).alias("effective_epochs"),
+    )
+
+
+MIXTURE_WEIGHTS_SQL = """
+WITH per_src AS (
+  SELECT source, count(*) AS n_docs,
+         CAST(sum(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))) AS BIGINT)
+           AS n_tokens
+  FROM documents GROUP BY source
+), totals AS (
+  SELECT sum(n_tokens) AS tot_tokens, sum(sqrt(n_tokens::DOUBLE)) AS tot_sqrt FROM per_src
+)
+SELECT source, n_docs, n_tokens,
+       CAST(n_tokens * 10000 // tot_tokens AS BIGINT) AS natural_share_bp,
+       round(sqrt(n_tokens::DOUBLE) / tot_sqrt, 6) AS alpha_share,
+       round(sqrt(n_tokens::DOUBLE) / tot_sqrt / (n_tokens / tot_tokens::DOUBLE), 4)
+         AS effective_epochs
+FROM per_src, totals
+"""
+
+QUERIES["mixture_weights_temperature"] = mixture_weights_temperature
+ORACLES["mixture_weights_temperature"] = MIXTURE_WEIGHTS_SQL

@@ -150,7 +150,7 @@ _DRIVER_PRIORITY = [
     "dedup_url_normalize", "matryoshka_recall", "readability_scores", "zipf_fit",
     "funnel_time_to_convert", "graph_jaccard_links", "events_hopping_agg",
     "events_session_window_agg", "multimodal_framesample_y4m",
-    "orders_seasonal_index", "pack_best_fit",
+    "orders_seasonal_index", "pack_best_fit", "mixture_weights_temperature",
 ]
 
 

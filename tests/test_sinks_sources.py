@@ -93,3 +93,32 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     nulls = back.where(F.col("stage_version").isNull()).count()
     assert nulls == 5  # every v1 row null-fills the new column
     assert back.where(F.col("stage_version") == 2).count() == 3
+
+
+def test_csv_quarantine_catches_malformed_rows(spark, tmp_path):
+    """PERMISSIVE CSV ingest: good rows parse, torn rows land intact in
+    the quarantine — nothing is dropped silently, nothing kills the
+    job (the stage1/stage5 failure mode at scale)."""
+    from pyspark.sql import types as T
+
+    from iris_project_database_refresh_spark.sources.formats import read_csv_quarantine
+
+    p = tmp_path / "in.csv"
+    p.write_text(
+        "id,name,score\n"
+        "1,alpha,10\n"
+        "2,beta,not_a_number\n"   # type mismatch -> quarantine
+        "3,gamma,30\n"
+    )
+    schema = T.StructType(
+        [
+            T.StructField("id", T.LongType()),
+            T.StructField("name", T.StringType()),
+            T.StructField("score", T.LongType()),
+        ]
+    )
+    clean, bad = read_csv_quarantine(spark, str(p), schema)
+    got = sorted((r.id, r.name, r.score) for r in clean.collect())
+    assert got == [(1, "alpha", 10), (3, "gamma", 30)]
+    quarantined = [r._corrupt_record for r in bad.collect()]
+    assert quarantined == ["2,beta,not_a_number"]
