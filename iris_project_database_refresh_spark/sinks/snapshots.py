@@ -181,14 +181,26 @@ def snapshot_read(
         by_part.setdefault(key, []).append(
             os.path.join(_data_dir(table_dir), e["path"])
         )
+    dvs = m.get("delete_vectors", [])
     for key, paths in sorted(by_part.items()):
         part = spark.read.parquet(*paths)
+        if dvs:  # carry row provenance for the MOR anti-join below
+            part = part.select(
+                F.col("_metadata.file_name").alias("__file"),
+                F.col("_metadata.row_index").alias("__row"),
+                "*",
+            )
         for c, val in zip(part_cols, key):
             part = part.withColumn(c, F.lit(val))
         dfs.append(part)
     out = dfs[0]
     for d in dfs[1:]:
         out = out.unionByName(d)
+    if dvs:
+        tombstones = spark.read.parquet(
+            *[os.path.join(_dv_dir(table_dir), name) for name in dvs]
+        ).selectExpr("file_name as __file", "row_index as __row")
+        out = out.join(tombstones, ["__file", "__row"], "left_anti").drop("__file", "__row")
     # restore the committed schema: column order AND partition-column
     # types (partition values travel as strings in the manifest)
     from pyspark.sql.types import StructType
@@ -215,3 +227,84 @@ def snapshot_history(table_dir: str) -> list[dict]:
         }
         for m in (_read_manifest(table_dir, v) for v in _versions(table_dir))
     ]
+
+
+# --- merge-on-read deletion vectors ------------------------------------------
+#
+# The MOR complement to the COW overwrite above (public art: Iceberg
+# position deletes / Delta deletion vectors): a DELETE does not
+# rewrite any data file — it commits a tiny positional tombstone file
+# (file_name, row_index) and the reader anti-joins it at scan time.
+# Deletes become metadata-speed regardless of how many terabytes the
+# touched files hold; `snapshot_compact` later folds the tombstones
+# back into clean files (the maintenance job table formats schedule).
+
+
+def _dv_dir(table_dir: str) -> str:
+    return os.path.join(table_dir, "deletes")
+
+
+def snapshot_delete(spark: SparkSession, table_dir: str, predicate: str) -> int:
+    """Commit a position-delete of every current row matching
+    `predicate`. No data file is touched; returns the new version."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(table_dir)
+    if not vs:
+        raise FileNotFoundError(f"no snapshots at {table_dir}")
+    cur = _read_manifest(table_dir, vs[-1])
+    version = vs[-1] + 1
+    paths = [os.path.join(_data_dir(table_dir), e["path"]) for e in cur["files"]]
+    hits = (
+        spark.read.parquet(*paths)
+        .select(
+            F.col("_metadata.file_name").alias("file_name"),
+            F.col("_metadata.row_index").alias("row_index"),
+            "*",
+        )
+        .where(predicate)
+        .select("file_name", "row_index")
+    )
+    staging = os.path.join(_dv_dir(table_dir), f".staging-{uuid.uuid4().hex}")
+    hits.coalesce(1).write.parquet(staging)
+    os.makedirs(_dv_dir(table_dir), exist_ok=True)
+    dv_name = None
+    for name in sorted(os.listdir(staging)):
+        if name.endswith(".parquet"):
+            dv_name = f"dv-{version:06d}.parquet"
+            os.replace(os.path.join(staging, name), os.path.join(_dv_dir(table_dir), dv_name))
+    for name in os.listdir(staging):
+        os.unlink(os.path.join(staging, name))
+    os.rmdir(staging)
+    manifest = {
+        "version": version,
+        "committed_at": int(time.time() * 1000),
+        "operation": "delete",
+        "schema": cur["schema"],
+        "files": cur["files"],
+        "delete_vectors": cur.get("delete_vectors", []) + ([dv_name] if dv_name else []),
+    }
+    _commit(table_dir, manifest, version)
+    return version
+
+
+def snapshot_compact(spark: SparkSession, table_dir: str, *, partition_col: str | None = None) -> int:
+    """Fold deletion vectors back into clean data files: read the
+    current MOR state, write it as a fresh file set, drop the DVs.
+    Old files stay on disk untouched — prior versions remain
+    time-travelable."""
+    vs = _versions(table_dir)
+    cur = _read_manifest(table_dir, vs[-1])
+    version = vs[-1] + 1
+    df = snapshot_read(spark, table_dir)
+    entries = _write_files(df, table_dir, version, partition_col)
+    manifest = {
+        "version": version,
+        "committed_at": int(time.time() * 1000),
+        "operation": "compact",
+        "schema": cur["schema"],
+        "files": entries,
+        "delete_vectors": [],
+    }
+    _commit(table_dir, manifest, version)
+    return version

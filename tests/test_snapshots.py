@@ -82,3 +82,34 @@ def test_crash_safety_ignores_torn_manifest(spark, table, tmp_path):
     assert [h["version"] for h in snapshot_history(d)] == [v1, v2, v3]
     got = snapshot_read(spark, d)
     assert got.count() > 0
+
+
+def test_mor_delete_and_compact(spark, table):
+    """Deletion vectors: a DELETE commits only a positional tombstone —
+    data files stay byte-identical, prior versions still see the rows,
+    the current version doesn't; compaction folds tombstones into
+    clean files and reads identically."""
+    from iris_project_database_refresh_spark.sinks.snapshots import (
+        snapshot_compact,
+        snapshot_delete,
+    )
+
+    d, (v1, v2, v3), *_ = table
+    before = _file_hashes(d)
+    pre = _rows(snapshot_read(spark, d))
+    v4 = snapshot_delete(spark, d, "v >= 50")
+    # no data file touched
+    after = _file_hashes(d)
+    assert all(after[k] == h for k, h in before.items())
+    got = _rows(snapshot_read(spark, d, version=v4))
+    want = [r for r in pre if not (r[2] >= 50)]
+    assert got == want
+    # time travel still sees the deleted rows
+    assert _rows(snapshot_read(spark, d, version=v3)) == pre
+    # compaction purges tombstones, content unchanged
+    v5 = snapshot_compact(spark, d, partition_col="day")
+    assert _rows(snapshot_read(spark, d, version=v5)) == want
+    import json as _json
+
+    m5 = _json.load(open(os.path.join(d, "_log", f"v{v5:06d}.json")))
+    assert m5["delete_vectors"] == [] and m5["operation"] == "compact"
