@@ -532,3 +532,106 @@ GROUP BY document_source, action
 
 QUERIES["catalog_delta_summary"] = catalog_delta_summary
 ORACLES["catalog_delta_summary"] = CATALOG_DELTA_SUMMARY_SQL
+
+
+# --- structured-filename parsing (standards prep) ----------------------------
+#
+# Reference parity: the IASB prep pipeline derives its chapter
+# structure from filename conventions — `semantic search - iasb prep/
+# stage_00_standards_processor.py:318 parse_merged_filename` matches
+# `^([a-z]+)-(\d+)-(.+)\.pdf$` case-insensitively, lowercases the
+# standard, title-cases the dash-separated name, and `:343
+# sort_merged_pdfs` orders chapters by standard number, formatting
+# "IAS 2 - Inventories"; unparseable names are warned and dropped.
+# Filenames are planted deterministically (mixed case + a malformed
+# variant every 7th file to exercise the drop path). Title-casing is
+# spelled as an explicit per-word transform in BOTH engines (initcap
+# differs across engines on edge cases).
+#
+# Scale: per-row regex on a file-listing (metadata-scale) table; the
+# chapter-rank window runs over that same listing — the reference
+# sorts the full list too, and at 100 TB this is still a file
+# manifest, not data bytes.
+
+_FN_STANDARDS = ("ias", "IFRS", "sic")
+_FN_NAMES = ("inventories", "revenue", "leases", "income-taxes")
+_FN_RE = r"^([a-zA-Z]+)-([0-9]+)-(.+)\.pdf$"
+
+
+def catalog_filename_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    std = F.element_at(F.array(*[F.lit(s) for s in _FN_STANDARDS]), (F.col("doc_id") % 3 + 1).cast("int"))
+    nm = F.element_at(F.array(*[F.lit(n) for n in _FN_NAMES]), (F.col("doc_id") % 4 + 1).cast("int"))
+    fname = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("scan_"), F.col("doc_id").cast("string"), F.lit(".pdf")),
+    ).otherwise(
+        F.concat(std, F.lit("-"), (F.col("doc_id") % 120).cast("string"), F.lit("-"), nm, F.lit(".pdf"))
+    )
+    named = docs.select("doc_id", fname.alias("filename"))
+    parsed = named.select(
+        "doc_id",
+        "filename",
+        F.lower(F.regexp_extract("filename", _FN_RE, 1)).alias("standard"),
+        F.regexp_extract("filename", _FN_RE, 2).alias("number_s"),
+        F.regexp_extract("filename", _FN_RE, 3).alias("name"),
+    ).where(F.col("number_s") != "")
+    title = F.array_join(
+        F.transform(
+            F.split(F.regexp_replace("name", "-", " "), " "),
+            lambda w: F.concat(F.upper(F.substring(w, 1, 1)), F.substring(w, 2, 1000)),
+        ),
+        " ",
+    )
+    shaped = parsed.select(
+        "doc_id",
+        "filename",
+        "standard",
+        F.col("number_s").cast("bigint").alias("number"),
+        title.alias("name_formatted"),
+    ).select(
+        "*",
+        F.concat(F.upper("standard"), F.lit(" "), F.col("number").cast("string"),
+                 F.lit(" - "), F.col("name_formatted")).alias("chapter_name"),
+    )
+    from pyspark.sql import Window as _W
+
+    return shaped.withColumn(
+        "chapter_rank",
+        F.row_number().over(_W.orderBy("number", "filename", "doc_id")).cast("bigint"),
+    )
+
+
+CATALOG_FILENAME_SQL = """
+WITH named AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'scan_' || CAST(doc_id AS VARCHAR) || '.pdf'
+              ELSE (CASE doc_id % 3 WHEN 0 THEN 'ias' WHEN 1 THEN 'IFRS' ELSE 'sic' END)
+                   || '-' || CAST(doc_id % 120 AS VARCHAR) || '-'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'inventories' WHEN 1 THEN 'revenue'
+                                       WHEN 2 THEN 'leases' ELSE 'income-taxes' END)
+                   || '.pdf' END AS filename
+  FROM documents
+), parsed AS (
+  SELECT doc_id, filename,
+         lower(regexp_extract(filename, '^([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 1)) AS standard,
+         regexp_extract(filename, '^([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 2) AS number_s,
+         regexp_extract(filename, '^([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 3) AS name
+  FROM named
+  WHERE regexp_extract(filename, '^([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 2) <> ''
+), shaped AS (
+  SELECT doc_id, filename, standard, CAST(number_s AS BIGINT) AS number,
+         list_aggregate(
+           list_transform(string_split(replace(name, '-', ' '), ' '),
+                          w -> upper(substr(w, 1, 1)) || substr(w, 2, 1000)),
+           'string_agg', ' ') AS name_formatted
+  FROM parsed
+)
+SELECT doc_id, filename, standard, number, name_formatted,
+       upper(standard) || ' ' || CAST(number AS VARCHAR) || ' - ' || name_formatted AS chapter_name,
+       row_number() OVER (ORDER BY number, filename, doc_id) AS chapter_rank
+FROM shaped
+"""
+
+QUERIES["catalog_filename_parse"] = catalog_filename_parse
+ORACLES["catalog_filename_parse"] = CATALOG_FILENAME_SQL
