@@ -308,3 +308,34 @@ def snapshot_compact(spark: SparkSession, table_dir: str, *, partition_col: str 
     }
     _commit(table_dir, manifest, version)
     return version
+
+
+def snapshot_expire(table_dir: str, *, keep_last: int) -> dict:
+    """Retention vacuum (the stage4 backup-pruning analogue, and the
+    VACUUM every table format ships): drop manifests older than the
+    newest `keep_last` versions, then delete data/DV files no kept
+    manifest references. Kept versions stay byte-identically readable;
+    time travel beyond the horizon is traded for space — exactly the
+    dated-backup retention policy, made transactional."""
+    vs = _versions(table_dir)
+    keep = vs[-keep_last:] if keep_last > 0 else vs
+    drop = [v for v in vs if v not in keep]
+    live_data: set[str] = set()
+    live_dv: set[str] = set()
+    for v in keep:
+        m = _read_manifest(table_dir, v)
+        live_data.update(e["path"] for e in m["files"])
+        live_dv.update(m.get("delete_vectors", []))
+    removed_files = []
+    for name in os.listdir(_data_dir(table_dir)):
+        if name.endswith(".parquet") and name not in live_data:
+            os.unlink(os.path.join(_data_dir(table_dir), name))
+            removed_files.append(name)
+    if os.path.isdir(_dv_dir(table_dir)):
+        for name in os.listdir(_dv_dir(table_dir)):
+            if name.endswith(".parquet") and name not in live_dv:
+                os.unlink(os.path.join(_dv_dir(table_dir), name))
+                removed_files.append(name)
+    for v in drop:
+        os.unlink(os.path.join(_log_dir(table_dir), f"v{v:06d}.json"))
+    return {"kept_versions": keep, "dropped_versions": drop, "removed_files": removed_files}

@@ -113,3 +113,51 @@ def test_mor_delete_and_compact(spark, table):
 
     m5 = _json.load(open(os.path.join(d, "_log", f"v{v5:06d}.json")))
     assert m5["delete_vectors"] == [] and m5["operation"] == "compact"
+
+
+def test_expire_keeps_recent_versions_readable(spark, table):
+    """VACUUM semantics: after keeping the last 2 versions, those
+    versions read byte-for-byte as before; older manifests are gone and
+    their exclusive files deleted — shared (carried) files survive."""
+    from iris_project_database_refresh_spark.sinks.snapshots import snapshot_expire
+
+    d, (v1, v2, v3), *_ = table
+    before_v2 = _rows(snapshot_read(spark, d, version=v2))
+    before_v3 = _rows(snapshot_read(spark, d, version=v3))
+    res = snapshot_expire(d, keep_last=2)
+    assert res["dropped_versions"] == [v1]
+    assert [h["version"] for h in snapshot_history(d)] == [v2, v3]
+    assert _rows(snapshot_read(spark, d, version=v2)) == before_v2
+    assert _rows(snapshot_read(spark, d, version=v3)) == before_v3
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        snapshot_read(spark, d, version=v1)
+
+
+def test_streaming_ingest_into_snapshot_log(spark, tmp_path):
+    """Each micro-batch commits one snapshot version; the final state
+    equals the batch read, and a crash-replayed batch id is skipped
+    (idempotent commit)."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from iris_project_database_refresh_spark.streaming.snapshot_sink import (
+        apply_stream_batch,
+        run_snapshot_ingest_available_now,
+    )
+
+    from .conftest import SF_CORRECT
+
+    d = str(tmp_path / "stream_tbl")
+    run_snapshot_ingest_available_now(spark, SF_CORRECT, d)
+    hist = snapshot_history(d)
+    assert hist, "no snapshot committed"
+    assert all(h["operation"].startswith("stream-append@") for h in hist)
+    got = snapshot_read(spark, d)
+    want = load_table(spark, SF_CORRECT, "events")
+    assert got.count() == want.count()
+    assert sorted(got.columns) == sorted(want.columns)
+    # replaying an already-committed batch id must be a no-op
+    n_versions = len(hist)
+    replay_id = int(hist[0]["operation"].split("@")[1])
+    assert apply_stream_batch(want.limit(5), replay_id, d) is False
+    assert len(snapshot_history(d)) == n_versions
