@@ -90,3 +90,29 @@ def test_cow_merge_rewrites_only_impacted_partitions(spark, tmp_path):
     assert changed_dirs == {"day=2024-01-03", "day=2024-01-04"}, changed_dirs
     # keys are unique after the merge (upsert, not append)
     assert out.groupBy("event_id").count().where("count > 1").count() == 0
+
+
+def test_dynamic_partition_pruning_on_fact_dim_join(spark, tmp_path):
+    """The second 100 TB pruning mechanism next to static PartitionFilters:
+    when the partition key is only constrained THROUGH a join (dim
+    carries the filter), Spark must inject a dynamicpruningexpression
+    into the fact scan's PartitionFilters — the fact table then reads
+    only the partitions the dim's rows select, at runtime."""
+    import os
+
+    import pyspark.sql.functions as F
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    ev = load_table(spark, SF_CORRECT, "events").withColumn("day", F.to_date("ts"))
+    fact_path = str(tmp_path / "ev")
+    ev.write.partitionBy("day").mode("overwrite").parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim_path = str(tmp_path / "dim")
+    fact.select("day").distinct().limit(2).withColumn("tag", F.lit("keep")).write.parquet(dim_path)
+    dim = spark.read.parquet(dim_path).where(F.col("tag") == "keep")
+    j = fact.join(dim, "day").groupBy("day").agg(F.count(F.lit(1)).alias("n"))
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), f"no DPP in plan:\n{plan[:600]}"
