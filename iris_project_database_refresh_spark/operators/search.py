@@ -363,3 +363,117 @@ ORDER BY score DESC, doc_id LIMIT {TOP_K}
 
 QUERIES["bm25_prf_search"] = bm25_prf_search
 ORACLES["bm25_prf_search"] = BM25_PRF_SQL
+
+
+# --- multi-query retrieval evaluation (MRR) ----------------------------------
+#
+# The measurement harness for the retrieval family (recall-harness
+# pattern: ann_recall_eval / dedup_recall_eval / matryoshka_recall):
+# self-retrieval MRR. Each planted query takes its terms from one
+# document (its MRR_TERMS lexicographically-smallest distinct tokens (order-free: DuckDB's list_distinct does not preserve occurrence order)), so that document is
+# the known-relevant answer; the reciprocal rank of the source doc
+# under BM25 measures ranking quality end-to-end. Unlike the
+# fixed-query operators above (per-row array counters), this is the
+# GENERIC inverted-index BM25: tokens explode once to a postings
+# table, query terms broadcast, per-(query, doc) scores from one
+# postings⋈terms join — the multi-tenant shape a search service runs.
+# Ranks use rounded scores + doc_id tie-breaks (engine-equal); the
+# per-query rank windows run over matched candidates only, and at
+# 100 TB the candidate cut is the WindowGroupLimit partial top-k
+# pattern (knn_brute_force note).
+
+MRR_QUERIES = 8   # query_id < 8: query terms come from that doc
+MRR_TERMS = 3
+
+
+def bm25_self_retrieval_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).localCheckpoint(eager=False)
+    postings = (
+        base.select("doc_id", F.size("toks").alias("len_d"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avg_len")
+    )
+    qterms = (
+        base.where(F.col("doc_id") < MRR_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, MRR_TERMS)).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (BM25_K1 + 1))
+                    / (
+                        F.col("tf")
+                        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len_d") / F.col("avg_len"))
+                    )
+                ),
+                6,
+            ).alias("score")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id"))
+    ranked = scored.withColumn("rank", F.row_number().over(w))
+    per_q = ranked.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_candidates"))
+    self_rank = ranked.where(F.col("doc_id") == F.col("query_id")).select(
+        "query_id", F.col("rank").cast("bigint").alias("self_rank")
+    )
+    return per_q.join(self_rank, "query_id").select(
+        "query_id",
+        "n_candidates",
+        "self_rank",
+        F.expr("cast(10000 div self_rank as bigint)").alias("reciprocal_rank_bp"),
+    )
+
+
+BM25_MRR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), postings AS (
+  SELECT doc_id, len_d, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, len_d, term
+), df_t AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avg_len FROM base
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:{MRR_TERMS}]) AS term
+  FROM base WHERE doc_id < {MRR_QUERIES}
+), scored AS (
+  SELECT query_id, p.doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * len_d / avg_len))
+         ), 6) AS score
+  FROM postings p JOIN qterms q USING (term) JOIN df_t USING (term), stats
+  GROUP BY query_id, p.doc_id
+), ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank
+  FROM scored
+)
+SELECT q.query_id,
+       (SELECT count(*) FROM ranked r2 WHERE r2.query_id = q.query_id) AS n_candidates,
+       CAST(q.rank AS BIGINT) AS self_rank,
+       CAST(10000 // q.rank AS BIGINT) AS reciprocal_rank_bp
+FROM ranked q WHERE q.doc_id = q.query_id
+"""
+
+QUERIES["bm25_self_retrieval_mrr"] = bm25_self_retrieval_mrr
+ORACLES["bm25_self_retrieval_mrr"] = BM25_MRR_SQL
