@@ -230,3 +230,67 @@ ORACLES = {
     "monitor_llm_costs": MONITOR_LLM_COSTS_SQL,
     "embed_batch_log": EMBED_BATCH_LOG_SQL,
 }
+
+
+# --- run-over-run stage-duration regression flags ----------------------------
+#
+# The question the process_monitor_logs table exists to answer
+# (`database-schema.sql` stage timing columns): did a stage get
+# slower between refresh runs? Runs are day buckets of the event
+# stream, a stage's per-run duration is the exact integer-cent sum of
+# its events' values (the planted stand-in for duration_ms); a lag
+# window per stage compares consecutive runs and flags ratios above
+# the 2x alert bar — the same regression rule this repo's own
+# BASELINE.md applies to bench timings. One corpus-sized (stage, run)
+# aggregation; the lag window and flags run on the bounded rollup.
+
+REGRESSION_BAR_BP = 20000  # ratio > 2.0x flags
+
+
+def monitor_stage_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    per_run = ev.groupBy(
+        F.col("event_type").alias("stage_name"), F.to_date("ts").alias("run_day")
+    ).agg(
+        F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("duration_c"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("stage_name").orderBy("run_day")
+    flagged = per_run.select(
+        "stage_name",
+        "run_day",
+        "duration_c",
+        "n_events",
+        F.lag("duration_c").over(w).alias("prev_c"),
+    ).select(
+        "*",
+        F.expr("cast(duration_c * 10000 div prev_c as bigint)").alias("ratio_bp"),
+        (F.expr("duration_c * 10000 div prev_c") > REGRESSION_BAR_BP)
+        .cast("int")
+        .alias("regressed"),
+    )
+    return flagged.where(F.col("prev_c").isNotNull())
+
+
+MONITOR_REGRESSION_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), per_run AS (
+  SELECT event_type AS stage_name, CAST(ts AS DATE) AS run_day,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) AS BIGINT) AS duration_c,
+         count(*) AS n_events
+  FROM events_us GROUP BY 1, 2
+), lagged AS (
+  SELECT *, lag(duration_c) OVER (PARTITION BY stage_name ORDER BY run_day) AS prev_c
+  FROM per_run
+)
+SELECT stage_name, run_day, duration_c, n_events, prev_c,
+       CAST(duration_c * 10000 // prev_c AS BIGINT) AS ratio_bp,
+       CAST(duration_c * 10000 // prev_c > {REGRESSION_BAR_BP} AS INT) AS regressed
+FROM lagged WHERE prev_c IS NOT NULL
+"""
+
+QUERIES["monitor_stage_regression"] = monitor_stage_regression
+ORACLES["monitor_stage_regression"] = MONITOR_REGRESSION_SQL
