@@ -68,3 +68,28 @@ def test_matryoshka_recall_bounds(spark):
     for r in rows:
         assert 0 <= r.hits <= pq.PQ_K
         assert r.recall_bp == r.hits * 10000 // pq.PQ_K
+
+
+def test_persisted_ivf_index_serves_identically(spark, tmp_path):
+    """Index-as-artifact: build the partitioned IVF layout once, serve
+    the standard query set from it — results must equal the in-query
+    knn_ivf exactly, and the cells scan must be partition-pruned to the
+    probed cells (PartitionFilters on cell)."""
+    from iris_project_database_refresh_spark.operators.advanced import knn_ivf
+    from iris_project_database_refresh_spark.sinks.vector_index import (
+        build_ivf_index,
+        query_ivf_index,
+    )
+
+    d = str(tmp_path / "ivf")
+    manifest = build_ivf_index(spark, SF_CORRECT, d)
+    assert sum(manifest["cell_rows"].values()) > 0
+    served = query_ivf_index(spark, d, SF_CORRECT)
+    want = sorted(tuple(r) for r in knn_ivf(spark, SF_CORRECT).collect())
+    got = sorted(tuple(r) for r in served.collect())
+    assert got == want
+    plan = served._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), f"cells scan not partition-pruned: {plan[:400]}"
