@@ -28,7 +28,7 @@ damping horizon, not data size.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -343,3 +343,113 @@ LIMIT {LINK_TOP}
 
 QUERIES["graph_jaccard_links"] = graph_jaccard_links
 ORACLES["graph_jaccard_links"] = JACCARD_LINKS_SQL
+
+
+# --- synchronous label propagation communities -------------------------------
+
+LPA_ROUNDS = 3
+LPA_TOP = 20
+
+
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by synchronous label propagation (the public
+    LPA baseline; the third iterative graph algorithm beside PageRank
+    and min-label connected components): every node starts as its own
+    label; each round it adopts the most frequent label among its
+    neighbors (ties to the smallest label — the determinism device
+    that makes sync LPA engine-reproducible). Per round: ONE labels ⋈
+    adjacency join + one (node, label) count + an argmax window — all
+    shuffles on vertex ids, adjacency pinned once. Output: the
+    LPA_TOP largest communities after LPA_ROUNDS rounds.
+    """
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("doc_id").alias("x"), F.col("doc_id").alias("lbl"))
+    w = Window.partitionBy("x").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            adj.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("x", "lbl")
+        )
+    return (
+        labels.groupBy("lbl")
+        .agg(F.count(F.lit(1)).alias("community_size"), F.min("x").alias("min_member"))
+        .select(F.col("lbl").alias("community_label"), "community_size", "min_member")
+        .orderBy(F.desc("community_size"), "community_label")
+        .limit(LPA_TOP)
+    )
+
+
+def _lpa_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT x, lbl FROM (
+    SELECT a.x, l.lbl, count(*) AS cnt,
+           row_number() OVER (PARTITION BY a.x ORDER BY count(*) DESC, l.lbl ASC) AS r
+    FROM adj a JOIN {prev} l ON l.x = a.y
+    GROUP BY a.x, l.lbl
+  ) WHERE r = 1
+)"""
+
+
+def _lpa_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(LPA_ROUNDS):
+        rounds.append(_lpa_round_sql(prev, f"l{i + 1}"))
+        prev = f"l{i + 1}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS u, unnest(ts) AS v FROM tlists),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+l0 AS (SELECT doc_id AS x, doc_id AS lbl FROM documents),
+{body}
+SELECT lbl AS community_label, count(*) AS community_size, min(x) AS min_member
+FROM {prev}
+GROUP BY lbl
+ORDER BY community_size DESC, community_label
+LIMIT {LPA_TOP}
+"""
+
+
+LPA_SQL = _lpa_sql()
+
+QUERIES["graph_label_propagation"] = graph_label_propagation
+ORACLES["graph_label_propagation"] = LPA_SQL
