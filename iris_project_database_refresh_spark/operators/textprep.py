@@ -266,3 +266,85 @@ FROM cleaned
 
 QUERIES["text_normalize"] = text_normalize
 ORACLES["text_normalize"] = TEXT_NORMALIZE_SQL
+
+
+# --- dialogue turn structuring (instruct-data prep) ---------------------------
+#
+# The conversation-shaped sibling of the section/chunk structurers: an
+# instruction-tuning pipeline receives role-tagged transcripts and
+# must (a) split them into ordered turns, (b) type each turn's role,
+# (c) validate strict USER/ASSISTANT alternation before the pair
+# builder consumes them. Transcripts are planted deterministically
+# from the document's own tokens (TURN_TOKENS per turn, newline
+# separated, "ROLE: content"); every 11th document swaps one role so
+# the validator has real violations to catch (tested). Parsing is a
+# per-row split + regex — zero shuffle, scan-rate, like the page-tag
+# operators it generalizes.
+
+TURN_TOKENS = 12
+MAX_TURNS = 6
+
+
+def dialogue_turns_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_turns = F.least(F.floor(F.size("toks") / TURN_TOKENS), F.lit(MAX_TURNS)).cast("int")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", n_turns.alias("n_turns")
+    ).where(F.col("n_turns") >= 2)
+    # role for turn i (1-based): USER on odd turns, ASSISTANT on even —
+    # except the planted violation: doc_id % 11 == 0 flips turn 2
+    role = (
+        "CASE WHEN doc_id % 11 = 0 AND i = 2 THEN 'USER' "
+        "WHEN i % 2 = 1 THEN 'USER' ELSE 'ASSISTANT' END"
+    )
+    transcript = F.expr(
+        f"""
+        array_join(transform(sequence(1, n_turns), i ->
+          concat({role}, ': ',
+                 array_join(slice(toks, (i - 1) * {TURN_TOKENS} + 1, {TURN_TOKENS}), ' '))),
+          '\n')
+        """
+    )
+    planted = base.select("doc_id", transcript.alias("transcript"))
+    turns = planted.select(
+        "doc_id",
+        F.posexplode(F.split("transcript", "\n")).alias("turn_idx0", "line"),
+    ).select(
+        "doc_id",
+        (F.col("turn_idx0") + 1).cast("bigint").alias("turn_idx"),
+        F.regexp_extract("line", r"^(USER|ASSISTANT): ", 1).alias("role"),
+        F.size(F.filter(F.split(F.regexp_replace("line", r"^(USER|ASSISTANT): ", ""), " "),
+                        lambda t: t != "")).cast("bigint").alias("n_tokens"),
+    )
+    expected = F.when(F.col("turn_idx") % 2 == 1, "USER").otherwise("ASSISTANT")
+    return turns.select(
+        "*", (F.col("role") == expected).cast("int").alias("role_ok")
+    )
+
+
+DIALOGUE_TURNS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               // {TURN_TOKENS}, {MAX_TURNS}) AS n_turns
+  FROM documents
+), eligible AS (
+  SELECT * FROM base WHERE n_turns >= 2
+), turns AS (
+  SELECT doc_id, i AS turn_idx,
+         CASE WHEN doc_id % 11 = 0 AND i = 2 THEN 'USER'
+              WHEN i % 2 = 1 THEN 'USER' ELSE 'ASSISTANT' END AS role,
+         len(toks[(i - 1) * {TURN_TOKENS} + 1 : (i - 1) * {TURN_TOKENS} + {TURN_TOKENS}]) AS n_tokens
+  FROM eligible, (SELECT unnest(generate_series(1, {MAX_TURNS})) AS i)
+  WHERE i <= n_turns
+)
+SELECT doc_id, CAST(turn_idx AS BIGINT) AS turn_idx, role,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(role = CASE WHEN turn_idx % 2 = 1 THEN 'USER' ELSE 'ASSISTANT' END AS INT) AS role_ok
+FROM turns
+"""
+
+QUERIES["dialogue_turns_parse"] = dialogue_turns_parse
+ORACLES["dialogue_turns_parse"] = DIALOGUE_TURNS_SQL
