@@ -348,3 +348,76 @@ FROM turns
 
 QUERIES["dialogue_turns_parse"] = dialogue_turns_parse
 ORACLES["dialogue_turns_parse"] = DIALOGUE_TURNS_SQL
+
+
+# --- SFT pair building over validated dialogues ------------------------------
+#
+# The consumer of `dialogue_turns_parse`'s gate: documents whose
+# transcripts pass strict alternation become (prompt, response)
+# training pairs — one pair per ASSISTANT turn, prompt = every turn
+# before it, response = the turn itself. Content fidelity is graded
+# by md5 of the actual prompt/response text (not just token
+# arithmetic), and a context-window fit flag models the pair
+# builder's length gate. Violating docs (the planted every-11th) are
+# excluded by the same rule the validator flags — tested. Zero
+# shuffle: plant, filter and fan-out are per-row; one row per pair.
+
+SFT_CTX_TOKENS = 48
+
+
+def sft_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_turns = F.least(F.floor(F.size("toks") / TURN_TOKENS), F.lit(MAX_TURNS)).cast("int")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", "toks", n_turns.alias("n_turns"))
+        .where(F.col("n_turns") >= 2)
+        # the alternation gate: the planted violation docs are excluded
+        .where(F.col("doc_id") % 11 != 0)
+    )
+    pairs = base.select(
+        "doc_id",
+        "n_turns",
+        "toks",
+        F.explode(F.expr("filter(sequence(1, n_turns), i -> i % 2 = 0)")).alias("i"),
+    )
+    prompt = F.expr(f"array_join(slice(toks, 1, (i - 1) * {TURN_TOKENS}), ' ')")
+    response = F.expr(f"array_join(slice(toks, (i - 1) * {TURN_TOKENS} + 1, {TURN_TOKENS}), ' ')")
+    return pairs.select(
+        "doc_id",
+        (F.col("i") / 2).cast("bigint").alias("pair_idx"),
+        F.expr(f"cast((i - 1) * {TURN_TOKENS} as bigint)").alias("prompt_tokens"),
+        F.lit(TURN_TOKENS).cast("bigint").alias("response_tokens"),
+        F.md5(prompt).alias("prompt_md5"),
+        F.md5(response).alias("response_md5"),
+        (F.expr(f"i * {TURN_TOKENS}") <= SFT_CTX_TOKENS).cast("int").alias("fits_context"),
+    )
+
+
+SFT_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               // {TURN_TOKENS}, {MAX_TURNS}) AS n_turns
+  FROM documents
+), eligible AS (
+  SELECT * FROM base WHERE n_turns >= 2 AND doc_id % 11 <> 0
+), pairs AS (
+  SELECT doc_id, n_turns, toks, i
+  FROM eligible, (SELECT unnest(generate_series(2, {MAX_TURNS}, 2)) AS i)
+  WHERE i <= n_turns
+)
+SELECT doc_id,
+       CAST(i // 2 AS BIGINT) AS pair_idx,
+       CAST((i - 1) * {TURN_TOKENS} AS BIGINT) AS prompt_tokens,
+       CAST({TURN_TOKENS} AS BIGINT) AS response_tokens,
+       md5(list_aggregate(toks[1 : (i - 1) * {TURN_TOKENS}], 'string_agg', ' ')) AS prompt_md5,
+       md5(list_aggregate(toks[(i - 1) * {TURN_TOKENS} + 1 : i * {TURN_TOKENS}], 'string_agg', ' ')) AS response_md5,
+       CAST(i * {TURN_TOKENS} <= {SFT_CTX_TOKENS} AS INT) AS fits_context
+FROM pairs
+"""
+
+QUERIES["sft_pairs_build"] = sft_pairs_build
+ORACLES["sft_pairs_build"] = SFT_PAIRS_SQL
