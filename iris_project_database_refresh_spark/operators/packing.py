@@ -206,3 +206,61 @@ FROM final GROUP BY source
 
 QUERIES["pack_best_fit"] = pack_best_fit
 ORACLES["pack_best_fit"] = PACK_BEST_FIT_SQL
+
+
+# --- deterministic epoch shuffle plan ----------------------------------------
+#
+# The data-loader contract between this engine and a training run:
+# each epoch reads the corpus in a pseudorandom order that is (a)
+# exactly reproducible from (seed, doc_id) — restarts and data-
+# parallel workers agree with no coordination — and (b) different
+# across epochs. Order key = md5(seed || doc_id) (the house
+# hash-uniform device, engine-portable); shards = key ranges so each
+# worker's slice is contiguous in shuffle order (a range partition,
+# not a gather). The report proves the contract: per (epoch, shard)
+# doc counts plus first/last order-key fingerprints; the same corpus
+# reshuffles across the two epochs while each epoch is individually
+# reproducible (cross-epoch divergence tested).
+
+SHUFFLE_EPOCHS = (1, 2)
+SHUFFLE_SHARDS = 8
+
+
+def epoch_shuffle_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    epochs = docs.select(
+        "doc_id",
+        F.explode(F.array(*[F.lit(e) for e in SHUFFLE_EPOCHS])).alias("epoch"),
+    )
+    key = F.md5(F.concat(F.lit("epoch-"), F.col("epoch").cast("string"), F.lit(":"), F.col("doc_id").cast("string")))
+    keyed = epochs.select(
+        "epoch",
+        "doc_id",
+        key.alias("okey"),
+        # shard = top-4-bits range of the hash key: contiguous in shuffle order
+        F.expr(f"cast(conv(substring(md5(concat('epoch-', cast(epoch as string), ':', cast(doc_id as string))), 1, 8), 16, 10) as bigint) * {SHUFFLE_SHARDS} div 4294967296").alias("shard"),
+    )
+    return keyed.groupBy("epoch", "shard").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.min("okey").alias("first_key"),
+        F.max("okey").alias("last_key"),
+    )
+
+
+EPOCH_SHUFFLE_SQL = f"""
+WITH epochs AS (
+  SELECT doc_id, e AS epoch
+  FROM documents, (SELECT unnest([{", ".join(str(e) for e in SHUFFLE_EPOCHS)}]) AS e)
+), keyed AS (
+  SELECT epoch, doc_id,
+         md5('epoch-' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)) AS okey,
+         CAST('0x' || substr(md5('epoch-' || CAST(epoch AS VARCHAR) || ':' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT)
+           * {SHUFFLE_SHARDS} // 4294967296 AS shard
+  FROM epochs
+)
+SELECT epoch, shard, count(*) AS n_docs, min(okey) AS first_key, max(okey) AS last_key
+FROM keyed GROUP BY epoch, shard
+"""
+
+QUERIES["epoch_shuffle_plan"] = epoch_shuffle_plan
+ORACLES["epoch_shuffle_plan"] = EPOCH_SHUFFLE_SQL

@@ -558,3 +558,74 @@ ORACLES = {
     "dedup_url_normalize": DEDUP_URL_SQL,
     "zipf_fit": ZIPF_SQL,
 }
+
+
+# --- k-anonymity audit --------------------------------------------------------
+#
+# The privacy-governance companion of `scrub_pii`: before a dataset
+# ships, audit how identifiable its quasi-identifier combinations are
+# (public k-anonymity definition — every QI combination must be
+# shared by >= k rows). QIs here are the customer dimension's
+# (nation, market segment, account-balance band); the report gives
+# the k-distribution: per equivalence-class-size band, how many
+# classes and rows, plus the share of rows below the k=5 bar in
+# integer basis points. One (QI) aggregation with map-side combine,
+# then bounded rollups — the same shape as dedup_exact, scan-rate at
+# any size.
+
+K_ANON_BAR = 5
+
+
+def privacy_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    classes = cust.groupBy(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("cast(floor(c_acctbal / 1000) as bigint)").alias("bal_band"),
+    ).agg(F.count(F.lit(1)).alias("class_size"))
+    total = classes.agg(F.sum("class_size").alias("total_rows"))
+    banded = classes.select(
+        F.when(F.col("class_size") == 1, "1 (unique)")
+        .when(F.col("class_size") < K_ANON_BAR, f"2-{K_ANON_BAR - 1} (below bar)")
+        .otherwise(f">={K_ANON_BAR} (anonymous)")
+        .alias("k_band"),
+        "class_size",
+    )
+    return (
+        banded.groupBy("k_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_classes"),
+            F.sum("class_size").alias("n_rows"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "k_band",
+            "n_classes",
+            "n_rows",
+            F.expr("cast(n_rows * 10000 div total_rows as bigint)").alias("rows_share_bp"),
+        )
+    )
+
+
+K_ANONYMITY_SQL = f"""
+WITH classes AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 1000) AS BIGINT) AS bal_band,
+         count(*) AS class_size
+  FROM customer GROUP BY 1, 2, 3
+), total AS (SELECT CAST(sum(class_size) AS BIGINT) AS total_rows FROM classes),
+banded AS (
+  SELECT CASE WHEN class_size = 1 THEN '1 (unique)'
+              WHEN class_size < {K_ANON_BAR} THEN '2-{K_ANON_BAR - 1} (below bar)'
+              ELSE '>={K_ANON_BAR} (anonymous)' END AS k_band,
+         class_size
+  FROM classes
+)
+SELECT k_band, count(*) AS n_classes,
+       CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(class_size) AS BIGINT) * 10000 // total_rows AS BIGINT) AS rows_share_bp
+FROM banded, total GROUP BY k_band, total_rows
+"""
+
+QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
+ORACLES["privacy_k_anonymity"] = K_ANONYMITY_SQL

@@ -56,3 +56,19 @@ def test_best_fit_beats_nothing_and_respects_capacity(spark):
         .collect()[0][0]
     )
     assert sum(r.total_tokens for r in rows) == want_tokens
+
+
+def test_epoch_shuffle_reshuffles_across_epochs(spark):
+    """Same corpus, different epochs -> different shard assignment for
+    most docs (the reshuffle contract); within an epoch the plan is a
+    pure function of (seed, doc_id) so a second run is identical."""
+    from iris_project_database_refresh_spark.operators.packing import epoch_shuffle_plan
+
+    a = sorted(map(tuple, epoch_shuffle_plan(spark, SF_CORRECT).collect()))
+    b = sorted(map(tuple, epoch_shuffle_plan(spark, SF_CORRECT).collect()))
+    assert a == b  # reproducible
+    by_epoch = {}
+    for r in a:
+        by_epoch.setdefault(r[0], {})[r[1]] = r[4]
+    # shard fingerprints differ between the two epochs (reshuffled)
+    assert by_epoch[1] != by_epoch[2]
