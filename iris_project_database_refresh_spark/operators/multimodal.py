@@ -981,3 +981,138 @@ FROM fanned
 
 QUERIES["multimodal_framesample_y4m"] = multimodal_framesample_y4m
 ORACLES["multimodal_framesample_y4m"] = MULTIMODAL_FRAMES_Y4M_SQL
+
+
+# --- subtitle (SRT) parsing: the audio/video-text alignment artifact ----------
+#
+# A multimodal training pipeline aligns transcripts to media via
+# subtitle files; SubRip (.srt) is the public text container:
+# "index\nHH:MM:SS,mmm --> HH:MM:SS,mmm\ntext\n\n". Video items get a
+# planted SRT sidecar built from the document's own tokens (one cue
+# per TURN-sized slice, 2 s cadence, per-item millisecond offsets);
+# the operator parses cues with regex, converts timecodes to exact
+# integer milliseconds, and validates monotone non-overlap — what an
+# alignment job checks before cutting clips. Pure per-row JVM
+# split/regex + one posexplode fan-out, zero shuffle.
+
+SRT_CUE_TOKENS = 8
+SRT_MAX_CUES = 5
+SRT_CUE_MS = 2000
+
+
+def _srt_timecode(ms_col):
+    h = F.expr(f"{ms_col} div 3600000")
+    m = F.expr(f"({ms_col} div 60000) % 60")
+    s = F.expr(f"({ms_col} div 1000) % 60")
+    ms = F.expr(f"{ms_col} % 1000")
+    return F.format_string("%02d:%02d:%02d,%03d", h.cast("int"), m.cast("int"), s.cast("int"), ms.cast("int"))
+
+
+def subtitles_parse_srt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2).select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_cues = F.least(F.floor(F.size("toks") / SRT_CUE_TOKENS), F.lit(SRT_MAX_CUES)).cast("int")
+    base = docs.select("doc_id", toks.alias("toks")).select(
+        "doc_id", "toks", n_cues.alias("n_cues"), (F.col("doc_id") % 977).cast("bigint").alias("off_ms")
+    ).where(F.col("n_cues") >= 1)
+    cue = F.expr(
+        f"""
+        array_join(transform(sequence(1, n_cues), i -> concat(
+          cast(i as string), '\n',
+          element_at(tc_start, i), ' --> ', element_at(tc_end, i), '\n',
+          array_join(slice(toks, (i - 1) * {SRT_CUE_TOKENS} + 1, {SRT_CUE_TOKENS}), ' ')
+        )), '\n\n')
+        """
+    )
+    timed = base.select(
+        "*",
+        F.expr(f"transform(sequence(1, n_cues), i -> off_ms + (i - 1) * {SRT_CUE_MS})").alias("start_ms_a"),
+        F.expr(f"transform(sequence(1, n_cues), i -> off_ms + (i - 1) * {SRT_CUE_MS} + {SRT_CUE_MS - 100})").alias("end_ms_a"),
+    )
+    with_tc = timed.select(
+        "*",
+        F.expr(
+            "transform(start_ms_a, v -> concat("
+            "lpad(cast(v div 3600000 as string), 2, '0'), ':',"
+            "lpad(cast((v div 60000) % 60 as string), 2, '0'), ':',"
+            "lpad(cast((v div 1000) % 60 as string), 2, '0'), ',',"
+            "lpad(cast(v % 1000 as string), 3, '0')))"
+        ).alias("tc_start"),
+        F.expr(
+            "transform(end_ms_a, v -> concat("
+            "lpad(cast(v div 3600000 as string), 2, '0'), ':',"
+            "lpad(cast((v div 60000) % 60 as string), 2, '0'), ':',"
+            "lpad(cast((v div 1000) % 60 as string), 2, '0'), ',',"
+            "lpad(cast(v % 1000 as string), 3, '0')))"
+        ).alias("tc_end"),
+    )
+    srt = with_tc.select("doc_id", cue.alias("srt"))
+    # --- the parser under test: split cues, regex the timecode line ---
+    cues = srt.select(
+        "doc_id",
+        F.posexplode(F.split("srt", "\n\n")).alias("pos", "cue"),
+    )
+    tc_re = r"(\d{2}):(\d{2}):(\d{2}),(\d{3}) --> (\d{2}):(\d{2}):(\d{2}),(\d{3})"
+    ms = lambda h, m, s, x: f"(cast({h} as bigint) * 3600000 + cast({m} as bigint) * 60000 + cast({s} as bigint) * 1000 + cast({x} as bigint))"
+    parsed = cues.select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("cue_idx"),
+        F.regexp_extract("cue", tc_re, 1).alias("h1"),
+        F.regexp_extract("cue", tc_re, 2).alias("m1"),
+        F.regexp_extract("cue", tc_re, 3).alias("s1"),
+        F.regexp_extract("cue", tc_re, 4).alias("x1"),
+        F.regexp_extract("cue", tc_re, 5).alias("h2"),
+        F.regexp_extract("cue", tc_re, 6).alias("m2"),
+        F.regexp_extract("cue", tc_re, 7).alias("s2"),
+        F.regexp_extract("cue", tc_re, 8).alias("x2"),
+        F.expr(r"element_at(split(cue, '\n'), 3)").alias("cue_text"),
+    ).select(
+        "doc_id",
+        "cue_idx",
+        F.expr(ms("h1", "m1", "s1", "x1")).alias("start_ms"),
+        F.expr(ms("h2", "m2", "s2", "x2")).alias("end_ms"),
+        F.size(F.filter(F.split("cue_text", " "), lambda t: t != "")).cast("bigint").alias("n_tokens"),
+        F.md5("cue_text").alias("text_md5"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("cue_idx")
+    return parsed.select(
+        "*",
+        (
+            (F.col("end_ms") > F.col("start_ms"))
+            & (F.coalesce(F.lag("end_ms").over(w) <= F.col("start_ms"), F.lit(True)))
+        ).cast("int").alias("well_ordered"),
+    )
+
+
+SUBTITLES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               // {SRT_CUE_TOKENS}, {SRT_MAX_CUES}) AS n_cues,
+         doc_id % 977 AS off_ms
+  FROM documents WHERE doc_id % 3 = 2
+), eligible AS (SELECT * FROM base WHERE n_cues >= 1),
+cues AS (
+  SELECT doc_id, i AS cue_idx,
+         off_ms + (i - 1) * {SRT_CUE_MS} AS start_ms,
+         off_ms + (i - 1) * {SRT_CUE_MS} + {SRT_CUE_MS - 100} AS end_ms,
+         list_aggregate(toks[(i - 1) * {SRT_CUE_TOKENS} + 1 : i * {SRT_CUE_TOKENS}], 'string_agg', ' ') AS cue_text
+  FROM eligible, (SELECT unnest(generate_series(1, {SRT_MAX_CUES})) AS i)
+  WHERE i <= n_cues
+)
+SELECT doc_id, CAST(cue_idx AS BIGINT) AS cue_idx,
+       CAST(start_ms AS BIGINT) AS start_ms,
+       CAST(end_ms AS BIGINT) AS end_ms,
+       CAST(len(list_filter(string_split(cue_text, ' '), t -> t <> '')) AS BIGINT) AS n_tokens,
+       md5(cue_text) AS text_md5,
+       CAST(end_ms > start_ms AND coalesce(
+         lag(end_ms) OVER (PARTITION BY doc_id ORDER BY cue_idx) <= start_ms, TRUE) AS INT)
+         AS well_ordered
+FROM cues
+"""
+
+QUERIES["subtitles_parse_srt"] = subtitles_parse_srt
+ORACLES["subtitles_parse_srt"] = SUBTITLES_SQL

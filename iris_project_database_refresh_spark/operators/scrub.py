@@ -629,3 +629,63 @@ FROM banded, total GROUP BY k_band, total_rows
 
 QUERIES["privacy_k_anonymity"] = privacy_k_anonymity
 ORACLES["privacy_k_anonymity"] = K_ANONYMITY_SQL
+
+
+# --- differential-privacy noisy counts ---------------------------------------
+#
+# The release mechanism after the k-anonymity audit: publish group
+# counts with Laplace(sensitivity/epsilon) noise (the public DP
+# mechanism). Randomness is the house hash-uniform device so the
+# mechanism itself is engine-reproducible: u = md5(group) mod 1e6 /
+# 1e6 (same double in both engines), noise = -b*sign(u-0.5)*
+# ln(1-2|u-0.5|) via the inverse CDF. ln may differ by 1 ulp between
+# engines — output rounded to 6dp keeps that ~1e-15 divergence
+# invisible (same argument as the cosine device). True counts stay as
+# audit columns, mirroring the sketch operators' estimate+exact
+# pattern. One bounded aggregation, zero extra shuffles.
+
+DP_EPSILON_X10 = 10  # epsilon = 1.0, spelled as an integer constant
+
+
+def privacy_dp_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    counts = cust.groupBy(
+        F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("segment")
+    ).agg(F.count(F.lit(1)).alias("true_count"))
+    u = (
+        F.expr(
+            "cast(conv(substring(md5(concat('dp:', cast(nation as string), ':', segment)), 1, 8), 16, 10) as bigint) % 1000000"
+        )
+        / 1000000.0
+    )
+    b = 10.0 / DP_EPSILON_X10  # sensitivity 1 / epsilon
+    centered = u - F.lit(0.5)
+    noise = -F.lit(b) * F.signum(centered) * F.log(1.0 - 2.0 * F.abs(centered))
+    return counts.select(
+        "nation",
+        "segment",
+        "true_count",
+        F.round(F.col("true_count") + noise, 6).alias("noisy_count"),
+        F.lit(DP_EPSILON_X10).cast("bigint").alias("epsilon_x10"),
+    )
+
+
+DP_COUNTS_SQL = f"""
+WITH counts AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment, count(*) AS true_count
+  FROM customer GROUP BY 1, 2
+), noised AS (
+  SELECT *,
+         (CAST('0x' || substr(md5('dp:' || CAST(nation AS VARCHAR) || ':' || segment), 1, 8) AS BIGINT)
+          % 1000000) / 1000000.0 AS u
+  FROM counts
+)
+SELECT nation, segment, true_count,
+       round(true_count + (-(10.0 / {DP_EPSILON_X10}) * sign(u - 0.5) * ln(1 - 2 * abs(u - 0.5))), 6)
+         AS noisy_count,
+       CAST({DP_EPSILON_X10} AS BIGINT) AS epsilon_x10
+FROM noised
+"""
+
+QUERIES["privacy_dp_counts"] = privacy_dp_counts
+ORACLES["privacy_dp_counts"] = DP_COUNTS_SQL
