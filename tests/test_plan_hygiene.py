@@ -48,6 +48,8 @@ NARROW_QUERIES = [
     "strip_page_tags",
     "force_split_sentences",
     "text_normalize",
+    "readability_scores",
+    "sft_pairs_build",
 ]
 
 
