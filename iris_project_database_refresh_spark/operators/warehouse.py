@@ -376,3 +376,97 @@ FROM ratios GROUP BY iso_dow
 
 QUERIES["orders_seasonal_index"] = orders_seasonal_index
 ORACLES["orders_seasonal_index"] = SEASONAL_INDEX_SQL
+
+
+# --- cross-table referential-integrity audit ----------------------------------
+#
+# The warehouse-wide generalization of stage5's per-file validation
+# (`stage5_output_final_csv.py validate_csv_data`) and the refresh
+# stream's zero-orphan check: one report row per foreign-key
+# relationship with child row counts, distinct key counts, orphan
+# rows (left-anti against the parent) and the orphan share in integer
+# basis points — the gate a refresh publishes before swapping tables.
+# Each relationship is one anti-join on its key (broadcastable parent
+# where the parent is a dim; fact-fact pairs shuffle on the key with
+# AQE) — no row ever leaves its join, counts only.
+
+def catalog_fk_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cust = load_table(spark, sf_dir, "customer")
+    supp = load_table(spark, sf_dir, "supplier")
+    part = load_table(spark, sf_dir, "part")
+    nation = load_table(spark, sf_dir, "nation")
+
+    rels = [
+        ("lineitem.l_orderkey -> orders", li.select(F.col("l_orderkey").alias("k")),
+         orders.select(F.col("o_orderkey").alias("k"))),
+        ("lineitem.l_partkey -> part", li.select(F.col("l_partkey").alias("k")),
+         part.select(F.col("p_partkey").alias("k"))),
+        ("lineitem.l_suppkey -> supplier", li.select(F.col("l_suppkey").alias("k")),
+         supp.select(F.col("s_suppkey").alias("k"))),
+        ("orders.o_custkey -> customer", orders.select(F.col("o_custkey").alias("k")),
+         cust.select(F.col("c_custkey").alias("k"))),
+        ("customer.c_nationkey -> nation", cust.select(F.col("c_nationkey").alias("k")),
+         nation.select(F.col("n_nationkey").alias("k"))),
+        ("supplier.s_nationkey -> nation", supp.select(F.col("s_nationkey").alias("k")),
+         nation.select(F.col("n_nationkey").alias("k"))),
+    ]
+    out = None
+    for name, child, parent in rels:
+        stats = child.agg(
+            F.count(F.lit(1)).alias("child_rows"),
+            F.countDistinct("k").alias("child_keys"),
+        )
+        orphans = child.join(parent, "k", "left_anti").agg(
+            F.count(F.lit(1)).alias("orphan_rows")
+        )
+        row = (
+            stats.crossJoin(orphans)
+            .select(
+                F.lit(name).alias("relationship"),
+                "child_rows",
+                "child_keys",
+                "orphan_rows",
+                F.expr("cast(orphan_rows * 10000 div child_rows as bigint)").alias("orphan_bp"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+FK_INTEGRITY_SQL = """
+SELECT 'lineitem.l_orderkey -> orders' AS relationship,
+       count(*) AS child_rows, count(DISTINCT l_orderkey) AS child_keys,
+       CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS orphan_rows,
+       CAST(CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS orphan_bp
+FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+UNION ALL
+SELECT 'lineitem.l_partkey -> part', count(*), count(DISTINCT l_partkey),
+       CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN p_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT)
+FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+UNION ALL
+SELECT 'lineitem.l_suppkey -> supplier', count(*), count(DISTINCT l_suppkey),
+       CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN s_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT)
+FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+UNION ALL
+SELECT 'orders.o_custkey -> customer', count(*), count(DISTINCT o_custkey),
+       CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT)
+FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+UNION ALL
+SELECT 'customer.c_nationkey -> nation', count(*), count(DISTINCT c_nationkey),
+       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT)
+FROM customer LEFT JOIN nation ON c_nationkey = n_nationkey
+UNION ALL
+SELECT 'supplier.s_nationkey -> nation', count(*), count(DISTINCT s_nationkey),
+       CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+       CAST(CAST(sum(CASE WHEN n_nationkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT)
+FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+"""
+
+QUERIES["catalog_fk_integrity"] = catalog_fk_integrity
+ORACLES["catalog_fk_integrity"] = FK_INTEGRITY_SQL
