@@ -294,3 +294,86 @@ FROM lagged WHERE prev_c IS NOT NULL
 
 QUERIES["monitor_stage_regression"] = monitor_stage_regression
 ORACLES["monitor_stage_regression"] = MONITOR_REGRESSION_SQL
+
+
+# --- incremental view maintenance of the rollup ------------------------------
+#
+# The refresh-cost story applied to aggregates: a nightly batch must
+# not re-scan history to refresh the monitor rollup — sum/count are
+# algebraically mergeable, so new_rollup = merge(old_rollup, delta
+# rollup) touches only the delta (classic IVM; the HLL-merge-days
+# contract applied to plain aggregates). The planted delta is every
+# 13th event ("tonight's arrivals"); the result carries BOTH the
+# merged rollup and the from-scratch recompute per group with a match
+# flag, so the driver hash-checks the IVM algebra itself. Costs: one
+# pass over base (amortized: in production old_rollup is stored), one
+# pass over the delta, merge on the bounded rollup table.
+
+def monitor_rollup_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.col("event_type").alias("stage_name"),
+        F.to_date("ts").alias("day"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    base = ev.where(F.col("event_id") % 13 != 0)
+    delta = ev.where(F.col("event_id") % 13 == 0)
+
+    def rollup(df):
+        return df.groupBy("stage_name", "day").agg(
+            F.count(F.lit(1)).alias("n"), F.sum("cents").alias("c")
+        )
+
+    merged = (
+        rollup(base).unionByName(rollup(delta))
+        .groupBy("stage_name", "day")
+        .agg(F.sum("n").alias("n_events_ivm"), F.sum("c").alias("cents_ivm"))
+    )
+    recomputed = rollup(ev).select(
+        "stage_name", "day",
+        F.col("n").alias("n_events_full"), F.col("c").alias("cents_full"),
+    )
+    return merged.join(recomputed, ["stage_name", "day"]).select(
+        "stage_name",
+        "day",
+        "n_events_ivm",
+        "cents_ivm",
+        "n_events_full",
+        "cents_full",
+        (
+            (F.col("n_events_ivm") == F.col("n_events_full"))
+            & (F.col("cents_ivm") == F.col("cents_full"))
+        ).cast("int").alias("ivm_matches"),
+    )
+
+
+MONITOR_IVM_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), ev AS (
+  SELECT event_id, event_type AS stage_name, CAST(ts AS DATE) AS day,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS cents
+  FROM events_us
+), base AS (
+  SELECT stage_name, day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+  FROM ev WHERE event_id % 13 <> 0 GROUP BY 1, 2
+), delta AS (
+  SELECT stage_name, day, count(*) AS n, CAST(sum(cents) AS BIGINT) AS c
+  FROM ev WHERE event_id % 13 = 0 GROUP BY 1, 2
+), merged AS (
+  SELECT stage_name, day, CAST(sum(n) AS BIGINT) AS n_events_ivm,
+         CAST(sum(c) AS BIGINT) AS cents_ivm
+  FROM (SELECT * FROM base UNION ALL SELECT * FROM delta)
+  GROUP BY 1, 2
+), recomputed AS (
+  SELECT stage_name, day, count(*) AS n_events_full,
+         CAST(sum(cents) AS BIGINT) AS cents_full
+  FROM ev GROUP BY 1, 2
+)
+SELECT m.stage_name, m.day, n_events_ivm, cents_ivm, n_events_full, cents_full,
+       CAST(n_events_ivm = n_events_full AND cents_ivm = cents_full AS INT) AS ivm_matches
+FROM merged m JOIN recomputed r ON m.stage_name = r.stage_name AND m.day = r.day
+"""
+
+QUERIES["monitor_rollup_ivm"] = monitor_rollup_ivm
+ORACLES["monitor_rollup_ivm"] = MONITOR_IVM_SQL
