@@ -762,3 +762,137 @@ FROM sessions GROUP BY user_id, session_id
 
 QUERIES["events_session_window_agg"] = events_session_window_agg
 ORACLES["events_session_window_agg"] = EVENTS_SESSION_WINDOW_SQL
+
+
+# --- SLO error-budget burn-down ----------------------------------------------
+#
+# The monitor's operational readout: with an SLO of at most
+# SLO_ERROR_BP errors per 10k events, each day burns budget =
+# (errors - allowance); the running total over the bounded day table
+# is the burn-down curve an on-call reads. One corpus-sized (day)
+# aggregation; window over days only. Exact integers throughout.
+
+SLO_ERROR_BP = 2000  # allow 20% error share (the synthetic stream is error-heavy)
+
+
+def events_slo_burndown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum((F.col("event_type") == "error").cast("bigint")).alias("n_errors"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.orderBy("day").rowsBetween(_W.unboundedPreceding, 0)
+    burn = F.expr(f"n_errors * 10000 - cast(n_events as bigint) * {SLO_ERROR_BP}")
+    return daily.select(
+        "day",
+        "n_events",
+        "n_errors",
+        F.expr("cast(n_errors * 10000 div n_events as bigint)").alias("error_share_bp"),
+        burn.alias("budget_burn"),
+        F.sum(burn).over(w).alias("cumulative_burn"),
+    ).select(
+        "*", (F.col("cumulative_burn") > 0).cast("int").alias("slo_breached")
+    )
+
+
+SLO_BURNDOWN_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, count(*) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_errors
+  FROM events_us GROUP BY 1
+)
+SELECT day, n_events, n_errors,
+       CAST(n_errors * 10000 // n_events AS BIGINT) AS error_share_bp,
+       CAST(n_errors * 10000 - n_events * {SLO_ERROR_BP} AS BIGINT) AS budget_burn,
+       CAST(sum(n_errors * 10000 - n_events * {SLO_ERROR_BP})
+            OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+         AS cumulative_burn,
+       CAST(sum(n_errors * 10000 - n_events * {SLO_ERROR_BP})
+            OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) > 0 AS INT)
+         AS slo_breached
+FROM daily
+"""
+
+QUERIES["events_slo_burndown"] = events_slo_burndown
+ORACLES["events_slo_burndown"] = SLO_BURNDOWN_SQL
+
+
+# --- longest error streaks (gaps-and-islands) --------------------------------
+#
+# The classic gaps-and-islands idiom, absent until now: maximal runs
+# of consecutive 'error' events in the time-ordered log (an outage
+# signature). Islands via the row_number-difference device: rn_all -
+# rn_error is constant within a run. Both windows PARTITION BY DAY —
+# the scale guard against the single-task global sort (a run
+# straddling midnight splits; outage accounting per calendar day is
+# the monitor's own convention) — so this is one day-keyed shuffle
+# and two sorted passes; the island rollup and global top-3 run on
+# the bounded island table (TakeOrderedAndProject).
+
+STREAK_TOP = 3
+
+
+def events_error_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("event_type").alias("stage"), "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    # streaks only make sense across a merged timeline: errors of stage
+    # X interleave with other stages' events. Order globally per-user?
+    # The monitor reads per-stage log streams; errors within the error
+    # stream are trivially consecutive. Instead: islands over the
+    # MERGED stream ordered by (ts, event_id) — runs of consecutive
+    # error events across the whole log.
+    from pyspark.sql import Window as _W
+
+    merged = load_table(spark, sf_dir, "events").select(
+        F.to_date("ts").alias("day"), "ts", "event_id",
+        (F.col("event_type") == "error").alias("is_err"),
+    )
+    w_all = _W.partitionBy("day").orderBy("ts", "event_id")
+    flagged = merged.select(
+        "day", "ts", "event_id", "is_err", F.row_number().over(w_all).alias("rn_all")
+    )
+    errs = flagged.where("is_err").select(
+        "day", "ts", "event_id", "rn_all",
+        (F.col("rn_all") - F.row_number().over(_W.partitionBy("day").orderBy("rn_all"))).alias("island"),
+    )
+    islands = errs.groupBy("day", "island").agg(
+        F.count(F.lit(1)).alias("streak_len"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.min("event_id").alias("first_event"),
+    )
+    return (
+        islands.orderBy(F.desc("streak_len"), "first_event")
+        .limit(STREAK_TOP)
+        .select("streak_len", "start_ts", "end_ts", "first_event")
+    )
+
+
+ERROR_STREAKS_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), flagged AS (
+  SELECT CAST(ts AS DATE) AS day, ts, event_id, event_type = 'error' AS is_err,
+         row_number() OVER (PARTITION BY CAST(ts AS DATE) ORDER BY ts, event_id) AS rn_all
+  FROM events_us
+), errs AS (
+  SELECT day, ts, event_id, rn_all,
+         rn_all - row_number() OVER (PARTITION BY day ORDER BY rn_all) AS island
+  FROM flagged WHERE is_err
+), islands AS (
+  SELECT day, island, count(*) AS streak_len, min(ts) AS start_ts, max(ts) AS end_ts,
+         min(event_id) AS first_event
+  FROM errs GROUP BY day, island
+)
+SELECT CAST(streak_len AS BIGINT) AS streak_len, start_ts, end_ts, first_event
+FROM islands ORDER BY streak_len DESC, first_event LIMIT {STREAK_TOP}
+"""
+
+QUERIES["events_error_streaks"] = events_error_streaks
+ORACLES["events_error_streaks"] = ERROR_STREAKS_SQL

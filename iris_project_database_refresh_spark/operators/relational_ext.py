@@ -936,3 +936,60 @@ FROM before_t b JOIN after_t a USING (o_orderstatus), orphans o, lt
 
 QUERIES["orders_refresh_streams"] = orders_refresh_streams
 ORACLES["orders_refresh_streams"] = ORDERS_REFRESH_SQL
+
+
+# --- fulfillment lag by order priority ---------------------------------------
+#
+# The logistics readout of the orders/lineitem pair: lag from order
+# date to FIRST shipment per order, distributed per priority class —
+# whether urgent orders actually ship faster. One fact-fact equi-join
+# shuffle on orderkey (AQE skew-splittable), orders collapse to their
+# first-ship lag, then exact percentile stats on the bounded
+# per-priority groups (percentile ≡ quantile_cont, the
+# monitor_quantiles parity device; percentile_approx at 100 TB).
+
+def orders_fulfillment_lag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority", F.to_date("o_orderdate").alias("odate")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", F.to_date("l_shipdate").alias("sdate")
+    )
+    first_ship = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("o_orderkey", "o_orderpriority", "odate")
+        .agg(F.min("sdate").alias("first_ship"))
+        .select(
+            "o_orderpriority",
+            F.datediff("first_ship", "odate").cast("bigint").alias("lag_days"),
+        )
+    )
+    return first_ship.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("lag_days").alias("min_days"),
+        F.round(F.expr("percentile(lag_days, 0.5)"), 6).alias("p50_days"),
+        F.round(F.expr("percentile(lag_days, 0.9)"), 6).alias("p90_days"),
+        F.max("lag_days").alias("max_days"),
+        F.expr("cast(sum(lag_days) div count(1) as bigint)").alias("mean_days_floor"),
+    )
+
+
+FULFILLMENT_LAG_SQL = """
+WITH first_ship AS (
+  SELECT o_orderpriority,
+         CAST(date_diff('day', CAST(o_orderdate AS DATE), min(CAST(l_shipdate AS DATE))) AS BIGINT) AS lag_days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_orderkey, o_orderpriority, CAST(o_orderdate AS DATE)
+)
+SELECT o_orderpriority,
+       count(*) AS n_orders,
+       CAST(min(lag_days) AS BIGINT) AS min_days,
+       round(quantile_cont(lag_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(lag_days, 0.9), 6) AS p90_days,
+       CAST(max(lag_days) AS BIGINT) AS max_days,
+       CAST(sum(lag_days) // count(*) AS BIGINT) AS mean_days_floor
+FROM first_ship GROUP BY o_orderpriority
+"""
+
+QUERIES["orders_fulfillment_lag"] = orders_fulfillment_lag
+ORACLES["orders_fulfillment_lag"] = FULFILLMENT_LAG_SQL

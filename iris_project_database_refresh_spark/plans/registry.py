@@ -151,7 +151,8 @@ _DRIVER_PRIORITY = [
     "funnel_time_to_convert", "graph_jaccard_links", "events_hopping_agg",
     "events_session_window_agg", "multimodal_framesample_y4m",
     "orders_seasonal_index", "pack_best_fit", "mixture_weights_temperature",
-    "catalog_filename_parse", "bm25_self_retrieval_mrr", "monitor_stage_regression", "graph_label_propagation", "dialogue_turns_parse", "sft_pairs_build", "privacy_k_anonymity", "privacy_dp_counts", "subtitles_parse_srt", "catalog_fk_integrity", "monitor_rollup_ivm",
+    "catalog_filename_parse", "bm25_self_retrieval_mrr", "monitor_stage_regression", "graph_label_propagation", "dialogue_turns_parse", "sft_pairs_build", "privacy_k_anonymity", "privacy_dp_counts", "subtitles_parse_srt", "catalog_fk_integrity", "monitor_rollup_ivm", "events_slo_burndown",
+    "events_error_streaks", "orders_fulfillment_lag",
     "epoch_shuffle_plan",
 ]
 
