@@ -17,7 +17,7 @@ final-agg before the join, so the heavy reduction happens map-side.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
@@ -993,3 +993,193 @@ FROM first_ship GROUP BY o_orderpriority
 
 QUERIES["orders_fulfillment_lag"] = orders_fulfillment_lag
 ORACLES["orders_fulfillment_lag"] = FULFILLMENT_LAG_SQL
+
+
+# --- repeat-purchase cadence per segment -------------------------------------
+#
+# Inter-order gap distribution: per customer, days between consecutive
+# orders (lag window partitioned on custkey — co-partitioned with the
+# later rollup, one shuffle); gaps then collapse per market segment
+# with exact percentile stats (quantile_cont parity; percentile_approx
+# at 100 TB). The cadence number a retention model calibrates on.
+
+def customer_order_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("odate"), "o_orderkey"
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_mktsegment"
+    )
+    w = Window.partitionBy("o_custkey").orderBy("odate", "o_orderkey")
+    gaps = orders.select(
+        "o_custkey",
+        F.datediff("odate", F.lag("odate").over(w)).cast("bigint").alias("gap_days"),
+    ).where(F.col("gap_days").isNotNull())
+    return (
+        gaps.join(F.broadcast(cust), "o_custkey")
+        .groupBy("c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_gaps"),
+            F.min("gap_days").alias("min_days"),
+            F.round(F.expr("percentile(gap_days, 0.5)"), 6).alias("p50_days"),
+            F.round(F.expr("percentile(gap_days, 0.9)"), 6).alias("p90_days"),
+            F.max("gap_days").alias("max_days"),
+            F.expr("cast(sum(gap_days) div count(1) as bigint)").alias("mean_days_floor"),
+        )
+    )
+
+
+CUSTOMER_ORDER_GAPS_SQL = """
+WITH gaps AS (
+  SELECT o_custkey,
+         CAST(date_diff('day',
+              lag(CAST(o_orderdate AS DATE)) OVER (PARTITION BY o_custkey ORDER BY CAST(o_orderdate AS DATE), o_orderkey),
+              CAST(o_orderdate AS DATE)) AS BIGINT) AS gap_days
+  FROM orders
+)
+SELECT c_mktsegment,
+       count(*) AS n_gaps,
+       CAST(min(gap_days) AS BIGINT) AS min_days,
+       round(quantile_cont(gap_days, 0.5), 6) AS p50_days,
+       round(quantile_cont(gap_days, 0.9), 6) AS p90_days,
+       CAST(max(gap_days) AS BIGINT) AS max_days,
+       CAST(sum(gap_days) // count(*) AS BIGINT) AS mean_days_floor
+FROM gaps JOIN customer ON o_custkey = c_custkey
+WHERE gap_days IS NOT NULL
+GROUP BY c_mktsegment
+"""
+
+QUERIES["customer_order_gaps"] = customer_order_gaps
+ORACLES["customer_order_gaps"] = CUSTOMER_ORDER_GAPS_SQL
+
+
+# --- unit-price dispersion per brand -----------------------------------------
+#
+# Pricing-governance check: coefficient of variation of the realized
+# unit price (extendedprice/quantity) per brand — wide dispersion
+# flags inconsistent list pricing or data errors. Unit prices carried
+# as exact integer cents; mean/variance from exact integer sums
+# (n·Σx² − (Σx)² device — order-independent), CV output in basis
+# points via integer square root of the variance ratio. One
+# broadcast dim join + one bounded aggregation.
+
+def brand_price_dispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(floor(l_extendedprice * 100 / l_quantity + 0.5) as bigint)").alias("unit_c"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    sums = (
+        li.join(F.broadcast(part), "l_partkey")
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("unit_c").alias("sx"),
+            F.sum(F.expr("unit_c * unit_c")).alias("sxx"),
+            F.min("unit_c").alias("min_c"),
+            F.max("unit_c").alias("max_c"),
+        )
+    )
+    # CV_bp = 10000 * stddev/mean = 10000 * sqrt(n*sxx - sx^2) / sx
+    cv = F.expr("cast(floor(10000.0 * sqrt(cast(n as double) * sxx - cast(sx as double) * sx) / sx + 0.5) as bigint)")
+    return sums.select(
+        "p_brand",
+        "n",
+        F.expr("cast(sx div n as bigint)").alias("mean_unit_c"),
+        "min_c",
+        "max_c",
+        cv.alias("cv_bp"),
+    )
+
+
+BRAND_PRICE_DISPERSION_SQL = """
+WITH up AS (
+  SELECT p_brand, CAST(floor(l_extendedprice * 100 / l_quantity + 0.5) AS BIGINT) AS unit_c
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+), sums AS (
+  SELECT p_brand, count(*) AS n,
+         CAST(sum(unit_c) AS BIGINT) AS sx,
+         CAST(sum(unit_c * unit_c) AS BIGINT) AS sxx,
+         min(unit_c) AS min_c, max(unit_c) AS max_c
+  FROM up GROUP BY p_brand
+)
+SELECT p_brand, n,
+       CAST(sx // n AS BIGINT) AS mean_unit_c,
+       CAST(min_c AS BIGINT) AS min_c,
+       CAST(max_c AS BIGINT) AS max_c,
+       CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx) / sx + 0.5) AS BIGINT) AS cv_bp
+FROM sums
+"""
+
+QUERIES["brand_price_dispersion"] = brand_price_dispersion
+ORACLES["brand_price_dispersion"] = BRAND_PRICE_DISPERSION_SQL
+
+
+# --- year-over-year revenue growth per nation --------------------------------
+#
+# The board-slide query: revenue by customer nation and order year,
+# self-compared year-over-year via a lag window on the bounded
+# (nation, year) rollup; growth in signed basis points computed with
+# the sign·abs floor-division device (Spark div truncates toward
+# zero, DuckDB // floors — they disagree on negatives, so the
+# division runs on abs values and the sign is reapplied).
+
+def nation_revenue_yoy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr(
+            "cast(floor(l_extendedprice * (100 - cast(floor(l_discount * 100 + 0.5) as int)) + 0.5) as bigint)"
+        ).alias("rev_c"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    rolled = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name", "yr")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    w = Window.partitionBy("n_name").orderBy("yr")
+    lagged = rolled.select(
+        "n_name", "yr", "rev_c", F.lag("rev_c").over(w).alias("prev_c")
+    ).where(F.col("prev_c").isNotNull())
+    delta = F.col("rev_c") - F.col("prev_c")
+    growth = (
+        F.signum(delta).cast("bigint")
+        * F.expr("abs(rev_c - prev_c) * 10000 div prev_c")
+    ).cast("bigint")
+    return lagged.select(
+        "n_name", F.col("yr").cast("bigint").alias("yr"), "rev_c", "prev_c",
+        growth.alias("yoy_growth_bp"),
+    )
+
+
+NATION_YOY_SQL = """
+WITH rolled AS (
+  SELECT n_name, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(floor(l_extendedprice * (100 - CAST(floor(l_discount * 100 + 0.5) AS INT)) + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, year(o_orderdate)
+), lagged AS (
+  SELECT *, lag(rev_c) OVER (PARTITION BY n_name ORDER BY yr) AS prev_c FROM rolled
+)
+SELECT n_name, yr, rev_c, prev_c,
+       CAST(sign(rev_c - prev_c) AS BIGINT) * (abs(rev_c - prev_c) * 10000 // prev_c) AS yoy_growth_bp
+FROM lagged WHERE prev_c IS NOT NULL
+"""
+
+QUERIES["nation_revenue_yoy"] = nation_revenue_yoy
+ORACLES["nation_revenue_yoy"] = NATION_YOY_SQL
