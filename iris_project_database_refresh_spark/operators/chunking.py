@@ -268,3 +268,75 @@ FROM (
 
 QUERIES["chunk_validate"] = chunk_validate
 ORACLES["chunk_validate"] = CHUNK_VALIDATE_SQL
+
+
+# --- lossless-reassembly audit of the chunker --------------------------------
+#
+# The fidelity gate the structuring family promises but never proved
+# as one graded query: re-deriving a document from its chunks must be
+# LOSSLESS up to whitespace normalization (chunks are token windows,
+# so single-space rejoin is the invariant). Per doc: chunks reassemble
+# via sort_array(collect_list(struct(chunk_number, content))) — the
+# per-key array device, bounded by document size — and the md5 of the
+# rejoined text must equal the md5 of the whitespace-normalized
+# original; token conservation is audited beside it. One shuffle on
+# doc_id; the equality flags make any chunker regression a
+# CORRECTNESS failure, not just a unit-test failure.
+
+def chunk_reconstruct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = chunk_documents(spark, sf_dir)
+    reassembled = chunks.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_chunks"),
+        F.sum("chunk_tokens").alias("tokens_total"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list(F.struct("chunk_number", "chunk_content"))),
+                lambda s: s["chunk_content"],
+            ),
+            " ",
+        ).alias("rejoined"),
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.array_join(tokens(F.col("text")), " ")).alias("original_md5"),
+        F.size(tokens(F.col("text"))).cast("bigint").alias("original_tokens"),
+    )
+    return reassembled.join(docs, "doc_id").select(
+        "doc_id",
+        "n_chunks",
+        "tokens_total",
+        "original_tokens",
+        (F.md5("rejoined") == F.col("original_md5")).cast("int").alias("lossless"),
+        (F.col("tokens_total") == F.col("original_tokens")).cast("int").alias("tokens_conserved"),
+    )
+
+
+CHUNK_RECONSTRUCT_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks FROM documents
+), expanded AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0, CAST(ceil(len(toks) / {CHUNK_TOKENS}.0) AS INT) - 1)) AS i
+  FROM t
+), chunks AS (
+  SELECT doc_id, i + 1 AS chunk_number,
+         array_to_string(list_slice(toks, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS}), ' ') AS chunk_content,
+         len(list_slice(toks, i * {CHUNK_TOKENS} + 1, (i + 1) * {CHUNK_TOKENS})) AS chunk_tokens
+  FROM expanded
+), reassembled AS (
+  SELECT doc_id, count(*) AS n_chunks,
+         CAST(sum(chunk_tokens) AS BIGINT) AS tokens_total,
+         list_aggregate(
+           list_transform(list_sort(list(struct_pack(chunk_number := chunk_number, chunk_content := chunk_content))),
+                          s -> s.chunk_content), 'string_agg', ' ') AS rejoined
+  FROM chunks GROUP BY doc_id
+)
+SELECT r.doc_id, r.n_chunks, r.tokens_total,
+       CAST(len(t.toks) AS BIGINT) AS original_tokens,
+       CAST(md5(r.rejoined) = md5(array_to_string(t.toks, ' ')) AS INT) AS lossless,
+       CAST(r.tokens_total = len(t.toks) AS INT) AS tokens_conserved
+FROM reassembled r JOIN t USING (doc_id)
+"""
+
+QUERIES["chunk_reconstruct_audit"] = chunk_reconstruct_audit
+ORACLES["chunk_reconstruct_audit"] = CHUNK_RECONSTRUCT_SQL
