@@ -1183,3 +1183,67 @@ FROM lagged WHERE prev_c IS NOT NULL
 
 QUERIES["nation_revenue_yoy"] = nation_revenue_yoy
 ORACLES["nation_revenue_yoy"] = NATION_YOY_SQL
+
+
+# --- supplier market concentration (HHI) -------------------------------------
+#
+# Herfindahl-Hirschman index of supplier revenue concentration per
+# customer nation — the antitrust-style market-structure readout.
+# Shares in integer basis points (exact), HHI = Σ share_bp² / 10000
+# kept integer (the standard 0..10000 scale); one fact-fact shuffle
+# on orderkey, dims broadcast, windows on the bounded
+# (nation, supplier) rollup only.
+
+def nation_supplier_hhi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("rev_c"),
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"), "c_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nationkey"), "n_name"
+    )
+    cell = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), "o_custkey")
+        .join(F.broadcast(nation), "c_nationkey")
+        .groupBy("n_name", "l_suppkey")
+        .agg(F.sum("rev_c").alias("rev_c"))
+    )
+    totals = cell.groupBy("n_name").agg(F.sum("rev_c").alias("tot_c"))
+    shares = cell.join(totals, "n_name").select(
+        "n_name", "l_suppkey", F.expr("cast(rev_c * 10000 div tot_c as bigint)").alias("share_bp")
+    )
+    return shares.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_suppliers"),
+        F.max("share_bp").alias("top_share_bp"),
+        F.expr("cast(sum(share_bp * share_bp) div 10000 as bigint)").alias("hhi"),
+    )
+
+
+NATION_HHI_SQL = """
+WITH cell AS (
+  SELECT n_name, l_suppkey,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, l_suppkey
+), totals AS (
+  SELECT n_name, CAST(sum(rev_c) AS BIGINT) AS tot_c FROM cell GROUP BY n_name
+), shares AS (
+  SELECT c.n_name, l_suppkey, rev_c * 10000 // tot_c AS share_bp
+  FROM cell c JOIN totals t ON c.n_name = t.n_name
+)
+SELECT n_name, count(*) AS n_suppliers,
+       CAST(max(share_bp) AS BIGINT) AS top_share_bp,
+       CAST(sum(share_bp * share_bp) // 10000 AS BIGINT) AS hhi
+FROM shares GROUP BY n_name
+"""
+
+QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
+ORACLES["nation_supplier_hhi"] = NATION_HHI_SQL

@@ -421,3 +421,80 @@ FROM pairs
 
 QUERIES["sft_pairs_build"] = sft_pairs_build
 ORACLES["sft_pairs_build"] = SFT_PAIRS_SQL
+
+
+# --- span annotations with offset integrity ----------------------------------
+#
+# The annotation-store shape an NER/labeling pipeline emits: (doc_id,
+# start, end, label, surface) character spans — and the integrity
+# property that makes annotations usable at all: substr(text, start,
+# len) must reproduce the surface exactly (span drift silently
+# corrupts training labels). Spans are derived over the whitespace-
+# NORMALIZED text (annotation stores normalize first; the offsets are
+# then exact): token character offsets via a window prefix sum over
+# the exploded token list, target-vocabulary tokens become spans, and
+# the substr check is emitted as a graded column. One doc_id-keyed
+# window; everything else per-row.
+
+SPAN_TARGETS = ("spark", "table", "stream")
+
+
+def text_span_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = docs.select(
+        "doc_id",
+        F.array_join(toks, " ").alias("norm_text"),
+        F.posexplode(toks).alias("pos", "tok"),
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(_W.unboundedPreceding, -1)
+    offs = base.select(
+        "doc_id",
+        "norm_text",
+        "pos",
+        "tok",
+        F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)).cast("bigint").alias("start"),
+    )
+    spans = offs.where(F.col("tok").isin(*SPAN_TARGETS)).select(
+        "doc_id",
+        (F.col("pos") + 1).cast("bigint").alias("span_idx_in_doc"),
+        "start",
+        (F.col("start") + F.length("tok")).cast("bigint").alias("end"),
+        F.col("tok").alias("label"),
+        F.expr("substring(norm_text, start + 1, length(tok))").alias("surface"),
+    )
+    return spans.select(
+        "*",
+        (F.col("surface") == F.col("label")).cast("int").alias("offset_ok"),
+    )
+
+
+TEXT_SPANS_SQL = f"""
+WITH t AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), base AS (
+  SELECT doc_id, array_to_string(toks, ' ') AS norm_text,
+         toks[i] AS tok, i AS pos
+  FROM t, LATERAL (SELECT unnest(generate_series(1, len(toks))) AS i) ix
+), offs AS (
+  SELECT doc_id, norm_text, pos, tok,
+         CAST(coalesce(sum(length(tok) + 1) OVER (PARTITION BY doc_id ORDER BY pos
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS start
+  FROM base
+)
+SELECT doc_id,
+       CAST(pos AS BIGINT) AS span_idx_in_doc,
+       start,
+       CAST(start + length(tok) AS BIGINT) AS "end",
+       tok AS label,
+       substring(norm_text, CAST(start + 1 AS INT), length(tok)) AS surface,
+       CAST(substring(norm_text, CAST(start + 1 AS INT), length(tok)) = tok AS INT) AS offset_ok
+FROM offs
+WHERE tok IN ({", ".join(repr(t) for t in SPAN_TARGETS)})
+"""
+
+QUERIES["text_span_annotations"] = text_span_annotations
+ORACLES["text_spans_annotations" if False else "text_span_annotations"] = TEXT_SPANS_SQL

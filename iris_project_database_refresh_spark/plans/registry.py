@@ -153,7 +153,8 @@ _DRIVER_PRIORITY = [
     "orders_seasonal_index", "pack_best_fit", "mixture_weights_temperature",
     "catalog_filename_parse", "bm25_self_retrieval_mrr", "monitor_stage_regression", "graph_label_propagation", "dialogue_turns_parse", "sft_pairs_build", "privacy_k_anonymity", "privacy_dp_counts", "subtitles_parse_srt", "catalog_fk_integrity", "monitor_rollup_ivm", "events_slo_burndown",
     "events_error_streaks", "orders_fulfillment_lag", "customer_order_gaps",
-    "brand_price_dispersion", "nation_revenue_yoy", "chunk_reconstruct_audit",
+    "brand_price_dispersion", "nation_revenue_yoy", "chunk_reconstruct_audit", "text_span_annotations",
+    "nation_supplier_hhi",
     "epoch_shuffle_plan",
 ]
 
