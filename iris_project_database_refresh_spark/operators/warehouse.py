@@ -470,3 +470,70 @@ FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
 
 QUERIES["catalog_fk_integrity"] = catalog_fk_integrity
 ORACLES["catalog_fk_integrity"] = FK_INTEGRITY_SQL
+
+
+# --- the refresh-cycle scorecard ---------------------------------------------
+#
+# Query #200: the one-row report a refresh run publishes — the
+# composed readout of the stages the reference logs separately
+# (stage1 delta counts, stage5 validation, the dedup and quality
+# gates this repo adds). Each number is an aggregate of an
+# already-oracle-checked operator's output, so the scorecard grades
+# COMPOSITION: delta action counts (catalog_delta), exact-duplicate
+# documents scheduled for removal (dedup_exact), Gopher quality pass
+# share (quality_gopher_rules), and referential orphans
+# (catalog_fk_integrity). Every branch ends in a 1-row aggregate and
+# the branches cross-join lazily — the whole scorecard is one job.
+
+def refresh_scorecard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .catalog import catalog_delta
+    from .dedup import dedup_exact
+    from .textqc import quality_gopher_rules
+
+    delta = catalog_delta(spark, sf_dir).groupBy().pivot(
+        "action", ["new", "modified", "deleted", "unchanged"]
+    ).count().select(
+        F.coalesce(F.col("new"), F.lit(0)).cast("bigint").alias("files_new"),
+        F.coalesce(F.col("modified"), F.lit(0)).cast("bigint").alias("files_modified"),
+        F.coalesce(F.col("deleted"), F.lit(0)).cast("bigint").alias("files_deleted"),
+        F.coalesce(F.col("unchanged"), F.lit(0)).cast("bigint").alias("files_unchanged"),
+    )
+    dups = dedup_exact(spark, sf_dir).agg(
+        F.coalesce(F.sum("n_removed"), F.lit(0)).cast("bigint").alias("exact_dup_docs")
+    )
+    quality = quality_gopher_rules(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("docs_scored"),
+        F.expr("cast(sum(gopher_pass) * 10000 div count(1) as bigint)").alias("gopher_pass_bp"),
+    )
+    orphans = catalog_fk_integrity(spark, sf_dir).agg(
+        F.sum("orphan_rows").cast("bigint").alias("fk_orphan_rows")
+    )
+    return delta.crossJoin(dups).crossJoin(quality).crossJoin(orphans)
+
+
+def _scorecard_sql() -> str:
+    from .catalog import CATALOG_DELTA_SQL
+    from .dedup import DEDUP_EXACT_SQL
+    from .textqc import GOPHER_SQL
+
+    return f"""
+WITH delta AS ({CATALOG_DELTA_SQL}),
+dups AS ({DEDUP_EXACT_SQL}),
+quality AS ({GOPHER_SQL}),
+orphans AS ({FK_INTEGRITY_SQL})
+SELECT
+  (SELECT count(*) FROM delta WHERE action = 'new') AS files_new,
+  (SELECT count(*) FROM delta WHERE action = 'modified') AS files_modified,
+  (SELECT count(*) FROM delta WHERE action = 'deleted') AS files_deleted,
+  (SELECT count(*) FROM delta WHERE action = 'unchanged') AS files_unchanged,
+  (SELECT CAST(coalesce(sum(n_removed), 0) AS BIGINT) FROM dups) AS exact_dup_docs,
+  (SELECT count(*) FROM quality) AS docs_scored,
+  (SELECT CAST(CAST(sum(gopher_pass) AS BIGINT) * 10000 // count(*) AS BIGINT) FROM quality) AS gopher_pass_bp,
+  (SELECT CAST(sum(orphan_rows) AS BIGINT) FROM orphans) AS fk_orphan_rows
+"""
+
+
+REFRESH_SCORECARD_SQL = _scorecard_sql()
+
+QUERIES["refresh_scorecard"] = refresh_scorecard
+ORACLES["refresh_scorecard"] = REFRESH_SCORECARD_SQL
