@@ -878,3 +878,76 @@ FROM per_src, totals
 
 QUERIES["mixture_weights_temperature"] = mixture_weights_temperature
 ORACLES["mixture_weights_temperature"] = MIXTURE_WEIGHTS_SQL
+
+
+# --- corpus n-gram novelty curve ---------------------------------------------
+#
+# Dataset-saturation diagnostic: as the corpus grows (doc_id order =
+# ingestion order), what share of each document's 3-grams has never
+# appeared before? A collapsing novelty curve says new data is
+# repeating old data — the signal that guides further collection.
+# First-occurrence attribution is ONE aggregation (ngram -> min
+# doc_id); each doc's novelty is then a per-row comparison after the
+# rejoin. Two shuffles total (ngram attribution + rejoin), both on
+# hash-uniform keys; per-day/source rollup on bounded tables.
+
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokens(F.col("text"))
+    grams = docs.select("doc_id", "source", toks.alias("toks")).select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 2), "
+                "i -> md5(concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2)))) END"
+            )
+        ).alias("gram"),
+    )
+    first_seen = grams.groupBy("gram").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.groupBy("doc_id", "source", "gram")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .join(first_seen, "gram")
+        .groupBy("doc_id", "source")
+        .agg(
+            F.sum("n").alias("n_grams"),
+            F.sum(F.when(F.col("first_doc") == F.col("doc_id"), F.col("n")).otherwise(0)).alias("novel_grams"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_grams").alias("total_grams"),
+        F.sum("novel_grams").alias("novel_grams"),
+        F.expr("cast(sum(novel_grams) * 10000 div sum(n_grams) as bigint)").alias("novelty_bp"),
+    )
+
+
+CORPUS_NOVELTY_SQL = """
+WITH t AS (
+  SELECT doc_id, source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT doc_id, source,
+         md5(toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2]) AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 2, 0))) AS i) ix
+), first_seen AS (
+  SELECT gram, min(doc_id) AS first_doc FROM grams GROUP BY gram
+), per_doc AS (
+  SELECT g.doc_id, g.source,
+         CAST(sum(cnt) AS BIGINT) AS n_grams,
+         CAST(sum(CASE WHEN f.first_doc = g.doc_id THEN cnt ELSE 0 END) AS BIGINT) AS novel_grams
+  FROM (SELECT doc_id, source, gram, count(*) AS cnt FROM grams GROUP BY 1, 2, 3) g
+  JOIN first_seen f USING (gram)
+  GROUP BY g.doc_id, g.source
+)
+SELECT source, count(*) AS n_docs,
+       CAST(sum(n_grams) AS BIGINT) AS total_grams,
+       CAST(sum(novel_grams) AS BIGINT) AS novel_grams,
+       CAST(CAST(sum(novel_grams) AS BIGINT) * 10000 // sum(n_grams) AS BIGINT) AS novelty_bp
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
+ORACLES["corpus_ngram_novelty"] = CORPUS_NOVELTY_SQL

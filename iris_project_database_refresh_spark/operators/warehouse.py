@@ -537,3 +537,76 @@ REFRESH_SCORECARD_SQL = _scorecard_sql()
 
 QUERIES["refresh_scorecard"] = refresh_scorecard
 ORACLES["refresh_scorecard"] = REFRESH_SCORECARD_SQL
+
+
+# --- cohort LTV triangle ------------------------------------------------------
+#
+# The lifetime-value triangle (cohort revenue accumulating over
+# activity years): customers cohort by their FIRST order year, each
+# cohort's revenue per subsequent year accumulates via a window over
+# the bounded (cohort, year) table. Classic warehouse readout joining
+# the RFM/retention family; exact integer cents end-to-end. Fact
+# work: one orderkey join + per-customer min-year + one rollup —
+# every window runs on the triangle, never the fact.
+
+def customer_cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", F.year("o_orderdate").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("rev_c"),
+    )
+    first_year = orders.groupBy("o_custkey").agg(F.min("yr").alias("cohort_yr"))
+    rev = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(first_year, "o_custkey")
+        .groupBy("cohort_yr", "yr")
+        .agg(
+            F.sum("rev_c").alias("rev_c"),
+            F.countDistinct("o_custkey").alias("active_customers"),
+        )
+    )
+    w = Window.partitionBy("cohort_yr").orderBy("yr").rowsBetween(Window.unboundedPreceding, 0)
+    cohort_sizes = first_year.groupBy("cohort_yr").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        rev.join(F.broadcast(cohort_sizes), "cohort_yr")
+        .select(
+            "cohort_yr",
+            F.col("yr").cast("bigint").alias("yr"),
+            "cohort_size",
+            "active_customers",
+            "rev_c",
+            F.sum("rev_c").over(w).alias("cumulative_rev_c"),
+        )
+        .select(
+            "*",
+            F.expr("cast(cumulative_rev_c div cohort_size as bigint)").alias("ltv_per_customer_c"),
+        )
+    )
+
+
+COHORT_LTV_SQL = """
+WITH first_year AS (
+  SELECT o_custkey, CAST(min(year(o_orderdate)) AS BIGINT) AS cohort_yr FROM orders GROUP BY o_custkey
+), rev AS (
+  SELECT f.cohort_yr, CAST(year(o_orderdate) AS BIGINT) AS yr,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS rev_c,
+         count(DISTINCT o.o_custkey) AS active_customers
+  FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN first_year f ON o.o_custkey = f.o_custkey
+  GROUP BY f.cohort_yr, year(o_orderdate)
+), sizes AS (
+  SELECT cohort_yr, count(*) AS cohort_size FROM first_year GROUP BY cohort_yr
+)
+SELECT r.cohort_yr, r.yr, s.cohort_size, r.active_customers, r.rev_c,
+       CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort_yr ORDER BY r.yr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cumulative_rev_c,
+       CAST(CAST(sum(r.rev_c) OVER (PARTITION BY r.cohort_yr ORDER BY r.yr
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) // s.cohort_size AS BIGINT)
+         AS ltv_per_customer_c
+FROM rev r JOIN sizes s ON r.cohort_yr = s.cohort_yr
+"""
+
+QUERIES["customer_cohort_ltv"] = customer_cohort_ltv
+ORACLES["customer_cohort_ltv"] = COHORT_LTV_SQL

@@ -154,7 +154,8 @@ _DRIVER_PRIORITY = [
     "catalog_filename_parse", "bm25_self_retrieval_mrr", "monitor_stage_regression", "graph_label_propagation", "dialogue_turns_parse", "sft_pairs_build", "privacy_k_anonymity", "privacy_dp_counts", "subtitles_parse_srt", "catalog_fk_integrity", "monitor_rollup_ivm", "events_slo_burndown",
     "events_error_streaks", "orders_fulfillment_lag", "customer_order_gaps",
     "brand_price_dispersion", "nation_revenue_yoy", "chunk_reconstruct_audit", "text_span_annotations",
-    "nation_supplier_hhi", "refresh_scorecard",
+    "nation_supplier_hhi", "refresh_scorecard", "customer_cohort_ltv",
+    "corpus_ngram_novelty",
     "epoch_shuffle_plan",
 ]
 
