@@ -653,3 +653,97 @@ FROM lat
 
 QUERIES["funnel_time_to_convert"] = funnel_time_to_convert
 ORACLES["funnel_time_to_convert"] = TIME_TO_CONVERT_SQL
+
+
+# --- A/B test lift readout ----------------------------------------------------
+#
+# Experimentation analytics over the event stream: users split into
+# control/treatment by parity (the planted-assignment device — a real
+# pipeline joins an assignment table), outcome = did the user
+# purchase MORE than the median user does (a self-calibrating outcome:
+# the planted stream is purchase-dense and per-user volumes shift with
+# scale factor, so a fixed bar degenerates to all-or-nothing — the
+# median bar stays informative at any SF; median via exact percentile,
+# the quantile_cont parity device, on a 1-row broadcast); the readout
+# is conversion per arm, absolute lift in basis
+# points, and the two-proportion z-score (pooled), with the z
+# expression written identically in both engines (round 6; IEEE sqrt
+# of identical doubles). Per-user outcomes collapse first, so every
+# statistic runs on one bounded (arm) rollup.
+
+def events_ab_test_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("cnt")
+    )
+    med = counts.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    per_user = counts.crossJoin(F.broadcast(med)).select(
+        "user_id", (F.col("cnt") > F.col("med")).cast("int").alias("converted")
+    )
+    arms = per_user.select(
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("arm"),
+        "converted",
+    ).groupBy("arm").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("converted").cast("bigint").alias("n_converted"),
+    )
+    wide = (
+        arms.groupBy()
+        .pivot("arm", ["control", "treatment"])
+        .sum("n_users", "n_converted")
+        .select(
+            F.col("control_sum(n_users)").alias("n_c"),
+            F.col("control_sum(n_converted)").alias("x_c"),
+            F.col("treatment_sum(n_users)").alias("n_t"),
+            F.col("treatment_sum(n_converted)").alias("x_t"),
+        )
+    )
+    return wide.select(
+        F.col("n_c").cast("bigint").alias("control_users"),
+        F.col("x_c").cast("bigint").alias("control_converted"),
+        F.col("n_t").cast("bigint").alias("treatment_users"),
+        F.col("x_t").cast("bigint").alias("treatment_converted"),
+        F.expr("cast(x_c * 10000 div n_c as bigint)").alias("control_rate_bp"),
+        F.expr("cast(x_t * 10000 div n_t as bigint)").alias("treatment_rate_bp"),
+        F.expr("cast(x_t * 10000 div n_t - x_c * 10000 div n_c as bigint)").alias("lift_bp"),
+        F.round(
+            F.expr(
+                "(cast(x_t as double) / n_t - cast(x_c as double) / n_c) / "
+                "sqrt((cast(x_c + x_t as double) / (n_c + n_t)) * (1 - cast(x_c + x_t as double) / (n_c + n_t)) * (1.0 / n_c + 1.0 / n_t))"
+            ),
+            6,
+        ).alias("z_score"),
+    )
+
+
+AB_TEST_SQL = """
+WITH counts AS (
+  SELECT user_id, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt
+  FROM events GROUP BY user_id
+), med AS (SELECT quantile_cont(cnt, 0.5) AS med FROM counts),
+per_user AS (
+  SELECT user_id, CAST(cnt > med AS INT) AS converted FROM counts, med
+), arms AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         count(*) AS n, CAST(sum(converted) AS BIGINT) AS x
+  FROM per_user GROUP BY 1
+), wide AS (
+  SELECT max(CASE WHEN arm = 'control' THEN n END) AS n_c,
+         max(CASE WHEN arm = 'control' THEN x END) AS x_c,
+         max(CASE WHEN arm = 'treatment' THEN n END) AS n_t,
+         max(CASE WHEN arm = 'treatment' THEN x END) AS x_t
+  FROM arms
+)
+SELECT CAST(n_c AS BIGINT) AS control_users, x_c AS control_converted,
+       CAST(n_t AS BIGINT) AS treatment_users, x_t AS treatment_converted,
+       CAST(x_c * 10000 // n_c AS BIGINT) AS control_rate_bp,
+       CAST(x_t * 10000 // n_t AS BIGINT) AS treatment_rate_bp,
+       CAST(x_t * 10000 // n_t - x_c * 10000 // n_c AS BIGINT) AS lift_bp,
+       round((CAST(x_t AS DOUBLE) / n_t - CAST(x_c AS DOUBLE) / n_c) /
+             sqrt((CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * (1 - CAST(x_c + x_t AS DOUBLE) / (n_c + n_t)) * (1.0 / n_c + 1.0 / n_t)), 6)
+         AS z_score
+FROM wide
+"""
+
+QUERIES["events_ab_test_lift"] = events_ab_test_lift
+ORACLES["events_ab_test_lift"] = AB_TEST_SQL

@@ -951,3 +951,68 @@ FROM per_doc GROUP BY source
 
 QUERIES["corpus_ngram_novelty"] = corpus_ngram_novelty
 ORACLES["corpus_ngram_novelty"] = CORPUS_NOVELTY_SQL
+
+
+# --- compressibility estimate -------------------------------------------------
+#
+# Storage planning without running a compressor: a corpus's gzip-class
+# ratio tracks its internal repetition, which the distinct-shingle
+# ratio measures directly (distinct 4-gram bytes / total 4-gram
+# bytes — a dictionary coder can only deduplicate what repeats).
+# Per-source estimate in basis points with doc/byte totals; two
+# aggregations (per-source totals + per-source distinct shingles), no
+# pair joins — the cheap sibling of dedup_substring_stats.
+
+def compression_ratio_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokens(F.col("text"))
+    grams = docs.select("source", toks.alias("toks")).select(
+        "source",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 4 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 3), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1), "
+                "element_at(toks, i + 2), element_at(toks, i + 3))) END"
+            )
+        ).alias("gram"),
+    ).select("source", "gram", F.length("gram").alias("glen"))
+    totals = grams.groupBy("source").agg(
+        F.count(F.lit(1)).alias("total_grams"), F.sum("glen").alias("total_bytes")
+    )
+    uniq = (
+        grams.groupBy("source", "gram")
+        .agg(F.first("glen").alias("glen"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("uniq_grams"), F.sum("glen").alias("uniq_bytes"))
+    )
+    return totals.join(uniq, "source").select(
+        "source",
+        "total_grams",
+        "uniq_grams",
+        F.expr("cast(uniq_bytes * 10000 div total_bytes as bigint)").alias("est_ratio_bp"),
+    )
+
+
+COMPRESSION_EST_SQL = """
+WITH t AS (
+  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+), grams AS (
+  SELECT source,
+         toks[i] || ' ' || toks[i + 1] || ' ' || toks[i + 2] || ' ' || toks[i + 3] AS gram
+  FROM t, LATERAL (SELECT unnest(generate_series(1, greatest(len(toks) - 3, 0))) AS i) ix
+), totals AS (
+  SELECT source, count(*) AS total_grams, CAST(sum(length(gram)) AS BIGINT) AS total_bytes
+  FROM grams GROUP BY source
+), uniq AS (
+  SELECT source, count(*) AS uniq_grams, CAST(sum(length(gram)) AS BIGINT) AS uniq_bytes
+  FROM (SELECT DISTINCT source, gram FROM grams) GROUP BY source
+)
+SELECT t.source, t.total_grams, u.uniq_grams,
+       CAST(u.uniq_bytes * 10000 // t.total_bytes AS BIGINT) AS est_ratio_bp
+FROM totals t JOIN uniq u USING (source)
+"""
+
+QUERIES["compression_ratio_estimate"] = compression_ratio_estimate
+ORACLES["compression_ratio_estimate"] = COMPRESSION_EST_SQL

@@ -610,3 +610,59 @@ FROM rev r JOIN sizes s ON r.cohort_yr = s.cohort_yr
 
 QUERIES["customer_cohort_ltv"] = customer_cohort_ltv
 ORACLES["customer_cohort_ltv"] = COHORT_LTV_SQL
+
+
+# --- join-key skew pre-flight -------------------------------------------------
+#
+# The diagnostic a 100 TB planner runs BEFORE picking join
+# strategies: per join key, how hot is the hottest key? (AQE splits
+# skewed partitions at runtime, but layout/bucketing/salting choices
+# are made ahead of time from exactly this table.) For each key: row
+# count, distinct keys, the hottest key's share in basis points and
+# the max-to-average key-size ratio. Each key is one grouped count
+# (map-side combine) + a 1-row max over the bounded count table.
+
+def join_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    keys = [
+        ("lineitem.l_orderkey", load_table(spark, sf_dir, "lineitem").select(F.col("l_orderkey").alias("k"))),
+        ("lineitem.l_partkey", load_table(spark, sf_dir, "lineitem").select(F.col("l_partkey").alias("k"))),
+        ("orders.o_custkey", load_table(spark, sf_dir, "orders").select(F.col("o_custkey").alias("k"))),
+        ("events.user_id", load_table(spark, sf_dir, "events").select(F.col("user_id").alias("k"))),
+    ]
+    out = None
+    for name, child in keys:
+        counts = child.groupBy("k").agg(F.count(F.lit(1)).alias("n"))
+        row = counts.agg(
+            F.lit(name).alias("join_key"),
+            F.sum("n").cast("bigint").alias("n_rows"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.max("n").cast("bigint").alias("hottest_key_rows"),
+            F.expr("cast(max(n) * 10000 div sum(n) as bigint)").alias("hottest_share_bp"),
+            F.expr("cast(max(n) * count(1) div sum(n) as bigint)").alias("max_to_avg_ratio"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+JOIN_KEY_SKEW_SQL = """
+SELECT 'lineitem.l_orderkey' AS join_key, CAST(sum(n) AS BIGINT) AS n_rows,
+       count(*) AS n_keys, CAST(max(n) AS BIGINT) AS hottest_key_rows,
+       CAST(max(n) * 10000 // sum(n) AS BIGINT) AS hottest_share_bp,
+       CAST(max(n) * count(*) // sum(n) AS BIGINT) AS max_to_avg_ratio
+FROM (SELECT l_orderkey, count(*) AS n FROM lineitem GROUP BY 1)
+UNION ALL
+SELECT 'lineitem.l_partkey', CAST(sum(n) AS BIGINT), count(*), CAST(max(n) AS BIGINT),
+       CAST(max(n) * 10000 // sum(n) AS BIGINT), CAST(max(n) * count(*) // sum(n) AS BIGINT)
+FROM (SELECT l_partkey, count(*) AS n FROM lineitem GROUP BY 1)
+UNION ALL
+SELECT 'orders.o_custkey', CAST(sum(n) AS BIGINT), count(*), CAST(max(n) AS BIGINT),
+       CAST(max(n) * 10000 // sum(n) AS BIGINT), CAST(max(n) * count(*) // sum(n) AS BIGINT)
+FROM (SELECT o_custkey, count(*) AS n FROM orders GROUP BY 1)
+UNION ALL
+SELECT 'events.user_id', CAST(sum(n) AS BIGINT), count(*), CAST(max(n) AS BIGINT),
+       CAST(max(n) * 10000 // sum(n) AS BIGINT), CAST(max(n) * count(*) // sum(n) AS BIGINT)
+FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+"""
+
+QUERIES["join_key_skew_report"] = join_key_skew_report
+ORACLES["join_key_skew_report"] = JOIN_KEY_SKEW_SQL

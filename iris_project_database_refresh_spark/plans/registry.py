@@ -155,7 +155,8 @@ _DRIVER_PRIORITY = [
     "events_error_streaks", "orders_fulfillment_lag", "customer_order_gaps",
     "brand_price_dispersion", "nation_revenue_yoy", "chunk_reconstruct_audit", "text_span_annotations",
     "nation_supplier_hhi", "refresh_scorecard", "customer_cohort_ltv",
-    "corpus_ngram_novelty",
+    "corpus_ngram_novelty", "join_key_skew_report", "compression_ratio_estimate",
+    "events_ab_test_lift",
     "epoch_shuffle_plan",
 ]
 
