@@ -1575,3 +1575,108 @@ FROM scored, summary
 
 QUERIES["dedup_recall_eval"] = dedup_recall_eval
 ORACLES["dedup_recall_eval"] = DEDUP_RECALL_SQL
+
+
+# --- band-configuration sweep -------------------------------------------------
+
+SWEEP_CONFIGS = ((8, 2), (4, 4), (2, 8))  # (bands, rows) over the same 16 perms
+
+
+def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH tuning table: the SAME 16 MinHash permutations banded
+    three ways — (8 bands × 2 rows) casts the widest candidate net,
+    (2 × 8) the narrowest — with per-config candidate volume, verified
+    pairs (Jaccard ≥ τ) and precision in basis points. Read with
+    `dedup_recall_eval` (which measures recall for the production
+    4 × 4 config), this is the S-curve trade a deployment tunes:
+    bands↑ → recall↑, precision↓, candidate (shuffle) volume↑.
+    Signatures are computed ONCE and pinned; each config adds only a
+    (band_idx, band_key) bucket join over bounded buckets.
+    """
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", "hashes", *_minhash_sigs()).localCheckpoint(eager=False)
+    out = None
+    for n_bands, rows in SWEEP_CONFIGS:
+        band_cols = [
+            F.concat_ws(
+                "_", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
+            ).alias(f"band{b}")
+            for b in range(n_bands)
+        ]
+        buckets = sigs.select(
+            "doc_id", "hashes", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        )
+        a, b = buckets.alias("a"), buckets.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_key") == F.col("b.band_key"))
+                & (F.col("a.doc_id") < F.col("b.doc_id")),
+            )
+            .select(
+                F.col("a.doc_id").alias("id_a"),
+                F.col("b.doc_id").alias("id_b"),
+                F.col("a.hashes").alias("sh_a"),
+                F.col("b.hashes").alias("sh_b"),
+            )
+            .dropDuplicates(["id_a", "id_b"])
+        )
+        inter = F.size(F.array_intersect("sh_a", "sh_b"))
+        union = F.size("sh_a") + F.size("sh_b") - inter
+        row = cand.agg(
+            F.lit(n_bands).cast("bigint").alias("bands"),
+            F.lit(rows).cast("bigint").alias("rows_per_band"),
+            F.count(F.lit(1)).alias("n_candidates"),
+            F.sum(((inter / union) >= JACCARD_TAU).cast("bigint")).alias("n_verified"),
+            F.expr(f"cast(sum(cast(size(array_intersect(sh_a, sh_b)) / (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) >= {JACCARD_TAU} as bigint)) * 10000 div count(1) as bigint)").alias("precision_bp"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out
+
+
+def _band_sql_cfg(b: int, rows: int) -> str:
+    return " || '_' || ".join(f"CAST(sig{b * rows + r} AS VARCHAR)" for r in range(rows))
+
+
+def _sweep_sql() -> str:
+    arms = []
+    for n_bands, rows in SWEEP_CONFIGS:
+        values = ", ".join(f"({b}, {_band_sql_cfg(b, rows)})" for b in range(n_bands))
+        arms.append(f"""
+SELECT CAST({n_bands} AS BIGINT) AS bands, CAST({rows} AS BIGINT) AS rows_per_band,
+       count(*) AS n_candidates,
+       CAST(sum(CASE WHEN n_inter / CAST(n_union AS DOUBLE) >= {JACCARD_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_verified,
+       CAST(CAST(sum(CASE WHEN n_inter / CAST(n_union AS DOUBLE) >= {JACCARD_TAU} THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS precision_bp
+FROM (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hashes, sb.hashes)) AS n_inter,
+         len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)) AS n_union
+  FROM (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM (SELECT doc_id, band_idx, band_key
+          FROM sigs, LATERAL (VALUES {values}) AS v(band_idx, band_key)) a
+    JOIN (SELECT doc_id, band_idx, band_key
+          FROM sigs, LATERAL (VALUES {values}) AS v(band_idx, band_key)) b
+      ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  )
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)""")
+    body = "\nUNION ALL\n".join(arms)
+    return f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+)
+{body}
+"""
+
+
+DEDUP_BAND_SWEEP_SQL = _sweep_sql()
+
+QUERIES["dedup_band_sweep"] = dedup_band_sweep
+ORACLES["dedup_band_sweep"] = DEDUP_BAND_SWEEP_SQL
