@@ -734,3 +734,90 @@ FROM ranked WHERE rank <= {KNN_K}
 
 QUERIES["knn_graph"] = knn_graph
 ORACLES["knn_graph"] = KNN_GRAPH_SQL
+
+
+# --- embedding-space anisotropy histogram ------------------------------------
+
+ANISO_OFFSETS = (1, 17, 97)  # deterministic cyclic pair sample
+ANISO_BINS = 20
+
+
+def embed_cosine_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-collapse diagnostic (the anisotropy check, public
+    observation: degenerate embedding spaces squeeze all pairwise
+    cosines toward 1): the distribution of cosines over a
+    deterministic 3n pair sample — each vector vs its id+{1,17,97}
+    cyclic neighbors (hash-free but id-uncorrelated offsets; a real
+    pipeline samples pairs, this plants them reproducibly). Histogram
+    over [-1, 1] in ANISO_BINS bins from the 6dp-rounded cosine (the
+    integer-binning device), plus the mean |cosine| in basis points —
+    the single collapse indicator a monitor tracks per refresh.
+    Three equi-joins on shifted ids (no self cross join), bounded
+    histogram rollup."""
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n_df = emb.agg(F.count(F.lit(1)).alias("n"))
+    left = emb.crossJoin(F.broadcast(n_df))
+    pairs = None
+    for off in ANISO_OFFSETS:
+        right = emb.select(F.col("vec_id").alias("rid"), F.col("v").alias("w"))
+        p = left.select(
+            "vec_id", "v", ((F.col("vec_id") + off) % F.col("n")).alias("rid")
+        ).join(right, "rid").where(F.col("vec_id") != F.col("rid"))
+        pairs = p if pairs is None else pairs.unionByName(p)
+    cos = F.round(
+        _dot(F.col("v"), F.col("w"))
+        / (F.sqrt(_dot(F.col("v"), F.col("v"))) * F.sqrt(_dot(F.col("w"), F.col("w")))),
+        6,
+    )
+    scored = pairs.select(cos.alias("cosine")).select(
+        F.least(
+            F.expr(f"cast(floor((cosine + 1) * {ANISO_BINS} / 2) as int)"), F.lit(ANISO_BINS - 1)
+        ).alias("bin"),
+        F.expr("cast(floor(abs(cosine) * 10000 + 0.5) as bigint)").alias("abs_bp"),
+    )
+    total = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.expr("cast(sum(abs_bp) div count(1) as bigint)").alias("mean_abs_cos_bp"),
+    )
+    return (
+        scored.groupBy("bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n",
+            F.expr("cast(n * 10000 div n_pairs as bigint)").alias("share_bp"),
+            "mean_abs_cos_bp",
+        )
+    )
+
+
+EMBED_COS_HIST_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), nn AS (SELECT count(*) AS n FROM d),
+pairs AS (
+  {" UNION ALL ".join(f'''
+  SELECT a.vec_id, a.v, b.v AS w
+  FROM d a, nn, d b
+  WHERE b.vec_id = (a.vec_id + {off}) % n AND a.vec_id <> b.vec_id''' for off in ANISO_OFFSETS)}
+), scored AS (
+  SELECT least(CAST(floor((round(list_dot_product(v, w) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(w, w))), 6) + 1)
+           * {ANISO_BINS} / 2) AS INT), {ANISO_BINS - 1}) AS bin,
+         CAST(floor(abs(round(list_dot_product(v, w) /
+           (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(w, w))), 6)) * 10000 + 0.5) AS BIGINT) AS abs_bp
+  FROM pairs
+), total AS (
+  SELECT count(*) AS n_pairs, CAST(sum(abs_bp) // count(*) AS BIGINT) AS mean_abs_cos_bp FROM scored
+)
+SELECT CAST(bin AS BIGINT) AS bin, count(*) AS n,
+       CAST(count(*) * 10000 // n_pairs AS BIGINT) AS share_bp,
+       mean_abs_cos_bp
+FROM scored, total GROUP BY bin, n_pairs, mean_abs_cos_bp
+"""
+
+QUERIES["embed_cosine_histogram"] = embed_cosine_histogram
+ORACLES["embed_cosine_histogram"] = EMBED_COS_HIST_SQL
