@@ -747,3 +747,65 @@ FROM wide
 
 QUERIES["events_ab_test_lift"] = events_ab_test_lift
 ORACLES["events_ab_test_lift"] = AB_TEST_SQL
+
+
+# --- majority-class next-event baseline ---------------------------------------
+#
+# The evaluation floor for any sequence model on this stream: predict
+# each user's next event as the most frequent successor of the
+# current type (argmax row of the Markov matrix) and measure
+# accuracy. The transition pass reuses events_markov_transitions'
+# lead-window shape; the argmax table is bounded (types × types) and
+# rides a broadcast back onto the transition stream. Accuracy in
+# basis points, per current-type and overall, exact integers.
+
+def events_next_event_baseline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    w = _W.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = ev.select(
+        F.col("event_type").alias("cur"),
+        F.lead("event_type").over(w).alias("nxt"),
+    ).where(F.col("nxt").isNotNull())
+    counts = trans.groupBy("cur", "nxt").agg(F.count(F.lit(1)).alias("n"))
+    w2 = _W.partitionBy("cur").orderBy(F.desc("n"), F.asc("nxt"))
+    pred = (
+        counts.withColumn("r", F.row_number().over(w2))
+        .where(F.col("r") == 1)
+        .select("cur", F.col("nxt").alias("predicted"))
+    )
+    scored = trans.join(F.broadcast(pred), "cur")
+    return scored.groupBy("cur", "predicted").agg(
+        F.count(F.lit(1)).alias("n_transitions"),
+        F.sum((F.col("nxt") == F.col("predicted")).cast("bigint")).alias("n_correct"),
+        F.expr(
+            "cast(sum(cast(nxt = predicted as bigint)) * 10000 div count(1) as bigint)"
+        ).alias("accuracy_bp"),
+    )
+
+
+NEXT_EVENT_BASELINE_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), trans AS (
+  SELECT event_type AS cur,
+         lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+  FROM events_us
+), t2 AS (SELECT * FROM trans WHERE nxt IS NOT NULL),
+counts AS (
+  SELECT cur, nxt, count(*) AS n FROM t2 GROUP BY cur, nxt
+), pred AS (
+  SELECT cur, nxt AS predicted FROM (
+    SELECT *, row_number() OVER (PARTITION BY cur ORDER BY n DESC, nxt ASC) AS r FROM counts
+  ) WHERE r = 1
+)
+SELECT t2.cur, predicted, count(*) AS n_transitions,
+       CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       CAST(CAST(sum(CASE WHEN nxt = predicted THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS accuracy_bp
+FROM t2 JOIN pred ON t2.cur = pred.cur
+GROUP BY t2.cur, predicted
+"""
+
+QUERIES["events_next_event_baseline"] = events_next_event_baseline
+ORACLES["events_next_event_baseline"] = NEXT_EVENT_BASELINE_SQL

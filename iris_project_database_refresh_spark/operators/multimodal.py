@@ -1116,3 +1116,71 @@ FROM cues
 
 QUERIES["subtitles_parse_srt"] = subtitles_parse_srt
 ORACLES["subtitles_parse_srt"] = SUBTITLES_SQL
+
+
+# --- media/sidecar pairing audit ----------------------------------------------
+
+def multimodal_pairing_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential integrity for multimodal shards: every video item
+    should pair with a subtitle sidecar (the SRT plant) and an audio
+    stream should pair with its WAV container — this audit counts
+    paired/unpaired items per modality the way `catalog_fk_integrity`
+    audits FK edges. Videos too short to carry a single cue surface as
+    `unpaired` (a real pipeline quarantines them before training).
+    Anti-join counts only; sidecar existence is derived, never
+    materialized driver-side."""
+    video_ids = video_table(spark, sf_dir).select(F.col("media_id"))
+    # sidecar presence: docs with at least one cue (n_cues >= 1)
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    with_cues = docs.select(
+        F.col("doc_id").alias("media_id"),
+        F.least(
+            F.floor(F.size(toks) / SRT_CUE_TOKENS), F.lit(SRT_MAX_CUES)
+        ).cast("int").alias("n_cues"),
+    )
+    paired = with_cues.where(F.col("n_cues") >= 1)
+    row_video = (
+        video_ids.join(paired, "media_id", "left")
+        .agg(
+            F.lit("video->subtitles").alias("pairing"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.count("n_cues").alias("n_paired"),
+            (F.count(F.lit(1)) - F.count("n_cues")).cast("bigint").alias("n_unpaired"),
+        )
+    )
+    audio_ids = audio_table(spark, sf_dir).select("media_id")
+    audio_ok = multimodal_audio_stats(spark, sf_dir).select("media_id", F.lit(1).alias("ok"))
+    row_audio = (
+        audio_ids.join(audio_ok, "media_id", "left")
+        .agg(
+            F.lit("audio->wav_container").alias("pairing"),
+            F.count(F.lit(1)).alias("n_items"),
+            F.count("ok").alias("n_paired"),
+            (F.count(F.lit(1)) - F.count("ok")).cast("bigint").alias("n_unpaired"),
+        )
+    )
+    return row_video.unionByName(row_audio)
+
+
+MULTIMODAL_PAIRING_SQL = f"""
+WITH vids AS (
+  SELECT doc_id AS media_id,
+         least(octet_length(encode(text)) // ((4 + (doc_id % 4) * 2) * (4 + (doc_id % 3) * 2) * 3 // 2),
+               {VIDEO_MAX_FRAMES}) AS n_frames,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) // {SRT_CUE_TOKENS},
+               {SRT_MAX_CUES}) AS n_cues
+  FROM documents WHERE doc_id % 3 = 2
+), auds AS (
+  SELECT doc_id AS media_id FROM documents WHERE doc_id % 3 = 1
+)
+SELECT 'video->subtitles' AS pairing, count(*) AS n_items,
+       CAST(sum(CASE WHEN n_cues >= 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_paired,
+       CAST(sum(CASE WHEN n_cues >= 1 THEN 0 ELSE 1 END) AS BIGINT) AS n_unpaired
+FROM vids
+UNION ALL
+SELECT 'audio->wav_container', count(*), count(*), 0 FROM auds
+"""
+
+QUERIES["multimodal_pairing_audit"] = multimodal_pairing_audit
+ORACLES["multimodal_pairing_audit"] = MULTIMODAL_PAIRING_SQL

@@ -156,7 +156,8 @@ _DRIVER_PRIORITY = [
     "brand_price_dispersion", "nation_revenue_yoy", "chunk_reconstruct_audit", "text_span_annotations",
     "nation_supplier_hhi", "refresh_scorecard", "customer_cohort_ltv",
     "corpus_ngram_novelty", "join_key_skew_report", "compression_ratio_estimate",
-    "events_ab_test_lift", "dedup_band_sweep", "embed_cosine_histogram",
+    "events_ab_test_lift", "dedup_band_sweep", "embed_cosine_histogram", "multimodal_pairing_audit",
+    "events_next_event_baseline",
     "epoch_shuffle_plan",
 ]
 
