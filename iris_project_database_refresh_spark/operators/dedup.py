@@ -1680,3 +1680,61 @@ DEDUP_BAND_SWEEP_SQL = _sweep_sql()
 
 QUERIES["dedup_band_sweep"] = dedup_band_sweep
 ORACLES["dedup_band_sweep"] = DEDUP_BAND_SWEEP_SQL
+
+
+# --- near-dup graph degree statistics ----------------------------------------
+
+def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Structure of the duplication graph the pair operators emit:
+    per-node degree over the MinHash near-dup pairs, rolled into a
+    degree histogram plus the top hub share — a corpus where a few
+    hubs touch everything (template boilerplate) dedups very
+    differently from scattered 2-cliques, and the transitive-closure
+    cost (`dedup_components` rounds) tracks the hub degree. Pairs are
+    the already-bounded LSH output; degree math is one symmetric
+    explode + two bounded aggregations."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    deg = (
+        pairs.select(F.col("id_a").alias("doc_id"))
+        .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("degree"))
+    )
+    totals = deg.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        F.sum("degree").alias("sum_deg"),
+        F.max("degree").alias("max_degree"),
+    )
+    return (
+        deg.groupBy("degree")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            F.col("degree").cast("bigint").alias("degree"),
+            "n_docs",
+            "n_nodes",
+            "max_degree",
+            F.expr("cast(degree * n_docs * 10000 div sum_deg as bigint)").alias("edge_share_bp"),
+        )
+    )
+
+
+DEDUP_DEGREE_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL.strip()}),
+deg AS (
+  SELECT doc_id, count(*) AS degree FROM (
+    SELECT id_a AS doc_id FROM pairs UNION ALL SELECT id_b FROM pairs
+  ) GROUP BY doc_id
+), totals AS (
+  SELECT count(*) AS n_nodes, CAST(sum(degree) AS BIGINT) AS sum_deg,
+         CAST(max(degree) AS BIGINT) AS max_degree
+  FROM deg
+)
+SELECT CAST(degree AS BIGINT) AS degree, count(*) AS n_docs,
+       CAST(n_nodes AS BIGINT) AS n_nodes, max_degree,
+       CAST(degree * count(*) * 10000 // sum_deg AS BIGINT) AS edge_share_bp
+FROM deg, totals GROUP BY degree, n_nodes, max_degree, sum_deg
+"""
+
+QUERIES["dedup_graph_degree_stats"] = dedup_graph_degree_stats
+ORACLES["dedup_graph_degree_stats"] = DEDUP_DEGREE_SQL

@@ -809,3 +809,92 @@ GROUP BY t2.cur, predicted
 
 QUERIES["events_next_event_baseline"] = events_next_event_baseline
 ORACLES["events_next_event_baseline"] = NEXT_EVENT_BASELINE_SQL
+
+
+# --- attribution model comparison --------------------------------------------
+#
+# The model-choice table next to `attribution_u_shaped`: first-touch,
+# last-touch and linear credit for the SAME conversion⋈touch windows,
+# side by side per channel — how much each model shifts budget is
+# exactly what a marketing-mix review reads. Same join shape and
+# exact-integer credit discipline (micro-credits; linear pool divided
+# by floor with the remainder assigned to the first touch so every
+# conversion's credit sums to exactly 1,000,000 in both engines).
+
+def attribution_model_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.unix_micros("ts").alias("t_touch"),
+        F.col("event_id").alias("touch_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    convs = ev.where(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.unix_micros("ts").alias("t_conv"),
+        F.col("event_id").alias("conv_id"),
+    )
+    j = convs.join(
+        touches,
+        (convs.user_id == touches.user_id)
+        & (touches.t_touch < convs.t_conv)
+        & (touches.t_touch >= convs.t_conv - ATTR_WINDOW_US),
+    ).select("conv_id", "touch_id", "touch_type", "t_touch")
+    w = Window.partitionBy("conv_id")
+    wo = w.orderBy("t_touch", "touch_id")
+    ranked = j.select(
+        "conv_id",
+        "touch_type",
+        F.row_number().over(wo).alias("rn"),
+        F.count(F.lit(1)).over(w).alias("n"),
+    )
+    first_credit = F.when(F.col("rn") == 1, _CR_FULL).otherwise(0)
+    last_credit = F.when(F.col("rn") == F.col("n"), _CR_FULL).otherwise(0)
+    linear_credit = F.expr(f"{_CR_FULL} div n") + F.when(
+        F.col("rn") == 1, F.expr(f"{_CR_FULL} % n")
+    ).otherwise(0)
+    return (
+        ranked.select(
+            "touch_type",
+            first_credit.cast("bigint").alias("first_micro"),
+            last_credit.cast("bigint").alias("last_micro"),
+            linear_credit.cast("bigint").alias("linear_micro"),
+        )
+        .groupBy("touch_type")
+        .agg(
+            F.sum("first_micro").alias("first_touch_micro"),
+            F.sum("last_micro").alias("last_touch_micro"),
+            F.sum("linear_micro").alias("linear_micro"),
+        )
+    )
+
+
+ATTR_COMPARE_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), touches AS (
+  SELECT user_id, epoch_us(ts) AS t_touch, event_id AS touch_id, event_type AS touch_type
+  FROM events_us WHERE event_type IN ('view', 'click')
+), convs AS (
+  SELECT user_id, epoch_us(ts) AS t_conv, event_id AS conv_id
+  FROM events_us WHERE event_type = 'purchase'
+), j AS (
+  SELECT conv_id, touch_id, touch_type, t_touch
+  FROM convs c JOIN touches t
+    ON c.user_id = t.user_id AND t.t_touch < c.t_conv
+   AND t.t_touch >= c.t_conv - {ATTR_WINDOW_US}
+), ranked AS (
+  SELECT conv_id, touch_type,
+         row_number() OVER (PARTITION BY conv_id ORDER BY t_touch, touch_id) AS rn,
+         count(*) OVER (PARTITION BY conv_id) AS n
+  FROM j
+)
+SELECT touch_type,
+       CAST(sum(CASE WHEN rn = 1 THEN {_CR_FULL} ELSE 0 END) AS BIGINT) AS first_touch_micro,
+       CAST(sum(CASE WHEN rn = n THEN {_CR_FULL} ELSE 0 END) AS BIGINT) AS last_touch_micro,
+       CAST(sum({_CR_FULL} // n + CASE WHEN rn = 1 THEN {_CR_FULL} % n ELSE 0 END) AS BIGINT) AS linear_micro
+FROM ranked GROUP BY touch_type
+"""
+
+QUERIES["attribution_model_compare"] = attribution_model_compare
+ORACLES["attribution_model_compare"] = ATTR_COMPARE_SQL
