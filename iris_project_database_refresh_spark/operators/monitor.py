@@ -377,3 +377,81 @@ FROM merged m JOIN recomputed r ON m.stage_name = r.stage_name AND m.day = r.day
 
 QUERIES["monitor_rollup_ivm"] = monitor_rollup_ivm
 ORACLES["monitor_rollup_ivm"] = MONITOR_IVM_SQL
+
+
+# --- semi-structured schema profile ------------------------------------------
+#
+# Schema-drift detection for the JSONB column (`process_monitor_logs`'
+# llm_calls/props shape): producers add keys over time, and the
+# consumer's first question is "which keys exist, how often, and with
+# what type?". Events get a planted enriched payload (base props key
+# + 'ua' on every 3rd event + 'ref' on every 5th — the house planted
+# pattern), and the profile reports per key: presence count/share and
+# the numeric share among present values. Extraction is per-row
+# get_json_object (JVM); the profile is one bounded aggregation.
+
+_PROFILE_KEYS = ("k", "ua", "ref")
+
+
+def props_schema_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "props")
+    enriched = ev.select(
+        "event_id",
+        F.concat(
+            F.expr("substring(props, 1, length(props) - 1)"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(', "ua": "bot"')).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(F.lit(', "ref": '), (F.col("event_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+            F.lit("}"),
+        ).alias("j"),
+    )
+    total = enriched.agg(F.count(F.lit(1)).alias("n_events"))
+    out = None
+    for key in _PROFILE_KEYS:
+        val = F.get_json_object("j", f"$.{key}")
+        row = enriched.agg(
+            F.lit(key).alias("key"),
+            F.count(val).alias("n_present"),
+            F.sum(val.rlike("^[0-9]+$").cast("bigint")).cast("bigint").alias("n_numeric"),
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.crossJoin(F.broadcast(total)).select(
+        "key",
+        "n_present",
+        F.coalesce("n_numeric", F.lit(0)).alias("n_numeric"),
+        F.expr("cast(n_present * 10000 div n_events as bigint)").alias("coverage_bp"),
+    )
+
+
+PROPS_SCHEMA_SQL = """
+WITH enriched AS (
+  SELECT event_id,
+         substring(props, 1, length(props) - 1)
+         || CASE WHEN event_id % 3 = 0 THEN ', "ua": "bot"' ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN ', "ref": ' || CAST(event_id % 7 AS VARCHAR) ELSE '' END
+         || '}' AS j
+  FROM events
+), total AS (SELECT count(*) AS n_events FROM enriched),
+arms AS (
+  SELECT 'k' AS key, count(j->>'k') AS n_present,
+         CAST(sum(CASE WHEN regexp_matches(j->>'k', '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT) AS n_numeric
+  FROM enriched
+  UNION ALL
+  SELECT 'ua', count(j->>'ua'),
+         CAST(sum(CASE WHEN regexp_matches(j->>'ua', '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM enriched
+  UNION ALL
+  SELECT 'ref', count(j->>'ref'),
+         CAST(sum(CASE WHEN regexp_matches(j->>'ref', '^[0-9]+$') THEN 1 ELSE 0 END) AS BIGINT)
+  FROM enriched
+)
+SELECT key, CAST(n_present AS BIGINT) AS n_present,
+       coalesce(n_numeric, 0) AS n_numeric,
+       CAST(n_present * 10000 // n_events AS BIGINT) AS coverage_bp
+FROM arms, total
+"""
+
+QUERIES["props_schema_profile"] = props_schema_profile
+ORACLES["props_schema_profile"] = PROPS_SCHEMA_SQL
