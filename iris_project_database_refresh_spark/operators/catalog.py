@@ -635,3 +635,59 @@ FROM shaped
 
 QUERIES["catalog_filename_parse"] = catalog_filename_parse
 ORACLES["catalog_filename_parse"] = CATALOG_FILENAME_SQL
+
+
+# --- directory-hierarchy statistics ------------------------------------------
+#
+# The listing-shape report stage1's NAS walk implies (`catalog
+# search/stage1_extract_csv.py get_nas_files` recurses a share):
+# planted hierarchical paths (source/yyyy/mm/name.pdf — depth varies
+# with a planted extra level every 4th file) parsed into depth +
+# top-level directory, rolled up per top dir with depth histogram
+# bounds and file counts — the fan-out table a migration plans
+# listing parallelism from. Pure per-row split + one bounded
+# aggregation.
+
+def catalog_path_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    path = F.concat(
+        F.col("source"), F.lit("/"),
+        (F.lit(2020) + F.col("doc_id") % 5).cast("string"), F.lit("/"),
+        F.lpad((F.col("doc_id") % 12 + 1).cast("string"), 2, "0"),
+        F.when(F.col("doc_id") % 4 == 0, F.lit("/extra")).otherwise(F.lit("")),
+        F.lit("/doc_"), F.col("doc_id").cast("string"), F.lit(".pdf"),
+    )
+    parsed = docs.select(
+        "doc_id",
+        path.alias("file_path"),
+        F.size(F.split(path, "/")).cast("bigint").alias("depth"),
+        F.element_at(F.split(path, "/"), 1).alias("top_dir"),
+    )
+    return parsed.groupBy("top_dir").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.min("depth").alias("min_depth"),
+        F.max("depth").alias("max_depth"),
+        F.countDistinct(F.expr("substring_index(file_path, '/', 3)")).alias("n_month_dirs"),
+    )
+
+
+CATALOG_PATH_SQL = """
+WITH parsed AS (
+  SELECT doc_id,
+         source || '/' || CAST(2020 + doc_id % 5 AS VARCHAR) || '/'
+           || lpad(CAST(doc_id % 12 + 1 AS VARCHAR), 2, '0')
+           || CASE WHEN doc_id % 4 = 0 THEN '/extra' ELSE '' END
+           || '/doc_' || CAST(doc_id AS VARCHAR) || '.pdf' AS file_path,
+         source AS top_dir
+  FROM documents
+)
+SELECT top_dir, count(*) AS n_files,
+       CAST(min(len(string_split(file_path, '/'))) AS BIGINT) AS min_depth,
+       CAST(max(len(string_split(file_path, '/'))) AS BIGINT) AS max_depth,
+       count(DISTINCT string_split(file_path, '/')[1] || '/' || string_split(file_path, '/')[2]
+             || '/' || string_split(file_path, '/')[3]) AS n_month_dirs
+FROM parsed GROUP BY top_dir
+"""
+
+QUERIES["catalog_path_stats"] = catalog_path_stats
+ORACLES["catalog_path_stats"] = CATALOG_PATH_SQL
