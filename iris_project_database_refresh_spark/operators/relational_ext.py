@@ -1247,3 +1247,133 @@ FROM shares GROUP BY n_name
 
 QUERIES["nation_supplier_hhi"] = nation_supplier_hhi
 ORACLES["nation_supplier_hhi"] = NATION_HHI_SQL
+
+
+# --- month-end close rollup ---------------------------------------------------
+#
+# The finance close report: per (year, month) exact integer-cent
+# gross/discount/tax/net totals with month-over-month net deltas —
+# the numbers a controller signs. All money amounts go through the
+# scaled-integer device (per-line floor to cents before summation, so
+# totals are order-independent); the MoM lag runs on the bounded
+# month table.
+
+def lineitem_monthly_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.year("l_shipdate").alias("yr"),
+        F.month("l_shipdate").alias("mo"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("gross_c"),
+        F.expr(
+            "cast(floor(l_extendedprice * cast(floor(l_discount * 100 + 0.5) as int) + 0.5) as bigint)"
+        ).alias("disc_c"),
+        F.expr(
+            "cast(floor(l_extendedprice * cast(floor(l_tax * 100 + 0.5) as int) + 0.5) as bigint)"
+        ).alias("tax_c"),
+    )
+    monthly = li.groupBy("yr", "mo").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("gross_c").alias("gross_c"),
+        F.sum("disc_c").alias("discount_c"),
+        F.sum("tax_c").alias("tax_c"),
+    ).select(
+        F.col("yr").cast("bigint").alias("yr"),
+        F.col("mo").cast("bigint").alias("mo"),
+        "n_lines",
+        "gross_c",
+        "discount_c",
+        "tax_c",
+        (F.col("gross_c") - F.expr("discount_c div 100") + F.expr("tax_c div 100")).alias("net_c"),
+    )
+    w = Window.orderBy("yr", "mo")
+    return monthly.select(
+        "*",
+        (F.col("net_c") - F.lag("net_c").over(w)).alias("mom_delta_c"),
+    )
+
+
+MONTHLY_CLOSE_SQL = """
+WITH monthly AS (
+  SELECT CAST(year(l_shipdate) AS BIGINT) AS yr, CAST(month(l_shipdate) AS BIGINT) AS mo,
+         count(*) AS n_lines,
+         CAST(sum(CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS gross_c,
+         CAST(sum(CAST(floor(l_extendedprice * CAST(floor(l_discount * 100 + 0.5) AS INT) + 0.5) AS BIGINT)) AS BIGINT) AS discount_c,
+         CAST(sum(CAST(floor(l_extendedprice * CAST(floor(l_tax * 100 + 0.5) AS INT) + 0.5) AS BIGINT)) AS BIGINT) AS tax_c
+  FROM lineitem GROUP BY 1, 2
+), net AS (
+  SELECT *, gross_c - discount_c // 100 + tax_c // 100 AS net_c FROM monthly
+)
+SELECT yr, mo, n_lines, gross_c, discount_c, tax_c, net_c,
+       net_c - lag(net_c) OVER (ORDER BY yr, mo) AS mom_delta_c
+FROM net
+"""
+
+QUERIES["lineitem_monthly_close"] = lineitem_monthly_close
+ORACLES["lineitem_monthly_close"] = MONTHLY_CLOSE_SQL
+
+
+# --- balance vs spend correlation --------------------------------------------
+#
+# Does account balance predict spend? Pearson r from EXACT INTEGER
+# sums (the zipf_fit least-squares device applied to correlation):
+# balance and spend quantize to cents, the five sums are
+# order-independent BIGINTs (quantized to units/hundreds so squared
+# sums stay far inside 2^63 at any SF; DECIMAL(38) is the 100 TB
+# promotion if finer grain is needed), and r emerges as one double. One
+# orderkey fact shuffle + per-customer rollup; sums on the bounded
+# customer table.
+
+def customer_balance_spend_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("spend_c")
+    )
+    spend = orders.groupBy("o_custkey").agg(F.sum("spend_c").alias("spend_c"))
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("o_custkey"),
+        F.expr("cast(floor(c_acctbal * 100 + 0.5) as bigint)").alias("bal_c"),
+    )
+    joined = cust.join(spend, "o_custkey")
+    # scale to whole units (balance) / hundreds of units (spend) so
+    # every squared sum stays far inside BIGINT at any SF
+    xy = joined.select(
+        F.expr("bal_c div 100").alias("x"), F.expr("spend_c div 10000").alias("y")
+    )
+    sums = xy.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_customers"),
+        F.round(r, 6).alias("pearson_r"),
+    )
+
+
+BALANCE_SPEND_CORR_SQL = """
+WITH spend AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS spend_c
+  FROM orders GROUP BY o_custkey
+), xy AS (
+  SELECT CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) // 100 AS x, spend_c // 10000 AS y
+  FROM customer JOIN spend ON c_custkey = o_custkey
+), sums AS (
+  SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM xy
+)
+SELECT CAST(n AS BIGINT) AS n_customers,
+       round((n * sxy - sx * sy) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM sums
+"""
+
+QUERIES["customer_balance_spend_corr"] = customer_balance_spend_corr
+ORACLES["customer_balance_spend_corr"] = BALANCE_SPEND_CORR_SQL

@@ -200,3 +200,71 @@ WHERE s > target // {CUSUM_H_DIV}
 
 QUERIES["events_cusum_alarm"] = events_cusum_alarm
 ORACLES["events_cusum_alarm"] = CUSUM_SQL
+
+
+# --- inter-arrival burstiness -------------------------------------------------
+#
+# Burstiness index per user: coefficient of variation of inter-event
+# gaps (CV = 1 for a Poisson process; > 1 = bursty sessions, < 1 =
+# regular automation — the bot-vs-human signal). Gaps in exact
+# integer seconds from a user-partitioned lag; mean/variance from the
+# order-independent integer-sum device; per-user CVs roll into
+# burstiness bands. One user shuffle; band rollup bounded.
+
+def events_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = _W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr("cast((t - lag(t) over (partition by user_id order by t, event_id)) div 1000000 as bigint)").alias("gap_s"),
+    ).where(F.col("gap_s").isNotNull())
+    sums = gaps.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("gap_s").alias("sx"),
+        F.sum(F.expr("gap_s * gap_s")).alias("sxx"),
+    ).where(F.col("n") >= 2)
+    cv_bp = F.expr(
+        "cast(floor(10000.0 * sqrt(cast(n as double) * sxx - cast(sx as double) * sx) "
+        "/ cast(sx as double) + 0.5) as bigint)"
+    )
+    banded = sums.select(
+        cv_bp.alias("cv_bp"),
+    ).select(
+        F.when(F.col("cv_bp") < 8000, "regular (<0.8)")
+        .when(F.col("cv_bp") <= 12000, "poisson-like (0.8-1.2)")
+        .otherwise("bursty (>1.2)")
+        .alias("band"),
+    )
+    return banded.groupBy("band").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+EVENTS_BURSTINESS_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events_us
+), sums AS (
+  SELECT user_id, count(*) AS n, CAST(sum(gap_s) AS BIGINT) AS sx,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx
+  FROM gaps WHERE gap_s IS NOT NULL GROUP BY user_id HAVING count(*) >= 2
+), cvs AS (
+  SELECT CAST(floor(10000.0 * sqrt(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              / CAST(sx AS DOUBLE) + 0.5) AS BIGINT) AS cv_bp
+  FROM sums
+)
+SELECT CASE WHEN cv_bp < 8000 THEN 'regular (<0.8)'
+            WHEN cv_bp <= 12000 THEN 'poisson-like (0.8-1.2)'
+            ELSE 'bursty (>1.2)' END AS band,
+       count(*) AS n_users
+FROM cvs GROUP BY 1
+"""
+
+QUERIES["events_burstiness"] = events_burstiness
+ORACLES["events_burstiness"] = EVENTS_BURSTINESS_SQL
