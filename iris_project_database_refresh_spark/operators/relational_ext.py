@@ -1377,3 +1377,64 @@ FROM sums
 
 QUERIES["customer_balance_spend_corr"] = customer_balance_spend_corr
 ORACLES["customer_balance_spend_corr"] = BALANCE_SPEND_CORR_SQL
+
+
+# --- supply redundancy / single-source risk ----------------------------------
+#
+# Supply-chain resilience readout: per (region, part type), how many
+# distinct suppliers actually ship the type, and which cells are
+# single-sourced (the risk a procurement review flags). One fact scan
+# with broadcast dims, distinct-supplier rollup per bounded cell,
+# single-source share per region in basis points.
+
+def region_supply_redundancy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_suppkey")
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_type"
+    )
+    supp = load_table(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_nationkey"
+    )
+    nation = load_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nationkey"), "n_regionkey"
+    )
+    region = load_table(spark, sf_dir, "region").select(
+        F.col("r_regionkey").alias("n_regionkey"), "r_name"
+    )
+    cells = (
+        li.join(F.broadcast(part), "l_partkey")
+        .join(F.broadcast(supp), "l_suppkey")
+        .join(F.broadcast(nation), "s_nationkey")
+        .join(F.broadcast(region), "n_regionkey")
+        .groupBy("r_name", "p_type")
+        .agg(F.countDistinct("l_suppkey").alias("n_suppliers"))
+    )
+    return cells.groupBy("r_name").agg(
+        F.count(F.lit(1)).alias("n_part_types"),
+        F.sum((F.col("n_suppliers") == 1).cast("bigint")).alias("single_sourced"),
+        F.min("n_suppliers").alias("min_suppliers"),
+        F.expr("cast(sum(cast(n_suppliers = 1 as bigint)) * 10000 div count(1) as bigint)").alias(
+            "single_source_bp"
+        ),
+    )
+
+
+REGION_REDUNDANCY_SQL = """
+WITH cells AS (
+  SELECT r_name, p_type, count(DISTINCT l_suppkey) AS n_suppliers
+  FROM lineitem
+  JOIN part ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, p_type
+)
+SELECT r_name, count(*) AS n_part_types,
+       CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT) AS single_sourced,
+       CAST(min(n_suppliers) AS BIGINT) AS min_suppliers,
+       CAST(CAST(sum(CASE WHEN n_suppliers = 1 THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS single_source_bp
+FROM cells GROUP BY r_name
+"""
+
+QUERIES["region_supply_redundancy"] = region_supply_redundancy
+ORACLES["region_supply_redundancy"] = REGION_REDUNDANCY_SQL

@@ -1016,3 +1016,69 @@ FROM totals t JOIN uniq u USING (source)
 
 QUERIES["compression_ratio_estimate"] = compression_ratio_estimate
 ORACLES["compression_ratio_estimate"] = COMPRESSION_EST_SQL
+
+
+# --- boilerplate prefix detection --------------------------------------------
+#
+# Header/footer boilerplate shows up as documents within a source
+# sharing the same opening tokens (letterheads, nav bars, license
+# banners). Per source: the modal 8-token prefix, how many docs carry
+# it, and the share in basis points — above a threshold the cleaning
+# pipeline strips it (the dedup_lines decision at prefix grain). One
+# (source, prefix-hash) count, argmax per source on the bounded count
+# table, zero joins back to the corpus.
+
+BOILER_PREFIX_TOKENS = 8
+
+
+def boilerplate_prefix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokens(F.col("text"))
+    prefixed = docs.select(
+        "source",
+        F.md5(F.array_join(F.slice(toks, 1, BOILER_PREFIX_TOKENS), " ")).alias("prefix_md5"),
+    )
+    counts = prefixed.groupBy("source", "prefix_md5").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("source").agg(
+        F.sum("n").alias("n_docs"), F.count(F.lit(1)).alias("n_distinct_prefixes")
+    )
+    from pyspark.sql import Window as _W
+
+    w = _W.partitionBy("source").orderBy(F.desc("n"), F.asc("prefix_md5"))
+    modal = counts.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1).select(
+        "source", F.col("prefix_md5").alias("modal_prefix_md5"), F.col("n").alias("modal_count")
+    )
+    return modal.join(totals, "source").select(
+        "source",
+        "n_docs",
+        "n_distinct_prefixes",
+        "modal_prefix_md5",
+        "modal_count",
+        F.expr("cast(modal_count * 10000 div n_docs as bigint)").alias("modal_share_bp"),
+    )
+
+
+BOILERPLATE_SQL = f"""
+WITH prefixed AS (
+  SELECT source,
+         md5(array_to_string(list_filter(string_split_regex(text, '\\s+'), x -> x <> '')[1:{BOILER_PREFIX_TOKENS}], ' ')) AS prefix_md5
+  FROM documents
+), counts AS (
+  SELECT source, prefix_md5, count(*) AS n FROM prefixed GROUP BY 1, 2
+), totals AS (
+  SELECT source, CAST(sum(n) AS BIGINT) AS n_docs, count(*) AS n_distinct_prefixes
+  FROM counts GROUP BY source
+), modal AS (
+  SELECT source, prefix_md5 AS modal_prefix_md5, n AS modal_count FROM (
+    SELECT *, row_number() OVER (PARTITION BY source ORDER BY n DESC, prefix_md5 ASC) AS r
+    FROM counts
+  ) WHERE r = 1
+)
+SELECT m.source, t.n_docs, t.n_distinct_prefixes, m.modal_prefix_md5,
+       CAST(m.modal_count AS BIGINT) AS modal_count,
+       CAST(m.modal_count * 10000 // t.n_docs AS BIGINT) AS modal_share_bp
+FROM modal m JOIN totals t USING (source)
+"""
+
+QUERIES["boilerplate_prefix_stats"] = boilerplate_prefix_stats
+ORACLES["boilerplate_prefix_stats"] = BOILERPLATE_SQL
