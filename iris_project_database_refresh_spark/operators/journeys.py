@@ -898,3 +898,85 @@ FROM ranked GROUP BY touch_type
 
 QUERIES["attribution_model_compare"] = attribution_model_compare
 ORACLES["attribution_model_compare"] = ATTR_COMPARE_SQL
+
+
+# --- dormancy and reactivation -----------------------------------------------
+#
+# Lifecycle analytics beyond retention curves: a dormancy episode is a
+# gap of DORMANT_DAYS+ between consecutive events of a user; the
+# report counts users who went dormant, how many reactivated (had an
+# event after the gap — true by construction of a gap; dormancy
+# without return shows up as churn via the final-event cutoff), and
+# the reactivation-gap distribution. Same user-partitioned lag shape
+# as burstiness; churn = last event older than DORMANT_DAYS before
+# the corpus max timestamp (1-row broadcast).
+
+DORMANT_DAYS = 7
+
+
+def events_dormancy_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = _W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "cast((t - lag(t) over (partition by user_id order by t, event_id)) div 86400000000 as bigint)"
+        ).alias("gap_days"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        F.max("gap_days").alias("max_gap_days"),
+        F.sum((F.col("gap_days") >= DORMANT_DAYS).cast("bigint")).alias("n_dormancies"),
+    )
+    last_seen = ev.groupBy("user_id").agg(F.max("t").alias("t_last"))
+    horizon = ev.agg(F.max("t").alias("t_max"))
+    churned = last_seen.crossJoin(F.broadcast(horizon)).select(
+        "user_id",
+        ((F.col("t_max") - F.col("t_last")) >= DORMANT_DAYS * 86400000000).cast("bigint").alias(
+            "churned"
+        ),
+    )
+    joined = per_user.join(churned, "user_id")
+    return joined.agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum((F.col("n_dormancies") > 0).cast("bigint")).alias("users_with_dormancy"),
+        F.sum("n_dormancies").alias("total_dormancy_episodes"),
+        F.max("max_gap_days").alias("longest_gap_days"),
+        F.sum("churned").alias("churned_users"),
+        F.expr("cast(sum(churned) * 10000 div count(1) as bigint)").alias("churn_bp"),
+    )
+
+
+DORMANCY_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 86400000000 AS gap_days
+  FROM events_us
+), per_user AS (
+  SELECT user_id, max(gap_days) AS max_gap_days,
+         CAST(sum(CASE WHEN gap_days >= {DORMANT_DAYS} THEN 1 ELSE 0 END) AS BIGINT) AS n_dormancies
+  FROM gaps GROUP BY user_id
+), last_seen AS (
+  SELECT user_id, max(epoch_us(ts)) AS t_last FROM events_us GROUP BY user_id
+), horizon AS (SELECT max(epoch_us(ts)) AS t_max FROM events_us),
+churned AS (
+  SELECT user_id, CAST((t_max - t_last) >= {DORMANT_DAYS} * 86400000000 AS BIGINT) AS churned
+  FROM last_seen, horizon
+)
+SELECT count(*) AS n_users,
+       CAST(sum(CASE WHEN n_dormancies > 0 THEN 1 ELSE 0 END) AS BIGINT) AS users_with_dormancy,
+       CAST(sum(n_dormancies) AS BIGINT) AS total_dormancy_episodes,
+       CAST(max(max_gap_days) AS BIGINT) AS longest_gap_days,
+       CAST(sum(churned) AS BIGINT) AS churned_users,
+       CAST(CAST(sum(churned) AS BIGINT) * 10000 // count(*) AS BIGINT) AS churn_bp
+FROM per_user JOIN churned USING (user_id)
+"""
+
+QUERIES["events_dormancy_stats"] = events_dormancy_stats
+ORACLES["events_dormancy_stats"] = DORMANCY_SQL

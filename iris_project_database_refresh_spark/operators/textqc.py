@@ -1082,3 +1082,68 @@ FROM modal m JOIN totals t USING (source)
 
 QUERIES["boilerplate_prefix_stats"] = boilerplate_prefix_stats
 ORACLES["boilerplate_prefix_stats"] = BOILERPLATE_SQL
+
+
+# --- character-class profile --------------------------------------------------
+#
+# The lowest-level corpus QC: per source, what fraction of characters
+# are alphabetic / digits / whitespace / punctuation (mojibake,
+# base64 blobs and table dumps all skew this profile before any
+# tokenizer sees them). Exact integer counts via regexp stripping
+# (count = len - len(without class)); shares in basis points. Pure
+# per-row JVM regex + one bounded aggregation.
+
+def corpus_char_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+
+    def n_class(pat: str):
+        return (F.length("text") - F.length(F.regexp_replace("text", pat, ""))).cast("bigint")
+
+    per_doc = docs.select(
+        "source",
+        F.length("text").cast("bigint").alias("n_chars"),
+        n_class("[A-Za-z]").alias("n_alpha"),
+        n_class("[0-9]").alias("n_digit"),
+        n_class(r"\s").alias("n_space"),
+    )
+    agg = per_doc.groupBy("source").agg(
+        F.sum("n_chars").alias("n_chars"),
+        F.sum("n_alpha").alias("n_alpha"),
+        F.sum("n_digit").alias("n_digit"),
+        F.sum("n_space").alias("n_space"),
+    )
+    return agg.select(
+        "source",
+        "n_chars",
+        F.expr("cast(n_alpha * 10000 div n_chars as bigint)").alias("alpha_bp"),
+        F.expr("cast(n_digit * 10000 div n_chars as bigint)").alias("digit_bp"),
+        F.expr("cast(n_space * 10000 div n_chars as bigint)").alias("space_bp"),
+        F.expr(
+            "cast((n_chars - n_alpha - n_digit - n_space) * 10000 div n_chars as bigint)"
+        ).alias("other_bp"),
+    )
+
+
+CHAR_PROFILE_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CAST(length(text) AS BIGINT) AS n_chars,
+         CAST(length(text) - length(regexp_replace(text, '[A-Za-z]', '', 'g')) AS BIGINT) AS n_alpha,
+         CAST(length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS BIGINT) AS n_digit,
+         CAST(length(text) - length(regexp_replace(text, '\\s', '', 'g')) AS BIGINT) AS n_space
+  FROM documents
+), agg AS (
+  SELECT source, CAST(sum(n_chars) AS BIGINT) AS n_chars, CAST(sum(n_alpha) AS BIGINT) AS n_alpha,
+         CAST(sum(n_digit) AS BIGINT) AS n_digit, CAST(sum(n_space) AS BIGINT) AS n_space
+  FROM per_doc GROUP BY source
+)
+SELECT source, n_chars,
+       CAST(n_alpha * 10000 // n_chars AS BIGINT) AS alpha_bp,
+       CAST(n_digit * 10000 // n_chars AS BIGINT) AS digit_bp,
+       CAST(n_space * 10000 // n_chars AS BIGINT) AS space_bp,
+       CAST((n_chars - n_alpha - n_digit - n_space) * 10000 // n_chars AS BIGINT) AS other_bp
+FROM agg
+"""
+
+QUERIES["corpus_char_profile"] = corpus_char_profile
+ORACLES["corpus_char_profile"] = CHAR_PROFILE_SQL
