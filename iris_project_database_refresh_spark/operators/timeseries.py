@@ -268,3 +268,64 @@ FROM cvs GROUP BY 1
 
 QUERIES["events_burstiness"] = events_burstiness
 ORACLES["events_burstiness"] = EVENTS_BURSTINESS_SQL
+
+
+# --- daily co-movement matrix -------------------------------------------------
+#
+# Which monitor streams move together day over day? (error volume
+# tracking click volume is load-shaped; error volume alone spiking is
+# an incident.) Pearson r for every pair of event types over their
+# daily counts, from the exact-integer-sum device — the corpus-sized
+# work is ONE (day, type) count; the pair matrix runs over a ~30-row
+# pivoted day table crossed within itself (types² pairs, bounded).
+
+def events_type_comovement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(F.to_date("ts").alias("day"), "event_type").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    a = daily.select("day", F.col("event_type").alias("type_a"), F.col("n").alias("x"))
+    b = daily.select("day", F.col("event_type").alias("type_b"), F.col("n").alias("y"))
+    pairs = a.join(b, "day").where(F.col("type_a") < F.col("type_b"))
+    sums = pairs.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("y * y")).alias("syy"),
+    )
+    r = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.sqrt((F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double"))
+        * F.sqrt((F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast("double"))
+    )
+    return sums.select(
+        "type_a", "type_b", F.col("n").cast("bigint").alias("n_days"), F.round(r, 6).alias("pearson_r")
+    )
+
+
+TYPE_COMOVEMENT_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), daily AS (
+  SELECT CAST(ts AS DATE) AS day, event_type, count(*) AS n
+  FROM events_us GROUP BY 1, 2
+), pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b, a.n AS x, b.n AS y
+  FROM daily a JOIN daily b ON a.day = b.day AND a.event_type < b.event_type
+), sums AS (
+  SELECT type_a, type_b, count(*) AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx,
+         CAST(sum(y * y) AS BIGINT) AS syy
+  FROM pairs GROUP BY type_a, type_b
+)
+SELECT type_a, type_b, CAST(n AS BIGINT) AS n_days,
+       round((n * sxy - sx * sy) /
+             (sqrt(CAST(n * sxx - sx * sx AS DOUBLE)) * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+         AS pearson_r
+FROM sums
+"""
+
+QUERIES["events_type_comovement"] = events_type_comovement
+ORACLES["events_type_comovement"] = TYPE_COMOVEMENT_SQL

@@ -159,7 +159,7 @@ _DRIVER_PRIORITY = [
     "events_ab_test_lift", "dedup_band_sweep", "embed_cosine_histogram", "multimodal_pairing_audit",
     "events_next_event_baseline", "attribution_model_compare", "dedup_graph_degree_stats", "props_schema_profile", "catalog_path_stats", "lineitem_monthly_close",
     "customer_balance_spend_corr", "events_burstiness", "region_supply_redundancy",
-    "boilerplate_prefix_stats", "events_dormancy_stats", "corpus_char_profile",
+    "boilerplate_prefix_stats", "events_dormancy_stats", "corpus_char_profile", "events_type_comovement",
     "epoch_shuffle_plan",
 ]
 
