@@ -1438,3 +1438,122 @@ FROM cells GROUP BY r_name
 
 QUERIES["region_supply_redundancy"] = region_supply_redundancy
 ORACLES["region_supply_redundancy"] = REGION_REDUNDANCY_SQL
+
+
+# --- open-order aging report --------------------------------------------------
+#
+# The receivables-style aging table: open orders (o_orderstatus 'O')
+# bucketed by age at the corpus horizon (max order date, 1-row
+# broadcast) into the standard 0-30/31-90/91-365/365+ bands, with
+# order counts and exact integer-cent value per band — the follow-up
+# list a fulfillment review works through. One scan + bounded rollup.
+
+def orders_aging_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderstatus",
+        F.to_date("o_orderdate").alias("odate"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    horizon = orders.agg(F.max("odate").alias("h"))
+    aged = (
+        orders.where(F.col("o_orderstatus") == "O")
+        .crossJoin(F.broadcast(horizon))
+        .select(F.datediff("h", "odate").cast("bigint").alias("age_days"), "cents")
+    )
+    band = (
+        F.when(F.col("age_days") <= 30, "0-30")
+        .when(F.col("age_days") <= 90, "31-90")
+        .when(F.col("age_days") <= 365, "91-365")
+        .otherwise("365+")
+    )
+    totals = aged.agg(F.sum("cents").alias("tot_c"))
+    return (
+        aged.select(band.alias("age_band"), "cents")
+        .groupBy("age_band")
+        .agg(F.count(F.lit(1)).alias("n_orders"), F.sum("cents").alias("value_c"))
+        .crossJoin(F.broadcast(totals))
+        .select(
+            "age_band",
+            "n_orders",
+            "value_c",
+            F.expr("cast(value_c * 10000 div tot_c as bigint)").alias("value_share_bp"),
+        )
+    )
+
+
+ORDERS_AGING_SQL = """
+WITH horizon AS (SELECT max(CAST(o_orderdate AS DATE)) AS h FROM orders),
+aged AS (
+  SELECT date_diff('day', CAST(o_orderdate AS DATE), h) AS age_days,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders, horizon WHERE o_orderstatus = 'O'
+), banded AS (
+  SELECT CASE WHEN age_days <= 30 THEN '0-30' WHEN age_days <= 90 THEN '31-90'
+              WHEN age_days <= 365 THEN '91-365' ELSE '365+' END AS age_band, cents
+  FROM aged
+), totals AS (SELECT CAST(sum(cents) AS BIGINT) AS tot_c FROM banded)
+SELECT age_band, count(*) AS n_orders, CAST(sum(cents) AS BIGINT) AS value_c,
+       CAST(CAST(sum(cents) AS BIGINT) * 10000 // tot_c AS BIGINT) AS value_share_bp
+FROM banded, totals GROUP BY age_band, tot_c
+"""
+
+QUERIES["orders_aging_buckets"] = orders_aging_buckets
+ORACLES["orders_aging_buckets"] = ORDERS_AGING_SQL
+
+
+# --- 2-D quantity x price heatmap --------------------------------------------
+#
+# The 2-D companion of the equi-width histograms: lineitems binned on
+# (quantity band, unit-price band) — the pricing heatmap that shows
+# volume discounts (mass drifting to low-price bins as quantity
+# grows). Bin edges from one 1-row min/max broadcast (the
+# events_histogram device applied twice); 8x8 integer-coded cells,
+# counts with map-side combine.
+
+HEAT_BINS = 8
+
+
+def lineitem_price_qty_heatmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("cast(floor(l_extendedprice * 100 / l_quantity + 0.5) as bigint)").alias("unit_c"),
+    )
+    rng = li.agg(
+        F.min("q").alias("qmin"), F.max("q").alias("qmax"),
+        F.min("unit_c").alias("pmin"), F.max("unit_c").alias("pmax"),
+    )
+    coded = li.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"(q - qmin) * {HEAT_BINS} div (qmax - qmin + 1)").cast("bigint").alias("q_bin"),
+        F.expr(f"(unit_c - pmin) * {HEAT_BINS} div (pmax - pmin + 1)").cast("bigint").alias("p_bin"),
+    )
+    total = coded.agg(F.count(F.lit(1)).alias("n_rows"))
+    return (
+        coded.groupBy("q_bin", "p_bin")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "q_bin", "p_bin", "n",
+            F.expr("cast(n * 10000 div n_rows as bigint)").alias("share_bp"),
+        )
+    )
+
+
+HEATMAP_SQL = f"""
+WITH li AS (
+  SELECT CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 / l_quantity + 0.5) AS BIGINT) AS unit_c
+  FROM lineitem
+), rng AS (
+  SELECT min(q) AS qmin, max(q) AS qmax, min(unit_c) AS pmin, max(unit_c) AS pmax FROM li
+), coded AS (
+  SELECT (q - qmin) * {HEAT_BINS} // (qmax - qmin + 1) AS q_bin,
+         (unit_c - pmin) * {HEAT_BINS} // (pmax - pmin + 1) AS p_bin
+  FROM li, rng
+), total AS (SELECT count(*) AS n_rows FROM coded)
+SELECT q_bin, p_bin, count(*) AS n,
+       CAST(count(*) * 10000 // n_rows AS BIGINT) AS share_bp
+FROM coded, total GROUP BY q_bin, p_bin, n_rows
+"""
+
+QUERIES["lineitem_price_qty_heatmap"] = lineitem_price_qty_heatmap
+ORACLES["lineitem_price_qty_heatmap"] = HEATMAP_SQL
