@@ -1147,3 +1147,51 @@ FROM agg
 
 QUERIES["corpus_char_profile"] = corpus_char_profile
 ORACLES["corpus_char_profile"] = CHAR_PROFILE_SQL
+
+
+# --- classifier accuracy sliced by length ------------------------------------
+#
+# The slice analysis an evaluation report runs after the confusion
+# matrix: classifier accuracy as a function of input length (language
+# ID degrades on short inputs — fewer stopword hits to vote with).
+# Reuses lang_id's per-doc verdicts, bands docs by token count, and
+# reports per-band accuracy in basis points — the curve that sets the
+# minimum-length gate upstream filters enforce. Per-band rollup over
+# the per-doc verdict table; one aggregation.
+
+def langid_accuracy_by_length(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.size(tokens(F.col("text"))).cast("bigint").alias("n_tokens")
+    )
+    verdicts = lang_id(spark, sf_dir).select("doc_id", "is_correct")
+    banded = verdicts.join(docs, "doc_id").select(
+        F.when(F.col("n_tokens") < 20, "short (<20)")
+        .when(F.col("n_tokens") < 60, "medium (20-59)")
+        .otherwise("long (>=60)")
+        .alias("length_band"),
+        "is_correct",
+    )
+    return banded.groupBy("length_band").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("is_correct").cast("bigint").alias("n_correct"),
+        F.expr("cast(sum(is_correct) * 10000 div count(1) as bigint)").alias("accuracy_bp"),
+    )
+
+
+LANGID_BY_LENGTH_SQL = f"""
+WITH verdicts AS ({{lang_id_sql}}),
+banded AS (
+  SELECT CASE WHEN len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) < 20 THEN 'short (<20)'
+              WHEN len(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')) < 60 THEN 'medium (20-59)'
+              ELSE 'long (>=60)' END AS length_band,
+         v.is_correct
+  FROM verdicts v JOIN documents d USING (doc_id)
+)
+SELECT length_band, count(*) AS n_docs,
+       CAST(sum(is_correct) AS BIGINT) AS n_correct,
+       CAST(CAST(sum(is_correct) AS BIGINT) * 10000 // count(*) AS BIGINT) AS accuracy_bp
+FROM banded GROUP BY length_band
+"""
+
+QUERIES["langid_accuracy_by_length"] = langid_accuracy_by_length
+ORACLES["langid_accuracy_by_length"] = LANGID_BY_LENGTH_SQL.format(lang_id_sql=LANG_ID_SQL.strip())

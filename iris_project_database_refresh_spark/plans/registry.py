@@ -160,7 +160,7 @@ _DRIVER_PRIORITY = [
     "events_next_event_baseline", "attribution_model_compare", "dedup_graph_degree_stats", "props_schema_profile", "catalog_path_stats", "lineitem_monthly_close",
     "customer_balance_spend_corr", "events_burstiness", "region_supply_redundancy",
     "boilerplate_prefix_stats", "events_dormancy_stats", "corpus_char_profile", "events_type_comovement",
-    "orders_aging_buckets", "lineitem_price_qty_heatmap",
+    "orders_aging_buckets", "lineitem_price_qty_heatmap", "langid_accuracy_by_length",
     "epoch_shuffle_plan",
 ]
 
