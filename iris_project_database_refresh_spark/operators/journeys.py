@@ -980,3 +980,48 @@ FROM per_user JOIN churned USING (user_id)
 
 QUERIES["events_dormancy_stats"] = events_dormancy_stats
 ORACLES["events_dormancy_stats"] = DORMANCY_SQL
+
+
+# --- day-over-day retention ---------------------------------------------------
+#
+# The DAU retention companion of the weekly cohort matrix: for each
+# day, what share of the previous day's active users is active again?
+# The activity stream collapses to distinct (user, day) once; the
+# next-day overlap is one self-join shifted by a day; shares in basis
+# points on the bounded day table.
+
+def events_dod_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.to_date("ts").alias("day")
+    ).distinct()
+    # retention attributes to the PRIOR day: for each active (user, D),
+    # did the user appear again on D+1? — one self-join shifted by a day
+    prev = ev.select("user_id", F.col("day").alias("prev_day"))
+    ret = prev.join(
+        ev.select("user_id", F.date_sub("day", 1).alias("prev_day"), F.lit(1).alias("returned")),
+        ["user_id", "prev_day"],
+        "left",
+    )
+    return ret.groupBy(F.col("prev_day").alias("day")).agg(
+        F.count(F.lit(1)).alias("active_users"),
+        F.count("returned").alias("retained_next_day"),
+        F.expr("cast(count(returned) * 10000 div count(1) as bigint)").alias("retention_bp"),
+    )
+
+
+DOD_RETENTION_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), activity AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us
+)
+SELECT a.day, count(*) AS active_users,
+       CAST(count(b.user_id) AS BIGINT) AS retained_next_day,
+       CAST(count(b.user_id) * 10000 // count(*) AS BIGINT) AS retention_bp
+FROM activity a
+LEFT JOIN activity b ON b.user_id = a.user_id AND b.day = a.day + INTERVAL 1 DAY
+GROUP BY a.day
+"""
+
+QUERIES["events_dod_retention"] = events_dod_retention
+ORACLES["events_dod_retention"] = DOD_RETENTION_SQL

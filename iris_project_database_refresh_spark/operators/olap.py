@@ -896,3 +896,41 @@ FROM islands ORDER BY streak_len DESC, first_event LIMIT {STREAK_TOP}
 
 QUERIES["events_error_streaks"] = events_error_streaks
 ORACLES["events_error_streaks"] = ERROR_STREAKS_SQL
+
+
+# --- peak-to-average capacity ratio ------------------------------------------
+#
+# The capacity-planning number: per event type, the busiest hour's
+# volume over the average hour (provision for peak, bill for
+# average). One (type, hour) count with map-side combine; max/avg on
+# the bounded hour table, ratio in exact integer basis points.
+
+def events_peak_to_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("n").alias("total_events"),
+        F.max("n").alias("peak_hour_events"),
+        F.expr("cast(max(n) * count(1) * 10000 div sum(n) as bigint)").alias("peak_to_avg_bp"),
+    )
+
+
+PEAK_TO_AVG_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events_us GROUP BY 1, 2
+)
+SELECT event_type, count(*) AS n_hours,
+       CAST(sum(n) AS BIGINT) AS total_events,
+       CAST(max(n) AS BIGINT) AS peak_hour_events,
+       CAST(max(n) * count(*) * 10000 // sum(n) AS BIGINT) AS peak_to_avg_bp
+FROM hourly GROUP BY event_type
+"""
+
+QUERIES["events_peak_to_avg"] = events_peak_to_avg
+ORACLES["events_peak_to_avg"] = PEAK_TO_AVG_SQL

@@ -1195,3 +1195,57 @@ FROM banded GROUP BY length_band
 
 QUERIES["langid_accuracy_by_length"] = langid_accuracy_by_length
 ORACLES["langid_accuracy_by_length"] = LANGID_BY_LENGTH_SQL.format(lang_id_sql=LANG_ID_SQL.strip())
+
+
+# --- token-mass inequality (Gini) --------------------------------------------
+#
+# Data-balance diagnostic: is a source's token mass spread across its
+# documents or concentrated in a few? Gini coefficient per source
+# from the rank formula G = (2 Σ i·x_i) / (n Σ x) − (n+1)/n over docs
+# sorted by token count (doc_id tie-break) — every sum an exact
+# integer, the division done once at the end (output in basis
+# points, floor). The per-source rank window runs over collapsed
+# per-doc rows (the corpus_ppl_buckets shape).
+
+def source_token_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.size(tokens(F.col("text"))).cast("bigint").alias("x")
+    )
+    w = _W.partitionBy("source").orderBy("x", "doc_id")
+    ranked = docs.select("source", "x", F.row_number().over(w).cast("bigint").alias("i"))
+    sums = ranked.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("i * x")).alias("six"),
+    )
+    gini_bp = F.expr("cast((2 * six * 10000) div (n * sx) - ((n + 1) * 10000) div n as bigint)")
+    return sums.select(
+        "source",
+        F.col("n").cast("bigint").alias("n_docs"),
+        F.col("sx").alias("total_tokens"),
+        gini_bp.alias("gini_bp"),
+    )
+
+
+SOURCE_GINI_SQL = """
+WITH docs AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS BIGINT) AS x
+  FROM documents
+), ranked AS (
+  SELECT source, x,
+         CAST(row_number() OVER (PARTITION BY source ORDER BY x, doc_id) AS BIGINT) AS i
+  FROM docs
+), sums AS (
+  SELECT source, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx, CAST(sum(i * x) AS BIGINT) AS six
+  FROM ranked GROUP BY source
+)
+SELECT source, CAST(n AS BIGINT) AS n_docs, sx AS total_tokens,
+       CAST((2 * six * 10000) // (n * sx) - ((n + 1) * 10000) // n AS BIGINT) AS gini_bp
+FROM sums
+"""
+
+QUERIES["source_token_gini"] = source_token_gini
+ORACLES["source_token_gini"] = SOURCE_GINI_SQL
