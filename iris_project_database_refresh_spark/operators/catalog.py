@@ -691,3 +691,68 @@ FROM parsed GROUP BY top_dir
 
 QUERIES["catalog_path_stats"] = catalog_path_stats
 ORACLES["catalog_path_stats"] = CATALOG_PATH_SQL
+
+
+# --- post-merge invariant audit ----------------------------------------------
+#
+# Stage4's contract, stated and checked as one graded query: after a
+# full refresh cycle the master mirrors the NAS listing exactly —
+# every snapshot file present once, nothing else, ids unique. The
+# audit counts both anti-join directions plus duplicate ids/names and
+# emits the pass verdict; a regression in delta classification or the
+# sequential-id assignment turns a CORRECTNESS row red (the
+# chunk_reconstruct_audit pattern applied to the merge). Anti-joins
+# and distinct counts only — no row materialization.
+
+def catalog_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    merged = catalog_merge(spark, sf_dir).select("id", "file_name")
+    snap = _snapshot(spark, sf_dir).select("file_name")
+    missing = snap.join(merged, "file_name", "left_anti").agg(
+        F.count(F.lit(1)).alias("missing_from_master")
+    )
+    extra = merged.join(snap, "file_name", "left_anti").agg(
+        F.count(F.lit(1)).alias("extra_in_master")
+    )
+    stats = merged.agg(
+        F.count(F.lit(1)).alias("n_master_rows"),
+        (F.count(F.lit(1)) - F.countDistinct("id")).cast("bigint").alias("dup_ids"),
+        (F.count(F.lit(1)) - F.countDistinct("file_name")).cast("bigint").alias("dup_names"),
+    )
+    snap_n = snap.agg(F.count(F.lit(1)).alias("n_snapshot_files"))
+    return (
+        stats.crossJoin(F.broadcast(snap_n))
+        .crossJoin(F.broadcast(missing))
+        .crossJoin(F.broadcast(extra))
+        .select(
+            "n_master_rows",
+            "n_snapshot_files",
+            "missing_from_master",
+            "extra_in_master",
+            "dup_ids",
+            "dup_names",
+            (
+                (F.col("missing_from_master") == 0)
+                & (F.col("extra_in_master") == 0)
+                & (F.col("dup_ids") == 0)
+                & (F.col("dup_names") == 0)
+            ).cast("int").alias("mirror_ok"),
+        )
+    )
+
+
+CATALOG_MERGE_AUDIT_SQL = f"""
+WITH {SNAPSHOT_SQL.strip()}, merged AS ({CATALOG_MERGE_SQL.strip()})
+SELECT (SELECT count(*) FROM merged) AS n_master_rows,
+       (SELECT count(*) FROM snapshot) AS n_snapshot_files,
+       (SELECT count(*) FROM snapshot s WHERE s.file_name NOT IN (SELECT file_name FROM merged)) AS missing_from_master,
+       (SELECT count(*) FROM merged m WHERE m.file_name NOT IN (SELECT file_name FROM snapshot)) AS extra_in_master,
+       (SELECT count(*) - count(DISTINCT id) FROM merged) AS dup_ids,
+       (SELECT count(*) - count(DISTINCT file_name) FROM merged) AS dup_names,
+       CAST((SELECT count(*) FROM snapshot s WHERE s.file_name NOT IN (SELECT file_name FROM merged)) = 0
+            AND (SELECT count(*) FROM merged m WHERE m.file_name NOT IN (SELECT file_name FROM snapshot)) = 0
+            AND (SELECT count(*) - count(DISTINCT id) FROM merged) = 0
+            AND (SELECT count(*) - count(DISTINCT file_name) FROM merged) = 0 AS INT) AS mirror_ok
+"""
+
+QUERIES["catalog_merge_audit"] = catalog_merge_audit
+ORACLES["catalog_merge_audit"] = CATALOG_MERGE_AUDIT_SQL
