@@ -1738,3 +1738,71 @@ FROM deg, totals GROUP BY degree, n_nodes, max_degree, sum_deg
 
 QUERIES["dedup_graph_degree_stats"] = dedup_graph_degree_stats
 ORACLES["dedup_graph_degree_stats"] = DEDUP_DEGREE_SQL
+
+
+# --- cross-source syndication share ------------------------------------------
+
+def dedup_cross_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Where do near-duplicates live? Pairs WITHIN a source are
+    templates/boilerplate; pairs ACROSS sources are syndication — and
+    the cleanup differs (strip boilerplate vs keep one canonical
+    copy). The LSH pair output joins doc→source twice (broadcast-size
+    dim at metadata scale) and rolls into within/cross counts per
+    source pair — the syndication matrix a licensing review reads."""
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    # the dedup corpus plants copies at id+100000/+200000 — attribute
+    # them to their base document's source via id % 100000
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labeled = (
+        pairs.select(F.expr("id_a % 100000").alias("base_a"), F.expr("id_b % 100000").alias("base_b"))
+        .join(src.withColumnRenamed("doc_id", "base_a").withColumnRenamed("source", "src_a"), "base_a")
+        .join(src.withColumnRenamed("doc_id", "base_b").withColumnRenamed("source", "src_b"), "base_b")
+        .select(
+            F.least("src_a", "src_b").alias("source_x"),
+            F.greatest("src_a", "src_b").alias("source_y"),
+            (F.col("src_a") == F.col("src_b")).cast("bigint").alias("within"),
+        )
+    )
+    total = labeled.agg(
+        F.count(F.lit(1)).alias("n_pairs_total"),
+        F.sum("within").alias("n_within_total"),
+    )
+    return (
+        labeled.groupBy("source_x", "source_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum("within").alias("n_within"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "source_x",
+            "source_y",
+            "n_pairs",
+            "n_within",
+            F.expr("cast(n_pairs * 10000 div n_pairs_total as bigint)").alias("pair_share_bp"),
+            F.expr("cast(n_within_total * 10000 div n_pairs_total as bigint)").alias(
+                "corpus_within_bp"
+            ),
+        )
+    )
+
+
+DEDUP_CROSS_SOURCE_SQL = f"""
+WITH pairs AS ({DEDUP_MINHASH_SQL.strip()}),
+src AS (SELECT doc_id, source FROM documents),
+labeled AS (
+  SELECT least(sa.source, sb.source) AS source_x,
+         greatest(sa.source, sb.source) AS source_y,
+         CAST(sa.source = sb.source AS BIGINT) AS within
+  FROM pairs
+  JOIN src sa ON sa.doc_id = id_a % 100000
+  JOIN src sb ON sb.doc_id = id_b % 100000
+), total AS (
+  SELECT count(*) AS n_pairs_total, CAST(sum(within) AS BIGINT) AS n_within_total FROM labeled
+)
+SELECT source_x, source_y, count(*) AS n_pairs,
+       CAST(sum(within) AS BIGINT) AS n_within,
+       CAST(count(*) * 10000 // n_pairs_total AS BIGINT) AS pair_share_bp,
+       CAST(n_within_total * 10000 // n_pairs_total AS BIGINT) AS corpus_within_bp
+FROM labeled, total GROUP BY source_x, source_y, n_pairs_total, n_within_total
+"""
+
+QUERIES["dedup_cross_source_share"] = dedup_cross_source_share
+ORACLES["dedup_cross_source_share"] = DEDUP_CROSS_SOURCE_SQL

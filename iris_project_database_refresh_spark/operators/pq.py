@@ -391,3 +391,87 @@ MATRYOSHKA_SQL = _mrl_sql()
 
 QUERIES["matryoshka_recall"] = matryoshka_recall
 ORACLES["matryoshka_recall"] = MATRYOSHKA_SQL
+
+
+# --- rank-quality beyond recall ----------------------------------------------
+#
+# Recall@K says WHETHER the prefix index returns the right items;
+# Spearman's rho says whether it ORDERS them right — re-ranking cost
+# downstream depends on the latter. Over each query's full-dim top-K
+# candidate set, both cosines rank the same 10 items; rho = 1 −
+# 6Σd²/(n(n²−1)) from exact integer rank differences (rounded-cosine
+# + id tie-breaks keep both rankings engine-equal). One scoring pass
+# pinned (matryoshka device); windows over K-row candidate sets.
+
+def matryoshka_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr("transform(embedding, x -> cast(x as double))").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    dot = "aggregate(zip_with({a}, {b}, (x, y) -> x * y), cast(0 as double), (acc, x) -> acc + x)"
+
+    def cos(a: str, b: str) -> F.Column:
+        d = dot.format(a=a, b=b)
+        na = dot.format(a=a, b=a)
+        nb = dot.format(a=b, b=b)
+        return F.round(F.expr(f"({d}) / (sqrt({na}) * sqrt({nb}))"), 6)
+
+    p = MRL_PREFIXES[0]  # the aggressive 16-dim prefix
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            cos("q", "v").alias("cos_full"),
+            cos(f"slice(q, 1, {p})", f"slice(v, 1, {p})").alias("cos_pref"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    w_full = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    topk = scored.withColumn("rank_full", F.row_number().over(w_full)).where(
+        F.col("rank_full") <= PQ_K
+    )
+    w_pref = Window.partitionBy("query_id").orderBy(F.desc("cos_pref"), F.asc("neighbor_id"))
+    both = topk.withColumn("rank_pref", F.row_number().over(w_pref))
+    n = PQ_K
+    return both.groupBy("query_id").agg(
+        F.sum(F.expr("(rank_full - rank_pref) * (rank_full - rank_pref)")).alias("sum_d2"),
+    ).select(
+        "query_id",
+        F.col("sum_d2").cast("bigint").alias("sum_d2"),
+        F.round(1 - (6.0 * F.col("sum_d2")) / (n * (n * n - 1)), 6).alias("spearman_rho"),
+    )
+
+
+MATRYOSHKA_RANK_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {PQ_QUERIES}
+), scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_full,
+         round(list_dot_product(qv[1:{MRL_PREFIXES[0]}], v[1:{MRL_PREFIXES[0]}]) /
+               (sqrt(list_dot_product(qv[1:{MRL_PREFIXES[0]}], qv[1:{MRL_PREFIXES[0]}])) *
+                sqrt(list_dot_product(v[1:{MRL_PREFIXES[0]}], v[1:{MRL_PREFIXES[0]}]))), 6) AS cos_pref
+  FROM q JOIN d ON d.vec_id <> q.query_id
+), topk AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id ASC) AS rank_full
+    FROM scored
+  ) WHERE rank_full <= {PQ_K}
+), ranked2 AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_pref DESC, neighbor_id ASC) AS rank_pref
+  FROM topk
+)
+SELECT query_id,
+       CAST(sum((rank_full - rank_pref) * (rank_full - rank_pref)) AS BIGINT) AS sum_d2,
+       round(1 - (6.0 * sum((rank_full - rank_pref) * (rank_full - rank_pref))) / ({PQ_K} * ({PQ_K} * {PQ_K} - 1)), 6) AS spearman_rho
+FROM ranked2 GROUP BY query_id
+"""
+
+QUERIES["matryoshka_rank_corr"] = matryoshka_rank_corr
+ORACLES["matryoshka_rank_corr"] = MATRYOSHKA_RANK_SQL
