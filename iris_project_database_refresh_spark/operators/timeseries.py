@@ -329,3 +329,53 @@ FROM sums
 
 QUERIES["events_type_comovement"] = events_type_comovement
 ORACLES["events_type_comovement"] = TYPE_COMOVEMENT_SQL
+
+
+# --- naive seasonal forecast evaluation --------------------------------------
+#
+# The forecasting floor (the co-movement and next-event baselines'
+# time-series sibling): predict each (type, hour) volume as the SAME
+# HOUR ONE WEEK EARLIER and score MAPE — any real forecaster must
+# beat this number. One (type, hour) count; the forecast join is a
+# 168-hour self-shift on the bounded hour table; absolute errors and
+# MAPE in exact integer basis points.
+
+def events_seasonal_naive_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    forecast = hourly.select(
+        "event_type",
+        (F.col("hour") + F.expr("INTERVAL 168 HOURS")).alias("hour"),
+        F.col("n").alias("n_forecast"),
+    )
+    scored = hourly.join(forecast, ["event_type", "hour"])
+    return scored.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours_scored"),
+        F.sum("n").alias("actual_total"),
+        F.sum(F.expr("abs(n - n_forecast)")).cast("bigint").alias("abs_err_total"),
+        F.expr("cast(sum(abs(n - n_forecast)) * 10000 div sum(n) as bigint)").alias("mape_bp"),
+    )
+
+
+SEASONAL_NAIVE_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*) AS n
+  FROM events_us GROUP BY 1, 2
+), scored AS (
+  SELECT a.event_type, a.n, f.n AS n_forecast
+  FROM hourly a JOIN hourly f
+    ON a.event_type = f.event_type AND f.hour + INTERVAL 168 HOURS = a.hour
+)
+SELECT event_type, count(*) AS n_hours_scored,
+       CAST(sum(n) AS BIGINT) AS actual_total,
+       CAST(sum(abs(n - n_forecast)) AS BIGINT) AS abs_err_total,
+       CAST(CAST(sum(abs(n - n_forecast)) AS BIGINT) * 10000 // sum(n) AS BIGINT) AS mape_bp
+FROM scored GROUP BY event_type
+"""
+
+QUERIES["events_seasonal_naive_eval"] = events_seasonal_naive_eval
+ORACLES["events_seasonal_naive_eval"] = SEASONAL_NAIVE_SQL
