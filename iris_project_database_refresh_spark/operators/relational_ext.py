@@ -1557,3 +1557,66 @@ FROM coded, total GROUP BY q_bin, p_bin, n_rows
 
 QUERIES["lineitem_price_qty_heatmap"] = lineitem_price_qty_heatmap
 ORACLES["lineitem_price_qty_heatmap"] = HEATMAP_SQL
+
+
+# --- discount-depth revenue curve --------------------------------------------
+#
+# Pricing-elasticity readout: lineitem revenue and volume by discount
+# band (0%, 1-3%, 4-6%, 7-10%) — how much of the book moves at deep
+# discount, the number q19's promo filters slice differently. Exact
+# integer cents and quantity; one scan + bounded band rollup with the
+# revenue share per band in bp.
+
+def discount_depth_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_discount * 100 + 0.5) as int)").alias("disc_pct"),
+        F.expr("cast(floor(l_extendedprice * (100 - cast(floor(l_discount * 100 + 0.5) as int)) + 0.5) as bigint)").alias("net_c"),
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    )
+    band = (
+        F.when(F.col("disc_pct") == 0, "0%")
+        .when(F.col("disc_pct") <= 3, "1-3%")
+        .when(F.col("disc_pct") <= 6, "4-6%")
+        .otherwise("7-10%")
+    )
+    total = li.agg(F.sum("net_c").alias("tot_c"))
+    return (
+        li.select(band.alias("discount_band"), "net_c", "qty")
+        .groupBy("discount_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.sum("qty").alias("total_qty"),
+            F.sum("net_c").alias("net_revenue_c"),
+        )
+        .crossJoin(F.broadcast(total))
+        .select(
+            "discount_band",
+            "n_lines",
+            "total_qty",
+            "net_revenue_c",
+            F.expr("cast(net_revenue_c * 10000 div tot_c as bigint)").alias("revenue_share_bp"),
+        )
+    )
+
+
+DISCOUNT_DEPTH_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS INT) AS disc_pct,
+         CAST(floor(l_extendedprice * (100 - CAST(floor(l_discount * 100 + 0.5) AS INT)) + 0.5) AS BIGINT) AS net_c,
+         CAST(l_quantity AS BIGINT) AS qty
+  FROM lineitem
+), banded AS (
+  SELECT CASE WHEN disc_pct = 0 THEN '0%' WHEN disc_pct <= 3 THEN '1-3%'
+              WHEN disc_pct <= 6 THEN '4-6%' ELSE '7-10%' END AS discount_band,
+         net_c, qty
+  FROM li
+), total AS (SELECT CAST(sum(net_c) AS BIGINT) AS tot_c FROM banded)
+SELECT discount_band, count(*) AS n_lines,
+       CAST(sum(qty) AS BIGINT) AS total_qty,
+       CAST(sum(net_c) AS BIGINT) AS net_revenue_c,
+       CAST(CAST(sum(net_c) AS BIGINT) * 10000 // tot_c AS BIGINT) AS revenue_share_bp
+FROM banded, total GROUP BY discount_band, tot_c
+"""
+
+QUERIES["discount_depth_curve"] = discount_depth_curve
+ORACLES["discount_depth_curve"] = DISCOUNT_DEPTH_SQL

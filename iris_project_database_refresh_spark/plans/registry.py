@@ -162,7 +162,7 @@ _DRIVER_PRIORITY = [
     "boilerplate_prefix_stats", "events_dormancy_stats", "corpus_char_profile", "events_type_comovement",
     "orders_aging_buckets", "lineitem_price_qty_heatmap", "langid_accuracy_by_length",
     "events_dod_retention", "source_token_gini", "events_peak_to_avg",
-    "catalog_merge_audit", "matryoshka_rank_corr", "dedup_cross_source_share", "events_seasonal_naive_eval",
+    "catalog_merge_audit", "matryoshka_rank_corr", "dedup_cross_source_share", "events_seasonal_naive_eval", "discount_depth_curve",
     "epoch_shuffle_plan",
 ]
 
