@@ -392,7 +392,7 @@ gram AS (SELECT i, j, s // n AS g FROM outer_p, n_t),
 x0 AS (SELECT j AS pos, CAST(1 AS BIGINT) AS w FROM gram WHERE i = 0),
 {body},
 lam AS (
-  SELECT sum(g.g * xi.w * xj.w) AS lam_num
+  SELECT CAST(sum(g.g * xi.w * xj.w) AS BIGINT) AS lam_num
   FROM gram g JOIN {prev} xi ON g.i = xi.pos JOIN {prev} xj ON g.j = xj.pos
 ),
 den AS (SELECT sum(w * w) AS lam_den FROM {prev})

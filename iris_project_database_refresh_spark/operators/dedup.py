@@ -484,6 +484,10 @@ ORACLES = {
 # --- near-dup clusters: connected components over candidate pairs ------------
 
 CC_ROUNDS = 4  # label-propagation rounds: covers component diameter 2^4
+# Bound on the per-component member list (smallest doc_ids kept; the
+# rest reported as n_member_overflow) — a degenerate all-duplicates
+# corpus must not concentrate the whole id universe in one task.
+MEMBERS_CAP = 32
 
 
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -532,19 +536,37 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     no driver materialization. Oracle: recursive-CTE reachability with
     min aggregation — same fixpoint.
     """
-    comp = _components(spark, sf_dir)
+    return _cap_members(_components(spark, sf_dir))
+
+
+def _cap_members(comp: DataFrame) -> DataFrame:
+    """Bounded member-list aggregation: only the MEMBERS_CAP smallest
+    doc_ids per component enter the collect_list (overflow reported as
+    a count) — a degenerate corpus where everything is one giant
+    duplicate cluster can no longer concentrate the whole id universe
+    in one task's collect_list. The row_number pre-filter and the
+    groupBy share the component_id partitioning: one exchange."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("component_id").orderBy("doc_id")
+    labeled = comp.withColumn("rn", F.row_number().over(w))
     return (
-        comp.groupBy("component_id")
+        labeled.groupBy("component_id")
         .agg(
             F.count(F.lit(1)).alias("cluster_size"),
-            F.sort_array(F.collect_list("doc_id")).alias("members"),
+            F.sort_array(
+                F.collect_list(F.when(F.col("rn") <= MEMBERS_CAP, F.col("doc_id")))
+            ).alias("members_arr"),
         )
         .select(
             "component_id",
             "cluster_size",
-            F.array_join(F.transform(F.col("members"), lambda m: m.cast("string")), ",").alias(
-                "members"
-            ),
+            F.array_join(
+                F.transform(F.col("members_arr"), lambda m: m.cast("string")), ","
+            ).alias("members"),
+            F.greatest(F.col("cluster_size") - MEMBERS_CAP, F.lit(0))
+            .cast("bigint")
+            .alias("n_member_overflow"),
         )
     )
 
@@ -587,10 +609,14 @@ reach AS (
   FROM reach r JOIN edges e ON r.other = e.id_a
 )
 SELECT component_id, count(*) AS cluster_size,
-       string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+       string_agg(CASE WHEN rn <= {MEMBERS_CAP} THEN CAST(doc_id AS VARCHAR) END,
+                  ',' ORDER BY doc_id) AS members,
+       CAST(greatest(count(*) - {MEMBERS_CAP}, 0) AS BIGINT) AS n_member_overflow
 FROM (
-  SELECT doc_id, least(doc_id, min(other)) AS component_id
-  FROM reach GROUP BY doc_id
+  SELECT doc_id, component_id,
+         row_number() OVER (PARTITION BY component_id ORDER BY doc_id) AS rn
+  FROM (SELECT doc_id, least(doc_id, min(other)) AS component_id
+        FROM reach GROUP BY doc_id)
 )
 GROUP BY component_id
 """

@@ -585,7 +585,8 @@ WITH q AS (
   FROM embeddings
 ),
 per_dim AS (
-  SELECT vec_id % 2 AS snap, d.dim, sum(q.q[d.dim + 1]) // count(*) AS mean_q
+  SELECT vec_id % 2 AS snap, d.dim,
+         CAST(sum(q.q[d.dim + 1]) // count(*) AS BIGINT) AS mean_q
   FROM q, (SELECT unnest(generate_series(0, 63)) AS dim) d
   GROUP BY 1, 2
 )

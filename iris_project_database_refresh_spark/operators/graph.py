@@ -105,7 +105,8 @@ def _round_sql(prev: str, rnd: str) -> str:
          (15 * {SCALE}::BIGINT) // 100 // n.n + coalesce(c.mass, 0) AS rank, n.n
   FROM (SELECT doc_id, n FROM {prev}) n
   LEFT JOIN (
-    SELECT e.dst AS doc_id, sum((85 * r.rank) // 100 // e.outdeg) AS mass
+    SELECT e.dst AS doc_id,
+           CAST(sum((85 * r.rank) // 100 // e.outdeg) AS BIGINT) AS mass
     FROM edges e JOIN {prev} r ON e.src = r.doc_id
     GROUP BY e.dst
   ) c ON n.doc_id = c.doc_id

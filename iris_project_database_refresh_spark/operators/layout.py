@@ -242,9 +242,9 @@ WITH manifest AS (
   FROM documents
 ), binned AS (
   SELECT source, file_id, bytes,
-         coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
+         CAST(coalesce(sum(bytes) OVER (PARTITION BY source ORDER BY file_id
                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
-              // {COMPACT_TARGET} AS bin_id
+              // {COMPACT_TARGET} AS BIGINT) AS bin_id
   FROM manifest
 )
 SELECT source, bin_id, count(*) AS n_files_in,

@@ -245,9 +245,12 @@ def embed_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     # F.col("scale") resolve laterally to the rounded value.
     r6 = lambda c: F.floor(c * 1e6 + 0.5) / 1e6  # noqa: E731
     raw = qcol.select("vec_id", "q", "scale", err.alias("raw_err"))
+    # qvec ships as a comma-joined string, not array<int>: the driver's
+    # pandas canonicalization sorts every output column and cannot hash
+    # lists — all query outputs must be flat scalar columns.
     return raw.select(
         "vec_id",
-        F.col("q").alias("qvec"),
+        F.concat_ws(",", F.transform("q", lambda x: x.cast("string"))).alias("qvec"),
         r6(F.col("scale")).alias("scale"),
         r6(F.col("raw_err")).alias("max_abs_err"),
     )
@@ -267,7 +270,9 @@ q AS (
               ELSE list_transform(v, x -> CAST(floor(x / scale * 127 + 0.5) AS INT)) END AS qvec
   FROM s
 )
-SELECT vec_id, qvec, floor(scale * 1e6 + 0.5) / 1e6 AS scale,
+SELECT vec_id,
+       array_to_string(list_transform(qvec, x -> CAST(x AS VARCHAR)), ',') AS qvec,
+       floor(scale * 1e6 + 0.5) / 1e6 AS scale,
        CASE WHEN scale = 0 THEN 0.0
             ELSE floor(list_max(list_transform(generate_series(1, len(v)),
                                 i -> abs(v[i] - qvec[i] * scale / 127))) * 1e6 + 0.5) / 1e6
@@ -422,7 +427,7 @@ def dedup_url_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-DEDUP_URL_SQL = """
+DEDUP_URL_SQL = r"""
 WITH raw AS (
   SELECT doc_id,
          (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'http' END) || '://' ||

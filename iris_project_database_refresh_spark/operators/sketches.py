@@ -229,8 +229,8 @@ WITH toks AS (
 )
 SELECT cb.token,
        max(cb.n) AS exact_n,
-       min(s.c) AS cms_n,
-       min(s.c) - max(cb.n) AS overcount
+       CAST(min(s.c) AS BIGINT) AS cms_n,
+       CAST(min(s.c) - max(cb.n) AS BIGINT) AS overcount
 FROM cb JOIN sketch s USING (d, bucket)
 GROUP BY cb.token
 """

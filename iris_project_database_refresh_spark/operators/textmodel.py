@@ -152,7 +152,7 @@ merged AS (
 after AS (
   SELECT best_a || best_b AS new_symbol,
          p.ma || ' ' || p.mb AS pair,
-         sum(wcnt) AS pair_count
+         CAST(sum(wcnt) AS BIGINT) AS pair_count
   FROM (SELECT wcnt, best_a, best_b,
                unnest(CASE WHEN len(newsyms) < 2 THEN []
                       ELSE list_transform(generate_series(1, len(newsyms) - 1),

@@ -101,34 +101,23 @@ def _load() -> None:
         _register(module)
 
 
-# Names that have never received a driver CORRECTNESS row (r1 ∪ r2 checked
-# 72 of 129; the driver verifies ~50 per round, walking queries() in dict
-# order).  Enumerating these first steers the round-3 verification window
-# onto the unchecked surface.  Newly added queries belong here too — they
-# are by definition unchecked.
+# Names that have never received a driver CORRECTNESS row (the driver
+# verifies ~50 per round, walking queries() in dict order).  Enumerating
+# these first steers each round's verification window onto the unchecked
+# surface.  Newly added queries belong here too — they are by definition
+# unchecked.  Round-4 trim: the 47 r3-green names are deleted from the
+# head; the 3 r3 reds (driver-contract breaks, now fixed: embed_quantize
+# array column scalarized, bpe_merge_step / pagerank_docs oracle HUGEINT
+# casts) re-queue first for their green row.
 _DRIVER_PRIORITY = [
-    # round-2 hash-only failures, re-verified after the oracle cast fix —
-    # these are the only red rows, so they go first:
-    "q12_late_lines", "section_hierarchy",
-    # then the r1∪r2 never-checked backlog (the judge's round-3 done
-    # criterion: >=50 of these get their first CORRECTNESS row); the
-    # round-3 additions queue BEHIND them at the end of this list and
-    # take their turn in the next round's window:
-    "chunk_validate", "dedup_components", "dedup_keep_best",
-    "dedup_substring_stats", "dedup_incremental", "doc_decontaminate",
-    "dedup_bloom_prefilter", "dedup_embedding_lsh", "fuzzy_match_names",
-    "multimodal_framesample", "multimodal_resize", "multimodal_phash_dedup",
-    "knn_pq", "ann_recall_eval", "kmeans_embeddings", "pack_examples",
-    "scrub_pii", "collocations_pmi", "embed_quantize", "vocab_stats",
-    "range_join_binned", "events_salted_rollup", "interval_overlap_join",
-    "bpe_merge_step", "quality_bigram_logprob", "tokenizer_segment",
-    "events_ewma", "events_cusum_alarm", "monitor_quantiles", "events_pivot",
-    "events_gapfill", "user_spend_quartiles", "outlier_iqr",
-    "events_window_suite", "events_histogram", "events_histogram_equidepth",
-    "events_funnel", "cohort_retention", "events_markov_transitions",
-    "user_behavior_entropy", "events_engagement", "events_seasonality",
-    "pagerank_docs", "triangle_count", "scd2_intervals", "table_profile",
-    "catalog_asof_state", "customer_rfm", "bm25_search", "hybrid_search_rrf",
+    # round-3 red rows, re-verified after the contract fixes — first:
+    "embed_quantize", "bpe_merge_step", "pagerank_docs",
+    # output schema changed in round 4 (MEMBERS_CAP overflow column) —
+    # its r3 green row is stale, so it re-queues for a fresh one:
+    "dedup_components",
+    # then the never-checked backlog (r1∪r2∪r3 checked 120 of 232; the
+    # round-4 window should cover ~positions 4-53 of this list):
+    "bm25_search", "hybrid_search_rrf",
     "approx_distinct_kmv", "approx_distinct_hll", "heavy_hitters_cms",
     "stratified_sample", "weighted_sample_priority", "events_dedup",
     "events_enriched_agg",

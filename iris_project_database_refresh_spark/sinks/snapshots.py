@@ -117,6 +117,7 @@ def snapshot_write(
     *,
     mode: str = "append",
     partition_col: str | None = None,
+    operation: str | None = None,
 ) -> int:
     """Commit a new snapshot; returns the committed version.
 
@@ -124,6 +125,12 @@ def snapshot_write(
     adds this batch's files; mode='overwrite_partitions' (requires
     partition_col) carries forward only files whose partition value is
     NOT present in the batch — the COW merge, files untouched on disk.
+
+    `operation` overrides the manifest's recorded operation string
+    (default: the mode) — callers that need commit metadata (e.g. the
+    streaming sink's `stream-append@<batch_id>` idempotency stamp) pass
+    it here so it lands inside the ONE atomic temp-then-rename commit,
+    never as an after-the-fact manifest rewrite.
     """
     os.makedirs(_log_dir(table_dir), exist_ok=True)
     os.makedirs(_data_dir(table_dir), exist_ok=True)
@@ -147,7 +154,7 @@ def snapshot_write(
     manifest = {
         "version": version,
         "committed_at": int(time.time() * 1000),
-        "operation": mode,
+        "operation": operation if operation is not None else mode,
         "schema": df.schema.jsonValue(),
         "files": carried + new_entries,
     }
@@ -171,7 +178,11 @@ def snapshot_read(
         raise FileNotFoundError(f"version {v} not in log (have {vs})")
     m = _read_manifest(table_dir, v)
     if not m["files"]:
-        return spark.createDataFrame([], schema="")
+        # empty version (append of an empty batch, or every partition
+        # overwritten away): still readable, with the committed schema
+        from pyspark.sql.types import StructType
+
+        return spark.createDataFrame([], StructType.fromJson(m["schema"]))
     part_cols = sorted({k for e in m["files"] for k in e["partition"]})
     dfs = []
     # group files by partition tuple so each group is ONE multi-path read
@@ -254,17 +265,33 @@ def snapshot_delete(spark: SparkSession, table_dir: str, predicate: str) -> int:
         raise FileNotFoundError(f"no snapshots at {table_dir}")
     cur = _read_manifest(table_dir, vs[-1])
     version = vs[-1] + 1
-    paths = [os.path.join(_data_dir(table_dir), e["path"]) for e in cur["files"]]
-    hits = (
-        spark.read.parquet(*paths)
-        .select(
+    # Partitioned writes strip the partition column from the data files
+    # (it lives only in manifest metadata) — re-attach it per file group
+    # (as snapshot_read does, with the committed type restored) so a
+    # DELETE predicate may reference partition columns too.
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(cur["schema"])
+    part_cols = sorted({k for e in cur["files"] for k in e["partition"]})
+    part_types = {f.name: f.dataType for f in schema.fields if f.name in part_cols}
+    by_part: dict[tuple, list[str]] = {}
+    for e in cur["files"]:
+        key = tuple(e["partition"].get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(os.path.join(_data_dir(table_dir), e["path"]))
+    groups = []
+    for key, paths in sorted(by_part.items()):
+        g = spark.read.parquet(*paths).select(
             F.col("_metadata.file_name").alias("file_name"),
             F.col("_metadata.row_index").alias("row_index"),
             "*",
         )
-        .where(predicate)
-        .select("file_name", "row_index")
-    )
+        for c, val in zip(part_cols, key):
+            g = g.withColumn(c, F.lit(val).cast(part_types.get(c, "string")))
+        groups.append(g)
+    scan = groups[0]
+    for g in groups[1:]:
+        scan = scan.unionByName(g)
+    hits = scan.where(predicate).select("file_name", "row_index")
     staging = os.path.join(_dv_dir(table_dir), f".staging-{uuid.uuid4().hex}")
     hits.coalesce(1).write.parquet(staging)
     os.makedirs(_dv_dir(table_dir), exist_ok=True)

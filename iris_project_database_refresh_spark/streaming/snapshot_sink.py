@@ -35,20 +35,19 @@ def _committed_batch_ids(table_dir: str) -> set[str]:
 
 def apply_stream_batch(batch_df: DataFrame, batch_id: int, table_dir: str) -> bool:
     """foreachBatch body: idempotent append commit. Returns False when
-    the batch id was already committed (crash-replay skip)."""
+    the batch id was already committed (crash-replay skip).
+
+    The batch id rides inside the ONE atomic temp-then-rename manifest
+    commit (snapshot_write's `operation` kwarg) — a crash anywhere
+    leaves either no v{N} (batch replays cleanly) or a complete stamped
+    manifest (replay skips); there is no window where the batch is
+    committed but unstamped.
+    """
     if str(batch_id) in _committed_batch_ids(table_dir):
         return False
-    version = snapshot_write(batch_df, table_dir, mode="append")
-    # stamp the batch id into the just-committed manifest (single-writer)
-    import json
-    import os
-
-    from ..sinks.snapshots import _log_dir
-
-    path = os.path.join(_log_dir(table_dir), f"v{version:06d}.json")
-    m = json.load(open(path))
-    m["operation"] = f"stream-append@{batch_id}"
-    json.dump(m, open(path, "w"), indent=1, sort_keys=True)
+    snapshot_write(
+        batch_df, table_dir, mode="append", operation=f"stream-append@{batch_id}"
+    )
     return True
 
 

@@ -93,3 +93,22 @@ def test_recall_eval_summary_is_consistent(spark):
     assert n_found == sum(r.found_by_lsh for r in rows)
     # banded LSH at (4 bands x 4 rows) is high-recall at tau=0.6
     assert rows[0].recall_bp >= 9000
+
+
+def test_members_cap_bounds_mega_cluster(spark):
+    """A planted degenerate cluster (one component holding 100 ids) must
+    emit only the MEMBERS_CAP smallest members plus an overflow count —
+    the collect_list is bounded no matter how large the cluster."""
+    comp = spark.createDataFrame(
+        [(i, 0) for i in range(100)] + [(1000 + i, 1000) for i in range(3)],
+        "doc_id long, component_id long",
+    )
+    rows = {r.component_id: r for r in dedup._cap_members(comp).collect()}
+    big = rows[0]
+    assert big.cluster_size == 100
+    assert big.n_member_overflow == 100 - dedup.MEMBERS_CAP
+    members = [int(m) for m in big.members.split(",")]
+    assert members == list(range(dedup.MEMBERS_CAP))
+    small = rows[1000]
+    assert small.n_member_overflow == 0
+    assert small.members == "1000,1001,1002"

@@ -1,0 +1,82 @@
+"""CI pin for the round driver's output contract.
+
+The driver canonicalizes each query result through pandas (sort every
+column, stringify, hash) and compares against the DuckDB oracle.  Two
+whole classes of red CORRECTNESS rows come not from wrong values but
+from typing the contract can't digest (round-2 q12, round-3
+embed_quantize / bpe_merge_step / pagerank_docs, plus four landmines
+the round-3 judge found by sweeping the backlog):
+
+1. A complex-typed (array/map/struct) TOP-LEVEL output column — pandas
+   ``sort_values`` crashes on unhashable lists.
+2. A DuckDB oracle column left as HUGEINT (``sum(BIGINT)``) or DECIMAL
+   — stringifies as the same number but hashes differently from
+   Spark's bigint/double.
+
+This module pins both, for every registered query, so the class can
+never recur.  The Spark check is schema-only (plan analysis, no job);
+the oracle check executes every oracle at sf0.001 (small enough for a
+full sweep in well under two minutes).
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import types as T
+
+from iris_project_database_refresh_spark.plans.registry import ORACLES, QUERIES
+
+from .conftest import SF_SMOKE, TABLES
+
+COMPLEX = (T.ArrayType, T.MapType, T.StructType)
+
+
+@pytest.fixture(scope="module")
+def oracle_smoke():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_SMOKE}/{t}.parquet')"
+        )
+    yield con
+    con.close()
+
+
+def test_registry_covers_expected_surface():
+    assert len(QUERIES) >= 232
+    assert set(ORACLES) <= set(QUERIES)
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_no_complex_output_columns(spark, name):
+    """Every query's top-level output schema must be flat scalars."""
+    df = QUERIES[name](spark, SF_SMOKE)
+    bad = [f.name for f in df.schema.fields if isinstance(f.dataType, COMPLEX)]
+    assert not bad, (
+        f"{name} returns complex-typed column(s) {bad} — the driver's pandas "
+        "canonicalization cannot sort/hash these; scalarize (concat_ws/md5)"
+    )
+
+
+@pytest.mark.parametrize("name", sorted(ORACLES))
+def test_oracle_no_hugeint_or_decimal(oracle_smoke, name):
+    """Every oracle result column must be a driver-hashable scalar type.
+
+    DuckDB ``sum(BIGINT)`` silently widens to HUGEINT; a HUGEINT (or
+    DECIMAL) column value-matches Spark but hash-mismatches in the
+    driver.  Running the oracle (not just EXPLAIN) is required because
+    DuckDB only exposes result types post-bind, and sf0.001 keeps the
+    full 232-query sweep cheap.
+    """
+    rel = oracle_smoke.sql(ORACLES[name])
+    bad = [
+        (c, str(t))
+        for c, t in zip(rel.columns, rel.types)
+        if str(t) == "HUGEINT" or str(t).startswith("DECIMAL")
+    ]
+    rel.fetchall()  # materialize: some typing only surfaces on execution
+    assert not bad, (
+        f"oracle for {name} emits non-contract column type(s) {bad} — "
+        "wrap with CAST(... AS BIGINT) (or AS DOUBLE)"
+    )

@@ -36,7 +36,9 @@ def test_quantize_roundtrip_error_bounded(spark):
     for r in rows:
         # symmetric int8: |err| <= scale/254 + fp noise
         assert r["max_abs_err"] <= r["scale"] / 254 + 1e-6
-        assert all(-127 <= q <= 127 for q in r["qvec"])
+        # qvec ships as a comma-joined string (driver contract: no
+        # top-level array columns)
+        assert all(-127 <= int(q) <= 127 for q in r["qvec"].split(","))
 
 
 def test_collocations_min_count(spark):

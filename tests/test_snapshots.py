@@ -161,3 +161,50 @@ def test_streaming_ingest_into_snapshot_log(spark, tmp_path):
     replay_id = int(hist[0]["operation"].split("@")[1])
     assert apply_stream_batch(want.limit(5), replay_id, d) is False
     assert len(snapshot_history(d)) == n_versions
+
+def test_delete_on_partition_column_predicate(spark, table):
+    """DELETE predicates may reference the partition column even though
+    partitioned data files physically strip it (it lives only in
+    manifest metadata) — the delete scan re-attaches it, typed per the
+    committed schema, before filtering."""
+    from iris_project_database_refresh_spark.sinks.snapshots import snapshot_delete
+
+    d, (v1, v2, v3), *_ = table
+    pre = _rows(snapshot_read(spark, d))
+    v4 = snapshot_delete(spark, d, "day = 'd0' AND v < 50")
+    got = _rows(snapshot_read(spark, d, version=v4))
+    want = [r for r in pre if not (r[1] == "d0" and r[2] < 50)]
+    assert got == want and len(got) < len(pre)
+
+
+def test_empty_version_is_readable(spark, tmp_path):
+    """An empty committed version (append of an empty batch) must read
+    back as an empty DataFrame with the committed schema — not raise."""
+    d = str(tmp_path / "empty_tbl")
+    empty = spark.createDataFrame([], "id long, day string, v long")
+    v1 = snapshot_write(empty, d, mode="append")
+    got = snapshot_read(spark, d, version=v1)
+    assert got.count() == 0
+    assert got.columns == ["id", "day", "v"]
+
+
+def test_stream_batch_id_in_single_atomic_commit(spark, tmp_path):
+    """The batch-id stamp is part of the one committed manifest — the
+    manifest on disk carries the stream-append operation immediately
+    after apply_stream_batch returns (no rewrite window), and the data
+    content matches the batch."""
+    import json
+
+    from iris_project_database_refresh_spark.streaming.snapshot_sink import (
+        apply_stream_batch,
+    )
+
+    d = str(tmp_path / "atomic_tbl")
+    batch = spark.createDataFrame([(1, "a"), (2, "b")], "id long, k string")
+    assert apply_stream_batch(batch, 7, d) is True
+    m = json.load(open(os.path.join(d, "_log", "v000001.json")))
+    assert m["operation"] == "stream-append@7"
+    assert _rows(snapshot_read(spark, d)) == [(1, "a"), (2, "b")]
+    # replay of the same id skips without a new version
+    assert apply_stream_batch(batch, 7, d) is False
+    assert len(snapshot_history(d)) == 1
