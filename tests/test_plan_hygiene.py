@@ -138,3 +138,20 @@ def test_runtime_bloom_filter_prunes_fact_side(spark):
         )
     assert "bloom_filter_agg" in plan, f"no runtime bloom built:\n{plan[:500]}"
     assert "might_contain" in plan, f"no bloom probe on the fact scan:\n{plan[:500]}"
+
+
+def test_plans_md_covers_expensive_queries():
+    """Every query costing >= 1 s in the committed sf0.1 bench must have
+    a PLANS.md plan-audit entry — the repo rule that each expensive plan
+    was read, not just timed (scripts/plan_audit.py --check is the same
+    sweep as a CLI)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "plan_audit",
+        os.path.join(os.path.dirname(__file__), "..", "scripts", "plan_audit.py"),
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    assert mod.missing_entries() == []
