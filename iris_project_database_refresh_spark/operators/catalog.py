@@ -756,3 +756,139 @@ SELECT (SELECT count(*) FROM merged) AS n_master_rows,
 
 QUERIES["catalog_merge_audit"] = catalog_merge_audit
 ORACLES["catalog_merge_audit"] = CATALOG_MERGE_AUDIT_SQL
+
+
+# --- chapter-PDF merge plan (page-offset bookmark table) ----------------------
+#
+# Reference parity: the IASB prep pipeline merges per-chapter PDFs into
+# one document per standard — `semantic search - iasb prep/
+# stage_00_pdf_merger.py:227 parse_filename` matches
+# `^(B-|C-)?([a-z]+)-(\d+)-(.+)\.pdf$` (malformed names are warned and
+# skipped), `:264 group_files_by_standard` groups on the prefix-less
+# base key and orders members base → B → C, and `:302 merge_pdf_group`
+# concatenates pages in that order, accumulating total page counts.
+# This query computes the MERGE PLAN those functions execute: one row
+# per member file with its running page offset inside the merged
+# output — the bookmark/outline table — plus group totals. Page counts
+# derive from the multimodal payload size (bytes // PDF_PAGE_BYTES + 1),
+# the pure-metadata stand-in for pypdf's len(reader.pages).
+#
+# Scale: filename parse is per-row; the listing dedup and all three
+# window measures share ONE hash partitioning on the group key (file
+# manifests are metadata-scale even at 100 TB of documents). The
+# lexicographic accident '' < 'B' < 'C' matches the reference's
+# prefix_priority map, so the merge order is a plain ORDER BY prefix.
+
+PDF_PAGE_BYTES = 200  # planted page density: 1 page per 200 payload bytes
+_FN_MERGE_RE = r"^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\.pdf$"
+
+
+def pdf_merge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    std = F.element_at(
+        F.array(*[F.lit(s) for s in _FN_STANDARDS]), (F.col("doc_id") % 3 + 1).cast("int")
+    )
+    nm = F.element_at(
+        F.array(*[F.lit(n) for n in _FN_NAMES]), (F.col("doc_id") % 4 + 1).cast("int")
+    )
+    # prefix keys off doc_id div 120 so it VARIES inside a base_key
+    # group (doc_id % 120 fixes every other planted component): groups
+    # genuinely hold base/B/C members and the offsets exercise merging
+    prefix_sel = F.expr("(doc_id div 120) % 3")
+    prefix = (
+        F.when(prefix_sel == 1, F.lit("B-"))
+        .when(prefix_sel == 2, F.lit("C-"))
+        .otherwise(F.lit(""))
+    )
+    fname = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(F.lit("scan_"), F.col("doc_id").cast("string"), F.lit(".pdf")),
+    ).otherwise(
+        F.concat(prefix, std, F.lit("-"), (F.col("doc_id") % 120).cast("string"),
+                 F.lit("-"), nm, F.lit(".pdf"))
+    )
+    n_pages = (
+        F.octet_length(F.encode("text", "utf-8")) / F.lit(PDF_PAGE_BYTES)
+    ).cast("bigint") + 1
+    named = docs.select("doc_id", fname.alias("filename"), n_pages.alias("n_pages"))
+    # the directory listing: planted names collide across docs, so one
+    # row per distinct filename (smallest doc_id is the listed file) —
+    # the quarantine skip path drops unparseable names, as :227 does
+    listing = (
+        named.where(F.regexp_extract("filename", _FN_MERGE_RE, 3) != "")
+        .groupBy("filename")
+        .agg(F.min_by("n_pages", "doc_id").alias("n_pages"))
+    )
+    parsed = listing.select(
+        "filename",
+        "n_pages",
+        F.regexp_replace(F.regexp_extract("filename", _FN_MERGE_RE, 1), "-", "").alias("prefix"),
+        F.lower(F.regexp_extract("filename", _FN_MERGE_RE, 2)).alias("standard"),
+        F.regexp_extract("filename", _FN_MERGE_RE, 3).cast("bigint").alias("number"),
+        F.regexp_extract("filename", _FN_MERGE_RE, 4).alias("name"),
+    ).select(
+        "*",
+        F.concat("standard", F.lit("-"), F.col("number").cast("string"),
+                 F.lit("-"), F.col("name")).alias("base_key"),
+    )
+    w = Window.partitionBy("base_key").orderBy("prefix")
+    wall = Window.partitionBy("base_key")
+    return parsed.select(
+        F.concat(F.col("base_key"), F.lit(".pdf")).alias("merged_filename"),
+        "standard",
+        "number",
+        F.row_number().over(w).cast("bigint").alias("merge_seq"),
+        F.col("filename").alias("member_filename"),
+        "prefix",
+        "n_pages",
+        F.coalesce(
+            F.sum("n_pages").over(w.rowsBetween(Window.unboundedPreceding, -1)),
+            F.lit(0),
+        ).cast("bigint").alias("page_offset"),
+        F.sum("n_pages").over(wall).cast("bigint").alias("total_pages"),
+        F.count(F.lit(1)).over(wall).cast("bigint").alias("n_parts"),
+    )
+
+
+PDF_MERGE_PLAN_SQL = f"""
+WITH named AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 7 = 0 THEN 'scan_' || CAST(doc_id AS VARCHAR) || '.pdf'
+              ELSE (CASE (doc_id // 120) % 3 WHEN 1 THEN 'B-' WHEN 2 THEN 'C-' ELSE '' END)
+                   || (CASE doc_id % 3 WHEN 0 THEN 'ias' WHEN 1 THEN 'IFRS' ELSE 'sic' END)
+                   || '-' || CAST(doc_id % 120 AS VARCHAR) || '-'
+                   || (CASE doc_id % 4 WHEN 0 THEN 'inventories' WHEN 1 THEN 'revenue'
+                                       WHEN 2 THEN 'leases' ELSE 'income-taxes' END)
+                   || '.pdf' END AS filename,
+         CAST(octet_length(encode(text)) // {PDF_PAGE_BYTES} AS BIGINT) + 1 AS n_pages
+  FROM documents
+), listing AS (
+  SELECT filename, arg_min(n_pages, doc_id) AS n_pages
+  FROM named
+  WHERE regexp_extract(filename, '^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 3) <> ''
+  GROUP BY filename
+), parsed AS (
+  SELECT filename, n_pages,
+         replace(regexp_extract(filename, '^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 1), '-', '') AS prefix,
+         lower(regexp_extract(filename, '^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 2)) AS standard,
+         CAST(regexp_extract(filename, '^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 3) AS BIGINT) AS number,
+         regexp_extract(filename, '^([BC]-)?([a-zA-Z]+)-([0-9]+)-(.+)\\.pdf$', 4) AS name
+  FROM listing
+), keyed AS (
+  SELECT *, standard || '-' || CAST(number AS VARCHAR) || '-' || name AS base_key
+  FROM parsed
+)
+SELECT base_key || '.pdf' AS merged_filename,
+       standard, number,
+       CAST(row_number() OVER (PARTITION BY base_key ORDER BY prefix) AS BIGINT) AS merge_seq,
+       filename AS member_filename,
+       prefix, n_pages,
+       CAST(coalesce(sum(n_pages) OVER (PARTITION BY base_key ORDER BY prefix
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS page_offset,
+       CAST(sum(n_pages) OVER (PARTITION BY base_key) AS BIGINT) AS total_pages,
+       CAST(count(*) OVER (PARTITION BY base_key) AS BIGINT) AS n_parts
+FROM keyed
+"""
+
+QUERIES["pdf_merge_plan"] = pdf_merge_plan
+ORACLES["pdf_merge_plan"] = PDF_MERGE_PLAN_SQL

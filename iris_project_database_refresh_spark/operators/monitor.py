@@ -455,3 +455,119 @@ FROM arms, total
 
 QUERIES["props_schema_profile"] = props_schema_profile
 ORACLES["props_schema_profile"] = PROPS_SCHEMA_SQL
+
+
+# --- per-stage retry/failure ledger -------------------------------------------
+#
+# Reference parity: both call loops retry with backoff and log failures
+# per stage — `semantic search/stage_04_embedding_generation.py:483`
+# (`for attempt in range(API_RETRY_ATTEMPTS)` with
+# `time.sleep(API_RETRY_DELAY * (attempt + 1))`, API_RETRY_ATTEMPTS=3,
+# API_RETRY_DELAY=5, terminal failure after 3) and `catalog search/
+# stage3_generate_summaries.py:513 call_gpt_summarizer` (same loop via
+# its NAS-write twin `:370`, max_retries=3). ``llm_call_attempts``
+# models the ledger process_monitor_logs accumulates from those loops:
+# every planted call carries an attempt sequence (first-try success /
+# success after k retries / terminal failure after 3) with the linear
+# backoff time those sleeps cost, rolled up per stage and joined to the
+# same stage's token/cost totals from the ``monitor_llm_costs`` model.
+#
+# Scale: the explode fan-out is the bounded llm_calls array (≤ 3 per
+# event); both rollups aggregate to stage grain (a handful of rows),
+# so the join is a broadcast of metadata-sized sides. Integer
+# micro-dollar sums keep the cost column exact across engines.
+
+RETRY_DELAY_S = 5  # API_RETRY_DELAY
+MAX_ATTEMPTS = 3  # API_RETRY_ATTEMPTS
+
+
+def llm_call_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "event_type", "props")
+    calls = ev.select(
+        F.col("event_type").alias("stage_name"),
+        "event_id",
+        F.get_json_object(F.col("props"), "$.k").cast("bigint").alias("k"),
+        F.explode(
+            F.sequence(F.lit(0).cast("bigint"), F.col("event_id") % MAX_CALLS)
+        ).alias("i"),
+    )
+    # planted outcome per call: r in 0..6 → first-try success, 7 →
+    # success on attempt 2, 8 → success on attempt 3, 9 → terminal
+    # failure (all 3 attempts fail). Backoff = Σ RETRY_DELAY·(j+1) over
+    # failed attempts j (the reference sleeps after EVERY failure,
+    # including the last): 7 → 5 s, 8 → 15 s, 9 → 30 s.
+    r = (F.col("event_id") * 7 + F.col("i") * 11) % 10
+    shaped = calls.select(
+        "stage_name",
+        F.when(r <= 6, 1).when(r == 7, 2).otherwise(3).cast("bigint").alias("n_attempts"),
+        (r != 9).cast("bigint").alias("succeeded"),
+        F.when(r <= 6, 0)
+        .when(r == 7, RETRY_DELAY_S)
+        .when(r == 8, 3 * RETRY_DELAY_S)
+        .otherwise(6 * RETRY_DELAY_S)
+        .cast("bigint")
+        .alias("backoff_s"),
+    )
+    ledger = shaped.groupBy("stage_name").agg(
+        F.count(F.lit(1)).alias("n_calls"),
+        F.sum("succeeded").alias("n_success"),
+        (F.count(F.lit(1)) - F.sum("succeeded")).alias("n_terminal_failures"),
+        F.sum("n_attempts").alias("total_attempts"),
+        (F.sum("n_attempts") - F.count(F.lit(1))).alias("total_retries"),
+        F.sum("backoff_s").alias("total_backoff_seconds"),
+    )
+    costs = (
+        llm_cost_rollup(load_table(spark, sf_dir, "events"))
+        .groupBy("stage_name")
+        .agg(
+            F.sum("total_input_tokens").alias("in_toks"),
+            F.sum("total_output_tokens").alias("out_toks"),
+        )
+        .select(
+            "stage_name",
+            (F.col("in_toks") + F.col("out_toks")).alias("total_tokens"),
+            F.round(
+                (F.col("in_toks") * IN_RATE_MICRO + F.col("out_toks") * OUT_RATE_MICRO)
+                / F.lit(1_000_000.0),
+                6,
+            ).alias("total_cost"),
+        )
+    )
+    return ledger.join(F.broadcast(costs), "stage_name")
+
+
+LLM_CALL_ATTEMPTS_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(props->>'k' AS BIGINT) AS k FROM events
+),
+calls AS (
+  SELECT event_type AS stage_name, event_id, k, i,
+         (event_id * 7 + i * 11) % 10 AS r
+  FROM ev, unnest(generate_series(0, event_id % {MAX_CALLS})) AS t(i)
+),
+shaped AS (
+  SELECT stage_name,
+         CASE WHEN r <= 6 THEN 1 WHEN r = 7 THEN 2 ELSE 3 END AS n_attempts,
+         CAST(r <> 9 AS BIGINT) AS succeeded,
+         CASE WHEN r <= 6 THEN 0 WHEN r = 7 THEN {RETRY_DELAY_S}
+              WHEN r = 8 THEN {3 * RETRY_DELAY_S} ELSE {6 * RETRY_DELAY_S} END AS backoff_s,
+         (k * 7 + i * 13) % 500 + 1 AS input_tokens,
+         (k * 3 + i * 5) % 300 + 1 AS output_tokens
+  FROM calls
+)
+SELECT stage_name,
+       count(*) AS n_calls,
+       CAST(sum(succeeded) AS BIGINT) AS n_success,
+       CAST(count(*) - sum(succeeded) AS BIGINT) AS n_terminal_failures,
+       CAST(sum(n_attempts) AS BIGINT) AS total_attempts,
+       CAST(sum(n_attempts) - count(*) AS BIGINT) AS total_retries,
+       CAST(sum(backoff_s) AS BIGINT) AS total_backoff_seconds,
+       CAST(sum(input_tokens + output_tokens) AS BIGINT) AS total_tokens,
+       round((sum(input_tokens) * {IN_RATE_MICRO}
+              + sum(output_tokens) * {OUT_RATE_MICRO}) / 1000000.0, 6) AS total_cost
+FROM shaped
+GROUP BY stage_name
+"""
+
+QUERIES["llm_call_attempts"] = llm_call_attempts
+ORACLES["llm_call_attempts"] = LLM_CALL_ATTEMPTS_SQL

@@ -153,6 +153,8 @@ _DRIVER_PRIORITY = [
     "events_dod_retention", "source_token_gini", "events_peak_to_avg",
     "catalog_merge_audit", "matryoshka_rank_corr", "dedup_cross_source_share", "events_seasonal_naive_eval", "discount_depth_curve",
     "epoch_shuffle_plan",
+    # round-4 additions — never driver-checked by definition:
+    "pdf_merge_plan", "llm_call_attempts",
 ]
 
 

@@ -52,3 +52,27 @@ def test_entity_resolve_classifies_planted_snapshot(spark):
     assert set(kinds) == {"exact", "fuzzy", "new"}, kinds
     assert all(r.best_match is None for r in rows.values() if r.match_type == "new")
     assert all(r.dist in (1, 2) for r in rows.values() if r.match_type == "fuzzy")
+
+
+def test_pdf_merge_plan_order_and_offsets(spark):
+    """Merge order is base -> B -> C inside each group; page offsets are
+    the running sum of preceding members; totals are consistent; no
+    quarantined (malformed) filename leaks through."""
+    rows = catalog.pdf_merge_plan(spark, SF_CORRECT).collect()
+    assert rows
+    by_group = {}
+    for r in rows:
+        by_group.setdefault(r.merged_filename, []).append(r)
+    assert any(len(g) >= 2 for g in by_group.values()), "no multi-part groups planted"
+    prio = {"": 0, "B": 1, "C": 2}
+    for g in by_group.values():
+        g.sort(key=lambda r: r.merge_seq)
+        off = 0
+        for seq, r in enumerate(g, 1):
+            assert r.merge_seq == seq
+            assert r.page_offset == off
+            off += r.n_pages
+            assert r.n_parts == len(g)
+            assert r.total_pages == sum(m.n_pages for m in g)
+            assert "scan_" not in r.member_filename
+        assert [prio[r.prefix] for r in g] == sorted(prio[r.prefix] for r in g)

@@ -56,3 +56,24 @@ def test_embed_batch_log_partitions_every_doc_once(spark):
 
     assert n_docs_total == load_table(spark, SF_CORRECT, "documents").count()
     assert n_vecs_total == load_table(spark, SF_CORRECT, "embeddings").count()
+
+
+def test_llm_call_attempts_ledger_invariants(spark):
+    """Retry-ledger arithmetic: attempts = calls + retries, successes +
+    terminal failures = calls, backoff only where retries exist, and the
+    planted mix produces both terminal failures and multi-attempt
+    successes; cost columns agree with the monitor_llm_costs rollup."""
+    rows = monitor.llm_call_attempts(spark, SF_CORRECT).collect()
+    assert rows
+    assert any(r.n_terminal_failures > 0 for r in rows)
+    assert any(r.total_retries > 0 for r in rows)
+    for r in rows:
+        assert r.n_success + r.n_terminal_failures == r.n_calls
+        assert r.total_attempts == r.n_calls + r.total_retries
+        assert (r.total_backoff_seconds > 0) == (r.total_retries > 0)
+    costs = monitor.monitor_llm_costs(spark, SF_CORRECT).collect()
+    per_stage = {}
+    for c in costs:
+        per_stage[c.stage_name] = per_stage.get(c.stage_name, 0) + c.total_tokens
+    for r in rows:
+        assert r.total_tokens == per_stage[r.stage_name]
