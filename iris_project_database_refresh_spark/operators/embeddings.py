@@ -822,3 +822,73 @@ FROM scored, total GROUP BY bin, n_pairs, mean_abs_cos_bp
 
 QUERIES["embed_cosine_histogram"] = embed_cosine_histogram
 ORACLES["embed_cosine_histogram"] = EMBED_COS_HIST_SQL
+
+
+# --- embedding-norm outlier detection -----------------------------------------
+#
+# Vector hygiene gate an embedding pipeline runs before indexing:
+# degenerate vectors (near-zero or blown-up norms — failed API calls,
+# truncated payloads) show up as ‖x‖² outliers. Norms are quantized to
+# exact integers (q = floor(x·1000 + 0.5), norm2 = Σq²) so the corpus
+# scan is engine-exact; Tukey fences come from the interpolated
+# quartiles of those integers, rounded 6dp on both sides before the
+# comparison (the outlier_iqr device). One scan for norms, a 1-row
+# bounds aggregate broadcast back, one counting/filter pass — no
+# windows over the corpus.
+
+NORM_QSCALE = 1000
+
+
+def embed_norm_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    norm2 = F.aggregate(
+        F.transform(
+            "embedding",
+            lambda x: F.floor(x.cast("double") * NORM_QSCALE + 0.5).cast("bigint"),
+        ),
+        F.lit(0).cast("bigint"),
+        lambda acc, q: acc + q * q,
+    )
+    norms = emb.select("vec_id", norm2.alias("norm2"))
+    bounds = norms.agg(
+        F.expr("percentile(norm2, 0.25)").alias("q1"),
+        F.expr("percentile(norm2, 0.75)").alias("q3"),
+    ).select(
+        F.round(F.col("q1") - 1.5 * (F.col("q3") - F.col("q1")), 6).alias("lo"),
+        F.round(F.col("q3") + 1.5 * (F.col("q3") - F.col("q1")), 6).alias("hi"),
+    )
+    return (
+        norms.crossJoin(F.broadcast(bounds))
+        .where((F.col("norm2") < F.col("lo")) | (F.col("norm2") > F.col("hi")))
+        .select(
+            "vec_id",
+            "norm2",
+            "lo",
+            "hi",
+            F.when(F.col("norm2") < F.col("lo"), "low").otherwise("high").alias("side"),
+        )
+    )
+
+
+EMBED_NORM_OUTLIERS_SQL = f"""
+WITH norms AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(embedding,
+              x -> CAST(floor(CAST(x AS DOUBLE) * {NORM_QSCALE} + 0.5) AS BIGINT)
+                   * CAST(floor(CAST(x AS DOUBLE) * {NORM_QSCALE} + 0.5) AS BIGINT))) AS BIGINT) AS norm2
+  FROM embeddings
+), b AS (
+  SELECT round(quantile_cont(norm2, 0.25)
+               - 1.5 * (quantile_cont(norm2, 0.75) - quantile_cont(norm2, 0.25)), 6) AS lo,
+         round(quantile_cont(norm2, 0.75)
+               + 1.5 * (quantile_cont(norm2, 0.75) - quantile_cont(norm2, 0.25)), 6) AS hi
+  FROM norms
+)
+SELECT vec_id, norm2, lo, hi,
+       CASE WHEN norm2 < lo THEN 'low' ELSE 'high' END AS side
+FROM norms, b
+WHERE norm2 < lo OR norm2 > hi
+"""
+
+QUERIES["embed_norm_outliers"] = embed_norm_outliers
+ORACLES["embed_norm_outliers"] = EMBED_NORM_OUTLIERS_SQL

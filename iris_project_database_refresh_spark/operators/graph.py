@@ -454,3 +454,127 @@ LPA_SQL = _lpa_sql()
 
 QUERIES["graph_label_propagation"] = graph_label_propagation
 ORACLES["graph_label_propagation"] = LPA_SQL
+
+
+# --- k-core decomposition (fixed-k peeling) -----------------------------------
+#
+# The density filter community detection starts from: repeatedly strip
+# nodes whose degree (within the surviving subgraph) falls below K
+# until nothing changes; survivors form the K-core. Same planted graph
+# as pagerank_docs, made undirected (both directions union'd, self
+# loops dropped, pairs dedup'd) — identically in the oracle. Spark
+# shape: edges pinned once, then KCORE_ROUNDS rounds of
+# semi-join-restrict → degree-count → threshold; every shuffle is on
+# doc_id-sized keys and the node set only shrinks. The graded output
+# is the peeling trajectory (nodes/edges alive per round) plus the
+# fixpoint check the bounded-rounds device needs: converged = the last
+# two rounds agree. Oracle: one recursive CTE carrying (round, node),
+# re-deriving live edges per round.
+
+KCORE_K = 3
+KCORE_ROUNDS = 6
+
+
+def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+        )
+    )
+    directed = with_n.select(
+        F.col("doc_id").alias("a"), F.explode(targets).alias("b")
+    ).where(F.col("a") != F.col("b"))
+    return (
+        directed.select("a", "b")
+        .union(directed.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .distinct()
+        .localCheckpoint(eager=False)  # pinned: reused every round
+    )
+
+
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)
+    live = edges.select(F.col("a").alias("doc_id")).distinct()
+    stats = []
+    for rnd in range(KCORE_ROUNDS + 1):
+        e_live = (
+            edges.join(live.select(F.col("doc_id").alias("a")), "a", "semi")
+            .join(live.select(F.col("doc_id").alias("b")), "b", "semi")
+        )
+        stats.append(
+            live.agg(F.count(F.lit(1)).alias("n_nodes"))
+            .crossJoin(e_live.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_und_edges")))
+            .select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_und_edges")
+        )
+        if rnd < KCORE_ROUNDS:
+            deg = e_live.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+            live = deg.where(F.col("deg") >= KCORE_K).select(F.col("a").alias("doc_id"))
+    out = stats[0]
+    for s in stats[1:]:
+        out = out.unionByName(s)
+    return out
+
+
+def _kcore_round_sql(prev: str, out: str) -> str:
+    return f"""{out} AS (
+  SELECT a AS doc_id FROM (
+    SELECT e.a, count(*) AS deg
+    FROM und e
+    JOIN {prev} pa ON pa.doc_id = e.a
+    JOIN {prev} pb ON pb.doc_id = e.b
+    GROUP BY e.a
+  ) WHERE deg >= {KCORE_K}
+)"""
+
+
+def _kcore_stats_ctes(r: int) -> str:
+    return f"""nstat_{r} AS (SELECT count(*) AS n_nodes FROM live_{r}),
+estat_{r} AS (
+  SELECT CAST(count(*) // 2 AS BIGINT) AS n_und_edges
+  FROM und e
+  JOIN live_{r} pa ON pa.doc_id = e.a
+  JOIN live_{r} pb ON pb.doc_id = e.b
+)"""
+
+
+def _kcore_sql() -> str:
+    rounds = ",\n".join(
+        _kcore_round_sql(f"live_{i}", f"live_{i + 1}") for i in range(KCORE_ROUNDS)
+    )
+    rounds += ",\n" + ",\n".join(_kcore_stats_ctes(r) for r in range(KCORE_ROUNDS + 1))
+    stats = "\nUNION ALL\n".join(
+        f"SELECT {r}::BIGINT AS round, n_nodes, n_und_edges FROM nstat_{r}, estat_{r}"
+        for r in range(KCORE_ROUNDS + 1)
+    )
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tl AS (
+  -- two-step unnest: inlining the list into the UNION ALL below trips
+  -- a DuckDB binder assertion ("Failed to bind column reference")
+  SELECT doc_id, list_distinct([(doc_id * 31 + 7) % n,
+          (doc_id * 17 + 3) % n, (doc_id * 13 + 11) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS a, unnest(ts) AS b FROM tl),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM directed WHERE a <> b
+    UNION ALL
+    SELECT b, a FROM directed WHERE a <> b
+  )
+),
+live_0 AS (SELECT DISTINCT a AS doc_id FROM und),
+{rounds}
+{stats}
+"""
+
+
+KCORE_SQL = _kcore_sql()
+
+QUERIES["graph_kcore"] = graph_kcore
+ORACLES["graph_kcore"] = KCORE_SQL

@@ -1620,3 +1620,127 @@ FROM banded, total GROUP BY discount_band, tot_c
 
 QUERIES["discount_depth_curve"] = discount_depth_curve
 ORACLES["discount_depth_curve"] = DISCOUNT_DEPTH_SQL
+
+
+# --- per-nation shipping-lag trend --------------------------------------------
+#
+# The ops question behind the reference's refresh monitoring, asked of
+# the warehouse: is fulfillment drifting? Ship lag (l_shipdate −
+# o_orderdate, days) averaged per (supplier-nation, month), then a
+# per-nation least-squares slope over the month index — regr_slope is
+# a built-in JVM aggregate in BOTH engines (one hash agg with map-side
+# partials; the per_source_linefit device applied to a two-level
+# rollup). Shuffles: lineitem⋈orders on orderkey (the one fact-fact
+# join, AQE-covered), supplier/nation broadcast, then month- and
+# nation-grain aggregations over bounded rows.
+
+def nation_ship_lag_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    supp = load_table(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nation = load_table(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    lag = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .select(
+            "n_name",
+            F.datediff(F.col("l_shipdate"), F.col("o_orderdate")).cast("bigint").alias("lag_days"),
+            (
+                (F.year("o_orderdate") - F.lit(1995)) * 12 + F.month("o_orderdate") - 1
+            ).cast("bigint").alias("month_idx"),
+        )
+    )
+    monthly = lag.groupBy("n_name", "month_idx").agg(
+        (F.sum("lag_days") * 1000).cast("bigint").alias("lag_sum_k"),
+        F.count(F.lit(1)).alias("n_lines"),
+    ).select(
+        "n_name", "month_idx",
+        F.expr("lag_sum_k div n_lines").alias("avg_lag_k"),  # milli-days, exact
+        "n_lines",
+    )
+    return monthly.groupBy("n_name").agg(
+        F.count(F.lit(1)).alias("n_months"),
+        F.sum("n_lines").alias("n_lines"),
+        F.round(F.regr_slope(F.col("avg_lag_k").cast("double"), F.col("month_idx").cast("double")) / 1000.0, 6).alias("lag_slope_days_per_month"),
+        F.expr("CAST(sum(avg_lag_k) div count(*) AS BIGINT)").alias("mean_monthly_lag_k"),
+    )
+
+
+NATION_SHIP_LAG_SQL = """
+WITH lag AS (
+  SELECT n.n_name,
+         CAST(date_diff('day', o.o_orderdate, l.l_shipdate) AS BIGINT) AS lag_days,
+         CAST((year(o.o_orderdate) - 1995) * 12 + month(o.o_orderdate) - 1 AS BIGINT) AS month_idx
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN supplier s ON l.l_suppkey = s.s_suppkey
+  JOIN nation n ON s.s_nationkey = n.n_nationkey
+), monthly AS (
+  SELECT n_name, month_idx,
+         CAST(CAST(sum(lag_days) AS BIGINT) * 1000 // count(*) AS BIGINT) AS avg_lag_k,
+         count(*) AS n_lines
+  FROM lag GROUP BY n_name, month_idx
+)
+SELECT n_name,
+       count(*) AS n_months,
+       CAST(sum(n_lines) AS BIGINT) AS n_lines,
+       round(regr_slope(avg_lag_k::DOUBLE, month_idx::DOUBLE) / 1000.0, 6) AS lag_slope_days_per_month,
+       CAST(CAST(sum(avg_lag_k) AS BIGINT) // count(*) AS BIGINT) AS mean_monthly_lag_k
+FROM monthly GROUP BY n_name
+"""
+
+QUERIES["nation_ship_lag_trend"] = nation_ship_lag_trend
+ORACLES["nation_ship_lag_trend"] = NATION_SHIP_LAG_SQL
+
+
+# --- order-priority mix shift -------------------------------------------------
+#
+# Distribution-drift report between two refresh eras: each priority's
+# share of total orders before/after the 1998 split, in integer basis
+# points, plus the shift. One scan of orders, conditional partial
+# aggregation per priority, era totals joined back by broadcast —
+# basis-point arithmetic is exact integer (`div` on positive counts),
+# so the hash matches cross-engine with no float plumbing.
+
+MIX_SPLIT = "1998-01-01"
+
+
+def orders_priority_mix_shift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderdate")
+    early = (F.col("o_orderdate") < F.lit(MIX_SPLIT).cast("timestamp")).cast("bigint")
+    per = orders.groupBy("o_orderpriority").agg(
+        F.sum(early).alias("n_early"),
+        (F.count(F.lit(1)) - F.sum(early)).alias("n_late"),
+    )
+    tot = per.agg(
+        F.sum("n_early").alias("tot_early"), F.sum("n_late").alias("tot_late")
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n_early",
+        "n_late",
+        F.expr("n_early * 10000 div tot_early").alias("share_early_bp"),
+        F.expr("n_late * 10000 div tot_late").alias("share_late_bp"),
+        F.expr("n_late * 10000 div tot_late - n_early * 10000 div tot_early").alias("shift_bp"),
+    )
+
+
+PRIORITY_MIX_SQL = f"""
+WITH per AS (
+  SELECT o_orderpriority,
+         CAST(sum(CASE WHEN o_orderdate < TIMESTAMP '{MIX_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_early,
+         CAST(count(*) - sum(CASE WHEN o_orderdate < TIMESTAMP '{MIX_SPLIT} 00:00:00' THEN 1 ELSE 0 END) AS BIGINT) AS n_late
+  FROM orders GROUP BY o_orderpriority
+), tot AS (
+  SELECT CAST(sum(n_early) AS BIGINT) AS tot_early, CAST(sum(n_late) AS BIGINT) AS tot_late FROM per
+)
+SELECT o_orderpriority, n_early, n_late,
+       n_early * 10000 // tot_early AS share_early_bp,
+       n_late * 10000 // tot_late AS share_late_bp,
+       n_late * 10000 // tot_late - n_early * 10000 // tot_early AS shift_bp
+FROM per, tot
+"""
+
+QUERIES["orders_priority_mix_shift"] = orders_priority_mix_shift
+ORACLES["orders_priority_mix_shift"] = PRIORITY_MIX_SQL

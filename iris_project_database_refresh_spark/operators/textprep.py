@@ -502,3 +502,63 @@ WHERE tok IN ({", ".join(repr(t) for t in SPAN_TARGETS)})
 
 QUERIES["text_span_annotations"] = text_span_annotations
 ORACLES["text_spans_annotations" if False else "text_span_annotations"] = TEXT_SPANS_SQL
+
+
+# --- SFT eligibility lint report ----------------------------------------------
+#
+# The gate report in front of `sft_pairs_build`: per source, how much
+# of the corpus survives each lint rule of the pair builder — too
+# short to hold a (prompt, response) exchange, strict-alternation
+# violations (the planted every-11th transcripts
+# `dialogue_turns_parse` flags), and the eligible remainder with its
+# pair yield. The dataset-card-style table a curation run prints
+# before committing an SFT export. One scan, per-row arithmetic, a
+# single source-grain aggregation — basis points are exact integers.
+
+def sft_lint_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_turns = F.least(F.floor(F.size(toks) / TURN_TOKENS), F.lit(MAX_TURNS)).cast("bigint")
+    shaped = docs.select(
+        "source",
+        "doc_id",
+        n_turns.alias("n_turns"),
+        (n_turns < 2).cast("bigint").alias("too_short"),
+        ((n_turns >= 2) & (F.col("doc_id") % 11 == 0)).cast("bigint").alias("alt_bad"),
+        ((n_turns >= 2) & (F.col("doc_id") % 11 != 0)).cast("bigint").alias("eligible"),
+    )
+    return shaped.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("too_short").alias("n_too_short"),
+        F.sum("alt_bad").alias("n_alternation_bad"),
+        F.sum("eligible").alias("n_eligible"),
+        F.sum(F.expr("if(eligible = 1, n_turns div 2, cast(0 as bigint))")).alias("n_pairs"),
+        F.expr("sum(eligible) * 10000 div count(*)").alias("eligible_bp"),
+    )
+
+
+SFT_LINT_SQL = f"""
+WITH shaped AS (
+  SELECT source, doc_id,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               // {TURN_TOKENS}, {MAX_TURNS})::BIGINT AS n_turns
+  FROM documents
+), flagged AS (
+  SELECT source, doc_id, n_turns,
+         CASE WHEN n_turns < 2 THEN 1 ELSE 0 END AS too_short,
+         CASE WHEN n_turns >= 2 AND doc_id % 11 = 0 THEN 1 ELSE 0 END AS alt_bad,
+         CASE WHEN n_turns >= 2 AND doc_id % 11 <> 0 THEN 1 ELSE 0 END AS eligible
+  FROM shaped
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(too_short) AS BIGINT) AS n_too_short,
+       CAST(sum(alt_bad) AS BIGINT) AS n_alternation_bad,
+       CAST(sum(eligible) AS BIGINT) AS n_eligible,
+       CAST(sum(CASE WHEN eligible = 1 THEN n_turns // 2 ELSE 0 END) AS BIGINT) AS n_pairs,
+       CAST(CAST(sum(eligible) AS BIGINT) * 10000 // count(*) AS BIGINT) AS eligible_bp
+FROM flagged GROUP BY source
+"""
+
+QUERIES["sft_lint_report"] = sft_lint_report
+ORACLES["sft_lint_report"] = SFT_LINT_SQL

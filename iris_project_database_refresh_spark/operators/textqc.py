@@ -1249,3 +1249,74 @@ FROM sums
 
 QUERIES["source_token_gini"] = source_token_gini
 ORACLES["source_token_gini"] = SOURCE_GINI_SQL
+
+
+# --- tokenizer vocabulary coverage --------------------------------------------
+#
+# The tokenizer-design question next to `vocab_stats`' Zipf view: if
+# the tokenizer keeps only the top-VC_VOCAB corpus types, what OOV
+# rate does each source eat? Top types are ranked over the COUNT
+# TABLE (one corpus-sized token aggregation — the same shuffle
+# vocab_stats pays), broadcast as the vocabulary, and the corpus
+# streams once more against it: per-doc OOV counts roll up to
+# per-source totals, integer basis points, and a fully-covered-docs
+# count. At 100 TB the vocabulary is a few MB broadcast; both corpus
+# passes are embarrassingly parallel.
+
+VC_VOCAB = 500
+
+
+def tokenizer_vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select("doc_id", "source", F.explode(tokens(F.col("text"))).alias("token"))
+    counts = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    # distributed top-K (TakeOrderedAndProject), NOT a global ranking
+    # window — the type table of a web-scale corpus is itself huge
+    vocab = (
+        counts.orderBy(F.desc("cnt"), "token")
+        .limit(VC_VOCAB)
+        .select("token", F.lit(1).alias("in_vocab"))
+    )
+    per_doc = (
+        toks.join(F.broadcast(vocab), "token", "left")
+        .groupBy("source", "doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_toks"),
+            F.sum(F.when(F.col("in_vocab").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
+    return per_doc.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_toks").alias("total_tokens"),
+        F.sum("n_oov").alias("total_oov"),
+        F.expr("sum(n_oov) * 10000 div sum(n_toks)").alias("oov_bp"),
+        F.sum((F.col("n_oov") == 0).cast("bigint")).alias("n_docs_fully_covered"),
+    )
+
+
+VOCAB_COVERAGE_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, source,
+         unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+), counts AS (
+  SELECT token, count(*) AS cnt FROM toks GROUP BY token
+), vocab AS (
+  SELECT token FROM counts ORDER BY cnt DESC, token LIMIT {VC_VOCAB}
+), per_doc AS (
+  SELECT t.source, t.doc_id, count(*) AS n_toks,
+         sum(CASE WHEN v.token IS NULL THEN 1 ELSE 0 END) AS n_oov
+  FROM toks t LEFT JOIN vocab v ON t.token = v.token
+  GROUP BY t.source, t.doc_id
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(sum(n_toks) AS BIGINT) AS total_tokens,
+       CAST(sum(n_oov) AS BIGINT) AS total_oov,
+       CAST(CAST(sum(n_oov) AS BIGINT) * 10000 // CAST(sum(n_toks) AS BIGINT) AS BIGINT) AS oov_bp,
+       CAST(sum(CASE WHEN n_oov = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_fully_covered
+FROM per_doc GROUP BY source
+"""
+
+QUERIES["tokenizer_vocab_coverage"] = tokenizer_vocab_coverage
+ORACLES["tokenizer_vocab_coverage"] = VOCAB_COVERAGE_SQL

@@ -379,3 +379,186 @@ FROM scored GROUP BY event_type
 
 QUERIES["events_seasonal_naive_eval"] = events_seasonal_naive_eval
 ORACLES["events_seasonal_naive_eval"] = SEASONAL_NAIVE_SQL
+
+
+# --- token-bucket rate-limit simulation ---------------------------------------
+#
+# Admission-control replay over the event stream: a per-user token
+# bucket (capacity TB_CAP, one token per TB_REFILL_US microseconds,
+# integer floor refill) decides allow/reject per event — the *planning*
+# query an ingestion gateway runs against history before setting
+# limits. Output-depends-on-previous-output recursion again (the EWMA
+# family device): one shuffle groups each user's events,
+# bounded_sorted_events pins a capped deterministic order, and
+# F.aggregate folds a (prev_t, tokens, allowed) struct — all-integer
+# arithmetic, so the oracle's recursive CTE is exactly engine-equal.
+
+TB_CAP = 5
+TB_REFILL_US = 60_000_000  # one token per minute
+
+
+def events_rate_limit_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    per_user = bounded_sorted_events(ev, "user_id", F.struct("t", "event_id"))
+    folded = per_user.select(
+        "user_id",
+        F.size("evs").cast("bigint").alias("n_events"),
+        F.expr(
+            f"""
+            aggregate(
+              slice(evs, 2, greatest(size(evs) - 1, 0)),
+              struct(evs[0].t AS prev_t,
+                     cast({TB_CAP - 1} AS bigint) AS tok,
+                     cast(1 AS bigint) AS allowed),
+              (acc, e) -> struct(
+                e.t AS prev_t,
+                least(cast({TB_CAP} AS bigint),
+                      acc.tok + (e.t - acc.prev_t) div {TB_REFILL_US})
+                  - if(least(cast({TB_CAP} AS bigint),
+                             acc.tok + (e.t - acc.prev_t) div {TB_REFILL_US}) >= 1,
+                       cast(1 AS bigint), cast(0 AS bigint)) AS tok,
+                acc.allowed + if(least(cast({TB_CAP} AS bigint),
+                             acc.tok + (e.t - acc.prev_t) div {TB_REFILL_US}) >= 1,
+                       cast(1 AS bigint), cast(0 AS bigint)) AS allowed)
+            )
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "user_id",
+        "n_events",
+        F.col("st.allowed").alias("n_allowed"),
+        (F.col("n_events") - F.col("st.allowed")).alias("n_rejected"),
+        F.col("st.tok").alias("final_tokens"),
+    )
+
+
+RATE_LIMIT_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         list_sort(list(struct_pack(t := epoch_us(ts), event_id := event_id))) AS evs
+  FROM events_us GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, evs, len(evs)::BIGINT AS n, 1::BIGINT AS i,
+         evs[1].t AS prev_t, ({TB_CAP} - 1)::BIGINT AS tok, 1::BIGINT AS allowed
+  FROM per_user
+  UNION ALL
+  SELECT user_id, evs, n, i + 1,
+         evs[(i + 1)::INT].t,
+         least({TB_CAP}::BIGINT, tok + (evs[(i + 1)::INT].t - prev_t) // {TB_REFILL_US})
+           - CASE WHEN least({TB_CAP}::BIGINT,
+                             tok + (evs[(i + 1)::INT].t - prev_t) // {TB_REFILL_US}) >= 1
+                  THEN 1 ELSE 0 END,
+         allowed + CASE WHEN least({TB_CAP}::BIGINT,
+                             tok + (evs[(i + 1)::INT].t - prev_t) // {TB_REFILL_US}) >= 1
+                  THEN 1 ELSE 0 END
+  FROM walk WHERE i < n
+)
+SELECT user_id, n AS n_events, allowed AS n_allowed,
+       n - allowed AS n_rejected, tok AS final_tokens
+FROM walk WHERE i = n
+"""
+
+QUERIES["events_rate_limit_sim"] = events_rate_limit_sim
+ORACLES["events_rate_limit_sim"] = RATE_LIMIT_SQL
+
+
+# --- single change-point detection --------------------------------------------
+#
+# Where did each event type's hourly volume shift? For every candidate
+# split k of the ordered hourly-count series, score the mean difference
+# with the exact-integer statistic
+#     score_k = (S_k·(n−k) − (S_n−S_k)·k)²
+# (the two-sample mean gap cross-multiplied to clear divisions; a
+# production petabyte run would track the normalized double instead —
+# the argmax is what matters) and pick the argmax via the house
+# conditional max(struct) device — lexicographic, so score ties break
+# to the latest split hour, identically in both engines. Work:
+# one (type, hour) aggregation over the corpus, then windows over the
+# bounded per-type hour series — no per-row recursion at all.
+
+def events_change_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    w = W.partitionBy("event_type").orderBy("hour")
+    wall = W.partitionBy("event_type")
+    scored = (
+        hourly.select(
+            "event_type",
+            "hour",
+            F.sum("x").over(w.rowsBetween(W.unboundedPreceding, 0)).alias("s_k"),
+            F.row_number().over(w).cast("bigint").alias("k"),
+            F.sum("x").over(wall).alias("s_n"),
+            F.count(F.lit(1)).over(wall).cast("bigint").alias("n"),
+        )
+        .where(F.col("k") < F.col("n"))  # a split needs both sides non-empty
+        .select(
+            "event_type", "hour", "k", "n", "s_k", "s_n",
+            F.pow(
+                (F.col("s_k") * (F.col("n") - F.col("k")) - (F.col("s_n") - F.col("s_k")) * F.col("k")).cast("double"),
+                2,
+            ).cast("bigint").alias("score"),
+        )
+    )
+    best = scored.groupBy("event_type").agg(
+        F.max(F.struct(F.col("score"), F.col("k").alias("neg"), F.col("hour"), F.col("s_k"), F.col("s_n"), F.col("n"))).alias("b")
+    )
+    return best.select(
+        "event_type",
+        F.col("b.n").alias("n_hours"),
+        F.col("b.hour").alias("split_hour"),
+        F.col("b.score").alias("score"),
+        F.expr("b.s_k * 1000 div b.neg").alias("mean_before_k"),
+        F.expr("(b.s_n - b.s_k) * 1000 div (b.n - b.neg)").alias("mean_after_k"),
+    )
+
+
+CHANGE_POINT_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+scored AS (
+  SELECT event_type, hour,
+         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY hour
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS s_k,
+         CAST(row_number() OVER (PARTITION BY event_type ORDER BY hour) AS BIGINT) AS k,
+         CAST(sum(x) OVER (PARTITION BY event_type) AS BIGINT) AS s_n,
+         CAST(count(*) OVER (PARTITION BY event_type) AS BIGINT) AS n
+  FROM hourly
+),
+candid AS (
+  SELECT event_type, hour, k, n, s_k, s_n,
+         CAST(pow((s_k * (n - k) - (s_n - s_k) * k)::DOUBLE, 2) AS BIGINT) AS score
+  FROM scored WHERE k < n
+),
+best AS (
+  SELECT event_type,
+         max(struct_pack(score := score, neg := k, hour := hour,
+                         s_k := s_k, s_n := s_n, n := n)) AS b
+  FROM candid GROUP BY event_type
+)
+SELECT event_type,
+       b.n AS n_hours,
+       b.hour AS split_hour,
+       b.score AS score,
+       b.s_k * 1000 // b.neg AS mean_before_k,
+       (b.s_n - b.s_k) * 1000 // (b.n - b.neg) AS mean_after_k
+FROM best
+"""
+
+QUERIES["events_change_point"] = events_change_point
+ORACLES["events_change_point"] = CHANGE_POINT_SQL

@@ -155,6 +155,10 @@ _DRIVER_PRIORITY = [
     "epoch_shuffle_plan",
     # round-4 additions — never driver-checked by definition:
     "pdf_merge_plan", "llm_call_attempts",
+    "nation_ship_lag_trend", "orders_priority_mix_shift",
+    "events_rate_limit_sim", "events_change_point",
+    "tokenizer_vocab_coverage", "sft_lint_report",
+    "embed_norm_outliers", "graph_kcore",
 ]
 
 
