@@ -1832,3 +1832,81 @@ FROM labeled, total GROUP BY source_x, source_y, n_pairs_total, n_within_total
 
 QUERIES["dedup_cross_source_share"] = dedup_cross_source_share
 ORACLES["dedup_cross_source_share"] = DEDUP_CROSS_SOURCE_SQL
+
+
+# --- duplication-aware sampling weights ----------------------------------------
+#
+# The SoftDeDup move (public art: soft deduplication / per-duplicate
+# downweighting instead of deletion): rather than dropping near-dup
+# cluster members, give every document sampling weight 1/cluster_size
+# so each duplicate FAMILY contributes one document's worth of
+# training mass. Weights stay exact integers (basis points, 10000 //
+# cluster_size); the graded rollup buckets the corpus by cluster-size
+# band and reports document counts, weight mass, and the effective-
+# dataset share — the number a data-mixing run actually consumes.
+# Plan: component labels (one bounded iterative join, shared with
+# dedup_components) → cluster sizes (component-grain agg) → one
+# left join back onto the corpus → bounded band rollup.
+
+def dedup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    comp = _components(spark, sf_dir)
+    sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
+    labeled = comp.join(sizes, "component_id").select("doc_id", "cluster_size")
+    corpus = _corpus(spark, sf_dir).select("doc_id")
+    weighted = corpus.join(labeled, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_size"), F.lit(1)).alias("cluster_size"),
+        F.expr("10000 div coalesce(cluster_size, 1)").alias("weight_bp"),
+    )
+    band = (
+        F.when(F.col("cluster_size") == 1, "1 (unique)")
+        .when(F.col("cluster_size") == 2, "2")
+        .when(F.col("cluster_size") <= 4, "3-4")
+        .otherwise("5+")
+    )
+    tot = weighted.agg(F.count(F.lit(1)).alias("n_corpus"))
+    return (
+        weighted.groupBy(band.alias("cluster_band"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("weight_bp").alias("weight_mass_bp"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cluster_band",
+            "n_docs",
+            "weight_mass_bp",
+            F.expr("weight_mass_bp div n_docs").alias("mean_weight_bp"),
+            F.expr("n_docs * 10000 div n_corpus").alias("docs_share_bp"),
+        )
+    )
+
+
+DEDUP_SAMPLE_WEIGHTS_SQL = f"""{_CC_COMP_PREFIX_SQL}
+, labels AS (
+  SELECT doc_id, least(doc_id, min(other)) AS component_id
+  FROM reach GROUP BY doc_id
+), sizes AS (
+  SELECT component_id, count(*) AS cluster_size FROM labels GROUP BY component_id
+), weighted AS (
+  SELECT c.doc_id,
+         coalesce(s.cluster_size, 1) AS cluster_size,
+         CAST(10000 // coalesce(s.cluster_size, 1) AS BIGINT) AS weight_bp
+  FROM corpus c
+  LEFT JOIN labels l ON c.doc_id = l.doc_id
+  LEFT JOIN sizes s ON l.component_id = s.component_id
+), tot AS (SELECT count(*) AS n_corpus FROM weighted)
+SELECT CASE WHEN cluster_size = 1 THEN '1 (unique)'
+            WHEN cluster_size = 2 THEN '2'
+            WHEN cluster_size <= 4 THEN '3-4'
+            ELSE '5+' END AS cluster_band,
+       count(*) AS n_docs,
+       CAST(sum(weight_bp) AS BIGINT) AS weight_mass_bp,
+       CAST(CAST(sum(weight_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_weight_bp,
+       CAST(count(*) * 10000 // n_corpus AS BIGINT) AS docs_share_bp
+FROM weighted, tot
+GROUP BY 1, n_corpus
+"""
+
+QUERIES["dedup_sample_weights"] = dedup_sample_weights
+ORACLES["dedup_sample_weights"] = DEDUP_SAMPLE_WEIGHTS_SQL

@@ -1025,3 +1025,58 @@ GROUP BY a.day
 
 QUERIES["events_dod_retention"] = events_dod_retention
 ORACLES["events_dod_retention"] = DOD_RETENTION_SQL
+
+
+# --- A/B sample-ratio-mismatch gate --------------------------------------------
+#
+# The sanity check that must pass BEFORE reading `events_ab_test_lift`:
+# with deterministic 50/50 assignment (user_id parity), does the
+# realized arm split actually look 50/50? One-df chi-square against
+# equal allocation, kept in exact milli-units —
+# chi2_milli = (n_c − n_t)²·1000 // (n_c + n_t) — alarmed at the
+# χ²(1, 0.05) = 3.841 critical value. One user-grain aggregation, then
+# arithmetic on a 1-row frame.
+
+SRM_CHI2_MILLI_BAR = 3841
+
+
+def events_ab_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id")
+    users = ev.distinct().select(
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("arm")
+    )
+    arms = users.groupBy("arm").agg(F.count(F.lit(1)).alias("n"))
+    wide = (
+        arms.groupBy()
+        .pivot("arm", ["control", "treatment"])
+        .sum("n")
+        .select(F.col("control").alias("n_c"), F.col("treatment").alias("n_t"))
+    )
+    return wide.select(
+        "n_c",
+        "n_t",
+        (F.col("n_c") + F.col("n_t")).alias("n_total"),
+        (F.col("n_c") - F.col("n_t")).alias("delta"),
+        F.expr("(n_c - n_t) * (n_c - n_t) * 1000 div (n_c + n_t)").alias("chi2_milli"),
+        (F.expr("(n_c - n_t) * (n_c - n_t) * 1000 div (n_c + n_t)") > SRM_CHI2_MILLI_BAR)
+        .cast("int")
+        .alias("srm_alarm"),
+    )
+
+
+SRM_SQL = f"""
+WITH users AS (
+  SELECT DISTINCT user_id FROM events
+), arms AS (
+  SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN user_id % 2 = 0 THEN 0 ELSE 1 END) AS BIGINT) AS n_t
+  FROM users
+)
+SELECT n_c, n_t, n_c + n_t AS n_total, n_c - n_t AS delta,
+       (n_c - n_t) * (n_c - n_t) * 1000 // (n_c + n_t) AS chi2_milli,
+       CAST((n_c - n_t) * (n_c - n_t) * 1000 // (n_c + n_t) > {SRM_CHI2_MILLI_BAR} AS INT) AS srm_alarm
+FROM arms
+"""
+
+QUERIES["events_ab_srm_check"] = events_ab_srm_check
+ORACLES["events_ab_srm_check"] = SRM_SQL

@@ -934,3 +934,92 @@ FROM hourly GROUP BY event_type
 
 QUERIES["events_peak_to_avg"] = events_peak_to_avg
 ORACLES["events_peak_to_avg"] = PEAK_TO_AVG_SQL
+
+
+# --- watermark lateness profile ------------------------------------------------
+#
+# The query that SIZES a streaming watermark before deploying one:
+# replay the stream in arrival order, track the per-type running max
+# event time, and bucket each event's lateness (running_max − ts,
+# exact microseconds). The synthetic ts is monotone in event_id, so
+# arrival disorder is PLANTED deterministically: every 20th event
+# arrives 3000 positions late, others 400/50/4 by residue (straggler
+# batches — the late-data shape watermarking exists for). The bucket
+# shares tell directly what fraction of events a 1-min / 10-min / 1-h
+# watermark would drop. One window per event_type (keyed partitions,
+# single sorted pass) + a bounded rollup.
+
+LATE_BUCKETS_US = (0, 60_000_000, 600_000_000, 3_600_000_000)
+_ARRIVAL_DELAY = "CASE event_id % 20 WHEN 0 THEN 3000 WHEN 1 THEN 400 WHEN 2 THEN 50 WHEN 3 THEN 4 ELSE 0 END"
+
+
+def events_watermark_lateness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros("ts").alias("t"),
+        F.expr(f"event_id + {_ARRIVAL_DELAY}").alias("arrival"),
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("arrival", "t", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    late = ev.select(
+        "event_type", (F.max("t").over(w) - F.col("t")).alias("late_us")
+    )
+    bucket = (
+        F.when(F.col("late_us") <= LATE_BUCKETS_US[0], "0 on-time")
+        .when(F.col("late_us") <= LATE_BUCKETS_US[1], "1 <=1min")
+        .when(F.col("late_us") <= LATE_BUCKETS_US[2], "2 <=10min")
+        .when(F.col("late_us") <= LATE_BUCKETS_US[3], "3 <=1h")
+        .otherwise("4 >1h")
+    )
+    per_type = late.groupBy("event_type", bucket.alias("late_bucket")).agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+    tot = late.groupBy("event_type").agg(F.count(F.lit(1)).alias("n_type"))
+    return per_type.join(F.broadcast(tot), "event_type").select(
+        "event_type",
+        "late_bucket",
+        "n_events",
+        F.expr("n_events * 10000 div n_type").alias("share_bp"),
+    )
+
+
+WATERMARK_LATENESS_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+arr AS (
+  SELECT event_type, event_id, epoch_us(ts) AS t,
+         event_id + {_ARRIVAL_DELAY} AS arrival
+  FROM events_us
+),
+late AS (
+  SELECT event_type,
+         max(t) OVER (PARTITION BY event_type ORDER BY arrival, t, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - t AS late_us
+  FROM arr
+),
+bucketed AS (
+  SELECT event_type,
+         CASE WHEN late_us <= {LATE_BUCKETS_US[0]} THEN '0 on-time'
+              WHEN late_us <= {LATE_BUCKETS_US[1]} THEN '1 <=1min'
+              WHEN late_us <= {LATE_BUCKETS_US[2]} THEN '2 <=10min'
+              WHEN late_us <= {LATE_BUCKETS_US[3]} THEN '3 <=1h'
+              ELSE '4 >1h' END AS late_bucket
+  FROM late
+), per_type AS (
+  SELECT event_type, late_bucket, count(*) AS n_events
+  FROM bucketed GROUP BY 1, 2
+), tot AS (
+  SELECT event_type, count(*) AS n_type FROM bucketed GROUP BY 1
+)
+SELECT p.event_type, p.late_bucket, p.n_events,
+       p.n_events * 10000 // t.n_type AS share_bp
+FROM per_type p JOIN tot t ON p.event_type = t.event_type
+"""
+
+QUERIES["events_watermark_lateness"] = events_watermark_lateness
+ORACLES["events_watermark_lateness"] = WATERMARK_LATENESS_SQL

@@ -694,3 +694,89 @@ FROM noised
 
 QUERIES["privacy_dp_counts"] = privacy_dp_counts
 ORACLES["privacy_dp_counts"] = DP_COUNTS_SQL
+
+
+# --- l-diversity audit ---------------------------------------------------------
+#
+# The complement of `privacy_k_anonymity`: a class can be k-anonymous
+# yet leak its sensitive attribute if every member shares one value.
+# Sensitive attribute here: the customer's order-count band (0 / 1 /
+# 2 / 3+ — a behavioral attribute the quasi-identifiers must not pin
+# down). Classes are the same (nation, segment, balance-band) QIs;
+# the report buckets classes by distinct-sensitive-value count with
+# exact basis-point row shares. One orders aggregation joined to
+# customers (both key-sized shuffles), then bounded class rollups.
+
+L_DIV_BAR = 3
+
+
+def privacy_l_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    ocnt = (
+        load_table(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+    )
+    sens = (
+        cust.join(ocnt, cust.c_custkey == ocnt.o_custkey, "left")
+        .select(
+            F.col("c_nationkey").alias("nation"),
+            F.col("c_mktsegment").alias("segment"),
+            F.expr("cast(floor(c_acctbal / 1000) as bigint)").alias("bal_band"),
+            F.least(F.coalesce(F.col("n_orders"), F.lit(0)), F.lit(3))
+            .cast("bigint")
+            .alias("sens_band"),
+        )
+    )
+    classes = sens.groupBy("nation", "segment", "bal_band").agg(
+        F.count(F.lit(1)).alias("class_size"),
+        F.countDistinct("sens_band").alias("l"),
+    )
+    total = classes.agg(F.sum("class_size").alias("total_rows"))
+    banded = classes.select(
+        F.when(F.col("l") == 1, "1 (homogeneous)")
+        .when(F.col("l") < L_DIV_BAR, f"2-{L_DIV_BAR - 1} (weak)")
+        .otherwise(f">={L_DIV_BAR} (diverse)")
+        .alias("l_band"),
+        "class_size",
+    )
+    return (
+        banded.groupBy("l_band")
+        .agg(F.count(F.lit(1)).alias("n_classes"), F.sum("class_size").alias("n_rows"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "l_band",
+            "n_classes",
+            "n_rows",
+            F.expr("cast(n_rows * 10000 div total_rows as bigint)").alias("rows_share_bp"),
+        )
+    )
+
+
+L_DIVERSITY_SQL = f"""
+WITH ocnt AS (
+  SELECT o_custkey, count(*) AS n_orders FROM orders GROUP BY o_custkey
+), sens AS (
+  SELECT c.c_nationkey AS nation, c.c_mktsegment AS segment,
+         CAST(floor(c.c_acctbal / 1000) AS BIGINT) AS bal_band,
+         CAST(least(coalesce(o.n_orders, 0), 3) AS BIGINT) AS sens_band
+  FROM customer c LEFT JOIN ocnt o ON c.c_custkey = o.o_custkey
+), classes AS (
+  SELECT nation, segment, bal_band, count(*) AS class_size,
+         count(DISTINCT sens_band) AS l
+  FROM sens GROUP BY 1, 2, 3
+), total AS (SELECT CAST(sum(class_size) AS BIGINT) AS total_rows FROM classes),
+banded AS (
+  SELECT CASE WHEN l = 1 THEN '1 (homogeneous)'
+              WHEN l < {L_DIV_BAR} THEN '2-{L_DIV_BAR - 1} (weak)'
+              ELSE '>={L_DIV_BAR} (diverse)' END AS l_band,
+         class_size
+  FROM classes
+)
+SELECT l_band, count(*) AS n_classes, CAST(sum(class_size) AS BIGINT) AS n_rows,
+       CAST(CAST(sum(class_size) AS BIGINT) * 10000 // total_rows AS BIGINT) AS rows_share_bp
+FROM banded, total GROUP BY l_band, total_rows
+"""
+
+QUERIES["privacy_l_diversity"] = privacy_l_diversity
+ORACLES["privacy_l_diversity"] = L_DIVERSITY_SQL

@@ -375,3 +375,121 @@ GROUP BY doc_id
 
 QUERIES["tokenizer_segment"] = tokenizer_segment
 ORACLES["tokenizer_segment"] = SEGMENT_SQL
+
+
+# --- greedy bigram decoding ----------------------------------------------------
+#
+# Deterministic inference on the engine: from each source's most
+# frequent token, follow the argmax bigram DECODE_STEPS times — the
+# greedy-decode smoke test an LM-data pipeline runs to eyeball what
+# its n-gram statistics actually encode (and a showcase that iterative
+# inference is expressible as bounded relational rounds). The bigram
+# argmax table is one corpus aggregation + a per-w1 keyed window
+# (vocabulary-sized keyed partitions, no global window); each decode
+# step is a tiny-broadcast ⋈ vocab-keyed join, DECODE_STEPS bounded.
+# Ties everywhere break (count DESC, token ASC). Chains that reach a
+# token with no outgoing bigram stop early — row count is the graded
+# signal for that.
+
+DECODE_STEPS = 8
+
+
+def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    toks = docs.select("source", F.filter(F.split("text", r"\s+"), lambda t: t != "").alias("toks"))
+    # per-source start token: most frequent token (count desc, token asc)
+    per_src = (
+        toks.select("source", F.explode("toks").alias("w"))
+        .groupBy("source", "w")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    start = (
+        per_src.withColumn(
+            "rn", F.row_number().over(_W.partitionBy("source").orderBy(F.desc("c"), "w"))
+        )
+        .where(F.col("rn") == 1)
+        .select("source", F.col("w").alias("token"))
+    )
+    # bigram argmax: w1 -> next (count desc, w2 asc)
+    pairs = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE zip_with(slice(toks, 1, size(toks) - 1), slice(toks, 2, size(toks) - 1), "
+                "(a, b) -> struct(a AS w1, b AS w2)) END"
+            )
+        ).alias("p")
+    ).select("p.w1", "p.w2")
+    best = (
+        pairs.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("rn", F.row_number().over(_W.partitionBy("w1").orderBy(F.desc("c"), "w2")))
+        .where(F.col("rn") == 1)
+        .select("w1", F.col("w2").alias("nxt"))
+        .localCheckpoint(eager=False)  # pinned: probed every decode step
+    )
+    frames = [start.select("source", F.lit(0).cast("bigint").alias("step"), "token")]
+    cur = frames[0]
+    for i in range(1, DECODE_STEPS + 1):
+        cur = (
+            F.broadcast(cur)
+            .join(best, cur.token == best.w1)
+            .select("source", F.lit(i).cast("bigint").alias("step"), F.col("nxt").alias("token"))
+        )
+        frames.append(cur)
+    out = frames[0]
+    for f in frames[1:]:
+        out = out.unionByName(f)
+    return out
+
+
+def _decode_sql() -> str:
+    steps = ",\n".join(
+        f"""g{i} AS (
+  SELECT g.source, {i}::BIGINT AS step, b.nxt AS token
+  FROM g{i - 1} g JOIN best b ON b.w1 = g.token
+)"""
+        for i in range(1, DECODE_STEPS + 1)
+    )
+    union = "\nUNION ALL\n".join(
+        f"SELECT source, step, token FROM g{i}" for i in range(DECODE_STEPS + 1)
+    )
+    return f"""
+WITH t AS (
+  SELECT source, list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks
+  FROM documents
+),
+per_src AS (
+  SELECT source, w, count(*) AS c
+  FROM (SELECT source, unnest(toks) AS w FROM t) GROUP BY 1, 2
+),
+start AS (
+  SELECT source, w AS token FROM (
+    SELECT source, w, row_number() OVER (PARTITION BY source ORDER BY c DESC, w ASC) AS rn
+    FROM per_src
+  ) WHERE rn = 1
+),
+pairs AS (
+  SELECT toks[i] AS w1, toks[i + 1] AS w2, count(*) AS c
+  FROM (SELECT toks, unnest(generate_series(1, len(toks) - 1)) AS i
+        FROM t WHERE len(toks) >= 2)
+  GROUP BY 1, 2
+),
+best AS (
+  SELECT w1, w2 AS nxt FROM (
+    SELECT w1, w2, row_number() OVER (PARTITION BY w1 ORDER BY c DESC, w2 ASC) AS rn
+    FROM pairs
+  ) WHERE rn = 1
+),
+g0 AS (SELECT source, 0::BIGINT AS step, token FROM start),
+{steps}
+{union}
+"""
+
+
+BIGRAM_DECODE_SQL = _decode_sql()
+
+QUERIES["bigram_greedy_decode"] = bigram_greedy_decode
+ORACLES["bigram_greedy_decode"] = BIGRAM_DECODE_SQL

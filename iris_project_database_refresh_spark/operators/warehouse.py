@@ -666,3 +666,64 @@ FROM (SELECT user_id, count(*) AS n FROM events GROUP BY 1)
 
 QUERIES["join_key_skew_report"] = join_key_skew_report
 ORACLES["join_key_skew_report"] = JOIN_KEY_SKEW_SQL
+
+
+# --- supplier SLA fill-rate scorecard ------------------------------------------
+#
+# Per-supplier service-level report: share of lines shipped within
+# SLA_DAYS of the order date, in exact basis points, flagged against
+# the corpus-wide rate (self-calibrating bar — no magic threshold to
+# drift away from the synthetic data). lineitem⋈orders is the one
+# fact-fact shuffle (AQE-covered); the supplier rollup and the 1-row
+# corpus rate broadcast back are metadata-sized.
+
+SLA_DAYS = 30
+
+
+def supplier_fill_rate_sla(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    lines = li.join(orders, li.l_orderkey == orders.o_orderkey).select(
+        "l_suppkey",
+        (F.datediff("l_shipdate", "o_orderdate") <= SLA_DAYS).cast("bigint").alias("within"),
+    )
+    per_supp = lines.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_lines"),
+        F.sum("within").alias("n_within_sla"),
+    )
+    corpus = per_supp.agg(
+        F.expr("sum(n_within_sla) * 10000 div sum(n_lines)").alias("corpus_rate_bp")
+    )
+    return per_supp.crossJoin(F.broadcast(corpus)).select(
+        F.col("l_suppkey").alias("suppkey"),
+        "n_lines",
+        "n_within_sla",
+        F.expr("n_within_sla * 10000 div n_lines").alias("fill_rate_bp"),
+        "corpus_rate_bp",
+        (F.expr("n_within_sla * 10000 div n_lines") >= F.col("corpus_rate_bp"))
+        .cast("int")
+        .alias("above_corpus_rate"),
+    )
+
+
+SUPPLIER_SLA_SQL = f"""
+WITH lines AS (
+  SELECT l_suppkey,
+         CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= {SLA_DAYS} THEN 1 ELSE 0 END AS within
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), per_supp AS (
+  SELECT l_suppkey, count(*) AS n_lines, CAST(sum(within) AS BIGINT) AS n_within_sla
+  FROM lines GROUP BY l_suppkey
+), corpus AS (
+  SELECT CAST(CAST(sum(n_within_sla) AS BIGINT) * 10000 // CAST(sum(n_lines) AS BIGINT) AS BIGINT) AS corpus_rate_bp
+  FROM per_supp
+)
+SELECT l_suppkey AS suppkey, n_lines, n_within_sla,
+       n_within_sla * 10000 // n_lines AS fill_rate_bp,
+       corpus_rate_bp,
+       CAST(n_within_sla * 10000 // n_lines >= corpus_rate_bp AS INT) AS above_corpus_rate
+FROM per_supp, corpus
+"""
+
+QUERIES["supplier_fill_rate_sla"] = supplier_fill_rate_sla
+ORACLES["supplier_fill_rate_sla"] = SUPPLIER_SLA_SQL

@@ -159,6 +159,9 @@ _DRIVER_PRIORITY = [
     "events_rate_limit_sim", "events_change_point",
     "tokenizer_vocab_coverage", "sft_lint_report",
     "embed_norm_outliers", "graph_kcore",
+    "supplier_fill_rate_sla", "privacy_l_diversity",
+    "events_ab_srm_check", "events_watermark_lateness",
+    "bigram_greedy_decode", "dedup_sample_weights",
 ]
 
 
