@@ -264,3 +264,63 @@ FROM keyed GROUP BY epoch, shard
 
 QUERIES["epoch_shuffle_plan"] = epoch_shuffle_plan
 ORACLES["epoch_shuffle_plan"] = EPOCH_SHUFFLE_SQL
+
+
+# --- deterministic k-fold assignment audit -------------------------------------
+#
+# The train/validation splitter an eval pipeline needs to be REPRODUCIBLE
+# and stratification-clean: fold = md5(doc_id) % K (stable across runs
+# and engines — the house md5-derived-constant device, never
+# df.sample()), audited per source with exact share basis points and a
+# per-source imbalance measure (max fold share − min fold share). One
+# scan, one (source, fold) aggregation; the imbalance window runs over
+# the bounded (source, fold) grid.
+
+K_FOLDS = 5
+
+
+def kfold_assignment_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    fold = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint") % K_FOLDS
+    )
+    per = docs.groupBy("source", fold.alias("fold")).agg(
+        F.count(F.lit(1)).alias("n_docs")
+    )
+    w = _W.partitionBy("source")
+    return per.select(
+        "source",
+        "fold",
+        "n_docs",
+        F.expr("n_docs * 10000").alias("_n4"),
+        F.sum("n_docs").over(w).alias("_tot"),
+        F.max("n_docs").over(w).alias("_mx"),
+        F.min("n_docs").over(w).alias("_mn"),
+    ).select(
+        "source",
+        "fold",
+        "n_docs",
+        F.expr("_n4 div _tot").alias("share_bp"),
+        F.expr("(_mx - _mn) * 10000 div _tot").alias("source_imbalance_bp"),
+    )
+
+
+KFOLD_SQL = f"""
+WITH per AS (
+  SELECT source,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % {K_FOLDS} AS fold,
+         count(*) AS n_docs
+  FROM documents GROUP BY 1, 2
+)
+SELECT source, fold, n_docs,
+       CAST(n_docs * 10000 // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS BIGINT) AS share_bp,
+       CAST((max(n_docs) OVER (PARTITION BY source) - min(n_docs) OVER (PARTITION BY source))
+           * 10000 // CAST(sum(n_docs) OVER (PARTITION BY source) AS BIGINT) AS BIGINT) AS source_imbalance_bp
+FROM per
+"""
+
+QUERIES["kfold_assignment_audit"] = kfold_assignment_audit
+ORACLES["kfold_assignment_audit"] = KFOLD_SQL

@@ -477,3 +477,102 @@ FROM ranked q WHERE q.doc_id = q.query_id
 
 QUERIES["bm25_self_retrieval_mrr"] = bm25_self_retrieval_mrr
 ORACLES["bm25_self_retrieval_mrr"] = BM25_MRR_SQL
+
+
+# --- trigram fuzzy search ------------------------------------------------------
+#
+# The typo-tolerant lookup next to `fuzzy_match_names`' edit-distance
+# pass (reference parity: stage4's filename fuzzy-matching problem,
+# solved the way search engines do it — pg_trgm / Lucene fuzzy):
+# character-trigram Jaccard between planted misspelled queries (every
+# 97th part name with its 3rd character dropped) and the part-name
+# corpus. Shape: query trigram sets explode into an inverted-index
+# probe (join keyed on the trigram, AQE-covered), shared-trigram
+# counts per (query, part) bound the candidate set, exact Jaccard
+# ranks top-3 per query via a window over those bounded candidates —
+# the corpus is never cross-joined. Trigram sets are order-free
+# (array_distinct / list_distinct order divergence can't matter: only
+# membership and cardinality are used).
+
+TRGM_TOP = 3
+
+
+def trigram_fuzzy_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey", F.lower("p_name").alias("lower_name")
+    )
+    tg = F.array_distinct(
+        F.expr(
+            "CASE WHEN length(lower_name) < 3 THEN array() "
+            "ELSE transform(sequence(1, length(lower_name) - 2), i -> substring(lower_name, i, 3)) END"
+        )
+    )
+    corpus = parts.select("p_partkey", tg.alias("tgs")).select(
+        "p_partkey", F.size("tgs").alias("n_b"), F.explode("tgs").alias("tg")
+    )
+    queries = (
+        parts.where(F.col("p_partkey") % 97 == 0)
+        .select(
+            F.col("p_partkey").alias("query_id"),
+            # planted typo: drop the 3rd character
+            F.concat(
+                F.substring("lower_name", 1, 2), F.expr("substring(lower_name, 4)")
+            ).alias("lower_name"),
+        )
+        .select("query_id", tg.alias("tgs"))
+        .select("query_id", F.size("tgs").alias("n_a"), F.explode("tgs").alias("tg"))
+    )
+    shared = (
+        corpus.join(F.broadcast(queries), "tg")
+        .groupBy("query_id", "n_a", "p_partkey", "n_b")
+        .agg(F.count(F.lit(1)).alias("shared"))
+    )
+    scored = shared.select(
+        "query_id",
+        "p_partkey",
+        "shared",
+        F.round(
+            F.col("shared") / (F.col("n_a") + F.col("n_b") - F.col("shared")), 6
+        ).alias("jaccard"),
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("jaccard"), "p_partkey")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("bigint"))
+        .where(F.col("rank") <= TRGM_TOP)
+        .select("query_id", "rank", "p_partkey", "shared", "jaccard")
+    )
+
+
+TRIGRAM_SEARCH_SQL = f"""
+WITH parts AS (
+  SELECT p_partkey, lower(p_name) AS nm FROM part
+), corpus AS (
+  SELECT p_partkey, len(tgs) AS n_b, unnest(tgs) AS tg
+  FROM (SELECT p_partkey, list_distinct(CASE WHEN length(nm) < 3 THEN []
+          ELSE list_transform(generate_series(1, length(nm) - 2), i -> substr(nm, i, 3)) END) AS tgs
+        FROM parts)
+), queries AS (
+  SELECT query_id, len(tgs) AS n_a, unnest(tgs) AS tg
+  FROM (SELECT p_partkey AS query_id,
+               list_distinct(CASE WHEN length(q) < 3 THEN []
+                 ELSE list_transform(generate_series(1, length(q) - 2), i -> substr(q, i, 3)) END) AS tgs
+        FROM (SELECT p_partkey, substr(nm, 1, 2) || substr(nm, 4) AS q
+              FROM parts WHERE p_partkey % 97 = 0))
+), shared AS (
+  SELECT q.query_id, q.n_a, c.p_partkey, c.n_b, count(*) AS shared
+  FROM corpus c JOIN queries q ON c.tg = q.tg
+  GROUP BY 1, 2, 3, 4
+), scored AS (
+  SELECT query_id, p_partkey, CAST(shared AS BIGINT) AS shared,
+         round(shared / CAST(n_a + n_b - shared AS DOUBLE), 6) AS jaccard
+  FROM shared
+)
+SELECT query_id, rank, p_partkey, shared, jaccard FROM (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id
+             ORDER BY jaccard DESC, p_partkey) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= {TRGM_TOP}
+"""
+
+QUERIES["trigram_fuzzy_search"] = trigram_fuzzy_search
+ORACLES["trigram_fuzzy_search"] = TRIGRAM_SEARCH_SQL

@@ -562,3 +562,66 @@ FROM best
 
 QUERIES["events_change_point"] = events_change_point
 ORACLES["events_change_point"] = CHANGE_POINT_SQL
+
+
+# --- arrival overdispersion test -----------------------------------------------
+#
+# Is each event type's hourly arrival process Poisson-like, or bursty?
+# Dispersion index D = sample-variance / mean of the hourly counts,
+# kept exact: D_milli = (n·Σx² − (Σx)²)·1000 // ((n−1)·Σx) — the
+# variance-to-mean algebra cross-multiplied into one integer division
+# (positive operands, so Spark `div` and DuckDB `//` agree).
+# Overdispersed (bursty) at D > 1.5. One (type, hour) aggregation,
+# then a 5-row rollup; complements events_burstiness' inter-arrival
+# view with the count-process view.
+
+DISPERSION_BAR_MILLI = 1500
+
+
+def events_overdispersion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("hour")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("x"))
+    agg = hourly.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_hours"),
+        F.sum("x").alias("s"),
+        F.sum(F.col("x") * F.col("x")).alias("q"),
+    )
+    return agg.select(
+        "event_type",
+        "n_hours",
+        F.col("s").alias("total_events"),
+        F.expr("s * 1000 div n_hours").alias("mean_milli"),
+        F.expr("(n_hours * q - s * s) * 1000 div ((n_hours - 1) * s)").alias(
+            "dispersion_milli"
+        ),
+        (
+            F.expr("(n_hours * q - s * s) * 1000 div ((n_hours - 1) * s)")
+            > DISPERSION_BAR_MILLI
+        ).cast("int").alias("overdispersed"),
+    )
+
+
+OVERDISPERSION_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS hour, count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+agg AS (
+  SELECT event_type, count(*)::BIGINT AS n_hours,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS q
+  FROM hourly GROUP BY event_type
+)
+SELECT event_type, n_hours, s AS total_events,
+       s * 1000 // n_hours AS mean_milli,
+       (n_hours * q - s * s) * 1000 // ((n_hours - 1) * s) AS dispersion_milli,
+       CAST((n_hours * q - s * s) * 1000 // ((n_hours - 1) * s) > {DISPERSION_BAR_MILLI} AS INT) AS overdispersed
+FROM agg
+"""
+
+QUERIES["events_overdispersion"] = events_overdispersion
+ORACLES["events_overdispersion"] = OVERDISPERSION_SQL

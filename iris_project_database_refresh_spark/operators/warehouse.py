@@ -727,3 +727,82 @@ FROM per_supp, corpus
 
 QUERIES["supplier_fill_rate_sla"] = supplier_fill_rate_sla
 ORACLES["supplier_fill_rate_sla"] = SUPPLIER_SLA_SQL
+
+
+# --- CDC latest-wins merge -----------------------------------------------------
+#
+# The MERGE semantics a lakehouse refresh applies to a change-data
+# stream (reference parity: stage4's delete-then-append master merge
+# and stage_06's staging upsert, generalized to ordered I/U/D ops):
+# the event stream plays a CDC feed (key = user_id-derived customer
+# key, sequence = event_id, op planted by residue), each key's
+# LATEST op wins, and the merge applies insert/update/delete against
+# the customer base table. Output is the reconciliation scorecard:
+# per op, stream volume vs keys whose final op it is, with the
+# resulting table size — the row a refresh run asserts before
+# swapping tables. Shape: one max(struct) per key (the latest-wins
+# argmax device), key-sized anti/semi joins, no windows over facts.
+
+def cdc_latest_wins_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("key")
+    )
+    ev = load_table(spark, sf_dir, "events").select("event_id", "user_id")
+    stream = ev.select(
+        (F.col("user_id") % 500 + 1).alias("key"),
+        F.col("event_id").alias("seq"),
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 10 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+    )
+    latest = stream.groupBy("key").agg(
+        F.max(F.struct("seq", "op")).alias("last")
+    ).select("key", F.col("last.op").alias("op"))
+    op_counts = stream.groupBy("op").agg(F.count(F.lit(1)).alias("n_stream_ops"))
+    latest_counts = latest.groupBy("op").agg(F.count(F.lit(1)).alias("n_keys_latest"))
+    deleted = latest.where(F.col("op") == "D").select("key")
+    upserted = latest.where(F.col("op") != "D").select("key")
+    survivors = base.join(deleted, "key", "left_anti")
+    final_rows = (
+        survivors.select("key")
+        .union(upserted)
+        .distinct()
+        .agg(F.count(F.lit(1)).alias("final_rows"))
+    )
+    base_rows = base.agg(F.count(F.lit(1)).alias("base_rows"))
+    return (
+        op_counts.join(latest_counts, "op")
+        .crossJoin(F.broadcast(base_rows))
+        .crossJoin(F.broadcast(final_rows))
+        .select("op", "n_stream_ops", "n_keys_latest", "base_rows", "final_rows")
+    )
+
+
+CDC_MERGE_SQL = """
+WITH stream AS (
+  SELECT user_id % 500 + 1 AS key, event_id AS seq,
+         CASE WHEN event_id % 10 = 9 THEN 'D'
+              WHEN event_id % 10 = 0 THEN 'I' ELSE 'U' END AS op
+  FROM events
+), latest AS (
+  SELECT key, max(struct_pack(seq := seq, op := op)).op AS op
+  FROM stream GROUP BY key
+), op_counts AS (
+  SELECT op, count(*) AS n_stream_ops FROM stream GROUP BY op
+), latest_counts AS (
+  SELECT op, count(*) AS n_keys_latest FROM latest GROUP BY op
+), base AS (SELECT c_custkey AS key FROM customer),
+final AS (
+  SELECT count(*) AS final_rows FROM (
+    SELECT key FROM base WHERE key NOT IN (SELECT key FROM latest WHERE op = 'D')
+    UNION
+    SELECT key FROM latest WHERE op <> 'D'
+  )
+), brows AS (SELECT count(*) AS base_rows FROM base)
+SELECT o.op, o.n_stream_ops, l.n_keys_latest, base_rows, final_rows
+FROM op_counts o JOIN latest_counts l ON o.op = l.op, brows, final
+"""
+
+QUERIES["cdc_latest_wins_merge"] = cdc_latest_wins_merge
+ORACLES["cdc_latest_wins_merge"] = CDC_MERGE_SQL

@@ -162,6 +162,8 @@ _DRIVER_PRIORITY = [
     "supplier_fill_rate_sla", "privacy_l_diversity",
     "events_ab_srm_check", "events_watermark_lateness",
     "bigram_greedy_decode", "dedup_sample_weights",
+    "trigram_fuzzy_search", "cdc_latest_wins_merge",
+    "events_overdispersion", "kfold_assignment_audit",
 ]
 
 
