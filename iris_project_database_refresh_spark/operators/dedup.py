@@ -1849,7 +1849,10 @@ ORACLES["dedup_cross_source_share"] = DEDUP_CROSS_SOURCE_SQL
 # left join back onto the corpus → bounded band rollup.
 
 def dedup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
-    comp = _components(spark, sf_dir)
+    # pin the labels: both consumers below (sizes agg + corpus join)
+    # would otherwise each re-run the whole LSH + label-propagation
+    # pipeline (measured 4.0 s → ~half with the pin)
+    comp = _components(spark, sf_dir).localCheckpoint(eager=False)
     sizes = comp.groupBy("component_id").agg(F.count(F.lit(1)).alias("cluster_size"))
     labeled = comp.join(sizes, "component_id").select("doc_id", "cluster_size")
     corpus = _corpus(spark, sf_dir).select("doc_id")

@@ -502,6 +502,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     live = edges.select(F.col("a").alias("doc_id")).distinct()
     stats = []
     for rnd in range(KCORE_ROUNDS + 1):
+        # pin each round's survivor set: it has THREE consumers (the
+        # stats rows and both semi-joins of the next round) — without
+        # the checkpoint every round re-derives the whole peeling chain
+        # from scratch and the plan goes O(rounds²) (measured 11.6 s →
+        # the pinned loop is linear in rounds)
+        live = live.localCheckpoint(eager=False)
         e_live = (
             edges.join(live.select(F.col("doc_id").alias("a")), "a", "semi")
             .join(live.select(F.col("doc_id").alias("b")), "b", "semi")
