@@ -251,3 +251,45 @@ def test_streaming_hopping_equals_batch(spark):
     g = {tuple(r) for r in got.collect()}
     w = {tuple(r) for r in want.collect()}
     assert g == w, f"streaming/batch divergence: {len(g ^ w)} rows differ"
+
+
+def test_stateful_rate_limiter_matches_batch(spark):
+    """availableNow drain of the stateful token-bucket limiter: the
+    final per-user summaries must equal the batch replay operator
+    bit-for-bit (same integer arithmetic, same event order)."""
+    from iris_project_database_refresh_spark.operators.timeseries import (
+        events_rate_limit_sim,
+    )
+    from iris_project_database_refresh_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from iris_project_database_refresh_spark.streaming.rate_limit import (
+        streaming_rate_limit,
+    )
+
+    q = (
+        streaming_rate_limit(read_events_stream(spark, SF_CORRECT))
+        .writeStream.format("memory")
+        .queryName("rate_limit_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    # update mode appends one cumulative row per (user, batch); the
+    # final state per user is the row with the largest n_events
+    emitted = spark.table("rate_limit_test").collect()
+    assert emitted
+    final = {}
+    for r in emitted:
+        if r.user_id not in final or r.n_events > final[r.user_id].n_events:
+            final[r.user_id] = r
+    got = {
+        u: (r.n_events, r.n_allowed, r.n_rejected, r.final_tokens)
+        for u, r in final.items()
+    }
+    want = {
+        r.user_id: (r.n_events, r.n_allowed, r.n_rejected, r.final_tokens)
+        for r in events_rate_limit_sim(spark, SF_CORRECT).collect()
+    }
+    assert got == want
