@@ -264,3 +264,325 @@ FROM inf
 
 QUERIES["page_boundaries"] = page_boundaries
 ORACLES["page_boundaries"] = PAGE_BOUNDARIES_SQL
+
+
+# --- chapter auto-detect + range validation (ey-prep stage_00) ---------------
+#
+# Reference parity: `semantic search - ey prep/stage_00_chapter_splitter.py
+# :1061` ``auto_detect_chapters`` (pages whose content opens with a
+# chapter marker become chapter starts; each chapter ends at the next
+# start - 1, the last at total_pages), `:653` ``extract_chapter_name``
+# (first markdown heading, '^#+' stripped, 'Chapter N:' prefix and
+# leading numbers removed, kept only if > 3 chars else the 'Chapter i'
+# fallback), `:1170` ``cleanup_filename`` (invalid chars removed,
+# whitespace -> '_', runs collapsed, trimmed), `:54`
+# ``ChapterDefinition.validate`` (start>=1, end<=total, start<=end,
+# non-empty name) and `:1117` ``validate_chapters`` (pairwise overlap
+# errors, sorted-adjacent gap warnings, head/tail coverage warnings).
+#
+# Planted structure: each HEAD_EVERY-token block is one page; page w
+# (0-based) is a chapter start iff (w + doc_id) % 2 == 1, and its
+# heading line is '# Chapter <i>: <title>' with title 'Sec <doc> <w>'
+# (or the too-short 'X' on doc_id % 7 == 3 docs, exercising the
+# fallback path).  Docs with no marker pages emit nothing ("No
+# chapters detected").  The validator runs on the same definitions
+# with deterministic planted defects (doc_id % 5 selects overlap /
+# gap / end-overflow / inverted-range; doc_id % 7 == 0 empties a
+# name), so every error and warning branch is exercised.
+#
+# Scale design: both operators are per-row array expressions over the
+# per-doc marker list (bounded by pages-per-doc) — zero shuffle, zero
+# Python, scan-rate.  The pairwise overlap check is O(k^2) in the
+# per-doc chapter count, the same bounded-fold class as the chapter
+# term ranking above.
+
+_NAME_RX1 = r"^#+\s*"
+_NAME_RX2 = r"(?i)^chapter\s+\d+[:\s]*"
+_NAME_RX3 = r"^\d+\.?\s*"
+_FILE_RX = "[\\\\/:?*<>|\"']"
+
+
+def _marks(doc_id: Column, nb: Column) -> Column:
+    return F.filter(
+        F.sequence(F.lit(0), nb - 1), lambda w: F.pmod(w + doc_id, 2) == F.lit(1)
+    )
+
+
+def _chapter_name(line: Column, i1: Column) -> Column:
+    cleaned = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(line, _NAME_RX1, ""), _NAME_RX2, ""),
+        _NAME_RX3,
+        "",
+    )
+    return F.when(F.length(cleaned) > 3, F.substring(cleaned, 1, 100)).otherwise(
+        F.concat(F.lit("Chapter "), i1.cast("string"))
+    )
+
+
+def chapter_autodetect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_blocks = F.greatest(F.ceil(F.size(toks) / HEAD_EVERY).cast("int"), F.lit(1))
+    base = docs.select("doc_id", n_blocks.alias("nb")).where(
+        F.size(_marks(F.col("doc_id"), F.col("nb"))) > 0
+    )
+
+    def chap(m: Column, i: Column) -> Column:
+        i1 = (i + 1).cast("bigint")
+        title = F.when(
+            F.pmod(F.col("doc_id"), 7) == 3, F.lit("X")
+        ).otherwise(
+            F.concat(F.lit("Sec "), F.col("doc_id").cast("string"), F.lit(" "), m.cast("string"))
+        )
+        line = F.concat(F.lit("# Chapter "), i1.cast("string"), F.lit(": "), title)
+        name = _chapter_name(line, i1)
+        fname = F.btrim(
+            F.regexp_replace(
+                F.regexp_replace(F.regexp_replace(name, _FILE_RX, ""), r"\s+", "_"),
+                r"_+",
+                "_",
+            ),
+            F.lit("_"),
+        )
+        start = (m + 1).cast("bigint")
+        end = F.coalesce(
+            F.get(F.col("marks"), i + 1).cast("bigint"), F.col("nb").cast("bigint")
+        )
+        return F.struct(
+            i1.alias("chapter_number"),
+            start.alias("start_page"),
+            end.alias("end_page"),
+            (end - start + 1).alias("page_count"),
+            name.alias("chapter_name"),
+            F.substring(fname, 1, 100).alias("file_name"),
+        )
+
+    withm = base.select("doc_id", "nb", _marks(F.col("doc_id"), F.col("nb")).alias("marks"))
+    return withm.select("doc_id", F.inline(F.transform(F.col("marks"), chap)))
+
+
+_MARKS_SQL = "list_filter(range(0, nb), w -> (w + doc_id) % 2 = 1)"
+
+_NAME_SQL = """
+CASE WHEN length({c}) > 3 THEN substr({c}, 1, 100)
+     ELSE 'Chapter ' || i END
+""".strip()
+
+_CLEAN_SQL = (
+    "regexp_replace(regexp_replace(regexp_replace("
+    "'# Chapter ' || i || ': ' || CASE WHEN doc_id % 7 = 3 THEN 'X' "
+    "ELSE 'Sec ' || doc_id || ' ' || marks[i] END, "
+    "'^#+\\s*', ''), '^chapter\\s+\\d+[:\\s]*', '', 'i'), '^\\d+\\.?\\s*', '')"
+)
+
+CHAPTER_AUTODETECT_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  / {HEAD_EVERY}.0) AS INT), 1) AS nb
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, nb, {_MARKS_SQL} AS marks FROM base
+  WHERE len({_MARKS_SQL}) > 0
+),
+chapters AS (
+  SELECT doc_id, nb, marks,
+         unnest(list_transform(range(1, len(marks) + 1), i -> struct_pack(
+             i := i,
+             start_page := marks[i] + 1,
+             end_page := coalesce(marks[i + 1], nb),
+             cleaned := {_CLEAN_SQL}
+         ))) AS ch
+  FROM marked
+)
+SELECT doc_id,
+       CAST(ch.i AS BIGINT) AS chapter_number,
+       CAST(ch.start_page AS BIGINT) AS start_page,
+       CAST(ch.end_page AS BIGINT) AS end_page,
+       CAST(ch.end_page - ch.start_page + 1 AS BIGINT) AS page_count,
+       {_NAME_SQL.format(c="ch.cleaned").replace("|| i", "|| ch.i")} AS chapter_name,
+       substr(trim(regexp_replace(regexp_replace(regexp_replace(
+           {_NAME_SQL.format(c="ch.cleaned").replace("|| i", "|| ch.i")},
+           '[\\\\/:?*<>|"'']', '', 'g'), '\\s+', '_', 'g'), '_+', '_', 'g'), '_'),
+           1, 100) AS file_name
+FROM chapters
+"""
+
+QUERIES["chapter_autodetect"] = chapter_autodetect
+ORACLES["chapter_autodetect"] = CHAPTER_AUTODETECT_SQL
+
+
+def chapter_ranges_validate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    n_blocks = F.greatest(F.ceil(F.size(toks) / HEAD_EVERY).cast("int"), F.lit(1))
+    base = docs.select("doc_id", n_blocks.alias("nb")).where(
+        F.size(_marks(F.col("doc_id"), F.col("nb"))) > 0
+    )
+    withm = base.select(
+        "doc_id", "nb", _marks(F.col("doc_id"), F.col("nb")).alias("marks")
+    )
+
+    def raw_def(m: Column, i: Column) -> Column:
+        start = (m + 1).cast("bigint")
+        end = F.coalesce(
+            F.get(F.col("marks"), i + 1).cast("bigint"), F.col("nb").cast("bigint")
+        )
+        name = F.when(
+            (F.pmod(F.col("doc_id"), 7) == 0) & (i == 0), F.lit("")
+        ).otherwise(F.concat(F.lit("Chapter "), (i + 1).cast("string")))
+        return F.struct(
+            start.alias("start_page"), end.alias("end_page"), name.alias("name")
+        )
+
+    k = F.size(F.col("defs0"))
+    mod5 = F.pmod(F.col("doc_id"), 5)
+
+    def defect(d: Column, i: Column) -> Column:
+        start = d["start_page"]
+        end = d["end_page"]
+        start = F.when((mod5 == 1) & (i == 1), start - 1).otherwise(
+            F.when((mod5 == 2) & (i == 1), start + 1).otherwise(start)
+        )
+        end = F.when((mod5 == 3) & (i == k - 1), end + 2).otherwise(
+            F.when((mod5 == 4) & (i == 0), start - 1).otherwise(end)
+        )
+        return F.struct(
+            start.alias("start_page"), end.alias("end_page"), d["name"].alias("name")
+        )
+
+    staged = withm.select(
+        "doc_id",
+        "nb",
+        F.transform(F.col("marks"), raw_def).alias("defs0"),
+    ).select(
+        "doc_id", "nb", F.transform(F.col("defs0"), defect).alias("defs")
+    )
+
+    defs = F.col("defs")
+    total = F.col("nb").cast("bigint")
+    range_errs = F.aggregate(
+        defs,
+        F.lit(0).cast("bigint"),
+        lambda acc, d: acc
+        + (d["start_page"] < 1).cast("bigint")
+        + (d["end_page"] > total).cast("bigint")
+        + (d["start_page"] > d["end_page"]).cast("bigint")
+        + (F.trim(d["name"]) == "").cast("bigint"),
+    )
+    ov_per = F.transform(
+        defs,
+        lambda d, i: F.size(
+            F.filter(
+                defs,
+                lambda e, j: (j > i)
+                & (d["end_page"] >= e["start_page"])
+                & (d["start_page"] <= e["end_page"]),
+            )
+        ).cast("bigint"),
+    )
+    n_overlaps = F.aggregate(ov_per, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    srt = F.array_sort(defs)
+    gap_flags = F.transform(
+        srt,
+        lambda d, i: F.coalesce(
+            F.get(srt, i + 1)["start_page"] > d["end_page"] + 1, F.lit(False)
+        ).cast("bigint"),
+    )
+    n_gaps = F.aggregate(gap_flags, F.lit(0).cast("bigint"), lambda a, x: a + x)
+    head_unc = F.greatest(F.get(srt, 0)["start_page"] - 1, F.lit(0).cast("bigint"))
+    tail_unc = F.greatest(
+        total - F.get(srt, F.size(srt) - 1)["end_page"], F.lit(0).cast("bigint")
+    )
+    n_errors = range_errs + n_overlaps
+    n_warnings = n_gaps + (head_unc > 0).cast("bigint") + (tail_unc > 0).cast("bigint")
+    verdict = (
+        F.when(n_errors > 0, F.lit("errors"))
+        .when(n_warnings > 0, F.lit("warnings"))
+        .otherwise(F.lit("ok"))
+    )
+    return staged.select(
+        "doc_id",
+        total.alias("total_pages"),
+        F.size(defs).cast("bigint").alias("n_chapters"),
+        range_errs.alias("n_range_errors"),
+        n_overlaps.alias("n_overlaps"),
+        n_gaps.alias("n_gaps"),
+        head_unc.alias("head_uncovered"),
+        tail_unc.alias("tail_uncovered"),
+        n_warnings.alias("n_warnings"),
+        verdict.alias("verdict"),
+    )
+
+
+CHAPTER_VALIDATE_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         greatest(CAST(ceil(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+                  / {HEAD_EVERY}.0) AS INT), 1) AS nb
+  FROM documents
+),
+marked AS (
+  SELECT doc_id, nb, {_MARKS_SQL} AS marks FROM base
+  WHERE len({_MARKS_SQL}) > 0
+),
+raw AS (
+  SELECT doc_id, nb, len(marks) AS k,
+         list_transform(range(1, len(marks) + 1), i -> struct_pack(
+             start_page := CAST(marks[i] + 1 AS BIGINT),
+             end_page := CAST(coalesce(marks[i + 1], nb) AS BIGINT),
+             name := CASE WHEN doc_id % 7 = 0 AND i = 1 THEN '' ELSE 'Chapter ' || i END
+         )) AS defs0
+  FROM marked
+),
+defected AS (
+  SELECT doc_id, nb, k,
+         list_transform(range(1, k + 1), i -> struct_pack(
+             start_page := CASE WHEN doc_id % 5 = 1 AND i = 2 THEN defs0[i].start_page - 1
+                                WHEN doc_id % 5 = 2 AND i = 2 THEN defs0[i].start_page + 1
+                                ELSE defs0[i].start_page END,
+             end_page := CASE WHEN doc_id % 5 = 3 AND i = k THEN defs0[i].end_page + 2
+                              WHEN doc_id % 5 = 4 AND i = 1 THEN defs0[i].start_page - 1
+                              ELSE defs0[i].end_page END,
+             name := defs0[i].name
+         )) AS defs
+  FROM raw
+),
+metrics AS (
+  SELECT doc_id, CAST(nb AS BIGINT) AS total_pages, CAST(k AS BIGINT) AS n_chapters,
+         CAST(coalesce(list_sum(list_transform(defs, d ->
+             CAST(d.start_page < 1 AS BIGINT) + CAST(d.end_page > nb AS BIGINT)
+             + CAST(d.start_page > d.end_page AS BIGINT)
+             + CAST(trim(d.name) = '' AS BIGINT))), 0) AS BIGINT) AS n_range_errors,
+         CAST(coalesce(list_sum(list_transform(range(1, k + 1), i ->
+             CAST(len(list_filter(range(1, k + 1), j -> j > i
+                  AND defs[i].end_page >= defs[j].start_page
+                  AND defs[i].start_page <= defs[j].end_page)) AS BIGINT))), 0) AS BIGINT)
+             AS n_overlaps,
+         list_sort(defs) AS srt
+  FROM defected
+),
+gapped AS (
+  SELECT *,
+         CAST(coalesce(list_sum(list_transform(range(1, n_chapters + 1), i ->
+             CAST(coalesce(srt[i + 1].start_page > srt[i].end_page + 1, false)
+                  AS BIGINT))), 0) AS BIGINT) AS n_gaps,
+         greatest(srt[1].start_page - 1, 0) AS head_uncovered,
+         greatest(total_pages - srt[len(srt)].end_page, 0) AS tail_uncovered
+  FROM metrics
+)
+SELECT doc_id, total_pages, n_chapters, n_range_errors, n_overlaps, n_gaps,
+       CAST(head_uncovered AS BIGINT) AS head_uncovered,
+       CAST(tail_uncovered AS BIGINT) AS tail_uncovered,
+       CAST(n_gaps + CAST(head_uncovered > 0 AS BIGINT)
+            + CAST(tail_uncovered > 0 AS BIGINT) AS BIGINT) AS n_warnings,
+       CASE WHEN n_range_errors + n_overlaps > 0 THEN 'errors'
+            WHEN n_gaps + CAST(head_uncovered > 0 AS BIGINT)
+                 + CAST(tail_uncovered > 0 AS BIGINT) > 0 THEN 'warnings'
+            ELSE 'ok' END AS verdict
+FROM gapped
+"""
+
+QUERIES["chapter_ranges_validate"] = chapter_ranges_validate
+ORACLES["chapter_ranges_validate"] = CHAPTER_VALIDATE_SQL

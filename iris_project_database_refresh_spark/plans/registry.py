@@ -164,6 +164,7 @@ _DRIVER_PRIORITY = [
     "bigram_greedy_decode", "dedup_sample_weights",
     "trigram_fuzzy_search", "cdc_latest_wins_merge",
     "events_overdispersion", "kfold_assignment_audit",
+    "chapter_autodetect", "chapter_ranges_validate",
 ]
 
 
