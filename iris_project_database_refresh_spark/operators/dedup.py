@@ -1913,3 +1913,93 @@ GROUP BY 1, n_corpus
 
 QUERIES["dedup_sample_weights"] = dedup_sample_weights
 ORACLES["dedup_sample_weights"] = DEDUP_SAMPLE_WEIGHTS_SQL
+
+
+# --- train/eval split leakage audit ------------------------------------------
+#
+# The decontamination concern turned inward: when a corpus is split
+# into train/val/test by document hash (the standard reproducible
+# split: md5(doc_id) buckets 0-7/8/9), near-duplicate FAMILIES can
+# straddle the boundary — a test document whose near-copy sits in
+# train leaks evaluation signal (public art: the C4/Pile dedup +
+# decontamination literature measures exactly this). The audit joins
+# the verified LSH near-dup pairs against the hash-split assignment of
+# both endpoints and reports the split-pair matrix with the corpus
+# leakage rate — the go/no-go number before an eval set ships.
+#
+# Plan: the pair table is the already-bounded LSH output; the split is
+# a per-row md5 expression (no dim join at all), so the audit adds one
+# bounded rollup on top of the production dedup pipeline.  The md5
+# bucket device reproduces bit-for-bit in DuckDB.
+
+def _hash_split(c) -> Column:
+    bucket = F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast(
+        "bigint"
+    ) % 10
+    return (
+        F.when(bucket <= 7, F.lit("train"))
+        .when(bucket == 8, F.lit("val"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    labeled = pairs.select(
+        _hash_split(F.col("id_a")).alias("sa"),
+        _hash_split(F.col("id_b")).alias("sb"),
+    ).select(
+        F.least("sa", "sb").alias("split_x"),
+        F.greatest("sa", "sb").alias("split_y"),
+        (F.col("sa") != F.col("sb")).cast("bigint").alias("leak"),
+    )
+    total = labeled.agg(
+        F.count(F.lit(1)).alias("n_pairs_total"),
+        F.sum("leak").alias("n_leak_total"),
+    )
+    return (
+        labeled.groupBy("split_x", "split_y")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "split_x",
+            "split_y",
+            "n_pairs",
+            (F.col("split_x") != F.col("split_y")).cast("int").alias("cross_split"),
+            F.expr("cast(n_pairs * 10000 div n_pairs_total as bigint)").alias(
+                "pair_share_bp"
+            ),
+            F.expr("cast(n_leak_total * 10000 div n_pairs_total as bigint)").alias(
+                "corpus_leak_bp"
+            ),
+        )
+    )
+
+
+_SPLIT_SQL = (
+    "CASE WHEN CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8) AS BIGINT) % 10 <= 7"
+    " THEN 'train'"
+    " WHEN CAST('0x' || substr(md5(CAST({c} AS VARCHAR)), 1, 8) AS BIGINT) % 10 = 8"
+    " THEN 'val' ELSE 'test' END"
+)
+
+SPLIT_LEAKAGE_SQL = f"""
+WITH pairs AS ({{minhash}}),
+labeled AS (
+  SELECT least({_SPLIT_SQL.format(c='id_a')}, {_SPLIT_SQL.format(c='id_b')}) AS split_x,
+         greatest({_SPLIT_SQL.format(c='id_a')}, {_SPLIT_SQL.format(c='id_b')}) AS split_y,
+         CAST({_SPLIT_SQL.format(c='id_a')} <> {_SPLIT_SQL.format(c='id_b')} AS BIGINT) AS leak
+  FROM pairs
+),
+total AS (
+  SELECT count(*) AS n_pairs_total, CAST(sum(leak) AS BIGINT) AS n_leak_total FROM labeled
+)
+SELECT split_x, split_y, count(*) AS n_pairs,
+       CAST(split_x <> split_y AS INT) AS cross_split,
+       CAST(count(*) * 10000 // n_pairs_total AS BIGINT) AS pair_share_bp,
+       CAST(n_leak_total * 10000 // n_pairs_total AS BIGINT) AS corpus_leak_bp
+FROM labeled, total GROUP BY split_x, split_y, n_pairs_total, n_leak_total
+""".format(minhash=DEDUP_MINHASH_SQL.strip())
+
+QUERIES["split_leakage_audit"] = split_leakage_audit
+ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL

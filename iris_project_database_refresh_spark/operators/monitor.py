@@ -571,3 +571,186 @@ GROUP BY stage_name
 
 QUERIES["llm_call_attempts"] = llm_call_attempts
 ORACLES["llm_call_attempts"] = LLM_CALL_ATTEMPTS_SQL
+
+
+# --- refresh-cycle distribution drift (PSI) ----------------------------------
+#
+# Population Stability Index between the previous and current refresh
+# windows — the standard deployment-monitoring statistic (public credit
+# -scoring / ML-monitoring practice) applied to the event stream the
+# reference's process monitor tracks: the time range splits at its
+# midpoint into reference/current snapshots, per-type decile edges come
+# from the REFERENCE snapshot only (the production convention: bins are
+# frozen at baseline time), and PSI = sum (p_cur - p_ref) *
+# ln(p_cur / p_ref) over the ten bins with add-one smoothing.
+#
+# Determinism: the equidepth integer-cent + milli-cent edge snap device
+# (see olap.events_histogram_equidepth), proportions as truncated basis
+# points of positive integers (Spark `div` == DuckDB `//` on
+# positives), and ln() floor-quantized to 1e-4 (the zipf_fit device) so
+# the summed PSI is an exact integer in both engines (scaled 1e8).
+#
+# Scale design: one 1-row time-range broadcast, one per-type percentile
+# aggregate (mergeable GK sketch at 100 TB), one broadcast edge join,
+# one (type, bin) count with map-side partials, then a 10-row-per-type
+# fold — no corpus-sized shuffle beyond the single keyed count.
+
+PSI_BINS = 10
+PSI_ALERT_SCALED = 10_000_000  # PSI > 0.1 at the 1e8 integer scale
+
+
+def quantile_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    rng = ev.agg(
+        F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid")
+    )
+    tagged = ev.crossJoin(F.broadcast(rng)).select(
+        "event_type", "v_c", (F.col("ts_us") <= F.col("mid")).alias("is_ref")
+    )
+    qs = ", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))
+    edges = (
+        tagged.where("is_ref")
+        .groupBy("event_type")
+        .agg(
+            F.expr(
+                f"transform(percentile(v_c, array({qs})),"
+                " e -> CAST(floor(e * 1000 + 0.5) AS BIGINT))"
+            ).alias("edges")
+        )
+    )
+    binned = tagged.join(F.broadcast(edges), "event_type").select(
+        "event_type",
+        "is_ref",
+        F.size(F.filter("edges", lambda e: e < F.col("v_c") * 1000)).alias("bin"),
+    )
+    counts = binned.groupBy("event_type", "bin").agg(
+        F.sum(F.col("is_ref").cast("bigint")).alias("r_cnt"),
+        F.sum((~F.col("is_ref")).cast("bigint")).alias("c_cnt"),
+    )
+    per_type = counts.groupBy("event_type").agg(
+        F.collect_list(F.struct("bin", "r_cnt", "c_cnt")).alias("bins"),
+        F.sum("r_cnt").alias("nr"),
+        F.sum("c_cnt").alias("nc"),
+    )
+    terms = per_type.select(
+        "event_type",
+        "nr",
+        "nc",
+        "bins",
+        F.explode(F.sequence(F.lit(0), F.lit(PSI_BINS - 1))).alias("b"),
+    ).select(
+        "event_type",
+        "nr",
+        "nc",
+        (
+            F.coalesce(
+                F.get(F.filter("bins", lambda x: x["bin"] == F.col("b")), 0)["r_cnt"],
+                F.lit(0),
+            )
+            + 1
+        ).alias("rp"),
+        (
+            F.coalesce(
+                F.get(F.filter("bins", lambda x: x["bin"] == F.col("b")), 0)["c_cnt"],
+                F.lit(0),
+            )
+            + 1
+        ).alias("cp"),
+    )
+    scored = terms.select(
+        "event_type",
+        "nr",
+        "nc",
+        F.expr(
+            f"(cp * 10000) div (nc + {PSI_BINS}) - (rp * 10000) div (nr + {PSI_BINS})"
+        ).alias("dp_bp"),
+        F.expr(
+            f"CAST(floor(ln(cp * (nr + {PSI_BINS})) * 10000) AS BIGINT)"
+            f" - CAST(floor(ln(rp * (nc + {PSI_BINS})) * 10000) AS BIGINT)"
+        ).alias("lr_q"),
+    )
+    return (
+        scored.groupBy("event_type")
+        .agg(
+            F.max("nr").cast("bigint").alias("n_ref"),
+            F.max("nc").cast("bigint").alias("n_cur"),
+            F.sum(F.col("dp_bp") * F.col("lr_q")).cast("bigint").alias("psi_scaled"),
+            F.max(F.abs("dp_bp")).cast("bigint").alias("max_shift_bp"),
+        )
+        .select(
+            "event_type",
+            "n_ref",
+            "n_cur",
+            "psi_scaled",
+            "max_shift_bp",
+            (F.col("psi_scaled") > PSI_ALERT_SCALED).cast("int").alias("drift_flag"),
+        )
+    )
+
+
+PSI_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+ev AS (
+  SELECT event_type, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v_c
+  FROM events_us
+),
+rng AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+tagged AS (
+  SELECT event_type, v_c, ts_us <= mid AS is_ref FROM ev, rng
+),
+edges AS (
+  SELECT event_type,
+         list_transform(
+           quantile_cont(v_c, [{", ".join(str(i / PSI_BINS) for i in range(1, PSI_BINS))}]),
+           e -> CAST(floor(e * 1000 + 0.5) AS BIGINT)) AS edges
+  FROM tagged WHERE is_ref GROUP BY event_type
+),
+binned AS (
+  SELECT t.event_type, t.is_ref,
+         len(list_filter(edges, x -> x < t.v_c * 1000)) AS bin
+  FROM tagged t JOIN edges USING (event_type)
+),
+counts AS (
+  SELECT event_type, bin,
+         CAST(sum(CAST(is_ref AS BIGINT)) AS BIGINT) AS r_cnt,
+         CAST(sum(CAST(NOT is_ref AS BIGINT)) AS BIGINT) AS c_cnt
+  FROM binned GROUP BY event_type, bin
+),
+tot AS (
+  SELECT event_type,
+         CAST(sum(r_cnt) AS BIGINT) AS nr,
+         CAST(sum(c_cnt) AS BIGINT) AS nc,
+         list(struct_pack(bin := bin, r := r_cnt, c := c_cnt)) AS bins
+  FROM counts GROUP BY event_type
+),
+terms AS (
+  SELECT event_type, nr, nc,
+         coalesce(list_filter(bins, x -> x.bin = b)[1].r, 0) + 1 AS rp,
+         coalesce(list_filter(bins, x -> x.bin = b)[1].c, 0) + 1 AS cp
+  FROM tot, (SELECT unnest(range(0, {PSI_BINS})) AS b)
+),
+scored AS (
+  SELECT event_type, nr, nc,
+         (cp * 10000) // (nc + {PSI_BINS}) - (rp * 10000) // (nr + {PSI_BINS}) AS dp_bp,
+         CAST(floor(ln(cp * (nr + {PSI_BINS})) * 10000) AS BIGINT)
+           - CAST(floor(ln(rp * (nc + {PSI_BINS})) * 10000) AS BIGINT) AS lr_q
+  FROM terms
+)
+SELECT event_type,
+       CAST(max(nr) AS BIGINT) AS n_ref,
+       CAST(max(nc) AS BIGINT) AS n_cur,
+       CAST(sum(dp_bp * lr_q) AS BIGINT) AS psi_scaled,
+       CAST(max(abs(dp_bp)) AS BIGINT) AS max_shift_bp,
+       CAST(CAST(sum(dp_bp * lr_q) AS BIGINT) > {PSI_ALERT_SCALED} AS INT) AS drift_flag
+FROM scored GROUP BY event_type
+"""
+
+QUERIES["quantile_drift_psi"] = quantile_drift_psi
+ORACLES["quantile_drift_psi"] = PSI_SQL

@@ -576,3 +576,115 @@ SELECT query_id, rank, p_partkey, shared, jaccard FROM (
 
 QUERIES["trigram_fuzzy_search"] = trigram_fuzzy_search
 ORACLES["trigram_fuzzy_search"] = TRIGRAM_SEARCH_SQL
+
+
+# --- RAG context packing ------------------------------------------------------
+#
+# The reference's serving path ends with "take the top retrieved
+# chunks and fit them into the model's context window" (the retrieval
+# -> prompt assembly step between `semantic search/stage_04`'s index
+# and the chat model).  This operator is that step as a graded query:
+# BM25 top-100 candidates in rank order, greedy-with-skip packing
+# under a CONTEXT_BUDGET token budget with a fixed per-chunk
+# separator overhead — a chunk that does not fit is skipped and
+# packing continues (the standard context assembler), so budget
+# utilization stays high even when a long chunk sits at rank 2.
+#
+# Scale design: the corpus-sized work is the production BM25 pipeline
+# + one TakeOrderedAndProject top-100 cut; the fold runs over the
+# bounded 100-struct candidate list (pack_best_fit's bounded-shelf
+# class).  Rank = position in the (-score, doc_id) sorted list, so no
+# window at all.  Oracle: same fold as a recursive CTE.
+
+CONTEXT_BUDGET = 400
+SEP_TOKENS = 8
+
+
+def rag_context_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lens = load_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("ntok"),
+    )
+    cands = (
+        _bm25_scored(spark, sf_dir)
+        .join(lens, "doc_id")
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(CANDIDATES)
+    )
+    packed = cands.agg(
+        F.sort_array(
+            F.collect_list(F.struct((-F.col("score")).alias("negs"), "doc_id", "score", "ntok"))
+        ).alias("arr")
+    ).select(
+        "arr",
+        F.expr(
+            f"""
+            aggregate(arr,
+              named_struct('used', cast(0 as bigint),
+                           'flags', slice(array(cast(0 as bigint)), 1, 0)),
+              (acc, d) -> IF(acc.used + d.ntok + {SEP_TOKENS} <= {CONTEXT_BUDGET},
+                named_struct('used', acc.used + d.ntok + {SEP_TOKENS},
+                             'flags', acc.flags || array(acc.used + d.ntok + {SEP_TOKENS})),
+                named_struct('used', acc.used,
+                             'flags', acc.flags || array(cast(-1 as bigint)))))
+            """
+        ).alias("st"),
+    )
+    rows = packed.select(
+        F.posexplode(F.arrays_zip(F.col("arr"), F.col("st.flags"))).alias("pos", "z")
+    ).where(F.col("z.flags") >= 0)
+    w = Window.orderBy("pos")
+    return rows.select(
+        F.row_number().over(w).cast("bigint").alias("ctx_rank"),
+        (F.col("pos") + 1).cast("bigint").alias("bm25_rank"),
+        F.col("z.arr.doc_id").alias("doc_id"),
+        F.col("z.arr.score").alias("score"),
+        F.col("z.arr.ntok").cast("bigint").alias("n_tokens"),
+        F.col("z.flags").alias("cum_tokens"),
+        (F.lit(CONTEXT_BUDGET) - F.col("z.flags")).cast("bigint").alias("budget_left"),
+    )
+
+
+RAG_PACK_SQL = f"""
+WITH RECURSIVE scored AS ({_BM25_SCORED_SQL}),
+lens AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ntok
+  FROM documents
+),
+cands AS (
+  SELECT s.doc_id, s.score, l.ntok
+  FROM scored s JOIN lens l USING (doc_id)
+  ORDER BY s.score DESC, s.doc_id LIMIT {CANDIDATES}
+),
+arr AS (
+  SELECT list_sort(list(struct_pack(negs := -score, doc_id := doc_id,
+                                    score := score, ntok := ntok))) AS a,
+         count(*)::BIGINT AS n
+  FROM cands
+),
+walk AS (
+  SELECT a, n, 0::BIGINT AS i, 0::BIGINT AS used, 0::BIGINT AS cum FROM arr
+  UNION ALL
+  SELECT a, n, i + 1,
+         CASE WHEN used + a[(i + 1)::INT].ntok + {SEP_TOKENS} <= {CONTEXT_BUDGET}
+              THEN used + a[(i + 1)::INT].ntok + {SEP_TOKENS} ELSE used END,
+         CASE WHEN used + a[(i + 1)::INT].ntok + {SEP_TOKENS} <= {CONTEXT_BUDGET}
+              THEN used + a[(i + 1)::INT].ntok + {SEP_TOKENS} ELSE -1 END
+  FROM walk WHERE i < n
+),
+picked AS (
+  SELECT i AS bm25_rank, a[i::INT].doc_id AS doc_id, a[i::INT].score AS score,
+         a[i::INT].ntok AS n_tokens, cum
+  FROM walk WHERE i >= 1 AND cum >= 0
+)
+SELECT CAST(row_number() OVER (ORDER BY bm25_rank) AS BIGINT) AS ctx_rank,
+       CAST(bm25_rank AS BIGINT) AS bm25_rank,
+       doc_id, score,
+       CAST(n_tokens AS BIGINT) AS n_tokens,
+       CAST(cum AS BIGINT) AS cum_tokens,
+       CAST({CONTEXT_BUDGET} - cum AS BIGINT) AS budget_left
+FROM picked
+"""
+
+QUERIES["rag_context_pack"] = rag_context_pack
+ORACLES["rag_context_pack"] = RAG_PACK_SQL

@@ -1320,3 +1320,254 @@ FROM per_doc GROUP BY source
 
 QUERIES["tokenizer_vocab_coverage"] = tokenizer_vocab_coverage
 ORACLES["tokenizer_vocab_coverage"] = VOCAB_COVERAGE_SQL
+
+
+# --- code-switch segmentation -------------------------------------------------
+#
+# Language-mix WITHIN a document (the multilingual-corpus QC step after
+# per-doc lang_id): the token stream splits into fixed 24-token
+# segments, each segment gets the same stopword-argmax language the
+# doc-level classifier uses (lexicographic tie-break, 'und' on zero
+# hits), and the per-doc rollup reports segment count, distinct
+# languages, switch points (adjacent segments disagreeing) and the
+# dominant language's share — code-switching documents confuse both
+# tokenizers and language filters, so the mixing rate is a routing
+# signal (split vs route-whole-doc vs drop).
+#
+# Scale design: pure per-row array expressions (nested lambdas over
+# the bounded segment list) — zero shuffle, scan-rate; the per-segment
+# scoring is O(segments x stopword-profile), both compile-time
+# constants per token.
+
+SEG_TOKENS = 24
+
+
+def lang_switch_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.greatest(F.ceil(F.size(toks) / SEG_TOKENS).cast("int"), F.lit(1)).alias("ns"),
+    )
+
+    def seg_lang(w):
+        seg = F.slice(F.col("toks"), w * SEG_TOKENS + 1, SEG_TOKENS)
+        scores = {
+            lang: F.size(F.filter(seg, lambda t: t.isin(*STOPWORDS[lang])))
+            for lang in LANGS
+        }
+        best = F.greatest(*scores.values())
+        pred = F.when(best == 0, F.lit("und"))
+        for lang in LANGS:
+            pred = pred.when(scores[lang] == best, F.lit(lang))
+        return pred
+
+    langed = base.select(
+        "doc_id",
+        "ns",
+        F.transform(F.sequence(F.lit(0), F.col("ns") - 1), seg_lang).alias("langs"),
+    )
+    switches = F.when(
+        F.col("ns") >= 2,
+        F.size(
+            F.filter(
+                F.expr("transform(sequence(2, ns), i -> langs[i-1] <> langs[i-2])"),
+                lambda x: x,
+            )
+        ),
+    ).otherwise(F.lit(0))
+    ranked = F.array_sort(
+        F.transform(
+            F.array_distinct(F.col("langs")),
+            lambda l: F.struct(
+                (-F.size(F.filter(F.col("langs"), lambda x: x == l))).alias("negc"),
+                l.alias("lang"),
+            ),
+        )
+    )
+    dom = F.get(ranked, 0)
+    return langed.select(
+        "doc_id",
+        F.col("ns").cast("bigint").alias("n_segments"),
+        F.size(F.array_distinct("langs")).cast("bigint").alias("n_distinct_langs"),
+        switches.cast("bigint").alias("n_switches"),
+        dom["lang"].alias("dom_lang"),
+        F.expr("cast((-element_at(array_sort(transform(array_distinct(langs), "
+               "l -> struct(-size(filter(langs, x -> x = l)) as negc, l as lang))), 1).negc)"
+               " * 10000 div ns as bigint)").alias("dom_share_bp"),
+    )
+
+
+def _seg_lang_sql() -> str:
+    seg = f"list_slice(toks, w * {SEG_TOKENS} + 1, w * {SEG_TOKENS} + {SEG_TOKENS})"
+    scores = {
+        lang: f"len(list_filter({seg}, t -> t IN ({', '.join(repr(w_) for w_ in STOPWORDS[lang])})))"
+        for lang in LANGS
+    }
+    best = f"greatest({', '.join(scores.values())})"
+    whens = " ".join(f"WHEN {scores[lang]} = {best} THEN '{lang}'" for lang in LANGS)
+    return f"CASE WHEN {best} = 0 THEN 'und' {whens} END"
+
+
+LANG_SWITCH_SQL = f"""
+WITH base AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks) / {SEG_TOKENS}.0) AS INT), 1) AS ns
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+langed AS (
+  SELECT doc_id, ns,
+         list_transform(range(0, ns), w -> {_seg_lang_sql()}) AS langs
+  FROM base
+)
+SELECT doc_id,
+       CAST(ns AS BIGINT) AS n_segments,
+       CAST(len(list_distinct(langs)) AS BIGINT) AS n_distinct_langs,
+       CAST(coalesce(list_sum(list_transform(range(2, ns + 1),
+            i -> CASE WHEN langs[i] <> langs[i-1] THEN 1 ELSE 0 END)), 0) AS BIGINT)
+         AS n_switches,
+       list_sort(list_transform(list_distinct(langs),
+           l -> struct_pack(negc := -len(list_filter(langs, x -> x = l)), lang := l)))[1].lang
+         AS dom_lang,
+       CAST((-list_sort(list_transform(list_distinct(langs),
+           l -> struct_pack(negc := -len(list_filter(langs, x -> x = l)), lang := l)))[1].negc)
+           * 10000 // ns AS BIGINT) AS dom_share_bp
+FROM langed
+"""
+
+QUERIES["lang_switch_stats"] = lang_switch_stats
+ORACLES["lang_switch_stats"] = LANG_SWITCH_SQL
+
+
+# --- per-source vocabulary divergence -----------------------------------------
+#
+# KL(source || corpus) over the unigram distribution, restricted to the
+# corpus's top-100 head vocabulary with a single OOV bucket (the
+# Zipf-head device: the head carries the mass, the tail folds into one
+# bucket, so the statistic is exact over a BOUNDED support no matter
+# the corpus size).  This is the training-mix diagnostic next to
+# corpus_sample_mix / mixture_weights_temperature: a source whose
+# vocabulary diverges hard from the corpus mean shifts the mixture
+# more than its token share suggests (public art: data-mixture KL
+# weighting, DoReMi-style diagnostics).
+#
+# Determinism: the PSI integer pipeline — add-one smoothing,
+# proportions as truncated ppm of positive integers, ln floor-
+# quantized 1e-4 → KL as an exact integer scaled 1e10.
+#
+# Scale design: one (source, token) count with map-side partials, a
+# top-100 TakeOrderedAndProject, a broadcast head join, then all
+# remaining work on the bounded sources x 101-bucket grid.
+
+KL_HEAD_V = 100
+KL_ALERT_SCALED = 500_000_000  # KL > 0.05 at the 1e10 integer scale
+
+
+def source_ngram_kl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("source", "text")
+    tokc = (
+        docs.select("source", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    corpus = tokc.groupBy("tok").agg(F.sum("cnt").alias("ccnt"))
+    head = corpus.orderBy(F.col("ccnt").desc(), F.col("tok")).limit(KL_HEAD_V)
+    bucketed = (
+        tokc.join(
+            F.broadcast(head.select("tok", F.lit(True).alias("is_head"))), "tok", "left"
+        )
+        .select(
+            "source",
+            F.when(F.col("is_head"), F.col("tok")).otherwise(F.lit("<oov>")).alias("bucket"),
+            "cnt",
+        )
+        .groupBy("source", "bucket")
+        .agg(F.sum("cnt").alias("scnt"))
+    ).localCheckpoint(eager=False)
+    cbucket = bucketed.groupBy("bucket").agg(F.sum("scnt").alias("ccnt"))
+    stot = bucketed.groupBy("source").agg(F.sum("scnt").alias("ts"))
+    nb = cbucket.agg(F.count(F.lit(1)).alias("b"), F.sum("ccnt").alias("tc"))
+    grid = (
+        stot.crossJoin(F.broadcast(cbucket))
+        .join(bucketed, ["source", "bucket"], "left")
+        .crossJoin(F.broadcast(nb))
+        .select(
+            "source",
+            "ts",
+            "tc",
+            "b",
+            (F.coalesce(F.col("scnt"), F.lit(0)) + 1).alias("cs1"),
+            (F.col("ccnt") + 1).alias("cc1"),
+        )
+    )
+    scored = grid.select(
+        "source",
+        "ts",
+        F.expr("cs1 * 1000000 div (ts + b)").alias("ps_ppm"),
+        F.expr(
+            "CAST(floor(ln(cs1 * (tc + b)) * 10000) AS BIGINT)"
+            " - CAST(floor(ln(cc1 * (ts + b)) * 10000) AS BIGINT)"
+        ).alias("lr_q"),
+    )
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.max("ts").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("ps_ppm") * F.col("lr_q")).cast("bigint").alias("kl_scaled"),
+        )
+        .select(
+            "source",
+            "n_tokens",
+            "kl_scaled",
+            (F.col("kl_scaled") > KL_ALERT_SCALED).cast("int").alias("skew_flag"),
+        )
+    )
+
+
+SOURCE_KL_SQL = f"""
+WITH tokc AS (
+  SELECT source, tok, count(*) AS cnt
+  FROM (SELECT source, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+        FROM documents)
+  GROUP BY source, tok
+),
+head AS (
+  SELECT tok FROM (SELECT tok, CAST(sum(cnt) AS BIGINT) AS ccnt FROM tokc GROUP BY tok)
+  ORDER BY ccnt DESC, tok LIMIT {KL_HEAD_V}
+),
+bucketed AS (
+  SELECT source,
+         CASE WHEN h.tok IS NOT NULL THEN t.tok ELSE '<oov>' END AS bucket,
+         CAST(sum(cnt) AS BIGINT) AS scnt
+  FROM tokc t LEFT JOIN head h ON t.tok = h.tok
+  GROUP BY 1, 2
+),
+cbucket AS (SELECT bucket, CAST(sum(scnt) AS BIGINT) AS ccnt FROM bucketed GROUP BY bucket),
+stot AS (SELECT source, CAST(sum(scnt) AS BIGINT) AS ts FROM bucketed GROUP BY source),
+nb AS (SELECT count(*)::BIGINT AS b, CAST(sum(ccnt) AS BIGINT) AS tc FROM cbucket),
+grid AS (
+  SELECT s.source, s.ts, nb.tc, nb.b,
+         coalesce(bk.scnt, 0) + 1 AS cs1,
+         cb.ccnt + 1 AS cc1
+  FROM stot s CROSS JOIN cbucket cb
+  LEFT JOIN bucketed bk ON bk.source = s.source AND bk.bucket = cb.bucket
+  CROSS JOIN nb
+),
+scored AS (
+  SELECT source, ts,
+         cs1 * 1000000 // (ts + b) AS ps_ppm,
+         CAST(floor(ln(cs1 * (tc + b)) * 10000) AS BIGINT)
+           - CAST(floor(ln(cc1 * (ts + b)) * 10000) AS BIGINT) AS lr_q
+  FROM grid
+)
+SELECT source,
+       CAST(max(ts) AS BIGINT) AS n_tokens,
+       CAST(sum(ps_ppm * lr_q) AS BIGINT) AS kl_scaled,
+       CAST(CAST(sum(ps_ppm * lr_q) AS BIGINT) > {KL_ALERT_SCALED} AS INT) AS skew_flag
+FROM scored GROUP BY source
+"""
+
+QUERIES["source_ngram_kl"] = source_ngram_kl
+ORACLES["source_ngram_kl"] = SOURCE_KL_SQL

@@ -625,3 +625,111 @@ FROM agg
 
 QUERIES["events_overdispersion"] = events_overdispersion
 ORACLES["events_overdispersion"] = OVERDISPERSION_SQL
+
+
+# --- Holt linear-trend smoothing ----------------------------------------------
+#
+# The forecasting step up from events_ewma (level only) and
+# events_seasonal_naive_eval (the floor): Holt's double exponential
+# smoothing per event type over the daily volume series — level +
+# trend state, one-step-ahead forecasts scored against the naive
+# last-value forecast (public Holt 1957 / Hyndman fpp practice).
+# Alpha = 0.2, beta = 0.1 as exact integer fractions over milli-cent
+# state.  The trend can go NEGATIVE — verified safe because BOTH
+# engines truncate integer division toward zero (Spark `div` and
+# DuckDB `//`: -7//2 = -3 in each), so the smoothing divisions are
+# bit-equal with no rewrite.
+#
+# Plan: one (type, day) aggregation (map-side partials) then a bounded
+# per-type fold over the day series — F.aggregate on Spark, recursive
+# CTE on DuckDB, the cusum pattern.
+
+_HOLT_LNEW = "((200 * d.x * 1000 + 800 * (acc.l + acc.b)) div 1000)"
+_HOLT_BNEW = f"((100 * ({_HOLT_LNEW} - acc.l) + 900 * acc.b) div 1000)"
+
+
+def events_holt_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"))
+        .where(F.size("days") >= 3)
+    )
+    folded = per_type.select(
+        "event_type",
+        F.size("days").cast("bigint").alias("n_days"),
+        F.expr(
+            f"""
+            aggregate(
+              slice(days, 3, greatest(size(days) - 2, 0)),
+              named_struct(
+                'l', days[0].x * cast(1000 as bigint),
+                'b', (days[1].x - days[0].x) * cast(1000 as bigint),
+                'sae', cast(0 as bigint),
+                'nsae', cast(0 as bigint),
+                'px', days[1].x),
+              (acc, d) -> named_struct(
+                'l', {_HOLT_LNEW},
+                'b', {_HOLT_BNEW},
+                'sae', acc.sae + abs(d.x * 1000 - (acc.l + acc.b)),
+                'nsae', acc.nsae + abs(d.x - acc.px) * 1000,
+                'px', d.x))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+        (F.col("st.l") + F.col("st.b")).alias("forecast_next_milli"),
+        F.col("st.sae").alias("holt_sae_milli"),
+        F.col("st.nsae").alias("naive_sae_milli"),
+        (F.col("st.sae") < F.col("st.nsae")).cast("int").alias("holt_beats_naive"),
+    )
+
+
+HOLT_SQL = """
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(floor(value * 100 + (0.5)::DOUBLE)::BIGINT)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(day := day, x := x))) AS days,
+         count(*)::BIGINT AS n
+  FROM daily GROUP BY event_type HAVING count(*) >= 3
+),
+walk AS (
+  SELECT event_type, days, n, 2::BIGINT AS i,
+         days[1].x * 1000 AS l,
+         (days[2].x - days[1].x) * 1000 AS b,
+         0::BIGINT AS sae, 0::BIGINT AS nsae
+  FROM per_type
+  UNION ALL
+  SELECT event_type, days, n, i + 1,
+         (200 * days[(i + 1)::INT].x * 1000 + 800 * (l + b)) // 1000,
+         (100 * (((200 * days[(i + 1)::INT].x * 1000 + 800 * (l + b)) // 1000) - l)
+          + 900 * b) // 1000,
+         sae + abs(days[(i + 1)::INT].x * 1000 - (l + b)),
+         nsae + abs(days[(i + 1)::INT].x - days[i::INT].x) * 1000
+  FROM walk WHERE i < n
+)
+SELECT event_type, n AS n_days,
+       CAST(l AS BIGINT) AS level_milli,
+       CAST(b AS BIGINT) AS trend_milli,
+       CAST(l + b AS BIGINT) AS forecast_next_milli,
+       CAST(sae AS BIGINT) AS holt_sae_milli,
+       CAST(nsae AS BIGINT) AS naive_sae_milli,
+       CAST(sae < nsae AS INT) AS holt_beats_naive
+FROM walk WHERE i = n
+"""
+
+QUERIES["events_holt_linear"] = events_holt_linear
+ORACLES["events_holt_linear"] = HOLT_SQL

@@ -164,7 +164,9 @@ _DRIVER_PRIORITY = [
     "bigram_greedy_decode", "dedup_sample_weights",
     "trigram_fuzzy_search", "cdc_latest_wins_merge",
     "events_overdispersion", "kfold_assignment_audit",
-    "chapter_autodetect", "chapter_ranges_validate",
+    "chapter_autodetect", "chapter_ranges_validate", "quantile_drift_psi",
+    "split_leakage_audit", "events_holt_linear", "lang_switch_stats",
+    "source_ngram_kl",
 ]
 
 
