@@ -237,3 +237,323 @@ ORACLES = {
     "token_count_bpe": TOKEN_BPE_SQL,
     "doc_winnow": DOC_WINNOW_SQL,
 }
+
+
+# --- IVF cell balance ---------------------------------------------------------
+#
+# Serving-health companion to knn_ivf / the persisted IVF index sink:
+# cell-size skew decides ANN tail latency (a hot cell = a hot shard —
+# every probe touching it pays the scan), so deployments watch the
+# cell-occupancy histogram the way join planners watch key skew
+# (join_key_skew_report's sibling for the vector index).  Load factor
+# is n * NCELLS / total scaled to bp: 10000 = perfectly balanced,
+# > 20000 (2x mean) flags the cell for a centroid re-train or split.
+#
+# Plan: the production assignment pass (broadcast 16-centroid
+# codebook, narrow cosine argmax — no shuffle beyond the vec_id
+# window) then an NCELLS-row aggregation; everything after the
+# assignment is bounded by the codebook size.
+
+def embed_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    scored = emb.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
+    tot = counts.agg(
+        F.sum("n_vecs").alias("total"),
+        F.count(F.lit(1)).alias("n_cells"),
+        F.max("n_vecs").alias("max_cell"),
+    )
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.expr("cast(n_vecs * 10000 div total as bigint)").alias("share_bp"),
+        F.expr("cast(n_vecs * n_cells * 10000 div total as bigint)").alias("load_bp"),
+        F.expr("cast(n_vecs * n_cells * 10000 div total > 20000 as int)").alias("hot_flag"),
+        F.expr("cast(max_cell * n_cells * 10000 div total as bigint)").alias("worst_load_bp"),
+    )
+
+
+CELL_BALANCE_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM d
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + NCELLS}
+), scored AS (
+  SELECT vec_id, cell,
+         round(list_dot_product(v, cv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM d CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r FROM scored
+  ) WHERE r = 1
+), counts AS (
+  SELECT cell, count(*)::BIGINT AS n_vecs FROM assigned GROUP BY cell
+), tot AS (
+  SELECT CAST(sum(n_vecs) AS BIGINT) AS total, count(*)::BIGINT AS n_cells,
+         CAST(max(n_vecs) AS BIGINT) AS max_cell
+  FROM counts
+)
+SELECT cell, n_vecs,
+       CAST(n_vecs * 10000 // total AS BIGINT) AS share_bp,
+       CAST(n_vecs * n_cells * 10000 // total AS BIGINT) AS load_bp,
+       CAST(n_vecs * n_cells * 10000 // total > 20000 AS INT) AS hot_flag,
+       CAST(max_cell * n_cells * 10000 // total AS BIGINT) AS worst_load_bp
+FROM counts, tot
+"""
+
+QUERIES["embed_cell_balance"] = embed_cell_balance
+ORACLES["embed_cell_balance"] = CELL_BALANCE_SQL
+
+
+# --- tokenizer fertility by language ------------------------------------------
+#
+# The tokenizer-bias measurement (public art: BPE fertility studies —
+# tokens-per-word varies by language, inflating effective sequence
+# cost for under-represented languages): per language label, total
+# subword units over whitespace words (fertility) and the share of
+# CONTINUATION units (units beyond each piece's first — what a ##-
+# prefixed wordpiece would be).  Uses the same deterministic regex
+# segmentation as token_count_bpe, so the two stay consistent.
+#
+# Plan: per-row array math, then one bounded per-lang aggregation —
+# scan-rate, one tiny shuffle; exact integer bp outputs.
+
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    pieces = F.expr(r"regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]', 0)")
+    n_bpe = F.aggregate(
+        pieces,
+        F.lit(0).cast("bigint"),
+        lambda acc, p: acc + F.ceil(F.length(p) / BPE_UNIT).cast("bigint"),
+    )
+    per_doc = docs.select(
+        "lang",
+        F.size(F.filter(F.split("text", r"\s+"), lambda t: t != ""))
+        .cast("bigint")
+        .alias("ws"),
+        n_bpe.alias("bpe"),
+        F.size(pieces).cast("bigint").alias("pieces"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").alias("n_words"),
+            F.sum("bpe").alias("n_bpe_tokens"),
+            F.sum("pieces").alias("n_pieces"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "n_words",
+            "n_bpe_tokens",
+            F.expr("cast(n_bpe_tokens * 10000 div n_words as bigint)").alias(
+                "fertility_bp"
+            ),
+            F.expr(
+                "cast((n_bpe_tokens - n_pieces) * 10000 div n_bpe_tokens as bigint)"
+            ).alias("continuation_bp"),
+        )
+    )
+
+
+FERTILITY_SQL = f"""
+WITH per_doc AS (
+  SELECT lang,
+         len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))::BIGINT AS ws,
+         list_sum(list_transform(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'),
+                  p -> CAST(ceil(length(p) / {BPE_UNIT}.0) AS BIGINT)))::BIGINT AS bpe,
+         len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9\\s]'))::BIGINT AS pieces
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(ws) AS BIGINT) AS n_words,
+       CAST(sum(bpe) AS BIGINT) AS n_bpe_tokens,
+       CAST(CAST(sum(bpe) AS BIGINT) * 10000 // CAST(sum(ws) AS BIGINT) AS BIGINT) AS fertility_bp,
+       CAST((CAST(sum(bpe) AS BIGINT) - CAST(sum(pieces) AS BIGINT)) * 10000
+            // CAST(sum(bpe) AS BIGINT) AS BIGINT) AS continuation_bp
+FROM per_doc GROUP BY lang
+"""
+
+QUERIES["tokenizer_fertility_by_lang"] = tokenizer_fertility_by_lang
+ORACLES["tokenizer_fertility_by_lang"] = FERTILITY_SQL
+
+
+# --- IVF nprobe sweep ---------------------------------------------------------
+#
+# The IVF tuning table (dedup_band_sweep's sibling for the vector
+# index): the SAME assignment and probe rankings evaluated at nprobe
+# in {1, 2, 4, 8}, reporting recall@K against the exact top-K next to
+# the candidate volume each setting scans — the recall-vs-cost curve
+# an ANN deployment reads before pinning nprobe (more probes = more
+# recall = more scanned cells, the textbook trade).
+#
+# Plan economics: ONE query-corpus exact scoring pass (pinned — feeds
+# both the truth ranking and candidate rerank), ONE assignment pass;
+# candidate sets nest across nprobe values, so the sweep explodes each
+# candidate to the configs that include it (per-cell probe rank <=
+# nprobe) instead of re-running the index per config.  Windows run per
+# (config, query) over candidate sets, never the corpus.
+
+NPROBE_SWEEP = (1, 2, 4, 8)
+
+
+def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    scored = emb.join(F.broadcast(cents), how="cross").select(
+        "vec_id", "v", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    assigned = (
+        scored.withColumn("r", F.row_number().over(w))
+        .where(F.col("r") == 1)
+        .select("vec_id", "cell")
+    )
+    queries = emb.where(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    allcos = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id", _cos(F.col("q"), F.col("v")).alias("cosine"))
+        .localCheckpoint(eager=False)  # one pass feeds truth + every rerank
+    )
+    wt = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    truth = (
+        allcos.withColumn("rank", F.row_number().over(wt))
+        .where(F.col("rank") <= IVF_K)
+        .select("query_id", "neighbor_id")
+    )
+    pranks = (
+        scored.where(F.col("vec_id") < IVF_QUERIES)
+        .withColumn("prank", F.row_number().over(w))
+        .select(F.col("vec_id").alias("query_id"), "cell", "prank")
+    )
+    cand = (
+        assigned.join(F.broadcast(pranks), "cell")
+        .where(F.col("vec_id") != F.col("query_id"))
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "prank")
+        .join(allcos, ["query_id", "neighbor_id"])
+    )
+    sweep = cand.select(
+        "query_id",
+        "neighbor_id",
+        "cosine",
+        F.explode(
+            F.filter(
+                F.array(*[F.lit(p) for p in NPROBE_SWEEP]),
+                lambda p: p >= F.col("prank"),
+            )
+        ).alias("nprobe"),
+    ).localCheckpoint(eager=False)
+    vol = sweep.groupBy("nprobe").agg(F.count(F.lit(1)).alias("cand_rows"))
+    ws = Window.partitionBy("nprobe", "query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    hits = (
+        sweep.withColumn("rank", F.row_number().over(ws))
+        .where(F.col("rank") <= IVF_K)
+        .join(truth, ["query_id", "neighbor_id"])
+        .groupBy("nprobe")
+        .agg(F.count(F.lit(1)).alias("total_hits"))
+    )
+    nq = queries.agg(F.count(F.lit(1)).alias("n_queries"))
+    return (
+        vol.join(hits, "nprobe", "left")
+        .crossJoin(F.broadcast(nq))
+        .select(
+            F.col("nprobe").cast("bigint").alias("nprobe"),
+            F.col("n_queries").cast("bigint").alias("n_queries"),
+            F.coalesce(F.col("total_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
+            F.expr(
+                f"cast(coalesce(total_hits, 0) * 10000 div ({IVF_K} * n_queries) as bigint)"
+            ).alias("recall_bp"),
+            F.col("cand_rows").cast("bigint").alias("cand_rows"),
+            F.expr("cast(cand_rows div n_queries as bigint)").alias("cands_per_query"),
+        )
+    )
+
+
+IVF_SWEEP_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), cents AS (
+  SELECT vec_id AS cell, v AS cv FROM d
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + NCELLS}
+), scored AS (
+  SELECT vec_id, cell,
+         round(list_dot_product(v, cv) /
+               (sqrt(list_dot_product(v, v)) * sqrt(list_dot_product(cv, cv))), 6) AS ccos
+  FROM d CROSS JOIN cents
+), assigned AS (
+  SELECT vec_id, cell FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r FROM scored
+  ) WHERE r = 1
+), q AS (
+  SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {IVF_QUERIES}
+), allcos AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qv, d.v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(d.v, d.v))), 6) AS cosine
+  FROM q JOIN d ON d.vec_id <> q.query_id
+), truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM allcos
+  ) WHERE rank <= {IVF_K}
+), pranks AS (
+  SELECT vec_id AS query_id, cell, r AS prank FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cell ASC) AS r FROM scored
+  ) WHERE vec_id < {IVF_QUERIES}
+), cand AS (
+  SELECT p.query_id, a.vec_id AS neighbor_id, p.prank, c.cosine
+  FROM assigned a
+  JOIN pranks p ON a.cell = p.cell AND a.vec_id <> p.query_id
+  JOIN allcos c ON c.query_id = p.query_id AND c.neighbor_id = a.vec_id
+), sweep AS (
+  SELECT query_id, neighbor_id, cosine, np AS nprobe
+  FROM cand, (SELECT unnest([{", ".join(str(p) for p in NPROBE_SWEEP)}]) AS np)
+  WHERE np >= prank
+), vol AS (
+  SELECT nprobe, count(*)::BIGINT AS cand_rows FROM sweep GROUP BY nprobe
+), hits AS (
+  SELECT nprobe, count(*)::BIGINT AS total_hits FROM (
+    SELECT nprobe, query_id, neighbor_id FROM (
+      SELECT *, row_number() OVER (PARTITION BY nprobe, query_id
+                                   ORDER BY cosine DESC, neighbor_id ASC) AS rank
+      FROM sweep
+    ) WHERE rank <= {IVF_K}
+  ) t JOIN truth USING (query_id, neighbor_id)
+  GROUP BY nprobe
+), nq AS (SELECT count(*)::BIGINT AS n_queries FROM q)
+SELECT CAST(nprobe AS BIGINT) AS nprobe,
+       n_queries,
+       CAST(coalesce(total_hits, 0) AS BIGINT) AS total_hits,
+       CAST(coalesce(total_hits, 0) * 10000 // ({IVF_K} * n_queries) AS BIGINT) AS recall_bp,
+       cand_rows,
+       CAST(cand_rows // n_queries AS BIGINT) AS cands_per_query
+FROM vol LEFT JOIN hits USING (nprobe), nq
+"""
+
+QUERIES["ivf_nprobe_sweep"] = ivf_nprobe_sweep
+ORACLES["ivf_nprobe_sweep"] = IVF_SWEEP_SQL

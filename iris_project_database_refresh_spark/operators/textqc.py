@@ -1571,3 +1571,113 @@ FROM scored GROUP BY source
 
 QUERIES["source_ngram_kl"] = source_ngram_kl
 ORACLES["source_ngram_kl"] = SOURCE_KL_SQL
+
+
+# --- curriculum phase plan ----------------------------------------------------
+#
+# Quality-ordered curriculum construction (public art: curriculum /
+# quality-ascending data ordering — train early on plentiful average
+# data, finish on the cleanest slice): documents rank by an exact
+# integer quality composite (lexical-diversity bp + stopword-
+# naturalness bp, the quality_score features in integer form) and
+# split into three phases at the corpus quality tertiles.  The rollup
+# is the schedule a training run consumes: docs, token budget and
+# mean quality per phase.
+#
+# Scale: NO global sort — tertile edges are one 1-row percentile
+# aggregate (mergeable GK sketch at 100 TB) broadcast back, phase
+# assignment is an array count per row (the equidepth device: edges
+# snapped to an integer grid x3000 where interpolated thirds are
+# exact, so both engines bin identically); one bounded phase rollup.
+
+def curriculum_phase_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    n_chars = F.length("text")
+    est = F.greatest(
+        F.floor(n_chars / 10),
+        F.least(F.floor(n_chars / 3.5), F.floor(n_chars / 2)),
+    ).cast("bigint")
+    base = docs.select(
+        "doc_id",
+        est.alias("est_tokens"),
+        F.expr(
+            "cast(size(array_distinct(filter(split(text, '\\\\s+'), t -> t != ''))) * 10000"
+            " div size(filter(split(text, '\\\\s+'), t -> t != '')) as bigint)"
+            " + cast(size(filter(filter(split(text, '\\\\s+'), t -> t != ''),"
+            " t -> t in ('the', 'a', 'of', 'and', 'in', 'to', 'is'))) * 10000"
+            " div size(filter(split(text, '\\\\s+'), t -> t != '')) as bigint)"
+        ).alias("q_bp"),
+    ).localCheckpoint(eager=False)
+    edges = base.agg(
+        F.expr(
+            "transform(percentile(q_bp, array(0.3333333333333333, 0.6666666666666666)),"
+            " e -> cast(floor(e * 3000 + 0.5) as bigint))"
+        ).alias("edges")
+    )
+    phased = base.crossJoin(F.broadcast(edges)).select(
+        "est_tokens",
+        "q_bp",
+        (F.size(F.filter("edges", lambda e: e < F.col("q_bp") * 3000)) + 1).alias("phase"),
+    )
+    tot = phased.agg(
+        F.count(F.lit(1)).alias("all_docs"), F.sum("est_tokens").alias("all_tokens")
+    )
+    return (
+        phased.groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("est_tokens").alias("n_tokens"),
+            F.sum("q_bp").alias("sq"),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("phase").cast("bigint").alias("phase"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            F.expr("cast(sq div n_docs as bigint)").alias("mean_q_bp"),
+            F.expr("cast(n_docs * 10000 div all_docs as bigint)").alias("docs_share_bp"),
+            F.expr("cast(n_tokens * 10000 div all_tokens as bigint)").alias(
+                "token_share_bp"
+            ),
+        )
+    )
+
+
+CURRICULUM_SQL = """
+WITH base AS (
+  SELECT doc_id,
+         CAST(greatest(length(text) // 10,
+              least(CAST(floor(length(text) / 3.5) AS BIGINT), length(text) // 2)) AS BIGINT)
+           AS est_tokens,
+         CAST(len(list_distinct(toks)) * 10000 // len(toks) AS BIGINT)
+           + CAST(len(list_filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'in', 'to', 'is')))
+                  * 10000 // len(toks) AS BIGINT) AS q_bp
+  FROM (SELECT doc_id, text, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+edges AS (
+  SELECT list_transform(quantile_cont(q_bp, [0.3333333333333333, 0.6666666666666666]),
+                        e -> CAST(floor(e * 3000 + 0.5) AS BIGINT)) AS edges
+  FROM base
+),
+phased AS (
+  SELECT est_tokens, q_bp,
+         len(list_filter(edges, e -> e < q_bp * 3000)) + 1 AS phase
+  FROM base, edges
+),
+tot AS (
+  SELECT count(*)::BIGINT AS all_docs, CAST(sum(est_tokens) AS BIGINT) AS all_tokens
+  FROM phased
+)
+SELECT CAST(phase AS BIGINT) AS phase,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(est_tokens) AS BIGINT) AS n_tokens,
+       CAST(CAST(sum(q_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_q_bp,
+       CAST(count(*) * 10000 // all_docs AS BIGINT) AS docs_share_bp,
+       CAST(CAST(sum(est_tokens) AS BIGINT) * 10000 // all_tokens AS BIGINT) AS token_share_bp
+FROM phased, tot GROUP BY phase, all_docs, all_tokens
+"""
+
+QUERIES["curriculum_phase_plan"] = curriculum_phase_plan
+ORACLES["curriculum_phase_plan"] = CURRICULUM_SQL

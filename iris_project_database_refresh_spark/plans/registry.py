@@ -166,7 +166,8 @@ _DRIVER_PRIORITY = [
     "events_overdispersion", "kfold_assignment_audit",
     "chapter_autodetect", "chapter_ranges_validate", "quantile_drift_psi",
     "split_leakage_audit", "events_holt_linear", "lang_switch_stats",
-    "source_ngram_kl",
+    "source_ngram_kl", "rag_context_pack", "embed_cell_balance",
+    "tokenizer_fertility_by_lang",
 ]
 
 
