@@ -167,7 +167,7 @@ _DRIVER_PRIORITY = [
     "chapter_autodetect", "chapter_ranges_validate", "quantile_drift_psi",
     "split_leakage_audit", "events_holt_linear", "lang_switch_stats",
     "source_ngram_kl", "rag_context_pack", "embed_cell_balance",
-    "tokenizer_fertility_by_lang",
+    "tokenizer_fertility_by_lang", "ivf_nprobe_sweep", "curriculum_phase_plan",
 ]
 
 
