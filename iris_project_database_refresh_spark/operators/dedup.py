@@ -2003,3 +2003,84 @@ FROM labeled, total GROUP BY split_x, split_y, n_pairs_total, n_leak_total
 
 QUERIES["split_leakage_audit"] = split_leakage_audit
 ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
+
+
+# --- dedup method agreement (Venn) -------------------------------------------
+#
+# Which near-dup detector finds what: the exact-hash, MinHash-LSH and
+# SimHash pair sets of the SAME corpus overlaid into the membership
+# Venn — exact ⊂ near-dup methods by construction (identical text has
+# identical shingles and bits), while MinHash (set Jaccard) and
+# SimHash (weighted cosine-ish) genuinely disagree at the margin; the
+# pattern counts tell a pipeline owner what switching or stacking
+# detectors would change (the method-selection table next to the
+# parameter-tuning tables dedup_band_sweep / ivf_nprobe_sweep).
+#
+# Plan: three production pair pipelines (each already banded/bounded)
+# + one md5 self-join for exact pairs (uniform key), then a rollup on
+# the bounded union of pair sets.  Outputs one row per membership
+# pattern with union share in bp.
+
+def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _corpus(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    a, b = c.alias("a"), c.alias("b")
+    exact = a.join(
+        b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    minhash = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
+    simhash = dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    tagged = (
+        exact.select("id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("m"), F.lit(0).alias("s"))
+        .unionByName(minhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("m"), F.lit(0).alias("s")))
+        .unionByName(simhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(0).alias("m"), F.lit(1).alias("s")))
+    )
+    flags = tagged.groupBy("id_a", "id_b").agg(
+        F.max("e").alias("in_exact"),
+        F.max("m").alias("in_minhash"),
+        F.max("s").alias("in_simhash"),
+    )
+    tot = flags.agg(F.count(F.lit(1)).alias("n_union"))
+    return (
+        flags.groupBy("in_exact", "in_minhash", "in_simhash")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("in_exact").cast("int").alias("in_exact"),
+            F.col("in_minhash").cast("int").alias("in_minhash"),
+            F.col("in_simhash").cast("int").alias("in_simhash"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.expr("cast(n_pairs * 10000 div n_union as bigint)").alias("union_share_bp"),
+        )
+    )
+
+
+DEDUP_VENN_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+exact AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM corpus a JOIN corpus b ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+),
+mh AS (SELECT id_a, id_b FROM ({DEDUP_MINHASH_SQL.strip()})),
+sh2 AS (SELECT id_a, id_b FROM ({DEDUP_SIMHASH_SQL.strip()})),
+tagged AS (
+  SELECT id_a, id_b, 1 AS e, 0 AS m, 0 AS s FROM exact
+  UNION ALL
+  SELECT id_a, id_b, 0, 1, 0 FROM mh
+  UNION ALL
+  SELECT id_a, id_b, 0, 0, 1 FROM sh2
+),
+flags AS (
+  SELECT id_a, id_b, max(e) AS in_exact, max(m) AS in_minhash, max(s) AS in_simhash
+  FROM tagged GROUP BY id_a, id_b
+),
+tot AS (SELECT count(*)::BIGINT AS n_union FROM flags)
+SELECT CAST(in_exact AS INT) AS in_exact,
+       CAST(in_minhash AS INT) AS in_minhash,
+       CAST(in_simhash AS INT) AS in_simhash,
+       count(*)::BIGINT AS n_pairs,
+       CAST(count(*) * 10000 // n_union AS BIGINT) AS union_share_bp
+FROM flags, tot GROUP BY in_exact, in_minhash, in_simhash, n_union
+"""
+
+QUERIES["dedup_method_venn"] = dedup_method_venn
+ORACLES["dedup_method_venn"] = DEDUP_VENN_SQL

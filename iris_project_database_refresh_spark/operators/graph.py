@@ -584,3 +584,143 @@ KCORE_SQL = _kcore_sql()
 
 QUERIES["graph_kcore"] = graph_kcore
 ORACLES["graph_kcore"] = KCORE_SQL
+
+
+# --- local clustering coefficient --------------------------------------------
+#
+# Watts-Strogatz local clustering per node — C(v) = 2*T(v) /
+# (deg(v)*(deg(v)-1)), the "how cliquish is this node's
+# neighborhood" read that separates community cores from bridge/hub
+# nodes (public small-world art; the per-node refinement of the
+# global triangle count).  The doc-graph is the same planted edge set
+# the other graph operators share; coefficients stay in exact integer
+# bp and roll into a bounded band histogram with the corpus mean.
+#
+# Plan: symmetric adjacency pinned once; wedges at v from one
+# self-join on the center; closing edges via one join against the
+# undirected edge set — the triangle_count join pattern re-keyed per
+# CENTER so T(v) lands on the node; deg >= 2 nodes only (C undefined
+# below); all exchanges keyed on node/edge ids, band rollup bounded.
+
+def graph_clustering_coeff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)  # consumed three times below
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).alias("deg"))
+    und = adj.where(F.col("x") < F.col("y")).select(
+        F.col("x").alias("a"), F.col("y").alias("b")
+    )
+    wedges = (
+        adj.alias("l")
+        .join(adj.alias("r"), F.col("l.x") == F.col("r.x"))
+        .where(F.col("l.y") < F.col("r.y"))
+        .select(F.col("l.x").alias("v"), F.col("l.y").alias("a"), F.col("r.y").alias("b"))
+    )
+    tri = wedges.join(und, ["a", "b"]).groupBy("v").agg(
+        F.count(F.lit(1)).alias("t")
+    )
+    cc = (
+        deg.where(F.col("deg") >= 2)
+        .join(tri.withColumnRenamed("v", "x"), "x", "left")
+        .select(
+            "x",
+            F.expr(
+                "cast(2 * coalesce(t, 0) * 10000 div (deg * (deg - 1)) as bigint)"
+            ).alias("cc_bp"),
+        )
+    )
+    band = (
+        F.when(F.col("cc_bp") == 0, "0")
+        .when(F.col("cc_bp") <= 2500, "(0,2500]")
+        .when(F.col("cc_bp") <= 5000, "(2500,5000]")
+        .when(F.col("cc_bp") <= 7500, "(5000,7500]")
+        .otherwise("(7500,10000]")
+    )
+    tot = cc.agg(F.count(F.lit(1)).alias("n_nodes_total"))
+    return (
+        cc.groupBy(band.alias("cc_band"))
+        .agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("cc_bp").alias("scc"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "cc_band",
+            F.col("n_nodes").cast("bigint").alias("n_nodes"),
+            F.expr("cast(scc div n_nodes as bigint)").alias("mean_cc_bp"),
+            F.expr("cast(n_nodes * 10000 div n_nodes_total as bigint)").alias(
+                "nodes_share_bp"
+            ),
+        )
+    )
+
+
+CLUSTERING_COEFF_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (
+  SELECT doc_id AS u, unnest(ts) AS v FROM tlists
+),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+deg AS (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
+und AS (SELECT x AS a, y AS b FROM adj WHERE x < y),
+wedges AS (
+  SELECT l.x AS v, l.y AS a, r.y AS b
+  FROM adj l JOIN adj r ON l.x = r.x
+  WHERE l.y < r.y
+),
+tri AS (
+  SELECT v, count(*)::BIGINT AS t
+  FROM wedges JOIN und USING (a, b) GROUP BY v
+),
+cc AS (
+  SELECT deg.x,
+         CAST(2 * coalesce(t, 0) * 10000 // (deg * (deg - 1)) AS BIGINT) AS cc_bp
+  FROM deg LEFT JOIN tri ON tri.v = deg.x
+  WHERE deg >= 2
+),
+banded AS (
+  SELECT CASE WHEN cc_bp = 0 THEN '0'
+              WHEN cc_bp <= 2500 THEN '(0,2500]'
+              WHEN cc_bp <= 5000 THEN '(2500,5000]'
+              WHEN cc_bp <= 7500 THEN '(5000,7500]'
+              ELSE '(7500,10000]' END AS cc_band,
+         cc_bp
+  FROM cc
+),
+tot AS (SELECT count(*)::BIGINT AS n_nodes_total FROM banded)
+SELECT cc_band,
+       count(*)::BIGINT AS n_nodes,
+       CAST(CAST(sum(cc_bp) AS BIGINT) // count(*) AS BIGINT) AS mean_cc_bp,
+       CAST(count(*) * 10000 // n_nodes_total AS BIGINT) AS nodes_share_bp
+FROM banded, tot GROUP BY cc_band, n_nodes_total
+"""
+
+QUERIES["graph_clustering_coeff"] = graph_clustering_coeff
+ORACLES["graph_clustering_coeff"] = CLUSTERING_COEFF_SQL

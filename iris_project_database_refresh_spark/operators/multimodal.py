@@ -1184,3 +1184,305 @@ SELECT 'audio->wav_container', count(*), count(*), 0 FROM auds
 
 QUERIES["multimodal_pairing_audit"] = multimodal_pairing_audit
 ORACLES["multimodal_pairing_audit"] = MULTIMODAL_PAIRING_SQL
+
+
+# --- audio silence-trim plan (real PCM kernel) -------------------------------
+#
+# The actual audio-prep operation a speech-training pipeline runs
+# before anything else: find the leading/trailing silence and the
+# trim plan (public practice: VAD / energy-gate trimming a la sox
+# `silence` / librosa.effects.trim — here the dependency-free energy
+# gate over real PCM words).  The kernel re-walks the RIFF chunks to
+# the data chunk, reads 16-bit LE words, and computes mean |sample|
+# over fixed 25-word analysis windows; a window below the gate is
+# silent, and the plan reports the leading run, trailing run, and the
+# kept span's duration.
+#
+# Oracle fidelity is byte-exact WITHOUT the oracle parsing WAV: the
+# planted data chunk is the document's utf-8 bytes, so DuckDB
+# recomputes every window energy from hex(encode(text)) two-hex-chars
+# -at-a-time (the hex-domain device), including 16-bit LE assembly
+# and sign handling — a kernel mis-parse (wrong data offset, byte
+# order, window walk) hash-mismatches.
+#
+# Scale: the same mapInPandas contract as the other media kernels —
+# payloads never hit the driver, windows are O(bytes) per row, no
+# shuffle at all.
+
+AUDIO_WIN_WORDS = 25
+SILENCE_GATE = 23000  # mean |sample| below this = silent window (~p20 of the planted stream)
+
+TRIM_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_windows", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("lead_trim", T.LongType()),
+        T.StructField("tail_trim", T.LongType()),
+        T.StructField("kept_windows", T.LongType()),
+        T.StructField("kept_ms", T.LongType()),
+    ]
+)
+
+
+def _wav_data_words(payload: bytes) -> tuple[int, int, list[int]] | None:
+    """(sample_rate, channels, signed 16-bit LE words of the data chunk)."""
+    import struct
+
+    if len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        return None
+    rate = channels = None
+    words: list[int] | None = None
+    i = 12
+    while i + 8 <= len(payload):
+        cid = payload[i : i + 4]
+        (size,) = struct.unpack("<I", payload[i + 4 : i + 8])
+        if cid == b"fmt " and i + 8 + 16 <= len(payload):
+            _, channels, rate = struct.unpack("<HHI", payload[i + 8 : i + 16])
+        elif cid == b"data":
+            data = payload[i + 8 : i + 8 + size]
+            words = [
+                struct.unpack("<h", data[k : k + 2])[0]
+                for k in range(0, len(data) - 1, 2)
+            ]
+        i += 8 + size + (size % 2)
+    if rate is None or words is None:
+        return None
+    return rate, channels, words
+
+
+def multimodal_silence_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = audio_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = _wav_data_words(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rate, channels, words = parsed
+                    nf = len(words) // AUDIO_WIN_WORDS
+                    if nf < 1:
+                        continue
+                    flags = []
+                    for f in range(nf):
+                        w = words[f * AUDIO_WIN_WORDS : (f + 1) * AUDIO_WIN_WORDS]
+                        energy = sum(abs(s) for s in w) // AUDIO_WIN_WORDS
+                        flags.append(energy < SILENCE_GATE)
+                    lead = next((i for i, s in enumerate(flags) if not s), nf)
+                    tail = (
+                        0
+                        if lead == nf
+                        else next((i for i, s in enumerate(reversed(flags)) if not s), 0)
+                    )
+                    kept = nf - lead - tail
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_windows": nf,
+                            "n_silent": sum(flags),
+                            "lead_trim": lead,
+                            "tail_trim": tail,
+                            "kept_windows": kept,
+                            "kept_ms": kept * AUDIO_WIN_WORDS * 1000 // (rate * channels),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in TRIM_SCHEMA.fields]
+                ).astype({f.name: "int64" for f in TRIM_SCHEMA.fields})
+
+    return audio.mapInPandas(fn, TRIM_SCHEMA)
+
+
+_WORD_ABS = (
+    "abs(CASE WHEN CAST('0x' || substr(hx, ({k}) * 4 + 3, 2) AS BIGINT) * 256"
+    " + CAST('0x' || substr(hx, ({k}) * 4 + 1, 2) AS BIGINT) >= 32768"
+    " THEN CAST('0x' || substr(hx, ({k}) * 4 + 3, 2) AS BIGINT) * 256"
+    " + CAST('0x' || substr(hx, ({k}) * 4 + 1, 2) AS BIGINT) - 65536"
+    " ELSE CAST('0x' || substr(hx, ({k}) * 4 + 3, 2) AS BIGINT) * 256"
+    " + CAST('0x' || substr(hx, ({k}) * 4 + 1, 2) AS BIGINT) END)"
+)
+
+SILENCE_TRIM_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         8000 + (doc_id % 4) * 4000 AS rate,
+         1 + doc_id % 2 AS channels,
+         ((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * ((1 + doc_id % 2) * 2)) // 2
+           AS n_words
+  FROM documents WHERE doc_id % 3 = 1
+),
+framed AS (
+  SELECT media_id, rate, channels, n_words // {AUDIO_WIN_WORDS} AS nf, hx
+  FROM base WHERE n_words // {AUDIO_WIN_WORDS} >= 1
+),
+flagged AS (
+  SELECT media_id, rate, channels, nf,
+         list_transform(range(0, nf), f ->
+           list_sum(list_transform(range(0, {AUDIO_WIN_WORDS}),
+                    j -> {_WORD_ABS.format(k=f"f * {AUDIO_WIN_WORDS} + j")}))
+             // {AUDIO_WIN_WORDS} < {SILENCE_GATE}) AS flags
+  FROM framed
+),
+runs AS (
+  SELECT media_id, rate, channels, nf, flags,
+         coalesce(nullif(list_position(flags, false), 0) - 1, nf) AS lead
+  FROM flagged
+)
+SELECT media_id,
+       CAST(nf AS BIGINT) AS n_windows,
+       CAST(len(list_filter(flags, x -> x)) AS BIGINT) AS n_silent,
+       CAST(lead AS BIGINT) AS lead_trim,
+       CAST(CASE WHEN lead = nf THEN 0
+                 ELSE coalesce(nullif(list_position(list_reverse(flags), false), 0) - 1, 0) END
+            AS BIGINT) AS tail_trim,
+       CAST(nf - lead - CASE WHEN lead = nf THEN 0
+                 ELSE coalesce(nullif(list_position(list_reverse(flags), false), 0) - 1, 0) END
+            AS BIGINT) AS kept_windows,
+       CAST((nf - lead - CASE WHEN lead = nf THEN 0
+                 ELSE coalesce(nullif(list_position(list_reverse(flags), false), 0) - 1, 0) END)
+            * {AUDIO_WIN_WORDS} * 1000 // (rate * channels) AS BIGINT) AS kept_ms
+FROM runs
+"""
+
+QUERIES["multimodal_silence_trim"] = multimodal_silence_trim
+ORACLES["multimodal_silence_trim"] = SILENCE_TRIM_SQL
+
+
+# --- video shot-boundary detection (real Y4M kernel) -------------------------
+#
+# The video twin of multimodal_silence_trim and the first real
+# video-prep decision op: frame-differencing shot detection (public
+# practice: ffmpeg select='gt(scene,..)' / PySceneDetect
+# ContentDetector — here the dependency-free luma version).  The
+# kernel walks the Y4M stream, takes each frame's Y plane (first
+# width*height bytes of C420), and scores consecutive-frame mean
+# absolute luma difference; a pair above the gate is a cut.  Training
+# pipelines sample frames per-shot rather than uniformly, so the cut
+# list is the actual prep artifact.
+#
+# Oracle fidelity without parsing Y4M: frame i's Y plane is a known
+# slice of the document's utf-8 bytes, so DuckDB recomputes every
+# pairwise difference from hex(encode(text)) byte-by-byte (hex-domain
+# device) — a kernel that mis-walks FRAME markers or chroma sizes
+# hash-mismatches.  Same mapInPandas contract: payloads stay on
+# executors, work is O(bytes) per row, no shuffle.
+
+SHOT_GATE = 30  # mean |dY| above this = cut (upper tail of the planted stream)
+
+SHOT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_pairs", T.LongType()),
+        T.StructField("n_cuts", T.LongType()),
+        T.StructField("first_cut_pair", T.LongType()),
+        T.StructField("max_diff", T.LongType()),
+        T.StructField("mean_diff", T.LongType()),
+    ]
+)
+
+
+def _y4m_y_planes(payload: bytes) -> tuple[int, int, list[bytes]] | None:
+    """(width, height, per-frame Y planes) via the Y4M stream walk."""
+    parsed = parse_y4m_stream(payload)
+    if parsed is None:
+        return None
+    w, h, _num, _den, n_frames = parsed
+    fs = w * h * 3 // 2
+    nl = payload.find(b"\n")
+    planes = []
+    i = nl + 1
+    for _ in range(n_frames):
+        j = payload.find(b"\n", i)  # FRAME marker line
+        start = j + 1
+        planes.append(payload[start : start + w * h])
+        i = start + fs
+    return w, h, planes
+
+
+def multimodal_shot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = video_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = _y4m_y_planes(bytes(payload))
+                    if parsed is None:
+                        continue
+                    w, h, planes = parsed
+                    if len(planes) < 2:
+                        continue
+                    diffs = [
+                        sum(abs(a - b) for a, b in zip(p0, p1)) // (w * h)
+                        for p0, p1 in zip(planes, planes[1:])
+                    ]
+                    cuts = [d > SHOT_GATE for d in diffs]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_frames": len(planes),
+                            "n_pairs": len(diffs),
+                            "n_cuts": sum(cuts),
+                            "first_cut_pair": next(
+                                (i + 1 for i, c in enumerate(cuts) if c), 0
+                            ),
+                            "max_diff": max(diffs),
+                            "mean_diff": sum(diffs) // len(diffs),
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in SHOT_SCHEMA.fields]
+                ).astype({f.name: "int64" for f in SHOT_SCHEMA.fields})
+
+    return video.mapInPandas(fn, SHOT_SCHEMA)
+
+
+_VBYTE = "CAST('0x' || substr(hx, ({o}) * 2 + 1, 2) AS BIGINT)"
+
+SHOT_DETECT_SQL = f"""
+WITH params AS (
+  SELECT doc_id AS media_id, hex(encode(text)) AS hx,
+         4 + (doc_id % 4) * 2 AS w,
+         4 + (doc_id % 3) * 2 AS h,
+         octet_length(encode(text)) AS nb
+  FROM documents WHERE doc_id % 3 = 2
+),
+sized AS (
+  SELECT media_id, hx, w, h, w * h * 3 // 2 AS fs,
+         least(nb // (w * h * 3 // 2), {VIDEO_MAX_FRAMES}) AS nf
+  FROM params
+),
+diffed AS (
+  SELECT media_id, nf,
+         list_transform(range(2, nf + 1), i ->
+           list_sum(list_transform(range(0, w * h), k ->
+             abs({_VBYTE.format(o="(i - 1) * fs + k")}
+                 - {_VBYTE.format(o="(i - 2) * fs + k")})))
+           // (w * h)) AS diffs
+  FROM sized WHERE nf >= 2
+)
+SELECT media_id,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST(len(diffs) AS BIGINT) AS n_pairs,
+       CAST(len(list_filter(diffs, d -> d > {SHOT_GATE})) AS BIGINT) AS n_cuts,
+       CAST(coalesce(nullif(list_position(list_transform(diffs, d -> d > {SHOT_GATE}),
+                                          true), 0), 0) AS BIGINT) AS first_cut_pair,
+       CAST(list_max(diffs) AS BIGINT) AS max_diff,
+       CAST(list_sum(diffs) // len(diffs) AS BIGINT) AS mean_diff
+FROM diffed
+"""
+
+QUERIES["multimodal_shot_detect"] = multimodal_shot_detect
+ORACLES["multimodal_shot_detect"] = SHOT_DETECT_SQL

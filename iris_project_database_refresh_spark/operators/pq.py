@@ -475,3 +475,87 @@ FROM ranked2 GROUP BY query_id
 
 QUERIES["matryoshka_rank_corr"] = matryoshka_rank_corr
 ORACLES["matryoshka_rank_corr"] = MATRYOSHKA_RANK_SQL
+
+
+# --- PQ quantization distortion ----------------------------------------------
+#
+# How lossy is the PQ index, per subspace: the mean and worst squared
+# quantization error (vector-to-chosen-centroid L2, the same exact
+# integer keys the encoder minimizes) for each of the M codebooks —
+# the index-health metric next to embed_cell_balance (IVF occupancy):
+# a subspace whose distortion dwarfs the others is where recall leaks
+# first, and re-training starts there (public PQ practice: per-
+# subspace MSE is THE codebook quality measure, Jegou et al. 2011).
+#
+# Plan: the production encode pipeline (broadcast codebook, narrow
+# (vector, subspace) stream, min over exact ints) keeping the min
+# distance instead of dropping it, then an M-row aggregation; the
+# distortion share uses a 1-row broadcast total.
+
+def embed_pq_distortion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    sub = emb.select(
+        "vec_id",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        "v",
+    ).select("vec_id", "m", F.expr(f"slice(v, m * {SUBD} + 1, {SUBD})").alias("sv"))
+    cb = sub.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KCENT)
+    ).select((F.col("vec_id") - CENTROID_BASE).alias("k"), "m", F.col("sv").alias("cv"))
+    mindist = (
+        sub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", _sub_l2_scaled().alias("di"))
+        .groupBy("vec_id", "m")
+        .agg(F.min("di").alias("di"))
+    )
+    per_m = mindist.groupBy("m").agg(
+        F.count(F.lit(1)).alias("n_vecs"),
+        F.sum("di").alias("sdist"),
+        F.max("di").alias("max_dist"),
+    )
+    tot = per_m.agg(F.sum("sdist").alias("tdist"))
+    return per_m.crossJoin(F.broadcast(tot)).select(
+        F.col("m").cast("bigint").alias("subspace"),
+        F.col("n_vecs").cast("bigint").alias("n_vecs"),
+        F.expr("cast(sdist div n_vecs as bigint)").alias("mean_dist_micro"),
+        F.col("max_dist").cast("bigint").alias("max_dist_micro"),
+        F.expr("cast(sdist * 10000 div tdist as bigint)").alias("dist_share_bp"),
+    )
+
+
+PQ_DISTORTION_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, list_slice(v, m * {SUBD} + 1, m * {SUBD} + {SUBD}) AS sv
+  FROM d, (SELECT unnest(generate_series(0, {M - 1})) AS m)
+),
+cb AS (
+  SELECT vec_id - {CENTROID_BASE} AS k, m, sv AS cv
+  FROM sub WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KCENT}
+),
+mindist AS (
+  SELECT vec_id, m,
+         min(floor(1e6 * list_sum(list_transform(generate_series(1, {SUBD}),
+             i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) + (0.5)::DOUBLE)::BIGINT) AS di
+  FROM sub JOIN cb USING (m)
+  GROUP BY vec_id, m
+),
+per_m AS (
+  SELECT m, count(*)::BIGINT AS n_vecs, CAST(sum(di) AS BIGINT) AS sdist,
+         CAST(max(di) AS BIGINT) AS max_dist
+  FROM mindist GROUP BY m
+),
+tot AS (SELECT CAST(sum(sdist) AS BIGINT) AS tdist FROM per_m)
+SELECT CAST(m AS BIGINT) AS subspace, n_vecs,
+       CAST(sdist // n_vecs AS BIGINT) AS mean_dist_micro,
+       max_dist AS max_dist_micro,
+       CAST(sdist * 10000 // tdist AS BIGINT) AS dist_share_bp
+FROM per_m, tot
+"""
+
+QUERIES["embed_pq_distortion"] = embed_pq_distortion
+ORACLES["embed_pq_distortion"] = PQ_DISTORTION_SQL

@@ -168,6 +168,8 @@ _DRIVER_PRIORITY = [
     "split_leakage_audit", "events_holt_linear", "lang_switch_stats",
     "source_ngram_kl", "rag_context_pack", "embed_cell_balance",
     "tokenizer_fertility_by_lang", "ivf_nprobe_sweep", "curriculum_phase_plan",
+    "multimodal_silence_trim", "dedup_method_venn", "embed_pq_distortion",
+    "multimodal_shot_detect", "graph_clustering_coeff",
 ]
 
 

@@ -293,3 +293,48 @@ def test_stateful_rate_limiter_matches_batch(spark):
         for r in events_rate_limit_sim(spark, SF_CORRECT).collect()
     }
     assert got == want
+
+
+def test_wav_data_words_kernel():
+    """_wav_data_words: rejection on non-WAV bytes; signed LE word
+    decode on a hand-built WAV with known samples."""
+    import struct
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _wav_data_words,
+    )
+
+    assert _wav_data_words(b"not riff at all") is None
+    assert _wav_data_words(b"") is None
+    samples = [0, 1000, -1000, 32767, -32768]
+    data = b"".join(struct.pack("<h", s) for s in samples)
+    hdr = (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(data))
+    )
+    assert _wav_data_words(hdr + data) == (8000, 1, samples)
+
+
+def test_streaming_drift_monitor_matches_batch(spark):
+    """Frozen-baseline drift binning on the stream == the same binning
+    computed batch-side (bin convention shared with quantile_drift_psi)."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from iris_project_database_refresh_spark.streaming.drift_monitor import (
+        drift_bin_counts,
+        freeze_baseline,
+        run_drift_monitor_available_now,
+    )
+
+    got = {
+        tuple(r)
+        for r in run_drift_monitor_available_now(spark, SF_CORRECT).collect()
+    }
+    mid, edges = freeze_baseline(spark, SF_CORRECT)
+    want = {
+        tuple(r)
+        for r in drift_bin_counts(
+            load_table(spark, SF_CORRECT, "events"), edges, mid
+        ).collect()
+    }
+    assert got == want and len(got) > 0
