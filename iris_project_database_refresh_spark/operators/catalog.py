@@ -892,3 +892,103 @@ FROM keyed
 
 QUERIES["pdf_merge_plan"] = pdf_merge_plan
 ORACLES["pdf_merge_plan"] = PDF_MERGE_PLAN_SQL
+
+
+# --- rename detection ---------------------------------------------------------
+#
+# The content-addressed upgrade to stage1's name-keyed delta
+# (`catalog search/stage1_extract_csv.py` compare_files keys on
+# file_name, so a renamed file shows up as delete + new and gets fully
+# re-processed): when both sides carry a content key, a "new" file
+# whose key matches a "deleted" one is a RENAME — metadata moves, no
+# re-parse, no re-embed (the git rename-detection move applied to the
+# refresh).  Planted data: every snapshot-only file (doc_id % 11 = 3,
+# exactly stage1's "new" set) also exists in the master under its old
+# name `old_<id>.txt` with the same content key; ghost files keep
+# distinct keys, so they stay honest deletes.  The content key is
+# md5(text || doc_id) — unique per document, so rename matching is
+# exact 1-1 with no tie-break cases.
+#
+# Plan: the name-keyed full-outer delta stays as-is; rename pairing is
+# ONE equi-join on the content-key hash between the (small) new and
+# deleted slices, anti-joins give the surviving true news/deletes —
+# all metadata-scale, uniform hash keys.
+
+def catalog_rename_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    ckey = F.md5(F.concat(F.col("text"), F.col("doc_id").cast("string")))
+    newside = docs.where(F.col("doc_id") % 11 == 3).select(
+        F.concat(F.lit("doc_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.col("source").alias("document_source"),
+        F.col("n_chars").alias("file_size"),
+        ckey.alias("ckey"),
+    )
+    old_names = docs.where(F.col("doc_id") % 11 == 3).select(
+        F.concat(F.lit("old_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.col("source").alias("document_source"),
+        F.col("n_chars").alias("file_size"),
+        ckey.alias("ckey"),
+    )
+    ghosts = docs.where(F.col("doc_id") % 17 == 0).select(
+        F.concat(F.lit("gone_"), F.col("doc_id"), F.lit(".txt")).alias("file_name"),
+        F.col("source").alias("document_source"),
+        F.col("n_chars").alias("file_size"),
+        ckey.alias("ckey"),
+    )
+    deleted = old_names.unionByName(ghosts)
+    renames = newside.alias("n").join(
+        deleted.alias("d"), F.col("n.ckey") == F.col("d.ckey")
+    ).select(
+        F.col("n.file_name").alias("file_name"),
+        F.col("d.file_name").alias("old_name"),
+        F.col("n.document_source").alias("document_source"),
+        F.col("n.file_size").alias("file_size"),
+        F.lit("renamed").alias("action"),
+    )
+    true_new = newside.join(deleted, "ckey", "left_anti").select(
+        "file_name",
+        F.lit("(none)").alias("old_name"),
+        "document_source",
+        "file_size",
+        F.lit("new").alias("action"),
+    )
+    true_del = deleted.join(newside, "ckey", "left_anti").select(
+        "file_name",
+        F.lit("(none)").alias("old_name"),
+        "document_source",
+        "file_size",
+        F.lit("deleted").alias("action"),
+    )
+    return renames.unionByName(true_new).unionByName(true_del)
+
+
+CATALOG_RENAME_SQL = """
+WITH newside AS (
+  SELECT 'doc_' || doc_id || '.txt' AS file_name, source AS document_source,
+         n_chars AS file_size, md5(text || doc_id) AS ckey
+  FROM documents WHERE doc_id % 11 = 3
+),
+old_names AS (
+  SELECT 'old_' || doc_id || '.txt' AS file_name, source AS document_source,
+         n_chars AS file_size, md5(text || doc_id) AS ckey
+  FROM documents WHERE doc_id % 11 = 3
+),
+ghosts AS (
+  SELECT 'gone_' || doc_id || '.txt' AS file_name, source AS document_source,
+         n_chars AS file_size, md5(text || doc_id) AS ckey
+  FROM documents WHERE doc_id % 17 = 0
+),
+deleted AS (SELECT * FROM old_names UNION ALL SELECT * FROM ghosts)
+SELECT n.file_name, d.file_name AS old_name, n.document_source, n.file_size,
+       'renamed' AS action
+FROM newside n JOIN deleted d ON n.ckey = d.ckey
+UNION ALL
+SELECT file_name, '(none)', document_source, file_size, 'new'
+FROM newside WHERE ckey NOT IN (SELECT ckey FROM deleted)
+UNION ALL
+SELECT file_name, '(none)', document_source, file_size, 'deleted'
+FROM deleted WHERE ckey NOT IN (SELECT ckey FROM newside)
+"""
+
+QUERIES["catalog_rename_detect"] = catalog_rename_detect
+ORACLES["catalog_rename_detect"] = CATALOG_RENAME_SQL

@@ -470,3 +470,88 @@ FROM scored
 
 QUERIES["as_of_join_tolerance"] = as_of_join_tolerance
 ORACLES["as_of_join_tolerance"] = AS_OF_TOLERANCE_SQL
+
+
+# --- sessionization gap sweep -------------------------------------------------
+#
+# The tuning table for `sessionize`'s 30-minute constant (the
+# band-sweep pattern applied to sessionization): session counts and
+# density at inactivity thresholds 15 min / 30 min / 60 min, computed
+# from ONE lag pass — n_sessions(T) = n_users + #gaps > T, so the
+# whole sweep is three conditional sums over the same gap stream, no
+# re-sessionization per config.  The table an analytics owner reads
+# before pinning the gap (too small fragments journeys, too large
+# merges visits).
+#
+# Plan: one (user_id) shuffle+sort for the lag, one 1-row aggregate,
+# then a 3-row explode — corpus touched once.
+
+GAP_SWEEP_S = (900, 1800, 3600)
+
+
+def sessionize_gap_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.unix_micros("ts").alias("t"), "event_id"
+    )
+    w = _W.partitionBy("user_id").orderBy("t", "event_id")
+    gaps = ev.select(
+        "user_id",
+        F.expr(
+            "cast((t - lag(t) over (partition by user_id order by t, event_id))"
+            " div 1000000 as bigint)"
+        ).alias("gap_s"),
+    )
+    agg = gaps.agg(
+        F.countDistinct("user_id").alias("n_users"),
+        F.count(F.lit(1)).alias("n_events"),
+        *[
+            F.sum((F.col("gap_s") > T).cast("bigint")).alias(f"b{T}")
+            for T in GAP_SWEEP_S
+        ],
+    )
+    arms = F.array(
+        *[
+            F.struct(F.lit(T).cast("bigint").alias("threshold_s"), F.col(f"b{T}").alias("brk"))
+            for T in GAP_SWEEP_S
+        ]
+    )
+    return (
+        agg.select("n_users", "n_events", F.explode(arms).alias("a"))
+        .select(
+            F.col("a.threshold_s").alias("threshold_s"),
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_events").cast("bigint").alias("n_events"),
+            (F.col("n_users") + F.col("a.brk")).cast("bigint").alias("n_sessions"),
+            F.expr("cast(n_events * 1000 div (n_users + a.brk) as bigint)").alias(
+                "events_per_session_milli"
+            ),
+        )
+    )
+
+
+GAP_SWEEP_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+gaps AS (
+  SELECT user_id,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events_us
+),
+agg AS (
+  SELECT count(DISTINCT user_id)::BIGINT AS n_users, count(*)::BIGINT AS n_events,
+         {", ".join(f"CAST(sum(CASE WHEN gap_s > {T} THEN 1 ELSE 0 END) AS BIGINT) AS b{T}" for T in GAP_SWEEP_S)}
+  FROM gaps
+)
+{" UNION ALL ".join(f'''
+SELECT CAST({T} AS BIGINT) AS threshold_s, n_users, n_events,
+       CAST(n_users + b{T} AS BIGINT) AS n_sessions,
+       CAST(n_events * 1000 // (n_users + b{T}) AS BIGINT) AS events_per_session_milli
+FROM agg''' for T in GAP_SWEEP_S)}
+"""
+
+QUERIES["sessionize_gap_sweep"] = sessionize_gap_sweep
+ORACLES["sessionize_gap_sweep"] = GAP_SWEEP_SQL

@@ -493,3 +493,125 @@ BIGRAM_DECODE_SQL = _decode_sql()
 
 QUERIES["bigram_greedy_decode"] = bigram_greedy_decode
 ORACLES["bigram_greedy_decode"] = BIGRAM_DECODE_SQL
+
+
+# --- multi-round BPE training ------------------------------------------------
+#
+# The trainer that bpe_merge_step is one iteration of: BPE_ROUNDS
+# merges learned end-to-end (Sennrich et al. 2016, the standard
+# subword-vocabulary construction).  Each round re-counts adjacent
+# symbol pairs over the CURRENT vocabulary (weighted by word
+# frequency), picks the argmax merge (count desc, pair asc —
+# deterministic), and applies it with the greedy left-to-right fold
+# before the next round counts again — the actual merge-table
+# artifact a tokenizer ships.
+#
+# Scale: the corpus collapses to its word vocabulary ONCE; all R
+# rounds run over the vocab (Zipf head — bounded), each round one
+# bounded pair count + a 1-row broadcast argmax + a per-word fold.
+# The Spark loop pins the vocabulary between rounds (lazy
+# localCheckpoint) so round R's plan does not inline R nested folds.
+# Oracle: R unrolled CTE blocks, each with the recursive merge walk.
+
+BPE_ROUNDS = 4
+
+
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vocab = _vocab(spark, sf_dir).withColumn("syms", F.expr(_CHARS)).select(
+        "wcnt", "syms"
+    )
+    results = []
+    for r in range(1, BPE_ROUNDS + 1):
+        vocab = vocab.localCheckpoint(eager=False)
+        pair_counts = (
+            vocab.select("wcnt", F.explode(F.expr(_PAIRS)).alias("p"))
+            .groupBy(F.col("p.ma").alias("ma"), F.col("p.mb").alias("mb"))
+            .agg(F.sum("wcnt").alias("n"))
+        )
+        best = pair_counts.orderBy(F.desc("n"), "ma", "mb").limit(1)
+        results.append(
+            best.select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.concat_ws(" ", "ma", "mb").alias("pair"),
+                F.concat("ma", "mb").alias("new_symbol"),
+                F.col("n").cast("bigint").alias("support_count"),
+            )
+        )
+        bcols = best.select(
+            F.col("ma").alias("best_a"), F.col("mb").alias("best_b")
+        )
+        vocab = (
+            vocab.crossJoin(F.broadcast(bcols))
+            .withColumn(
+                "msyms",
+                F.aggregate(
+                    F.col("syms"),
+                    F.expr("cast(array() as array<string>)"),
+                    lambda acc, s: F.when(
+                        (F.size(acc) > 0)
+                        & (F.element_at(acc, -1) == F.col("best_a"))
+                        & (s == F.col("best_b")),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.concat(F.col("best_a"), F.col("best_b"))),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(s))),
+                ),
+            )
+            .select("wcnt", F.col("msyms").alias("syms"))
+        )
+    out = results[0]
+    for p in results[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+def _bpe_train_sql() -> str:
+    pairs_of = (
+        "CASE WHEN len({s}) < 2 THEN [] "
+        "ELSE list_transform(generate_series(1, len({s}) - 1), "
+        "i -> struct_pack(ma := {s}[i], mb := {s}[i + 1])) END"
+    )
+    blocks = [
+        """vocab0 AS (
+  SELECT count(*)::BIGINT AS wcnt,
+         list_transform(generate_series(1, length(word)), i -> substr(word, i, 1)) AS syms
+  FROM (SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+        FROM documents)
+  GROUP BY word
+)"""
+    ]
+    for r in range(1, BPE_ROUNDS + 1):
+        v0, v1 = f"vocab{r - 1}", f"vocab{r}"
+        blocks.append(
+            f"""pc{r} AS (
+  SELECT p.ma AS ma, p.mb AS mb, CAST(sum(wcnt) AS BIGINT) AS n
+  FROM (SELECT wcnt, unnest({pairs_of.format(s="syms")}) AS p FROM {v0})
+  GROUP BY 1, 2
+),
+best{r} AS (SELECT ma, mb, n FROM pc{r} ORDER BY n DESC, ma, mb LIMIT 1),
+walk{r} AS (
+  SELECT wcnt, ma AS best_a, mb AS best_b, syms, len(syms)::BIGINT AS L,
+         1::BIGINT AS i, []::VARCHAR[] AS acc
+  FROM {v0}, best{r}
+  UNION ALL
+  SELECT wcnt, best_a, best_b, syms, L, i + 1,
+         CASE WHEN len(acc) > 0 AND acc[len(acc)] = best_a AND syms[i::INT] = best_b
+              THEN list_append(acc[1:len(acc) - 1], best_a || best_b)
+              ELSE list_append(acc, syms[i::INT]) END
+  FROM walk{r} WHERE i <= L
+),
+{v1} AS (SELECT wcnt, acc AS syms FROM walk{r} WHERE i = L + 1)"""
+        )
+    arms = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round, ma || ' ' || mb AS pair,"
+        f" ma || mb AS new_symbol, n AS support_count FROM best{r}"
+        for r in range(1, BPE_ROUNDS + 1)
+    )
+    return "WITH RECURSIVE " + ",\n".join(blocks) + "\n" + arms
+
+
+BPE_TRAIN_SQL = _bpe_train_sql()
+
+QUERIES["bpe_train_merges"] = bpe_train_merges
+ORACLES["bpe_train_merges"] = BPE_TRAIN_SQL

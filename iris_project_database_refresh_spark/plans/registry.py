@@ -169,7 +169,8 @@ _DRIVER_PRIORITY = [
     "source_ngram_kl", "rag_context_pack", "embed_cell_balance",
     "tokenizer_fertility_by_lang", "ivf_nprobe_sweep", "curriculum_phase_plan",
     "multimodal_silence_trim", "dedup_method_venn", "embed_pq_distortion",
-    "multimodal_shot_detect", "graph_clustering_coeff",
+    "multimodal_shot_detect", "graph_clustering_coeff", "sessionize_gap_sweep",
+    "catalog_rename_detect", "bpe_train_merges",
 ]
 
 
