@@ -754,3 +754,119 @@ FROM scored GROUP BY event_type
 
 QUERIES["quantile_drift_psi"] = quantile_drift_psi
 ORACLES["quantile_drift_psi"] = PSI_SQL
+
+
+# --- refresh DAG critical path ------------------------------------------------
+#
+# The orchestration view of the reference's pipelines: per refresh
+# run, the three prep pipelines (docx prep, excel prep, pdf merger)
+# run in PARALLEL and join the serial catalog chain at
+# stage2_process_documents, which then flows stage3 -> stage4 ->
+# stage5 -> stage6 (the repo layout's actual dependency structure).
+# Per run (one per day of the event stream), stage durations derive
+# deterministically from that day's per-type event volumes (the
+# planted-data convention), and the earliest-finish relaxation over
+# the fixed DAG yields the makespan, which input dominates the join
+# point, and what parallelism saves vs serializing everything — the
+# scheduling read an orchestration owner uses to pick what to
+# optimize first.
+#
+# Plan: one (day, type) aggregation pivoted by conditional sums, then
+# pure per-row integer arithmetic over the bounded 7-node DAG — the
+# relaxation unrolls at compile time (DAG is fixed), no joins, no
+# iteration.
+
+def refresh_dag_critical_path(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(
+        *[
+            F.sum((F.col("event_type") == t).cast("bigint")).alias(f"c_{t}")
+            for t in ("view", "click", "purchase", "signup", "error")
+        ]
+    )
+    d = daily.select(
+        "day",
+        F.expr("c_view div 10").alias("d_stage1"),
+        F.expr("c_click div 8").alias("d_stage2"),
+        F.expr("c_purchase div 2").alias("d_stage3"),
+        F.expr("c_signup div 3").alias("d_stage4"),
+        F.expr("c_error div 2 + 30").alias("d_stage5"),
+        F.expr("(c_view + c_click + c_purchase + c_signup + c_error) div 20").alias(
+            "d_stage6"
+        ),
+        F.expr("c_view div 12").alias("d_prep_docx"),
+        F.expr("c_click div 15").alias("d_prep_excel"),
+        F.expr("c_purchase div 4").alias("d_pdf_merge"),
+    )
+    join_start = F.greatest(
+        F.col("d_stage1"), F.col("d_prep_docx"), F.col("d_prep_excel"), F.col("d_pdf_merge")
+    )
+    wait_on = (
+        F.when(join_start == F.col("d_pdf_merge"), "pdf_merge")
+        .when(join_start == F.col("d_prep_docx"), "prep_docx")
+        .when(join_start == F.col("d_prep_excel"), "prep_excel")
+        .otherwise("stage1")
+    )
+    chain_after = (
+        F.col("d_stage2") + F.col("d_stage3") + F.col("d_stage4")
+        + F.col("d_stage5") + F.col("d_stage6")
+    )
+    total_work = (
+        F.col("d_stage1") + chain_after + F.col("d_prep_docx")
+        + F.col("d_prep_excel") + F.col("d_pdf_merge")
+    )
+    makespan = join_start + chain_after
+    return d.select(
+        "day",
+        makespan.cast("bigint").alias("makespan_s"),
+        join_start.cast("bigint").alias("stage2_start_s"),
+        wait_on.alias("stage2_waits_on"),
+        total_work.cast("bigint").alias("total_work_s"),
+        (total_work - makespan).cast("bigint").alias("parallel_saving_s"),
+    )
+
+
+DAG_CRITICAL_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS c_view,
+         CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c_click,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c_purchase,
+         CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS c_signup,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS c_error
+  FROM events_us GROUP BY 1
+),
+d AS (
+  SELECT day,
+         c_view // 10 AS d_stage1, c_click // 8 AS d_stage2,
+         c_purchase // 2 AS d_stage3, c_signup // 3 AS d_stage4,
+         c_error // 2 + 30 AS d_stage5,
+         (c_view + c_click + c_purchase + c_signup + c_error) // 20 AS d_stage6,
+         c_view // 12 AS d_prep_docx, c_click // 15 AS d_prep_excel,
+         c_purchase // 4 AS d_pdf_merge
+  FROM daily
+)
+SELECT day,
+       CAST(greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge)
+            + d_stage2 + d_stage3 + d_stage4 + d_stage5 + d_stage6 AS BIGINT) AS makespan_s,
+       CAST(greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge) AS BIGINT) AS stage2_start_s,
+       CASE WHEN greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge) = d_pdf_merge THEN 'pdf_merge'
+            WHEN greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge) = d_prep_docx THEN 'prep_docx'
+            WHEN greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge) = d_prep_excel THEN 'prep_excel'
+            ELSE 'stage1' END AS stage2_waits_on,
+       CAST(d_stage1 + d_stage2 + d_stage3 + d_stage4 + d_stage5 + d_stage6
+            + d_prep_docx + d_prep_excel + d_pdf_merge AS BIGINT) AS total_work_s,
+       CAST(d_stage1 + d_stage2 + d_stage3 + d_stage4 + d_stage5 + d_stage6
+            + d_prep_docx + d_prep_excel + d_pdf_merge
+            - (greatest(d_stage1, d_prep_docx, d_prep_excel, d_pdf_merge)
+               + d_stage2 + d_stage3 + d_stage4 + d_stage5 + d_stage6) AS BIGINT) AS parallel_saving_s
+FROM d
+"""
+
+QUERIES["refresh_dag_critical_path"] = refresh_dag_critical_path
+ORACLES["refresh_dag_critical_path"] = DAG_CRITICAL_SQL

@@ -170,7 +170,7 @@ _DRIVER_PRIORITY = [
     "tokenizer_fertility_by_lang", "ivf_nprobe_sweep", "curriculum_phase_plan",
     "multimodal_silence_trim", "dedup_method_venn", "embed_pq_distortion",
     "multimodal_shot_detect", "graph_clustering_coeff", "sessionize_gap_sweep",
-    "catalog_rename_detect", "bpe_train_merges",
+    "catalog_rename_detect", "bpe_train_merges", "refresh_dag_critical_path",
 ]
 
 
