@@ -892,3 +892,140 @@ WHERE norm2 < lo OR norm2 > hi
 
 QUERIES["embed_norm_outliers"] = embed_norm_outliers
 ORACLES["embed_norm_outliers"] = EMBED_NORM_OUTLIERS_SQL
+
+
+# --- Johnson-Lindenstrauss projection quality ---------------------------------
+#
+# The THIRD dimensionality-reduction device next to Matryoshka prefix
+# truncation (needs MRL-trained vectors) and PQ codes (needs
+# codebooks): a data-oblivious random signed projection 64 -> 16 dims
+# (Achlioptas 2003 — +-1 entries suffice for the JL guarantee), the
+# fallback that works on ANY embedding table with zero training.  The
+# sign matrix derives from md5 so both engines materialize the same
+# compile-time constant.  Measurement mirrors embed_cosine_histogram:
+# the deterministic cyclic pair sample scores |cos_full - cos_proj|
+# in bp, banded, with the corpus mean beside — the distortion read
+# that says whether 4x cheaper vectors are usable.
+#
+# Plan: projection is a fixed 16x64 expression tree per row (no
+# shuffle, scan-rate); the pair sample is one shifted-id equi-join;
+# the rollup is bounded bands.
+
+import hashlib as _hashlib
+
+JL_OUT_DIMS = 16
+JL_IN_DIMS = 64
+
+_JL_SIGNS = [
+    [
+        1 if int(_hashlib.md5(f"jl_{j}_{d}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1
+        for d in range(JL_IN_DIMS)
+    ]
+    for j in range(JL_OUT_DIMS)
+]
+
+
+def _jl_proj_spark() -> str:
+    rows = []
+    for j in range(JL_OUT_DIMS):
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}v[{d}])" for d, s in enumerate(_JL_SIGNS[j])
+        )
+        rows.append(f"({terms})")
+    return "array(" + ", ".join(rows) + ")"
+
+
+def _jl_proj_sql() -> str:
+    rows = []
+    for j in range(JL_OUT_DIMS):
+        terms = " + ".join(
+            f"({'' if s > 0 else '-'}v[{d + 1}])" for d, s in enumerate(_JL_SIGNS[j])
+        )
+        rows.append(f"({terms})")
+    return "[" + ", ".join(rows) + "]"
+
+
+def embed_jl_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    n_df = emb.agg(F.count(F.lit(1)).alias("n"))
+    proj = emb.select(
+        "vec_id", "v", F.expr(_jl_proj_spark()).alias("y")
+    ).localCheckpoint(eager=False)
+    a = proj.crossJoin(F.broadcast(n_df)).select(
+        "vec_id", "v", "y", F.expr("(vec_id + 1) % n").alias("other")
+    )
+    paired = a.alias("l").join(
+        proj.alias("r"), F.col("l.other") == F.col("r.vec_id")
+    ).select(
+        F.col("l.vec_id").alias("vec_id"),
+        F.round(_dot(F.col("l.v"), F.col("r.v"))
+                / (F.sqrt(_dot(F.col("l.v"), F.col("l.v"))) * F.sqrt(_dot(F.col("r.v"), F.col("r.v")))), 6).alias("cos_full"),
+        F.round(_dot(F.col("l.y"), F.col("r.y"))
+                / (F.sqrt(_dot(F.col("l.y"), F.col("l.y"))) * F.sqrt(_dot(F.col("r.y"), F.col("r.y")))), 6).alias("cos_proj"),
+    )
+    scored = paired.select(
+        F.expr("cast(floor(abs(cos_full - cos_proj) * 10000 + 0.5) as bigint)").alias(
+            "err_bp"
+        )
+    )
+    band = (
+        F.when(F.col("err_bp") < 100, "[0,100)")
+        .when(F.col("err_bp") < 250, "[100,250)")
+        .when(F.col("err_bp") < 500, "[250,500)")
+        .otherwise("[500,+)")
+    )
+    tot = scored.agg(
+        F.count(F.lit(1)).alias("n_pairs_total"), F.sum("err_bp").alias("serr")
+    )
+    return (
+        scored.groupBy(band.alias("err_band"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "err_band",
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.expr("cast(n_pairs * 10000 div n_pairs_total as bigint)").alias(
+                "pairs_share_bp"
+            ),
+            F.expr("cast(serr div n_pairs_total as bigint)").alias("mean_err_bp"),
+        )
+    )
+
+
+JL_PROJECTION_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+n_df AS (SELECT count(*)::BIGINT AS n FROM d),
+proj AS (
+  SELECT vec_id, v, {_jl_proj_sql()} AS y FROM d
+),
+paired AS (
+  SELECT l.vec_id,
+         round(list_dot_product(l.v, r.v)
+               / (sqrt(list_dot_product(l.v, l.v)) * sqrt(list_dot_product(r.v, r.v))), 6) AS cos_full,
+         round(list_dot_product(l.y, r.y)
+               / (sqrt(list_dot_product(l.y, l.y)) * sqrt(list_dot_product(r.y, r.y))), 6) AS cos_proj
+  FROM proj l JOIN proj r ON (l.vec_id + 1) % (SELECT n FROM n_df) = r.vec_id
+),
+scored AS (
+  SELECT CAST(floor(abs(cos_full - cos_proj) * 10000 + 0.5) AS BIGINT) AS err_bp
+  FROM paired
+),
+tot AS (
+  SELECT count(*)::BIGINT AS n_pairs_total, CAST(sum(err_bp) AS BIGINT) AS serr FROM scored
+)
+SELECT CASE WHEN err_bp < 100 THEN '[0,100)'
+            WHEN err_bp < 250 THEN '[100,250)'
+            WHEN err_bp < 500 THEN '[250,500)'
+            ELSE '[500,+)' END AS err_band,
+       count(*)::BIGINT AS n_pairs,
+       CAST(count(*) * 10000 // n_pairs_total AS BIGINT) AS pairs_share_bp,
+       CAST(serr // n_pairs_total AS BIGINT) AS mean_err_bp
+FROM scored, tot GROUP BY 1, n_pairs_total, serr
+"""
+
+QUERIES["embed_jl_projection"] = embed_jl_projection
+ORACLES["embed_jl_projection"] = JL_PROJECTION_SQL

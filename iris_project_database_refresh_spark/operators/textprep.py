@@ -562,3 +562,77 @@ FROM flagged GROUP BY source
 
 QUERIES["sft_lint_report"] = sft_lint_report
 ORACLES["sft_lint_report"] = SFT_LINT_SQL
+
+
+# --- SFT loss-mask plan -------------------------------------------------------
+#
+# The data-collator artifact downstream of sft_pairs_build: when a
+# document's (prompt, response) pairs pack into one training sequence,
+# the loss mask trains only response tokens (the standard SFT
+# convention — prompt tokens are context, not targets).  Pair i's
+# packed length is i*TURN_TOKENS (prompt grows with history), so the
+# sequence offsets are closed-form — sum of even j < i gives
+# seq_start = T*(i/2-1)*(i/2) — and every span is exact integer
+# arithmetic: masked = prompt span, trained = response span, with the
+# per-pair train-share (10000/i bp: later pairs are mostly context,
+# the padding-free packing trade).
+#
+# Plan: the same per-row fan-out as the pair builder — no shuffle, no
+# window; offsets are arithmetic, not prefix sums.
+
+def sft_loss_masking_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    n_turns = F.least(F.floor(F.size("toks") / TURN_TOKENS), F.lit(MAX_TURNS)).cast("int")
+    base = (
+        docs.select("doc_id", toks.alias("toks"))
+        .select("doc_id", n_turns.alias("n_turns"))
+        .where((F.col("n_turns") >= 2) & (F.col("doc_id") % 11 != 0))
+    )
+    pairs = base.select(
+        "doc_id",
+        F.explode(F.expr("filter(sequence(1, n_turns), i -> i % 2 = 0)")).alias("i"),
+    )
+    t = TURN_TOKENS
+    return pairs.select(
+        "doc_id",
+        F.expr("cast(i div 2 as bigint)").alias("pair_idx"),
+        F.expr(f"cast({t} * (i div 2 - 1) * (i div 2) as bigint)").alias("seq_start"),
+        F.expr(f"cast({t} * (i div 2 - 1) * (i div 2) + (i - 1) * {t} as bigint)").alias(
+            "mask_end_train_start"
+        ),
+        F.expr(f"cast({t} * (i div 2 - 1) * (i div 2) + i * {t} as bigint)").alias(
+            "seq_end"
+        ),
+        F.expr(f"cast((i - 1) * {t} as bigint)").alias("masked_tokens"),
+        F.lit(t).cast("bigint").alias("train_tokens"),
+        F.expr("cast(10000 div i as bigint)").alias("train_share_bp"),
+    )
+
+
+SFT_MASK_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         least(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+               // {TURN_TOKENS}, {MAX_TURNS}) AS n_turns
+  FROM documents
+), eligible AS (
+  SELECT doc_id, n_turns FROM base WHERE n_turns >= 2 AND doc_id % 11 <> 0
+), pairs AS (
+  SELECT doc_id, i FROM eligible, (SELECT unnest(generate_series(2, {MAX_TURNS}, 2)) AS i)
+  WHERE i <= n_turns
+)
+SELECT doc_id,
+       CAST(i // 2 AS BIGINT) AS pair_idx,
+       CAST({TURN_TOKENS} * (i // 2 - 1) * (i // 2) AS BIGINT) AS seq_start,
+       CAST({TURN_TOKENS} * (i // 2 - 1) * (i // 2) + (i - 1) * {TURN_TOKENS} AS BIGINT)
+         AS mask_end_train_start,
+       CAST({TURN_TOKENS} * (i // 2 - 1) * (i // 2) + i * {TURN_TOKENS} AS BIGINT) AS seq_end,
+       CAST((i - 1) * {TURN_TOKENS} AS BIGINT) AS masked_tokens,
+       CAST({TURN_TOKENS} AS BIGINT) AS train_tokens,
+       CAST(10000 // i AS BIGINT) AS train_share_bp
+FROM pairs
+"""
+
+QUERIES["sft_loss_masking_plan"] = sft_loss_masking_plan
+ORACLES["sft_loss_masking_plan"] = SFT_MASK_SQL
