@@ -1080,3 +1080,190 @@ FROM arms
 
 QUERIES["events_ab_srm_check"] = events_ab_srm_check
 ORACLES["events_ab_srm_check"] = SRM_SQL
+
+
+# --- rule-stack bot detection -------------------------------------------------
+#
+# The per-user automation classifier assembled from the signals the
+# stream already carries (public bot-detection practice: regularity +
+# coverage + rate rules, stacked): gap regularity (CV of inter-event
+# seconds in bp — the events_burstiness statistic, re-used per user),
+# around-the-clock coverage (distinct activity hours of day), and
+# sustained rate (events per active hour, milli).  Each rule
+# contributes integer points; the banded verdict (human / suspect /
+# bot) is what a traffic-quality gate consumes.
+#
+# Plan: ONE user-keyed window pass for gaps, one per-user aggregate
+# for all three features, bounded arithmetic after — no second corpus
+# pass, no joins.
+
+BOT_CV_REGULAR_BP = 8000      # CV below this = machine-regular cadence
+BOT_ALLHOURS_MIN = 24         # active in every hour of the day = no sleep
+BOT_RATE_MILLI_MIN = 1080     # sustained-rate upper tail of the planted stream
+
+
+def events_bot_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as _W
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("t"),
+        "event_id",
+        F.hour("ts").alias("hod"),
+        F.date_trunc("hour", "ts").alias("ahour"),
+    )
+    w = _W.partitionBy("user_id").orderBy("t", "event_id")
+    gapped = ev.select(
+        "user_id",
+        "hod",
+        "ahour",
+        F.expr(
+            "cast((t - lag(t) over (partition by user_id order by t, event_id))"
+            " div 1000000 as bigint)"
+        ).alias("gap_s"),
+    )
+    per_user = gapped.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("gap_s").alias("sx"),
+        F.sum(F.expr("gap_s * gap_s")).alias("sxx"),
+        F.sum(F.col("gap_s").isNotNull().cast("bigint")).alias("n_gaps"),
+        F.countDistinct("hod").alias("n_hours_of_day"),
+        F.countDistinct("ahour").alias("n_active_hours"),
+    ).where(F.col("n_gaps") >= 2)
+    cv_bp = F.expr(
+        "cast(floor(10000.0 * sqrt(cast(n_gaps as double) * sxx - cast(sx as double) * sx)"
+        " / cast(sx as double) + 0.5) as bigint)"
+    )
+    feat = per_user.select(
+        "user_id",
+        F.col("n_events").cast("bigint").alias("n_events"),
+        cv_bp.alias("cv_bp"),
+        F.col("n_hours_of_day").cast("bigint").alias("n_hours_of_day"),
+        F.expr("cast(n_events * 1000 div n_active_hours as bigint)").alias(
+            "rate_milli"
+        ),
+    )
+    score = (
+        (F.col("cv_bp") < BOT_CV_REGULAR_BP).cast("int")
+        + (F.col("n_hours_of_day") >= BOT_ALLHOURS_MIN).cast("int")
+        + (F.col("rate_milli") >= BOT_RATE_MILLI_MIN).cast("int")
+    )
+    verdict = (
+        F.when(score >= 2, "bot")
+        .when(score == 1, "suspect")
+        .otherwise("human")
+    )
+    return feat.select(
+        "*", score.cast("bigint").alias("bot_points"), verdict.alias("verdict")
+    )
+
+
+BOT_DETECT_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+gapped AS (
+  SELECT user_id,
+         CAST(extract(hour FROM ts) AS BIGINT) AS hod,
+         date_trunc('hour', ts) AS ahour,
+         (epoch_us(ts) - lag(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY epoch_us(ts), event_id))
+           // 1000000 AS gap_s
+  FROM events_us
+),
+per_user AS (
+  SELECT user_id, count(*)::BIGINT AS n_events,
+         CAST(sum(gap_s) AS BIGINT) AS sx,
+         CAST(sum(gap_s * gap_s) AS BIGINT) AS sxx,
+         CAST(sum(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_gaps,
+         count(DISTINCT hod)::BIGINT AS n_hours_of_day,
+         count(DISTINCT ahour)::BIGINT AS n_active_hours
+  FROM gapped GROUP BY user_id HAVING sum(CASE WHEN gap_s IS NOT NULL THEN 1 ELSE 0 END) >= 2
+),
+feat AS (
+  SELECT user_id, n_events,
+         CAST(floor(10000.0 * sqrt(CAST(n_gaps AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)
+              / CAST(sx AS DOUBLE) + 0.5) AS BIGINT) AS cv_bp,
+         n_hours_of_day,
+         CAST(n_events * 1000 // n_active_hours AS BIGINT) AS rate_milli
+  FROM per_user
+)
+SELECT user_id, n_events, cv_bp, n_hours_of_day, rate_milli,
+       CAST(CAST(cv_bp < {BOT_CV_REGULAR_BP} AS INT)
+            + CAST(n_hours_of_day >= {BOT_ALLHOURS_MIN} AS INT)
+            + CAST(rate_milli >= {BOT_RATE_MILLI_MIN} AS INT) AS BIGINT) AS bot_points,
+       CASE WHEN CAST(cv_bp < {BOT_CV_REGULAR_BP} AS INT)
+                 + CAST(n_hours_of_day >= {BOT_ALLHOURS_MIN} AS INT)
+                 + CAST(rate_milli >= {BOT_RATE_MILLI_MIN} AS INT) >= 2 THEN 'bot'
+            WHEN CAST(cv_bp < {BOT_CV_REGULAR_BP} AS INT)
+                 + CAST(n_hours_of_day >= {BOT_ALLHOURS_MIN} AS INT)
+                 + CAST(rate_milli >= {BOT_RATE_MILLI_MIN} AS INT) = 1 THEN 'suspect'
+            ELSE 'human' END AS verdict
+FROM feat
+"""
+
+QUERIES["events_bot_detect"] = events_bot_detect
+ORACLES["events_bot_detect"] = BOT_DETECT_SQL
+
+
+# --- day-over-day active-user overlap -----------------------------------------
+#
+# Audience continuity as a set statistic: Jaccard overlap of the
+# active-user sets of consecutive days (the cohort-free continuity
+# read next to events_dod_retention's rate — Jaccard also punishes
+# NEW influx, so a traffic-buy shows up here while pure retention
+# looks flat).  Exact integer bp from distinct (day, user) rows.
+#
+# Plan: one (day, user) distinct, day-grain set sizes, one
+# self-join on day+1 for intersection counts — all keyed small
+# aggregations after the single distinct pass.
+
+def events_dau_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("day", "ts").cast("date").alias("day"), "user_id"
+    ).distinct().localCheckpoint(eager=False)
+    sizes = ev.groupBy("day").agg(F.count(F.lit(1)).alias("n_users"))
+    nxt = ev.select(F.date_sub("day", 1).alias("day"), "user_id")
+    inter = ev.join(nxt, ["day", "user_id"]).groupBy("day").agg(
+        F.count(F.lit(1)).alias("n_common")
+    )
+    s2 = sizes.select(F.date_sub("day", 1).alias("day"), F.col("n_users").alias("n_next"))
+    return (
+        sizes.join(s2, "day")
+        .join(inter, "day", "left")
+        .select(
+            "day",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("n_next").cast("bigint").alias("n_users_next"),
+            F.coalesce(F.col("n_common"), F.lit(0)).cast("bigint").alias("n_common"),
+            F.expr(
+                "cast(coalesce(n_common, 0) * 10000 div (n_users + n_next - coalesce(n_common, 0)) as bigint)"
+            ).alias("jaccard_bp"),
+        )
+    )
+
+
+DAU_OVERLAP_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+au AS (
+  SELECT DISTINCT CAST(date_trunc('day', ts) AS DATE) AS day, user_id FROM events_us
+),
+sizes AS (SELECT day, count(*)::BIGINT AS n_users FROM au GROUP BY day),
+inter AS (
+  SELECT a.day, count(*)::BIGINT AS n_common
+  FROM au a JOIN au b ON b.day = a.day + INTERVAL 1 DAY AND a.user_id = b.user_id
+  GROUP BY a.day
+)
+SELECT s.day, s.n_users,
+       n2.n_users AS n_users_next,
+       CAST(coalesce(i.n_common, 0) AS BIGINT) AS n_common,
+       CAST(coalesce(i.n_common, 0) * 10000
+            // (s.n_users + n2.n_users - coalesce(i.n_common, 0)) AS BIGINT) AS jaccard_bp
+FROM sizes s
+JOIN sizes n2 ON n2.day = s.day + INTERVAL 1 DAY
+LEFT JOIN inter i ON i.day = s.day
+"""
+
+QUERIES["events_dau_overlap"] = events_dau_overlap
+ORACLES["events_dau_overlap"] = DAU_OVERLAP_SQL

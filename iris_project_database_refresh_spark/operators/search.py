@@ -688,3 +688,71 @@ FROM picked
 
 QUERIES["rag_context_pack"] = rag_context_pack
 ORACLES["rag_context_pack"] = RAG_PACK_SQL
+
+
+# --- corpus-derived stopword discovery ---------------------------------------
+#
+# Where a stopword list actually comes from (Luhn / Zipf practice —
+# the hand lists in textqc.STOPWORDS are someone else's corpus
+# statistics): tokens whose document frequency crosses DF_STOP_BP of
+# the corpus carry little discrimination power (idf ~ 0) and BM25 /
+# tfidf pipelines prune them at index-build time.  Emits the
+# candidate list with df share, corpus tf mass share, and the exact
+# integer idf-milli the scorer would assign — the artifact the
+# inverted-index builder consumes.
+#
+# Plan: one (token, doc) distinct + one token aggregation (map-side
+# combine) against 1-row corpus totals; candidates are the Zipf head,
+# so the output is bounded by construction.
+
+DF_STOP_BP = 6000  # in >= 60% of documents -> stopword candidate
+
+
+def stopword_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    tok_doc = docs.select("doc_id", F.explode(toks).alias("tok"))
+    df_counts = tok_doc.distinct().groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    tf_counts = tok_doc.groupBy("tok").agg(F.count(F.lit(1)).alias("tf"))
+    totals = docs.agg(F.count(F.lit(1)).alias("n_docs")).crossJoin(
+        tok_doc.agg(F.count(F.lit(1)).alias("n_tokens"))
+    )
+    return (
+        df_counts.join(tf_counts, "tok")
+        .crossJoin(F.broadcast(totals))
+        .where(F.expr(f"df * 10000 div n_docs >= {DF_STOP_BP}"))
+        .select(
+            "tok",
+            F.col("df").cast("bigint").alias("df"),
+            F.expr("cast(df * 10000 div n_docs as bigint)").alias("df_bp"),
+            F.expr("cast(tf * 10000 div n_tokens as bigint)").alias("tf_mass_bp"),
+            F.expr(
+                "cast(floor(ln(cast(n_docs as double) / df) * 1000) as bigint)"
+            ).alias("idf_milli"),
+        )
+    )
+
+
+STOPWORD_SQL = f"""
+WITH tok_doc AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS tok
+  FROM documents
+),
+df_counts AS (
+  SELECT tok, count(*)::BIGINT AS df FROM (SELECT DISTINCT doc_id, tok FROM tok_doc) GROUP BY tok
+),
+tf_counts AS (SELECT tok, count(*)::BIGINT AS tf FROM tok_doc GROUP BY tok),
+totals AS (
+  SELECT (SELECT count(*) FROM documents)::BIGINT AS n_docs,
+         (SELECT count(*) FROM tok_doc)::BIGINT AS n_tokens
+)
+SELECT tok, df,
+       CAST(df * 10000 // n_docs AS BIGINT) AS df_bp,
+       CAST(tf * 10000 // n_tokens AS BIGINT) AS tf_mass_bp,
+       CAST(floor(ln(CAST(n_docs AS DOUBLE) / df) * 1000) AS BIGINT) AS idf_milli
+FROM df_counts JOIN tf_counts USING (tok), totals
+WHERE df * 10000 // n_docs >= {DF_STOP_BP}
+"""
+
+QUERIES["stopword_discovery"] = stopword_discovery
+ORACLES["stopword_discovery"] = STOPWORD_SQL

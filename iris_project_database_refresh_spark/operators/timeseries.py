@@ -733,3 +733,146 @@ FROM walk WHERE i = n
 
 QUERIES["events_holt_linear"] = events_holt_linear
 ORACLES["events_holt_linear"] = HOLT_SQL
+
+
+# --- forecast backtest suite --------------------------------------------------
+#
+# The model-selection table over the forecasting family (the sweep
+# pattern applied to forecasters): naive last-value, seasonal-naive
+# (lag 7 days) and Holt linear trend backtested one-step-ahead on the
+# SAME daily series and the SAME eval window (day EVAL_FROM onward, so
+# every method has its lags/state warmed), SAE in exact milli units
+# and a per-type rank — which forecaster earns the dashboard slot.
+#
+# Plan: one (type, day) aggregation; naive/snaive errors are indexed
+# array transforms, Holt re-runs its integer fold carrying a step
+# counter so only eval-window errors accumulate; a 3-row explode per
+# type and an arithmetic rank (no window).
+
+EVAL_FROM = 9  # first 1-based day position scored (lag-7 + warmup covered)
+
+
+def events_forecast_backtest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"))
+        .where(F.size("days") >= EVAL_FROM)
+    )
+    naive = F.expr(
+        f"aggregate(sequence({EVAL_FROM}, size(days)), cast(0 as bigint),"
+        " (acc, p) -> acc + abs(days[p-1].x - days[p-2].x) * 1000)"
+    )
+    snaive = F.expr(
+        f"aggregate(sequence({EVAL_FROM}, size(days)), cast(0 as bigint),"
+        " (acc, p) -> acc + abs(days[p-1].x - days[p-8].x) * 1000)"
+    )
+    holt = F.expr(
+        f"""
+        aggregate(
+          slice(days, 3, greatest(size(days) - 2, 0)),
+          named_struct(
+            'l', days[0].x * cast(1000 as bigint),
+            'b', (days[1].x - days[0].x) * cast(1000 as bigint),
+            'sae', cast(0 as bigint),
+            'p', cast(3 as bigint)),
+          (acc, d) -> named_struct(
+            'l', {_HOLT_LNEW},
+            'b', {_HOLT_BNEW},
+            'sae', acc.sae + IF(acc.p >= {EVAL_FROM},
+                                abs(d.x * 1000 - (acc.l + acc.b)), cast(0 as bigint)),
+            'p', acc.p + 1)).sae
+        """
+    )
+    scored = per_type.select(
+        "event_type",
+        F.size("days").cast("bigint").alias("n_days"),
+        naive.alias("sae_naive"),
+        snaive.alias("sae_snaive"),
+        holt.alias("sae_holt"),
+    )
+    arms = F.array(
+        F.struct(F.lit("naive").alias("method"), F.col("sae_naive").alias("sae")),
+        F.struct(F.lit("snaive").alias("method"), F.col("sae_snaive").alias("sae")),
+        F.struct(F.lit("holt").alias("method"), F.col("sae_holt").alias("sae")),
+    )
+    exploded = scored.select(
+        "event_type", "n_days", "sae_naive", "sae_snaive", "sae_holt",
+        F.explode(arms).alias("a"),
+    )
+    rank = F.expr(
+        "cast(1 + size(filter(array("
+        "struct('naive' as method, sae_naive as sae),"
+        "struct('snaive' as method, sae_snaive as sae),"
+        "struct('holt' as method, sae_holt as sae)),"
+        " m -> m.sae < a.sae or (m.sae = a.sae and m.method < a.method))) as bigint)"
+    )
+    return exploded.select(
+        "event_type",
+        "n_days",
+        F.col("a.method").alias("method"),
+        F.col("a.sae").alias("sae_milli"),
+        rank.alias("rank"),
+    )
+
+
+BACKTEST_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(floor(value * 100 + (0.5)::DOUBLE)::BIGINT)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(day := day, x := x))) AS days,
+         count(*)::BIGINT AS n
+  FROM daily GROUP BY event_type HAVING count(*) >= {EVAL_FROM}
+),
+walk AS (
+  SELECT event_type, days, n, 2::BIGINT AS i,
+         days[1].x * 1000 AS l,
+         (days[2].x - days[1].x) * 1000 AS b,
+         0::BIGINT AS sae
+  FROM per_type
+  UNION ALL
+  SELECT event_type, days, n, i + 1,
+         (200 * days[(i + 1)::INT].x * 1000 + 800 * (l + b)) // 1000,
+         (100 * (((200 * days[(i + 1)::INT].x * 1000 + 800 * (l + b)) // 1000) - l)
+          + 900 * b) // 1000,
+         sae + CASE WHEN i + 1 >= {EVAL_FROM}
+                    THEN abs(days[(i + 1)::INT].x * 1000 - (l + b)) ELSE 0 END
+  FROM walk WHERE i < n
+),
+holted AS (SELECT event_type, n, sae AS sae_holt FROM walk WHERE i = n),
+scored AS (
+  SELECT p.event_type, p.n AS n_days,
+         CAST(coalesce(list_sum(list_transform(range({EVAL_FROM}, p.n + 1),
+              q -> abs(days[q::INT].x - days[(q - 1)::INT].x) * 1000)), 0) AS BIGINT) AS sae_naive,
+         CAST(coalesce(list_sum(list_transform(range({EVAL_FROM}, p.n + 1),
+              q -> abs(days[q::INT].x - days[(q - 7)::INT].x) * 1000)), 0) AS BIGINT) AS sae_snaive,
+         CAST(h.sae_holt AS BIGINT) AS sae_holt
+  FROM per_type p JOIN holted h ON p.event_type = h.event_type
+),
+arms AS (
+  SELECT event_type, n_days, sae_naive, sae_snaive, sae_holt, 'naive' AS method, sae_naive AS sae FROM scored
+  UNION ALL
+  SELECT event_type, n_days, sae_naive, sae_snaive, sae_holt, 'snaive', sae_snaive FROM scored
+  UNION ALL
+  SELECT event_type, n_days, sae_naive, sae_snaive, sae_holt, 'holt', sae_holt FROM scored
+)
+SELECT event_type, n_days, method, CAST(sae AS BIGINT) AS sae_milli,
+       CAST(1 + len(list_filter(
+           [struct_pack(m := 'naive', s := sae_naive),
+            struct_pack(m := 'snaive', s := sae_snaive),
+            struct_pack(m := 'holt', s := sae_holt)],
+           e -> e.s < sae OR (e.s = sae AND e.m < method))) AS BIGINT) AS rank
+FROM arms
+"""
+
+QUERIES["events_forecast_backtest"] = events_forecast_backtest
+ORACLES["events_forecast_backtest"] = BACKTEST_SQL

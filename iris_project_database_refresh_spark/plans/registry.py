@@ -171,7 +171,8 @@ _DRIVER_PRIORITY = [
     "multimodal_silence_trim", "dedup_method_venn", "embed_pq_distortion",
     "multimodal_shot_detect", "graph_clustering_coeff", "sessionize_gap_sweep",
     "catalog_rename_detect", "bpe_train_merges", "refresh_dag_critical_path",
-    "sft_loss_masking_plan", "embed_jl_projection",
+    "sft_loss_masking_plan", "embed_jl_projection", "events_bot_detect",
+    "events_forecast_backtest", "stopword_discovery", "events_dau_overlap",
 ]
 
 
