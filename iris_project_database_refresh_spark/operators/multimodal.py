@@ -1486,3 +1486,188 @@ FROM diffed
 
 QUERIES["multimodal_shot_detect"] = multimodal_shot_detect
 ORACLES["multimodal_shot_detect"] = SHOT_DETECT_SQL
+
+
+# --- ViT patch-grid plan over video frames -----------------------------------
+#
+# The vision-transformer ingestion plan: every frame tiles into PxP
+# patches (padding up to the next multiple), and the patch budget —
+# patches per frame x frames — is the sequence length the vision
+# encoder actually pays (the token_count analogue for pixels).  Runs
+# on the REAL Y4M kernel dims so a mis-parsed header corrupts the
+# plan and hash-mismatches; the oracle recomputes from the planted
+# parameters.
+#
+# Plan: the production video parse (mapInPandas) + per-row integer
+# arithmetic; no shuffle.
+
+VIT_PATCH = 4
+
+PATCH_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("tiles_x", T.LongType()),
+        T.StructField("tiles_y", T.LongType()),
+        T.StructField("pad_x", T.LongType()),
+        T.StructField("pad_y", T.LongType()),
+        T.StructField("patches_per_frame", T.LongType()),
+        T.StructField("total_patches", T.LongType()),
+    ]
+)
+
+
+def multimodal_patch_grid_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    video = video_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_y4m_stream(bytes(payload))
+                    if parsed is None:
+                        continue
+                    w, h, _num, _den, nf = parsed
+                    if nf < 1:
+                        continue
+                    tx = -(-w // VIT_PATCH)
+                    ty = -(-h // VIT_PATCH)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "width": w,
+                            "height": h,
+                            "n_frames": nf,
+                            "tiles_x": tx,
+                            "tiles_y": ty,
+                            "pad_x": tx * VIT_PATCH - w,
+                            "pad_y": ty * VIT_PATCH - h,
+                            "patches_per_frame": tx * ty,
+                            "total_patches": tx * ty * nf,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in PATCH_SCHEMA.fields]
+                ).astype({f.name: "int64" for f in PATCH_SCHEMA.fields})
+
+    return video.mapInPandas(fn, PATCH_SCHEMA)
+
+
+PATCH_GRID_SQL = f"""
+WITH params AS (
+  SELECT doc_id AS media_id,
+         4 + (doc_id % 4) * 2 AS w,
+         4 + (doc_id % 3) * 2 AS h,
+         least(octet_length(encode(text)) // ((4 + (doc_id % 4) * 2) * (4 + (doc_id % 3) * 2) * 3 // 2),
+               {VIDEO_MAX_FRAMES}) AS nf
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT media_id,
+       CAST(w AS BIGINT) AS width,
+       CAST(h AS BIGINT) AS height,
+       CAST(nf AS BIGINT) AS n_frames,
+       CAST((w + {VIT_PATCH} - 1) // {VIT_PATCH} AS BIGINT) AS tiles_x,
+       CAST((h + {VIT_PATCH} - 1) // {VIT_PATCH} AS BIGINT) AS tiles_y,
+       CAST(((w + {VIT_PATCH} - 1) // {VIT_PATCH}) * {VIT_PATCH} - w AS BIGINT) AS pad_x,
+       CAST(((h + {VIT_PATCH} - 1) // {VIT_PATCH}) * {VIT_PATCH} - h AS BIGINT) AS pad_y,
+       CAST(((w + {VIT_PATCH} - 1) // {VIT_PATCH}) * ((h + {VIT_PATCH} - 1) // {VIT_PATCH}) AS BIGINT)
+         AS patches_per_frame,
+       CAST(((w + {VIT_PATCH} - 1) // {VIT_PATCH}) * ((h + {VIT_PATCH} - 1) // {VIT_PATCH}) * nf AS BIGINT)
+         AS total_patches
+FROM params WHERE nf >= 1
+"""
+
+QUERIES["multimodal_patch_grid_plan"] = multimodal_patch_grid_plan
+ORACLES["multimodal_patch_grid_plan"] = PATCH_GRID_SQL
+
+
+# --- loudness-normalization plan (real PCM) ----------------------------------
+#
+# The second real audio-prep decision after silence trimming: peak
+# normalization — per clip, the gain that brings the peak |sample| to
+# the target level, and whether the clip already clips (gain < 1).
+# Exact integers throughout: peak and mean-|sample| from the same
+# 16-bit LE word walk the trim kernel uses; gain in milli units
+# (TARGET*1000 // peak).  The oracle recomputes peak/mean from
+# hex(encode(text)) so a byte-order or offset slip hash-mismatches.
+
+LOUDNESS_TARGET = 30000  # target peak |sample|
+
+LOUDNESS_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("peak", T.LongType()),
+        T.StructField("mean_abs", T.LongType()),
+        T.StructField("gain_milli", T.LongType()),
+        T.StructField("already_hot", T.LongType()),
+    ]
+)
+
+
+def multimodal_loudness_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    audio = audio_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = _wav_data_words(bytes(payload))
+                    if parsed is None:
+                        continue
+                    _rate, _channels, words = parsed
+                    if not words:
+                        continue
+                    peak = max(abs(s) for s in words)
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "n_samples": len(words),
+                            "peak": peak,
+                            "mean_abs": sum(abs(s) for s in words) // len(words),
+                            "gain_milli": LOUDNESS_TARGET * 1000 // peak if peak else 0,
+                            "already_hot": 1 if peak > LOUDNESS_TARGET else 0,
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in LOUDNESS_SCHEMA.fields]
+                ).astype({f.name: "int64" for f in LOUDNESS_SCHEMA.fields})
+
+    return audio.mapInPandas(fn, LOUDNESS_SCHEMA)
+
+
+LOUDNESS_SQL = f"""
+WITH base AS (
+  SELECT doc_id AS media_id,
+         hex(encode(text)) AS hx,
+         ((octet_length(encode(text)) // ((1 + doc_id % 2) * 2)) * ((1 + doc_id % 2) * 2)) // 2
+           AS n_words
+  FROM documents WHERE doc_id % 3 = 1
+),
+stats AS (
+  SELECT media_id, n_words,
+         list_max(list_transform(range(0, n_words), k -> {_WORD_ABS.format(k="k")})) AS peak,
+         list_sum(list_transform(range(0, n_words), k -> {_WORD_ABS.format(k="k")})) AS sabs
+  FROM base WHERE n_words >= 1
+)
+SELECT media_id,
+       CAST(n_words AS BIGINT) AS n_samples,
+       CAST(peak AS BIGINT) AS peak,
+       CAST(sabs // n_words AS BIGINT) AS mean_abs,
+       CAST({LOUDNESS_TARGET} * 1000 // peak AS BIGINT) AS gain_milli,
+       CAST(CASE WHEN peak > {LOUDNESS_TARGET} THEN 1 ELSE 0 END AS BIGINT) AS already_hot
+FROM stats
+"""
+
+QUERIES["multimodal_loudness_plan"] = multimodal_loudness_plan
+ORACLES["multimodal_loudness_plan"] = LOUDNESS_SQL

@@ -173,6 +173,7 @@ _DRIVER_PRIORITY = [
     "catalog_rename_detect", "bpe_train_merges", "refresh_dag_critical_path",
     "sft_loss_masking_plan", "embed_jl_projection", "events_bot_detect",
     "events_forecast_backtest", "stopword_discovery", "events_dau_overlap",
+    "multimodal_patch_grid_plan", "multimodal_loudness_plan",
 ]
 
 
