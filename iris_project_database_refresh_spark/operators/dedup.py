@@ -2084,3 +2084,171 @@ FROM flags, tot GROUP BY in_exact, in_minhash, in_simhash, n_union
 
 QUERIES["dedup_method_venn"] = dedup_method_venn
 ORACLES["dedup_method_venn"] = DEDUP_VENN_SQL
+
+
+# --- LSH bucket-occupancy audit ----------------------------------------------
+#
+# The shuffle-cost audit of the banded join (join_key_skew_report's
+# sibling for LSH, embed_cell_balance's for dedup): per band, bucket
+# occupancy rolled to the numbers that size the candidate join —
+# bucket count, max bucket, candidate pairs generated (sum n(n-1)/2),
+# and hot buckets above HOT_BUCKET.  A template-boilerplate corpus
+# concentrates one bucket per band and the banded join quietly goes
+# quadratic; this is the query that catches it BEFORE the join runs
+# (the production guard the DF_CAP family implements for shingles,
+# measured at the band grain).
+#
+# Plan: the production signature/band pipeline (narrow per-row), one
+# (band, key) count, one BANDS-row rollup.
+
+HOT_BUCKET = 8
+
+
+def dedup_lsh_bucket_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", *_minhash_sigs())
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    occ = buckets.groupBy("band_idx", "band_key").agg(F.count(F.lit(1)).alias("n"))
+    return (
+        occ.groupBy("band_idx")
+        .agg(
+            F.count(F.lit(1)).alias("n_buckets"),
+            F.sum("n").alias("n_docs"),
+            F.max("n").alias("max_bucket"),
+            F.sum(F.expr("n * (n - 1) div 2")).alias("pairs_generated"),
+            F.sum((F.col("n") > HOT_BUCKET).cast("bigint")).alias("hot_buckets"),
+        )
+        .select(
+            F.col("band_idx").cast("bigint").alias("band_idx"),
+            F.col("n_buckets").cast("bigint").alias("n_buckets"),
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("max_bucket").cast("bigint").alias("max_bucket"),
+            F.col("pairs_generated").cast("bigint").alias("pairs_generated"),
+            F.col("hot_buckets").cast("bigint").alias("hot_buckets"),
+        )
+    )
+
+
+LSH_BUCKET_AUDIT_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, band_idx, band_key
+  FROM sigs, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
+),
+occ AS (
+  SELECT band_idx, band_key, count(*)::BIGINT AS n FROM buckets GROUP BY 1, 2
+)
+SELECT CAST(band_idx AS BIGINT) AS band_idx,
+       count(*)::BIGINT AS n_buckets,
+       CAST(sum(n) AS BIGINT) AS n_docs,
+       CAST(max(n) AS BIGINT) AS max_bucket,
+       CAST(sum(n * (n - 1) // 2) AS BIGINT) AS pairs_generated,
+       CAST(sum(CASE WHEN n > {HOT_BUCKET} THEN 1 ELSE 0 END) AS BIGINT) AS hot_buckets
+FROM occ GROUP BY band_idx
+"""
+
+QUERIES["dedup_lsh_bucket_audit"] = dedup_lsh_bucket_audit
+ORACLES["dedup_lsh_bucket_audit"] = LSH_BUCKET_AUDIT_SQL
+
+
+# --- drop explainability ------------------------------------------------------
+#
+# "Why was my document removed?" — the reverse-lookup a dedup
+# pipeline owes its users (and its auditors): every dropped doc with
+# the rule that dropped it and the survivor that replaced it.  Exact
+# content duplicates (md5 cluster, keep-min-id) take precedence over
+# near-dup cluster pruning (keep-longest per LSH component, the
+# dedup_keep_best policy); a doc hit by both reports both flags so
+# rule overlap is visible.
+#
+# Plan: one md5 window over the corpus (uniform key), the shared
+# component labels pinned once + one component window for survivors —
+# the production decisions replayed, then a doc-grain merge; no new
+# corpus-sized joins beyond the pipelines being explained.
+
+def dedup_drop_explain(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    c = _corpus(spark, sf_dir).select(
+        "doc_id", F.length("text").alias("n_chars"), F.md5("text").alias("fp")
+    ).localCheckpoint(eager=False)
+    w_fp = Window.partitionBy("fp")
+    exact = (
+        c.withColumn("keep_id", F.min("doc_id").over(w_fp))
+        .where(F.col("doc_id") != F.col("keep_id"))
+        .select("doc_id", F.col("keep_id").alias("exact_survivor"))
+    )
+    comp = _components(spark, sf_dir).localCheckpoint(eager=False)
+    w_comp = Window.partitionBy("component_id").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    labeled = comp.join(c.select("doc_id", "n_chars"), "doc_id")
+    survivors = (
+        labeled.withColumn("rn", F.row_number().over(w_comp))
+        .where(F.col("rn") == 1)
+        .select("component_id", F.col("doc_id").alias("near_survivor"))
+    )
+    near = (
+        labeled.join(survivors, "component_id")
+        .where(F.col("doc_id") != F.col("near_survivor"))
+        .select("doc_id", "near_survivor")
+    )
+    merged = exact.join(near, "doc_id", "full_outer").select(
+        "doc_id",
+        F.when(F.col("exact_survivor").isNotNull(), "exact")
+        .otherwise(F.lit("near_dup"))
+        .alias("reason"),
+        F.coalesce("exact_survivor", "near_survivor").cast("bigint").alias("survivor_id"),
+        F.col("exact_survivor").isNotNull().cast("int").alias("hit_exact"),
+        F.col("near_survivor").isNotNull().cast("int").alias("hit_near"),
+    )
+    return merged
+
+
+DROP_EXPLAIN_SQL = f"""{_CC_COMP_PREFIX_SQL}
+, labels AS (
+  SELECT doc_id, least(doc_id, min(other)) AS component_id
+  FROM reach GROUP BY doc_id
+),
+exact AS (
+  SELECT doc_id, keep_id AS exact_survivor FROM (
+    SELECT doc_id, min(doc_id) OVER (PARTITION BY md5(text)) AS keep_id FROM corpus
+  ) WHERE doc_id <> keep_id
+),
+survivors AS (
+  SELECT component_id, doc_id AS near_survivor FROM (
+    SELECT l.component_id, d.doc_id,
+           row_number() OVER (PARTITION BY l.component_id
+                              ORDER BY length(d.text) DESC, d.doc_id) AS rn
+    FROM labels l JOIN corpus d ON l.doc_id = d.doc_id
+  ) WHERE rn = 1
+),
+near AS (
+  SELECT l.doc_id, s.near_survivor
+  FROM labels l JOIN survivors s USING (component_id)
+  WHERE l.doc_id <> s.near_survivor
+)
+SELECT coalesce(e.doc_id, n.doc_id) AS doc_id,
+       CASE WHEN e.exact_survivor IS NOT NULL THEN 'exact' ELSE 'near_dup' END AS reason,
+       CAST(coalesce(e.exact_survivor, n.near_survivor) AS BIGINT) AS survivor_id,
+       CAST(e.exact_survivor IS NOT NULL AS INT) AS hit_exact,
+       CAST(n.near_survivor IS NOT NULL AS INT) AS hit_near
+FROM exact e FULL OUTER JOIN near n ON e.doc_id = n.doc_id
+"""
+
+QUERIES["dedup_drop_explain"] = dedup_drop_explain
+ORACLES["dedup_drop_explain"] = DROP_EXPLAIN_SQL

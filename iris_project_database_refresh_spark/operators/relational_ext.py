@@ -1744,3 +1744,255 @@ FROM per, tot
 
 QUERIES["orders_priority_mix_shift"] = orders_priority_mix_shift
 ORACLES["orders_priority_mix_shift"] = PRIORITY_MIX_SQL
+
+
+# --- period-over-period revenue bridge ---------------------------------------
+#
+# The finance decomposition behind "revenue is down 4% — WHY": the
+# year-over-year revenue delta per brand split into volume effect
+# (quantity change at old realized price), price effect (realized
+# price change at new volume), new-part revenue and discontinued-part
+# revenue — and the four effects sum to the delta EXACTLY, because
+# the per-part integer bridge is constructed to telescope:
+# vol = (q1*r0) div q0 - r0 and price = r1 - (q1*r0) div q0 share the
+# truncated-division term, so vol + price = r1 - r0 with no rounding
+# residue (both engines truncate integer division identically).
+# Revenue in exact cents via the floor(x*100 + 0.5) device.
+#
+# Plan: lineitem joins orders on the join key (shuffle, uniform),
+# broadcast part dim for the brand; per-(part, year) conditional sums
+# then a bounded brand rollup.  Years = the two most recent full
+# years, from a 1-row broadcast.
+
+def orders_revenue_bridge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", F.year("o_orderdate").alias("yr")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+        F.floor(
+            F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)
+        ).cast("bigint").alias("rev_c"),
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    yrs = orders.agg(F.max("yr").alias("y1")).select(
+        "y1", (F.col("y1") - 1).alias("y0")
+    )
+    joined = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .crossJoin(F.broadcast(yrs))
+        .where((F.col("yr") == F.col("y0")) | (F.col("yr") == F.col("y1")))
+    )
+    per_part = joined.groupBy("l_partkey").agg(
+        F.sum(F.when(F.col("yr") == F.col("y0"), F.col("qty")).otherwise(0)).alias("q0"),
+        F.sum(F.when(F.col("yr") == F.col("y0"), F.col("rev_c")).otherwise(0)).alias("r0"),
+        F.sum(F.when(F.col("yr") == F.col("y1"), F.col("qty")).otherwise(0)).alias("q1"),
+        F.sum(F.when(F.col("yr") == F.col("y1"), F.col("rev_c")).otherwise(0)).alias("r1"),
+    )
+    eff = per_part.join(F.broadcast(part), "l_partkey").select(
+        "p_brand",
+        "r0",
+        "r1",
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0 THEN (q1 * r0) div q0 - r0 ELSE cast(0 as bigint) END"
+        ).alias("vol_eff"),
+        F.expr(
+            "CASE WHEN q0 > 0 AND q1 > 0 THEN r1 - (q1 * r0) div q0 ELSE cast(0 as bigint) END"
+        ).alias("price_eff"),
+        F.expr("CASE WHEN q0 = 0 THEN r1 ELSE cast(0 as bigint) END").alias("new_eff"),
+        F.expr("CASE WHEN q1 = 0 THEN -r0 ELSE cast(0 as bigint) END").alias("disc_eff"),
+    )
+    return eff.groupBy("p_brand").agg(
+        F.sum("r0").cast("bigint").alias("rev_prev_c"),
+        F.sum("r1").cast("bigint").alias("rev_cur_c"),
+        (F.sum("r1") - F.sum("r0")).cast("bigint").alias("delta_c"),
+        F.sum("vol_eff").cast("bigint").alias("volume_effect_c"),
+        F.sum("price_eff").cast("bigint").alias("price_effect_c"),
+        F.sum("new_eff").cast("bigint").alias("new_parts_c"),
+        F.sum("disc_eff").cast("bigint").alias("discontinued_c"),
+    )
+
+
+REVENUE_BRIDGE_SQL = """
+WITH yrs AS (
+  SELECT max(year(o_orderdate))::BIGINT AS y1, max(year(o_orderdate))::BIGINT - 1 AS y0
+  FROM orders
+),
+joined AS (
+  SELECT l_partkey, year(o_orderdate)::BIGINT AS yr,
+         CAST(l_quantity AS BIGINT) AS qty,
+         floor(l_extendedprice * (1 - l_discount) * 100 + (0.5)::DOUBLE)::BIGINT AS rev_c
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey, yrs
+  WHERE year(o_orderdate) = y0 OR year(o_orderdate) = y1
+),
+per_part AS (
+  SELECT l_partkey,
+         CAST(sum(CASE WHEN yr = (SELECT y0 FROM yrs) THEN qty ELSE 0 END) AS BIGINT) AS q0,
+         CAST(sum(CASE WHEN yr = (SELECT y0 FROM yrs) THEN rev_c ELSE 0 END) AS BIGINT) AS r0,
+         CAST(sum(CASE WHEN yr = (SELECT y1 FROM yrs) THEN qty ELSE 0 END) AS BIGINT) AS q1,
+         CAST(sum(CASE WHEN yr = (SELECT y1 FROM yrs) THEN rev_c ELSE 0 END) AS BIGINT) AS r1
+  FROM joined GROUP BY l_partkey
+),
+eff AS (
+  SELECT p.p_brand, r0, r1,
+         CASE WHEN q0 > 0 AND q1 > 0 THEN (q1 * r0) // q0 - r0 ELSE 0 END AS vol_eff,
+         CASE WHEN q0 > 0 AND q1 > 0 THEN r1 - (q1 * r0) // q0 ELSE 0 END AS price_eff,
+         CASE WHEN q0 = 0 THEN r1 ELSE 0 END AS new_eff,
+         CASE WHEN q1 = 0 THEN -r0 ELSE 0 END AS disc_eff
+  FROM per_part JOIN part p ON l_partkey = p.p_partkey
+)
+SELECT p_brand,
+       CAST(sum(r0) AS BIGINT) AS rev_prev_c,
+       CAST(sum(r1) AS BIGINT) AS rev_cur_c,
+       CAST(sum(r1) - sum(r0) AS BIGINT) AS delta_c,
+       CAST(sum(vol_eff) AS BIGINT) AS volume_effect_c,
+       CAST(sum(price_eff) AS BIGINT) AS price_effect_c,
+       CAST(sum(new_eff) AS BIGINT) AS new_parts_c,
+       CAST(sum(disc_eff) AS BIGINT) AS discontinued_c
+FROM eff GROUP BY p_brand
+"""
+
+QUERIES["orders_revenue_bridge"] = orders_revenue_bridge
+ORACLES["orders_revenue_bridge"] = REVENUE_BRIDGE_SQL
+
+
+# --- ship-mode delay ANOVA ----------------------------------------------------
+#
+# Does line status (the corpus's shipmode stand-in, the q12
+# convention) actually explain ship lag, or is the spread all
+# within-group noise?  One-way ANOVA on shipdate-minus-orderdate
+# delay (days), decomposed with the order-independent integer-sum device:
+# per group n, Σx, Σx² give SS_between and SS_within exactly (scaled
+# ×n_total to stay integral — no group-mean rounding), and the
+# F-statistic ships in milli units from one final guarded division.
+# The eta²_bp column (SS_between share) is the effect size a
+# logistics owner actually reads.
+#
+# Plan: one narrow lineitem scan (delay is a column expression), one
+# bounded per-mode aggregation + 1-row totals — scan-rate, a single
+# tiny shuffle.
+
+def lineitem_shipmode_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    li = (
+        load_table(spark, sf_dir, "lineitem")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.col("l_linestatus").alias("l_shipmode"),
+            F.datediff("l_shipdate", "o_orderdate").cast("bigint").alias("d"),
+        )
+    )
+    per_mode = li.groupBy("l_shipmode").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("sx"),
+        F.sum(F.expr("d * d")).alias("sxx"),
+    )
+    tot = per_mode.agg(
+        F.sum("n").alias("nt"),
+        F.sum("sx").alias("sxt"),
+        F.sum("sxx").alias("sxxt"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    # scaled-by-nt integer sums of squares:
+    #   ssb_n = nt * sum(sx_g^2 / n_g) - sxt^2   (grouped term exact via div-free: use sx_g^2 * (nt div? no —
+    # keep exactness: ssb_n = sum over groups of (sx_g^2 * nt) div n_g) - sxt^2 loses exactness via div;
+    # instead scale by prod? Use per-group exact rational with common denominator n_g:
+    # ssb*nt = nt*sum(sx^2/n) - sxt^2 -> per-group (nt * sx^2) div n leaves remainder < n (bounded, deterministic).
+    joined = per_mode.crossJoin(F.broadcast(tot))
+    per_mode_scaled = joined.select(
+        "l_shipmode",
+        "n",
+        "sx",
+        "sxx",
+        "nt",
+        "sxt",
+        "sxxt",
+        "k",
+        F.expr("(nt * sx * sx) div n").alias("gterm"),
+    )
+    agg2 = per_mode_scaled.groupBy("nt", "sxt", "sxxt", "k").agg(
+        F.sum("gterm").alias("gsum")
+    )
+    scored = agg2.select(
+        "nt",
+        "k",
+        (F.col("gsum") - F.col("sxt") * F.col("sxt")).alias("ssb_nt"),
+        (F.col("nt") * F.col("sxxt") - F.col("gsum")).alias("ssw_nt"),
+    )
+    f_milli = F.expr(
+        "CASE WHEN ssw_nt > 0 AND k > 1 THEN"
+        " (ssb_nt * (nt - k) * 1000) div (ssw_nt * (k - 1))"
+        " ELSE cast(-1 as bigint) END"
+    )
+    eta_bp = F.expr(
+        "CASE WHEN ssb_nt + ssw_nt > 0 THEN (ssb_nt * 10000) div (ssb_nt + ssw_nt)"
+        " ELSE cast(0 as bigint) END"
+    )
+    corpus = scored.select(
+        F.col("nt").cast("bigint").alias("n_rows"),
+        F.col("k").cast("bigint").alias("n_modes"),
+        F.col("ssb_nt").cast("bigint").alias("ssb_scaled"),
+        F.col("ssw_nt").cast("bigint").alias("ssw_scaled"),
+        f_milli.cast("bigint").alias("f_stat_milli"),
+        eta_bp.cast("bigint").alias("eta2_bp"),
+    )
+    per_mode_out = per_mode.crossJoin(F.broadcast(corpus)).select(
+        "l_shipmode",
+        F.col("n").cast("bigint").alias("n"),
+        F.expr("cast(sx * 1000 div n as bigint)").alias("mean_delay_milli"),
+        "n_rows",
+        "n_modes",
+        "ssb_scaled",
+        "ssw_scaled",
+        "f_stat_milli",
+        "eta2_bp",
+    )
+    return per_mode_out
+
+
+SHIPMODE_ANOVA_SQL = """
+WITH li AS (
+  SELECT l_linestatus AS l_shipmode,
+         CAST(date_diff('day', o_orderdate, l_shipdate) AS BIGINT) AS d
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+per_mode AS (
+  SELECT l_shipmode, count(*)::BIGINT AS n,
+         CAST(sum(d) AS BIGINT) AS sx, CAST(sum(d * d) AS BIGINT) AS sxx
+  FROM li GROUP BY l_shipmode
+),
+tot AS (
+  SELECT CAST(sum(n) AS BIGINT) AS nt, CAST(sum(sx) AS BIGINT) AS sxt,
+         CAST(sum(sxx) AS BIGINT) AS sxxt, count(*)::BIGINT AS k
+  FROM per_mode
+),
+agg2 AS (
+  SELECT nt, sxt, sxxt, k,
+         CAST(sum((nt * sx * sx) // n) AS BIGINT) AS gsum
+  FROM per_mode, tot GROUP BY nt, sxt, sxxt, k
+),
+scored AS (
+  SELECT nt, k,
+         gsum - sxt * sxt AS ssb_nt,
+         nt * sxxt - gsum AS ssw_nt
+  FROM agg2
+)
+SELECT l_shipmode, n,
+       CAST(sx * 1000 // n AS BIGINT) AS mean_delay_milli,
+       CAST(nt AS BIGINT) AS n_rows,
+       CAST(k AS BIGINT) AS n_modes,
+       CAST(ssb_nt AS BIGINT) AS ssb_scaled,
+       CAST(ssw_nt AS BIGINT) AS ssw_scaled,
+       CAST(CASE WHEN ssw_nt > 0 AND k > 1 THEN (ssb_nt * (nt - k) * 1000) // (ssw_nt * (k - 1))
+                 ELSE -1 END AS BIGINT) AS f_stat_milli,
+       CAST(CASE WHEN ssb_nt + ssw_nt > 0 THEN (ssb_nt * 10000) // (ssb_nt + ssw_nt)
+                 ELSE 0 END AS BIGINT) AS eta2_bp
+FROM per_mode, scored
+"""
+
+QUERIES["lineitem_shipmode_anova"] = lineitem_shipmode_anova
+ORACLES["lineitem_shipmode_anova"] = SHIPMODE_ANOVA_SQL

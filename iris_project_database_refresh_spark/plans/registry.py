@@ -174,6 +174,8 @@ _DRIVER_PRIORITY = [
     "sft_loss_masking_plan", "embed_jl_projection", "events_bot_detect",
     "events_forecast_backtest", "stopword_discovery", "events_dau_overlap",
     "multimodal_patch_grid_plan", "multimodal_loudness_plan",
+    "dedup_lsh_bucket_audit", "orders_revenue_bridge", "lineitem_shipmode_anova",
+    "dedup_drop_explain",
 ]
 
 
