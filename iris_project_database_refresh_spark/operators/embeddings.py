@@ -1029,3 +1029,92 @@ FROM scored, tot GROUP BY 1, n_pairs_total, serr
 
 QUERIES["embed_jl_projection"] = embed_jl_projection
 ORACLES["embed_jl_projection"] = JL_PROJECTION_SQL
+
+
+# --- duplicate-vector audit ---------------------------------------------------
+#
+# Vector-store hygiene, the embedding-side sibling of dedup_exact:
+# EXACT duplicate vectors (re-embedded copies, double-ingested rows)
+# skew ANN ground truth and waste index memory, and they are found
+# with one hash aggregation — md5 over the 1e5-quantized integer
+# vector, so float noise below the grid does not split a cluster and
+# anything at or above it does.  Planted copies (vec_id + 100000,
+# identical vector, every 9th) must land in clusters; planted
+# epsilon-perturbed near-copies (vec_id + 200000, last dim +0.001 —
+# above the grid) must NOT, proving the quantization boundary.
+#
+# Plan: narrow quantize+hash projection, ONE hash-key aggregation
+# (uniform key), bounded cluster output + 1-row share columns.
+
+def embed_duplicate_vector_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    copies = emb.where(F.col("vec_id") % 9 == 0).select(
+        (F.col("vec_id") + 100000).alias("vec_id"), "embedding"
+    )
+    near = emb.where(F.col("vec_id") % 9 == 4).select(
+        (F.col("vec_id") + 200000).alias("vec_id"),
+        F.expr(
+            "concat(slice(embedding, 1, size(embedding) - 1),"
+            " array(cast(element_at(embedding, -1) + 0.001 as float)))"
+        ).alias("embedding"),
+    )
+    corpus = emb.unionByName(copies).unionByName(near)
+    key = F.md5(
+        F.concat_ws(
+            ",",
+            F.expr(
+                "transform(embedding, x -> cast(floor(cast(x as double) * 100000 + 0.5) as bigint))"
+            ),
+        )
+    )
+    clusters = (
+        corpus.select("vec_id", key.alias("vkey"))
+        .groupBy("vkey")
+        .agg(F.min("vec_id").alias("rep_id"), F.count(F.lit(1)).alias("n_copies"))
+        .where(F.col("n_copies") > 1)
+    )
+    tot = corpus.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return clusters.crossJoin(F.broadcast(tot)).select(
+        F.col("rep_id").cast("bigint").alias("rep_id"),
+        F.col("n_copies").cast("bigint").alias("n_copies"),
+        (F.col("n_copies") - 1).cast("bigint").alias("n_redundant"),
+        F.col("n_vectors").cast("bigint").alias("n_vectors"),
+        F.expr("cast((n_copies - 1) * 10000 div n_vectors as bigint)").alias(
+            "redundant_share_bp"
+        ),
+    )
+
+
+DUP_VECTOR_SQL = """
+WITH base AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+corpus AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + 100000, v FROM base WHERE vec_id % 9 = 0
+  UNION ALL
+  SELECT vec_id + 200000,
+         list_append(v[1:len(v) - 1], CAST(CAST(v[len(v)] + 0.001 AS FLOAT) AS DOUBLE))
+  FROM base WHERE vec_id % 9 = 4
+),
+keyed AS (
+  SELECT vec_id,
+         md5(array_to_string(list_transform(v,
+             x -> CAST(floor(x * 100000 + 0.5) AS BIGINT)), ',')) AS vkey
+  FROM corpus
+),
+clusters AS (
+  SELECT vkey, CAST(min(vec_id) AS BIGINT) AS rep_id, count(*)::BIGINT AS n_copies
+  FROM keyed GROUP BY vkey HAVING count(*) > 1
+),
+tot AS (SELECT count(*)::BIGINT AS n_vectors FROM keyed)
+SELECT rep_id, n_copies,
+       CAST(n_copies - 1 AS BIGINT) AS n_redundant,
+       n_vectors,
+       CAST((n_copies - 1) * 10000 // n_vectors AS BIGINT) AS redundant_share_bp
+FROM clusters, tot
+"""
+
+QUERIES["embed_duplicate_vector_audit"] = embed_duplicate_vector_audit
+ORACLES["embed_duplicate_vector_audit"] = DUP_VECTOR_SQL

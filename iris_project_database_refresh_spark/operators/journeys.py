@@ -1267,3 +1267,154 @@ LEFT JOIN inter i ON i.day = s.day
 
 QUERIES["events_dau_overlap"] = events_dau_overlap
 ORACLES["events_dau_overlap"] = DAU_OVERLAP_SQL
+
+
+# --- CUPED-adjusted A/B lift --------------------------------------------------
+#
+# The variance-reduction step every mature experimentation platform
+# runs (CUPED, Deng et al. 2013, public): pre-period spend is a
+# covariate for post-period spend, theta = Cov(X,Y)/Var(X) over all
+# users, and the adjusted metric y - theta*(x - xbar) shrinks metric
+# variance by ~rho^2 — the same experiment reads significant days
+# earlier.  Time range splits at its midpoint into pre/post (the PSI
+# device); arms follow events_ab_test_lift's user_id % 2 convention.
+# All integer: spend in exact cents, theta in milli from one guarded
+# division of the n-scaled SS/cross-product sums, per-user adjusted
+# spend truncated to cents (bit-equal both engines), variance
+# reduction via the n*SS integer device in bp.
+#
+# Plan: one (user, period) conditional aggregation, two 1-row
+# broadcasts (midpoint, theta/means), one bounded arm rollup.
+
+def events_ab_cuped(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        F.unix_micros("ts").alias("ts_us"),
+        F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint").alias("v_c"),
+    )
+    rng = ev.agg(F.expr("(min(ts_us) + max(ts_us)) div 2").alias("mid"))
+    per_user = (
+        ev.crossJoin(F.broadcast(rng))
+        .groupBy("user_id")
+        .agg(
+            F.sum(F.when(F.col("ts_us") <= F.col("mid"), F.col("v_c")).otherwise(0)).alias("x"),
+            F.sum(F.when(F.col("ts_us") > F.col("mid"), F.col("v_c")).otherwise(0)).alias("y"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    stats = per_user.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+    ).select(
+        "n",
+        "sx",
+        "sy",
+        F.expr(
+            "CASE WHEN n * sxx - sx * sx > 0"
+            " THEN ((n * sxy - sx * sy) * 1000) div (n * sxx - sx * sx)"
+            " ELSE cast(0 as bigint) END"
+        ).alias("theta_milli"),
+        F.expr("sx div n").alias("xbar"),
+    )
+    adj = per_user.crossJoin(F.broadcast(stats)).select(
+        "user_id",
+        "y",
+        F.expr("y - (theta_milli * (x - xbar)) div 1000").alias("a"),
+        F.expr("cast(user_id % 2 as int)").alias("arm_t"),
+        "n",
+        "theta_milli",
+    )
+    rolled = adj.groupBy("n", "theta_milli").agg(
+        F.sum(F.when(F.col("arm_t") == 0, 1).otherwise(0)).alias("n_c"),
+        F.sum(F.when(F.col("arm_t") == 1, 1).otherwise(0)).alias("n_t"),
+        F.sum(F.when(F.col("arm_t") == 0, F.col("y")).otherwise(0)).alias("y_c"),
+        F.sum(F.when(F.col("arm_t") == 1, F.col("y")).otherwise(0)).alias("y_t"),
+        F.sum(F.when(F.col("arm_t") == 0, F.col("a")).otherwise(0)).alias("a_c"),
+        F.sum(F.when(F.col("arm_t") == 1, F.col("a")).otherwise(0)).alias("a_t"),
+        F.sum("y").alias("syy_s"),
+        F.sum(F.expr("y * y")).alias("syy2"),
+        F.sum("a").alias("saa_s"),
+        F.sum(F.expr("a * a")).alias("saa2"),
+    )
+    return rolled.select(
+        F.col("n").cast("bigint").alias("n_users"),
+        F.col("theta_milli").cast("bigint").alias("theta_milli"),
+        F.expr("cast((y_t * 1000) div n_t - (y_c * 1000) div n_c as bigint)").alias(
+            "raw_lift_milli_c"
+        ),
+        F.expr("cast((a_t * 1000) div n_t - (a_c * 1000) div n_c as bigint)").alias(
+            "cuped_lift_milli_c"
+        ),
+        F.expr(
+            "CASE WHEN n * syy2 - syy_s * syy_s > 0 THEN"
+            " cast(((n * syy2 - syy_s * syy_s) - (n * saa2 - saa_s * saa_s)) * 10000"
+            " div (n * syy2 - syy_s * syy_s) as bigint)"
+            " ELSE cast(0 as bigint) END"
+        ).alias("var_reduction_bp"),
+    )
+
+
+AB_CUPED_SQL = """
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+ev AS (
+  SELECT user_id, CAST(epoch_us(ts) AS BIGINT) AS ts_us,
+         floor(value * 100 + (0.5)::DOUBLE)::BIGINT AS v_c
+  FROM events_us
+),
+rng AS (SELECT (min(ts_us) + max(ts_us)) // 2 AS mid FROM ev),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN ts_us <= mid THEN v_c ELSE 0 END) AS BIGINT) AS x,
+         CAST(sum(CASE WHEN ts_us > mid THEN v_c ELSE 0 END) AS BIGINT) AS y
+  FROM ev, rng GROUP BY user_id
+),
+stats AS (
+  SELECT count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * x) AS BIGINT) AS sxx, CAST(sum(x * y) AS BIGINT) AS sxy
+  FROM per_user
+),
+theta AS (
+  SELECT n, sx, sy,
+         CASE WHEN n * sxx - sx * sx > 0
+              THEN ((n * sxy - sx * sy) * 1000) // (n * sxx - sx * sx)
+              ELSE 0 END AS theta_milli,
+         sx // n AS xbar
+  FROM stats
+),
+adj AS (
+  SELECT user_id, y,
+         y - (theta_milli * (x - xbar)) // 1000 AS a,
+         CAST(user_id % 2 AS INT) AS arm_t, n, theta_milli
+  FROM per_user, theta
+),
+rolled AS (
+  SELECT n, theta_milli,
+         CAST(sum(CASE WHEN arm_t = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_c,
+         CAST(sum(CASE WHEN arm_t = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_t,
+         CAST(sum(CASE WHEN arm_t = 0 THEN y ELSE 0 END) AS BIGINT) AS y_c,
+         CAST(sum(CASE WHEN arm_t = 1 THEN y ELSE 0 END) AS BIGINT) AS y_t,
+         CAST(sum(CASE WHEN arm_t = 0 THEN a ELSE 0 END) AS BIGINT) AS a_c,
+         CAST(sum(CASE WHEN arm_t = 1 THEN a ELSE 0 END) AS BIGINT) AS a_t,
+         CAST(sum(y) AS BIGINT) AS syy_s, CAST(sum(y * y) AS BIGINT) AS syy2,
+         CAST(sum(a) AS BIGINT) AS saa_s, CAST(sum(a * a) AS BIGINT) AS saa2
+  FROM adj GROUP BY n, theta_milli
+)
+SELECT CAST(n AS BIGINT) AS n_users,
+       CAST(theta_milli AS BIGINT) AS theta_milli,
+       CAST((y_t * 1000) // n_t - (y_c * 1000) // n_c AS BIGINT) AS raw_lift_milli_c,
+       CAST((a_t * 1000) // n_t - (a_c * 1000) // n_c AS BIGINT) AS cuped_lift_milli_c,
+       CAST(CASE WHEN n * syy2 - syy_s * syy_s > 0 THEN
+            ((n * syy2 - syy_s * syy_s) - (n * saa2 - saa_s * saa_s)) * 10000
+            // (n * syy2 - syy_s * syy_s)
+            ELSE 0 END AS BIGINT) AS var_reduction_bp
+FROM rolled
+"""
+
+QUERIES["events_ab_cuped"] = events_ab_cuped
+ORACLES["events_ab_cuped"] = AB_CUPED_SQL

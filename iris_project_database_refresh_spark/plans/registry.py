@@ -175,7 +175,7 @@ _DRIVER_PRIORITY = [
     "events_forecast_backtest", "stopword_discovery", "events_dau_overlap",
     "multimodal_patch_grid_plan", "multimodal_loudness_plan",
     "dedup_lsh_bucket_audit", "orders_revenue_bridge", "lineitem_shipmode_anova",
-    "dedup_drop_explain",
+    "dedup_drop_explain", "events_ab_cuped", "embed_duplicate_vector_audit",
 ]
 
 
