@@ -366,3 +366,115 @@ def snapshot_expire(table_dir: str, *, keep_last: int) -> dict:
     for v in drop:
         os.unlink(os.path.join(_log_dir(table_dir), f"v{v:06d}.json"))
     return {"kept_versions": keep, "dropped_versions": drop, "removed_files": removed_files}
+
+
+# --- change data feed ---------------------------------------------------------
+#
+# Version-to-version CHANGES computed from the log alone (the Delta
+# CDF / Iceberg incremental-read pattern): because data files are
+# immutable and manifests list the complete live set, the row-level
+# delta between v0 and v1 is derivable WITHOUT diffing table contents —
+#
+#   inserts = rows of files present in v1 but not v0, minus v1
+#             tombstones targeting those files;
+#   deletes = rows of files dropped between v0 and v1 that were still
+#             live at v0, plus rows newly tombstoned (dv(v1) − dv(v0))
+#             in carried files.
+#
+# Cost ∝ the CHANGED files + tombstones, never the table — the property
+# that makes incremental consumers (downstream refresh stages, IVM
+# maintenance, replication) cheap at 100 TB.  Equivalence to
+# read(v1) EXCEPT read(v0) both directions is asserted in tests.
+
+
+def _read_entries(
+    spark: SparkSession, table_dir: str, entries: list[dict], schema_json: dict
+):
+    """Read a manifest file-entry list with partition columns restored
+    and (file, row) provenance attached — the snapshot_read grouping,
+    factored for the CDF reader."""
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import StructType
+
+    schema = StructType.fromJson(schema_json)
+    if not entries:
+        base = spark.createDataFrame([], schema)
+        return base.selectExpr(
+            "cast(null as string) as __file", "cast(null as bigint) as __row", "*"
+        ).limit(0)
+    part_cols = sorted({k for e in entries for k in e["partition"]})
+    by_part: dict[tuple, list[str]] = {}
+    for e in entries:
+        key = tuple(e["partition"].get(c) for c in part_cols)
+        by_part.setdefault(key, []).append(os.path.join(_data_dir(table_dir), e["path"]))
+    dfs = []
+    for key, paths in sorted(by_part.items()):
+        part = spark.read.parquet(*paths).select(
+            F.col("_metadata.file_name").alias("__file"),
+            F.col("_metadata.row_index").alias("__row"),
+            "*",
+        )
+        for c, val in zip(part_cols, key):
+            part = part.withColumn(c, F.lit(val))
+        dfs.append(part)
+    out = dfs[0]
+    for d in dfs[1:]:
+        out = out.unionByName(d)
+    return out.select(
+        "__file",
+        "__row",
+        *[
+            F.col(f.name).cast(f.dataType).alias(f.name)
+            if f.name in part_cols
+            else F.col(f.name)
+            for f in schema.fields
+        ],
+    )
+
+
+def snapshot_changes(
+    spark: SparkSession, table_dir: str, v0: int, v1: int
+) -> DataFrame:
+    """Rows that changed between versions, with a `_change_type` column
+    ('insert' | 'delete'). v0 < v1 required; cost scales with changed
+    files and tombstones only."""
+    from pyspark.sql import functions as F
+
+    vs = _versions(table_dir)
+    if v0 not in vs or v1 not in vs or not v0 < v1:
+        raise ValueError(f"need v0 < v1 from the log (have {vs})")
+    m0, m1 = _read_manifest(table_dir, v0), _read_manifest(table_dir, v1)
+    paths0 = {e["path"] for e in m0["files"]}
+    paths1 = {e["path"] for e in m1["files"]}
+    added = [e for e in m1["files"] if e["path"] not in paths0]
+    removed = [e for e in m0["files"] if e["path"] not in paths1]
+    dv0, dv1 = set(m0.get("delete_vectors", [])), set(m1.get("delete_vectors", []))
+
+    def tombstones(names: set) -> DataFrame | None:
+        if not names:
+            return None
+        return spark.read.parquet(
+            *[os.path.join(_dv_dir(table_dir), n) for n in sorted(names)]
+        ).selectExpr("file_name as __file", "row_index as __row")
+
+    inserts = _read_entries(spark, table_dir, added, m1["schema"])
+    t1 = tombstones(dv1)
+    if t1 is not None:
+        inserts = inserts.join(t1, ["__file", "__row"], "left_anti")
+    deletes = _read_entries(spark, table_dir, removed, m0["schema"])
+    t0 = tombstones(dv0)
+    if t0 is not None:
+        deletes = deletes.join(t0, ["__file", "__row"], "left_anti")
+    carried = [e for e in m0["files"] if e["path"] in paths1]
+    new_dv = tombstones(dv1 - dv0)
+    if new_dv is not None and carried:
+        tomb_rows = _read_entries(spark, table_dir, carried, m0["schema"]).join(
+            new_dv, ["__file", "__row"], "left_semi"
+        )
+        deletes = deletes.unionByName(tomb_rows)
+    return (
+        inserts.drop("__file", "__row").withColumn("_change_type", F.lit("insert"))
+        .unionByName(
+            deletes.drop("__file", "__row").withColumn("_change_type", F.lit("delete"))
+        )
+    )

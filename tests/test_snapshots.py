@@ -208,3 +208,37 @@ def test_stream_batch_id_in_single_atomic_commit(spark, tmp_path):
     # replay of the same id skips without a new version
     assert apply_stream_batch(batch, 7, d) is False
     assert len(snapshot_history(d)) == 1
+
+
+def test_snapshot_changes_equals_time_travel_diff(spark, tmp_path):
+    """CDF from the log == EXCEPT-diff of the time-travel reads, both
+    directions, across append / partition-overwrite / MOR delete."""
+    from iris_project_database_refresh_spark.sinks.snapshots import (
+        snapshot_changes,
+        snapshot_delete,
+        snapshot_read,
+        snapshot_write,
+    )
+
+    d = str(tmp_path / "cdf_table")
+    base = spark.range(0, 20).selectExpr("id", "id % 2 as day", "id * 10 as v")
+    v1 = snapshot_write(base, d, mode="append", partition_col="day")
+    fixed = spark.range(0, 10).selectExpr("id", "0 as day", "id * 100 as v")
+    v2 = snapshot_write(fixed, d, mode="overwrite_partitions", partition_col="day")
+    snapshot_delete(spark, d, "v = 30")
+    v3 = v2 + 1
+
+    from collections import Counter
+
+    for a, b in ((v1, v2), (v2, v3), (v1, v3)):
+        ch = snapshot_changes(spark, d, a, b)
+        ins = Counter(tuple(r) for r in ch.where("_change_type = 'insert'").drop("_change_type").collect())
+        dels = Counter(tuple(r) for r in ch.where("_change_type = 'delete'").drop("_change_type").collect())
+        want_ins = Counter(tuple(r) for r in snapshot_read(spark, d, version=b).exceptAll(snapshot_read(spark, d, version=a)).collect())
+        want_del = Counter(tuple(r) for r in snapshot_read(spark, d, version=a).exceptAll(snapshot_read(spark, d, version=b)).collect())
+        # a rewrite of an identical row is a delete+insert PAIR in the
+        # file-level feed (Delta CDF semantics); NET changes must match
+        # the time-travel multiset diff exactly
+        assert ins - dels == want_ins, (a, b)
+        assert dels - ins == want_del, (a, b)
+    assert snapshot_changes(spark, d, v2, v3).where("_change_type = 'delete'").count() == 1
