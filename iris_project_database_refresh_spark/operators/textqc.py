@@ -1681,3 +1681,75 @@ FROM phased, tot GROUP BY phase, all_docs, all_tokens
 
 QUERIES["curriculum_phase_plan"] = curriculum_phase_plan
 ORACLES["curriculum_phase_plan"] = CURRICULUM_SQL
+
+
+# --- LLM-watermark detection --------------------------------------------------
+#
+# Synthetic-text screening for training corpora (public art:
+# Kirchenbauer et al. 2023 — a watermarking LLM biases sampling toward
+# a context-keyed pseudo-random "green list"; a detector recomputes
+# the same keyed partition and tests whether green-token share
+# exceeds the 50% null): for every adjacent token pair, the successor
+# is "green" iff the md5 of (prev, token) has even parity — exactly
+# reproducible in both engines — and the per-doc one-sided z-score of
+# the green share against Binomial(n, 1/2) flags documents that a
+# watermarking sampler produced.  Natural text sits at ~z 0; the
+# planted detector threshold z >= 4 keeps the false-positive rate at
+# the 3e-5 level the screening use-case needs.
+#
+# Scale: per-row array math over adjacent pairs (no explode, no
+# shuffle); z quantized to milli via the exact integer numerator over
+# sqrt(n) (sqrt is correctly-rounded IEEE — the safe function).
+
+def text_watermark_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = tokens(F.col("text"))
+    base = docs.select("doc_id", toks.alias("toks")).where(F.size("toks") >= 2)
+    greens = F.expr(
+        "size(filter(sequence(2, size(toks)), i ->"
+        " conv(substring(md5(concat(toks[i-2], '|', toks[i-1])), 1, 8), 16, 10) % 2 = 0))"
+    )
+    scored = base.select(
+        "doc_id",
+        (F.size("toks") - 1).cast("bigint").alias("n_pairs"),
+        greens.cast("bigint").alias("n_green"),
+    )
+    z_milli = F.expr(
+        "cast(floor((2 * n_green - n_pairs) * 1000 / sqrt(cast(n_pairs as double)) + 0.5)"
+        " as bigint)"
+    )
+    return scored.select(
+        "doc_id",
+        "n_pairs",
+        "n_green",
+        F.expr("cast(n_green * 10000 div n_pairs as bigint)").alias("green_share_bp"),
+        z_milli.alias("z_milli"),
+        (z_milli >= 4000).cast("int").alias("watermark_flag"),
+    )
+
+
+WATERMARK_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+eligible AS (SELECT * FROM base WHERE len(toks) >= 2),
+scored AS (
+  SELECT doc_id,
+         CAST(len(toks) - 1 AS BIGINT) AS n_pairs,
+         CAST(len(list_filter(range(2, len(toks) + 1), i ->
+              CAST('0x' || substr(md5(toks[i-1] || '|' || toks[i]), 1, 8) AS BIGINT) % 2 = 0))
+              AS BIGINT) AS n_green
+  FROM eligible
+)
+SELECT doc_id, n_pairs, n_green,
+       CAST(n_green * 10000 // n_pairs AS BIGINT) AS green_share_bp,
+       CAST(floor((2 * n_green - n_pairs) * 1000 / sqrt(CAST(n_pairs AS DOUBLE)) + 0.5)
+            AS BIGINT) AS z_milli,
+       CAST(CAST(floor((2 * n_green - n_pairs) * 1000 / sqrt(CAST(n_pairs AS DOUBLE)) + 0.5)
+            AS BIGINT) >= 4000 AS INT) AS watermark_flag
+FROM scored
+"""
+
+QUERIES["text_watermark_detect"] = text_watermark_detect
+ORACLES["text_watermark_detect"] = WATERMARK_SQL
