@@ -27,7 +27,7 @@ state (see streaming/sessions.py for the template).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..functions.distributed import bounded_sorted_events
@@ -876,3 +876,118 @@ FROM arms
 
 QUERIES["events_forecast_backtest"] = events_forecast_backtest
 ORACLES["events_forecast_backtest"] = BACKTEST_SQL
+
+
+# --- Autocorrelation function over hourly load --------------------------------
+#
+# The periodicity detector that motivates events_seasonality and
+# events_hopping_agg: the ACF of the (gap-filled) hourly event-count
+# series at lags 1..6.  Exact integer autocovariance via the
+# multiply-through-by-n device — centered value y_i = n*x_i - S needs
+# no mean division, numerator_k = sum(y_i * y_{i+k}), denominator =
+# sum(y_i^2), acf in signed milli (Spark div and DuckDB // both
+# truncate toward zero).  The +-2/sqrt(n) white-noise band gives the
+# significance flag (sqrt + one correctly-rounded double division,
+# then floor — identical in both engines).
+#
+# Scale: one shuffle to the hourly grain; everything after runs on the
+# BOUNDED hour table (corpus span, not corpus rows) — the
+# single-partition window over it is a deliberate bounded-table
+# device, same as events_gapfill.  At 100 TB the hourly rollup is the
+# only corpus-sized stage; counts rescale to thousands if n*x
+# approaches the BIGINT edge.
+
+ACF_MAX_LAG = 6
+
+
+def events_autocorr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h")
+    )
+    counts = ev.groupBy("h").agg(F.count("*").cast("bigint").alias("c"))
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    hours = bounds.select(
+        F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h")
+    )
+    dense = hours.join(counts, "h", "left").select(
+        "h", F.coalesce("c", F.lit(0)).cast("bigint").alias("x")
+    )
+    tot = dense.agg(
+        F.count("*").cast("bigint").alias("n"), F.sum("x").cast("bigint").alias("s")
+    )
+    cent = dense.crossJoin(F.broadcast(tot)).select(
+        "h", "n", F.expr("cast(n * x - s as bigint)").alias("y")
+    )
+    w = Window.orderBy("h")
+    leads = cent.select(
+        "n",
+        "y",
+        *[F.lead("y", k).over(w).alias(f"y{k}") for k in range(1, ACF_MAX_LAG + 1)],
+    )
+    stacked = leads.select(
+        "n",
+        "y",
+        F.expr(
+            "stack({}, {})".format(
+                ACF_MAX_LAG,
+                ", ".join(f"{k}, y{k}" for k in range(1, ACF_MAX_LAG + 1)),
+            )
+        ).alias("lag", "ylag"),
+    )
+    den = cent.agg(F.expr("cast(sum(y * y) as bigint)").alias("den"))
+    per_lag = (
+        stacked.where(F.col("ylag").isNotNull())
+        .groupBy("lag", "n")
+        .agg(
+            F.count("*").cast("bigint").alias("n_pairs"),
+            F.expr("cast(sum(y * ylag) as bigint)").alias("num"),
+        )
+    )
+    return per_lag.crossJoin(F.broadcast(den)).select(
+        F.col("lag").cast("int").alias("lag"),
+        F.col("n").alias("n_hours"),
+        "n_pairs",
+        F.expr("cast(num * 1000 div den as bigint)").alias("acf_milli"),
+        F.expr(
+            "cast(abs(num * 1000 div den) >"
+            " floor(2000 / sqrt(cast(n as double)) + 0.5) as int)"
+        ).alias("significant"),
+    )
+
+
+AUTOCORR_SQL = """
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+hrs AS (
+  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS c FROM events_us GROUP BY 1
+),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hrs),
+dense AS (
+  SELECT gs.h, coalesce(c, 0)::BIGINT AS x
+  FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds) gs
+  LEFT JOIN hrs USING (h)
+),
+tot AS (SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS s FROM dense),
+cent AS (
+  SELECT h, n, CAST(n * x - s AS BIGINT) AS y,
+         row_number() OVER (ORDER BY h) AS rn
+  FROM dense, tot
+),
+den AS (SELECT CAST(sum(y * y) AS BIGINT) AS den FROM cent),
+lags AS (SELECT unnest(range(1, {K} + 1)) AS lag),
+pairs AS (
+  SELECT l.lag, a.n, a.y AS y, b.y AS ylag
+  FROM cent a JOIN lags l ON true JOIN cent b ON b.rn = a.rn + l.lag
+),
+per_lag AS (
+  SELECT lag, n, count(*)::BIGINT AS n_pairs, CAST(sum(y * ylag) AS BIGINT) AS num
+  FROM pairs GROUP BY lag, n
+)
+SELECT CAST(lag AS INT) AS lag, n AS n_hours, n_pairs,
+       CAST(num * 1000 // den AS BIGINT) AS acf_milli,
+       CAST(abs(num * 1000 // den) >
+            floor(2000 / sqrt(CAST(n AS DOUBLE)) + 0.5) AS INT) AS significant
+FROM per_lag, den
+""".format(K=ACF_MAX_LAG)
+
+QUERIES["events_autocorr"] = events_autocorr
+ORACLES["events_autocorr"] = AUTOCORR_SQL

@@ -806,3 +806,94 @@ FROM op_counts o JOIN latest_counts l ON o.op = l.op, brows, final
 
 QUERIES["cdc_latest_wins_merge"] = cdc_latest_wins_merge
 ORACLES["cdc_latest_wins_merge"] = CDC_MERGE_SQL
+
+
+# --- Benford first-digit audit ------------------------------------------------
+#
+# The ledger-audit screen a finance warehouse runs over monetary facts
+# (reference parity: stage5's validate_csv_data numeric-sanity class,
+# generalized to the distributional check auditors actually use —
+# public art: Benford's law / Nigrini's digit tests): the first
+# significant digit of naturally-grown amounts follows
+# P(d) = log10(1 + 1/d); fabricated or clamped data doesn't.  Expected
+# shares are the 9 PUBLISHED constants hard-coded in basis points in
+# BOTH engines (3010..458) — no runtime log10, so the comparison is
+# exact integer arithmetic end to end.
+#
+# chi2 contribution per digit is computed scale-free in the bp domain:
+# n_total * dev_bp^2 * 1000 div (exp_bp * 10000) — bounded by the bp
+# grid regardless of corpus size, so the statistic survives 100 TB
+# without overflow.  One narrow map (digit extraction on the cents
+# integer) + one 9-group aggregation; the totals row is a 1-row
+# broadcast join.
+
+BENFORD_BP = (3010, 1761, 1249, 969, 792, 669, 580, 512, 458)
+
+
+def orders_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    digits = orders.select(
+        F.expr(
+            "cast(substring(cast(cast(floor(o_totalprice * 100 + 0.5) as bigint)"
+            " as string), 1, 1) as int)"
+        ).alias("digit")
+    )
+    exp_map = F.expr(
+        "element_at(array({}), digit)".format(", ".join(str(v) for v in BENFORD_BP))
+    )
+    per_digit = digits.groupBy("digit").agg(F.count("*").cast("bigint").alias("n_orders"))
+    totals = per_digit.agg(F.sum("n_orders").cast("bigint").alias("n_total"))
+    out = per_digit.crossJoin(F.broadcast(totals)).select(
+        "digit",
+        "n_orders",
+        F.expr("cast(n_orders * 10000 div n_total as bigint)").alias("obs_bp"),
+        exp_map.cast("bigint").alias("exp_bp"),
+    )
+    dev = (F.col("obs_bp") - F.col("exp_bp")).alias("dev_bp")
+    out = out.join(F.broadcast(totals), how="cross").select(
+        "digit", "n_orders", "obs_bp", "exp_bp", dev.cast("bigint").alias("dev_bp"),
+        F.expr(
+            "cast(n_total * ((obs_bp - exp_bp) * (obs_bp - exp_bp)) * 1000"
+            " div (exp_bp * 10000) as bigint)"
+        ).alias("chi2_contrib_milli"),
+    )
+    total_chi2 = out.agg(F.sum("chi2_contrib_milli").cast("bigint").alias("chi2_milli"))
+    return out.crossJoin(F.broadcast(total_chi2)).select(
+        "digit", "n_orders", "obs_bp", "exp_bp", "dev_bp",
+        "chi2_contrib_milli", "chi2_milli",
+        (F.col("chi2_milli") >= F.lit(20090 * 1000)).cast("int").alias("benford_reject"),
+    )
+
+
+BENFORD_SQL = """
+WITH digits AS (
+  SELECT CAST(substr(CAST(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS VARCHAR), 1, 1)
+              AS INT) AS digit
+  FROM orders
+),
+exp_tab AS (
+  SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969), (5, 792),
+                        (6, 669), (7, 580), (8, 512), (9, 458)) AS t(digit, exp_bp)
+),
+per_digit AS (
+  SELECT digit, count(*)::BIGINT AS n_orders FROM digits GROUP BY digit
+),
+tot AS (SELECT CAST(sum(n_orders) AS BIGINT) AS n_total FROM per_digit),
+scored AS (
+  SELECT p.digit, p.n_orders,
+         CAST(p.n_orders * 10000 // n_total AS BIGINT) AS obs_bp,
+         CAST(e.exp_bp AS BIGINT) AS exp_bp,
+         CAST(p.n_orders * 10000 // n_total - e.exp_bp AS BIGINT) AS dev_bp,
+         CAST(n_total * ((p.n_orders * 10000 // n_total - e.exp_bp)
+                         * (p.n_orders * 10000 // n_total - e.exp_bp)) * 1000
+              // (e.exp_bp * 10000) AS BIGINT) AS chi2_contrib_milli
+  FROM per_digit p JOIN exp_tab e USING (digit), tot
+),
+chi AS (SELECT CAST(sum(chi2_contrib_milli) AS BIGINT) AS chi2_milli FROM scored)
+SELECT digit, n_orders, obs_bp, exp_bp, dev_bp, chi2_contrib_milli, chi2_milli,
+       CAST(chi2_milli >= 20090000 AS INT) AS benford_reject
+FROM scored, chi
+"""
+
+QUERIES["orders_benford_audit"] = orders_benford_audit
+ORACLES["orders_benford_audit"] = BENFORD_SQL
