@@ -1418,3 +1418,83 @@ FROM rolled
 
 QUERIES["events_ab_cuped"] = events_ab_cuped
 ORACLES["events_ab_cuped"] = AB_CUPED_SQL
+
+
+# --- Discrete-time churn hazard table -----------------------------------------
+#
+# The survival-analysis readout under cohort_retention and
+# events_dormancy_stats: per tenure-month, how many customers are
+# still at risk, how many churn (last order falls in that month), how
+# many are right-censored (last order within 90 days of corpus end —
+# they may still return), and the discrete hazard events/at_risk in
+# basis points.  Kaplan-Meier's life-table denominators come from a
+# reverse cumulative sum over the BOUNDED tenure-month table; the
+# per-customer reduction is one groupBy on custkey.
+#
+# Scale: one corpus shuffle (custkey agg), then all windows run on the
+# tenure grid (months, not customers).  Censoring keyed off
+# max(o_orderdate) via a 1-row broadcast — no driver round trip.
+
+CHURN_CENSOR_DAYS = 90
+
+
+def customer_churn_hazard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
+    )
+    end = orders.agg(F.max("o_orderdate").alias("end_dt"))
+    marked = per_cust.crossJoin(F.broadcast(end)).select(
+        F.expr("cast(datediff(last_dt, first_dt) div 30 as bigint)").alias("tenure_m"),
+        F.expr(
+            f"cast(datediff(end_dt, last_dt) < {CHURN_CENSOR_DAYS} as bigint)"
+        ).alias("censored"),
+    )
+    grid = marked.groupBy("tenure_m").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w = Window.orderBy(F.col("tenure_m").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    return grid.select(
+        "tenure_m",
+        F.sum("n_ending").over(w).cast("bigint").alias("n_at_risk"),
+        (F.col("n_ending") - F.col("n_censored")).cast("bigint").alias("n_churned"),
+        "n_censored",
+    ).select(
+        "tenure_m", "n_at_risk", "n_churned", "n_censored",
+        F.expr("cast(n_churned * 10000 div n_at_risk as bigint)").alias("hazard_bp"),
+    )
+
+
+CHURN_HAZARD_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+  FROM orders GROUP BY o_custkey
+),
+endd AS (SELECT max(o_orderdate) AS end_dt FROM orders),
+marked AS (
+  SELECT CAST(datediff('day', first_dt, last_dt) // 30 AS BIGINT) AS tenure_m,
+         CAST(datediff('day', last_dt, end_dt) < {CHURN_CENSOR_DAYS} AS BIGINT) AS censored
+  FROM per_cust, endd
+),
+grid AS (
+  SELECT tenure_m, count(*)::BIGINT AS n_ending, CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM marked GROUP BY tenure_m
+),
+tab AS (
+  SELECT tenure_m,
+         CAST(sum(n_ending) OVER (ORDER BY tenure_m
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+         CAST(n_ending - n_censored AS BIGINT) AS n_churned,
+         n_censored
+  FROM grid
+)
+SELECT tenure_m, n_at_risk, n_churned, n_censored,
+       CAST(n_churned * 10000 // n_at_risk AS BIGINT) AS hazard_bp
+FROM tab
+"""
+
+QUERIES["customer_churn_hazard"] = customer_churn_hazard
+ORACLES["customer_churn_hazard"] = CHURN_HAZARD_SQL

@@ -1996,3 +1996,108 @@ FROM per_mode, scored
 
 QUERIES["lineitem_shipmode_anova"] = lineitem_shipmode_anova
 ORACLES["lineitem_shipmode_anova"] = SHIPMODE_ANOVA_SQL
+
+
+# --- Mann-Whitney U test: promo vs non-promo line revenue ---------------------
+#
+# The nonparametric sibling of lineitem_shipmode_anova, on q14's
+# promo/non-promo split: does promo-part status SHIFT the distribution
+# of line revenue, without the normality assumption the F-test makes?
+# Wilcoxon rank-sum with the exact tie treatment: for each distinct
+# cents value, 2x the average rank is the INTEGER 2*cum_prev + t + 1,
+# so 2*R1 and 2*U1 are exact; the tie-corrected variance
+# n1*n2/12 * ((n+1) - T/(n*(n-1))) with T = sum(t^3 - t) is evaluated
+# as the same double expression in both engines (each *, /, sqrt is a
+# single correctly-rounded IEEE op in an identical order), and z lands
+# in milli via floor(x + 0.5).
+#
+# Scale: broadcast part dim, one corpus agg to the distinct-cents
+# grid, then ONE window over that bounded grid (distinct prices, not
+# corpus rows — the user_spend_quartiles device); T and the rank sums
+# are bounded by n^3 — at trillions of rows promote to DECIMAL(38) or
+# pre-bucket cents to a coarser grid.
+
+def lineitem_promo_mannwhitney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_partkey", "l_extendedprice")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_type")
+    lines = li.join(
+        F.broadcast(part), li.l_partkey == part.p_partkey
+    ).select(
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("cents"),
+        (F.col("p_type") == "PROMO").cast("bigint").alias("is_promo"),
+    )
+    grid = lines.groupBy("cents").agg(
+        F.count("*").cast("bigint").alias("t"),
+        F.sum("is_promo").cast("bigint").alias("t1"),
+    )
+    w = Window.orderBy("cents").rowsBetween(Window.unboundedPreceding, -1)
+    ranked = grid.select(
+        "cents", "t", "t1",
+        F.coalesce(F.sum("t").over(w), F.lit(0)).cast("bigint").alias("cum_prev"),
+    )
+    agg = ranked.agg(
+        F.expr("cast(sum(t1) as bigint)").alias("n1"),
+        F.expr("cast(sum(t - t1) as bigint)").alias("n2"),
+        F.expr("cast(sum(t1 * (2 * cum_prev + t + 1)) as bigint)").alias("two_r1"),
+        F.expr("cast(sum(t * t * t - t) as bigint)").alias("ties_T"),
+    )
+    return agg.select(
+        "n1", "n2", "two_r1", "ties_T",
+        F.expr("cast(two_r1 - n1 * (n1 + 1) as bigint)").alias("two_u1"),
+        F.expr(
+            "cast(floor((two_r1 - n1 * (n1 + 1) - n1 * n2) * 500 /"
+            " sqrt(cast(n1 as double) * cast(n2 as double) / 12.0 *"
+            " ((n1 + n2 + 1) - cast(ties_T as double) /"
+            " (cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double)))) + 0.5)"
+            " as bigint)"
+        ).alias("z_milli"),
+        F.expr(
+            "cast(abs(floor((two_r1 - n1 * (n1 + 1) - n1 * n2) * 500 /"
+            " sqrt(cast(n1 as double) * cast(n2 as double) / 12.0 *"
+            " ((n1 + n2 + 1) - cast(ties_T as double) /"
+            " (cast(n1 + n2 as double) * cast(n1 + n2 - 1 as double)))) + 0.5))"
+            " >= 2576 as int)"
+        ).alias("significant"),
+    )
+
+
+MANNWHITNEY_SQL = """
+WITH lines AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(p_type = 'PROMO' AS BIGINT) AS is_promo
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+),
+grid AS (
+  SELECT cents, count(*)::BIGINT AS t, CAST(sum(is_promo) AS BIGINT) AS t1
+  FROM lines GROUP BY cents
+),
+ranked AS (
+  SELECT cents, t, t1,
+         CAST(coalesce(sum(t) OVER (ORDER BY cents
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cum_prev
+  FROM grid
+),
+agg AS (
+  SELECT CAST(sum(t1) AS BIGINT) AS n1,
+         CAST(sum(t - t1) AS BIGINT) AS n2,
+         CAST(sum(t1 * (2 * cum_prev + t + 1)) AS BIGINT) AS two_r1,
+         CAST(sum(t * t * t - t) AS BIGINT) AS ties_T
+  FROM ranked
+)
+SELECT n1, n2, two_r1, ties_T,
+       CAST(two_r1 - n1 * (n1 + 1) AS BIGINT) AS two_u1,
+       CAST(floor((two_r1 - n1 * (n1 + 1) - n1 * n2) * 500 /
+            sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+            ((n1 + n2 + 1) - CAST(ties_T AS DOUBLE) /
+             (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) + 0.5)
+            AS BIGINT) AS z_milli,
+       CAST(abs(floor((two_r1 - n1 * (n1 + 1) - n1 * n2) * 500 /
+            sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / 12.0 *
+            ((n1 + n2 + 1) - CAST(ties_T AS DOUBLE) /
+             (CAST(n1 + n2 AS DOUBLE) * CAST(n1 + n2 - 1 AS DOUBLE)))) + 0.5))
+            >= 2576 AS INT) AS significant
+FROM agg
+"""
+
+QUERIES["lineitem_promo_mannwhitney"] = lineitem_promo_mannwhitney
+ORACLES["lineitem_promo_mannwhitney"] = MANNWHITNEY_SQL

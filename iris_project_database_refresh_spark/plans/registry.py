@@ -177,6 +177,7 @@ _DRIVER_PRIORITY = [
     "dedup_lsh_bucket_audit", "orders_revenue_bridge", "lineitem_shipmode_anova",
     "dedup_drop_explain", "events_ab_cuped", "embed_duplicate_vector_audit",
     "text_watermark_detect", "orders_benford_audit", "events_autocorr",
+    "lineitem_promo_mannwhitney", "customer_churn_hazard",
 ]
 
 
