@@ -724,3 +724,126 @@ FROM banded, tot GROUP BY cc_band, n_nodes_total
 
 QUERIES["graph_clustering_coeff"] = graph_clustering_coeff
 ORACLES["graph_clustering_coeff"] = CLUSTERING_COEFF_SQL
+
+
+# --- BFS distance layers from a pinned seed -----------------------------------
+#
+# The reachability profile of the planted document graph (same edge
+# formulas as pagerank_docs, symmetrized to undirected): BFS from
+# doc_id 0, BFS_ITERS rounds of frontier relaxation — dist ⋈ edges →
+# candidate dist+1 → per-node min — then the distance-layer histogram
+# with an explicit unreached bucket (dist = -1).  All-integer, so the
+# oracle unrolls the identical rounds as CTEs.
+#
+# Scale: the dedup_components template — edges computed once and
+# pinned (lazy localCheckpoint), per round ONE shuffle keyed on node
+# id; intermediate dist tables pinned per round so the unrolled plan
+# stays linear, rounds bounded by the diameter horizon (not data
+# size).  At 100 TB: bucket edges by dst so every round reuses one
+# co-located layout.
+
+BFS_ITERS = 4
+
+
+def graph_bfs_distances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+        )
+    )
+    fwd = with_n.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = nodes.where(F.col("doc_id") == 0).select(
+        F.col("doc_id").alias("node"), F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(BFS_ITERS):
+        reached = dist.join(edges, dist.node == edges.src).select(
+            F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.union(reached)
+            .groupBy("node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    labeled = nodes.join(dist, nodes.doc_id == dist.node, "left").select(
+        F.coalesce("dist", F.lit(-1)).cast("bigint").alias("dist")
+    )
+    total = labeled.agg(F.count("*").cast("bigint").alias("n_nodes"))
+    return (
+        labeled.groupBy("dist")
+        .agg(F.count("*").cast("bigint").alias("n_at_dist"))
+        .crossJoin(F.broadcast(total))
+        .select(
+            "dist", "n_at_dist",
+            F.expr("cast(n_at_dist * 10000 div n_nodes as bigint)").alias("share_bp"),
+        )
+    )
+
+
+BFS_SQL = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+fwd AS (
+  SELECT doc_id AS src, unnest(list_distinct([
+      (doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n, (doc_id * 13 + 11) % n
+  ])) AS dst
+  FROM nodes, nn
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+d0 AS (SELECT doc_id AS node, 0::BIGINT AS dist FROM nodes WHERE doc_id = 0),
+d1 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d0
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 FROM d0 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d2 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d1
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 FROM d1 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d3 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d2
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 FROM d2 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+d4 AS (
+  SELECT node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT node, dist FROM d3
+    UNION ALL
+    SELECT e.dst AS node, d.dist + 1 FROM d3 d JOIN edges e ON d.node = e.src
+  ) GROUP BY node
+),
+labeled AS (
+  SELECT coalesce(d.dist, -1)::BIGINT AS dist
+  FROM nodes n LEFT JOIN d4 d ON n.doc_id = d.node
+),
+tot AS (SELECT count(*)::BIGINT AS n_nodes FROM labeled)
+SELECT dist, count(*)::BIGINT AS n_at_dist,
+       CAST(count(*) * 10000 // n_nodes AS BIGINT) AS share_bp
+FROM labeled, tot GROUP BY dist, n_nodes
+"""
+
+QUERIES["graph_bfs_distances"] = graph_bfs_distances
+ORACLES["graph_bfs_distances"] = BFS_SQL

@@ -1753,3 +1753,123 @@ FROM scored
 
 QUERIES["text_watermark_detect"] = text_watermark_detect
 ORACLES["text_watermark_detect"] = WATERMARK_SQL
+
+
+# --- RAKE keyword extraction --------------------------------------------------
+#
+# Rapid Automatic Keyword Extraction (Rose et al. 2010, public art) —
+# the unsupervised phrase-keyword layer above top_terms_tfidf's
+# unigram scores: candidate phrases are maximal stopword-free token
+# runs (capped at RAKE_MAX_WORDS), word scores are deg(w)/freq(w)
+# over phrase instances in exact milli (deg·1000 div freq), and a
+# phrase scores the sum of its word scores.  Corpus-level top-20 with
+# score-then-phrase ordering for cross-engine determinism.
+#
+# Scale: one corpus-wide posexplode + per-doc window to number the
+# phrase runs (pos is unique per doc so the default RANGE frame is
+# deterministic), then every aggregation runs on phrase instances or
+# the bounded vocabulary; the word-score join is a broadcast (vocab-
+# bounded) and the final cut is a TakeOrderedAndProject, not a global
+# sort.
+
+RAKE_MAX_WORDS = 4
+RAKE_TOP_K = 20
+
+
+def keyword_extract_rake(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    pe = docs.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "tok")
+    ).withColumn("is_break", F.col("tok").isin(*STOPWORDS["en"]).cast("int"))
+    pids = pe.withColumn(
+        "pid",
+        F.sum("is_break").over(
+            Window.partitionBy("doc_id").orderBy("pos")
+        ),
+    )
+    inst = (
+        pids.where(F.col("is_break") == 0)
+        .groupBy("doc_id", "pid")
+        .agg(
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.tok,
+                ),
+            ).alias("phrase"),
+            F.count("*").cast("bigint").alias("n_words"),
+        )
+        .where(F.col("n_words") <= RAKE_MAX_WORDS)
+        .localCheckpoint(eager=False)  # pin: feeds word stats AND phrase rollup
+    )
+    wstat = (
+        inst.select(F.explode(F.split("phrase", " ")).alias("tok"), "n_words")
+        .groupBy("tok")
+        .agg(
+            F.count("*").cast("bigint").alias("freq"),
+            F.sum("n_words").cast("bigint").alias("deg"),
+        )
+        .select("tok", F.expr("cast(deg * 1000 div freq as bigint)").alias("wscore"))
+    )
+    uphrase = inst.groupBy("phrase").agg(
+        F.max("n_words").alias("n_words"), F.count("*").cast("bigint").alias("n_occ")
+    )
+    scored = (
+        uphrase.select("phrase", "n_words", "n_occ", F.explode(F.split("phrase", " ")).alias("tok"))
+        .join(F.broadcast(wstat), "tok")
+        .groupBy("phrase", "n_words", "n_occ")
+        .agg(F.sum("wscore").cast("bigint").alias("score_milli"))
+    )
+    return scored.orderBy(F.col("score_milli").desc(), F.col("phrase")).limit(RAKE_TOP_K)
+
+
+RAKE_SQL = """
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+pe AS (
+  SELECT doc_id,
+         unnest(list_transform(range(1, len(toks) + 1),
+                i -> struct_pack(pos := i, tok := toks[i])), recursive := true)
+  FROM base
+),
+marked AS (
+  SELECT doc_id, pos, tok,
+         CAST(tok IN ('the', 'a', 'of', 'and', 'in', 'to', 'is') AS INT) AS is_break
+  FROM pe
+),
+pids AS (
+  SELECT doc_id, pos, tok, is_break,
+         sum(is_break) OVER (PARTITION BY doc_id ORDER BY pos) AS pid
+  FROM marked
+),
+inst AS (
+  SELECT doc_id, pid, string_agg(tok, ' ' ORDER BY pos) AS phrase,
+         count(*)::BIGINT AS n_words
+  FROM pids WHERE is_break = 0 GROUP BY doc_id, pid HAVING count(*) <= {MAXW}
+),
+wtoks AS (SELECT unnest(string_split(phrase, ' ')) AS tok, n_words FROM inst),
+wstat AS (
+  SELECT tok, CAST(sum(n_words) * 1000 // count(*) AS BIGINT) AS wscore
+  FROM wtoks GROUP BY tok
+),
+uphrase AS (
+  SELECT phrase, max(n_words)::BIGINT AS n_words, count(*)::BIGINT AS n_occ
+  FROM inst GROUP BY phrase
+),
+ptoks AS (
+  SELECT phrase, n_words, n_occ, unnest(string_split(phrase, ' ')) AS tok FROM uphrase
+),
+scored AS (
+  SELECT p.phrase, p.n_words, p.n_occ, CAST(sum(w.wscore) AS BIGINT) AS score_milli
+  FROM ptoks p JOIN wstat w USING (tok)
+  GROUP BY p.phrase, p.n_words, p.n_occ
+)
+SELECT phrase, n_words, n_occ, score_milli
+FROM scored ORDER BY score_milli DESC, phrase LIMIT {K}
+""".format(MAXW=RAKE_MAX_WORDS, K=RAKE_TOP_K)
+
+QUERIES["keyword_extract_rake"] = keyword_extract_rake
+ORACLES["keyword_extract_rake"] = RAKE_SQL

@@ -178,6 +178,7 @@ _DRIVER_PRIORITY = [
     "dedup_drop_explain", "events_ab_cuped", "embed_duplicate_vector_audit",
     "text_watermark_detect", "orders_benford_audit", "events_autocorr",
     "lineitem_promo_mannwhitney", "customer_churn_hazard",
+    "graph_bfs_distances", "keyword_extract_rake",
 ]
 
 
