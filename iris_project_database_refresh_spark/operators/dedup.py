@@ -2252,3 +2252,136 @@ FROM exact e FULL OUTER JOIN near n ON e.doc_id = n.doc_id
 
 QUERIES["dedup_drop_explain"] = dedup_drop_explain
 ORACLES["dedup_drop_explain"] = DROP_EXPLAIN_SQL
+
+
+# --- Asymmetric containment dedup ---------------------------------------------
+#
+# What symmetric Jaccard CANNOT see: a short document fully contained
+# in a longer one (quotation, excerpt, sub-document syndication) has
+# jaccard |A∩B|/|A∪B| ≈ |A|/|B| — far below any near-dup τ — while
+# containment |A∩B|/|A| is ~1.  Planted quote docs (doc_id+300000, the
+# 30% token prefix of every 11th base doc) are invisible to
+# dedup_ngram_jaccard (jaccard ≈ 0.3 < 0.6) and caught here at
+# containment ≥ CONTAIN_TAU.  Public art: Broder's containment
+# coefficient / CommonCrawl excerpt filtering.
+#
+# Scale: identical machinery to dedup_ngram_jaccard — one shingle
+# explode, broadcast anti-join on the DF-capped frequent set, bounded
+# inverted-index self-join — the asymmetric statistic costs nothing
+# extra; both directions come from the same intersection count.
+
+CONTAIN_TAU_BP = 9000
+
+
+def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.split(F.col("text"), r"\s+")
+    quotes = docs.where(F.col("doc_id") % 11 == 0).select(
+        (F.col("doc_id") + 300000).alias("doc_id"),
+        F.array_join(
+            F.slice(toks, 1, F.ceil(F.size(toks) * 0.3).cast("int")), " "
+        ).alias("text"),
+    )
+    return docs.unionAll(quotes)
+
+
+CONTAIN_CORPUS_SQL = """
+corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 300000,
+         array_to_string(list_slice(string_split_regex(text, '\\s+'), 1,
+             CAST(ceil(0.3 * len(string_split_regex(text, '\\s+'))) AS INT)), ' ')
+  FROM documents WHERE doc_id % 11 = 0
+)
+"""
+
+
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    exploded = _with_hashes(_contain_corpus(spark, sf_dir)).select(
+        "doc_id", F.explode("hashes").alias("shingle")
+    )
+    frequent = (
+        exploded.groupBy("shingle")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .where(F.col("df") > DF_CAP)
+        .select("shingle")
+    )
+    sh = (
+        exploded.join(F.broadcast(frequent), "shingle", "left_anti")
+        .withColumn("n_sh", F.count(F.lit(1)).over(Window.partitionBy("doc_id")))
+        .select("doc_id", "n_sh", "shingle")
+    )
+    a = sh.select(
+        F.col("doc_id").alias("id_a"), F.col("n_sh").alias("n_a"), "shingle"
+    )
+    b = sh.select(
+        F.col("doc_id").alias("id_b"), F.col("n_sh").alias("n_b"), "shingle"
+    )
+    inter = (
+        a.join(b, "shingle")
+        .where(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b", "n_a", "n_b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_inter"))
+    )
+    scored = inter.select(
+        "id_a", "id_b",
+        F.col("n_a").cast("bigint").alias("n_a"),
+        F.col("n_b").cast("bigint").alias("n_b"),
+        "n_inter",
+        F.expr("cast(n_inter * 10000 div n_a as bigint)").alias("cont_a_bp"),
+        F.expr("cast(n_inter * 10000 div n_b as bigint)").alias("cont_b_bp"),
+    )
+    return scored.where(
+        (F.col("cont_a_bp") >= CONTAIN_TAU_BP) | (F.col("cont_b_bp") >= CONTAIN_TAU_BP)
+    ).select(
+        "id_a", "id_b", "n_a", "n_b", "n_inter", "cont_a_bp", "cont_b_bp",
+        F.expr(
+            "cast(cast(n_inter * 10000 div n_a as bigint) >="
+            f" {CONTAIN_TAU_BP} as int)"
+        ).alias("a_in_b"),
+        F.expr(
+            "cast(cast(n_inter * 10000 div n_b as bigint) >="
+            f" {CONTAIN_TAU_BP} as int)"
+        ).alias("b_in_a"),
+    )
+
+
+DEDUP_CONTAIN_SQL = f"""
+WITH {CONTAIN_CORPUS_SQL.strip()},
+th_tab AS (SELECT doc_id, {_TH_SQL} AS th FROM corpus),
+sh_tab AS (SELECT doc_id, {_SH32_SQL} AS hashes FROM th_tab),
+exploded AS (SELECT doc_id, unnest(hashes) AS shingle FROM sh_tab),
+frequent AS (
+  SELECT shingle FROM exploded GROUP BY shingle HAVING count(*) > {DF_CAP}
+),
+kept AS (
+  SELECT doc_id, shingle FROM exploded WHERE shingle NOT IN (SELECT shingle FROM frequent)
+),
+sized AS (
+  SELECT doc_id, shingle, count(*) OVER (PARTITION BY doc_id) AS n_sh FROM kept
+),
+inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(a.n_sh AS BIGINT) AS n_a, CAST(b.n_sh AS BIGINT) AS n_b,
+         count(*)::BIGINT AS n_inter
+  FROM sized a JOIN sized b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id, a.n_sh, b.n_sh
+),
+scored AS (
+  SELECT id_a, id_b, n_a, n_b, n_inter,
+         CAST(n_inter * 10000 // n_a AS BIGINT) AS cont_a_bp,
+         CAST(n_inter * 10000 // n_b AS BIGINT) AS cont_b_bp
+  FROM inter
+)
+SELECT id_a, id_b, n_a, n_b, n_inter, cont_a_bp, cont_b_bp,
+       CAST(cont_a_bp >= {CONTAIN_TAU_BP} AS INT) AS a_in_b,
+       CAST(cont_b_bp >= {CONTAIN_TAU_BP} AS INT) AS b_in_a
+FROM scored
+WHERE cont_a_bp >= {CONTAIN_TAU_BP} OR cont_b_bp >= {CONTAIN_TAU_BP}
+"""
+
+QUERIES["dedup_containment"] = dedup_containment
+ORACLES["dedup_containment"] = DEDUP_CONTAIN_SQL

@@ -559,3 +559,91 @@ FROM per_m, tot
 
 QUERIES["embed_pq_distortion"] = embed_pq_distortion
 ORACLES["embed_pq_distortion"] = PQ_DISTORTION_SQL
+
+
+# --- HNSW layer-assignment plan -----------------------------------------------
+#
+# The index-build planning step for a graph ANN index (Malkov &
+# Yashunin 2016, public art): HNSW assigns each vector a top layer
+# drawn geometrically (P(level >= k) = p^k); with p = 1/2 that is
+# exactly the count of trailing zero bits of a uniform hash — here
+# md5(vec_id), so both engines reproduce the draw bit-for-bit
+# (trailing zeros counted as |{k : v mod 2^k = 0}|, monotone by
+# construction, capped at HNSW_LEVEL_CAP).  Output is the layer table
+# an HNSW builder sizes its link lists from: nodes whose TOP layer is
+# l, cumulative layer occupancy (every node of level >= l appears in
+# layer l), per-layer link budget (M links per node, 2M at layer 0),
+# and the entry-point layer flag.
+#
+# Scale: one narrow map + one aggregation to the BOUNDED level grid
+# (<= 17 rows at any corpus size); the cumulative occupancy window
+# runs on that grid.  The plan is the artifact a 1000-executor build
+# shards on: layer-0 link lists dominate memory, and the table prices
+# that before any graph is built.
+
+HNSW_LEVEL_CAP = 16
+HNSW_M = 16
+
+
+def hnsw_level_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vecs = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    leveled = vecs.select(
+        F.expr(
+            "size(filter(sequence(1, {cap}), k ->"
+            " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
+            " % shiftleft(1L, k) = 0))".format(cap=HNSW_LEVEL_CAP)
+        ).cast("bigint").alias("level")
+    )
+    grid = leveled.groupBy("level").agg(
+        F.count("*").cast("bigint").alias("n_top_here")
+    )
+    w = Window.orderBy("level").rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    tot = grid.agg(F.sum("n_top_here").cast("bigint").alias("n_total"))
+    occ = grid.select(
+        "level", "n_top_here",
+        F.sum("n_top_here").over(w).cast("bigint").alias("n_in_layer"),
+        F.max("level").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("max_level"),
+    )
+    return occ.crossJoin(F.broadcast(tot)).select(
+        "level", "n_top_here", "n_in_layer",
+        F.expr("cast(n_in_layer * 10000 div n_total as bigint)").alias("occupancy_bp"),
+        F.expr(
+            f"cast(n_in_layer * (case when level = 0 then {2 * HNSW_M}"
+            f" else {HNSW_M} end) as bigint)"
+        ).alias("link_budget"),
+        (F.col("level") == F.col("max_level")).cast("int").alias("is_entry_layer"),
+    )
+
+
+HNSW_SQL = f"""
+WITH leveled AS (
+  SELECT CAST(len(list_filter(range(1, {HNSW_LEVEL_CAP} + 1), k ->
+         CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+         % (1::BIGINT << k) = 0)) AS BIGINT) AS level
+  FROM embeddings
+),
+grid AS (
+  SELECT level, count(*)::BIGINT AS n_top_here FROM leveled GROUP BY level
+),
+tot AS (SELECT CAST(sum(n_top_here) AS BIGINT) AS n_total FROM grid),
+occ AS (
+  SELECT level, n_top_here,
+         CAST(sum(n_top_here) OVER (ORDER BY level
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_in_layer,
+         max(level) OVER () AS max_level
+  FROM grid
+)
+SELECT level, n_top_here, n_in_layer,
+       CAST(n_in_layer * 10000 // n_total AS BIGINT) AS occupancy_bp,
+       CAST(n_in_layer * (CASE WHEN level = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END)
+            AS BIGINT) AS link_budget,
+       CAST(level = max_level AS INT) AS is_entry_layer
+FROM occ, tot
+"""
+
+QUERIES["hnsw_level_plan"] = hnsw_level_plan
+ORACLES["hnsw_level_plan"] = HNSW_SQL

@@ -179,6 +179,7 @@ _DRIVER_PRIORITY = [
     "text_watermark_detect", "orders_benford_audit", "events_autocorr",
     "lineitem_promo_mannwhitney", "customer_churn_hazard",
     "graph_bfs_distances", "keyword_extract_rake",
+    "dedup_containment", "hnsw_level_plan",
 ]
 
 
