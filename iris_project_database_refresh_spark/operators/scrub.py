@@ -780,3 +780,112 @@ FROM banded, total GROUP BY l_band, total_rows
 
 QUERIES["privacy_l_diversity"] = privacy_l_diversity
 ORACLES["privacy_l_diversity"] = L_DIVERSITY_SQL
+
+
+# --- t-closeness --------------------------------------------------------------
+#
+# Completes the release-audit ladder k-anonymity -> l-diversity ->
+# t-closeness (Li, Li & Venkatasubramanian 2007, public art): a QI
+# class can be k-anonymous and l-diverse yet still leak when its
+# SENSITIVE-value distribution sits far from the corpus baseline.
+# For the ordered sensitive attribute (account-balance band) the
+# distance is the Earth Mover's Distance over ordered categories:
+# EMD = sum |cumulative(p - q)| / (m - 1) — computed entirely in
+# truncated-bp integers, identical in both engines.
+#
+# Scale: one shuffle to (class, band) counts; the dense class x band
+# grid is a cross join of the bounded class table with the <=10-row
+# band universe, so every window runs on grid rows, not corpus rows.
+
+T_CLOSE_BAR_BP = 2000  # t = 0.2
+
+
+def privacy_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    cust = load_table(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.col("c_mktsegment").alias("segment"),
+        F.expr("cast(floor(c_acctbal / 2000) as bigint)").alias("band"),
+    )
+    cb = cust.groupBy("nation", "segment", "band").agg(
+        F.count("*").cast("bigint").alias("n_cb")
+    )
+    classes = cb.groupBy("nation", "segment").agg(
+        F.sum("n_cb").cast("bigint").alias("class_size")
+    )
+    bands = cust.groupBy("band").agg(F.count("*").cast("bigint").alias("n_b"))
+    tot = bands.agg(
+        F.sum("n_b").cast("bigint").alias("n_total"),
+        F.count("*").cast("bigint").alias("m_bands"),
+    )
+    grid = (
+        classes.crossJoin(F.broadcast(bands))
+        .join(cb, ["nation", "segment", "band"], "left")
+        .select(
+            "nation", "segment", "band", "class_size", "n_b",
+            F.coalesce("n_cb", F.lit(0)).cast("bigint").alias("n_cb"),
+        )
+    )
+    w = Window.partitionBy("nation", "segment").orderBy("band")
+    cum = grid.crossJoin(F.broadcast(tot)).select(
+        "nation", "segment", "band", "class_size", "m_bands",
+        F.sum(
+            F.expr(
+                "cast(n_cb * 10000 div class_size as bigint)"
+                " - cast(n_b * 10000 div n_total as bigint)"
+            )
+        ).over(w).alias("cum_bp"),
+    )
+    out = cum.groupBy("nation", "segment", "class_size", "m_bands").agg(
+        F.expr("cast(sum(abs(cum_bp)) div (max(m_bands) - 1) as bigint)").alias("emd_bp")
+    )
+    return out.select(
+        "nation", "segment", "class_size", "emd_bp",
+        (F.col("emd_bp") > T_CLOSE_BAR_BP).cast("int").alias("t_violation"),
+    )
+
+
+T_CLOSENESS_SQL = f"""
+WITH cust AS (
+  SELECT c_nationkey AS nation, c_mktsegment AS segment,
+         CAST(floor(c_acctbal / 2000) AS BIGINT) AS band
+  FROM customer
+),
+cb AS (
+  SELECT nation, segment, band, count(*)::BIGINT AS n_cb
+  FROM cust GROUP BY 1, 2, 3
+),
+classes AS (
+  SELECT nation, segment, CAST(sum(n_cb) AS BIGINT) AS class_size
+  FROM cb GROUP BY 1, 2
+),
+bands AS (SELECT band, count(*)::BIGINT AS n_b FROM cust GROUP BY band),
+tot AS (
+  SELECT CAST(sum(n_b) AS BIGINT) AS n_total, count(*)::BIGINT AS m_bands FROM bands
+),
+grid AS (
+  SELECT c.nation, c.segment, b.band, c.class_size, b.n_b,
+         coalesce(x.n_cb, 0)::BIGINT AS n_cb
+  FROM classes c CROSS JOIN bands b
+  LEFT JOIN cb x ON x.nation = c.nation AND x.segment = c.segment AND x.band = b.band
+),
+cum AS (
+  SELECT nation, segment, band, class_size, m_bands,
+         sum(CAST(n_cb * 10000 // class_size AS BIGINT)
+             - CAST(n_b * 10000 // n_total AS BIGINT))
+           OVER (PARTITION BY nation, segment ORDER BY band) AS cum_bp
+  FROM grid, tot
+),
+scored AS (
+  SELECT nation, segment, class_size,
+         CAST(sum(abs(cum_bp)) // (max(m_bands) - 1) AS BIGINT) AS emd_bp
+  FROM cum GROUP BY nation, segment, class_size, m_bands
+)
+SELECT nation, segment, class_size, emd_bp,
+       CAST(emd_bp > {T_CLOSE_BAR_BP} AS INT) AS t_violation
+FROM scored
+"""
+
+QUERIES["privacy_t_closeness"] = privacy_t_closeness
+ORACLES["privacy_t_closeness"] = T_CLOSENESS_SQL

@@ -897,3 +897,82 @@ FROM scored, chi
 
 QUERIES["orders_benford_audit"] = orders_benford_audit
 ORACLES["orders_benford_audit"] = BENFORD_SQL
+
+
+# --- CDC stream -> SCD2 history build -----------------------------------------
+#
+# The bridge between cdc_latest_wins_merge (which keeps only the
+# latest image) and scd2_intervals (which assumes versions already
+# exist): replay the SAME planted CDC stream (key = user_id % 500 + 1,
+# seq = event_id, op I/U/D by event_id % 10) into full type-2 history.
+# Every I/U opens a version valid from its seq; the NEXT operation of
+# any kind on that key closes it (half-open intervals, lead over the
+# per-key op sequence); a D closes the running version without opening
+# a new one, so post-delete re-inserts start a fresh interval and the
+# key has no current row while deleted.  The tracked attribute is the
+# event's type at change time.
+#
+# Scale: ONE shuffle on the CDC key, one lead window and one
+# row_number inside it — the canonical merge-into-SCD2 shape; at
+# 100 TB the stream is bucketed by key so the window reuses the
+# layout, and per-key history length bounds task memory (the EWMA
+# bound).
+
+def cdc_to_scd2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        (F.col("user_id") % 500 + 1).cast("bigint").alias("key"),
+        F.col("event_id").cast("bigint").alias("seq"),
+        F.when(F.col("event_id") % 10 == 9, "D")
+        .when(F.col("event_id") % 10 == 0, "I")
+        .otherwise("U")
+        .alias("op"),
+        F.col("event_type").alias("attr"),
+    )
+    w = Window.partitionBy("key").orderBy("seq")
+    closed = ev.select(
+        "key", "seq", "op", "attr",
+        F.lead("seq").over(w).alias("valid_to"),
+        F.lead("op").over(w).alias("next_op"),
+    )
+    vers = closed.where(F.col("op") != "D").select(
+        "key",
+        F.row_number()
+        .over(Window.partitionBy("key").orderBy("seq"))
+        .cast("bigint")
+        .alias("version_n"),
+        "attr",
+        F.col("seq").alias("valid_from"),
+        "valid_to",
+        F.coalesce(F.col("next_op") == "D", F.lit(False)).cast("int").alias(
+            "closed_by_delete"
+        ),
+        F.col("valid_to").isNull().cast("int").alias("is_current"),
+    )
+    return vers
+
+
+CDC_SCD2_SQL = """
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+stream AS (
+  SELECT CAST(user_id % 500 + 1 AS BIGINT) AS key, CAST(event_id AS BIGINT) AS seq,
+         CASE WHEN event_id % 10 = 9 THEN 'D'
+              WHEN event_id % 10 = 0 THEN 'I' ELSE 'U' END AS op,
+         event_type AS attr
+  FROM events_us
+),
+closed AS (
+  SELECT key, seq, op, attr,
+         lead(seq) OVER (PARTITION BY key ORDER BY seq) AS valid_to,
+         lead(op) OVER (PARTITION BY key ORDER BY seq) AS next_op
+  FROM stream
+)
+SELECT key,
+       CAST(row_number() OVER (PARTITION BY key ORDER BY seq) AS BIGINT) AS version_n,
+       attr, seq AS valid_from, valid_to,
+       CAST(coalesce(next_op = 'D', false) AS INT) AS closed_by_delete,
+       CAST(valid_to IS NULL AS INT) AS is_current
+FROM closed WHERE op <> 'D'
+"""
+
+QUERIES["cdc_to_scd2"] = cdc_to_scd2
+ORACLES["cdc_to_scd2"] = CDC_SCD2_SQL

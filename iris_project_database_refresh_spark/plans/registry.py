@@ -180,6 +180,7 @@ _DRIVER_PRIORITY = [
     "lineitem_promo_mannwhitney", "customer_churn_hazard",
     "graph_bfs_distances", "keyword_extract_rake",
     "dedup_containment", "hnsw_level_plan",
+    "privacy_t_closeness", "cdc_to_scd2",
 ]
 
 
