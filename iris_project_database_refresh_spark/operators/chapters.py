@@ -586,3 +586,107 @@ FROM gapped
 
 QUERIES["chapter_ranges_validate"] = chapter_ranges_validate
 ORACLES["chapter_ranges_validate"] = CHAPTER_VALIDATE_SQL
+
+
+# --- Summary coverage eval (ROUGE-1 against the source) -----------------------
+#
+# The eval a summarization stage owes its pipeline (public art: Lin
+# 2004, ROUGE; here scored against the SOURCE as reference, the
+# standard proxy when no human references exist): for each document,
+# the union of its chapter summaries (the production chapter_summarize
+# output, recomputed in-plan) is scored on vocabulary recall
+# (distinct-unigram ROUGE-1) and on TOKEN-MASS coverage (tf-weighted
+# recall — what share of the document's token occurrences the summary
+# vocabulary explains; frequency-ranked extractive summaries should
+# score high here, that's the point of the ranking).
+#
+# Scale: summaries are per-row array math (chapter_summarize is
+# zero-shuffle); the eval is one (doc, token) tf aggregation and a
+# doc-grain rollup — the summary-term set rides the same shuffle key.
+
+def chapter_summary_rouge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ch = chapter_summarize(spark, sf_dir).select("doc_id", "summary")
+    n_ch = ch.groupBy("doc_id").agg(F.count("*").cast("bigint").alias("n_chapters"))
+    sterms = (
+        ch.select("doc_id", F.explode(F.split("summary", " ")).alias("tok"))
+        .where(F.col("tok") != "")
+        .distinct()
+        .withColumn("in_summary", F.lit(1))
+    )
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    dstats = (
+        docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").cast("bigint").alias("tf"))
+    )
+    joined = dstats.join(sterms, ["doc_id", "tok"], "left")
+    per_doc = joined.groupBy("doc_id").agg(
+        F.count("*").cast("bigint").alias("n_doc_vocab"),
+        F.sum("tf").cast("bigint").alias("n_doc_tokens"),
+        F.sum(F.coalesce("in_summary", F.lit(0))).cast("bigint").alias("n_summary_terms"),
+        F.sum(F.when(F.col("in_summary").isNotNull(), F.col("tf")).otherwise(0))
+        .cast("bigint")
+        .alias("covered_mass"),
+    )
+    return per_doc.join(n_ch, "doc_id").select(
+        "doc_id", "n_chapters", "n_summary_terms", "n_doc_vocab",
+        F.expr("cast(n_summary_terms * 10000 div n_doc_vocab as bigint)").alias(
+            "rouge1_recall_bp"
+        ),
+        F.expr("cast(covered_mass * 10000 div n_doc_tokens as bigint)").alias(
+            "mass_coverage_bp"
+        ),
+    )
+
+
+SUMMARY_ROUGE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, toks,
+         greatest(CAST(ceil(len(toks) / {HEAD_EVERY}.0) AS INT), 1) AS nb
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+per_ch AS (
+  SELECT doc_id, toks, nb, c,
+         list_slice(toks, ((c - 1) * {PAGES_PER_CHAPTER}) * {HEAD_EVERY} + 1,
+                    ((c - 1) * {PAGES_PER_CHAPTER}) * {HEAD_EVERY} + {CH_TOKENS}) AS ctoks
+  FROM base, (SELECT unnest(generate_series(1,
+       CAST(ceil(nb / {PAGES_PER_CHAPTER}.0) AS INT))) AS c)
+),
+summaries AS (
+  SELECT doc_id,
+         array_to_string(list_transform(
+             list_slice(list_sort(list_transform(list_distinct(ctoks),
+                 t -> struct_pack(negc := -len(list_filter(ctoks, x -> x = t)), tok := t))),
+                 1, {SUMMARY_TERMS}),
+             s -> s.tok), ' ') AS summary
+  FROM per_ch
+),
+n_ch AS (SELECT doc_id, count(*)::BIGINT AS n_chapters FROM summaries GROUP BY doc_id),
+sterms AS (
+  SELECT DISTINCT doc_id, tok FROM (
+    SELECT doc_id, unnest(string_split(summary, ' ')) AS tok FROM summaries
+  ) WHERE tok <> ''
+),
+dstats AS (
+  SELECT doc_id, tok, count(*)::BIGINT AS tf FROM (
+    SELECT doc_id, unnest(toks) AS tok FROM base
+  ) GROUP BY doc_id, tok
+),
+per_doc AS (
+  SELECT d.doc_id,
+         count(*)::BIGINT AS n_doc_vocab,
+         CAST(sum(d.tf) AS BIGINT) AS n_doc_tokens,
+         CAST(sum(CASE WHEN s.tok IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_summary_terms,
+         CAST(sum(CASE WHEN s.tok IS NOT NULL THEN d.tf ELSE 0 END) AS BIGINT) AS covered_mass
+  FROM dstats d LEFT JOIN sterms s ON d.doc_id = s.doc_id AND d.tok = s.tok
+  GROUP BY d.doc_id
+)
+SELECT p.doc_id, n.n_chapters, p.n_summary_terms, p.n_doc_vocab,
+       CAST(p.n_summary_terms * 10000 // p.n_doc_vocab AS BIGINT) AS rouge1_recall_bp,
+       CAST(p.covered_mass * 10000 // p.n_doc_tokens AS BIGINT) AS mass_coverage_bp
+FROM per_doc p JOIN n_ch n ON p.doc_id = n.doc_id
+"""
+
+QUERIES["chapter_summary_rouge"] = chapter_summary_rouge
+ORACLES["chapter_summary_rouge"] = SUMMARY_ROUGE_SQL

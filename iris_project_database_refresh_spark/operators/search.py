@@ -756,3 +756,148 @@ WHERE df * 10000 // n_docs >= {DF_STOP_BP}
 
 QUERIES["stopword_discovery"] = stopword_discovery
 ORACLES["stopword_discovery"] = STOPWORD_SQL
+
+
+# --- nDCG@10 retrieval-quality eval -------------------------------------------
+#
+# The graded-relevance metric next to bm25_self_retrieval_mrr's
+# binary one (public IR art: Järvelin & Kekäläinen 2002): ground
+# truth per (query, doc) is the GRADED count of query terms the doc
+# contains (0..MRR_TERMS — deterministic, no judgments needed), gain
+# is 2^rel − 1, and the rank discounts 1/log2(r+1) are the 10
+# PUBLISHED constants hard-coded in micro units in BOTH engines (the
+# Benford device — no runtime log2), so DCG/IDCG are exact integer
+# sums and nDCG lands in bp via integer division.  IDCG re-ranks the
+# SAME candidate set by grade (ties to doc_id), the standard
+# per-query ideal.
+#
+# Scale: rides the production BM25 postings/qterms pipeline —
+# broadcast query terms, one (query, doc) agg; ranking windows are
+# per-query (8 queries × bounded candidates), cut at K before the
+# gain math.
+
+NDCG_K = 10
+# round(1e6 / log2(r+1)) for r = 1..10
+NDCG_DISC_MICRO = (1000000, 630930, 500000, 430677, 386853,
+                   356207, 333333, 315465, 301030, 289065)
+
+
+def bm25_ndcg_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("toks")).localCheckpoint(eager=False)
+    postings = (
+        base.select("doc_id", F.size("toks").alias("len_d"), F.explode("toks").alias("term"))
+        .groupBy("doc_id", "len_d", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = postings.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg(F.size("toks")).alias("avg_len")
+    )
+    qterms = (
+        base.where(F.col("doc_id") < MRR_QUERIES)
+        .select(
+            F.col("doc_id").alias("query_id"),
+            F.explode(F.slice(F.array_sort(F.array_distinct("toks")), 1, MRR_TERMS)).alias("term"),
+        )
+        .distinct()
+    )
+    scored = (
+        postings.join(F.broadcast(qterms), "term")
+        .join(F.broadcast(df_t), "term")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("query_id", "doc_id")
+        .agg(
+            F.round(
+                F.sum(
+                    F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                    * (F.col("tf") * (BM25_K1 + 1))
+                    / (
+                        F.col("tf")
+                        + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len_d") / F.col("avg_len"))
+                    )
+                ),
+                6,
+            ).alias("score"),
+            F.count(F.lit(1)).cast("bigint").alias("rel"),
+        )
+    )
+    disc = "array({})".format(", ".join(str(v) for v in NDCG_DISC_MICRO))
+    ranked = scored.select(
+        "query_id", "doc_id", "rel",
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.desc("score"), F.asc("doc_id")))
+        .alias("rank"),
+        F.row_number()
+        .over(Window.partitionBy("query_id").orderBy(F.desc("rel"), F.asc("doc_id")))
+        .alias("irank"),
+    )
+    per_q = ranked.groupBy("query_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+        F.expr(
+            f"cast(sum(case when rank <= {NDCG_K} then"
+            f" (shiftleft(1L, cast(rel as int)) - 1) * element_at({disc}, rank)"
+            " else 0 end) as bigint)"
+        ).alias("dcg_micro"),
+        F.expr(
+            f"cast(sum(case when irank <= {NDCG_K} then"
+            f" (shiftleft(1L, cast(rel as int)) - 1) * element_at({disc}, irank)"
+            " else 0 end) as bigint)"
+        ).alias("idcg_micro"),
+    )
+    return per_q.select(
+        "query_id", "n_candidates", "dcg_micro", "idcg_micro",
+        F.expr("cast(dcg_micro * 10000 div idcg_micro as bigint)").alias("ndcg_bp"),
+    )
+
+
+_NDCG_DISC_SQL = "[" + ", ".join(str(v) for v in NDCG_DISC_MICRO) + "]"
+
+BM25_NDCG_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+), postings AS (
+  SELECT doc_id, len_d, term, count(*) AS tf
+  FROM (SELECT doc_id, len(toks) AS len_d, unnest(toks) AS term FROM base)
+  GROUP BY doc_id, len_d, term
+), df_t AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM postings GROUP BY term
+), stats AS (
+  SELECT count(*) AS n_docs, avg(len(toks)) AS avg_len FROM base
+), qterms AS (
+  SELECT DISTINCT doc_id AS query_id, unnest(list_sort(list_distinct(toks))[1:{MRR_TERMS}]) AS term
+  FROM base WHERE doc_id < {MRR_QUERIES}
+), scored AS (
+  SELECT query_id, p.doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1))
+           / (tf + {BM25_K1} * (1 - {BM25_B} + {BM25_B} * len_d / avg_len))
+         ), 6) AS score,
+         count(*)::BIGINT AS rel
+  FROM postings p JOIN qterms q USING (term) JOIN df_t USING (term), stats
+  GROUP BY query_id, p.doc_id
+), ranked AS (
+  SELECT query_id, doc_id, rel,
+         row_number() OVER (PARTITION BY query_id ORDER BY score DESC, doc_id ASC) AS rank,
+         row_number() OVER (PARTITION BY query_id ORDER BY rel DESC, doc_id ASC) AS irank
+  FROM scored
+), per_q AS (
+  SELECT query_id, count(*)::BIGINT AS n_candidates,
+         CAST(sum(CASE WHEN rank <= {NDCG_K} THEN
+              ((1::BIGINT << CAST(rel AS INT)) - 1) * ({_NDCG_DISC_SQL})[rank]
+              ELSE 0 END) AS BIGINT) AS dcg_micro,
+         CAST(sum(CASE WHEN irank <= {NDCG_K} THEN
+              ((1::BIGINT << CAST(rel AS INT)) - 1) * ({_NDCG_DISC_SQL})[irank]
+              ELSE 0 END) AS BIGINT) AS idcg_micro
+  FROM ranked GROUP BY query_id
+)
+SELECT query_id, n_candidates, dcg_micro, idcg_micro,
+       CAST(dcg_micro * 10000 // idcg_micro AS BIGINT) AS ndcg_bp
+FROM per_q
+"""
+
+QUERIES["bm25_ndcg_eval"] = bm25_ndcg_eval
+ORACLES["bm25_ndcg_eval"] = BM25_NDCG_SQL

@@ -181,6 +181,7 @@ _DRIVER_PRIORITY = [
     "graph_bfs_distances", "keyword_extract_rake",
     "dedup_containment", "hnsw_level_plan",
     "privacy_t_closeness", "cdc_to_scd2",
+    "bm25_ndcg_eval", "chapter_summary_rouge",
 ]
 
 
