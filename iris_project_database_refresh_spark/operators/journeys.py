@@ -1498,3 +1498,87 @@ FROM tab
 
 QUERIES["customer_churn_hazard"] = customer_churn_hazard
 ORACLES["customer_churn_hazard"] = CHURN_HAZARD_SQL
+
+
+# --- A/B sample-size / power plan ----------------------------------------------
+#
+# The planning step the experimentation family (events_ab_test_lift /
+# events_ab_srm_check / events_ab_cuped) runs BEFORE any experiment:
+# for each event type as a conversion goal, the per-arm sample size a
+# two-proportion z-test needs to detect a 10% relative lift at
+# alpha=0.05 / power=0.8.  The z constants enter as ONE hard-coded
+# integer — (z_{a/2}+z_beta)^2 = (1.959964+0.841621)^2 in milli
+# (Z2_MILLI = 7849, the Benford device) — and rates stay in truncated
+# bp, so n = z^2 * (p1(1-p1)+p2(1-p2)) / delta^2 is exact integer
+# arithmetic with magnitudes bounded by the bp grid at any corpus
+# size.  Goals whose truncated MDE is 0 bp are emitted with n = -1
+# (unmeasurable at this baseline).
+#
+# Scale: two distinct-user aggregations (corpus shuffles) + a
+# bounded per-type rollup; the totals ride 1-row broadcasts.
+
+Z2_MILLI = 7849  # (1.959964 + 0.841621)^2, alpha=.05 two-sided, power=.8
+
+
+def events_ab_power_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    total = ev.agg(F.countDistinct("user_id").cast("bigint").alias("n_users"))
+    per_type = ev.groupBy("event_type").agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_converted")
+    )
+    base = per_type.crossJoin(F.broadcast(total)).select(
+        "event_type", "n_users", "n_converted",
+        F.expr("cast(n_converted * 10000 div n_users as bigint)").alias("p_bp"),
+    )
+    scored = base.select(
+        "event_type", "n_users", "n_converted", "p_bp",
+        F.expr("cast(p_bp div 10 as bigint)").alias("delta_bp"),
+    ).select(
+        "event_type", "n_users", "n_converted", "p_bp", "delta_bp",
+        F.expr(
+            "case when delta_bp = 0 or p_bp + delta_bp > 10000 then -1 else"
+            f" cast({Z2_MILLI} * (p_bp * (10000 - p_bp)"
+            " + (p_bp + delta_bp) * (10000 - p_bp - delta_bp))"
+            " div (1000 * delta_bp * delta_bp) + 1 as bigint) end"
+        ).alias("n_per_arm"),
+    )
+    return scored.select(
+        "event_type", "n_users", "n_converted", "p_bp", "delta_bp", "n_per_arm",
+        F.expr(
+            "cast(n_per_arm >= 0 and 2 * n_per_arm <= n_users as int)"
+        ).alias("feasible_now"),
+    )
+
+
+AB_POWER_SQL = f"""
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+total AS (SELECT count(DISTINCT user_id)::BIGINT AS n_users FROM events_us),
+per_type AS (
+  SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_converted
+  FROM events_us GROUP BY event_type
+),
+base AS (
+  SELECT event_type, n_users, n_converted,
+         CAST(n_converted * 10000 // n_users AS BIGINT) AS p_bp
+  FROM per_type, total
+),
+scored AS (
+  SELECT event_type, n_users, n_converted, p_bp,
+         CAST(p_bp // 10 AS BIGINT) AS delta_bp
+  FROM base
+),
+planned AS (
+  SELECT event_type, n_users, n_converted, p_bp, delta_bp,
+         CASE WHEN delta_bp = 0 OR p_bp + delta_bp > 10000 THEN -1 ELSE
+           CAST({Z2_MILLI} * (p_bp * (10000 - p_bp)
+                + (p_bp + delta_bp) * (10000 - p_bp - delta_bp))
+                // (1000 * delta_bp * delta_bp) + 1 AS BIGINT) END AS n_per_arm
+  FROM scored
+)
+SELECT event_type, n_users, n_converted, p_bp, delta_bp, n_per_arm,
+       CAST(n_per_arm >= 0 AND 2 * n_per_arm <= n_users AS INT) AS feasible_now
+FROM planned
+"""
+
+QUERIES["events_ab_power_plan"] = events_ab_power_plan
+ORACLES["events_ab_power_plan"] = AB_POWER_SQL

@@ -1671,3 +1671,185 @@ FROM stats
 
 QUERIES["multimodal_loudness_plan"] = multimodal_loudness_plan
 ORACLES["multimodal_loudness_plan"] = LOUDNESS_SQL
+
+
+# --- image metadata: planted TIFF/EXIF containers + byte-order-aware kernel ---
+#
+# Completes the container-parser family (WAV chunk walk, Y4M stream
+# walk) with the image-metadata format real pipelines scrape before
+# any decode: a TIFF/EXIF IFD walk (public spec: TIFF 6.0 / EXIF 2.3).
+# Image-typed media rows get REAL TIFF bytes built with JVM
+# expressions — magic, IFD offset, a 4-entry IFD (ImageWidth,
+# ImageLength, Orientation, ResolutionUnit as SHORT entries with
+# inline left-justified values) and terminator, in BOTH byte orders
+# (every 6th item is big-endian 'MM', the rest little-endian 'II') —
+# followed by the document bytes as opaque image data.  The
+# Arrow-batched kernel does the spec walk with stdlib struct: detect
+# byte order, validate magic 42, seek the IFD, decode SHORT/LONG
+# entries.  The oracle recomputes every field arithmetically from the
+# planted parameters, so a kernel that mis-handles either endianness
+# hash-mismatches.
+#
+# Scale: same contract as the audio/video kernels — payload bytes stay
+# on executors, bounded Arrow batches, no media libraries.
+
+EXIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("byte_order", T.StringType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("orientation", T.LongType()),
+        T.StructField("resolution_unit", T.LongType()),
+        T.StructField("n_pixels", T.LongType()),
+        T.StructField("aspect_milli", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def _be_hex(col, nbytes: int):
+    """Big-endian fixed-width hex string of an integer column."""
+    return F.format_string(f"%0{2 * nbytes}X", col.cast("bigint").cast("int"))
+
+
+def tiff_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): image-typed items as real TIFF bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    width = (F.lit(64) + (F.col("doc_id") % 48) * 16).cast("bigint")
+    height = (F.lit(64) + (F.col("doc_id") % 36) * 16).cast("bigint")
+    orient = (F.col("doc_id") % 8 + 1).cast("bigint")
+    res_unit = (F.lit(2) + F.col("doc_id") % 2).cast("bigint")
+
+    def entries(hexer):
+        out = []
+        for tag, val in ((0x0100, width), (0x0101, height),
+                         (0x0112, orient), (0x0128, res_unit)):
+            out.append(
+                F.concat(
+                    hexer(F.lit(tag), 2), hexer(F.lit(3), 2),
+                    hexer(F.lit(1), 4), hexer(val, 2), F.lit("0000"),
+                )
+            )
+        return F.concat(*out)
+
+    le = F.concat(
+        F.lit("49492A00"), _le_hex(F.lit(8), 4), _le_hex(F.lit(4), 2),
+        entries(_le_hex), _le_hex(F.lit(0), 4),
+    )
+    be = F.concat(
+        F.lit("4D4D002A"), _be_hex(F.lit(8), 4), _be_hex(F.lit(4), 2),
+        entries(_be_hex), _be_hex(F.lit(0), 4),
+    )
+    header_hex = F.when(F.col("doc_id") % 6 == 0, be).otherwise(le)
+    payload = F.concat(F.unhex(header_hex), F.encode("text", "utf-8"))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_tiff_header(payload: bytes) -> dict | None:
+    """TIFF 6.0 IFD walk with stdlib struct; None for non-TIFF bytes."""
+    import struct
+
+    if len(payload) < 8:
+        return None
+    order = payload[:2]
+    if order == b"II":
+        fmt = "<"
+    elif order == b"MM":
+        fmt = ">"
+    else:
+        return None
+    (magic,) = struct.unpack(fmt + "H", payload[2:4])
+    if magic != 42:
+        return None
+    (off,) = struct.unpack(fmt + "I", payload[4:8])
+    if off + 2 > len(payload):
+        return None
+    (n,) = struct.unpack(fmt + "H", payload[off : off + 2])
+    tags: dict[int, int] = {}
+    for i in range(n):
+        e = off + 2 + 12 * i
+        if e + 12 > len(payload):
+            break
+        tag, typ, cnt = struct.unpack(fmt + "HHI", payload[e : e + 8])
+        if typ == 3 and cnt == 1:  # SHORT, left-justified inline value
+            (val,) = struct.unpack(fmt + "H", payload[e + 8 : e + 10])
+        elif typ == 4 and cnt == 1:  # LONG
+            (val,) = struct.unpack(fmt + "I", payload[e + 8 : e + 12])
+        else:
+            continue
+        tags[tag] = val
+    if 0x0100 not in tags or 0x0101 not in tags:
+        return None
+    return {
+        "byte_order": order.decode("ascii"),
+        "width": tags[0x0100],
+        "height": tags[0x0101],
+        "orientation": tags.get(0x0112, 1),
+        "resolution_unit": tags.get(0x0128, 2),
+    }
+
+
+def multimodal_exif_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched TIFF/EXIF IFD walk over the planted image items."""
+    images = tiff_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_tiff_header(bytes(payload))
+                    if parsed is None:
+                        continue
+                    w, h = parsed["width"], parsed["height"]
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "byte_order": parsed["byte_order"],
+                            "width": w,
+                            "height": h,
+                            "orientation": parsed["orientation"],
+                            "resolution_unit": parsed["resolution_unit"],
+                            "n_pixels": w * h,
+                            "aspect_milli": w * 1000 // h,
+                            "parser": "tiff-stdlib",
+                        }
+                    )
+                yield pd.DataFrame(
+                    rows, columns=[f.name for f in EXIF_SCHEMA.fields]
+                ).astype(
+                    {
+                        "media_id": "int64",
+                        "width": "int64",
+                        "height": "int64",
+                        "orientation": "int64",
+                        "resolution_unit": "int64",
+                        "n_pixels": "int64",
+                        "aspect_milli": "int64",
+                    }
+                )
+
+    return images.mapInPandas(fn, EXIF_SCHEMA)
+
+
+# Oracle: every field recomputed arithmetically from the planted params.
+MULTIMODAL_EXIF_SQL = """
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 6 = 0 THEN 'MM' ELSE 'II' END AS byte_order,
+       CAST(64 + (doc_id % 48) * 16 AS BIGINT) AS width,
+       CAST(64 + (doc_id % 36) * 16 AS BIGINT) AS height,
+       CAST(doc_id % 8 + 1 AS BIGINT) AS orientation,
+       CAST(2 + doc_id % 2 AS BIGINT) AS resolution_unit,
+       CAST((64 + (doc_id % 48) * 16) * (64 + (doc_id % 36) * 16) AS BIGINT) AS n_pixels,
+       CAST((64 + (doc_id % 48) * 16) * 1000 // (64 + (doc_id % 36) * 16) AS BIGINT)
+         AS aspect_milli,
+       'tiff-stdlib' AS parser
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+QUERIES["multimodal_exif_parse"] = multimodal_exif_parse
+ORACLES["multimodal_exif_parse"] = MULTIMODAL_EXIF_SQL

@@ -182,6 +182,7 @@ _DRIVER_PRIORITY = [
     "dedup_containment", "hnsw_level_plan",
     "privacy_t_closeness", "cdc_to_scd2",
     "bm25_ndcg_eval", "chapter_summary_rouge",
+    "multimodal_exif_parse", "events_ab_power_plan",
 ]
 
 
