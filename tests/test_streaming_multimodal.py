@@ -338,3 +338,36 @@ def test_streaming_drift_monitor_matches_batch(spark):
         ).collect()
     }
     assert got == want and len(got) > 0
+
+
+def test_tiff_header_parser_rejects_non_image():
+    from iris_project_database_refresh_spark.operators.multimodal import parse_tiff_header
+
+    assert parse_tiff_header(b"plain document text, not a TIFF") is None
+    assert parse_tiff_header(b"") is None
+    assert parse_tiff_header(b"II\x2b\x00\x08\x00\x00\x00") is None  # wrong magic
+    assert parse_tiff_header(b"II\x2a\x00\xff\xff\xff\xff") is None  # IFD out of range
+
+
+def test_tiff_header_parser_both_byte_orders():
+    import struct
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_tiff_header
+
+    def build(fmt, order):
+        entries = [(0x0100, 320), (0x0101, 240), (0x0112, 5), (0x0128, 3)]
+        ifd = struct.pack(fmt + "H", len(entries))
+        for tag, val in entries:
+            ifd += struct.pack(fmt + "HHI", tag, 3, 1) + struct.pack(fmt + "H", val) + b"\x00\x00"
+        ifd += struct.pack(fmt + "I", 0)
+        return order + struct.pack(fmt + "H", 42) + struct.pack(fmt + "I", 8) + ifd
+
+    for fmt, order in (("<", b"II"), (">", b"MM")):
+        parsed = parse_tiff_header(build(fmt, order))
+        assert parsed == {
+            "byte_order": order.decode(),
+            "width": 320,
+            "height": 240,
+            "orientation": 5,
+            "resolution_unit": 3,
+        }
