@@ -870,3 +870,139 @@ FROM d
 
 QUERIES["refresh_dag_critical_path"] = refresh_dag_critical_path
 ORACLES["refresh_dag_critical_path"] = DAG_CRITICAL_SQL
+
+
+# --- props schema drift --------------------------------------------------------
+#
+# The ops alarm props_schema_profile feeds: did the event payload
+# schema CHANGE mid-stream?  The stream is split at its time midpoint
+# (the CUPED device) and per-key presence coverage is compared across
+# halves.  The planted drift is the classic one: a new SDK ships a
+# field ("sdk") that exists only after the midpoint — it must surface
+# as status 'new', while the steady planted keys (k / ua / ref, same
+# enrichment as props_schema_profile) read 'stable'.  Coverage in
+# truncated bp per half; signed drift = late - early (subtraction of
+# non-negative bp, no negative division).
+#
+# Scale: midpoint from a 1-row broadcast; ONE corpus pass computes
+# all per-key × per-half counts (conditional sums), unpivoted with
+# stack onto the bounded key grid — no per-key rescans.
+
+_DRIFT_KEYS = ("k", "ua", "ref", "sdk")
+DRIFT_BAND_BP = 500
+
+
+def props_schema_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("event_id", "ts", "props")
+    mid = ev.agg(
+        F.expr(
+            "timestamp_micros(cast((unix_micros(min(ts)) + unix_micros(max(ts))) div 2"
+            " as bigint))"
+        ).alias("mid_ts")
+    )
+    enriched = ev.crossJoin(F.broadcast(mid)).select(
+        (F.col("ts") >= F.col("mid_ts")).cast("int").alias("late"),
+        F.concat(
+            F.expr("substring(props, 1, length(props) - 1)"),
+            F.when(F.col("event_id") % 3 == 0, F.lit(', "ua": "bot"')).otherwise(F.lit("")),
+            F.when(
+                F.col("event_id") % 5 == 0,
+                F.concat(F.lit(', "ref": '), (F.col("event_id") % 7).cast("string")),
+            ).otherwise(F.lit("")),
+            F.when(F.col("ts") >= F.col("mid_ts"), F.lit(', "sdk": "2"')).otherwise(
+                F.lit("")
+            ),
+            F.lit("}"),
+        ).alias("j"),
+    )
+    aggs = [
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum("late").cast("bigint").alias("n_late"),
+    ]
+    for key in _DRIFT_KEYS:
+        val = F.get_json_object("j", f"$.{key}")
+        aggs.append(
+            F.sum(((F.col("late") == 0) & val.isNotNull()).cast("bigint"))
+            .cast("bigint")
+            .alias(f"early_{key}")
+        )
+        aggs.append(
+            F.sum(((F.col("late") == 1) & val.isNotNull()).cast("bigint"))
+            .cast("bigint")
+            .alias(f"late_{key}")
+        )
+    wide = enriched.agg(*aggs)
+    stacked = wide.select(
+        (F.col("n_events") - F.col("n_late")).alias("n_early"),
+        "n_late",
+        F.expr(
+            "stack({}, {})".format(
+                len(_DRIFT_KEYS),
+                ", ".join(f"'{k}', early_{k}, late_{k}" for k in _DRIFT_KEYS),
+            )
+        ).alias("key", "early_n", "late_n"),
+    )
+    scored = stacked.select(
+        "key", "early_n", "late_n",
+        F.expr("cast(early_n * 10000 div n_early as bigint)").alias("early_cov_bp"),
+        F.expr("cast(late_n * 10000 div n_late as bigint)").alias("late_cov_bp"),
+    ).select(
+        "key", "early_n", "late_n", "early_cov_bp", "late_cov_bp",
+        (F.col("late_cov_bp") - F.col("early_cov_bp")).cast("bigint").alias("drift_bp"),
+    )
+    return scored.select(
+        "key", "early_n", "late_n", "early_cov_bp", "late_cov_bp", "drift_bp",
+        F.when((F.col("early_n") == 0) & (F.col("late_n") > 0), "new")
+        .when((F.col("late_n") == 0) & (F.col("early_n") > 0), "dropped")
+        .when(F.abs("drift_bp") > DRIFT_BAND_BP, "drifting")
+        .otherwise("stable")
+        .alias("status"),
+    )
+
+
+PROPS_DRIFT_SQL = f"""
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+mid AS (
+  SELECT make_timestamp((epoch_us(min(ts)) + epoch_us(max(ts))) // 2) AS mid_ts
+  FROM events_us
+),
+enriched AS (
+  SELECT CAST(ts >= mid_ts AS INT) AS late,
+         substring(props, 1, length(props) - 1)
+         || CASE WHEN event_id % 3 = 0 THEN ', "ua": "bot"' ELSE '' END
+         || CASE WHEN event_id % 5 = 0 THEN ', "ref": ' || CAST(event_id % 7 AS VARCHAR) ELSE '' END
+         || CASE WHEN ts >= mid_ts THEN ', "sdk": "2"' ELSE '' END
+         || '}}' AS j
+  FROM events_us, mid
+),
+wide AS (
+  SELECT count(*)::BIGINT AS n_events, CAST(sum(late) AS BIGINT) AS n_late,
+         {", ".join(
+             f"CAST(sum(CASE WHEN late = 0 AND (j->>'{k}') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS early_{k},"
+             f" CAST(sum(CASE WHEN late = 1 AND (j->>'{k}') IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS late_{k}"
+             for k in _DRIFT_KEYS)}
+  FROM enriched
+),
+stacked AS (
+  {" UNION ALL ".join(
+      f"SELECT '{k}' AS key, early_{k} AS early_n, late_{k} AS late_n,"
+      " n_events - n_late AS n_early, n_late FROM wide"
+      for k in _DRIFT_KEYS)}
+),
+scored AS (
+  SELECT key, early_n, late_n,
+         CAST(early_n * 10000 // n_early AS BIGINT) AS early_cov_bp,
+         CAST(late_n * 10000 // n_late AS BIGINT) AS late_cov_bp
+  FROM stacked
+)
+SELECT key, early_n, late_n, early_cov_bp, late_cov_bp,
+       CAST(late_cov_bp - early_cov_bp AS BIGINT) AS drift_bp,
+       CASE WHEN early_n = 0 AND late_n > 0 THEN 'new'
+            WHEN late_n = 0 AND early_n > 0 THEN 'dropped'
+            WHEN abs(late_cov_bp - early_cov_bp) > {DRIFT_BAND_BP} THEN 'drifting'
+            ELSE 'stable' END AS status
+FROM scored
+"""
+
+QUERIES["props_schema_drift"] = props_schema_drift
+ORACLES["props_schema_drift"] = PROPS_DRIFT_SQL

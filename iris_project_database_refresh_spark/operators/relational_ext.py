@@ -2101,3 +2101,76 @@ FROM agg
 
 QUERIES["lineitem_promo_mannwhitney"] = lineitem_promo_mannwhitney
 ORACLES["lineitem_promo_mannwhitney"] = MANNWHITNEY_SQL
+
+
+# --- Skyline / Pareto frontier ------------------------------------------------
+#
+# The classic skyline operator (Börzsönyi et al. 2001, public art):
+# parts that are Pareto-optimal on (minimize retail price, maximize
+# size) — no other part is at-most-as-expensive AND at-least-as-large
+# with one strict.  The O(n²) dominance join collapses to a 1-D sweep
+# because 2-attribute dominance is a cumulative max over the price
+# order: p is dominated iff max(size | strictly cheaper) >= size OR
+# max(size | same price) > size — two RANGE-frame windows on exact
+# integer cents, zero self-joins.  Output ranks the frontier by price.
+#
+# Scale: one sort-shuffle on cents (the window key); at 100 TB the
+# standard distributed skyline refinement applies unchanged — local
+# per-partition skyline first (same windows per partition, monotone
+# filter), then the tiny local frontiers re-sweep globally.
+
+def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand",
+        F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias("price_cents"),
+        F.col("p_size").cast("bigint").alias("size"),
+    )
+    w_cheaper = (
+        Window.orderBy("price_cents")
+        .rangeBetween(Window.unboundedPreceding, -1)
+    )
+    w_equal = Window.orderBy("price_cents").rangeBetween(0, 0)
+    marked = part.select(
+        "p_partkey", "p_brand", "price_cents", "size",
+        F.max("size").over(w_cheaper).alias("best_cheaper"),
+        F.max("size").over(w_equal).alias("best_equal"),
+    )
+    frontier = marked.where(
+        (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
+        & (F.col("best_equal") <= F.col("size"))
+    )
+    return frontier.select(
+        F.row_number()
+        .over(Window.orderBy("price_cents", "p_partkey"))
+        .cast("bigint")
+        .alias("frontier_rank"),
+        "p_partkey", "p_brand", "price_cents", "size",
+    )
+
+
+SKYLINE_SQL = """
+WITH part_i AS (
+  SELECT p_partkey, p_brand,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS price_cents,
+         CAST(p_size AS BIGINT) AS size
+  FROM part
+),
+marked AS (
+  SELECT p_partkey, p_brand, price_cents, size,
+         max(size) OVER (ORDER BY price_cents
+             RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS best_cheaper,
+         max(size) OVER (ORDER BY price_cents
+             RANGE BETWEEN CURRENT ROW AND CURRENT ROW) AS best_equal
+  FROM part_i
+),
+frontier AS (
+  SELECT * FROM marked
+  WHERE (best_cheaper IS NULL OR best_cheaper < size) AND best_equal <= size
+)
+SELECT CAST(row_number() OVER (ORDER BY price_cents, p_partkey) AS BIGINT) AS frontier_rank,
+       p_partkey, p_brand, price_cents, size
+FROM frontier
+"""
+
+QUERIES["part_skyline_frontier"] = part_skyline_frontier
+ORACLES["part_skyline_frontier"] = SKYLINE_SQL

@@ -183,6 +183,7 @@ _DRIVER_PRIORITY = [
     "privacy_t_closeness", "cdc_to_scd2",
     "bm25_ndcg_eval", "chapter_summary_rouge",
     "multimodal_exif_parse", "events_ab_power_plan",
+    "props_schema_drift", "part_skyline_frontier",
 ]
 
 
