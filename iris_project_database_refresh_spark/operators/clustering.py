@@ -564,3 +564,102 @@ PROJECT_PC1_SQL = _project_sql()
 
 QUERIES["embed_project_pc1"] = embed_project_pc1
 ORACLES["embed_project_pc1"] = PROJECT_PC1_SQL
+
+
+# --- Whitening plan (per-dimension standardization factors) -------------------
+#
+# The preprocessing artifact between embed_drift_stats (means) and
+# embed_pca_power (principal directions): per-dimension mean/std and
+# the 1/std scale factors a whitening (standardization) step applies
+# before k-means or PCA — computed as ONE pass of mergeable integer
+# moments on the milli-quantized grid (n·Σx² − (Σx)² = n²·var, exact
+# and order-independent; the DRIFT_QSCALE device), std recovered via
+# one sqrt + floor(x+0.5) identical in both engines.  The condition
+# ratio max-std/min-std says whether whitening matters at all.
+#
+# Scale: one posexplode + one (dim) aggregation — 64 output rows at
+# any corpus size; the condition windows run on that bounded grid.
+# At billions of rows the squared sums outgrow BIGINT — promote the
+# moments to DECIMAL(38) or per-partition double partials.
+
+def embed_whitening_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.expr(
+            "transform(embedding, x -> cast(floor(cast(x as double) * 1000 + 0.5d)"
+            " as bigint))"
+        ).alias("q")
+    )
+    per_dim = (
+        emb.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("bigint").alias("n_vecs"),
+            F.sum("v").cast("bigint").alias("s"),
+            F.expr("cast(sum(v * v) as bigint)").alias("ss"),
+        )
+    )
+    scored = per_dim.select(
+        F.col("dim").cast("bigint").alias("dim"),
+        "n_vecs",
+        F.expr("cast(s div n_vecs as bigint)").alias("mean_milli"),
+        F.expr(
+            "cast(floor(sqrt(cast(n_vecs * ss - s * s as double)) / n_vecs + 0.5)"
+            " as bigint)"
+        ).alias("std_milli"),
+    ).select(
+        "dim", "n_vecs", "mean_milli", "std_milli",
+        F.expr(
+            "case when std_milli = 0 then -1"
+            " else cast(1000000 div std_milli as bigint) end"
+        ).alias("scale_micro"),
+    )
+    w = Window.orderBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return scored.select(
+        "dim", "n_vecs", "mean_milli", "std_milli", "scale_micro",
+        F.expr(
+            "cast(max(std_milli) over (rows between unbounded preceding and"
+            " unbounded following) * 1000 div greatest(min(std_milli) over"
+            " (rows between unbounded preceding and unbounded following), 1)"
+            " as bigint)"
+        ).alias("cond_milli"),
+    )
+
+
+WHITENING_SQL = """
+WITH q AS (
+  SELECT list_transform(embedding::DOUBLE[],
+         x -> floor(x * 1000 + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+per_dim AS (
+  SELECT d.dim, count(*)::BIGINT AS n_vecs,
+         CAST(sum(q.q[d.dim + 1]) AS BIGINT) AS s,
+         CAST(sum(q.q[d.dim + 1] * q.q[d.dim + 1]) AS BIGINT) AS ss
+  FROM q, (SELECT unnest(generate_series(0, 63)) AS dim) d
+  GROUP BY d.dim
+),
+scored AS (
+  SELECT CAST(dim AS BIGINT) AS dim, n_vecs,
+         CAST(s // n_vecs AS BIGINT) AS mean_milli,
+         CAST(floor(sqrt(CAST(n_vecs * ss - s * s AS DOUBLE)) / n_vecs + 0.5)
+              AS BIGINT) AS std_milli
+  FROM per_dim
+),
+final AS (
+  SELECT dim, n_vecs, mean_milli, std_milli,
+         CASE WHEN std_milli = 0 THEN -1
+              ELSE CAST(1000000 // std_milli AS BIGINT) END AS scale_micro
+  FROM scored
+)
+SELECT dim, n_vecs, mean_milli, std_milli, scale_micro,
+       CAST(max(std_milli) OVER () * 1000 // greatest(min(std_milli) OVER (), 1)
+            AS BIGINT) AS cond_milli
+FROM final
+"""
+
+QUERIES["embed_whitening_plan"] = embed_whitening_plan
+ORACLES["embed_whitening_plan"] = WHITENING_SQL

@@ -1873,3 +1873,110 @@ FROM scored ORDER BY score_milli DESC, phrase LIMIT {K}
 
 QUERIES["keyword_extract_rake"] = keyword_extract_rake
 ORACLES["keyword_extract_rake"] = RAKE_SQL
+
+
+# --- OCR artifact screen ------------------------------------------------------
+#
+# The scanned-document QC gate (public art: OCR post-correction
+# surveys; the docx/excel→PDF prep pipelines ingest exactly the
+# documents this screen triages): three classic OCR artifact rates
+# per document — linebreak hyphenation (tokens ending '-'),
+# digit-letter confusions (mixed alphanumeric tokens: 0/O, 1/l
+# class), and single-character debris — rolled up per source with a
+# flag rate.  Artifacts are PLANTED deterministically (every 9th doc:
+# every 7th token gains a trailing hyphen, every 11th a leading
+# digit — Spark's indexed transform lambda vs DuckDB's
+# list_transform(range) device), so the screen provably separates
+# artifact docs from clean ones.
+#
+# Scale: per-row array math (no explode), one bounded per-source agg.
+
+OCR_FLAG_BP = 300
+
+
+def ocr_artifact_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    base = docs.select(
+        "doc_id", "source", tokens(F.col("text")).alias("toks"),
+        (F.col("doc_id") % 9 == 4).cast("int").alias("planted"),
+    )
+    mangled = base.select(
+        "doc_id", "source", "planted",
+        F.expr(
+            "case when planted = 1 then transform(toks, (t, i) ->"
+            " case when i % 7 = 3 then concat(t, '-')"
+            "      when i % 11 = 5 then concat('0', t)"
+            "      else t end) else toks end"
+        ).alias("toks"),
+    )
+    rate = (
+        lambda cond, name: F.expr(
+            f"cast(size(filter(toks, t -> {cond})) * 10000 div"
+            " greatest(size(toks), 1) as bigint)"
+        ).alias(name)
+    )
+    scored = mangled.select(
+        "doc_id", "source", "planted",
+        F.size("toks").cast("bigint").alias("n_tokens"),
+        rate("t like '%-'", "hyphen_bp"),
+        rate("t rlike '^[0-9]+[a-z]' or t rlike '^[a-z]+[0-9]'", "mixed_bp"),
+        rate("length(t) = 1", "single_bp"),
+    ).withColumn(
+        "ocr_flag",
+        ((F.col("hyphen_bp") + F.col("mixed_bp")) > OCR_FLAG_BP).cast("int"),
+    )
+    return scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("planted").cast("bigint").alias("n_planted"),
+        F.sum("ocr_flag").cast("bigint").alias("n_flagged"),
+        F.expr("cast(sum(ocr_flag) * 10000 div count(*) as bigint)").alias("flagged_bp"),
+        F.expr("cast(sum(hyphen_bp) div count(*) as bigint)").alias("hyphen_bp_mean"),
+        F.expr("cast(sum(mixed_bp) div count(*) as bigint)").alias("mixed_bp_mean"),
+        F.expr("cast(sum(single_bp) div count(*) as bigint)").alias("single_bp_mean"),
+    )
+
+
+OCR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks,
+         CAST(doc_id % 9 = 4 AS INT) AS planted
+  FROM documents
+),
+mangled AS (
+  SELECT doc_id, source, planted,
+         CASE WHEN planted = 1 THEN
+           list_transform(range(1, len(toks) + 1), i ->
+             CASE WHEN (i - 1) % 7 = 3 THEN toks[i] || '-'
+                  WHEN (i - 1) % 11 = 5 THEN '0' || toks[i]
+                  ELSE toks[i] END)
+         ELSE toks END AS toks
+  FROM base
+),
+scored AS (
+  SELECT doc_id, source, planted,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t LIKE '%-')) * 10000
+              // greatest(len(toks), 1) AS BIGINT) AS hyphen_bp,
+         CAST(len(list_filter(toks, t -> regexp_matches(t, '^[0-9]+[a-z]')
+              OR regexp_matches(t, '^[a-z]+[0-9]'))) * 10000
+              // greatest(len(toks), 1) AS BIGINT) AS mixed_bp,
+         CAST(len(list_filter(toks, t -> length(t) = 1)) * 10000
+              // greatest(len(toks), 1) AS BIGINT) AS single_bp
+  FROM mangled
+),
+flagged AS (
+  SELECT *, CAST(hyphen_bp + mixed_bp > {OCR_FLAG_BP} AS INT) AS ocr_flag FROM scored
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       CAST(sum(planted) AS BIGINT) AS n_planted,
+       CAST(sum(ocr_flag) AS BIGINT) AS n_flagged,
+       CAST(sum(ocr_flag) * 10000 // count(*) AS BIGINT) AS flagged_bp,
+       CAST(sum(hyphen_bp) // count(*) AS BIGINT) AS hyphen_bp_mean,
+       CAST(sum(mixed_bp) // count(*) AS BIGINT) AS mixed_bp_mean,
+       CAST(sum(single_bp) // count(*) AS BIGINT) AS single_bp_mean
+FROM flagged GROUP BY source
+"""
+
+QUERIES["ocr_artifact_stats"] = ocr_artifact_stats
+ORACLES["ocr_artifact_stats"] = OCR_SQL

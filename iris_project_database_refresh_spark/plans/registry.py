@@ -184,6 +184,7 @@ _DRIVER_PRIORITY = [
     "bm25_ndcg_eval", "chapter_summary_rouge",
     "multimodal_exif_parse", "events_ab_power_plan",
     "props_schema_drift", "part_skyline_frontier",
+    "embed_whitening_plan", "ocr_artifact_stats",
 ]
 
 
