@@ -371,3 +371,56 @@ def test_tiff_header_parser_both_byte_orders():
             "orientation": 5,
             "resolution_unit": 3,
         }
+
+
+def test_stateful_topk_matches_reference(spark):
+    """availableNow drain of the Misra-Gries top-K tracker: the final
+    per-type summaries must equal a reference replay of the same
+    ordered events (same fold, plain Python)."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from iris_project_database_refresh_spark.streaming.pipeline import (
+        read_events_stream,
+    )
+    from iris_project_database_refresh_spark.streaming.topk import (
+        TOPK_K,
+        mg_update,
+        streaming_topk,
+    )
+
+    q = (
+        streaming_topk(read_events_stream(spark, SF_CORRECT))
+        .writeStream.format("memory")
+        .queryName("topk_test")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    emitted = spark.table("topk_test").collect()
+    assert emitted
+    latest_seen: dict[str, int] = {}
+    for r in emitted:
+        latest_seen[r.event_type] = max(latest_seen.get(r.event_type, 0), r.n_seen)
+    got = {
+        (r.event_type, r.user_id): (r.mg_count, r.rank)
+        for r in emitted
+        if r.n_seen == latest_seen[r.event_type]
+    }
+
+    rows = (
+        load_table(spark, SF_CORRECT, "events")
+        .select("event_type", "user_id", "ts", "event_id")
+        .collect()
+    )
+    by_type: dict[str, list] = {}
+    for r in sorted(rows, key=lambda r: (r.ts, r.event_id)):
+        by_type.setdefault(r.event_type, []).append(r.user_id)
+    want = {}
+    for etype, users in by_type.items():
+        counters: dict[int, int] = {}
+        for u in users:
+            mg_update(counters, int(u), TOPK_K)
+        items = sorted(counters.items(), key=lambda kv: (-kv[1], kv[0]))
+        for rank, (u, c) in enumerate(items, 1):
+            want[(etype, u)] = (c, rank)
+    assert got == want
