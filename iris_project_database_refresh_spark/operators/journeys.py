@@ -1582,3 +1582,89 @@ FROM planned
 
 QUERIES["events_ab_power_plan"] = events_ab_power_plan
 ORACLES["events_ab_power_plan"] = AB_POWER_SQL
+
+
+# --- Daypart activity archetypes ----------------------------------------------
+#
+# The lightweight behavioral segmentation under user_behavior_entropy:
+# each user's events split into four dayparts (hour div 6 — night /
+# morning / afternoon / evening), the user labeled with the argmax
+# daypart (ties resolved toward the earlier daypart by the ordered
+# CASE cascade — deterministic, no floats), and the corpus rolled up
+# per archetype with share and mean-activity stats.  The segmentation
+# a notification scheduler or capacity planner actually ships.
+#
+# Scale: ONE corpus aggregation to user grain (conditional sums — no
+# explode, no per-daypart rescans), then a bounded 4-row archetype
+# rollup; shares in truncated bp.
+
+def user_daypart_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", F.expr("cast(hour(ts) div 6 as int)").alias("dp")
+    )
+    per_user = ev.groupBy("user_id").agg(
+        *[
+            F.sum((F.col("dp") == i).cast("bigint")).cast("bigint").alias(f"n{i}")
+            for i in range(4)
+        ]
+    )
+    labeled = per_user.select(
+        "user_id",
+        (F.col("n0") + F.col("n1") + F.col("n2") + F.col("n3")).alias("n_events"),
+        F.when(
+            (F.col("n0") >= F.col("n1")) & (F.col("n0") >= F.col("n2")) & (F.col("n0") >= F.col("n3")),
+            "night",
+        )
+        .when((F.col("n1") >= F.col("n2")) & (F.col("n1") >= F.col("n3")), "morning")
+        .when(F.col("n2") >= F.col("n3"), "afternoon")
+        .otherwise("evening")
+        .alias("archetype"),
+    )
+    tot = labeled.agg(F.count("*").cast("bigint").alias("n_users"))
+    return (
+        labeled.groupBy("archetype")
+        .agg(
+            F.count("*").cast("bigint").alias("n_archetype_users"),
+            F.sum("n_events").cast("bigint").alias("n_events"),
+            F.expr("cast(sum(n_events) div count(*) as bigint)").alias(
+                "mean_events_per_user"
+            ),
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "archetype", "n_archetype_users", "n_events", "mean_events_per_user",
+            F.expr("cast(n_archetype_users * 10000 div n_users as bigint)").alias(
+                "users_share_bp"
+            ),
+        )
+    )
+
+
+DAYPART_SQL = """
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+per_user AS (
+  SELECT user_id,
+         CAST(sum(CASE WHEN hour(ts) // 6 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+         CAST(sum(CASE WHEN hour(ts) // 6 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN hour(ts) // 6 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+         CAST(sum(CASE WHEN hour(ts) // 6 = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3
+  FROM events_us GROUP BY user_id
+),
+labeled AS (
+  SELECT user_id, n0 + n1 + n2 + n3 AS n_events,
+         CASE WHEN n0 >= n1 AND n0 >= n2 AND n0 >= n3 THEN 'night'
+              WHEN n1 >= n2 AND n1 >= n3 THEN 'morning'
+              WHEN n2 >= n3 THEN 'afternoon'
+              ELSE 'evening' END AS archetype
+  FROM per_user
+),
+tot AS (SELECT count(*)::BIGINT AS n_users FROM labeled)
+SELECT archetype, count(*)::BIGINT AS n_archetype_users,
+       CAST(sum(n_events) AS BIGINT) AS n_events,
+       CAST(sum(n_events) // count(*) AS BIGINT) AS mean_events_per_user,
+       CAST(count(*) * 10000 // n_users AS BIGINT) AS users_share_bp
+FROM labeled, tot GROUP BY archetype, n_users
+"""
+
+QUERIES["user_daypart_profile"] = user_daypart_profile
+ORACLES["user_daypart_profile"] = DAYPART_SQL

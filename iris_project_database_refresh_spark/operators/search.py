@@ -901,3 +901,84 @@ FROM per_q
 
 QUERIES["bm25_ndcg_eval"] = bm25_ndcg_eval
 ORACLES["bm25_ndcg_eval"] = BM25_NDCG_SQL
+
+
+# --- Prefix autocomplete index ------------------------------------------------
+#
+# The type-ahead artifact a search box needs beside the BM25 index
+# (public art: prefix completion tables; the reference's catalog
+# search UI is the consumer shape): for every 2-char prefix of the
+# corpus vocabulary, the top-AC_TOP completions ranked by corpus
+# term frequency (ties to the lexicographically smaller term), with
+# the prefix's total mass and the coverage share the shown
+# completions capture.
+#
+# Scale: one token count (the vocab agg every lexical operator
+# shares), prefix truncation on the BOUNDED vocab table, per-prefix
+# rank window on vocab rows (not corpus rows), TakeOrderedAndProject
+# semantics — output bounded by 26² × AC_TOP.
+
+AC_TOP = 3
+
+
+def prefix_autocomplete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    vocab = (
+        docs.select(F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("term"))
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+        .where(F.length("term") >= 2)
+    )
+    pre = vocab.select(F.substring("term", 1, 2).alias("prefix"), "term", "tf")
+    w = Window.partitionBy("prefix").orderBy(F.desc("tf"), F.asc("term"))
+    ranked = pre.withColumn("rank", F.row_number().over(w))
+    mass = pre.groupBy("prefix").agg(
+        F.sum("tf").cast("bigint").alias("prefix_mass"),
+        F.count("*").cast("bigint").alias("n_terms"),
+    )
+    shown = ranked.where(F.col("rank") <= AC_TOP)
+    shown_mass = shown.groupBy("prefix").agg(
+        F.sum("tf").cast("bigint").alias("shown_mass")
+    )
+    return (
+        shown.join(mass, "prefix")
+        .join(shown_mass, "prefix")
+        .select(
+            "prefix",
+            F.col("rank").cast("bigint").alias("rank"),
+            "term", "tf", "n_terms", "prefix_mass",
+            F.expr("cast(shown_mass * 10000 div prefix_mass as bigint)").alias(
+                "coverage_bp"
+            ),
+        )
+    )
+
+
+AUTOCOMPLETE_SQL = f"""
+WITH vocab AS (
+  SELECT term, count(*)::BIGINT AS tf FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS term
+    FROM documents
+  ) GROUP BY term HAVING length(term) >= 2
+),
+pre AS (SELECT substr(term, 1, 2) AS prefix, term, tf FROM vocab),
+ranked AS (
+  SELECT prefix, term, tf,
+         row_number() OVER (PARTITION BY prefix ORDER BY tf DESC, term ASC) AS rank
+  FROM pre
+),
+mass AS (
+  SELECT prefix, CAST(sum(tf) AS BIGINT) AS prefix_mass, count(*)::BIGINT AS n_terms
+  FROM pre GROUP BY prefix
+),
+shown AS (SELECT * FROM ranked WHERE rank <= {AC_TOP}),
+shown_mass AS (
+  SELECT prefix, CAST(sum(tf) AS BIGINT) AS shown_mass FROM shown GROUP BY prefix
+)
+SELECT s.prefix, CAST(s.rank AS BIGINT) AS rank, s.term, s.tf, m.n_terms, m.prefix_mass,
+       CAST(sm.shown_mass * 10000 // m.prefix_mass AS BIGINT) AS coverage_bp
+FROM shown s JOIN mass m ON s.prefix = m.prefix JOIN shown_mass sm ON s.prefix = sm.prefix
+"""
+
+QUERIES["prefix_autocomplete"] = prefix_autocomplete
+ORACLES["prefix_autocomplete"] = AUTOCOMPLETE_SQL

@@ -1980,3 +1980,99 @@ FROM flagged GROUP BY source
 
 QUERIES["ocr_artifact_stats"] = ocr_artifact_stats
 ORACLES["ocr_artifact_stats"] = OCR_SQL
+
+
+# --- Blocklist content screen -------------------------------------------------
+#
+# The C4-style lexicon filter (public practice: "List of Dirty Naughty
+# ... Words" screening in C4/CommonCrawl pipelines — stage5's content
+# validation generalized): per document, blocklist-token hits and
+# density in bp, mapped to the three-way action a filtering pipeline
+# takes (drop / review / keep), rolled up per (source, action) with
+# within-source shares.  The blocklist here is a placeholder lexicon
+# of corpus-native tokens, exercising the exact mechanics (set
+# membership at scan rate, density thresholds) a production list
+# plugs into.
+#
+# Scale: per-row array math, one bounded (source, action) agg — the
+# same shape as quality_filter_verdict; a real 100 TB run broadcasts
+# the lexicon (thousands of terms) into the same filter() lambda.
+
+BLOCKLIST = ("crash", "slow", "error", "fail", "drop")
+BLOCK_DROP_BP = 500
+BLOCK_REVIEW_BP = 200
+
+
+def blocklist_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = tokens(F.col("text"))
+    base = docs.select(
+        "doc_id", "source",
+        F.size(toks).cast("bigint").alias("n_tokens"),
+        F.size(F.filter(toks, lambda t: t.isin(*BLOCKLIST)))
+        .cast("bigint")
+        .alias("n_hits"),
+    )
+    scored = base.select(
+        "source", "n_hits",
+        F.expr("cast(n_hits * 10000 div greatest(n_tokens, 1) as bigint)").alias(
+            "density_bp"
+        ),
+    ).select(
+        "source", "n_hits", "density_bp",
+        F.when(F.col("density_bp") > BLOCK_DROP_BP, "drop")
+        .when(F.col("density_bp") > BLOCK_REVIEW_BP, "review")
+        .otherwise("keep")
+        .alias("action"),
+    )
+    per_source = scored.groupBy("source").agg(
+        F.count("*").cast("bigint").alias("n_source_docs")
+    )
+    out = scored.groupBy("source", "action").agg(
+        F.count("*").cast("bigint").alias("n_docs"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.expr("cast(sum(density_bp) div count(*) as bigint)").alias("mean_density_bp"),
+    )
+    return out.join(per_source, "source").select(
+        "source", "action", "n_docs", "n_hits", "mean_density_bp",
+        F.expr("cast(n_docs * 10000 div n_source_docs as bigint)").alias("docs_share_bp"),
+    )
+
+
+BLOCKLIST_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'), t -> t <> ''))
+              AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(string_split_regex(text, '\\s+'),
+              t -> t IN ('crash', 'slow', 'error', 'fail', 'drop'))) AS BIGINT) AS n_hits
+  FROM documents
+),
+scored AS (
+  SELECT source, n_hits,
+         CAST(n_hits * 10000 // greatest(n_tokens, 1) AS BIGINT) AS density_bp
+  FROM base
+),
+actioned AS (
+  SELECT source, n_hits, density_bp,
+         CASE WHEN density_bp > {BLOCK_DROP_BP} THEN 'drop'
+              WHEN density_bp > {BLOCK_REVIEW_BP} THEN 'review'
+              ELSE 'keep' END AS action
+  FROM scored
+),
+per_source AS (
+  SELECT source, count(*)::BIGINT AS n_source_docs FROM actioned GROUP BY source
+),
+rolled AS (
+  SELECT source, action, count(*)::BIGINT AS n_docs,
+         CAST(sum(n_hits) AS BIGINT) AS n_hits,
+         CAST(sum(density_bp) // count(*) AS BIGINT) AS mean_density_bp
+  FROM actioned GROUP BY source, action
+)
+SELECT r.source, r.action, r.n_docs, r.n_hits, r.mean_density_bp,
+       CAST(r.n_docs * 10000 // p.n_source_docs AS BIGINT) AS docs_share_bp
+FROM rolled r JOIN per_source p ON r.source = p.source
+"""
+
+QUERIES["blocklist_screen"] = blocklist_screen
+ORACLES["blocklist_screen"] = BLOCKLIST_SQL

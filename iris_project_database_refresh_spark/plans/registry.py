@@ -185,6 +185,7 @@ _DRIVER_PRIORITY = [
     "multimodal_exif_parse", "events_ab_power_plan",
     "props_schema_drift", "part_skyline_frontier",
     "embed_whitening_plan", "ocr_artifact_stats",
+    "blocklist_screen", "prefix_autocomplete", "user_daypart_profile",
 ]
 
 
