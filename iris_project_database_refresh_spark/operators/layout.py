@@ -261,3 +261,186 @@ ORACLES = {
     "zorder_layout": ZORDER_SQL,
     "compaction_plan": COMPACTION_SQL,
 }
+
+
+# --- Hilbert vs z-order layout comparison -------------------------------------
+#
+# The data-layout bake-off zorder_layout sets up, completed with the
+# curve that actually wins on locality (public art: Hilbert curves for
+# multidimensional indexing, Moon et al. 2001 — used by modern
+# lakehouse OPTIMIZE implementations): the same (custkey, cents) cell
+# grid is laid out linear, Morton (z-order), and Hilbert, and the
+# planted box query is priced per layout as files-scanned (min/max
+# file skipping) and scan efficiency (hits per scanned row).  The
+# Hilbert transform is the standard xy2d bit fold — 8 unrolled
+# rotation/reflection steps — run over the DISTINCT cell table
+# (bounded by the 2^16 grid at ANY corpus size, the scale device:
+# corpus rows reduce to cells first, curve math never touches fact
+# rows), as an F.aggregate struct fold / recursive-CTE walk.
+#
+# Scale: one corpus agg to cells + broadcast-scale curve math + a
+# bounded (layout, file) rollup.  At 100 TB the identical plan holds —
+# the curve table is still 65536 rows.
+
+def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("a"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("b"),
+    )
+    rng = orders.agg(
+        F.min("a").alias("amin"), F.max("a").alias("amax"),
+        F.min("b").alias("bmin"), F.max("b").alias("bmax"),
+    )
+    coded = orders.crossJoin(F.broadcast(rng)).select(
+        F.expr(f"(a - amin) * {1 << ZBITS} div (amax - amin + 1)").alias("ca"),
+        F.expr(f"(b - bmin) * {1 << ZBITS} div (bmax - bmin + 1)").alias("cb"),
+    )
+    in_box = F.col("ca").between(BOX_LO, BOX_HI) & F.col("cb").between(BOX_LO, BOX_HI)
+    cells = coded.groupBy("ca", "cb").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows_cell"),
+        F.sum(in_box.cast("bigint")).cast("bigint").alias("n_hits_cell"),
+    )
+    # reflection uses the FULL grid bound (255 = 2^ZBITS - 1), not s-1:
+    # the s-1 variant is also a valid Hilbert curve but walks through
+    # negative intermediates, where SQL truncating division and Python
+    # bit masking disagree — full-grid reflection stays in [0, 255].
+    levels = ", ".join(str(1 << (ZBITS - 1 - i)) for i in range(ZBITS))
+    hilbert = F.expr(
+        f"""
+        aggregate(
+          array({levels}),
+          named_struct('x', ca, 'y', cb, 'd', cast(0 as bigint)),
+          (acc, s) -> named_struct(
+            'x', case when (acc.y div s) % 2 = 1 then acc.x
+                      else case when (acc.x div s) % 2 = 1 then 255 - acc.y
+                                else acc.y end end,
+            'y', case when (acc.y div s) % 2 = 1 then acc.y
+                      else case when (acc.x div s) % 2 = 1 then 255 - acc.x
+                                else acc.x end end,
+            'd', acc.d + cast(s as bigint) * s *
+                 ((3 * ((acc.x div s) % 2)) ^ ((acc.y div s) % 2))),
+          acc -> acc.d)
+        """
+    )
+    keyed = cells.select(
+        "ca", "cb", "n_rows_cell", "n_hits_cell",
+        F.expr(_zkey_terms("spark")).alias("zkey"),
+        hilbert.alias("hkey"),
+    )
+    per_file_div = (1 << (2 * ZBITS)) // N_FILES
+    assigned = keyed.select(
+        "ca", "cb", "n_rows_cell", "n_hits_cell",
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit("linear").alias("layout"),
+                    F.expr(f"ca div {(1 << ZBITS) // N_FILES}").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("zorder").alias("layout"),
+                    F.expr(f"zkey div {per_file_div}").alias("file_id"),
+                ),
+                F.struct(
+                    F.lit("hilbert").alias("layout"),
+                    F.expr(f"hkey div {per_file_div}").alias("file_id"),
+                ),
+            )
+        ).alias("f"),
+    ).select("ca", "cb", "n_rows_cell", "n_hits_cell", "f.layout", "f.file_id")
+    files = assigned.groupBy("layout", "file_id").agg(
+        F.sum("n_rows_cell").cast("bigint").alias("n_rows"),
+        F.sum("n_hits_cell").cast("bigint").alias("n_hits"),
+        F.min("ca").alias("min_a"), F.max("ca").alias("max_a"),
+        F.min("cb").alias("min_b"), F.max("cb").alias("max_b"),
+    )
+    scanned = (
+        (F.col("min_a") <= BOX_HI) & (F.col("max_a") >= BOX_LO)
+        & (F.col("min_b") <= BOX_HI) & (F.col("max_b") >= BOX_LO)
+    ).cast("bigint")
+    return files.groupBy("layout").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum(scanned).cast("bigint").alias("n_files_scanned"),
+        F.sum(F.col("n_rows") * scanned).cast("bigint").alias("rows_scanned"),
+        F.sum("n_hits").cast("bigint").alias("n_hits"),
+        F.expr(
+            "cast(sum(n_hits) * 10000 div"
+            " greatest(sum(n_rows * (case when (min_a <= {hi} and max_a >= {lo}"
+            " and min_b <= {hi} and max_b >= {lo}) then 1 else 0 end)), 1) as bigint)".format(
+                hi=BOX_HI, lo=BOX_LO
+            )
+        ).alias("efficiency_bp"),
+    )
+
+
+HILBERT_SQL = f"""
+WITH RECURSIVE rng AS (
+  SELECT min(o_custkey) AS amin, max(o_custkey) AS amax,
+         min(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS bmin,
+         max(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS bmax
+  FROM orders
+),
+coded AS (
+  SELECT (o_custkey - amin) * {1 << ZBITS} // (amax - amin + 1) AS ca,
+         (CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) - bmin) * {1 << ZBITS}
+           // (bmax - bmin + 1) AS cb
+  FROM orders, rng
+),
+cells AS (
+  SELECT ca, cb, count(*)::BIGINT AS n_rows_cell,
+         CAST(sum(CASE WHEN ca BETWEEN {BOX_LO} AND {BOX_HI}
+                        AND cb BETWEEN {BOX_LO} AND {BOX_HI}
+                  THEN 1 ELSE 0 END) AS BIGINT) AS n_hits_cell
+  FROM coded GROUP BY ca, cb
+),
+hwalk AS (
+  SELECT ca, cb, ca AS x, cb AS y, 0::BIGINT AS d, 0 AS i FROM cells
+  UNION ALL
+  SELECT ca, cb,
+         CASE WHEN (y // s) % 2 = 1 THEN x
+              ELSE CASE WHEN (x // s) % 2 = 1 THEN 255 - y ELSE y END END,
+         CASE WHEN (y // s) % 2 = 1 THEN y
+              ELSE CASE WHEN (x // s) % 2 = 1 THEN 255 - x ELSE x END END,
+         d + s * s * xor(3 * ((x // s) % 2), (y // s) % 2),
+         i + 1
+  FROM (SELECT *, CAST({1 << (ZBITS - 1)} >> i AS BIGINT) AS s FROM hwalk)
+  WHERE i < {ZBITS}
+),
+hkeys AS (SELECT ca, cb, d AS hkey FROM hwalk WHERE i = {ZBITS}),
+zkeys AS (SELECT ca, cb, {{Z}} AS zkey FROM cells),
+assigned AS (
+  SELECT c.ca, c.cb, c.n_rows_cell, c.n_hits_cell, l.layout,
+         CASE l.layout
+           WHEN 'linear' THEN c.ca // {(1 << ZBITS) // N_FILES}
+           WHEN 'zorder' THEN z.zkey // {(1 << (2 * ZBITS)) // N_FILES}
+           ELSE h.hkey // {(1 << (2 * ZBITS)) // N_FILES} END AS file_id
+  FROM cells c
+  JOIN zkeys z ON c.ca = z.ca AND c.cb = z.cb
+  JOIN hkeys h ON c.ca = h.ca AND c.cb = h.cb
+  CROSS JOIN (SELECT unnest(['linear', 'zorder', 'hilbert']) AS layout) l
+),
+files AS (
+  SELECT layout, file_id,
+         CAST(sum(n_rows_cell) AS BIGINT) AS n_rows,
+         CAST(sum(n_hits_cell) AS BIGINT) AS n_hits,
+         min(ca) AS min_a, max(ca) AS max_a, min(cb) AS min_b, max(cb) AS max_b
+  FROM assigned GROUP BY layout, file_id
+),
+marked AS (
+  SELECT *, CASE WHEN min_a <= {BOX_HI} AND max_a >= {BOX_LO}
+                  AND min_b <= {BOX_HI} AND max_b >= {BOX_LO}
+            THEN 1 ELSE 0 END AS scanned
+  FROM files
+)
+SELECT layout, count(*)::BIGINT AS n_files,
+       CAST(sum(scanned) AS BIGINT) AS n_files_scanned,
+       CAST(sum(n_rows * scanned) AS BIGINT) AS rows_scanned,
+       CAST(sum(n_hits) AS BIGINT) AS n_hits,
+       CAST(sum(n_hits) * 10000 // greatest(sum(n_rows * scanned), 1) AS BIGINT)
+         AS efficiency_bp
+FROM marked GROUP BY layout
+"""
+
+HILBERT_SQL = HILBERT_SQL.replace("{Z}", _zkey_terms("duckdb"))
+
+QUERIES["hilbert_layout"] = hilbert_layout
+ORACLES["hilbert_layout"] = HILBERT_SQL

@@ -991,3 +991,123 @@ FROM per_lag, den
 
 QUERIES["events_autocorr"] = events_autocorr
 ORACLES["events_autocorr"] = AUTOCORR_SQL
+
+
+# --- Haar wavelet energy decomposition ----------------------------------------
+#
+# Where does the load variance live — hour-to-hour jitter or slow
+# multi-hour swings?  Three unrolled levels of the UNNORMALIZED Haar
+# transform over the gap-filled hourly count series (integer pairwise
+# sums/differences — exact), energies per detail level plus the final
+# approximation, each normalized by its 2^level scale so Parseval
+# holds EXACTLY in integers over the series truncated to a multiple
+# of 8: sum(x^2) = e1/2 + e2/4 + e3/8 + ea/8.  Shares in bp against
+# the truncated total say which timescale dominates.
+#
+# Scale: one corpus shuffle to the hourly grain (the autocorr
+# device); the three pairwise levels are groupBys on the BOUNDED hour
+# table keyed rn div 2 (conditional-sum differences — no intra-group
+# ordering needed).
+
+def events_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h")
+    )
+    counts = ev.groupBy("h").agg(F.count("*").cast("bigint").alias("x"))
+    bounds = counts.agg(F.min("h").alias("mn"), F.max("h").alias("mx"))
+    dense = (
+        bounds.select(F.explode(F.expr("sequence(mn, mx, interval 1 hour)")).alias("h"))
+        .join(counts, "h", "left")
+        .select("h", F.coalesce("x", F.lit(0)).cast("bigint").alias("x"))
+    )
+    idx = dense.select(
+        "x", (F.row_number().over(Window.orderBy("h")) - 1).cast("bigint").alias("rn")
+    )
+    n8 = idx.agg(F.expr("cast(count(*) div 8 * 8 as bigint)").alias("n8"))
+    kept = idx.crossJoin(F.broadcast(n8)).where(F.col("rn") < F.col("n8"))
+    l1 = kept.groupBy(F.expr("rn div 2").alias("p")).agg(
+        F.expr("cast(sum(x) as bigint)").alias("a"),
+        F.expr("cast(sum(x * (1 - 2 * (rn % 2))) as bigint)").alias("d"),
+    )
+    l2 = l1.groupBy(F.expr("p div 2").alias("q")).agg(
+        F.expr("cast(sum(a) as bigint)").alias("a"),
+        F.expr("cast(sum(a * (1 - 2 * (p % 2))) as bigint)").alias("d"),
+    )
+    l3 = l2.groupBy(F.expr("q div 2").alias("r")).agg(
+        F.expr("cast(sum(a) as bigint)").alias("a"),
+        F.expr("cast(sum(a * (1 - 2 * (q % 2))) as bigint)").alias("d"),
+    )
+    tot = kept.agg(F.expr("cast(sum(x * x) as bigint)").alias("total_energy"))
+    rows = None
+    for level, df_l, col, scale in (
+        (1, l1, "d", 2), (2, l2, "d", 4), (3, l3, "d", 8), (4, l3, "a", 8),
+    ):
+        r = df_l.agg(
+            F.lit(level).cast("bigint").alias("level"),
+            F.lit("detail" if col == "d" else "approx").alias("band"),
+            F.count("*").cast("bigint").alias("n_coeffs"),
+            F.expr(f"cast(sum({col} * {col}) as bigint)").alias("energy_raw"),
+            F.expr(f"cast(sum({col} * {col}) div {scale} as bigint)").alias(
+                "energy_norm"
+            ),
+        )
+        rows = r if rows is None else rows.unionByName(r)
+    return rows.crossJoin(F.broadcast(tot)).select(
+        "level", "band", "n_coeffs", "energy_raw", "energy_norm",
+        F.expr(
+            "cast(energy_norm * 10000 div greatest(total_energy, 1) as bigint)"
+        ).alias("share_bp"),
+    )
+
+
+HAAR_SQL = """
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+hrs AS (
+  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS x FROM events_us GROUP BY 1
+),
+bounds AS (SELECT min(h) AS mn, max(h) AS mx FROM hrs),
+dense AS (
+  SELECT gs.h, coalesce(x, 0)::BIGINT AS x
+  FROM (SELECT unnest(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h FROM bounds) gs
+  LEFT JOIN hrs USING (h)
+),
+idx AS (SELECT x, row_number() OVER (ORDER BY h) - 1 AS rn FROM dense),
+n8 AS (SELECT count(*) // 8 * 8 AS n8 FROM idx),
+kept AS (SELECT x, rn FROM idx, n8 WHERE rn < n8),
+l1 AS (
+  SELECT rn // 2 AS p, CAST(sum(x) AS BIGINT) AS a,
+         CAST(sum(x * (1 - 2 * (rn % 2))) AS BIGINT) AS d
+  FROM kept GROUP BY rn // 2
+),
+l2 AS (
+  SELECT p // 2 AS q, CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(a * (1 - 2 * (p % 2))) AS BIGINT) AS d
+  FROM l1 GROUP BY p // 2
+),
+l3 AS (
+  SELECT q // 2 AS r, CAST(sum(a) AS BIGINT) AS a,
+         CAST(sum(a * (1 - 2 * (q % 2))) AS BIGINT) AS d
+  FROM l2 GROUP BY q // 2
+),
+tot AS (SELECT CAST(sum(x * x) AS BIGINT) AS total_energy FROM kept),
+levels AS (
+  SELECT 1::BIGINT AS level, 'detail' AS band, count(*)::BIGINT AS n_coeffs,
+         CAST(sum(d * d) AS BIGINT) AS energy_raw,
+         CAST(sum(d * d) // 2 AS BIGINT) AS energy_norm FROM l1
+  UNION ALL
+  SELECT 2, 'detail', count(*), CAST(sum(d * d) AS BIGINT),
+         CAST(sum(d * d) // 4 AS BIGINT) FROM l2
+  UNION ALL
+  SELECT 3, 'detail', count(*), CAST(sum(d * d) AS BIGINT),
+         CAST(sum(d * d) // 8 AS BIGINT) FROM l3
+  UNION ALL
+  SELECT 4, 'approx', count(*), CAST(sum(a * a) AS BIGINT),
+         CAST(sum(a * a) // 8 AS BIGINT) FROM l3
+)
+SELECT level, band, n_coeffs, energy_raw, energy_norm,
+       CAST(energy_norm * 10000 // greatest(total_energy, 1) AS BIGINT) AS share_bp
+FROM levels, tot
+"""
+
+QUERIES["events_haar_energy"] = events_haar_energy
+ORACLES["events_haar_energy"] = HAAR_SQL

@@ -186,6 +186,7 @@ _DRIVER_PRIORITY = [
     "props_schema_drift", "part_skyline_frontier",
     "embed_whitening_plan", "ocr_artifact_stats",
     "blocklist_screen", "prefix_autocomplete", "user_daypart_profile",
+    "events_haar_energy", "hilbert_layout",
 ]
 
 
