@@ -2174,3 +2174,118 @@ FROM frontier
 
 QUERIES["part_skyline_frontier"] = part_skyline_frontier
 ORACLES["part_skyline_frontier"] = SKYLINE_SQL
+
+
+# --- Bullwhip variance-amplification ratio ------------------------------------
+#
+# The supply-chain bullwhip diagnostic (public art: Lee et al. 1997):
+# per brand, does monthly ORDERED quantity swing harder than monthly
+# SHIPPED quantity?  Ratio of the two coefficient-of-variation-squared
+# terms, each computed from the order-independent integer-sum device
+# (n·Σx² − (Σx)², the ANOVA/correlation trick) on exact integer
+# monthly quantities, so the amplification ratio is one guarded
+# integer division in milli — >1000 means demand variability
+# amplifies upstream of fulfillment.
+#
+# Scale: one lineitem scan feeding BOTH monthly series (order month
+# vs ship month as a 2-row explode), broadcast part dim, all variance
+# math on the bounded (brand, month) table.
+
+def brand_bullwhip_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", "l_quantity", "l_shipdate", "l_orderkey"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    base = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .select(
+            "p_brand",
+            F.col("l_quantity").cast("bigint").alias("qty"),
+            F.expr("date_trunc('month', o_orderdate)").alias("order_m"),
+            F.expr("date_trunc('month', l_shipdate)").alias("ship_m"),
+        )
+    )
+    series = base.select(
+        "p_brand", "qty",
+        F.explode(
+            F.array(
+                F.struct(F.lit("order").alias("side"), F.col("order_m").alias("m")),
+                F.struct(F.lit("ship").alias("side"), F.col("ship_m").alias("m")),
+            )
+        ).alias("s"),
+    ).select("p_brand", "qty", "s.side", "s.m")
+    monthly = series.groupBy("p_brand", "side", "m").agg(
+        F.sum("qty").cast("bigint").alias("x")
+    )
+    stats = monthly.groupBy("p_brand", "side").agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s"),
+        F.expr("cast(sum(x * x) as bigint)").alias("ss"),
+    )
+    # CV^2 scaled 1e6: (n * ss - s*s) * 1e6 div (s * s)  — scale-free
+    cv2 = stats.select(
+        "p_brand", "side", "n",
+        F.expr("cast((n * ss - s * s) * 1000000 div (s * s) as bigint)").alias(
+            "cv2_micro"
+        ),
+    )
+    o = cv2.where(F.col("side") == "order").select(
+        "p_brand", F.col("n").alias("n_order_months"),
+        F.col("cv2_micro").alias("order_cv2_micro"),
+    )
+    sh = cv2.where(F.col("side") == "ship").select(
+        "p_brand", F.col("n").alias("n_ship_months"),
+        F.col("cv2_micro").alias("ship_cv2_micro"),
+    )
+    return o.join(sh, "p_brand").select(
+        "p_brand", "n_order_months", "n_ship_months",
+        "order_cv2_micro", "ship_cv2_micro",
+        F.expr(
+            "cast(order_cv2_micro * 1000 div greatest(ship_cv2_micro, 1) as bigint)"
+        ).alias("bullwhip_milli"),
+        F.expr(
+            "cast(order_cv2_micro * 1000 div greatest(ship_cv2_micro, 1) > 1000"
+            " as int)"
+        ).alias("amplifying"),
+    )
+
+
+BULLWHIP_SQL = """
+WITH base AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty,
+         date_trunc('month', o_orderdate) AS order_m,
+         date_trunc('month', l_shipdate) AS ship_m
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part ON l_partkey = p_partkey
+),
+series AS (
+  SELECT p_brand, qty, 'order' AS side, order_m AS m FROM base
+  UNION ALL
+  SELECT p_brand, qty, 'ship', ship_m FROM base
+),
+monthly AS (
+  SELECT p_brand, side, m, CAST(sum(qty) AS BIGINT) AS x
+  FROM series GROUP BY p_brand, side, m
+),
+stats AS (
+  SELECT p_brand, side, count(*)::BIGINT AS n,
+         CAST(sum(x) AS BIGINT) AS s, CAST(sum(x * x) AS BIGINT) AS ss
+  FROM monthly GROUP BY p_brand, side
+),
+cv2 AS (
+  SELECT p_brand, side, n,
+         CAST((n * ss - s * s) * 1000000 // (s * s) AS BIGINT) AS cv2_micro
+  FROM stats
+)
+SELECT o.p_brand, o.n AS n_order_months, s.n AS n_ship_months,
+       o.cv2_micro AS order_cv2_micro, s.cv2_micro AS ship_cv2_micro,
+       CAST(o.cv2_micro * 1000 // greatest(s.cv2_micro, 1) AS BIGINT) AS bullwhip_milli,
+       CAST(o.cv2_micro * 1000 // greatest(s.cv2_micro, 1) > 1000 AS INT) AS amplifying
+FROM cv2 o JOIN cv2 s ON o.p_brand = s.p_brand AND o.side = 'order' AND s.side = 'ship'
+"""
+
+QUERIES["brand_bullwhip_ratio"] = brand_bullwhip_ratio
+ORACLES["brand_bullwhip_ratio"] = BULLWHIP_SQL

@@ -976,3 +976,81 @@ FROM closed WHERE op <> 'D'
 
 QUERIES["cdc_to_scd2"] = cdc_to_scd2
 ORACLES["cdc_to_scd2"] = CDC_SCD2_SQL
+
+
+# --- 4-4-5 fiscal calendar rollup ---------------------------------------------
+#
+# The retail-finance calendar dimension (public practice: 4-4-5
+# calendars; NRF 52-week convention simplified to exact 52-week years
+# — the 53rd-week leap rule is documented out): every order date maps
+# by pure integer arithmetic from a Monday epoch to (fiscal year,
+# quarter of 13 weeks, period of 4/4/5 weeks), and revenue rolls up
+# per period with within-quarter shares.  The period widths land as
+# data (n_weeks ∈ {4,5}) — the calendar IS the assertion.
+#
+# Scale: per-row date arithmetic (no dimension table needed — the
+# calendar is a closed formula), one bounded (fy, fq, fp) rollup.
+
+FISCAL_EPOCH = "1992-01-06"  # a Monday; week 0 of fiscal year 0
+
+
+def orders_fiscal_445(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        F.expr(f"cast(datediff(o_orderdate, date '{FISCAL_EPOCH}') div 7 as bigint)").alias("wk"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    mapped = orders.select(
+        "cents",
+        F.expr("cast(wk div 52 as bigint)").alias("fy"),
+        F.expr("cast((wk % 52) div 13 + 1 as bigint)").alias("fq"),
+        F.expr(
+            "cast(case when (wk % 52) % 13 < 4 then 1"
+            " when (wk % 52) % 13 < 8 then 2 else 3 end as bigint)"
+        ).alias("fp"),
+    )
+    per_period = mapped.groupBy("fy", "fq", "fp").agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("cents").cast("bigint").alias("revenue_cents"),
+    )
+    per_quarter = per_period.groupBy("fy", "fq").agg(
+        F.sum("revenue_cents").cast("bigint").alias("q_cents")
+    )
+    return per_period.join(per_quarter, ["fy", "fq"]).select(
+        "fy", "fq", "fp",
+        F.expr("cast(case when fp = 3 then 5 else 4 end as bigint)").alias("n_weeks"),
+        "n_orders", "revenue_cents",
+        F.expr("cast(revenue_cents * 10000 div q_cents as bigint)").alias(
+            "quarter_share_bp"
+        ),
+    )
+
+
+FISCAL_SQL = f"""
+WITH mapped AS (
+  SELECT CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+         CAST(wk // 52 AS BIGINT) AS fy,
+         CAST((wk % 52) // 13 + 1 AS BIGINT) AS fq,
+         CAST(CASE WHEN (wk % 52) % 13 < 4 THEN 1
+                   WHEN (wk % 52) % 13 < 8 THEN 2 ELSE 3 END AS BIGINT) AS fp
+  FROM (SELECT CAST(datediff('day', DATE '{FISCAL_EPOCH}', o_orderdate) // 7 AS BIGINT) AS wk,
+               o_totalprice
+        FROM orders)
+),
+per_period AS (
+  SELECT fy, fq, fp, count(*)::BIGINT AS n_orders,
+         CAST(sum(cents) AS BIGINT) AS revenue_cents
+  FROM mapped GROUP BY fy, fq, fp
+),
+per_quarter AS (
+  SELECT fy, fq, CAST(sum(revenue_cents) AS BIGINT) AS q_cents
+  FROM per_period GROUP BY fy, fq
+)
+SELECT p.fy, p.fq, p.fp,
+       CAST(CASE WHEN p.fp = 3 THEN 5 ELSE 4 END AS BIGINT) AS n_weeks,
+       p.n_orders, p.revenue_cents,
+       CAST(p.revenue_cents * 10000 // q.q_cents AS BIGINT) AS quarter_share_bp
+FROM per_period p JOIN per_quarter q ON p.fy = q.fy AND p.fq = q.fq
+"""
+
+QUERIES["orders_fiscal_445"] = orders_fiscal_445
+ORACLES["orders_fiscal_445"] = FISCAL_SQL
