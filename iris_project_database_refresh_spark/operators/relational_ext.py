@@ -2289,3 +2289,107 @@ FROM cv2 o JOIN cv2 s ON o.p_brand = s.p_brand AND o.side = 'order' AND s.side =
 
 QUERIES["brand_bullwhip_ratio"] = brand_bullwhip_ratio
 ORACLES["brand_bullwhip_ratio"] = BULLWHIP_SQL
+
+
+# --- Little's law audit on the order queue ------------------------------------
+#
+# The queueing sanity check (public art: Little 1961, L = λ·W) run on
+# the order-fulfillment queue: an order is "in system" from its order
+# date until its last line ships.  Mean inventory L comes from the
+# +1/-1 boundary-event prefix sum over the BOUNDED day grid (arrival
+# day +1, close day -1, running sum = daily backlog); λ is arrivals
+# per day and W the mean residence in days — all exact integers, the
+# identity checked as a milli ratio L·1000 div (λ·W) with the
+# discretization gap visible, not hidden.
+#
+# Scale: one lineitem reduction to per-order close dates (orderkey
+# shuffle), then ALL queue math on day-grain boundary events — the
+# interval-counting device that never materializes per-day × per-order
+# pairs.
+
+def orders_littles_law_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    spans = (
+        li.groupBy("l_orderkey")
+        .agg(F.max(F.expr("date_trunc('day', l_shipdate)")).alias("close_d"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .select(
+            F.expr("date_trunc('day', o_orderdate)").alias("open_d"),
+            "close_d",
+            F.expr(
+                "cast(datediff(close_d, date_trunc('day', o_orderdate)) as bigint)"
+            ).alias("wait_days"),
+        )
+    )
+    events = spans.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("open_d").alias("d"), F.lit(1).alias("delta")),
+                F.struct(F.col("close_d").alias("d"), F.lit(-1).alias("delta")),
+            )
+        ).alias("e")
+    ).groupBy(F.col("e.d").alias("d")).agg(F.sum("e.delta").cast("bigint").alias("delta"))
+    w = Window.orderBy("d").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    backlog = events.select("d", F.sum("delta").over(w).cast("bigint").alias("open_now"))
+    lstat = backlog.agg(
+        F.count("*").cast("bigint").alias("n_days"),
+        F.sum("open_now").cast("bigint").alias("backlog_daysum"),
+    )
+    wstat = spans.agg(
+        F.count("*").cast("bigint").alias("n_orders"),
+        F.sum("wait_days").cast("bigint").alias("wait_total"),
+    )
+    return lstat.crossJoin(F.broadcast(wstat)).select(
+        "n_days", "n_orders",
+        F.expr("cast(backlog_daysum * 1000 div n_days as bigint)").alias("L_milli"),
+        F.expr("cast(n_orders * 1000 div n_days as bigint)").alias("lambda_milli"),
+        F.expr("cast(wait_total * 1000 div n_orders as bigint)").alias("W_milli"),
+        # L/(lambda*W) telescopes: (backlog/n_days) / (wait_total/n_days)
+        F.expr(
+            "cast(backlog_daysum * 1000 div greatest(wait_total, 1) as bigint)"
+        ).alias("littles_ratio_milli"),
+    )
+
+
+LITTLES_SQL = """
+WITH spans AS (
+  SELECT date_trunc('day', o_orderdate) AS open_d,
+         c.close_d,
+         CAST(datediff('day', date_trunc('day', o_orderdate), c.close_d) AS BIGINT)
+           AS wait_days
+  FROM orders
+  JOIN (SELECT l_orderkey, max(date_trunc('day', l_shipdate)) AS close_d
+        FROM lineitem GROUP BY l_orderkey) c
+    ON o_orderkey = c.l_orderkey
+),
+ev AS (
+  SELECT d, CAST(sum(delta) AS BIGINT) AS delta FROM (
+    SELECT open_d AS d, 1 AS delta FROM spans
+    UNION ALL
+    SELECT close_d, -1 FROM spans
+  ) GROUP BY d
+),
+backlog AS (
+  SELECT d, CAST(sum(delta) OVER (ORDER BY d
+       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS open_now
+  FROM ev
+),
+lstat AS (
+  SELECT count(*)::BIGINT AS n_days, CAST(sum(open_now) AS BIGINT) AS backlog_daysum
+  FROM backlog
+),
+wstat AS (
+  SELECT count(*)::BIGINT AS n_orders, CAST(sum(wait_days) AS BIGINT) AS wait_total
+  FROM spans
+)
+SELECT n_days, n_orders,
+       CAST(backlog_daysum * 1000 // n_days AS BIGINT) AS L_milli,
+       CAST(n_orders * 1000 // n_days AS BIGINT) AS lambda_milli,
+       CAST(wait_total * 1000 // n_orders AS BIGINT) AS W_milli,
+       CAST(backlog_daysum * 1000 // greatest(wait_total, 1) AS BIGINT) AS littles_ratio_milli
+FROM lstat, wstat
+"""
+
+QUERIES["orders_littles_law_audit"] = orders_littles_law_audit
+ORACLES["orders_littles_law_audit"] = LITTLES_SQL

@@ -187,7 +187,7 @@ _DRIVER_PRIORITY = [
     "embed_whitening_plan", "ocr_artifact_stats",
     "blocklist_screen", "prefix_autocomplete", "user_daypart_profile",
     "events_haar_energy", "hilbert_layout",
-    "orders_fiscal_445", "brand_bullwhip_ratio",
+    "orders_fiscal_445", "brand_bullwhip_ratio", "orders_littles_law_audit",
 ]
 
 
