@@ -1668,3 +1668,111 @@ FROM labeled, tot GROUP BY archetype, n_users
 
 QUERIES["user_daypart_profile"] = user_daypart_profile
 ORACLES["user_daypart_profile"] = DAYPART_SQL
+
+
+# --- Markov-chain entropy rate ------------------------------------------------
+#
+# How predictable is the NEXT action given the current one?  The
+# entropy rate H(Y|X) = -sum p(x,y)·ln p(y|x) of the user-journey
+# Markov chain, next to the unconditional H(Y) (user_behavior_entropy
+# family) — their gap is the predictability the transition structure
+# buys.  The ln-quantize device (zipf_fit): ln of each transition
+# probability is floored at 1e4 grain, entropy sums stay exact
+# integers weighted by counts, results in nat-milli via one division.
+#
+# Scale: the production transition pipeline (one lead window keyed by
+# user), then everything on the BOUNDED types² grid; totals ride
+# broadcasts.  H(Y|X) <= H(Y) (conditioning reduces entropy) lands as
+# a flag, exact on the quantized grid.
+
+def events_markov_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "ts", "event_id", "event_type"
+    )
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    trans = (
+        ev.withColumn("next_type", F.lead("event_type").over(w))
+        .where(F.col("next_type").isNotNull())
+        .groupBy(F.col("event_type").alias("cur"), F.col("next_type").alias("nxt"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .localCheckpoint(eager=False)  # pin: feeds row totals, grand total, both sums
+    )
+    row_tot = trans.groupBy("cur").agg(F.sum("n").cast("bigint").alias("n_cur"))
+    grand = trans.agg(F.sum("n").cast("bigint").alias("n_all"))
+    # -ln p(y|x) quantized: floor(ln(n_cur / n) * 1e4) = exact on the grid
+    cond = (
+        trans.join(F.broadcast(row_tot), "cur")
+        .select(
+            "n",
+            F.expr(
+                "cast(floor(ln(cast(n_cur as double) / cast(n as double)) * 10000)"
+                " as bigint)"
+            ).alias("nl_q"),
+        )
+        .agg(
+            F.expr("cast(sum(n * nl_q) as bigint)").alias("num"),
+            F.expr("cast(sum(n) as bigint)").alias("den"),
+        )
+    )
+    nxt_tot = trans.groupBy("nxt").agg(F.sum("n").cast("bigint").alias("n_nxt"))
+    uncond = (
+        nxt_tot.crossJoin(F.broadcast(grand))
+        .select(
+            "n_nxt",
+            F.expr(
+                "cast(floor(ln(cast(n_all as double) / cast(n_nxt as double)) * 10000)"
+                " as bigint)"
+            ).alias("nl_q"),
+        )
+        .agg(
+            F.expr("cast(sum(n_nxt * nl_q) as bigint)").alias("unum"),
+            F.expr("cast(sum(n_nxt) as bigint)").alias("uden"),
+        )
+    )
+    return cond.crossJoin(F.broadcast(uncond)).select(
+        F.col("den").alias("n_transitions"),
+        F.expr("cast(num div den as bigint)").alias("h_rate_nat_e4"),
+        F.expr("cast(unum div uden as bigint)").alias("h_marginal_nat_e4"),
+        F.expr("cast((unum div uden) - (num div den) as bigint)").alias(
+            "predictability_gain_e4"
+        ),
+        F.expr("cast(num div den <= unum div uden as int)").alias("conditioning_helps"),
+    )
+
+
+MARKOV_ENTROPY_SQL = """
+WITH events_us AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+trans AS (
+  SELECT event_type AS cur, next_type AS nxt, count(*)::BIGINT AS n
+  FROM (
+    SELECT event_type,
+           lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type
+    FROM events_us
+  ) WHERE next_type IS NOT NULL
+  GROUP BY cur, nxt
+),
+row_tot AS (SELECT cur, CAST(sum(n) AS BIGINT) AS n_cur FROM trans GROUP BY cur),
+grand AS (SELECT CAST(sum(n) AS BIGINT) AS n_all FROM trans),
+cond AS (
+  SELECT CAST(sum(t.n * CAST(floor(ln(CAST(r.n_cur AS DOUBLE) / CAST(t.n AS DOUBLE))
+                 * 10000) AS BIGINT)) AS BIGINT) AS num,
+         CAST(sum(t.n) AS BIGINT) AS den
+  FROM trans t JOIN row_tot r USING (cur)
+),
+nxt_tot AS (SELECT nxt, CAST(sum(n) AS BIGINT) AS n_nxt FROM trans GROUP BY nxt),
+uncond AS (
+  SELECT CAST(sum(n_nxt * CAST(floor(ln(CAST(n_all AS DOUBLE) / CAST(n_nxt AS DOUBLE))
+                 * 10000) AS BIGINT)) AS BIGINT) AS unum,
+         CAST(sum(n_nxt) AS BIGINT) AS uden
+  FROM nxt_tot, grand
+)
+SELECT den AS n_transitions,
+       CAST(num // den AS BIGINT) AS h_rate_nat_e4,
+       CAST(unum // uden AS BIGINT) AS h_marginal_nat_e4,
+       CAST((unum // uden) - (num // den) AS BIGINT) AS predictability_gain_e4,
+       CAST(num // den <= unum // uden AS INT) AS conditioning_helps
+FROM cond, uncond
+"""
+
+QUERIES["events_markov_entropy_rate"] = events_markov_entropy_rate
+ORACLES["events_markov_entropy_rate"] = MARKOV_ENTROPY_SQL
