@@ -2393,3 +2393,75 @@ FROM lstat, wstat
 
 QUERIES["orders_littles_law_audit"] = orders_littles_law_audit
 ORACLES["orders_littles_law_audit"] = LITTLES_SQL
+
+
+# --- Wilson confidence interval for pending-order share -----------------------
+#
+# The interval estimate the experimentation family's point estimates
+# lack (public art: Wilson 1927 — the score interval that behaves at
+# small n and extreme p, what a monitoring dashboard should draw):
+# per order priority, the share of pending ('P') orders with its 95%
+# Wilson bounds.  The z constant enters squared as one hard-coded
+# milli integer (z² = 3.841459 → Z2W_MILLI, the Benford device); the
+# bound formula runs as the SAME double expression in both engines
+# (products/divisions/sqrt each a single correctly-rounded IEEE op in
+# identical order) and lands in bp via floor(x·10000 + 0.5).
+#
+# Scale: one bounded (priority) aggregation; everything after is
+# per-row arithmetic on the 5-row grid.
+
+Z2W_MILLI = 3841  # z_{.975}^2 = 1.959964^2, in milli
+
+
+def orders_pending_wilson_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_orderpriority", "o_orderstatus")
+    grid = orders.groupBy(F.col("o_orderpriority").alias("priority")).agg(
+        F.count("*").cast("bigint").alias("n"),
+        F.sum((F.col("o_orderstatus") == "P").cast("bigint")).cast("bigint").alias("k"),
+    )
+    z2 = f"({Z2W_MILLI} / 1000.0)"
+    p = "(cast(k as double) / cast(n as double))"
+    center = f"({p} + {z2} / (2.0 * n))"
+    margin = f"(sqrt({z2}) * sqrt({p} * (1.0 - {p}) / n + {z2} / (4.0 * n * n)))"
+    denom = f"(1.0 + {z2} / n)"
+    return grid.select(
+        "priority", "n", "k",
+        F.expr("cast(k * 10000 div n as bigint)").alias("p_bp"),
+        F.expr(
+            f"cast(floor(({center} - {margin}) / {denom} * 10000 + 0.5) as bigint)"
+        ).alias("lo_bp"),
+        F.expr(
+            f"cast(floor(({center} + {margin}) / {denom} * 10000 + 0.5) as bigint)"
+        ).alias("hi_bp"),
+    ).select(
+        "priority", "n", "k", "p_bp", "lo_bp", "hi_bp",
+        (F.col("hi_bp") - F.col("lo_bp")).cast("bigint").alias("width_bp"),
+    )
+
+
+_WZ2 = f"({Z2W_MILLI} / 1000.0)"
+_WP = "(CAST(k AS DOUBLE) / CAST(n AS DOUBLE))"
+_WCENTER = f"({_WP} + {_WZ2} / (2.0 * n))"
+_WMARGIN = f"(sqrt({_WZ2}) * sqrt({_WP} * (1.0 - {_WP}) / n + {_WZ2} / (4.0 * n * n)))"
+_WDENOM = f"(1.0 + {_WZ2} / n)"
+
+WILSON_SQL = f"""
+WITH grid AS (
+  SELECT o_orderpriority AS priority, count(*)::BIGINT AS n,
+         CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS k
+  FROM orders GROUP BY 1
+),
+scored AS (
+  SELECT priority, n, k,
+         CAST(k * 10000 // n AS BIGINT) AS p_bp,
+         CAST(floor(({_WCENTER} - {_WMARGIN}) / {_WDENOM} * 10000 + 0.5) AS BIGINT) AS lo_bp,
+         CAST(floor(({_WCENTER} + {_WMARGIN}) / {_WDENOM} * 10000 + 0.5) AS BIGINT) AS hi_bp
+  FROM grid
+)
+SELECT priority, n, k, p_bp, lo_bp, hi_bp,
+       CAST(hi_bp - lo_bp AS BIGINT) AS width_bp
+FROM scored
+"""
+
+QUERIES["orders_pending_wilson_ci"] = orders_pending_wilson_ci
+ORACLES["orders_pending_wilson_ci"] = WILSON_SQL

@@ -188,7 +188,7 @@ _DRIVER_PRIORITY = [
     "blocklist_screen", "prefix_autocomplete", "user_daypart_profile",
     "events_haar_energy", "hilbert_layout",
     "orders_fiscal_445", "brand_bullwhip_ratio", "orders_littles_law_audit",
-    "events_markov_entropy_rate",
+    "events_markov_entropy_rate", "orders_pending_wilson_ci",
 ]
 
 
