@@ -1912,7 +1912,13 @@ def lineitem_shipmode_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         "sxt",
         "sxxt",
         "k",
-        F.expr("(nt * sx * sx) div n").alias("gterm"),
+        # (nt * sx^2) div n, split so no intermediate exceeds BIGINT at
+        # large SF (sx^2 fits; nt*sx^2 does not): for non-negative
+        # operands the identity (nt*s2) div n = nt*(s2 div n) +
+        # (nt*(s2 mod n)) div n preserves the exact truncated value.
+        F.expr(
+            "nt * ((sx * sx) div n) + (nt * ((sx * sx) % n)) div n"
+        ).alias("gterm"),
     )
     agg2 = per_mode_scaled.groupBy("nt", "sxt", "sxxt", "k").agg(
         F.sum("gterm").alias("gsum")
@@ -1923,9 +1929,15 @@ def lineitem_shipmode_anova(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("gsum") - F.col("sxt") * F.col("sxt")).alias("ssb_nt"),
         (F.col("nt") * F.col("sxxt") - F.col("gsum")).alias("ssw_nt"),
     )
+    # F in milli via the identical-IEEE-double device: ssb_nt*(nt-k)*1000
+    # exceeds BIGINT at sf >= 0.1 (observed 3.7e19), so the final ratio
+    # runs as the same double expression in both engines (each *, / a
+    # single correctly-rounded op in identical order) with floor at the
+    # end — the documented promotion when n^2-scaled sums outgrow int64.
     f_milli = F.expr(
         "CASE WHEN ssw_nt > 0 AND k > 1 THEN"
-        " (ssb_nt * (nt - k) * 1000) div (ssw_nt * (k - 1))"
+        " cast(floor(cast(ssb_nt as double) * (nt - k) * 1000.0"
+        " / (cast(ssw_nt as double) * (k - 1))) as bigint)"
         " ELSE cast(-1 as bigint) END"
     )
     eta_bp = F.expr(
@@ -1972,7 +1984,7 @@ tot AS (
 ),
 agg2 AS (
   SELECT nt, sxt, sxxt, k,
-         CAST(sum((nt * sx * sx) // n) AS BIGINT) AS gsum
+         CAST(sum(nt * ((sx * sx) // n) + (nt * ((sx * sx) % n)) // n) AS BIGINT) AS gsum
   FROM per_mode, tot GROUP BY nt, sxt, sxxt, k
 ),
 scored AS (
@@ -1987,7 +1999,9 @@ SELECT l_shipmode, n,
        CAST(k AS BIGINT) AS n_modes,
        CAST(ssb_nt AS BIGINT) AS ssb_scaled,
        CAST(ssw_nt AS BIGINT) AS ssw_scaled,
-       CAST(CASE WHEN ssw_nt > 0 AND k > 1 THEN (ssb_nt * (nt - k) * 1000) // (ssw_nt * (k - 1))
+       CAST(CASE WHEN ssw_nt > 0 AND k > 1 THEN
+                 floor(CAST(ssb_nt AS DOUBLE) * (nt - k) * 1000.0
+                       / (CAST(ssw_nt AS DOUBLE) * (k - 1)))
                  ELSE -1 END AS BIGINT) AS f_stat_milli,
        CAST(CASE WHEN ssb_nt + ssw_nt > 0 THEN (ssb_nt * 10000) // (ssb_nt + ssw_nt)
                  ELSE 0 END AS BIGINT) AS eta2_bp
