@@ -1,0 +1,425 @@
+"""Nonparametric / classical statistical tests over the fact tables.
+
+Reference parity: the reference validates refreshed extracts with
+eyeball-level distribution checks (`catalog search/stage5_output_final_csv.py`
+validate_csv_data; `process_monitor_logs` in database-schema.sql) — these
+operators are the principled versions of those checks: is a relationship
+real (Spearman, chi-squared), is a sequence random (runs test), what is
+the robust trend (Theil–Sen)?  All are public-art textbook statistics
+(Spearman 1904; Pearson 1900; Wald & Wolfowitz 1940; Theil 1950 / Sen
+1968).
+
+House determinism devices (see PLANS.md / the module docstrings they
+were introduced in):
+
+* every test reduces the fact scan to a BOUNDED grid first (value
+  contingency, hourly buckets, monthly sums) — the statistics are then
+  exact integer arithmetic on that grid;
+* wide integer products run in Spark ``decimal(38,0)`` / DuckDB
+  ``HUGEINT`` (exact, intermediates only — outputs are always BIGINT),
+  with truncating ``div`` only where the true quotient fits int64;
+* the one irreducible irrational step (a sqrt ratio) runs as the SAME
+  IEEE-double expression in both engines — each *, /, sqrt a single
+  correctly-rounded op in identical order — then floors into milli/bp
+  integers.
+
+Scale: each operator is one narrow columnar scan + one small-key
+aggregation; everything after operates on O(10²) rows (broadcast
+joins, no fact-fact shuffles, no windows over fact rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..sources.tables import load_table
+
+QUERIES = {}
+ORACLES = {}
+
+
+# --- Spearman rank correlation: discount vs quantity ---------------------------
+#
+# Are deeper discounts moving bigger quantities?  Pearson on the raw
+# values is dominated by the quantity spread; Spearman on midranks is
+# the scale-free answer.  Both variables are LOW-CARDINALITY (11
+# discount cents values x 50 quantities), so the exact tie-aware
+# midranks come from the value contingency, not from ranking fact rows:
+# doubled midrank rx2(v) = 2*(count below v) + count(v) + 1 is an exact
+# integer, and Pearson-on-ranks needs only Sum cnt*rx2c*ry2c over the
+# <= 550 cells (the x2 scaling cancels in the ratio).
+
+def lineitem_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias("dc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    cells = li.groupBy("dc", "q").agg(F.count(F.lit(1)).alias("cnt"))
+
+    def midranks(col: str):
+        marg = cells.groupBy(col).agg(F.sum("cnt").alias("c"))
+        w = Window.orderBy(col).rowsBetween(Window.unboundedPreceding, -1)
+        return marg.select(
+            col,
+            (2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1).alias(
+                f"r2_{col}"
+            ),
+        )
+
+    n1 = cells.agg(
+        F.sum("cnt").alias("n"),
+        F.count_distinct("dc").alias("n_disc"),
+        F.count_distinct("q").alias("n_qty"),
+    )
+    scored = (
+        cells.join(F.broadcast(midranks("dc")), "dc")
+        .join(F.broadcast(midranks("q")), "q")
+        .crossJoin(F.broadcast(n1))
+        .select(
+            "n",
+            "n_disc",
+            "n_qty",
+            F.expr("cast(cnt as decimal(38,0)) * (r2_dc - (n + 1)) * (r2_q - (n + 1))").alias("pxy"),
+            F.expr("cast(cnt as decimal(38,0)) * (r2_dc - (n + 1)) * (r2_dc - (n + 1))").alias("pxx"),
+            F.expr("cast(cnt as decimal(38,0)) * (r2_q - (n + 1)) * (r2_q - (n + 1))").alias("pyy"),
+        )
+    )
+    sums = scored.groupBy("n", "n_disc", "n_qty").agg(
+        F.sum("pxy").alias("sxy"), F.sum("pxx").alias("sxx"), F.sum("pyy").alias("syy")
+    )
+    # identical-IEEE-double device for the final ratio (intermediate
+    # decimal sums are exact; the cast to double is one correct rounding)
+    rho = "(cast(sxy as double) / sqrt(cast(sxx as double) * cast(syy as double)))"
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("n_disc").cast("bigint").alias("n_disc"),
+        F.col("n_qty").cast("bigint").alias("n_qty"),
+        F.expr(f"cast(floor({rho} * 1000.0) as bigint)").alias("rho_milli"),
+        F.expr(f"cast(floor({rho} * {rho} * 10000.0) as bigint)").alias("rho2_bp"),
+    )
+
+
+SPEARMAN_SQL = """
+WITH li AS (
+  SELECT CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+cells AS (SELECT dc, q, count(*)::BIGINT AS cnt FROM li GROUP BY dc, q),
+dm AS (
+  SELECT dc, 2 * coalesce(sum(c) OVER (ORDER BY dc
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2_dc
+  FROM (SELECT dc, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY dc)
+),
+qm AS (
+  SELECT q, 2 * coalesce(sum(c) OVER (ORDER BY q
+           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + c + 1 AS r2_q
+  FROM (SELECT q, CAST(sum(cnt) AS BIGINT) AS c FROM cells GROUP BY q)
+),
+n1 AS (
+  SELECT CAST(sum(cnt) AS BIGINT) AS n,
+         count(DISTINCT dc)::BIGINT AS n_disc,
+         count(DISTINCT q)::BIGINT AS n_qty
+  FROM cells
+),
+sums AS (
+  SELECT n, n_disc, n_qty,
+         sum(CAST(cnt AS HUGEINT) * (r2_dc - (n + 1)) * (r2_q - (n + 1))) AS sxy,
+         sum(CAST(cnt AS HUGEINT) * (r2_dc - (n + 1)) * (r2_dc - (n + 1))) AS sxx,
+         sum(CAST(cnt AS HUGEINT) * (r2_q - (n + 1)) * (r2_q - (n + 1))) AS syy
+  FROM cells JOIN dm USING (dc) JOIN qm USING (q) CROSS JOIN n1
+  GROUP BY n, n_disc, n_qty
+)
+SELECT n AS n_rows, n_disc, n_qty,
+       CAST(floor((CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) * 1000.0) AS BIGINT) AS rho_milli,
+       CAST(floor((CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE)))
+            * (CAST(sxy AS DOUBLE) / sqrt(CAST(sxx AS DOUBLE) * CAST(syy AS DOUBLE))) * 10000.0) AS BIGINT) AS rho2_bp
+FROM sums
+"""
+
+QUERIES["lineitem_spearman_corr"] = lineitem_spearman_corr
+ORACLES["lineitem_spearman_corr"] = SPEARMAN_SQL
+
+
+# --- chi-squared independence: return flag vs order-size band ------------------
+#
+# Does return behavior depend on order size?  Pearson chi-squared on
+# the 3x3 contingency (returnflag x quantity tertile band), computed
+# EXACTLY: per cell, (o*n - r*c)^2 * 1e6 div (r*c*n) is integral
+# (wide products in decimal/HUGEINT; the quotient is bounded by
+# 1e6 * n * min(r,c) so the BIGINT div result is exact), summed to
+# chi2_micro.  Cramer's V is the effect size an analyst reads.
+
+def lineitem_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("rf"),
+        (1 + F.expr("(cast(l_quantity as bigint) - 1) div 17")).alias("band"),
+    )
+    cells = li.groupBy("rf", "band").agg(F.count(F.lit(1)).alias("o"))
+    rm = cells.groupBy("rf").agg(F.sum("o").alias("r"))
+    cm = cells.groupBy("band").agg(F.sum("o").alias("c"))
+    tot = cells.agg(
+        F.sum("o").alias("n"),
+        F.count_distinct("rf").alias("nr"),
+        F.count_distinct("band").alias("nc"),
+    )
+    scored = (
+        cells.join(F.broadcast(rm), "rf")
+        .join(F.broadcast(cm), "band")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            "nr",
+            "nc",
+            F.expr(
+                "cast((cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+                " * (cast(o as decimal(38,0)) * n - cast(r as decimal(38,0)) * c)"
+                " * 1000000 div (cast(r as decimal(38,0)) * c * n) as bigint)"
+            ).alias("cell_micro"),
+            F.expr("r * c * 1000 div n").alias("e_milli"),
+        )
+    )
+    agg = scored.groupBy("n", "nr", "nc").agg(
+        F.sum("cell_micro").alias("chi2_micro"), F.min("e_milli").alias("min_e_milli")
+    )
+    v = (
+        "sqrt(cast(chi2_micro as double) / (1000000.0 * cast(n as double)"
+        " * cast((least(nr, nc) - 1) as double)))"
+    )
+    return agg.select(
+        F.col("n").cast("bigint").alias("n_rows"),
+        F.col("nr").cast("bigint").alias("n_flags"),
+        F.col("nc").cast("bigint").alias("n_bands"),
+        ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+        F.col("chi2_micro").cast("bigint").alias("chi2_micro"),
+        F.col("min_e_milli").cast("bigint").alias("min_expected_milli"),
+        F.expr(f"cast(floor({v} * 1000.0) as bigint)").alias("cramers_v_milli"),
+    )
+
+
+CHI2_SQL = """
+WITH li AS (
+  SELECT l_returnflag AS rf, 1 + (CAST(l_quantity AS BIGINT) - 1) // 17 AS band
+  FROM lineitem
+),
+cells AS (SELECT rf, band, count(*)::BIGINT AS o FROM li GROUP BY rf, band),
+rm AS (SELECT rf, CAST(sum(o) AS BIGINT) AS r FROM cells GROUP BY rf),
+cm AS (SELECT band, CAST(sum(o) AS BIGINT) AS c FROM cells GROUP BY band),
+tot AS (
+  SELECT CAST(sum(o) AS BIGINT) AS n, count(DISTINCT rf)::BIGINT AS nr,
+         count(DISTINCT band)::BIGINT AS nc
+  FROM cells
+),
+scored AS (
+  SELECT n, nr, nc,
+         CAST((CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              * (CAST(o AS HUGEINT) * n - CAST(r AS HUGEINT) * c)
+              * 1000000 // (CAST(r AS HUGEINT) * c * n) AS BIGINT) AS cell_micro,
+         r * c * 1000 // n AS e_milli
+  FROM cells JOIN rm USING (rf) JOIN cm USING (band) CROSS JOIN tot
+),
+agg AS (
+  SELECT n, nr, nc, CAST(sum(cell_micro) AS BIGINT) AS chi2_micro,
+         CAST(min(e_milli) AS BIGINT) AS min_e_milli
+  FROM scored GROUP BY n, nr, nc
+)
+SELECT n AS n_rows, nr AS n_flags, nc AS n_bands,
+       CAST((nr - 1) * (nc - 1) AS BIGINT) AS dof,
+       chi2_micro, min_e_milli AS min_expected_milli,
+       CAST(floor(sqrt(CAST(chi2_micro AS DOUBLE) / (1000000.0 * CAST(n AS DOUBLE)
+            * CAST((least(nr, nc) - 1) AS DOUBLE))) * 1000.0) AS BIGINT) AS cramers_v_milli
+FROM agg
+"""
+
+QUERIES["lineitem_chi2_independence"] = lineitem_chi2_independence
+ORACLES["lineitem_chi2_independence"] = CHI2_SQL
+
+
+# --- Wald-Wolfowitz runs test on hourly event load ------------------------------
+#
+# Is the hourly load sequence random around its median, or does it
+# trend/cluster?  Classic runs test: hours above vs below the (lower)
+# median, ties-at-median dropped per standard practice, runs counted
+# with one lag over the BOUNDED hourly grid.  The z-score runs through
+# the identical-double device.  Median selection is deterministic:
+# the value at row (nh+1) div 2 ordered by (cnt, hour).
+
+def events_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("hour", "ts").alias("h")
+    )
+    hourly = ev.groupBy("h").agg(F.count(F.lit(1)).alias("cnt"))
+    ranked = hourly.withColumn(
+        "rn", F.row_number().over(Window.orderBy("cnt", "h"))
+    ).crossJoin(F.broadcast(hourly.agg(F.count(F.lit(1)).alias("nh"))))
+    med = ranked.where(F.expr("rn = (nh + 1) div 2")).select(
+        F.col("cnt").alias("med"), "nh"
+    )
+    signed = (
+        hourly.crossJoin(F.broadcast(med))
+        .where(F.col("cnt") != F.col("med"))
+        .select("h", "nh", (F.col("cnt") > F.col("med")).cast("int").alias("s"))
+    )
+    lagged = signed.select(
+        "nh",
+        "s",
+        F.lag("s").over(Window.orderBy("h")).alias("prev"),
+    )
+    agg = lagged.groupBy("nh").agg(
+        F.count(F.lit(1)).alias("n_used"),
+        F.sum("s").alias("n1"),
+        F.sum(F.expr("case when prev is null or s <> prev then 1 else 0 end")).alias(
+            "runs"
+        ),
+    )
+    mu = "(1.0 + 2.0 * n_above * n_below / n_used)"
+    var = (
+        "(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_used)"
+        " / (cast(n_used as double) * n_used * (n_used - 1)))"
+    )
+    return agg.select(
+        F.col("nh").cast("bigint").alias("n_hours"),
+        F.col("n_used").cast("bigint").alias("n_used"),
+        F.col("n1").cast("bigint").alias("n_above"),
+        (F.col("n_used") - F.col("n1")).cast("bigint").alias("n_below"),
+        F.col("runs").cast("bigint").alias("n_runs"),
+    ).select(
+        "n_hours",
+        "n_used",
+        "n_above",
+        "n_below",
+        "n_runs",
+        F.expr(f"cast(floor({mu} * 1000.0) as bigint)").alias("mu_runs_milli"),
+        F.expr(
+            f"case when n_above > 0 and n_below > 0 and n_used > 1 and {var} > 0 then"
+            f" cast(floor((n_runs - {mu}) / sqrt({var}) * 1000.0) as bigint)"
+            " else cast(null as bigint) end"
+        ).alias("z_milli"),
+    )
+
+
+RUNS_SQL = """
+WITH hourly AS (
+  SELECT date_trunc('hour', ts) AS h, count(*)::BIGINT AS cnt
+  FROM (SELECT date_trunc('microseconds', ts) AS ts FROM events)
+  GROUP BY 1
+),
+nh1 AS (SELECT count(*)::BIGINT AS nh FROM hourly),
+med AS (
+  SELECT cnt AS med, nh
+  FROM (SELECT cnt, row_number() OVER (ORDER BY cnt, h) AS rn FROM hourly)
+  CROSS JOIN nh1 WHERE rn = (nh + 1) // 2
+),
+signed AS (
+  SELECT h, nh, CAST(cnt > med AS INT) AS s
+  FROM hourly CROSS JOIN med WHERE cnt <> med
+),
+lagged AS (SELECT nh, s, lag(s) OVER (ORDER BY h) AS prev FROM signed),
+agg AS (
+  SELECT nh, count(*)::BIGINT AS n_used, CAST(sum(s) AS BIGINT) AS n1,
+         CAST(sum(CASE WHEN prev IS NULL OR s <> prev THEN 1 ELSE 0 END) AS BIGINT) AS runs
+  FROM lagged GROUP BY nh
+),
+named AS (
+  SELECT nh AS n_hours, n_used, n1 AS n_above, n_used - n1 AS n_below, runs AS n_runs
+  FROM agg
+)
+SELECT n_hours, n_used, n_above, n_below, n_runs,
+       CAST(floor((1.0 + 2.0 * n_above * n_below / n_used) * 1000.0) AS BIGINT) AS mu_runs_milli,
+       CASE WHEN n_above > 0 AND n_below > 0 AND n_used > 1
+                 AND (2.0 * n_above * n_below * (2.0 * n_above * n_below - n_used)
+                      / (CAST(n_used AS DOUBLE) * n_used * (n_used - 1))) > 0 THEN
+         CAST(floor((n_runs - (1.0 + 2.0 * n_above * n_below / n_used))
+              / sqrt(2.0 * n_above * n_below * (2.0 * n_above * n_below - n_used)
+                     / (CAST(n_used AS DOUBLE) * n_used * (n_used - 1))) * 1000.0) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END AS z_milli
+FROM named
+"""
+
+QUERIES["events_runs_test"] = events_runs_test
+ORACLES["events_runs_test"] = RUNS_SQL
+
+
+# --- Theil-Sen robust trend of monthly revenue ----------------------------------
+#
+# The robust complement to per_source_linefit's OLS: the median of all
+# pairwise monthly-revenue slopes is immune to the outlier months OLS
+# chases.  Months are BOUNDED (~80 across any SF), so the pairwise set
+# (~3k rows) is a broadcast self-join of a tiny aggregate, never a
+# fact-fact join.  Slopes in milli-cents/month via truncating div
+# (both engines truncate toward zero — verified house device); medians
+# are lower medians at deterministic row positions.
+
+def lineitem_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        ((F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")).alias("m"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    monthly = li.groupBy("m").agg(F.sum("cents").alias("rev"))
+    a = monthly.select(F.col("m").alias("m1"), F.col("rev").alias("rev1"))
+    b = monthly.select(F.col("m").alias("m2"), F.col("rev").alias("rev2"))
+    pairs = a.join(F.broadcast(b), F.col("m1") < F.col("m2")).select(
+        F.expr("(rev2 - rev1) * 1000 div (m2 - m1)").alias("slope"), "m1", "m2"
+    )
+    np_ = pairs.agg(F.count(F.lit(1)).alias("np"))
+    slope_med = (
+        pairs.withColumn(
+            "rn", F.row_number().over(Window.orderBy("slope", "m1", "m2"))
+        )
+        .crossJoin(F.broadcast(np_))
+        .where(F.expr("rn = (np + 1) div 2"))
+        .select(F.col("slope").alias("slope_milli"), "np")
+    )
+    resid = monthly.crossJoin(F.broadcast(slope_med)).select(
+        "np",
+        "slope_milli",
+        (F.col("rev") * 1000 - F.col("slope_milli") * F.col("m")).alias("res"),
+        "m",
+    )
+    nm = monthly.agg(F.count(F.lit(1)).alias("nm"))
+    out = (
+        resid.withColumn("rn", F.row_number().over(Window.orderBy("res", "m")))
+        .crossJoin(F.broadcast(nm))
+        .where(F.expr("rn = (nm + 1) div 2"))
+        .select(
+            F.col("nm").cast("bigint").alias("n_months"),
+            F.col("np").cast("bigint").alias("n_pairs"),
+            F.col("slope_milli").cast("bigint").alias("slope_milli_c"),
+            F.col("res").cast("bigint").alias("intercept_milli_c"),
+        )
+    )
+    return out
+
+
+THEIL_SEN_SQL = """
+WITH li AS (
+  SELECT (year(l_shipdate) - 1990) * 12 + month(l_shipdate) AS m,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+monthly AS (SELECT m, CAST(sum(cents) AS BIGINT) AS rev FROM li GROUP BY m),
+pairs AS (
+  SELECT (b.rev - a.rev) * 1000 // (b.m - a.m) AS slope, a.m AS m1, b.m AS m2
+  FROM monthly a JOIN monthly b ON a.m < b.m
+),
+np1 AS (SELECT count(*)::BIGINT AS np FROM pairs),
+slope_med AS (
+  SELECT slope AS slope_milli, np
+  FROM (SELECT slope, m1, m2, row_number() OVER (ORDER BY slope, m1, m2) AS rn FROM pairs)
+  CROSS JOIN np1 WHERE rn = (np + 1) // 2
+),
+resid AS (
+  SELECT np, slope_milli, rev * 1000 - slope_milli * m AS res, m
+  FROM monthly CROSS JOIN slope_med
+),
+nm1 AS (SELECT count(*)::BIGINT AS nm FROM monthly)
+SELECT nm AS n_months, np AS n_pairs,
+       CAST(slope_milli AS BIGINT) AS slope_milli_c,
+       CAST(res AS BIGINT) AS intercept_milli_c
+FROM (SELECT np, slope_milli, res, row_number() OVER (ORDER BY res, m) AS rn FROM resid)
+CROSS JOIN nm1 WHERE rn = (nm + 1) // 2
+"""
+
+QUERIES["lineitem_theil_sen_trend"] = lineitem_theil_sen_trend
+ORACLES["lineitem_theil_sen_trend"] = THEIL_SEN_SQL

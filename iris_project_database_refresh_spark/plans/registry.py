@@ -51,6 +51,7 @@ def _load() -> None:
         search,
         sectioning,
         sketches,
+        stats,
         textmodel,
         textprep,
         textqc,
@@ -93,6 +94,7 @@ def _load() -> None:
         warehouse,
         search,
         sketches,
+        stats,
         streaming_pipeline,
         streaming_dedup,
         streaming_enrich,
@@ -189,6 +191,8 @@ _DRIVER_PRIORITY = [
     "events_haar_energy", "hilbert_layout",
     "orders_fiscal_445", "brand_bullwhip_ratio", "orders_littles_law_audit",
     "events_markov_entropy_rate", "orders_pending_wilson_ci",
+    "lineitem_spearman_corr", "lineitem_chi2_independence",
+    "events_runs_test", "lineitem_theil_sen_trend",
 ]
 
 
