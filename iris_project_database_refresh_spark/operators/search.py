@@ -982,3 +982,172 @@ FROM shown s JOIN mass m ON s.prefix = m.prefix JOIN shown_mass sm ON s.prefix =
 
 QUERIES["prefix_autocomplete"] = prefix_autocomplete
 ORACLES["prefix_autocomplete"] = AUTOCOMPLETE_SQL
+
+
+# --- query-likelihood language-model retrieval --------------------------------
+#
+# The third classical ranking family next to BM25 (probabilistic) and
+# cosine (vector): score(q,d) = sum_t ln P(t|d) under Dirichlet
+# smoothing (Zhai & Lafferty 2001, mu = 2000) — the ranking an LM-based
+# retrieval stack computes.
+#
+# Determinism device: the smoothed probability is the RATIONAL
+# (tf*cf_total + mu*cf_t) / (cf_total*(len_d + mu)) with exact BIGINT
+# numerator and denominator, so the score is a SUM OF ln-QUANTIZED
+# INTEGERS: q(x) = floor(ln(x)*1e4) of each side, score_q4 =
+# sum_t q(num_t) - |q|*q(den) — exact integer output, no float
+# summation order anywhere (the zipf_fit ln device).
+#
+# Scale: identical shape to bm25_search — per-doc tf via
+# size(filter(tokens)) (no explode, no shuffle), ONE 1-row corpus-stats
+# aggregate rejoined as a broadcast, top-k via orderBy+limit
+# (TakeOrderedAndProject).
+
+QL_MU = 2000
+
+
+def query_likelihood_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("len_d"),
+        *[
+            F.size(F.filter(toks, _is_term(term))).alias(f"tf_{i}")
+            for i, term in enumerate(QUERY_TERMS)
+        ],
+    ).localCheckpoint(eager=False)
+    stats = per_doc.agg(
+        F.sum("len_d").alias("cf_total"),
+        *[F.sum(f"tf_{i}").alias(f"cf_{i}") for i in range(len(QUERY_TERMS))],
+    )
+    nterm = len(QUERY_TERMS)
+    num_q = " + ".join(
+        f"cast(floor(ln(cast(tf_{i} * cf_total + {QL_MU} * cf_{i} as double)) * 10000) as bigint)"
+        for i in range(nterm)
+    )
+    den_q = (
+        f"{nterm} * cast(floor(ln(cast(cf_total * (len_d + {QL_MU}) as double)) * 10000) as bigint)"
+    )
+    return (
+        per_doc.crossJoin(F.broadcast(stats))
+        .where(F.expr(" + ".join(f"tf_{i}" for i in range(nterm))) > 0)
+        .select("doc_id", F.expr(f"({num_q}) - ({den_q})").alias("ql_score_q4"))
+        .orderBy(F.desc("ql_score_q4"), F.asc("doc_id"))
+        .limit(TOP_K)
+    )
+
+
+_QL_TF = ", ".join(
+    f"len(list_filter(toks, t -> t = '{term}')) AS tf_{i}"
+    for i, term in enumerate(QUERY_TERMS)
+)
+_QL_CF = ", ".join(
+    f"CAST(sum(tf_{i}) AS BIGINT) AS cf_{i}" for i in range(len(QUERY_TERMS))
+)
+_QL_NUM = " + ".join(
+    f"CAST(floor(ln(CAST(tf_{i} * cf_total + {QL_MU} * cf_{i} AS DOUBLE)) * 10000) AS BIGINT)"
+    for i in range(len(QUERY_TERMS))
+)
+_QL_DEN = (
+    f"{len(QUERY_TERMS)} * CAST(floor(ln(CAST(cf_total * (len_d + {QL_MU}) AS DOUBLE)) * 10000) AS BIGINT)"
+)
+
+QUERY_LIKELIHOOD_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS len_d, {_QL_TF}
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT CAST(sum(len_d) AS BIGINT) AS cf_total, {_QL_CF} FROM per_doc
+)
+SELECT doc_id, ({_QL_NUM}) - ({_QL_DEN}) AS ql_score_q4
+FROM per_doc CROSS JOIN stats
+WHERE {" + ".join(f"tf_{i}" for i in range(len(QUERY_TERMS)))} > 0
+ORDER BY ql_score_q4 DESC, doc_id LIMIT {TOP_K}
+"""
+
+QUERIES["query_likelihood_search"] = query_likelihood_search
+ORACLES["query_likelihood_search"] = QUERY_LIKELIHOOD_SQL
+
+
+# --- Borda-count rank fusion ---------------------------------------------------
+#
+# The positional alternative to hybrid_search_rrf's reciprocal fusion
+# (Borda 1781 via the metasearch literature — Aslam & Montague 2001):
+# each ranker awards CANDIDATES+1-rank points to its top CANDIDATES,
+# fused by integer point sum. Where RRF compresses rank differences
+# deep in the list, Borda keeps them linear — the two disagree exactly
+# where a ranking analyst wants to compare them.
+#
+# Shape mirrors hybrid_search_rrf: bounded per-ranker candidate cuts
+# (rounded scores, id tie-breaks), full-outer join of two top-100
+# lists, pure-integer scoring, top-k limit.
+
+def rank_fusion_borda(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wa = Window.orderBy(F.desc("score"), F.asc("doc_id"))
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .select("doc_id", F.row_number().over(wa).alias("rank_lex"))
+        .where(F.col("rank_lex") <= CANDIDATES)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.col("v").alias("qv"), F.sqrt(_dot(F.col("v"), F.col("v"))).alias("qn")
+    )
+    cos = emb.crossJoin(F.broadcast(q)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.sqrt(_dot(F.col("v"), F.col("v")))),
+            6,
+        ).alias("cosine"),
+    )
+    wb = Window.orderBy(F.desc("cosine"), F.asc("doc_id"))
+    sem = (
+        cos.select("doc_id", F.row_number().over(wb).alias("rank_sem"))
+        .where(F.col("rank_sem") <= CANDIDATES)
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").select(
+        "doc_id",
+        "rank_lex",
+        "rank_sem",
+        (
+            F.coalesce(F.lit(CANDIDATES) + 1 - F.col("rank_lex"), F.lit(0))
+            + F.coalesce(F.lit(CANDIDATES) + 1 - F.col("rank_sem"), F.lit(0))
+        ).cast("bigint").alias("borda_score"),
+    )
+    return fused.orderBy(F.desc("borda_score"), F.asc("doc_id")).limit(TOP_K)
+
+
+BORDA_SQL = f"""
+WITH scored AS ({_BM25_SCORED_SQL}),
+lex AS (
+  SELECT doc_id, rank_lex FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS rank_lex FROM scored
+  ) WHERE rank_lex <= {CANDIDATES}
+),
+emb AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT v AS qv, sqrt(list_dot_product(v, v)) AS qn FROM emb WHERE vec_id = 0),
+cos AS (
+  SELECT vec_id AS doc_id,
+         round(list_dot_product(qv, v) / (qn * sqrt(list_dot_product(v, v))), 6) AS cosine
+  FROM emb CROSS JOIN q
+),
+sem AS (
+  SELECT doc_id, rank_sem FROM (
+    SELECT doc_id, row_number() OVER (ORDER BY cosine DESC, doc_id) AS rank_sem FROM cos
+  ) WHERE rank_sem <= {CANDIDATES}
+)
+SELECT coalesce(lex.doc_id, sem.doc_id) AS doc_id,
+       rank_lex, rank_sem,
+       CAST(coalesce({CANDIDATES} + 1 - rank_lex, 0)
+            + coalesce({CANDIDATES} + 1 - rank_sem, 0) AS BIGINT) AS borda_score
+FROM lex FULL OUTER JOIN sem USING (doc_id)
+ORDER BY borda_score DESC, doc_id LIMIT {TOP_K}
+"""
+
+QUERIES["rank_fusion_borda"] = rank_fusion_borda
+ORACLES["rank_fusion_borda"] = BORDA_SQL

@@ -193,6 +193,7 @@ _DRIVER_PRIORITY = [
     "events_markov_entropy_rate", "orders_pending_wilson_ci",
     "lineitem_spearman_corr", "lineitem_chi2_independence",
     "events_runs_test", "lineitem_theil_sen_trend",
+    "query_likelihood_search", "rank_fusion_borda",
 ]
 
 
