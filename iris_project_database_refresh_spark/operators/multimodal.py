@@ -1853,3 +1853,178 @@ FROM documents WHERE doc_id % 3 = 0
 
 QUERIES["multimodal_exif_parse"] = multimodal_exif_parse
 ORACLES["multimodal_exif_parse"] = MULTIMODAL_EXIF_SQL
+
+
+# --- PNG chunk walk: planted containers with REAL CRC32s ------------------------
+#
+# Fourth container parser beside the WAV/Y4M/TIFF kernels — the format
+# an image-ingest pipeline meets most (public spec: PNG, RFC 2083 /
+# ISO 15948): signature, IHDR (width/height/bit-depth/color-type/
+# interlace), a planted number of IDAT chunks, IEND — every chunk with
+# a REAL CRC-32 computed JVM-side at plant time (``F.crc32``), and one
+# in five files planted with a corrupted IHDR CRC (xor 1).  The
+# Arrow-batched kernel walks the chunk stream with stdlib struct,
+# re-verifies every CRC with zlib.crc32, and must (a) still recover
+# the header fields behind a bad CRC and (b) count the corruption —
+# the oracle pins both arithmetically from the planted parameters, so
+# a kernel that trusts CRCs, skips verification, or mis-walks lengths
+# hash-mismatches.
+#
+# Scale: identical contract to the other kernels — payloads are built
+# and stay on executors, bounded Arrow batches, no image libraries.
+
+PNG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("bit_depth", T.LongType()),
+        T.StructField("color_type", T.LongType()),
+        T.StructField("interlace", T.LongType()),
+        T.StructField("n_chunks", T.LongType()),
+        T.StructField("idat_bytes", T.LongType()),
+        T.StructField("crc_bad", T.LongType()),
+        T.StructField("iend_ok", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): PNG-typed media items as real PNG bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
+    width = (F.lit(16) + (F.col("doc_id") % 32) * 8).cast("bigint")
+    height = (F.lit(16) + (F.col("doc_id") % 24) * 8).cast("bigint")
+    color = F.element_at(F.array(F.lit(0), F.lit(2), F.lit(6)), (F.col("doc_id") % 3 + 1).cast("int"))
+    interlace = (F.col("doc_id") % 2).cast("bigint")
+
+    def chunk_hex(type_hex, data_hex, corrupt=None):
+        crc = F.crc32(F.unhex(F.concat(type_hex, data_hex)))
+        if corrupt is not None:
+            crc = F.when(corrupt, crc.bitwiseXOR(F.lit(1))).otherwise(crc)
+        return F.concat(
+            F.format_string("%08X", (F.length(data_hex) / 2).cast("bigint")),
+            type_hex,
+            data_hex,
+            F.format_string("%08X", crc),
+        )
+
+    ihdr_data = F.concat(
+        F.format_string("%08X", width),
+        F.format_string("%08X", height),
+        F.lit("08"),  # bit depth
+        F.format_string("%02X", color),
+        F.lit("0000"),  # compression, filter
+        F.format_string("%02X", interlace),
+    )
+    bad = F.col("doc_id") % 5 == 0
+    ihdr = chunk_hex(F.lit("49484452"), ihdr_data, corrupt=bad)
+    idats = [
+        chunk_hex(
+            F.lit("49444154"),
+            F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":{k}")))),
+        )
+        for k in range(3)
+    ]
+    nid = F.col("doc_id") % 3 + 1
+    idat_hex = F.concat(
+        idats[0],
+        F.when(nid >= 2, idats[1]).otherwise(F.lit("")),
+        F.when(nid >= 3, idats[2]).otherwise(F.lit("")),
+    )
+    iend = chunk_hex(F.lit("49454E44"), F.lit(""))
+    payload = F.unhex(F.concat(F.lit("89504E470D0A1A0A"), ihdr, idat_hex, iend))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_png(payload: bytes) -> dict | None:
+    """PNG signature + chunk walk with stdlib struct; verifies every
+    CRC with zlib.crc32; None for non-PNG bytes."""
+    import struct
+    import zlib
+
+    if len(payload) < 8 or payload[:8] != b"\x89PNG\r\n\x1a\n":
+        return None
+    pos, n_chunks, idat_bytes, crc_bad, iend_ok = 8, 0, 0, 0, 0
+    hdr: dict[str, int] = {}
+    while pos + 12 <= len(payload):
+        (length,) = struct.unpack(">I", payload[pos : pos + 4])
+        ctype = payload[pos + 4 : pos + 8]
+        data = payload[pos + 8 : pos + 8 + length]
+        if len(data) < length:
+            break
+        (crc,) = struct.unpack(">I", payload[pos + 8 + length : pos + 12 + length])
+        n_chunks += 1
+        if zlib.crc32(ctype + data) != crc:
+            crc_bad += 1
+        if ctype == b"IHDR" and length == 13:
+            w, h, depth, color, _comp, _filt, inter = struct.unpack(">IIBBBBB", data)
+            hdr = {
+                "width": w,
+                "height": h,
+                "bit_depth": depth,
+                "color_type": color,
+                "interlace": inter,
+            }
+        elif ctype == b"IDAT":
+            idat_bytes += length
+        elif ctype == b"IEND":
+            iend_ok = 1 if length == 0 else 0
+        pos += 12 + length
+    if not hdr:
+        return None
+    return {
+        **hdr,
+        "n_chunks": n_chunks,
+        "idat_bytes": idat_bytes,
+        "crc_bad": crc_bad,
+        "iend_ok": iend_ok,
+    }
+
+
+def multimodal_png_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched PNG chunk walk + CRC audit over the planted items."""
+    pngs = png_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_png(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {"media_id": int(mid), **parsed, "parser": "png-stdlib"}
+                    )
+                cols = [f.name for f in PNG_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return pngs.mapInPandas(fn, PNG_SCHEMA)
+
+
+# Oracle: every field recomputed arithmetically from the planted params
+# (a 16-byte payload per IDAT, 1 + doc_id % 3 IDATs, 3 fixed chunks + IDATs,
+# IHDR CRC corrupted iff doc_id % 5 = 0).
+MULTIMODAL_PNG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 32) * 8 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 24) * 8 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS bit_depth,
+       CAST(CASE doc_id % 3 WHEN 0 THEN 0 WHEN 1 THEN 2 ELSE 6 END AS BIGINT) AS color_type,
+       CAST(doc_id % 2 AS BIGINT) AS interlace,
+       CAST(2 + (doc_id % 3 + 1) AS BIGINT) AS n_chunks,
+       CAST(16 * (doc_id % 3 + 1) AS BIGINT) AS idat_bytes,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS crc_bad,
+       CAST(1 AS BIGINT) AS iend_ok,
+       'png-stdlib' AS parser
+FROM documents WHERE doc_id % 3 = 1
+"""
+
+QUERIES["multimodal_png_chunks"] = multimodal_png_chunks
+ORACLES["multimodal_png_chunks"] = MULTIMODAL_PNG_SQL

@@ -194,6 +194,7 @@ _DRIVER_PRIORITY = [
     "lineitem_spearman_corr", "lineitem_chi2_independence",
     "events_runs_test", "lineitem_theil_sen_trend",
     "query_likelihood_search", "rank_fusion_borda",
+    "multimodal_png_chunks",
 ]
 
 

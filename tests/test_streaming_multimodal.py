@@ -424,3 +424,54 @@ def test_stateful_topk_matches_reference(spark):
         for rank, (u, c) in enumerate(items, 1):
             want[(etype, u)] = (c, rank)
     assert got == want
+
+
+def test_png_parser_rejects_and_audits():
+    import struct
+    import zlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_png
+
+    assert parse_png(b"plain document text, not a PNG") is None
+    assert parse_png(b"") is None
+    assert parse_png(b"\x89PNG\r\n\x1a\n") is None  # signature only, no IHDR
+
+    def chunk(ctype, data, xor=0):
+        return (
+            struct.pack(">I", len(data))
+            + ctype
+            + data
+            + struct.pack(">I", zlib.crc32(ctype + data) ^ xor)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", 320, 240, 8, 2, 0, 0, 1)
+    good = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", b"x" * 10)
+        + chunk(b"IDAT", b"y" * 6)
+        + chunk(b"IEND", b"")
+    )
+    parsed = parse_png(good)
+    assert parsed == {
+        "width": 320,
+        "height": 240,
+        "bit_depth": 8,
+        "color_type": 2,
+        "interlace": 1,
+        "n_chunks": 4,
+        "idat_bytes": 16,
+        "crc_bad": 0,
+        "iend_ok": 1,
+    }
+    # corrupted IHDR CRC: fields still recovered, corruption counted
+    bad = (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr, xor=1)
+        + chunk(b"IEND", b"")
+    )
+    parsed = parse_png(bad)
+    assert parsed["width"] == 320 and parsed["crc_bad"] == 1 and parsed["iend_ok"] == 1
+    # truncated final chunk: walk stops cleanly at the boundary
+    parsed = parse_png(good[:-4])
+    assert parsed is not None and parsed["n_chunks"] == 3
