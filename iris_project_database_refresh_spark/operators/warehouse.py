@@ -1054,3 +1054,208 @@ FROM per_period p JOIN per_quarter q ON p.fy = q.fy AND p.fq = q.fq
 
 QUERIES["orders_fiscal_445"] = orders_fiscal_445
 ORACLES["orders_fiscal_445"] = FISCAL_SQL
+
+
+# --- ABC/XYZ inventory classification -------------------------------------------
+#
+# The standard two-axis inventory policy matrix (public art: Pareto/
+# ABC analysis + XYZ demand-variability classification): parts are
+# ranked into A/B/C by cumulative revenue share (80 / 95 cut points)
+# and into X/Y/Z by the coefficient of variation of monthly demand
+# (CV < 0.5 / < 1.0 cut points, observed months), and the query
+# reports the 9-cell policy matrix — counts and revenue share per
+# cell — the readout a supply planner actually acts on.
+#
+# Determinism: revenue in exact cents; cumulative share and CV^2 in
+# bp via truncating div (CV^2 = (m*Sq2 - S^2)/S^2 exactly from per-
+# part integer sums, no mean rounding); rank windows tie-broken by
+# partkey.
+#
+# Scale: one fact scan -> per-(part, month) then per-part aggregates;
+# the ABC rank/cumsum window runs over the PART dimension (bounded,
+# ~1/30 of fact rows; the supplier_pareto precedent), and the output
+# is the 9-row matrix.
+
+def part_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        ((F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")).alias("m"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    pm = li.groupBy("l_partkey", "m").agg(
+        F.sum("q").alias("mq"), F.sum("cents").alias("mc")
+    )
+    per_part = pm.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("mn"),
+        F.sum("mq").alias("sq"),
+        F.sum(F.expr("mq * mq")).alias("sq2"),
+        F.sum("mc").alias("rev"),
+    )
+    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    tot = per_part.agg(F.sum("rev").alias("trev"))
+    classed = (
+        per_part.withColumn("crev", F.sum("rev").over(w))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "rev",
+            F.expr(
+                "case when crev * 10000 div trev <= 8000 then 'A'"
+                " when crev * 10000 div trev <= 9500 then 'B' else 'C' end"
+            ).alias("abc"),
+            F.expr(
+                "case when (mn * sq2 - sq * sq) * 10000 div (sq * sq) < 2500 then 'X'"
+                " when (mn * sq2 - sq * sq) * 10000 div (sq * sq) < 10000 then 'Y'"
+                " else 'Z' end"
+            ).alias("xyz"),
+        )
+    )
+    return (
+        classed.groupBy("abc", "xyz")
+        .agg(F.count(F.lit(1)).alias("n_parts"), F.sum("rev").alias("cell_rev"))
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "abc",
+            "xyz",
+            F.col("n_parts").cast("bigint").alias("n_parts"),
+            F.col("cell_rev").cast("bigint").alias("rev_c"),
+            F.expr("cell_rev * 10000 div trev").cast("bigint").alias("rev_share_bp"),
+        )
+    )
+
+
+ABC_XYZ_SQL = """
+WITH li AS (
+  SELECT l_partkey, (year(l_shipdate) - 1990) * 12 + month(l_shipdate) AS m,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+pm AS (
+  SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS mq, CAST(sum(cents) AS BIGINT) AS mc
+  FROM li GROUP BY l_partkey, m
+),
+per_part AS (
+  SELECT l_partkey, count(*)::BIGINT AS mn, CAST(sum(mq) AS BIGINT) AS sq,
+         CAST(sum(mq * mq) AS BIGINT) AS sq2, CAST(sum(mc) AS BIGINT) AS rev
+  FROM pm GROUP BY l_partkey
+),
+tot AS (SELECT CAST(sum(rev) AS BIGINT) AS trev FROM per_part),
+classed AS (
+  SELECT rev,
+         CASE WHEN crev * 10000 // trev <= 8000 THEN 'A'
+              WHEN crev * 10000 // trev <= 9500 THEN 'B' ELSE 'C' END AS abc,
+         CASE WHEN (mn * sq2 - sq * sq) * 10000 // (sq * sq) < 2500 THEN 'X'
+              WHEN (mn * sq2 - sq * sq) * 10000 // (sq * sq) < 10000 THEN 'Y'
+              ELSE 'Z' END AS xyz
+  FROM (
+    SELECT *, CAST(sum(rev) OVER (ORDER BY rev DESC, l_partkey
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS crev
+    FROM per_part
+  ) CROSS JOIN tot
+)
+SELECT abc, xyz, count(*)::BIGINT AS n_parts,
+       CAST(sum(rev) AS BIGINT) AS rev_c,
+       CAST(CAST(sum(rev) AS BIGINT) * 10000 // trev AS BIGINT) AS rev_share_bp
+FROM classed CROSS JOIN tot
+GROUP BY abc, xyz, trev
+"""
+
+QUERIES["part_abc_xyz_class"] = part_abc_xyz_class
+ORACLES["part_abc_xyz_class"] = ABC_XYZ_SQL
+
+
+# --- customer revenue Lorenz curve + Gini ----------------------------------------
+#
+# How concentrated is revenue across customers?  The Lorenz decile
+# table (each decile's revenue share and the running cumulative
+# share) plus the corpus Gini coefficient — the source_token_gini
+# device lifted to the revenue dimension, with the rank-sum products
+# widened to decimal(38,0)/HUGEINT so the i*x sums stay exact at
+# SF >= 1 (i ~ 1.5e6, x ~ 1e8 cents).
+#
+# Scale: one orders scan -> per-customer aggregate; the rank window
+# runs over the CUSTOMER dimension (supplier_pareto precedent); ntile
+# and the cumulative window then operate on 10 rows.
+
+def customer_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    per_cust = orders.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
+    w = Window.orderBy("x", "o_custkey")
+    ranked = per_cust.select(
+        "x",
+        F.row_number().over(w).cast("bigint").alias("i"),
+        F.ntile(10).over(w).alias("decile"),
+    )
+    sums = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.expr("cast(i as decimal(38,0)) * x")).alias("six"),
+    )
+    gini = sums.select(
+        "n",
+        "sx",
+        F.expr(
+            "cast((six * 20000) div (cast(n as decimal(38,0)) * sx)"
+            " - ((n + 1) * 10000) div n as bigint)"
+        ).alias("gini_bp"),
+    )
+    deciles = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_cust"), F.sum("x").alias("rev_c")
+    )
+    wd = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    return (
+        deciles.withColumn("cum_rev", F.sum("rev_c").over(wd))
+        .crossJoin(F.broadcast(gini))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("n_cust").cast("bigint").alias("n_cust"),
+            F.col("rev_c").cast("bigint").alias("rev_c"),
+            F.expr("rev_c * 10000 div sx").cast("bigint").alias("rev_share_bp"),
+            F.expr("cum_rev * 10000 div sx").cast("bigint").alias("cum_share_bp"),
+            F.col("gini_bp"),
+        )
+    )
+
+
+GINI_LORENZ_SQL = """
+WITH per_cust AS (
+  SELECT o_custkey, CAST(sum(CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT)) AS BIGINT) AS x
+  FROM orders GROUP BY o_custkey
+),
+ranked AS (
+  SELECT x, CAST(row_number() OVER (ORDER BY x, o_custkey) AS BIGINT) AS i,
+         ntile(10) OVER (ORDER BY x, o_custkey) AS decile
+  FROM per_cust
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+         sum(CAST(i AS HUGEINT) * x) AS six
+  FROM ranked
+),
+gini AS (
+  SELECT n, sx,
+         CAST((six * 20000) // (CAST(n AS HUGEINT) * sx)
+              - ((n + 1) * 10000) // n AS BIGINT) AS gini_bp
+  FROM sums
+),
+deciles AS (
+  SELECT decile, count(*)::BIGINT AS n_cust, CAST(sum(x) AS BIGINT) AS rev_c
+  FROM ranked GROUP BY decile
+)
+SELECT CAST(decile AS BIGINT) AS decile, n_cust, rev_c,
+       CAST(rev_c * 10000 // sx AS BIGINT) AS rev_share_bp,
+       CAST(CAST(sum(rev_c) OVER (ORDER BY decile
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) * 10000 // sx AS BIGINT)
+         AS cum_share_bp,
+       gini_bp
+FROM deciles CROSS JOIN gini
+"""
+
+QUERIES["customer_gini_lorenz"] = customer_gini_lorenz
+ORACLES["customer_gini_lorenz"] = GINI_LORENZ_SQL

@@ -195,6 +195,7 @@ _DRIVER_PRIORITY = [
     "events_runs_test", "lineitem_theil_sen_trend",
     "query_likelihood_search", "rank_fusion_borda",
     "multimodal_png_chunks",
+    "part_abc_xyz_class", "customer_gini_lorenz",
 ]
 
 
