@@ -772,3 +772,140 @@ JOIN nd USING (event_type)
 
 QUERIES["hll_merge_days"] = hll_merge_days
 ORACLES["hll_merge_days"] = HLL_MERGE_SQL
+
+
+# --- HDR-style log-bucket latency histogram --------------------------------------
+#
+# The value-relative-error complement to the fixed-span bins of
+# quantile_hist_sketch: HdrHistogram-style log2 buckets (public art:
+# Gil Tene's HdrHistogram) — exponent = bit length of the integer
+# value, each power-of-two span split into 16 linear sub-buckets, so
+# relative error is bounded ~1/16 at EVERY magnitude, not span/128.
+# Values below 32 index their own exact bucket (the sub-bucket split
+# is meaningless there), exactly as HdrHistogram does.
+#
+# Buckets are pure integer arithmetic (length(bin(v)) is the identical
+# bit-length device in both engines; shifts are exact), the counts are
+# associative/commutative partials (mergeable — any combine order
+# agrees), and each percentile estimate reads the cumulative bucket
+# table with integer selection; the exact percentile rides along as
+# the audit column (the quantile_hist_sketch convention: round-6
+# linear-interpolation quantile, identical in both engines).
+#
+# Scale: one narrow pass -> (type, bucket) counts with map-side
+# combine; cumulative windows over <= a few hundred bucket rows per
+# type; the exact audit column is the one global percentile pass you
+# drop at 100 TB, keeping the mergeable sketch.
+
+HDR_PCTS = (50, 90, 99)
+
+
+def hdr_histogram_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "value",
+        F.expr("cast(floor(value * 10000 + 0.5) as bigint) + 1").alias("v"),
+    )
+    binned = ev.select(
+        "event_type",
+        "value",
+        F.expr(
+            "CASE WHEN v < 32 THEN v ELSE"
+            " length(bin(v)) * 16 +"
+            " (v - shiftleft(cast(1 as bigint), length(bin(v)) - 1)) * 16"
+            "   div shiftleft(cast(1 as bigint), length(bin(v)) - 1) END"
+        ).alias("bucket"),
+    )
+    counts = binned.groupBy("event_type", "bucket").agg(F.count(F.lit(1)).alias("n"))
+    totals = counts.groupBy("event_type").agg(F.sum("n").alias("total"))
+    w = Window.partitionBy("event_type").orderBy("bucket")
+    cum = counts.withColumn("cum", F.sum("n").over(w))
+    pcts = spark.range(0, len(HDR_PCTS)).select(
+        F.element_at(
+            F.array(*[F.lit(p) for p in HDR_PCTS]), (F.col("id") + 1).cast("int")
+        ).alias("pct")
+    )
+    hit = cum.join(F.broadcast(totals), "event_type").crossJoin(F.broadcast(pcts))
+    qbucket = (
+        hit.where(F.col("cum") * 100 >= F.col("pct") * F.col("total"))
+        .groupBy("event_type", "pct")
+        .agg(F.min("bucket").alias("qb"))
+    )
+    # doubled bucket midpoint in integer ticks: small buckets are exact
+    # values; log buckets span [lo, lo + width) with lo/width exact
+    est_x2 = (
+        "CASE WHEN qb < 32 THEN 2 * qb ELSE"
+        " 2 * (shiftleft(cast(1 as bigint), cast(qb div 16 as int) - 1)"
+        "      + (qb % 16) * shiftleft(cast(1 as bigint), cast(qb div 16 as int) - 1) div 16)"
+        " + shiftleft(cast(1 as bigint), cast(qb div 16 as int) - 1) div 16 END"
+    )
+    exact = ev.groupBy("event_type").agg(
+        *[
+            F.round(F.expr(f"percentile(value, {p / 100})"), 6).alias(f"exact_{p}")
+            for p in HDR_PCTS
+        ]
+    )
+    exact_long = exact.select(
+        "event_type",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(p).alias("pct"), F.col(f"exact_{p}").alias("exact_q"))
+                    for p in HDR_PCTS
+                ]
+            )
+        ).alias("e"),
+    ).select("event_type", F.col("e.pct").alias("pct"), F.col("e.exact_q").alias("exact_q"))
+    return (
+        qbucket.select(
+            "event_type",
+            F.col("pct").cast("bigint").alias("pct"),
+            F.col("qb").cast("bigint").alias("bucket"),
+            F.expr(est_x2).cast("bigint").alias("est_ticks_x2"),
+        )
+        .join(exact_long, ["event_type", "pct"])
+    )
+
+
+HDR_SQL = f"""
+WITH ev AS (
+  SELECT event_type, value, CAST(floor(value * 10000 + 0.5) AS BIGINT) + 1 AS v
+  FROM events
+),
+binned AS (
+  SELECT event_type, value,
+         CASE WHEN v < 32 THEN v ELSE
+           length(bin(v)) * 16 +
+           (v - (1::BIGINT << (length(bin(v)) - 1))) * 16
+             // (1::BIGINT << (length(bin(v)) - 1)) END AS bucket
+  FROM ev
+),
+counts AS (SELECT event_type, bucket, count(*)::BIGINT AS n FROM binned GROUP BY 1, 2),
+totals AS (SELECT event_type, CAST(sum(n) AS BIGINT) AS total FROM counts GROUP BY 1),
+cum AS (
+  SELECT event_type, bucket, sum(n) OVER (PARTITION BY event_type ORDER BY bucket) AS cum
+  FROM counts
+),
+pcts AS (SELECT unnest([{", ".join(str(p) for p in HDR_PCTS)}]) AS pct),
+qbucket AS (
+  SELECT c.event_type, p.pct, min(c.bucket) AS qb
+  FROM cum c JOIN totals t USING (event_type) CROSS JOIN pcts p
+  WHERE c.cum * 100 >= p.pct * t.total
+  GROUP BY 1, 2
+),
+exact AS (
+  SELECT event_type, pct,
+         CASE pct {" ".join(f"WHEN {p} THEN round(quantile_cont(value, {p / 100}), 6)" for p in HDR_PCTS)} END AS exact_q
+  FROM ev CROSS JOIN pcts GROUP BY event_type, pct
+)
+SELECT q.event_type, CAST(q.pct AS BIGINT) AS pct, CAST(q.qb AS BIGINT) AS bucket,
+       CAST(CASE WHEN q.qb < 32 THEN 2 * q.qb ELSE
+         2 * ((1::BIGINT << (CAST(q.qb // 16 AS INT) - 1))
+              + (q.qb % 16) * (1::BIGINT << (CAST(q.qb // 16 AS INT) - 1)) // 16)
+         + (1::BIGINT << (CAST(q.qb // 16 AS INT) - 1)) // 16 END AS BIGINT) AS est_ticks_x2,
+       e.exact_q
+FROM qbucket q JOIN exact e ON e.event_type = q.event_type AND e.pct = q.pct
+"""
+
+QUERIES["hdr_histogram_latency"] = hdr_histogram_latency
+ORACLES["hdr_histogram_latency"] = HDR_SQL

@@ -615,3 +615,96 @@ BPE_TRAIN_SQL = _bpe_train_sql()
 
 QUERIES["bpe_train_merges"] = bpe_train_merges
 ORACLES["bpe_train_merges"] = BPE_TRAIN_SQL
+
+
+# --- Kneser-Ney smoothed bigram table ------------------------------------------
+#
+# The third smoothing rung after add-k (quality_bigram_logprob): KN
+# (Kneser & Ney 1995, absolute discounting + continuation probability)
+# is what production n-gram LMs actually ship.  For the corpus's top
+# bigrams the query emits the full KN decomposition next to the MLE:
+#
+#   P_KN(w2|w1) = max(c12 - d, 0)/c1  +  d * N1+(w1.)/c1 * Pcont(w2)
+#   Pcont(w2)   = N1+(.w2) / n_bigram_types
+#
+# with d = 0.75 = 3/4, so 4*c12 - 3 keeps the discount exactly
+# integral; probabilities land in micro units through a FIXED chain of
+# truncating divs (identical composition in both engines — the device
+# accepts the composed-div quantization because both engines compute
+# the identical integers).  Left counts c1 = sum_w2 c12 are the
+# bigram-consistent marginals, as the estimator requires.
+#
+# Scale: one explode to bigram counts (Zipf head after the groupBy);
+# the three marginals (left counts, left/right continuation fan-outs,
+# type total) are aggregates OF THE COUNTS table, broadcast back; the
+# top-N cut is TakeOrderedAndProject.
+
+KN_TOP = 30
+
+
+def ngram_kneser_ney(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", tokens(F.col("text")).alias("toks"))
+    bigrams = toks.select(
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 2 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 1), "
+                "i -> struct(element_at(toks, i) AS w1, element_at(toks, i + 1) AS w2)) END"
+            )
+        ).alias("bg")
+    ).select(F.col("bg.w1").alias("w1"), F.col("bg.w2").alias("w2"))
+    bi = bigrams.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    left = bi.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1f")
+    )
+    right = bi.groupBy("w2").agg(F.count(F.lit(1)).alias("n1b"))
+    types = bi.agg(F.count(F.lit(1)).alias("n_types"))
+    return (
+        bi.join(F.broadcast(left), "w1")
+        .join(F.broadcast(right), "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            F.col("c12").cast("bigint").alias("c12"),
+            F.col("c1").cast("bigint").alias("c1"),
+            F.col("n1f").cast("bigint").alias("n1f"),
+            F.col("n1b").cast("bigint").alias("n1b"),
+            F.expr("c12 * 1000000 div c1").cast("bigint").alias("p_mle_micro"),
+            F.expr(
+                "greatest(4 * c12 - 3, 0) * 1000000 div (4 * c1)"
+                " + ((3 * n1f * 1000000 div (4 * c1)) * n1b) div n_types"
+            ).cast("bigint").alias("p_kn_micro"),
+        )
+        .orderBy(F.desc("c12"), F.asc("w1"), F.asc("w2"))
+        .limit(KN_TOP)
+    )
+
+
+KNESER_NEY_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+bigrams AS (
+  SELECT p.w1 AS w1, p.w2 AS w2
+  FROM (SELECT unnest(CASE WHEN len(toks) < 2 THEN []
+               ELSE list_transform(generate_series(1, len(toks) - 1),
+                    i -> struct_pack(w1 := toks[i], w2 := toks[i + 1])) END) AS p
+        FROM toks)
+),
+bi AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bigrams GROUP BY w1, w2),
+lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*)::BIGINT AS n1f FROM bi GROUP BY w1),
+rgt AS (SELECT w2, count(*)::BIGINT AS n1b FROM bi GROUP BY w2),
+types AS (SELECT count(*)::BIGINT AS n_types FROM bi)
+SELECT w1, w2, c12, c1, n1f, n1b,
+       CAST(c12 * 1000000 // c1 AS BIGINT) AS p_mle_micro,
+       CAST(greatest(4 * c12 - 3, 0) * 1000000 // (4 * c1)
+            + ((3 * n1f * 1000000 // (4 * c1)) * n1b) // n_types AS BIGINT) AS p_kn_micro
+FROM bi JOIN lft USING (w1) JOIN rgt USING (w2) CROSS JOIN types
+ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOP}
+"""
+
+QUERIES["ngram_kneser_ney"] = ngram_kneser_ney
+ORACLES["ngram_kneser_ney"] = KNESER_NEY_SQL

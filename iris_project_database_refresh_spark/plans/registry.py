@@ -196,6 +196,7 @@ _DRIVER_PRIORITY = [
     "query_likelihood_search", "rank_fusion_borda",
     "multimodal_png_chunks",
     "part_abc_xyz_class", "customer_gini_lorenz",
+    "ngram_kneser_ney", "hdr_histogram_latency",
 ]
 
 
