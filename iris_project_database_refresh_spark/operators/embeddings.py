@@ -1118,3 +1118,102 @@ FROM clusters, tot
 
 QUERIES["embed_duplicate_vector_audit"] = embed_duplicate_vector_audit
 ORACLES["embed_duplicate_vector_audit"] = DUP_VECTOR_SQL
+
+
+# --- isotropy audit -----------------------------------------------------------
+#
+# Are the embeddings using the space, or collapsed along a few
+# directions?  The standard first-order isotropy readout (public art:
+# Ethayarajh 2019 / Mu & Viswanath 2018 "all-but-the-top"): the ratio
+# ||mean vector||^2 / mean(||v||^2) — 0 for a perfectly centered cloud,
+# 1 when every vector points the same way — plus the dominant dimension
+# and its share of the mean-vector energy (the "top component" that
+# all-but-the-top would remove).
+#
+# Determinism: components quantize to 1e6 integers (the drift-stats
+# device), so per-dim sums S_d and per-row energies are EXACT; the
+# ratio is one decimal(38)/HUGEINT product chain with a truncating div
+# into bp. The identity ||mean||^2 / mean(||v||^2) = sum_d S_d^2 /
+# (n * sum v^2) avoids any division before the final one.
+#
+# Scale: one posexplode bounded by 64 x rows -> 64-row per-dim sums
+# (map-side combinable); per-row energy folds JVM-side (F.aggregate);
+# the argmax runs over the 64-row table.
+
+ISO_QSCALE = 10**6
+
+
+def embed_isotropy_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.expr(
+            f"transform(embedding, x -> cast(floor(cast(x as double) * {ISO_QSCALE} + 0.5d) as bigint))"
+        ).alias("q"),
+    )
+    corpus = emb.select(
+        F.expr("aggregate(q, cast(0 as bigint), (acc, x) -> acc + x * x)").alias("e")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.expr("cast(e as decimal(38,0))")).alias("ssq"),
+    )
+    per_dim = (
+        emb.select(F.posexplode("q").alias("dim", "v"))
+        .groupBy("dim")
+        .agg(F.sum("v").alias("s"))
+        .select("dim", F.expr("cast(s as decimal(38,0)) * s").alias("s2"))
+    )
+    dims = per_dim.agg(F.count(F.lit(1)).alias("n_dims"), F.sum("s2").alias("smsq"))
+    top = (
+        per_dim.withColumn(
+            "rn", F.row_number().over(Window.orderBy(F.desc("s2"), F.asc("dim")))
+        )
+        .where(F.col("rn") == 1)
+        .select(F.col("dim").alias("dominant_dim"), F.col("s2").alias("top_s2"))
+    )
+    return (
+        corpus.crossJoin(F.broadcast(dims))
+        .crossJoin(F.broadcast(top))
+        .select(
+            F.col("n").cast("bigint").alias("n_vecs"),
+            F.col("n_dims").cast("bigint").alias("n_dims"),
+            F.expr("cast((smsq * 10000) div (cast(n as decimal(38,0)) * ssq) as bigint)").alias(
+                "iso_bp"
+            ),
+            F.col("dominant_dim").cast("bigint").alias("dominant_dim"),
+            F.expr("cast((top_s2 * 10000) div smsq as bigint)").alias("dominant_share_bp"),
+        )
+    )
+
+
+EMBED_ISOTROPY_SQL = f"""
+WITH q AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {ISO_QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+corpus AS (
+  SELECT count(*)::BIGINT AS n,
+         sum(CAST(list_sum(list_transform(q, x -> x * x)) AS HUGEINT)) AS ssq
+  FROM q
+),
+per_dim AS (
+  SELECT d.dim, CAST(sum(q.q[d.dim + 1]) AS BIGINT) AS s
+  FROM q, (SELECT unnest(generate_series(0, 63)) AS dim) d
+  GROUP BY 1
+),
+p2 AS (SELECT dim, CAST(s AS HUGEINT) * s AS s2 FROM per_dim),
+dims AS (SELECT count(*)::BIGINT AS n_dims, sum(s2) AS smsq FROM p2),
+top AS (
+  SELECT dim AS dominant_dim, s2 AS top_s2
+  FROM (SELECT dim, s2, row_number() OVER (ORDER BY s2 DESC, dim) AS rn FROM p2)
+  WHERE rn = 1
+)
+SELECT n AS n_vecs, n_dims,
+       CAST((smsq * 10000) // (CAST(n AS HUGEINT) * ssq) AS BIGINT) AS iso_bp,
+       CAST(dominant_dim AS BIGINT) AS dominant_dim,
+       CAST((top_s2 * 10000) // smsq AS BIGINT) AS dominant_share_bp
+FROM corpus, dims, top
+"""
+
+QUERIES["embed_isotropy_audit"] = embed_isotropy_audit
+ORACLES["embed_isotropy_audit"] = EMBED_ISOTROPY_SQL

@@ -847,3 +847,90 @@ FROM labeled, tot GROUP BY dist, n_nodes
 
 QUERIES["graph_bfs_distances"] = graph_bfs_distances
 ORACLES["graph_bfs_distances"] = BFS_SQL
+
+
+# --- degree assortativity ---------------------------------------------------------
+#
+# Do well-connected documents link to other well-connected documents
+# (assortative, r > 0) or to leaves (disassortative, r < 0)?  Newman
+# 2002's degree assortativity: the Pearson correlation of endpoint
+# degrees over the directed edge list (both orientations of each
+# undirected edge, the standard convention).  Because the list
+# contains both orientations, the two endpoint-degree marginals are
+# IDENTICAL, so r = (M*S_ab - S_a^2) / (M*S_aa - S_a^2) is a pure
+# rational — no sqrt — and the whole statistic is EXACT integer
+# arithmetic (decimal(38)/HUGEINT products, one truncating div to
+# milli).  The one statistic in the tests family that needs no IEEE
+# device at all.
+#
+# Scale: degrees are one groupBy of the pinned edge list; the edge ⋈
+# degree joins broadcast the degree table (node-dimension sized); the
+# final sums are one aggregate.  No windows, no per-node iteration.
+
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).alias("d"))
+    j = (
+        edges.join(F.broadcast(deg.select(F.col("a"), F.col("d").alias("da"))), "a")
+        .join(
+            F.broadcast(
+                deg.select(F.col("a").alias("b"), F.col("d").alias("db"))
+            ),
+            "b",
+        )
+    )
+    sums = j.agg(
+        F.count(F.lit(1)).alias("m"),
+        F.sum("da").alias("sa"),
+        F.sum(F.expr("cast(da as decimal(38,0)) * db")).alias("sab"),
+        F.sum(F.expr("cast(da as decimal(38,0)) * da")).alias("saa"),
+    )
+    nn = deg.agg(F.count(F.lit(1)).alias("n_nodes"), F.sum("d").alias("sd"))
+    return sums.crossJoin(F.broadcast(nn)).select(
+        F.col("n_nodes").cast("bigint").alias("n_nodes"),
+        F.col("m").cast("bigint").alias("n_dir_edges"),
+        F.expr("sd * 1000 div n_nodes").cast("bigint").alias("mean_deg_milli"),
+        F.expr(
+            "cast(((m * sab - cast(sa as decimal(38,0)) * sa) * 1000)"
+            " div (m * saa - cast(sa as decimal(38,0)) * sa) as bigint)"
+        ).alias("assort_milli"),
+    )
+
+
+ASSORTATIVITY_SQL = """
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*) AS n FROM nodes),
+tl AS (
+  SELECT doc_id, list_distinct([(doc_id * 31 + 7) % n,
+          (doc_id * 17 + 3) % n, (doc_id * 13 + 11) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS a, unnest(ts) AS b FROM tl),
+und AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM directed WHERE a <> b
+    UNION ALL
+    SELECT b, a FROM directed WHERE a <> b
+  )
+),
+deg AS (SELECT a, count(*)::BIGINT AS d FROM und GROUP BY a),
+j AS (
+  SELECT da.d AS da, db.d AS db
+  FROM und e JOIN deg da ON da.a = e.a JOIN deg db ON db.a = e.b
+),
+sums AS (
+  SELECT count(*)::BIGINT AS m, CAST(sum(da) AS BIGINT) AS sa,
+         sum(CAST(da AS HUGEINT) * db) AS sab,
+         sum(CAST(da AS HUGEINT) * da) AS saa
+  FROM j
+),
+nstat AS (SELECT count(*)::BIGINT AS n_nodes, CAST(sum(d) AS BIGINT) AS sd FROM deg)
+SELECT n_nodes, m AS n_dir_edges,
+       CAST(sd * 1000 // n_nodes AS BIGINT) AS mean_deg_milli,
+       CAST(((m * sab - CAST(sa AS HUGEINT) * sa) * 1000)
+            // (m * saa - CAST(sa AS HUGEINT) * sa) AS BIGINT) AS assort_milli
+FROM sums, nstat
+"""
+
+QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
+ORACLES["graph_degree_assortativity"] = ASSORTATIVITY_SQL

@@ -2479,3 +2479,92 @@ FROM scored
 
 QUERIES["orders_pending_wilson_ci"] = orders_pending_wilson_ci
 ORACLES["orders_pending_wilson_ci"] = WILSON_SQL
+
+
+# --- price elasticity of demand per brand ---------------------------------------
+#
+# The econometrics readout behind discount_depth_curve: regress
+# ln(quantity) on ln(effective unit price) per brand across the 11
+# discount tiers — the slope IS the price elasticity of demand
+# (log-log OLS, the textbook estimator).  Each (brand, tier) point is
+# built from exact integer sums (revenue cents, quantities); the unit
+# price is one truncating div; both axes then go through the
+# ln-quantize device (floor(ln·1e4), the zipf_fit device) so the OLS
+# normal equations are EXACT BIGINT arithmetic and the slope ships as
+# one integer rational — no doubles anywhere after the quantization.
+#
+# Scale: one fact scan + part-dimension broadcast join -> per-(brand,
+# tier) aggregate (bounded 25 x 11); the regression folds over <= 11
+# points per brand.
+
+def part_price_elasticity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        F.expr("cast(floor(l_discount * 100 + 0.5) as bigint)").alias("dc"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+        F.expr(
+            "cast(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) as bigint)"
+        ).alias("cents"),
+    )
+    pts = (
+        li.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "dc")
+        .agg(F.sum("q").alias("sq"), F.sum("cents").alias("sc"))
+        .select(
+            "p_brand",
+            "sq",
+            F.expr("cast(floor(ln(cast(sc div sq as double)) * 10000) as bigint)").alias("x"),
+            F.expr("cast(floor(ln(cast(sq as double)) * 10000) as bigint)").alias("y"),
+        )
+    )
+    sums = pts.groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("sq").alias("total_qty"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    return sums.select(
+        F.col("p_brand").alias("brand"),
+        F.col("n").cast("bigint").alias("n_points"),
+        F.col("total_qty").cast("bigint").alias("total_qty"),
+        F.expr(
+            "case when n >= 3 and n * sxx - sx * sx <> 0 then"
+            " cast((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) as bigint)"
+            " else cast(null as bigint) end"
+        ).alias("elasticity_milli"),
+    )
+
+
+ELASTICITY_SQL = """
+WITH li AS (
+  SELECT l_partkey,
+         CAST(floor(l_discount * 100 + 0.5) AS BIGINT) AS dc,
+         CAST(l_quantity AS BIGINT) AS q,
+         CAST(floor(l_extendedprice * (1 - l_discount) * 100 + 0.5) AS BIGINT) AS cents
+  FROM lineitem
+),
+pts AS (
+  SELECT p_brand, CAST(sum(q) AS BIGINT) AS sq,
+         CAST(floor(ln(CAST(CAST(sum(cents) AS BIGINT) // CAST(sum(q) AS BIGINT) AS DOUBLE)) * 10000) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(CAST(sum(q) AS BIGINT) AS DOUBLE)) * 10000) AS BIGINT) AS y
+  FROM li JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, dc
+),
+sums AS (
+  SELECT p_brand, count(*)::BIGINT AS n, CAST(sum(sq) AS BIGINT) AS total_qty,
+         CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+         CAST(sum(x * y) AS BIGINT) AS sxy, CAST(sum(x * x) AS BIGINT) AS sxx
+  FROM pts GROUP BY p_brand
+)
+SELECT p_brand AS brand, n AS n_points, total_qty,
+       CASE WHEN n >= 3 AND n * sxx - sx * sx <> 0 THEN
+         CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END AS elasticity_milli
+FROM sums
+"""
+
+QUERIES["part_price_elasticity"] = part_price_elasticity
+ORACLES["part_price_elasticity"] = ELASTICITY_SQL

@@ -197,6 +197,7 @@ _DRIVER_PRIORITY = [
     "multimodal_png_chunks",
     "part_abc_xyz_class", "customer_gini_lorenz",
     "ngram_kneser_ney", "hdr_histogram_latency",
+    "graph_degree_assortativity", "embed_isotropy_audit", "part_price_elasticity",
 ]
 
 
