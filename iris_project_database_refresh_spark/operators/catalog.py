@@ -992,3 +992,138 @@ FROM deleted WHERE ckey NOT IN (SELECT ckey FROM newside)
 
 QUERIES["catalog_rename_detect"] = catalog_rename_detect
 ORACLES["catalog_rename_detect"] = CATALOG_RENAME_SQL
+
+
+# --- Merkle-style two-level snapshot diff ----------------------------------------
+#
+# How a 100 TB refresh finds what changed WITHOUT comparing every row:
+# the Merkle/anti-entropy device (public art: Merkle trees, Dynamo/
+# Cassandra anti-entropy sync).  Each file hashes into one of
+# MERKLE_BUCKETS by path; per bucket each snapshot keeps one integer
+# digest (the SUM of 32-bit md5 content hashes — associative and
+# commutative, so partials merge in any order, the sketch property
+# that makes it one map-side-combinable aggregate per side).  Equal
+# digests prove the bucket unchanged; only the ~2% dirty buckets get
+# the expensive file-level full-outer drill-down (added / deleted /
+# modified), a join semi-pruned to dirty buckets.
+#
+# Parity: the scalable version of stage1's full-catalog comparison
+# (`catalog search/stage1_extract_csv.py` delta detection) — the
+# reference walks every row every refresh; the digest tree touches
+# per-file work only where a bucket proves dirty.
+#
+# Snapshots are planted deterministically from documents (the house
+# pattern): sparse mutations — doc_id % 97 = 3 modified, % 193 = 5
+# deleted from new, % 151 = 6 absent from old (added) — leave most
+# buckets provably clean.  All hashes via the md5 device, identical in
+# both engines.
+
+MERKLE_BUCKETS = 256
+
+
+def catalog_merkle_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    base = docs.select(
+        "doc_id",
+        F.concat(F.col("source"), F.lit("/"), F.col("doc_id")).alias("path"),
+    ).select(
+        "doc_id",
+        "path",
+        F.expr(f"conv(substring(md5(path), 1, 8), 16, 10) % {MERKLE_BUCKETS}")
+        .cast("bigint")
+        .alias("bucket"),
+        F.expr("cast(conv(substring(md5(concat('c:', doc_id)), 1, 8), 16, 10) as bigint)").alias("h1"),
+        F.expr("cast(conv(substring(md5(concat('c2:', doc_id)), 1, 8), 16, 10) as bigint)").alias("h2"),
+    )
+    old = base.where(F.col("doc_id") % 151 != 6).select(
+        "path", "bucket", F.col("h1").alias("h")
+    )
+    new = base.where(F.col("doc_id") % 193 != 5).select(
+        "path",
+        "bucket",
+        F.when(F.col("doc_id") % 97 == 3, F.col("h2")).otherwise(F.col("h1")).alias("h"),
+    )
+
+    def digests(df):
+        return df.groupBy("bucket").agg(
+            F.sum("h").alias("digest"), F.count(F.lit(1)).alias("nf")
+        )
+
+    od = digests(old).select("bucket", F.col("digest").alias("od"), F.col("nf").alias("onf"))
+    nd = digests(new).select("bucket", F.col("digest").alias("nd"), F.col("nf").alias("nnf"))
+    dirty = (
+        od.join(nd, "bucket", "full_outer")
+        .where(
+            F.col("od").isNull()
+            | F.col("nd").isNull()
+            | (F.col("od") != F.col("nd"))
+        )
+        .select("bucket", F.coalesce("onf", F.lit(0)).alias("old_files"),
+                F.coalesce("nnf", F.lit(0)).alias("new_files"))
+    )
+    drill = (
+        old.join(F.broadcast(dirty.select("bucket")), "bucket")
+        .select("bucket", "path", F.col("h").alias("oh"))
+        .join(
+            new.join(F.broadcast(dirty.select("bucket")), "bucket")
+            .select("bucket", "path", F.col("h").alias("nh")),
+            ["bucket", "path"],
+            "full_outer",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.col("oh").isNull().cast("bigint")).alias("added"),
+            F.sum(F.col("nh").isNull().cast("bigint")).alias("deleted"),
+            F.sum(
+                (F.col("oh").isNotNull() & F.col("nh").isNotNull() & (F.col("oh") != F.col("nh"))).cast("bigint")
+            ).alias("modified"),
+        )
+    )
+    return dirty.join(drill, "bucket").select(
+        F.col("bucket").cast("bigint").alias("bucket"),
+        F.col("old_files").cast("bigint").alias("old_files"),
+        F.col("new_files").cast("bigint").alias("new_files"),
+        F.col("added").cast("bigint").alias("added"),
+        F.col("deleted").cast("bigint").alias("deleted"),
+        F.col("modified").cast("bigint").alias("modified"),
+    )
+
+
+MERKLE_DIFF_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source || '/' || doc_id AS path,
+         CAST('0x' || substr(md5(source || '/' || doc_id), 1, 8) AS BIGINT) % {MERKLE_BUCKETS} AS bucket,
+         CAST('0x' || substr(md5('c:' || doc_id), 1, 8) AS BIGINT) AS h1,
+         CAST('0x' || substr(md5('c2:' || doc_id), 1, 8) AS BIGINT) AS h2
+  FROM documents
+),
+old AS (SELECT path, bucket, h1 AS h FROM base WHERE doc_id % 151 <> 6),
+new AS (
+  SELECT path, bucket, CASE WHEN doc_id % 97 = 3 THEN h2 ELSE h1 END AS h
+  FROM base WHERE doc_id % 193 <> 5
+),
+od AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS od, count(*)::BIGINT AS onf FROM old GROUP BY bucket),
+nd AS (SELECT bucket, CAST(sum(h) AS BIGINT) AS nd, count(*)::BIGINT AS nnf FROM new GROUP BY bucket),
+dirty AS (
+  SELECT coalesce(od.bucket, nd.bucket) AS bucket,
+         coalesce(onf, 0) AS old_files, coalesce(nnf, 0) AS new_files
+  FROM od FULL OUTER JOIN nd USING (bucket)
+  WHERE od.od IS NULL OR nd.nd IS NULL OR od.od <> nd.nd
+),
+drill AS (
+  SELECT coalesce(o.bucket, n.bucket) AS bucket,
+         CAST(sum(CASE WHEN o.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS added,
+         CAST(sum(CASE WHEN n.h IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS deleted,
+         CAST(sum(CASE WHEN o.h IS NOT NULL AND n.h IS NOT NULL AND o.h <> n.h
+                  THEN 1 ELSE 0 END) AS BIGINT) AS modified
+  FROM (SELECT old.* FROM old JOIN dirty USING (bucket)) o
+  FULL OUTER JOIN (SELECT new.* FROM new JOIN dirty USING (bucket)) n
+    ON o.bucket = n.bucket AND o.path = n.path
+  GROUP BY 1
+)
+SELECT d.bucket, d.old_files, d.new_files, r.added, r.deleted, r.modified
+FROM dirty d JOIN drill r ON d.bucket = r.bucket
+"""
+
+QUERIES["catalog_merkle_diff"] = catalog_merkle_diff
+ORACLES["catalog_merkle_diff"] = MERKLE_DIFF_SQL

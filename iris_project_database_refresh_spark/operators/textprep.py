@@ -636,3 +636,97 @@ FROM pairs
 
 QUERIES["sft_loss_masking_plan"] = sft_loss_masking_plan
 ORACLES["sft_loss_masking_plan"] = SFT_MASK_SQL
+
+
+# --- DPO preference-pair building ----------------------------------------------
+#
+# The preference-tuning counterpart of sft_pairs_build: direct
+# preference optimization (Rafailov et al. 2023) trains on
+# (prompt, chosen, rejected) triples.  Each long-enough document
+# yields a prompt (its head) and two candidate responses (the next
+# two equal-length windows); the ranker is a deterministic integer
+# quality score — lexical diversity first (distinct tokens x1000),
+# character mass as the tie-scale — so chosen/rejected assignment and
+# the preference margin are exact integers in both engines, graded by
+# md5 of the actual texts (content fidelity, not just arithmetic).
+# Ties keep response A (index tie-break).
+#
+# Scale: zero shuffle — plant, score and pair are per-row array
+# expressions; one output row per document that clears the length
+# gate.
+
+DPO_PROMPT_TOKENS = 24
+DPO_RESP_TOKENS = 16
+
+
+def dpo_pairs_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    P, R = DPO_PROMPT_TOKENS, DPO_RESP_TOKENS
+    base = docs.select("doc_id", toks.alias("toks")).where(
+        F.size("toks") >= P + 2 * R
+    )
+    scored = base.select(
+        "doc_id",
+        F.expr(f"slice(toks, 1, {P})").alias("prompt"),
+        F.expr(f"slice(toks, {P} + 1, {R})").alias("ra"),
+        F.expr(f"slice(toks, {P} + {R} + 1, {R})").alias("rb"),
+    ).select(
+        "doc_id",
+        "prompt",
+        "ra",
+        "rb",
+        F.expr(
+            "size(array_distinct(ra)) * 1000 + length(array_join(ra, ' '))"
+        ).cast("bigint").alias("sa"),
+        F.expr(
+            "size(array_distinct(rb)) * 1000 + length(array_join(rb, ' '))"
+        ).cast("bigint").alias("sb"),
+    )
+    return scored.select(
+        "doc_id",
+        F.md5(F.expr("array_join(prompt, ' ')")).alias("prompt_md5"),
+        F.md5(
+            F.expr("array_join(CASE WHEN sa >= sb THEN ra ELSE rb END, ' ')")
+        ).alias("chosen_md5"),
+        F.md5(
+            F.expr("array_join(CASE WHEN sa >= sb THEN rb ELSE ra END, ' ')")
+        ).alias("rejected_md5"),
+        F.expr("CASE WHEN sa >= sb THEN 1 ELSE 2 END").cast("bigint").alias("chosen_idx"),
+        F.expr("abs(sa - sb)").cast("bigint").alias("margin"),
+    )
+
+
+DPO_PAIRS_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, toks FROM base
+  WHERE len(toks) >= {DPO_PROMPT_TOKENS} + 2 * {DPO_RESP_TOKENS}
+),
+scored AS (
+  SELECT doc_id,
+         toks[1:{DPO_PROMPT_TOKENS}] AS prompt,
+         toks[{DPO_PROMPT_TOKENS} + 1:{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS}] AS ra,
+         toks[{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS} + 1:{DPO_PROMPT_TOKENS} + 2 * {DPO_RESP_TOKENS}] AS rb
+  FROM eligible
+),
+ranked AS (
+  SELECT doc_id, prompt, ra, rb,
+         CAST(len(list_distinct(ra)) * 1000 + length(array_to_string(ra, ' ')) AS BIGINT) AS sa,
+         CAST(len(list_distinct(rb)) * 1000 + length(array_to_string(rb, ' ')) AS BIGINT) AS sb
+  FROM scored
+)
+SELECT doc_id,
+       md5(array_to_string(prompt, ' ')) AS prompt_md5,
+       md5(array_to_string(CASE WHEN sa >= sb THEN ra ELSE rb END, ' ')) AS chosen_md5,
+       md5(array_to_string(CASE WHEN sa >= sb THEN rb ELSE ra END, ' ')) AS rejected_md5,
+       CAST(CASE WHEN sa >= sb THEN 1 ELSE 2 END AS BIGINT) AS chosen_idx,
+       CAST(abs(sa - sb) AS BIGINT) AS margin
+FROM ranked
+"""
+
+QUERIES["dpo_pairs_build"] = dpo_pairs_build
+ORACLES["dpo_pairs_build"] = DPO_PAIRS_SQL

@@ -198,6 +198,7 @@ _DRIVER_PRIORITY = [
     "part_abc_xyz_class", "customer_gini_lorenz",
     "ngram_kneser_ney", "hdr_histogram_latency",
     "graph_degree_assortativity", "embed_isotropy_audit", "part_price_elasticity",
+    "catalog_merkle_diff", "dpo_pairs_build",
 ]
 
 
