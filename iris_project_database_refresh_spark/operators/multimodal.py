@@ -2028,3 +2028,184 @@ FROM documents WHERE doc_id % 3 = 1
 
 QUERIES["multimodal_png_chunks"] = multimodal_png_chunks
 ORACLES["multimodal_png_chunks"] = MULTIMODAL_PNG_SQL
+
+
+# --- ID3v2 tag walk: planted MP3 metadata containers ----------------------------
+#
+# Fifth container parser (WAV, Y4M, TIFF, PNG, now ID3v2.3 — the
+# id3.org public spec): audio-typed media rows get a REAL ID3v2 tag —
+# "ID3" magic, version, the 28-bit SYNCSAFE tag size (7 bits per byte,
+# the classic implementation pitfall this kernel must decode), four
+# latin-1 text frames (TIT2/TPE1/TALB/TRCK) and one opaque PRIV frame
+# the walker must skip by size — followed by the document bytes as
+# fake audio.  The Arrow-batched stdlib kernel validates the magic,
+# decodes the syncsafe size, walks frames to the declared boundary and
+# decodes the text payloads; the oracle recomputes every output —
+# including the md5 of the decoded strings — arithmetically from the
+# planted parameters, so a kernel that reads the size as plain
+# big-endian (or mis-skips PRIV) hash-mismatches.
+#
+# Scale: the usual kernel contract — payloads built and parsed on
+# executors, bounded Arrow batches, no media libraries.
+
+ID3_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("tag_size", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("track", T.LongType()),
+        T.StructField("title_md5", T.StringType()),
+        T.StructField("artist_md5", T.StringType()),
+        T.StructField("album_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def id3_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): audio-typed items with a real ID3v2.3 tag."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+
+    def text_frame(fid: str, text_col):
+        content_hex = F.concat(F.lit("00"), F.hex(F.encode(text_col, "utf-8")))
+        return F.concat(
+            F.hex(F.encode(F.lit(fid), "utf-8")),
+            F.format_string("%08X", (F.length(text_col) + 1).cast("bigint")),
+            F.lit("0000"),
+            content_hex,
+        )
+
+    title = F.concat(F.lit("Title "), F.col("doc_id"))
+    artist = F.concat(F.lit("Artist "), F.col("doc_id") % 17)
+    album = F.concat(F.lit("Album "), F.col("doc_id") % 29)
+    track = (F.col("doc_id") % 12 + 1).cast("string")
+    priv = F.concat(
+        F.lit("50524956"),  # PRIV
+        F.format_string("%08X", F.lit(8).cast("bigint")),
+        F.lit("0000"),
+        F.upper(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 16)),
+    )
+    frames = F.concat(
+        text_frame("TIT2", title),
+        text_frame("TPE1", artist),
+        text_frame("TALB", album),
+        text_frame("TRCK", track),
+        priv,
+    )
+    size = (F.length(frames) / 2).cast("bigint")
+    # syncsafe 28-bit size, 7 bits per byte
+    ss = F.concat(
+        F.format_string("%02X", (size / 2097152).cast("bigint") % 128),
+        F.format_string("%02X", (size / 16384).cast("bigint") % 128),
+        F.format_string("%02X", (size / 128).cast("bigint") % 128),
+        F.format_string("%02X", size % 128),
+    )
+    header = F.concat(F.lit("494433"), F.lit("0300"), F.lit("00"), ss)
+    payload = F.concat(F.unhex(F.concat(header, frames)), F.encode("text", "utf-8"))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_id3(payload: bytes) -> dict | None:
+    """ID3v2.3 header + frame walk with stdlib struct; syncsafe size."""
+    import struct
+
+    if len(payload) < 10 or payload[:3] != b"ID3":
+        return None
+    version = payload[3]
+    b0, b1, b2, b3 = payload[6:10]
+    if (b0 | b1 | b2 | b3) & 0x80:
+        return None  # syncsafe bytes must have bit 7 clear
+    tag_size = (b0 << 21) | (b1 << 14) | (b2 << 7) | b3
+    end = 10 + tag_size
+    if end > len(payload):
+        return None
+    pos, n_frames, texts = 10, 0, {}
+    while pos + 10 <= end:
+        fid = payload[pos : pos + 4]
+        (fsize,) = struct.unpack(">I", payload[pos + 4 : pos + 8])
+        if fid == b"\x00\x00\x00\x00" or pos + 10 + fsize > end:
+            break
+        data = payload[pos + 10 : pos + 10 + fsize]
+        n_frames += 1
+        if fid.startswith(b"T") and fsize >= 1 and data[0] == 0:
+            texts[fid.decode("ascii")] = data[1:].decode("latin-1")
+        pos += 10 + fsize
+    if "TIT2" not in texts:
+        return None
+    return {
+        "version": version,
+        "tag_size": tag_size,
+        "n_frames": n_frames,
+        "track": int(texts.get("TRCK", "0") or 0),
+        "title": texts["TIT2"],
+        "artist": texts.get("TPE1", ""),
+        "album": texts.get("TALB", ""),
+    }
+
+
+def multimodal_id3_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ID3v2.3 tag walk over the planted audio items."""
+    items = id3_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_id3(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {
+                            "media_id": int(mid),
+                            "version": parsed["version"],
+                            "tag_size": parsed["tag_size"],
+                            "n_frames": parsed["n_frames"],
+                            "track": parsed["track"],
+                            "title_md5": hashlib.md5(parsed["title"].encode()).hexdigest(),
+                            "artist_md5": hashlib.md5(parsed["artist"].encode()).hexdigest(),
+                            "album_md5": hashlib.md5(parsed["album"].encode()).hexdigest(),
+                            "parser": "id3-stdlib",
+                        }
+                    )
+                cols = [f.name for f in ID3_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in ("media_id", "version", "tag_size", "n_frames", "track")}
+                )
+
+    return items.mapInPandas(fn, ID3_SCHEMA)
+
+
+# Oracle: all fields — tag size included — recomputed arithmetically
+# from the planted strings (frame = 10-byte header + 1 encoding byte +
+# text; PRIV = 10 + 8).
+MULTIMODAL_ID3_SQL = """
+WITH planted AS (
+  SELECT doc_id,
+         'Title ' || doc_id AS title,
+         'Artist ' || (doc_id % 17) AS artist,
+         'Album ' || (doc_id % 29) AS album,
+         CAST(doc_id % 12 + 1 AS VARCHAR) AS trk
+  FROM documents WHERE doc_id % 3 = 2
+)
+SELECT doc_id AS media_id,
+       CAST(3 AS BIGINT) AS version,
+       CAST(4 * 10 + length(title) + 1 + length(artist) + 1
+            + length(album) + 1 + length(trk) + 1 + 10 + 8 AS BIGINT) AS tag_size,
+       CAST(5 AS BIGINT) AS n_frames,
+       CAST(doc_id % 12 + 1 AS BIGINT) AS track,
+       md5(title) AS title_md5,
+       md5(artist) AS artist_md5,
+       md5(album) AS album_md5,
+       'id3-stdlib' AS parser
+FROM planted
+"""
+
+QUERIES["multimodal_id3_parse"] = multimodal_id3_parse
+ORACLES["multimodal_id3_parse"] = MULTIMODAL_ID3_SQL

@@ -199,6 +199,7 @@ _DRIVER_PRIORITY = [
     "ngram_kneser_ney", "hdr_histogram_latency",
     "graph_degree_assortativity", "embed_isotropy_audit", "part_price_elasticity",
     "catalog_merkle_diff", "dpo_pairs_build",
+    "multimodal_id3_parse",
 ]
 
 

@@ -475,3 +475,42 @@ def test_png_parser_rejects_and_audits():
     # truncated final chunk: walk stops cleanly at the boundary
     parsed = parse_png(good[:-4])
     assert parsed is not None and parsed["n_chunks"] == 3
+
+
+def test_id3_parser_syncsafe_and_rejection():
+    import struct
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_id3
+
+    assert parse_id3(b"plain text, not an mp3") is None
+    assert parse_id3(b"") is None
+    # syncsafe byte with bit 7 set is invalid
+    assert parse_id3(b"ID3\x03\x00\x00\x80\x00\x00\x00") is None
+
+    def frame(fid, text):
+        data = b"\x00" + text.encode("latin-1")
+        return fid + struct.pack(">I", len(data)) + b"\x00\x00" + data
+
+    frames = frame(b"TIT2", "A Title") + frame(b"TRCK", "7")
+    n = len(frames)
+    # size 200 needs two syncsafe bytes: 200 = 1<<7 | 72
+    assert n < 128
+    hdr = b"ID3\x03\x00\x00" + bytes([0, 0, n >> 7, n & 0x7F])
+    parsed = parse_id3(hdr + frames + b"trailing audio bytes")
+    assert parsed == {
+        "version": 3,
+        "tag_size": n,
+        "n_frames": 2,
+        "track": 7,
+        "title": "A Title",
+        "artist": "",
+        "album": "",
+    }
+    # a 129-byte tag exercises the multi-byte syncsafe path: plain
+    # big-endian readers would decode 0x0101 as 257, syncsafe gives 129
+    pad = frame(b"TALB", "x" * (129 - n - 11))
+    frames2 = frames + pad
+    assert len(frames2) == 129
+    hdr2 = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 1])
+    parsed = parse_id3(hdr2 + frames2)
+    assert parsed is not None and parsed["tag_size"] == 129 and parsed["n_frames"] == 3
