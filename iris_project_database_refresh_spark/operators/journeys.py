@@ -1776,3 +1776,92 @@ FROM cond, uncond
 
 QUERIES["events_markov_entropy_rate"] = events_markov_entropy_rate
 ORACLES["events_markov_entropy_rate"] = MARKOV_ENTROPY_SQL
+
+
+# --- sequence pattern matching over user journeys --------------------------------
+#
+# The sequenceMatch analytic (ClickHouse's public sequence-analytics
+# surface): does a user's ordered event stream contain a pattern —
+# view then purchase, view then purchase with NO error between,
+# signup leading through view to purchase?  Each user's journey
+# collapses to one compact letter string (first char of each type —
+# distinct across the five types: c/e/p/s/v) in (ts, event_id) order,
+# and each pattern is one regex over that string; both engines' regex
+# dialects agree on the `.`/`[^x]`/`*` subset used.  Output: per
+# pattern, matching users and the share in bp.
+#
+# Scale: ONE shuffle (user_id) -> per-user sorted fold to a string
+# bounded by the user's history (the sessionizer bound); pattern
+# checks are per-row regexes; the rollup is a 3-row aggregate.
+
+SEQ_PATTERNS = [
+    ("view_then_purchase", "v.*p"),
+    ("view_purchase_clean", "v[^e]*p"),
+    ("signup_view_purchase", "s.*v.*p"),
+]
+
+
+def events_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = (
+        ev.groupBy("user_id")
+        .agg(
+            F.expr(
+                "array_join(transform(array_sort(collect_list("
+                "struct(ts, event_id, substring(event_type, 1, 1) as c))), x -> x.c), '')"
+            ).alias("seq")
+        )
+    )
+    flags = per_user.select(
+        *[
+            F.col("seq").rlike(rx).cast("bigint").alias(name)
+            for name, rx in SEQ_PATTERNS
+        ]
+    ).agg(
+        F.count(F.lit(1)).alias("n_users"),
+        *[F.sum(name).alias(f"m_{name}") for name, _ in SEQ_PATTERNS],
+    )
+    pat_rows = F.array(
+        *[
+            F.struct(
+                F.lit(name).alias("pattern"),
+                F.col(f"m_{name}").alias("n_match"),
+            )
+            for name, _ in SEQ_PATTERNS
+        ]
+    )
+    return flags.select("n_users", F.explode(pat_rows).alias("p")).select(
+        F.col("p.pattern").alias("pattern"),
+        F.col("p.n_match").cast("bigint").alias("n_match"),
+        F.col("n_users").cast("bigint").alias("n_users"),
+        F.expr("p.n_match * 10000 div n_users").cast("bigint").alias("share_bp"),
+    )
+
+
+_SEQ_FLAGS = ", ".join(
+    f"CAST(sum(CASE WHEN regexp_matches(seq, '{rx}') THEN 1 ELSE 0 END) AS BIGINT) AS m_{name}"
+    for name, rx in SEQ_PATTERNS
+)
+_SEQ_ROWS = ", ".join(
+    f"struct_pack(pattern := '{name}', n_match := m_{name})" for name, _ in SEQ_PATTERNS
+)
+
+SEQUENCE_MATCH_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         array_to_string(list_transform(list_sort(list(
+             struct_pack(ts := ts, event_id := event_id,
+                         c := substr(event_type, 1, 1)))), x -> x.c), '') AS seq
+  FROM events_us GROUP BY user_id
+),
+flags AS (SELECT count(*)::BIGINT AS n_users, {_SEQ_FLAGS} FROM per_user)
+SELECT p.pattern, p.n_match, n_users,
+       CAST(p.n_match * 10000 // n_users AS BIGINT) AS share_bp
+FROM flags, (SELECT unnest([{_SEQ_ROWS}]) AS p)
+"""
+
+QUERIES["events_sequence_match"] = events_sequence_match
+ORACLES["events_sequence_match"] = SEQUENCE_MATCH_SQL

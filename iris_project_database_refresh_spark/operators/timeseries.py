@@ -1111,3 +1111,111 @@ FROM levels, tot
 
 QUERIES["events_haar_energy"] = events_haar_energy
 ORACLES["events_haar_energy"] = HAAR_SQL
+
+
+# --- Page-Hinkley sequential drift test ------------------------------------------
+#
+# The sequential change detector beside CUSUM (events_cusum_alarm) and
+# the binary change-point scan (events_change_point): Page-Hinkley
+# (Page 1954, the Hinkley form) accumulates m_t = sum(x_i - mean_i),
+# where mean_i is the RUNNING mean, and alarms when m_t - min(m) beats
+# a threshold — the standard streaming-ML drift gate (e.g. river/MOA).
+# Genuinely recursive (each step needs the previous running sums), so
+# it is the F.aggregate-fold / recursive-CTE pair of the Holt/EWMA
+# family.  All state integer: the running mean quantizes by truncating
+# div (identical in both engines), the threshold is data-scaled
+# (2x the grand hourly mean) so the test is dimensionless.
+#
+# Scale: one (type, hour) aggregation; the fold runs per type over the
+# bounded hourly grid; streaming analogue carries (t, s, m, mmin) in
+# applyInPandasWithState.
+
+PH_DELTA = 0
+
+
+def events_page_hinkley(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    hourly = ev.groupBy(
+        "event_type", F.date_trunc("hour", "ts").alias("h")
+    ).agg(F.count(F.lit(1)).alias("x"))
+    per_type = (
+        hourly.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("h", "x"))).alias("hs"))
+        .where(F.size("hs") >= 2)
+    )
+    folded = per_type.select(
+        "event_type",
+        F.size("hs").cast("bigint").alias("n_hours"),
+        F.expr("aggregate(hs, cast(0 as bigint), (a, d) -> a + d.x)").alias("tot"),
+        F.expr(
+            f"""
+            aggregate(
+              slice(hs, 2, greatest(size(hs) - 1, 0)),
+              named_struct(
+                't', cast(1 as bigint), 's', hs[0].x,
+                'm', cast(0 as bigint), 'mmin', cast(0 as bigint),
+                'alarm', cast(0 as bigint),
+                'lam', 2 * aggregate(hs, cast(0 as bigint), (a, d) -> a + d.x) div size(hs)),
+              (acc, d) -> named_struct(
+                't', acc.t + 1,
+                's', acc.s + d.x,
+                'm', acc.m + d.x - (acc.s + d.x) div (acc.t + 1) - {PH_DELTA},
+                'mmin', least(acc.mmin, acc.m + d.x - (acc.s + d.x) div (acc.t + 1) - {PH_DELTA}),
+                'alarm', case when acc.alarm = 0 and
+                    (acc.m + d.x - (acc.s + d.x) div (acc.t + 1) - {PH_DELTA})
+                    - least(acc.mmin, acc.m + d.x - (acc.s + d.x) div (acc.t + 1) - {PH_DELTA})
+                    > acc.lam then acc.t + 1 else acc.alarm end,
+                'lam', acc.lam))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "event_type",
+        "n_hours",
+        F.col("st.m").alias("ph_m"),
+        F.col("st.mmin").alias("ph_min"),
+        (F.col("st.m") - F.col("st.mmin")).alias("ph_gap"),
+        F.col("st.lam").alias("lambda_thresh"),
+        F.col("st.alarm").alias("alarm_at"),
+        (F.col("st.alarm") > 0).cast("int").alias("alarmed"),
+    )
+
+
+PAGE_HINKLEY_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+hourly AS (
+  SELECT event_type, date_trunc('hour', ts) AS h, count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(h := h, x := x))) AS hs,
+         count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS tot
+  FROM hourly GROUP BY event_type HAVING count(*) >= 2
+),
+walk AS (
+  SELECT event_type, hs, n, tot, 1::BIGINT AS t, hs[1].x AS s,
+         0::BIGINT AS m, 0::BIGINT AS mmin, 0::BIGINT AS alarm,
+         2 * tot // n AS lam
+  FROM per_type
+  UNION ALL
+  SELECT event_type, hs, n, tot, t + 1, s + hs[(t + 1)::INT].x,
+         m + hs[(t + 1)::INT].x - (s + hs[(t + 1)::INT].x) // (t + 1) - {PH_DELTA},
+         least(mmin, m + hs[(t + 1)::INT].x - (s + hs[(t + 1)::INT].x) // (t + 1) - {PH_DELTA}),
+         CASE WHEN alarm = 0 AND
+             (m + hs[(t + 1)::INT].x - (s + hs[(t + 1)::INT].x) // (t + 1) - {PH_DELTA})
+             - least(mmin, m + hs[(t + 1)::INT].x - (s + hs[(t + 1)::INT].x) // (t + 1) - {PH_DELTA})
+             > lam THEN t + 1 ELSE alarm END,
+         lam
+  FROM walk WHERE t < n
+)
+SELECT event_type, n AS n_hours, CAST(m AS BIGINT) AS ph_m,
+       CAST(mmin AS BIGINT) AS ph_min, CAST(m - mmin AS BIGINT) AS ph_gap,
+       CAST(lam AS BIGINT) AS lambda_thresh, CAST(alarm AS BIGINT) AS alarm_at,
+       CAST(alarm > 0 AS INT) AS alarmed
+FROM walk WHERE t = n
+"""
+
+QUERIES["events_page_hinkley"] = events_page_hinkley
+ORACLES["events_page_hinkley"] = PAGE_HINKLEY_SQL

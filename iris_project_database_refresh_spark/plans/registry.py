@@ -200,6 +200,7 @@ _DRIVER_PRIORITY = [
     "graph_degree_assortativity", "embed_isotropy_audit", "part_price_elasticity",
     "catalog_merkle_diff", "dpo_pairs_build",
     "multimodal_id3_parse",
+    "events_page_hinkley", "events_sequence_match",
 ]
 
 
