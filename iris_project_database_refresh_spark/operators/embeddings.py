@@ -1217,3 +1217,87 @@ FROM corpus, dims, top
 
 QUERIES["embed_isotropy_audit"] = embed_isotropy_audit
 ORACLES["embed_isotropy_audit"] = EMBED_ISOTROPY_SQL
+
+
+# --- hubness audit of the kNN graph ----------------------------------------------
+#
+# High-dimensional kNN graphs grow HUBS — points that appear in far
+# more neighbor lists than k — and antihubs that appear in none
+# (Radovanovic et al. 2010); hubness degrades ANN recall and
+# similarity-search quality, so the k-occurrence distribution is a
+# standard embedding-health readout.  Over the production kNN graph
+# (knn_graph's blocked-GEMM partial-top-K pipeline): per-node
+# in-degree (zero-in-degree nodes kept via the dimension join), hub /
+# antihub counts, max k-occurrence, and the skewness of the
+# k-occurrence distribution — THE hubness statistic — from exact
+# integer raw moments (decimal/HUGEINT), final g1 through the
+# identical-IEEE-double device.
+#
+# Scale: rides the knn_graph operator (its cost story); the audit
+# adds one groupBy(neighbor) + a dimension left join + a 1-row moment
+# aggregate.
+
+def knn_hubness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = knn_graph(spark, sf_dir)
+    ids = load_table(spark, sf_dir, "embeddings").select("vec_id")
+    indeg = (
+        ids.join(
+            edges.groupBy("neighbor_id").agg(F.count(F.lit(1)).alias("d")),
+            ids.vec_id == F.col("neighbor_id"),
+            "left",
+        )
+        .select(F.coalesce("d", F.lit(0)).cast("bigint").alias("d"))
+    )
+    sums = indeg.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.expr("cast(d as decimal(38,0)) * d")).alias("s2"),
+        F.sum(F.expr("cast(d as decimal(38,0)) * d * d")).alias("s3"),
+        F.max("d").alias("max_d"),
+        F.sum((F.col("d") == 0).cast("bigint")).alias("n_antihubs"),
+        F.sum((F.col("d") > 2 * KNN_K).cast("bigint")).alias("n_hubs"),
+    )
+    # g1 = sqrt(n) * (n^2 s3 - 3 n s1 s2 + 2 s1^3) / (n s2 - s1^2)^1.5,
+    # numerator/denominator exact integers, one double chain at the end
+    num = "cast(cast(n as decimal(38,0)) * n * s3 - 3 * cast(n as decimal(38,0)) * s1 * s2 + 2 * cast(s1 as decimal(38,0)) * s1 * s1 as double)"
+    den = "cast(cast(n as decimal(38,0)) * s2 - cast(s1 as decimal(38,0)) * s1 as double)"
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_nodes"),
+        F.lit(KNN_K).cast("bigint").alias("k"),
+        F.col("max_d").cast("bigint").alias("max_k_occurrence"),
+        F.col("n_hubs").cast("bigint").alias("n_hubs"),
+        F.col("n_antihubs").cast("bigint").alias("n_antihubs"),
+        F.expr(
+            f"cast(floor(sqrt(cast(n as double)) * {num} / ({den} * sqrt({den})) * 1000.0) as bigint)"
+        ).alias("skew_milli"),
+    )
+
+
+KNN_HUBNESS_SQL = f"""
+WITH edges AS ({KNN_GRAPH_SQL}),
+indeg AS (
+  SELECT coalesce(d, 0)::BIGINT AS d
+  FROM embeddings e LEFT JOIN (
+    SELECT neighbor_id, count(*)::BIGINT AS d FROM edges GROUP BY 1
+  ) g ON e.vec_id = g.neighbor_id
+),
+sums AS (
+  SELECT count(*)::BIGINT AS n, CAST(sum(d) AS BIGINT) AS s1,
+         sum(CAST(d AS HUGEINT) * d) AS s2,
+         sum(CAST(d AS HUGEINT) * d * d) AS s3,
+         CAST(max(d) AS BIGINT) AS max_d,
+         CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_antihubs,
+         CAST(sum(CASE WHEN d > 2 * {KNN_K} THEN 1 ELSE 0 END) AS BIGINT) AS n_hubs
+  FROM indeg
+)
+SELECT n AS n_nodes, CAST({KNN_K} AS BIGINT) AS k,
+       max_d AS max_k_occurrence, n_hubs, n_antihubs,
+       CAST(floor(sqrt(CAST(n AS DOUBLE))
+            * CAST(CAST(n AS HUGEINT) * n * s3 - 3 * CAST(n AS HUGEINT) * s1 * s2 + 2 * CAST(s1 AS HUGEINT) * s1 * s1 AS DOUBLE)
+            / (CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE)
+               * sqrt(CAST(CAST(n AS HUGEINT) * s2 - CAST(s1 AS HUGEINT) * s1 AS DOUBLE))) * 1000.0) AS BIGINT) AS skew_milli
+FROM sums
+"""
+
+QUERIES["knn_hubness_audit"] = knn_hubness_audit
+ORACLES["knn_hubness_audit"] = KNN_HUBNESS_SQL

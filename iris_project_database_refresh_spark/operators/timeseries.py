@@ -1219,3 +1219,113 @@ FROM walk WHERE t = n
 
 QUERIES["events_page_hinkley"] = events_page_hinkley
 ORACLES["events_page_hinkley"] = PAGE_HINKLEY_SQL
+
+
+# --- split-conformal forecast intervals ------------------------------------------
+#
+# The distribution-free interval the forecasting family lacks: split
+# conformal prediction (Vovk et al.; Lei et al. 2018) around the naive
+# one-step forecast.  Per event type, the daily absolute one-step
+# residuals split chronologically into calibration (first 2/3) and
+# test; the 90% conformal radius is the ceil(0.9*(nc+1))-th smallest
+# calibration residual — EXACT integer order statistics, no
+# interpolation — and the audit reports empirical test coverage
+# against the 9000 bp target.  Everything integer: residuals in
+# cents, the quantile an indexed element of a sorted array, coverage
+# in bp.
+#
+# Scale: one (type, day) aggregation; per-type array work over the
+# bounded daily grid (sort + slice + indexed selection, all JVM-side).
+
+CONF_TARGET_BP = 9000
+
+
+def events_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    ).agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"))
+        .where(F.size("days") >= 6)
+    )
+    resid = per_type.select(
+        "event_type",
+        F.size("days").cast("bigint").alias("n_days"),
+        F.expr(
+            "transform(sequence(2, size(days)), i -> abs(days[i-1].x - days[i-2].x))"
+        ).alias("r"),
+    ).select(
+        "event_type",
+        "n_days",
+        "r",
+        F.expr("(2 * size(r)) div 3").cast("bigint").alias("n_cal"),
+    )
+    scored = resid.select(
+        "event_type",
+        "n_days",
+        "n_cal",
+        (F.size("r") - F.col("n_cal")).cast("bigint").alias("n_test"),
+        F.expr(
+            "element_at(array_sort(slice(r, 1, cast(n_cal as int))),"
+            " cast(least((9 * (n_cal + 1) + 9) div 10, n_cal) as int))"
+        ).alias("q_cents"),
+    )
+    cover = resid.join(
+        scored.select("event_type", "q_cents", "n_test"), "event_type"
+    ).select(
+        "event_type",
+        F.expr(
+            "size(filter(slice(r, cast(n_cal as int) + 1, cast(size(r) - n_cal as int)),"
+            " x -> x <= q_cents))"
+        ).cast("bigint").alias("n_covered"),
+    )
+    return scored.join(cover, "event_type").select(
+        "event_type",
+        "n_days",
+        "n_cal",
+        "n_test",
+        F.col("q_cents").cast("bigint").alias("q_cents"),
+        "n_covered",
+        F.expr("n_covered * 10000 div n_test").cast("bigint").alias("coverage_bp"),
+        F.lit(CONF_TARGET_BP).cast("bigint").alias("target_bp"),
+    )
+
+
+CONFORMAL_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         sum(floor(value * 100 + (0.5)::DOUBLE)::BIGINT)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(day := day, x := x))) AS days,
+         count(*)::BIGINT AS n_days
+  FROM daily GROUP BY event_type HAVING count(*) >= 6
+),
+resid AS (
+  SELECT event_type, n_days,
+         list_transform(generate_series(2, n_days::INT), i -> abs(days[i].x - days[i-1].x)) AS r,
+         (2 * (n_days - 1)) // 3 AS n_cal
+  FROM per_type
+),
+scored AS (
+  SELECT event_type, n_days, n_cal, len(r) - n_cal AS n_test,
+         list_sort(r[1:n_cal::INT])[least((9 * (n_cal + 1) + 9) // 10, n_cal)::INT] AS q_cents,
+         r
+  FROM resid
+)
+SELECT event_type, n_days, CAST(n_cal AS BIGINT) AS n_cal,
+       CAST(n_test AS BIGINT) AS n_test, CAST(q_cents AS BIGINT) AS q_cents,
+       CAST(len(list_filter(r[(n_cal + 1)::INT:], x -> x <= q_cents)) AS BIGINT) AS n_covered,
+       CAST(len(list_filter(r[(n_cal + 1)::INT:], x -> x <= q_cents)) * 10000 // n_test AS BIGINT) AS coverage_bp,
+       CAST({CONF_TARGET_BP} AS BIGINT) AS target_bp
+FROM scored
+"""
+
+QUERIES["events_conformal_interval"] = events_conformal_interval
+ORACLES["events_conformal_interval"] = CONFORMAL_SQL

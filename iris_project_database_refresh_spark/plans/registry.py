@@ -201,6 +201,7 @@ _DRIVER_PRIORITY = [
     "catalog_merkle_diff", "dpo_pairs_build",
     "multimodal_id3_parse",
     "events_page_hinkley", "events_sequence_match",
+    "knn_hubness_audit", "events_conformal_interval",
 ]
 
 
