@@ -423,3 +423,203 @@ CROSS JOIN nm1 WHERE rn = (nm + 1) // 2
 
 QUERIES["lineitem_theil_sen_trend"] = lineitem_theil_sen_trend
 ORACLES["lineitem_theil_sen_trend"] = THEIL_SEN_SQL
+
+
+# --- two-sample Kolmogorov-Smirnov test -------------------------------------------
+#
+# Do purchase events draw their values from the same distribution as
+# click events?  The classical two-sample KS test (Kolmogorov 1933 /
+# Smirnov 1939), computed EXACTLY: over the merged cent-quantized
+# support, D = max |F1 - F2| is the max over support points of
+# |c1cum*n2 - c2cum*n1| / (n1*n2) — pure integers until the final bp
+# div; the asymptotic z = D*sqrt(n1*n2/(n1+n2)) ships through the
+# identical-double device.  No sorting of fact rows: the ECDFs
+# cumulate over the bounded VALUE SUPPORT (cent grid), not the corpus.
+#
+# Scale: one scan -> per-(side, cent) counts; the cumulative window
+# runs over the value support (bounded by the metric's domain); 1-row
+# output.
+
+KS_A, KS_B = "purchase", "click"
+
+
+def events_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").where(
+        F.col("event_type").isin(KS_A, KS_B)
+    ).select(
+        (F.col("event_type") == KS_A).cast("int").alias("side"),
+        F.expr("cast(floor(value * 100 + 0.5) as bigint)").alias("v"),
+    )
+    counts = ev.groupBy("v").agg(
+        F.sum(F.expr("case when side = 1 then 1 else 0 end")).alias("c1"),
+        F.sum(F.expr("case when side = 0 then 1 else 0 end")).alias("c2"),
+    )
+    w = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = counts.select(
+        "v",
+        F.sum("c1").over(w).alias("f1"),
+        F.sum("c2").over(w).alias("f2"),
+    )
+    tot = counts.agg(F.sum("c1").alias("n1"), F.sum("c2").alias("n2"))
+    gaps = cum.crossJoin(F.broadcast(tot)).select(
+        "n1",
+        "n2",
+        F.expr("abs(f1 * n2 - f2 * n1)").alias("g"),
+    )
+    agg = gaps.groupBy("n1", "n2").agg(F.max("g").alias("gmax"))
+    z = (
+        "(cast(gmax as double) / (cast(n1 as double) * cast(n2 as double)))"
+        " * sqrt(cast(n1 as double) * cast(n2 as double) / (cast(n1 as double) + cast(n2 as double)))"
+    )
+    return agg.select(
+        F.col("n1").cast("bigint").alias("n_a"),
+        F.col("n2").cast("bigint").alias("n_b"),
+        F.expr("gmax * 10000 div (n1 * n2)").cast("bigint").alias("d_bp"),
+        F.expr(f"cast(floor({z} * 1000.0) as bigint)").alias("ks_z_milli"),
+    )
+
+
+KS_SQL = f"""
+WITH ev AS (
+  SELECT CAST(event_type = '{KS_A}' AS INT) AS side,
+         CAST(floor(value * 100 + 0.5) AS BIGINT) AS v
+  FROM events WHERE event_type IN ('{KS_A}', '{KS_B}')
+),
+counts AS (
+  SELECT v,
+         CAST(sum(CASE WHEN side = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+         CAST(sum(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c2
+  FROM ev GROUP BY v
+),
+cum AS (
+  SELECT v,
+         CAST(sum(c1) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f1,
+         CAST(sum(c2) OVER (ORDER BY v ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS f2
+  FROM counts
+),
+tot AS (SELECT CAST(sum(c1) AS BIGINT) AS n1, CAST(sum(c2) AS BIGINT) AS n2 FROM counts),
+agg AS (
+  SELECT n1, n2, CAST(max(abs(f1 * n2 - f2 * n1)) AS BIGINT) AS gmax
+  FROM cum CROSS JOIN tot GROUP BY n1, n2
+)
+SELECT n1 AS n_a, n2 AS n_b,
+       CAST(gmax * 10000 // (n1 * n2) AS BIGINT) AS d_bp,
+       CAST(floor((CAST(gmax AS DOUBLE) / (CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)))
+            * sqrt(CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE) / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))) * 1000.0) AS BIGINT) AS ks_z_milli
+FROM agg
+"""
+
+QUERIES["events_ks_test"] = events_ks_test
+ORACLES["events_ks_test"] = KS_SQL
+
+
+# --- difference-in-differences revenue estimator ---------------------------------
+#
+# The causal-inference workhorse (Card & Krueger 1994 popularized it):
+# a planted "policy" hits even-numbered nations from the corpus
+# midpoint month onward; the DiD estimate is (treated_post -
+# treated_pre) - (control_post - control_pre) on per-month-average
+# revenue — all exact integer cents with month normalization by
+# truncating div — plus a placebo estimate computed one year earlier
+# (should be ~0; an honest parallel-trends probe).
+#
+# Scale: one fact scan with two dimension broadcasts -> a 2x2 (x2
+# placebo) cell aggregate; all arithmetic on the bounded cell grid.
+
+DID_POLICY_M = 40  # months since 1995-01 (corpus midpoint)
+
+
+def nation_revenue_did(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        ((F.year("o_orderdate") - 1995) * 12 + F.month("o_orderdate") - 1).alias("m"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    base = orders.join(
+        F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey")
+    ).select(
+        (F.col("c_nationkey") % 2 == 0).cast("int").alias("treated"),
+        "m",
+        "cents",
+    )
+
+    def did_at(policy_m: int, label: str):
+        cells = (
+            base.select(
+                "treated",
+                (F.col("m") >= policy_m).cast("int").alias("post"),
+                "cents",
+                "m",
+            )
+            .groupBy("treated", "post")
+            .agg(
+                F.sum("cents").alias("rev"),
+                F.count_distinct("m").alias("nm"),
+            )
+            .select(
+                "treated", "post", F.expr("rev div nm").alias("avg_m")
+            )
+        )
+        # pivot the 2x2 to one row
+        return cells.groupBy().agg(
+            F.lit(label).alias("estimate"),
+            F.sum(F.expr("case when treated = 1 and post = 1 then avg_m else 0 end")).alias("tp"),
+            F.sum(F.expr("case when treated = 1 and post = 0 then avg_m else 0 end")).alias("tq"),
+            F.sum(F.expr("case when treated = 0 and post = 1 then avg_m else 0 end")).alias("cp"),
+            F.sum(F.expr("case when treated = 0 and post = 0 then avg_m else 0 end")).alias("cq"),
+        )
+
+    out = did_at(DID_POLICY_M, "policy").unionAll(
+        did_at(DID_POLICY_M - 12, "placebo_minus_1y")
+    )
+    return out.select(
+        "estimate",
+        F.col("tp").cast("bigint").alias("treated_post_c"),
+        F.col("tq").cast("bigint").alias("treated_pre_c"),
+        F.col("cp").cast("bigint").alias("control_post_c"),
+        F.col("cq").cast("bigint").alias("control_pre_c"),
+        F.expr("(tp - tq) - (cp - cq)").cast("bigint").alias("did_c"),
+        F.expr(
+            "case when cq <> 0 then ((tp - tq) - (cp - cq)) * 10000 div cq"
+            " else cast(null as bigint) end"
+        ).alias("did_vs_control_pre_bp"),
+    )
+
+
+def _did_cells_sql(policy_m: int, label: str) -> str:
+    return f"""
+  SELECT '{label}' AS estimate,
+         CAST(sum(CASE WHEN treated = 1 AND post = 1 THEN avg_m ELSE 0 END) AS BIGINT) AS tp,
+         CAST(sum(CASE WHEN treated = 1 AND post = 0 THEN avg_m ELSE 0 END) AS BIGINT) AS tq,
+         CAST(sum(CASE WHEN treated = 0 AND post = 1 THEN avg_m ELSE 0 END) AS BIGINT) AS cp,
+         CAST(sum(CASE WHEN treated = 0 AND post = 0 THEN avg_m ELSE 0 END) AS BIGINT) AS cq
+  FROM (
+    SELECT treated, post, CAST(sum(cents) AS BIGINT) // count(DISTINCT m) AS avg_m
+    FROM (SELECT treated, CAST(m >= {policy_m} AS INT) AS post, cents, m FROM base)
+    GROUP BY treated, post
+  )"""
+
+
+DID_SQL = f"""
+WITH base AS (
+  SELECT CAST(c_nationkey % 2 = 0 AS INT) AS treated,
+         (year(o_orderdate) - 1995) * 12 + month(o_orderdate) - 1 AS m,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders JOIN customer ON o_custkey = c_custkey
+),
+twoest AS (
+  {_did_cells_sql(DID_POLICY_M, "policy")}
+  UNION ALL
+  {_did_cells_sql(DID_POLICY_M - 12, "placebo_minus_1y")}
+)
+SELECT estimate, tp AS treated_post_c, tq AS treated_pre_c,
+       cp AS control_post_c, cq AS control_pre_c,
+       CAST((tp - tq) - (cp - cq) AS BIGINT) AS did_c,
+       CASE WHEN cq <> 0 THEN CAST(((tp - tq) - (cp - cq)) * 10000 // cq AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS did_vs_control_pre_bp
+FROM twoest
+"""
+
+QUERIES["nation_revenue_did"] = nation_revenue_did
+ORACLES["nation_revenue_did"] = DID_SQL

@@ -202,6 +202,7 @@ _DRIVER_PRIORITY = [
     "multimodal_id3_parse",
     "events_page_hinkley", "events_sequence_match",
     "knn_hubness_audit", "events_conformal_interval",
+    "events_ks_test", "nation_revenue_did",
 ]
 
 
