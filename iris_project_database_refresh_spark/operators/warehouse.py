@@ -1259,3 +1259,108 @@ FROM deciles CROSS JOIN gini
 
 QUERIES["customer_gini_lorenz"] = customer_gini_lorenz
 ORACLES["customer_gini_lorenz"] = GINI_LORENZ_SQL
+
+
+# --- (s,S) inventory policy replay ------------------------------------------------
+#
+# The policy simulation behind the ABC/XYZ matrix and the bullwhip
+# ratio: replay each part's monthly demand against the textbook
+# (s, S) min-max policy (Arrow-Harris-Marschak 1951 lineage) — order
+# up to S when the end-of-month position falls to s or below, S = 2x
+# mean monthly demand, s = S/2, immediate replenishment.  Emits the
+# numbers an inventory planner tunes against: orders placed, units
+# ordered, stockout months, unmet units, final on-hand.  A genuinely
+# sequential per-key recursion (this month's position needs last
+# month's), so it is the F.aggregate / recursive-CTE fold pair of the
+# Holt/EWMA/Page-Hinkley family — ALL state exact integers.
+#
+# Scale: one fact scan -> per-(part, month) sums -> per-part fold over
+# the bounded month grid (<= ~80 steps); no windows over fact rows; at
+# 100 TB the fold is embarrassingly parallel per part.
+
+def part_ss_inventory_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        ((F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")).alias("m"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    pm = li.groupBy("l_partkey", "m").agg(F.sum("q").alias("d"))
+    per_part = pm.groupBy("l_partkey").agg(
+        F.sort_array(F.collect_list(F.struct("m", "d"))).alias("ms"),
+        F.count(F.lit(1)).alias("nm"),
+        F.sum("d").alias("tot"),
+    )
+    sim = per_part.select(
+        "l_partkey",
+        F.col("nm").cast("bigint").alias("n_months"),
+        F.expr("2 * tot div nm").alias("cap_s"),
+        F.expr("(2 * tot div nm) div 2").alias("reorder_s"),
+        F.expr(
+            """
+            aggregate(
+              ms,
+              named_struct(
+                'h', 2 * tot div nm, 'no', cast(0 as bigint),
+                'ou', cast(0 as bigint), 'sm', cast(0 as bigint),
+                'uu', cast(0 as bigint),
+                'cap', 2 * tot div nm, 's', (2 * tot div nm) div 2),
+              (acc, e) -> named_struct(
+                'h', case when acc.h - e.d <= acc.s then acc.cap else acc.h - e.d end,
+                'no', acc.no + (case when acc.h - e.d <= acc.s then 1 else 0 end),
+                'ou', acc.ou + (case when acc.h - e.d <= acc.s then acc.cap - (acc.h - e.d) else 0 end),
+                'sm', acc.sm + (case when e.d > acc.h then 1 else 0 end),
+                'uu', acc.uu + greatest(e.d - acc.h, cast(0 as bigint)),
+                'cap', acc.cap, 's', acc.s))
+            """
+        ).alias("st"),
+    )
+    return sim.select(
+        "l_partkey",
+        "n_months",
+        F.col("cap_s").cast("bigint").alias("cap_s"),
+        F.col("reorder_s").cast("bigint").alias("reorder_s"),
+        F.col("st.no").cast("bigint").alias("n_orders"),
+        F.col("st.ou").cast("bigint").alias("ordered_units"),
+        F.col("st.sm").cast("bigint").alias("stockout_months"),
+        F.col("st.uu").cast("bigint").alias("unmet_units"),
+        F.col("st.h").cast("bigint").alias("end_onhand"),
+    )
+
+
+SS_SIM_SQL = """
+WITH RECURSIVE li AS (
+  SELECT l_partkey, (year(l_shipdate) - 1990) * 12 + month(l_shipdate) AS m,
+         CAST(l_quantity AS BIGINT) AS q
+  FROM lineitem
+),
+pm AS (SELECT l_partkey, m, CAST(sum(q) AS BIGINT) AS d FROM li GROUP BY 1, 2),
+per_part AS (
+  SELECT l_partkey, list_sort(list(struct_pack(m := m, d := d))) AS ms,
+         count(*)::BIGINT AS nm, CAST(sum(d) AS BIGINT) AS tot
+  FROM pm GROUP BY l_partkey
+),
+walk AS (
+  SELECT l_partkey, ms, nm, 0::BIGINT AS i,
+         2 * tot // nm AS h, 0::BIGINT AS no, 0::BIGINT AS ou,
+         0::BIGINT AS sm, 0::BIGINT AS uu,
+         2 * tot // nm AS cap, (2 * tot // nm) // 2 AS s
+  FROM per_part
+  UNION ALL
+  SELECT l_partkey, ms, nm, i + 1,
+         CASE WHEN h - ms[(i + 1)::INT].d <= s THEN cap ELSE h - ms[(i + 1)::INT].d END,
+         no + (CASE WHEN h - ms[(i + 1)::INT].d <= s THEN 1 ELSE 0 END),
+         ou + (CASE WHEN h - ms[(i + 1)::INT].d <= s THEN cap - (h - ms[(i + 1)::INT].d) ELSE 0 END),
+         sm + (CASE WHEN ms[(i + 1)::INT].d > h THEN 1 ELSE 0 END),
+         uu + greatest(ms[(i + 1)::INT].d - h, 0),
+         cap, s
+  FROM walk WHERE i < nm
+)
+SELECT l_partkey, nm AS n_months, CAST(cap AS BIGINT) AS cap_s,
+       CAST(s AS BIGINT) AS reorder_s, CAST(no AS BIGINT) AS n_orders,
+       CAST(ou AS BIGINT) AS ordered_units, CAST(sm AS BIGINT) AS stockout_months,
+       CAST(uu AS BIGINT) AS unmet_units, CAST(h AS BIGINT) AS end_onhand
+FROM walk WHERE i = nm
+"""
+
+QUERIES["part_ss_inventory_sim"] = part_ss_inventory_sim
+ORACLES["part_ss_inventory_sim"] = SS_SIM_SQL

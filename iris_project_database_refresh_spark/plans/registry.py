@@ -203,6 +203,7 @@ _DRIVER_PRIORITY = [
     "events_page_hinkley", "events_sequence_match",
     "knn_hubness_audit", "events_conformal_interval",
     "events_ks_test", "nation_revenue_did",
+    "part_ss_inventory_sim",
 ]
 
 
