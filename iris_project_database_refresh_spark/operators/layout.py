@@ -444,3 +444,104 @@ HILBERT_SQL = HILBERT_SQL.replace("{Z}", _zkey_terms("duckdb"))
 
 QUERIES["hilbert_layout"] = hilbert_layout
 ORACLES["hilbert_layout"] = HILBERT_SQL
+
+
+# --- hash-partition balance audit -------------------------------------------------
+#
+# The pre-flight check before choosing a shuffle/bucketing key: how
+# evenly does each candidate key hash-partition the fact table?  For
+# each key column the audit buckets rows by a PORTABLE md5-derived
+# partition id (engine hash functions differ; md5 reproduces
+# bit-for-bit — the house device) and reports the balance numbers a
+# partition planner reads: min/max bucket, max-over-mean, exact-integer
+# CV² bp of bucket sizes, and the chi-squared-vs-uniform statistic
+# ((o·nb − tot)² exact in decimal/HUGEINT per bucket).  The skew
+# complement of join_key_skew_report: that one finds hot KEYS, this
+# one scores whole PARTITIONING CHOICES.
+#
+# Scale: one narrow scan per key -> NBUCKETS-row aggregates (map-side
+# combinable); everything after is grid math.
+
+BAL_BUCKETS = 64
+
+
+def partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
+
+    def audit2(col: str):
+        b = F.expr(
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) as bigint) % {BAL_BUCKETS}"
+        )
+        buckets = li.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("o"))
+        tot = buckets.agg(F.sum("o").alias("tot"), F.count(F.lit(1)).alias("nb"))
+        joined = buckets.crossJoin(F.broadcast(tot))
+        return joined.groupBy("tot", "nb").agg(
+            F.lit(col).alias("key_col"),
+            F.min("o").alias("min_bucket"),
+            F.max("o").alias("max_bucket"),
+            F.sum(F.expr("cast(o as decimal(38,0)) * o")).alias("so2"),
+            F.sum(
+                F.expr(
+                    f"(cast(o as decimal(38,0)) * {BAL_BUCKETS} - tot)"
+                    f" * (cast(o as decimal(38,0)) * {BAL_BUCKETS} - tot)"
+                )
+            ).alias("sdev2"),
+        )
+
+    out = audit2("l_orderkey").unionAll(audit2("l_partkey")).unionAll(audit2("l_suppkey"))
+    return out.select(
+        "key_col",
+        F.col("tot").cast("bigint").alias("n_rows"),
+        F.col("nb").cast("bigint").alias("n_buckets"),
+        F.col("min_bucket").cast("bigint").alias("min_bucket"),
+        F.col("max_bucket").cast("bigint").alias("max_bucket"),
+        F.expr("max_bucket * nb * 1000 div tot").cast("bigint").alias("max_over_mean_milli"),
+        F.expr(
+            "cast((cast(nb as decimal(38,0)) * so2 - cast(tot as decimal(38,0)) * tot) * 10000"
+            " div (cast(tot as decimal(38,0)) * tot) as bigint)"
+        ).alias("cv2_bp"),
+        F.expr(
+            f"cast(sdev2 * 1000000 div (cast(tot as decimal(38,0)) * {BAL_BUCKETS}) as bigint)"
+        ).alias("chi2_micro"),
+    )
+
+
+_BAL_KEY_SQL = """
+  SELECT '{col}' AS key_col, tot, nb,
+         CAST(min(o) AS BIGINT) AS min_bucket, CAST(max(o) AS BIGINT) AS max_bucket,
+         sum(CAST(o AS HUGEINT) * o) AS so2,
+         sum((CAST(o AS HUGEINT) * {nb_const} - tot) * (CAST(o AS HUGEINT) * {nb_const} - tot)) AS sdev2
+  FROM (
+    SELECT b, count(*)::BIGINT AS o
+    FROM (SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {nb_const} AS b
+          FROM lineitem)
+    GROUP BY b
+  ) CROSS JOIN (
+    SELECT CAST(sum(cnt) AS BIGINT) AS tot, count(*)::BIGINT AS nb FROM (
+      SELECT count(*)::BIGINT AS cnt
+      FROM (SELECT CAST('0x' || substr(md5(CAST({col} AS VARCHAR)), 1, 8) AS BIGINT) % {nb_const} AS b
+            FROM lineitem)
+      GROUP BY b
+    )
+  )
+  GROUP BY tot, nb
+"""
+
+PARTITION_BALANCE_SQL = f"""
+WITH per_key AS (
+  {_BAL_KEY_SQL.format(col="l_orderkey", nb_const=BAL_BUCKETS)}
+  UNION ALL
+  {_BAL_KEY_SQL.format(col="l_partkey", nb_const=BAL_BUCKETS)}
+  UNION ALL
+  {_BAL_KEY_SQL.format(col="l_suppkey", nb_const=BAL_BUCKETS)}
+)
+SELECT key_col, tot AS n_rows, nb AS n_buckets, min_bucket, max_bucket,
+       CAST(max_bucket * nb * 1000 // tot AS BIGINT) AS max_over_mean_milli,
+       CAST((CAST(nb AS HUGEINT) * so2 - CAST(tot AS HUGEINT) * tot) * 10000
+            // (CAST(tot AS HUGEINT) * tot) AS BIGINT) AS cv2_bp,
+       CAST(sdev2 * 1000000 // (CAST(tot AS HUGEINT) * {BAL_BUCKETS}) AS BIGINT) AS chi2_micro
+FROM per_key
+"""
+
+QUERIES["partition_balance_audit"] = partition_balance_audit
+ORACLES["partition_balance_audit"] = PARTITION_BALANCE_SQL

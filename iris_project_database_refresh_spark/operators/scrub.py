@@ -889,3 +889,133 @@ FROM scored
 
 QUERIES["privacy_t_closeness"] = privacy_t_closeness
 ORACLES["privacy_t_closeness"] = T_CLOSENESS_SQL
+
+
+# --- Heaps' law vocabulary-growth fit --------------------------------------------
+#
+# zipf_fit's companion corpus law: vocabulary grows as V(n) ~ K n^beta
+# (Heaps 1978; beta ~ 0.4-0.6 for natural text) — the curve that tells
+# a tokenizer/vocab planner how vocabulary scales with corpus size.
+# Exact distributed construction with NO sequential scan: each token's
+# FIRST document (min doc_id) marks where it enters the vocabulary;
+# cumulative tokens and cumulative vocabulary at each document
+# checkpoint are then two running sums over the bounded checkpoint
+# grid, and the (ln N, ln V) points go through the ln-quantize integer
+# OLS (the zipf device).  Checkpoints every HEAPS_EVERY documents keep
+# the fit grid bounded at any SF.
+#
+# Scale: one explode -> (token, min doc) aggregate; per-doc token
+# counts aggregate once; both collapse to the checkpoint grid before
+# any window.
+
+HEAPS_EVERY = 20  # checkpoint grid: every N-th document
+
+
+def heaps_law_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(F.filter(F.split("text", r"\s+"), lambda t: t != "")).alias("w"),
+    )
+    first_doc = toks.groupBy("w").agg(F.min("doc_id").alias("fd"))
+    ck = F.expr(f"cast(ceil(cast(rk as double) / {HEAPS_EVERY}) as bigint)")
+    # rank documents densely by doc_id so checkpoints are corpus positions
+    from pyspark.sql import Window as _W
+
+    doc_rank = docs.select("doc_id").withColumn(
+        "rk", F.row_number().over(_W.orderBy("doc_id"))
+    )
+    tok_per_doc = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("tc"))
+    per_ck_tokens = (
+        doc_rank.join(tok_per_doc, "doc_id", "left")
+        .select(ck.alias("ckp"), F.coalesce("tc", F.lit(0)).alias("tc"))
+        .groupBy("ckp")
+        .agg(F.sum("tc").alias("dt"))
+    )
+    per_ck_vocab = (
+        first_doc.join(doc_rank, first_doc.fd == doc_rank.doc_id)
+        .select(ck.alias("ckp"))
+        .groupBy("ckp")
+        .agg(F.count(F.lit(1)).alias("dv"))
+    )
+    w = _W.orderBy("ckp").rowsBetween(_W.unboundedPreceding, 0)
+    grid = (
+        per_ck_tokens.join(per_ck_vocab, "ckp", "left")
+        .select("ckp", "dt", F.coalesce("dv", F.lit(0)).alias("dv"))
+        .select(
+            "ckp",
+            F.sum("dt").over(w).alias("cum_tokens"),
+            F.sum("dv").over(w).alias("cum_vocab"),
+        )
+        .where(F.col("cum_tokens") > 0)
+    )
+    pts = grid.select(
+        F.expr(f"cast(floor(ln(cast(cum_tokens as double)) * {_LQ}) as bigint)").alias("x"),
+        F.expr(f"cast(floor(ln(cast(cum_vocab as double)) * {_LQ}) as bigint)").alias("y"),
+    )
+    sums = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return sums.select(
+        F.col("n").cast("bigint").alias("n_checkpoints"),
+        F.round(slope, 6).alias("heaps_beta"),
+        F.round(
+            (F.col("sy") - slope * F.col("sx")) / (F.col("n") * _LQ), 6
+        ).alias("ln_k"),
+    )
+
+
+HEAPS_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+first_doc AS (SELECT w, min(doc_id) AS fd FROM toks GROUP BY w),
+doc_rank AS (
+  SELECT doc_id, row_number() OVER (ORDER BY doc_id) AS rk FROM documents
+),
+tok_per_doc AS (SELECT doc_id, count(*)::BIGINT AS tc FROM toks GROUP BY doc_id),
+per_ck_tokens AS (
+  SELECT CAST(ceil(CAST(rk AS DOUBLE) / {HEAPS_EVERY}) AS BIGINT) AS ckp,
+         CAST(sum(coalesce(tc, 0)) AS BIGINT) AS dt
+  FROM doc_rank LEFT JOIN tok_per_doc USING (doc_id)
+  GROUP BY 1
+),
+per_ck_vocab AS (
+  SELECT CAST(ceil(CAST(rk AS DOUBLE) / {HEAPS_EVERY}) AS BIGINT) AS ckp,
+         count(*)::BIGINT AS dv
+  FROM first_doc JOIN doc_rank ON fd = doc_id
+  GROUP BY 1
+),
+grid AS (
+  SELECT ckp,
+         CAST(sum(dt) OVER (ORDER BY ckp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens,
+         CAST(sum(coalesce(dv, 0)) OVER (ORDER BY ckp ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_vocab
+  FROM per_ck_tokens LEFT JOIN per_ck_vocab USING (ckp)
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(cum_tokens AS DOUBLE)) * {_LQ}) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(cum_vocab AS DOUBLE)) * {_LQ}) AS BIGINT) AS y
+  FROM grid WHERE cum_tokens > 0
+),
+sums AS (
+  SELECT count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+         sum(x * y) AS sxy, sum(x * x) AS sxx
+  FROM pts
+)
+SELECT CAST(n AS BIGINT) AS n_checkpoints,
+       round((n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS heaps_beta,
+       round((sy - (n * sxy - sx * sy) / CAST(n * sxx - sx * sx AS DOUBLE) * sx)
+             / CAST(n * {_LQ} AS DOUBLE), 6) AS ln_k
+FROM sums
+"""
+
+QUERIES["heaps_law_fit"] = heaps_law_fit
+ORACLES["heaps_law_fit"] = HEAPS_SQL

@@ -204,6 +204,7 @@ _DRIVER_PRIORITY = [
     "knn_hubness_audit", "events_conformal_interval",
     "events_ks_test", "nation_revenue_did",
     "part_ss_inventory_sim",
+    "heaps_law_fit", "partition_balance_audit",
 ]
 
 
