@@ -1865,3 +1865,118 @@ FROM flags, (SELECT unnest([{_SEQ_ROWS}]) AS p)
 
 QUERIES["events_sequence_match"] = events_sequence_match
 ORACLES["events_sequence_match"] = SEQUENCE_MATCH_SQL
+
+
+# --- LZ78 sequence complexity of user journeys ------------------------------------
+#
+# How algorithmically rich is a user's behavior stream?  LZ78 phrase
+# complexity (Lempel & Ziv 1978) — the number of distinct phrases the
+# incremental parse emits — is the classic compressibility measure for
+# behavioral sequences (bot streams parse into few phrases, diverse
+# human journeys into many).  The parse is genuinely sequential per
+# user (dictionary state), so it runs as the house F.aggregate fold /
+# recursive-CTE pair: state = (delimited phrase dictionary, current
+# phrase, count), the dictionary membership test one delimited
+# `instr`.  Corpus rollup: per event-type-sequence length band, users,
+# mean phrase count (milli) and mean compression ratio c/L (bp) —
+# exact integer sums.
+#
+# Scale: ONE user_id shuffle -> per-user letter string (the
+# sessionizer bound) -> linear fold; dictionary state is bounded by
+# the user's own sequence.  The rollup is a bounded band aggregate.
+
+def events_lz_complexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    per_user = ev.groupBy("user_id").agg(
+        F.expr(
+            "array_join(transform(array_sort(collect_list("
+            "struct(ts, event_id, substring(event_type, 1, 1) as c))), x -> x.c), '')"
+        ).alias("seq")
+    )
+    folded = per_user.select(
+        "user_id",
+        F.length("seq").cast("bigint").alias("len"),
+        F.expr(
+            """
+            aggregate(
+              transform(sequence(1, length(seq)), i -> substring(seq, i, 1)),
+              named_struct('dict', '|', 'w', '', 'c', cast(0 as bigint)),
+              (acc, ch) -> case
+                when instr(acc.dict, '|' || acc.w || ch || '|') > 0
+                  then named_struct('dict', acc.dict, 'w', acc.w || ch, 'c', acc.c)
+                else named_struct(
+                  'dict', acc.dict || acc.w || ch || '|', 'w', '', 'c', acc.c + 1)
+                end,
+              acc -> acc.c + (case when acc.w <> '' then 1 else 0 end))
+            """
+        ).alias("c"),
+    )
+    bands = folded.select(
+        F.expr("length(cast(len as string))").cast("bigint").alias("len_band"),
+        "len",
+        "c",
+    )
+    return (
+        bands.groupBy("len_band")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("len").alias("total_events"),
+            F.expr("sum(c) * 1000 div count(1)").alias("mean_phrases_milli"),
+            F.max("c").alias("max_phrases"),
+            F.expr("sum(c * 10000 div len) div count(1)").alias("mean_ratio_bp"),
+        )
+        .select(
+            "len_band",
+            F.col("n_users").cast("bigint").alias("n_users"),
+            F.col("total_events").cast("bigint").alias("total_events"),
+            F.col("mean_phrases_milli").cast("bigint").alias("mean_phrases_milli"),
+            F.col("max_phrases").cast("bigint").alias("max_phrases"),
+            F.col("mean_ratio_bp").cast("bigint").alias("mean_ratio_bp"),
+        )
+    )
+
+
+LZ_COMPLEXITY_SQL = """
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+per_user AS (
+  SELECT user_id,
+         array_to_string(list_transform(list_sort(list(
+             struct_pack(ts := ts, event_id := event_id,
+                         c := substr(event_type, 1, 1)))), x -> x.c), '') AS seq
+  FROM events_us GROUP BY user_id
+),
+walk AS (
+  SELECT user_id, seq, length(seq) AS len, 0::BIGINT AS i,
+         '|' AS dict, '' AS w, 0::BIGINT AS c
+  FROM per_user
+  UNION ALL
+  SELECT user_id, seq, len, i + 1,
+         CASE WHEN instr(dict, '|' || w || substr(seq, (i + 1)::INT, 1) || '|') > 0
+              THEN dict
+              ELSE dict || w || substr(seq, (i + 1)::INT, 1) || '|' END,
+         CASE WHEN instr(dict, '|' || w || substr(seq, (i + 1)::INT, 1) || '|') > 0
+              THEN w || substr(seq, (i + 1)::INT, 1)
+              ELSE '' END,
+         CASE WHEN instr(dict, '|' || w || substr(seq, (i + 1)::INT, 1) || '|') > 0
+              THEN c ELSE c + 1 END
+  FROM walk WHERE i < len
+),
+final AS (
+  SELECT user_id, len, c + (CASE WHEN w <> '' THEN 1 ELSE 0 END) AS c
+  FROM walk WHERE i = len
+),
+bands AS (
+  SELECT length(CAST(len AS VARCHAR)) AS len_band, len, c FROM final
+)
+SELECT CAST(len_band AS BIGINT) AS len_band, count(*)::BIGINT AS n_users,
+       CAST(sum(len) AS BIGINT) AS total_events,
+       CAST(sum(c) * 1000 // count(*) AS BIGINT) AS mean_phrases_milli,
+       CAST(max(c) AS BIGINT) AS max_phrases,
+       CAST(sum(c * 10000 // len) // count(*) AS BIGINT) AS mean_ratio_bp
+FROM bands GROUP BY len_band
+"""
+
+QUERIES["events_lz_complexity"] = events_lz_complexity
+ORACLES["events_lz_complexity"] = LZ_COMPLEXITY_SQL

@@ -205,6 +205,7 @@ _DRIVER_PRIORITY = [
     "events_ks_test", "nation_revenue_did",
     "part_ss_inventory_sim",
     "heaps_law_fit", "partition_balance_audit",
+    "events_lz_complexity",
 ]
 
 
