@@ -1301,3 +1301,172 @@ FROM sums
 
 QUERIES["knn_hubness_audit"] = knn_hubness_audit
 ORACLES["knn_hubness_audit"] = KNN_HUBNESS_SQL
+
+
+# --- maximal-marginal-relevance diversified retrieval -------------------------
+#
+# MMR (Carbonell & Goldstein 1998): greedy re-ranking that trades
+# relevance against redundancy — pick argmax over remaining candidates
+# of λ·rel(q,d) − (1−λ)·max_{s∈selected} sim(d,s).  The de-facto
+# standard diversifier in RAG retrieval stacks; composes with any ANN
+# front-end (here the exact top-MMR_CAND cosine candidates).
+#
+# Determinism device: cosines land in micro fixed-point
+# (floor(cos·1e6 + 0.5) on identical IEEE doubles), then the whole
+# greedy recursion is exact integer arithmetic with λ = 0.7 as the
+# 7/3 deci split: mmr_deci = 7·rel_u − 3·max_sim_u.  Ties break on
+# smaller id.  The selection is sequential BY DESIGN (each pick
+# changes the next argmax) — but over a candidate set bounded at
+# MMR_CAND per query, so the unrolled MMR_K rounds are joins over
+# broadcast-sized frames; the corpus-scale work is only the candidate
+# generation, which reuses the brute-force scan (swap in IVF/LSH/PQ at
+# 100 TB — candidates are interchangeable).
+
+MMR_K = 6
+MMR_CAND = 20
+MMR_LAMBDA_DECI = 7  # λ = 0.7 → score = 7·rel_u − 3·max_sim_u
+
+
+def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    nrm = emb.select("vec_id", "v", F.sqrt(_dot(F.col("v"), F.col("v"))).alias("nrm"))
+    q = nrm.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("qv"), F.col("nrm").alias("qn")
+    )
+    rel = (
+        nrm.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("id"),
+            "v",
+            "nrm",
+            F.floor(_dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm")) * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("rel_u"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("rel_u"), F.asc("id"))
+    cand = (
+        rel.withColumn("crn", F.row_number().over(wq))
+        .where(F.col("crn") <= MMR_CAND)
+        .drop("crn")
+        .localCheckpoint(eager=False)
+    )
+    a = cand.select("query_id", F.col("id").alias("a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = cand.select("query_id", F.col("id").alias("b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    sims = (
+        a.join(b, "query_id")
+        .where(F.col("a") != F.col("b"))
+        .select(
+            "query_id",
+            "a",
+            "b",
+            F.floor(_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")) * 1e6 + 0.5)
+            .cast("bigint")
+            .alias("sim_u"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    slim = cand.select("query_id", "id", "rel_u")
+    selected = (
+        slim.withColumn("rn", F.row_number().over(wq))
+        .where(F.col("rn") == 1)
+        .select(
+            "query_id",
+            "id",
+            F.lit(1).cast("bigint").alias("step"),
+            "rel_u",
+            (F.lit(MMR_LAMBDA_DECI) * F.col("rel_u")).alias("mmr_deci"),
+        )
+    )
+    for step in range(2, MMR_K + 1):
+        ms = (
+            sims.join(selected.select("query_id", F.col("id").alias("b")), ["query_id", "b"])
+            .groupBy("query_id", "a")
+            .agg(F.max("sim_u").alias("max_sim_u"))
+        )
+        remaining = slim.join(selected.select("query_id", "id"), ["query_id", "id"], "left_anti")
+        scored = remaining.join(
+            ms, (remaining.query_id == ms.query_id) & (remaining.id == ms.a)
+        ).select(
+            remaining.query_id,
+            "id",
+            "rel_u",
+            (F.lit(MMR_LAMBDA_DECI) * F.col("rel_u") - (10 - MMR_LAMBDA_DECI) * F.col("max_sim_u")).alias(
+                "mmr_deci"
+            ),
+        )
+        wp = Window.partitionBy("query_id").orderBy(F.desc("mmr_deci"), F.asc("id"))
+        pick = (
+            scored.withColumn("rn", F.row_number().over(wp))
+            .where(F.col("rn") == 1)
+            .select("query_id", "id", F.lit(step).cast("bigint").alias("step"), "rel_u", "mmr_deci")
+        )
+        selected = selected.unionByName(pick).localCheckpoint(eager=False)
+    return selected.select("query_id", F.col("id").alias("doc_id"), "step", "rel_u", "mmr_deci")
+
+
+def _mmr_sql() -> str:
+    lam, com = MMR_LAMBDA_DECI, 10 - MMR_LAMBDA_DECI
+    parts = [
+        f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+q AS (SELECT vec_id AS query_id, v AS qv, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+rel AS (
+  SELECT query_id, n.vec_id AS id, v, nrm,
+         CAST(floor(list_dot_product(qv, v) / (qn * nrm) * 1e6 + 0.5) AS BIGINT) AS rel_u
+  FROM q JOIN n ON n.vec_id <> q.query_id
+),
+cand AS (
+  SELECT query_id, id, v, nrm, rel_u FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_u DESC, id) AS crn
+    FROM rel) WHERE crn <= {MMR_CAND}
+),
+sims AS (
+  SELECT a.query_id, a.id AS a, b.id AS b,
+         CAST(floor(list_dot_product(a.v, b.v) / (a.nrm * b.nrm) * 1e6 + 0.5) AS BIGINT) AS sim_u
+  FROM cand a JOIN cand b ON a.query_id = b.query_id AND a.id <> b.id
+),
+slim AS (SELECT query_id, id, rel_u FROM cand),
+selall1 AS (
+  SELECT query_id, id, CAST(1 AS BIGINT) AS step, rel_u,
+         CAST({lam} * rel_u AS BIGINT) AS mmr_deci
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY rel_u DESC, id) AS rn
+        FROM slim) WHERE rn = 1
+)"""
+    ]
+    for r in range(2, MMR_K + 1):
+        p = r - 1
+        parts.append(
+            f""",
+scored{r} AS (
+  SELECT c.query_id, c.id, c.rel_u,
+         CAST({lam} * c.rel_u - {com} * max(s.sim_u) AS BIGINT) AS mmr_deci
+  FROM slim c
+  JOIN sims s ON s.query_id = c.query_id AND s.a = c.id
+  JOIN selall{p} t ON t.query_id = s.query_id AND t.id = s.b
+  WHERE NOT EXISTS (SELECT 1 FROM selall{p} x WHERE x.query_id = c.query_id AND x.id = c.id)
+  GROUP BY c.query_id, c.id, c.rel_u
+),
+selall{r} AS (
+  SELECT * FROM selall{p}
+  UNION ALL
+  SELECT query_id, id, CAST({r} AS BIGINT) AS step, rel_u, mmr_deci FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY mmr_deci DESC, id) AS rn
+    FROM scored{r}) WHERE rn = 1
+)"""
+        )
+    parts.append(
+        f"""
+SELECT query_id, id AS doc_id, step, rel_u, mmr_deci FROM selall{MMR_K}"""
+    )
+    return "".join(parts)
+
+
+MMR_SQL = _mmr_sql()
+
+QUERIES["search_mmr_diversify"] = search_mmr_diversify
+ORACLES["search_mmr_diversify"] = MMR_SQL

@@ -934,3 +934,113 @@ FROM sums, nstat
 
 QUERIES["graph_degree_assortativity"] = graph_degree_assortativity
 ORACLES["graph_degree_assortativity"] = ASSORTATIVITY_SQL
+
+
+# --- Katz centrality ------------------------------------------------------------
+#
+# The attenuated-path-count cousin of pagerank_docs (Katz 1953): node
+# influence = Σ_k β^k · (#paths of length k ending at the node), β=1/4
+# — no degree normalization, so high-out-degree hubs project more
+# influence than under PageRank's mass-conserving split; the ranking a
+# citation/recommendation layer uses when link VOLUME should count.
+#
+# Same planted doc graph and the same scaled-integer device as
+# pagerank_docs: path-count state t_k in SCALE units, attenuation as
+# per-edge truncating div 4 INSIDE the sum (exact, order-independent),
+# katz accumulated across KATZ_ITERS unrolled rounds.  The edge set
+# adds a fourth, HUB-concentrating link u → (u·7+1) mod min(n,50) on
+# top of the pagerank trio — the near-regular hash graph ties every
+# node's Katz score; the hub links create the skewed in-degree
+# distribution a centrality ranking exists to expose.  Per round: one
+# shuffle of the edge list on dst + a node left-join; bounded rounds,
+# edges pinned once.
+
+KATZ_ITERS = 4
+KATZ_BETA_DEN = 4  # β = 1/4 < 1/λ_max for this planted graph
+
+
+def graph_katz_centrality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+            (F.col("doc_id") * 7 + 1) % F.least(F.col("n"), F.lit(50)),
+        )
+    )
+    edges = with_n.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    ).localCheckpoint(eager=False)
+
+    state = nodes.select(
+        "doc_id",
+        F.lit(SCALE).cast("bigint").alias("t"),
+        F.lit(0).cast("bigint").alias("katz"),
+    )
+    for _ in range(KATZ_ITERS):
+        m = (
+            edges.join(state.select(F.col("doc_id").alias("src"), "t"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum(F.expr(f"t div {KATZ_BETA_DEN}")).alias("m"))
+        )
+        state = (
+            state.select("doc_id", "katz")
+            .join(m, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("m", F.lit(0)).cast("bigint").alias("t"),
+                (F.col("katz") + F.coalesce("m", F.lit(0))).cast("bigint").alias("katz"),
+            )
+        )
+    return (
+        state.select(
+            "doc_id",
+            F.col("katz").alias("katz_scaled"),
+            (F.floor(F.col("katz") / SCALE * 1e6 + F.lit(0.5)) / 1e6).alias("katz"),
+        )
+        .orderBy(F.desc("katz_scaled"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def _katz_round_sql(prev: str, rnd: str) -> str:
+    return f"""
+{rnd} AS (
+  SELECT n.doc_id,
+         coalesce(c.m, 0)::BIGINT AS t,
+         (n.katz + coalesce(c.m, 0))::BIGINT AS katz
+  FROM (SELECT doc_id, katz FROM {prev}) n
+  LEFT JOIN (
+    SELECT e.dst AS doc_id, CAST(sum(t.t // {KATZ_BETA_DEN}) AS BIGINT) AS m
+    FROM kedges e JOIN {prev} t ON e.src = t.doc_id
+    GROUP BY e.dst
+  ) c ON n.doc_id = c.doc_id
+)"""
+
+
+KATZ_SQL = f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+ktargets AS (
+  SELECT doc_id,
+         list_distinct([(doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n,
+                        (doc_id * 13 + 11) % n,
+                        (doc_id * 7 + 1) % least(n, 50)]) AS ts
+  FROM documents, nn
+),
+kedges AS (SELECT doc_id AS src, unnest(ts) AS dst FROM ktargets),
+k0 AS (
+  SELECT doc_id, {SCALE}::BIGINT AS t, 0::BIGINT AS katz FROM documents
+),{",".join(_katz_round_sql(f"k{i}", f"k{i + 1}") for i in range(KATZ_ITERS))}
+SELECT doc_id, katz AS katz_scaled,
+       floor(katz / {SCALE}::DOUBLE * (1000000)::DOUBLE + (0.5)::DOUBLE)
+           / (1000000)::DOUBLE AS katz
+FROM k{KATZ_ITERS}
+ORDER BY katz_scaled DESC, doc_id
+LIMIT {TOP_K}
+"""
+
+QUERIES["graph_katz_centrality"] = graph_katz_centrality
+ORACLES["graph_katz_centrality"] = KATZ_SQL

@@ -545,3 +545,108 @@ FROM per_key
 
 QUERIES["partition_balance_audit"] = partition_balance_audit
 ORACLES["partition_balance_audit"] = PARTITION_BALANCE_SQL
+
+
+# --- snapshot vacuum / retention planner ----------------------------------------
+#
+# The garbage-collection half of the snapshot-log table format
+# (`sinks/snapshots.py` keeps every version's file list in its
+# manifest; compaction_plan bins the LIVE files): given a retention
+# window of the last VACUUM_RETAIN versions, which data files are
+# unreferenced by every retained version and safe to delete, how many
+# bytes come back, and which removed files must stay because a
+# retained (time-travel-able) version still references them?  This is
+# Delta VACUUM / Iceberg expire_snapshots arithmetic (public docs),
+# expressed over the planted file ledger: file f is referenced by
+# version v iff added_v <= v < coalesce(removed_v, +inf), so with
+# earliest retained version vr = NV - VACUUM_RETAIN + 1, f is
+# vacuumable iff removed_v <= vr.
+#
+# Scale: the ledger is metadata (one row per file, not per data row) —
+# a single narrow aggregation per source; no fact-table scan at all.
+
+VACUUM_NV = 10  # planted version count
+VACUUM_RETAIN = 3  # keep the last 3 versions time-travel-able
+
+
+def _vacuum_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    added = (F.col("doc_id") % VACUUM_NV + 1).cast("bigint")
+    removed_raw = added + 1 + (F.col("doc_id") % 4).cast("bigint")
+    removed = F.when(
+        (F.col("doc_id") % 3 == 0) & (removed_raw <= VACUUM_NV), removed_raw
+    ).otherwise(F.lit(None).cast("bigint"))
+    return docs.select(
+        "source",
+        F.col("doc_id").alias("file_id"),
+        F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("bytes"),
+        added.alias("added_v"),
+        removed.alias("removed_v"),
+    )
+
+
+def snapshot_vacuum_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    vr = VACUUM_NV - VACUUM_RETAIN + 1
+    led = _vacuum_ledger(spark, sf_dir)
+    flags = led.select(
+        "source",
+        "bytes",
+        F.col("removed_v").isNull().cast("int").alias("live"),
+        (F.col("removed_v").isNotNull() & (F.col("removed_v") <= vr)).cast("int").alias("vac"),
+        (F.col("removed_v").isNotNull() & (F.col("removed_v") > vr)).cast("int").alias("tt"),
+    )
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("live").alias("live_files"),
+        F.sum(F.expr("live * bytes")).alias("live_bytes"),
+        F.sum("vac").alias("vacuum_files"),
+        F.sum(F.expr("vac * bytes")).alias("vacuum_bytes"),
+        F.sum("tt").alias("timetravel_held_files"),
+        F.sum(F.expr("tt * bytes")).alias("timetravel_held_bytes"),
+        F.sum("bytes").alias("total_bytes"),
+    )
+    return agg.select(
+        "source",
+        F.col("n_files").cast("bigint").alias("n_files"),
+        F.col("live_files").cast("bigint").alias("live_files"),
+        F.col("live_bytes").cast("bigint").alias("live_bytes"),
+        F.col("vacuum_files").cast("bigint").alias("vacuum_files"),
+        F.col("vacuum_bytes").cast("bigint").alias("vacuum_bytes"),
+        F.col("timetravel_held_files").cast("bigint").alias("timetravel_held_files"),
+        F.col("timetravel_held_bytes").cast("bigint").alias("timetravel_held_bytes"),
+        F.expr("vacuum_bytes * 10000 div total_bytes").cast("bigint").alias("reclaim_bp"),
+    )
+
+
+VACUUM_SQL = f"""
+WITH led AS (
+  SELECT source,
+         octet_length(encode(text)) AS bytes,
+         doc_id % {VACUUM_NV} + 1 AS added_v,
+         CASE WHEN doc_id % 3 = 0 AND doc_id % {VACUUM_NV} + 1 + 1 + doc_id % 4 <= {VACUUM_NV}
+              THEN doc_id % {VACUUM_NV} + 1 + 1 + doc_id % 4
+              ELSE NULL END AS removed_v
+  FROM documents
+),
+flags AS (
+  SELECT source, bytes,
+         CAST(removed_v IS NULL AS INT) AS live,
+         CAST(removed_v IS NOT NULL AND removed_v <= {VACUUM_NV} - {VACUUM_RETAIN} + 1 AS INT) AS vac,
+         CAST(removed_v IS NOT NULL AND removed_v > {VACUUM_NV} - {VACUUM_RETAIN} + 1 AS INT) AS tt
+  FROM led
+)
+SELECT source,
+       count(*)::BIGINT AS n_files,
+       CAST(sum(live) AS BIGINT) AS live_files,
+       CAST(sum(live * bytes) AS BIGINT) AS live_bytes,
+       CAST(sum(vac) AS BIGINT) AS vacuum_files,
+       CAST(sum(vac * bytes) AS BIGINT) AS vacuum_bytes,
+       CAST(sum(tt) AS BIGINT) AS timetravel_held_files,
+       CAST(sum(tt * bytes) AS BIGINT) AS timetravel_held_bytes,
+       CAST(CAST(sum(vac * bytes) AS BIGINT) * 10000 // CAST(sum(bytes) AS BIGINT) AS BIGINT) AS reclaim_bp
+FROM flags
+GROUP BY source
+"""
+
+QUERIES["snapshot_vacuum_plan"] = snapshot_vacuum_plan
+ORACLES["snapshot_vacuum_plan"] = VACUUM_SQL

@@ -2209,3 +2209,205 @@ FROM planted
 
 QUERIES["multimodal_id3_parse"] = multimodal_id3_parse
 ORACLES["multimodal_id3_parse"] = MULTIMODAL_ID3_SQL
+
+
+# --- JPEG marker walk: planted JFIF baseline/progressive images -----------------
+#
+# Fifth container parser beside WAV/Y4M/TIFF/PNG — the other format an
+# image-ingest pipeline meets constantly (public spec: ITU-T T.81 /
+# JFIF 1.02): SOI, APP0-JFIF, a planted number of COM segments, SOF0
+# or SOF2 (baseline vs progressive — dimensions/precision/component
+# count live here), SOS, entropy-coded data, EOI.  Entropy bytes are
+# planted as ASCII-hex characters (never 0xFF), so the kernel's
+# scan-to-next-marker is exact; one in seven files is truncated before
+# EOI and the kernel must still account every entropy byte.  The
+# oracle pins every field arithmetically from the planted parameters —
+# a kernel that mis-walks segment lengths, trusts the JFIF tag
+# blindly, or stops at the first FF inside a COM payload mismatches.
+#
+# Scale: same contract as the sibling kernels — payloads are built and
+# parsed on executors in bounded Arrow batches, no image libraries.
+
+JPEG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("precision_bits", T.LongType()),
+        T.StructField("n_components", T.LongType()),
+        T.StructField("progressive", T.LongType()),
+        T.StructField("n_segments", T.LongType()),
+        T.StructField("com_bytes", T.LongType()),
+        T.StructField("entropy_bytes", T.LongType()),
+        T.StructField("has_jfif", T.LongType()),
+        T.StructField("eoi_ok", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): JPEG-typed media items as real JFIF bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
+    width = (F.lit(16) + (F.col("doc_id") % 40) * 4).cast("bigint")
+    height = (F.lit(16) + (F.col("doc_id") % 30) * 4).cast("bigint")
+    ncomp = F.when(F.col("doc_id") % 2 == 0, F.lit(1)).otherwise(F.lit(3))
+    prog = F.col("doc_id") % 5 < 2
+
+    app0 = F.lit("FFE000104A464946000101000048004800" + "00")
+    com = [
+        F.concat(
+            F.lit("FFFE0022"),
+            F.hex(F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":c{k}"))))),
+        )
+        for k in range(2)
+    ]
+    n_com = F.col("doc_id") % 2 + 1
+    com_hex = F.concat(com[0], F.when(n_com >= 2, com[1]).otherwise(F.lit("")))
+    comps = F.when(ncomp == 1, F.lit("011100")).otherwise(F.lit("011100021100031100"))
+    sof = F.concat(
+        F.when(prog, F.lit("FFC2")).otherwise(F.lit("FFC0")),
+        F.format_string("%04X", (F.lit(8) + ncomp * 3).cast("bigint")),
+        F.lit("08"),
+        F.format_string("%04X", height),
+        F.format_string("%04X", width),
+        F.format_string("%02X", ncomp.cast("bigint")),
+        comps,
+    )
+    sos_comps = F.when(ncomp == 1, F.lit("0100")).otherwise(F.lit("010002000300"))
+    sos = F.concat(
+        F.lit("FFDA"),
+        F.format_string("%04X", (F.lit(6) + ncomp * 2).cast("bigint")),
+        F.format_string("%02X", ncomp.cast("bigint")),
+        sos_comps,
+        F.lit("003F00"),
+    )
+    ne = F.col("doc_id") % 3 + 1
+    ent = [
+        F.hex(F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":e{k}")))))
+        for k in range(3)
+    ]
+    entropy_hex = F.concat(
+        ent[0],
+        F.when(ne >= 2, ent[1]).otherwise(F.lit("")),
+        F.when(ne >= 3, ent[2]).otherwise(F.lit("")),
+    )
+    eoi = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.lit("FFD9"))
+    payload = F.unhex(
+        F.concat(F.lit("FFD8"), app0, com_hex, sof, sos, entropy_hex, eoi)
+    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_jpeg(payload: bytes) -> dict | None:
+    """SOI + marker-segment walk with stdlib struct; length-based skip
+    over COM/APP payloads, scan-to-marker over entropy-coded data;
+    None for non-JPEG bytes."""
+    import struct
+
+    if len(payload) < 2 or payload[:2] != b"\xff\xd8":
+        return None
+    pos, n_segments = 2, 1
+    width = height = precision = ncomp = None
+    progressive = com_bytes = entropy = has_jfif = eoi_ok = 0
+    while pos + 2 <= len(payload):
+        if payload[pos] != 0xFF:
+            break
+        marker = payload[pos + 1]
+        if marker == 0xD9:
+            n_segments += 1
+            eoi_ok = 1
+            break
+        if marker == 0x01 or 0xD0 <= marker <= 0xD7:
+            n_segments += 1
+            pos += 2
+            continue
+        if pos + 4 > len(payload):
+            break
+        (seglen,) = struct.unpack(">H", payload[pos + 2 : pos + 4])
+        data = payload[pos + 4 : pos + 2 + seglen]
+        if len(data) < seglen - 2:
+            break
+        n_segments += 1
+        if marker == 0xE0 and data[:5] == b"JFIF\x00":
+            has_jfif = 1
+        elif marker == 0xFE:
+            com_bytes += seglen - 2
+        elif marker in (0xC0, 0xC2):
+            precision = data[0]
+            height, width = struct.unpack(">HH", data[1:5])
+            ncomp = data[5]
+            progressive = 1 if marker == 0xC2 else 0
+        pos += 2 + seglen
+        if marker == 0xDA:
+            start = pos
+            while pos + 1 < len(payload) and not (
+                payload[pos] == 0xFF and payload[pos + 1] != 0x00
+            ):
+                pos += 1
+            if pos + 1 < len(payload):
+                entropy += pos - start
+            else:
+                entropy += len(payload) - start
+                pos = len(payload)
+    if width is None:
+        return None
+    return {
+        "width": width,
+        "height": height,
+        "precision_bits": precision,
+        "n_components": ncomp,
+        "progressive": progressive,
+        "n_segments": n_segments,
+        "com_bytes": com_bytes,
+        "entropy_bytes": entropy,
+        "has_jfif": has_jfif,
+        "eoi_ok": eoi_ok,
+    }
+
+
+def multimodal_jpeg_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched JPEG marker walk over the planted media items."""
+    jpegs = jpeg_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_jpeg(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "jpeg-stdlib"})
+                cols = [f.name for f in JPEG_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return jpegs.mapInPandas(fn, JPEG_SCHEMA)
+
+
+# Oracle: every field recomputed arithmetically from the planted
+# parameters (32 ASCII-hex entropy bytes per planted md5, 1 + doc_id % 3
+# blocks, 34-byte COM segments, EOI dropped iff doc_id % 7 = 0).
+MULTIMODAL_JPEG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(16 + (doc_id % 40) * 4 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 30) * 4 AS BIGINT) AS height,
+       CAST(8 AS BIGINT) AS precision_bits,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 3 END AS BIGINT) AS n_components,
+       CAST(CASE WHEN doc_id % 5 < 2 THEN 1 ELSE 0 END AS BIGINT) AS progressive,
+       CAST(4 + (doc_id % 2 + 1) + CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS n_segments,
+       CAST(32 * (doc_id % 2 + 1) AS BIGINT) AS com_bytes,
+       CAST(32 * (doc_id % 3 + 1) AS BIGINT) AS entropy_bytes,
+       CAST(1 AS BIGINT) AS has_jfif,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS eoi_ok,
+       'jpeg-stdlib' AS parser
+FROM documents WHERE doc_id % 3 = 2
+"""
+
+QUERIES["multimodal_jpeg_headers"] = multimodal_jpeg_headers
+ORACLES["multimodal_jpeg_headers"] = MULTIMODAL_JPEG_SQL

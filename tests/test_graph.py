@@ -38,3 +38,30 @@ def test_triangle_count_ring_floor(spark):
     # participation is sorted desc with id tie-break
     counts = [r.n_triangles for r in rows]
     assert counts == sorted(counts, reverse=True)
+
+
+def test_katz_centrality_python_replay(spark):
+    """Katz is exactly reproducible from the planted edge formulas with
+    plain-integer arithmetic — replay the attenuated path-count rounds
+    in Python and compare the full top-K frame."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    n = load_table(spark, SF_CORRECT, "documents").count()
+    edges = []
+    for u in range(n):
+        for v in {(u * 31 + 7) % n, (u * 17 + 3) % n, (u * 13 + 11) % n, (u * 7 + 1) % min(n, 50)}:
+            edges.append((u, v))
+    t = [graph.SCALE] * n
+    katz = [0] * n
+    for _ in range(graph.KATZ_ITERS):
+        m = [0] * n
+        for u, v in edges:
+            m[v] += t[u] // graph.KATZ_BETA_DEN
+        t = m
+        katz = [katz[i] + m[i] for i in range(n)]
+    expect = sorted(range(n), key=lambda i: (-katz[i], i))[: graph.TOP_K]
+    got = graph.graph_katz_centrality(spark, SF_CORRECT).collect()
+    assert [r.doc_id for r in got] == expect
+    assert [r.katz_scaled for r in got] == [katz[i] for i in expect]

@@ -50,3 +50,15 @@ def test_compaction_bins_bounded_and_complete(spark):
         by_source.setdefault(r.source, []).append(r.bin_id)
     for bins in by_source.values():
         assert sorted(bins) == list(range(len(bins)))  # contiguous bins
+
+
+def test_vacuum_plan_partitions_files(spark):
+    """live + vacuumable + time-travel-held must partition every file,
+    and byte columns must add up the same way."""
+    from .conftest import SF_CORRECT
+
+    for r in layout.snapshot_vacuum_plan(spark, SF_CORRECT).collect():
+        assert r.live_files + r.vacuum_files + r.timetravel_held_files == r.n_files
+        total = r.live_bytes + r.vacuum_bytes + r.timetravel_held_bytes
+        assert r.reclaim_bp == r.vacuum_bytes * 10000 // total
+        assert 0 <= r.reclaim_bp <= 10000

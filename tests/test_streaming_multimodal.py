@@ -514,3 +514,36 @@ def test_id3_parser_syncsafe_and_rejection():
     hdr2 = b"ID3\x03\x00\x00" + bytes([0, 0, 1, 1])
     parsed = parse_id3(hdr2 + frames2)
     assert parsed is not None and parsed["tag_size"] == 129 and parsed["n_frames"] == 3
+
+
+def test_jpeg_kernel_rejects_and_truncation():
+    """parse_jpeg: non-JPEG bytes are rejected; a truncated stream still
+    accounts its entropy bytes and reports eoi_ok=0."""
+    from iris_project_database_refresh_spark.operators.multimodal import parse_jpeg
+
+    assert parse_jpeg(b"") is None
+    assert parse_jpeg(b"\x89PNG\r\n\x1a\n") is None
+    assert parse_jpeg(b"\xff\xd8\xff\xe0") is None  # header but no SOF
+
+    def seg(marker, data):
+        return bytes([0xFF, marker]) + (len(data) + 2).to_bytes(2, "big") + data
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00H\x00H\x00\x00")
+    sof = seg(0xC0, bytes([8]) + (24).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    sos = seg(0xDA, bytes([1, 1, 0]) + b"\x00\x3f\x00")
+    entropy = b"ABCDEF0123"  # ascii-hex, no 0xFF
+    full = b"\xff\xd8" + app0 + sof + sos + entropy + b"\xff\xd9"
+    p = parse_jpeg(full)
+    assert p == {
+        "width": 32, "height": 24, "precision_bits": 8, "n_components": 1,
+        "progressive": 0, "n_segments": 5, "com_bytes": 0,
+        "entropy_bytes": 10, "has_jfif": 1, "eoi_ok": 1,
+    }
+    # truncated before EOI: every entropy byte still counted
+    trunc = b"\xff\xd8" + app0 + sof + sos + entropy
+    p2 = parse_jpeg(trunc)
+    assert p2["eoi_ok"] == 0 and p2["entropy_bytes"] == 10 and p2["n_segments"] == 4
+    # progressive SOF2 flagged
+    sof2 = seg(0xC2, bytes([8]) + (24).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
+    p3 = parse_jpeg(b"\xff\xd8" + app0 + sof2 + sos + entropy + b"\xff\xd9")
+    assert p3["progressive"] == 1

@@ -95,3 +95,22 @@ def test_tokenizer_segment_greedy_reference(spark, oracle):
     for r in docs:
         assert r.n_pieces == sum(greedy(w) for w in words[r.doc_id])
         assert r.n_words == len(words[r.doc_id])
+
+
+def test_good_turing_identities(spark):
+    """N_{r+1} consistency: each row's n_r_next equals the n_r of the
+    row at r+1 where present; r* is null exactly when n_r_next = 0; the
+    unseen mass is N_1/N in micro."""
+    from .conftest import SF_CORRECT
+
+    rows = {r.r: r for r in textmodel.good_turing_counts(spark, SF_CORRECT).collect()}
+    for r, row in rows.items():
+        if r + 1 in rows:
+            assert row.n_r_next == rows[r + 1].n_r
+        if row.n_r_next == 0:
+            assert row.r_star_milli is None
+        else:
+            assert row.r_star_milli == (r + 1) * row.n_r_next * 1000 // row.n_r
+    one = rows.get(1)
+    if one is not None:
+        assert one.p_unseen_micro == one.n_r * 1000000 // one.n_tokens

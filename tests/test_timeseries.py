@@ -78,3 +78,59 @@ def test_cusum_alarm_semantics(spark):
                 expect[day] = s
         got = {r.day: r.cusum for r in rows if r.event_type == et}
         assert got == expect
+
+
+def test_croston_fold_replay(spark):
+    """The Croston state for a few parts replays exactly in Python from
+    the weekly demand series."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.l_partkey: r for r in timeseries.part_croston_demand(spark, SF_CORRECT).collect()}
+    li = load_table(spark, SF_CORRECT, "lineitem")
+    weekly = (
+        li.groupBy(
+            "l_partkey",
+            F.expr(
+                f"datediff(cast(date_trunc('day', l_shipdate) as date),"
+                f" cast('{timeseries.CROSTON_EPOCH}' as date)) div 7"
+            ).alias("w"),
+        )
+        .agg(F.sum(F.floor(F.col("l_quantity") * 100 + F.lit(0.5)).cast("bigint")).alias("c"))
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in weekly:
+        series.setdefault(r.l_partkey, []).append((r.w, r.c))
+    checked = 0
+    for pk in sorted(series)[:5]:
+        pts = sorted(series[pk])
+        if len(pts) < 3:
+            continue
+        z = pts[0][1] * 1000
+        p = (pts[1][0] - pts[0][0]) * 1000
+        pw = pts[1][0]
+        for w, c in pts[2:]:
+            z = (200 * c * 1000 + 800 * z) // 1000
+            p = (200 * (w - pw) * 1000 + 800 * p) // 1000
+            pw = w
+        r = got[pk]
+        assert (r.size_milli, r.interval_milli) == (z, p)
+        assert r.croston_rate_milli == z * 1000 // p
+        checked += 1
+    assert checked >= 3
+
+
+def test_demand_classify_consistent(spark):
+    """Class labels must be the deterministic function of the adi/cv2
+    columns they ship beside."""
+    for r in timeseries.part_demand_classify(spark, SF_CORRECT).collect():
+        lo_adi = r.adi_milli < timeseries.SBC_ADI_MILLI
+        lo_cv = r.cv2_bp < timeseries.SBC_CV2_BP
+        expect = (
+            "smooth" if lo_adi and lo_cv
+            else "intermittent" if not lo_adi and lo_cv
+            else "erratic" if lo_adi
+            else "lumpy"
+        )
+        assert r.demand_class == expect
