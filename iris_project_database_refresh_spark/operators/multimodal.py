@@ -2411,3 +2411,222 @@ FROM documents WHERE doc_id % 3 = 2
 
 QUERIES["multimodal_jpeg_headers"] = multimodal_jpeg_headers
 ORACLES["multimodal_jpeg_headers"] = MULTIMODAL_JPEG_SQL
+
+
+# --- GIF block walk: planted GIF87a/89a images ----------------------------------
+#
+# Sixth container parser (public spec: GIF87a/GIF89a, CompuServe 1987/
+# 1989 — the format with the OTHER endianness: all multi-byte fields
+# little-endian, vs PNG/JPEG's big-endian): signature+version, logical
+# screen descriptor, optional global color table (skip by size
+# arithmetic), an optional graphic-control extension (0x21 label +
+# sub-block chain), one image descriptor, the LZW data SUB-BLOCK CHAIN
+# (the structural heart — length-prefixed blocks until the 0
+# terminator; data is ASCII-hex so no byte ever fakes a block header),
+# and the 0x3B trailer, absent in one of seven files.  The oracle pins
+# every field arithmetically from the planted parameters — a kernel
+# that misreads LE dims, forgets to skip the GCT, or stops the
+# sub-block walk early hash-mismatches.
+#
+# Scale: same contract as the sibling kernels — payloads built and
+# parsed on executors in bounded Arrow batches, no image libraries.
+
+GIF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("version", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("gct_colors", T.LongType()),
+        T.StructField("n_images", T.LongType()),
+        T.StructField("n_extensions", T.LongType()),
+        T.StructField("data_bytes", T.LongType()),
+        T.StructField("n_subblocks", T.LongType()),
+        T.StructField("trailer_ok", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def _le16(col):
+    """Little-endian 16-bit hex of a bigint column."""
+    return F.concat(
+        F.format_string("%02X", (col % 256).cast("bigint")),
+        F.format_string("%02X", (col / 256).cast("bigint")),
+    )
+
+
+def gif_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): GIF-typed media items as real GIF bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
+    width = (F.lit(16) + (F.col("doc_id") % 48) * 2).cast("bigint")
+    height = (F.lit(16) + (F.col("doc_id") % 36) * 2).cast("bigint")
+    has_gct = F.col("doc_id") % 2 == 0
+    sig = F.when(F.col("doc_id") % 6 == 0, F.lit("474946383761")).otherwise(
+        F.lit("474946383961")
+    )  # GIF87a : GIF89a
+    # packed: GCT flag<<7 | color-res 001<<4 | sort 0 | GCT size N=1 (4 colors)
+    lsd = F.concat(
+        _le16(width),
+        _le16(height),
+        F.when(has_gct, F.lit("91")).otherwise(F.lit("11")),
+        F.lit("00"),  # background color index
+        F.lit("00"),  # aspect
+    )
+    gct = F.when(
+        has_gct,
+        F.substring(
+            F.concat(
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":g0"))),
+                F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":g1"))),
+            ),
+            1,
+            24,  # 4 colors x 3 bytes = 12 bytes = 24 hex chars
+        ),
+    ).otherwise(F.lit(""))
+    gce = F.when(
+        F.col("doc_id") % 4 == 0, F.lit("21F904000A000000")
+    ).otherwise(F.lit(""))
+    imgdesc = F.concat(
+        F.lit("2C"),
+        F.lit("0000"),  # left
+        F.lit("0000"),  # top
+        _le16(width),
+        _le16(height),
+        F.lit("00"),  # no local color table
+        F.lit("08"),  # LZW min code size
+    )
+    nsub = F.col("doc_id") % 3 + 1
+    subs = [
+        F.concat(
+            F.lit("20"),  # 32-byte sub-block
+            F.hex(F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":s{k}"))))),
+        )
+        for k in range(3)
+    ]
+    sub_hex = F.concat(
+        subs[0],
+        F.when(nsub >= 2, subs[1]).otherwise(F.lit("")),
+        F.when(nsub >= 3, subs[2]).otherwise(F.lit("")),
+        F.lit("00"),  # block terminator
+    )
+    trailer = F.when(F.col("doc_id") % 7 == 0, F.lit("")).otherwise(F.lit("3B"))
+    payload = F.unhex(F.concat(sig, lsd, gct, gce, imgdesc, sub_hex, trailer))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_gif(payload: bytes) -> dict | None:
+    """Signature + LE screen descriptor + block walk with stdlib
+    struct; skips color tables by size arithmetic, walks sub-block
+    chains; None for non-GIF bytes."""
+    import struct
+
+    if len(payload) < 13 or payload[:4] != b"GIF8" or payload[4:6] not in (b"7a", b"9a"):
+        return None
+    version = 87 if payload[4:6] == b"7a" else 89
+    width, height = struct.unpack("<HH", payload[6:10])
+    packed, _bg, _aspect = payload[10], payload[11], payload[12]
+    pos = 13
+    gct_colors = 0
+    if packed & 0x80:
+        gct_colors = 2 << (packed & 0x07)
+        pos += 3 * gct_colors
+    n_images = n_ext = data_bytes = n_subblocks = trailer_ok = 0
+
+    def walk_subblocks(p):
+        nonlocal data_bytes, n_subblocks
+        while p < len(payload):
+            blen = payload[p]
+            p += 1
+            if blen == 0:
+                return p
+            data_bytes += blen
+            n_subblocks += 1
+            p += blen
+        return p
+
+    while pos < len(payload):
+        b = payload[pos]
+        if b == 0x3B:
+            trailer_ok = 1
+            pos += 1
+            break
+        if b == 0x21:  # extension: label + sub-block chain (not counted as data)
+            n_ext += 1
+            pos += 2
+            while pos < len(payload):
+                blen = payload[pos]
+                pos += 1
+                if blen == 0:
+                    break
+                pos += blen
+        elif b == 0x2C:  # image descriptor
+            if pos + 10 > len(payload):
+                break
+            lpacked = payload[pos + 9]
+            pos += 10
+            if lpacked & 0x80:
+                pos += 3 * (2 << (lpacked & 0x07))
+            pos += 1  # LZW minimum code size
+            n_images += 1
+            pos = walk_subblocks(pos)
+        else:
+            break
+    return {
+        "version": version,
+        "width": width,
+        "height": height,
+        "gct_colors": gct_colors,
+        "n_images": n_images,
+        "n_extensions": n_ext,
+        "data_bytes": data_bytes,
+        "n_subblocks": n_subblocks,
+        "trailer_ok": trailer_ok,
+    }
+
+
+def multimodal_gif_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched GIF block walk over the planted media items."""
+    gifs = gif_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_gif(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "gif-stdlib"})
+                cols = [f.name for f in GIF_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return gifs.mapInPandas(fn, GIF_SCHEMA)
+
+
+# Oracle: every field pinned arithmetically from the planted params
+# (GCT iff doc_id even -> 4 colors; GCE iff doc_id % 4 = 0; 1 + doc_id % 3
+# 32-byte sub-blocks; GIF87a iff doc_id % 6 = 0; trailer dropped iff
+# doc_id % 7 = 0).
+MULTIMODAL_GIF_SQL = """
+SELECT doc_id AS media_id,
+       CAST(CASE WHEN doc_id % 6 = 0 THEN 87 ELSE 89 END AS BIGINT) AS version,
+       CAST(16 + (doc_id % 48) * 2 AS BIGINT) AS width,
+       CAST(16 + (doc_id % 36) * 2 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 4 ELSE 0 END AS BIGINT) AS gct_colors,
+       CAST(1 AS BIGINT) AS n_images,
+       CAST(CASE WHEN doc_id % 4 = 0 THEN 1 ELSE 0 END AS BIGINT) AS n_extensions,
+       CAST(32 * (doc_id % 3 + 1) AS BIGINT) AS data_bytes,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_subblocks,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 0 ELSE 1 END AS BIGINT) AS trailer_ok,
+       'gif-stdlib' AS parser
+FROM documents WHERE doc_id % 3 = 0
+"""
+
+QUERIES["multimodal_gif_headers"] = multimodal_gif_headers
+ORACLES["multimodal_gif_headers"] = MULTIMODAL_GIF_SQL

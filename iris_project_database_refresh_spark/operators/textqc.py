@@ -2076,3 +2076,124 @@ FROM rolled r JOIN per_source p ON r.source = p.source
 
 QUERIES["blocklist_screen"] = blocklist_screen
 ORACLES["blocklist_screen"] = BLOCKLIST_SQL
+
+
+# --- quality-threshold sweep ----------------------------------------------------
+#
+# The sweep pattern (dedup_band_sweep / sessionize_gap_sweep /
+# ivf_nprobe_sweep) applied to perplexity-style filtering: before a
+# corpus ships, the curator needs the retention curve — at each
+# candidate quality bar, how many documents and tokens survive and how
+# does the mean quality of the survivors move?  Thresholds are the
+# corpus's own score deciles (data-driven, like corpus_ppl_buckets'
+# tertiles), so the sweep is meaningful at any corpus scale.
+#
+# Device: per-token log-probs land as floor(ln(cnt/total)·1e4) exact
+# integers (the zipf/dirichlet ln-quantize device) — per-doc scores are
+# integer truncating means, deciles are values at deterministic row
+# positions, and every kept/total sum is exact — no float summation
+# anywhere, unlike the display-grade avg in quality_unigram_logprob.
+#
+# Plan: the same explode → vocab join → per-doc agg the unigram scorer
+# runs, then a 9-row broadcast of decile thresholds cross-joined onto
+# the bounded per-doc score table; one final 9-group agg.
+
+def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.explode(tokens(F.col("text"))).alias("token"))
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    lp = (
+        toks.join(vocab, "token")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "doc_id",
+            F.expr("cast(floor(ln(cnt / cast(total as double)) * 10000) as bigint)").alias(
+                "lq"
+            ),
+        )
+    )
+    per_doc = lp.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("nt"), F.sum("lq").alias("s")
+    ).select("doc_id", "nt", F.expr("s div nt").alias("score"))
+    nd = per_doc.agg(
+        F.count(F.lit(1)).alias("n"), F.sum("nt").alias("all_tokens")
+    )
+    ranked = per_doc.withColumn(
+        "rn", F.row_number().over(Window.orderBy("score", "doc_id"))
+    ).crossJoin(F.broadcast(nd))
+    deciles = (
+        ranked.join(
+            F.broadcast(
+                spark.range(1, 10).select(F.col("id").cast("bigint").alias("decile"))
+            ),
+            F.expr("rn = (decile * n) div 10"),
+        )
+        .select("decile", F.col("score").alias("thr_e4"), "n", "all_tokens")
+    )
+    sweep = per_doc.crossJoin(F.broadcast(deciles)).groupBy(
+        "decile", "thr_e4", "n", "all_tokens"
+    ).agg(
+        F.sum((F.col("score") >= F.col("thr_e4")).cast("int")).alias("docs_kept"),
+        F.sum(F.expr("case when score >= thr_e4 then nt else 0 end")).alias("tokens_kept"),
+        F.sum(F.expr("case when score >= thr_e4 then score else 0 end")).alias("kept_sum"),
+    )
+    return sweep.select(
+        "decile",
+        "thr_e4",
+        F.col("docs_kept").cast("bigint").alias("docs_kept"),
+        F.expr("docs_kept * 10000 div n").cast("bigint").alias("docs_kept_bp"),
+        F.col("tokens_kept").cast("bigint").alias("tokens_kept"),
+        F.expr("tokens_kept * 10000 div all_tokens").cast("bigint").alias("tokens_kept_bp"),
+        F.expr("case when docs_kept > 0 then kept_sum div docs_kept end")
+        .cast("bigint")
+        .alias("mean_kept_score_e4"),
+    )
+
+
+QUALITY_SWEEP_SQL = """
+WITH toks AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS token
+  FROM documents
+),
+vocab AS (SELECT token, count(*)::BIGINT AS cnt FROM toks GROUP BY token),
+total AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM vocab),
+lp AS (
+  SELECT doc_id,
+         CAST(floor(ln(cnt / CAST(total AS DOUBLE)) * 10000) AS BIGINT) AS lq
+  FROM toks JOIN vocab USING (token), total
+),
+per_doc AS (
+  SELECT doc_id, count(*)::BIGINT AS nt, CAST(sum(lq) // count(*) AS BIGINT) AS score
+  FROM lp GROUP BY doc_id
+),
+nd AS (SELECT count(*)::BIGINT AS n, CAST(sum(nt) AS BIGINT) AS all_tokens FROM per_doc),
+ranked AS (
+  SELECT score, row_number() OVER (ORDER BY score, doc_id) AS rn FROM per_doc
+),
+deciles AS (
+  SELECT d.decile, r.score AS thr_e4, nd.n, nd.all_tokens
+  FROM ranked r
+  CROSS JOIN nd
+  JOIN (VALUES (1),(2),(3),(4),(5),(6),(7),(8),(9)) d(decile)
+    ON r.rn = (d.decile * nd.n) // 10
+),
+sweep AS (
+  SELECT decile, thr_e4, n, all_tokens,
+         CAST(sum(CASE WHEN score >= thr_e4 THEN 1 ELSE 0 END) AS BIGINT) AS docs_kept,
+         CAST(sum(CASE WHEN score >= thr_e4 THEN nt ELSE 0 END) AS BIGINT) AS tokens_kept,
+         CAST(sum(CASE WHEN score >= thr_e4 THEN score ELSE 0 END) AS BIGINT) AS kept_sum
+  FROM per_doc CROSS JOIN deciles
+  GROUP BY decile, thr_e4, n, all_tokens
+)
+SELECT CAST(decile AS BIGINT) AS decile, thr_e4, docs_kept,
+       CAST(docs_kept * 10000 // n AS BIGINT) AS docs_kept_bp,
+       tokens_kept,
+       CAST(tokens_kept * 10000 // all_tokens AS BIGINT) AS tokens_kept_bp,
+       CASE WHEN docs_kept > 0 THEN CAST(kept_sum // docs_kept AS BIGINT)
+            ELSE CAST(NULL AS BIGINT) END AS mean_kept_score_e4
+FROM sweep
+"""
+
+QUERIES["quality_threshold_sweep"] = quality_threshold_sweep
+ORACLES["quality_threshold_sweep"] = QUALITY_SWEEP_SQL

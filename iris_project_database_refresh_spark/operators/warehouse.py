@@ -1364,3 +1364,233 @@ FROM walk WHERE i = nm
 
 QUERIES["part_ss_inventory_sim"] = part_ss_inventory_sim
 ORACLES["part_ss_inventory_sim"] = SS_SIM_SQL
+
+
+# --- SCD2 conformance audit -----------------------------------------------------
+#
+# The validation pass a dimension table needs AFTER history building
+# (scd2_intervals / cdc_to_scd2 construct; this audits): per key, SCD2
+# invariants are (a) intervals never overlap, (b) no gaps between
+# consecutive intervals, (c) exactly one open (current) interval.  A
+# clean build trivially satisfies all three, so the audit runs over a
+# PLANTED corruption of the interval table — every 13th key's first
+# interval has valid_to pushed 5 days late (an overlap wherever the
+# key's version spacing is shorter than that), every 17th key's second
+# interval starts 2 days late (gap), every 19th key's second-to-last
+# closed interval is re-opened (double-current) — and must measure
+# exactly the defect geometry both engines derive from the same plant
+# (the plant-and-verify pattern of the PII/heading/OCR operators).
+#
+# Plan: intervals per key are built from one explode, the audit is one
+# lag window per key — both partition on doc_id; the rollup is a
+# handful of rows.
+
+SCD2_OVERLAP_EVERY = 13
+SCD2_GAP_EVERY = 17
+SCD2_REOPEN_EVERY = 19
+
+
+def _scd2_corrupted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = scd2_intervals(spark, sf_dir)
+    overlap = (F.col("doc_id") % SCD2_OVERLAP_EVERY == 0) & (
+        F.col("rn") == 1
+    ) & F.col("valid_to").isNotNull()
+    gap = (F.col("doc_id") % SCD2_GAP_EVERY == 0) & (F.col("rn") == 2)
+    w = Window.partitionBy("doc_id").orderBy("valid_from")
+    tagged = base.withColumn("rn", F.row_number().over(w)).withColumn(
+        "nmax", F.max("rn").over(Window.partitionBy("doc_id"))
+    )
+    return tagged.select(
+        "doc_id",
+        "attr",
+        "rn",
+        F.when(gap, F.date_add("valid_from", 2)).otherwise(F.col("valid_from")).alias(
+            "valid_from"
+        ),
+        F.when(overlap, F.date_add("valid_to", 5))
+        .when(
+            (F.col("doc_id") % SCD2_REOPEN_EVERY == 0)
+            & (F.col("rn") == F.col("nmax") - 1)
+            & (F.col("nmax") >= 2),
+            F.lit(None).cast("date"),
+        )
+        .otherwise(F.col("valid_to"))
+        .alias("valid_to"),
+    )
+
+
+def scd2_conformance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    iv = _scd2_corrupted(spark, sf_dir)
+    w = Window.partitionBy("doc_id").orderBy("valid_from", "rn")
+    lagged = iv.select(
+        "doc_id",
+        "valid_from",
+        "valid_to",
+        F.lag("valid_to").over(w).alias("prev_to"),
+    )
+    per_key = lagged.groupBy("doc_id").agg(
+        F.sum(
+            (F.col("prev_to").isNotNull() & (F.col("valid_from") < F.col("prev_to")))
+            .cast("int")
+        ).alias("overlap_cnt"),
+        F.sum(
+            (F.col("prev_to").isNotNull() & (F.col("valid_from") > F.col("prev_to")))
+            .cast("int")
+        ).alias("gaps"),
+        F.sum(F.col("valid_to").isNull().cast("int")).alias("open_intervals"),
+        F.count(F.lit(1)).alias("n_intervals"),
+    )
+    return per_key.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.sum("n_intervals").cast("bigint").alias("n_intervals"),
+        F.sum((F.col("overlap_cnt") > 0).cast("int")).cast("bigint").alias("keys_with_overlap"),
+        F.sum("overlap_cnt").cast("bigint").alias("overlap_pairs"),
+        F.sum((F.col("gaps") > 0).cast("int")).cast("bigint").alias("keys_with_gap"),
+        F.sum("gaps").cast("bigint").alias("gap_pairs"),
+        F.sum((F.col("open_intervals") != 1).cast("int"))
+        .cast("bigint")
+        .alias("keys_bad_current"),
+        F.sum((F.col("open_intervals") > 1).cast("int"))
+        .cast("bigint")
+        .alias("keys_multi_current"),
+    )
+
+
+SCD2_AUDIT_SQL = f"""
+WITH vers AS (
+  SELECT doc_id,
+         DATE '2024-01-01' + CAST((doc_id % 7 + 1) * k AS INTEGER) AS valid_from
+  FROM documents
+  CROSS JOIN (VALUES (0), (1), (2)) v(k)
+  WHERE k <= doc_id % {MAX_VERSIONS}
+),
+base AS (
+  SELECT doc_id, valid_from,
+         lead(valid_from) OVER (PARTITION BY doc_id ORDER BY valid_from) AS valid_to,
+         row_number() OVER (PARTITION BY doc_id ORDER BY valid_from) AS rn,
+         count(*) OVER (PARTITION BY doc_id) AS nmax
+  FROM vers
+),
+corrupted AS (
+  SELECT doc_id, rn,
+         CASE WHEN doc_id % {SCD2_GAP_EVERY} = 0 AND rn = 2
+              THEN valid_from + 2 ELSE valid_from END AS valid_from,
+         CASE WHEN doc_id % {SCD2_OVERLAP_EVERY} = 0 AND rn = 1 AND valid_to IS NOT NULL
+              THEN valid_to + 5
+              WHEN doc_id % {SCD2_REOPEN_EVERY} = 0 AND rn = nmax - 1 AND nmax >= 2
+              THEN NULL
+              ELSE valid_to END AS valid_to
+  FROM base
+),
+lagged AS (
+  SELECT doc_id, valid_from, valid_to,
+         lag(valid_to) OVER (PARTITION BY doc_id ORDER BY valid_from, rn) AS prev_to
+  FROM corrupted
+),
+per_key AS (
+  SELECT doc_id,
+         CAST(sum(CASE WHEN prev_to IS NOT NULL AND valid_from < prev_to THEN 1 ELSE 0 END) AS BIGINT) AS overlap_cnt,
+         CAST(sum(CASE WHEN prev_to IS NOT NULL AND valid_from > prev_to THEN 1 ELSE 0 END) AS BIGINT) AS gaps,
+         CAST(sum(CASE WHEN valid_to IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS open_intervals,
+         count(*)::BIGINT AS n_intervals
+  FROM lagged GROUP BY doc_id
+)
+SELECT count(*)::BIGINT AS n_keys,
+       CAST(sum(n_intervals) AS BIGINT) AS n_intervals,
+       CAST(sum(CASE WHEN overlap_cnt > 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_with_overlap,
+       CAST(sum(overlap_cnt) AS BIGINT) AS overlap_pairs,
+       CAST(sum(CASE WHEN gaps > 0 THEN 1 ELSE 0 END) AS BIGINT) AS keys_with_gap,
+       CAST(sum(gaps) AS BIGINT) AS gap_pairs,
+       CAST(sum(CASE WHEN open_intervals <> 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_bad_current,
+       CAST(sum(CASE WHEN open_intervals > 1 THEN 1 ELSE 0 END) AS BIGINT) AS keys_multi_current
+FROM per_key
+"""
+
+QUERIES["scd2_conformance_audit"] = scd2_conformance_audit
+ORACLES["scd2_conformance_audit"] = SCD2_AUDIT_SQL
+
+
+# --- supplier lead-time lognormal fit -------------------------------------------
+#
+# Ship lead times are the textbook lognormal (multiplicative delays);
+# the distribution fit behind supplier_fill_rate_sla's pass/fail view:
+# per supplier, fit ln(days+1) by method of moments and report the
+# p95 quantile position mu + 1.6449 sigma in ln space — the number a
+# promise-date engine quotes.  Devices: ln quantized to 1e-4 fixed
+# point (the zipf/dirichlet device) so all sums are exact integers;
+# variance via the n*S2 - S1^2 identity; the single sqrt runs on an
+# identical integer-derived double in both engines.
+#
+# Plan: one lineitem⋈orders co-partitioned join (AQE), then a
+# supplier-keyed two-sum aggregation — map-side partials, no windows.
+
+def supplier_leadtime_lognormal(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    # the synthetic dates are independent, so negative "lead times"
+    # exist — the fit runs over the ship-after-order population only
+    # (the same subset a real promise-date model trains on)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.expr(
+                "datediff(cast(date_trunc('day', l_shipdate) as date),"
+                " cast(date_trunc('day', o_orderdate) as date))"
+            ).alias("days"),
+        )
+        .where(F.col("days") >= 0)
+        .select(
+            "l_suppkey",
+            F.expr("cast(floor(ln(cast(days + 1 as double)) * 10000) as bigint)").alias("lq"),
+        )
+    )
+    agg = j.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("lq").alias("s1"),
+        F.sum(F.expr("lq * lq")).alias("s2"),
+    )
+    return agg.where(F.col("n") >= 2).select(
+        "l_suppkey",
+        F.col("n").cast("bigint").alias("n_shipments"),
+        F.expr("s1 div n").cast("bigint").alias("mu_ln_e4"),
+        F.expr(
+            "cast(floor(sqrt(cast((n * s2 - s1 * s1) div (n * n) as double))) as bigint)"
+        ).alias("sigma_ln_e4"),
+        F.expr(
+            "s1 div n + 16449 * cast(floor(sqrt(cast((n * s2 - s1 * s1) div (n * n)"
+            " as double))) as bigint) div 10000"
+        )
+        .cast("bigint")
+        .alias("p95_ln_e4"),
+    )
+
+
+LEADTIME_SQL = """
+WITH d AS (
+  SELECT l_suppkey,
+         date_diff('day', CAST(date_trunc('day', o_orderdate) AS DATE),
+                   CAST(date_trunc('day', l_shipdate) AS DATE)) AS days
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+j AS (
+  SELECT l_suppkey,
+         CAST(floor(ln(CAST(days + 1 AS DOUBLE)) * 10000) AS BIGINT) AS lq
+  FROM d WHERE days >= 0
+),
+agg AS (
+  SELECT l_suppkey, count(*)::BIGINT AS n,
+         CAST(sum(lq) AS BIGINT) AS s1, CAST(sum(lq * lq) AS BIGINT) AS s2
+  FROM j GROUP BY l_suppkey
+)
+SELECT l_suppkey, n AS n_shipments,
+       CAST(s1 // n AS BIGINT) AS mu_ln_e4,
+       CAST(floor(sqrt(CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE))) AS BIGINT) AS sigma_ln_e4,
+       CAST(s1 // n + 16449 * CAST(floor(sqrt(CAST((n * s2 - s1 * s1) // (n * n) AS DOUBLE))) AS BIGINT) // 10000 AS BIGINT) AS p95_ln_e4
+FROM agg WHERE n >= 2
+"""
+
+QUERIES["supplier_leadtime_lognormal"] = supplier_leadtime_lognormal
+ORACLES["supplier_leadtime_lognormal"] = LEADTIME_SQL

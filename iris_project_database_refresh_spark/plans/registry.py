@@ -211,6 +211,8 @@ _DRIVER_PRIORITY = [
     "search_mmr_diversify", "multimodal_jpeg_headers",
     "part_croston_demand", "snapshot_vacuum_plan",
     "graph_katz_centrality", "part_demand_classify",
+    "scd2_conformance_audit", "supplier_leadtime_lognormal",
+    "quality_threshold_sweep", "multimodal_gif_headers",
 ]
 
 

@@ -154,3 +154,65 @@ def test_seasonality_covers_the_week(spark):
     assert {r.hour for r in rows} == set(range(24))
     assert abs(sum(r.share for r in rows) - 1.0) < 1e-3
     assert sum(r.n for r in rows) == 10000
+
+
+def test_scd2_audit_measures_planted_defects(spark):
+    """All four defect columns must be non-zero (each plant fires) and
+    internally consistent: here re-opening is the only current-flag
+    corruption, so bad-current keys == multi-current keys."""
+    from iris_project_database_refresh_spark.operators import warehouse
+
+    from .conftest import SF_CORRECT
+
+    r = warehouse.scd2_conformance_audit(spark, SF_CORRECT).collect()[0]
+    assert r.keys_with_overlap > 0 and r.keys_with_gap > 0
+    assert r.keys_multi_current > 0
+    assert r.keys_bad_current == r.keys_multi_current
+    assert r.overlap_pairs >= r.keys_with_overlap
+    assert r.n_intervals > r.n_keys
+
+
+def test_leadtime_lognormal_python_replay(spark):
+    """mu/sigma for a few suppliers replay exactly from the joined
+    ship-after-order day series."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.operators import warehouse
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    got = {
+        r.l_suppkey: r
+        for r in warehouse.supplier_leadtime_lognormal(spark, SF_CORRECT).collect()
+    }
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_suppkey", "l_orderkey", "l_shipdate")
+    orders = load_table(spark, SF_CORRECT, "orders").select("o_orderkey", "o_orderdate")
+    days = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .select(
+            "l_suppkey",
+            F.expr(
+                "datediff(cast(date_trunc('day', l_shipdate) as date),"
+                " cast(date_trunc('day', o_orderdate) as date))"
+            ).alias("d"),
+        )
+        .where("d >= 0 and l_suppkey < 3")
+        .collect()
+    )
+    series: dict[int, list] = {}
+    for r in days:
+        series.setdefault(r.l_suppkey, []).append(r.d)
+    for sk, ds in series.items():
+        lqs = [math.floor(math.log(d + 1) * 10000) for d in ds]
+        n, s1, s2 = len(lqs), sum(lqs), sum(x * x for x in lqs)
+        if n < 2:
+            continue
+        r = got[sk]
+        assert r.n_shipments == n
+        assert s1 >= 0  # ln(days+1) >= 0, so // matches truncating div
+        assert r.mu_ln_e4 == s1 // n
+        var = (n * s2 - s1 * s1) // (n * n)
+        assert r.sigma_ln_e4 == math.floor(math.sqrt(float(var)))

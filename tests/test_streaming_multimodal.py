@@ -547,3 +547,31 @@ def test_jpeg_kernel_rejects_and_truncation():
     sof2 = seg(0xC2, bytes([8]) + (24).to_bytes(2, "big") + (32).to_bytes(2, "big") + bytes([1, 1, 0x11, 0]))
     p3 = parse_jpeg(b"\xff\xd8" + app0 + sof2 + sos + entropy + b"\xff\xd9")
     assert p3["progressive"] == 1
+
+
+def test_gif_kernel_rejects_and_walks():
+    """parse_gif: non-GIF rejected; LE dims; GCT skipped by size; the
+    sub-block chain is walked to its terminator."""
+    from iris_project_database_refresh_spark.operators.multimodal import parse_gif
+
+    assert parse_gif(b"") is None
+    assert parse_gif(b"GIF00a" + b"\x00" * 10) is None
+    assert parse_gif(b"\xff\xd8\xff\xe0") is None
+
+    lsd = (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + bytes([0x91, 0, 0])
+    gct = b"\x01\x02\x03" * 4  # N=1 -> 4 colors
+    img = b"\x2c" + b"\x00\x00\x00\x00" + (300).to_bytes(2, "little") + (200).to_bytes(2, "little") + b"\x00" + b"\x08"
+    data = b"\x05" + b"ABCDE" + b"\x03" + b"XYZ" + b"\x00"
+    gif = b"GIF89a" + lsd + gct + img + data + b"\x3b"
+    p = parse_gif(gif)
+    assert p == {
+        "version": 89, "width": 300, "height": 200, "gct_colors": 4,
+        "n_images": 1, "n_extensions": 0, "data_bytes": 8,
+        "n_subblocks": 2, "trailer_ok": 1,
+    }
+    # no GCT flag: same bytes minus table, 87a, no trailer
+    lsd2 = (16).to_bytes(2, "little") + (16).to_bytes(2, "little") + bytes([0x11, 0, 0])
+    img2 = b"\x2c" + b"\x00\x00\x00\x00" + (16).to_bytes(2, "little") + (16).to_bytes(2, "little") + b"\x00" + b"\x08"
+    p2 = parse_gif(b"GIF87a" + lsd2 + img2 + b"\x02" + b"OK" + b"\x00")
+    assert p2["version"] == 87 and p2["gct_colors"] == 0
+    assert p2["trailer_ok"] == 0 and p2["data_bytes"] == 2

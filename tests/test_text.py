@@ -58,3 +58,22 @@ def test_lang_confusion_consistency(spark):
         rows.setdefault(r.label_lang, 0.0)
         rows[r.label_lang] += r.row_share
     assert all(abs(s - 1.0) < 1e-4 for s in rows.values())
+
+
+def test_quality_sweep_monotone(spark):
+    """Raising the bar never keeps more: docs/tokens kept are
+    non-increasing in the threshold, and bp columns are consistent."""
+    from iris_project_database_refresh_spark.operators import textqc
+
+    from .conftest import SF_CORRECT
+
+    rows = sorted(
+        textqc.quality_threshold_sweep(spark, SF_CORRECT).collect(),
+        key=lambda r: r.thr_e4,
+    )
+    for a, b in zip(rows, rows[1:]):
+        if b.thr_e4 > a.thr_e4:
+            assert b.docs_kept <= a.docs_kept
+            assert b.tokens_kept <= a.tokens_kept
+    for r in rows:
+        assert 0 <= r.docs_kept_bp <= 10000 and 0 <= r.tokens_kept_bp <= 10000
