@@ -753,3 +753,150 @@ FROM nd JOIN ties USING (event_type) JOIN pairs ON pairs.event_type = nd.event_t
 
 QUERIES["events_mann_kendall"] = events_mann_kendall
 ORACLES["events_mann_kendall"] = MANN_KENDALL_SQL
+
+
+# --- lead-lag (Granger-style) predictive screen ---------------------------------
+#
+# events_type_comovement answers "do two series move together?"; this
+# answers the DIRECTED question a monitoring pipeline actually asks —
+# does yesterday's x help predict today's y BEYOND yesterday's y?
+# (Granger 1969, the bivariate one-lag screen.)  For each ordered type
+# pair, OLS of y_t on {y_{t-1}, x_{t-1}} vs the restricted {y_{t-1}}
+# over the bounded daily grid, improvement = (SSE_r - SSE_f)/SSE_r.
+#
+# Devices: observations are mean-centered EXACTLY by n-scaling
+# (d = n·v - S, all integers), every moment sum is an exact BIGINT, and
+# the final normal-equation solve + SSE ratio runs in doubles derived
+# from those identical integers with an identical op tree (the
+# identical-double device) — then floors into bp.  2x2 Cramer solve,
+# no matrix library.
+#
+# Plan: one (type, day) aggregation; the pair frame is a three-way
+# self-join of that bounded grid (days x 20 pairs), then two bounded
+# aggs (sums, then centered products).  Nothing fact-sized shuffles
+# twice.
+
+GRANGER_BAR_BP = 500  # improvement > 5% => x lead-predicts y
+
+
+def events_leadlag_granger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").alias("d")
+    )
+    daily = ev.groupBy("event_type", "d").agg(F.count(F.lit(1)).alias("cnt"))
+    y = daily.select(F.col("event_type").alias("yt"), F.col("d").alias("dy"), F.col("cnt").alias("cy"))
+    yl = daily.select(F.col("event_type").alias("ylt"), F.col("d").alias("dyl"), F.col("cnt").alias("cyl"))
+    xl = daily.select(F.col("event_type").alias("xt"), F.col("d").alias("dxl"), F.col("cnt").alias("cxl"))
+    obs = (
+        y.join(F.broadcast(yl), (F.col("yt") == F.col("ylt")) & (F.expr("dy = dyl + interval 1 day")))
+        .join(
+            F.broadcast(xl),
+            (F.expr("dy = dxl + interval 1 day")) & (F.col("xt") != F.col("yt")),
+        )
+        .select("yt", "xt", "cy", "cyl", "cxl")
+    )
+    sums = obs.groupBy("yt", "xt").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cy").alias("sy"),
+        F.sum("cyl").alias("syl"),
+        F.sum("cxl").alias("sxl"),
+    )
+    centered = (
+        obs.join(F.broadcast(sums), ["yt", "xt"])
+        .select(
+            "yt",
+            "xt",
+            "n",
+            (F.col("n") * F.col("cy") - F.col("sy")).alias("a"),
+            (F.col("n") * F.col("cyl") - F.col("syl")).alias("b"),
+            (F.col("n") * F.col("cxl") - F.col("sxl")).alias("c"),
+        )
+        .groupBy("yt", "xt", "n")
+        .agg(
+            F.sum(F.expr("a * a")).alias("saa"),
+            F.sum(F.expr("b * b")).alias("sbb"),
+            F.sum(F.expr("c * c")).alias("scc"),
+            F.sum(F.expr("a * b")).alias("sab"),
+            F.sum(F.expr("a * c")).alias("sac"),
+            F.sum(F.expr("b * c")).alias("sbc"),
+        )
+    )
+    # identical-double assembly: det and every product as single double
+    # ops over the exact integer sums
+    det = "(cast(sbb as double) * cast(scc as double) - cast(sbc as double) * cast(sbc as double))"
+    ssef = (
+        f"(cast(saa as double) - "
+        f"((cast(sab as double) * cast(scc as double) - cast(sac as double) * cast(sbc as double)) * cast(sab as double)"
+        f" + (cast(sac as double) * cast(sbb as double) - cast(sab as double) * cast(sbc as double)) * cast(sac as double))"
+        f" / {det})"
+    )
+    sser = "(cast(saa as double) - cast(sab as double) * cast(sab as double) / cast(sbb as double))"
+    ok = f"n >= 3 and sbb > 0 and {det} > 0 and {sser} > 0"
+    return centered.select(
+        F.col("xt").alias("leader_type"),
+        F.col("yt").alias("target_type"),
+        F.col("n").cast("bigint").alias("n_obs"),
+        F.expr(
+            f"case when {ok} then cast(floor(({sser} - {ssef}) / {sser} * 10000) as bigint)"
+            " else cast(null as bigint) end"
+        ).alias("improvement_bp"),
+        F.expr(
+            f"case when {ok} then cast(floor(({sser} - {ssef}) / {sser} * 10000) as bigint)"
+            f" > {GRANGER_BAR_BP} else null end"
+        )
+        .cast("int")
+        .alias("leads"),
+    )
+
+
+_G_DET = "(CAST(sbb AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sbc AS DOUBLE) * CAST(sbc AS DOUBLE))"
+_G_SSEF = (
+    "(CAST(saa AS DOUBLE) - "
+    "((CAST(sab AS DOUBLE) * CAST(scc AS DOUBLE) - CAST(sac AS DOUBLE) * CAST(sbc AS DOUBLE)) * CAST(sab AS DOUBLE)"
+    " + (CAST(sac AS DOUBLE) * CAST(sbb AS DOUBLE) - CAST(sab AS DOUBLE) * CAST(sbc AS DOUBLE)) * CAST(sac AS DOUBLE))"
+    f" / {_G_DET})"
+)
+_G_SSER = "(CAST(saa AS DOUBLE) - CAST(sab AS DOUBLE) * CAST(sab AS DOUBLE) / CAST(sbb AS DOUBLE))"
+_G_OK = f"n >= 3 AND sbb > 0 AND {_G_DET} > 0 AND {_G_SSER} > 0"
+
+GRANGER_SQL = f"""
+WITH daily AS (
+  SELECT event_type, date_trunc('day', ts) AS d, count(*)::BIGINT AS cnt
+  FROM events GROUP BY 1, 2
+),
+obs AS (
+  SELECT y.event_type AS yt, x.event_type AS xt,
+         y.cnt AS cy, l.cnt AS cyl, x.cnt AS cxl
+  FROM daily y
+  JOIN daily l ON l.event_type = y.event_type AND y.d = l.d + INTERVAL 1 DAY
+  JOIN daily x ON y.d = x.d + INTERVAL 1 DAY AND x.event_type <> y.event_type
+),
+sums AS (
+  SELECT yt, xt, count(*)::BIGINT AS n,
+         CAST(sum(cy) AS BIGINT) AS sy, CAST(sum(cyl) AS BIGINT) AS syl,
+         CAST(sum(cxl) AS BIGINT) AS sxl
+  FROM obs GROUP BY 1, 2
+),
+centered AS (
+  SELECT o.yt, o.xt, s.n,
+         CAST(sum((s.n * o.cy - s.sy) * (s.n * o.cy - s.sy)) AS BIGINT) AS saa,
+         CAST(sum((s.n * o.cyl - s.syl) * (s.n * o.cyl - s.syl)) AS BIGINT) AS sbb,
+         CAST(sum((s.n * o.cxl - s.sxl) * (s.n * o.cxl - s.sxl)) AS BIGINT) AS scc,
+         CAST(sum((s.n * o.cy - s.sy) * (s.n * o.cyl - s.syl)) AS BIGINT) AS sab,
+         CAST(sum((s.n * o.cy - s.sy) * (s.n * o.cxl - s.sxl)) AS BIGINT) AS sac,
+         CAST(sum((s.n * o.cyl - s.syl) * (s.n * o.cxl - s.sxl)) AS BIGINT) AS sbc
+  FROM obs o JOIN sums s ON o.yt = s.yt AND o.xt = s.xt
+  GROUP BY o.yt, o.xt, s.n
+)
+SELECT xt AS leader_type, yt AS target_type, n AS n_obs,
+       CASE WHEN {_G_OK} THEN
+         CAST(floor(({_G_SSER} - {_G_SSEF}) / {_G_SSER} * 10000) AS BIGINT)
+       ELSE CAST(NULL AS BIGINT) END AS improvement_bp,
+       CAST(CASE WHEN {_G_OK} THEN
+         CAST(floor(({_G_SSER} - {_G_SSEF}) / {_G_SSER} * 10000) AS BIGINT) > {GRANGER_BAR_BP}
+       ELSE NULL END AS INT) AS leads
+FROM centered
+"""
+
+QUERIES["events_leadlag_granger"] = events_leadlag_granger
+ORACLES["events_leadlag_granger"] = GRANGER_SQL

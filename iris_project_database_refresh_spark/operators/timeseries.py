@@ -1526,3 +1526,139 @@ FROM agg WHERE n >= 2
 
 QUERIES["part_demand_classify"] = part_demand_classify
 ORACLES["part_demand_classify"] = SBC_SQL
+
+
+# --- Holt-Winters additive seasonal smoothing -----------------------------------
+#
+# The seasonal completion of the forecasting family (Winters 1960):
+# events_ewma carries level, events_holt_linear level+trend — weekly
+# service traffic needs level+trend+7-day season.  Additive HW with
+# alpha=0.2, beta=0.1, gamma=0.3 as exact integer milli fractions; the
+# fold state carries the 7-slot seasonal ring AND a 7-slot raw ring
+# (so the seasonal-naive rival is scored inside the same fold), both
+# as arrays in the aggregate struct — the house fold device extended
+# to vector state (F.aggregate indexed-transform / recursive-CTE
+# list_transform).  Init: level = first-week mean, trend = 0,
+# s_i = x_i - level (standard fpp init); fold from day 8.
+#
+# Plan: one (type, day) aggregation then a bounded per-type fold;
+# seasonal state is O(period), rounds bounded by the calendar.
+
+HW_PERIOD = 7
+
+_HW_SLOT = "cast(acc.i % 7 as int)"
+_HW_SSLOT = f"acc.s[{_HW_SLOT}]"
+_HW_RSLOT = f"acc.r[{_HW_SLOT}]"
+_HW_LNEW = f"((200 * (d.x * 1000 - {_HW_SSLOT}) + 800 * (acc.l + acc.b)) div 1000)"
+_HW_BNEW = f"((100 * ({_HW_LNEW} - acc.l) + 900 * acc.b) div 1000)"
+_HW_SNEW = f"((300 * (d.x * 1000 - {_HW_LNEW}) + 700 * {_HW_SSLOT}) div 1000)"
+_HW_L0 = (
+    "((days[0].x + days[1].x + days[2].x + days[3].x + days[4].x + days[5].x"
+    " + days[6].x) * cast(1000 as bigint) div 7)"
+)
+
+
+def events_holt_winters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"))
+        .where(F.size("days") >= 2 * HW_PERIOD)
+    )
+    folded = per_type.select(
+        "event_type",
+        F.size("days").cast("bigint").alias("n_days"),
+        F.expr(
+            f"""
+            aggregate(
+              slice(days, 8, greatest(size(days) - 7, 0)),
+              named_struct(
+                'l', {_HW_L0},
+                'b', cast(0 as bigint),
+                's', transform(sequence(0, 6), j -> days[j].x * cast(1000 as bigint) - {_HW_L0}),
+                'r', transform(sequence(0, 6), j -> days[j].x),
+                'i', cast(7 as bigint),
+                'sae', cast(0 as bigint),
+                'nsae', cast(0 as bigint)),
+              (acc, d) -> named_struct(
+                'l', {_HW_LNEW},
+                'b', {_HW_BNEW},
+                's', transform(acc.s, (v, j) -> case when j = {_HW_SLOT} then {_HW_SNEW} else v end),
+                'r', transform(acc.r, (v, j) -> case when j = {_HW_SLOT} then d.x else v end),
+                'i', acc.i + 1,
+                'sae', acc.sae + abs(d.x * 1000 - (acc.l + acc.b + {_HW_SSLOT})),
+                'nsae', acc.nsae + abs(d.x - {_HW_RSLOT}) * 1000))
+            """
+        ).alias("st"),
+    )
+    sel = [
+        "event_type",
+        "n_days",
+        F.col("st.l").alias("level_milli"),
+        F.col("st.b").alias("trend_milli"),
+    ]
+    sel += [F.expr(f"st.s[{j}]").alias(f"season{j}_milli") for j in range(HW_PERIOD)]
+    sel += [
+        F.col("st.sae").alias("hw_sae_milli"),
+        F.col("st.nsae").alias("snaive_sae_milli"),
+        (F.col("st.sae") < F.col("st.nsae")).cast("int").alias("hw_beats_snaive"),
+    ]
+    return folded.select(*sel)
+
+
+_HWQ_SLOT = "(i % 7)"
+_HWQ_SSLOT = f"s[{_HWQ_SLOT} + 1]"
+_HWQ_RSLOT = f"r[{_HWQ_SLOT} + 1]"
+_HWQ_X = "dw[(i + 1)::INT].x"
+_HWQ_LNEW = f"((200 * ({_HWQ_X} * 1000 - {_HWQ_SSLOT}) + 800 * (l + b)) // 1000)"
+_HWQ_BNEW = f"((100 * ({_HWQ_LNEW} - l) + 900 * b) // 1000)"
+_HWQ_SNEW = f"((300 * ({_HWQ_X} * 1000 - {_HWQ_LNEW}) + 700 * {_HWQ_SSLOT}) // 1000)"
+_HWQ_L0 = (
+    "((dw[1].x + dw[2].x + dw[3].x + dw[4].x + dw[5].x + dw[6].x + dw[7].x)"
+    " * 1000 // 7)"
+)
+
+HOLT_WINTERS_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(day := day, x := x))) AS dw,
+         count(*)::BIGINT AS n
+  FROM daily GROUP BY event_type HAVING count(*) >= {2 * HW_PERIOD}
+),
+walk AS (
+  SELECT event_type, dw, n, 7::BIGINT AS i,
+         {_HWQ_L0} AS l, 0::BIGINT AS b,
+         list_transform(range(7), j -> dw[(j + 1)::INT].x * 1000 - {_HWQ_L0}) AS s,
+         list_transform(range(7), j -> dw[(j + 1)::INT].x) AS r,
+         0::BIGINT AS sae, 0::BIGINT AS nsae
+  FROM per_type
+  UNION ALL
+  SELECT event_type, dw, n, i + 1,
+         {_HWQ_LNEW}, {_HWQ_BNEW},
+         list_transform(range(7), j -> CASE WHEN j = {_HWQ_SLOT} THEN {_HWQ_SNEW} ELSE s[(j + 1)::INT] END),
+         list_transform(range(7), j -> CASE WHEN j = {_HWQ_SLOT} THEN {_HWQ_X} ELSE r[(j + 1)::INT] END),
+         sae + abs({_HWQ_X} * 1000 - (l + b + {_HWQ_SSLOT})),
+         nsae + abs({_HWQ_X} - {_HWQ_RSLOT}) * 1000
+  FROM walk WHERE i < n
+)
+SELECT event_type, n AS n_days,
+       CAST(l AS BIGINT) AS level_milli, CAST(b AS BIGINT) AS trend_milli,
+       {", ".join(f"CAST(s[{j + 1}] AS BIGINT) AS season{j}_milli" for j in range(HW_PERIOD))},
+       CAST(sae AS BIGINT) AS hw_sae_milli,
+       CAST(nsae AS BIGINT) AS snaive_sae_milli,
+       CAST(sae < nsae AS INT) AS hw_beats_snaive
+FROM walk WHERE i = n
+"""
+
+QUERIES["events_holt_winters"] = events_holt_winters
+ORACLES["events_holt_winters"] = HOLT_WINTERS_SQL

@@ -213,6 +213,7 @@ _DRIVER_PRIORITY = [
     "graph_katz_centrality", "part_demand_classify",
     "scd2_conformance_audit", "supplier_leadtime_lognormal",
     "quality_threshold_sweep", "multimodal_gif_headers",
+    "events_leadlag_granger", "events_holt_winters",
 ]
 
 

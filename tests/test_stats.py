@@ -61,3 +61,17 @@ def test_mann_kendall_semantics(spark):
                 assert got.trend == "decreasing"
             else:
                 assert got.trend == "no_trend"
+
+
+def test_granger_bidirectional_frame(spark):
+    """All 20 ordered pairs present; self-pairs absent; improvement in
+    [0, 10000] where defined (SSE_f <= SSE_r always for nested OLS)."""
+    rows = stats.events_leadlag_granger(spark, SF_CORRECT).collect()
+    pairs = {(r.leader_type, r.target_type) for r in rows}
+    assert len(pairs) == len(rows)
+    types = {r.leader_type for r in rows} | {r.target_type for r in rows}
+    assert pairs == {(a, b) for a in types for b in types if a != b}
+    for r in rows:
+        if r.improvement_bp is not None:
+            assert 0 <= r.improvement_bp <= 10000
+            assert r.leads == (1 if r.improvement_bp > stats.GRANGER_BAR_BP else 0)

@@ -134,3 +134,52 @@ def test_demand_classify_consistent(spark):
             else "lumpy"
         )
         assert r.demand_class == expect
+
+
+def test_holt_winters_fold_replay(spark):
+    """The HW vector-state fold replays exactly in Python from the
+    daily count series."""
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {r.event_type: r for r in timeseries.events_holt_winters(spark, SF_CORRECT).collect()}
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+
+    def tdiv(a, b):
+        q = abs(a) // b
+        return q if a >= 0 else -q
+
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        if len(xs) < 2 * timeseries.HW_PERIOD:
+            assert et not in got
+            continue
+        l = sum(xs[:7]) * 1000 // 7
+        b = 0
+        s = [xs[j] * 1000 - l for j in range(7)]
+        rr = [xs[j] for j in range(7)]
+        sae = nsae = 0
+        for i in range(7, len(xs)):
+            x = xs[i]
+            slot = i % 7
+            sae += abs(x * 1000 - (l + b + s[slot]))
+            nsae += abs(x - rr[slot]) * 1000
+            lnew = tdiv(200 * (x * 1000 - s[slot]) + 800 * (l + b), 1000)
+            bnew = tdiv(100 * (lnew - l) + 900 * b, 1000)
+            snew = tdiv(300 * (x * 1000 - lnew) + 700 * s[slot], 1000)
+            l, b = lnew, bnew
+            s[slot] = snew
+            rr[slot] = x
+        r = got[et]
+        assert (r.level_milli, r.trend_milli) == (l, b)
+        assert [getattr(r, f"season{j}_milli") for j in range(7)] == s
+        assert (r.hw_sae_milli, r.snaive_sae_milli) == (sae, nsae)
