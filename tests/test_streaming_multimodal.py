@@ -575,3 +575,54 @@ def test_gif_kernel_rejects_and_walks():
     p2 = parse_gif(b"GIF87a" + lsd2 + img2 + b"\x02" + b"OK" + b"\x00")
     assert p2["version"] == 87 and p2["gct_colors"] == 0
     assert p2["trailer_ok"] == 0 and p2["data_bytes"] == 2
+
+
+def test_streaming_cusum_equals_batch(spark):
+    """availableNow drain of the stateful CUSUM: every CLOSED day's
+    alarm must match the batch operator exactly (the final open day per
+    type is the standard completeness lag)."""
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.operators.timeseries import (
+        events_cusum_alarm,
+    )
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from iris_project_database_refresh_spark.streaming.cusum import streaming_cusum
+
+    # frozen targets: the batch operator's own full-series mean per type
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.floor(F.col("value") * 100 + F.lit(0.5)).cast("bigint")).alias("x"))
+    )
+    targets = daily.groupBy("event_type").agg(
+        F.expr("sum(x) div count(*)").cast("bigint").alias("target")
+    )
+    last_day = {
+        r.event_type: r.m
+        for r in daily.groupBy("event_type").agg(F.max("day").alias("m")).collect()
+    }
+
+    stream = sp.read_events_stream(spark, SF_CORRECT).select(
+        "event_type", "event_id", "ts", "value"
+    )
+    q = (
+        streaming_cusum(stream, targets)
+        .writeStream.format("memory")
+        .queryName("cusum_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    streamed = {
+        (r.event_type, r.day, r.x, r.cusum)
+        for r in spark.table("cusum_test").collect()
+    }
+    batch = {
+        (r.event_type, r.day, r.x, r.cusum)
+        for r in events_cusum_alarm(spark, SF_CORRECT).collect()
+        if r.day < last_day[r.event_type]
+    }
+    assert streamed == batch
+    assert len(batch) > 0
