@@ -2385,3 +2385,102 @@ WHERE cont_a_bp >= {CONTAIN_TAU_BP} OR cont_b_bp >= {CONTAIN_TAU_BP}
 
 QUERIES["dedup_containment"] = dedup_containment
 ORACLES["dedup_containment"] = DEDUP_CONTAIN_SQL
+
+
+# --- shingle-size tuning table --------------------------------------------------
+#
+# The config question BEFORE dedup_minhash_lsh / dedup_band_sweep runs:
+# what shingle size n should the signatures hash?  Small n makes grams
+# common (huge candidate mass, false positives); large n makes them
+# rare (misses near-dups).  For n = 2..5, one gram-frequency table per
+# n yields the numbers an LSH tuner reads: distinct grams, singleton
+# share, document frequency head, and the CANDIDATE PAIR MASS
+# sum df·(df-1)/2 — the quadratic cost driver of any gram-bucket
+# candidate join.
+#
+# Plan: per n, ONE explode → gram-df aggregation → a 1-row rollup;
+# the four passes are independent branches of a union (they pipeline
+# in parallel); nothing pairs, nothing joins.  At 100 TB the raw gram
+# strings group as md5 keys (fixed width) — same aggregation shape.
+
+SHINGLE_NS = (2, 3, 4, 5)
+
+
+def dedup_shingle_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        tokens(F.col("text")).alias("toks")
+    )
+    parts = []
+    for n in SHINGLE_NS:
+        joined = ", ".join(f"element_at(toks, i + {j})" for j in range(n))
+        grams = docs.select(
+            F.explode(
+                F.expr(
+                    f"CASE WHEN size(toks) < {n} THEN array() "
+                    f"ELSE transform(sequence(1, size(toks) - {n - 1}), "
+                    f"i -> concat_ws(' ', {joined})) END"
+                )
+            ).alias("g")
+        )
+        df_tab = grams.groupBy("g").agg(F.count(F.lit(1)).alias("df"))
+        parts.append(
+            df_tab.agg(
+                F.lit(n).cast("bigint").alias("shingle_n"),
+                F.count(F.lit(1)).alias("distinct_grams"),
+                F.sum("df").alias("total_grams"),
+                F.sum((F.col("df") == 1).cast("int")).alias("singletons"),
+                F.max("df").alias("max_df"),
+                F.sum(F.expr("df * (df - 1) div 2")).alias("candidate_pair_mass"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.select(
+        "shingle_n",
+        F.col("distinct_grams").cast("bigint").alias("distinct_grams"),
+        F.col("total_grams").cast("bigint").alias("total_grams"),
+        F.expr("singletons * 10000 div distinct_grams").cast("bigint").alias("singleton_bp"),
+        F.col("max_df").cast("bigint").alias("max_df"),
+        F.expr("total_grams * 1000 div distinct_grams").cast("bigint").alias("mean_df_milli"),
+        F.col("candidate_pair_mass").cast("bigint").alias("candidate_pair_mass"),
+    )
+
+
+def _shingle_n_sql(n: int) -> str:
+    joined = " || ' ' || ".join(f"t[i + {j}]" for j in range(n))
+    return f"""
+  SELECT {n}::BIGINT AS shingle_n, count(*)::BIGINT AS distinct_grams,
+         CAST(sum(df) AS BIGINT) AS total_grams,
+         CAST(sum(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS BIGINT) AS singletons,
+         CAST(max(df) AS BIGINT) AS max_df,
+         CAST(sum(df * (df - 1) // 2) AS BIGINT) AS candidate_pair_mass
+  FROM (
+    SELECT g, count(*)::BIGINT AS df
+    FROM (
+      SELECT {joined} AS g
+      FROM (SELECT list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+            FROM documents),
+           unnest(range(1, len(t) - {n - 2})) AS u(i)
+      WHERE len(t) >= {n}
+    ) GROUP BY g
+  )"""
+
+
+SHINGLE_STATS_SQL = (
+    "WITH per_n AS ("
+    + " UNION ALL ".join(_shingle_n_sql(n) for n in SHINGLE_NS)
+    + """)
+SELECT shingle_n, distinct_grams, total_grams,
+       CAST(singletons * 10000 // distinct_grams AS BIGINT) AS singleton_bp,
+       max_df,
+       CAST(total_grams * 1000 // distinct_grams AS BIGINT) AS mean_df_milli,
+       candidate_pair_mass
+FROM per_n
+"""
+)
+
+QUERIES["dedup_shingle_stats"] = dedup_shingle_stats
+ORACLES["dedup_shingle_stats"] = SHINGLE_STATS_SQL

@@ -1980,3 +1980,115 @@ FROM bands GROUP BY len_band
 
 QUERIES["events_lz_complexity"] = events_lz_complexity
 ORACLES["events_lz_complexity"] = LZ_COMPLEXITY_SQL
+
+
+# --- retention-curve power-law fit ----------------------------------------------
+#
+# events_dod_retention measures day+1 only; the planning question is
+# the CURVE — retention at horizon k typically decays as a power law
+# r(k) ~ c·k^(-s) (the classic mobile-analytics finding), and the
+# fitted exponent is the number a growth model extrapolates with.
+# Retention at k = P(user active on day D returns on D+k) for
+# k = 1..RET_MAX_K, then the ln-quantize integer OLS (the zipf/heaps
+# device) of ln(ret_bp) on ln(k) over the horizon grid.  Per-k rows
+# ship alongside the fitted slope/intercept so the curve AND the fit
+# are auditable.
+#
+# Plan: the distinct (user, day) activity set joins itself shifted by
+# each k in one broadcast of the 10-row horizon table — rows ∝
+# activity x K, aggregated immediately; the OLS runs on the bounded
+# 10-row grid.
+
+RET_MAX_K = 10
+_RLQ = 10000  # ln quantization for the fit
+
+
+def events_retention_curve_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    act = (
+        load_table(spark, sf_dir, "events")
+        .select("user_id", F.to_date("ts").alias("day"))
+        .distinct()
+    )
+    ks = spark.range(1, RET_MAX_K + 1).select(F.col("id").cast("int").alias("k"))
+    base = act.crossJoin(F.broadcast(ks))
+    right = act.select(
+        F.col("user_id").alias("r_uid"), F.col("day").alias("rday")
+    ).withColumn("hit", F.lit(1))
+    ret = base.join(
+        right,
+        (F.col("rday") == F.expr("date_add(day, k)")) & (F.col("user_id") == F.col("r_uid")),
+        "left",
+    )
+    perk = ret.groupBy("k").agg(
+        F.count(F.lit(1)).alias("active_pairs"),
+        F.count("hit").alias("retained"),
+    ).select(
+        "k",
+        "active_pairs",
+        "retained",
+        F.expr("retained * 10000 div active_pairs").cast("bigint").alias("ret_bp"),
+    )
+    pts = perk.select(
+        "k",
+        F.expr(f"cast(floor(ln(cast(k as double)) * {_RLQ}) as bigint)").alias("x"),
+        F.expr(f"cast(floor(ln(cast(ret_bp as double)) * {_RLQ}) as bigint)").alias("y"),
+    ).where(F.col("ret_bp") > 0)
+    fit = pts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.expr("x * y")).alias("sxy"),
+        F.sum(F.expr("x * x")).alias("sxx"),
+    ).select(
+        F.expr(
+            f"cast((n * sxy - sx * sy) * 1000 div (n * sxx - sx * sx) as bigint)"
+        ).alias("decay_slope_milli"),
+        F.expr(
+            f"cast((sy * sxx - sx * sxy) div (n * sxx - sx * sx) as bigint)"
+        ).alias("intercept_lnq"),
+    )
+    return perk.crossJoin(F.broadcast(fit)).select(
+        F.col("k").cast("bigint").alias("k"),
+        F.col("active_pairs").cast("bigint").alias("active_pairs"),
+        F.col("retained").cast("bigint").alias("retained"),
+        "ret_bp",
+        "decay_slope_milli",
+        "intercept_lnq",
+    )
+
+
+RETENTION_FIT_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+act AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events_us),
+ks AS (SELECT unnest(generate_series(1, {RET_MAX_K})) AS k),
+perk AS (
+  SELECT k, count(*)::BIGINT AS active_pairs,
+         CAST(count(b.user_id) AS BIGINT) AS retained,
+         CAST(count(b.user_id) * 10000 // count(*) AS BIGINT) AS ret_bp
+  FROM act a CROSS JOIN ks
+  LEFT JOIN act b ON b.user_id = a.user_id AND b.day = a.day + to_days(k::INT)
+  GROUP BY k
+),
+pts AS (
+  SELECT CAST(floor(ln(CAST(k AS DOUBLE)) * {_RLQ}) AS BIGINT) AS x,
+         CAST(floor(ln(CAST(ret_bp AS DOUBLE)) * {_RLQ}) AS BIGINT) AS y
+  FROM perk WHERE ret_bp > 0
+),
+fit AS (
+  SELECT CAST((n * sxy - sx * sy) * 1000 // (n * sxx - sx * sx) AS BIGINT) AS decay_slope_milli,
+         CAST((sy * sxx - sx * sxy) // (n * sxx - sx * sx) AS BIGINT) AS intercept_lnq
+  FROM (
+    SELECT count(*)::BIGINT AS n, CAST(sum(x) AS BIGINT) AS sx,
+           CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * y) AS BIGINT) AS sxy,
+           CAST(sum(x * x) AS BIGINT) AS sxx
+    FROM pts)
+)
+SELECT CAST(k AS BIGINT) AS k, active_pairs, retained, ret_bp,
+       decay_slope_milli, intercept_lnq
+FROM perk CROSS JOIN fit
+"""
+
+QUERIES["events_retention_curve_fit"] = events_retention_curve_fit
+ORACLES["events_retention_curve_fit"] = RETENTION_FIT_SQL

@@ -1006,3 +1006,111 @@ FROM scored
 
 QUERIES["props_schema_drift"] = props_schema_drift
 ORACLES["props_schema_drift"] = PROPS_DRIFT_SQL
+
+
+# --- month-end cost forecast ----------------------------------------------------
+#
+# The budget page over monitor_llm_costs' rollup (the reference tracks
+# total_tokens/total_cost per stage in process_monitor_logs;
+# database-schema.sql:267-269): month-to-date spend per stage, the
+# run-rate projection to month end, and an over-budget flag — the
+# question a cost dashboard exists to answer.  Spend stays in exact
+# integer micro-dollars end to end (the rounded display double in
+# monitor_llm_costs is NOT reused); projection = mtd + (mtd div
+# days-elapsed) x days-remaining, all truncating integer arithmetic.
+#
+# Plan: the same from_json -> explode the rollup rides, with the day
+# carried; one (stage, day) agg then a bounded per-stage agg.
+
+MONTH_DAYS = 31  # the planted stream lives in January
+# budget = fleet-average projection with a per-stage tilt (85% + 3%/char
+# of the stage name) — data-derived so the flag discriminates at any SF
+BUDGET_TILT_BASE = 85
+BUDGET_TILT_PER_CHAR = 3
+
+
+def monitor_cost_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "props", F.to_date("ts").alias("day")
+    )
+    calls = ev.select(
+        F.col("event_type").alias("stage_name"),
+        "day",
+        F.explode(_planted_calls()).alias("call"),
+    ).select(
+        "stage_name",
+        "day",
+        (
+            F.col("call.input_tokens") * IN_RATE_MICRO
+            + F.col("call.output_tokens") * OUT_RATE_MICRO
+        ).alias("cost_micro"),
+    )
+    daily = calls.groupBy("stage_name", "day").agg(
+        F.sum("cost_micro").alias("day_cost")
+    )
+    agg = daily.groupBy("stage_name").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.max(F.dayofmonth("day")).alias("elapsed"),
+        F.sum("day_cost").alias("mtd_micro"),
+    )
+    proj = (
+        f"mtd_micro + (mtd_micro div elapsed) * ({MONTH_DAYS} - elapsed)"
+    )
+    fleet = agg.agg(
+        F.expr(f"sum({proj}) div count(*)").cast("bigint").alias("avg_proj")
+    )
+    agg = agg.crossJoin(F.broadcast(fleet))
+    budget = (
+        f"(avg_proj * ({BUDGET_TILT_BASE} + length(stage_name) *"
+        f" {BUDGET_TILT_PER_CHAR}) div 100)"
+    )
+    return agg.select(
+        "stage_name",
+        F.col("n_days").cast("bigint").alias("n_days"),
+        F.col("elapsed").cast("bigint").alias("days_elapsed"),
+        F.col("mtd_micro").cast("bigint").alias("mtd_micro"),
+        F.expr("mtd_micro div elapsed").cast("bigint").alias("daily_rate_micro"),
+        F.expr(proj).cast("bigint").alias("projected_micro"),
+        F.expr(budget).cast("bigint").alias("budget_micro"),
+        F.expr(f"cast({proj} > {budget} as int)").alias("over_budget"),
+    )
+
+
+COST_FORECAST_SQL = f"""
+WITH ev AS (
+  SELECT event_id, event_type, CAST(ts AS DATE) AS day,
+         CAST(props->>'k' AS BIGINT) AS k
+  FROM (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events)
+),
+calls AS (
+  SELECT event_type AS stage_name, day,
+         ((k * 7 + i * 13) % 500 + 1) * {IN_RATE_MICRO}
+         + ((k * 3 + i * 5) % 300 + 1) * {OUT_RATE_MICRO} AS cost_micro
+  FROM ev, unnest(generate_series(0, event_id % {MAX_CALLS})) AS t(i)
+),
+daily AS (
+  SELECT stage_name, day, CAST(sum(cost_micro) AS BIGINT) AS day_cost
+  FROM calls GROUP BY 1, 2
+),
+agg AS (
+  SELECT stage_name, count(*)::BIGINT AS n_days,
+         CAST(max(date_part('day', day)) AS BIGINT) AS elapsed,
+         CAST(sum(day_cost) AS BIGINT) AS mtd_micro
+  FROM daily GROUP BY stage_name
+),
+fleet AS (
+  SELECT CAST(sum(mtd_micro + (mtd_micro // elapsed) * ({MONTH_DAYS} - elapsed))
+              // count(*) AS BIGINT) AS avg_proj
+  FROM agg
+)
+SELECT stage_name, n_days, elapsed AS days_elapsed, mtd_micro,
+       CAST(mtd_micro // elapsed AS BIGINT) AS daily_rate_micro,
+       CAST(mtd_micro + (mtd_micro // elapsed) * ({MONTH_DAYS} - elapsed) AS BIGINT) AS projected_micro,
+       CAST(avg_proj * ({BUDGET_TILT_BASE} + length(stage_name) * {BUDGET_TILT_PER_CHAR}) // 100 AS BIGINT) AS budget_micro,
+       CAST(mtd_micro + (mtd_micro // elapsed) * ({MONTH_DAYS} - elapsed)
+            > avg_proj * ({BUDGET_TILT_BASE} + length(stage_name) * {BUDGET_TILT_PER_CHAR}) // 100 AS INT) AS over_budget
+FROM agg CROSS JOIN fleet
+"""
+
+QUERIES["monitor_cost_forecast"] = monitor_cost_forecast
+ORACLES["monitor_cost_forecast"] = COST_FORECAST_SQL

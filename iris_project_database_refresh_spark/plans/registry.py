@@ -214,6 +214,8 @@ _DRIVER_PRIORITY = [
     "scd2_conformance_audit", "supplier_leadtime_lognormal",
     "quality_threshold_sweep", "multimodal_gif_headers",
     "events_leadlag_granger", "events_holt_winters",
+    "monitor_cost_forecast", "events_retention_curve_fit",
+    "dedup_shingle_stats",
 ]
 
 

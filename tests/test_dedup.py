@@ -112,3 +112,19 @@ def test_members_cap_bounds_mega_cluster(spark):
     small = rows[1000]
     assert small.n_member_overflow == 0
     assert small.members == "1000,1001,1002"
+
+
+def test_shingle_stats_tradeoff(spark):
+    """Larger shingles must be rarer: singleton share rises with n and
+    candidate-pair mass collapses — the tradeoff the table exists to
+    show.  total_grams must track the exact shingle count."""
+    from iris_project_database_refresh_spark.operators import dedup as dd
+
+    from .conftest import SF_CORRECT
+
+    rows = {r.shingle_n: r for r in dd.dedup_shingle_stats(spark, SF_CORRECT).collect()}
+    assert set(rows) == set(dd.SHINGLE_NS)
+    assert rows[2].candidate_pair_mass > rows[5].candidate_pair_mass
+    assert rows[2].singleton_bp < rows[5].singleton_bp
+    # each +1 of n loses exactly one gram per doc with >= n tokens
+    assert rows[2].total_grams > rows[3].total_grams > rows[4].total_grams

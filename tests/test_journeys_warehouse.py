@@ -216,3 +216,20 @@ def test_leadtime_lognormal_python_replay(spark):
         assert r.mu_ln_e4 == s1 // n
         var = (n * s2 - s1 * s1) // (n * n)
         assert r.sigma_ln_e4 == math.floor(math.sqrt(float(var)))
+
+
+def test_retention_curve_decays(spark):
+    """Retention at horizon k should broadly decay and the fitted slope
+    must be negative for this stream; fit columns constant across rows."""
+    from iris_project_database_refresh_spark.operators import journeys
+
+    from .conftest import SF_CORRECT
+
+    rows = sorted(
+        journeys.events_retention_curve_fit(spark, SF_CORRECT).collect(),
+        key=lambda r: r.k,
+    )
+    assert [r.k for r in rows] == list(range(1, journeys.RET_MAX_K + 1))
+    assert len({r.decay_slope_milli for r in rows}) == 1
+    assert rows[0].decay_slope_milli < 0
+    assert rows[0].ret_bp > rows[-1].ret_bp

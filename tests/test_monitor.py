@@ -77,3 +77,24 @@ def test_llm_call_attempts_ledger_invariants(spark):
         per_stage[c.stage_name] = per_stage.get(c.stage_name, 0) + c.total_tokens
     for r in rows:
         assert r.total_tokens == per_stage[r.stage_name]
+
+
+def test_cost_forecast_arithmetic(spark):
+    """Projection and flag must be the deterministic function of the
+    mtd/elapsed/budget columns they ship beside; the flag must
+    discriminate (some stage over, some under)."""
+    from iris_project_database_refresh_spark.operators import monitor
+
+    from .conftest import SF_CORRECT
+
+    rows = monitor.monitor_cost_forecast(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    flags = set()
+    for r in rows:
+        assert r.daily_rate_micro == r.mtd_micro // r.days_elapsed
+        assert r.projected_micro == r.mtd_micro + r.daily_rate_micro * (
+            monitor.MONTH_DAYS - r.days_elapsed
+        )
+        assert r.over_budget == (1 if r.projected_micro > r.budget_micro else 0)
+        flags.add(r.over_budget)
+    assert flags == {0, 1}
