@@ -2630,3 +2630,160 @@ FROM documents WHERE doc_id % 3 = 0
 
 QUERIES["multimodal_gif_headers"] = multimodal_gif_headers
 ORACLES["multimodal_gif_headers"] = MULTIMODAL_GIF_SQL
+
+
+# --- FLAC STREAMINFO parse: bit-packed metadata ---------------------------------
+#
+# Seventh container kernel, and the first BIT-PACKED one (public spec:
+# xiph.org FLAC format): after the fLaC marker, metadata blocks carry
+# a 1-byte last-flag+type header and 24-bit BE length; STREAMINFO
+# packs sample-rate(20b) | channels-1(3b) | bits-per-sample-1(5b) |
+# total-samples(36b) across byte boundaries — a byte-aligned reader
+# gets every field wrong, which is exactly what the oracle pins
+# against.  Planted files optionally append a PADDING block so the
+# last-flag walk is exercised; the 16-byte audio MD5 is a REAL md5
+# the oracle recomputes.
+#
+# Scale: same contract as the sibling kernels — bounded Arrow batches,
+# stdlib-only bit arithmetic, payloads never leave executors.
+
+FLAC_RATES = (8000, 16000, 22050, 44100, 48000)
+
+FLAC_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sample_rate", T.LongType()),
+        T.StructField("channels", T.LongType()),
+        T.StructField("bits_per_sample", T.LongType()),
+        T.StructField("total_samples", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("min_block", T.LongType()),
+        T.StructField("n_blocks", T.LongType()),
+        T.StructField("padding_bytes", T.LongType()),
+        T.StructField("audio_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def flac_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): FLAC-typed media items as real fLaC bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
+    sr = F.element_at(
+        F.array(*[F.lit(r) for r in FLAC_RATES]), (F.col("doc_id") % 5 + 1).cast("int")
+    ).cast("bigint")
+    ch = (F.col("doc_id") % 2 + 1).cast("bigint")
+    bps = F.when(F.col("doc_id") % 3 == 0, F.lit(24)).otherwise(F.lit(16)).cast("bigint")
+    total = (F.lit(1000) + F.col("doc_id") % 9000).cast("bigint")
+    minf = (F.lit(14) + F.col("doc_id") % 100).cast("bigint")
+    # pack32 = sr<<12 | (ch-1)<<9 | (bps-1)<<4 | total>>32  (total < 2^32 here)
+    pack32 = sr * F.lit(4096) + (ch - 1) * F.lit(512) + (bps - 1) * F.lit(16)
+    md5hex = F.md5(F.col("doc_id").cast("string"))
+    streaminfo = F.concat(
+        F.lit("10001000"),  # min/max blocksize 4096
+        F.format_string("%06X", minf),
+        F.format_string("%06X", minf + 100),
+        F.format_string("%08X", pack32),
+        F.format_string("%08X", total),
+        md5hex,
+    )
+    npad = F.col("doc_id") % 3
+    pad_len = (npad * 8).cast("bigint")
+    padding = F.when(
+        npad > 0,
+        F.concat(F.lit("81"), F.format_string("%06X", pad_len), F.repeat(F.lit("00"), pad_len.cast("int"))),
+    ).otherwise(F.lit(""))
+    si_header = F.when(npad > 0, F.lit("00000022")).otherwise(F.lit("80000022"))
+    payload = F.unhex(F.concat(F.lit("664C6143"), si_header, streaminfo, padding))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_flac(payload: bytes) -> dict | None:
+    """fLaC marker + metadata-block walk; STREAMINFO fields via shifts
+    over the big-endian bitstream; None for non-FLAC bytes."""
+    if len(payload) < 8 or payload[:4] != b"fLaC":
+        return None
+    pos = 4
+    out = None
+    n_blocks = padding_bytes = 0
+    while pos + 4 <= len(payload):
+        hdr = payload[pos]
+        btype, last = hdr & 0x7F, hdr >> 7
+        length = int.from_bytes(payload[pos + 1 : pos + 4], "big")
+        body = payload[pos + 4 : pos + 4 + length]
+        if len(body) < length:
+            break
+        n_blocks += 1
+        if btype == 0 and length == 34:
+            min_block = int.from_bytes(body[0:2], "big")
+            packed = int.from_bytes(body[10:18], "big")  # 64 bits
+            sample_rate = packed >> 44
+            channels = ((packed >> 41) & 0x7) + 1
+            bits = ((packed >> 36) & 0x1F) + 1
+            total = packed & ((1 << 36) - 1)
+            out = {
+                "sample_rate": sample_rate,
+                "channels": channels,
+                "bits_per_sample": bits,
+                "total_samples": total,
+                "duration_ms": total * 1000 // sample_rate if sample_rate else 0,
+                "min_block": min_block,
+                "audio_md5": body[18:34].hex(),
+            }
+        elif btype == 1:
+            padding_bytes += length
+        pos += 4 + length
+        if last:
+            break
+    if out is None:
+        return None
+    return {**out, "n_blocks": n_blocks, "padding_bytes": padding_bytes}
+
+
+def multimodal_flac_info(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched FLAC metadata walk over the planted media items."""
+    flacs = flac_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_flac(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "flac-stdlib"})
+                cols = [f.name for f in FLAC_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "audio_md5")}
+                )
+
+    return flacs.mapInPandas(fn, FLAC_SCHEMA)
+
+
+_FLAC_RATES_SQL = "[" + ", ".join(str(r) for r in FLAC_RATES) + "]"
+
+# Oracle: every bit-packed field recomputed arithmetically from the
+# planted parameters, including the REAL md5 and the exact integer
+# duration; a byte-aligned mis-parse of the 20/3/5/36-bit pack cannot
+# reproduce these.
+MULTIMODAL_FLAC_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(({_FLAC_RATES_SQL})[(doc_id % 5 + 1)::INT] AS BIGINT) AS sample_rate,
+       CAST(doc_id % 2 + 1 AS BIGINT) AS channels,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 24 ELSE 16 END AS BIGINT) AS bits_per_sample,
+       CAST(1000 + doc_id % 9000 AS BIGINT) AS total_samples,
+       CAST((1000 + doc_id % 9000) * 1000 // ({_FLAC_RATES_SQL})[(doc_id % 5 + 1)::INT] AS BIGINT) AS duration_ms,
+       CAST(4096 AS BIGINT) AS min_block,
+       CAST(CASE WHEN doc_id % 3 > 0 THEN 2 ELSE 1 END AS BIGINT) AS n_blocks,
+       CAST((doc_id % 3) * 8 AS BIGINT) AS padding_bytes,
+       md5(doc_id::VARCHAR) AS audio_md5,
+       'flac-stdlib' AS parser
+FROM documents WHERE doc_id % 4 = 1
+"""
+
+QUERIES["multimodal_flac_info"] = multimodal_flac_info
+ORACLES["multimodal_flac_info"] = MULTIMODAL_FLAC_SQL

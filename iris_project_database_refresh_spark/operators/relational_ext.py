@@ -2568,3 +2568,166 @@ FROM sums
 
 QUERIES["part_price_elasticity"] = part_price_elasticity
 ORACLES["part_price_elasticity"] = ELASTICITY_SQL
+
+
+# --- monthly price indices (Laspeyres / Paasche / Fisher) -----------------------
+#
+# The econ-warehouse classic over the fact mart (public formulas,
+# Laspeyres 1871 / Paasche 1874 / Fisher 1922): per month, the
+# base-month-weighted and current-weighted price relatives over the
+# parts traded in BOTH months, and Fisher's geometric mean.  Unit
+# prices land as exact integer cents via truncating div of cent-summed
+# extended price by integer quantity; the index basket sums are exact
+# BIGINTs; Fisher's one sqrt runs on the exact product of the two bp
+# indices (identical-double device).
+#
+# Plan: one (part, month) aggregation of the fact scan; every month
+# joins the broadcast base-month part table; bounded output (months).
+
+PRICE_BASE_YM = 23940  # 1995-01 in (year*12 + month - 1) encoding
+
+
+def price_index_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey",
+        (F.year("l_shipdate") * 12 + F.month("l_shipdate") - 1).alias("ym"),
+        F.floor(F.col("l_extendedprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+        F.floor(F.col("l_quantity") + F.lit(0.5)).cast("bigint").alias("qty"),
+    )
+    pm = li.groupBy("l_partkey", "ym").agg(
+        F.sum("cents").alias("c"), F.sum("qty").alias("q")
+    ).select("l_partkey", "ym", F.expr("c div q").alias("p"), "q")
+    base = pm.where(F.col("ym") == PRICE_BASE_YM).select(
+        "l_partkey", F.col("p").alias("p0"), F.col("q").alias("q0")
+    )
+    j = pm.where(F.col("ym") != PRICE_BASE_YM).join(F.broadcast(base), "l_partkey")
+    agg = j.groupBy("ym").agg(
+        F.count(F.lit(1)).alias("n_common_parts"),
+        F.sum(F.expr("p * q0")).alias("l_num"),
+        F.sum(F.expr("p0 * q0")).alias("l_den"),
+        F.sum(F.expr("p * q")).alias("p_num"),
+        F.sum(F.expr("p0 * q")).alias("p_den"),
+    )
+    lbp = "l_num * 10000 div l_den"
+    pbp = "p_num * 10000 div p_den"
+    return agg.select(
+        F.col("ym").cast("bigint").alias("ym"),
+        F.col("n_common_parts").cast("bigint").alias("n_common_parts"),
+        F.expr(lbp).cast("bigint").alias("laspeyres_bp"),
+        F.expr(pbp).cast("bigint").alias("paasche_bp"),
+        F.expr(
+            f"cast(floor(sqrt(cast(({lbp}) * ({pbp}) as double))) as bigint)"
+        ).alias("fisher_bp"),
+    )
+
+
+PRICE_INDEX_SQL = f"""
+WITH li AS (
+  SELECT l_partkey,
+         year(l_shipdate) * 12 + month(l_shipdate) - 1 AS ym,
+         CAST(floor(l_extendedprice * 100 + (0.5)::DOUBLE) AS BIGINT) AS cents,
+         CAST(floor(l_quantity + (0.5)::DOUBLE) AS BIGINT) AS qty
+  FROM lineitem
+),
+pm AS (
+  SELECT l_partkey, ym,
+         CAST(sum(cents) // sum(qty) AS BIGINT) AS p,
+         CAST(sum(qty) AS BIGINT) AS q
+  FROM li GROUP BY 1, 2
+),
+base AS (
+  SELECT l_partkey, p AS p0, q AS q0 FROM pm WHERE ym = {PRICE_BASE_YM}
+),
+agg AS (
+  SELECT pm.ym, count(*)::BIGINT AS n_common_parts,
+         CAST(sum(pm.p * b.q0) AS BIGINT) AS l_num,
+         CAST(sum(b.p0 * b.q0) AS BIGINT) AS l_den,
+         CAST(sum(pm.p * pm.q) AS BIGINT) AS p_num,
+         CAST(sum(b.p0 * pm.q) AS BIGINT) AS p_den
+  FROM pm JOIN base b USING (l_partkey)
+  WHERE pm.ym <> {PRICE_BASE_YM}
+  GROUP BY pm.ym
+)
+SELECT ym, n_common_parts,
+       CAST(l_num * 10000 // l_den AS BIGINT) AS laspeyres_bp,
+       CAST(p_num * 10000 // p_den AS BIGINT) AS paasche_bp,
+       CAST(floor(sqrt(CAST((l_num * 10000 // l_den) * (p_num * 10000 // p_den) AS DOUBLE))) AS BIGINT) AS fisher_bp
+FROM agg
+"""
+
+QUERIES["price_index_monthly"] = price_index_monthly
+ORACLES["price_index_monthly"] = PRICE_INDEX_SQL
+
+
+# --- duplicate-payment screen ---------------------------------------------------
+#
+# The classic AP audit beside orders_benford_audit: two orders by the
+# same customer, near-identical amounts (within DUP_TOL_BP of the
+# smaller-keyed order) and close in time (<= DUP_WINDOW_DAYS) are
+# double-billing candidates.  Amounts compare as exact integer cents;
+# every gate is integer arithmetic, so the candidate set is
+# bit-deterministic.
+#
+# Plan: a self-join keyed on o_custkey — per-customer order counts are
+# bounded (tens), so the pair set is linear in customers, not
+# quadratic in orders; AQE covers any hot customer.  No windows.
+
+DUP_TOL_BP = 100  # amounts within 1%
+DUP_WINDOW_DAYS = 7
+
+
+def orders_duplicate_payment_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_custkey",
+        "o_orderkey",
+        F.to_date("o_orderdate").alias("d"),
+        F.floor(F.col("o_totalprice") * 100 + F.lit(0.5)).cast("bigint").alias("cents"),
+    )
+    a = o.select(
+        "o_custkey",
+        F.col("o_orderkey").alias("k1"),
+        F.col("d").alias("d1"),
+        F.col("cents").alias("c1"),
+    )
+    b = o.select(
+        F.col("o_custkey").alias("cust2"),
+        F.col("o_orderkey").alias("k2"),
+        F.col("d").alias("d2"),
+        F.col("cents").alias("c2"),
+    )
+    pairs = a.join(
+        b,
+        (F.col("o_custkey") == F.col("cust2"))
+        & (F.col("k1") < F.col("k2"))
+        & (F.expr(f"abs(c1 - c2) * 10000 <= c1 * {DUP_TOL_BP}"))
+        & (F.expr(f"abs(datediff(d1, d2)) <= {DUP_WINDOW_DAYS}")),
+    )
+    return pairs.select(
+        "o_custkey",
+        "k1",
+        "k2",
+        F.col("c1").alias("cents_1"),
+        F.col("c2").alias("cents_2"),
+        F.expr("abs(c1 - c2)").cast("bigint").alias("cents_diff"),
+        F.expr("abs(datediff(d1, d2))").cast("bigint").alias("day_gap"),
+    )
+
+
+DUP_PAYMENT_SQL = f"""
+WITH o AS (
+  SELECT o_custkey, o_orderkey, CAST(o_orderdate AS DATE) AS d,
+         CAST(floor(o_totalprice * 100 + (0.5)::DOUBLE) AS BIGINT) AS cents
+  FROM orders
+)
+SELECT a.o_custkey, a.o_orderkey AS k1, b.o_orderkey AS k2,
+       a.cents AS cents_1, b.cents AS cents_2,
+       CAST(abs(a.cents - b.cents) AS BIGINT) AS cents_diff,
+       CAST(abs(date_diff('day', b.d, a.d)) AS BIGINT) AS day_gap
+FROM o a JOIN o b
+  ON a.o_custkey = b.o_custkey AND a.o_orderkey < b.o_orderkey
+ AND abs(a.cents - b.cents) * 10000 <= a.cents * {DUP_TOL_BP}
+ AND abs(date_diff('day', b.d, a.d)) <= {DUP_WINDOW_DAYS}
+"""
+
+QUERIES["orders_duplicate_payment_screen"] = orders_duplicate_payment_screen
+ORACLES["orders_duplicate_payment_screen"] = DUP_PAYMENT_SQL

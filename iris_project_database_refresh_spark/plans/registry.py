@@ -216,6 +216,8 @@ _DRIVER_PRIORITY = [
     "events_leadlag_granger", "events_holt_winters",
     "monitor_cost_forecast", "events_retention_curve_fit",
     "dedup_shingle_stats",
+    "price_index_monthly", "multimodal_flac_info",
+    "orders_duplicate_payment_screen",
 ]
 
 

@@ -155,3 +155,34 @@ def test_refresh_streams_keep_referential_integrity(spark):
     assert all(r.n_orphan_lineitems == 0 for r in rows)
     # the streams really changed the table
     assert sum(r.orders_before for r in rows) != sum(r.orders_after for r in rows)
+
+
+def test_price_index_brackets_fisher(spark):
+    """Fisher must lie between Laspeyres and Paasche (geometric mean),
+    and every index is positive."""
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        price_index_monthly,
+    )
+
+    from .conftest import SF_CORRECT
+
+    rows = price_index_monthly(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        lo, hi = sorted((r.laspeyres_bp, r.paasche_bp))
+        assert lo - 1 <= r.fisher_bp <= hi + 1
+        assert r.laspeyres_bp > 0 and r.paasche_bp > 0
+
+
+def test_duplicate_payment_gates(spark):
+    """Every emitted pair satisfies both gates and is ordered k1 < k2."""
+    from iris_project_database_refresh_spark.operators import relational_ext as rx
+
+    from .conftest import SF_CORRECT
+
+    rows = rx.orders_duplicate_payment_screen(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.k1 < r.k2
+        assert r.cents_diff * 10000 <= r.cents_1 * rx.DUP_TOL_BP
+        assert r.day_gap <= rx.DUP_WINDOW_DAYS

@@ -626,3 +626,32 @@ def test_streaming_cusum_equals_batch(spark):
     }
     assert streamed == batch
     assert len(batch) > 0
+
+
+def test_flac_kernel_bit_unpacking():
+    """parse_flac: non-FLAC rejected; a hand-built STREAMINFO with
+    awkward bit values (odd sample rate, 7 channels, 20 bps) unpacks
+    exactly; padding blocks counted; last-flag stops the walk."""
+    from iris_project_database_refresh_spark.operators.multimodal import parse_flac
+
+    assert parse_flac(b"") is None
+    assert parse_flac(b"RIFF1234") is None
+
+    sr, ch, bits, total = 44101, 7, 20, (1 << 35) + 12345
+    pack = (sr << 44) | ((ch - 1) << 41) | ((bits - 1) << 36) | total
+    body = (
+        (4096).to_bytes(2, "big")
+        + (4096).to_bytes(2, "big")
+        + (0).to_bytes(3, "big")
+        + (0).to_bytes(3, "big")
+        + pack.to_bytes(8, "big")
+        + bytes(range(16))
+    )
+    payload = b"fLaC" + bytes([0x00]) + (34).to_bytes(3, "big") + body
+    payload += bytes([0x81]) + (5).to_bytes(3, "big") + b"\x00" * 5
+    p = parse_flac(payload + b"EXTRA-GARBAGE-AFTER-LAST")
+    assert p["sample_rate"] == sr and p["channels"] == ch
+    assert p["bits_per_sample"] == bits and p["total_samples"] == total
+    assert p["duration_ms"] == total * 1000 // sr
+    assert p["n_blocks"] == 2 and p["padding_bytes"] == 5
+    assert p["audio_md5"] == bytes(range(16)).hex()
