@@ -2787,3 +2787,155 @@ FROM documents WHERE doc_id % 4 = 1
 
 QUERIES["multimodal_flac_info"] = multimodal_flac_info
 ORACLES["multimodal_flac_info"] = MULTIMODAL_FLAC_SQL
+
+
+# --- BMP header parse: signed little-endian dims --------------------------------
+#
+# Eighth container kernel (public spec: Windows BITMAPINFOHEADER): the
+# pitfall this one exists for is SIGNEDNESS — biHeight is a SIGNED
+# little-endian int32 and negative means a top-down DIB; a parser
+# reading it unsigned turns every top-down image into a ~4-billion-row
+# allocation.  Planted files mix bottom-up and top-down (negative
+# height built as the 2^32 two's complement), 24-bit and 8-bit depths
+# (8-bit implies a color table whose size must be skipped to find the
+# pixel offset), and the oracle pins row stride = ceil(w*bpp/8/4)*4
+# padding arithmetic.
+#
+# Scale: same contract as the sibling kernels.
+
+BMP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("top_down", T.LongType()),
+        T.StructField("bpp", T.LongType()),
+        T.StructField("palette_colors", T.LongType()),
+        T.StructField("row_stride", T.LongType()),
+        T.StructField("pixel_bytes", T.LongType()),
+        T.StructField("data_offset", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def _le32(col):
+    """Little-endian 32-bit hex of a (possibly two's-complement) bigint.
+    pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    (top-down) height would format as a negative byte."""
+    c = F.pmod(col.cast("bigint"), F.lit(2**32))
+    return F.concat(
+        F.format_string("%02X", c % 256),
+        F.format_string("%02X", (c / 256).cast("bigint") % 256),
+        F.format_string("%02X", (c / 65536).cast("bigint") % 256),
+        F.format_string("%02X", (c / 16777216).cast("bigint") % 256),
+    )
+
+
+def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): BMP-typed media items as real BMP bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
+    width = (F.lit(5) + F.col("doc_id") % 60).cast("bigint")
+    height_abs = (F.lit(4) + F.col("doc_id") % 40).cast("bigint")
+    top_down = F.col("doc_id") % 3 == 0
+    height = F.when(top_down, -height_abs).otherwise(height_abs)
+    bpp = F.when(F.col("doc_id") % 5 == 0, F.lit(8)).otherwise(F.lit(24)).cast("bigint")
+    palette = F.when(bpp == 8, F.lit(256)).otherwise(F.lit(0)).cast("bigint")
+    stride = (((width * bpp + 31) / 32).cast("bigint") * 4).cast("bigint")
+    pixel_bytes = stride * height_abs
+    offset = F.lit(54).cast("bigint") + palette * 4
+    # pixel data: planted as zero bytes (size is what the kernel audits)
+    payload = F.unhex(
+        F.concat(
+            F.lit("424D"),  # 'BM'
+            _le32(offset + pixel_bytes),  # file size
+            F.lit("00000000"),
+            _le32(offset),
+            _le32(F.lit(40)),  # BITMAPINFOHEADER size
+            _le32(width),
+            _le32(height),
+            F.lit("0100"),  # planes = 1
+            F.concat(F.format_string("%02X", bpp % 256), F.lit("00")),
+            F.lit("00000000"),  # BI_RGB
+            _le32(pixel_bytes),
+            F.lit("130B0000130B0000"),  # 2835 ppm x/y
+            _le32(palette),
+            F.lit("00000000"),  # important colors
+            F.repeat(F.lit("00"), (palette * 4 + pixel_bytes).cast("int")),
+        )
+    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_bmp(payload: bytes) -> dict | None:
+    """BM magic + BITMAPINFOHEADER with SIGNED height; None for
+    non-BMP bytes."""
+    import struct
+
+    if len(payload) < 54 or payload[:2] != b"BM":
+        return None
+    data_offset = struct.unpack("<I", payload[10:14])[0]
+    hdr_size = struct.unpack("<I", payload[14:18])[0]
+    if hdr_size < 40:
+        return None
+    width, height = struct.unpack("<ii", payload[18:26])  # SIGNED
+    bpp = struct.unpack("<H", payload[28:30])[0]
+    palette = struct.unpack("<I", payload[46:50])[0]
+    if palette == 0 and bpp <= 8:
+        palette = 1 << bpp
+    top_down = 1 if height < 0 else 0
+    h = -height if height < 0 else height
+    stride = (width * bpp + 31) // 32 * 4
+    return {
+        "width": width,
+        "height": h,
+        "top_down": top_down,
+        "bpp": bpp,
+        "palette_colors": palette,
+        "row_stride": stride,
+        "pixel_bytes": stride * h,
+        "data_offset": data_offset,
+    }
+
+
+def multimodal_bmp_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched BMP header parse over the planted media items."""
+    bmps = bmp_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_bmp(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "bmp-stdlib"})
+                cols = [f.name for f in BMP_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return bmps.mapInPandas(fn, BMP_SCHEMA)
+
+
+MULTIMODAL_BMP_SQL = """
+SELECT doc_id AS media_id,
+       CAST(5 + doc_id % 60 AS BIGINT) AS width,
+       CAST(4 + doc_id % 40 AS BIGINT) AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END AS BIGINT) AS top_down,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 24 END AS BIGINT) AS bpp,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 256 ELSE 0 END AS BIGINT) AS palette_colors,
+       CAST(((5 + doc_id % 60) * (CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 24 END) + 31) // 32 * 4 AS BIGINT) AS row_stride,
+       CAST(((5 + doc_id % 60) * (CASE WHEN doc_id % 5 = 0 THEN 8 ELSE 24 END) + 31) // 32 * 4
+            * (4 + doc_id % 40) AS BIGINT) AS pixel_bytes,
+       CAST(54 + (CASE WHEN doc_id % 5 = 0 THEN 256 ELSE 0 END) * 4 AS BIGINT) AS data_offset,
+       'bmp-stdlib' AS parser
+FROM documents WHERE doc_id % 4 = 3
+"""
+
+QUERIES["multimodal_bmp_headers"] = multimodal_bmp_headers
+ORACLES["multimodal_bmp_headers"] = MULTIMODAL_BMP_SQL

@@ -900,3 +900,108 @@ FROM centered
 
 QUERIES["events_leadlag_granger"] = events_leadlag_granger
 ORACLES["events_leadlag_granger"] = GRANGER_SQL
+
+
+# --- X-bar / R control chart ----------------------------------------------------
+#
+# The Shewhart SPC classic (public constants, ASTM/Montgomery tables)
+# completing the drift family: CUSUM (events_cusum_alarm) catches slow
+# drifts, Page-Hinkley (events_page_hinkley) catches mean shifts —
+# the X-bar/R chart is what a process engineer actually pins on the
+# wall: daily subgroups of hourly volumes (n=24), center lines from
+# the grand mean and mean range, control limits X̄ ± A2·R̄ and
+# [D3·R̄, D4·R̄].  For n=24: A2=0.157, D3=0.451, D4=1.548 (milli
+# constants, public tables).  All sums exact integers; limits land in
+# milli via integer multiplication and truncating div, so flag columns
+# are bit-deterministic.
+#
+# Plan: one (type, day, hour) aggregation → per-(type, day) subgroup
+# stats → one bounded per-type join of the grand lines back onto the
+# subgroup table.  No windows over fact rows.
+
+SPC_A2_MILLI = 157
+SPC_D3_MILLI = 451
+SPC_D4_MILLI = 1548
+
+
+def events_spc_xbar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.date_trunc("day", "ts").cast("date").alias("day"),
+        F.hour("ts").alias("hr"),
+    )
+    hourly = ev.groupBy("event_type", "day", "hr").agg(F.count(F.lit(1)).alias("x"))
+    sub = hourly.groupBy("event_type", "day").agg(
+        F.count(F.lit(1)).alias("n_obs"),
+        F.sum("x").alias("sx"),
+        (F.max("x") - F.min("x")).alias("r"),
+    ).select(
+        "event_type",
+        "day",
+        "n_obs",
+        F.expr("sx * 1000 div n_obs").alias("xbar_milli"),
+        (F.col("r") * 1000).alias("r_milli"),
+    )
+    lines = sub.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_subgroups"),
+        F.expr("sum(xbar_milli) div count(*)").alias("grand_milli"),
+        F.expr("sum(r_milli) div count(*)").alias("rbar_milli"),
+    )
+    j = sub.join(F.broadcast(lines), "event_type")
+    ucl = f"grand_milli + {SPC_A2_MILLI} * rbar_milli div 1000"
+    lcl = f"grand_milli - {SPC_A2_MILLI} * rbar_milli div 1000"
+    rucl = f"{SPC_D4_MILLI} * rbar_milli div 1000"
+    rlcl = f"{SPC_D3_MILLI} * rbar_milli div 1000"
+    out = j.select(
+        "event_type",
+        "day",
+        F.col("n_obs").cast("bigint").alias("n_obs"),
+        F.col("xbar_milli").cast("bigint").alias("xbar_milli"),
+        F.col("r_milli").cast("bigint").alias("r_milli"),
+        F.col("grand_milli").cast("bigint").alias("grand_milli"),
+        F.col("rbar_milli").cast("bigint").alias("rbar_milli"),
+        F.expr(
+            f"cast(xbar_milli > {ucl} or xbar_milli < {lcl} as int)"
+        ).alias("xbar_out"),
+        F.expr(
+            f"cast(r_milli > {rucl} or r_milli < {rlcl} as int)"
+        ).alias("range_out"),
+    )
+    return out.where((F.col("xbar_out") == 1) | (F.col("range_out") == 1))
+
+
+SPC_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+hourly AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         date_part('hour', ts) AS hr, count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2, 3
+),
+sub AS (
+  SELECT event_type, day, count(*)::BIGINT AS n_obs,
+         CAST(CAST(sum(x) AS BIGINT) * 1000 // count(*) AS BIGINT) AS xbar_milli,
+         CAST((max(x) - min(x)) * 1000 AS BIGINT) AS r_milli
+  FROM hourly GROUP BY 1, 2
+),
+lines AS (
+  SELECT event_type, count(*)::BIGINT AS n_subgroups,
+         CAST(sum(xbar_milli) // count(*) AS BIGINT) AS grand_milli,
+         CAST(sum(r_milli) // count(*) AS BIGINT) AS rbar_milli
+  FROM sub GROUP BY event_type
+)
+SELECT event_type, day, n_obs, xbar_milli, r_milli, grand_milli, rbar_milli,
+       CAST(xbar_milli > grand_milli + {SPC_A2_MILLI} * rbar_milli // 1000
+            OR xbar_milli < grand_milli - {SPC_A2_MILLI} * rbar_milli // 1000 AS INT) AS xbar_out,
+       CAST(r_milli > {SPC_D4_MILLI} * rbar_milli // 1000
+            OR r_milli < {SPC_D3_MILLI} * rbar_milli // 1000 AS INT) AS range_out
+FROM sub JOIN lines USING (event_type)
+WHERE (xbar_milli > grand_milli + {SPC_A2_MILLI} * rbar_milli // 1000
+       OR xbar_milli < grand_milli - {SPC_A2_MILLI} * rbar_milli // 1000)
+   OR (r_milli > {SPC_D4_MILLI} * rbar_milli // 1000
+       OR r_milli < {SPC_D3_MILLI} * rbar_milli // 1000)
+"""
+
+QUERIES["events_spc_xbar"] = events_spc_xbar
+ORACLES["events_spc_xbar"] = SPC_SQL

@@ -1662,3 +1662,166 @@ FROM walk WHERE i = n
 
 QUERIES["events_holt_winters"] = events_holt_winters
 ORACLES["events_holt_winters"] = HOLT_WINTERS_SQL
+
+
+# --- two-state burst detection (Kleinberg-style Viterbi) ------------------------
+#
+# The state-labeling complement of events_cusum_alarm's one-sided
+# alarm: model daily volume as a 2-state process (base rate lambda0 =
+# the series mean, burst rate lambda1 = 2*lambda0), Poisson
+# negative-log-likelihood emissions, an entry cost gamma for switching
+# into burst (Kleinberg 2003's automaton, 2 states) — and recover the
+# OPTIMAL state sequence by Viterbi, not a greedy threshold.
+#
+# The showpiece device: Viterbi needs a forward DP and a traceback —
+# both run as bounded per-type FOLDS.  Emission costs quantize to
+# milli integers (floor((lambda - x*ln(lambda))*1000) on identical
+# doubles — the one ln per state), so the whole DP is exact integer
+# arithmetic; the forward fold carries (cost0, cost1, parents[]), the
+# traceback folds the REVERSED parent array carrying the running
+# state.  DuckDB mirrors with two recursive CTEs.
+#
+# Plan: one (type, day) aggregation, then two bounded folds per type;
+# rounds bounded by the calendar, state O(days) per type.
+
+BURST_GAMMA_MILLI = 2000  # burst entry cost
+# lambda1 = lambda0 + 2*floor(sqrt(lambda0)): the +2-sigma Poisson rate,
+# ADAPTIVE in the base rate so burst days exist at every SF (a fixed
+# multiplier drowns as relative fluctuations shrink with volume)
+
+_BE0 = "(cast(lam0 as double) - d.x * ln(cast(lam0 as double)))"
+_BE1 = "(cast(lam1 as double) - d.x * ln(cast(lam1 as double)))"
+_BE0_INIT = _BE0.replace("d.x", "days[0].x")
+_BE1_INIT = _BE1.replace("d.x", "days[0].x")
+
+
+def events_burst_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+    )
+    daily = ev.groupBy("event_type", "day").agg(F.count(F.lit(1)).alias("x"))
+    per_type = (
+        daily.groupBy("event_type")
+        .agg(
+            F.sort_array(F.collect_list(F.struct("day", "x"))).alias("days"),
+            F.expr("sum(x) div count(*)").alias("lam0"),
+        )
+        .where(F.size("days") >= 2)
+        .select(
+            "event_type",
+            "days",
+            "lam0",
+            F.expr(
+                "lam0 + 2 * cast(floor(sqrt(cast(lam0 as double))) as bigint)"
+            ).alias("lam1"),
+        )
+    )
+    fwd = per_type.select(
+        "event_type",
+        "days",
+        F.expr(
+            f"""
+            aggregate(
+              slice(days, 2, greatest(size(days) - 1, 0)),
+              named_struct(
+                'c0', cast(floor({_BE0_INIT} * 1000) as bigint),
+                'c1', cast(floor({_BE1_INIT} * 1000) as bigint) + {BURST_GAMMA_MILLI},
+                'par', cast(array() as array<struct<p0: int, p1: int>>)),
+              (acc, d) -> named_struct(
+                'c0', least(acc.c0, acc.c1) + cast(floor({_BE0} * 1000) as bigint),
+                'c1', least(acc.c0 + {BURST_GAMMA_MILLI}, acc.c1)
+                      + cast(floor({_BE1} * 1000) as bigint),
+                'par', acc.par || array(named_struct(
+                    'p0', case when acc.c0 <= acc.c1 then 0 else 1 end,
+                    'p1', case when acc.c0 + {BURST_GAMMA_MILLI} <= acc.c1 then 0 else 1 end))))
+            """
+        ).alias("st"),
+    )
+    traced = fwd.select(
+        "event_type",
+        "days",
+        F.expr(
+            """
+            reverse(aggregate(
+              reverse(st.par),
+              named_struct(
+                'cur', case when st.c0 <= st.c1 then 0 else 1 end,
+                'labels', array(case when st.c0 <= st.c1 then 0 else 1 end)),
+              (acc, p) -> named_struct(
+                'cur', case when acc.cur = 0 then p.p0 else p.p1 end,
+                'labels', acc.labels || array(case when acc.cur = 0 then p.p0 else p.p1 end))
+            ).labels)
+            """
+        ).alias("labels"),
+    )
+    out = traced.select(
+        "event_type",
+        F.posexplode(F.arrays_zip("days", "labels")).alias("pos", "z"),
+    ).select(
+        "event_type",
+        F.col("z.days.day").alias("day"),
+        F.col("z.days.x").cast("bigint").alias("x"),
+        F.col("z.labels").cast("bigint").alias("burst_state"),
+    )
+    return out.where(F.col("burst_state") == 1)
+
+
+_BQ_E0 = "(CAST(lam0 AS DOUBLE) - dw[(i + 1)::INT].x * ln(CAST(lam0 AS DOUBLE)))"
+_BQ_E1 = "(CAST(lam1 AS DOUBLE) - dw[(i + 1)::INT].x * ln(CAST(lam1 AS DOUBLE)))"
+_BQ_E0_INIT = _BQ_E0.replace("dw[(i + 1)::INT]", "dw[1]")
+_BQ_E1_INIT = _BQ_E1.replace("dw[(i + 1)::INT]", "dw[1]")
+
+BURST_VITERBI_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         count(*)::BIGINT AS x
+  FROM events_us GROUP BY 1, 2
+),
+per_type AS (
+  SELECT event_type, list_sort(list(struct_pack(day := day, x := x))) AS dw,
+         count(*)::BIGINT AS n,
+         CAST(sum(x) // count(*) AS BIGINT) AS lam0,
+         CAST(sum(x) // count(*) AS BIGINT)
+         + 2 * CAST(floor(sqrt(CAST(CAST(sum(x) // count(*) AS BIGINT) AS DOUBLE))) AS BIGINT) AS lam1
+  FROM daily GROUP BY event_type HAVING count(*) >= 2
+),
+fwd AS (
+  SELECT event_type, dw, n, lam0, lam1, 1::BIGINT AS i,
+         CAST(floor({_BQ_E0_INIT} * 1000) AS BIGINT) AS c0,
+         CAST(floor({_BQ_E1_INIT} * 1000) AS BIGINT) + {BURST_GAMMA_MILLI} AS c1,
+         CAST([] AS INT[]) AS p0s, CAST([] AS INT[]) AS p1s
+  FROM per_type
+  UNION ALL
+  SELECT event_type, dw, n, lam0, lam1, i + 1,
+         least(c0, c1) + CAST(floor({_BQ_E0} * 1000) AS BIGINT),
+         least(c0 + {BURST_GAMMA_MILLI}, c1) + CAST(floor({_BQ_E1} * 1000) AS BIGINT),
+         list_append(p0s, CASE WHEN c0 <= c1 THEN 0 ELSE 1 END),
+         list_append(p1s, CASE WHEN c0 + {BURST_GAMMA_MILLI} <= c1 THEN 0 ELSE 1 END)
+  FROM fwd WHERE i < n
+),
+final AS (SELECT * FROM fwd WHERE i = n),
+back AS (
+  SELECT event_type, dw, n, p0s, p1s, n AS t,
+         CASE WHEN c0 <= c1 THEN 0 ELSE 1 END AS cur,
+         [CASE WHEN c0 <= c1 THEN 0 ELSE 1 END] AS labels
+  FROM final
+  UNION ALL
+  SELECT event_type, dw, n, p0s, p1s, t - 1,
+         CASE WHEN cur = 0 THEN p0s[(t - 1)::INT] ELSE p1s[(t - 1)::INT] END,
+         list_prepend(CASE WHEN cur = 0 THEN p0s[(t - 1)::INT]
+                           ELSE p1s[(t - 1)::INT] END, labels)
+  FROM back WHERE t > 1
+),
+labeled AS (SELECT event_type, dw, labels FROM back WHERE t = 1)
+SELECT event_type, dw[i::INT].day AS day,
+       CAST(dw[i::INT].x AS BIGINT) AS x,
+       CAST(labels[i::INT] AS BIGINT) AS burst_state
+FROM labeled, unnest(range(1, len(dw) + 1)) AS u(i)
+WHERE labels[i::INT] = 1
+"""
+
+QUERIES["events_burst_viterbi"] = events_burst_viterbi
+ORACLES["events_burst_viterbi"] = BURST_VITERBI_SQL

@@ -218,6 +218,7 @@ _DRIVER_PRIORITY = [
     "dedup_shingle_stats",
     "price_index_monthly", "multimodal_flac_info",
     "orders_duplicate_payment_screen",
+    "events_burst_viterbi", "events_spc_xbar", "multimodal_bmp_headers",
 ]
 
 

@@ -655,3 +655,29 @@ def test_flac_kernel_bit_unpacking():
     assert p["duration_ms"] == total * 1000 // sr
     assert p["n_blocks"] == 2 and p["padding_bytes"] == 5
     assert p["audio_md5"] == bytes(range(16)).hex()
+
+
+def test_bmp_kernel_signed_height():
+    """parse_bmp: signed LE height decodes top-down DIBs; palette
+    implied for low depths when biClrUsed is 0; stride padded to 4."""
+    import struct
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_bmp
+
+    assert parse_bmp(b"") is None
+    assert parse_bmp(b"PK\x03\x04" + b"\x00" * 60) is None
+
+    def bmp(width, height, bpp, clr_used):
+        info = struct.pack(
+            "<IiiHHIIiiII", 40, width, height, 1, bpp, 0, 0, 2835, 2835, clr_used, 0
+        )
+        off = 54 + clr_used * 4
+        return b"BM" + struct.pack("<IHHI", off, 0, 0, off) + info
+
+    p = parse_bmp(bmp(7, -9, 24, 0))
+    assert p["top_down"] == 1 and p["height"] == 9
+    assert p["row_stride"] == (7 * 24 + 31) // 32 * 4 == 24
+    assert p["pixel_bytes"] == 24 * 9
+    # 4bpp with biClrUsed=0 implies a full 16-color palette
+    p2 = parse_bmp(bmp(10, 5, 4, 0))
+    assert p2["palette_colors"] == 16 and p2["top_down"] == 0

@@ -183,3 +183,53 @@ def test_holt_winters_fold_replay(spark):
         assert (r.level_milli, r.trend_milli) == (l, b)
         assert [getattr(r, f"season{j}_milli") for j in range(7)] == s
         assert (r.hw_sae_milli, r.snaive_sae_milli) == (sae, nsae)
+
+
+def test_burst_viterbi_python_replay(spark):
+    """The two-fold Viterbi replays exactly in Python: same emissions,
+    same DP, same traceback."""
+    import math
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    got = {}
+    for r in timeseries.events_burst_viterbi(spark, SF_CORRECT).collect():
+        got.setdefault(r.event_type, set()).add((r.day, r.x))
+
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+    G = timeseries.BURST_GAMMA_MILLI
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts]
+        lam0 = sum(xs) // len(xs)
+        lam1 = lam0 + 2 * math.floor(math.sqrt(float(lam0)))
+
+        def e(lam, x):
+            return math.floor((float(lam) - x * math.log(float(lam))) * 1000)
+
+        c0, c1 = e(lam0, xs[0]), e(lam1, xs[0]) + G
+        parents = []
+        for x in xs[1:]:
+            p0 = 0 if c0 <= c1 else 1
+            p1 = 0 if c0 + G <= c1 else 1
+            c0, c1 = min(c0, c1) + e(lam0, x), min(c0 + G, c1) + e(lam1, x)
+            parents.append((p0, p1))
+        cur = 0 if c0 <= c1 else 1
+        labels = [cur]
+        for p0, p1 in reversed(parents):
+            cur = p0 if cur == 0 else p1
+            labels.append(cur)
+        labels.reverse()
+        expect = {
+            (pts[i][0], pts[i][1]) for i in range(len(pts)) if labels[i] == 1
+        }
+        assert got.get(et, set()) == expect
