@@ -1044,3 +1044,132 @@ LIMIT {TOP_K}
 
 QUERIES["graph_katz_centrality"] = graph_katz_centrality
 ORACLES["graph_katz_centrality"] = KATZ_SQL
+
+
+# --- HITS hubs & authorities ----------------------------------------------------
+#
+# The third centrality beside pagerank_docs (mass-conserving) and
+# graph_katz_centrality (volume-weighted): Kleinberg's HITS (1999)
+# computes DUAL scores — authorities (pointed to by good hubs) and
+# hubs (pointing at good authorities) — by alternating a = Aᵀh,
+# h = A·a.  Integer device: instead of L2 normalization (a float
+# sqrt-divide per round), each round max-normalizes back to SCALE by
+# truncating div — ranking-equivalent, exact, and the max is an exact
+# integer aggregate.  Same planted hub-skewed edge set as Katz.
+#
+# Plan: per round two dst/src-keyed shuffles of the pinned edge list
+# plus two 1-row broadcast maxes; rounds bounded.  HITS runs on its own
+# smaller scale (1e6): raw sums reach max-in-degree x scale, and the
+# max-normalize multiply must stay inside BIGINT at any corpus size.
+
+HITS_ITERS = 3
+HITS_SCALE = 10**6
+
+
+def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+            (F.col("doc_id") * 7 + 1) % F.least(F.col("n"), F.lit(50)),
+        )
+    )
+    edges = with_n.select(
+        F.col("doc_id").alias("src"), F.explode(targets).alias("dst")
+    ).localCheckpoint(eager=False)
+
+    hubs = nodes.select("doc_id", F.lit(HITS_SCALE).cast("bigint").alias("h"))
+    auths = nodes.select("doc_id", F.lit(HITS_SCALE).cast("bigint").alias("a"))
+    for _ in range(HITS_ITERS):
+        araw = (
+            edges.join(hubs.select(F.col("doc_id").alias("src"), "h"), "src")
+            .groupBy(F.col("dst").alias("doc_id"))
+            .agg(F.sum("h").alias("raw"))
+        )
+        amax = araw.agg(F.max("raw").alias("mx"))
+        auths = (
+            nodes.join(araw, "doc_id", "left")
+            .crossJoin(F.broadcast(amax))
+            .select(
+                "doc_id",
+                F.expr(f"coalesce(raw, 0) * cast({HITS_SCALE} as bigint) div mx").alias("a"),
+            )
+        )
+        hraw = (
+            edges.join(auths.select(F.col("doc_id").alias("dst"), "a"), "dst")
+            .groupBy(F.col("src").alias("doc_id"))
+            .agg(F.sum("a").alias("raw"))
+        )
+        hmax = hraw.agg(F.max("raw").alias("mx"))
+        hubs = (
+            nodes.join(hraw, "doc_id", "left")
+            .crossJoin(F.broadcast(hmax))
+            .select(
+                "doc_id",
+                F.expr(f"coalesce(raw, 0) * cast({HITS_SCALE} as bigint) div mx").alias("h"),
+            )
+        )
+    joined = auths.join(hubs, "doc_id")
+    return (
+        joined.select(
+            "doc_id",
+            F.col("a").alias("authority_scaled"),
+            F.col("h").alias("hub_scaled"),
+        )
+        .orderBy(F.desc("authority_scaled"), F.desc("hub_scaled"), "doc_id")
+        .limit(TOP_K)
+    )
+
+
+def _hits_round_sql(ap, hp, ac, hc):
+    return f"""
+{ac}raw AS (
+  SELECT e.dst AS doc_id, CAST(sum(t.h) AS BIGINT) AS raw
+  FROM hedges e JOIN {hp} t ON e.src = t.doc_id GROUP BY e.dst
+),
+{ac} AS (
+  SELECT n.doc_id,
+         coalesce(r.raw, 0) * {HITS_SCALE}::BIGINT // (SELECT max(raw) FROM {ac}raw) AS a
+  FROM (SELECT doc_id FROM documents) n LEFT JOIN {ac}raw r ON n.doc_id = r.doc_id
+),
+{hc}raw AS (
+  SELECT e.src AS doc_id, CAST(sum(t.a) AS BIGINT) AS raw
+  FROM hedges e JOIN {ac} t ON e.dst = t.doc_id GROUP BY e.src
+),
+{hc} AS (
+  SELECT n.doc_id,
+         coalesce(r.raw, 0) * {HITS_SCALE}::BIGINT // (SELECT max(raw) FROM {hc}raw) AS h
+  FROM (SELECT doc_id FROM documents) n LEFT JOIN {hc}raw r ON n.doc_id = r.doc_id
+)"""
+
+
+HITS_SQL = (
+    f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+htargets AS (
+  SELECT doc_id,
+         list_distinct([(doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n,
+                        (doc_id * 13 + 11) % n,
+                        (doc_id * 7 + 1) % least(n, 50)]) AS ts
+  FROM documents, nn
+),
+hedges AS (SELECT doc_id AS src, unnest(ts) AS dst FROM htargets),
+h0 AS (SELECT doc_id, {HITS_SCALE}::BIGINT AS h FROM documents),"""
+    + ",".join(
+        _hits_round_sql(f"a{i}", f"h{i}", f"a{i + 1}", f"h{i + 1}")
+        for i in range(HITS_ITERS)
+    )
+    + f"""
+SELECT a.doc_id, a.a AS authority_scaled, h.h AS hub_scaled
+FROM a{HITS_ITERS} a JOIN h{HITS_ITERS} h USING (doc_id)
+ORDER BY authority_scaled DESC, hub_scaled DESC, doc_id
+LIMIT {TOP_K}
+"""
+)
+
+QUERIES["graph_hits"] = graph_hits
+ORACLES["graph_hits"] = HITS_SQL

@@ -1594,3 +1594,154 @@ FROM agg WHERE n >= 2
 
 QUERIES["supplier_leadtime_lognormal"] = supplier_leadtime_lognormal
 ORACLES["supplier_leadtime_lognormal"] = LEADTIME_SQL
+
+
+# --- TOPSIS multi-criteria supplier ranking -------------------------------------
+#
+# The decision layer over refresh_scorecard's raw metrics: rank
+# suppliers by closeness to the ideal across four criteria — revenue
+# (benefit), return share (cost), mean lead time (cost), line count
+# (benefit) — with the textbook TOPSIS method (Hwang & Yoon 1981):
+# vector-normalize each criterion, measure Euclidean distance to the
+# ideal and anti-ideal profiles, closeness = d-/(d+ + d-).
+#
+# Determinism: every criterion is first an EXACT integer (whole-dollar
+# revenue so squares stay well inside the double-exact range at any
+# SF, bp return share, milli lead days, counts); all float steps —
+# the four norms, the normalized ratios, the two distances — are
+# written as the SAME fixed-order expression tree in both engines
+# (identical-double device), and closeness floors into micro.
+#
+# Plan: one lineitem(⋈orders) scan → per-supplier agg; everything
+# after runs on the bounded supplier table with 1-row broadcast
+# norm/ideal frames.
+
+def supplier_topsis_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_suppkey", "l_orderkey", "l_shipdate", "l_extendedprice", "l_returnflag"
+    )
+    orders = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(orders, li.l_orderkey == orders.o_orderkey)
+    per = j.groupBy("l_suppkey").agg(
+        F.expr(
+            "cast(sum(cast(floor(l_extendedprice * 100 + 0.5d) as bigint)) div 100 as bigint)"
+        ).alias("rev_usd"),
+        F.expr(
+            "sum(case when l_returnflag = 'R' then 1 else 0 end) * 10000 div count(1)"
+        ).alias("ret_bp"),
+        F.expr(
+            "sum(greatest(datediff(cast(date_trunc('day', l_shipdate) as date),"
+            " cast(date_trunc('day', o_orderdate) as date)), 0)) * 1000 div count(1)"
+        ).alias("lead_milli"),
+        F.count(F.lit(1)).alias("n_lines"),
+    )
+    norms = per.agg(
+        F.sum(F.expr("rev_usd * rev_usd")).alias("q1"),
+        F.sum(F.expr("ret_bp * ret_bp")).alias("q2"),
+        F.sum(F.expr("lead_milli * lead_milli")).alias("q3"),
+        F.sum(F.expr("n_lines * n_lines")).alias("q4"),
+    )
+    r = per.crossJoin(F.broadcast(norms)).select(
+        "l_suppkey",
+        "rev_usd",
+        "ret_bp",
+        "lead_milli",
+        "n_lines",
+        F.expr("rev_usd / sqrt(cast(q1 as double))").alias("r1"),
+        F.expr("ret_bp / sqrt(cast(q2 as double))").alias("r2"),
+        F.expr("lead_milli / sqrt(cast(q3 as double))").alias("r3"),
+        F.expr("n_lines / sqrt(cast(q4 as double))").alias("r4"),
+    )
+    ideal = r.agg(
+        F.max("r1").alias("i1"),  # benefit
+        F.min("r2").alias("i2"),  # cost
+        F.min("r3").alias("i3"),  # cost
+        F.max("r4").alias("i4"),  # benefit
+        F.min("r1").alias("w1"),
+        F.max("r2").alias("w2"),
+        F.max("r3").alias("w3"),
+        F.min("r4").alias("w4"),
+    )
+    dpos = (
+        "sqrt((r1 - i1) * (r1 - i1) + (r2 - i2) * (r2 - i2)"
+        " + (r3 - i3) * (r3 - i3) + (r4 - i4) * (r4 - i4))"
+    )
+    dneg = (
+        "sqrt((r1 - w1) * (r1 - w1) + (r2 - w2) * (r2 - w2)"
+        " + (r3 - w3) * (r3 - w3) + (r4 - w4) * (r4 - w4))"
+    )
+    out = r.crossJoin(F.broadcast(ideal)).select(
+        "l_suppkey",
+        "rev_usd",
+        "ret_bp",
+        "lead_milli",
+        F.col("n_lines").cast("bigint").alias("n_lines"),
+        F.expr(
+            f"case when {dpos} + {dneg} > 0 then"
+            f" cast(floor({dneg} / ({dpos} + {dneg}) * 1000000) as bigint)"
+            " else cast(null as bigint) end"
+        ).alias("closeness_micro"),
+    )
+    w = Window.orderBy(F.desc("closeness_micro"), F.asc("l_suppkey"))
+    return out.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
+        F.col("rank") <= 25
+    )
+
+
+_T_DPOS = (
+    "sqrt((r1 - i1) * (r1 - i1) + (r2 - i2) * (r2 - i2)"
+    " + (r3 - i3) * (r3 - i3) + (r4 - i4) * (r4 - i4))"
+)
+_T_DNEG = (
+    "sqrt((r1 - w1) * (r1 - w1) + (r2 - w2) * (r2 - w2)"
+    " + (r3 - w3) * (r3 - w3) + (r4 - w4) * (r4 - w4))"
+)
+
+TOPSIS_SQL = f"""
+WITH per AS (
+  SELECT l_suppkey,
+         CAST(CAST(sum(CAST(floor(l_extendedprice * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) // 100 AS BIGINT) AS rev_usd,
+         CAST(CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) * 10000 // count(*) AS BIGINT) AS ret_bp,
+         CAST(CAST(sum(greatest(date_diff('day',
+                CAST(date_trunc('day', o_orderdate) AS DATE),
+                CAST(date_trunc('day', l_shipdate) AS DATE)), 0)) AS BIGINT) * 1000 // count(*) AS BIGINT) AS lead_milli,
+         count(*)::BIGINT AS n_lines
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_suppkey
+),
+norms AS (
+  SELECT CAST(sum(rev_usd * rev_usd) AS BIGINT) AS q1,
+         CAST(sum(ret_bp * ret_bp) AS BIGINT) AS q2,
+         CAST(sum(lead_milli * lead_milli) AS BIGINT) AS q3,
+         CAST(sum(n_lines * n_lines) AS BIGINT) AS q4
+  FROM per
+),
+r AS (
+  SELECT l_suppkey, rev_usd, ret_bp, lead_milli, n_lines,
+         rev_usd / sqrt(CAST(q1 AS DOUBLE)) AS r1,
+         ret_bp / sqrt(CAST(q2 AS DOUBLE)) AS r2,
+         lead_milli / sqrt(CAST(q3 AS DOUBLE)) AS r3,
+         n_lines / sqrt(CAST(q4 AS DOUBLE)) AS r4
+  FROM per CROSS JOIN norms
+),
+ideal AS (
+  SELECT max(r1) AS i1, min(r2) AS i2, min(r3) AS i3, max(r4) AS i4,
+         min(r1) AS w1, max(r2) AS w2, max(r3) AS w3, min(r4) AS w4
+  FROM r
+),
+scored AS (
+  SELECT l_suppkey, rev_usd, ret_bp, lead_milli, n_lines,
+         CASE WHEN {_T_DPOS} + {_T_DNEG} > 0 THEN
+           CAST(floor({_T_DNEG} / ({_T_DPOS} + {_T_DNEG}) * 1000000) AS BIGINT)
+         ELSE CAST(NULL AS BIGINT) END AS closeness_micro
+  FROM r CROSS JOIN ideal
+)
+SELECT * FROM (
+  SELECT l_suppkey, rev_usd, ret_bp, lead_milli, n_lines, closeness_micro,
+         row_number() OVER (ORDER BY closeness_micro DESC, l_suppkey) AS rank
+  FROM scored
+) WHERE rank <= 25
+"""
+
+QUERIES["supplier_topsis_rank"] = supplier_topsis_rank
+ORACLES["supplier_topsis_rank"] = TOPSIS_SQL

@@ -219,6 +219,7 @@ _DRIVER_PRIORITY = [
     "price_index_monthly", "multimodal_flac_info",
     "orders_duplicate_payment_screen",
     "events_burst_viterbi", "events_spc_xbar", "multimodal_bmp_headers",
+    "graph_hits", "supplier_topsis_rank",
 ]
 
 

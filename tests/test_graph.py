@@ -65,3 +65,15 @@ def test_katz_centrality_python_replay(spark):
     got = graph.graph_katz_centrality(spark, SF_CORRECT).collect()
     assert [r.doc_id for r in got] == expect
     assert [r.katz_scaled for r in got] == [katz[i] for i in expect]
+
+
+def test_hits_duals_discriminate(spark):
+    """Authorities concentrate on the planted hub targets (doc_id < 50)
+    and scores are max-normalized (top authority == HITS_SCALE)."""
+    from .conftest import SF_CORRECT
+
+    rows = graph.graph_hits(spark, SF_CORRECT).collect()
+    assert len(rows) == graph.TOP_K
+    assert rows[0].authority_scaled == graph.HITS_SCALE
+    assert all(r.doc_id < 50 for r in rows[:10])
+    assert len({r.authority_scaled for r in rows}) > 10

@@ -233,3 +233,17 @@ def test_retention_curve_decays(spark):
     assert len({r.decay_slope_milli for r in rows}) == 1
     assert rows[0].decay_slope_milli < 0
     assert rows[0].ret_bp > rows[-1].ret_bp
+
+
+def test_topsis_rank_order(spark):
+    """Ranks are 1..25 in closeness order, and closeness is a proper
+    [0, 1e6] ratio."""
+    from iris_project_database_refresh_spark.operators import warehouse
+
+    from .conftest import SF_CORRECT
+
+    rows = sorted(warehouse.supplier_topsis_rank(spark, SF_CORRECT).collect(), key=lambda r: r.rank)
+    assert [r.rank for r in rows] == list(range(1, 26))
+    cs = [r.closeness_micro for r in rows]
+    assert all(0 <= c <= 1_000_000 for c in cs)
+    assert cs == sorted(cs, reverse=True)
