@@ -663,3 +663,154 @@ FROM final
 
 QUERIES["embed_whitening_plan"] = embed_whitening_plan
 ORACLES["embed_whitening_plan"] = WHITENING_SQL
+
+
+# --- second principal component via deflation -----------------------------------
+#
+# embed_pca_power finds the dominant eigenpair; whitening and 2-D
+# projection need the SECOND one.  Classic Hotelling deflation: G2 =
+# G - lambda1 * x1 x1' / (x1'x1), with lambda1 = (x1'Gx1)/(x1'x1) — the
+# rank-1 subtraction runs per (i, j) cell as ONE fixed-order double
+# expression over exact integers (g - lam_num*wi*wj/lam_den^2) and
+# floors back to an integer Gram, so the subsequent power rounds are
+# the same exact-integer machinery as PC1.  The x1'x2 dot ships as an
+# audit column: deflation quality is measurable, not assumed.
+#
+# Plan: the 64x64 Gram pins once; PC1 rounds, one broadcast rank-1
+# update, PC2 rounds — all on the bounded Gram table, never the
+# corpus.
+
+def embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    gram = _gram(spark, sf_dir).localCheckpoint(eager=False)
+    x = gram.where(F.col("i") == 0).select(F.col("j").alias("pos"), F.lit(1).cast("bigint").alias("w"))
+    for _ in range(PCA_ITERS):
+        x = _power_round(gram, x)
+    x = x.localCheckpoint(eager=False)
+    lam = (
+        gram.join(F.broadcast(x.select(F.col("pos").alias("i"), F.col("w").alias("xi"))), "i")
+        .join(F.broadcast(x.select(F.col("pos").alias("j"), F.col("w").alias("xj"))), "j")
+        .groupBy()
+        .agg(F.sum(F.col("g") * F.col("xi") * F.col("xj")).alias("lam_num"))
+    )
+    den = x.groupBy().agg(F.sum(F.col("w") * F.col("w")).alias("lam_den"))
+    g2 = (
+        gram.join(F.broadcast(x.select(F.col("pos").alias("i"), F.col("w").alias("xi"))), "i")
+        .join(F.broadcast(x.select(F.col("pos").alias("j"), F.col("w").alias("xj"))), "j")
+        .crossJoin(F.broadcast(lam))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "i",
+            "j",
+            F.expr(
+                "cast(floor(g - cast(lam_num as double) * xi * xj"
+                " / (cast(lam_den as double) * cast(lam_den as double))) as bigint)"
+            ).alias("g"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    y = g2.where(F.col("i") == 0).select(F.col("j").alias("pos"), F.lit(1).cast("bigint").alias("w"))
+    for _ in range(PCA_ITERS):
+        y = _power_round(g2, y)
+    lam2 = (
+        g2.join(F.broadcast(y.select(F.col("pos").alias("i"), F.col("w").alias("yi"))), "i")
+        .join(F.broadcast(y.select(F.col("pos").alias("j"), F.col("w").alias("yj"))), "j")
+        .groupBy()
+        .agg(F.sum(F.col("g") * F.col("yi") * F.col("yj")).alias("lam2_num"))
+    )
+    den2 = y.groupBy().agg(F.sum(F.col("w") * F.col("w")).alias("lam2_den"))
+    dot = (
+        y.join(x.select(F.col("pos").alias("pos"), F.col("w").alias("w1")), "pos")
+        .groupBy()
+        .agg(F.sum(F.expr("w * w1")).alias("dot_12"))
+    )
+    return (
+        y.crossJoin(F.broadcast(lam2))
+        .crossJoin(F.broadcast(den2))
+        .crossJoin(F.broadcast(dot))
+        .select(
+            "pos",
+            "w",
+            F.col("lam2_num").cast("bigint").alias("lam2_num"),
+            F.col("lam2_den").cast("bigint").alias("lam2_den"),
+            F.col("dot_12").cast("bigint").alias("dot_12"),
+        )
+    )
+
+
+def _pca2_sql() -> str:
+    rounds1, prev = [], "x0"
+    for r in range(PCA_ITERS):
+        rounds1.append(
+            f"""y{r} AS (
+  SELECT g.i, sum(g.g * x.w) AS y FROM gram g JOIN {prev} x ON g.j = x.pos GROUP BY g.i
+),
+m{r} AS (SELECT max(abs(y)) AS m FROM y{r}),
+x{r + 1} AS (
+  SELECT i AS pos, CAST(sign(y) * ((abs(y) * {PCA_NORM}) // m) AS BIGINT) AS w
+  FROM y{r}, m{r}
+)"""
+        )
+        prev = f"x{r + 1}"
+    rounds2, prev2 = [], "z0"
+    for r in range(PCA_ITERS):
+        rounds2.append(
+            f"""u{r} AS (
+  SELECT g.i, sum(g.g * x.w) AS y FROM gram2 g JOIN {prev2} x ON g.j = x.pos GROUP BY g.i
+),
+w{r} AS (SELECT max(abs(y)) AS m FROM u{r}),
+z{r + 1} AS (
+  SELECT i AS pos, CAST(sign(y) * ((abs(y) * {PCA_NORM}) // m) AS BIGINT) AS w
+  FROM u{r}, w{r}
+)"""
+        )
+        prev2 = f"z{r + 1}"
+    return f"""
+WITH vecs AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
+  FROM embeddings
+),
+outer_p AS (
+  SELECT i.i, j.j, sum(v.q[i.i + 1] * v.q[j.j + 1]) AS s
+  FROM vecs v,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS i) i,
+       (SELECT unnest(generate_series(0, {DIM - 1})) AS j) j
+  GROUP BY i.i, j.j
+),
+n_t AS (SELECT count(*) AS n FROM vecs),
+gram AS MATERIALIZED (SELECT i, j, s // n AS g FROM outer_p, n_t),
+x0 AS (SELECT j AS pos, CAST(1 AS BIGINT) AS w FROM gram WHERE i = 0),
+{",".join(rounds1)},
+lam AS (
+  SELECT CAST(sum(g.g * xi.w * xj.w) AS BIGINT) AS lam_num
+  FROM gram g JOIN {prev} xi ON g.i = xi.pos JOIN {prev} xj ON g.j = xj.pos
+),
+den AS (SELECT CAST(sum(w * w) AS BIGINT) AS lam_den FROM {prev}),
+gram2 AS MATERIALIZED (
+  SELECT g.i, g.j,
+         CAST(floor(g.g - CAST(lam_num AS DOUBLE) * xi.w * xj.w
+              / (CAST(lam_den AS DOUBLE) * CAST(lam_den AS DOUBLE))) AS BIGINT) AS g
+  FROM gram g
+  JOIN {prev} xi ON g.i = xi.pos
+  JOIN {prev} xj ON g.j = xj.pos
+  CROSS JOIN lam CROSS JOIN den
+),
+z0 AS (SELECT j AS pos, CAST(1 AS BIGINT) AS w FROM gram2 WHERE i = 0),
+{",".join(rounds2)},
+lam2 AS (
+  SELECT CAST(sum(g.g * yi.w * yj.w) AS BIGINT) AS lam2_num
+  FROM gram2 g JOIN {prev2} yi ON g.i = yi.pos JOIN {prev2} yj ON g.j = yj.pos
+),
+den2 AS (SELECT CAST(sum(w * w) AS BIGINT) AS lam2_den FROM {prev2}),
+dot AS (
+  SELECT CAST(sum(a.w * b.w) AS BIGINT) AS dot_12
+  FROM {prev2} a JOIN {prev} b ON a.pos = b.pos
+)
+SELECT pos, w, lam2_num, lam2_den, dot_12 FROM {prev2}, lam2, den2, dot
+"""
+
+
+PCA2_SQL = _pca2_sql()
+
+QUERIES["embed_pca_deflate"] = embed_pca_deflate
+ORACLES["embed_pca_deflate"] = PCA2_SQL

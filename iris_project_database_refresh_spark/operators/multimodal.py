@@ -2939,3 +2939,209 @@ FROM documents WHERE doc_id % 4 = 3
 
 QUERIES["multimodal_bmp_headers"] = multimodal_bmp_headers
 ORACLES["multimodal_bmp_headers"] = MULTIMODAL_BMP_SQL
+
+
+# --- ZIP central-directory walk -------------------------------------------------
+#
+# Ninth container kernel, with direct reference parity: the docx files
+# the prep pipeline ingests (`catalog search - docx prep/
+# docx_to_pdf_prep.py`) ARE zip archives (PKWARE APPNOTE, public spec).
+# The structural skills this one pins: (a) EOCD is found by scanning
+# BACKWARD from EOF because a trailing archive comment moves it (one
+# in two planted files has a comment); (b) entries are enumerated from
+# the CENTRAL directory at its recorded offset, not by walking local
+# headers; (c) each entry's data is located through its local-header
+# offset and its REAL CRC-32 re-verified — one in seven files plants a
+# corrupted central-directory CRC the kernel must count.
+#
+# Scale: same contract as the sibling kernels — payloads built and
+# parsed on executors in bounded Arrow batches, stdlib struct+zlib.
+
+ZIP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("total_uncompressed", T.LongType()),
+        T.StructField("cd_size", T.LongType()),
+        T.StructField("cd_offset", T.LongType()),
+        T.StructField("comment_len", T.LongType()),
+        T.StructField("crc_bad", T.LongType()),
+        T.StructField("names_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+_ZIP_NAME_LEN = 6  # "f0.txt"
+_ZIP_DATA_LEN = 32  # ascii md5 hex
+_ZIP_LOCAL_LEN = 30 + _ZIP_NAME_LEN + _ZIP_DATA_LEN
+_ZIP_CENTRAL_LEN = 46 + _ZIP_NAME_LEN
+
+
+def zip_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): ZIP-typed media items as real PK bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 2)
+    n = F.col("doc_id") % 3 + 1
+
+    def entry_parts(k):
+        name_hex = F.hex(F.lit(f"f{k}.txt"))
+        data_str = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":z{k}")))
+        data_hex = F.hex(data_str)
+        crc = F.crc32(F.encode(data_str, "UTF-8"))
+        bad = (F.col("doc_id") % 7 == 0) & (F.lit(k) == 0)
+        local = F.concat(
+            F.lit("504B0304"),  # PK\3\4
+            F.lit("1400"),  # version needed
+            F.lit("0000"),  # flags
+            F.lit("0000"),  # method: stored
+            F.lit("00000000"),  # dos time/date
+            _le32(crc),
+            _le32(F.lit(_ZIP_DATA_LEN)),
+            _le32(F.lit(_ZIP_DATA_LEN)),
+            _le16(F.lit(_ZIP_NAME_LEN)),
+            F.lit("0000"),  # extra len
+            name_hex,
+            data_hex,
+        )
+        central = F.concat(
+            F.lit("504B0102"),  # PK\1\2
+            F.lit("1400"),  # version made by
+            F.lit("1400"),  # version needed
+            F.lit("0000"),
+            F.lit("0000"),
+            F.lit("00000000"),
+            _le32(F.when(bad, crc.bitwiseXOR(F.lit(1))).otherwise(crc)),
+            _le32(F.lit(_ZIP_DATA_LEN)),
+            _le32(F.lit(_ZIP_DATA_LEN)),
+            _le16(F.lit(_ZIP_NAME_LEN)),
+            F.lit("0000"),  # extra
+            F.lit("0000"),  # comment
+            F.lit("0000"),  # disk
+            F.lit("0000"),  # internal attrs
+            F.lit("00000000"),  # external attrs
+            _le32(F.lit(k * _ZIP_LOCAL_LEN)),  # local header offset
+            name_hex,
+        )
+        return local, central
+
+    parts = [entry_parts(k) for k in range(3)]
+    locals_hex = F.concat(
+        parts[0][0],
+        F.when(n >= 2, parts[1][0]).otherwise(F.lit("")),
+        F.when(n >= 3, parts[2][0]).otherwise(F.lit("")),
+    )
+    centrals_hex = F.concat(
+        parts[0][1],
+        F.when(n >= 2, parts[1][1]).otherwise(F.lit("")),
+        F.when(n >= 3, parts[2][1]).otherwise(F.lit("")),
+    )
+    comment_len = F.when(F.col("doc_id") % 2 == 0, F.lit(0)).otherwise(F.lit(10))
+    eocd = F.concat(
+        F.lit("504B0506"),
+        F.lit("0000"),
+        F.lit("0000"),
+        _le16(n.cast("bigint")),
+        _le16(n.cast("bigint")),
+        _le32((n * _ZIP_CENTRAL_LEN).cast("bigint")),
+        _le32((n * _ZIP_LOCAL_LEN).cast("bigint")),
+        _le16(comment_len.cast("bigint")),
+        F.when(comment_len > 0, F.repeat(F.lit("78"), 10)).otherwise(F.lit("")),  # 'x' * 10
+    )
+    payload = F.unhex(F.concat(locals_hex, centrals_hex, eocd))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_zip(payload: bytes) -> dict | None:
+    """Backward EOCD scan + central-directory walk + per-entry local
+    CRC re-verification; None for non-ZIP bytes."""
+    import hashlib
+    import struct
+    import zlib
+
+    tail = payload[-(65536 + 22) :]
+    pos = tail.rfind(b"PK\x05\x06")
+    if pos < 0:
+        return None
+    eocd = tail[pos:]
+    if len(eocd) < 22:
+        return None
+    n_total = struct.unpack("<H", eocd[10:12])[0]
+    cd_size = struct.unpack("<I", eocd[12:16])[0]
+    cd_offset = struct.unpack("<I", eocd[16:20])[0]
+    comment_len = struct.unpack("<H", eocd[20:22])[0]
+    p = cd_offset
+    n_entries = total_uncomp = crc_bad = 0
+    names = []
+    while n_entries < n_total and p + 46 <= len(payload):
+        if payload[p : p + 4] != b"PK\x01\x02":
+            break
+        crc_central = struct.unpack("<I", payload[p + 16 : p + 20])[0]
+        uncomp = struct.unpack("<I", payload[p + 24 : p + 28])[0]
+        name_len = struct.unpack("<H", payload[p + 28 : p + 30])[0]
+        extra_len = struct.unpack("<H", payload[p + 30 : p + 32])[0]
+        cmt_len = struct.unpack("<H", payload[p + 32 : p + 34])[0]
+        local_off = struct.unpack("<I", payload[p + 42 : p + 46])[0]
+        name = payload[p + 46 : p + 46 + name_len].decode("ascii", "replace")
+        names.append(name)
+        total_uncomp += uncomp
+        # locate the data through the LOCAL header and re-verify the CRC
+        lh = local_off
+        if payload[lh : lh + 4] == b"PK\x03\x04":
+            lname = struct.unpack("<H", payload[lh + 26 : lh + 28])[0]
+            lextra = struct.unpack("<H", payload[lh + 28 : lh + 30])[0]
+            data = payload[lh + 30 + lname + lextra : lh + 30 + lname + lextra + uncomp]
+            if zlib.crc32(data) != crc_central:
+                crc_bad += 1
+        n_entries += 1
+        p += 46 + name_len + extra_len + cmt_len
+    return {
+        "n_entries": n_entries,
+        "total_uncompressed": total_uncomp,
+        "cd_size": cd_size,
+        "cd_offset": cd_offset,
+        "comment_len": comment_len,
+        "crc_bad": crc_bad,
+        "names_md5": hashlib.md5("".join(names).encode()).hexdigest(),
+    }
+
+
+def multimodal_zip_central_dir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ZIP central-directory walk over the planted items."""
+    zips = zip_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_zip(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "zip-stdlib"})
+                cols = [f.name for f in ZIP_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "names_md5")}
+                )
+
+    return zips.mapInPandas(fn, ZIP_SCHEMA)
+
+
+MULTIMODAL_ZIP_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_entries,
+       CAST({_ZIP_DATA_LEN} * (doc_id % 3 + 1) AS BIGINT) AS total_uncompressed,
+       CAST({_ZIP_CENTRAL_LEN} * (doc_id % 3 + 1) AS BIGINT) AS cd_size,
+       CAST({_ZIP_LOCAL_LEN} * (doc_id % 3 + 1) AS BIGINT) AS cd_offset,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 10 END AS BIGINT) AS comment_len,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS crc_bad,
+       md5(CASE doc_id % 3 WHEN 0 THEN 'f0.txt'
+                           WHEN 1 THEN 'f0.txtf1.txt'
+                           ELSE 'f0.txtf1.txtf2.txt' END) AS names_md5,
+       'zip-stdlib' AS parser
+FROM documents WHERE doc_id % 5 = 2
+"""
+
+QUERIES["multimodal_zip_central_dir"] = multimodal_zip_central_dir
+ORACLES["multimodal_zip_central_dir"] = MULTIMODAL_ZIP_SQL

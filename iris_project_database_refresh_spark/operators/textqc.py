@@ -2197,3 +2197,139 @@ FROM sweep
 
 QUERIES["quality_threshold_sweep"] = quality_threshold_sweep
 ORACLES["quality_threshold_sweep"] = QUALITY_SWEEP_SQL
+
+
+# --- code-vs-prose detection ----------------------------------------------------
+#
+# A pretraining corpus routes code and prose to different pipelines
+# (tokenizer, quality rules, dedup grain all differ) — this is the
+# router, and the classic heuristic battery works: statement
+# terminators, brace density, indented-line share.  Every 11th
+# document is deterministically code-ified in-query (semicolons every
+# 4th token, braces every 9th, a newline+indent every 6th — the
+# OCR-plant device applied to code syntax), so the detector's
+# precision/recall are measurable against ground truth, not assumed.
+#
+# Per-doc features are pure string/array arithmetic (zero shuffle);
+# the rollup is one bounded source agg with exact-integer confusion
+# counts.
+
+CODE_EVERY = 11
+CODE_SEMI_MILLI = 100  # >= 0.1 semicolons/token
+CODE_INDENT_BP = 1000  # >= 10% indented lines
+
+
+def _codeified(spark: SparkSession, sf_dir: str) -> DataFrame:
+    base = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "source", "text", tokens(F.col("text")).alias("toks")
+    )
+    code_text = F.expr(
+        """
+        array_join(transform(toks, (t, i) ->
+          concat(case when i > 0 and i % 6 = 0 then '\n    '
+                      when i > 0 then ' ' else '' end,
+                 case when i % 9 = 0 then concat('{', t, '}')
+                      when i % 4 = 3 then concat(t, ';')
+                      else t end)), '')
+        """
+    )
+    # toks stays the ORIGINAL token list (its size is the feature
+    # denominator in both engines; the code-ified text has the same
+    # token count anyway — separators are whitespace)
+    return base.select(
+        "doc_id",
+        "source",
+        F.when(F.col("doc_id") % CODE_EVERY == 0, code_text)
+        .otherwise(F.col("text"))
+        .alias("text"),
+        (F.col("doc_id") % CODE_EVERY == 0).cast("int").alias("planted_code"),
+        "toks",
+    )
+
+
+def text_code_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _codeified(spark, sf_dir)
+    feats = d.select(
+        "source",
+        "planted_code",
+        F.expr("size(toks)").alias("nt"),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit(";"), F.lit("")))).alias(
+            "n_semi"
+        ),
+        (F.length("text") - F.length(F.replace(F.col("text"), F.lit("{"), F.lit("")))).alias(
+            "n_brace"
+        ),
+        F.expr("size(split(text, '\n'))").alias("n_lines"),
+        F.expr("size(filter(split(text, '\n'), l -> l like '    %'))").alias("n_indent"),
+    ).select(
+        "source",
+        "planted_code",
+        F.expr("case when nt > 0 then n_semi * 1000 div nt else 0 end").alias("semi_milli"),
+        F.expr("case when nt > 0 then n_brace * 1000 div nt else 0 end").alias("brace_milli"),
+        F.expr("case when n_lines > 0 then n_indent * 10000 div n_lines else 0 end").alias(
+            "indent_bp"
+        ),
+    )
+    verdict = (
+        f"case when semi_milli >= {CODE_SEMI_MILLI}"
+        f" and indent_bp >= {CODE_INDENT_BP} then 1 else 0 end"
+    )
+    return feats.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("planted_code").cast("bigint").alias("planted_code"),
+        F.sum(F.expr(verdict)).cast("bigint").alias("detected_code"),
+        F.sum(F.expr(f"case when planted_code = 1 and {verdict} = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("true_pos"),
+        F.sum(F.expr(f"case when planted_code = 0 and {verdict} = 1 then 1 else 0 end"))
+        .cast("bigint")
+        .alias("false_pos"),
+        F.expr("cast(sum(semi_milli) div count(1) as bigint)").alias("mean_semi_milli"),
+    )
+
+
+CODE_DETECT_SQL = f"""
+WITH base AS (
+  SELECT doc_id, source, text,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS toks,
+         CAST(doc_id % {CODE_EVERY} = 0 AS INT) AS planted_code
+  FROM documents
+),
+built AS (
+  SELECT doc_id, source, toks, planted_code,
+         CASE WHEN planted_code = 1 THEN
+           list_aggregate(list_transform(range(1, len(toks) + 1), i ->
+             concat(CASE WHEN (i - 1) > 0 AND (i - 1) % 6 = 0 THEN chr(10) || '    '
+                         WHEN (i - 1) > 0 THEN ' ' ELSE '' END,
+                    CASE WHEN (i - 1) % 9 = 0 THEN concat('{{', toks[i], '}}')
+                         WHEN (i - 1) % 4 = 3 THEN concat(toks[i], ';')
+                         ELSE toks[i] END)), 'string_agg', '')
+         ELSE text END AS text
+  FROM base
+),
+feats AS (
+  SELECT source, planted_code,
+         CASE WHEN len(toks) > 0
+              THEN (length(text) - length(replace(text, ';', ''))) * 1000 // len(toks)
+              ELSE 0 END AS semi_milli,
+         CASE WHEN len(string_split(text, chr(10))) > 0
+              THEN len(list_filter(string_split(text, chr(10)), l -> l LIKE '    %'))
+                   * 10000 // len(string_split(text, chr(10)))
+              ELSE 0 END AS indent_bp
+  FROM built
+)
+SELECT source, count(*)::BIGINT AS n_docs,
+       CAST(sum(planted_code) AS BIGINT) AS planted_code,
+       CAST(sum(CASE WHEN semi_milli >= {CODE_SEMI_MILLI} AND indent_bp >= {CODE_INDENT_BP}
+                     THEN 1 ELSE 0 END) AS BIGINT) AS detected_code,
+       CAST(sum(CASE WHEN planted_code = 1 AND semi_milli >= {CODE_SEMI_MILLI}
+                      AND indent_bp >= {CODE_INDENT_BP} THEN 1 ELSE 0 END) AS BIGINT) AS true_pos,
+       CAST(sum(CASE WHEN planted_code = 0 AND semi_milli >= {CODE_SEMI_MILLI}
+                      AND indent_bp >= {CODE_INDENT_BP} THEN 1 ELSE 0 END) AS BIGINT) AS false_pos,
+       CAST(sum(semi_milli) // count(*) AS BIGINT) AS mean_semi_milli
+FROM feats
+GROUP BY source
+"""
+
+QUERIES["text_code_detect"] = text_code_detect
+ORACLES["text_code_detect"] = CODE_DETECT_SQL

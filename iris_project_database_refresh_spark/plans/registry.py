@@ -220,6 +220,7 @@ _DRIVER_PRIORITY = [
     "orders_duplicate_payment_screen",
     "events_burst_viterbi", "events_spc_xbar", "multimodal_bmp_headers",
     "graph_hits", "supplier_topsis_rank",
+    "embed_pca_deflate", "multimodal_zip_central_dir", "text_code_detect",
 ]
 
 

@@ -69,3 +69,21 @@ def test_pca_rayleigh_dominates_average_eigenvalue(spark):
     }
     trace = sum(gram[(d, d)] for d in range(clustering.DIM))
     assert lam_num * clustering.DIM >= trace * lam_den
+
+
+def test_pca_deflation_orthogonality(spark):
+    """PC2 must be meaningfully non-parallel to PC1: |cos(x1, x2)|
+    bounded away from 1, and lambda2 <= lambda1 (both Rayleigh
+    quotients on their Grams)."""
+    from .conftest import SF_CORRECT
+
+    r2 = clustering.embed_pca_deflate(spark, SF_CORRECT).collect()
+    r1 = clustering.embed_pca_power(spark, SF_CORRECT).collect()
+    n1 = sum(r.w * r.w for r in r1)
+    n2 = sum(r.w * r.w for r in r2)
+    dot = r2[0].dot_12
+    cos2 = (dot * dot) / (n1 * n2)
+    assert cos2 < 0.25  # |cos| < 0.5 after 3 power rounds
+    lam1 = r1[0].lam_num / r1[0].lam_den
+    lam2 = r2[0].lam2_num / r2[0].lam2_den
+    assert lam2 <= lam1 + 1e-9

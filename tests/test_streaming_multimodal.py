@@ -681,3 +681,37 @@ def test_bmp_kernel_signed_height():
     # 4bpp with biClrUsed=0 implies a full 16-color palette
     p2 = parse_bmp(bmp(10, 5, 4, 0))
     assert p2["palette_colors"] == 16 and p2["top_down"] == 0
+
+
+def test_zip_kernel_eocd_and_crc():
+    """parse_zip: backward EOCD scan past a trailing comment; a central
+    directory whose CRC disagrees with the local data is counted."""
+    import struct
+    import zlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_zip
+
+    assert parse_zip(b"not a zip at all") is None
+
+    name, data = b"a.txt", b"HELLOHELLO"
+    crc = zlib.crc32(data)
+    local = (
+        b"PK\x03\x04" + struct.pack("<HHHHH", 20, 0, 0, 0, 0)
+        + struct.pack("<III", crc, len(data), len(data))
+        + struct.pack("<HH", len(name), 0) + name + data
+    )
+    central = (
+        b"PK\x01\x02" + struct.pack("<HHHHHH", 20, 20, 0, 0, 0, 0)
+        + struct.pack("<III", crc ^ 1, len(data), len(data))  # corrupted CRC
+        + struct.pack("<HHHHH", len(name), 0, 0, 0, 0) + struct.pack("<I", 0)
+        + struct.pack("<I", 0) + name
+    )
+    comment = b"trailing!"
+    eocd = (
+        b"PK\x05\x06" + struct.pack("<HHHH", 0, 0, 1, 1)
+        + struct.pack("<II", len(central), len(local))
+        + struct.pack("<H", len(comment)) + comment
+    )
+    p = parse_zip(local + central + eocd)
+    assert p["n_entries"] == 1 and p["comment_len"] == len(comment)
+    assert p["crc_bad"] == 1 and p["total_uncompressed"] == len(data)

@@ -77,3 +77,18 @@ def test_quality_sweep_monotone(spark):
             assert b.tokens_kept <= a.tokens_kept
     for r in rows:
         assert 0 <= r.docs_kept_bp <= 10000 and 0 <= r.tokens_kept_bp <= 10000
+
+
+def test_code_detect_perfect_separation(spark):
+    """The planted code-ification must be perfectly separable: per
+    source, detected == planted and zero false positives."""
+    from iris_project_database_refresh_spark.operators import textqc
+
+    from .conftest import SF_CORRECT
+
+    rows = textqc.text_code_detect(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert r.planted_code > 0
+        assert r.detected_code == r.planted_code
+        assert r.true_pos == r.planted_code and r.false_pos == 0
