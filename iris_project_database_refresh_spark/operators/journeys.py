@@ -2092,3 +2092,158 @@ FROM perk CROSS JOIN fit
 
 QUERIES["events_retention_curve_fit"] = events_retention_curve_fit
 ORACLES["events_retention_curve_fit"] = RETENTION_FIT_SQL
+
+
+# --- sequential probability ratio test (SPRT) -----------------------------------
+#
+# The experimentation family's SEQUENTIAL member beside the fixed-n
+# tests (events_ab_test_lift / CUPED / SRM / power planner): Wald's
+# SPRT (1945) accumulates the binomial log-likelihood ratio day by day
+# and stops the moment it crosses ln((1-beta)/alpha) (ship) or
+# ln(beta/(1-alpha)) (stop) — the legitimate way to peek at an A/B
+# test daily.  Control's overall conversion freezes p0, the MDE sets
+# p1 = p0 x 1.2; per-day increments quantize to e4 integers on
+# identical doubles, so the fold state and the crossing day are exact.
+#
+# Plan: one (arm, day) aggregation of per-(user, day) activity, then a
+# bounded fold over the treatment day series; crossing bounded by the
+# calendar, not data volume.
+
+SPRT_ALPHA_MILLI = 50  # alpha = 0.05
+SPRT_BETA_MILLI = 100  # beta = 0.10
+SPRT_MDE_PCT = 20  # p1 = p0 * 1.2
+
+
+def events_ab_sprt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_type", F.to_date("ts").alias("day")
+    )
+    act = ev.groupBy("user_id", "day").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("conv")
+    )
+    daily = act.select(
+        F.when(F.col("user_id") % 2 == 0, "control").otherwise("treatment").alias("arm"),
+        "day",
+        "conv",
+    ).groupBy("arm", "day").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("conv").alias("c")
+    )
+    p0 = daily.where(F.col("arm") == "control").agg(
+        F.sum("c").alias("c0"), F.sum("n").alias("t0")
+    )
+    tdays = (
+        daily.where(F.col("arm") == "treatment")
+        .groupBy()
+        .agg(F.sort_array(F.collect_list(F.struct("day", "n", "c"))).alias("ds"))
+        .crossJoin(F.broadcast(p0))
+    )
+    # identical-double pieces: p0 = c0/t0, p1 = p0*1.2 (clamped), per-day
+    # increment floor(.*1e4); boundaries as e4 ints from double lns
+    P0 = "(c0 / cast(t0 as double))"
+    P1 = f"(least({P0} * (100 + {SPRT_MDE_PCT}) / 100.0, 0.999))"
+    INC = (
+        f"cast(floor((d.c * ln({P1} / {P0})"
+        f" + (d.n - d.c) * ln((1.0 - {P1}) / (1.0 - {P0}))) * 10000) as bigint)"
+    )
+    A = f"cast(floor(ln((1000.0 - {SPRT_BETA_MILLI}) / {SPRT_ALPHA_MILLI}) * 10000) as bigint)"
+    B = f"cast(floor(ln(cast({SPRT_BETA_MILLI} as double) / (1000.0 - {SPRT_ALPHA_MILLI})) * 10000) as bigint)"
+    folded = tdays.select(
+        F.expr("size(ds)").cast("bigint").alias("n_days"),
+        F.expr(f"{A}").alias("upper_e4"),
+        F.expr(f"{B}").alias("lower_e4"),
+        F.expr(f"cast(floor({P0} * 1000000) as bigint)").alias("p0_micro"),
+        F.expr(f"cast(floor({P1} * 1000000) as bigint)").alias("p1_micro"),
+        F.expr(
+            f"""
+            aggregate(ds,
+              named_struct('llr', cast(0 as bigint), 'i', cast(0 as bigint),
+                           'hit', cast(0 as bigint), 'hit_day', cast(null as date)),
+              (acc, d) -> case when acc.hit <> 0 then acc else
+                named_struct(
+                  'llr', acc.llr + {INC},
+                  'i', acc.i + 1,
+                  'hit', case when acc.llr + {INC} >= {A} then 1
+                              when acc.llr + {INC} <= {B} then -1 else 0 end,
+                  'hit_day', case when acc.llr + {INC} >= {A}
+                                    or acc.llr + {INC} <= {B} then d.day end)
+              end)
+            """
+        ).alias("st"),
+    )
+    return folded.select(
+        "n_days",
+        F.col("st.i").alias("days_observed"),
+        F.col("st.llr").alias("llr_e4"),
+        "upper_e4",
+        "lower_e4",
+        "p0_micro",
+        "p1_micro",
+        F.expr(
+            "case st.hit when 1 then 'accept_h1' when -1 then 'accept_h0'"
+            " else 'continue' end"
+        ).alias("decision"),
+        F.col("st.hit_day").alias("decision_day"),
+    )
+
+
+_SP_P0 = "(c0 / CAST(t0 AS DOUBLE))"
+_SP_P1 = f"(least({_SP_P0} * (100 + {SPRT_MDE_PCT}) / 100.0, 0.999))"
+_SP_INC = (
+    f"CAST(floor((dw[(i + 1)::INT].c * ln({_SP_P1} / {_SP_P0})"
+    f" + (dw[(i + 1)::INT].n - dw[(i + 1)::INT].c)"
+    f" * ln((1.0 - {_SP_P1}) / (1.0 - {_SP_P0}))) * 10000) AS BIGINT)"
+)
+_SP_A = f"CAST(floor(ln((1000.0 - {SPRT_BETA_MILLI}) / {SPRT_ALPHA_MILLI}) * 10000) AS BIGINT)"
+_SP_B = f"CAST(floor(ln(CAST({SPRT_BETA_MILLI} AS DOUBLE) / (1000.0 - {SPRT_ALPHA_MILLI})) * 10000) AS BIGINT)"
+
+SPRT_SQL = f"""
+WITH RECURSIVE events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+act AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+  FROM events_us GROUP BY 1, 2
+),
+daily AS (
+  SELECT CASE WHEN user_id % 2 = 0 THEN 'control' ELSE 'treatment' END AS arm,
+         day, count(*)::BIGINT AS n, CAST(sum(conv) AS BIGINT) AS c
+  FROM act GROUP BY 1, 2
+),
+p0 AS (
+  SELECT CAST(sum(c) AS BIGINT) AS c0, CAST(sum(n) AS BIGINT) AS t0
+  FROM daily WHERE arm = 'control'
+),
+td AS (
+  SELECT list_sort(list(struct_pack(day := day, n := n, c := c))) AS dw,
+         count(*)::BIGINT AS nd
+  FROM daily WHERE arm = 'treatment'
+),
+walk AS (
+  SELECT dw, nd, c0, t0, 0::BIGINT AS i, 0::BIGINT AS llr,
+         0::BIGINT AS hit, CAST(NULL AS DATE) AS hit_day
+  FROM td, p0
+  UNION ALL
+  SELECT dw, nd, c0, t0, i + 1,
+         llr + {_SP_INC},
+         CASE WHEN llr + {_SP_INC} >= {_SP_A} THEN 1
+              WHEN llr + {_SP_INC} <= {_SP_B} THEN -1 ELSE 0 END,
+         CASE WHEN llr + {_SP_INC} >= {_SP_A} OR llr + {_SP_INC} <= {_SP_B}
+              THEN dw[(i + 1)::INT].day END
+  FROM walk WHERE i < nd AND hit = 0
+),
+last AS (
+  SELECT * FROM walk WHERE hit <> 0 OR i = nd ORDER BY i LIMIT 1
+)
+SELECT nd AS n_days, i AS days_observed, llr AS llr_e4,
+       {_SP_A} AS upper_e4, {_SP_B} AS lower_e4,
+       CAST(floor({_SP_P0} * 1000000) AS BIGINT) AS p0_micro,
+       CAST(floor({_SP_P1} * 1000000) AS BIGINT) AS p1_micro,
+       CASE hit WHEN 1 THEN 'accept_h1' WHEN -1 THEN 'accept_h0'
+            ELSE 'continue' END AS decision,
+       hit_day AS decision_day
+FROM last
+"""
+
+QUERIES["events_ab_sprt"] = events_ab_sprt
+ORACLES["events_ab_sprt"] = SPRT_SQL

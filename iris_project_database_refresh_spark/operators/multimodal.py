@@ -3145,3 +3145,199 @@ FROM documents WHERE doc_id % 5 = 2
 
 QUERIES["multimodal_zip_central_dir"] = multimodal_zip_central_dir
 ORACLES["multimodal_zip_central_dir"] = MULTIMODAL_ZIP_SQL
+
+
+# --- MP4 / ISO-BMFF box walk ----------------------------------------------------
+#
+# Tenth container kernel (public spec: ISO/IEC 14496-12): the box
+# grammar every real-world video pipeline parses — size+type headers,
+# CONTAINER boxes recursed (moov → mvhd + trak → tkhd), 16.16
+# fixed-point track dimensions, and the size=1 → 64-bit largesize
+# escape (planted on one in six mdat boxes — the pitfall a 32-bit-only
+# reader trips on, the syncsafe lesson at box grain).  The oracle pins
+# timescale/duration/dims/box-count/mdat-bytes arithmetically,
+# including the exact integer duration_ms.
+#
+# Scale: same contract as the sibling kernels.
+
+MP4_TIMESCALES = (600, 1000, 90000)
+
+MP4_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("timescale", T.LongType()),
+        T.StructField("duration", T.LongType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("track_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("n_boxes", T.LongType()),
+        T.StructField("mdat_bytes", T.LongType()),
+        T.StructField("used_largesize", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+_MP4_MATRIX = "000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"
+
+
+def mp4_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): MP4-typed media items as real BMFF bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 4)
+    ts = F.element_at(
+        F.array(*[F.lit(t) for t in MP4_TIMESCALES]), (F.col("doc_id") % 3 + 1).cast("int")
+    ).cast("bigint")
+    secs = (F.lit(5) + F.col("doc_id") % 120).cast("bigint")
+    dur = ts * secs
+    width = (F.lit(320) + (F.col("doc_id") % 8) * 160).cast("bigint")
+    height = (F.lit(240) + (F.col("doc_id") % 6) * 120).cast("bigint")
+    ftyp = F.lit("00000018" + "66747970" + "69736F6D" + "00000000" + "69736F6D" + "6D703431")
+    mvhd = F.concat(
+        F.lit("0000006C" + "6D766864" + "00000000" + "00000000" + "00000000"),
+        F.format_string("%08X", ts),
+        F.format_string("%08X", dur),
+        F.lit("00010000" + "0100" + "0000" + "0000000000000000"),
+        F.lit(_MP4_MATRIX),
+        F.lit("00000000" * 6),
+        F.lit("00000002"),
+    )
+    tkhd = F.concat(
+        F.lit("0000005C" + "746B6864" + "00000007" + "00000000" + "00000000"),
+        F.lit("00000001"),  # track id
+        F.lit("00000000"),
+        F.format_string("%08X", dur),
+        F.lit("0000000000000000" + "0000" + "0000" + "0000" + "0000"),
+        F.lit(_MP4_MATRIX),
+        F.format_string("%08X", width * 65536),
+        F.format_string("%08X", height * 65536),
+    )
+    trak = F.concat(F.lit("00000064" + "7472616B"), tkhd)
+    moov = F.concat(F.lit("000000D8" + "6D6F6F76"), mvhd, trak)
+    nmd = F.col("doc_id") % 3 + 1
+    md5s = [
+        F.hex(F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":m{k}")))))
+        for k in range(3)
+    ]
+    data_hex = F.concat(
+        md5s[0],
+        F.when(nmd >= 2, md5s[1]).otherwise(F.lit("")),
+        F.when(nmd >= 3, md5s[2]).otherwise(F.lit("")),
+    )
+    data_bytes = (nmd * 32).cast("bigint")
+    large = F.col("doc_id") % 6 == 5
+    mdat = F.when(
+        large,
+        F.concat(
+            F.lit("00000001" + "6D646174"),
+            F.format_string("%016X", data_bytes + 16),
+            data_hex,
+        ),
+    ).otherwise(
+        F.concat(F.format_string("%08X", data_bytes + 8), F.lit("6D646174"), data_hex)
+    )
+    payload = F.unhex(F.concat(ftyp, moov, mdat))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_mp4(payload: bytes) -> dict | None:
+    """Top-level box walk with container recursion into moov/trak;
+    handles the size=1 largesize escape; None for non-BMFF bytes."""
+    import struct
+
+    if len(payload) < 8 or payload[4:8] != b"ftyp":
+        return None
+    out = {
+        "timescale": None, "duration": None, "track_id": None,
+        "width": None, "height": None, "mdat_bytes": 0, "used_largesize": 0,
+    }
+    n_boxes = 0
+
+    def walk(lo, hi):
+        nonlocal n_boxes
+        pos = lo
+        while pos + 8 <= hi:
+            size = struct.unpack(">I", payload[pos : pos + 4])[0]
+            btype = payload[pos + 4 : pos + 8]
+            body = pos + 8
+            if size == 1:
+                if pos + 16 > hi:
+                    break
+                size = struct.unpack(">Q", payload[pos + 8 : pos + 16])[0]
+                body = pos + 16
+                out["used_largesize"] = 1
+            if size == 0:
+                size = hi - pos
+            if pos + size > hi or size < 8:
+                break
+            n_boxes += 1
+            if btype in (b"moov", b"trak"):
+                walk(body, pos + size)
+            elif btype == b"mvhd":
+                ver = payload[body]
+                if ver == 0:
+                    out["timescale"] = struct.unpack(">I", payload[body + 12 : body + 16])[0]
+                    out["duration"] = struct.unpack(">I", payload[body + 16 : body + 20])[0]
+            elif btype == b"tkhd":
+                ver = payload[body]
+                if ver == 0:
+                    out["track_id"] = struct.unpack(">I", payload[body + 12 : body + 16])[0]
+                    w = struct.unpack(">I", payload[pos + size - 8 : pos + size - 4])[0]
+                    h = struct.unpack(">I", payload[pos + size - 4 : pos + size])[0]
+                    out["width"], out["height"] = w >> 16, h >> 16
+            elif btype == b"mdat":
+                out["mdat_bytes"] += size - (body - pos)
+            pos += size
+
+    walk(0, len(payload))
+    if out["timescale"] is None:
+        return None
+    return {
+        **out,
+        "duration_ms": out["duration"] * 1000 // out["timescale"] if out["timescale"] else 0,
+        "n_boxes": n_boxes,
+    }
+
+
+def multimodal_mp4_boxes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched BMFF box walk over the planted media items."""
+    mp4s = mp4_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_mp4(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "mp4-stdlib"})
+                cols = [f.name for f in MP4_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return mp4s.mapInPandas(fn, MP4_SCHEMA)
+
+
+_MP4_TS_SQL = "[" + ", ".join(str(t) for t in MP4_TIMESCALES) + "]"
+
+MULTIMODAL_MP4_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(({_MP4_TS_SQL})[(doc_id % 3 + 1)::INT] AS BIGINT) AS timescale,
+       CAST(({_MP4_TS_SQL})[(doc_id % 3 + 1)::INT] * (5 + doc_id % 120) AS BIGINT) AS duration,
+       CAST((5 + doc_id % 120) * 1000 AS BIGINT) AS duration_ms,
+       CAST(1 AS BIGINT) AS track_id,
+       CAST(320 + (doc_id % 8) * 160 AS BIGINT) AS width,
+       CAST(240 + (doc_id % 6) * 120 AS BIGINT) AS height,
+       CAST(6 AS BIGINT) AS n_boxes,
+       CAST((doc_id % 3 + 1) * 32 AS BIGINT) AS mdat_bytes,
+       CAST(CASE WHEN doc_id % 6 = 5 THEN 1 ELSE 0 END AS BIGINT) AS used_largesize,
+       'mp4-stdlib' AS parser
+FROM documents WHERE doc_id % 5 = 4
+"""
+
+QUERIES["multimodal_mp4_boxes"] = multimodal_mp4_boxes
+ORACLES["multimodal_mp4_boxes"] = MULTIMODAL_MP4_SQL

@@ -324,3 +324,121 @@ FROM per
 
 QUERIES["kfold_assignment_audit"] = kfold_assignment_audit
 ORACLES["kfold_assignment_audit"] = KFOLD_SQL
+
+
+# --- LPT makespan shard assignment ----------------------------------------------
+#
+# pack_examples fills fixed-length sequences; pack_best_fit minimizes
+# bins — this one balances a FIXED number of parallel shards (the
+# training-data reality: W writer tasks, minimize the slowest).
+# Graham's LPT rule (1969): sort jobs by size descending, assign each
+# to the currently least-loaded shard; guaranteed within 4/3 of the
+# optimal makespan.  The greedy is genuinely sequential (each choice
+# changes the next argmin) → the fold device with an ARRAY of shard
+# loads as state, argmin = array_position(loads, array_min(loads))
+# (first minimum — deterministic tie-break in both engines).
+#
+# Plan: doc sizes are one narrow scan; the fold runs over the sorted
+# size list (one row per group — parallelize by packing family/source
+# at scale); output is the bounded W-row shard table with the 4/3
+# bound shipped as an audit column.
+
+LPT_SHARDS = 8
+
+
+def shard_makespan_lpt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.octet_length(F.encode("text", "utf-8")).cast("bigint").alias("bytes")
+    )
+    jobs = docs.groupBy().agg(
+        F.reverse(F.sort_array(F.collect_list(F.struct("bytes", "doc_id")))).alias("js"),
+        F.sum("bytes").alias("total"),
+        F.max("bytes").alias("biggest"),
+    )
+    folded = jobs.select(
+        "total",
+        "biggest",
+        F.expr("size(js)").cast("bigint").alias("n_docs"),
+        F.expr(
+            f"""
+            aggregate(js,
+              named_struct('loads', transform(sequence(1, {LPT_SHARDS}), x -> cast(0 as bigint)),
+                           'counts', transform(sequence(1, {LPT_SHARDS}), x -> cast(0 as bigint))),
+              (acc, j) -> named_struct(
+                'loads', transform(acc.loads, (v, k) ->
+                   case when k = cast(array_position(acc.loads, array_min(acc.loads)) - 1 as int)
+                        then v + j.bytes else v end),
+                'counts', transform(acc.counts, (v, k) ->
+                   case when k = cast(array_position(acc.loads, array_min(acc.loads)) - 1 as int)
+                        then v + 1 else v end)))
+            """
+        ).alias("st"),
+    )
+    shard = folded.select(
+        "total",
+        "biggest",
+        "n_docs",
+        F.posexplode(F.arrays_zip(F.col("st.loads"), F.col("st.counts"))).alias("shard", "z"),
+    ).select(
+        F.col("shard").cast("bigint").alias("shard"),
+        F.col("z.loads").alias("shard_bytes"),
+        F.col("z.counts").alias("shard_docs"),
+        "n_docs",
+        "total",
+        F.expr(f"greatest(total div {LPT_SHARDS} + case when total % {LPT_SHARDS} > 0 then 1 else 0 end, biggest)")
+        .cast("bigint")
+        .alias("lower_bound"),
+    )
+    return shard.select(
+        "shard",
+        "shard_bytes",
+        "shard_docs",
+        "n_docs",
+        "lower_bound",
+        F.expr("shard_bytes * 1000 div lower_bound").cast("bigint").alias("vs_lb_milli"),
+    )
+
+
+SHARD_LPT_SQL = f"""
+WITH RECURSIVE docs AS (
+  SELECT doc_id, octet_length(encode(text))::BIGINT AS bytes FROM documents
+),
+jobs AS (
+  SELECT list_reverse(list_sort(list(struct_pack(bytes := bytes, doc_id := doc_id)))) AS js,
+         CAST(sum(bytes) AS BIGINT) AS total,
+         CAST(max(bytes) AS BIGINT) AS biggest,
+         count(*)::BIGINT AS n_docs
+  FROM docs
+),
+walk AS (
+  SELECT js, total, biggest, n_docs, 0::BIGINT AS i,
+         list_transform(range({LPT_SHARDS}), x -> 0::BIGINT) AS loads,
+         list_transform(range({LPT_SHARDS}), x -> 0::BIGINT) AS counts
+  FROM jobs
+  UNION ALL
+  SELECT js, total, biggest, n_docs, i + 1,
+         list_transform(range(1, {LPT_SHARDS} + 1), k ->
+           CASE WHEN k = list_position(loads, list_min(loads))
+                THEN loads[k::INT] + js[(i + 1)::INT].bytes ELSE loads[k::INT] END),
+         list_transform(range(1, {LPT_SHARDS} + 1), k ->
+           CASE WHEN k = list_position(loads, list_min(loads))
+                THEN counts[k::INT] + 1 ELSE counts[k::INT] END)
+  FROM walk WHERE i < n_docs
+),
+final AS (SELECT * FROM walk WHERE i = n_docs),
+lb AS (
+  SELECT *, greatest(total // {LPT_SHARDS}
+                     + CASE WHEN total % {LPT_SHARDS} > 0 THEN 1 ELSE 0 END,
+                     biggest) AS lower_bound
+  FROM final
+)
+SELECT CAST(s - 1 AS BIGINT) AS shard,
+       CAST(loads[s::INT] AS BIGINT) AS shard_bytes,
+       CAST(counts[s::INT] AS BIGINT) AS shard_docs,
+       n_docs, CAST(lower_bound AS BIGINT) AS lower_bound,
+       CAST(loads[s::INT] * 1000 // lower_bound AS BIGINT) AS vs_lb_milli
+FROM lb, unnest(range(1, {LPT_SHARDS} + 1)) AS u(s)
+"""
+
+QUERIES["shard_makespan_lpt"] = shard_makespan_lpt
+ORACLES["shard_makespan_lpt"] = SHARD_LPT_SQL

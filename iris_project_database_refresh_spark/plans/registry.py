@@ -221,6 +221,7 @@ _DRIVER_PRIORITY = [
     "events_burst_viterbi", "events_spc_xbar", "multimodal_bmp_headers",
     "graph_hits", "supplier_topsis_rank",
     "embed_pca_deflate", "multimodal_zip_central_dir", "text_code_detect",
+    "events_ab_sprt", "shard_makespan_lpt", "multimodal_mp4_boxes",
 ]
 
 

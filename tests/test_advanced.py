@@ -49,3 +49,18 @@ def test_winnow_covers_shared_substrings(spark):
         .collect()
     )
     assert pairs and all(r.shared >= 1 for r in pairs)
+
+
+def test_lpt_within_four_thirds(spark):
+    """Graham's bound: the LPT makespan is within 4/3 of the lower
+    bound, loads partition the total, counts partition the docs."""
+    from iris_project_database_refresh_spark.operators import packing
+
+    from .conftest import SF_CORRECT
+
+    rows = packing.shard_makespan_lpt(spark, SF_CORRECT).collect()
+    assert len(rows) == packing.LPT_SHARDS
+    total = rows[0].lower_bound  # lower bound >= ceil(total/W)
+    makespan = max(r.shard_bytes for r in rows)
+    assert makespan * 3 <= rows[0].lower_bound * 4 + 3
+    assert sum(r.shard_docs for r in rows) == rows[0].n_docs

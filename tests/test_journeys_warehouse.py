@@ -247,3 +247,21 @@ def test_topsis_rank_order(spark):
     cs = [r.closeness_micro for r in rows]
     assert all(0 <= c <= 1_000_000 for c in cs)
     assert cs == sorted(cs, reverse=True)
+
+
+def test_sprt_decision_consistent(spark):
+    """The decision labels the llr's relation to its boundaries, and a
+    decided test stops early or at the horizon."""
+    from iris_project_database_refresh_spark.operators import journeys
+
+    from .conftest import SF_CORRECT
+
+    r = journeys.events_ab_sprt(spark, SF_CORRECT).collect()[0]
+    assert r.lower_e4 < 0 < r.upper_e4
+    if r.decision == "accept_h1":
+        assert r.llr_e4 >= r.upper_e4 and r.decision_day is not None
+    elif r.decision == "accept_h0":
+        assert r.llr_e4 <= r.lower_e4 and r.decision_day is not None
+    else:
+        assert r.lower_e4 < r.llr_e4 < r.upper_e4
+    assert r.days_observed <= r.n_days

@@ -715,3 +715,37 @@ def test_zip_kernel_eocd_and_crc():
     p = parse_zip(local + central + eocd)
     assert p["n_entries"] == 1 and p["comment_len"] == len(comment)
     assert p["crc_bad"] == 1 and p["total_uncompressed"] == len(data)
+
+
+def test_mp4_kernel_largesize_and_recursion():
+    """parse_mp4: container recursion reaches tkhd dims; the size=1
+    largesize escape is honored; non-BMFF rejected."""
+    import struct
+
+    from iris_project_database_refresh_spark.operators.multimodal import parse_mp4
+
+    assert parse_mp4(b"\x00" * 16) is None
+
+    def box(t, payload):
+        return struct.pack(">I", 8 + len(payload)) + t + payload
+
+    mvhd = box(
+        b"mvhd",
+        b"\x00\x00\x00\x00" + b"\x00" * 8 + struct.pack(">II", 1000, 5000)
+        + b"\x00" * 80,
+    )
+    tkhd = box(
+        b"tkhd",
+        b"\x00\x00\x00\x07" + b"\x00" * 8 + struct.pack(">I", 3) + b"\x00" * 56
+        + struct.pack(">II", 640 << 16, 480 << 16),
+    )
+    moov = box(b"moov", mvhd + box(b"trak", tkhd))
+    data = b"0123456789"
+    mdat_large = (
+        struct.pack(">I", 1) + b"mdat" + struct.pack(">Q", 16 + len(data)) + data
+    )
+    p = parse_mp4(box(b"ftyp", b"isom\x00\x00\x00\x00") + moov + mdat_large)
+    assert p["timescale"] == 1000 and p["duration"] == 5000 and p["duration_ms"] == 5000
+    assert p["track_id"] == 3 and (p["width"], p["height"]) == (640, 480)
+    assert p["mdat_bytes"] == len(data) and p["used_largesize"] == 1
+    assert p["n_boxes"] == 6
