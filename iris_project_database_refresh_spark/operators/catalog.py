@@ -1127,3 +1127,104 @@ FROM dirty d JOIN drill r ON d.bucket = r.bucket
 
 QUERIES["catalog_merkle_diff"] = catalog_merkle_diff
 ORACLES["catalog_merkle_diff"] = MERKLE_DIFF_SQL
+
+
+# --- three-way merge (base / local / remote) ------------------------------------
+#
+# catalog_delta is a TWO-way diff (snapshot vs master); when two
+# refresh sites edit the same catalog concurrently the reconciliation
+# is the classic THREE-way merge (diff3 semantics): for each key,
+# compare local and remote against their common BASE version and
+# classify — unchanged, local-only, remote-only, both-same
+# (convergent), or CONFLICT (divergent edits), with deletes treated
+# as an edit kind (delete-vs-edit conflicts included).  The three
+# versions are planted per doc from md5-derived attrs: every 5th key
+# edits locally, every 7th remotely (every 35th → both; half of those
+# divergent), every 11th deletes locally, every 13th remotely.
+#
+# Plan: two full-outer joins on the key; per-class rollup bounded.
+
+def _three_way(spark: SparkSession, sf_dir: str):
+    docs = load_table(spark, sf_dir, "documents").select("doc_id")
+    base_attr = F.substring(F.md5(F.concat_ws(":", F.lit("b"), "doc_id")), 1, 8)
+    local_edit = (F.col("doc_id") % 5 == 0) & (F.col("doc_id") % 11 != 0)
+    remote_edit = (F.col("doc_id") % 7 == 0) & (F.col("doc_id") % 13 != 0)
+    local_del = F.col("doc_id") % 11 == 0
+    remote_del = F.col("doc_id") % 13 == 0
+    # divergent edits on every second both-edited key (doc_id % 70 == 35)
+    local_val = F.when(local_edit, F.when(F.col("doc_id") % 70 == 35,
+        F.substring(F.md5(F.concat_ws(":", F.lit("l"), "doc_id")), 1, 8)
+    ).otherwise(F.substring(F.md5(F.concat_ws(":", F.lit("e"), "doc_id")), 1, 8))
+    ).otherwise(base_attr)
+    remote_val = F.when(remote_edit,
+        F.substring(F.md5(F.concat_ws(":", F.lit("e"), "doc_id")), 1, 8)
+    ).otherwise(base_attr)
+    return docs.select(
+        "doc_id",
+        base_attr.alias("base_v"),
+        F.when(local_del, F.lit(None)).otherwise(local_val).alias("local_v"),
+        F.when(remote_del, F.lit(None)).otherwise(remote_val).alias("remote_v"),
+    )
+
+
+def catalog_three_way_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _three_way(spark, sf_dir)
+    lc = "case when local_v is null then 'del' when local_v <> base_v then 'edit' else 'same' end"
+    rc = "case when remote_v is null then 'del' when remote_v <> base_v then 'edit' else 'same' end"
+    verdict = f"""
+      case
+        when ({lc}) = 'same' and ({rc}) = 'same' then 'unchanged'
+        when ({lc}) <> 'same' and ({rc}) = 'same' then 'take_local'
+        when ({lc}) = 'same' and ({rc}) <> 'same' then 'take_remote'
+        when ({lc}) = 'del' and ({rc}) = 'del' then 'both_deleted'
+        when ({lc}) = 'edit' and ({rc}) = 'edit' and local_v = remote_v then 'convergent'
+        else 'conflict'
+      end"""
+    classed = t.select("doc_id", F.expr(verdict).alias("merge_class"))
+    return classed.groupBy("merge_class").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.min("doc_id").cast("bigint").alias("example_key"),
+    )
+
+
+THREE_WAY_SQL = """
+WITH t AS (
+  SELECT doc_id,
+         substring(md5('b' || ':' || doc_id::VARCHAR), 1, 8) AS base_v,
+         CASE WHEN doc_id % 11 = 0 THEN NULL
+              WHEN doc_id % 5 = 0 THEN
+                CASE WHEN doc_id % 70 = 35
+                     THEN substring(md5('l' || ':' || doc_id::VARCHAR), 1, 8)
+                     ELSE substring(md5('e' || ':' || doc_id::VARCHAR), 1, 8) END
+              ELSE substring(md5('b' || ':' || doc_id::VARCHAR), 1, 8) END AS local_v,
+         CASE WHEN doc_id % 13 = 0 THEN NULL
+              WHEN doc_id % 7 = 0 THEN substring(md5('e' || ':' || doc_id::VARCHAR), 1, 8)
+              ELSE substring(md5('b' || ':' || doc_id::VARCHAR), 1, 8) END AS remote_v
+  FROM documents
+),
+classed AS (
+  SELECT doc_id,
+         CASE
+           WHEN (CASE WHEN local_v IS NULL THEN 'del' WHEN local_v <> base_v THEN 'edit' ELSE 'same' END) = 'same'
+                AND (CASE WHEN remote_v IS NULL THEN 'del' WHEN remote_v <> base_v THEN 'edit' ELSE 'same' END) = 'same'
+             THEN 'unchanged'
+           WHEN (CASE WHEN local_v IS NULL THEN 'del' WHEN local_v <> base_v THEN 'edit' ELSE 'same' END) <> 'same'
+                AND (CASE WHEN remote_v IS NULL THEN 'del' WHEN remote_v <> base_v THEN 'edit' ELSE 'same' END) = 'same'
+             THEN 'take_local'
+           WHEN (CASE WHEN local_v IS NULL THEN 'del' WHEN local_v <> base_v THEN 'edit' ELSE 'same' END) = 'same'
+             THEN 'take_remote'
+           WHEN local_v IS NULL AND remote_v IS NULL THEN 'both_deleted'
+           WHEN local_v IS NOT NULL AND remote_v IS NOT NULL
+                AND local_v <> base_v AND remote_v <> base_v AND local_v = remote_v
+             THEN 'convergent'
+           ELSE 'conflict'
+         END AS merge_class
+  FROM t
+)
+SELECT merge_class, count(*)::BIGINT AS n_keys,
+       CAST(min(doc_id) AS BIGINT) AS example_key
+FROM classed GROUP BY merge_class
+"""
+
+QUERIES["catalog_three_way_merge"] = catalog_three_way_merge
+ORACLES["catalog_three_way_merge"] = THREE_WAY_SQL

@@ -2333,3 +2333,135 @@ GROUP BY source
 
 QUERIES["text_code_detect"] = text_code_detect
 ORACLES["text_code_detect"] = CODE_DETECT_SQL
+
+
+# --- held-out perplexity (train/eval split) -------------------------------------
+#
+# corpus_ppl_buckets scores documents under a LM trained on the WHOLE
+# corpus — fine for ranking, but methodologically it rewards
+# memorization.  This is the honest version: train the add-k unigram
+# LM on even doc_ids only, score BOTH halves, and ship the
+# train-vs-heldout NLL gap — the overfitting number a data-quality
+# pipeline should be watching (plus the held-out OOV rate the
+# whole-corpus version cannot have by construction).  The split is
+# (doc_id div 20) % 2 — doc_id PARITY is confounded with source in
+# this corpus (source = doc_id % 20), so a parity split would put
+# every source entirely in one half.  Runs at TRIGRAM grain — the
+# corpus-head word vocabulary is fully shared between halves (no OOV,
+# no gap to measure); trigrams have the singleton tail that makes
+# held-out evaluation mean something (same grain as
+# good_turing_counts).  Add-k with k = 1/2 keeps
+# P(g) = (2c+1)/(2N + V + 1) an exact integer rational; per-gram NLL
+# e4-quantizes the identical-double ln, so every sum is exact.
+#
+# Plan: one explode; the vocabulary join is the Zipf-head join every
+# LM operator rides (AQE hot-token handling); two bounded source aggs.
+
+def quality_heldout_ppl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = docs.select(
+        "source",
+        (F.expr("(doc_id div 20) % 2") == 1).cast("int").alias("is_eval"),
+        tokens(F.col("text")).alias("toks"),
+    ).select(
+        "source",
+        "is_eval",
+        F.explode(
+            F.expr(
+                "CASE WHEN size(toks) < 3 THEN array() "
+                "ELSE transform(sequence(1, size(toks) - 2), "
+                "i -> concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),"
+                " element_at(toks, i + 2))) END"
+            )
+        ).alias("w"),
+    )
+    train = toks.where(F.col("is_eval") == 0)
+    vocab = train.groupBy("w").agg(F.count(F.lit(1)).alias("c"))
+    stats = vocab.agg(
+        F.sum("c").alias("n_train"), F.count(F.lit(1)).alias("v_train")
+    )
+    scored = (
+        toks.join(vocab, "w", "left")
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "source",
+            "is_eval",
+            F.col("c").isNull().cast("int").alias("oov"),
+            F.expr(
+                "cast(floor(-ln((2 * coalesce(c, 0) + 1)"
+                " / cast(2 * n_train + v_train + 1 as double)) * 10000) as bigint)"
+            ).alias("nll_e4"),
+        )
+    )
+    agg = scored.groupBy("source", "is_eval").agg(
+        F.count(F.lit(1)).alias("nt"),
+        F.sum("oov").alias("n_oov"),
+        F.sum("nll_e4").alias("s_nll"),
+    )
+    wide = (
+        agg.groupBy("source")
+        .pivot("is_eval", [0, 1])
+        .sum("nt", "n_oov", "s_nll")
+        .select(
+            "source",
+            F.col("0_sum(nt)").alias("train_tokens"),
+            F.col("1_sum(nt)").alias("eval_tokens"),
+            F.col("1_sum(n_oov)").alias("eval_oov"),
+            F.col("0_sum(s_nll)").alias("train_s"),
+            F.col("1_sum(s_nll)").alias("eval_s"),
+        )
+    )
+    return wide.select(
+        "source",
+        F.col("train_tokens").cast("bigint").alias("train_tokens"),
+        F.col("eval_tokens").cast("bigint").alias("eval_tokens"),
+        F.expr("eval_oov * 10000 div eval_tokens").cast("bigint").alias("eval_oov_bp"),
+        F.expr("train_s div train_tokens").cast("bigint").alias("train_nll_e4"),
+        F.expr("eval_s div eval_tokens").cast("bigint").alias("eval_nll_e4"),
+        F.expr("eval_s div eval_tokens - train_s div train_tokens")
+        .cast("bigint")
+        .alias("overfit_gap_e4"),
+    )
+
+
+HELDOUT_PPL_SQL = """
+WITH tl AS (
+  SELECT source, CAST((doc_id // 20) % 2 = 1 AS INT) AS is_eval,
+         list_filter(string_split_regex(text, '\\s+'), x -> x <> '') AS t
+  FROM documents
+),
+toks AS (
+  SELECT source, is_eval, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS w
+  FROM tl, unnest(range(1, len(t) - 1)) AS u(i)
+  WHERE len(t) >= 3
+),
+vocab AS (
+  SELECT w, count(*)::BIGINT AS c FROM toks WHERE is_eval = 0 GROUP BY w
+),
+stats AS (
+  SELECT CAST(sum(c) AS BIGINT) AS n_train, count(*)::BIGINT AS v_train FROM vocab
+),
+scored AS (
+  SELECT source, is_eval,
+         CAST(v.c IS NULL AS INT) AS oov,
+         CAST(floor(-ln((2 * coalesce(v.c, 0) + 1)
+              / CAST(2 * n_train + v_train + 1 AS DOUBLE)) * 10000) AS BIGINT) AS nll_e4
+  FROM toks t LEFT JOIN vocab v USING (w) CROSS JOIN stats
+),
+agg AS (
+  SELECT source, is_eval, count(*)::BIGINT AS nt,
+         CAST(sum(oov) AS BIGINT) AS n_oov, CAST(sum(nll_e4) AS BIGINT) AS s_nll
+  FROM scored GROUP BY 1, 2
+)
+SELECT a0.source,
+       a0.nt AS train_tokens, a1.nt AS eval_tokens,
+       CAST(a1.n_oov * 10000 // a1.nt AS BIGINT) AS eval_oov_bp,
+       CAST(a0.s_nll // a0.nt AS BIGINT) AS train_nll_e4,
+       CAST(a1.s_nll // a1.nt AS BIGINT) AS eval_nll_e4,
+       CAST(a1.s_nll // a1.nt - a0.s_nll // a0.nt AS BIGINT) AS overfit_gap_e4
+FROM (SELECT * FROM agg WHERE is_eval = 0) a0
+JOIN (SELECT * FROM agg WHERE is_eval = 1) a1 USING (source)
+"""
+
+QUERIES["quality_heldout_ppl"] = quality_heldout_ppl
+ORACLES["quality_heldout_ppl"] = HELDOUT_PPL_SQL

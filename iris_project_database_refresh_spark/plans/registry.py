@@ -222,6 +222,7 @@ _DRIVER_PRIORITY = [
     "graph_hits", "supplier_topsis_rank",
     "embed_pca_deflate", "multimodal_zip_central_dir", "text_code_detect",
     "events_ab_sprt", "shard_makespan_lpt", "multimodal_mp4_boxes",
+    "catalog_three_way_merge", "quality_heldout_ppl",
 ]
 
 

@@ -76,3 +76,17 @@ def test_pdf_merge_plan_order_and_offsets(spark):
             assert r.total_pages == sum(m.n_pages for m in g)
             assert "scan_" not in r.member_filename
         assert [prio[r.prefix] for r in g] == sorted(prio[r.prefix] for r in g)
+
+
+def test_three_way_merge_classes_complete(spark):
+    """All six diff3 classes must be populated and partition the keys."""
+    from iris_project_database_refresh_spark.operators import catalog
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    rows = {r.merge_class: r.n_keys for r in catalog.catalog_three_way_merge(spark, SF_CORRECT).collect()}
+    assert set(rows) == {
+        "unchanged", "take_local", "take_remote", "convergent", "both_deleted", "conflict"
+    }
+    assert sum(rows.values()) == load_table(spark, SF_CORRECT, "documents").count()

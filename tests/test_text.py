@@ -92,3 +92,18 @@ def test_code_detect_perfect_separation(spark):
         assert r.planted_code > 0
         assert r.detected_code == r.planted_code
         assert r.true_pos == r.planted_code and r.false_pos == 0
+
+
+def test_heldout_gap_nonnegative(spark):
+    """Held-out NLL should not beat training NLL (the gap is the
+    overfitting measure), and OOV exists on the held-out half."""
+    from iris_project_database_refresh_spark.operators import textqc
+
+    from .conftest import SF_CORRECT
+
+    rows = textqc.quality_heldout_ppl(spark, SF_CORRECT).collect()
+    assert len(rows) == 20
+    assert sum(r.overfit_gap_e4 for r in rows) > 0
+    for r in rows:
+        assert r.train_tokens > 0 and r.eval_tokens > 0
+        assert 0 <= r.eval_oov_bp <= 10000
