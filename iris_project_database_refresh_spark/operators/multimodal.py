@@ -3341,3 +3341,163 @@ FROM documents WHERE doc_id % 5 = 4
 
 QUERIES["multimodal_mp4_boxes"] = multimodal_mp4_boxes
 ORACLES["multimodal_mp4_boxes"] = MULTIMODAL_MP4_SQL
+
+
+# --- TAR (ustar) header walk ----------------------------------------------------
+#
+# Eleventh container kernel (public spec: POSIX.1-1988 ustar) — the
+# format training corpora actually ship in, with TWO pitfalls all its
+# own: every numeric field is OCTAL ASCII (a decimal read inflates
+# sizes ~2x), and the header checksum is defined over the header WITH
+# ITS OWN CHECKSUM FIELD REPLACED BY SPACES.  Planted archives hold
+# 1-3 members with 32-byte payloads padded to the 512 block; every 7th
+# archive corrupts the first member's checksum (+1, kernel must count
+# it), every 5th omits the two-zero-block terminator.  Header bytes
+# are deterministic per member index, so the three header variants are
+# built ONCE in plain Python at import time and planted as hex
+# literals — the kernel still has to parse octal and re-sum bytes to
+# match the oracle's arithmetic pins.
+
+def _tar_header_hex(name: str, size: int, bump_chksum: int = 0) -> str:
+    h = bytearray(512)
+    h[0 : len(name)] = name.encode()
+    h[100:108] = b"0000644\x00"
+    h[108:116] = b"0000000\x00"
+    h[116:124] = b"0000000\x00"
+    h[124:136] = (oct(size)[2:].rjust(11, "0") + "\x00").encode()
+    h[136:148] = b"00000000000\x00"
+    h[148:156] = b" " * 8  # checksum field as spaces for the sum
+    h[156] = ord("0")  # typeflag: regular file
+    h[257:263] = b"ustar\x00"
+    h[263:265] = b"00"
+    chk = sum(h) + bump_chksum
+    h[148:156] = (oct(chk)[2:].rjust(6, "0") + "\x00 ").encode()
+    return h.hex().upper()
+
+
+_TAR_HDRS = [_tar_header_hex(f"f{k}.txt", 32) for k in range(3)]
+_TAR_HDR0_BAD = _tar_header_hex("f0.txt", 32, bump_chksum=1)
+_TAR_PAD_HEX = "00" * 480  # 32-byte payload padded to one block
+_TAR_ZERO_BLOCK = "00" * 512
+
+TAR_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_members", T.LongType()),
+        T.StructField("total_size", T.LongType()),
+        T.StructField("chksum_bad", T.LongType()),
+        T.StructField("terminated", T.LongType()),
+        T.StructField("names_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def tar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): TAR-typed media items as real ustar bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 3)
+    n = F.col("doc_id") % 3 + 1
+    bad = F.col("doc_id") % 7 == 0
+
+    def member(k):
+        hdr = (
+            F.when(bad & (F.lit(k) == 0), F.lit(_TAR_HDR0_BAD)).otherwise(
+                F.lit(_TAR_HDRS[k])
+            )
+            if k == 0
+            else F.lit(_TAR_HDRS[k])
+        )
+        data = F.hex(
+            F.upper(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(f":t{k}"))))
+        )
+        return F.concat(hdr, data, F.lit(_TAR_PAD_HEX))
+
+    body = F.concat(
+        member(0),
+        F.when(n >= 2, member(1)).otherwise(F.lit("")),
+        F.when(n >= 3, member(2)).otherwise(F.lit("")),
+    )
+    term = F.when(F.col("doc_id") % 5 == 0, F.lit("")).otherwise(
+        F.lit(_TAR_ZERO_BLOCK + _TAR_ZERO_BLOCK)
+    )
+    payload = F.unhex(F.concat(body, term))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_tar(payload: bytes) -> dict | None:
+    """512-block walk with octal field parsing and checksum
+    re-summation; None for non-tar bytes."""
+    import hashlib
+
+    if len(payload) < 512 or payload[257:263] != b"ustar\x00":
+        return None
+    pos = 0
+    n_members = total_size = chksum_bad = terminated = 0
+    names = []
+    while pos + 512 <= len(payload):
+        block = payload[pos : pos + 512]
+        if block == b"\x00" * 512:
+            nxt = payload[pos + 512 : pos + 1024]
+            if nxt == b"\x00" * 512:
+                terminated = 1
+            break
+        if block[257:263] != b"ustar\x00":
+            break
+        name = block[0:100].split(b"\x00", 1)[0].decode("ascii", "replace")
+        size = int(block[124:135].decode("ascii"), 8)  # OCTAL
+        stored_chk = int(block[148:155].decode("ascii").rstrip("\x00 "), 8)
+        summed = sum(block[:148]) + 8 * 0x20 + sum(block[156:])
+        if summed != stored_chk:
+            chksum_bad += 1
+        names.append(name)
+        n_members += 1
+        total_size += size
+        pos += 512 + (size + 511) // 512 * 512
+    return {
+        "n_members": n_members,
+        "total_size": total_size,
+        "chksum_bad": chksum_bad,
+        "terminated": terminated,
+        "names_md5": hashlib.md5("".join(names).encode()).hexdigest(),
+    }
+
+
+def multimodal_tar_headers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched ustar header walk over the planted media items."""
+    tars = tar_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_tar(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "tar-stdlib"})
+                cols = [f.name for f in TAR_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "names_md5")}
+                )
+
+    return tars.mapInPandas(fn, TAR_SCHEMA)
+
+
+MULTIMODAL_TAR_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_members,
+       CAST(32 * (doc_id % 3 + 1) AS BIGINT) AS total_size,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS chksum_bad,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 1 END AS BIGINT) AS terminated,
+       md5(CASE doc_id % 3 WHEN 0 THEN 'f0.txt'
+                           WHEN 1 THEN 'f0.txtf1.txt'
+                           ELSE 'f0.txtf1.txtf2.txt' END) AS names_md5,
+       'tar-stdlib' AS parser
+FROM documents WHERE doc_id % 6 = 3
+"""
+
+QUERIES["multimodal_tar_headers"] = multimodal_tar_headers
+ORACLES["multimodal_tar_headers"] = MULTIMODAL_TAR_SQL

@@ -1019,3 +1019,146 @@ FROM sums
 
 QUERIES["heaps_law_fit"] = heaps_law_fit
 ORACLES["heaps_law_fit"] = HEAPS_SQL
+
+
+# --- training-data canary scan --------------------------------------------------
+#
+# The proactive complement of doc_decontaminate: secret CANARY strings
+# (Carlini et al.'s exposure methodology, public art) are planted into
+# a corpus so a later scan — or a model-memorization probe — can
+# measure leakage.  Every 17th document gets a deterministic
+# GUID-shaped canary spliced after its 5th token; the scan must
+# recover every planted canary (recall 1.0), attribute it to the right
+# source, and report zero hits for the 64 DECOY canaries that were
+# never planted (false-positive floor).
+#
+# Plan: the scan is a broadcast join of the (planted + decoy) canary
+# table against a contains() filter — one corpus pass, no shuffle on
+# the fact side; per-source rollup bounded.
+
+CANARY_EVERY = 17
+CANARY_DECOYS = 64
+
+
+def _canary(col):
+    m = F.md5(F.concat(F.lit("canary:"), col.cast("string")))
+    return F.concat_ws(
+        "-",
+        F.substring(m, 1, 8),
+        F.substring(m, 9, 4),
+        F.substring(m, 13, 4),
+        F.substring(m, 17, 12),
+    )
+
+
+def text_canary_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import tokens
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    planted = docs.select(
+        "doc_id",
+        "source",
+        F.when(
+            F.col("doc_id") % CANARY_EVERY == 0,
+            F.concat_ws(
+                " ",
+                F.array_join(F.slice(tokens(F.col("text")), 1, 5), " "),
+                _canary(F.col("doc_id")),
+                F.array_join(
+                    F.slice(tokens(F.col("text")), 6, F.size(tokens(F.col("text")))), " "
+                ),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    docs_n = planted.agg(F.count(F.lit(1)).alias("n_docs"))
+    reg = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .where(F.col("doc_id") % CANARY_EVERY == 0)
+        .select(F.col("doc_id").alias("cid"), _canary(F.col("doc_id")).alias("canary"), F.lit(1).alias("is_planted"))
+        .unionByName(
+            spark.range(CANARY_DECOYS).select(
+                (-F.col("id") - 1).alias("cid"),
+                _canary(-F.col("id") - 1).alias("canary"),
+                F.lit(0).alias("is_planted"),
+            )
+        )
+    )
+    hits = planted.join(
+        F.broadcast(reg), F.expr("contains(text, canary)"), "inner"
+    ).select("cid", "is_planted", "doc_id", "source")
+    per = reg.join(
+        hits.groupBy("cid").agg(
+            F.count(F.lit(1)).alias("n_hits"), F.min("doc_id").alias("found_doc")
+        ),
+        "cid",
+        "left",
+    )
+    return per.groupBy("is_planted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_canaries"),
+        F.coalesce(F.sum((F.col("n_hits") > 0).cast("int")), F.lit(0))
+        .cast("bigint")
+        .alias("n_found"),
+        F.coalesce(F.sum("n_hits"), F.lit(0)).cast("bigint").alias("total_hits"),
+        F.coalesce(
+            F.sum(F.expr("case when n_hits > 0 and cid = found_doc then 1 else 0 end")),
+            F.lit(0),
+        )
+        .cast("bigint")
+        .alias("found_in_expected_doc"),
+    )
+
+
+CANARY_SQL = f"""
+WITH canon AS (
+  SELECT doc_id,
+         substring(md5('canary:' || doc_id::VARCHAR), 1, 8) || '-' ||
+         substring(md5('canary:' || doc_id::VARCHAR), 9, 4) || '-' ||
+         substring(md5('canary:' || doc_id::VARCHAR), 13, 4) || '-' ||
+         substring(md5('canary:' || doc_id::VARCHAR), 17, 12) AS canary
+  FROM documents
+),
+planted AS (
+  SELECT d.doc_id, d.source,
+         CASE WHEN d.doc_id % {CANARY_EVERY} = 0 THEN
+           concat_ws(' ',
+             array_to_string(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')[1:5], ' '),
+             c.canary,
+             array_to_string(list_filter(string_split_regex(d.text, '\\s+'), x -> x <> '')[6:], ' '))
+         ELSE d.text END AS text
+  FROM documents d JOIN canon c USING (doc_id)
+),
+reg AS (
+  SELECT doc_id AS cid, canary, 1 AS is_planted FROM canon
+  WHERE doc_id % {CANARY_EVERY} = 0
+  UNION ALL
+  SELECT -(i + 1) AS cid,
+         substring(md5('canary:' || (-(i + 1))::VARCHAR), 1, 8) || '-' ||
+         substring(md5('canary:' || (-(i + 1))::VARCHAR), 9, 4) || '-' ||
+         substring(md5('canary:' || (-(i + 1))::VARCHAR), 13, 4) || '-' ||
+         substring(md5('canary:' || (-(i + 1))::VARCHAR), 17, 12),
+         0
+  FROM unnest(generate_series(0, {CANARY_DECOYS - 1})) AS t(i)
+),
+hits AS (
+  SELECT r.cid, r.is_planted, p.doc_id
+  FROM planted p JOIN reg r ON contains(p.text, r.canary)
+),
+per AS (
+  SELECT r.cid, r.is_planted, h.n_hits, h.found_doc
+  FROM reg r LEFT JOIN (
+    SELECT cid, count(*)::BIGINT AS n_hits, CAST(min(doc_id) AS BIGINT) AS found_doc
+    FROM hits GROUP BY cid
+  ) h ON r.cid = h.cid
+)
+SELECT is_planted, count(*)::BIGINT AS n_canaries,
+       CAST(sum(CASE WHEN n_hits > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_found,
+       CAST(coalesce(sum(n_hits), 0) AS BIGINT) AS total_hits,
+       CAST(sum(CASE WHEN n_hits > 0 AND cid = found_doc THEN 1 ELSE 0 END) AS BIGINT) AS found_in_expected_doc
+FROM per GROUP BY is_planted
+"""
+
+QUERIES["text_canary_scan"] = text_canary_scan
+ORACLES["text_canary_scan"] = CANARY_SQL

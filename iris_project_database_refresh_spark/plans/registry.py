@@ -223,6 +223,7 @@ _DRIVER_PRIORITY = [
     "embed_pca_deflate", "multimodal_zip_central_dir", "text_code_detect",
     "events_ab_sprt", "shard_makespan_lpt", "multimodal_mp4_boxes",
     "catalog_three_way_merge", "quality_heldout_ppl",
+    "multimodal_tar_headers", "text_canary_scan",
 ]
 
 

@@ -74,3 +74,18 @@ def test_url_canonicalization_merges_planted_variants(spark):
     assert by_url["http://example.com/Docs/0?id=1"].n_urls == 1  # real param kept separate
     for url in by_url:
         assert "utm_" not in url and "#" not in url and "www." not in url and ":80" not in url
+
+
+def test_canary_recall_and_decoys(spark):
+    """Planted canaries are all recovered in their own documents; the
+    decoy set reports zero hits."""
+    from iris_project_database_refresh_spark.operators import scrub
+
+    from .conftest import SF_CORRECT
+
+    rows = {r.is_planted: r for r in scrub.text_canary_scan(spark, SF_CORRECT).collect()}
+    p, d = rows[1], rows[0]
+    assert p.n_found == p.n_canaries == p.found_in_expected_doc
+    assert p.total_hits == p.n_canaries  # exactly once each
+    assert d.n_canaries == scrub.CANARY_DECOYS
+    assert d.n_found == 0 and d.total_hits == 0

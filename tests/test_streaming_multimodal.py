@@ -749,3 +749,94 @@ def test_mp4_kernel_largesize_and_recursion():
     assert p["track_id"] == 3 and (p["width"], p["height"]) == (640, 480)
     assert p["mdat_bytes"] == len(data) and p["used_largesize"] == 1
     assert p["n_boxes"] == 6
+
+
+def test_streaming_holt_winters_equals_replay(spark):
+    """availableNow drain of the vector-state HW twin: the final state
+    per type equals a python replay of the batch fold over every CLOSED
+    day (the last open day is the standard completeness lag)."""
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.operators import timeseries
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from iris_project_database_refresh_spark.streaming.holt_winters import (
+        streaming_holt_winters,
+    )
+
+    stream = sp.read_events_stream(spark, SF_CORRECT).select("event_type", "event_id", "ts")
+    q = (
+        streaming_holt_winters(stream)
+        .writeStream.format("memory")
+        .queryName("hw_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {}
+    for r in spark.table("hw_test").collect():
+        cur = got.get(r.event_type)
+        if cur is None or r.days_closed > cur.days_closed:
+            got[r.event_type] = r
+
+    daily = (
+        load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in daily:
+        series.setdefault(r.event_type, []).append((r.day, r.x))
+
+    def tdiv(a, b):
+        qq = abs(a) // b
+        return qq if a >= 0 else -qq
+
+    P = timeseries.HW_PERIOD
+    for et, pts in series.items():
+        pts.sort()
+        xs = [x for _, x in pts][:-1]  # last day never closes in the stream
+        if len(xs) < P:
+            assert et not in got
+            continue
+        l = sum(xs[:P]) * 1000 // P
+        b = 0
+        s = [xs[j] * 1000 - l for j in range(P)]
+        rr = list(xs[:P])
+        sae = nsae = 0
+        for i in range(P, len(xs)):
+            x = xs[i]
+            slot = i % P
+            sae += abs(x * 1000 - (l + b + s[slot]))
+            nsae += abs(x - rr[slot]) * 1000
+            lnew = tdiv(200 * (x * 1000 - s[slot]) + 800 * (l + b), 1000)
+            bnew = tdiv(100 * (lnew - l) + 900 * b, 1000)
+            snew = tdiv(300 * (x * 1000 - lnew) + 700 * s[slot], 1000)
+            l, b = lnew, bnew
+            s[slot] = snew
+            rr[slot] = x
+        g = got[et]
+        assert g.days_closed == len(xs)
+        assert (g.level_milli, g.trend_milli) == (l, b)
+        assert g.season_csv == ",".join(str(v) for v in s)
+        assert (g.hw_sae_milli, g.snaive_sae_milli) == (sae, nsae)
+
+
+def test_tar_kernel_octal_and_checksum():
+    """parse_tar: octal sizes decoded (not decimal), checksum re-summed
+    with the field masked to spaces, missing terminator flagged."""
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _tar_header_hex,
+        parse_tar,
+    )
+
+    assert parse_tar(b"\x00" * 600) is None
+    hdr = bytes.fromhex(_tar_header_hex("big.bin", 0o777))  # 511 bytes of data
+    payload = hdr + b"A" * 512 + b"\x00" * 1024
+    p = parse_tar(payload)
+    assert p["n_members"] == 1
+    assert p["total_size"] == 0o777  # 511 — a decimal reader would say 777
+    assert p["chksum_bad"] == 0 and p["terminated"] == 1
+    bad = bytes.fromhex(_tar_header_hex("x", 32, bump_chksum=3)) + b"B" * 512
+    assert parse_tar(bad)["chksum_bad"] == 1
