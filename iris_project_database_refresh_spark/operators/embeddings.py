@@ -1470,3 +1470,118 @@ MMR_SQL = _mmr_sql()
 
 QUERIES["search_mmr_diversify"] = search_mmr_diversify
 ORACLES["search_mmr_diversify"] = MMR_SQL
+
+
+# --- sign-binarized Hamming retrieval + recall ----------------------------------
+#
+# The cheapest vector-compression rung below PQ (knn_pq) and
+# Matryoshka truncation (matryoshka_recall): keep ONE BIT per
+# dimension (the sign), rank by Hamming distance, measure recall@K
+# against the exact cosine top-K — the 64x memory-shrink whose recall
+# number decides whether a binarized first-pass index is acceptable.
+# Signs pack into TWO 32-bit words (a single 64-bit word would need a
+# 1<<63 shift — signed-overflow UB territory both engines); Hamming =
+# bit_count(lo xor lo') + bit_count(hi xor hi') — pure integer, no
+# float anywhere in the candidate ranking; ties break on neighbor id.
+#
+# Plan: one pass packs the corpus to (id, word); queries broadcast;
+# the rank is a word-XOR popcount per pair — the brute-force shape
+# with 8 bytes per vector instead of 512.
+
+def embed_sign_binarize_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    pack = (
+        "aggregate(transform(slice(v, {o}, 32), (x, i) -> case when x > 0 then"
+        " shiftleft(cast(1 as bigint), cast(i as int)) else cast(0 as bigint) end),"
+        " cast(0 as bigint), (a, b) -> a + b)"
+    )
+    packed = emb.select(
+        "vec_id",
+        F.expr(pack.format(o=1)).alias("lo"),
+        F.expr(pack.format(o=33)).alias("hi"),
+    ).localCheckpoint(eager=False)
+    q = packed.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        packed.join(F.broadcast(q), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.expr("bit_count(lo ^ qlo) + bit_count(hi ^ qhi)").cast("bigint").alias("hamming"),
+        )
+    )
+    wq = Window.partitionBy("query_id").orderBy("hamming", "neighbor_id")
+    topb = ham.withColumn("rank", F.row_number().over(wq)).where(F.col("rank") <= KNN_K)
+    exact = knn_brute_force(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    hits = topb.join(
+        exact,
+        (topb.query_id == exact.query_id) & (topb.neighbor_id == exact.true_id),
+        "leftsemi",
+    )
+    per_q = (
+        topb.select("query_id")
+        .distinct()
+        .join(hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")), "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("overlap_at_k"),
+            F.expr(f"coalesce(n_hit, 0) * 10000 div {KNN_K}").cast("bigint").alias("recall_bp"),
+        )
+    )
+    return per_q
+
+
+SIGN_RECALL_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+packed AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(range(1, 33),
+              i -> CASE WHEN v[i::INT] > 0 THEN (1::BIGINT << (i - 1)::INT)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS lo,
+         CAST(list_sum(list_transform(range(33, len(v) + 1),
+              i -> CASE WHEN v[i::INT] > 0 THEN (1::BIGINT << (i - 33)::INT)
+                        ELSE 0::BIGINT END)) AS BIGINT) AS hi
+  FROM d
+),
+q AS (SELECT vec_id AS query_id, lo AS qlo, hi AS qhi FROM packed WHERE vec_id < {N_QUERIES}),
+ham AS (
+  SELECT query_id, p.vec_id AS neighbor_id,
+         (bit_count(xor(p.lo, q.qlo)) + bit_count(xor(p.hi, q.qhi)))::BIGINT AS hamming
+  FROM packed p JOIN q ON p.vec_id <> q.query_id
+),
+topb AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY hamming, neighbor_id) AS rank
+    FROM ham) WHERE rank <= {KNN_K}
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_dot_product(qvec, v) / (qn * nrm), 6) DESC, n.vec_id) AS rank
+    FROM qv JOIN n ON n.vec_id <> qv.query_id) WHERE rank <= {KNN_K}
+),
+hits AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_hit
+  FROM topb t JOIN exact e ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS overlap_at_k,
+       CAST(coalesce(h.n_hit, 0) * 10000 // {KNN_K} AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT query_id FROM topb) q LEFT JOIN hits h USING (query_id)
+"""
+
+QUERIES["embed_sign_binarize_recall"] = embed_sign_binarize_recall
+ORACLES["embed_sign_binarize_recall"] = SIGN_RECALL_SQL

@@ -3501,3 +3501,192 @@ FROM documents WHERE doc_id % 6 = 3
 
 QUERIES["multimodal_tar_headers"] = multimodal_tar_headers
 ORACLES["multimodal_tar_headers"] = MULTIMODAL_TAR_SQL
+
+
+# --- PDF xref-table walk --------------------------------------------------------
+#
+# Twelfth kernel, and the reference's OWN format (ISO 32000; the prep
+# pipelines merge chapter PDFs — `semantic search - iasb prep/
+# stage_00_pdf_merger.py` — and pdf_merge_plan models their page
+# offsets; this parses the actual file structure): a classic PDF is
+# read BACK TO FRONT — %%EOF, then startxref giving the xref table's
+# byte offset, then fixed-width 20-byte xref entries pointing at every
+# "N 0 obj", then the trailer's /Size and /Root.  The kernel walks
+# exactly that path and VERIFIES each in-use xref entry lands on its
+# object header; every 7th file plants an off-by-one first offset the
+# kernel must count.  Skeletons are built once in plain Python per
+# page-count variant (content slots are fixed-width md5 hex, so
+# offsets are constants); the per-doc md5 content is spliced in by the
+# plant, keeping payloads document-specific without moving offsets.
+#
+# Scale: same contract as the sibling kernels.
+
+_PDF_MARK = "MD5CONTENT32CHARSXXXXXXXXXXXXXXX!"  # 33-char slot, replaced per doc
+
+
+def _pdf_skeleton(n_pages: int, corrupt_first: bool):
+    """Returns (template_string, n_objects). Object layout: 1=catalog,
+    2=pages, then per page: page object + content stream object."""
+    objs = []
+    objs.append("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n_pages))
+    objs.append(
+        f"2 0 obj\n<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>\nendobj\n"
+    )
+    for p in range(n_pages):
+        objs.append(
+            f"{3 + 2 * p} 0 obj\n<< /Type /Page /Parent 2 0 R "
+            f"/Contents {4 + 2 * p} 0 R >>\nendobj\n"
+        )
+        objs.append(
+            f"{4 + 2 * p} 0 obj\n<< /Length 33 >>\nstream\n{_PDF_MARK}\nendstream\nendobj\n"
+        )
+    header = "%PDF-1.4\n"
+    offsets, pos = [], len(header)
+    for o in objs:
+        offsets.append(pos)
+        pos += len(o)
+    xref_at = pos
+    n_obj = len(objs) + 1  # including the free object 0
+    xref = f"xref\n0 {n_obj}\n" + "0000000000 65535 f \n"
+    for k, off in enumerate(offsets):
+        bad = 1 if (corrupt_first and k == 0) else 0
+        xref += f"{off + bad:010d} 00000 n \n"
+    trailer = (
+        f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    )
+    return header + "".join(objs) + xref + trailer, n_obj
+
+
+_PDF_TEMPLATES = {
+    (n, c): _pdf_skeleton(n, c) for n in (1, 2, 3) for c in (False, True)
+}
+
+
+def pdf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): PDF-typed media items as real PDF bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 1)
+    n = F.col("doc_id") % 3 + 1
+    bad = F.col("doc_id") % 7 == 0
+    content = F.concat(
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":pdf"))), F.lit("!")
+    )
+    tmpl = None
+    for np in (1, 2, 3):
+        for c in (False, True):
+            t = F.lit(_PDF_TEMPLATES[(np, c)][0])
+            cond = (n == np) & (bad if c else ~bad)
+            tmpl = t if tmpl is None else F.when(cond, t).otherwise(tmpl)
+    # splice the per-doc content into every fixed-width slot
+    payload = F.encode(F.replace(tmpl, F.lit(_PDF_MARK), content), "utf-8")
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_pdf(payload: bytes) -> dict | None:
+    """Back-to-front: %%EOF → startxref → xref walk → trailer /Size;
+    verifies each in-use entry lands on its object header."""
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    tail = payload[-200:]
+    m = re.search(rb"startxref\s+(\d+)\s+%%EOF\s*$", tail)
+    if not m:
+        return None
+    xref_at = int(m.group(1))
+    if payload[xref_at : xref_at + 4] != b"xref":
+        return None
+    text = payload[xref_at:].decode("latin-1")
+    hdr = re.match(r"xref\s+(\d+)\s+(\d+)\s*\n", text)
+    if not hdr:
+        return None
+    first, count = int(hdr.group(1)), int(hdr.group(2))
+    pos = hdr.end()
+    n_in_use = n_free = bad_offsets = 0
+    for k in range(count):
+        entry = text[pos : pos + 20]
+        pos += 20
+        off, _gen, kind = int(entry[0:10]), entry[11:16], entry[17]
+        if kind == "f":
+            n_free += 1
+            continue
+        n_in_use += 1
+        objnum = first + k
+        want = f"{objnum} 0 obj".encode()
+        if payload[off : off + len(want)] != want:
+            bad_offsets += 1
+    tm = re.search(r"/Size\s+(\d+)", text[pos:])
+    size = int(tm.group(1)) if tm else -1
+    has_root = 1 if re.search(r"/Root\s+1 0 R", text[pos:]) else 0
+    n_pages = payload.count(b"/Type /Page ")
+    return {
+        "n_objects": size,
+        "n_in_use": n_in_use,
+        "n_free": n_free,
+        "bad_offsets": bad_offsets,
+        "n_pages": n_pages,
+        "has_root": has_root,
+        "xref_at": xref_at,
+    }
+
+
+PDF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_objects", T.LongType()),
+        T.StructField("n_in_use", T.LongType()),
+        T.StructField("n_free", T.LongType()),
+        T.StructField("bad_offsets", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("has_root", T.LongType()),
+        T.StructField("xref_at", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def multimodal_pdf_xref(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched PDF xref walk over the planted media items."""
+    pdfs = pdf_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_pdf(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "pdf-stdlib"})
+                cols = [f.name for f in PDF_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return pdfs.mapInPandas(fn, PDF_SCHEMA)
+
+
+_PDF_XREF_AT = {
+    n: _PDF_TEMPLATES[(n, False)][0].index("xref\n0 ") for n in (1, 2, 3)
+}
+
+MULTIMODAL_PDF_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(3 + 2 * (doc_id % 3 + 1) AS BIGINT) AS n_objects,
+       CAST(2 + 2 * (doc_id % 3 + 1) AS BIGINT) AS n_in_use,
+       CAST(1 AS BIGINT) AS n_free,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS bad_offsets,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+       CAST(1 AS BIGINT) AS has_root,
+       CAST(CASE doc_id % 3 WHEN 0 THEN {_PDF_XREF_AT[1]}
+                            WHEN 1 THEN {_PDF_XREF_AT[2]}
+                            ELSE {_PDF_XREF_AT[3]} END AS BIGINT) AS xref_at,
+       'pdf-stdlib' AS parser
+FROM documents WHERE doc_id % 6 = 1
+"""
+
+QUERIES["multimodal_pdf_xref"] = multimodal_pdf_xref
+ORACLES["multimodal_pdf_xref"] = MULTIMODAL_PDF_SQL

@@ -224,6 +224,7 @@ _DRIVER_PRIORITY = [
     "events_ab_sprt", "shard_makespan_lpt", "multimodal_mp4_boxes",
     "catalog_three_way_merge", "quality_heldout_ppl",
     "multimodal_tar_headers", "text_canary_scan",
+    "multimodal_pdf_xref", "embed_sign_binarize_recall",
 ]
 
 

@@ -116,3 +116,16 @@ def test_mmr_greedy_invariants(spark):
         # step 1 = pure relevance: its mmr is 7 * rel_u and rel is the max
         assert rs[0].mmr_deci == embeddings.MMR_LAMBDA_DECI * rs[0].rel_u
         assert rs[0].rel_u == max(r.rel_u for r in rs)
+
+
+def test_sign_binarize_recall_reasonable(spark):
+    """One bit per dim keeps a meaningful share of the exact top-10 on
+    the feature-hash embeddings; recall is a valid [0, 1] ratio."""
+    from .conftest import SF_CORRECT
+
+    rows = embeddings.embed_sign_binarize_recall(spark, SF_CORRECT).collect()
+    assert len(rows) == embeddings.N_QUERIES
+    for r in rows:
+        assert 0 <= r.recall_bp <= 10000
+        assert r.overlap_at_k * 10000 // embeddings.KNN_K == r.recall_bp
+    assert sum(r.overlap_at_k for r in rows) > 0

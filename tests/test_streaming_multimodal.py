@@ -840,3 +840,21 @@ def test_tar_kernel_octal_and_checksum():
     assert p["chksum_bad"] == 0 and p["terminated"] == 1
     bad = bytes.fromhex(_tar_header_hex("x", 32, bump_chksum=3)) + b"B" * 512
     assert parse_tar(bad)["chksum_bad"] == 1
+
+
+def test_pdf_kernel_verifies_offsets():
+    """parse_pdf: startxref honored, xref entries verified against
+    object headers, the planted off-by-one counted."""
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _PDF_MARK,
+        _PDF_TEMPLATES,
+        parse_pdf,
+    )
+
+    assert parse_pdf(b"not a pdf") is None
+    good, _ = _PDF_TEMPLATES[(3, False)]
+    p = parse_pdf(good.replace(_PDF_MARK, "c" * 33).encode())
+    assert p["n_pages"] == 3 and p["n_in_use"] == 8 and p["n_free"] == 1
+    assert p["bad_offsets"] == 0 and p["has_root"] == 1
+    bad, _ = _PDF_TEMPLATES[(3, True)]
+    assert parse_pdf(bad.replace(_PDF_MARK, "c" * 33).encode())["bad_offsets"] == 1
