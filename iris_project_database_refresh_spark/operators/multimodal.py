@@ -3690,3 +3690,156 @@ FROM documents WHERE doc_id % 6 = 1
 
 QUERIES["multimodal_pdf_xref"] = multimodal_pdf_xref
 ORACLES["multimodal_pdf_xref"] = MULTIMODAL_PDF_SQL
+
+
+# --- media sniff router ---------------------------------------------------------
+#
+# The capstone over the kernel family — the `file(1)` of this engine:
+# a mixed media lake never tells you what each blob is, so the FIRST
+# pass is magic-byte sniffing that routes every payload to the right
+# parser.  The mixed table unions all thirteen planted builders
+# (capped at doc_id < SNIFF_CAP per type to bound the bench), the
+# kernel sniffs each payload (including the two non-prefix magics:
+# ustar at offset 257, ftyp at offset 4) and runs the matching parser;
+# the oracle pins per-type counts arithmetically from the selectors —
+# one mis-sniff (RIFF-vs-WAVE, BM false positives, ID3-vs-JPEG) or a
+# parser that rejects its own format breaks the hash.
+#
+# Scale: the sniff is O(few hundred bytes) per payload regardless of
+# size; the dispatch itself is the pattern a real lake ingest runs.
+
+SNIFF_CAP = 300
+
+_SNIFF_BUILDERS = [
+    ("wav", audio_table, "doc_id % 3 = 1"),
+    ("y4m", video_table, "doc_id % 3 = 2"),
+    ("tiff", tiff_table, "doc_id % 3 = 0"),
+    ("png", png_table, "doc_id % 3 = 1"),
+    ("id3", id3_table, "doc_id % 3 = 2"),
+    ("jpeg", jpeg_table, "doc_id % 3 = 2"),
+    ("gif", gif_table, "doc_id % 3 = 0"),
+    ("flac", flac_table, "doc_id % 4 = 1"),
+    ("bmp", bmp_table, "doc_id % 4 = 3"),
+    ("zip", zip_table, "doc_id % 5 = 2"),
+    ("mp4", mp4_table, "doc_id % 5 = 4"),
+    ("tar", tar_table, "doc_id % 6 = 3"),
+    ("pdf", pdf_table, "doc_id % 6 = 1"),
+]
+
+
+def sniff_media(p: bytes) -> str:
+    if p[:5] == b"%PDF-":
+        return "pdf"
+    if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
+        return "wav"
+    if p[:9] == b"YUV4MPEG2":
+        return "y4m"
+    if p[:4] in (b"II*\x00", b"MM\x00*"):
+        return "tiff"
+    if p[:8] == b"\x89PNG\r\n\x1a\n":
+        return "png"
+    if p[:3] == b"ID3":
+        return "id3"
+    if p[:2] == b"\xff\xd8":
+        return "jpeg"
+    if p[:4] == b"GIF8":
+        return "gif"
+    if p[:4] == b"fLaC":
+        return "flac"
+    if p[:4] == b"PK\x03\x04":
+        return "zip"
+    if p[4:8] == b"ftyp":
+        return "mp4"
+    if len(p) >= 263 and p[257:263] == b"ustar\x00":
+        return "tar"
+    if p[:2] == b"BM":
+        return "bmp"
+    return "unknown"
+
+
+SNIFF_SCHEMA = T.StructType(
+    [
+        T.StructField("true_type", T.StringType()),
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sniffed_ok", T.LongType()),
+        T.StructField("parse_ok", T.LongType()),
+    ]
+)
+
+
+def multimodal_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parsers = {
+        "wav": parse_wav_header,
+        "y4m": parse_y4m_stream,
+        "tiff": parse_tiff_header,
+        "png": parse_png,
+        "id3": parse_id3,
+        "jpeg": parse_jpeg,
+        "gif": parse_gif,
+        "flac": parse_flac,
+        "bmp": parse_bmp,
+        "zip": parse_zip,
+        "mp4": parse_mp4,
+        "tar": parse_tar,
+        "pdf": parse_pdf,
+    }
+    mixed = None
+    for name, builder, _sel in _SNIFF_BUILDERS:
+        t = (
+            builder(spark, sf_dir)
+            .where(F.col("media_id") < SNIFF_CAP)
+            .select(F.lit(name).alias("true_type"), "media_id", "payload")
+        )
+        mixed = t if mixed is None else mixed.unionByName(t)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for tt, mid, payload in zip(
+                    part["true_type"], part["media_id"], part["payload"]
+                ):
+                    b = bytes(payload)
+                    sniffed = sniff_media(b)
+                    ok = 0
+                    if sniffed in parsers:
+                        ok = 1 if parsers[sniffed](b) is not None else 0
+                    rows.append(
+                        {
+                            "true_type": tt,
+                            "media_id": int(mid),
+                            "sniffed_ok": 1 if sniffed == tt else 0,
+                            "parse_ok": ok,
+                        }
+                    )
+                cols = [f.name for f in SNIFF_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("true_type",)}
+                )
+
+    routed = mixed.mapInPandas(fn, SNIFF_SCHEMA)
+    return routed.groupBy("true_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_items"),
+        F.sum("sniffed_ok").cast("bigint").alias("sniffed_correct"),
+        F.sum("parse_ok").cast("bigint").alias("parsed_ok"),
+    )
+
+
+MULTIMODAL_SNIFF_SQL = (
+    "WITH counts AS ("
+    + " UNION ALL ".join(
+        f"SELECT '{name}' AS true_type, count(*)::BIGINT AS n FROM documents"
+        f" WHERE {sel} AND doc_id < {SNIFF_CAP}"
+        for name, _b, sel in _SNIFF_BUILDERS
+    )
+    + """)
+SELECT true_type, n AS n_items, n AS sniffed_correct, n AS parsed_ok
+FROM counts
+"""
+)
+
+QUERIES["multimodal_sniff_router"] = multimodal_sniff_router
+ORACLES["multimodal_sniff_router"] = MULTIMODAL_SNIFF_SQL

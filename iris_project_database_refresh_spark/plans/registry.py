@@ -225,6 +225,7 @@ _DRIVER_PRIORITY = [
     "catalog_three_way_merge", "quality_heldout_ppl",
     "multimodal_tar_headers", "text_canary_scan",
     "multimodal_pdf_xref", "embed_sign_binarize_recall",
+    "multimodal_sniff_router",
 ]
 
 

@@ -858,3 +858,31 @@ def test_pdf_kernel_verifies_offsets():
     assert p["bad_offsets"] == 0 and p["has_root"] == 1
     bad, _ = _PDF_TEMPLATES[(3, True)]
     assert parse_pdf(bad.replace(_PDF_MARK, "c" * 33).encode())["bad_offsets"] == 1
+
+
+def test_sniff_router_total_recall(spark):
+    """Every planted payload must be sniffed as its own type and parsed
+    by its own parser — across all thirteen formats."""
+    from iris_project_database_refresh_spark.operators import multimodal as mm
+
+    from .conftest import SF_CORRECT
+
+    rows = mm.multimodal_sniff_router(spark, SF_CORRECT).collect()
+    assert {r.true_type for r in rows} == {n for n, _b, _s in mm._SNIFF_BUILDERS}
+    for r in rows:
+        assert r.n_items > 0
+        assert r.sniffed_correct == r.n_items, r
+        assert r.parsed_ok == r.n_items, r
+
+
+def test_sniff_media_disambiguates():
+    from iris_project_database_refresh_spark.operators.multimodal import sniff_media
+
+    assert sniff_media(b"%PDF-1.4 rest") == "pdf"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00WAVEfmt ") == "wav"
+    assert sniff_media(b"RIFF\x00\x00\x00\x00AVI LIST") == "unknown"
+    assert sniff_media(b"ID3\x03\x00") == "id3"
+    assert sniff_media(b"\x00" * 257 + b"ustar\x00" + b"\x00" * 10) == "tar"
+    assert sniff_media(b"\x00\x00\x00\x18ftypisom") == "mp4"
+    assert sniff_media(b"BM" + b"\x00" * 52) == "bmp"  # BM checked LAST (weakest magic)
+    assert sniff_media(b"total junk") == "unknown"
