@@ -376,3 +376,112 @@ GROUP BY GROUPING SETS ((event_type), (date_trunc('day', ts)), ())
 
 QUERIES["monitor_grouping_sets"] = monitor_grouping_sets
 ORACLES["monitor_grouping_sets"] = GROUPING_SETS_SQL
+
+
+# --- supplier busy-interval union (sweep-line coverage) -------------------------
+#
+# The interval-UNION primitive that interval_overlap_join (stabbing
+# pairs) and events_gapfill (dense scaffolds) both lack: merge each
+# supplier's overlapping busy windows into disjoint spells and measure
+# true covered time — utilization, distinct engagements, longest
+# uninterrupted stretch.  This is the classic sweep-line turned into
+# pure window algebra: an interval starts a NEW spell iff its start
+# clears the running max of all earlier ends (half-open; touching
+# intervals merge), the spell id is the running sum of those flags,
+# and spells reduce to [min(start), max(end)).
+#
+# Plant: each lineitem occupies its supplier for (quantity % 7 + 1)
+# days from ship date — deterministic integer widths both engines
+# derive identically.
+#
+# Plan / scale: ONE shuffle (partition by suppkey), two sorted window
+# passes over each key's intervals, one grouped reduction — no
+# self-join, no pair blowup, no gap scaffold.  Per-key interval counts
+# are the fact cardinality; the windows stream in sort order, so skew
+# is bounded by the largest single supplier (AQE-covered), and the
+# output is one row per supplier.
+
+BUSY_MOD_DAYS = 7
+
+
+def supplier_busy_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    iv = l.select(
+        "l_suppkey",
+        F.to_date("l_shipdate").alias("s"),
+        F.date_add(
+            F.to_date("l_shipdate"),
+            (F.col("l_quantity").cast("int") % BUSY_MOD_DAYS + 1),
+        ).alias("e"),
+        "l_orderkey",
+        "l_linenumber",
+    )
+    w = Window.partitionBy("l_suppkey").orderBy("s", "e", "l_orderkey", "l_linenumber")
+    prev_max = F.max("e").over(w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = iv.select(
+        "l_suppkey",
+        "s",
+        "e",
+        "l_orderkey",
+        "l_linenumber",
+        F.when(prev_max.isNull() | (F.col("s") > prev_max), 1)
+        .otherwise(0)
+        .alias("is_new"),
+    ).withColumn(
+        # the same TOTAL order as the flag window (orderkey+linenumber
+        # make it unique) — a looser tie order here could put a
+        # flagged row after an unflagged twin and split the spell
+        "spell",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)),
+    )
+    spells = flagged.groupBy("l_suppkey", "spell").agg(
+        F.min("s").alias("sp_start"), F.max("e").alias("sp_end")
+    )
+    return spells.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_spells"),
+        F.sum(F.datediff("sp_end", "sp_start")).cast("bigint").alias("covered_days"),
+        F.max(F.datediff("sp_end", "sp_start")).cast("bigint").alias("longest_spell_days"),
+        F.min("sp_start").alias("first_busy"),
+        F.max("sp_end").alias("last_busy"),
+    )
+
+
+BUSY_COVERAGE_SQL = f"""
+WITH iv AS (
+  SELECT l_suppkey,
+         CAST(l_shipdate AS DATE) AS s,
+         CAST(l_shipdate AS DATE) + CAST(CAST(l_quantity AS INTEGER) % {BUSY_MOD_DAYS} + 1 AS INTEGER) AS e,
+         l_orderkey, l_linenumber
+  FROM lineitem
+),
+flagged AS (
+  SELECT l_suppkey, s, e, l_orderkey, l_linenumber,
+         CASE WHEN max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+                   OR s > max(e) OVER (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
+                                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+              THEN 1 ELSE 0 END AS is_new
+  FROM iv
+),
+spelled AS (
+  SELECT l_suppkey, s, e,
+         CAST(sum(is_new) OVER (PARTITION BY l_suppkey ORDER BY s, e, l_orderkey, l_linenumber
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS spell
+  FROM flagged
+),
+spells AS (
+  SELECT l_suppkey, spell, min(s) AS sp_start, max(e) AS sp_end
+  FROM spelled GROUP BY l_suppkey, spell
+)
+SELECT l_suppkey,
+       count(*)::BIGINT AS n_spells,
+       CAST(sum(sp_end - sp_start) AS BIGINT) AS covered_days,
+       CAST(max(sp_end - sp_start) AS BIGINT) AS longest_spell_days,
+       min(sp_start) AS first_busy,
+       max(sp_end) AS last_busy
+FROM spells
+GROUP BY l_suppkey
+"""
+
+QUERIES["supplier_busy_coverage"] = supplier_busy_coverage
+ORACLES["supplier_busy_coverage"] = BUSY_COVERAGE_SQL

@@ -808,3 +808,125 @@ WHERE nr.r <= {GT_MAX_R}
 
 QUERIES["good_turing_counts"] = good_turing_counts
 ORACLES["good_turing_counts"] = GOOD_TURING_SQL
+
+
+# --- SentencePiece-style unigram vocabulary prune scoring -----------------------
+#
+# The third tokenizer-training primitive (after the BPE merge step and
+# the Kneser-Ney table): unigram-LM vocabulary pruning (Kudo 2018).
+# Each candidate piece is scored by the corpus log-likelihood LOST if
+# it were removed from the vocabulary and its occurrences fell back to
+# the character model: delta(piece) = count(piece) * (ln p(piece) -
+# sum_chars ln p(char)).  SentencePiece prunes the lowest-delta tail
+# each EM round; the output here is that prune shortlist — the 50
+# safest removals — plus each piece's exact count and scaled delta.
+#
+# Pieces are character trigrams of the lowercased text (the corpus's
+# word vocabulary is deliberately tiny; the trigram grain has a real
+# frequency tail).  ln is the identical-IEEE-double device quantized
+# to 1e-4 (floor(ln(c) * 10000)), so every delta is exact integer
+# arithmetic in both engines.
+#
+# Scale: two explode→hash-agg passes (map-side combine bounds shuffle
+# rows by distinct pieces per partition, not corpus size); the scoring
+# join runs on the VOCAB (distinct trigrams x 3 char positions) with
+# the char table broadcast — nothing pair-wise, nothing corpus-grain
+# after the counts exist.  The final top-50 is TakeOrderedAndProject.
+
+_UP_LQ = 10_000
+UNIGRAM_PRUNE_TOPK = 50
+
+
+def unigram_prune_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.lower("text").alias("t")
+    ).where(F.length("t") >= 3)
+    tris = (
+        docs.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t) - 2), i -> substring(t, i, 3))")
+            ).alias("tri")
+        )
+        .groupBy("tri")
+        .agg(F.count(F.lit(1)).alias("c_tri"))
+    )
+    chars = (
+        docs.select(
+            F.explode(
+                F.expr("transform(sequence(1, length(t)), i -> substring(t, i, 1))")
+            ).alias("ch")
+        )
+        .groupBy("ch")
+        .agg(F.count(F.lit(1)).alias("c_ch"))
+    )
+    n_tri = tris.agg(F.sum("c_tri").alias("n_tri"))
+    n_ch = chars.agg(F.sum("c_ch").alias("n_ch"))
+    lnq = lambda c: F.expr(f"cast(floor(ln(cast({c} as double)) * {_UP_LQ}) as bigint)")
+    per_pos = (
+        tris.select(
+            "tri", "c_tri", F.explode(F.sequence(F.lit(1), F.lit(3))).alias("pos")
+        )
+        .withColumn("ch", F.expr("substring(tri, pos, 1)"))
+        .join(F.broadcast(chars), "ch")
+        .groupBy("tri", "c_tri")
+        .agg(F.sum(lnq("c_ch")).alias("sum_lnq_cch"))
+    )
+    scored = (
+        per_pos.crossJoin(F.broadcast(n_tri))
+        .crossJoin(F.broadcast(n_ch))
+        .select(
+            "tri",
+            F.col("c_tri").cast("bigint").alias("piece_count"),
+            (
+                F.col("c_tri")
+                * (
+                    (lnq("c_tri") - lnq("n_tri"))
+                    - (F.col("sum_lnq_cch") - 3 * lnq("n_ch"))
+                )
+            ).cast("bigint").alias("delta_llq"),
+        )
+    )
+    return scored.orderBy(F.col("delta_llq").asc(), F.col("tri").asc()).limit(
+        UNIGRAM_PRUNE_TOPK
+    )
+
+
+UNIGRAM_PRUNE_SQL = f"""
+WITH docs AS (
+  SELECT lower(text) AS t FROM documents WHERE length(lower(text)) >= 3
+),
+tris AS (
+  SELECT tri, count(*)::BIGINT AS c_tri
+  FROM docs, unnest(list_transform(generate_series(1, length(t) - 2),
+                                   i -> substr(t, i, 3))) u(tri)
+  GROUP BY tri
+),
+chars AS (
+  SELECT ch, count(*)::BIGINT AS c_ch
+  FROM docs, unnest(list_transform(generate_series(1, length(t)),
+                                   i -> substr(t, i, 1))) u(ch)
+  GROUP BY ch
+),
+n_tri AS (SELECT CAST(sum(c_tri) AS BIGINT) AS n_tri FROM tris),
+n_ch AS (SELECT CAST(sum(c_ch) AS BIGINT) AS n_ch FROM chars),
+per_pos AS (
+  SELECT t.tri, t.c_tri,
+         CAST(sum(CAST(floor(ln(CAST(c.c_ch AS DOUBLE)) * {_UP_LQ}) AS BIGINT)) AS BIGINT) AS sum_lnq_cch
+  FROM tris t
+  CROSS JOIN (VALUES (1), (2), (3)) p(pos)
+  JOIN chars c ON c.ch = substr(t.tri, p.pos, 1)
+  GROUP BY t.tri, t.c_tri
+)
+SELECT tri, c_tri AS piece_count,
+       CAST(c_tri * (
+         (CAST(floor(ln(CAST(c_tri AS DOUBLE)) * {_UP_LQ}) AS BIGINT)
+          - CAST(floor(ln(CAST(n_tri.n_tri AS DOUBLE)) * {_UP_LQ}) AS BIGINT))
+         - (sum_lnq_cch - 3 * CAST(floor(ln(CAST(n_ch.n_ch AS DOUBLE)) * {_UP_LQ}) AS BIGINT))
+       ) AS BIGINT) AS delta_llq
+FROM per_pos CROSS JOIN n_tri CROSS JOIN n_ch
+ORDER BY delta_llq ASC, tri ASC
+LIMIT {UNIGRAM_PRUNE_TOPK}
+"""
+
+QUERIES["unigram_prune_scores"] = unigram_prune_scores
+ORACLES["unigram_prune_scores"] = UNIGRAM_PRUNE_SQL

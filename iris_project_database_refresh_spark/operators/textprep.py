@@ -730,3 +730,97 @@ FROM ranked
 
 QUERIES["dpo_pairs_build"] = dpo_pairs_build
 ORACLES["dpo_pairs_build"] = DPO_PAIRS_SQL
+
+
+# --- reward-model calibration (ECE bins) ----------------------------------------
+#
+# The audit that closes the preference loop opened by dpo_pairs_build:
+# a reward model's implied win-probability (a logistic of its score
+# margin) must match the observed human-preference rate at every
+# confidence level — expected-calibration-error bins (Guo et al. 2017)
+# over preference pairs, the standard pre-deployment check before a
+# reward model is trusted for RLHF or rejection sampling.
+#
+# Plant: each DPO pair carries an implied confidence
+# conf_bp = 5000 + min(margin, 2000) basis points; the "human" label
+# is an md5-uniform draw u < conf_bp — calibrated by construction —
+# EXCEPT the doc_id % 4 == 0 slice, where the draw is u < conf_bp - 700
+# (a planted 7-point overconfident segment the bins must surface).
+# Pairs bin by confidence (250 bp wide); per bin the observed
+# preference rate, mean confidence and the signed gap are exact
+# integer/ratio arithmetic both engines reproduce bit-for-bit.
+#
+# Scale: rides dpo_pairs_build's zero-shuffle plant; the only exchange
+# is the final 9-bin aggregation (map-side partials, bytes per task).
+
+ECE_BIN_BP = 250
+ECE_OVERCONF_BP = 700
+
+
+def reward_margin_ece(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = dpo_pairs_build(spark, sf_dir).select("doc_id", "margin")
+    conf = (F.lit(5000) + F.least(F.col("margin"), F.lit(2000))).cast("bigint")
+    u = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":u"))), 1, 8),
+            16,
+            10,
+        ).cast("bigint"),
+        F.lit(10000),
+    )
+    thresh = F.when(F.col("doc_id") % 4 == 0, conf - ECE_OVERCONF_BP).otherwise(conf)
+    scored = pairs.select(
+        ((conf - 5000) / ECE_BIN_BP).cast("bigint").alias("bin_id"),
+        conf.alias("conf_bp"),
+        (u < thresh).cast("bigint").alias("preferred"),
+    )
+    return scored.groupBy("bin_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.round(F.avg("conf_bp"), 4).alias("avg_conf_bp"),
+        F.round(F.sum("preferred") * 10000.0 / F.count(F.lit(1)), 4).alias("observed_bp"),
+        F.round(
+            F.avg("conf_bp") - F.sum("preferred") * 10000.0 / F.count(F.lit(1)), 4
+        ).alias("gap_bp"),
+    )
+
+
+REWARD_ECE_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+eligible AS (
+  SELECT doc_id, toks FROM base
+  WHERE len(toks) >= {DPO_PROMPT_TOKENS} + 2 * {DPO_RESP_TOKENS}
+),
+ranked AS (
+  SELECT doc_id,
+         CAST(len(list_distinct(toks[{DPO_PROMPT_TOKENS} + 1:{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS}])) * 1000
+              + length(array_to_string(toks[{DPO_PROMPT_TOKENS} + 1:{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS}], ' ')) AS BIGINT) AS sa,
+         CAST(len(list_distinct(toks[{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS} + 1:{DPO_PROMPT_TOKENS} + 2 * {DPO_RESP_TOKENS}])) * 1000
+              + length(array_to_string(toks[{DPO_PROMPT_TOKENS} + {DPO_RESP_TOKENS} + 1:{DPO_PROMPT_TOKENS} + 2 * {DPO_RESP_TOKENS}], ' ')) AS BIGINT) AS sb
+  FROM eligible
+),
+scored AS (
+  SELECT doc_id,
+         CAST(5000 + least(abs(sa - sb), 2000) AS BIGINT) AS conf_bp,
+         CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR) || ':u'), 1, 8) AS BIGINT) % 10000 AS u
+  FROM ranked
+),
+labeled AS (
+  SELECT (conf_bp - 5000) // {ECE_BIN_BP} AS bin_id, conf_bp,
+         CASE WHEN u < (CASE WHEN doc_id % 4 = 0 THEN conf_bp - {ECE_OVERCONF_BP} ELSE conf_bp END)
+              THEN 1 ELSE 0 END AS preferred
+  FROM scored
+)
+SELECT CAST(bin_id AS BIGINT) AS bin_id,
+       count(*)::BIGINT AS n_pairs,
+       round(avg(conf_bp), 4) AS avg_conf_bp,
+       round(CAST(sum(preferred) AS BIGINT) * 10000.0 / count(*), 4) AS observed_bp,
+       round(avg(conf_bp) - CAST(sum(preferred) AS BIGINT) * 10000.0 / count(*), 4) AS gap_bp
+FROM labeled
+GROUP BY bin_id
+"""
+
+QUERIES["reward_margin_ece"] = reward_margin_ece
+ORACLES["reward_margin_ece"] = REWARD_ECE_SQL

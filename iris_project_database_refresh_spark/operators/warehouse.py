@@ -1745,3 +1745,95 @@ SELECT * FROM (
 
 QUERIES["supplier_topsis_rank"] = supplier_topsis_rank
 ORACLES["supplier_topsis_rank"] = TOPSIS_SQL
+
+
+# --- SCD2 point-in-time (as-of) dimension join ----------------------------------
+#
+# The payoff query of the SCD2 family: facts joined to the dimension
+# version that was CURRENT when the fact happened — "revenue by the
+# segment the customer was in AT ORDER TIME", the question every
+# type-2 warehouse exists to answer (and the reason stage4's
+# keep-latest merge loses history; reference: ``catalog
+# search/stage4_update_csv.py`` master-merge keeps only the newest
+# record, so this query is unanswerable there).
+#
+# Plant: per custkey, 1-3 dimension versions starting at the order
+# epoch (1995-01-01) with per-key spacing (200 + (custkey % 11) * 60
+# days), segment rotating deterministically per (custkey, version).
+# Every order lands in exactly one half-open [valid_from, valid_to)
+# interval because version 0 starts at the epoch == min(o_orderdate).
+#
+# Plan / scale: the dimension build is one explode + one lead window
+# partitioned on custkey (<= 3 rows/key).  The point-in-time join is a
+# plain EQUI-join on custkey with the interval predicate as a residual
+# filter — shuffle on custkey only (or broadcast: the dimension is
+# |customer| * <=3 rows, tiny next to the fact), never a range/theta
+# join; per-order match multiplicity is bounded by the version cap, so
+# AQE sees an ordinary fact-dim join.  The rollup output is
+# segments x years.
+
+PIT_VERSIONS = 3  # custkey % 3 + 1 versions per customer
+PIT_EPOCH = "1995-01-01"
+
+
+def scd2_point_in_time_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    vers = cust.select(
+        "c_custkey",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("c_custkey") % PIT_VERSIONS).cast("int"))
+        ).alias("k"),
+    ).select(
+        "c_custkey",
+        F.date_add(
+            F.to_date(F.lit(PIT_EPOCH)),
+            (F.col("k") * (200 + (F.col("c_custkey") % 11) * 60)).cast("int"),
+        ).alias("valid_from"),
+        F.concat(F.lit("S"), ((F.col("c_custkey") * 7 + F.col("k") * 3) % 5)).alias(
+            "segment"
+        ),
+    )
+    w = Window.partitionBy("c_custkey").orderBy("valid_from")
+    dim = vers.withColumn("valid_to", F.lead("valid_from").over(w))
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_custkey", F.to_date("o_orderdate").alias("o_date"), "o_totalprice"
+    )
+    pit = orders.join(
+        F.broadcast(dim),
+        (F.col("o_custkey") == F.col("c_custkey"))
+        & (F.col("o_date") >= F.col("valid_from"))
+        & (F.col("valid_to").isNull() | (F.col("o_date") < F.col("valid_to"))),
+        "inner",
+    )
+    return pit.groupBy("segment", F.year("o_date").cast("bigint").alias("order_year")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+        F.round(F.sum("o_totalprice"), 2).alias("revenue"),
+    )
+
+
+PIT_JOIN_SQL = f"""
+WITH vers AS (
+  SELECT c_custkey,
+         DATE '{PIT_EPOCH}' + CAST(k * (200 + (c_custkey % 11) * 60) AS INTEGER) AS valid_from,
+         'S' || CAST((c_custkey * 7 + k * 3) % 5 AS VARCHAR) AS segment
+  FROM customer
+  CROSS JOIN (VALUES (0), (1), (2)) v(k)
+  WHERE k <= c_custkey % {PIT_VERSIONS}
+),
+dim AS (
+  SELECT c_custkey, segment, valid_from,
+         lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+  FROM vers
+)
+SELECT segment, CAST(year(o_orderdate) AS BIGINT) AS order_year,
+       count(*)::BIGINT AS n_orders,
+       round(sum(o_totalprice), 2) AS revenue
+FROM orders
+JOIN dim ON o_custkey = c_custkey
+        AND CAST(o_orderdate AS DATE) >= valid_from
+        AND (valid_to IS NULL OR CAST(o_orderdate AS DATE) < valid_to)
+GROUP BY segment, order_year
+"""
+
+QUERIES["scd2_point_in_time_join"] = scd2_point_in_time_join
+ORACLES["scd2_point_in_time_join"] = PIT_JOIN_SQL

@@ -226,6 +226,8 @@ _DRIVER_PRIORITY = [
     "multimodal_tar_headers", "text_canary_scan",
     "multimodal_pdf_xref", "embed_sign_binarize_recall",
     "multimodal_sniff_router",
+    "scd2_point_in_time_join", "reward_margin_ece",
+    "unigram_prune_scores", "supplier_busy_coverage",
 ]
 
 

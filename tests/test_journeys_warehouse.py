@@ -265,3 +265,43 @@ def test_sprt_decision_consistent(spark):
     else:
         assert r.lower_e4 < r.llr_e4 < r.upper_e4
     assert r.days_observed <= r.n_days
+
+
+def test_scd2_point_in_time_join_oracle(spark, oracle):
+    from .conftest import SF_CORRECT, assert_matches_oracle
+    from iris_project_database_refresh_spark.operators.warehouse import (
+        PIT_JOIN_SQL,
+        scd2_point_in_time_join,
+    )
+
+    df = scd2_point_in_time_join(spark, SF_CORRECT)
+    assert_matches_oracle(df, oracle, PIT_JOIN_SQL)
+    rows = df.collect()
+    # every order matches EXACTLY one dimension version (version 0
+    # starts at the order epoch), so the rollup conserves order count
+    import duckdb as _d
+
+    n_orders = _d.sql(
+        f"SELECT count(*) FROM read_parquet('{SF_CORRECT}/orders.parquet')"
+    ).fetchone()[0]
+    assert sum(r.n_orders for r in rows) == n_orders
+    assert {r.segment for r in rows} <= {f"S{i}" for i in range(5)}
+
+
+def test_scd2_point_in_time_join_is_equi_join(spark):
+    from .conftest import SF_CORRECT
+    from iris_project_database_refresh_spark.operators.warehouse import (
+        scd2_point_in_time_join,
+    )
+
+    plan = (
+        scd2_point_in_time_join(spark, SF_CORRECT)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the interval predicate must ride the custkey equi-join as a
+    # residual condition, never degrade to a nested-loop/cartesian
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastHashJoin" in plan

@@ -114,3 +114,23 @@ def test_good_turing_identities(spark):
     one = rows.get(1)
     if one is not None:
         assert one.p_unseen_micro == one.n_r * 1000000 // one.n_tokens
+
+
+def test_unigram_prune_scores_oracle(spark, oracle):
+    from .conftest import SF_CORRECT, assert_matches_oracle
+    from iris_project_database_refresh_spark.operators.textmodel import (
+        UNIGRAM_PRUNE_SQL,
+        UNIGRAM_PRUNE_TOPK,
+        unigram_prune_scores,
+    )
+
+    df = unigram_prune_scores(spark, SF_CORRECT)
+    assert_matches_oracle(df, oracle, UNIGRAM_PRUNE_SQL)
+    rows = df.collect()
+    assert len(rows) == UNIGRAM_PRUNE_TOPK
+    # prune shortlist = ascending loss delta (most-negative first:
+    # pieces RARER than their character factorization predicts are the
+    # safest removals); every piece appears in the corpus
+    deltas = [r.delta_llq for r in rows]
+    assert deltas == sorted(deltas)
+    assert all(r.piece_count >= 1 for r in rows)

@@ -72,3 +72,20 @@ def test_epoch_shuffle_reshuffles_across_epochs(spark):
         by_epoch.setdefault(r[0], {})[r[1]] = r[4]
     # shard fingerprints differ between the two epochs (reshuffled)
     assert by_epoch[1] != by_epoch[2]
+
+
+def test_reward_margin_ece_oracle(spark, oracle):
+    from .conftest import SF_CORRECT, assert_matches_oracle
+    from iris_project_database_refresh_spark.operators.textprep import (
+        REWARD_ECE_SQL,
+        reward_margin_ece,
+    )
+
+    df = reward_margin_ece(spark, SF_CORRECT)
+    assert_matches_oracle(df, oracle, REWARD_ECE_SQL)
+    rows = {r.bin_id: r for r in df.collect()}
+    assert rows and set(rows) <= set(range(9))
+    # confidence bins are 250bp wide starting at 5000
+    for b, r in rows.items():
+        assert 5000 + 250 * b <= r.avg_conf_bp <= 5000 + 250 * (b + 1)
+        assert 0 <= r.observed_bp <= 10000
