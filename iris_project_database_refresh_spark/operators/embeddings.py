@@ -1585,3 +1585,117 @@ FROM (SELECT DISTINCT query_id FROM topb) q LEFT JOIN hits h USING (query_id)
 
 QUERIES["embed_sign_binarize_recall"] = embed_sign_binarize_recall
 ORACLES["embed_sign_binarize_recall"] = SIGN_RECALL_SQL
+
+
+# --- embed_triplet_semihard — semi-hard triplet mining -------------------------
+#
+# The triplet-loss miner contrastive_pairs doesn't cover (Schroff et
+# al. 2015 FaceNet, the selection rule that made triplet training
+# converge): the SEMI-HARD negative is the most-similar different-label
+# vector that is still ranked BELOW the anchor's hard positive
+# (cos_n < cos_p) — hard enough to carry gradient, not so hard it
+# collapses the embedding. Anchors where no such negative exists (the
+# hardest impostor already outranks the positive) are emitted with the
+# unconstrained hardest negative and violation = 1 — exactly the rows
+# a training run would route to the plain hard-negative loss.
+#
+# Scale: the scored (anchor x corpus) stream is pinned once; the
+# positive pass and the semi-hard pass are both conditional
+# max(struct) aggregates over it (map-side combine, no corpus window);
+# the second pass joins the k-row positive table broadcast-side.
+# Ranking keys are 6dp-rounded cosines with vec_id tie-break (house
+# device), so both argmaxes are engine-deterministic.
+
+def embed_triplet_semihard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+    )
+    scored = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "vec_id",
+            "label",
+            F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+    same = F.col("label") == F.col("anchor_label")
+    pos = (
+        scored.groupBy("anchor_id")
+        .agg(F.max(F.when(same, F.struct("cosine", "vec_id"))).alias("p"))
+        .select(
+            "anchor_id",
+            F.col("p.vec_id").alias("pos_id"),
+            F.col("p.cosine").alias("pos_cosine"),
+        )
+    )
+    negs = scored.where(~same).join(F.broadcast(pos), "anchor_id")
+    picked = negs.groupBy("anchor_id", "pos_id", "pos_cosine").agg(
+        F.max(
+            F.when(F.col("cosine") < F.col("pos_cosine"), F.struct("cosine", "vec_id"))
+        ).alias("sh"),
+        F.max(F.struct("cosine", "vec_id")).alias("hard"),
+    )
+    chosen = F.coalesce(F.col("sh"), F.col("hard"))
+    return picked.select(
+        "anchor_id",
+        "pos_id",
+        "pos_cosine",
+        chosen["vec_id"].alias("neg_id"),
+        chosen["cosine"].alias("neg_cosine"),
+        (
+            F.floor(F.col("pos_cosine") * 1000000 + F.lit(0.5))
+            - F.floor(chosen["cosine"] * 1000000 + F.lit(0.5))
+        ).cast("bigint").alias("margin_micro"),
+        F.when(F.col("sh").isNull(), F.lit(1)).otherwise(F.lit(0)).cast("bigint").alias(
+            "violation"
+        ),
+    )
+
+
+TRIPLET_SEMIHARD_SQL = f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+), a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT anchor_id, anchor_label, n.vec_id, n.label,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+  FROM a JOIN n ON n.vec_id <> a.anchor_id
+), pos AS (
+  SELECT anchor_id,
+         (max(CASE WHEN label = anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).vec_id AS pos_id,
+         (max(CASE WHEN label = anchor_label THEN struct_pack(cosine := cosine, vec_id := vec_id) END)).cosine AS pos_cosine
+  FROM scored GROUP BY anchor_id
+), picked AS (
+  SELECT s.anchor_id, p.pos_id, p.pos_cosine,
+         max(CASE WHEN s.cosine < p.pos_cosine THEN struct_pack(cosine := s.cosine, vec_id := s.vec_id) END) AS sh,
+         max(struct_pack(cosine := s.cosine, vec_id := s.vec_id)) AS hard
+  FROM scored s JOIN pos p ON p.anchor_id = s.anchor_id
+  WHERE s.label <> s.anchor_label
+  GROUP BY s.anchor_id, p.pos_id, p.pos_cosine
+)
+SELECT anchor_id, pos_id, pos_cosine,
+       (coalesce(sh, hard)).vec_id AS neg_id,
+       (coalesce(sh, hard)).cosine AS neg_cosine,
+       CAST(floor(pos_cosine * 1000000 + 0.5)
+          - floor((coalesce(sh, hard)).cosine * 1000000 + 0.5) AS BIGINT) AS margin_micro,
+       CAST(CASE WHEN sh IS NULL THEN 1 ELSE 0 END AS BIGINT) AS violation
+FROM picked
+"""
+
+QUERIES["embed_triplet_semihard"] = embed_triplet_semihard
+ORACLES["embed_triplet_semihard"] = TRIPLET_SEMIHARD_SQL

@@ -1173,3 +1173,154 @@ LIMIT {TOP_K}
 
 QUERIES["graph_hits"] = graph_hits
 ORACLES["graph_hits"] = HITS_SQL
+
+
+# --- Newman modularity of the LPA partition ------------------------------------
+#
+# The quality score community detection is graded on (Newman & Girvan
+# 2004): Q = sum_c [ e_c/m - (d_c/2m)^2 ] — how much denser each
+# community's interior is than the configuration-model expectation.
+# Computed for graph_label_propagation's partition on the SAME planted
+# graph, so the two queries together form a detect-then-score pair
+# (the modularity table is what you'd read before trusting LPA's
+# communities downstream). Both terms are exact integers in micro
+# units — internal-edge and degree sums over the doubled adjacency
+# (m2 = 2m rows), truncating div per term, mirrored in the oracle —
+# so the score is engine-reproducible including its truncation dust.
+#
+# Scale: rides LPA's per-round shuffles (vertex-keyed); the scoring
+# adds one labels⋈adj join + two label-keyed aggs; the output is the
+# bounded top-LPA_TOP community table. Degree sums are long-safe: at
+# d_c = 3e6 (a 3M-degree-mass community) d_c^2 * 1e6 is still inside
+# int64.
+
+MOD_SCALE = 10**6
+
+
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("doc_id").alias("x"), F.col("doc_id").alias("lbl"))
+    w = Window.partitionBy("x").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            adj.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("x", "lbl")
+        )
+    m2_df = adj.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    lx = labels
+    ly = labels.select(F.col("x").alias("y"), F.col("lbl").alias("lbl_y"))
+    internal2 = (
+        adj.join(lx, "x")
+        .join(ly, "y")
+        .where(F.col("lbl") == F.col("lbl_y"))
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("int2"))
+    )
+    comm = (
+        labels.join(deg, "x")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("community_size"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+        )
+        .join(internal2, "lbl", "left")
+        .na.fill({"int2": 0})
+        .crossJoin(F.broadcast(m2_df))
+    )
+    return (
+        comm.select(
+            F.col("lbl").alias("community_label"),
+            "community_size",
+            "degree_sum",
+            F.expr("int2 div 2").alias("internal_edges"),
+            F.expr(
+                f"int2 * {MOD_SCALE} div m2"
+                f" - degree_sum * degree_sum * {MOD_SCALE} div (m2 * m2)"
+            ).alias("q_contrib_micro"),
+        )
+        .orderBy(F.desc("community_size"), F.asc("community_label"))
+        .limit(LPA_TOP)
+    )
+
+
+def _modularity_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(LPA_ROUNDS):
+        rounds.append(_lpa_round_sql(prev, f"l{i + 1}"))
+        prev = f"l{i + 1}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS u, unnest(ts) AS v FROM tlists),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+l0 AS (SELECT doc_id AS x, doc_id AS lbl FROM documents),
+{body},
+m2t AS (SELECT count(*)::BIGINT AS m2 FROM adj),
+deg AS (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
+internal2 AS (
+  SELECT lx.lbl, count(*)::BIGINT AS int2
+  FROM adj a JOIN {prev} lx ON lx.x = a.x JOIN {prev} ly ON ly.x = a.y
+  WHERE lx.lbl = ly.lbl
+  GROUP BY lx.lbl
+),
+comm AS (
+  SELECT l.lbl, count(*)::BIGINT AS community_size,
+         CAST(sum(d.deg) AS BIGINT) AS degree_sum
+  FROM {prev} l JOIN deg d ON d.x = l.x
+  GROUP BY l.lbl
+)
+SELECT c.lbl AS community_label, c.community_size, c.degree_sum,
+       coalesce(i.int2, 0) // 2 AS internal_edges,
+       CAST(coalesce(i.int2, 0) * {MOD_SCALE} // m2
+            - c.degree_sum * c.degree_sum * {MOD_SCALE} // (m2 * m2)
+         AS BIGINT) AS q_contrib_micro
+FROM comm c LEFT JOIN internal2 i ON i.lbl = c.lbl, m2t
+ORDER BY c.community_size DESC, c.lbl ASC
+LIMIT {LPA_TOP}
+"""
+
+
+MODULARITY_SQL = _modularity_sql()
+
+QUERIES["graph_modularity"] = graph_modularity
+ORACLES["graph_modularity"] = MODULARITY_SQL

@@ -2247,3 +2247,135 @@ FROM last
 
 QUERIES["events_ab_sprt"] = events_ab_sprt
 ORACLES["events_ab_sprt"] = SPRT_SQL
+
+
+# --- Kaplan-Meier product-limit survival ----------------------------------------
+#
+# The named estimator customer_churn_hazard's risk grid exists to feed
+# (Kaplan & Meier 1958): S(t) = prod_{i<=t} (1 - d_i/n_i) with
+# right-censored customers (still active at the observation end)
+# leaving the risk set without counting as churn events. The product
+# of per-bucket ratios is made engine-reproducible by the house
+# ln-quantize fold: each survival factor (n_i-d_i)/n_i is a double
+# derived from identical BIGINTs, its ln floor-quantizes to exact
+# integer micros, the cumulative sum over the ordered tenure grid is
+# pure integer arithmetic, and the final exp runs on an identical
+# integer-derived double in both engines before bp floor-quantization.
+# A bucket where everyone at risk churns (factor 0) zeroes the curve
+# from there on — tracked with a prefix max flag so ln never sees 0.
+#
+# Scale: rides the hazard grid (one per-customer agg + a bounded
+# tenure-grid window); the curve table is at most max-tenure rows.
+
+def customer_survival_km(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select("o_custkey", "o_orderdate")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.min("o_orderdate").alias("first_dt"), F.max("o_orderdate").alias("last_dt")
+    )
+    end = orders.agg(F.max("o_orderdate").alias("end_dt"))
+    marked = per_cust.crossJoin(F.broadcast(end)).select(
+        F.expr("cast(datediff(last_dt, first_dt) div 30 as bigint)").alias("tenure_m"),
+        F.expr(
+            f"cast(datediff(end_dt, last_dt) < {CHURN_CENSOR_DAYS} as bigint)"
+        ).alias("censored"),
+    )
+    grid = marked.groupBy("tenure_m").agg(
+        F.count("*").cast("bigint").alias("n_ending"),
+        F.sum("censored").cast("bigint").alias("n_censored"),
+    )
+    w_risk = Window.orderBy(F.col("tenure_m").asc()).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    tab = grid.select(
+        "tenure_m",
+        F.sum("n_ending").over(w_risk).cast("bigint").alias("n_at_risk"),
+        (F.col("n_ending") - F.col("n_censored")).cast("bigint").alias("n_churned"),
+        "n_censored",
+    )
+    w_pre = Window.orderBy(F.col("tenure_m").asc()).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    stepped = tab.select(
+        "tenure_m",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        # ln of the survival factor in exact integer micros; 0-factor
+        # buckets contribute a sentinel handled by the zeroed flag
+        F.expr(
+            "case when n_at_risk > n_churned then"
+            " cast(floor(ln((n_at_risk - n_churned) / cast(n_at_risk as double)) * 1000000) as bigint)"
+            " else 0 end"
+        ).alias("lnf_micro"),
+        F.expr("case when n_at_risk = n_churned then 1 else 0 end").alias("zf"),
+    )
+    return stepped.select(
+        "tenure_m",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.sum("lnf_micro").over(w_pre).cast("bigint").alias("ln_surv_micro"),
+        F.max("zf").over(w_pre).alias("zeroed"),
+    ).select(
+        "tenure_m",
+        "n_at_risk",
+        "n_churned",
+        "n_censored",
+        F.expr("case when zeroed = 1 then null else ln_surv_micro end").alias(
+            "ln_surv_micro"
+        ),
+        F.expr(
+            "case when zeroed = 1 then 0 else"
+            " cast(floor(exp(ln_surv_micro / 1000000.0) * 10000 + 0.5) as bigint) end"
+        ).alias("surv_bp"),
+    )
+
+
+KM_SURVIVAL_SQL = f"""
+WITH per_cust AS (
+  SELECT o_custkey, min(o_orderdate) AS first_dt, max(o_orderdate) AS last_dt
+  FROM orders GROUP BY o_custkey
+),
+endd AS (SELECT max(o_orderdate) AS end_dt FROM orders),
+marked AS (
+  SELECT CAST(datediff('day', first_dt, last_dt) // 30 AS BIGINT) AS tenure_m,
+         CAST(datediff('day', last_dt, end_dt) < {CHURN_CENSOR_DAYS} AS BIGINT) AS censored
+  FROM per_cust, endd
+),
+grid AS (
+  SELECT tenure_m, count(*)::BIGINT AS n_ending, CAST(sum(censored) AS BIGINT) AS n_censored
+  FROM marked GROUP BY tenure_m
+),
+tab AS (
+  SELECT tenure_m,
+         CAST(sum(n_ending) OVER (ORDER BY tenure_m
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS n_at_risk,
+         CAST(n_ending - n_censored AS BIGINT) AS n_churned,
+         n_censored
+  FROM grid
+),
+stepped AS (
+  SELECT tenure_m, n_at_risk, n_churned, n_censored,
+         CASE WHEN n_at_risk > n_churned THEN
+           CAST(floor(ln((n_at_risk - n_churned) / CAST(n_at_risk AS DOUBLE)) * 1000000) AS BIGINT)
+         ELSE 0 END AS lnf_micro,
+         CASE WHEN n_at_risk = n_churned THEN 1 ELSE 0 END AS zf
+  FROM tab
+),
+acc AS (
+  SELECT tenure_m, n_at_risk, n_churned, n_censored,
+         CAST(sum(lnf_micro) OVER (ORDER BY tenure_m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS ln_surv_micro,
+         max(zf) OVER (ORDER BY tenure_m
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS zeroed
+  FROM stepped
+)
+SELECT tenure_m, n_at_risk, n_churned, n_censored,
+       CASE WHEN zeroed = 1 THEN NULL ELSE ln_surv_micro END AS ln_surv_micro,
+       CASE WHEN zeroed = 1 THEN 0 ELSE
+         CAST(floor(exp(ln_surv_micro / 1000000.0) * 10000 + 0.5) AS BIGINT) END AS surv_bp
+FROM acc
+"""
+
+QUERIES["customer_survival_km"] = customer_survival_km
+ORACLES["customer_survival_km"] = KM_SURVIVAL_SQL

@@ -1151,3 +1151,161 @@ ORDER BY borda_score DESC, doc_id LIMIT {TOP_K}
 
 QUERIES["rank_fusion_borda"] = rank_fusion_borda
 ORACLES["rank_fusion_borda"] = BORDA_SQL
+
+
+# --- MaxScore/WAND upper-bound planning ----------------------------------------
+#
+# The planning table dynamic-pruning retrieval runs on (Turtle & Flood
+# 1995 MaxScore; Broder et al. 2003 WAND): per query term, the maximum
+# score any single posting can contribute (the term upper bound kept in
+# the index), and the essential/non-essential split against the top-k
+# entry threshold theta — terms whose ascending upper-bound prefix sum
+# cannot reach theta are non-essential: a document appearing ONLY in
+# those lists can never enter the top-k, so their postings are skipped.
+# Reuses bm25_search's exact scoring device (per-term contributions
+# rounded to 6dp, so every downstream sum/compare runs on identical
+# IEEE doubles in both engines); theta is the TOP_K-th full score.
+#
+# Scale: one pinned tokenize pass (the bm25 shape), a 1-row stats
+# broadcast, per-term maxima in ONE aggregate, theta from a
+# TakeOrderedAndProject cut; the output is |query| rows — planning
+# cost rides the index-stats pass retrieval already pays, never a
+# second corpus scan.
+
+
+def search_wand_upper_bounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    per_doc = docs.select(
+        "doc_id",
+        F.size(toks).alias("len_d"),
+        *[
+            F.size(F.filter(toks, _is_term(term))).alias(f"tf_{i}")
+            for i, term in enumerate(QUERY_TERMS)
+        ],
+    ).localCheckpoint(eager=False)
+    stats = per_doc.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.avg("len_d").alias("avg_len"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(QUERY_TERMS))
+        ],
+    )
+    term_exprs = [
+        F.round(
+            F.log(
+                (F.col("n_docs") - F.col(f"df_{i}") + 0.5) / (F.col(f"df_{i}") + 0.5)
+                + 1.0
+            )
+            * (F.col(f"tf_{i}") * (BM25_K1 + 1))
+            / (
+                F.col(f"tf_{i}")
+                + BM25_K1 * (1 - BM25_B + BM25_B * F.col("len_d") / F.col("avg_len"))
+            ),
+            6,
+        ).alias(f"s_{i}")
+        for i in range(len(QUERY_TERMS))
+    ]
+    scored = per_doc.crossJoin(F.broadcast(stats)).select(
+        "doc_id",
+        *term_exprs,
+        *[F.col(f"df_{i}") for i in range(len(QUERY_TERMS))],
+    ).localCheckpoint(eager=False)
+    full = scored.select(
+        "doc_id",
+        F.round(
+            sum([F.col(f"s_{i}") for i in range(1, len(QUERY_TERMS))], F.col("s_0")), 6
+        ).alias("score"),
+    )
+    theta = (
+        full.orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(TOP_K)
+        .agg(F.round(F.min("score"), 6).alias("theta_r6"))
+    )
+    ubs_wide = scored.agg(
+        *[F.coalesce(F.max(f"s_{i}"), F.lit(0.0)).alias(f"ub_{i}") for i in range(len(QUERY_TERMS))],
+        *[F.max(f"df_{i}").alias(f"dfv_{i}") for i in range(len(QUERY_TERMS))],
+    )
+    rows = ubs_wide.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(term).alias("term"),
+                        F.col(f"ub_{i}").alias("ub_r6"),
+                        F.col(f"dfv_{i}").cast("bigint").alias("df"),
+                    )
+                    for i, term in enumerate(QUERY_TERMS)
+                ]
+            )
+        ).alias("t")
+    ).select("t.*")
+    w = Window.orderBy(F.asc("ub_r6"), F.asc("term")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        rows.crossJoin(F.broadcast(theta))
+        .select(
+            "term",
+            "df",
+            "ub_r6",
+            F.round(F.sum("ub_r6").over(w), 6).alias("prefix_ub_r6"),
+            "theta_r6",
+        )
+        .select(
+            "term",
+            "df",
+            "ub_r6",
+            "prefix_ub_r6",
+            "theta_r6",
+            (F.col("prefix_ub_r6") > F.col("theta_r6")).cast("bigint").alias("essential"),
+        )
+    )
+
+
+_WAND_SCORE_SQL = ", ".join(
+    f"round(ln((n_docs - df_{i} + 0.5::DOUBLE) / (df_{i} + 0.5::DOUBLE) + 1.0)"
+    f" * (tf_{i} * ({BM25_K1}::DOUBLE + 1))"
+    f" / (tf_{i} + {BM25_K1}::DOUBLE * (1 - {BM25_B}::DOUBLE + {BM25_B}::DOUBLE * len_d / avg_len)), 6) AS s_{i}"
+    for i in range(len(QUERY_TERMS))
+)
+_WAND_FULL_SQL = " + ".join(f"s_{i}" for i in range(len(QUERY_TERMS)))
+_WAND_ROWS_SQL = " UNION ALL ".join(
+    f"SELECT '{term}' AS term, CAST(df_{i} AS BIGINT) AS df,"
+    f" coalesce((SELECT max(s_{i}) FROM scored), 0.0) AS ub_r6 FROM stats"
+    for i, term in enumerate(QUERY_TERMS)
+)
+
+WAND_SQL = f"""
+WITH per_doc AS (
+  SELECT doc_id, len(toks) AS len_d, {_TF_SQL}
+  FROM (SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+        FROM documents)
+),
+stats AS (
+  SELECT count(*) AS n_docs, avg(len_d) AS avg_len, {_DF_SQL} FROM per_doc
+),
+scored AS (
+  SELECT doc_id, {_WAND_SCORE_SQL} FROM per_doc CROSS JOIN stats
+),
+theta AS (
+  SELECT round(min(score), 6) AS theta_r6 FROM (
+    SELECT round({_WAND_FULL_SQL}, 6) AS score, doc_id
+    FROM scored ORDER BY score DESC, doc_id LIMIT {TOP_K}
+  )
+),
+rows_t AS ({_WAND_ROWS_SQL}),
+pref AS (
+  SELECT term, df, ub_r6,
+         round(sum(ub_r6) OVER (ORDER BY ub_r6 ASC, term ASC
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 6) AS prefix_ub_r6
+  FROM rows_t
+)
+SELECT term, df, ub_r6, prefix_ub_r6, theta_r6,
+       CAST(prefix_ub_r6 > theta_r6 AS BIGINT) AS essential
+FROM pref, theta
+"""
+
+QUERIES["search_wand_upper_bounds"] = search_wand_upper_bounds
+ORACLES["search_wand_upper_bounds"] = WAND_SQL

@@ -42,6 +42,7 @@ def _load() -> None:
         monitor,
         multimodal,
         olap,
+        optimizer,
         packing,
         pq,
         relational,
@@ -91,6 +92,7 @@ def _load() -> None:
         layout,
         monitor,
         graph,
+        optimizer,
         warehouse,
         search,
         sketches,
@@ -228,6 +230,10 @@ _DRIVER_PRIORITY = [
     "multimodal_sniff_router",
     "scd2_point_in_time_join", "reward_margin_ece",
     "unigram_prune_scores", "supplier_busy_coverage",
+    "selectivity_estimate_audit", "cube_materialize_greedy",
+    "graph_modularity", "search_wand_upper_bounds",
+    "embed_triplet_semihard", "join_order_cost_audit",
+    "customer_survival_km",
 ]
 
 

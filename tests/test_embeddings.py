@@ -129,3 +129,21 @@ def test_sign_binarize_recall_reasonable(spark):
         assert 0 <= r.recall_bp <= 10000
         assert r.overlap_at_k * 10000 // embeddings.KNN_K == r.recall_bp
     assert sum(r.overlap_at_k for r in rows) > 0
+
+
+def test_triplet_semihard_rule(spark):
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        embed_triplet_semihard,
+    )
+
+    rows = embed_triplet_semihard(spark, SF_CORRECT).collect()
+    assert len(rows) == 5  # one triplet per anchor
+    for r in rows:
+        assert r["pos_id"] != r["neg_id"]
+        if r["violation"] == 0:
+            # semi-hard: negative strictly below the positive
+            assert r["neg_cosine"] < r["pos_cosine"]
+            assert r["margin_micro"] >= 0
+        else:
+            # fallback: the hardest impostor outranks the positive
+            assert r["neg_cosine"] >= r["pos_cosine"]

@@ -77,3 +77,16 @@ def test_hits_duals_discriminate(spark):
     assert rows[0].authority_scaled == graph.HITS_SCALE
     assert all(r.doc_id < 50 for r in rows[:10])
     assert len({r.authority_scaled for r in rows}) > 10
+
+
+def test_modularity_is_positive_for_lpa_partition(spark):
+    from .conftest import SF_CORRECT as sf
+
+    rows = graph.graph_modularity(spark, sf).collect()
+    assert len(rows) == graph.LPA_TOP
+    # communities LPA actually found should beat the configuration model
+    assert sum(r["q_contrib_micro"] for r in rows) > 0
+    for r in rows:
+        # doubled-adjacency bookkeeping: internal edges can't exceed the
+        # community's total degree mass
+        assert 0 <= r["internal_edges"] * 2 <= r["degree_sum"]

@@ -305,3 +305,22 @@ def test_scd2_point_in_time_join_is_equi_join(spark):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_km_survival_monotone(spark):
+    from iris_project_database_refresh_spark.operators.journeys import (
+        customer_survival_km,
+    )
+
+    rows = sorted(
+        customer_survival_km(spark, SF_CORRECT).collect(), key=lambda r: r["tenure_m"]
+    )
+    assert rows, "empty curve"
+    prev = 10000
+    for r in rows:
+        assert 0 <= r["surv_bp"] <= prev  # survival never increases
+        prev = r["surv_bp"]
+        assert r["n_churned"] + r["n_censored"] <= r["n_at_risk"]
+    # risk set shrinks over tenure
+    risks = [r["n_at_risk"] for r in rows]
+    assert risks == sorted(risks, reverse=True)

@@ -48,3 +48,22 @@ def test_bm25_tokenizes_once(spark):
         .toString()
     )
     assert plan.count("FileScan parquet") == 0  # subsumed by the pinned RDD
+
+
+def test_wand_split_is_consistent(spark):
+    from .conftest import SF_CORRECT as sf
+
+    rows = sorted(
+        search.search_wand_upper_bounds(spark, sf).collect(),
+        key=lambda r: (r["ub_r6"], r["term"]),
+    )
+    assert len(rows) == len(search.QUERY_TERMS)
+    # prefix sums are cumulative over the ascending-UB order
+    acc = 0.0
+    for r in rows:
+        acc = round(acc + r["ub_r6"], 6)
+        assert abs(r["prefix_ub_r6"] - acc) < 1e-9
+        assert r["essential"] == (1 if r["prefix_ub_r6"] > r["theta_r6"] else 0)
+    # the largest-UB term must always be essential (else the query is
+    # unanswerable: even all terms together could not reach theta)
+    assert rows[-1]["essential"] == 1
