@@ -1699,3 +1699,155 @@ FROM picked
 
 QUERIES["embed_triplet_semihard"] = embed_triplet_semihard
 ORACLES["embed_triplet_semihard"] = TRIPLET_SEMIHARD_SQL
+
+
+# --- knn_shapley_values — closed-form data valuation ---------------------------
+#
+# The data-valuation primitive a training-data market runs on (Jia et
+# al. 2019 "Efficient Task-Specific Data Valuation for Nearest
+# Neighbor Algorithms"): the exact Shapley value of every training
+# point for a KNN classifier has the closed form
+#   s_(N) = I(y_(N) = y) / N
+#   s_(i) = s_(i+1) + (I(y_(i)) - I(y_(i+1))) / K * min(K, i) / i
+# over points ranked by distance to the test point — O(N log N), no
+# Monte Carlo. The recursion telescopes into a SUFFIX SUM of per-rank
+# terms, which is exactly one window: each term is an exact integer in
+# 1e-9 units via the house truncating-div composition (multiply
+# first, one div last), so the values are engine-reproducible
+# including truncation dust. The efficiency axiom (sum of values =
+# share of same-label points among the K nearest) is pinned in tests.
+#
+# Scale: the ranking windows partition by anchor over the
+# EMBEDDINGS table — the index-sized artifact (knn_graph's grain),
+# never the corpus; anchors are the bounded N_QUERIES probe set. The
+# graded output is each anchor's top-VAL_TOP most valuable points.
+
+KNN_SHAP_K = 10
+VAL_TOP = 10
+SHAP_SCALE = 10**9
+
+
+def knn_shapley_values(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", _as_double("embedding").alias("v")
+    ).withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    n_df = emb.agg((F.count(F.lit(1)) - 1).cast("bigint").alias("n_train"))
+    anchors = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("anchor_id"),
+        F.col("label").alias("anchor_label"),
+        F.col("v").alias("q"),
+        F.col("vn").alias("qn"),
+    )
+    ranked = (
+        emb.join(F.broadcast(anchors), F.col("vec_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "vec_id",
+            (F.col("label") == F.col("anchor_label")).cast("bigint").alias("ind"),
+            F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("vn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .withColumn(
+            "i",
+            F.row_number().over(
+                Window.partitionBy("anchor_id").orderBy(
+                    F.desc("cosine"), F.asc("vec_id")
+                )
+            ),
+        )
+    )
+    k = KNN_SHAP_K
+    terms = ranked.withColumn(
+        "ind_next",
+        F.lead("ind").over(Window.partitionBy("anchor_id").orderBy(F.asc("i"))),
+    ).withColumn(
+        "term",
+        F.expr(
+            f"case when ind_next is null then 0 else"
+            f" (ind - ind_next) * least({k}, i) * {SHAP_SCALE} div ({k} * i) end"
+        ),
+    )
+    w_suffix = Window.partitionBy("anchor_id").orderBy(F.asc("i")).rowsBetween(
+        Window.currentRow, Window.unboundedFollowing
+    )
+    # s_i = base + sum_{j>=i} term_j, with base = I_(N) * SCALE div N
+    base = (
+        terms.where(F.col("ind_next").isNull())
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "anchor_id",
+            F.expr(f"ind * {SHAP_SCALE} div n_train").alias("base"),
+        )
+    )
+    shap = (
+        terms.select(
+            "anchor_id",
+            "vec_id",
+            "i",
+            "ind",
+            F.sum("term").over(w_suffix).alias("sfx"),
+        )
+        .join(F.broadcast(base), "anchor_id")
+        .select(
+            "anchor_id",
+            "vec_id",
+            F.col("i").alias("rank_i"),
+            F.col("ind").alias("same_label"),
+            (F.col("base") + F.col("sfx")).cast("bigint").alias("shapley_e9"),
+        )
+    )
+    w_top = Window.partitionBy("anchor_id").orderBy(
+        F.desc("shapley_e9"), F.asc("vec_id")
+    )
+    return (
+        shap.withColumn("r", F.row_number().over(w_top))
+        .where(F.col("r") <= VAL_TOP)
+        .drop("r")
+    )
+
+
+KNN_SHAPLEY_SQL = f"""
+WITH d AS (
+  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings
+), n AS (
+  SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM d
+), nt AS (SELECT count(*)::BIGINT - 1 AS n_train FROM d),
+a AS (
+  SELECT vec_id AS anchor_id, label AS anchor_label, v AS qv, nrm AS qn
+  FROM n WHERE vec_id < {N_QUERIES}
+), ranked AS (
+  SELECT anchor_id, n.vec_id,
+         CAST(n.label = a.anchor_label AS BIGINT) AS ind,
+         row_number() OVER (PARTITION BY anchor_id
+           ORDER BY round(list_dot_product(qv, v) / (qn * nrm), 6) DESC, n.vec_id ASC) AS i
+  FROM a JOIN n ON n.vec_id <> a.anchor_id
+), terms AS (
+  SELECT anchor_id, vec_id, i, ind,
+         lead(ind) OVER (PARTITION BY anchor_id ORDER BY i) AS ind_next
+  FROM ranked
+), termval AS (
+  SELECT anchor_id, vec_id, i, ind,
+         CASE WHEN ind_next IS NULL THEN 0
+              ELSE (ind - ind_next) * LEAST({KNN_SHAP_K}, i) * {SHAP_SCALE} // ({KNN_SHAP_K} * i)
+         END AS term
+  FROM terms
+), base AS (
+  SELECT t.anchor_id, t.ind * {SHAP_SCALE} // n_train AS base
+  FROM termval t, nt WHERE NOT EXISTS (
+    SELECT 1 FROM termval x WHERE x.anchor_id = t.anchor_id AND x.i = t.i + 1)
+), shap AS (
+  SELECT t.anchor_id, t.vec_id, t.i AS rank_i, t.ind AS same_label,
+         CAST(b.base + sum(t.term) OVER (PARTITION BY t.anchor_id ORDER BY t.i
+              ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS BIGINT) AS shapley_e9
+  FROM termval t JOIN base b ON b.anchor_id = t.anchor_id
+)
+SELECT anchor_id, vec_id, rank_i, same_label, shapley_e9 FROM (
+  SELECT *, row_number() OVER (PARTITION BY anchor_id
+            ORDER BY shapley_e9 DESC, vec_id ASC) AS r
+  FROM shap
+) WHERE r <= {VAL_TOP}
+"""
+
+QUERIES["knn_shapley_values"] = knn_shapley_values
+ORACLES["knn_shapley_values"] = KNN_SHAPLEY_SQL

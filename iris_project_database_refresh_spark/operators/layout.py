@@ -650,3 +650,106 @@ GROUP BY source
 
 QUERIES["snapshot_vacuum_plan"] = snapshot_vacuum_plan
 ORACLES["snapshot_vacuum_plan"] = VACUUM_SQL
+
+
+# --- consistent-hash ring resharding plan --------------------------------------
+#
+# The resharding-cost primitive behind every distributed store the
+# engine would feed (Karger et al. 1997 consistent hashing; the
+# Dynamo/Cassandra ring): N_RING nodes each own V_RING virtual points
+# on a 2^32 ring (positions from the portable md5 device); a key lands
+# on the first ring point clockwise from its own hash. The graded
+# question is the guarantee itself: adding one node moves ONLY the
+# keys that land on the new node's arcs — per node, key counts under
+# 8 and 9 nodes, moved-out/moved-in, with the invariant (old nodes
+# never gain keys; every moved key lands on the new node) pinned in
+# tests and visible in the output.
+#
+# Scale: the ring is a 1-row broadcast ARRAY (144 coded BIGINTs); per
+# key the successor lookup is a pure array expression (filter +
+# array_min — binary-search semantics without fan-out), so the whole
+# plan is one narrow key scan + ONE bounded (node8, node9) pair
+# aggregation (<= 81 rows). No joins, no per-key explode: the 128x
+# fan-out a naive key x ring join would pay never happens.
+
+N_RING = 8          # nodes before the reshard
+V_RING = 16         # virtual points per node
+_RING_CODE = "cast(conv(substring(md5(concat('ring:', node, ':', v)), 1, 8), 16, 10) as bigint) * 16 + node"
+
+
+def shard_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ring9 = (
+        spark.range(1)
+        .select(F.explode(F.sequence(F.lit(0), F.lit(N_RING))).alias("node"))
+        .select("node", F.explode(F.sequence(F.lit(0), F.lit(V_RING - 1))).alias("v"))
+        .select(F.expr(_RING_CODE).alias("code"))
+        .agg(F.collect_list("code").alias("arr9"))
+        .select("arr9", F.expr(f"filter(arr9, c -> c % 16 != {N_RING})").alias("arr8"))
+    )
+    keys = load_table(spark, sf_dir, "orders").select(
+        F.expr(
+            "cast(conv(substring(md5(concat('k:', o_orderkey)), 1, 8), 16, 10) as bigint)"
+        ).alias("kpos")
+    )
+    succ = "coalesce(array_min(filter({arr}, c -> c div 16 >= kpos)), array_min({arr}))"
+    assigned = keys.crossJoin(F.broadcast(ring9)).select(
+        F.expr(succ.format(arr="arr8") + " % 16").alias("node8"),
+        F.expr(succ.format(arr="arr9") + " % 16").alias("node9"),
+    )
+    pairs = assigned.groupBy("node8", "node9").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    before = pairs.groupBy(F.col("node8").alias("node")).agg(
+        F.sum("n").cast("bigint").alias("keys_before"),
+        F.sum(F.when(F.col("node8") != F.col("node9"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("moved_out"),
+    )
+    after = pairs.groupBy(F.col("node9").alias("node")).agg(
+        F.sum("n").cast("bigint").alias("keys_after"),
+        F.sum(F.when(F.col("node8") != F.col("node9"), F.col("n")).otherwise(0))
+        .cast("bigint")
+        .alias("moved_in"),
+    )
+    return (
+        before.join(after, "node", "full_outer")
+        .na.fill({"keys_before": 0, "moved_out": 0, "keys_after": 0, "moved_in": 0})
+        .select("node", "keys_before", "keys_after", "moved_out", "moved_in")
+    )
+
+
+CONSISTENT_HASH_SQL = f"""
+WITH ringrows AS (
+  SELECT CAST('0x' || substr(md5('ring:' || n.node || ':' || v.v), 1, 8) AS BIGINT) * 16 + n.node AS code
+  FROM generate_series(0, {N_RING}) n(node), generate_series(0, {V_RING - 1}) v(v)
+), ring AS (
+  SELECT list(code) AS arr9,
+         list(code) FILTER (WHERE code % 16 <> {N_RING}) AS arr8
+  FROM ringrows
+), keys AS (
+  SELECT CAST('0x' || substr(md5('k:' || o_orderkey), 1, 8) AS BIGINT) AS kpos FROM orders
+), assigned AS (
+  SELECT coalesce(list_min([c FOR c IN arr8 IF c // 16 >= kpos]), list_min(arr8)) % 16 AS node8,
+         coalesce(list_min([c FOR c IN arr9 IF c // 16 >= kpos]), list_min(arr9)) % 16 AS node9
+  FROM keys, ring
+), pairs AS (
+  SELECT node8, node9, count(*)::BIGINT AS n FROM assigned GROUP BY node8, node9
+), before AS (
+  SELECT node8 AS node, CAST(sum(n) AS BIGINT) AS keys_before,
+         CAST(sum(CASE WHEN node8 <> node9 THEN n ELSE 0 END) AS BIGINT) AS moved_out
+  FROM pairs GROUP BY node8
+), aft AS (
+  SELECT node9 AS node, CAST(sum(n) AS BIGINT) AS keys_after,
+         CAST(sum(CASE WHEN node8 <> node9 THEN n ELSE 0 END) AS BIGINT) AS moved_in
+  FROM pairs GROUP BY node9
+)
+SELECT coalesce(b.node, a.node) AS node,
+       coalesce(b.keys_before, 0) AS keys_before,
+       coalesce(a.keys_after, 0) AS keys_after,
+       coalesce(b.moved_out, 0) AS moved_out,
+       coalesce(a.moved_in, 0) AS moved_in
+FROM before b FULL OUTER JOIN aft a ON a.node = b.node
+"""
+
+QUERIES["shard_consistent_hashing"] = shard_consistent_hashing
+ORACLES["shard_consistent_hashing"] = CONSISTENT_HASH_SQL

@@ -1005,3 +1005,104 @@ WHERE (xbar_milli > grand_milli + {SPC_A2_MILLI} * rbar_milli // 1000
 
 QUERIES["events_spc_xbar"] = events_spc_xbar
 ORACLES["events_spc_xbar"] = SPC_SQL
+
+
+# --- weight-of-evidence feature binning -----------------------------------------
+#
+# The credit-scoring / feature-engineering primitive (Siddiqi 2006
+# "Credit Risk Scorecards"; standard in every scorecard pipeline):
+# bin a candidate feature, then per bin report the Weight of Evidence
+# WoE = ln(good_share / bad_share) and the Information Value
+# contribution IV_i = (good_share - bad_share) * WoE_i — the number
+# that decides whether the feature enters the model at all.  Feature:
+# integer-cent l_extendedprice coded 0..1023 (1-row min/max broadcast,
+# the zorder device) into 8 equi-width bins; label: l_returnflag='R'
+# (the returned line is the "bad").  Laplace +1 smoothing keeps empty
+# cells off ln's asymptote.  WoE's ln runs on an identical
+# integer-derived double in both engines and floor-quantizes to 1e-4
+# (zipf device); shares are exact integer micros; the IV term is the
+# exact integer product share_diff_micro x woe_e4 (1e-10 units).
+#
+# Scale: ONE narrow fact aggregation to the 8-bin grid (map-side
+# combine); everything after is 8-row arithmetic with the totals
+# broadcast back as a 1-row cross join.
+
+WOE_NCODE = 1024
+WOE_BINW = 128
+WOE_BINS = WOE_NCODE // WOE_BINW
+
+
+def feature_binning_woe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr("cast(floor(l_extendedprice * 100 + 0.5) as bigint)").alias("v"),
+        (F.col("l_returnflag") == "R").cast("bigint").alias("bad"),
+    )
+    rng = li.agg(F.min("v").alias("vmin"), F.max("v").alias("vmax"))
+    grid = (
+        li.crossJoin(F.broadcast(rng))
+        .select(
+            F.expr(f"(v - vmin) * {WOE_NCODE} div (vmax - vmin + 1) div {WOE_BINW}").alias(
+                "bin"
+            ),
+            "bad",
+        )
+        .groupBy("bin")
+        .agg(
+            F.sum(F.lit(1) - F.col("bad")).cast("bigint").alias("n_good"),
+            F.sum("bad").cast("bigint").alias("n_bad"),
+        )
+    )
+    totals = grid.agg(
+        F.sum("n_good").cast("bigint").alias("tg"), F.sum("n_bad").cast("bigint").alias("tb")
+    )
+    nb = WOE_BINS
+    return (
+        grid.crossJoin(F.broadcast(totals))
+        .select(
+            "bin",
+            "n_good",
+            "n_bad",
+            F.expr(f"(n_good + 1) * 1000000 div (tg + {nb})").alias("good_share_micro"),
+            F.expr(f"(n_bad + 1) * 1000000 div (tb + {nb})").alias("bad_share_micro"),
+            F.expr(
+                f"cast(floor(ln(((n_good + 1) * (tb + {nb})) /"
+                f" cast((n_bad + 1) * (tg + {nb}) as double)) * 10000) as bigint)"
+            ).alias("woe_e4"),
+        )
+        .select(
+            "*",
+            (
+                (F.col("good_share_micro") - F.col("bad_share_micro")) * F.col("woe_e4")
+            ).cast("bigint").alias("iv_contrib_e10"),
+        )
+    )
+
+
+WOE_SQL = f"""
+WITH li AS (
+  SELECT CAST(floor(l_extendedprice * 100 + 0.5) AS BIGINT) AS v,
+         CAST(l_returnflag = 'R' AS BIGINT) AS bad
+  FROM lineitem
+), rng AS (SELECT min(v) AS vmin, max(v) AS vmax FROM li),
+grid AS (
+  SELECT (v - vmin) * {WOE_NCODE} // (vmax - vmin + 1) // {WOE_BINW} AS bin,
+         CAST(sum(1 - bad) AS BIGINT) AS n_good,
+         CAST(sum(bad) AS BIGINT) AS n_bad
+  FROM li, rng GROUP BY 1
+),
+totals AS (SELECT CAST(sum(n_good) AS BIGINT) AS tg, CAST(sum(n_bad) AS BIGINT) AS tb FROM grid)
+SELECT bin, n_good, n_bad,
+       (n_good + 1) * 1000000 // (tg + {WOE_BINS}) AS good_share_micro,
+       (n_bad + 1) * 1000000 // (tb + {WOE_BINS}) AS bad_share_micro,
+       CAST(floor(ln(((n_good + 1) * (tb + {WOE_BINS})) /
+            CAST((n_bad + 1) * (tg + {WOE_BINS}) AS DOUBLE)) * 10000) AS BIGINT) AS woe_e4,
+       CAST(((n_good + 1) * 1000000 // (tg + {WOE_BINS})
+           - (n_bad + 1) * 1000000 // (tb + {WOE_BINS}))
+           * CAST(floor(ln(((n_good + 1) * (tb + {WOE_BINS})) /
+                  CAST((n_bad + 1) * (tg + {WOE_BINS}) AS DOUBLE)) * 10000) AS BIGINT)
+         AS BIGINT) AS iv_contrib_e10
+FROM grid, totals
+"""
+
+QUERIES["feature_binning_woe"] = feature_binning_woe
+ORACLES["feature_binning_woe"] = WOE_SQL

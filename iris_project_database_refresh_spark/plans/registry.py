@@ -233,7 +233,8 @@ _DRIVER_PRIORITY = [
     "selectivity_estimate_audit", "cube_materialize_greedy",
     "graph_modularity", "search_wand_upper_bounds",
     "embed_triplet_semihard", "join_order_cost_audit",
-    "customer_survival_km",
+    "customer_survival_km", "feature_binning_woe",
+    "shard_consistent_hashing", "knn_shapley_values",
 ]
 
 

@@ -147,3 +147,59 @@ def test_triplet_semihard_rule(spark):
         else:
             # fallback: the hardest impostor outranks the positive
             assert r["neg_cosine"] >= r["pos_cosine"]
+
+
+def test_knn_shapley_python_replay(spark):
+    """Replay the closed-form recursion in plain python for one anchor
+    and match the operator's values exactly (truncation dust included)."""
+    import math
+
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        KNN_SHAP_K,
+        SHAP_SCALE,
+        N_QUERIES,
+        knn_shapley_values,
+    )
+
+    emb = {
+        r["vec_id"]: (r["label"], list(r["embedding"]))
+        for r in spark.read.parquet(SF_CORRECT + "/embeddings.parquet").collect()
+    }
+    a_label, a_vec = emb[0]
+    qn = math.sqrt(sum(x * x for x in a_vec))
+    scored = []
+    for vid, (lbl, v) in emb.items():
+        if vid == 0:
+            continue
+        dot = sum(float(x) * float(y) for x, y in zip(a_vec, v))
+        cos = round(dot / (qn * math.sqrt(sum(float(x) ** 2 for x in v))), 6)
+        scored.append((-cos, vid, 1 if lbl == a_label else 0))
+    scored.sort()
+    inds = [ind for _, _, ind in scored]
+    n = len(inds)
+
+    def tdiv(a, b):  # truncate toward zero, the cross-engine div
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    s = [0] * n
+    s[n - 1] = tdiv(inds[n - 1] * SHAP_SCALE, n)
+    for i in range(n - 2, -1, -1):  # ranks are 1-based: position i is rank i+1
+        rank = i + 1
+        term = tdiv(
+            (inds[i] - inds[i + 1]) * min(KNN_SHAP_K, rank) * SHAP_SCALE,
+            KNN_SHAP_K * rank,
+        )
+        s[i] = s[i + 1] + term
+    by_vid = {vid: s[i] for i, (_, vid, _) in enumerate(scored)}
+    got = {
+        r["vec_id"]: r["shapley_e9"]
+        for r in knn_shapley_values(spark, SF_CORRECT).collect()
+        if r["anchor_id"] == 0
+    }
+    assert len(got) == 10
+    for vid, val in got.items():
+        assert by_vid[vid] == val, (vid, by_vid[vid], val)
+    # the operator's top-10 really are the 10 largest replayed values
+    top = sorted(by_vid.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
+    assert {vid for vid, _ in top} == set(got)

@@ -62,3 +62,24 @@ def test_vacuum_plan_partitions_files(spark):
         total = r.live_bytes + r.vacuum_bytes + r.timetravel_held_bytes
         assert r.reclaim_bp == r.vacuum_bytes * 10000 // total
         assert 0 <= r.reclaim_bp <= 10000
+
+
+def test_consistent_hashing_minimal_disruption(spark):
+    from iris_project_database_refresh_spark.operators.layout import (
+        N_RING,
+        shard_consistent_hashing,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = {r["node"]: r for r in shard_consistent_hashing(spark, sf).collect()}
+    assert set(rows) == set(range(N_RING + 1))
+    new = rows[N_RING]
+    # the consistent-hashing guarantee: keys only move TO the new node
+    assert new["keys_before"] == 0 and new["moved_out"] == 0
+    for n in range(N_RING):
+        assert rows[n]["moved_in"] == 0
+        assert rows[n]["keys_after"] == rows[n]["keys_before"] - rows[n]["moved_out"]
+    assert new["moved_in"] == sum(rows[n]["moved_out"] for n in range(N_RING))
+    total = sum(r["keys_before"] for r in rows.values())
+    # ~1/(N+1) of keys move (vnode variance allowed: 3x band)
+    assert 0 < new["moved_in"] < 3 * total // (N_RING + 1)

@@ -75,3 +75,20 @@ def test_granger_bidirectional_frame(spark):
         if r.improvement_bp is not None:
             assert 0 <= r.improvement_bp <= 10000
             assert r.leads == (1 if r.improvement_bp > stats.GRANGER_BAR_BP else 0)
+
+
+def test_woe_shares_and_iv_consistency(spark):
+    from iris_project_database_refresh_spark.operators.stats import feature_binning_woe
+    from .conftest import SF_CORRECT as sf
+
+    rows = feature_binning_woe(spark, sf).collect()
+    assert len(rows) == 8
+    for r in rows:
+        # smoothed shares stay in (0, 1e6); WoE sign tracks the share gap
+        assert 0 < r["good_share_micro"] < 1_000_000
+        assert 0 < r["bad_share_micro"] < 1_000_000
+        if r["good_share_micro"] > r["bad_share_micro"]:
+            assert r["woe_e4"] >= 0
+        # IV contribution = share gap x WoE: never negative beyond
+        # quantization dust (gap and WoE share a sign)
+        assert r["iv_contrib_e10"] >= -10_000
