@@ -2484,3 +2484,146 @@ FROM per_n
 
 QUERIES["dedup_shingle_stats"] = dedup_shingle_stats
 ORACLES["dedup_shingle_stats"] = SHINGLE_STATS_SQL
+
+
+# --- b-bit minwise hashing -------------------------------------------------------
+#
+# The storage rung below the 16x32-bit MinHash signature (Li & Konig
+# 2010 "b-Bit Minwise Hashing", WWW): keep only the lowest b bits of
+# each permutation's minimum — 2 bytes instead of 64 per document at
+# b=1 — and correct the collision inflation analytically: with
+# agreement rate P_b over the signature, J_est = (P_b - C) / (1 - C),
+# C = 2^-b. Graded on dedup_minhash_lsh's own candidate set so the
+# three estimators line up row by row: full-signature agreement, the
+# b=1 and b=2 corrected estimates, and the exact shingle Jaccard as
+# audit — all in exact integer bp with multiply-first truncating divs
+# (the estimate can clamp at 0 when agreement falls below chance).
+#
+# Scale: identical shape to dedup_minhash_lsh (same banded candidate
+# join), plus per-pair constant-width signature comparisons; the b-bit
+# signatures are derived by masking the sigs already computed — at
+# 100 TB the point IS that the stored artifact shrinks 32x while the
+# candidate pipeline stays byte-identical.
+
+BBIT_SIG_BITS = {1: 1, 2: 3}  # b -> low-bit mask
+
+
+def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", "hashes", *_minhash_sigs())
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id",
+        "hashes",
+        F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)]).alias("sig"),
+        F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.hashes").alias("sh_a"),
+            F.col("b.hashes").alias("sh_b"),
+            F.col("a.sig").alias("sig_a"),
+            F.col("b.sig").alias("sig_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    def _matches(mask: int | None):
+        if mask is None:
+            cmp = "x -> cast(element_at(sig_a, x) = element_at(sig_b, x) as bigint)"
+        else:
+            cmp = (
+                f"x -> cast((element_at(sig_a, x) & {mask})"
+                f" = (element_at(sig_b, x) & {mask}) as bigint)"
+            )
+        return F.expr(
+            f"aggregate(transform(sequence(1, {N_HASHES}), {cmp}), 0L, (s, v) -> s + v)"
+        )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    n = N_HASHES
+    return cand.select(
+        "id_a",
+        "id_b",
+        F.expr(
+            "cast(size(array_intersect(sh_a, sh_b)) * 10000 div"
+            " (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) as bigint)"
+        ).alias("jaccard_exact_bp"),
+        _matches(None).alias("m_full"),
+        _matches(1).alias("m_b1"),
+        _matches(3).alias("m_b2"),
+    ).select(
+        "id_a",
+        "id_b",
+        "jaccard_exact_bp",
+        F.expr(f"m_full * 10000 div {n}").alias("est_full_bp"),
+        # b=1: C=1/2 -> (P-1/2)/(1/2) = (2m - n)/n
+        F.expr(f"greatest(0, (2 * m_b1 - {n}) * 10000 div {n})").alias("est_b1_bp"),
+        # b=2: C=1/4 -> (P-1/4)/(3/4) = (4m - n)/(3n)
+        F.expr(f"greatest(0, (4 * m_b2 - {n}) * 10000 div (3 * {n}))").alias("est_b2_bp"),
+    )
+
+
+def _bbit_matches_sql(mask) -> str:
+    if mask is None:
+        cmp = "x -> CAST(sa.sig[x] = sb.sig[x] AS BIGINT)"
+    else:
+        cmp = f"x -> CAST((sa.sig[x] & {mask}) = (sb.sig[x] & {mask}) AS BIGINT)"
+    return (
+        f"list_aggregate(list_transform(generate_series(1, {N_HASHES}), {cmp}), 'sum')"
+    )
+
+
+BBIT_MINHASH_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+), sigarr AS (
+  SELECT doc_id, hashes, [{", ".join(f"sig{i}" for i in range(N_HASHES))}] AS sig,
+         {", ".join(f"sig{i}" for i in range(N_HASHES))}
+  FROM sigs
+),
+buckets AS (
+  SELECT doc_id, band_idx, band_key
+  FROM sigarr, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+scored AS (
+  SELECT id_a, id_b,
+         len(list_intersect(sa.hashes, sb.hashes)) AS ni,
+         len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)) AS nu,
+         {_bbit_matches_sql(None)} AS m_full,
+         {_bbit_matches_sql(1)} AS m_b1,
+         {_bbit_matches_sql(3)} AS m_b2
+  FROM cand JOIN sigarr sa ON sa.doc_id = id_a JOIN sigarr sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       CAST(ni * 10000 // nu AS BIGINT) AS jaccard_exact_bp,
+       CAST(m_full * 10000 // {N_HASHES} AS BIGINT) AS est_full_bp,
+       CAST(GREATEST(0, (2 * m_b1 - {N_HASHES}) * 10000 // {N_HASHES}) AS BIGINT) AS est_b1_bp,
+       CAST(GREATEST(0, (4 * m_b2 - {N_HASHES}) * 10000 // (3 * {N_HASHES})) AS BIGINT) AS est_b2_bp
+FROM scored
+"""
+
+QUERIES["dedup_minhash_b_bit"] = dedup_minhash_b_bit
+ORACLES["dedup_minhash_b_bit"] = BBIT_MINHASH_SQL

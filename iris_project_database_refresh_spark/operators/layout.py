@@ -753,3 +753,119 @@ FROM before b FULL OUTER JOIN aft a ON a.node = b.node
 
 QUERIES["shard_consistent_hashing"] = shard_consistent_hashing
 ORACLES["shard_consistent_hashing"] = CONSISTENT_HASH_SQL
+
+
+# --- shuffle partition planner ---------------------------------------------------
+#
+# The sizing decision every Spark job ships with
+# (spark.sql.shuffle.partitions; AQE coalescing solves the
+# too-many-small side, NOT the too-few-big side): for each candidate
+# partition count, what would the biggest shuffle partition weigh, and
+# which is the smallest count whose maximum stays inside the per-task
+# byte budget?  Keys route through the portable md5 device at the
+# FINEST grain (256 buckets, one narrow fact agg with exact per-row
+# byte weights: fixed-width columns at 8 B + measured varchar bytes);
+# every coarser candidate folds from that table by bucket % k — the
+# mergeability of hash partitioning itself (h % k == (h % 256) % k for
+# k | 256), so the whole sweep costs ONE corpus pass.  Output per
+# candidate: max/mean partition bytes, exact skew ratio milli, the
+# fits-budget verdict, and `recommended` marking the smallest fitting
+# count (the window argmin).
+#
+# Scale: the planning table is 256 rows whatever the corpus size; the
+# byte weights are the same statistics a shuffle writer accumulates
+# for free. PLANNER_BUDGET is the per-task ceiling the plan is graded
+# against (a deliberately tight test-scale stand-in for the ~64-128 MB
+# production target).
+
+PLANNER_CANDIDATES = (32, 64, 128, 256)
+PLANNER_BUDGET = 150_000  # bytes per shuffle task
+
+
+def shuffle_partition_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.expr(
+            "cast(conv(substring(md5(cast(l_orderkey as string)), 1, 8), 16, 10) as bigint)"
+            " % 256"
+        ).alias("bucket"),
+        # fixed-width columns (3x8 int + 4x8 double + 4 int + 8 ts) + varchars
+        F.expr(
+            "60 + octet_length(l_returnflag) + octet_length(l_linestatus)"
+        ).cast("bigint").alias("row_bytes"),
+    )
+    base = li.groupBy("bucket").agg(F.sum("row_bytes").cast("bigint").alias("bytes"))
+    folds = base.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("bigint").alias("n_partitions"),
+                        (F.col("bucket") % k).alias("p"),
+                        F.col("bytes"),
+                    )
+                    for k in PLANNER_CANDIDATES
+                ]
+            )
+        ).alias("t")
+    ).groupBy("t.n_partitions", "t.p").agg(F.sum("t.bytes").cast("bigint").alias("pb"))
+    per_k = folds.groupBy("n_partitions").agg(
+        F.max("pb").cast("bigint").alias("max_bytes"),
+        F.expr("cast(sum(pb) div count(*) as bigint)").alias("mean_bytes"),
+        F.count(F.lit(1)).cast("bigint").alias("n_nonempty"),
+    ).select(
+        "*",
+        F.expr("max_bytes * 1000 div mean_bytes").alias("skew_milli"),
+        (F.col("max_bytes") <= PLANNER_BUDGET).cast("bigint").alias("fits_budget"),
+    )
+    w_min = Window.orderBy(F.asc("n_partitions")).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    return per_k.select(
+        "*",
+        F.min(F.when(F.col("fits_budget") == 1, F.col("n_partitions"))).over(w_min).alias(
+            "_best"
+        ),
+    ).select(
+        "n_partitions",
+        "max_bytes",
+        "mean_bytes",
+        "n_nonempty",
+        "skew_milli",
+        "fits_budget",
+        (F.col("n_partitions") == F.coalesce(F.col("_best"), F.lit(-1)))
+        .cast("bigint")
+        .alias("recommended"),
+    )
+
+
+SHUFFLE_PLANNER_SQL = f"""
+WITH li AS (
+  SELECT CAST('0x' || substr(md5(l_orderkey::VARCHAR), 1, 8) AS BIGINT) % 256 AS bucket,
+         CAST(60 + octet_length(encode(l_returnflag)) + octet_length(encode(l_linestatus)) AS BIGINT) AS row_bytes
+  FROM lineitem
+), base AS (
+  SELECT bucket, CAST(sum(row_bytes) AS BIGINT) AS bytes FROM li GROUP BY bucket
+), folds AS (
+  SELECT k.n_partitions, base.bucket % k.n_partitions AS p, CAST(sum(bytes) AS BIGINT) AS pb
+  FROM base, (VALUES {", ".join(f"({k})" for k in PLANNER_CANDIDATES)}) k(n_partitions)
+  GROUP BY 1, 2
+), per_k AS (
+  SELECT n_partitions, CAST(max(pb) AS BIGINT) AS max_bytes,
+         CAST(sum(pb) // count(*) AS BIGINT) AS mean_bytes,
+         count(*)::BIGINT AS n_nonempty
+  FROM folds GROUP BY n_partitions
+), verd AS (
+  SELECT *, max_bytes * 1000 // mean_bytes AS skew_milli,
+         CAST(max_bytes <= {PLANNER_BUDGET} AS BIGINT) AS fits_budget
+  FROM per_k
+)
+SELECT CAST(n_partitions AS BIGINT) AS n_partitions,
+       max_bytes, mean_bytes, n_nonempty, skew_milli, fits_budget,
+       CAST(n_partitions = coalesce(
+         (SELECT min(n_partitions) FROM verd WHERE fits_budget = 1), -1) AS BIGINT)
+         AS recommended
+FROM verd
+"""
+
+QUERIES["shuffle_partition_planner"] = shuffle_partition_planner
+ORACLES["shuffle_partition_planner"] = SHUFFLE_PLANNER_SQL

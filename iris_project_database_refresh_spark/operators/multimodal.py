@@ -3843,3 +3843,176 @@ FROM counts
 
 QUERIES["multimodal_sniff_router"] = multimodal_sniff_router
 ORACLES["multimodal_sniff_router"] = MULTIMODAL_SNIFF_SQL
+
+
+# --- Ogg page walk: lacing-value packet reassembly -------------------------------
+#
+# Fourteenth container kernel (public spec: RFC 3533 / xiph.org Ogg).
+# The pitfall this one exists for is the LACING TABLE: packet sizes
+# are encoded as runs of 255-valued lacing bytes terminated by a byte
+# < 255 — so a packet of exactly 255·k bytes ends with a ZERO lacing
+# byte, and a parser that drops zero lacing values (or counts lacing
+# bytes instead of terminations) miscounts every such packet. Planted
+# streams are 3 pages (BOS / data / EOS header flags), 4 packets, one
+# of them straddling the 255 boundary with remainder media_id % 50
+# (remainder 0 exercises the zero-lacing edge); granule positions and
+# the bitstream serial are little-endian 64/32-bit fields the parser
+# must byte-swap. Page CRCs are planted zero (the kernel grades
+# structure-walking; Ogg's bespoke CRC-32 polynomial is noted, not
+# verified — same convention as the TAR checksum note).
+#
+# Scale: same contract as the sibling kernels — Arrow-batched
+# mapInPandas, payloads never reach the driver, oracle recomputes
+# every field arithmetically from the plant parameters.
+
+OGG_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("serial", T.LongType()),
+        T.StructField("final_granule", T.LongType()),
+        T.StructField("n_packets", T.LongType()),
+        T.StructField("body_bytes", T.LongType()),
+        T.StructField("bos_ok", T.LongType()),
+        T.StructField("eos_ok", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def _le_hex_expr(val_expr: str, n_bytes: int) -> str:
+    """Spark SQL expr: little-endian hex of an integer column expr."""
+    parts = [
+        f"format_string('%02X', cast(({val_expr}) div {256 ** i} % 256 as int))"
+        for i in range(n_bytes)
+    ]
+    return "concat(" + ", ".join(parts) + ")"
+
+
+def ogg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): Ogg-typed media items as real OggS pages."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
+    # packet sizes: s1 = doc_id%155+100 (<255, one lacing byte);
+    # s2 = 255 + doc_id%50 ([255, r] lacing pair, r=0 is the zero-lacing
+    # edge); s3 = doc_id%80+10; s4 = 5. Serial = doc_id%1000+777000.
+    # one expr string per page (keeps the hex plant readable)
+    page1 = F.concat(
+        F.lit("4F67675300" + "02"),
+        F.expr(_le_hex_expr("0", 8)),
+        F.expr(_le_hex_expr("doc_id % 1000 + 777000", 4)),
+        F.expr(_le_hex_expr("0", 4)),
+        F.lit("00000000"),  # CRC planted zero
+        F.lit("03"),        # 3 lacing values: [s1, 255, s2r]
+        F.expr("format_string('%02X', cast(doc_id % 155 + 100 as int))"),
+        F.lit("FF"),
+        F.expr("format_string('%02X', cast(doc_id % 50 as int))"),
+        F.expr("repeat('AB', cast(doc_id % 155 + 100 + 255 + doc_id % 50 as int))"),
+    )
+    page2 = F.concat(
+        F.lit("4F67675300" + "00"),
+        F.expr(_le_hex_expr("doc_id % 9000 + 4000", 8)),
+        F.expr(_le_hex_expr("doc_id % 1000 + 777000", 4)),
+        F.expr(_le_hex_expr("1", 4)),
+        F.lit("00000000"),
+        F.lit("01"),
+        F.expr("format_string('%02X', cast(doc_id % 80 + 10 as int))"),
+        F.expr("repeat('AB', cast(doc_id % 80 + 10 as int))"),
+    )
+    page3 = F.concat(
+        F.lit("4F67675300" + "04"),
+        F.expr(_le_hex_expr("doc_id % 9000 + 5000", 8)),
+        F.expr(_le_hex_expr("doc_id % 1000 + 777000", 4)),
+        F.expr(_le_hex_expr("2", 4)),
+        F.lit("00000000"),
+        F.lit("01" + "05"),
+        F.expr("repeat('AB', 5)"),
+    )
+    payload = F.unhex(F.concat(page1, page2, page3))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_ogg(payload: bytes) -> dict | None:
+    """OggS page walk: LE field decode + lacing-table packet
+    reassembly; None for non-Ogg bytes."""
+    if len(payload) < 27 or payload[:4] != b"OggS":
+        return None
+    pos = 0
+    n_pages = n_packets = body_bytes = 0
+    serial = granule = None
+    first_flags = last_flags = 0
+    while pos + 27 <= len(payload):
+        if payload[pos : pos + 4] != b"OggS" or payload[pos + 4] != 0:
+            return None
+        flags = payload[pos + 5]
+        granule = int.from_bytes(payload[pos + 6 : pos + 14], "little")
+        page_serial = int.from_bytes(payload[pos + 14 : pos + 18], "little")
+        serial = page_serial if serial is None else serial
+        if page_serial != serial:
+            return None  # single logical stream planted
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            return None
+        blen = sum(lacing)
+        # a lacing value < 255 TERMINATES a packet (255*k-byte packets
+        # end with a zero lacing value — count terminations, not bytes)
+        n_packets += sum(1 for v in lacing if v < 255)
+        body_bytes += blen
+        if n_pages == 0:
+            first_flags = flags
+        last_flags = flags
+        n_pages += 1
+        pos += 27 + nseg + blen
+    if pos != len(payload):
+        return None
+    return {
+        "n_pages": n_pages,
+        "serial": serial,
+        "final_granule": granule,
+        "n_packets": n_packets,
+        "body_bytes": body_bytes,
+        "bos_ok": 1 if first_flags & 0x02 else 0,
+        "eos_ok": 1 if last_flags & 0x04 else 0,
+    }
+
+
+def multimodal_ogg_pages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched Ogg page walk over the planted media items."""
+    oggs = ogg_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_ogg(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "ogg-stdlib"})
+                cols = [f.name for f in OGG_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return oggs.mapInPandas(fn, OGG_SCHEMA)
+
+
+MULTIMODAL_OGG_SQL = """
+SELECT doc_id AS media_id,
+       CAST(3 AS BIGINT) AS n_pages,
+       CAST(doc_id % 1000 + 777000 AS BIGINT) AS serial,
+       CAST(doc_id % 9000 + 5000 AS BIGINT) AS final_granule,
+       CAST(4 AS BIGINT) AS n_packets,
+       CAST((doc_id % 155 + 100) + (255 + doc_id % 50) + (doc_id % 80 + 10) + 5 AS BIGINT)
+         AS body_bytes,
+       CAST(1 AS BIGINT) AS bos_ok,
+       CAST(1 AS BIGINT) AS eos_ok,
+       'ogg-stdlib' AS parser
+FROM documents WHERE doc_id % 4 = 2
+"""
+
+QUERIES["multimodal_ogg_pages"] = multimodal_ogg_pages
+ORACLES["multimodal_ogg_pages"] = MULTIMODAL_OGG_SQL

@@ -1837,3 +1837,142 @@ GROUP BY segment, order_year
 
 QUERIES["scd2_point_in_time_join"] = scd2_point_in_time_join
 ORACLES["scd2_point_in_time_join"] = PIT_JOIN_SQL
+
+
+# --- bitemporal as-of reconstruction ---------------------------------------------
+#
+# The second time axis the SCD2 family (scd2_intervals /
+# catalog_asof_state / scd2_point_in_time_join) doesn't model:
+# TRANSACTION time (Snodgrass 1992; SQL:2011 system-versioned +
+# application-time tables). Every version row also records WHEN the
+# warehouse learned it — late-arriving by a per-customer lag — and 20%
+# of customers later file a CORRECTION that revises their first
+# version's segment without touching business time. The graded query
+# is the canonical bitemporal point lookup: "as the system knew at
+# transaction time T, what was each customer's segment valid at
+# business time V?" — first restrict to rows with tx_from <= T, keep
+# the LATEST transaction per (customer, valid_from) (corrections
+# supersede), then rebuild validity intervals with one lead() window
+# and select the one covering V. Both reductions are windows over the
+# bounded per-key version set (<= 4 rows), mirrored in the oracle.
+#
+# Scale: the dimension is customer-sized metadata; two windows
+# partitioned by custkey, no fact scan at all — the fact-side cost
+# lives in scd2_point_in_time_join; this operator grades the
+# dimension-side reconstruction that query would consume at a
+# different (T, V).
+
+BT_TX_T = "1996-06-15"   # transaction-time cutoff (what the system knew)
+BT_VALID_V = "1996-01-01"  # business-time point being asked about
+
+
+def bitemporal_as_of(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey")
+    vers = cust.select(
+        "c_custkey",
+        F.explode(
+            F.sequence(F.lit(0), (F.col("c_custkey") % PIT_VERSIONS).cast("int"))
+        ).alias("k"),
+    ).select(
+        "c_custkey",
+        "k",
+        F.date_add(
+            F.to_date(F.lit(PIT_EPOCH)),
+            (F.col("k") * (200 + (F.col("c_custkey") % 11) * 60)).cast("int"),
+        ).alias("valid_from"),
+        F.concat(F.lit("S"), ((F.col("c_custkey") * 7 + F.col("k") * 3) % 5)).alias(
+            "segment"
+        ),
+        F.lit(0).alias("is_correction"),
+    )
+    # recording lag: the warehouse learns about a version days later
+    recorded = vers.select(
+        "c_custkey",
+        "k",
+        "valid_from",
+        "segment",
+        "is_correction",
+        F.date_add(F.col("valid_from"), (F.col("c_custkey") % 7 + 1).cast("int")).alias(
+            "tx_from"
+        ),
+    )
+    # 20% of customers file a correction to version 0, 45 days later
+    corrections = recorded.where(
+        (F.col("c_custkey") % 5 == 0) & (F.col("k") == 0)
+    ).select(
+        "c_custkey",
+        "k",
+        "valid_from",
+        F.concat(F.lit("S"), ((F.col("c_custkey") * 7 + 4) % 5)).alias("segment"),
+        F.lit(1).alias("is_correction"),
+        F.date_add(F.col("valid_from"), 45).alias("tx_from"),
+    )
+    ledger = recorded.unionByName(corrections)
+    known = ledger.where(F.col("tx_from") <= F.to_date(F.lit(BT_TX_T)))
+    w_tx = Window.partitionBy("c_custkey", "valid_from").orderBy(
+        F.desc("tx_from"), F.desc("is_correction")
+    )
+    current = (
+        known.withColumn("r", F.row_number().over(w_tx))
+        .where(F.col("r") == 1)
+        .drop("r", "k")
+    )
+    w_valid = Window.partitionBy("c_custkey").orderBy("valid_from")
+    dim = current.withColumn("valid_to", F.lead("valid_from").over(w_valid))
+    v = F.to_date(F.lit(BT_VALID_V))
+    return dim.where(
+        (F.col("valid_from") <= v)
+        & (F.col("valid_to").isNull() | (v < F.col("valid_to")))
+    ).select(
+        "c_custkey",
+        "segment",
+        "valid_from",
+        "tx_from",
+        F.col("is_correction").cast("bigint").alias("corrected"),
+    )
+
+
+BITEMPORAL_SQL = f"""
+WITH vers AS (
+  SELECT c_custkey, k,
+         DATE '{PIT_EPOCH}' + CAST(k * (200 + (c_custkey % 11) * 60) AS INTEGER) AS valid_from,
+         'S' || CAST((c_custkey * 7 + k * 3) % 5 AS VARCHAR) AS segment,
+         0 AS is_correction
+  FROM customer
+  CROSS JOIN (VALUES (0), (1), (2)) v(k)
+  WHERE k <= c_custkey % {PIT_VERSIONS}
+),
+recorded AS (
+  SELECT c_custkey, k, valid_from, segment, is_correction,
+         valid_from + CAST(c_custkey % 7 + 1 AS INTEGER) AS tx_from
+  FROM vers
+),
+corrections AS (
+  SELECT c_custkey, k, valid_from,
+         'S' || CAST((c_custkey * 7 + 4) % 5 AS VARCHAR) AS segment,
+         1 AS is_correction,
+         valid_from + 45 AS tx_from
+  FROM recorded WHERE c_custkey % 5 = 0 AND k = 0
+),
+ledger AS (SELECT * FROM recorded UNION ALL SELECT * FROM corrections),
+known AS (SELECT * FROM ledger WHERE tx_from <= DATE '{BT_TX_T}'),
+current_v AS (
+  SELECT c_custkey, valid_from, segment, is_correction, tx_from FROM (
+    SELECT *, row_number() OVER (PARTITION BY c_custkey, valid_from
+              ORDER BY tx_from DESC, is_correction DESC) AS r
+    FROM known
+  ) WHERE r = 1
+),
+dim AS (
+  SELECT *, lead(valid_from) OVER (PARTITION BY c_custkey ORDER BY valid_from) AS valid_to
+  FROM current_v
+)
+SELECT c_custkey, segment, valid_from, tx_from,
+       CAST(is_correction AS BIGINT) AS corrected
+FROM dim
+WHERE valid_from <= DATE '{BT_VALID_V}'
+  AND (valid_to IS NULL OR DATE '{BT_VALID_V}' < valid_to)
+"""
+
+QUERIES["bitemporal_as_of"] = bitemporal_as_of
+ORACLES["bitemporal_as_of"] = BITEMPORAL_SQL

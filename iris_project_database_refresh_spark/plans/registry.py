@@ -235,6 +235,8 @@ _DRIVER_PRIORITY = [
     "embed_triplet_semihard", "join_order_cost_audit",
     "customer_survival_km", "feature_binning_woe",
     "shard_consistent_hashing", "knn_shapley_values",
+    "dedup_minhash_b_bit", "shuffle_partition_planner",
+    "bitemporal_as_of", "multimodal_ogg_pages",
 ]
 
 

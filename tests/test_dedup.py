@@ -128,3 +128,22 @@ def test_shingle_stats_tradeoff(spark):
     assert rows[2].singleton_bp < rows[5].singleton_bp
     # each +1 of n loses exactly one gram per doc with >= n tokens
     assert rows[2].total_grams > rows[3].total_grams > rows[4].total_grams
+
+
+def test_b_bit_estimates_bracket_exact(spark):
+    from iris_project_database_refresh_spark.operators.dedup import dedup_minhash_b_bit
+    from .conftest import SF_CORRECT as sf
+
+    rows = dedup_minhash_b_bit(spark, sf).collect()
+    assert rows, "no candidate pairs"
+    for r in rows:
+        assert 0 <= r["est_b1_bp"] <= 10000 and 0 <= r["est_b2_bp"] <= 10000
+        # the exact duplicates must read 10000 under every estimator
+        if r["jaccard_exact_bp"] == 10000:
+            assert r["est_full_bp"] == r["est_b1_bp"] == r["est_b2_bp"] == 10000
+    # across LSH candidates (high-J by construction) the corrected b-bit
+    # estimates track the full signature within signature noise
+    import statistics
+
+    diffs1 = [abs(r["est_b1_bp"] - r["est_full_bp"]) for r in rows]
+    assert statistics.mean(diffs1) < 2000

@@ -324,3 +324,21 @@ def test_km_survival_monotone(spark):
     # risk set shrinks over tenure
     risks = [r["n_at_risk"] for r in rows]
     assert risks == sorted(risks, reverse=True)
+
+
+def test_bitemporal_corrections_visible_only_after_tx(spark):
+    from iris_project_database_refresh_spark.operators.warehouse import (
+        bitemporal_as_of,
+    )
+
+    rows = bitemporal_as_of(spark, SF_CORRECT).collect()
+    by_key = {r["c_custkey"]: r for r in rows}
+    assert len(rows) == len(by_key), "at most one version per key at (T, V)"
+    corrected = [r for r in rows if r["corrected"] == 1]
+    assert corrected, "planted corrections must surface"
+    for r in corrected:
+        # corrections exist only for custkey%5==0 on version 0 and carry
+        # the revised segment and the late tx date (+45 days)
+        assert r["c_custkey"] % 5 == 0
+        assert (r["tx_from"] - r["valid_from"]).days == 45
+        assert r["segment"] == "S" + str((r["c_custkey"] * 7 + 4) % 5)

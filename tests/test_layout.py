@@ -83,3 +83,25 @@ def test_consistent_hashing_minimal_disruption(spark):
     total = sum(r["keys_before"] for r in rows.values())
     # ~1/(N+1) of keys move (vnode variance allowed: 3x band)
     assert 0 < new["moved_in"] < 3 * total // (N_RING + 1)
+
+
+def test_shuffle_planner_fold_consistency(spark):
+    from iris_project_database_refresh_spark.operators.layout import (
+        PLANNER_CANDIDATES,
+        shuffle_partition_planner,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = {r["n_partitions"]: r for r in shuffle_partition_planner(spark, sf).collect()}
+    assert set(rows) == set(PLANNER_CANDIDATES)
+    # total bytes conserved across every fold
+    totals = {k: r["mean_bytes"] * r["n_nonempty"] for k, r in rows.items()}
+    # mean uses truncating div: allow < n_partitions bytes of dust
+    base = max(totals.values())
+    for k, t in totals.items():
+        assert base - t < k
+    # coarser partitioning can only concentrate bytes
+    ks = sorted(rows)
+    for a, b in zip(ks, ks[1:]):
+        assert rows[a]["max_bytes"] >= rows[b]["max_bytes"]
+    assert sum(r["recommended"] for r in rows.values()) <= 1

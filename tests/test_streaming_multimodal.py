@@ -886,3 +886,30 @@ def test_sniff_media_disambiguates():
     assert sniff_media(b"\x00\x00\x00\x18ftypisom") == "mp4"
     assert sniff_media(b"BM" + b"\x00" * 52) == "bmp"  # BM checked LAST (weakest magic)
     assert sniff_media(b"total junk") == "unknown"
+
+
+def test_ogg_parser_rejects_junk_and_counts_zero_lacing(spark):
+    from iris_project_database_refresh_spark.operators.multimodal import parse_ogg
+
+    assert parse_ogg(b"not an ogg stream") is None
+    assert parse_ogg(b"OggS\x01" + b"\x00" * 30) is None  # bad version
+    # 510-byte packet = lacing [255, 255, 0]: the zero byte terminates
+    page = (
+        b"OggS\x00\x06"
+        + (42).to_bytes(8, "little")
+        + (7).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + (0).to_bytes(4, "little")
+        + bytes([3, 255, 255, 0])
+        + b"\xab" * 510
+    )
+    got = parse_ogg(page)
+    assert got == {
+        "n_pages": 1,
+        "serial": 7,
+        "final_granule": 42,
+        "n_packets": 1,
+        "body_bytes": 510,
+        "bos_ok": 1,
+        "eos_ok": 1,
+    }
