@@ -1324,3 +1324,168 @@ MODULARITY_SQL = _modularity_sql()
 
 QUERIES["graph_modularity"] = graph_modularity
 ORACLES["graph_modularity"] = MODULARITY_SQL
+
+
+# --- bounded-horizon Brandes betweenness -----------------------------------------
+#
+# The last marquee centrality beside PageRank/Katz/HITS: BETWEENNESS
+# (Brandes 2001), computed exactly for shortest paths of length <= 3
+# from 3 pinned seeds — the k-bounded / pivot-sampled variant every
+# at-scale implementation runs (exact all-pairs Brandes is O(VE) and
+# nobody runs it on a corpus graph). Forward: unrolled BFS levels with
+# path COUNTING (sigma accumulates over same-level predecessors — the
+# part plain BFS distance doesn't give). Backward: the dependency
+# accumulation delta(v) = sum_{w in succ(v)} sigma_v/sigma_w * (1 +
+# delta(w)) runs level-by-level in exact integer micros (multiply
+# first, truncating div last — the sole rational step, mirrored).
+# Seeds travel as a column, so all three BFS trees advance in the same
+# shuffles; edges pinned once (the pagerank pattern).
+#
+# Scale: per round one frontier ⋈ edges shuffle on node ids; frontier
+# size bounded by the degree-6 expander's growth; the horizon bounds
+# rounds, not data. At 100 TB the same loop runs with more seeds
+# (pivot sampling), not more rounds.
+
+BC_SEEDS = (0, 1, 2)
+BC_ROUNDS = 3
+BC_SCALE = 10**6
+
+
+def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _undirected_edges(spark, sf_dir)  # (a, b) both directions, pinned
+    seeds = spark.range(1).select(
+        F.explode(F.array(*[F.lit(s) for s in BC_SEEDS])).alias("seed")
+    )
+    levels = [
+        seeds.select(
+            "seed",
+            F.col("seed").cast("bigint").alias("node"),
+            F.lit(1).cast("bigint").alias("sigma"),
+        ).localCheckpoint(eager=False)
+    ]
+    visited = levels[0].select("seed", "node")
+    for _ in range(BC_ROUNDS):
+        nxt = (
+            levels[-1]
+            .join(edges, levels[-1]["node"] == edges["a"])
+            .select("seed", F.col("b").alias("node"), "sigma")
+            .join(visited, ["seed", "node"], "left_anti")
+            .groupBy("seed", "node")
+            .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .localCheckpoint(eager=False)
+        )
+        levels.append(nxt)
+        visited = visited.union(nxt.select("seed", "node"))
+    # backward dependency accumulation, deepest level has delta = 0
+    delta = None  # DF (seed, node, d) for the level below the current one
+    bc_parts = []
+    for r in range(BC_ROUNDS - 1, -1, -1):
+        below = levels[r + 1].select(
+            "seed", F.col("node").alias("w"), F.col("sigma").alias("sigma_w")
+        )
+        if delta is not None:
+            below = below.join(
+                delta.select("seed", F.col("node").alias("w"), F.col("d").alias("dw")),
+                ["seed", "w"],
+                "left",
+            ).na.fill({"dw": 0})
+        else:
+            below = below.withColumn("dw", F.lit(0).cast("bigint"))
+        cur = (
+            levels[r]
+            .join(edges, levels[r]["node"] == edges["a"])
+            .select("seed", "node", "sigma", F.col("b").alias("w"))
+            .join(below, ["seed", "w"])
+            .groupBy("seed", "node")
+            .agg(
+                F.sum(
+                    F.expr(f"sigma * ({BC_SCALE} + dw) div sigma_w")
+                ).cast("bigint").alias("d")
+            )
+            .localCheckpoint(eager=False)
+        )
+        delta = cur
+        if r > 0:  # the seed itself (r == 0) is excluded from centrality
+            bc_parts.append(cur)
+    allc = bc_parts[0]
+    for p in bc_parts[1:]:
+        allc = allc.unionByName(p)
+    return (
+        allc.groupBy("node")
+        .agg(
+            F.sum("d").cast("bigint").alias("bc_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n_seed_trees"),
+        )
+        .orderBy(F.desc("bc_micro"), F.asc("node"))
+        .limit(TOP_K)
+    )
+
+
+def _bc_sql() -> str:
+    seeds_vals = ", ".join(f"({s})" for s in BC_SEEDS)
+    lvl = ["lvl0 AS (SELECT seed, CAST(seed AS BIGINT) AS node, 1::BIGINT AS sigma FROM seeds)"]
+    for r in range(1, BC_ROUNDS + 1):
+        prior = " UNION ALL ".join(
+            f"SELECT seed, node FROM lvl{j}" for j in range(r)
+        )
+        lvl.append(
+            f"""lvl{r} AS (
+  SELECT l.seed, e.b AS node, CAST(sum(l.sigma) AS BIGINT) AS sigma
+  FROM lvl{r - 1} l JOIN adj e ON e.a = l.node
+  WHERE NOT EXISTS (SELECT 1 FROM ({prior}) x
+                    WHERE x.seed = l.seed AND x.node = e.b)
+  GROUP BY l.seed, e.b
+)"""
+        )
+    dels = []
+    for r in range(BC_ROUNDS - 1, -1, -1):
+        if r == BC_ROUNDS - 1:
+            dw = "0"
+            join_d = ""
+        else:
+            dw = "coalesce(dd.d, 0)"
+            join_d = (
+                f"LEFT JOIN del{r + 1} dd ON dd.seed = w.seed AND dd.node = w.node"
+            )
+        dels.append(
+            f"""del{r} AS (
+  SELECT v.seed, v.node,
+         CAST(sum(v.sigma * ({BC_SCALE} + {dw}) // w.sigma) AS BIGINT) AS d
+  FROM lvl{r} v JOIN adj e ON e.a = v.node
+  JOIN lvl{r + 1} w ON w.seed = v.seed AND w.node = e.b
+  {join_d}
+  GROUP BY v.seed, v.node
+)"""
+        )
+    bc_union = " UNION ALL ".join(
+        f"SELECT * FROM del{r}" for r in range(1, BC_ROUNDS)
+    )
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n,
+                                (doc_id * 13 + 11) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS a, unnest(ts) AS b FROM tlists),
+adj AS (
+  SELECT DISTINCT a, b FROM (
+    SELECT a, b FROM directed WHERE a <> b
+    UNION ALL SELECT b AS a, a AS b FROM directed WHERE a <> b
+  )
+),
+seeds(seed) AS (VALUES {seeds_vals}),
+{",".join(lvl)},
+{",".join(dels)}
+SELECT node, CAST(sum(d) AS BIGINT) AS bc_micro, count(*)::BIGINT AS n_seed_trees
+FROM ({bc_union})
+GROUP BY node
+ORDER BY bc_micro DESC, node ASC
+LIMIT {TOP_K}
+"""
+
+
+BETWEENNESS_SQL = _bc_sql()
+
+QUERIES["graph_betweenness"] = graph_betweenness
+ORACLES["graph_betweenness"] = BETWEENNESS_SQL

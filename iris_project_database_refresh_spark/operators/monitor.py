@@ -1114,3 +1114,145 @@ FROM agg CROSS JOIN fleet
 
 QUERIES["monitor_cost_forecast"] = monitor_cost_forecast
 ORACLES["monitor_cost_forecast"] = COST_FORECAST_SQL
+
+
+# --- incremental JOIN view maintenance --------------------------------------------
+#
+# The join rung of the IVM ladder monitor_rollup_ivm starts (classic
+# delta rules, Gupta & Mumick 1995): for V = A ⋈ B under signed deltas,
+#   ΔV = ΔA ⋈ B  ∪  A ⋈ ΔB  ∪  ΔA ⋈ ΔB
+# — the inclusion-exclusion a streaming warehouse applies instead of
+# re-joining history. Planted refresh cycle: 1/17 of orders arrive as
+# inserts (ΔA, +1) and 1/29 of customers MOVE NATION — an update
+# modeled as the signed pair delete(old row, −1) / insert(new row, +1).
+# The maintained view is per-nation order revenue; the operator applies
+# the delta rule to the OLD view state and audits the result against a
+# full recompute on the new state in the same row (`ivm_matches`),
+# exactly the self-check convention of monitor_rollup_ivm.
+#
+# Scale: the three delta joins touch only delta-sized order slices or
+# broadcastable customer sides; the full recompute exists only as the
+# audit column (at 100 TB it is the thing you no longer run — the
+# delta path replaces a history re-join with batch-sized work).
+
+def join_ivm_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    cust = load_table(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    o_base = orders.where(F.col("o_orderkey") % 17 != 0)
+    o_delta = orders.where(F.col("o_orderkey") % 17 == 0).withColumn("sgn", F.lit(1))
+    moved = F.col("c_custkey") % 29 == 0
+    c_old = cust  # pre-refresh state
+    c_new = cust.select(
+        "c_custkey",
+        F.when(moved, (F.col("c_nationkey") + 1) % 25).otherwise(
+            F.col("c_nationkey")
+        ).alias("c_nationkey"),
+    )
+    c_delta = (
+        cust.where(moved)
+        .select("c_custkey", "c_nationkey", F.lit(-1).alias("sgn"))
+        .unionByName(
+            cust.where(moved).select(
+                "c_custkey",
+                ((F.col("c_nationkey") + 1) % 25).alias("c_nationkey"),
+                F.lit(1).alias("sgn"),
+            )
+        )
+    )
+
+    def agg(df, sgn_col):
+        return df.groupBy("c_nationkey").agg(
+            F.sum(F.expr(sgn_col)).cast("bigint").alias("n"),
+            F.sum(F.expr(f"cents * ({sgn_col})")).cast("bigint").alias("c"),
+        )
+
+    v_old = agg(o_base.join(F.broadcast(c_old), o_base.o_custkey == c_old.c_custkey), "1")
+    d1 = agg(o_delta.join(F.broadcast(c_old), o_delta.o_custkey == c_old.c_custkey), "sgn")
+    d2 = agg(
+        o_base.join(F.broadcast(c_delta), o_base.o_custkey == c_delta.c_custkey),
+        "sgn",
+    )
+    d3 = agg(
+        o_delta.drop("sgn").join(
+            F.broadcast(c_delta), F.col("o_custkey") == c_delta.c_custkey
+        ),
+        "sgn",
+    )
+    ivm = (
+        v_old.unionByName(d1).unionByName(d2).unionByName(d3)
+        .groupBy("c_nationkey")
+        .agg(F.sum("n").cast("bigint").alias("n_ivm"), F.sum("c").cast("bigint").alias("cents_ivm"))
+    )
+    full = agg(orders.join(F.broadcast(c_new), orders.o_custkey == c_new.c_custkey), "1").select(
+        "c_nationkey", F.col("n").alias("n_full"), F.col("c").alias("cents_full")
+    )
+    return ivm.join(full, "c_nationkey").select(
+        F.col("c_nationkey").cast("bigint").alias("nationkey"),
+        "n_ivm",
+        "cents_ivm",
+        "n_full",
+        "cents_full",
+        (
+            (F.col("n_ivm") == F.col("n_full"))
+            & (F.col("cents_ivm") == F.col("cents_full"))
+        ).cast("bigint").alias("ivm_matches"),
+    )
+
+
+JOIN_IVM_SQL = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM orders
+), c_old AS (SELECT c_custkey, c_nationkey FROM customer),
+c_new AS (
+  SELECT c_custkey,
+         CASE WHEN c_custkey % 29 = 0 THEN (c_nationkey + 1) % 25 ELSE c_nationkey END AS c_nationkey
+  FROM customer
+),
+o_base AS (SELECT * FROM o WHERE o_orderkey % 17 <> 0),
+o_delta AS (SELECT *, 1 AS sgn FROM o WHERE o_orderkey % 17 = 0),
+c_delta AS (
+  SELECT c_custkey, c_nationkey, -1 AS sgn FROM customer WHERE c_custkey % 29 = 0
+  UNION ALL
+  SELECT c_custkey, (c_nationkey + 1) % 25, 1 FROM customer WHERE c_custkey % 29 = 0
+),
+v_old AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n, CAST(sum(cents) AS BIGINT) AS c
+  FROM o_base JOIN c_old ON o_custkey = c_custkey GROUP BY c_nationkey
+),
+d1 AS (
+  SELECT c_nationkey, CAST(sum(sgn) AS BIGINT) AS n, CAST(sum(cents * sgn) AS BIGINT) AS c
+  FROM o_delta JOIN c_old ON o_custkey = c_custkey GROUP BY c_nationkey
+),
+d2 AS (
+  SELECT c_nationkey, CAST(sum(sgn) AS BIGINT) AS n, CAST(sum(cents * sgn) AS BIGINT) AS c
+  FROM o_base JOIN c_delta ON o_custkey = c_custkey GROUP BY c_nationkey
+),
+d3 AS (
+  SELECT c_nationkey, CAST(sum(sgn) AS BIGINT) AS n, CAST(sum(cents * sgn) AS BIGINT) AS c
+  FROM (SELECT o_orderkey, o_custkey, cents FROM o_delta) od
+  JOIN c_delta ON o_custkey = c_custkey GROUP BY c_nationkey
+),
+ivm AS (
+  SELECT c_nationkey, CAST(sum(n) AS BIGINT) AS n_ivm, CAST(sum(c) AS BIGINT) AS cents_ivm
+  FROM (SELECT * FROM v_old UNION ALL SELECT * FROM d1
+        UNION ALL SELECT * FROM d2 UNION ALL SELECT * FROM d3)
+  GROUP BY c_nationkey
+),
+fullv AS (
+  SELECT c_nationkey, count(*)::BIGINT AS n_full, CAST(sum(cents) AS BIGINT) AS cents_full
+  FROM o JOIN c_new ON o_custkey = c_custkey GROUP BY c_nationkey
+)
+SELECT CAST(i.c_nationkey AS BIGINT) AS nationkey,
+       n_ivm, cents_ivm, n_full, cents_full,
+       CAST(n_ivm = n_full AND cents_ivm = cents_full AS BIGINT) AS ivm_matches
+FROM ivm i JOIN fullv f ON f.c_nationkey = i.c_nationkey
+"""
+
+QUERIES["join_ivm_delta"] = join_ivm_delta
+ORACLES["join_ivm_delta"] = JOIN_IVM_SQL

@@ -237,6 +237,7 @@ _DRIVER_PRIORITY = [
     "shard_consistent_hashing", "knn_shapley_values",
     "dedup_minhash_b_bit", "shuffle_partition_planner",
     "bitemporal_as_of", "multimodal_ogg_pages",
+    "join_ivm_delta", "graph_betweenness",
 ]
 
 

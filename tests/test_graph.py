@@ -90,3 +90,58 @@ def test_modularity_is_positive_for_lpa_partition(spark):
         # doubled-adjacency bookkeeping: internal edges can't exceed the
         # community's total degree mass
         assert 0 <= r["internal_edges"] * 2 <= r["degree_sum"]
+
+
+def test_betweenness_python_replay(spark):
+    """Replay bounded Brandes in plain python on the same planted graph."""
+    from .conftest import SF_CORRECT as sf
+
+    n = spark.read.parquet(sf + "/documents.parquet").count()
+    adj = {}
+    for u in range(n):
+        for v in {(u * 31 + 7) % n, (u * 17 + 3) % n, (u * 13 + 11) % n}:
+            if u != v:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+
+    def tdiv(a, b):
+        q = abs(a) // abs(b)
+        return q if (a >= 0) == (b > 0) else -q
+
+    bc = {}
+    for seed in graph.BC_SEEDS:
+        levels = [{seed: 1}]
+        seen = {seed}
+        for _ in range(graph.BC_ROUNDS):
+            nxt = {}
+            for u, sig in levels[-1].items():
+                for v in adj.get(u, ()):
+                    if v not in seen:
+                        nxt[v] = nxt.get(v, 0) + sig
+            seen |= set(nxt)
+            levels.append(nxt)
+        delta = {}
+        for r in range(graph.BC_ROUNDS - 1, -1, -1):
+            cur = {}
+            for v, sig in levels[r].items():
+                tot = 0
+                hit = False
+                for w in adj.get(v, ()):
+                    if w in levels[r + 1]:
+                        hit = True
+                        tot += tdiv(
+                            sig * (graph.BC_SCALE + delta.get(w, 0)),
+                            levels[r + 1][w],
+                        )
+                if hit:
+                    cur[v] = tot
+            delta = cur
+            if r > 0:
+                for v, d in cur.items():
+                    bc[v] = bc.get(v, 0) + d
+    want = sorted(bc.items(), key=lambda kv: (-kv[1], kv[0]))[: graph.TOP_K]
+    got = [
+        (r["node"], r["bc_micro"])
+        for r in graph.graph_betweenness(spark, sf).collect()
+    ]
+    assert got == want

@@ -98,3 +98,13 @@ def test_cost_forecast_arithmetic(spark):
         assert r.over_budget == (1 if r.projected_micro > r.budget_micro else 0)
         flags.add(r.over_budget)
     assert flags == {0, 1}
+
+
+def test_join_ivm_delta_rule_exact(spark):
+    from iris_project_database_refresh_spark.operators.monitor import join_ivm_delta
+    from .conftest import SF_CORRECT as sf
+
+    rows = join_ivm_delta(spark, sf).collect()
+    assert len(rows) == 25  # every nation present
+    # the inclusion-exclusion delta rule reproduces the full recompute
+    assert all(r["ivm_matches"] == 1 for r in rows)
