@@ -869,3 +869,158 @@ FROM verd
 
 QUERIES["shuffle_partition_planner"] = shuffle_partition_planner
 ORACLES["shuffle_partition_planner"] = SHUFFLE_PLANNER_SQL
+
+
+# --- columnar encoding advisor ----------------------------------------------------
+#
+# The encoding decision a columnar writer makes per column chunk
+# (public art: Parquet PLAIN / RLE_DICTIONARY / RLE; Abadi et al. 2006
+# "Integrating Compression and Execution"): measure n, NDV and RUN
+# COUNT for candidate columns, price the three encodings with the
+# standard size models, and pick the cheapest.  Run counting is the
+# interesting distributed part: runs are a property of ROW ORDER, so
+# the count is assembled scalably as within-block runs (window ordered
+# by (orderkey, linenumber) INSIDE each 512-order block — orders never
+# straddle blocks) minus the block-boundary joins where the last value
+# of block b equals the first value of block b+1 — the same
+# split-then-stitch device a distributed RLE writer uses, no global
+# sort anywhere. The synthetic lineitem key (orderkey, linenumber)
+# is NOT unique, so the value itself is the final sort key — rows
+# with identical (key, value) are interchangeable for run counting,
+# making the count order-deterministic in both engines.
+#
+# Size models (bits): plain = n*w; dict = n*ceil(log2(ndv)) + ndv*w;
+# rle = runs*(w + 32). All exact integers; ceil(log2) via the
+# bit-length device (length of the binary string of ndv-1).
+#
+# Scale: per column one narrow scan with a block-partitioned window +
+# one ≤n_blocks boundary join; the advisor table is 4 rows.
+
+ENC_COLS = (
+    # (name, value expr (spark == duckdb arithmetic), width bits)
+    ("l_returnflag", "l_returnflag", 8),
+    ("l_linestatus", "l_linestatus", 8),
+    ("l_quantity", "cast(l_quantity as bigint)", 64),
+    ("l_linenumber", "cast(l_linenumber as bigint)", 64),
+)
+ENC_BLOCK = 512  # orders per block; lines of an order never straddle
+
+
+def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    outs = []
+    for name, expr, width in ENC_COLS:
+        proj = li.select(
+            F.expr(f"l_orderkey div {ENC_BLOCK}").alias("blk"),
+            F.col("l_orderkey").alias("ok"),
+            F.col("l_linenumber").alias("ln"),
+            F.expr(expr).cast("string").alias("v"),
+        )
+        w = Window.partitionBy("blk").orderBy("ok", "ln", "v")
+        runs_in = proj.select(
+            "blk",
+            "v",
+            F.lag("v").over(w).alias("pv"),
+            F.row_number().over(w).alias("rn"),
+            F.count(F.lit(1)).over(Window.partitionBy("blk")).alias("bn"),
+        )
+        per_blk = runs_in.groupBy("blk").agg(
+            F.sum(
+                (F.col("pv").isNull() | (F.col("v") != F.col("pv"))).cast("bigint")
+            ).alias("runs"),
+            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("first_v"),
+            F.max(F.when(F.col("rn") == F.col("bn"), F.col("v"))).alias("last_v"),
+        )
+        nxt = per_blk.select(
+            (F.col("blk") - 1).alias("blk"), F.col("first_v").alias("next_first")
+        )
+        stitched = per_blk.join(nxt, "blk", "left").agg(
+            F.sum("runs").cast("bigint").alias("runs_raw"),
+            F.sum(
+                (F.col("next_first").isNotNull() & (F.col("last_v") == F.col("next_first")))
+                .cast("bigint")
+            ).alias("boundary_merges"),
+        )
+        stats = proj.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.countDistinct("v").cast("bigint").alias("ndv"),
+        )
+        outs.append(
+            stats.crossJoin(stitched).select(
+                F.lit(name).alias("column_name"),
+                "n",
+                "ndv",
+                (F.col("runs_raw") - F.col("boundary_merges")).alias("n_runs"),
+                (F.col("n") * width).alias("bits_plain"),
+                F.expr(
+                    f"n * length(bin(greatest(ndv - 1, 1))) + ndv * {width}"
+                ).cast("bigint").alias("bits_dict"),
+                (
+                    (F.col("runs_raw") - F.col("boundary_merges")) * (width + 32)
+                ).alias("bits_rle"),
+            )
+        )
+    allc = outs[0]
+    for df in outs[1:]:
+        allc = allc.unionByName(df)
+    return allc.select(
+        "*",
+        F.expr(
+            "case when bits_rle <= bits_plain and bits_rle <= bits_dict then 'rle'"
+            " when bits_dict <= bits_plain then 'dict' else 'plain' end"
+        ).alias("chosen"),
+    )
+
+
+def _enc_col_sql(name: str, expr: str, width: int) -> str:
+    return f"""
+SELECT '{name}' AS column_name, n, ndv,
+       runs_raw - boundary_merges AS n_runs,
+       n * {width} AS bits_plain,
+       CAST(n * length(bin(GREATEST(ndv - 1, 1))) + ndv * {width} AS BIGINT) AS bits_dict,
+       (runs_raw - boundary_merges) * ({width} + 32) AS bits_rle
+FROM (
+  SELECT count(*)::BIGINT AS n, count(DISTINCT CAST({expr} AS VARCHAR))::BIGINT AS ndv
+  FROM lineitem
+) s, (
+  WITH proj AS (
+    SELECT l_orderkey // {ENC_BLOCK} AS blk, l_orderkey AS ok, l_linenumber AS ln,
+           CAST({expr} AS VARCHAR) AS v
+    FROM lineitem
+  ), marked AS (
+    SELECT blk, v,
+           lag(v) OVER (PARTITION BY blk ORDER BY ok, ln, v) AS pv,
+           row_number() OVER (PARTITION BY blk ORDER BY ok, ln, v) AS rn,
+           count(*) OVER (PARTITION BY blk) AS bn
+    FROM proj
+  ), per_blk AS (
+    SELECT blk,
+           CAST(sum(CASE WHEN pv IS NULL OR v <> pv THEN 1 ELSE 0 END) AS BIGINT) AS runs,
+           max(CASE WHEN rn = 1 THEN v END) AS first_v,
+           max(CASE WHEN rn = bn THEN v END) AS last_v
+    FROM marked GROUP BY blk
+  )
+  SELECT CAST(sum(p.runs) AS BIGINT) AS runs_raw,
+         CAST(sum(CASE WHEN nx.first_v IS NOT NULL AND p.last_v = nx.first_v
+                       THEN 1 ELSE 0 END) AS BIGINT) AS boundary_merges
+  FROM per_blk p LEFT JOIN per_blk nx ON nx.blk = p.blk + 1
+) r
+"""
+
+
+def _enc_sql() -> str:
+    parts = " UNION ALL ".join(
+        _enc_col_sql(name, expr, width) for name, expr, width in ENC_COLS
+    )
+    return f"""
+WITH advisor AS ({parts})
+SELECT *, CASE WHEN bits_rle <= bits_plain AND bits_rle <= bits_dict THEN 'rle'
+               WHEN bits_dict <= bits_plain THEN 'dict' ELSE 'plain' END AS chosen
+FROM advisor
+"""
+
+
+ENCODING_ADVISOR_SQL = _enc_sql()
+
+QUERIES["column_encoding_advisor"] = column_encoding_advisor
+ORACLES["column_encoding_advisor"] = ENCODING_ADVISOR_SQL

@@ -2731,3 +2731,129 @@ FROM o a JOIN o b
 
 QUERIES["orders_duplicate_payment_screen"] = orders_duplicate_payment_screen
 ORACLES["orders_duplicate_payment_screen"] = DUP_PAYMENT_SQL
+
+
+# --- greedy knapsack assortment with LP-bound audit --------------------------------
+#
+# The assortment decision behind every shelf/budget constraint
+# (fractional-knapsack greedy, Dantzig 1957): parts ranked by value
+# density (retail cents per size unit, exact milli with partkey
+# tie-break), the PREFIX greedy takes items while cumulative size fits
+# a budget of 10% of total shelf, and the classic certificate bounds
+# the optimality gap in the same result: greedy value + the fractional
+# slice of the first rejected item >= OPT (the LP relaxation), so
+# gap_bp <= the reported bound. Per-brand rollup of the taken set plus
+# the audit columns; all integer arithmetic, one ordered pass.
+#
+# Scale: ranking runs over the PART dimension (index-sized, the
+# knn_graph grain), not a fact table; the prefix sum is one window
+# over that dimension and everything downstream is a <= |brands| + 1
+# rollup.
+
+def part_knapsack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = load_table(spark, sf_dir, "part").select(
+        "p_partkey",
+        "p_brand",
+        F.col("p_size").cast("bigint").alias("wt"),
+        F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias("cents"),
+    )
+    budget_df = parts.agg(F.expr("cast(sum(wt) div 10 as bigint)").alias("budget"))
+    w = Window.orderBy(
+        F.desc(F.expr("cents * 1000 div wt")), F.asc("p_partkey")
+    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranked = (
+        parts.crossJoin(F.broadcast(budget_df))
+        .select(
+            "*",
+            F.expr("cents * 1000 div wt").alias("density_milli"),
+            F.sum("wt").over(w).alias("cum_wt"),
+        )
+        .withColumn("taken", (F.col("cum_wt") <= F.col("budget")).cast("bigint"))
+        .localCheckpoint(eager=False)
+    )
+    # the first rejected item supplies the fractional LP certificate
+    frontier = (
+        ranked.where(F.col("taken") == 0)
+        .orderBy(F.asc("cum_wt"))
+        .limit(1)
+        .select(
+            F.col("cents").alias("f_cents"),
+            F.col("wt").alias("f_wt"),
+            F.col("cum_wt").alias("f_cum"),
+        )
+    )
+    totals = ranked.where(F.col("taken") == 1).agg(
+        F.sum("cents").cast("bigint").alias("value_taken"),
+        F.sum("wt").cast("bigint").alias("weight_taken"),
+    )
+    audit = (
+        totals.crossJoin(F.broadcast(frontier))
+        .crossJoin(F.broadcast(budget_df))
+        .select(
+            "value_taken",
+            "weight_taken",
+            "budget",
+            F.expr(
+                "value_taken + (budget - weight_taken) * f_cents div f_wt"
+            ).alias("lp_bound_cents"),
+        )
+    )
+    per_brand = ranked.where(F.col("taken") == 1).groupBy("p_brand").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_taken"),
+        F.sum("wt").cast("bigint").alias("brand_weight"),
+        F.sum("cents").cast("bigint").alias("brand_cents"),
+    )
+    return per_brand.crossJoin(F.broadcast(audit)).select(
+        "p_brand",
+        "n_taken",
+        "brand_weight",
+        "brand_cents",
+        "budget",
+        "weight_taken",
+        "value_taken",
+        "lp_bound_cents",
+        F.expr(
+            "(lp_bound_cents - value_taken) * 10000 div greatest(lp_bound_cents, 1)"
+        ).alias("gap_bound_bp"),
+    )
+
+
+KNAPSACK_SQL = """
+WITH parts AS (
+  SELECT p_partkey, p_brand, CAST(p_size AS BIGINT) AS wt,
+         CAST(floor(p_retailprice * 100 + 0.5) AS BIGINT) AS cents
+  FROM part
+), bud AS (SELECT CAST(sum(wt) // 10 AS BIGINT) AS budget FROM parts),
+ranked AS (
+  SELECT *, cents * 1000 // wt AS density_milli,
+         CAST(sum(wt) OVER (ORDER BY cents * 1000 // wt DESC, p_partkey ASC
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_wt
+  FROM parts, bud
+), marked AS (
+  SELECT *, CAST(cum_wt <= budget AS BIGINT) AS taken FROM ranked
+), frontier AS (
+  SELECT cents AS f_cents, wt AS f_wt FROM marked WHERE taken = 0
+  ORDER BY cum_wt ASC LIMIT 1
+), totals AS (
+  SELECT CAST(sum(cents) AS BIGINT) AS value_taken,
+         CAST(sum(wt) AS BIGINT) AS weight_taken
+  FROM marked WHERE taken = 1
+), audit AS (
+  SELECT value_taken, weight_taken, budget,
+         CAST(value_taken + (budget - weight_taken) * f_cents // f_wt AS BIGINT)
+           AS lp_bound_cents
+  FROM totals, frontier, bud
+)
+SELECT p_brand, count(*)::BIGINT AS n_taken,
+       CAST(sum(wt) AS BIGINT) AS brand_weight,
+       CAST(sum(cents) AS BIGINT) AS brand_cents,
+       a.budget, a.weight_taken, a.value_taken, a.lp_bound_cents,
+       (a.lp_bound_cents - a.value_taken) * 10000 // GREATEST(a.lp_bound_cents, 1)
+         AS gap_bound_bp
+FROM marked, audit a
+WHERE taken = 1
+GROUP BY p_brand, a.budget, a.weight_taken, a.value_taken, a.lp_bound_cents
+"""
+
+QUERIES["part_knapsack_greedy"] = part_knapsack_greedy
+ORACLES["part_knapsack_greedy"] = KNAPSACK_SQL

@@ -1825,3 +1825,120 @@ WHERE labels[i::INT] = 1
 
 QUERIES["events_burst_viterbi"] = events_burst_viterbi
 ORACLES["events_burst_viterbi"] = BURST_VITERBI_SQL
+
+
+# --- SAX symbolization + motif counting -------------------------------------------
+#
+# The time-series mining primitive the numeric family lacks (Lin,
+# Keogh et al. 2003 "Symbolic Aggregate approXimation"): each
+# (event_type, day) compresses to a 24-symbol word — hourly mean cents
+# binned against GLOBAL quartile breakpoints into a 4-letter alphabet
+# — and recurring words are the corpus's daily-shape MOTIFS (the thing
+# an on-call recognizes as "a normal Tuesday"). The alphabet
+# breakpoints are exact integer order statistics selected by
+# row_number over the bounded hourly grid (the user_spend_quartiles
+# device, never the fact rows); hourly means are truncating-div
+# integers; the word is an ORDER-DETERMINISTIC string fold
+# (array_sort struct collect / string_agg ORDER BY hour).
+#
+# Scale: one fact aggregation to the (type, day, hour) grid; the
+# quartile selection, symbolization and motif count all run on that
+# bounded grid. Missing hours symbolize as '_' so partial days form
+# distinct (and visibly gappy) words.
+
+SAX_TOP = 20
+
+
+def events_sax_motifs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = load_table(spark, sf_dir, "events")
+    grid = ev.groupBy(
+        "event_type",
+        F.to_date("ts").alias("day"),
+        F.hour("ts").alias("hr"),
+    ).agg(
+        F.expr(
+            "cast(sum(cast(floor(value * 100 + 0.5) as bigint)) div count(*) as bigint)"
+        ).alias("mean_cents")
+    ).localCheckpoint(eager=False)
+    ordered = grid.select(
+        "mean_cents",
+        F.row_number().over(Window.orderBy(F.asc("mean_cents"), F.asc("event_type"), F.asc("day"), F.asc("hr"))).alias("r"),
+    )
+    n_df = ordered.agg(F.max("r").alias("n"))
+    brk = (
+        ordered.crossJoin(F.broadcast(n_df))
+        .where(
+            (F.col("r") == F.expr("n div 4"))
+            | (F.col("r") == F.expr("n div 2"))
+            | (F.col("r") == F.expr("3 * n div 4"))
+        )
+        .groupBy()
+        .agg(
+            F.min("mean_cents").alias("q1"),
+            F.expr("max(case when r = n div 2 then mean_cents end)").alias("q2"),
+            F.max("mean_cents").alias("q3"),
+        )
+    )
+    sym = grid.crossJoin(F.broadcast(brk)).select(
+        "event_type",
+        "day",
+        "hr",
+        F.expr(
+            "case when mean_cents <= q1 then 'a' when mean_cents <= q2 then 'b'"
+            " when mean_cents <= q3 then 'c' else 'd' end"
+        ).alias("s"),
+    )
+    words = sym.groupBy("event_type", "day").agg(
+        F.expr(
+            "concat_ws('', transform(array_sort(collect_list(struct(hr, s))), x -> x.s))"
+        ).alias("sax"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    )
+    return (
+        words.groupBy("event_type", "sax", "n_hours")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_days"),
+            F.min("day").alias("first_day"),
+        )
+        .orderBy(F.desc("n_days"), F.asc("event_type"), F.asc("sax"))
+        .limit(SAX_TOP)
+    )
+
+
+SAX_SQL = f"""
+WITH events_us AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+), grid AS (
+  SELECT event_type, CAST(ts AS DATE) AS day, hour(ts) AS hr,
+         CAST(sum(CAST(floor(value * 100 + 0.5) AS BIGINT)) // count(*) AS BIGINT) AS mean_cents
+  FROM events_us GROUP BY 1, 2, 3
+), ordered AS (
+  SELECT mean_cents,
+         row_number() OVER (ORDER BY mean_cents, event_type, day, hr) AS r
+  FROM grid
+), nn AS (SELECT max(r) AS n FROM ordered),
+brk AS (
+  SELECT min(mean_cents) AS q1,
+         max(CASE WHEN r = n // 2 THEN mean_cents END) AS q2,
+         max(mean_cents) AS q3
+  FROM ordered, nn
+  WHERE r = n // 4 OR r = n // 2 OR r = 3 * n // 4
+), sym AS (
+  SELECT event_type, day, hr,
+         CASE WHEN mean_cents <= q1 THEN 'a' WHEN mean_cents <= q2 THEN 'b'
+              WHEN mean_cents <= q3 THEN 'c' ELSE 'd' END AS s
+  FROM grid, brk
+), words AS (
+  SELECT event_type, day, string_agg(s, '' ORDER BY hr) AS sax,
+         count(*)::BIGINT AS n_hours
+  FROM sym GROUP BY event_type, day
+)
+SELECT event_type, sax, n_hours, count(*)::BIGINT AS n_days, min(day) AS first_day
+FROM words
+GROUP BY event_type, sax, n_hours
+ORDER BY n_days DESC, event_type ASC, sax ASC
+LIMIT {SAX_TOP}
+"""
+
+QUERIES["events_sax_motifs"] = events_sax_motifs
+ORACLES["events_sax_motifs"] = SAX_SQL

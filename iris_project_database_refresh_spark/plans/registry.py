@@ -238,6 +238,7 @@ _DRIVER_PRIORITY = [
     "dedup_minhash_b_bit", "shuffle_partition_planner",
     "bitemporal_as_of", "multimodal_ogg_pages",
     "join_ivm_delta", "graph_betweenness",
+    "column_encoding_advisor", "events_sax_motifs", "part_knapsack_greedy",
 ]
 
 

@@ -105,3 +105,34 @@ def test_shuffle_planner_fold_consistency(spark):
     for a, b in zip(ks, ks[1:]):
         assert rows[a]["max_bytes"] >= rows[b]["max_bytes"]
     assert sum(r["recommended"] for r in rows.values()) <= 1
+
+
+def test_encoding_advisor_run_stitching(spark):
+    from iris_project_database_refresh_spark.operators.layout import (
+        ENC_COLS,
+        column_encoding_advisor,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = {r["column_name"]: r for r in column_encoding_advisor(spark, sf).collect()}
+    assert set(rows) == {c[0] for c in ENC_COLS}
+    # replay l_linestatus runs in pandas (global order) — the stitched
+    # distributed count must equal the sequential truth
+    import pandas as pd
+
+    pdf = (
+        spark.read.parquet(sf + "/lineitem.parquet")
+        .select("l_orderkey", "l_linenumber", "l_linestatus")
+        .toPandas()
+        .sort_values(["l_orderkey", "l_linenumber", "l_linestatus"])
+    )
+    v = pdf["l_linestatus"].tolist()
+    truth = 1 + sum(1 for a, b in zip(v, v[1:]) if a != b)
+    assert rows["l_linestatus"]["n_runs"] == truth
+    for r in rows.values():
+        assert 1 <= r["n_runs"] <= r["n"]
+        assert r["chosen"] in ("plain", "dict", "rle")
+        chosen_bits = {"plain": "bits_plain", "dict": "bits_dict", "rle": "bits_rle"}
+        assert r[chosen_bits[r["chosen"]]] == min(
+            r["bits_plain"], r["bits_dict"], r["bits_rle"]
+        )

@@ -186,3 +186,20 @@ def test_duplicate_payment_gates(spark):
         assert r.k1 < r.k2
         assert r.cents_diff * 10000 <= r.cents_1 * rx.DUP_TOL_BP
         assert r.day_gap <= rx.DUP_WINDOW_DAYS
+
+
+def test_knapsack_prefix_and_bound(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        part_knapsack_greedy,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = part_knapsack_greedy(spark, sf).collect()
+    assert rows
+    r0 = rows[0]
+    assert r0["weight_taken"] <= r0["budget"]
+    assert r0["lp_bound_cents"] >= r0["value_taken"]
+    assert 0 <= r0["gap_bound_bp"] <= 10000
+    # brand rollup reassembles the taken set exactly
+    assert sum(r["brand_weight"] for r in rows) == r0["weight_taken"]
+    assert sum(r["brand_cents"] for r in rows) == r0["value_taken"]

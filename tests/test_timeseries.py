@@ -233,3 +233,20 @@ def test_burst_viterbi_python_replay(spark):
             (pts[i][0], pts[i][1]) for i in range(len(pts)) if labels[i] == 1
         }
         assert got.get(et, set()) == expect
+
+
+def test_sax_words_use_full_alphabet(spark):
+    from iris_project_database_refresh_spark.operators.timeseries import (
+        SAX_TOP,
+        events_sax_motifs,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = events_sax_motifs(spark, sf).collect()
+    assert len(rows) == SAX_TOP
+    seen = set()
+    for r in rows:
+        assert len(r["sax"]) == r["n_hours"] <= 24
+        seen |= set(r["sax"])
+        assert set(r["sax"]) <= set("abcd")
+    assert seen == set("abcd")  # quartile breakpoints spread the alphabet
