@@ -1309,3 +1309,112 @@ FROM pref, theta
 
 QUERIES["search_wand_upper_bounds"] = search_wand_upper_bounds
 ORACLES["search_wand_upper_bounds"] = WAND_SQL
+
+
+# --- rank-biased overlap between the two production rankers ------------------------
+#
+# The top-weighted ranking-similarity metric IR evaluation actually
+# uses (Webber, Moffat & Zobel 2010 RBO): how much do the BM25 and the
+# Dirichlet query-likelihood top-20s agree, weighted so rank 1
+# disagreements cost more than rank 20 ones.  RBO@D = sum_{d<=D}
+# (1-p)p^(d-1) * X_d/d with X_d = |topd(A) ∩ topd(B)|.  The overlap
+# profile X_1..X_20 is 20 conditional sums over the joined rank pair
+# table (max(rank_a, rank_b) <= d), collapsed to ONE row; the weighted
+# sum is an UNROLLED literal chain — every p^(d-1) coefficient is
+# embedded as the same python-repr double literal in both engines and
+# the additions run in the same textual order, so the final double is
+# bit-identical before its 6dp round (the identical-IEEE-double
+# device, chain-ordered).
+#
+# Scale: both rankers are TakeOrderedAndProject top-20 cuts over the
+# corpus scans they already pay; everything after is a 20x20 rank
+# join and a 1-row fold.
+
+RBO_P = 0.9
+RBO_DEPTH = 20
+_RBO_COEFS = [(1 - RBO_P) * RBO_P ** (d - 1) for d in range(1, RBO_DEPTH + 1)]
+
+
+def search_rank_biased_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    lex = (
+        _bm25_scored(spark, sf_dir)
+        .orderBy(F.desc("score"), F.asc("doc_id"))
+        .limit(RBO_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("ra"),
+        )
+    )
+    ql = (
+        query_likelihood_search(spark, sf_dir)
+        .limit(RBO_DEPTH)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("ql_score_q4"), F.asc("doc_id")))
+            .alias("rb"),
+        )
+    )
+    both = lex.join(ql, "doc_id")
+    overlaps = both.agg(
+        *[
+            F.sum(
+                (F.greatest("ra", "rb") <= d).cast("bigint")
+            ).alias(f"x_{d}")
+            for d in range(1, RBO_DEPTH + 1)
+        ],
+        F.count(F.lit(1)).cast("bigint").alias("n_common"),
+    ).na.fill(0)
+    chain = " + ".join(
+        f"({c!r} * (cast(coalesce(x_{d}, 0) as double) / {d}))"
+        for d, c in enumerate(_RBO_COEFS, start=1)
+    )
+    return overlaps.select(
+        F.expr(f"round({chain}, 6)").alias("rbo_r6"),
+        F.coalesce("x_5", F.lit(0)).alias("overlap_5"),
+        F.coalesce("x_10", F.lit(0)).alias("overlap_10"),
+        F.coalesce("x_20", F.lit(0)).alias("overlap_20"),
+        "n_common",
+    )
+
+
+def _rbo_sql() -> str:
+    xs = ",\n         ".join(
+        f"CAST(sum(CASE WHEN GREATEST(ra, rb) <= {d} THEN 1 ELSE 0 END) AS BIGINT) AS x_{d}"
+        for d in range(1, RBO_DEPTH + 1)
+    )
+    chain = " + ".join(
+        f"({c!r} * (CAST(coalesce(x_{d}, 0) AS DOUBLE) / {d}))"
+        for d, c in enumerate(_RBO_COEFS, start=1)
+    )
+    return f"""
+WITH lexs AS ({_BM25_SCORED_SQL.strip()}),
+lex AS (
+  SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id) AS ra
+  FROM (SELECT doc_id, score FROM lexs ORDER BY score DESC, doc_id LIMIT {RBO_DEPTH})
+),
+qls AS ({QUERY_LIKELIHOOD_SQL.strip()}),
+ql AS (
+  SELECT doc_id, row_number() OVER (ORDER BY ql_score_q4 DESC, doc_id) AS rb FROM qls
+),
+both_r AS (SELECT l.doc_id, ra, rb FROM lex l JOIN ql q ON q.doc_id = l.doc_id),
+ov AS (
+  SELECT {xs},
+         count(*)::BIGINT AS n_common
+  FROM both_r
+)
+SELECT round({chain}, 6) AS rbo_r6,
+       coalesce(x_5, 0) AS overlap_5,
+       coalesce(x_10, 0) AS overlap_10,
+       coalesce(x_20, 0) AS overlap_20,
+       n_common
+FROM ov
+"""
+
+
+RBO_SQL = _rbo_sql()
+
+QUERIES["search_rank_biased_overlap"] = search_rank_biased_overlap
+ORACLES["search_rank_biased_overlap"] = RBO_SQL

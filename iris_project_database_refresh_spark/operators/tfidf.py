@@ -65,3 +65,125 @@ SELECT source, token, tf, df, tfidf, term_rank FROM (
 
 QUERIES = {"top_terms_tfidf": top_terms_tfidf}
 ORACLES = {"top_terms_tfidf": TOP_TERMS_SQL}
+
+
+# --- TextRank keyword extraction -----------------------------------------------------
+#
+# The graph-ranking member of the keyword family beside tf-idf and
+# RAKE (Mihalcea & Tarau 2004 TextRank): words vote for the words they
+# co-occur with — weighted PageRank over the adjacency-window-2
+# co-occurrence graph, so a word is important when important words
+# appear next to it. The corpus collapses to (word, next_word) pair
+# counts in ONE explode + hash aggregation (the Zipf-head device: the
+# graph is bounded by vocabulary², never corpus size); 3 unrolled
+# rounds of the weighted update r'(v) = (100-d)/100 + d/100 * sum_u
+# w_uv/W_u * r(u) run in scaled integers with truncating division
+# (the pagerank device, weight-proportional instead of out-degree).
+#
+# Scale: one corpus pass to pair counts; every iteration is a join on
+# the bounded vocabulary graph. At 100 TB the pair table is still
+# vocabulary-sized — map-side combine does all the heavy lifting.
+
+TEXTRANK_SCALE = 10**9
+TEXTRANK_DAMP = 85      # d in percent
+TEXTRANK_ROUNDS = 3
+TEXTRANK_TOP = 20
+
+
+def keyword_extract_textrank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("text")
+    toks = "filter(split(text, '\\\\s+'), t -> t != '')"
+    pairs = docs.select(
+        F.explode(
+            F.expr(
+                f"transform(sequence(1, greatest(size({toks}) - 1, 0)),"
+                f" i -> struct(element_at({toks}, i) as a, element_at({toks}, i + 1) as b))"
+            )
+        ).alias("p")
+    ).select("p.a", "p.b").where(F.col("a") != F.col("b"))
+    edges = (
+        pairs.select("a", "b")
+        .union(pairs.select(F.col("b").alias("a"), F.col("a").alias("b")))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("w"))
+        .localCheckpoint(eager=False)
+    )
+    wout = edges.groupBy("a").agg(F.sum("w").cast("bigint").alias("wu"))
+    g = edges.join(wout, "a")
+    ranks = wout.select(F.col("a").alias("v"), F.lit(TEXTRANK_SCALE).cast("bigint").alias("r"))
+    base = (100 - TEXTRANK_DAMP) * TEXTRANK_SCALE // 100
+    for _ in range(TEXTRANK_ROUNDS):
+        contrib = (
+            g.join(ranks, g["a"] == ranks["v"])
+            .select(
+                "b",
+                F.expr(f"{TEXTRANK_DAMP} * r * w div (100 * wu)").alias("m"),
+            )
+            .groupBy("b")
+            .agg(F.sum("m").cast("bigint").alias("mass"))
+        )
+        ranks = (
+            wout.select(F.col("a").alias("v"))
+            .join(contrib.withColumnRenamed("b", "v"), "v", "left")
+            .select("v", (F.lit(base) + F.coalesce("mass", F.lit(0))).cast("bigint").alias("r"))
+        )
+    deg = edges.groupBy("a").agg(F.count(F.lit(1)).cast("bigint").alias("degree"))
+    return (
+        ranks.join(deg, ranks["v"] == deg["a"])
+        .select(F.col("v").alias("word"), F.col("r").alias("rank_scaled"), "degree")
+        .orderBy(F.desc("rank_scaled"), F.asc("word"))
+        .limit(TEXTRANK_TOP)
+    )
+
+
+def _textrank_round_sql(prev: str, out: str) -> str:
+    base = (100 - TEXTRANK_DAMP) * TEXTRANK_SCALE // 100
+    return f"""{out} AS (
+  SELECT n.v, CAST({base} + coalesce(m.mass, 0) AS BIGINT) AS r
+  FROM (SELECT DISTINCT a AS v FROM edges) n
+  LEFT JOIN (
+    SELECT g.b, CAST(sum({TEXTRANK_DAMP} * p.r * g.w // (100 * g.wu)) AS BIGINT) AS mass
+    FROM gw g JOIN {prev} p ON p.v = g.a
+    GROUP BY g.b
+  ) m ON m.b = n.v
+)"""
+
+
+def _textrank_sql() -> str:
+    rounds = []
+    prev = "r0"
+    for i in range(TEXTRANK_ROUNDS):
+        rounds.append(_textrank_round_sql(prev, f"r{i + 1}"))
+        prev = f"r{i + 1}"
+    return f"""
+WITH toks AS (
+  SELECT list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS ts FROM documents
+),
+pairs AS (
+  SELECT p.a, p.b FROM (
+    SELECT unnest(list_transform(generate_series(1, GREATEST(len(ts) - 1, 0)),
+                  i -> struct_pack(a := ts[i], b := ts[i + 1]))) AS p
+    FROM toks
+  ) WHERE p.a <> p.b
+),
+edges AS (
+  SELECT a, b, count(*)::BIGINT AS w FROM (
+    SELECT a, b FROM pairs UNION ALL SELECT b AS a, a AS b FROM pairs
+  ) GROUP BY a, b
+),
+wout AS (SELECT a, CAST(sum(w) AS BIGINT) AS wu FROM edges GROUP BY a),
+gw AS (SELECT e.a, e.b, e.w, o.wu FROM edges e JOIN wout o ON o.a = e.a),
+r0 AS (SELECT a AS v, CAST({TEXTRANK_SCALE} AS BIGINT) AS r FROM wout),
+{",".join(rounds)},
+deg AS (SELECT a, count(*)::BIGINT AS degree FROM edges GROUP BY a)
+SELECT p.v AS word, p.r AS rank_scaled, d.degree
+FROM {prev} p JOIN deg d ON d.a = p.v
+ORDER BY rank_scaled DESC, word ASC
+LIMIT {TEXTRANK_TOP}
+"""
+
+
+TEXTRANK_SQL = _textrank_sql()
+
+QUERIES["keyword_extract_textrank"] = keyword_extract_textrank
+ORACLES["keyword_extract_textrank"] = TEXTRANK_SQL

@@ -239,6 +239,7 @@ _DRIVER_PRIORITY = [
     "bitemporal_as_of", "multimodal_ogg_pages",
     "join_ivm_delta", "graph_betweenness",
     "column_encoding_advisor", "events_sax_motifs", "part_knapsack_greedy",
+    "search_rank_biased_overlap", "keyword_extract_textrank",
 ]
 
 

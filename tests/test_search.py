@@ -67,3 +67,12 @@ def test_wand_split_is_consistent(spark):
     # the largest-UB term must always be essential (else the query is
     # unanswerable: even all terms together could not reach theta)
     assert rows[-1]["essential"] == 1
+
+
+def test_rbo_bounds_and_overlap_monotonicity(spark):
+    row = search.search_rank_biased_overlap(spark, SF_CORRECT).collect()[0]
+    assert 0.0 <= row["rbo_r6"] <= 1.0
+    assert row["overlap_5"] <= row["overlap_10"] <= row["overlap_20"]
+    assert row["overlap_20"] == row["n_common"]
+    # identical lists would give RBO ~ 1 - 0.9^20; sanity: ours below that
+    assert row["rbo_r6"] <= round(1 - 0.9 ** 20, 6) + 1e-9

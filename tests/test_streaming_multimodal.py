@@ -913,3 +913,4 @@ def test_ogg_parser_rejects_junk_and_counts_zero_lacing(spark):
         "bos_ok": 1,
         "eos_ok": 1,
     }
+
