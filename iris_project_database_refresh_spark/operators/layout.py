@@ -1024,3 +1024,92 @@ ENCODING_ADVISOR_SQL = _enc_sql()
 
 QUERIES["column_encoding_advisor"] = column_encoding_advisor
 ORACLES["column_encoding_advisor"] = ENCODING_ADVISOR_SQL
+
+
+# --- copy-on-write vs merge-on-read table-service plan ------------------------------
+#
+# The per-partition storage-strategy decision every lakehouse table
+# service makes (public art: Hudi COW vs MOR table types; Iceberg v2
+# position deletes): a hot-update partition should absorb deltas as
+# merge-on-read logs (cheap writes, amplified reads), a read-heavy one
+# should rewrite copy-on-write (expensive writes, clean reads).
+# Planted refresh shape per source partition: base bytes = the
+# partition's document mass, daily delta = the doc_id%7 churn slice
+# (the dedup-corpus parity), reads/day = 1 + (source's numeric suffix)%5. Daily cost
+# model in exact bytes: COW = base (rewrite) + reads·base; MOR = delta
+# (log append) + reads·(base + 2·delta) (2 = average unmerged logs at
+# a 4-day compaction cadence). `chosen` = argmin, and the breakeven
+# read rate (base−delta) // (2·delta) shows how read-hot the partition
+# must get before COW wins — the number the table service tunes.
+#
+# Scale: pure metadata arithmetic over the per-source manifest rollup
+# (the file_manifest grain); one corpus aggregation, 20-row plan.
+
+def table_format_cow_mor_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    manifest = file_manifest(spark, sf_dir)
+    per_src = manifest.groupBy("source").agg(
+        F.sum("bytes").cast("bigint").alias("base_bytes"),
+        F.sum(F.when(F.col("file_id") % 7 == 0, F.col("bytes")).otherwise(0))
+        .cast("bigint")
+        .alias("delta_bytes"),
+    )
+    return per_src.select(
+        "source",
+        "base_bytes",
+        "delta_bytes",
+        (
+            F.expr("cast(regexp_extract(source, '[0-9]+', 0) as bigint)") % 5 + 1
+        ).alias("reads_per_day"),
+    ).select(
+        "*",
+        (F.col("base_bytes") + F.col("reads_per_day") * F.col("base_bytes")).alias(
+            "cow_daily_bytes"
+        ),
+        (
+            F.col("delta_bytes")
+            + F.col("reads_per_day") * (F.col("base_bytes") + 2 * F.col("delta_bytes"))
+        ).alias("mor_daily_bytes"),
+    ).select(
+        "*",
+        F.expr(
+            "case when cow_daily_bytes <= mor_daily_bytes then 'cow' else 'mor' end"
+        ).alias("chosen"),
+        F.expr(
+            "case when delta_bytes > 0 then"
+            " greatest((base_bytes - delta_bytes) div (2 * delta_bytes), 0)"
+            " else null end"
+        ).cast("bigint").alias("breakeven_reads"),
+    )
+
+
+COW_MOR_SQL = """
+WITH manifest AS (
+  SELECT source, doc_id AS file_id,
+         CAST(octet_length(encode(text)) AS BIGINT) AS bytes
+  FROM documents
+),
+per_src AS (
+  SELECT source, CAST(sum(bytes) AS BIGINT) AS base_bytes,
+         CAST(sum(CASE WHEN file_id % 7 = 0 THEN bytes ELSE 0 END) AS BIGINT) AS delta_bytes
+  FROM manifest GROUP BY source
+),
+costed AS (
+  SELECT source, base_bytes, delta_bytes,
+         CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 5 + 1 AS reads_per_day,
+         base_bytes + (CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 5 + 1) * base_bytes
+           AS cow_daily_bytes,
+         delta_bytes + (CAST(regexp_extract(source, '[0-9]+', 0) AS BIGINT) % 5 + 1)
+           * (base_bytes + 2 * delta_bytes) AS mor_daily_bytes
+  FROM per_src
+)
+SELECT source, base_bytes, delta_bytes, reads_per_day,
+       cow_daily_bytes, mor_daily_bytes,
+       CASE WHEN cow_daily_bytes <= mor_daily_bytes THEN 'cow' ELSE 'mor' END AS chosen,
+       CASE WHEN delta_bytes > 0 THEN
+         GREATEST((base_bytes - delta_bytes) // (2 * delta_bytes), 0)
+       ELSE NULL END AS breakeven_reads
+FROM costed
+"""
+
+QUERIES["table_format_cow_mor_plan"] = table_format_cow_mor_plan
+ORACLES["table_format_cow_mor_plan"] = COW_MOR_SQL

@@ -2857,3 +2857,101 @@ GROUP BY p_brand, a.budget, a.weight_taken, a.value_taken, a.lp_bound_cents
 
 QUERIES["part_knapsack_greedy"] = part_knapsack_greedy
 ORACLES["part_knapsack_greedy"] = KNAPSACK_SQL
+
+
+# --- EOQ + newsvendor stocking policy ------------------------------------------------
+#
+# The two textbook single-item inventory answers the (s,S)/Croston/
+# ABC-XYZ family still lacks: the ECONOMIC ORDER QUANTITY (Harris
+# 1913, sqrt(2DK/h)) and the NEWSVENDOR critical-fractile stock level
+# (q* = F^-1(cu/(cu+co)), Arrow et al. 1951) — per brand, from the
+# lineitem demand history. EOQ's single sqrt runs on an identical
+# integer-derived double in both engines and floors to units (the
+# house sqrt device). The newsvendor quantile is an EXACT order
+# statistic over each brand's bounded per-order quantity distribution:
+# with cu=3 co=1 the fractile is 3/4, selected by row_number =
+# ceil(3n/4) inside the brand partition — never a fact-wide sort.
+#
+# Scale: one lineitem⋈part co-keyed join collapses to the (brand,
+# quantity) grid (50 distinct quantities — the selection runs on the
+# grid via cumulative counts, not raw rows); EOQ needs only the
+# per-brand demand sum.
+
+EOQ_SETUP_COST = 500_00   # K, cents per order
+EOQ_HOLD_COST = 7_00      # h, cents per unit-year
+NV_CU, NV_CO = 3, 1       # underage / overage cost -> fractile 3/4
+
+
+def part_eoq_newsvendor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_partkey", F.col("l_quantity").cast("bigint").alias("qty")
+    )
+    parts = load_table(spark, sf_dir, "part").select("p_partkey", "p_brand")
+    grid = (
+        li.join(F.broadcast(parts), li.l_partkey == parts.p_partkey)
+        .groupBy("p_brand", "qty")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    per_brand = grid.groupBy("p_brand").agg(
+        F.sum(F.expr("qty * n")).cast("bigint").alias("annual_demand"),
+        F.sum("n").cast("bigint").alias("n_lines"),
+    )
+    w = Window.partitionBy("p_brand").orderBy("qty").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    cum = grid.select(
+        "p_brand", "qty", F.sum("n").over(w).alias("cum_n")
+    ).join(per_brand.select("p_brand", "n_lines"), "p_brand")
+    # smallest qty whose cumulative count reaches ceil(n * cu/(cu+co))
+    frac_num, frac_den = NV_CU, NV_CU + NV_CO
+    nv = (
+        cum.where(
+            F.expr(f"cum_n * {frac_den} >= n_lines * {frac_num}")
+        )
+        .groupBy("p_brand")
+        .agg(F.min("qty").cast("bigint").alias("newsvendor_q"))
+    )
+    return per_brand.join(nv, "p_brand").select(
+        "p_brand",
+        "annual_demand",
+        "n_lines",
+        F.expr(
+            f"cast(floor(sqrt(cast(2 * annual_demand * {EOQ_SETUP_COST} as double)"
+            f" / {EOQ_HOLD_COST})) as bigint)"
+        ).alias("eoq_units"),
+        "newsvendor_q",
+    )
+
+
+EOQ_NV_SQL = f"""
+WITH grid AS (
+  SELECT p_brand, CAST(l_quantity AS BIGINT) AS qty, count(*)::BIGINT AS n
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY 1, 2
+),
+per_brand AS (
+  SELECT p_brand, CAST(sum(qty * n) AS BIGINT) AS annual_demand,
+         CAST(sum(n) AS BIGINT) AS n_lines
+  FROM grid GROUP BY p_brand
+),
+cum AS (
+  SELECT g.p_brand, g.qty,
+         CAST(sum(g.n) OVER (PARTITION BY g.p_brand ORDER BY g.qty
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_n,
+         b.n_lines
+  FROM grid g JOIN per_brand b ON b.p_brand = g.p_brand
+),
+nv AS (
+  SELECT p_brand, CAST(min(qty) AS BIGINT) AS newsvendor_q
+  FROM cum WHERE cum_n * {NV_CU + NV_CO} >= n_lines * {NV_CU}
+  GROUP BY p_brand
+)
+SELECT b.p_brand, b.annual_demand, b.n_lines,
+       CAST(floor(sqrt(CAST(2 * b.annual_demand * {EOQ_SETUP_COST} AS DOUBLE)
+            / {EOQ_HOLD_COST})) AS BIGINT) AS eoq_units,
+       nv.newsvendor_q
+FROM per_brand b JOIN nv ON nv.p_brand = b.p_brand
+"""
+
+QUERIES["part_eoq_newsvendor"] = part_eoq_newsvendor
+ORACLES["part_eoq_newsvendor"] = EOQ_NV_SQL

@@ -240,6 +240,7 @@ _DRIVER_PRIORITY = [
     "join_ivm_delta", "graph_betweenness",
     "column_encoding_advisor", "events_sax_motifs", "part_knapsack_greedy",
     "search_rank_biased_overlap", "keyword_extract_textrank",
+    "part_eoq_newsvendor", "table_format_cow_mor_plan",
 ]
 
 

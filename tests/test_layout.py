@@ -136,3 +136,24 @@ def test_encoding_advisor_run_stitching(spark):
         assert r[chosen_bits[r["chosen"]]] == min(
             r["bits_plain"], r["bits_dict"], r["bits_rle"]
         )
+
+
+def test_cow_mor_breakeven_consistency(spark):
+    from iris_project_database_refresh_spark.operators.layout import (
+        table_format_cow_mor_plan,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = table_format_cow_mor_plan(spark, sf).collect()
+    assert len(rows) == 20
+    assert {r["chosen"] for r in rows} == {"cow", "mor"}
+    for r in rows:
+        cow = r["base_bytes"] + r["reads_per_day"] * r["base_bytes"]
+        mor = r["delta_bytes"] + r["reads_per_day"] * (
+            r["base_bytes"] + 2 * r["delta_bytes"]
+        )
+        assert (r["cow_daily_bytes"], r["mor_daily_bytes"]) == (cow, mor)
+        assert r["chosen"] == ("cow" if cow <= mor else "mor")
+        # above the breakeven read rate, COW must win
+        if r["breakeven_reads"] is not None and r["reads_per_day"] > r["breakeven_reads"]:
+            assert r["chosen"] == "cow"

@@ -203,3 +203,24 @@ def test_knapsack_prefix_and_bound(spark):
     # brand rollup reassembles the taken set exactly
     assert sum(r["brand_weight"] for r in rows) == r0["weight_taken"]
     assert sum(r["brand_cents"] for r in rows) == r0["value_taken"]
+
+
+def test_eoq_newsvendor_properties(spark):
+    from iris_project_database_refresh_spark.operators.relational_ext import (
+        part_eoq_newsvendor,
+    )
+    from .conftest import SF_CORRECT as sf
+
+    rows = part_eoq_newsvendor(spark, sf).collect()
+    assert len(rows) == 25
+    for r in rows:
+        # EOQ grows with demand: check the closed form directly
+        import math
+
+        want = math.floor(
+            math.sqrt(2 * r["annual_demand"] * 50000 / 700)
+        )
+        assert r["eoq_units"] == want
+        # 3/4 fractile sits in the quantity domain, above the median-ish
+        assert 1 <= r["newsvendor_q"] <= 50
+        assert r["newsvendor_q"] >= 25  # uniform-ish demand -> upper half
