@@ -692,9 +692,24 @@ def shard_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("kpos")
     )
     succ = "coalesce(array_min(filter({arr}, c -> c div 16 >= kpos)), array_min({arr}))"
-    assigned = keys.crossJoin(F.broadcast(ring9)).select(
-        F.expr(succ.format(arr="arr8") + " % 16").alias("node8"),
-        F.expr(succ.format(arr="arr9") + " % 16").alias("node9"),
+    # consistent hashing's own property cuts the work: the two rings
+    # differ only in the new node's points, so succ8 == succ9 unless
+    # the key landed on the new node — the arr8 lookup runs (lazily,
+    # CASE-guarded) for ~1/(N+1) of keys instead of all of them
+    assigned = (
+        keys.crossJoin(F.broadcast(ring9))
+        .select(
+            "kpos", "arr8",
+            F.expr(succ.format(arr="arr9") + " % 16").alias("node9"),
+        )
+        .select(
+            F.expr(
+                f"case when node9 != {N_RING} then node9 else "
+                + succ.format(arr="arr8")
+                + " % 16 end"
+            ).alias("node8"),
+            "node9",
+        )
     )
     pairs = assigned.groupBy("node8", "node9").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
@@ -728,10 +743,16 @@ WITH ringrows AS (
   FROM ringrows
 ), keys AS (
   SELECT CAST('0x' || substr(md5('k:' || o_orderkey), 1, 8) AS BIGINT) AS kpos FROM orders
-), assigned AS (
-  SELECT coalesce(list_min([c FOR c IN arr8 IF c // 16 >= kpos]), list_min(arr8)) % 16 AS node8,
+), a9 AS (
+  SELECT kpos, arr8,
          coalesce(list_min([c FOR c IN arr9 IF c // 16 >= kpos]), list_min(arr9)) % 16 AS node9
   FROM keys, ring
+), assigned AS (
+  SELECT CASE WHEN node9 <> 8 THEN node9 ELSE
+           coalesce(list_min([c FOR c IN arr8 IF c // 16 >= kpos]), list_min(arr8)) % 16
+         END AS node8,
+         node9
+  FROM a9
 ), pairs AS (
   SELECT node8, node9, count(*)::BIGINT AS n FROM assigned GROUP BY node8, node9
 ), before AS (
