@@ -1851,3 +1851,157 @@ SELECT anchor_id, vec_id, rank_i, same_label, shapley_e9 FROM (
 
 QUERIES["knn_shapley_values"] = knn_shapley_values
 ORACLES["knn_shapley_values"] = KNN_SHAPLEY_SQL
+
+
+# --- multi-probe LSH ----------------------------------------------------------------
+#
+# The serving upgrade that made hyperplane LSH practical (Lv et al.
+# 2007 "Multi-Probe LSH"): instead of more tables, probe the buckets
+# MOST LIKELY to hold near misses — the Hamming-1 neighbors of the
+# query's own bucket (one sign-bit flip per plane). Graded as the
+# recall economics table: per query, candidate counts and recall@K
+# against the exact top-K under single-probe vs multi-probe — the
+# candidates superset guarantees recall_multi >= recall_single (an
+# exact-top-K member in the candidate set always survives the top-K
+# cut), pinned in tests. Exact top-K, both candidate sets and both
+# recalls all derive from ONE scored stream (queries broadcast, corpus
+# streamed once); probe membership is a 5-element array_contains on
+# the broadcast side.
+#
+# Scale: identical join shape to knn_lsh; multi-probe multiplies the
+# candidate fan-in by (1 + LSH_PLANES)/2^LSH_PLANES of the corpus in
+# expectation — at 100 TB that is the dial between one-table recall
+# and brute-force cost, and this table IS the dial's readout.
+
+def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select("vec_id", _as_double("embedding").alias("v"))
+        .withColumn("bucket", _bucket_expr(F.col("v")))
+        .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
+    )
+    probes = F.array(
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(LSH_PLANES)]
+    )
+    queries = emb.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("q"),
+        F.col("bucket").alias("qb"),
+        probes.alias("qprobes"),
+        F.col("vn").alias("qn"),
+    )
+    scored = (
+        emb.alias("c")
+        .join(F.broadcast(queries), F.col("vec_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            (F.col("bucket") == F.col("qb")).cast("bigint").alias("in_single"),
+            F.expr("array_contains(qprobes, bucket)").cast("bigint").alias("in_multi"),
+            F.round(_dot(F.col("q"), F.col("v")) / (F.col("qn") * F.col("c.vn")), 6).alias(
+                "cosine"
+            ),
+        )
+        .localCheckpoint(eager=False)
+    )
+
+    def topk(df, flag):
+        w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+        src = df.where(F.col(flag) == 1) if flag else df
+        return (
+            src.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") <= KNN_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    exact = topk(scored, None)
+    single = topk(scored, "in_single")
+    multi = topk(scored, "in_multi")
+    cands = scored.groupBy("query_id").agg(
+        F.sum("in_single").cast("bigint").alias("n_cand_single"),
+        F.sum("in_multi").cast("bigint").alias("n_cand_multi"),
+    )
+    r_single = (
+        exact.join(single, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hit_s"))
+    )
+    r_multi = (
+        exact.join(multi, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("hit_m"))
+    )
+    return (
+        cands.join(r_single, "query_id", "left")
+        .join(r_multi, "query_id", "left")
+        .na.fill({"hit_s": 0, "hit_m": 0})
+        .select(
+            "query_id",
+            "n_cand_single",
+            "n_cand_multi",
+            F.expr(f"hit_s * 10000 div {KNN_K}").alias("recall_single_bp"),
+            F.expr(f"hit_m * 10000 div {KNN_K}").alias("recall_multi_bp"),
+        )
+    )
+
+
+def _probe_list_sql() -> str:
+    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(LSH_PLANES))
+    return f"[bucket, {flips}]"
+
+
+MULTIPROBE_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), e AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql("v")} AS bucket FROM d
+), q AS (
+  SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb,
+         {_probe_list_sql()} AS qprobes
+  FROM e WHERE vec_id < {N_QUERIES}
+), scored AS (
+  SELECT query_id, e.vec_id AS neighbor_id,
+         CAST(e.bucket = q.qb AS BIGINT) AS in_single,
+         CAST(list_contains(q.qprobes, e.bucket) AS BIGINT) AS in_multi,
+         round(list_dot_product(qv, v) / (qn * nrm), 6) AS cosine
+  FROM q JOIN e ON e.vec_id <> q.query_id
+), exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored
+  ) WHERE r <= {KNN_K}
+), single_t AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored WHERE in_single = 1
+  ) WHERE r <= {KNN_K}
+), multi_t AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, neighbor_id,
+           row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS r
+    FROM scored WHERE in_multi = 1
+  ) WHERE r <= {KNN_K}
+), cands AS (
+  SELECT query_id, CAST(sum(in_single) AS BIGINT) AS n_cand_single,
+         CAST(sum(in_multi) AS BIGINT) AS n_cand_multi
+  FROM scored GROUP BY query_id
+), rs AS (
+  SELECT e.query_id, count(*)::BIGINT AS hit_s
+  FROM exact e JOIN single_t s ON s.query_id = e.query_id AND s.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+), rm AS (
+  SELECT e.query_id, count(*)::BIGINT AS hit_m
+  FROM exact e JOIN multi_t m ON m.query_id = e.query_id AND m.neighbor_id = e.neighbor_id
+  GROUP BY e.query_id
+)
+SELECT c.query_id, c.n_cand_single, c.n_cand_multi,
+       coalesce(rs.hit_s, 0) * 10000 // {KNN_K} AS recall_single_bp,
+       coalesce(rm.hit_m, 0) * 10000 // {KNN_K} AS recall_multi_bp
+FROM cands c LEFT JOIN rs ON rs.query_id = c.query_id
+LEFT JOIN rm ON rm.query_id = c.query_id
+"""
+
+QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe
+ORACLES["knn_lsh_multiprobe"] = MULTIPROBE_SQL

@@ -4016,3 +4016,112 @@ FROM documents WHERE doc_id % 4 = 2
 
 QUERIES["multimodal_ogg_pages"] = multimodal_ogg_pages
 ORACLES["multimodal_ogg_pages"] = MULTIMODAL_OGG_SQL
+
+
+# --- WebP VP8L header: LSB-first bit packing ------------------------------------------
+#
+# Fifteenth container kernel (public spec: RIFF WebP container +
+# VP8L lossless bitstream, Google). The pitfall this one exists for is
+# BIT ORDER, not byte order: VP8L packs width-1 (14 bits), height-1
+# (14 bits), alpha (1) and version (3) LSB-FIRST across four bytes —
+# the exact mirror of FLAC's MSB-first STREAMINFO pack already in the
+# family. Read the 4 bytes as a little-endian uint32 and extract with
+# shifts; a reader applying FLAC-style big-endian bit peeling gets
+# both dimensions wrong on every file. Plant also exercises the RIFF
+# framing (riff_size = payload after the 8-byte header; chunk size =
+# VP8L body) the sniff router family already walks for WAV.
+#
+# Scale: same contract as the sibling kernels.
+
+WEBP_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("width", T.LongType()),
+        T.StructField("height", T.LongType()),
+        T.StructField("has_alpha", T.LongType()),
+        T.StructField("vp8l_version", T.LongType()),
+        T.StructField("riff_size", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def webp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): WebP/VP8L-typed media items as real bytes."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
+    # packed = (w-1) | (h-1)<<14 | alpha<<28 | version(0)<<29, LE bytes
+    packed = (
+        "(doc_id % 2000 + 15)"
+        " + (doc_id % 1500 + 15) * 16384"
+        " + (doc_id % 2) * 268435456"
+    )
+    body_hex = F.concat(F.lit("2F"), F.expr(_le_hex_expr(packed, 4)))
+    # riff_size covers 'WEBP' + chunk header + body = 4 + 8 + 5 = 17
+    payload = F.unhex(
+        F.concat(
+            F.lit("52494646"),                      # RIFF
+            F.expr(_le_hex_expr("17", 4)),          # riff size = 17
+            F.lit("57454250"),                      # WEBP
+            F.lit("5650384C"),                      # VP8L
+            F.expr(_le_hex_expr("5", 4)),           # chunk size = 5
+            body_hex,
+        )
+    )
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def parse_webp_vp8l(payload: bytes) -> dict | None:
+    """RIFF/WEBP framing + VP8L LSB-first header decode; None for
+    non-WebP bytes."""
+    if len(payload) < 25 or payload[:4] != b"RIFF" or payload[8:12] != b"WEBP":
+        return None
+    riff_size = int.from_bytes(payload[4:8], "little")
+    if payload[12:16] != b"VP8L" or payload[20] != 0x2F:
+        return None
+    u32 = int.from_bytes(payload[21:25], "little")
+    return {
+        "width": (u32 & 0x3FFF) + 1,
+        "height": ((u32 >> 14) & 0x3FFF) + 1,
+        "has_alpha": (u32 >> 28) & 1,
+        "vp8l_version": (u32 >> 29) & 0x7,
+        "riff_size": riff_size,
+    }
+
+
+def multimodal_webp_vp8l(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched WebP/VP8L header walk over the planted media."""
+    webps = webp_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_webp_vp8l(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"media_id": int(mid), **parsed, "parser": "webp-stdlib"})
+                cols = [f.name for f in WEBP_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c != "parser"}
+                )
+
+    return webps.mapInPandas(fn, WEBP_SCHEMA)
+
+
+MULTIMODAL_WEBP_SQL = """
+SELECT doc_id AS media_id,
+       CAST(doc_id % 2000 + 16 AS BIGINT) AS width,
+       CAST(doc_id % 1500 + 16 AS BIGINT) AS height,
+       CAST(doc_id % 2 AS BIGINT) AS has_alpha,
+       CAST(0 AS BIGINT) AS vp8l_version,
+       CAST(17 AS BIGINT) AS riff_size,
+       'webp-stdlib' AS parser
+FROM documents WHERE doc_id % 4 = 0
+"""
+
+QUERIES["multimodal_webp_vp8l"] = multimodal_webp_vp8l
+ORACLES["multimodal_webp_vp8l"] = MULTIMODAL_WEBP_SQL

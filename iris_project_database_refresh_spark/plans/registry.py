@@ -241,6 +241,7 @@ _DRIVER_PRIORITY = [
     "column_encoding_advisor", "events_sax_motifs", "part_knapsack_greedy",
     "search_rank_biased_overlap", "keyword_extract_textrank",
     "part_eoq_newsvendor", "table_format_cow_mor_plan",
+    "knn_lsh_multiprobe", "multimodal_webp_vp8l",
 ]
 
 

@@ -203,3 +203,19 @@ def test_knn_shapley_python_replay(spark):
     # the operator's top-10 really are the 10 largest replayed values
     top = sorted(by_vid.items(), key=lambda kv: (-kv[1], kv[0]))[:10]
     assert {vid for vid, _ in top} == set(got)
+
+
+def test_multiprobe_recall_dominates_single(spark):
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        knn_lsh_multiprobe,
+    )
+
+    rows = knn_lsh_multiprobe(spark, SF_CORRECT).collect()
+    assert len(rows) == 5
+    for r in rows:
+        # superset of candidates can never lose exact-top-K members
+        assert r["n_cand_multi"] >= r["n_cand_single"]
+        assert r["recall_multi_bp"] >= r["recall_single_bp"]
+        assert 0 <= r["recall_multi_bp"] <= 10000
+    # the probes must actually help somewhere, else the op is vacuous
+    assert any(r["recall_multi_bp"] > r["recall_single_bp"] for r in rows)

@@ -914,3 +914,26 @@ def test_ogg_parser_rejects_junk_and_counts_zero_lacing(spark):
         "eos_ok": 1,
     }
 
+
+
+def test_webp_vp8l_lsb_first_not_msb(spark):
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        parse_webp_vp8l,
+    )
+
+    assert parse_webp_vp8l(b"RIFFxxxxWAVE" + b"\x00" * 20) is None
+    # width 100, height 7: LSB-first pack; an MSB-first reader would
+    # decode garbage dimensions from the same bytes
+    packed = (99) | (6 << 14) | (1 << 28)
+    p = (
+        b"RIFF" + (17).to_bytes(4, "little") + b"WEBP" + b"VP8L"
+        + (5).to_bytes(4, "little") + b"\x2f" + packed.to_bytes(4, "little")
+    )
+    got = parse_webp_vp8l(p)
+    assert got == {
+        "width": 100,
+        "height": 7,
+        "has_alpha": 1,
+        "vp8l_version": 0,
+        "riff_size": 17,
+    }
