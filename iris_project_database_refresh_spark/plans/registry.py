@@ -109,37 +109,13 @@ def _load() -> None:
 # verifies ~50 per round, walking queries() in dict order).  Enumerating
 # these first steers each round's verification window onto the unchecked
 # surface.  Newly added queries belong here too — they are by definition
-# unchecked.  Round-4 trim: the 47 r3-green names are deleted from the
-# head; the 3 r3 reds (driver-contract breaks, now fixed: embed_quantize
-# array column scalarized, bpe_merge_step / pagerank_docs oracle HUGEINT
-# casts) re-queue first for their green row.
+# unchecked.  Round-5 trim: the 50 r4-green names (CORRECTNESS_r04 was
+# 50/50 green, including the re-queued r3 reds and dedup_components'
+# fresh row) are deleted from the head; what remains is exactly the
+# 244-name never-driver-checked backlog, oldest additions first, so the
+# round-5 window covers positions 1-50.
 _DRIVER_PRIORITY = [
-    # round-3 red rows, re-verified after the contract fixes — first:
-    "embed_quantize", "bpe_merge_step", "pagerank_docs",
-    # output schema changed in round 4 (MEMBERS_CAP overflow column) —
-    # its r3 green row is stale, so it re-queues for a fresh one:
-    "dedup_components",
-    # then the never-checked backlog (r1∪r2∪r3 checked 120 of 232; the
-    # round-4 window should cover ~positions 4-53 of this list):
-    "bm25_search", "hybrid_search_rrf",
-    "approx_distinct_kmv", "approx_distinct_hll", "heavy_hitters_cms",
-    "stratified_sample", "weighted_sample_priority", "events_dedup",
-    "events_enriched_agg",
-    # round-3 additions — never driver-checked by definition:
-    "monitor_llm_costs", "embed_batch_log", "quality_gopher_rules",
-    "source_overlap_minhash", "events_anomaly_mad", "attribution_u_shaped",
-    "events_view_purchase_join", "semantic_dedup", "dedup_lines",
-    "dedup_cdc_chunks", "embed_pca_power", "text_normalize",
-    "dataset_card_stats", "contrastive_pairs", "embed_drift_stats",
-    "dedup_recall_eval", "corpus_ppl_buckets", "as_of_join_tolerance",
-    "cluster_topics", "quantile_hist_sketch", "multimodal_audio_stats",
-    "join_size_cms", "entity_resolve", "quality_filter_verdict",
-    "knn_graph", "events_top_paths", "embed_project_pc1",
-    "bm25_prf_search", "monitor_grouping_sets", "distinct_set_ops_kmv",
-    "catalog_delta_summary", "hll_merge_days", "orders_refresh_streams",
-    "customer_segment_migration",
-    # round-3 second-session additions:
-    "multimodal_video_stats", "zorder_layout", "compaction_plan",
+    # round-3 second-session additions (oldest never-checked):
     "dedup_url_normalize", "matryoshka_recall", "readability_scores", "zipf_fit",
     "funnel_time_to_convert", "graph_jaccard_links", "events_hopping_agg",
     "events_session_window_agg", "multimodal_framesample_y4m",
