@@ -3697,7 +3697,7 @@ ORACLES["multimodal_pdf_xref"] = MULTIMODAL_PDF_SQL
 # The capstone over the kernel family — the `file(1)` of this engine:
 # a mixed media lake never tells you what each blob is, so the FIRST
 # pass is magic-byte sniffing that routes every payload to the right
-# parser.  The mixed table unions all thirteen planted builders
+# parser.  The mixed table unions all fifteen planted builders
 # (capped at doc_id < SNIFF_CAP per type to bound the bench), the
 # kernel sniffs each payload (including the two non-prefix magics:
 # ustar at offset 257, ftyp at offset 4) and runs the matching parser;
@@ -3732,6 +3732,10 @@ def sniff_media(p: bytes) -> str:
         return "pdf"
     if p[:4] == b"RIFF" and p[8:12] == b"WAVE":
         return "wav"
+    if p[:4] == b"RIFF" and p[8:12] == b"WEBP":
+        return "webp"
+    if p[:4] == b"OggS":
+        return "ogg"
     if p[:9] == b"YUV4MPEG2":
         return "y4m"
     if p[:4] in (b"II*\x00", b"MM\x00*"):
@@ -3782,6 +3786,11 @@ def multimodal_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mp4": parse_mp4,
         "tar": parse_tar,
         "pdf": parse_pdf,
+        # the two kernels added after the router shipped — registered
+        # into _SNIFF_BUILDERS below their plant definitions; resolved
+        # here by name at call time:
+        "ogg": parse_ogg,
+        "webp": parse_webp_vp8l,
     }
     mixed = None
     for name, builder, _sel in _SNIFF_BUILDERS:
@@ -3828,21 +3837,25 @@ def multimodal_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-MULTIMODAL_SNIFF_SQL = (
-    "WITH counts AS ("
-    + " UNION ALL ".join(
-        f"SELECT '{name}' AS true_type, count(*)::BIGINT AS n FROM documents"
-        f" WHERE {sel} AND doc_id < {SNIFF_CAP}"
-        for name, _b, sel in _SNIFF_BUILDERS
-    )
-    + """)
+def _sniff_oracle_sql() -> str:
+    """Per-type count pins from the builder selectors — regenerated
+    whenever a late kernel registers into _SNIFF_BUILDERS."""
+    return (
+        "WITH counts AS ("
+        + " UNION ALL ".join(
+            f"SELECT '{name}' AS true_type, count(*)::BIGINT AS n FROM documents"
+            f" WHERE {sel} AND doc_id < {SNIFF_CAP}"
+            for name, _b, sel in _SNIFF_BUILDERS
+        )
+        + """)
 SELECT true_type, n AS n_items, n AS sniffed_correct, n AS parsed_ok
 FROM counts
 """
-)
+    )
+
 
 QUERIES["multimodal_sniff_router"] = multimodal_sniff_router
-ORACLES["multimodal_sniff_router"] = MULTIMODAL_SNIFF_SQL
+ORACLES["multimodal_sniff_router"] = _sniff_oracle_sql()
 
 
 # --- Ogg page walk: lacing-value packet reassembly -------------------------------
@@ -4056,15 +4069,20 @@ def webp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         " + (doc_id % 2) * 268435456"
     )
     body_hex = F.concat(F.lit("2F"), F.expr(_le_hex_expr(packed, 4)))
-    # riff_size covers 'WEBP' + chunk header + body = 4 + 8 + 5 = 17
+    # riff_size covers 'WEBP' + chunk header + body + pad = 4 + 8 + 5 + 1
+    # = 18: RIFF chunks are padded to EVEN length, so the odd (5-byte)
+    # VP8L body carries a 0x00 pad byte that is NOT counted in the chunk
+    # size (still 5) but IS counted in the RIFF size — spec-conformant
+    # framing a strict RIFF walker would reject otherwise.
     payload = F.unhex(
         F.concat(
             F.lit("52494646"),                      # RIFF
-            F.expr(_le_hex_expr("17", 4)),          # riff size = 17
+            F.expr(_le_hex_expr("18", 4)),          # riff size = 18
             F.lit("57454250"),                      # WEBP
             F.lit("5650384C"),                      # VP8L
             F.expr(_le_hex_expr("5", 4)),           # chunk size = 5
             body_hex,
+            F.lit("00"),                            # RIFF even-length pad
         )
     )
     return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
@@ -4118,10 +4136,18 @@ SELECT doc_id AS media_id,
        CAST(doc_id % 1500 + 16 AS BIGINT) AS height,
        CAST(doc_id % 2 AS BIGINT) AS has_alpha,
        CAST(0 AS BIGINT) AS vp8l_version,
-       CAST(17 AS BIGINT) AS riff_size,
+       CAST(18 AS BIGINT) AS riff_size,
        'webp-stdlib' AS parser
 FROM documents WHERE doc_id % 4 = 0
 """
 
 QUERIES["multimodal_webp_vp8l"] = multimodal_webp_vp8l
 ORACLES["multimodal_webp_vp8l"] = MULTIMODAL_WEBP_SQL
+
+
+# Register the Ogg and WebP kernels with the sniff router (they were
+# built after it shipped) and regenerate its count-pin oracle so the
+# routed family is the full 15-kernel set.
+_SNIFF_BUILDERS.append(("ogg", ogg_table, "doc_id % 4 = 2"))
+_SNIFF_BUILDERS.append(("webp", webp_table, "doc_id % 4 = 0"))
+ORACLES["multimodal_sniff_router"] = _sniff_oracle_sql()

@@ -14,7 +14,12 @@ the sessionizer's open-session struct; each micro-batch closes any
 days its events step past and emits the closed days that alarm.  The
 final day stays open until a later event closes it (standard
 watermark-style completeness lag; the parity test compares against
-the batch operator on all closed days).
+the batch operator on all closed days).  A cross-batch straggler —
+an event whose day precedes the already-open day — can no longer be
+folded into any day's sum once its own day closed: it is dropped and
+counted in state (``n_late``), the same accounting a watermark would
+apply, so closed-day totals stay batch-identical and disorder beyond
+the completeness lag is observable rather than silently folded in.
 
 Python is justified as in the EWMA/sessionizer twins: a cross-batch
 per-group state transition Catalyst cannot express; state is O(1) per
@@ -48,6 +53,12 @@ STATE_SCHEMA = T.StructType(
         T.StructField("s", T.LongType()),
         T.StructField("open_day", T.LongType()),  # days since epoch
         T.StructField("open_sum", T.LongType()),
+        # cross-batch stragglers (event day < the already-open day)
+        # are DROPPED and counted here, never folded into the wrong
+        # day's sum — the closed-day series stays batch-identical on
+        # event-time-ordered input, and disorder is observable instead
+        # of silently misattributed:
+        T.StructField("n_late", T.LongType()),
     ]
 )
 
@@ -69,9 +80,9 @@ def _cusum_fn(
     cents = np.floor(events["value"].to_numpy() * 100 + 0.5).astype("int64")
 
     if state.exists:
-        s, open_day, open_sum = state.get
+        s, open_day, open_sum, n_late = state.get
     else:
-        s, open_day, open_sum = 0, None, 0
+        s, open_day, open_sum, n_late = 0, None, 0, 0
 
     out = []
     thr = _tdiv(target, CUSUM_H_DIV)
@@ -79,6 +90,11 @@ def _cusum_fn(
         d = int(d)
         if open_day is None:
             open_day, open_sum = d, 0
+        elif d < open_day:
+            # arrived after its day already closed (or after a later
+            # day opened) in an earlier micro-batch: drop + count
+            n_late += 1
+            continue
         elif d > open_day:
             s = max(0, s + (open_sum - target))
             if s > thr:
@@ -86,7 +102,14 @@ def _cusum_fn(
             open_day, open_sum = d, 0
         open_sum += int(c)
 
-    state.update((int(s), int(open_day) if open_day is not None else None, int(open_sum)))
+    state.update(
+        (
+            int(s),
+            int(open_day) if open_day is not None else None,
+            int(open_sum),
+            int(n_late),
+        )
+    )
     yield pd.DataFrame(
         [
             {

@@ -48,6 +48,10 @@ STATE_SCHEMA = T.StructType(
         T.StructField("nsae", T.LongType()),
         T.StructField("open_day", T.LongType()),
         T.StructField("open_cnt", T.LongType()),
+        # cross-batch stragglers (event day < the already-open day) are
+        # dropped + counted, not folded into the wrong day (see
+        # streaming/cusum.py for the contract):
+        T.StructField("n_late", T.LongType()),
     ]
 )
 
@@ -65,11 +69,11 @@ def _hw_fn(
     days = (events["ts"].astype("int64") // (86_400 * 10**9)).to_numpy()
 
     if state.exists:
-        warm, l, b, s, r, i, sae, nsae, open_day, open_cnt = state.get
+        warm, l, b, s, r, i, sae, nsae, open_day, open_cnt, n_late = state.get
         warm, s, r = list(warm), list(s), list(r)
     else:
         warm, l, b, s, r = [], 0, 0, [], []
-        i, sae, nsae, open_day, open_cnt = 0, 0, 0, None, 0
+        i, sae, nsae, open_day, open_cnt, n_late = 0, 0, 0, None, 0, 0
 
     def close_day(x: int):
         nonlocal l, b, s, r, i, sae, nsae, warm
@@ -97,6 +101,9 @@ def _hw_fn(
         d = int(d)
         if open_day is None:
             open_day, open_cnt = d, 0
+        elif d < open_day:
+            n_late += 1
+            continue
         elif d > open_day:
             close_day(open_cnt)
             open_day, open_cnt = d, 0
@@ -114,6 +121,7 @@ def _hw_fn(
             int(nsae),
             int(open_day) if open_day is not None else None,
             int(open_cnt),
+            int(n_late),
         )
     )
     if i < HW_PERIOD:

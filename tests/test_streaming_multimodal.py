@@ -937,3 +937,94 @@ def test_webp_vp8l_lsb_first_not_msb(spark):
         "vp8l_version": 0,
         "riff_size": 17,
     }
+
+
+class _FakeGroupState:
+    """Minimal stand-in for GroupState: exists/get/update only."""
+
+    def __init__(self, value=None):
+        self._value = value
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, value):
+        self._value = value
+
+
+def test_streaming_cusum_drops_cross_batch_stragglers():
+    """An event whose day precedes the already-open day (possible only
+    across micro-batches — within one batch events are sorted) must be
+    dropped and counted in state, never folded into the open day's sum."""
+    import pandas as pd
+
+    from iris_project_database_refresh_spark.streaming.cusum import _cusum_fn
+
+    def batch(rows):
+        return pd.DataFrame(
+            rows, columns=["event_type", "target", "event_id", "ts", "value"]
+        )
+
+    day_ns = 86_400 * 10**9
+    st = _FakeGroupState()
+    # batch 1: day 10 (closes) then day 11 opens
+    list(
+        _cusum_fn(
+            ("click", 100),
+            [batch([("click", 100, 1, pd.Timestamp(10 * day_ns), 5.0),
+                    ("click", 100, 2, pd.Timestamp(11 * day_ns), 7.0)])],
+            st,
+        )
+    )
+    s1, open_day1, open_sum1, n_late1 = st.get
+    assert (open_day1, open_sum1, n_late1) == (11, 700, 0)
+    # batch 2: a straggler for day 9 + a real day-11 event
+    list(
+        _cusum_fn(
+            ("click", 100),
+            [batch([("click", 100, 3, pd.Timestamp(9 * day_ns), 999.0),
+                    ("click", 100, 4, pd.Timestamp(11 * day_ns), 3.0)])],
+            st,
+        )
+    )
+    s2, open_day2, open_sum2, n_late2 = st.get
+    assert (open_day2, open_sum2) == (11, 1000)  # 700 + 300, straggler excluded
+    assert n_late2 == 1
+
+
+def test_streaming_holt_winters_drops_cross_batch_stragglers():
+    import pandas as pd
+
+    from iris_project_database_refresh_spark.streaming.holt_winters import _hw_fn
+
+    def batch(rows):
+        return pd.DataFrame(rows, columns=["event_type", "event_id", "ts"])
+
+    day_ns = 86_400 * 10**9
+    st = _FakeGroupState()
+    list(
+        _hw_fn(
+            ("click",),
+            [batch([("click", 1, pd.Timestamp(10 * day_ns)),
+                    ("click", 2, pd.Timestamp(11 * day_ns))])],
+            st,
+        )
+    )
+    *_, open_day1, open_cnt1, n_late1 = st.get
+    assert (open_day1, open_cnt1, n_late1) == (11, 1, 0)
+    list(
+        _hw_fn(
+            ("click",),
+            [batch([("click", 3, pd.Timestamp(9 * day_ns)),
+                    ("click", 4, pd.Timestamp(11 * day_ns))])],
+            st,
+        )
+    )
+    *_, open_day2, open_cnt2, n_late2 = st.get
+    assert (open_day2, open_cnt2) == (11, 2)
+    assert n_late2 == 1
