@@ -268,8 +268,9 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     Work is O(n²d) either way (it's exact all-pairs); memory per task
     is 2n/SIM_BLOCKS vectors, so SIM_BLOCKS scales the per-executor
     footprint down independently of corpus size — pick SIM_BLOCKS ≈
-    n·d·8B / per-task-memory. Replication factor is SIM_BLOCKS+1,
-    i.e. the standard √(#block-pairs) blow-up of blocked all-pairs.
+    n·d·8B / per-task-memory. Replication factor is exactly SIM_BLOCKS
+    ((B−k) a-roles + k b-roles per row of block k), i.e. the standard
+    √(#block-pairs) blow-up of blocked all-pairs.
     The sub-quadratic path at 100 TB remains knn_lsh/knn_ivf candidate
     generation; this operator is the exact-scoring backend.
     """

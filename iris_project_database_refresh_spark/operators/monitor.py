@@ -1256,3 +1256,110 @@ FROM ivm i JOIN fullv f ON f.c_nationkey = i.c_nationkey
 
 QUERIES["join_ivm_delta"] = join_ivm_delta
 ORACLES["join_ivm_delta"] = JOIN_IVM_SQL
+
+
+# --- vision-stage synthesis ledger ------------------------------------------------
+#
+# The page->markdown synthesis accounting of the reference's vision
+# stage (`catalog search - vision/stage2_process_vision.py:485
+# synthesize_vision_to_markdown`, `:594 process_pages_batch(
+# max_workers=3)`): every page of a document gets one vision call with
+# its own token usage; calls run in WAVES of three concurrent workers,
+# so stage wall-clock is the sum over waves of each wave's slowest
+# call — NOT the sum of page latencies; and the final markdown is
+# assembled in PAGE order regardless of completion order within a
+# wave.  The ledger pins all three semantics per document: wave count,
+# wave-max wall-clock, and the ordered-assembly digest
+# (md5 over the page-markdown digests concatenated in page order).
+#
+# Scale: one explode to page grain (bounded: <= 9 pages/doc), a
+# (doc, wave) partial agg, then a doc rollup — all map-side
+# combining; the ordered digest is a JVM higher-order transform over
+# a bounded sequence, no window and no Python.
+
+VISION_WAVE = 3  # max_workers in the reference's batch processor
+
+
+def vision_page_synthesis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", (F.col("doc_id") % 9 + 1).alias("n_pages")
+    )
+    pages = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1).cast("bigint"), F.col("n_pages"))).alias("p"),
+    ).select(
+        "doc_id",
+        F.expr(f"(p - 1) div {VISION_WAVE}").alias("wave"),
+        (F.lit(900) + (F.col("doc_id") * 7 + F.col("p") * 13) % 400).alias("pt"),
+        (F.lit(200) + (F.col("doc_id") * 11 + F.col("p") * 17) % 300).alias("ct"),
+        (F.lit(1000) + (F.col("doc_id") * 5 + F.col("p") * 19) % 2000).alias("lat_ms"),
+    )
+    waves = pages.groupBy("doc_id", "wave").agg(
+        F.sum("pt").alias("wpt"),
+        F.sum("ct").alias("wct"),
+        F.max("lat_ms").alias("wall_ms"),  # 3 workers: wave cost = slowest call
+    )
+    ledger = waves.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_waves"),
+        F.sum("wpt").cast("bigint").alias("total_prompt_tokens"),
+        F.sum("wct").cast("bigint").alias("total_completion_tokens"),
+        (F.sum("wpt") * 3 + F.sum("wct") * 15).cast("bigint").alias("cost_micro"),
+        F.sum("wall_ms").cast("bigint").alias("wall_ms"),
+    )
+    synth = docs.select(
+        "doc_id",
+        F.col("n_pages").cast("bigint").alias("n_pages"),
+        F.md5(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.sequence(F.lit(1).cast("bigint"), F.col("n_pages")),
+                    lambda p: F.md5(
+                        F.concat(
+                            F.col("doc_id").cast("string"),
+                            F.lit(":vp:"),
+                            p.cast("string"),
+                        )
+                    ),
+                ),
+            )
+        ).alias("synthesis_md5"),
+    )
+    return synth.join(ledger, "doc_id")
+
+
+VISION_SYNTH_SQL = f"""
+WITH docs AS (SELECT doc_id, doc_id % 9 + 1 AS n_pages FROM documents),
+pages AS (
+  SELECT doc_id, n_pages, p, (p - 1) // {VISION_WAVE} AS wave,
+         900 + (doc_id * 7 + p * 13) % 400 AS pt,
+         200 + (doc_id * 11 + p * 17) % 300 AS ct,
+         1000 + (doc_id * 5 + p * 19) % 2000 AS lat_ms
+  FROM docs, unnest(generate_series(1, n_pages)) AS t(p)
+),
+waves AS (
+  SELECT doc_id, wave, sum(pt) AS wpt, sum(ct) AS wct, max(lat_ms) AS wall_ms
+  FROM pages GROUP BY doc_id, wave
+),
+ledger AS (
+  SELECT doc_id, count(*)::BIGINT AS n_waves,
+         CAST(sum(wpt) AS BIGINT) AS total_prompt_tokens,
+         CAST(sum(wct) AS BIGINT) AS total_completion_tokens,
+         CAST(sum(wpt) * 3 + sum(wct) * 15 AS BIGINT) AS cost_micro,
+         CAST(sum(wall_ms) AS BIGINT) AS wall_ms
+  FROM waves GROUP BY doc_id
+),
+synth AS (
+  SELECT doc_id, CAST(n_pages AS BIGINT) AS n_pages,
+         md5(string_agg(md5(doc_id::VARCHAR || ':vp:' || p::VARCHAR), '' ORDER BY p))
+           AS synthesis_md5
+  FROM pages GROUP BY doc_id, n_pages
+)
+SELECT s.doc_id, s.n_pages, s.synthesis_md5,
+       l.n_waves, l.total_prompt_tokens, l.total_completion_tokens,
+       l.cost_micro, l.wall_ms
+FROM synth s JOIN ledger l ON l.doc_id = s.doc_id
+"""
+
+QUERIES["vision_page_synthesis"] = vision_page_synthesis
+ORACLES["vision_page_synthesis"] = VISION_SYNTH_SQL

@@ -3870,9 +3870,13 @@ ORACLES["multimodal_sniff_router"] = _sniff_oracle_sql()
 # of them straddling the 255 boundary with remainder media_id % 50
 # (remainder 0 exercises the zero-lacing edge); granule positions and
 # the bitstream serial are little-endian 64/32-bit fields the parser
-# must byte-swap. Page CRCs are planted zero (the kernel grades
-# structure-walking; Ogg's bespoke CRC-32 polynomial is noted, not
-# verified — same convention as the TAR checksum note).
+# must byte-swap. Page CRCs are REAL: Ogg uses its own CRC-32 —
+# polynomial 0x04C11DB7 applied MSB-first (non-reflected), init 0, no
+# final xor, over the whole page with the CRC field zeroed — which is
+# NOT zlib's reflected crc32, so F.crc32 cannot plant it; instead the
+# plant computes it JVM-side as an F.aggregate byte fold against the
+# 256-entry table and the kernel re-verifies every page (every 7th
+# doc plants page 2's CRC one bit off, counted in crc_bad).
 #
 # Scale: same contract as the sibling kernels — Arrow-batched
 # mapInPandas, payloads never reach the driver, oracle recomputes
@@ -3888,9 +3892,34 @@ OGG_SCHEMA = T.StructType(
         T.StructField("body_bytes", T.LongType()),
         T.StructField("bos_ok", T.LongType()),
         T.StructField("eos_ok", T.LongType()),
+        T.StructField("crc_bad", T.LongType()),
         T.StructField("parser", T.StringType()),
     ]
 )
+
+
+def _ogg_crc_table() -> list[int]:
+    """The Ogg CRC-32 lookup table: poly 0x04C11DB7, MSB-first."""
+    tab = []
+    for i in range(256):
+        r = i << 24
+        for _ in range(8):
+            if r & 0x80000000:
+                r = ((r << 1) ^ 0x04C11DB7) & 0xFFFFFFFF
+            else:
+                r = (r << 1) & 0xFFFFFFFF
+        tab.append(r)
+    return tab
+
+
+_OGG_CRC_TAB = _ogg_crc_table()
+
+
+def _ogg_crc(data: bytes) -> int:
+    crc = 0
+    for b in data:
+        crc = ((crc << 8) & 0xFFFFFFFF) ^ _OGG_CRC_TAB[((crc >> 24) ^ b) & 0xFF]
+    return crc
 
 
 def _le_hex_expr(val_expr: str, n_bytes: int) -> str:
@@ -3940,8 +3969,66 @@ def ogg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("01" + "05"),
         F.expr("repeat('AB', 5)"),
     )
-    payload = F.unhex(F.concat(page1, page2, page3))
-    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+    # plant REAL page CRCs: project the zero-CRC page hexes, fold each
+    # page's bytes through the Ogg table JVM-side, then splice the LE
+    # CRC into hex chars 45-52 (byte offset 22). Hexes and byte arrays
+    # are materialized as columns BEFORE the lambdas reference them —
+    # compound expressions inside higher-order lambdas re-evaluate per
+    # element.
+    tab_sql = "array(" + ",".join(f"{v}L" for v in _OGG_CRC_TAB) + ")"
+    staged = docs.select(
+        "doc_id", page1.alias("h1"), page2.alias("h2"), page3.alias("h3")
+    )
+    staged = staged.select(
+        "doc_id",
+        "h1",
+        "h2",
+        "h3",
+        *[
+            F.expr(
+                f"transform(sequence(1, length(h{k}) div 2), i -> "
+                f"cast(conv(substring(h{k}, (i-1)*2+1, 2), 16, 10) as bigint))"
+            ).alias(f"b{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    staged = staged.select(
+        "doc_id",
+        "h1",
+        "h2",
+        "h3",
+        *[
+            F.expr(
+                f"aggregate(b{k}, 0L, (crc, b) -> "
+                f"((crc * 256L) % 4294967296L) ^ "
+                f"element_at({tab_sql}, cast(((crc div 16777216L) ^ b) % 256 + 1 as int)))"
+            ).alias(f"crc{k}")
+            for k in (1, 2, 3)
+        ],
+    )
+    # every 7th doc: page 2's stored CRC one bit off (kernel must count it)
+    staged = staged.withColumn(
+        "crc2",
+        F.when(F.col("doc_id") % 7 == 0, F.expr("crc2 ^ 1L")).otherwise(F.col("crc2")),
+    )
+
+    def splice(h: str, crc: str):
+        le = F.concat(
+            *[
+                F.format_string(
+                    "%02X", F.expr(f"cast(({crc} div {256 ** i}) % 256 as int)")
+                )
+                for i in range(4)
+            ]
+        )
+        return F.concat(
+            F.substring(F.col(h), 1, 44), le, F.expr(f"substring({h}, 53)")
+        )
+
+    payload = F.unhex(
+        F.concat(splice("h1", "crc1"), splice("h2", "crc2"), splice("h3", "crc3"))
+    )
+    return staged.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
 
 
 def parse_ogg(payload: bytes) -> dict | None:
@@ -3950,7 +4037,7 @@ def parse_ogg(payload: bytes) -> dict | None:
     if len(payload) < 27 or payload[:4] != b"OggS":
         return None
     pos = 0
-    n_pages = n_packets = body_bytes = 0
+    n_pages = n_packets = body_bytes = crc_bad = 0
     serial = granule = None
     first_flags = last_flags = 0
     while pos + 27 <= len(payload):
@@ -3974,6 +4061,12 @@ def parse_ogg(payload: bytes) -> dict | None:
         if n_pages == 0:
             first_flags = flags
         last_flags = flags
+        # Ogg CRC-32 (0x04C11DB7, MSB-first, init 0) over the full page
+        # with the CRC field zeroed:
+        page = payload[pos : pos + 27 + nseg + blen]
+        stored_crc = int.from_bytes(page[22:26], "little")
+        if _ogg_crc(page[:22] + b"\x00\x00\x00\x00" + page[26:]) != stored_crc:
+            crc_bad += 1
         n_pages += 1
         pos += 27 + nseg + blen
     if pos != len(payload):
@@ -3986,6 +4079,7 @@ def parse_ogg(payload: bytes) -> dict | None:
         "body_bytes": body_bytes,
         "bos_ok": 1 if first_flags & 0x02 else 0,
         "eos_ok": 1 if last_flags & 0x04 else 0,
+        "crc_bad": crc_bad,
     }
 
 
@@ -4023,6 +4117,7 @@ SELECT doc_id AS media_id,
          AS body_bytes,
        CAST(1 AS BIGINT) AS bos_ok,
        CAST(1 AS BIGINT) AS eos_ok,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS crc_bad,
        'ogg-stdlib' AS parser
 FROM documents WHERE doc_id % 4 = 2
 """
@@ -4151,3 +4246,634 @@ ORACLES["multimodal_webp_vp8l"] = MULTIMODAL_WEBP_SQL
 _SNIFF_BUILDERS.append(("ogg", ogg_table, "doc_id % 4 = 2"))
 _SNIFF_BUILDERS.append(("webp", webp_table, "doc_id % 4 = 0"))
 ORACLES["multimodal_sniff_router"] = _sniff_oracle_sql()
+
+
+# --- PDF text extraction: content-stream BT/Tj/TJ/ET walk ------------------------
+#
+# Sixteenth kernel — the CONTENT half of the reference's pdf -> markdown
+# stage (`semantic search - ey prep/stage_00_pdf_to_markdown.py`;
+# `catalog search/stage2_process_documents.py:331
+# analyze_document_with_di` both consume per-page TEXT, not structure;
+# the sibling `multimodal_pdf_xref` covers the structural half).  The
+# kernel navigates trailer -> /Root -> /Pages -> /Kids and extracts
+# text from each page's uncompressed content stream by executing the
+# text operators: `(literal) Tj` with PDF escapes (\( \) \\ and octal
+# \ddd), `<hex> Tj`, and `[(s) kern (s)] TJ` arrays whose numeric
+# elements are kerning adjustments.  Three pitfalls are planted:
+# (1) page objects are stored in REVERSE file order while /Kids lists
+# logical order — a parser that concatenates streams in file order
+# gets the page order (and the md5) wrong on every multi-page doc;
+# (2) the TJ array opens with an octal-escaped literal and embeds an
+# escaped ')' mid-string — naive paren-splitting truncates it;
+# (3) every 7th doc plants /Length one byte high on page 0's stream —
+# counted, and extraction must key off the stream/endstream delimiters
+# rather than trusting /Length.
+#
+# Scale: same contract as the sibling kernels — Arrow-batched
+# mapInPandas, payloads never reach the driver, and the oracle
+# recomputes every field (including the extracted-text md5) purely
+# arithmetically from the plant parameters.
+
+_PDF_TEXT_MARKS = {p: f"PDFTEXTMARKPAGE{p}" + "X" * 16 for p in range(3)}
+
+
+def _pdf_text_stream(p: int) -> str:
+    """The page-p content stream (fixed width: mark is 32 chars, font
+    names /F1 and /F2 are the same width)."""
+    font = "/F1 12 Tf" if p % 2 == 0 else "/F2 10 Tf"
+    return (
+        "BT\n"
+        f"{font}\n"
+        "72 720 Td\n"
+        f"(Page {_PDF_TEXT_MARKS[p]}) Tj\n"
+        "0 -14 Td\n"
+        "[(\\101B) -250 (C\\)D) 180 (E)] TJ\n"
+        "<414243> Tj\n"
+        "ET"
+    )
+
+
+def _pdf_text_skeleton(n_pages: int, corrupt_len: bool) -> str:
+    """Full PDF with per-page text streams; page/content objects are
+    written in REVERSE page order while /Kids stays logical order."""
+    stream_len = len(_pdf_text_stream(0))
+    assert len(str(stream_len)) == len(str(stream_len + 1))  # fixed-width corrupt
+    objs: list[tuple[int, str]] = []
+    objs.append((1, "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"))
+    kids = " ".join(f"{3 + 2 * p} 0 R" for p in range(n_pages))
+    objs.append(
+        (2, f"2 0 obj\n<< /Type /Pages /Count {n_pages} /Kids [{kids}] >>\nendobj\n")
+    )
+    for p in reversed(range(n_pages)):  # REVERSE file order
+        objs.append(
+            (
+                3 + 2 * p,
+                f"{3 + 2 * p} 0 obj\n<< /Type /Page /Parent 2 0 R "
+                f"/Contents {4 + 2 * p} 0 R >>\nendobj\n",
+            )
+        )
+        stored = stream_len + (1 if (corrupt_len and p == 0) else 0)
+        objs.append(
+            (
+                4 + 2 * p,
+                f"{4 + 2 * p} 0 obj\n<< /Length {stored} >>\nstream\n"
+                f"{_pdf_text_stream(p)}\nendstream\nendobj\n",
+            )
+        )
+    header = "%PDF-1.4\n"
+    pos = len(header)
+    offsets: dict[int, int] = {}
+    for num, o in objs:
+        offsets[num] = pos
+        pos += len(o)
+    xref_at = pos
+    n_obj = len(objs) + 1
+    xref = f"xref\n0 {n_obj}\n" + "0000000000 65535 f \n"
+    for num in sorted(offsets):
+        xref += f"{offsets[num]:010d} 00000 n \n"
+    trailer = f"trailer\n<< /Size {n_obj} /Root 1 0 R >>\nstartxref\n{xref_at}\n%%EOF"
+    return header + "".join(o for _n, o in objs) + xref + trailer
+
+
+_PDF_TEXT_TEMPLATES = {
+    (n, c): _pdf_text_skeleton(n, c) for n in (1, 2, 3) for c in (False, True)
+}
+
+
+def pdf_text_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): text-bearing PDFs; per-doc per-page text is
+    spliced into the fixed-width mark slots."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 5)
+    n = F.col("doc_id") % 3 + 1
+    bad = F.col("doc_id") % 7 == 0
+    tmpl = None
+    for np in (1, 2, 3):
+        for c in (False, True):
+            t = F.lit(_PDF_TEXT_TEMPLATES[(np, c)])
+            cond = (n == np) & (bad if c else ~bad)
+            tmpl = t if tmpl is None else F.when(cond, t).otherwise(tmpl)
+    for p in range(3):
+        mark = F.md5(
+            F.concat(F.col("doc_id").cast("string"), F.lit(f":pdftext:{p}"))
+        )
+        tmpl = F.replace(tmpl, F.lit(_PDF_TEXT_MARKS[p]), mark)
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.encode(tmpl, "utf-8").alias("payload")
+    )
+
+
+def _pdf_unescape(body: str) -> str:
+    """PDF string-literal unescape: \\( \\) \\\\ \\n \\r \\t and octal \\ddd."""
+    out = []
+    i = 0
+    while i < len(body):
+        ch = body[i]
+        if ch != "\\":
+            out.append(ch)
+            i += 1
+            continue
+        i += 1
+        if i >= len(body):
+            break
+        nxt = body[i]
+        if nxt.isdigit():
+            oct_digits = body[i : i + 3]
+            k = 0
+            while k < len(oct_digits) and oct_digits[k].isdigit():
+                k += 1
+            out.append(chr(int(body[i : i + k], 8)))
+            i += k
+        else:
+            out.append({"n": "\n", "r": "\r", "t": "\t"}.get(nxt, nxt))
+            i += 1
+    return "".join(out)
+
+
+def _pdf_text_tokens(stream: str):
+    """Walk a content stream, yielding ('str', text) / ('num', v) /
+    ('op', name) tokens with escape-aware literal scanning."""
+    i = 0
+    n = len(stream)
+    while i < n:
+        ch = stream[i]
+        if ch == "(":
+            j = i + 1
+            buf = []
+            while j < n:
+                if stream[j] == "\\":
+                    buf.append(stream[j : j + 2])
+                    j += 2
+                    continue
+                if stream[j] == ")":
+                    break
+                buf.append(stream[j])
+                j += 1
+            yield ("str", _pdf_unescape("".join(buf)))
+            i = j + 1
+        elif ch == "<":
+            j = stream.index(">", i)
+            hx = stream[i + 1 : j]
+            yield ("str", bytes.fromhex(hx).decode("latin-1"))
+            i = j + 1
+        elif ch in "-0123456789":
+            j = i
+            while j < n and stream[j] in "-0123456789.":
+                j += 1
+            yield ("num", float(stream[i:j]))
+            i = j
+        elif ch.isalpha() or ch == "/" or ch == "'":
+            j = i
+            while j < n and not stream[j].isspace() and stream[j] not in "()<>[]":
+                j += 1
+            yield ("op", stream[i:j])
+            i = j
+        else:
+            i += 1  # whitespace, [ ]
+
+
+def parse_pdf_text(payload: bytes) -> dict | None:
+    """trailer -> /Root -> /Pages -> /Kids walk, then per-page text-
+    operator execution over the uncompressed content streams."""
+    import hashlib
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    text = payload.decode("latin-1")
+    root = re.search(r"/Root\s+(\d+)\s+0\s+R", text)
+    if not root:
+        return None
+
+    def obj_body(num: int) -> str | None:
+        m = re.search(rf"(?<![0-9]){num} 0 obj\n(.*?)endobj\n", text, re.S)
+        return m.group(1) if m else None
+
+    catalog = obj_body(int(root.group(1)))
+    if catalog is None:
+        return None
+    pages_ref = re.search(r"/Pages\s+(\d+)\s+0\s+R", catalog)
+    pages = obj_body(int(pages_ref.group(1)))
+    kids = re.search(r"/Kids\s*\[([^\]]*)\]", pages)
+    kid_nums = [int(k) for k in re.findall(r"(\d+)\s+0\s+R", kids.group(1))]
+
+    n_text_ops = n_td = length_bad = 0
+    kern_sum = 0.0
+    fonts = set()
+    page_texts = []
+    for kid in kid_nums:
+        page = obj_body(kid)
+        cref = re.search(r"/Contents\s+(\d+)\s+0\s+R", page)
+        cbody = obj_body(int(cref.group(1)))
+        stored_len = int(re.search(r"/Length\s+(\d+)", cbody).group(1))
+        sm = re.search(r"stream\n(.*?)\nendstream", cbody, re.S)
+        stream = sm.group(1)
+        if stored_len != len(stream):
+            length_bad += 1
+        buf = []
+        pending: list[str] = []
+        for kind, val in _pdf_text_tokens(stream):
+            if kind == "str":
+                pending.append(val)
+            elif kind == "num":
+                pending.append(val)
+            elif kind == "op":
+                if val == "Tj":
+                    buf.extend(str(s) for s in pending if isinstance(s, str))
+                    n_text_ops += 1
+                elif val == "TJ":
+                    for item in pending:
+                        if isinstance(item, str):
+                            buf.append(item)
+                        else:
+                            kern_sum += item
+                    n_text_ops += 1
+                elif val == "Td":
+                    n_td += 1
+                elif val == "Tf":
+                    fonts.add(pending[0] if pending and isinstance(pending[0], str) else "")
+                pending = []
+        # fonts arrive as /F1-style name tokens (ops), not strings — track
+        # them from the token stream directly:
+        fonts.update(m for m in re.findall(r"/F\d+", stream))
+        page_texts.append("".join(buf))
+    doc_text = "\n".join(page_texts)
+    return {
+        "n_pages": len(kid_nums),
+        "n_text_ops": n_text_ops,
+        "n_td": n_td,
+        "n_fonts": len([f for f in fonts if f.startswith("/F")]),
+        "kern_sum": int(kern_sum),
+        "length_bad": length_bad,
+        "total_chars": len(doc_text) - (len(page_texts) - 1),  # exclude joiners
+        "text_md5": hashlib.md5(doc_text.encode()).hexdigest(),
+    }
+
+
+PDF_TEXT_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_pages", T.LongType()),
+        T.StructField("n_text_ops", T.LongType()),
+        T.StructField("n_td", T.LongType()),
+        T.StructField("n_fonts", T.LongType()),
+        T.StructField("kern_sum", T.LongType()),
+        T.StructField("length_bad", T.LongType()),
+        T.StructField("total_chars", T.LongType()),
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def multimodal_pdf_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched PDF content-stream text extraction."""
+    pdfs = pdf_text_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_pdf_text(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {"media_id": int(mid), **parsed, "parser": "pdftext-stdlib"}
+                    )
+                cols = [f.name for f in PDF_TEXT_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "text_md5")}
+                )
+
+    return pdfs.mapInPandas(fn, PDF_TEXT_SCHEMA)
+
+
+# per-page extracted text: 'Page ' + 32-char md5 + TJ pieces + hex Tj
+_PDF_TEXT_PAGE_SQL = (
+    "'Page ' || md5(doc_id::VARCHAR || ':pdftext:' || {p}) || 'ABC)DEABC'"
+)
+
+MULTIMODAL_PDF_TEXT_SQL = f"""
+SELECT doc_id AS media_id,
+       CAST(doc_id % 3 + 1 AS BIGINT) AS n_pages,
+       CAST(3 * (doc_id % 3 + 1) AS BIGINT) AS n_text_ops,
+       CAST(2 * (doc_id % 3 + 1) AS BIGINT) AS n_td,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_fonts,
+       CAST(-70 * (doc_id % 3 + 1) AS BIGINT) AS kern_sum,
+       CAST(CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS BIGINT) AS length_bad,
+       CAST(46 * (doc_id % 3 + 1) AS BIGINT) AS total_chars,
+       md5(CASE doc_id % 3
+           WHEN 0 THEN {_PDF_TEXT_PAGE_SQL.format(p=0)}
+           WHEN 1 THEN {_PDF_TEXT_PAGE_SQL.format(p=0)} || chr(10) || {_PDF_TEXT_PAGE_SQL.format(p=1)}
+           ELSE {_PDF_TEXT_PAGE_SQL.format(p=0)} || chr(10) || {_PDF_TEXT_PAGE_SQL.format(p=1)}
+                || chr(10) || {_PDF_TEXT_PAGE_SQL.format(p=2)}
+           END) AS text_md5,
+       'pdftext-stdlib' AS parser
+FROM documents WHERE doc_id % 6 = 5
+"""
+
+QUERIES["multimodal_pdf_text"] = multimodal_pdf_text
+ORACLES["multimodal_pdf_text"] = MULTIMODAL_PDF_TEXT_SQL
+
+
+# --- OOXML content parse: word/document.xml + xl/worksheets/sheet1.xml ----------
+#
+# Seventeenth kernel — the CONTENT grain of the reference's docx/xlsx
+# preps (`catalog search - docx prep/docx_to_pdf_prep.py`,
+# `catalog search - excel prep/excel_to_pdf_prep.py` convert document
+# CONTENT; `multimodal_zip_central_dir` already covers the PK
+# container walk).  Planted payloads are REAL zips (stored entries,
+# true CRC-32s via F.crc32) holding real OOXML parts: docx docs carry
+# `word/document.xml` (w:p paragraphs × w:r runs × w:t text), xlsx
+# docs carry `xl/worksheets/sheet1.xml` (dimension ref + rows of an
+# sst-indexed A column and a numeric B column) plus
+# `xl/sharedStrings.xml`.  The kernel opens the container with
+# stdlib zipfile (which re-verifies each CRC on read) and walks the
+# XML with a namespace-agnostic element walk.  Pitfalls planted:
+# every 9th xlsx references one shared string OUT OF RANGE (resolved
+# as #REF! and counted — Excel's own behavior), and every 11th xlsx
+# declares a dimension ref one row SHORT of the actual sheetData (a
+# reader that trusts /dimension instead of walking rows truncates).
+#
+# Scale: same contract as the sibling kernels; the oracle recomputes
+# every field — including the md5 of the extracted document text /
+# resolved cell grid — arithmetically from the plant parameters.
+
+_OOXML_W_NS = "http://schemas.openxmlformats.org/wordprocessingml/2006/main"
+_OOXML_S_NS = "http://schemas.openxmlformats.org/spreadsheetml/2006/main"
+_OOXML_MAX_P = 4   # docx paragraphs: doc_id % 4 + 1
+_OOXML_MAX_R = 9   # xlsx rows: doc_id % 7 + 2 (2..8, single-digit refs)
+
+
+def _ooxml_zip(entries) -> "F.Column":
+    """Hex of a stored-entry zip from [(name, data_str_col), ...]."""
+    locals_hex, centrals_hex = [], []
+    offset = F.lit(0).cast("bigint")
+    local_sizes = []
+    for name, data in entries:
+        crc = F.crc32(F.encode(data, "UTF-8"))
+        dlen = F.length(data).cast("bigint")
+        nlen = len(name)
+        locals_hex.append(
+            F.concat(
+                F.lit("504B0304" + "1400" + "0000" + "0000" + "00000000"),
+                _le32(crc), _le32(dlen), _le32(dlen), _le16(F.lit(nlen).cast("bigint")),
+                F.lit("0000"), F.hex(F.lit(name)), F.hex(data),
+            )
+        )
+        centrals_hex.append(
+            F.concat(
+                F.lit("504B0102" + "1400" + "1400" + "0000" + "0000" + "00000000"),
+                _le32(crc), _le32(dlen), _le32(dlen), _le16(F.lit(nlen).cast("bigint")),
+                F.lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+                _le32(offset), F.hex(F.lit(name)),
+            )
+        )
+        local_sizes.append(F.lit(30 + nlen).cast("bigint") + dlen)
+        offset = offset + local_sizes[-1]
+    cd_offset = offset
+    cd_size = F.lit(sum(46 + len(n) for n, _d in entries)).cast("bigint")
+    n = F.lit(len(entries)).cast("bigint")
+    eocd = F.concat(
+        F.lit("504B0506" + "0000" + "0000"), _le16(n), _le16(n),
+        _le32(cd_size), _le32(cd_offset), F.lit("0000"),
+    )
+    return F.concat(*locals_hex, *centrals_hex, eocd)
+
+
+def ooxml_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): alternating docx / xlsx containers."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 3)
+    is_docx = F.col("doc_id") % 2 == 0
+    did = F.col("doc_id").cast("string")
+
+    # docx: n_p paragraphs, 2 runs each (16+16 chars of the paragraph md5)
+    n_p = F.col("doc_id") % 4 + 1
+    paras = []
+    for p in range(_OOXML_MAX_P):
+        t = F.md5(F.concat(did, F.lit(f":dx{p}")))
+        seg = F.concat(
+            F.lit("<w:p><w:r><w:t>"), F.substring(t, 1, 16),
+            F.lit("</w:t></w:r><w:r><w:t>"), F.substring(t, 17, 16),
+            F.lit("</w:t></w:r></w:p>"),
+        )
+        paras.append(F.when(n_p > p, seg).otherwise(F.lit("")))
+    document_xml = F.concat(
+        F.lit(f'<?xml version="1.0"?><w:document xmlns:w="{_OOXML_W_NS}"><w:body>'),
+        *paras,
+        F.lit("</w:body></w:document>"),
+    )
+
+    # xlsx: n_rows rows; A column = shared-string ref, B column = number
+    n_rows = F.col("doc_id") % 7 + 2
+    bad_sst = F.col("doc_id") % 9 == 0
+    dim_short = F.col("doc_id") % 11 == 0
+    dim_n = F.when(dim_short, n_rows - 1).otherwise(n_rows)
+    rows = []
+    sis = []
+    for r in range(1, _OOXML_MAX_R):
+        idx = F.when(bad_sst & (F.lit(r) == 1), n_rows).otherwise(F.lit(r - 1))
+        v = (F.lit(10000) + (F.col("doc_id") * 31 + r) % 80000).cast("bigint")
+        seg = F.concat(
+            F.lit(f'<row r="{r}"><c r="A{r}" t="s"><v>'), idx.cast("string"),
+            F.lit(f'</v></c><c r="B{r}"><v>'), v.cast("string"),
+            F.lit("</v></c></row>"),
+        )
+        rows.append(F.when(n_rows >= r, seg).otherwise(F.lit("")))
+        si = F.concat(
+            F.lit(f"<si><t>S{r - 1}_"),
+            F.substring(F.md5(F.concat(did, F.lit(f":ss{r - 1}"))), 1, 12),
+            F.lit("</t></si>"),
+        )
+        sis.append(F.when(n_rows >= r, si).otherwise(F.lit("")))
+    sheet_xml = F.concat(
+        F.lit(f'<?xml version="1.0"?><worksheet xmlns="{_OOXML_S_NS}">'),
+        F.lit('<dimension ref="A1:B'), dim_n.cast("string"), F.lit('"/><sheetData>'),
+        *rows,
+        F.lit("</sheetData></worksheet>"),
+    )
+    sst_xml = F.concat(
+        F.lit(f'<?xml version="1.0"?><sst xmlns="{_OOXML_S_NS}" count="'),
+        n_rows.cast("string"), F.lit('" uniqueCount="'), n_rows.cast("string"),
+        F.lit('">'), *sis, F.lit("</sst>"),
+    )
+
+    docx_hex = _ooxml_zip([("word/document.xml", document_xml)])
+    xlsx_hex = _ooxml_zip(
+        [("xl/worksheets/sheet1.xml", sheet_xml), ("xl/sharedStrings.xml", sst_xml)]
+    )
+    payload = F.unhex(F.when(is_docx, docx_hex).otherwise(xlsx_hex))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+def _local(tag: str) -> str:
+    return tag.rsplit("}", 1)[-1]
+
+
+def parse_ooxml(payload: bytes) -> dict | None:
+    """zipfile container open (CRC re-verified on read) + namespace-
+    agnostic OOXML content walk; None for non-zip bytes."""
+    import hashlib
+    import io
+    import re
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    if payload[:4] != b"PK\x03\x04":
+        return None
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    names = set(zf.namelist())
+    out = {
+        "n_entries": len(names),
+        "n_paragraphs": 0, "n_runs": 0, "text_chars": 0,
+        "n_rows": 0, "n_cells": 0, "n_shared_strings": 0,
+        "bad_sst_refs": 0, "dim_ok": 1,
+    }
+    if "word/document.xml" in names:
+        root = ET.fromstring(zf.read("word/document.xml"))
+        texts = []
+        for el in root.iter():
+            tag = _local(el.tag)
+            if tag == "p":
+                out["n_paragraphs"] += 1
+            elif tag == "r":
+                out["n_runs"] += 1
+            elif tag == "t":
+                texts.append(el.text or "")
+        doc_text = "".join(texts)
+        out["text_chars"] = len(doc_text)
+        return {
+            "kind": "docx",
+            **out,
+            "content_md5": hashlib.md5(doc_text.encode()).hexdigest(),
+        }
+    if "xl/worksheets/sheet1.xml" in names:
+        sst = []
+        if "xl/sharedStrings.xml" in names:
+            sroot = ET.fromstring(zf.read("xl/sharedStrings.xml"))
+            for si in sroot.iter():
+                if _local(si.tag) == "t":
+                    sst.append(si.text or "")
+        out["n_shared_strings"] = len(sst)
+        root = ET.fromstring(zf.read("xl/worksheets/sheet1.xml"))
+        dim_ref = None
+        grid = []
+        max_row = 0
+        for el in root.iter():
+            tag = _local(el.tag)
+            if tag == "dimension":
+                dim_ref = el.attrib.get("ref", "")
+            elif tag == "row":
+                out["n_rows"] += 1
+                max_row = max(max_row, int(el.attrib["r"]))
+            elif tag == "c":
+                out["n_cells"] += 1
+                v = el.find("{%s}v" % _OOXML_S_NS)
+                raw = v.text if v is not None else ""
+                if el.attrib.get("t") == "s":
+                    k = int(raw)
+                    if 0 <= k < len(sst):
+                        grid.append(sst[k])
+                    else:
+                        grid.append("#REF!")
+                        out["bad_sst_refs"] += 1
+                else:
+                    grid.append(raw)
+        m = re.fullmatch(r"A1:([A-Z])(\d+)", dim_ref or "")
+        out["dim_ok"] = 1 if (m and m.group(1) == "B" and int(m.group(2)) == max_row) else 0
+        return {
+            "kind": "xlsx",
+            **out,
+            "content_md5": hashlib.md5("".join(grid).encode()).hexdigest(),
+        }
+    return None
+
+
+OOXML_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("kind", T.StringType()),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("n_paragraphs", T.LongType()),
+        T.StructField("n_runs", T.LongType()),
+        T.StructField("text_chars", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_cells", T.LongType()),
+        T.StructField("n_shared_strings", T.LongType()),
+        T.StructField("bad_sst_refs", T.LongType()),
+        T.StructField("dim_ok", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def multimodal_ooxml_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched OOXML content walk over the planted containers."""
+    items = ooxml_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_ooxml(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {"media_id": int(mid), **parsed, "parser": "ooxml-stdlib"}
+                    )
+                cols = [f.name for f in OOXML_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "kind", "content_md5")}
+                )
+
+    return items.mapInPandas(fn, OOXML_SCHEMA)
+
+
+def _ooxml_oracle_sql() -> str:
+    # docx text = concat of the per-paragraph md5s
+    docx_md5 = "CASE doc_id % 4 " + " ".join(
+        f"WHEN {np - 1} THEN md5("
+        + " || ".join(f"md5(doc_id::VARCHAR || ':dx{p}')" for p in range(np))
+        + ")"
+        for np in (1, 2, 3, 4)
+    ) + " END"
+    # xlsx grid = concat over rows of (resolved A string + B number)
+    def cell(r):
+        resolved = (
+            f"CASE WHEN {r} = 1 AND doc_id % 9 = 0 THEN '#REF!' "
+            f"ELSE 'S{r - 1}_' || substr(md5(doc_id::VARCHAR || ':ss{r - 1}'), 1, 12) END"
+        )
+        return f"({resolved} || ((10000 + (doc_id * 31 + {r}) % 80000))::VARCHAR)"
+
+    xlsx_md5 = "CASE doc_id % 7 " + " ".join(
+        f"WHEN {n - 2} THEN md5(" + " || ".join(cell(r) for r in range(1, n + 1)) + ")"
+        for n in range(2, 9)
+    ) + " END"
+    return f"""
+SELECT doc_id AS media_id,
+       CASE WHEN doc_id % 2 = 0 THEN 'docx' ELSE 'xlsx' END AS kind,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 2 END AS BIGINT) AS n_entries,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN doc_id % 4 + 1 ELSE 0 END AS BIGINT) AS n_paragraphs,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 2 * (doc_id % 4 + 1) ELSE 0 END AS BIGINT) AS n_runs,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 32 * (doc_id % 4 + 1) ELSE 0 END AS BIGINT) AS text_chars,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 + 2 END AS BIGINT) AS n_rows,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE 2 * (doc_id % 7 + 2) END AS BIGINT) AS n_cells,
+       CAST(CASE WHEN doc_id % 2 = 0 THEN 0 ELSE doc_id % 7 + 2 END AS BIGINT) AS n_shared_strings,
+       CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 9 = 0 THEN 1 ELSE 0 END AS BIGINT) AS bad_sst_refs,
+       CAST(CASE WHEN doc_id % 2 = 1 AND doc_id % 11 = 0 THEN 0 ELSE 1 END AS BIGINT) AS dim_ok,
+       CASE WHEN doc_id % 2 = 0 THEN {docx_md5} ELSE {xlsx_md5} END AS content_md5,
+       'ooxml-stdlib' AS parser
+FROM documents WHERE doc_id % 5 = 3
+"""
+
+
+QUERIES["multimodal_ooxml_parse"] = multimodal_ooxml_parse
+ORACLES["multimodal_ooxml_parse"] = _ooxml_oracle_sql()

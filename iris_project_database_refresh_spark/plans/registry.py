@@ -218,6 +218,8 @@ _DRIVER_PRIORITY = [
     "search_rank_biased_overlap", "keyword_extract_textrank",
     "part_eoq_newsvendor", "table_format_cow_mor_plan",
     "knn_lsh_multiprobe", "multimodal_webp_vp8l",
+    # round-5 additions — never driver-checked by definition:
+    "multimodal_pdf_text", "multimodal_ooxml_parse", "vision_page_synthesis",
 ]
 
 

@@ -889,20 +889,23 @@ def test_sniff_media_disambiguates():
 
 
 def test_ogg_parser_rejects_junk_and_counts_zero_lacing(spark):
-    from iris_project_database_refresh_spark.operators.multimodal import parse_ogg
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _ogg_crc,
+        parse_ogg,
+    )
 
     assert parse_ogg(b"not an ogg stream") is None
     assert parse_ogg(b"OggS\x01" + b"\x00" * 30) is None  # bad version
     # 510-byte packet = lacing [255, 255, 0]: the zero byte terminates
-    page = (
+    hdr = (
         b"OggS\x00\x06"
         + (42).to_bytes(8, "little")
         + (7).to_bytes(4, "little")
         + (0).to_bytes(4, "little")
-        + (0).to_bytes(4, "little")
-        + bytes([3, 255, 255, 0])
-        + b"\xab" * 510
     )
+    tail = bytes([3, 255, 255, 0]) + b"\xab" * 510
+    crc = _ogg_crc(hdr + b"\x00\x00\x00\x00" + tail)
+    page = hdr + crc.to_bytes(4, "little") + tail
     got = parse_ogg(page)
     assert got == {
         "n_pages": 1,
@@ -912,6 +915,7 @@ def test_ogg_parser_rejects_junk_and_counts_zero_lacing(spark):
         "body_bytes": 510,
         "bos_ok": 1,
         "eos_ok": 1,
+        "crc_bad": 0,
     }
 
 
@@ -1028,3 +1032,95 @@ def test_streaming_holt_winters_drops_cross_batch_stragglers():
     *_, open_day2, open_cnt2, n_late2 = st.get
     assert (open_day2, open_cnt2) == (11, 2)
     assert n_late2 == 1
+
+
+def test_parse_pdf_text_kernel():
+    """Escape handling, Kids-order assembly, /Length verification, and
+    non-PDF rejection for the content-stream text extractor."""
+    import hashlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _PDF_TEXT_MARKS,
+        _PDF_TEXT_TEMPLATES,
+        parse_pdf_text,
+    )
+
+    assert parse_pdf_text(b"not a pdf") is None
+    marks = {p: hashlib.md5(f"m{p}".encode()).hexdigest() for p in range(3)}
+    t = _PDF_TEXT_TEMPLATES[(3, False)]
+    for p in range(3):
+        t = t.replace(_PDF_TEXT_MARKS[p], marks[p])
+    r = parse_pdf_text(t.encode())
+    # pages must come back in Kids order even though the file stores
+    # page objects reversed; each page text resolves every escape class
+    pages = [f"Page {marks[p]}ABC)DEABC" for p in range(3)]
+    assert r["text_md5"] == hashlib.md5("\n".join(pages).encode()).hexdigest()
+    assert r["n_pages"] == 3 and r["n_text_ops"] == 9 and r["n_td"] == 6
+    assert r["n_fonts"] == 2 and r["kern_sum"] == -210
+    assert r["length_bad"] == 0 and r["total_chars"] == 138
+    # corrupt-length variant: counted, text still extracted
+    t2 = _PDF_TEXT_TEMPLATES[(1, True)].replace(_PDF_TEXT_MARKS[0], marks[0])
+    r2 = parse_pdf_text(t2.encode())
+    assert r2["length_bad"] == 1
+    assert r2["text_md5"] == hashlib.md5(pages[0].encode()).hexdigest()
+
+
+def test_parse_ooxml_kernel(spark):
+    """docx paragraph/run walk, xlsx sst resolution incl. #REF! and the
+    short-dimension pitfall, and non-zip rejection."""
+    import hashlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        ooxml_table,
+        parse_ooxml,
+    )
+
+    assert parse_ooxml(b"PK\x05\x06 not really") is None
+    rows = (
+        ooxml_table(spark, SF_CORRECT)
+        .where("media_id IN (8, 63, 33, 13)")  # docx / xlsx(bad sst) / xlsx(dim) / xlsx
+        .collect()
+    )
+    by_id = {r.media_id: parse_ooxml(bytes(r.payload)) for r in rows}
+    d = by_id[8]  # docx: n_p = 8%4+1 = 1
+    assert d["kind"] == "docx" and d["n_paragraphs"] == 1 and d["n_runs"] == 2
+    assert d["text_chars"] == 32
+    assert d["content_md5"] == hashlib.md5(
+        hashlib.md5(b"8:dx0").hexdigest().encode()
+    ).hexdigest()
+    x = by_id[63]  # xlsx, doc 63 % 9 == 0 -> row 1's sst ref out of range
+    assert x["kind"] == "xlsx" and x["bad_sst_refs"] == 1 and x["dim_ok"] == 1
+    assert x["n_rows"] == 63 % 7 + 2 and x["n_cells"] == 2 * x["n_rows"]
+    x2 = by_id[33]  # 33 % 11 == 0 -> dimension one row short
+    assert x2["dim_ok"] == 0 and x2["bad_sst_refs"] == 0
+    x3 = by_id[13]
+    assert x3["dim_ok"] == 1 and x3["bad_sst_refs"] == 0
+    # grid md5: resolved sst text + B values in row order
+    n = 13 % 7 + 2
+    grid = "".join(
+        f"S{r - 1}_" + hashlib.md5(f"13:ss{r - 1}".encode()).hexdigest()[:12]
+        + str(10000 + (13 * 31 + r) % 80000)
+        for r in range(1, n + 1)
+    )
+    assert x3["content_md5"] == hashlib.md5(grid.encode()).hexdigest()
+
+
+def test_ogg_crc_verification():
+    """The bespoke Ogg CRC-32 (0x04C11DB7 MSB-first, init 0) must catch
+    a single flipped bit in a stored page CRC."""
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _ogg_crc,
+        parse_ogg,
+    )
+
+    # one BOS page, one packet of 3 bytes
+    hdr = b"OggS" + b"\x00\x02" + (0).to_bytes(8, "little") + (7).to_bytes(4, "little")
+    hdr += (0).to_bytes(4, "little")
+    body = b"\x01\x03" + b"abc"  # nseg=1, lacing [3], body 'abc'
+    page_zero = hdr + b"\x00\x00\x00\x00" + body
+    crc = _ogg_crc(page_zero)
+    page = hdr + crc.to_bytes(4, "little") + body
+    good = parse_ogg(page)
+    assert good["crc_bad"] == 0 and good["n_packets"] == 1 and good["body_bytes"] == 3
+    bad_page = hdr + (crc ^ 1).to_bytes(4, "little") + body
+    assert parse_ogg(bad_page)["crc_bad"] == 1
