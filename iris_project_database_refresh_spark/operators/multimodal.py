@@ -3991,6 +3991,11 @@ def ogg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"b{k}")
             for k in (1, 2, 3)
         ],
+        # the 256-entry CRC table is materialized ONCE per row here —
+        # inlining it in the fold lambda rebuilds the array literal per
+        # BYTE under interpreted evaluation (~550×256 ops/page, a 9x
+        # bench regression when first measured):
+        F.expr(tab_sql).alias("oggtab"),
     )
     staged = staged.select(
         "doc_id",
@@ -3999,9 +4004,12 @@ def ogg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         "h3",
         *[
             F.expr(
+                # shiftleft(crc & 0xFFFFFF, 8) == (crc*256) mod 2^32 and
+                # shiftright(crc, 24) is already < 256 — shift/mask keep
+                # the interpreted per-byte step as small as possible
                 f"aggregate(b{k}, 0L, (crc, b) -> "
-                f"((crc * 256L) % 4294967296L) ^ "
-                f"element_at({tab_sql}, cast(((crc div 16777216L) ^ b) % 256 + 1 as int)))"
+                f"shiftleft(crc & 16777215L, 8) ^ "
+                f"element_at(oggtab, cast(shiftright(crc, 24) ^ b as int) + 1))"
             ).alias(f"crc{k}")
             for k in (1, 2, 3)
         ],
@@ -4648,57 +4656,56 @@ def ooxml_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): alternating docx / xlsx containers."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 3)
     is_docx = F.col("doc_id") % 2 == 0
-    did = F.col("doc_id").cast("string")
+
+    # Variable-count parts are built as transform() lambdas over a
+    # sequence, NOT unrolled F.when chains: the unrolled form put the
+    # whole doc_id -> payload projection in one codegen method that
+    # grew past 64 KB (janino refuses, Spark falls back to interpreted
+    # projection — a 4x plant slowdown when first measured).
 
     # docx: n_p paragraphs, 2 runs each (16+16 chars of the paragraph md5)
     n_p = F.col("doc_id") % 4 + 1
-    paras = []
-    for p in range(_OOXML_MAX_P):
-        t = F.md5(F.concat(did, F.lit(f":dx{p}")))
-        seg = F.concat(
-            F.lit("<w:p><w:r><w:t>"), F.substring(t, 1, 16),
-            F.lit("</w:t></w:r><w:r><w:t>"), F.substring(t, 17, 16),
-            F.lit("</w:t></w:r></w:p>"),
-        )
-        paras.append(F.when(n_p > p, seg).otherwise(F.lit("")))
     document_xml = F.concat(
         F.lit(f'<?xml version="1.0"?><w:document xmlns:w="{_OOXML_W_NS}"><w:body>'),
-        *paras,
+        F.expr(
+            "array_join(transform(sequence(0, doc_id % 4), p -> concat("
+            "'<w:p><w:r><w:t>',"
+            " substring(md5(concat(cast(doc_id as string), ':dx', p)), 1, 16),"
+            " '</w:t></w:r><w:r><w:t>',"
+            " substring(md5(concat(cast(doc_id as string), ':dx', p)), 17, 16),"
+            " '</w:t></w:r></w:p>')), '')"
+        ),
         F.lit("</w:body></w:document>"),
     )
 
     # xlsx: n_rows rows; A column = shared-string ref, B column = number
     n_rows = F.col("doc_id") % 7 + 2
-    bad_sst = F.col("doc_id") % 9 == 0
     dim_short = F.col("doc_id") % 11 == 0
     dim_n = F.when(dim_short, n_rows - 1).otherwise(n_rows)
-    rows = []
-    sis = []
-    for r in range(1, _OOXML_MAX_R):
-        idx = F.when(bad_sst & (F.lit(r) == 1), n_rows).otherwise(F.lit(r - 1))
-        v = (F.lit(10000) + (F.col("doc_id") * 31 + r) % 80000).cast("bigint")
-        seg = F.concat(
-            F.lit(f'<row r="{r}"><c r="A{r}" t="s"><v>'), idx.cast("string"),
-            F.lit(f'</v></c><c r="B{r}"><v>'), v.cast("string"),
-            F.lit("</v></c></row>"),
-        )
-        rows.append(F.when(n_rows >= r, seg).otherwise(F.lit("")))
-        si = F.concat(
-            F.lit(f"<si><t>S{r - 1}_"),
-            F.substring(F.md5(F.concat(did, F.lit(f":ss{r - 1}"))), 1, 12),
-            F.lit("</t></si>"),
-        )
-        sis.append(F.when(n_rows >= r, si).otherwise(F.lit("")))
+    rows_expr = F.expr(
+        "array_join(transform(sequence(1, doc_id % 7 + 2), r -> concat("
+        "'<row r=\"', r, '\"><c r=\"A', r, '\" t=\"s\"><v>',"
+        " cast(if(r = 1 and doc_id % 9 = 0, doc_id % 7 + 2, r - 1) as string),"
+        " '</v></c><c r=\"B', r, '\"><v>',"
+        " cast(10000 + (doc_id * 31 + r) % 80000 as string),"
+        " '</v></c></row>')), '')"
+    )
+    sis_expr = F.expr(
+        "array_join(transform(sequence(1, doc_id % 7 + 2), r -> concat("
+        "'<si><t>S', r - 1, '_',"
+        " substring(md5(concat(cast(doc_id as string), ':ss', r - 1)), 1, 12),"
+        " '</t></si>')), '')"
+    )
     sheet_xml = F.concat(
         F.lit(f'<?xml version="1.0"?><worksheet xmlns="{_OOXML_S_NS}">'),
         F.lit('<dimension ref="A1:B'), dim_n.cast("string"), F.lit('"/><sheetData>'),
-        *rows,
+        rows_expr,
         F.lit("</sheetData></worksheet>"),
     )
     sst_xml = F.concat(
         F.lit(f'<?xml version="1.0"?><sst xmlns="{_OOXML_S_NS}" count="'),
         n_rows.cast("string"), F.lit('" uniqueCount="'), n_rows.cast("string"),
-        F.lit('">'), *sis, F.lit("</sst>"),
+        F.lit('">'), sis_expr, F.lit("</sst>"),
     )
 
     docx_hex = _ooxml_zip([("word/document.xml", document_xml)])
