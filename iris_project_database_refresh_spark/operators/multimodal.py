@@ -4884,3 +4884,214 @@ FROM documents WHERE doc_id % 5 = 3
 
 QUERIES["multimodal_ooxml_parse"] = multimodal_ooxml_parse
 ORACLES["multimodal_ooxml_parse"] = _ooxml_oracle_sql()
+
+
+# --- PDF FlateDecode content streams: compressed text extraction -----------------
+#
+# Eighteenth kernel — real-world PDFs compress their content streams
+# (`/Filter /FlateDecode`, i.e. zlib deflate; ISO 32000 §7.4.4): the
+# uncompressed-stream walk of `multimodal_pdf_text` never touches the
+# decompression step the reference's pdf→markdown stage actually pays
+# (`semantic search - ey prep/stage_00_pdf_to_markdown.py` reads
+# production PDFs).  Deflate output cannot be spliced per-doc the way
+# fixed-width md5 slots can, so the plant uses VARIANT streams: four
+# page texts are zlib-compressed ONCE at import into hex literals and
+# selected by doc parity, while per-doc uniqueness lives in an
+# UNCOMPRESSED /Info object (/Title is a per-doc md5 the kernel must
+# also recover).  Every 5th doc plants /Filter /FlateDecode but
+# CORRUPTS the first compressed byte — the kernel must catch the zlib
+# error and count the page as undecodable rather than crash.
+#
+# Scale: same contract as the sibling kernels; oracle recomputes every
+# field from import-time constants (decompressed md5s, stream byte
+# counts) and plant arithmetic.
+
+import zlib as _zlib
+
+_PDF_FLATE_TEXTS = {
+    v: (
+        "BT\n/F1 12 Tf\n72 720 Td\n"
+        + "".join(f"(variant {v} line {i} of deflated body) Tj\n0 -14 Td\n" for i in range(6))
+        + "ET"
+    )
+    for v in range(4)
+}
+_PDF_FLATE_STREAMS = {
+    v: _zlib.compress(t.encode(), 6) for v, t in _PDF_FLATE_TEXTS.items()
+}
+
+
+def _pdf_flate_extracted(v: int) -> str:
+    """What the text-operator walk recovers from variant v's stream."""
+    return "".join(f"variant {v} line {i} of deflated body" for i in range(6))
+
+
+def pdf_flate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): single-page PDFs with FlateDecode content."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 5)
+    v = F.col("doc_id") % 4
+    corrupt = F.col("doc_id") % 5 == 0
+    title = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":flatetitle")))
+
+    stream_hex = None
+    for k in range(4):
+        hexlit = F.lit(_PDF_FLATE_STREAMS[k].hex().upper())
+        stream_hex = hexlit if stream_hex is None else F.when(v == k, hexlit).otherwise(stream_hex)
+    # corrupt variant: first compressed byte xor 0xFF (hex-domain edit)
+    first_byte = F.expr("conv(substring(sh, 1, 2), 16, 10)").cast("bigint")
+    stream_len = F.expr("length(sh) div 2")
+
+    staged = docs.select("doc_id", title.alias("title"), stream_hex.alias("sh"))
+    staged = staged.select(
+        "doc_id",
+        "title",
+        "sh",
+        stream_len.alias("slen"),
+        F.when(
+            corrupt,
+            F.concat(
+                F.format_string("%02X", (first_byte.bitwiseXOR(F.lit(255))).cast("int")),
+                F.expr("substring(sh, 3)"),
+            ),
+        )
+        .otherwise(F.col("sh"))
+        .alias("shc"),
+    )
+    # object layout: 1 catalog, 2 pages, 3 page, 4 content (flate), 5 info
+    body = F.concat(
+        F.lit(
+            "%PDF-1.4\n"
+            "1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+            "2 0 obj\n<< /Type /Pages /Count 1 /Kids [3 0 R] >>\nendobj\n"
+            "3 0 obj\n<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>\nendobj\n"
+            "4 0 obj\n<< /Length "
+        ),
+        F.col("slen").cast("string"),
+        F.lit(" /Filter /FlateDecode >>\nstream\n"),
+    )
+    tail = F.concat(
+        F.lit("\nendstream\nendobj\n5 0 obj\n<< /Title ("),
+        F.col("title"),
+        F.lit(") >>\nendobj\ntrailer\n<< /Root 1 0 R /Info 5 0 R >>\n%%EOF"),
+    )
+    payload = F.concat(F.encode(body, "utf-8"), F.unhex(F.col("shc")), F.encode(tail, "utf-8"))
+    return staged.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+PDF_FLATE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("filtered", T.LongType()),
+        T.StructField("compressed_bytes", T.LongType()),
+        T.StructField("inflated_chars", T.LongType()),
+        T.StructField("decode_failed", T.LongType()),
+        T.StructField("n_text_ops", T.LongType()),
+        T.StructField("text_md5", T.StringType()),
+        T.StructField("title_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def parse_pdf_flate(payload: bytes) -> dict | None:
+    """Locate the FlateDecode content stream (binary-safe: /Length
+    delimits it, deflate bytes are NOT text), inflate, run the text-
+    operator walk; recover /Title from the uncompressed Info object."""
+    import hashlib
+    import re
+    import zlib
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    m = re.search(rb"/Length (\d+) /Filter /(\w+) >>\nstream\n", payload)
+    if not m:
+        return None
+    slen = int(m.group(1))
+    filtered = 1 if m.group(2) == b"FlateDecode" else 0
+    data = payload[m.end() : m.end() + slen]
+    tm = re.search(rb"/Title \(([0-9a-f]{32})\)", payload)
+    title = tm.group(1).decode() if tm else ""
+    decode_failed = 0
+    text = ""
+    n_ops = 0
+    try:
+        stream = zlib.decompress(data).decode("latin-1")
+        buf = []
+        for kind, val in _pdf_text_tokens(stream):
+            if kind == "str":
+                buf.append(val)
+            elif kind == "op" and val in ("Tj", "TJ"):
+                n_ops += 1
+        text = "".join(buf)
+    except zlib.error:
+        decode_failed = 1
+    return {
+        "filtered": filtered,
+        "compressed_bytes": slen,
+        "inflated_chars": len(text),
+        "decode_failed": decode_failed,
+        "n_text_ops": n_ops,
+        "text_md5": hashlib.md5(text.encode()).hexdigest(),
+        "title_md5": hashlib.md5(title.encode()).hexdigest(),
+    }
+
+
+def multimodal_pdf_flate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched FlateDecode content-stream extraction."""
+    pdfs = pdf_flate_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_pdf_flate(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {"media_id": int(mid), **parsed, "parser": "flate-stdlib"}
+                    )
+                cols = [f.name for f in PDF_FLATE_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {
+                        c: "int64"
+                        for c in cols
+                        if c not in ("parser", "text_md5", "title_md5")
+                    }
+                )
+
+    return pdfs.mapInPandas(fn, PDF_FLATE_SCHEMA)
+
+
+def _pdf_flate_oracle_sql() -> str:
+    import hashlib
+
+    empty_md5 = hashlib.md5(b"").hexdigest()
+    text_md5 = {
+        v: hashlib.md5(_pdf_flate_extracted(v).encode()).hexdigest() for v in range(4)
+    }
+    chars = {v: len(_pdf_flate_extracted(v)) for v in range(4)}
+    slen = {v: len(_PDF_FLATE_STREAMS[v]) for v in range(4)}
+    ncase = lambda d: " ".join(f"WHEN {v} THEN {d[v]}" for v in range(4))
+    scase = lambda d: " ".join(f"WHEN {v} THEN '{d[v]}'" for v in range(4))
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(1 AS BIGINT) AS filtered,
+       CAST(CASE doc_id % 4 {ncase(slen)} END AS BIGINT) AS compressed_bytes,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0
+                 ELSE CASE doc_id % 4 {ncase(chars)} END END AS BIGINT) AS inflated_chars,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END AS BIGINT) AS decode_failed,
+       CAST(CASE WHEN doc_id % 5 = 0 THEN 0 ELSE 6 END AS BIGINT) AS n_text_ops,
+       CASE WHEN doc_id % 5 = 0 THEN '{empty_md5}'
+            ELSE CASE doc_id % 4 {scase(text_md5)} END END AS text_md5,
+       md5(md5(doc_id::VARCHAR || ':flatetitle')) AS title_md5,
+       'flate-stdlib' AS parser
+FROM documents WHERE doc_id % 7 = 5
+"""
+
+
+QUERIES["multimodal_pdf_flate"] = multimodal_pdf_flate
+ORACLES["multimodal_pdf_flate"] = _pdf_flate_oracle_sql()

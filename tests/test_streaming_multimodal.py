@@ -1124,3 +1124,36 @@ def test_ogg_crc_verification():
     assert good["crc_bad"] == 0 and good["n_packets"] == 1 and good["body_bytes"] == 3
     bad_page = hdr + (crc ^ 1).to_bytes(4, "little") + body
     assert parse_ogg(bad_page)["crc_bad"] == 1
+
+
+def test_parse_pdf_flate_kernel():
+    """Inflate + text walk, /Title recovery, corrupt-deflate counting,
+    and non-PDF rejection."""
+    import hashlib
+    import zlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _PDF_FLATE_STREAMS,
+        _pdf_flate_extracted,
+        parse_pdf_flate,
+    )
+
+    assert parse_pdf_flate(b"junk") is None
+    data = _PDF_FLATE_STREAMS[2]
+    title = hashlib.md5(b"t").hexdigest()
+    body = (
+        f"%PDF-1.4\n1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n"
+        f"4 0 obj\n<< /Length {len(data)} /Filter /FlateDecode >>\nstream\n"
+    ).encode()
+    tail = (
+        f"\nendstream\nendobj\n5 0 obj\n<< /Title ({title}) >>\nendobj\n"
+        f"trailer\n<< /Root 1 0 R /Info 5 0 R >>\n%%EOF"
+    ).encode()
+    r = parse_pdf_flate(body + data + tail)
+    assert r["decode_failed"] == 0 and r["n_text_ops"] == 6
+    assert r["text_md5"] == hashlib.md5(_pdf_flate_extracted(2).encode()).hexdigest()
+    assert r["title_md5"] == hashlib.md5(title.encode()).hexdigest()
+    assert zlib.decompress(data)  # the planted stream really is deflate
+    bad = bytes([data[0] ^ 0xFF]) + data[1:]
+    r2 = parse_pdf_flate(body + bad + tail)
+    assert r2["decode_failed"] == 1 and r2["inflated_chars"] == 0
