@@ -2955,3 +2955,152 @@ FROM per_brand b JOIN nv ON nv.p_brand = b.p_brand
 
 QUERIES["part_eoq_newsvendor"] = part_eoq_newsvendor
 ORACLES["part_eoq_newsvendor"] = EOQ_NV_SQL
+
+
+# --- frequent brand triples (apriori-pruned market-basket mining) -----------------
+#
+# `part_copurchase_lift` stops at pairs; the classic frequent-itemset
+# ladder (Agrawal & Srikant, VLDB 1994) continues to size-3 with the
+# APRIORI device: a triple can only be frequent if all three of its
+# sub-pairs are, so candidate generation joins through the frequent-
+# pair set L2 instead of enumerating every basket triple.  That prune
+# is the whole 100 TB story — the L2 semi-joins collapse the
+# candidate space before the expensive three-way basket join, and L2
+# itself is small enough to broadcast.  Items are BRANDS (bounded
+# universe), the mega-basket cap guards the self-joins exactly as in
+# the pair query, and the output pins support plus the independence
+# lift P(abc)/(P(a)P(b)P(c)) as exact integer arithmetic.
+
+TRIPLE_S2 = 60   # pair minsup (L2 gate)
+TRIPLE_S3 = 20   # triple minsup
+TRIPLE_TOPN = 25
+
+
+def brand_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("ok"), F.col("l_partkey").alias("pk")
+    )
+    part = load_table(spark, sf_dir, "part").select(
+        F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
+    )
+    raw = li.join(F.broadcast(part), "pk").select("ok", "brand").distinct()
+    hot = (
+        raw.groupBy("ok")
+        .agg(F.count(F.lit(1)).alias("nb"))
+        .where(F.col("nb") > BASKET_CAP)
+        .select("ok")
+    )
+    # pin the basket table: it feeds six downstream consumers (n, s1,
+    # the pair agg, both sides of the triple join) and its lineage is a
+    # join+distinct that would otherwise recompute per consumer
+    b = raw.join(F.broadcast(hot), "ok", "left_anti").localCheckpoint(eager=False)
+
+    n_df = b.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
+    s1 = b.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
+
+    pairs = (
+        b.alias("x")
+        .join(b.alias("y"), "ok")
+        .where(F.expr("x.brand < y.brand"))
+        .groupBy(F.expr("x.brand").alias("a"), F.expr("y.brand").alias("bb"))
+        .agg(F.count(F.lit(1)).alias("s_ab"))
+    )
+    # L2 is bounded by the brand-pair universe — pin it too (reused by
+    # candidate generation and both apriori semi-joins)
+    l2 = pairs.where(F.col("s_ab") >= TRIPLE_S2).localCheckpoint(eager=False)
+
+    # apriori candidate generation: extend only L2 pairs, then require
+    # the other two sub-pairs to be in L2 as well (broadcast semi-joins)
+    cand = (
+        b.alias("x")
+        .join(b.alias("y"), "ok")
+        .where(F.expr("x.brand < y.brand"))
+        .join(
+            F.broadcast(l2.select("a", "bb")),
+            (F.expr("x.brand") == F.col("a")) & (F.expr("y.brand") == F.col("bb")),
+        )
+        .select("ok", F.col("a"), F.col("bb"))
+        .join(b.alias("z"), "ok")
+        .where(F.expr("bb < z.brand"))
+        .select("ok", "a", "bb", F.expr("z.brand").alias("c"))
+    )
+    l2ac = l2.select(F.col("a").alias("pa"), F.col("bb").alias("pc"))
+    cand = cand.join(
+        F.broadcast(l2ac),
+        (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pc")),
+        "left_semi",
+    ).join(
+        F.broadcast(l2ac),
+        (F.col("bb") == F.col("pa")) & (F.col("c") == F.col("pc")),
+        "left_semi",
+    )
+    triples = cand.groupBy("a", "bb", "c").agg(F.count(F.lit(1)).alias("support"))
+    freq = triples.where(F.col("support") >= TRIPLE_S3)
+
+    out = (
+        freq.join(F.broadcast(s1.select(F.col("brand").alias("a"), F.col("s").alias("sa"))), "a")
+        .join(F.broadcast(s1.select(F.col("brand").alias("bb"), F.col("s").alias("sb"))), "bb")
+        .join(F.broadcast(s1.select(F.col("brand").alias("c"), F.col("s").alias("sc"))), "c")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            F.col("a").alias("brand_a"),
+            F.col("bb").alias("brand_b"),
+            F.col("c").alias("brand_c"),
+            F.col("support").cast("bigint").alias("support"),
+            F.expr(
+                "cast(support * n_baskets * n_baskets * 1000000 div (sa * sb * sc) as bigint)"
+            ).alias("lift_micro"),
+        )
+        .orderBy(F.desc("support"), "brand_a", "brand_b", "brand_c")
+        .limit(TRIPLE_TOPN)
+    )
+    return out
+
+
+BRAND_TRIPLES_SQL = f"""
+WITH raw AS MATERIALIZED (
+  SELECT DISTINCT l_orderkey AS ok, p_brand AS brand
+  FROM lineitem JOIN part ON p_partkey = l_partkey
+),
+hot AS (
+  SELECT ok FROM raw GROUP BY ok HAVING count(*) > {BASKET_CAP}
+),
+b AS MATERIALIZED (
+  SELECT * FROM raw WHERE ok NOT IN (SELECT ok FROM hot)
+),
+n AS (SELECT count(DISTINCT ok) AS n_baskets FROM b),
+s1 AS MATERIALIZED (SELECT brand, count(*) AS s FROM b GROUP BY brand),
+l2 AS MATERIALIZED (
+  SELECT x.brand AS a, y.brand AS bb, count(*) AS s_ab
+  FROM b x JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+  GROUP BY x.brand, y.brand
+  HAVING count(*) >= {TRIPLE_S2}
+),
+cand AS (
+  SELECT x.ok, x.brand AS a, y.brand AS bb, z.brand AS c
+  FROM b x
+  JOIN b y ON x.ok = y.ok AND x.brand < y.brand
+  JOIN l2 p1 ON p1.a = x.brand AND p1.bb = y.brand
+  JOIN b z ON z.ok = x.ok AND y.brand < z.brand
+  JOIN (SELECT a, bb FROM l2) p2 ON p2.a = x.brand AND p2.bb = z.brand
+  JOIN (SELECT a, bb FROM l2) p3 ON p3.a = y.brand AND p3.bb = z.brand
+),
+freq AS (
+  SELECT a, bb, c, count(*) AS support
+  FROM cand GROUP BY a, bb, c HAVING count(*) >= {TRIPLE_S3}
+)
+SELECT a AS brand_a, bb AS brand_b, c AS brand_c,
+       CAST(support AS BIGINT) AS support,
+       CAST(support * n_baskets * n_baskets * 1000000
+            // (sa.s * sb.s * sc.s) AS BIGINT) AS lift_micro
+FROM freq
+JOIN s1 sa ON sa.brand = a
+JOIN s1 sb ON sb.brand = bb
+JOIN s1 sc ON sc.brand = c
+CROSS JOIN n
+ORDER BY support DESC, brand_a, brand_b, brand_c
+LIMIT {TRIPLE_TOPN}
+"""
+
+QUERIES["brand_frequent_triples"] = brand_frequent_triples
+ORACLES["brand_frequent_triples"] = BRAND_TRIPLES_SQL

@@ -221,6 +221,7 @@ _DRIVER_PRIORITY = [
     # round-5 additions — never driver-checked by definition:
     "multimodal_pdf_text", "multimodal_ooxml_parse", "vision_page_synthesis",
     "multimodal_pdf_flate", "knn_ivf_pq",
+    "brand_frequent_triples", "embed_opq_dim_allocation",
 ]
 
 

@@ -116,3 +116,18 @@ def test_ivf_pq_probed_cells_and_rank_shape(spark):
     # be positively ordered w.r.t. adc for the top hit of each query
     top1 = {r.query_id: r for r in rows if r.rank == 1}
     assert all(r.cosine > 0 for r in top1.values())
+
+
+def test_opq_allocation_balances_variance(spark):
+    """Round-robin dealing must put 64/M dims in every subspace and
+    keep per-subspace variance within a sane balance band (the point
+    of the allocation); deal order md5s must be distinct."""
+    from iris_project_database_refresh_spark.operators import pq
+    from .conftest import SF_CORRECT
+
+    rows = pq.embed_opq_dim_allocation(spark, SF_CORRECT).collect()
+    assert len(rows) == pq.M
+    assert all(r.n_dims == 64 // pq.M for r in rows)
+    sums = [r.var_micro_sum for r in rows]
+    assert max(sums) <= 2 * min(sums)  # dealt strata keep subspaces comparable
+    assert len({r.dims_md5 for r in rows}) == pq.M

