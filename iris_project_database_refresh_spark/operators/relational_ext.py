@@ -2984,58 +2984,63 @@ def brand_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("p_partkey").alias("pk"), F.col("p_brand").alias("brand")
     )
     raw = li.join(F.broadcast(part), "pk").select("ok", "brand").distinct()
-    hot = (
+
+    # ONE shuffle to per-order sorted brand arrays; the mega-basket cap
+    # drops the quadratic/cubic tail before any combination expands.
+    # Pairs and triples are generated INSIDE the array (bounded
+    # C(cap,3) structs per order) — no basket self-joins at all; the
+    # only other exchanges are the bounded (pair)/(triple) count aggs.
+    baskets = (
         raw.groupBy("ok")
-        .agg(F.count(F.lit(1)).alias("nb"))
-        .where(F.col("nb") > BASKET_CAP)
-        .select("ok")
+        .agg(F.sort_array(F.collect_set("brand")).alias("brands"))
+        .where(F.size("brands") <= BASKET_CAP)
+        .localCheckpoint(eager=False)
     )
-    # pin the basket table: it feeds six downstream consumers (n, s1,
-    # the pair agg, both sides of the triple join) and its lineage is a
-    # join+distinct that would otherwise recompute per consumer
-    b = raw.join(F.broadcast(hot), "ok", "left_anti").localCheckpoint(eager=False)
-
-    n_df = b.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_baskets"))
-    s1 = b.groupBy("brand").agg(F.count(F.lit(1)).alias("s"))
-
+    n_df = baskets.agg(F.count(F.lit(1)).alias("n_baskets"))
+    s1 = baskets.select(F.explode("brands").alias("brand")).groupBy("brand").agg(
+        F.count(F.lit(1)).alias("s")
+    )
+    pair_structs = F.expr(
+        "flatten(transform(brands, (a, i) -> "
+        "transform(slice(brands, i + 2, size(brands)), b -> struct(a, b))))"
+    )
     pairs = (
-        b.alias("x")
-        .join(b.alias("y"), "ok")
-        .where(F.expr("x.brand < y.brand"))
-        .groupBy(F.expr("x.brand").alias("a"), F.expr("y.brand").alias("bb"))
+        baskets.select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("a"), F.col("p.b").alias("bb"))
         .agg(F.count(F.lit(1)).alias("s_ab"))
     )
-    # L2 is bounded by the brand-pair universe — pin it too (reused by
-    # candidate generation and both apriori semi-joins)
-    l2 = pairs.where(F.col("s_ab") >= TRIPLE_S2).localCheckpoint(eager=False)
+    l2 = pairs.where(F.col("s_ab") >= TRIPLE_S2)
 
-    # apriori candidate generation: extend only L2 pairs, then require
-    # the other two sub-pairs to be in L2 as well (broadcast semi-joins)
-    cand = (
-        b.alias("x")
-        .join(b.alias("y"), "ok")
-        .where(F.expr("x.brand < y.brand"))
-        .join(
-            F.broadcast(l2.select("a", "bb")),
-            (F.expr("x.brand") == F.col("a")) & (F.expr("y.brand") == F.col("bb")),
+    triple_structs = F.expr(
+        "flatten(transform(brands, (a, i) -> "
+        "flatten(transform(slice(brands, i + 2, size(brands)), (b, j) -> "
+        "transform(slice(brands, i + j + 3, size(brands)), c -> struct(a, b, c))))))"
+    )
+    triples = (
+        baskets.select(F.explode(triple_structs).alias("t"))
+        .groupBy(
+            F.col("t.a").alias("a"), F.col("t.b").alias("bb"), F.col("t.c").alias("c")
         )
-        .select("ok", F.col("a"), F.col("bb"))
-        .join(b.alias("z"), "ok")
-        .where(F.expr("bb < z.brand"))
-        .select("ok", "a", "bb", F.expr("z.brand").alias("c"))
+        .agg(F.count(F.lit(1)).alias("support"))
+        .where(F.col("support") >= TRIPLE_S3)
     )
-    l2ac = l2.select(F.col("a").alias("pa"), F.col("bb").alias("pc"))
-    cand = cand.join(
-        F.broadcast(l2ac),
-        (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pc")),
-        "left_semi",
-    ).join(
-        F.broadcast(l2ac),
-        (F.col("bb") == F.col("pa")) & (F.col("c") == F.col("pc")),
-        "left_semi",
+    # apriori gate applied at the distinct-triple grain — a triple's
+    # eligibility depends only on its brands, so gating the counted
+    # set is identical to gating candidate generation, at grid cost
+    l2k = l2.select("a", "bb")
+    freq = (
+        triples.join(F.broadcast(l2k), ["a", "bb"], "left_semi")
+        .join(
+            F.broadcast(l2k.select(F.col("a").alias("pa"), F.col("bb").alias("pc"))),
+            (F.col("a") == F.col("pa")) & (F.col("c") == F.col("pc")),
+            "left_semi",
+        )
+        .join(
+            F.broadcast(l2k.select(F.col("a").alias("qa"), F.col("bb").alias("qc"))),
+            (F.col("bb") == F.col("qa")) & (F.col("c") == F.col("qc")),
+            "left_semi",
+        )
     )
-    triples = cand.groupBy("a", "bb", "c").agg(F.count(F.lit(1)).alias("support"))
-    freq = triples.where(F.col("support") >= TRIPLE_S3)
 
     out = (
         freq.join(F.broadcast(s1.select(F.col("brand").alias("a"), F.col("s").alias("sa"))), "a")
@@ -3047,8 +3052,13 @@ def brand_frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("bb").alias("brand_b"),
             F.col("c").alias("brand_c"),
             F.col("support").cast("bigint").alias("support"),
+            # staged divisions keep every intermediate in BIGINT range
+            # (support <= sa bounds the first quotient by n_baskets);
+            # the SAME staging is pinned in the oracle — integer-div
+            # order is part of the metric's definition here
             F.expr(
-                "cast(support * n_baskets * n_baskets * 1000000 div (sa * sb * sc) as bigint)"
+                "cast((((support * n_baskets div sa) * n_baskets div sb)"
+                " * 1000000) div sc as bigint)"
             ).alias("lift_micro"),
         )
         .orderBy(F.desc("support"), "brand_a", "brand_b", "brand_c")
@@ -3091,8 +3101,8 @@ freq AS (
 )
 SELECT a AS brand_a, bb AS brand_b, c AS brand_c,
        CAST(support AS BIGINT) AS support,
-       CAST(support * n_baskets * n_baskets * 1000000
-            // (sa.s * sb.s * sc.s) AS BIGINT) AS lift_micro
+       CAST((((support * n_baskets // sa.s) * n_baskets // sb.s)
+            * 1000000) // sc.s AS BIGINT) AS lift_micro
 FROM freq
 JOIN s1 sa ON sa.brand = a
 JOIN s1 sb ON sb.brand = bb
