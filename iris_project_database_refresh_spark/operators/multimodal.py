@@ -5095,3 +5095,190 @@ FROM documents WHERE doc_id % 7 = 5
 
 QUERIES["multimodal_pdf_flate"] = multimodal_pdf_flate
 ORACLES["multimodal_pdf_flate"] = _pdf_flate_oracle_sql()
+
+
+# --- deflated ZIP entries: method 8 + CRC-over-uncompressed ----------------------
+#
+# Nineteenth kernel.  The stored-entry zips of `multimodal_zip_central
+# _dir` / `multimodal_ooxml_parse` skip the two things every REAL docx
+# does (PKWARE APPNOTE §4.4.5): entries are DEFLATE-compressed
+# (method 8, raw deflate — no zlib header, wbits -15), and the entry
+# CRC-32 is computed over the UNCOMPRESSED data — a walker that CRCs
+# the stored bytes validates nothing.  Variant payloads are deflated
+# once at import (same device as the FlateDecode PDF kernel); each
+# container carries one stored per-doc entry (uniqueness) and one
+# deflated variant entry; the kernel opens it with stdlib zipfile
+# (which inflates AND re-verifies the CRC on read) and pins methods,
+# both size fields, the compression ratio and both content md5s.
+#
+# Scale: same contract as the sibling kernels.
+
+_ZDEF_TEXTS = {
+    v: ("<doc v='%d'>" % v) + " ".join(f"line {i} of deflated entry body" for i in range(12)) + "</doc>"
+    for v in range(4)
+}
+
+
+def _zdef_raw_deflate(data: bytes) -> bytes:
+    c = _zlib.compressobj(9, _zlib.DEFLATED, -15)
+    return c.compress(data) + c.flush()
+
+
+_ZDEF_STREAMS = {v: _zdef_raw_deflate(t.encode()) for v, t in _ZDEF_TEXTS.items()}
+_ZDEF_CRCS = {v: _zlib.crc32(t.encode()) for v, t in _ZDEF_TEXTS.items()}
+
+
+def zip_deflate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): two-entry zips — stored meta + deflated body."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 7)
+    v = F.col("doc_id") % 4
+    meta = F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":zdefmeta")))
+
+    def pick(table: dict, fmt):
+        e = None
+        for k in range(4):
+            lit = F.lit(fmt(table[k]))
+            e = lit if e is None else F.when(v == k, lit).otherwise(e)
+        return e
+
+    comp_hex = pick(_ZDEF_STREAMS, lambda b: b.hex().upper())
+    comp_len = pick(_ZDEF_STREAMS, len)
+    uncomp_len = pick(_ZDEF_TEXTS, lambda t: len(t))
+    body_crc = pick(_ZDEF_CRCS, lambda c: c)
+
+    def entry(name, method_hex, crc, clen, ulen, data_hex, offset):
+        nlen = len(name)
+        local = F.concat(
+            F.lit("504B0304" + "1400" + "0000"), F.lit(method_hex),
+            F.lit("00000000"), _le32(crc), _le32(clen), _le32(ulen),
+            _le16(F.lit(nlen).cast("bigint")), F.lit("0000"),
+            F.hex(F.lit(name)), data_hex,
+        )
+        central = F.concat(
+            F.lit("504B0102" + "1400" + "1400" + "0000"), F.lit(method_hex),
+            F.lit("00000000"), _le32(crc), _le32(clen), _le32(ulen),
+            _le16(F.lit(nlen).cast("bigint")),
+            F.lit("0000" + "0000" + "0000" + "0000" + "00000000"),
+            _le32(offset), F.hex(F.lit(name)),
+        )
+        size = F.lit(30 + nlen).cast("bigint") + clen
+        return local, central, size
+
+    meta_crc = F.crc32(F.encode(meta, "UTF-8"))
+    l0, c0, sz0 = entry(
+        "meta.txt", "0000", meta_crc,
+        F.lit(32).cast("bigint"), F.lit(32).cast("bigint"), F.hex(meta), F.lit(0).cast("bigint"),
+    )
+    l1, c1, sz1 = entry(
+        "content.xml", "0800", body_crc.cast("bigint"),
+        comp_len.cast("bigint"), uncomp_len.cast("bigint"), comp_hex, sz0,
+    )
+    cd_offset = sz0 + sz1
+    cd_size = F.lit((46 + len("meta.txt")) + (46 + len("content.xml"))).cast("bigint")
+    eocd = F.concat(
+        F.lit("504B0506" + "0000" + "0000"),
+        _le16(F.lit(2).cast("bigint")), _le16(F.lit(2).cast("bigint")),
+        _le32(cd_size), _le32(cd_offset), F.lit("0000"),
+    )
+    payload = F.unhex(F.concat(l0, l1, c0, c1, eocd))
+    return docs.select(F.col("doc_id").alias("media_id"), payload.alias("payload"))
+
+
+ZDEF_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("n_entries", T.LongType()),
+        T.StructField("stored_ok", T.LongType()),
+        T.StructField("deflated_ok", T.LongType()),
+        T.StructField("comp_bytes", T.LongType()),
+        T.StructField("uncomp_bytes", T.LongType()),
+        T.StructField("ratio_milli", T.LongType()),
+        T.StructField("content_md5", T.StringType()),
+        T.StructField("meta_md5", T.StringType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def parse_zip_deflate(payload: bytes) -> dict | None:
+    """stdlib zipfile open — inflating method-8 entries re-verifies the
+    CRC over the UNCOMPRESSED bytes on read."""
+    import hashlib
+    import io
+    import zipfile
+
+    if payload[:4] != b"PK\x03\x04":
+        return None
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    infos = {i.filename: i for i in zf.infolist()}
+    meta = zf.read("meta.txt")
+    content = zf.read("content.xml")  # raises BadZipFile on CRC mismatch
+    ci = infos["content.xml"]
+    return {
+        "n_entries": len(infos),
+        "stored_ok": 1 if infos["meta.txt"].compress_type == zipfile.ZIP_STORED else 0,
+        "deflated_ok": 1 if ci.compress_type == zipfile.ZIP_DEFLATED else 0,
+        "comp_bytes": ci.compress_size,
+        "uncomp_bytes": ci.file_size,
+        "ratio_milli": ci.compress_size * 1000 // ci.file_size,
+        "content_md5": hashlib.md5(content).hexdigest(),
+        "meta_md5": hashlib.md5(meta).hexdigest(),
+    }
+
+
+def multimodal_zip_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched deflated-zip walk over the planted containers."""
+    zips = zip_deflate_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_zip_deflate(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append(
+                        {"media_id": int(mid), **parsed, "parser": "zipdef-stdlib"}
+                    )
+                cols = [f.name for f in ZDEF_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {
+                        c: "int64"
+                        for c in cols
+                        if c not in ("parser", "content_md5", "meta_md5")
+                    }
+                )
+
+    return zips.mapInPandas(fn, ZDEF_SCHEMA)
+
+
+def _zdef_oracle_sql() -> str:
+    import hashlib
+
+    md5s = {v: hashlib.md5(t.encode()).hexdigest() for v, t in _ZDEF_TEXTS.items()}
+    clen = {v: len(_ZDEF_STREAMS[v]) for v in range(4)}
+    ulen = {v: len(_ZDEF_TEXTS[v]) for v in range(4)}
+    ncase = lambda d: " ".join(f"WHEN {v} THEN {d[v]}" for v in range(4))
+    scase = lambda d: " ".join(f"WHEN {v} THEN '{d[v]}'" for v in range(4))
+    ratio = {v: clen[v] * 1000 // ulen[v] for v in range(4)}
+    return f"""
+SELECT doc_id AS media_id,
+       CAST(2 AS BIGINT) AS n_entries,
+       CAST(1 AS BIGINT) AS stored_ok,
+       CAST(1 AS BIGINT) AS deflated_ok,
+       CAST(CASE doc_id % 4 {ncase(clen)} END AS BIGINT) AS comp_bytes,
+       CAST(CASE doc_id % 4 {ncase(ulen)} END AS BIGINT) AS uncomp_bytes,
+       CAST(CASE doc_id % 4 {ncase(ratio)} END AS BIGINT) AS ratio_milli,
+       CASE doc_id % 4 {scase(md5s)} END AS content_md5,
+       md5(md5(doc_id::VARCHAR || ':zdefmeta')) AS meta_md5,
+       'zipdef-stdlib' AS parser
+FROM documents WHERE doc_id % 8 = 7
+"""
+
+
+QUERIES["multimodal_zip_deflate"] = multimodal_zip_deflate
+ORACLES["multimodal_zip_deflate"] = _zdef_oracle_sql()

@@ -1976,3 +1976,159 @@ WHERE valid_from <= DATE '{BT_VALID_V}'
 
 QUERIES["bitemporal_as_of"] = bitemporal_as_of
 ORACLES["bitemporal_as_of"] = BITEMPORAL_SQL
+
+
+# --- chain-ladder run-off triangle ------------------------------------------------
+#
+# The actuarial development triangle (Mack, ASTIN 1993 — the standard
+# chain-ladder) applied to order fulfilment: cohorts = order months,
+# development = months from order to line shipment (0..5; longer lags
+# are out of the 6-month development scope), measure = cumulative
+# shipped-line counts.  Cohorts younger than the ship cutoff are
+# CENSORED — their upper-right cells are unobservable — and that is
+# the whole point: volume-weighted development factors
+# f_d = ΣC[·,d+1] / ΣC[·,d] are estimated from cohort pairs where both
+# cells are observed, then each censored cohort's latest diagonal is
+# developed to ultimate by the staged product of the remaining
+# factors (integer milli/micro fixed-point, truncating division — the
+# staging order is pinned in both engines).
+#
+# Plan shape at 100 TB: one (cohort, dev) count aggregation over the
+# join, then every step runs on the bounded triangle grid; factors and
+# the cutoff come back as 1-row/grid broadcasts.
+
+CL_MAX_DEV = 5
+
+
+def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    j = li.join(
+        o, F.col("l_orderkey") == F.col("o_orderkey")
+    ).select(
+        ((F.year("o_orderdate") - 1990) * 12 + F.month("o_orderdate")).alias("m"),
+        (
+            (F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")
+            - (F.year("o_orderdate") - 1990) * 12 - F.month("o_orderdate")
+        ).alias("lag"),
+    )
+    cutoff = j.agg(F.max(F.col("m") + F.col("lag")).alias("cut"))
+    cells = (
+        j.where((F.col("lag") >= 0) & (F.col("lag") <= CL_MAX_DEV))
+        .groupBy("m", F.col("lag").alias("d"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    # cumulative over the bounded (cohort, dev) grid
+    wc = Window.partitionBy("m").orderBy("d")
+    cum = cells.select("m", "d", F.sum("n").over(wc).alias("c")).localCheckpoint(
+        eager=False
+    )
+    # volume-weighted factors from cohort pairs observed on both devs
+    nxt = cum.select(F.col("m").alias("m2"), (F.col("d") - 1).alias("d2"), F.col("c").alias("cn"))
+    pairs = (
+        cum.join(nxt, (F.col("m") == F.col("m2")) & (F.col("d") == F.col("d2")))
+        .crossJoin(F.broadcast(cutoff))
+        .where(F.col("m") + F.col("d") + 1 <= F.col("cut"))
+        .groupBy("d")
+        .agg(F.sum("cn").alias("sn"), F.sum("c").alias("sc"))
+        .select("d", F.expr("sn * 1000000 div sc").alias("f_micro"))
+    )
+    # pivot the <=5 factors to one broadcast row
+    frow = pairs.agg(
+        *[
+            F.coalesce(
+                F.max(F.when(F.col("d") == d, F.col("f_micro"))), F.lit(1000000)
+            ).alias(f"f{d}")
+            for d in range(CL_MAX_DEV)
+        ]
+    )
+    # each cohort's latest observed diagonal
+    latest = (
+        cum.crossJoin(F.broadcast(cutoff))
+        .where(F.col("m") + F.col("d") <= F.col("cut"))
+        .groupBy("m")
+        .agg(F.max(F.struct("d", "c")).alias("s"))
+        .select("m", F.col("s.d").alias("obs_dev"), F.col("s.c").alias("latest_cum"))
+    )
+    # develop to ultimate: staged truncating product of remaining factors
+    branches = []
+    for obs in range(CL_MAX_DEV + 1):
+        e = "latest_cum * 1000"
+        for d in range(obs, CL_MAX_DEV):
+            e = f"({e}) * f{d} div 1000000"
+        branches.append(f"WHEN {obs} THEN cast({e} as bigint)")
+    ult = F.expr("CASE obs_dev " + " ".join(branches) + " END")
+    return (
+        latest.crossJoin(F.broadcast(frow))
+        .select(
+            F.col("m").cast("bigint").alias("origin_month"),
+            F.col("obs_dev").cast("bigint").alias("obs_dev"),
+            F.col("latest_cum").cast("bigint").alias("latest_cum"),
+            ult.alias("ultimate_milli"),
+            (ult - F.col("latest_cum") * 1000).alias("reserve_milli"),
+        )
+    )
+
+
+CHAIN_LADDER_SQL = f"""
+WITH j AS (
+  SELECT (year(o_orderdate) - 1990) * 12 + month(o_orderdate) AS m,
+         (year(l_shipdate) - 1990) * 12 + month(l_shipdate)
+         - (year(o_orderdate) - 1990) * 12 - month(o_orderdate) AS lag
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+),
+cutoff AS (SELECT max(m + lag) AS cut FROM j),
+cells AS (
+  SELECT m, lag AS d, count(*) AS n FROM j
+  WHERE lag >= 0 AND lag <= {CL_MAX_DEV} GROUP BY m, lag
+),
+cum AS MATERIALIZED (
+  SELECT m, d, sum(n) OVER (PARTITION BY m ORDER BY d) AS c FROM cells
+),
+pairs AS (
+  SELECT a.d AS d, sum(b.c) AS sn, sum(a.c) AS sc
+  FROM cum a JOIN cum b ON b.m = a.m AND b.d = a.d + 1, cutoff
+  WHERE a.m + a.d + 1 <= cut
+  GROUP BY a.d
+),
+frow AS (
+  SELECT {", ".join(
+    f"coalesce(max(CASE WHEN d = {d} THEN sn * 1000000 // sc END), 1000000) AS f{d}"
+    for d in range(CL_MAX_DEV)
+  )}
+  FROM pairs
+),
+latest AS (
+  SELECT m, max_by(d, d) AS obs_dev, max_by(c, d) AS latest_cum
+  FROM cum, cutoff WHERE m + d <= cut GROUP BY m
+)
+SELECT CAST(m AS BIGINT) AS origin_month,
+       CAST(obs_dev AS BIGINT) AS obs_dev,
+       CAST(latest_cum AS BIGINT) AS latest_cum,
+       CAST(CASE obs_dev {" ".join(
+         "WHEN %d THEN %s" % (
+           obs,
+           "(" * 0 + __import__("functools").reduce(
+             lambda e, d: f"({e}) * f{d} // 1000000",
+             range(obs, CL_MAX_DEV),
+             "latest_cum * 1000",
+           ),
+         )
+         for obs in range(CL_MAX_DEV + 1)
+       )} END AS BIGINT) AS ultimate_milli,
+       CAST(CASE obs_dev {" ".join(
+         "WHEN %d THEN %s" % (
+           obs,
+           __import__("functools").reduce(
+             lambda e, d: f"({e}) * f{d} // 1000000",
+             range(obs, CL_MAX_DEV),
+             "latest_cum * 1000",
+           ),
+         )
+         for obs in range(CL_MAX_DEV + 1)
+       )} END - latest_cum * 1000 AS BIGINT) AS reserve_milli
+FROM latest CROSS JOIN frow
+"""
+
+QUERIES["orders_chain_ladder"] = orders_chain_ladder
+ORACLES["orders_chain_ladder"] = CHAIN_LADDER_SQL

@@ -222,6 +222,7 @@ _DRIVER_PRIORITY = [
     "multimodal_pdf_text", "multimodal_ooxml_parse", "vision_page_synthesis",
     "multimodal_pdf_flate", "knn_ivf_pq",
     "brand_frequent_triples", "embed_opq_dim_allocation",
+    "multimodal_zip_deflate", "orders_chain_ladder",
 ]
 
 

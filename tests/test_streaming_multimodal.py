@@ -1157,3 +1157,33 @@ def test_parse_pdf_flate_kernel():
     bad = bytes([data[0] ^ 0xFF]) + data[1:]
     r2 = parse_pdf_flate(body + bad + tail)
     assert r2["decode_failed"] == 1 and r2["inflated_chars"] == 0
+
+
+def test_parse_zip_deflate_kernel(spark):
+    """Method-8 entries inflate with CRC verified over UNCOMPRESSED
+    bytes; a corrupted deflate body must raise through zipfile."""
+    import hashlib
+    import zipfile
+
+    import pytest as _pytest
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _ZDEF_STREAMS,
+        _ZDEF_TEXTS,
+        parse_zip_deflate,
+        zip_deflate_table,
+    )
+
+    assert parse_zip_deflate(b"junk") is None
+    row = zip_deflate_table(spark, SF_CORRECT).where("media_id = 7").first()
+    payload = bytes(row.payload)
+    r = parse_zip_deflate(payload)
+    v = 7 % 4
+    assert r["deflated_ok"] == 1 and r["stored_ok"] == 1
+    assert r["comp_bytes"] == len(_ZDEF_STREAMS[v])
+    assert r["content_md5"] == hashlib.md5(_ZDEF_TEXTS[v].encode()).hexdigest()
+    # flip one byte inside the deflate body: zipfile must refuse it
+    idx = payload.index(_ZDEF_STREAMS[v][:8]) + 4
+    bad = payload[:idx] + bytes([payload[idx] ^ 0xFF]) + payload[idx + 1 :]
+    with _pytest.raises((zipfile.BadZipFile, Exception)):
+        parse_zip_deflate(bad)
