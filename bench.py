@@ -72,6 +72,30 @@ def main() -> None:
     # record goes to BENCH_LOCAL.json (and stderr), while stdout's one and
     # only line is a compact summary (total + the slowest queries) padded
     # to stay well inside 2000 chars.
+    # Plan-hygiene guard, wired into the refresh path itself: a bench run
+    # that pushes a query over the 1 s bar without a PLANS.md entry has
+    # twice landed as a red pytest at the NEXT head (rounds 4 and 5).
+    # Catch it at the moment BENCH_LOCAL.json is written, not a round later.
+    gaps: list[str] = []
+    if sf == 0.1:  # the completeness sweep keys off the committed sf0.1 run
+        try:
+            plans_md = open(
+                os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+            ).read()
+            covered = set(re.findall(r"^## (\S+)", plans_md, re.M))
+            gaps = sorted(k for k, v in timings.items() if v >= 1.0 and k not in covered)
+        except Exception as exc:  # audit must never break the bench contract
+            print(f"plan_audit skipped: {exc}", file=sys.stderr)
+    if gaps:
+        print(
+            "PLAN-HYGIENE FAILURE: this refresh crossed queries over the 1 s "
+            "bar with no PLANS.md entry: " + ", ".join(gaps) + " — add entries "
+            "(scripts/plan_audit.py --dump <name>) before committing "
+            "BENCH_LOCAL.json, or tests/test_plan_hygiene.py goes red.",
+            file=sys.stderr,
+        )
+        full["plan_gaps"] = gaps
+
     with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json"), "w") as f:
         json.dump(full, f, indent=1)
         f.write("\n")
@@ -87,6 +111,8 @@ def main() -> None:
         "queries_file": "BENCH_LOCAL.json",
         "sf": sf,
     }
+    if gaps:
+        compact["plan_gaps"] = gaps
     line = json.dumps(compact)
     while len(line) > 1800 and len(slowest) > 1:
         slowest.popitem()

@@ -255,6 +255,36 @@ SELECT query_id, neighbor_id, rank, cosine FROM ranked WHERE rank <= {KNN_K}
 SIM_BLOCKS = 4  # block-grid factor; scale as ceil(n·d·8B / executor_budget)
 
 
+def _replicate_blocks(emb: DataFrame) -> DataFrame:
+    """Block-pair replication behind the blocked GEMM: row in block
+    k = vec_id % SIM_BLOCKS fans out to role "a" of block pairs (k, j≥k)
+    and role "b" of pairs (i<k, k) — exactly SIM_BLOCKS copies per
+    vector. Exposed so tests can assert the replication the operator
+    ACTUALLY produces (not a closed-form restatement of this rule)."""
+
+    # block-pair assignment as a compile-time literal: blk == k maps to
+    # [(k, j, 'a') for j ≥ k] + [(i, k, 'b') for i < k]
+    def assignments(k: int):
+        structs = [
+            F.struct(F.lit(k).alias("pa"), F.lit(j).alias("pb"), F.lit("a").alias("role"))
+            for j in range(k, SIM_BLOCKS)
+        ] + [
+            F.struct(F.lit(i).alias("pa"), F.lit(k).alias("pb"), F.lit("b").alias("role"))
+            for i in range(k)
+        ]
+        return F.array(*structs)
+
+    blk = (F.col("vec_id") % SIM_BLOCKS).cast("int")
+    asg = F.when(blk == 0, assignments(0))
+    for k in range(1, SIM_BLOCKS):
+        asg = asg.when(blk == k, assignments(k))
+    return (
+        emb.withColumn("asg", asg)
+        .select("vec_id", "embedding", F.explode("asg").alias("g"))
+        .select("vec_id", "embedding", "g.pa", "g.pb", "g.role")
+    )
+
+
 def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """All pairs with cosine ≥ PAIR_TAU — the exact baseline that also
     serves as ANN ground truth.
@@ -278,28 +308,7 @@ def similarity_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     import pandas as pd
 
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-
-    # block-pair assignment as a compile-time literal: blk == k maps to
-    # [(k, j, 'a') for j ≥ k] + [(i, k, 'b') for i < k]
-    def assignments(k: int):
-        structs = [
-            F.struct(F.lit(k).alias("pa"), F.lit(j).alias("pb"), F.lit("a").alias("role"))
-            for j in range(k, SIM_BLOCKS)
-        ] + [
-            F.struct(F.lit(i).alias("pa"), F.lit(k).alias("pb"), F.lit("b").alias("role"))
-            for i in range(k)
-        ]
-        return F.array(*structs)
-
-    blk = (F.col("vec_id") % SIM_BLOCKS).cast("int")
-    asg = F.when(blk == 0, assignments(0))
-    for k in range(1, SIM_BLOCKS):
-        asg = asg.when(blk == k, assignments(k))
-    replicated = (
-        emb.withColumn("asg", asg)
-        .select("vec_id", "embedding", F.explode("asg").alias("g"))
-        .select("vec_id", "embedding", "g.pa", "g.pb", "g.role")
-    )
+    replicated = _replicate_blocks(emb)
 
     out_schema = "id_a bigint, id_b bigint, cosine double"
 

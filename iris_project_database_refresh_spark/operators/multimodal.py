@@ -5193,6 +5193,7 @@ ZDEF_SCHEMA = T.StructType(
         T.StructField("comp_bytes", T.LongType()),
         T.StructField("uncomp_bytes", T.LongType()),
         T.StructField("ratio_milli", T.LongType()),
+        T.StructField("crc_bad", T.LongType()),
         T.StructField("content_md5", T.StringType()),
         T.StructField("meta_md5", T.StringType()),
         T.StructField("parser", T.StringType()),
@@ -5202,18 +5203,36 @@ ZDEF_SCHEMA = T.StructType(
 
 def parse_zip_deflate(payload: bytes) -> dict | None:
     """stdlib zipfile open — inflating method-8 entries re-verifies the
-    CRC over the UNCOMPRESSED bytes on read."""
+    CRC over the UNCOMPRESSED bytes on read.  A corrupt deflate body is
+    COUNTED (``crc_bad``), never raised, matching the FlateDecode/PNG
+    kernels' corrupt-byte-recovery contract — one bad payload must not
+    kill the whole mapInPandas task."""
     import hashlib
     import io
     import zipfile
+    import zlib
 
     if payload[:4] != b"PK\x03\x04":
         return None
-    zf = zipfile.ZipFile(io.BytesIO(payload))
-    infos = {i.filename: i for i in zf.infolist()}
-    meta = zf.read("meta.txt")
-    content = zf.read("content.xml")  # raises BadZipFile on CRC mismatch
-    ci = infos["content.xml"]
+    try:
+        zf = zipfile.ZipFile(io.BytesIO(payload))
+        infos = {i.filename: i for i in zf.infolist()}
+        ci = infos["content.xml"]
+        meta = zf.read("meta.txt")
+        content = zf.read("content.xml")  # raises BadZipFile on CRC mismatch
+        crc_bad = 0
+    except (zipfile.BadZipFile, zlib.error, KeyError):
+        return {
+            "n_entries": 0,
+            "stored_ok": 0,
+            "deflated_ok": 0,
+            "comp_bytes": 0,
+            "uncomp_bytes": 0,
+            "ratio_milli": 0,
+            "crc_bad": 1,
+            "content_md5": hashlib.md5(b"").hexdigest(),
+            "meta_md5": hashlib.md5(b"").hexdigest(),
+        }
     return {
         "n_entries": len(infos),
         "stored_ok": 1 if infos["meta.txt"].compress_type == zipfile.ZIP_STORED else 0,
@@ -5221,6 +5240,7 @@ def parse_zip_deflate(payload: bytes) -> dict | None:
         "comp_bytes": ci.compress_size,
         "uncomp_bytes": ci.file_size,
         "ratio_milli": ci.compress_size * 1000 // ci.file_size,
+        "crc_bad": crc_bad,
         "content_md5": hashlib.md5(content).hexdigest(),
         "meta_md5": hashlib.md5(meta).hexdigest(),
     }
@@ -5273,6 +5293,7 @@ SELECT doc_id AS media_id,
        CAST(CASE doc_id % 4 {ncase(clen)} END AS BIGINT) AS comp_bytes,
        CAST(CASE doc_id % 4 {ncase(ulen)} END AS BIGINT) AS uncomp_bytes,
        CAST(CASE doc_id % 4 {ncase(ratio)} END AS BIGINT) AS ratio_milli,
+       CAST(0 AS BIGINT) AS crc_bad,
        CASE doc_id % 4 {scase(md5s)} END AS content_md5,
        md5(md5(doc_id::VARCHAR || ':zdefmeta')) AS meta_md5,
        'zipdef-stdlib' AS parser

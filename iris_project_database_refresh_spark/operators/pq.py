@@ -756,17 +756,23 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         "query_id", "m", "k", _sub_dot_scaled().alias("sdot")
     )
 
-    # residual ADC sums, gated to probed cells, plus the coarse term
-    sresid = (
-        codes.join(F.broadcast(dt), ["m", "k"])
-        .groupBy("query_id", "vec_id")
-        .agg(F.sum("sdot").alias("sresid"))
-    )
+    # candidate set FIRST: vectors whose cell is probed by each query.  The
+    # ADC stage below joins codes to this set BEFORE touching the (m, k)
+    # distance tables, so the summed stream is |candidates| x M rows —
+    # work scales with NPROBE/NCELLS of the corpus per query, which is the
+    # whole point of the IVF stage (an ungated codes-x-dt join would scan
+    # every vector per query: N x Q x M).
     cand = resid.select("vec_id", "cell").join(qprobe, "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
-    adc = cand.join(sresid, ["query_id", "vec_id"]).select(
-        "query_id", "vec_id", (F.col("qc_dot") + F.col("sresid")).alias("sadc")
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(dt), ["query_id", "m", "k"])
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("sdot").alias("sresid"), F.max("qc_dot").alias("qc_dot"))
+        .select(
+            "query_id", "vec_id", (F.col("qc_dot") + F.col("sresid")).alias("sadc")
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("sadc"), F.asc("vec_id"))
     top = (

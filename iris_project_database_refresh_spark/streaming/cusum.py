@@ -80,7 +80,11 @@ def _cusum_fn(
     cents = np.floor(events["value"].to_numpy() * 100 + 0.5).astype("int64")
 
     if state.exists:
-        s, open_day, open_sum, n_late = state.get
+        # n_late was added to STATE_SCHEMA after the first release; pad
+        # legacy 3-tuples so a restart from a pre-change checkpoint survives.
+        got = tuple(state.get)
+        s, open_day, open_sum = got[:3]
+        n_late = got[3] if len(got) > 3 and got[3] is not None else 0
     else:
         s, open_day, open_sum, n_late = 0, None, 0, 0
 

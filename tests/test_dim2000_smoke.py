@@ -67,30 +67,27 @@ def test_blocked_gemm_similarity_pairs_at_dim2000(spark, dim2000_dir):
 
 def test_blocked_gemm_task_memory_model_at_dim2000(spark, dim2000_dir):
     """The memory contract that makes the GEMM 100 TB-safe: every vector
-    is replicated exactly SIM_BLOCKS+1 times, and no block-pair task
-    ever holds more than 2·ceil(n/B) vectors (× d × 8 B = task RAM)."""
+    is replicated exactly SIM_BLOCKS times by the operator's OWN block
+    expansion, and no block-pair task ever holds more than 2·ceil(n/B)
+    vectors (× d × 8 B = task RAM)."""
     d, _vecs = dim2000_dir
     B = emb_ops.SIM_BLOCKS
     from iris_project_database_refresh_spark.sources.tables import load_table
-    from pyspark.sql import functions as F
 
     emb = load_table(spark, d, "embeddings").select("vec_id", "embedding")
-    # reproduce the operator's replication (same assignment rule)
-    blk = (F.col("vec_id") % B).cast("int")
-    rep_rows = sum(
-        (B - k) + k  # role-a pairs (k, j>=k) + role-b pairs (i<k, k)
-        for k in range(B)
-    ) / B
-    assert rep_rows == B  # every vector is replicated exactly B times
+    # the pre-score DataFrame similarity_pairs actually groups on
+    rep = emb_ops._replicate_blocks(emb)
+    per_vec = rep.groupBy("vec_id").count().collect()
+    assert len(per_vec) == N
+    assert {r["count"] for r in per_vec} == {B}  # exactly SIM_BLOCKS copies
+    # group sizes of the physical (pa, pb) tasks: a diagonal block holds
+    # one role (<= ceil(n/B) vectors), an off-diagonal block two
     per_block = math.ceil(N / B)
-    # group sizes actually produced by the physical grouping
-    replicated = (
-        emb.withColumn("pa", blk)  # diagonal contribution lower bound
-        .groupBy((F.col("vec_id") % B).alias("b"))
-        .count()
-        .collect()
-    )
-    assert max(r["count"] for r in replicated) <= per_block
+    groups = rep.groupBy("pa", "pb").count().collect()
+    assert len(groups) == B * (B + 1) // 2  # every unordered block pair
+    for g in groups:
+        cap = per_block if g["pa"] == g["pb"] else 2 * per_block
+        assert g["count"] <= cap
     # task memory at the reference width: 2 * per_block vectors of d doubles
     task_bytes = 2 * per_block * DIM * 8
     assert task_bytes < 64 * 2**20  # << executor budget even at d=2000

@@ -155,3 +155,36 @@ def test_plans_md_covers_expensive_queries():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     assert mod.missing_entries() == []
+
+
+def test_plans_md_sniff_router_entry_is_fresh():
+    """The multimodal_sniff_router PLANS.md entry must show the CURRENT
+    union arity — one scan branch per registered sniff builder.  Round 5
+    shipped two new kernels while the entry still said 13 branches; a
+    stale plan tree is exactly what the plan-audit gate exists to
+    prevent, so freshness is pinned here: the entry's plan tree must
+    contain exactly len(_SNIFF_BUILDERS) parquet scans and say
+    "ALL <n>" in its blurb."""
+    import os
+    import re
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        _SNIFF_BUILDERS,
+    )
+
+    plans = open(os.path.join(os.path.dirname(__file__), "..", "PLANS.md")).read()
+    m = re.search(
+        r"^## multimodal_sniff_router\n\n(?P<blurb>\*.*?\*)\n\n```\n(?P<tree>.*?)\n```",
+        plans,
+        re.S | re.M,
+    )
+    assert m, "PLANS.md has no multimodal_sniff_router entry"
+    n = len(_SNIFF_BUILDERS)
+    scans = len(re.findall(r"Scan parquet", m.group("tree")))
+    assert scans == n, (
+        f"stale sniff-router plan tree: {scans} scan branches in PLANS.md, "
+        f"{n} registered builders — re-dump with scripts/plan_audit.py"
+    )
+    assert f"ALL {n} " in m.group("blurb"), (
+        f"stale sniff-router blurb: expected 'ALL {n} ' in {m.group('blurb')[:120]}"
+    )

@@ -1161,8 +1161,9 @@ def test_parse_pdf_flate_kernel():
 
 def test_parse_zip_deflate_kernel(spark):
     """Method-8 entries inflate with CRC verified over UNCOMPRESSED
-    bytes; a corrupted deflate body must raise through zipfile."""
+    bytes; a corrupted deflate body is counted, not raised."""
     import hashlib
+    import io
     import zipfile
 
     import pytest as _pytest
@@ -1180,10 +1181,15 @@ def test_parse_zip_deflate_kernel(spark):
     r = parse_zip_deflate(payload)
     v = 7 % 4
     assert r["deflated_ok"] == 1 and r["stored_ok"] == 1
+    assert r["crc_bad"] == 0
     assert r["comp_bytes"] == len(_ZDEF_STREAMS[v])
     assert r["content_md5"] == hashlib.md5(_ZDEF_TEXTS[v].encode()).hexdigest()
-    # flip one byte inside the deflate body: zipfile must refuse it
+    # flip one byte inside the deflate body: zipfile refuses the CRC on
+    # read and the kernel COUNTS it (never raises — one corrupt payload
+    # must not kill the whole mapInPandas task)
     idx = payload.index(_ZDEF_STREAMS[v][:8]) + 4
     bad = payload[:idx] + bytes([payload[idx] ^ 0xFF]) + payload[idx + 1 :]
-    with _pytest.raises((zipfile.BadZipFile, Exception)):
-        parse_zip_deflate(bad)
+    with _pytest.raises(zipfile.BadZipFile):
+        zipfile.ZipFile(io.BytesIO(bad)).read("content.xml")
+    rbad = parse_zip_deflate(bad)
+    assert rbad["crc_bad"] == 1 and rbad["deflated_ok"] == 0
