@@ -596,3 +596,296 @@ QUERIES["chunk_breakpoints"] = chunk_breakpoints
 ORACLES["chunk_breakpoints"] = CHUNK_BREAKPOINTS_SQL
 QUERIES["chunk_pages"] = chunk_pages
 ORACLES["chunk_pages"] = CHUNK_PAGES_SQL
+
+
+# --- recursive section deepening (stage_02 recursive_split_section) ----------
+#
+# Reference parity: `semantic search/stage_02_section_processing.py:1014`
+# ``recursive_split_section`` — a section whose span exceeds the
+# threshold is re-split at the NEXT heading level, recursively, until
+# it fits, no meaningful split exists (fewer than 2 next-level
+# headings), or max level is reached; `catalog search/
+# stage3_generate_summaries.py:687` ``detect_natural_boundaries``
+# supplies the boundary-preference idea (headings outrank everything,
+# which is the only ladder rung the planted markdown carries at section
+# grain — sentence/comma rungs live in chunk_breakpoints).
+#
+# Spark-first design: the recursion is depth-bounded (H1..H3 planted,
+# reference descends to H6), so it UNROLLS into pure per-doc array
+# expressions — a heading is a final cut iff every ancestor section was
+# oversized AND had >= 2 children at its level.  Zero shuffle, zero
+# Python, scan-rate at 100 TB; one row per final piece via inline().
+# The anchor piece of a split section keeps the preamble lines (content
+# between the parent heading and its first cut child), so the pieces
+# partition the document exactly — no content is dropped.
+
+SPLIT_TH = 20  # est-token split threshold (reference: page_threshold=3 pages)
+RS_MAX_LEVEL = 3  # planted heading depth (reference max_level=6)
+RS_BLOCK = 6  # tokens per planted block (docs are 10-99 tokens)
+
+
+def _recsplit_markdown(docs: DataFrame) -> DataFrame:
+    """(doc_id, md): markdown with doc-varied heading density — H1 every
+    7..10 blocks (a = 7 + doc_id % 4), H2 every b = 3 + doc_id % 2
+    blocks, H3 at offsets 1..2 after each H2, a plain continuation
+    block at offset 3 (b=4 docs only) — tuned so the sf0.01 corpus
+    exercises EVERY recursion branch: short docs fit at H1, long docs
+    split H1->H2->H3, the b=4 docs' trailing 2-block H3 spans exceed
+    the threshold at max level (max_level arm), truncated tail spans
+    hit the no-subheadings arm (branch counts pinned in the unit
+    test)."""
+    toks = tokens(F.col("text"))
+    n_blocks = F.greatest(F.ceil(F.size(toks) / RS_BLOCK).cast("int"), F.lit(1))
+    a = (F.lit(7) + F.pmod(F.col("doc_id"), 4)).cast("int")
+    b = (F.lit(3) + F.pmod(F.col("doc_id"), 2)).cast("int")
+
+    def block(w: Column) -> Column:
+        body = F.array_join(F.slice(toks, w * RS_BLOCK + 1, RS_BLOCK), " ")
+        lev = (
+            F.when(F.pmod(w, a) == 0, 1)
+            .when(F.pmod(w, b) == 0, 2)
+            .when(F.pmod(w, b) <= 2, 3)
+        )
+        head = F.concat(
+            F.when(lev == 1, "#").when(lev == 2, "##").otherwise(F.lit("###")),
+            F.lit(" S"),
+            F.col("doc_id").cast("string"),
+            F.lit("_"),
+            w.cast("string"),
+            F.lit("\n"),
+        )
+        return F.concat(F.when(lev.isNotNull(), head).otherwise(F.lit("")), body)
+
+    md = F.array_join(F.transform(F.sequence(F.lit(0), n_blocks - 1), block), "\n")
+    return docs.select("doc_id", md.alias("md"))
+
+
+def section_recursive_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    md = _recsplit_markdown(docs)
+
+    # staged selects: every array is materialized BEFORE lambda use
+    # (referencing a compound expression inside a lambda re-evaluates it
+    # per element — the house no-CSE-in-HOF rule)
+    s1 = md.select("doc_id", F.split("md", "\n").alias("lines"))
+    s2 = s1.select(
+        "doc_id",
+        "lines",
+        F.filter(
+            F.sequence(F.lit(1), F.size("lines")),
+            lambda i: F.element_at(F.col("lines"), i).rlike("^#{1,3} "),
+        ).alias("hidx"),
+    )
+    s3 = s2.select(
+        "doc_id",
+        "lines",
+        "hidx",
+        F.transform(
+            "hidx",
+            lambda i: F.length(
+                F.regexp_extract(F.element_at(F.col("lines"), i), r"^(#+) ", 1)
+            ).cast("int"),
+        ).alias("hlev"),
+        F.sequence(F.lit(1), F.size("hidx")).alias("hs"),
+    )
+
+    def lev(k: Column) -> Column:
+        return F.element_at(F.col("hlev"), k)
+
+    # own-level span end per heading j (line index, inclusive) + H1 parent
+    def span_end(j: Column) -> Column:
+        nj = F.array_min(F.filter(F.col("hs"), lambda k: (k > j) & (lev(k) <= lev(j))))
+        return F.when(nj.isNull(), F.size(F.col("lines"))).otherwise(
+            F.element_at(F.col("hidx"), nj) - 1
+        )
+
+    s4 = s3.select(
+        "doc_id", "lines", "hidx", "hlev", "hs",
+        F.transform("hs", span_end).alias("send"),
+        F.transform(
+            "hs",
+            lambda j: F.array_max(F.filter(F.col("hs"), lambda k: (k <= j) & (lev(k) == 1))),
+        ).alias("p1"),
+    )
+
+    def est_span(a_line: Column, b_line: Column) -> Column:
+        return _est_tokens(
+            F.length(F.array_join(F.slice(F.col("lines"), a_line, b_line - a_line + 1), "\n"))
+        )
+
+    s5 = s4.select(
+        "doc_id", "lines", "hidx", "hlev", "hs", "send", "p1",
+        F.transform(
+            "hs", lambda j: est_span(F.element_at(F.col("hidx"), j), F.element_at(F.col("send"), j))
+        ).alias("est"),
+        F.transform(
+            "hs",
+            lambda j: F.size(
+                F.filter(
+                    F.col("hs"),
+                    lambda k: (k > j)
+                    & (F.element_at(F.col("hidx"), k) <= F.element_at(F.col("send"), j))
+                    & (lev(k) == lev(j) + 1),
+                )
+            ),
+        ).alias("nsub"),
+        F.transform(
+            "hs",
+            lambda j: F.array_max(
+                F.filter(
+                    F.col("hs"),
+                    lambda k: (k <= j) & (lev(k) == 2) & (k > F.element_at(F.col("p1"), j)),
+                )
+            ),
+        ).alias("p2"),
+    )
+    s6 = s5.select(
+        "doc_id", "lines", "hidx", "hlev", "hs", "send", "p1", "p2", "est", "nsub",
+        F.transform(
+            "hs",
+            lambda j: (lev(j) < RS_MAX_LEVEL)
+            & (F.element_at(F.col("est"), j) > SPLIT_TH)
+            & (F.element_at(F.col("nsub"), j) >= 2),
+        ).alias("spl"),
+    )
+
+    def split_at(k: Column) -> Column:
+        return F.element_at(F.col("spl"), k)
+
+    # a heading is a final cut iff every ancestor section split down to it
+    cut = (
+        lambda j: F.when(lev(j) == 1, F.lit(True))
+        .when(lev(j) == 2, split_at(F.element_at(F.col("p1"), j)))
+        .otherwise(
+            F.element_at(F.col("p2"), j).isNotNull()
+            & F.coalesce(split_at(F.element_at(F.col("p2"), j)), F.lit(False))
+            & split_at(F.element_at(F.col("p1"), j))
+        )
+    )
+    s7 = s6.select(
+        "doc_id", "lines", "hidx", "hlev", "send", "p1", "p2", "est", "spl",
+        F.filter("hs", cut).alias("cuts"),
+    )
+
+    def title_of(k: Column) -> Column:
+        return F.regexp_extract(
+            F.element_at(F.col("lines"), F.element_at(F.col("hidx"), k)), r"^#+\s+(.*)$", 1
+        )
+
+    def piece(c: Column) -> Column:
+        jc = F.element_at(F.col("cuts"), c)
+        anchor = F.element_at(F.col("hidx"), jc)
+        pend = F.when(
+            c < F.size(F.col("cuts")),
+            F.element_at(F.col("hidx"), F.element_at(F.col("cuts"), c + 1)) - 1,
+        ).otherwise(F.size(F.col("lines")))
+        level = lev(jc)
+        reason = (
+            F.when(split_at(jc), "split_remainder")
+            .when(F.element_at(F.col("est"), jc) <= SPLIT_TH, "fits")
+            .when(level == RS_MAX_LEVEL, "max_level")
+            .otherwise(F.lit("no_subheadings"))
+        )
+        return F.struct(
+            c.cast("bigint").alias("sec_idx"),
+            title_of(jc).alias("title"),
+            level.cast("bigint").alias("level"),
+            F.when(level == 1, F.lit(""))
+            .when(level == 2, title_of(F.element_at(F.col("p1"), jc)))
+            .otherwise(title_of(F.element_at(F.col("p2"), jc)))
+            .alias("parent_title"),
+            est_span(anchor, pend).alias("piece_tokens"),
+            reason.alias("stop_reason"),
+            F.md5(
+                F.encode(
+                    F.array_join(F.slice(F.col("lines"), anchor, pend - anchor + 1), "\n"),
+                    "utf-8",
+                )
+            ).alias("content_md5"),
+        )
+
+    pieces = F.transform(F.sequence(F.lit(1), F.size(F.col("cuts"))), piece)
+    return s7.select("doc_id", F.inline(pieces))
+
+
+_RS_MD_SQL = f"""
+md_t AS (
+  SELECT doc_id,
+         array_to_string(list_transform(generate_series(0,
+             greatest(CAST(ceil(len(toks) / {RS_BLOCK}.0) AS INT), 1) - 1),
+           w -> coalesce(
+                  CASE WHEN w % (7 + doc_id % 4) = 0 THEN '#'
+                       WHEN w % (3 + doc_id % 2) = 0 THEN '##'
+                       WHEN w % (3 + doc_id % 2) <= 2 THEN '###' END
+                  || ' S' || doc_id || '_' || w || chr(10), '')
+                || array_to_string(list_slice(toks, w * {RS_BLOCK} + 1, (w + 1) * {RS_BLOCK}), ' ')
+         ), chr(10)) AS md
+  FROM (SELECT doc_id, {_FILT_TOKS_SQL} AS toks FROM documents)
+)
+"""
+
+SECTION_RECURSIVE_SPLIT_SQL = f"""
+WITH {_RS_MD_SQL.strip()},
+l1 AS (SELECT doc_id, string_split(md, chr(10)) AS lines FROM md_t),
+l2 AS (
+  SELECT doc_id, lines,
+         list_filter(generate_series(1, len(lines)),
+                     i -> regexp_matches(lines[i], '^#{{1,3}} ')) AS hidx
+  FROM l1
+),
+l3 AS (
+  SELECT doc_id, lines, hidx,
+         list_transform(hidx, i -> length(regexp_extract(lines[i], '^(#+) ', 1))) AS hlev,
+         generate_series(1, len(hidx)) AS hs
+  FROM l2
+),
+l4 AS (
+  SELECT doc_id, lines, hidx, hlev, hs,
+         list_transform(hs, j -> coalesce(
+             hidx[list_min(list_filter(hs, k -> k > j AND hlev[k] <= hlev[j]))] - 1,
+             len(lines))) AS send,
+         list_transform(hs, j -> list_max(list_filter(hs, k -> k <= j AND hlev[k] = 1))) AS p1
+  FROM l3
+),
+l5 AS (
+  SELECT doc_id, lines, hidx, hlev, hs, send, p1,
+         list_transform(hs, j -> {_EST_SQL.format(c="length(array_to_string(list_slice(lines, hidx[j], send[j]), chr(10)))")}) AS est,
+         list_transform(hs, j -> len(list_filter(hs,
+             k -> k > j AND hidx[k] <= send[j] AND hlev[k] = hlev[j] + 1))) AS nsub,
+         list_transform(hs, j -> list_max(list_filter(hs,
+             k -> k <= j AND hlev[k] = 2 AND k > p1[j]))) AS p2
+  FROM l4
+),
+l6 AS (
+  SELECT *, list_transform(hs, j -> hlev[j] < {RS_MAX_LEVEL}
+                                     AND est[j] > {SPLIT_TH}
+                                     AND nsub[j] >= 2) AS spl
+  FROM l5
+),
+l7 AS (
+  SELECT *, list_filter(hs, j -> CASE
+              WHEN hlev[j] = 1 THEN true
+              WHEN hlev[j] = 2 THEN spl[p1[j]]
+              ELSE p2[j] IS NOT NULL AND coalesce(spl[p2[j]], false) AND spl[p1[j]]
+            END) AS cuts
+  FROM l6
+)
+SELECT doc_id,
+       CAST(c AS BIGINT) AS sec_idx,
+       regexp_extract(lines[hidx[cuts[c]]], '^#+\\s+(.*)$', 1) AS title,
+       CAST(hlev[cuts[c]] AS BIGINT) AS level,
+       CASE WHEN hlev[cuts[c]] = 1 THEN ''
+            WHEN hlev[cuts[c]] = 2 THEN regexp_extract(lines[hidx[p1[cuts[c]]]], '^#+\\s+(.*)$', 1)
+            ELSE regexp_extract(lines[hidx[p2[cuts[c]]]], '^#+\\s+(.*)$', 1) END AS parent_title,
+       {_EST_SQL.format(c="length(array_to_string(list_slice(lines, hidx[cuts[c]], CASE WHEN c < len(cuts) THEN hidx[cuts[c + 1]] - 1 ELSE len(lines) END), chr(10)))")} AS piece_tokens,
+       CASE WHEN spl[cuts[c]] THEN 'split_remainder'
+            WHEN est[cuts[c]] <= {SPLIT_TH} THEN 'fits'
+            WHEN hlev[cuts[c]] = {RS_MAX_LEVEL} THEN 'max_level'
+            ELSE 'no_subheadings' END AS stop_reason,
+       md5(array_to_string(list_slice(lines, hidx[cuts[c]],
+           CASE WHEN c < len(cuts) THEN hidx[cuts[c + 1]] - 1 ELSE len(lines) END), chr(10))) AS content_md5
+FROM l7, unnest(generate_series(1, len(cuts))) AS g(c)
+"""
+
+QUERIES["section_recursive_split"] = section_recursive_split
+ORACLES["section_recursive_split"] = SECTION_RECURSIVE_SPLIT_SQL

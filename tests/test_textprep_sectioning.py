@@ -89,3 +89,39 @@ def test_reward_margin_ece_oracle(spark, oracle):
     for b, r in rows.items():
         assert 5000 + 250 * b <= r.avg_conf_bp <= 5000 + 250 * (b + 1)
         assert 0 <= r.observed_bp <= 10000
+
+
+def test_recursive_split_covers_every_branch(spark):
+    """The plant is tuned (RS_BLOCK/SPLIT_TH/doc-varied periods) so the
+    sf0.01 corpus exercises EVERY recursion arm of the reference's
+    recursive_split_section: sections that fit, sections split down to
+    H2 and H3 (split_remainder anchors), oversized sections with <2
+    subheadings (kept as-is), and oversized H3 leaves at max level.
+    A plant drift that kills a branch makes the operator untested there
+    — so the full branch set is pinned, plus structural invariants."""
+    rows = sectioning.section_recursive_split(spark, SF_CORRECT).collect()
+    branches = {(r.level, r.stop_reason) for r in rows}
+    assert branches == {
+        (1, "fits"),
+        (1, "no_subheadings"),
+        (1, "split_remainder"),
+        (2, "fits"),
+        (2, "no_subheadings"),
+        (2, "split_remainder"),
+        (3, "fits"),
+        (3, "max_level"),
+    }
+    # an H3 cut exists only under a split H2 — never 'split_remainder'
+    # at level 3 (max level cannot split), never 'max_level' below it
+    assert not any(r.level < 3 and r.stop_reason == "max_level" for r in rows)
+    # sec_idx is contiguous 1..n per doc and every doc yields >= 1 piece
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.sec_idx)
+    assert len(by_doc) == 500
+    for doc, idxs in by_doc.items():
+        assert sorted(idxs) == list(range(1, len(idxs) + 1)), doc
+    # parent linkage: level-1 pieces have no parent, deeper pieces do
+    for r in rows:
+        assert (r.parent_title == "") == (r.level == 1)
+        assert r.piece_tokens >= 1
