@@ -5303,3 +5303,311 @@ FROM documents WHERE doc_id % 8 = 7
 
 QUERIES["multimodal_zip_deflate"] = multimodal_zip_deflate
 ORACLES["multimodal_zip_deflate"] = _zdef_oracle_sql()
+
+
+# --- merged-PDF write-side kernel (pdf-prep stage_00 WRITE grain) -------------
+#
+# Reference parity: `semantic search - iasb prep/stage_00_pdf_merger.py:302`
+# ``merge_pdf_group`` — PdfWriter appends every page of every source in
+# filename order and writes ONE merged PDF per group.  ``pdf_merge_plan``
+# (operators/catalog.py) covers the grouping/ordering metadata grain;
+# this kernel closes the WRITE side: the merged document itself —
+# catalog, pages tree, per-source outline (bookmark) chain, page
+# objects, and a byte-exact xref table — is emitted in-query from the
+# group parameters, then a stdlib walker re-opens the bytes and
+# verifies every xref offset lands on its object, the pages /Count
+# matches the page-object census, and the /First->/Next bookmark chain
+# is complete.  Every object class is FIXED WIDTH (zero-padded refs,
+# rpadded titles), so every offset is an affine function of (S sources,
+# P pages) and the DuckDB oracle can predict all fields — including
+# total file bytes — arithmetically, without touching bytes.
+# NOT registered in _SNIFF_BUILDERS: the sniff router covers per-doc
+# payload kernels; this plant is one row per merge GROUP.
+
+_PMW_GROUP = 21  # doc_id div 21 -> up to 3 sources per group (%7==2, %5<>1)
+_PMW_PAGE_CHARS = 200  # planted page density: 1 page per 200 chars
+_PMW_TITLE_W = 16
+
+_PMW_H = "%PDF-1.4\n"
+_PMW_OBJ1 = "0001 0 obj\n<< /Type /Catalog /Pages 2 0 R /Outlines 3 0 R >>\nendobj\n"
+_PMW_OBJ2_A = "0002 0 obj\n<< /Type /Pages /Count "
+_PMW_OBJ2_B = " /Kids ["
+_PMW_OBJ2_C = "] >>\nendobj\n"
+_PMW_KID_W = 9  # "%04d 0 R "
+_PMW_OBJ3_FMT = (
+    "0003 0 obj\n<< /Type /Outlines /First 0004 0 R /Last %04d 0 R /Count %04d >>\nendobj\n"
+)
+_PMW_ITEM_FMT = (
+    "%04d 0 obj\n<< /Title (%s) /Parent 3 0 R /Dest [%04d 0 R /Fit] %s>>\nendobj\n"
+)
+_PMW_NEXT_FMT = "/Next %04d 0 R "  # last item pads with 15 spaces instead
+_PMW_PAGE_FMT = (
+    "%04d 0 obj\n<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] >>\nendobj\n"
+)
+_PMW_TRAIL_A = "trailer\n<< /Size "
+_PMW_TRAIL_B = " /Root 1 0 R >>\nstartxref\n"
+
+_PMW_L1 = len(_PMW_OBJ1)
+_PMW_L2B = len(_PMW_OBJ2_A) + 4 + len(_PMW_OBJ2_B) + len(_PMW_OBJ2_C)  # + 9 per kid
+_PMW_L3 = len(_PMW_OBJ3_FMT % (0, 0))
+_PMW_LI = len(_PMW_ITEM_FMT % (0, " " * _PMW_TITLE_W, 0, " " * len(_PMW_NEXT_FMT % 0)))
+_PMW_LP = len(_PMW_PAGE_FMT % 0)
+_PMW_LXH = len("xref\n0 ") + 4 + 1  # "xref\n0 %04d\n"
+_PMW_LT = len(_PMW_TRAIL_A) + 4 + len(_PMW_TRAIL_B) + 10 + 1 + len("%%EOF")
+
+
+def pdf_merge_write_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(grp, payload): one byte-exact merged PDF per source group."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = docs.where(
+        (F.pmod(F.col("doc_id"), 7) == 2) & (F.pmod(F.col("doc_id"), 5) != 1)
+    ).select(
+        F.expr(f"doc_id div {_PMW_GROUP}").alias("grp"),
+        "doc_id",
+        (F.expr(f"length(text) div {_PMW_PAGE_CHARS}") + 1).cast("int").alias("np"),
+    )
+    g = (
+        src.groupBy("grp")
+        .agg(F.array_sort(F.collect_list(F.struct("doc_id", "np"))).alias("mem"))
+        .select(
+            "grp",
+            "mem",
+            F.size("mem").alias("S"),
+            F.aggregate("mem", F.lit(0), lambda a, x: a + x["np"]).alias("P"),
+        )
+    )
+    # first merged-page index per member (prefix sum over the sorted members)
+    g = g.select(
+        "grp", "mem", "S", "P",
+        F.transform(
+            F.sequence(F.lit(1), F.col("S")),
+            lambda i: 1
+            + F.aggregate(
+                F.filter(
+                    F.col("mem"),
+                    lambda x: x["doc_id"] < F.element_at(F.col("mem"), i)["doc_id"],
+                ),
+                F.lit(0),
+                lambda a, x: a + x["np"],
+            ),
+        ).alias("firsts"),
+        (F.lit(9 + _PMW_L1 + _PMW_L2B) + _PMW_KID_W * F.col("P")).alias("off3"),
+    )
+    g = g.select(
+        "grp", "mem", "S", "P", "firsts", "off3",
+        (F.col("off3") + _PMW_L3 + F.col("S") * _PMW_LI + F.col("P") * _PMW_LP).alias("sx"),
+    )
+
+    S, P = F.col("S"), F.col("P")
+    kids = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), P), lambda p: F.format_string("%04d 0 R ", F.lit(3) + S + p)
+        ),
+        "",
+    )
+    items = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), S),
+            lambda i: F.format_string(
+                _PMW_ITEM_FMT,
+                F.lit(3) + i,
+                F.rpad(
+                    F.concat(
+                        F.lit("S"),
+                        F.element_at(F.col("mem"), i)["doc_id"].cast("string"),
+                    ),
+                    _PMW_TITLE_W,
+                    " ",
+                ),
+                F.lit(3) + S + F.element_at(F.col("firsts"), i),
+                F.when(i < S, F.format_string(_PMW_NEXT_FMT, F.lit(4) + i)).otherwise(
+                    F.lit(" " * len(_PMW_NEXT_FMT % 0))
+                ),
+            ),
+        ),
+        "",
+    )
+    pages = F.array_join(
+        F.transform(
+            F.sequence(F.lit(1), P), lambda p: F.format_string(_PMW_PAGE_FMT, F.lit(3) + S + p)
+        ),
+        "",
+    )
+    off = lambda k: (  # noqa: E731 — xref offset per object number (affine)
+        F.when(k == 1, F.lit(9))
+        .when(k == 2, F.lit(9 + _PMW_L1))
+        .when(k == 3, F.col("off3"))
+        .when(k <= 3 + S, F.col("off3") + _PMW_L3 + (k - 4) * _PMW_LI)
+        .otherwise(F.col("off3") + _PMW_L3 + S * _PMW_LI + (k - 4 - S) * _PMW_LP)
+    )
+    xref = F.concat(
+        F.format_string("xref\n0 %04d\n", F.lit(4) + S + P),
+        F.lit("0000000000 65535 f \n"),
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3) + S + P),
+                lambda k: F.format_string("%010d 00000 n \n", off(k)),
+            ),
+            "",
+        ),
+    )
+    body = F.concat(
+        F.lit(_PMW_H + _PMW_OBJ1 + _PMW_OBJ2_A),
+        F.format_string("%04d", P),
+        F.lit(_PMW_OBJ2_B),
+        kids,
+        F.lit(_PMW_OBJ2_C),
+        F.format_string(_PMW_OBJ3_FMT, F.lit(3) + S, S),
+        items,
+        pages,
+        xref,
+        F.lit(_PMW_TRAIL_A),
+        F.format_string("%04d", F.lit(4) + S + P),
+        F.lit(_PMW_TRAIL_B),
+        F.format_string("%010d", F.col("sx")),
+        F.lit("\n%%EOF"),
+    )
+    return g.select("grp", F.encode(body, "utf-8").alias("payload"))
+
+
+PMW_SCHEMA = T.StructType(
+    [
+        T.StructField("grp", T.LongType()),
+        T.StructField("n_src", T.LongType()),
+        T.StructField("total_pages", T.LongType()),
+        T.StructField("n_objects", T.LongType()),
+        T.StructField("xref_entries", T.LongType()),
+        T.StructField("xref_ok", T.LongType()),
+        T.StructField("pages_ok", T.LongType()),
+        T.StructField("outline_ok", T.LongType()),
+        T.StructField("outline_md5", T.StringType()),
+        T.StructField("file_bytes", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+
+def parse_pdf_merged(payload: bytes) -> dict | None:
+    """Re-open the merged PDF: resolve startxref, verify EVERY xref
+    offset lands on its numbered object, census page objects against
+    the pages /Count, and walk the /First->/Next outline chain to the
+    declared /Last."""
+    import hashlib
+    import re
+
+    if not payload.startswith(b"%PDF-"):
+        return None
+    txt = payload.decode("latin-1")
+    m = re.search(r"startxref\n(\d+)\n%%EOF$", txt)
+    if not m:
+        return None
+    sx = int(m.group(1))
+    xh = re.match(r"xref\n0 (\d+)\n", txt[sx:])
+    if not xh:
+        return None
+    n_entries = int(xh.group(1))
+    pos = sx + xh.end()
+    xref_ok = 1
+    for k in range(n_entries):
+        e = txt[pos + 20 * k : pos + 20 * (k + 1)]
+        if k == 0:
+            if e != "0000000000 65535 f \n":
+                xref_ok = 0
+            continue
+        if not re.fullmatch(r"\d{10} 00000 n \n", e):
+            xref_ok = 0
+            continue
+        if not txt[int(e[:10]) :].startswith(f"{k:04d} 0 obj\n"):
+            xref_ok = 0
+    pm = re.search(r"/Type /Pages /Count (\d+)", txt)
+    pcount = int(pm.group(1)) if pm else -1
+    pages_ok = 1 if pcount == len(re.findall(r"/Type /Page ", txt)) else 0
+    om = re.search(r"/Type /Outlines /First (\d+) 0 R /Last (\d+) 0 R /Count (\d+)", txt)
+    outline_ok = 0
+    titles: list[str] = []
+    if om:
+        first, last, ocount = int(om.group(1)), int(om.group(2)), int(om.group(3))
+        cur, guard = first, 0
+        end = first
+        while cur and guard <= ocount + 1:
+            io = re.search(
+                rf"\n{cur:04d} 0 obj\n<< /Title \(([^)]*)\) /Parent 3 0 R "
+                rf"/Dest \[(\d+) 0 R /Fit\] (?:/Next (\d+) 0 R)? *>>",
+                txt,
+            )
+            if not io:
+                break
+            titles.append(io.group(1).rstrip())
+            end = cur
+            cur = int(io.group(3)) if io.group(3) else None
+            guard += 1
+        outline_ok = 1 if (guard == ocount and end == last) else 0
+    return {
+        "n_src": len(titles),
+        "total_pages": pcount,
+        "n_objects": n_entries - 1,
+        "xref_entries": n_entries,
+        "xref_ok": xref_ok,
+        "pages_ok": pages_ok,
+        "outline_ok": outline_ok,
+        "outline_md5": hashlib.md5("|".join(titles).encode()).hexdigest(),
+        "file_bytes": len(payload),
+    }
+
+
+def multimodal_pdf_merge_write(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched verification walk over the written merge artifacts."""
+    pdfs = pdf_merge_write_table(spark, sf_dir)
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for gid, payload in zip(part["grp"], part["payload"]):
+                    parsed = parse_pdf_merged(bytes(payload))
+                    if parsed is None:
+                        continue
+                    rows.append({"grp": int(gid), **parsed, "parser": "pdfmerge-stdlib"})
+                cols = [f.name for f in PMW_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {c: "int64" for c in cols if c not in ("parser", "outline_md5")}
+                )
+
+    return pdfs.mapInPandas(fn, PMW_SCHEMA)
+
+
+def _pmw_oracle_sql() -> str:
+    fixed = 9 + _PMW_L1 + _PMW_L2B + _PMW_L3 + _PMW_LXH + _PMW_LT + 20 * 4
+    per_s = _PMW_LI + 20
+    per_p = _PMW_KID_W + _PMW_LP + 20
+    return f"""
+WITH src AS (
+  SELECT doc_id // {_PMW_GROUP} AS grp, doc_id,
+         length(text) // {_PMW_PAGE_CHARS} + 1 AS np
+  FROM documents WHERE doc_id % 7 = 2 AND doc_id % 5 <> 1
+),
+g AS (
+  SELECT grp, count(*) AS s, CAST(sum(np) AS BIGINT) AS p,
+         md5(string_agg('S' || doc_id::VARCHAR, '|' ORDER BY doc_id)) AS omd5
+  FROM src GROUP BY grp
+)
+SELECT grp,
+       CAST(s AS BIGINT) AS n_src,
+       p AS total_pages,
+       CAST(3 + s + p AS BIGINT) AS n_objects,
+       CAST(4 + s + p AS BIGINT) AS xref_entries,
+       CAST(1 AS BIGINT) AS xref_ok,
+       CAST(1 AS BIGINT) AS pages_ok,
+       CAST(1 AS BIGINT) AS outline_ok,
+       omd5 AS outline_md5,
+       CAST({fixed} + s * {per_s} + p * {per_p} AS BIGINT) AS file_bytes,
+       'pdfmerge-stdlib' AS parser
+FROM g
+"""
+
+
+QUERIES["multimodal_pdf_merge_write"] = multimodal_pdf_merge_write
+ORACLES["multimodal_pdf_merge_write"] = _pmw_oracle_sql()

@@ -167,7 +167,7 @@ _DRIVER_PRIORITY = [
     "vision_page_synthesis", "multimodal_pdf_flate", "knn_ivf_pq", "brand_frequent_triples",
     "embed_opq_dim_allocation", "multimodal_zip_deflate", "orders_chain_ladder",
     # round-6 additions:
-    "section_recursive_split",
+    "section_recursive_split", "multimodal_pdf_merge_write",
 ]
 
 

@@ -1193,3 +1193,31 @@ def test_parse_zip_deflate_kernel(spark):
         zipfile.ZipFile(io.BytesIO(bad)).read("content.xml")
     rbad = parse_zip_deflate(bad)
     assert rbad["crc_bad"] == 1 and rbad["deflated_ok"] == 0
+
+
+def test_parse_pdf_merged_kernel(spark):
+    """The merged-PDF walker must verify the plant end-to-end (every
+    xref offset on its object, page census == /Count, full bookmark
+    chain) and must CATCH a corrupted xref offset rather than trust
+    the table."""
+    import hashlib
+
+    from iris_project_database_refresh_spark.operators.multimodal import (
+        parse_pdf_merged,
+        pdf_merge_write_table,
+    )
+
+    assert parse_pdf_merged(b"junk") is None
+    row = pdf_merge_write_table(spark, SF_CORRECT).where("grp = 1").first()
+    payload = bytes(row.payload)
+    r = parse_pdf_merged(payload)
+    assert r["xref_ok"] == 1 and r["pages_ok"] == 1 and r["outline_ok"] == 1
+    assert r["n_src"] == 3  # grp 1 members: doc_ids 23, 30, 37 (%7==2, %5<>1)
+    assert r["outline_md5"] == hashlib.md5(b"S23|S30|S37").hexdigest()
+    assert r["file_bytes"] == len(payload)
+    # flip one digit inside the SECOND xref entry's offset: the walker
+    # must refuse it (offset no longer lands on "0002 0 obj")
+    idx = payload.rindex(b"xref\n0 ") + len(b"xref\n0 NNNN\n") + 20 + 5
+    bad = payload[:idx] + b"9" + payload[idx + 1 :]
+    rbad = parse_pdf_merged(bad)
+    assert rbad["xref_ok"] == 0 and rbad["pages_ok"] == 1
