@@ -442,3 +442,92 @@ FROM lb, unnest(range(1, {LPT_SHARDS} + 1)) AS u(s)
 
 QUERIES["shard_makespan_lpt"] = shard_makespan_lpt
 ORACLES["shard_makespan_lpt"] = SHARD_LPT_SQL
+
+
+# --- attention fragmentation of the packed layout ------------------------------
+#
+# The metric behind document-masked packing (and the reason it exists):
+# in a packed example of L tokens holding doc spans l_1..l_k, a causal
+# attention WITHOUT a document mask lets (L^2 - sum l_i^2) of the L^2
+# token pairs cross document boundaries — cross-doc contamination a
+# packing job must either mask or accept.  Reported per example over
+# the pack_examples layout: contamination share, within-doc share,
+# interior boundaries, tail padding, and the largest single-doc share
+# (how "pure" the example is).  The gate a pretraining data job
+# thresholds before choosing mask strategy.
+#
+# Scale: the same span explode + ONE example-grain hash-agg as
+# pack_examples — two extra integer sums (tok^2, max tok), no new
+# shuffle, no Python.
+
+
+def pack_attention_fragmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    sized = docs.select("doc_id", F.size(tokens(F.col("text"))).alias("n")).where(F.col("n") > 0)
+    off = global_cumsum(sized, "doc_id", "n", out_col="off")
+
+    B = EXAMPLE_TOKENS
+    e0 = (F.col("off") / B).cast("bigint")
+    e1 = ((F.col("off") + F.col("n") - 1) / B).cast("bigint")
+    spans = off.select(
+        "doc_id", "n", "off", F.explode(F.sequence(e0, e1)).alias("example_id")
+    )
+    tokens_in = F.least(F.col("off") + F.col("n"), (F.col("example_id") + 1) * B) - F.greatest(
+        F.col("off"), F.col("example_id") * B
+    )
+    g = (
+        spans.withColumn("tok", tokens_in)
+        .groupBy("example_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("L"),
+            F.sum(F.col("tok") * F.col("tok")).alias("sq"),
+            F.max("tok").alias("mx"),
+        )
+    )
+    return g.select(
+        F.col("example_id").cast("bigint").alias("example_id"),
+        F.col("n_docs").cast("bigint").alias("n_docs"),
+        F.col("L").cast("bigint").alias("n_tokens"),
+        F.expr("1000 * (L * L - sq) div (L * L)").alias("cross_doc_milli"),
+        F.expr("1000 * sq div (L * L)").alias("within_doc_milli"),
+        (F.col("n_docs") - 1).cast("bigint").alias("n_boundaries"),
+        (F.lit(B) - F.col("L")).cast("bigint").alias("pad_tokens"),
+        F.expr(f"1000 * mx div greatest(L, 1)").alias("largest_doc_share_milli"),
+    )
+
+
+PACK_FRAG_SQL = f"""
+WITH sized AS (
+  SELECT doc_id, len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS n
+  FROM documents
+  WHERE len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) > 0
+),
+off_t AS (
+  SELECT doc_id, n,
+         coalesce(sum(n) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS off
+  FROM sized
+),
+spans AS (
+  SELECT doc_id, n, off, e AS example_id,
+         least(off + n, (e + 1) * {EXAMPLE_TOKENS}) - greatest(off, e * {EXAMPLE_TOKENS}) AS tok
+  FROM off_t, (SELECT unnest(generate_series(CAST(off // {EXAMPLE_TOKENS} AS BIGINT),
+                                             CAST((off + n - 1) // {EXAMPLE_TOKENS} AS BIGINT))) AS e)
+),
+g AS (
+  SELECT example_id, count(*) AS n_docs, sum(tok) AS l, sum(tok * tok) AS sq, max(tok) AS mx
+  FROM spans GROUP BY example_id
+)
+SELECT CAST(example_id AS BIGINT) AS example_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(l AS BIGINT) AS n_tokens,
+       CAST(1000 * (l * l - sq) // (l * l) AS BIGINT) AS cross_doc_milli,
+       CAST(1000 * sq // (l * l) AS BIGINT) AS within_doc_milli,
+       CAST(n_docs - 1 AS BIGINT) AS n_boundaries,
+       CAST({EXAMPLE_TOKENS} - l AS BIGINT) AS pad_tokens,
+       CAST(1000 * mx // greatest(l, 1) AS BIGINT) AS largest_doc_share_milli
+FROM g
+"""
+
+QUERIES["pack_attention_fragmentation"] = pack_attention_fragmentation
+ORACLES["pack_attention_fragmentation"] = PACK_FRAG_SQL

@@ -677,7 +677,12 @@ PQR_BASE = 200  # vec_id in [200, 200+KCENT) residuals form the PQ codebook
 IVFPQ_K = 10
 
 
-def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _ivf_pq_adc(spark: SparkSession, sf_dir: str):
+    """Shared IVF-PQ front half: coarse assign -> residual encode ->
+    probed-cell candidate set -> candidate-gated residual ADC.  Returns
+    (emb, adc) where adc = (query_id, vec_id, sadc scaled 1e6) — the
+    approximate scores knn_ivf_pq ranks directly and knn_ivf_pq_refine
+    re-scores exactly on the short list."""
     from .advanced import NCELLS, NPROBE
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -774,6 +779,11 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
             "query_id", "vec_id", (F.col("qc_dot") + F.col("sresid")).alias("sadc")
         )
     )
+    return emb, adc
+
+
+def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, adc = _ivf_pq_adc(spark, sf_dir)
     w = Window.partitionBy("query_id").orderBy(F.desc("sadc"), F.asc("vec_id"))
     top = (
         adc.withColumn("rank", F.row_number().over(w))
@@ -796,7 +806,8 @@ def knn_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _ivf_pq_sql() -> str:
+def _ivf_pq_prefix_sql() -> str:
+    """Shared CTE chain through the ADC scores (mirrors _ivf_pq_adc)."""
     from .advanced import NCELLS, NPROBE
 
     return f"""
@@ -870,7 +881,13 @@ cand AS (
 adc AS (
   SELECT c.query_id, c.vec_id, qc_dot + sresid AS sadc
   FROM cand c JOIN sresid s ON s.query_id = c.query_id AND s.vec_id = c.vec_id
-),
+)"""
+
+
+def _ivf_pq_sql() -> str:
+    return (
+        _ivf_pq_prefix_sql()
+        + f""",
 top AS (
   SELECT query_id, vec_id AS neighbor_id, rank, sadc FROM (
     SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sadc DESC, vec_id ASC) AS rank
@@ -885,10 +902,100 @@ FROM top
 JOIN d n ON top.neighbor_id = n.vec_id
 JOIN d q ON top.query_id = q.vec_id
 """
+    )
 
 
 QUERIES["knn_ivf_pq"] = knn_ivf_pq
 ORACLES["knn_ivf_pq"] = _ivf_pq_sql()
+
+
+# --- two-stage retrieval: exact re-score of the PQ short list -----------------
+#
+# The refine step every production PQ deployment runs (FAISS
+# IndexRefineFlat): ADC scores are lossy, so the top R = REFINE_FACTOR
+# x K approximate candidates are re-scored with the EXACT dot product
+# and re-ranked — recovering most of the recall the quantizer lost for
+# R/N of the exact cost.  Output keeps both ranks; `promoted` marks
+# neighbors the exact pass rescued from outside the approximate top-K
+# (the rows that justify the refine stage's existence).
+#
+# Scale: the exact re-score joins vectors ONLY for the R-per-query
+# short list (candidate-bounded, like the ADC stage feeding it) — the
+# corpus-wide work stays quantized.
+
+REFINE_FACTOR = 3
+
+
+def knn_ivf_pq_refine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, adc = _ivf_pq_adc(spark, sf_dir)
+    w = Window.partitionBy("query_id").orderBy(F.desc("sadc"), F.asc("vec_id"))
+    short = (
+        adc.withColumn("adc_rank", F.row_number().over(w))
+        .where(F.col("adc_rank") <= REFINE_FACTOR * IVFPQ_K)
+    )
+    q_vecs = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    sexact = F.floor(
+        F.aggregate(
+            F.zip_with("q", "v", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+        )
+        * 1e6
+        + F.lit(0.5)
+    ).cast("bigint")
+    ex = (
+        short.join(emb, "vec_id")
+        .join(F.broadcast(q_vecs), "query_id")
+        .select("query_id", "vec_id", "adc_rank", "sadc", sexact.alias("sexact"))
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.desc("sexact"), F.asc("vec_id"))
+    return (
+        ex.withColumn("rank", F.row_number().over(wr))
+        .where(F.col("rank") <= IVFPQ_K)
+        .select(
+            "query_id",
+            F.col("vec_id").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("adc_rank").cast("bigint").alias("adc_rank"),
+            (F.col("sexact") / 1e6).alias("exact_dot"),
+            (F.col("sadc") / 1e6).alias("adc_dot"),
+            (F.col("adc_rank") > IVFPQ_K).cast("int").cast("bigint").alias("promoted"),
+        )
+    )
+
+
+def _ivf_pq_refine_sql() -> str:
+    return (
+        _ivf_pq_prefix_sql()
+        + f""",
+short AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sadc DESC, vec_id ASC) AS adc_rank
+    FROM adc
+  ) WHERE adc_rank <= {REFINE_FACTOR * IVFPQ_K}
+),
+ex AS (
+  SELECT s.query_id, s.vec_id, s.adc_rank, s.sadc,
+         floor(1e6 * list_sum(list_transform(generate_series(1, {M * SUBD}),
+               i -> q.v[i] * n.v[i])) + (0.5)::DOUBLE)::BIGINT AS sexact
+  FROM short s JOIN d q ON q.vec_id = s.query_id JOIN d n ON n.vec_id = s.vec_id
+)
+SELECT query_id, vec_id AS neighbor_id,
+       CAST(rank AS BIGINT) AS rank,
+       CAST(adc_rank AS BIGINT) AS adc_rank,
+       sexact / (1000000)::DOUBLE AS exact_dot,
+       sadc / (1000000)::DOUBLE AS adc_dot,
+       CAST(CASE WHEN adc_rank > {IVFPQ_K} THEN 1 ELSE 0 END AS BIGINT) AS promoted
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY sexact DESC, vec_id ASC) AS rank
+  FROM ex
+) WHERE rank <= {IVFPQ_K}
+"""
+    )
+
+
+QUERIES["knn_ivf_pq_refine"] = knn_ivf_pq_refine
+ORACLES["knn_ivf_pq_refine"] = _ivf_pq_refine_sql()
 
 
 # --- OPQ-lite dimension allocation --------------------------------------------

@@ -1162,3 +1162,125 @@ FROM per GROUP BY is_planted
 
 QUERIES["text_canary_scan"] = text_canary_scan
 ORACLES["text_canary_scan"] = CANARY_SQL
+
+
+# --- PII residual audit (second-pass scan AFTER scrubbing) ---------------------
+#
+# The audit a privacy pipeline runs after its scrubber: re-scan the
+# SCRUBBED text with (a) the scrubber's own strict patterns — any hit
+# is a scrubber regression, must be 0 — and (b) a LOOSER family the
+# strict pass does not cover (obfuscated "user at host dot com"
+# emails, SSN-shaped triples, dotted-quad IPs), planted so residual
+# risk is real and per-class counts vary by document.  The weighted
+# risk score is what a release gate thresholds on.
+#
+# Scale: pure per-row regexp_count projections over one scan — zero
+# shuffle, zero Python, scan-rate.
+
+OBF_EMAIL_RE = r"\b[a-z0-9]+ at [a-z]+ dot (com|org)\b"
+SSN_RE = r"\b[0-9]{3}-[0-9]{2}-[0-9]{4}\b"
+IP_RE = r"\b10\.[0-9]+\.[0-9]+\.[0-9]+\b"
+
+
+def _planted_residuals(docs: DataFrame) -> DataFrame:
+    """Scrubber-covered PII (email/url/phone) PLUS looser-family plants
+    the strict patterns miss."""
+    did = F.col("doc_id").cast("string")
+    obf = F.when(
+        F.col("doc_id") % 4 == 1,
+        F.concat(F.lit(" contact user"), did, F.lit(" at example dot com")),
+    ).otherwise(F.lit(""))
+    ssn = F.when(
+        F.col("doc_id") % 6 == 2,
+        F.concat(F.lit(" ssn 123-45-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+    ).otherwise(F.lit(""))
+    ip = F.when(
+        F.col("doc_id") % 5 == 3,
+        F.concat(
+            F.lit(" ip 10.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit("."),
+            (F.col("doc_id") % 100).cast("string"),
+        ),
+    ).otherwise(F.lit(""))
+    return docs.select(
+        "doc_id",
+        F.concat(
+            F.lit("From user"), did, F.lit("@example.com visit https://docs.example/"),
+            did, obf, ssn, ip, F.lit(" . "), F.col("text"),
+        ).alias("content"),
+    )
+
+
+def privacy_pii_residual_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    c = F.col("content")
+    scrubbed = F.regexp_replace(
+        F.regexp_replace(F.regexp_replace(c, URL_RE, "<URL>"), EMAIL_RE, "<EMAIL>"),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    s = _planted_residuals(docs).select("doc_id", scrubbed.alias("s"))
+    n = lambda pat: F.size(F.regexp_extract_all(F.col("s"), F.lit(pat), F.lit(0)))  # noqa: E731
+    strict = (n(EMAIL_RE) + n(URL_RE) + n(PHONE_RE)).cast("bigint")
+    obf, ssn, ip = n(OBF_EMAIL_RE).cast("bigint"), n(SSN_RE).cast("bigint"), n(IP_RE).cast("bigint")
+    risk = strict * 10 + obf * 3 + ssn * 5 + ip * 1
+    return s.select(
+        "doc_id",
+        strict.alias("strict_residual"),
+        obf.alias("n_obfuscated_emails"),
+        ssn.alias("n_ssn"),
+        ip.alias("n_ip_addrs"),
+        risk.alias("risk_score"),
+        (risk == 0).cast("int").cast("bigint").alias("audit_pass"),
+    )
+
+
+PII_RESIDUAL_SQL = f"""
+WITH planted AS (
+  SELECT doc_id,
+         'From user' || CAST(doc_id AS VARCHAR) || '@example.com visit https://docs.example/'
+           || CAST(doc_id AS VARCHAR)
+           || CASE WHEN doc_id % 4 = 1
+                   THEN ' contact user' || CAST(doc_id AS VARCHAR) || ' at example dot com'
+                   ELSE '' END
+           || CASE WHEN doc_id % 6 = 2
+                   THEN ' ssn 123-45-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                   ELSE '' END
+           || CASE WHEN doc_id % 5 = 3
+                   THEN ' ip 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.' || CAST(doc_id % 100 AS VARCHAR)
+                   ELSE '' END
+           || ' . ' || text AS content
+  FROM documents
+),
+s AS (
+  SELECT doc_id,
+         regexp_replace(regexp_replace(regexp_replace(content,
+             '{URL_RE}', '<URL>', 'g'),
+             '{EMAIL_RE}', '<EMAIL>', 'g'),
+             '{PHONE_RE}', '<PHONE>', 'g') AS s
+  FROM planted
+),
+counted AS (
+  SELECT doc_id,
+         len(regexp_extract_all(s, '{EMAIL_RE}'))
+           + len(regexp_extract_all(s, '{URL_RE}'))
+           + len(regexp_extract_all(s, '{PHONE_RE}')) AS strict_residual,
+         len(regexp_extract_all(s, '{OBF_EMAIL_RE}')) AS n_obf,
+         len(regexp_extract_all(s, '{SSN_RE}')) AS n_ssn,
+         len(regexp_extract_all(s, '{IP_RE}')) AS n_ip
+  FROM s
+)
+SELECT doc_id,
+       CAST(strict_residual AS BIGINT) AS strict_residual,
+       CAST(n_obf AS BIGINT) AS n_obfuscated_emails,
+       CAST(n_ssn AS BIGINT) AS n_ssn,
+       CAST(n_ip AS BIGINT) AS n_ip_addrs,
+       CAST(strict_residual * 10 + n_obf * 3 + n_ssn * 5 + n_ip AS BIGINT) AS risk_score,
+       CAST(CASE WHEN strict_residual * 10 + n_obf * 3 + n_ssn * 5 + n_ip = 0
+                 THEN 1 ELSE 0 END AS BIGINT) AS audit_pass
+FROM counted
+"""
+
+QUERIES["privacy_pii_residual_audit"] = privacy_pii_residual_audit
+ORACLES["privacy_pii_residual_audit"] = PII_RESIDUAL_SQL

@@ -1418,3 +1418,120 @@ RBO_SQL = _rbo_sql()
 
 QUERIES["search_rank_biased_overlap"] = search_rank_biased_overlap
 ORACLES["search_rank_biased_overlap"] = RBO_SQL
+
+
+# --- RAG citation support (faithfulness / attribution audit) ------------------
+#
+# The grounding metric a RAG deployment runs over every generated
+# answer (RAGAS-faithfulness style, n-gram flavor): what fraction of
+# the answer's word trigrams appear in its retrieved context documents?
+# Per answer: the best single context (citation candidate), the UNION
+# support across all its contexts (1 - hallucination-rate proxy), and
+# the count of unsupported trigrams (the spans a reviewer must check).
+# Answers are planted as every doc_id % 9 == 4 with retrieved set
+# {a+1, a+2, a+3} — the metric, not the retriever, is under test
+# (retrieval itself is bm25_search / knn_* / hybrid_search_rrf).
+#
+# Scale design: trigram sets are (doc, trigram) DISTINCT rows — the
+# support computation is an equi-join on (ctx_id, trigram) + two
+# hash-aggs, never a string scan of context text; work is token-grain
+# and the answer fan-out is the fixed |retrieved set| = 3.
+
+RAG_CIT_K = 3  # retrieved contexts per answer
+
+
+def _trigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, tg): DISTINCT word trigrams per document."""
+    toks = F.filter(F.split("text", r"\s+"), lambda t: t != "")
+    base = docs.select("doc_id", toks.alias("t")).where(F.size("t") >= 3)
+    tg = F.transform(
+        F.sequence(F.lit(1), F.size("t") - 2),
+        lambda i: F.concat_ws(
+            " ",
+            F.element_at(F.col("t"), i),
+            F.element_at(F.col("t"), i + 1),
+            F.element_at(F.col("t"), i + 2),
+        ),
+    )
+    return base.select("doc_id", F.explode(F.array_distinct(tg)).alias("tg"))
+
+
+def rag_citation_support(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tri = _trigram_rows(load_table(spark, sf_dir, "documents").select("doc_id", "text"))
+    ans = tri.where(F.pmod(F.col("doc_id"), 9) == 4)
+    atot = ans.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_trigrams"))
+    ansk = ans.select(
+        "doc_id",
+        "tg",
+        F.explode(F.sequence(F.lit(1), F.lit(RAG_CIT_K))).alias("k"),
+    ).select("doc_id", "tg", (F.col("doc_id") + F.col("k")).alias("ctx_id"))
+    m = ansk.join(
+        tri.select(F.col("doc_id").alias("ctx_id"), "tg"), ["ctx_id", "tg"]
+    )
+    per_ctx = m.groupBy("doc_id", "ctx_id").agg(F.count(F.lit(1)).alias("n_match"))
+    best = (
+        per_ctx.groupBy("doc_id")
+        .agg(F.max(F.struct("n_match", (-F.col("ctx_id")).alias("negc"))).alias("s"))
+        .select("doc_id", (-F.col("s.negc")).alias("best_ctx_id"), F.col("s.n_match").alias("bn"))
+    )
+    uni = m.select("doc_id", "tg").distinct().groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_any")
+    )
+    out = (
+        atot.join(best, "doc_id", "left")
+        .join(uni, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_trigrams").cast("bigint").alias("n_trigrams"),
+            F.coalesce("best_ctx_id", F.lit(-1)).cast("bigint").alias("best_ctx_id"),
+            F.expr("coalesce(bn, 0) * 1000 div n_trigrams").alias("best_support_milli"),
+            F.expr("coalesce(n_any, 0) * 1000 div n_trigrams").alias("union_support_milli"),
+            (F.col("n_trigrams") - F.coalesce("n_any", F.lit(0)))
+            .cast("bigint")
+            .alias("n_unsupported"),
+        )
+    )
+    return out
+
+
+RAG_CITATION_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS t
+  FROM documents
+),
+tri AS (
+  SELECT DISTINCT doc_id, t[i] || ' ' || t[i + 1] || ' ' || t[i + 2] AS tg
+  FROM (SELECT * FROM toks WHERE len(t) >= 3),
+       unnest(generate_series(1, len(t) - 2)) AS g(i)
+),
+ans AS (SELECT * FROM tri WHERE doc_id % 9 = 4),
+atot AS (SELECT doc_id, count(*) AS n_trigrams FROM ans GROUP BY doc_id),
+ansk AS (
+  SELECT a.doc_id, a.tg, a.doc_id + k AS ctx_id
+  FROM ans a, unnest(generate_series(1, {RAG_CIT_K})) AS g(k)
+),
+m AS (
+  SELECT x.doc_id, x.ctx_id, x.tg
+  FROM ansk x JOIN tri c ON c.doc_id = x.ctx_id AND c.tg = x.tg
+),
+per_ctx AS (SELECT doc_id, ctx_id, count(*) AS n_match FROM m GROUP BY 1, 2),
+best AS (
+  SELECT doc_id,
+         -(max(struct_pack(n := n_match, negc := -ctx_id)).negc) AS best_ctx_id,
+         max(struct_pack(n := n_match, negc := -ctx_id)).n AS bn
+  FROM per_ctx GROUP BY doc_id
+),
+uni AS (SELECT doc_id, count(DISTINCT tg) AS n_any FROM m GROUP BY doc_id)
+SELECT a.doc_id,
+       CAST(a.n_trigrams AS BIGINT) AS n_trigrams,
+       CAST(coalesce(b.best_ctx_id, -1) AS BIGINT) AS best_ctx_id,
+       CAST(coalesce(b.bn, 0) * 1000 // a.n_trigrams AS BIGINT) AS best_support_milli,
+       CAST(coalesce(u.n_any, 0) * 1000 // a.n_trigrams AS BIGINT) AS union_support_milli,
+       CAST(a.n_trigrams - coalesce(u.n_any, 0) AS BIGINT) AS n_unsupported
+FROM atot a
+LEFT JOIN best b USING (doc_id)
+LEFT JOIN uni u USING (doc_id)
+"""
+
+QUERIES["rag_citation_support"] = rag_citation_support
+ORACLES["rag_citation_support"] = RAG_CITATION_SQL

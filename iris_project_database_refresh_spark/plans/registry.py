@@ -168,6 +168,8 @@ _DRIVER_PRIORITY = [
     "embed_opq_dim_allocation", "multimodal_zip_deflate", "orders_chain_ladder",
     # round-6 additions:
     "section_recursive_split", "multimodal_pdf_merge_write",
+    "rag_citation_support", "privacy_pii_residual_audit",
+    "pack_attention_fragmentation", "knn_ivf_pq_refine",
 ]
 
 

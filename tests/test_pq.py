@@ -131,3 +131,21 @@ def test_opq_allocation_balances_variance(spark):
     sums = [r.var_micro_sum for r in rows]
     assert max(sums) <= 2 * min(sums)  # dealt strata keep subspaces comparable
     assert len({r.dims_md5 for r in rows}) == pq.M
+
+
+def test_refine_promotes_and_orders_exactly(spark):
+    """The refine stage must (a) rank strictly by the exact score and
+    (b) actually rescue neighbors from outside the approximate top-K —
+    the property that justifies two-stage retrieval."""
+    from iris_project_database_refresh_spark.operators.pq import knn_ivf_pq_refine
+
+    rows = knn_ivf_pq_refine(spark, SF_CORRECT).collect()
+    assert sum(r.promoted for r in rows) > 0
+    by_q: dict[int, list] = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    for q, rs in by_q.items():
+        rs.sort(key=lambda r: r.rank)
+        dots = [r.exact_dot for r in rs]
+        assert dots == sorted(dots, reverse=True), q
+        assert all(r.promoted == (1 if r.adc_rank > 10 else 0) for r in rs)

@@ -125,3 +125,18 @@ def test_recursive_split_covers_every_branch(spark):
     for r in rows:
         assert (r.parent_title == "") == (r.level == 1)
         assert r.piece_tokens >= 1
+
+
+def test_pack_fragmentation_invariants(spark):
+    """cross + within partition the L^2 attention pairs (up to the two
+    independent floor truncations); boundaries = docs - 1; purity is the
+    max-doc share."""
+    rows = packing.pack_attention_fragmentation(spark, SF_CORRECT).collect()
+    assert rows
+    for r in rows:
+        assert 998 <= r.cross_doc_milli + r.within_doc_milli <= 1000
+        assert r.n_boundaries == r.n_docs - 1
+        assert 0 <= r.pad_tokens < 64
+        assert r.largest_doc_share_milli <= 1000
+        if r.n_docs == 1:
+            assert r.cross_doc_milli == 0 and r.largest_doc_share_milli == 1000
