@@ -161,6 +161,18 @@ def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+def _hashes_from_th(th_df: DataFrame, expr: str) -> DataFrame:
+    """Derive a shingle-hash family from a PINNED (doc_id, th) frame —
+    the sharing hook for composites that need several families (the
+    venn query needs SH32 and SH60): the md5 token pass runs once, the
+    per-family derivation is pure arithmetic over the pinned arrays."""
+    return (
+        th_df.withColumn("hashes", F.expr(expr))
+        .select("doc_id", "hashes")
+        .localCheckpoint(eager=False)
+    )
+
+
 def _hashes_cte(sql_expr: str) -> str:
     return f"""
 sh AS (
@@ -303,7 +315,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     verify join on candidate pairs. All hashes are md5/arithmetic-
     derived so the DuckDB oracle reproduces the exact candidate set.
     """
-    sh = _with_hashes(_corpus(spark, sf_dir))
+    return _minhash_pairs(_with_hashes(_corpus(spark, sf_dir)))
+
+
+def _minhash_pairs(sh: DataFrame) -> DataFrame:
+    """Signature -> band -> bucket-join -> verify, over a pinned
+    (doc_id, hashes) frame (shared with dedup_method_venn)."""
     sigs = sh.select("doc_id", "hashes", *_minhash_sigs())
     band_cols = [
         F.concat_ws(
@@ -392,9 +409,13 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     SIMHASH_BANDS 15-bit bands (pigeonhole), so the banded join returns
     exactly the brute-force result — which is what the oracle computes.
     """
-    exploded = _with_hashes(_corpus(spark, sf_dir), _SH60_EXPR).select(
-        "doc_id", F.explode("hashes").alias("h")
-    )
+    return _simhash_pairs(_with_hashes(_corpus(spark, sf_dir), _SH60_EXPR))
+
+
+def _simhash_pairs(sh: DataFrame) -> DataFrame:
+    """Bit votes -> banded Hamming join, over a pinned (doc_id, hashes)
+    frame (shared with dedup_method_venn)."""
+    exploded = sh.select("doc_id", F.explode("hashes").alias("h"))
     votes = exploded.groupBy("doc_id").agg(
         *[
             F.sum(
@@ -2022,13 +2043,23 @@ ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
 # pattern with union share in bp.
 
 def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
-    c = _corpus(spark, sf_dir).select("doc_id", F.md5("text").alias("fp"))
+    # ONE md5 pass feeds all three methods: the pinned (fp, th) frame
+    # carries the exact-dup fingerprint and the token hashes; SH32
+    # (minhash) and SH60 (simhash) shingles derive from th
+    # arithmetically — the constituent pipelines run standalone with
+    # their own _with_hashes pass, the composite shares it.
+    th = (
+        _corpus(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("fp"), F.expr(_TH_EXPR).alias("th"))
+        .localCheckpoint(eager=False)
+    )
+    c = th.select("doc_id", "fp")
     a, b = c.alias("a"), c.alias("b")
     exact = a.join(
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    minhash = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b")
-    simhash = dedup_simhash(spark, sf_dir).select("id_a", "id_b")
+    minhash = _minhash_pairs(_hashes_from_th(th, _SH32_EXPR)).select("id_a", "id_b")
+    simhash = _simhash_pairs(_hashes_from_th(th, _SH60_EXPR)).select("id_a", "id_b")
     tagged = (
         exact.select("id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("m"), F.lit(0).alias("s"))
         .unionByName(minhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("m"), F.lit(0).alias("s")))
