@@ -1221,3 +1221,26 @@ def test_parse_pdf_merged_kernel(spark):
     bad = payload[:idx] + b"9" + payload[idx + 1 :]
     rbad = parse_pdf_merged(bad)
     assert rbad["xref_ok"] == 0 and rbad["pages_ok"] == 1
+
+
+def test_streaming_hll_matches_batch_sketch(spark):
+    """availableNow drain of the streaming HLL: the final registers —
+    and therefore the estimate, computed with the batch operator's
+    exact integer-denominator arithmetic — must equal the batch
+    approx_distinct_hll result bit-for-bit per event type (max-merge is
+    order-free, so micro-batching cannot change the sketch)."""
+    from iris_project_database_refresh_spark.operators.sketches import (
+        approx_distinct_hll,
+    )
+    from iris_project_database_refresh_spark.streaming.hll import (
+        run_hll_available_now,
+    )
+
+    got = {r.event_type: (r.hll_est, r.n_regs) for r in
+           run_hll_available_now(spark, SF_CORRECT).collect()}
+    want = {r.event_type: r.hll_est for r in
+            approx_distinct_hll(spark, SF_CORRECT).collect()}
+    assert set(got) == set(want)
+    for et, (est, n_regs) in got.items():
+        assert est == want[et], et
+        assert 0 < n_regs <= 64
