@@ -1489,3 +1489,181 @@ BETWEENNESS_SQL = _bc_sql()
 
 QUERIES["graph_betweenness"] = graph_betweenness
 ORACLES["graph_betweenness"] = BETWEENNESS_SQL
+
+
+# --- synchronized one-level Louvain move pass ----------------------------------
+#
+# The community-detection step beyond LPA voting: Louvain's modularity-
+# greedy move (Blondel et al. 2008), first sweep from the singleton
+# partition, SYNCHRONIZED — every node evaluates its move against the
+# initial assignment simultaneously.  Sequential Louvain is visit-
+# order-dependent (different results per run); the synchronized
+# variant is the deterministic form distributed implementations use
+# (one superstep = one shuffle round), and from singletons the gain of
+# moving x into neighbor y's community reduces to exact integers:
+# dQ * 2m^2 = m2 * k_xc - deg_x * tot_c = m2 - deg_x * deg_y
+# (k_xc = 1, tot_c = deg_y).  A node moves to the positive-gain
+# neighbor with the largest gain (tie -> smallest neighbor id).
+# Per resulting community the output carries the partition-quality
+# integers (internal edge endpoints, degree mass, the scaled
+# modularity contribution int2 * m2 - degree_sum^2) — comparable row
+# shape to graph_modularity so the two partitions can be judged side
+# by side.
+#
+# Scale: degree/gain joins are edge-grain keyed shuffles; the argmax is
+# one struct-max per node; no iteration (one level by construction).
+
+
+def graph_louvain_move(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    deg = adj.groupBy("x").agg(F.count(F.lit(1)).cast("bigint").alias("deg"))
+    m2_df = adj.agg(F.count(F.lit(1)).cast("bigint").alias("m2"))
+
+    cand = (
+        adj.join(deg, "x")
+        .join(deg.select(F.col("x").alias("y"), F.col("deg").alias("deg_y")), "y")
+        .crossJoin(F.broadcast(m2_df))
+        .select(
+            "x",
+            "y",
+            (F.col("m2") - F.col("deg") * F.col("deg_y")).alias("gain"),
+        )
+    )
+    best = (
+        cand.where(F.col("gain") > 0)
+        .groupBy("x")
+        .agg(F.max(F.struct("gain", (-F.col("y")).alias("negy"))).alias("s"))
+        .select("x", (-F.col("s.negy")).alias("to_y"), F.col("s.gain").alias("gain"))
+    )
+    labels = (
+        nodes.select(F.col("doc_id").alias("x"))
+        .join(best, "x", "left")
+        .select(
+            "x",
+            F.coalesce("to_y", F.col("x")).alias("lbl"),
+            (F.col("to_y").isNotNull()).cast("int").alias("moved"),
+            F.coalesce("gain", F.lit(0)).alias("gain"),
+        )
+        .localCheckpoint(eager=False)
+    )
+    lx = labels.select("x", "lbl")
+    ly = labels.select(F.col("x").alias("y"), F.col("lbl").alias("lbl_y"))
+    internal2 = (
+        adj.join(lx, "x")
+        .join(ly, "y")
+        .where(F.col("lbl") == F.col("lbl_y"))
+        .groupBy("lbl")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("int2"))
+    )
+    return (
+        labels.join(deg, "x")
+        .groupBy("lbl")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("community_size"),
+            F.sum("deg").cast("bigint").alias("degree_sum"),
+            F.sum("moved").cast("bigint").alias("n_moved_in"),
+            F.sum("gain").cast("bigint").alias("gain_scaled_sum"),
+        )
+        .join(internal2, "lbl", "left")
+        .na.fill({"int2": 0})
+        .crossJoin(F.broadcast(m2_df))
+        .select(
+            F.col("lbl").cast("bigint").alias("community_id"),
+            "community_size",
+            "degree_sum",
+            "n_moved_in",
+            "gain_scaled_sum",
+            F.col("int2").alias("internal_endpoints"),
+            (F.col("int2") * F.col("m2") - F.col("degree_sum") * F.col("degree_sum"))
+            .cast("bigint")
+            .alias("modularity_scaled"),
+        )
+    )
+
+
+LOUVAIN_MOVE_SQL = """
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (
+  SELECT doc_id AS u, unnest(ts) AS v FROM tlists
+),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+deg AS (SELECT x, count(*)::BIGINT AS deg FROM adj GROUP BY x),
+m2 AS (SELECT count(*)::BIGINT AS m2 FROM adj),
+cand AS (
+  SELECT a.x, a.y, m2.m2 - dx.deg * dy.deg AS gain
+  FROM adj a
+  JOIN deg dx ON dx.x = a.x
+  JOIN deg dy ON dy.x = a.y
+  CROSS JOIN m2
+),
+best AS (
+  SELECT x,
+         -(max(struct_pack(g := gain, negy := -y)).negy) AS to_y,
+         max(struct_pack(g := gain, negy := -y)).g AS gain
+  FROM cand WHERE gain > 0 GROUP BY x
+),
+labels AS (
+  SELECT d.doc_id AS x,
+         coalesce(b.to_y, d.doc_id) AS lbl,
+         CASE WHEN b.to_y IS NOT NULL THEN 1 ELSE 0 END AS moved,
+         coalesce(b.gain, 0) AS gain
+  FROM documents d LEFT JOIN best b ON b.x = d.doc_id
+),
+internal2 AS (
+  SELECT lx.lbl, count(*)::BIGINT AS int2
+  FROM adj a JOIN labels lx ON lx.x = a.x JOIN labels ly ON ly.x = a.y
+  WHERE lx.lbl = ly.lbl
+  GROUP BY lx.lbl
+),
+comm AS (
+  SELECT l.lbl, count(*)::BIGINT AS community_size,
+         sum(deg)::BIGINT AS degree_sum,
+         sum(moved)::BIGINT AS n_moved_in,
+         sum(gain)::BIGINT AS gain_scaled_sum
+  FROM labels l JOIN deg ON deg.x = l.x
+  GROUP BY l.lbl
+)
+SELECT CAST(c.lbl AS BIGINT) AS community_id,
+       community_size,
+       degree_sum,
+       n_moved_in,
+       gain_scaled_sum,
+       coalesce(i.int2, 0) AS internal_endpoints,
+       CAST(coalesce(i.int2, 0) * m2.m2 - degree_sum * degree_sum AS BIGINT) AS modularity_scaled
+FROM comm c LEFT JOIN internal2 i ON i.lbl = c.lbl CROSS JOIN m2
+"""
+
+QUERIES["graph_louvain_move"] = graph_louvain_move
+ORACLES["graph_louvain_move"] = LOUVAIN_MOVE_SQL
