@@ -2465,3 +2465,85 @@ JOIN (SELECT * FROM agg WHERE is_eval = 1) a1 USING (source)
 
 QUERIES["quality_heldout_ppl"] = quality_heldout_ppl
 ORACLES["quality_heldout_ppl"] = HELDOUT_PPL_SQL
+
+
+# --- quality-weighted importance resampling plan --------------------------------
+#
+# The step between scoring documents and training on them: turn a
+# per-document quality signal into importance weights, then report per
+# source what the weighting actually does to the data — effective
+# sample size ESS = (sum w)^2 / sum w^2 (Kish 1965; the "how much did
+# weighting shrink my corpus" diagnostic every weighted-sampling run
+# checks) and the quality-proportional resample allocation against a
+# global budget of one draw per document (the DoReMi-style mixture
+# reweighting, at source grain).  Weights are integer milli
+# (1000 * unique-token ratio, truncating div) so every sum, square and
+# allocation is exact in both engines.
+#
+# Scale: one scan -> one source-grain hash-agg (map-side combining) +
+# a 1-row broadcast total; sums bounded by docs x 1000 so the squared
+# terms stay far inside BIGINT at any per-source shard a real layout
+# would feed this.
+
+
+def quality_importance_resampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.expr("1000 * n_uniq div n_tok")
+    d = (
+        docs.select("source", tokens(F.col("text")).alias("t"))
+        .select(
+            "source",
+            F.size("t").alias("n_tok"),
+            F.size(F.array_distinct("t")).alias("n_uniq"),
+        )
+        .select("source", w.alias("w"))
+    )
+    per_src = d.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("w").cast("bigint").alias("sum_w"),
+        F.sum(F.col("w") * F.col("w")).cast("bigint").alias("sum_w2"),
+    )
+    tot = per_src.agg(
+        F.sum("n_docs").alias("total_docs"), F.sum("sum_w").alias("total_w")
+    )
+    return (
+        per_src.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            F.col("sum_w").alias("sum_w_milli"),
+            F.expr("1000 * sum_w * sum_w div sum_w2").alias("ess_milli"),
+            F.expr("(1000 * sum_w * sum_w div sum_w2) div n_docs").alias(
+                "ess_ratio_milli"
+            ),
+            F.expr("total_docs * sum_w div total_w").alias("resample_target"),
+            F.expr("10000 * sum_w div total_w").alias("weight_share_bp"),
+        )
+    )
+
+
+QUALITY_RESAMPLE_SQL = """
+WITH d AS (
+  SELECT source,
+         1000 * len(list_distinct(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')))
+           // len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS w
+  FROM documents
+),
+per_src AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(w)::BIGINT AS sum_w, sum(w * w)::BIGINT AS sum_w2
+  FROM d GROUP BY source
+),
+tot AS (SELECT sum(n_docs)::BIGINT AS total_docs, sum(sum_w)::BIGINT AS total_w FROM per_src)
+SELECT source,
+       n_docs,
+       sum_w AS sum_w_milli,
+       CAST(1000 * sum_w * sum_w // sum_w2 AS BIGINT) AS ess_milli,
+       CAST((1000 * sum_w * sum_w // sum_w2) // n_docs AS BIGINT) AS ess_ratio_milli,
+       CAST(total_docs * sum_w // total_w AS BIGINT) AS resample_target,
+       CAST(10000 * sum_w // total_w AS BIGINT) AS weight_share_bp
+FROM per_src, tot
+"""
+
+QUERIES["quality_importance_resampling"] = quality_importance_resampling
+ORACLES["quality_importance_resampling"] = QUALITY_RESAMPLE_SQL

@@ -170,7 +170,7 @@ _DRIVER_PRIORITY = [
     "section_recursive_split", "multimodal_pdf_merge_write",
     "rag_citation_support", "privacy_pii_residual_audit",
     "pack_attention_fragmentation", "knn_ivf_pq_refine",
-    "tokenizer_unigram_viterbi", "graph_louvain_move",
+    "tokenizer_unigram_viterbi", "graph_louvain_move", "quality_importance_resampling",
 ]
 
 
