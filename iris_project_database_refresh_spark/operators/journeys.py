@@ -2379,3 +2379,132 @@ FROM acc
 
 QUERIES["customer_survival_km"] = customer_survival_km
 ORACLES["customer_survival_km"] = KM_SURVIVAL_SQL
+
+
+# --- uplift-model evaluation: the Qini curve ------------------------------------
+#
+# The eval the experimentation ring was missing: given a (planted)
+# uplift-model score per user, rank users by score, cut into deciles,
+# and report the cumulative treatment-vs-control conversion gap per
+# targeting depth — the Qini curve (Radcliffe 2007), THE standard
+# offline metric for "whom should we treat first".  Arms and the
+# conversion label reuse events_ab_test_lift's conventions (arm =
+# user_id parity, converted = purchase count above the corpus median);
+# the score is a deterministic md5 stand-in (the METRIC is under test,
+# not the model).  All outputs are exact integers: qini_scaled(d) =
+# x_t_cum * n_c_cum - x_c_cum * n_t_cum (the Qini numerator scaled by
+# the control mass) and uplift_bp uses truncating per-arm division.
+#
+# Scale: one user-grain agg + a 1-row broadcast median; the global
+# ranking runs as functions.distributed.sequential_ids (range
+# repartition + per-partition numbering + broadcast offsets — NOT a
+# single-task global window) over the (score desc, user asc) composite
+# encoded as one ascending bigint; all cumulative work then happens on
+# the 10-row decile table.
+
+
+def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_int32
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    counts = ev.groupBy("user_id").agg(
+        F.sum((F.col("event_type") == "purchase").cast("int")).alias("cnt")
+    )
+    med = counts.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
+    per_user = counts.crossJoin(F.broadcast(med)).select(
+        "user_id",
+        (F.col("cnt") > F.col("med")).cast("int").alias("converted"),
+        (F.pmod(F.col("user_id"), 2) == 1).cast("int").alias("treated"),
+        F.pmod(md5_int32(F.col("user_id").cast("string")), 1000).alias("score"),
+    )
+    n_df = per_user.agg(F.count(F.lit(1)).alias("n"))
+    # distributed global rank (no single-task window): encode the
+    # (score desc, user_id asc) composite as one ascending bigint and
+    # number via the range-repartition + broadcast-offsets two-pass
+    from ..functions.distributed import sequential_ids
+
+    keyed = per_user.withColumn(
+        "ord", (F.lit(999) - F.col("score")) * F.lit(1 << 40) + F.col("user_id")
+    )
+    ranked = (
+        sequential_ids(keyed, "ord", id_col="rn")
+        .crossJoin(F.broadcast(n_df))
+        .select(
+            "*", F.expr("(rn - 1) * 10 div n + 1").cast("int").alias("decile")
+        )
+    )
+    per_dec = ranked.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n_users"),
+        F.sum("treated").alias("n_t"),
+        F.sum(F.col("treated") * F.col("converted")).alias("x_t"),
+        F.sum(1 - F.col("treated")).alias("n_c"),
+        F.sum((1 - F.col("treated")) * F.col("converted")).alias("x_c"),
+    )
+    wc = Window.orderBy("decile").rowsBetween(Window.unboundedPreceding, 0)
+    cum = per_dec.select(
+        "decile",
+        F.sum("n_users").over(wc).cast("bigint").alias("n_users_cum"),
+        F.sum("n_t").over(wc).cast("bigint").alias("n_t_cum"),
+        F.sum("x_t").over(wc).cast("bigint").alias("x_t_cum"),
+        F.sum("n_c").over(wc).cast("bigint").alias("n_c_cum"),
+        F.sum("x_c").over(wc).cast("bigint").alias("x_c_cum"),
+    )
+    return cum.select(
+        F.col("decile").cast("bigint").alias("decile"),
+        "n_users_cum", "n_t_cum", "x_t_cum", "n_c_cum", "x_c_cum",
+        F.expr(
+            "10000 * x_t_cum div n_t_cum - 10000 * x_c_cum div n_c_cum"
+        ).alias("uplift_bp"),
+        (F.col("x_t_cum") * F.col("n_c_cum") - F.col("x_c_cum") * F.col("n_t_cum"))
+        .cast("bigint")
+        .alias("qini_scaled"),
+    )
+
+
+UPLIFT_QINI_SQL = """
+WITH counts AS (
+  SELECT user_id, sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS cnt
+  FROM events GROUP BY user_id
+),
+med AS (SELECT median(cnt) AS med FROM counts),
+per_user AS (
+  SELECT user_id,
+         CASE WHEN cnt > med THEN 1 ELSE 0 END AS converted,
+         CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END AS treated,
+         CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT) % 1000 AS score
+  FROM counts, med
+),
+n_t AS (SELECT count(*)::BIGINT AS n FROM per_user),
+ranked AS (
+  SELECT *, CAST((row_number() OVER (ORDER BY score DESC, user_id) - 1) * 10 // n + 1 AS INT) AS decile
+  FROM per_user, n_t
+),
+per_dec AS (
+  SELECT decile, count(*) AS n_users, sum(treated) AS n_t,
+         sum(treated * converted) AS x_t,
+         sum(1 - treated) AS n_c, sum((1 - treated) * converted) AS x_c
+  FROM ranked GROUP BY decile
+),
+cum AS (
+  SELECT decile,
+         sum(n_users) OVER w AS n_users_cum,
+         sum(n_t) OVER w AS n_t_cum,
+         sum(x_t) OVER w AS x_t_cum,
+         sum(n_c) OVER w AS n_c_cum,
+         sum(x_c) OVER w AS x_c_cum
+  FROM per_dec
+  WINDOW w AS (ORDER BY decile ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(n_users_cum AS BIGINT) AS n_users_cum,
+       CAST(n_t_cum AS BIGINT) AS n_t_cum,
+       CAST(x_t_cum AS BIGINT) AS x_t_cum,
+       CAST(n_c_cum AS BIGINT) AS n_c_cum,
+       CAST(x_c_cum AS BIGINT) AS x_c_cum,
+       CAST(10000 * x_t_cum // n_t_cum - 10000 * x_c_cum // n_c_cum AS BIGINT) AS uplift_bp,
+       CAST(x_t_cum * n_c_cum - x_c_cum * n_t_cum AS BIGINT) AS qini_scaled
+FROM cum
+"""
+
+QUERIES["events_uplift_qini"] = events_uplift_qini
+ORACLES["events_uplift_qini"] = UPLIFT_QINI_SQL

@@ -171,6 +171,7 @@ _DRIVER_PRIORITY = [
     "rag_citation_support", "privacy_pii_residual_audit",
     "pack_attention_fragmentation", "knn_ivf_pq_refine",
     "tokenizer_unigram_viterbi", "graph_louvain_move", "quality_importance_resampling",
+    "events_uplift_qini",
 ]
 
 
