@@ -26,7 +26,26 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
-def main() -> None:
+def _plan_gaps(timings: dict[str, float], sf: float) -> list[str]:
+    """Queries this run pushed over the 1 s bar with no PLANS.md entry.
+
+    Only meaningful for the committed sf0.1 run — other SFs return [].
+    Factored out so tests can assert the refuse path without a full bench.
+    """
+    if sf != 0.1:
+        return []
+    try:
+        plans_md = open(
+            os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
+        ).read()
+    except Exception as exc:  # audit must never break the bench contract
+        print(f"plan_audit skipped: {exc}", file=sys.stderr)
+        return []
+    covered = set(re.findall(r"^## (\S+)", plans_md, re.M))
+    return sorted(k for k, v in timings.items() if v >= 1.0 and k not in covered)
+
+
+def main() -> int:
     spark = get_session("iris-spark-bench")
     spark.sparkContext.setLogLevel("ERROR")
 
@@ -76,16 +95,7 @@ def main() -> None:
     # that pushes a query over the 1 s bar without a PLANS.md entry has
     # twice landed as a red pytest at the NEXT head (rounds 4 and 5).
     # Catch it at the moment BENCH_LOCAL.json is written, not a round later.
-    gaps: list[str] = []
-    if sf == 0.1:  # the completeness sweep keys off the committed sf0.1 run
-        try:
-            plans_md = open(
-                os.path.join(os.path.dirname(os.path.abspath(__file__)), "PLANS.md")
-            ).read()
-            covered = set(re.findall(r"^## (\S+)", plans_md, re.M))
-            gaps = sorted(k for k, v in timings.items() if v >= 1.0 and k not in covered)
-        except Exception as exc:  # audit must never break the bench contract
-            print(f"plan_audit skipped: {exc}", file=sys.stderr)
+    gaps = _plan_gaps(timings, sf)
     if gaps:
         print(
             "PLAN-HYGIENE FAILURE: this refresh crossed queries over the 1 s "
@@ -120,6 +130,10 @@ def main() -> None:
         line = json.dumps(compact)
     print(line, flush=True)
     spark.stop()
+    # Refuse, don't just detect: a refresh that recorded plan_gaps must not
+    # sit quietly in the tree — rc != 0 makes the gap impossible to miss.
+    # (The artifact is still written above so the gaps are inspectable.)
+    return 1 if gaps else 0
 
 
 if __name__ == "__main__":

@@ -193,3 +193,124 @@ def global_cumsum(
         )
         .drop("_pid", "_offset")
     )
+
+
+def global_ordered(
+    df: DataFrame,
+    order_cols,
+    *,
+    rank_col: str | None = None,
+    count_col: str | None = None,
+    cumsum_cols: dict[str, str] | None = None,
+    cummax_excl_cols: dict[str, str] | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """One range-shuffle two-pass replacement for single-task global
+    windows (the round-6 verdict's scale-killer family): global
+    row_number (`rank_col`), total row count (`count_col`), inclusive
+    running sums (`cumsum_cols`: out -> value col) and EXCLUSIVE
+    running maxima (`cummax_excl_cols`: out -> value col, NULL when no
+    strict predecessor exists) — all in the total order given by
+    `order_cols` (strings or Column sort orders, e.g. F.desc("rev")).
+
+    Shape: range-repartition on the order key (distributed sort), one
+    tiny per-partition moments job, broadcast the prefix offsets, then
+    local windows per partition. Same device as sequential_ids /
+    global_cumsum but fused: rank + every running stat share ONE
+    shuffle. `Window.orderBy(...)` with no partitionBy funnels the
+    whole input through one task; this keeps all stats bit-identical
+    (the order is total) while every stage stays parallel.
+    """
+    cols = list(order_cols) if isinstance(order_cols, (list, tuple)) else [order_cols]
+    cumsum_cols = cumsum_cols or {}
+    cummax_excl_cols = cummax_excl_cols or {}
+    parts = num_partitions or df.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    ranged = df.repartitionByRange(int(parts), *[F.col(c) if isinstance(c, str) else c for c in cols])
+    with_pid = ranged.withColumn("_pid", F.spark_partition_id())
+
+    aggs = [F.count(F.lit(1)).alias("_cnt")]
+    aggs += [F.sum(v).alias(f"_s_{out}") for out, v in cumsum_cols.items()]
+    aggs += [F.max(v).alias(f"_m_{out}") for out, v in cummax_excl_cols.items()]
+    per_pid = with_pid.groupBy("_pid").agg(*aggs)
+    w_prev = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_all = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    sel = [
+        F.col("_pid"),
+        F.coalesce(F.sum("_cnt").over(w_prev), F.lit(0)).alias("_rk_off"),
+    ]
+    if count_col:
+        sel.append(F.sum("_cnt").over(w_all).alias(count_col))
+    sel += [
+        F.coalesce(F.sum(f"_s_{out}").over(w_prev), F.lit(0)).alias(f"_off_{out}")
+        for out in cumsum_cols
+    ]
+    sel += [
+        F.max(f"_m_{out}").over(w_prev).alias(f"_pmax_{out}") for out in cummax_excl_cols
+    ]
+    offsets = per_pid.select(*sel)
+
+    w_local = Window.partitionBy("_pid").orderBy(*cols)
+    w_incl = w_local.rowsBetween(Window.unboundedPreceding, 0)
+    w_excl = w_local.rowsBetween(Window.unboundedPreceding, -1)
+    out_df = with_pid.join(F.broadcast(offsets), "_pid")
+    if rank_col:
+        out_df = out_df.withColumn(
+            rank_col, (F.row_number().over(w_local) + F.col("_rk_off")).cast("bigint")
+        )
+    for out, v in cumsum_cols.items():
+        out_df = out_df.withColumn(out, F.sum(v).over(w_incl) + F.col(f"_off_{out}"))
+    for out, v in cummax_excl_cols.items():
+        local = F.max(v).over(w_excl)
+        prev = F.col(f"_pmax_{out}")
+        out_df = out_df.withColumn(
+            out,
+            F.when(local.isNull(), prev)
+            .when(prev.isNull(), local)
+            .otherwise(F.greatest(local, prev)),
+        )
+    drop = ["_pid", "_rk_off"]
+    drop += [f"_off_{out}" for out in cumsum_cols]
+    drop += [f"_pmax_{out}" for out in cummax_excl_cols]
+    return out_df.drop(*drop)
+
+
+def global_ntile(
+    df: DataFrame,
+    order_cols,
+    k: int,
+    *,
+    tile_col: str = "tile",
+    rank_col: str | None = None,
+    count_col: str | None = None,
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Exact SQL ntile(k) over a global total order, without the
+    single-task window ntile() plans. Standard ntile semantics: with
+    n rows, the first n % k tiles get n div k + 1 rows, the rest get
+    n div k — reproduced arithmetically from the distributed rank, so
+    the result is bit-identical to `ntile(k) OVER (ORDER BY ...)` in
+    both Spark and DuckDB whenever `order_cols` is a total order.
+    Emits tile as INT (matching F.ntile); optionally keeps the rank
+    and total-count columns for callers that need them (gini's i*x)."""
+    rn = rank_col or "_gnt_rn"
+    n = count_col or "_gnt_n"
+    out = global_ordered(
+        df, order_cols, rank_col=rn, count_col=n, num_partitions=num_partitions
+    )
+    q = f"({n} div {k})"
+    r = f"({n} % {k})"
+    out = out.withColumn(
+        tile_col,
+        F.expr(
+            f"case when {rn} <= {r} * ({q} + 1)"
+            f" then ({rn} - 1) div ({q} + 1) + 1"
+            f" else {r} + ({rn} - {r} * ({q} + 1) - 1) div {q} + 1 end"
+        ).cast("int"),
+    )
+    if not rank_col:
+        out = out.drop(rn)
+    if not count_col:
+        out = out.drop(n)
+    return out

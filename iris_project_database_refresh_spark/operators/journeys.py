@@ -2393,9 +2393,16 @@ ORACLES["customer_survival_km"] = KM_SURVIVAL_SQL
 # the score is a deterministic md5 stand-in (the METRIC is under test,
 # not the model).  All outputs are exact integers: qini_scaled(d) =
 # x_t_cum * n_c_cum - x_c_cum * n_t_cum (the Qini numerator scaled by
-# the control mass) and uplift_bp uses truncating per-arm division.
+# the control mass) and uplift_bp uses truncating per-arm division,
+# guarded with greatest(n, 1) so an all-treated (or all-control) first
+# decile yields 0-from-empty-arm in BOTH engines instead of NULL in
+# Spark vs a division error in DuckDB.
 #
-# Scale: one user-grain agg + a 1-row broadcast median; the global
+# Scale: one user-grain agg + a 1-row broadcast median computed from
+# the bounded count-table device (distinct purchase-count support +
+# two middle order statistics, 2*cnt > lo+hi == cnt > median exactly)
+# — NOT percentile() over the entity-grain table, which would
+# materialize every per-user value in one aggregation buffer; the global
 # ranking runs as functions.distributed.sequential_ids (range
 # repartition + per-partition numbering + broadcast offsets — NOT a
 # single-task global window) over the (score desc, user asc) composite
@@ -2410,10 +2417,32 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = ev.groupBy("user_id").agg(
         F.sum((F.col("event_type") == "purchase").cast("int")).alias("cnt")
     )
-    med = counts.agg(F.expr("percentile(cnt, 0.5)").alias("med"))
-    per_user = counts.crossJoin(F.broadcast(med)).select(
+    # Exact median WITHOUT percentile()-over-entity-grain (which
+    # materializes every per-user value in one agg buffer): the
+    # bounded count-table device — cumulate the distinct-value support
+    # (bounded by the purchase-count domain, the house "value support"
+    # exception), read the two middle order statistics, and compare
+    # 2*cnt > lo+hi, which is exactly cnt > (lo+hi)/2 = median in
+    # integers. Same label as percentile(cnt, 0.5) in both engines.
+    vc = counts.groupBy("cnt").agg(F.count(F.lit(1)).alias("c"))
+    w_sup = Window.orderBy("cnt").rowsBetween(Window.unboundedPreceding, 0)
+    cum = vc.select("cnt", F.sum("c").over(w_sup).alias("cum"))
+    n_all = counts.agg(F.count(F.lit(1)).alias("n_users_all"))
+    med2 = (
+        cum.crossJoin(F.broadcast(n_all))
+        .agg(
+            F.min(
+                F.when(F.col("cum") >= F.expr("(n_users_all + 1) div 2"), F.col("cnt"))
+            ).alias("lo"),
+            F.min(
+                F.when(F.col("cum") >= F.expr("n_users_all div 2 + 1"), F.col("cnt"))
+            ).alias("hi"),
+        )
+        .select((F.col("lo") + F.col("hi")).alias("med2"))
+    )
+    per_user = counts.crossJoin(F.broadcast(med2)).select(
         "user_id",
-        (F.col("cnt") > F.col("med")).cast("int").alias("converted"),
+        (F.col("cnt") * 2 > F.col("med2")).cast("int").alias("converted"),
         (F.pmod(F.col("user_id"), 2) == 1).cast("int").alias("treated"),
         F.pmod(md5_int32(F.col("user_id").cast("string")), 1000).alias("score"),
     )
@@ -2453,7 +2482,8 @@ def events_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("decile").cast("bigint").alias("decile"),
         "n_users_cum", "n_t_cum", "x_t_cum", "n_c_cum", "x_c_cum",
         F.expr(
-            "10000 * x_t_cum div n_t_cum - 10000 * x_c_cum div n_c_cum"
+            "10000 * x_t_cum div greatest(n_t_cum, 1)"
+            " - 10000 * x_c_cum div greatest(n_c_cum, 1)"
         ).alias("uplift_bp"),
         (F.col("x_t_cum") * F.col("n_c_cum") - F.col("x_c_cum") * F.col("n_t_cum"))
         .cast("bigint")
@@ -2501,7 +2531,7 @@ SELECT CAST(decile AS BIGINT) AS decile,
        CAST(x_t_cum AS BIGINT) AS x_t_cum,
        CAST(n_c_cum AS BIGINT) AS n_c_cum,
        CAST(x_c_cum AS BIGINT) AS x_c_cum,
-       CAST(10000 * x_t_cum // n_t_cum - 10000 * x_c_cum // n_c_cum AS BIGINT) AS uplift_bp,
+       CAST(10000 * x_t_cum // greatest(n_t_cum, 1) - 10000 * x_c_cum // greatest(n_c_cum, 1) AS BIGINT) AS uplift_bp,
        CAST(x_t_cum * n_c_cum - x_c_cum * n_t_cum AS BIGINT) AS qini_scaled
 FROM cum
 """

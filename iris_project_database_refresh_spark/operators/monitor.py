@@ -1363,3 +1363,108 @@ FROM synth s JOIN ledger l ON l.doc_id = s.doc_id
 
 QUERIES["vision_page_synthesis"] = vision_page_synthesis
 ORACLES["vision_page_synthesis"] = VISION_SYNTH_SQL
+
+
+# --- page-grain resume ledger (stage_00 incremental-write contract) -----------
+#
+# Reference parity: `semantic search - ey prep/stage_00_pdf_to_markdown.py:429`
+# ``process_pages_batch_incremental`` processes a document's pages
+# concurrently but WRITES results strictly in page order (the
+# ``next_page_to_write`` cursor), checkpointing per-page completion to
+# the output JSON as it goes; `:529` ``process_pdf_file_incremental``
+# wraps it per document and reports (total_pages, successful_pages,
+# failed_pages).  `catalog search/stage2_process_documents.py:442`
+# ``process_pages_batch`` has the same per-page completion shape.
+# The consequence of the sequential-write cursor is the resume
+# contract this operator models: after a mid-document crash, DURABLE
+# progress is the longest completed PREFIX of pages — pages the thread
+# pool finished after the first failure/gap are lost work — and the
+# remaining-work plan restarts each incomplete document at its first
+# unwritten page.
+#
+# Plant: page count from text length (1 page / PRL_PAGE_CHARS chars,
+# the pdf-plant density device) and a deterministic per-page outcome
+# from md5(doc_id:pg:page) % 10 < 8 (so ~20% of pages failed in the
+# simulated crashed run — both engines derive identical outcomes).
+#
+# Scale: pure per-row array expressions (sequence/filter/size) — ZERO
+# shuffle; the ledger scales with executors at any corpus size and the
+# resume plan is a projection, exactly what a refresh driver wants to
+# compute before re-dispatching work.
+
+PRL_PAGE_CHARS = 180
+
+
+def page_resume_ledger(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    np_col = (F.expr(f"length(text) div {PRL_PAGE_CHARS}") + 1).cast("int")
+    ok = (
+        "cast(conv(substring(md5(concat(cast(doc_id as string), ':pg:',"
+        " cast(p as string))), 1, 8), 16, 10) as bigint) % 10 < 8"
+    )
+    pages = docs.select("doc_id", np_col.alias("np")).select(
+        "doc_id",
+        "np",
+        F.expr(f"filter(sequence(1, np), p -> not ({ok}))").alias("fails"),
+    )
+    ledger = pages.select(
+        "doc_id",
+        "np",
+        F.when(F.size("fails") > 0, F.element_at("fails", 1)).alias("first_failed_page"),
+        F.coalesce(
+            F.when(F.size("fails") > 0, F.element_at("fails", 1) - 1), F.col("np")
+        ).alias("done_prefix"),
+        "fails",
+    )
+    return ledger.select(
+        "doc_id",
+        F.col("np").cast("bigint").alias("total_pages"),
+        F.col("done_prefix").cast("bigint").alias("done_prefix"),
+        F.col("first_failed_page").cast("bigint").alias("first_failed_page"),
+        # completed by the pool but after the write cursor's first gap:
+        # durably lost on crash, must re-run
+        F.expr(
+            f"cast(size(filter(sequence(1, np), p -> p > done_prefix and ({ok}))) as bigint)"
+        ).alias("lost_after_gap"),
+        F.when(F.col("done_prefix") < F.col("np"), F.col("done_prefix") + 1)
+        .cast("bigint")
+        .alias("resume_from"),
+        (F.col("done_prefix") == F.col("np")).cast("int").alias("is_complete"),
+        F.expr(
+            "cast((np - done_prefix) * 10000 div np as bigint)"
+        ).alias("remaining_bp"),
+    )
+
+
+_PRL_OK = (
+    "CAST('0x' || substr(md5(doc_id::VARCHAR || ':pg:' || p::VARCHAR), 1, 8)"
+    " AS BIGINT) % 10 < 8"
+)
+
+PAGE_RESUME_SQL = f"""
+WITH pages AS (
+  SELECT doc_id, CAST(length(text) // {PRL_PAGE_CHARS} + 1 AS INT) AS np,
+         list_filter(range(1, CAST(length(text) // {PRL_PAGE_CHARS} + 1 AS INT) + 1),
+                     p -> NOT ({_PRL_OK})) AS fails
+  FROM documents
+),
+ledger AS (
+  SELECT doc_id, np,
+         CASE WHEN len(fails) > 0 THEN fails[1] END AS first_failed_page,
+         coalesce(CASE WHEN len(fails) > 0 THEN fails[1] - 1 END, np) AS done_prefix
+  FROM pages
+)
+SELECT doc_id,
+       CAST(np AS BIGINT) AS total_pages,
+       CAST(done_prefix AS BIGINT) AS done_prefix,
+       CAST(first_failed_page AS BIGINT) AS first_failed_page,
+       CAST(len(list_filter(range(1, np + 1),
+            p -> p > done_prefix AND ({_PRL_OK}))) AS BIGINT) AS lost_after_gap,
+       CAST(CASE WHEN done_prefix < np THEN done_prefix + 1 END AS BIGINT) AS resume_from,
+       CAST(done_prefix = np AS INT) AS is_complete,
+       CAST((np - done_prefix) * 10000 // np AS BIGINT) AS remaining_bp
+FROM ledger
+"""
+
+QUERIES["page_resume_ledger"] = page_resume_ledger
+ORACLES["page_resume_ledger"] = PAGE_RESUME_SQL

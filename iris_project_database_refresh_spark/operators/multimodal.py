@@ -5375,6 +5375,23 @@ def pdf_merge_write_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.size("mem").alias("S"),
             F.aggregate("mem", F.lit(0), lambda a, x: a + x["np"]).alias("P"),
         )
+        # %04d fixed-width object ids carry the whole affine offset math:
+        # a group where 4+S+P >= 10000 would silently widen the format
+        # and break the byte-exact xref/file_bytes prediction, so an
+        # out-of-range plant fails LOUDLY instead of diverging (r6 ADVICE)
+        .withColumn(
+            "P",
+            F.when(F.lit(4) + F.col("S") + F.col("P") < 10000, F.col("P")).otherwise(
+                F.raise_error(
+                    F.format_string(
+                        "pdf_merge_write: group %s has 4+S+P = %s objects — "
+                        "exceeds the %%04d fixed-width plant (max 9999)",
+                        F.col("grp"),
+                        F.lit(4) + F.col("S") + F.col("P"),
+                    )
+                ).cast("int")
+            ),
+        )
     )
     # first merged-page index per member (prefix sum over the sorted members)
     g = g.select(

@@ -161,23 +161,26 @@ FROM spine s LEFT JOIN hourly h USING (user_id, hour)
 
 # --- ntile quartiles ----------------------------------------------------------
 #
-# Per-user purchase spend bucketed into quartiles. The ntile window is
-# global-ordered, which means a single-partition sort — acceptable ONLY
-# because it runs over the per-user aggregate (bounded by |users|, like
-# vocab_stats' global rank over the bounded vocabulary), never the raw
-# stream. Ties are broken by (spend, user_id) so bucket assignment is
-# deterministic across engines.
+# Per-user purchase spend bucketed into quartiles. The per-user table
+# is entity-grain — it scales with the corpus, so a global ntile window
+# (single-task sort) is the round-6 verdict's scale-killer shape. The
+# quartile comes from the distributed two-pass rank instead
+# (functions/distributed.global_ntile: range repartition + broadcast
+# prefix offsets + exact ntile arithmetic) — bit-identical to
+# ntile(4) OVER (ORDER BY spend, user_id) because the order is total
+# (user_id tie-break), with every stage parallel.
 
 def user_spend_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.distributed import global_ntile
+
     ev = load_table(spark, sf_dir, "events")
     spend = (
         ev.where(F.col("event_type") == "purchase")
         .groupBy("user_id")
         .agg(F.round(F.sum("value"), 2).alias("spend"))
     )
-    w = Window.orderBy("spend", "user_id")
     return (
-        spend.select("user_id", "spend", F.ntile(4).over(w).alias("quartile"))
+        global_ntile(spend, ["spend", "user_id"], 4, tile_col="quartile")
         .groupBy("quartile")
         .agg(
             F.count(F.lit(1)).alias("n_users"),

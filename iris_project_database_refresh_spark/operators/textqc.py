@@ -2119,9 +2119,13 @@ def quality_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     nd = per_doc.agg(
         F.count(F.lit(1)).alias("n"), F.sum("nt").alias("all_tokens")
     )
-    ranked = per_doc.withColumn(
-        "rn", F.row_number().over(Window.orderBy("score", "doc_id"))
-    ).crossJoin(F.broadcast(nd))
+    # doc-grain global rank via the distributed two-pass device, not a
+    # single-task window (round-6 verdict scale-killer family)
+    from ..functions.distributed import global_ordered
+
+    ranked = global_ordered(per_doc, ["score", "doc_id"], rank_col="rn").crossJoin(
+        F.broadcast(nd)
+    )
     deciles = (
         ranked.join(
             F.broadcast(

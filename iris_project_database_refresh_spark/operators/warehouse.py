@@ -170,11 +170,16 @@ RFM_TILES = 4
 def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recency/Frequency/Monetary segmentation over the orders fact —
     the standard warehouse customer scoring. The fact collapses to one
-    row per customer first (one shuffle); the three ntile windows then
-    run over the bounded per-customer table only, each with a total
-    order (metric + custkey tie-break) so quartile assignment is
-    deterministic in both engines. The composite segment code is
+    row per customer first (one shuffle); the customer table is
+    entity-grain (scales with the corpus), so the three ntile scores
+    come from the distributed two-pass rank (global_ntile: range
+    repartition + broadcast prefix offsets + exact ntile arithmetic)
+    rather than single-task global windows. Each order is total
+    (metric + custkey tie-break) so tile assignment is bit-identical
+    to ntile() OVER in both engines. The composite segment code is
     r*100 + f*10 + m."""
+    from ..functions.distributed import global_ntile
+
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
@@ -183,18 +188,15 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
     )
-    r_w = Window.orderBy(F.desc("last_order"), "custkey")
-    f_w = Window.orderBy(F.desc("n_orders"), "custkey")
-    m_w = Window.orderBy(F.desc("total_spend"), "custkey")
-    scored = per_cust.select(
-        "custkey",
-        "last_order",
-        "n_orders",
-        "total_spend",
-        F.ntile(RFM_TILES).over(r_w).alias("r_score"),
-        F.ntile(RFM_TILES).over(f_w).alias("f_score"),
-        F.ntile(RFM_TILES).over(m_w).alias("m_score"),
-    )
+    scored = per_cust
+    for tile, key in (
+        ("r_score", "last_order"),
+        ("f_score", "n_orders"),
+        ("m_score", "total_spend"),
+    ):
+        scored = global_ntile(
+            scored, [F.desc(key), F.asc("custkey")], RFM_TILES, tile_col=tile
+        )
     return scored.select(
         "custkey",
         "last_order",
@@ -265,14 +267,19 @@ def customer_segment_migration(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", "o_orderdate", "o_totalprice"
     )
 
+    from ..functions.distributed import global_ntile
+
     def tiers(period_filter):
+        # entity-grain table: distributed two-pass ntile, not the
+        # single-task global window (round-6 verdict scale-killer)
         per_cust = (
             orders.where(period_filter)
             .groupBy(F.col("o_custkey").alias("custkey"))
             .agg(F.round(F.sum("o_totalprice"), 2).alias("spend"))
         )
-        w = Window.orderBy(F.desc("spend"), "custkey")
-        return per_cust.select("custkey", F.ntile(RFM_TILES).over(w).alias("tier"))
+        return global_ntile(
+            per_cust, [F.desc("spend"), F.asc("custkey")], RFM_TILES, tile_col="tier"
+        ).select("custkey", "tier")
 
     p1 = tiers(F.col("o_orderdate") < MIGRATION_CUTOFF).withColumnRenamed("tier", "tier_then")
     p2 = tiers(F.col("o_orderdate") >= MIGRATION_CUTOFF).withColumnRenamed("tier", "tier_now")
@@ -1092,12 +1099,15 @@ def part_abc_xyz_class(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.expr("mq * mq")).alias("sq2"),
         F.sum("mc").alias("rev"),
     )
-    w = Window.orderBy(F.desc("rev"), F.asc("l_partkey")).rowsBetween(
-        Window.unboundedPreceding, 0
-    )
+    # part-grain running revenue via the distributed two-pass prefix sum
+    # (range shuffle + broadcast offsets), not a single-task global window
+    from ..functions.distributed import global_ordered
+
     tot = per_part.agg(F.sum("rev").alias("trev"))
     classed = (
-        per_part.withColumn("crev", F.sum("rev").over(w))
+        global_ordered(
+            per_part, [F.desc("rev"), F.asc("l_partkey")], cumsum_cols={"crev": "rev"}
+        )
         .crossJoin(F.broadcast(tot))
         .select(
             "rev",
@@ -1186,12 +1196,13 @@ def customer_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("cents"),
     )
     per_cust = orders.groupBy("o_custkey").agg(F.sum("cents").alias("x"))
-    w = Window.orderBy("x", "o_custkey")
-    ranked = per_cust.select(
-        "x",
-        F.row_number().over(w).cast("bigint").alias("i"),
-        F.ntile(10).over(w).alias("decile"),
-    )
+    # entity-grain rank + decile via the distributed two-pass device
+    # (one range shuffle feeds both), not a single-task global window
+    from ..functions.distributed import global_ntile
+
+    ranked = global_ntile(
+        per_cust, ["x", "o_custkey"], 10, tile_col="decile", rank_col="i"
+    ).select("x", "i", "decile")
     sums = ranked.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum("x").alias("sx"),
@@ -1682,10 +1693,14 @@ def supplier_topsis_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
             " else cast(null as bigint) end"
         ).alias("closeness_micro"),
     )
+    # top-25 via TakeOrderedAndProject (parallel partial top-k per
+    # partition, merged on the driver), then the rank window runs over
+    # the 25-row result only — never a global window over the supplier
+    # table. desc = NULLS LAST in both engines, and (closeness, suppkey)
+    # is a total order, so the kept set and ranks are deterministic.
+    top = out.orderBy(F.desc("closeness_micro"), F.asc("l_suppkey")).limit(25)
     w = Window.orderBy(F.desc("closeness_micro"), F.asc("l_suppkey"))
-    return out.withColumn("rank", F.row_number().over(w).cast("bigint")).where(
-        F.col("rank") <= 25
-    )
+    return top.withColumn("rank", F.row_number().over(w).cast("bigint"))
 
 
 _T_DPOS = (

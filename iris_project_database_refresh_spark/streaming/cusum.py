@@ -80,11 +80,16 @@ def _cusum_fn(
     cents = np.floor(events["value"].to_numpy() * 100 + 0.5).astype("int64")
 
     if state.exists:
-        # n_late was added to STATE_SCHEMA after the first release; pad
-        # legacy 3-tuples so a restart from a pre-change checkpoint survives.
-        got = tuple(state.get)
-        s, open_day, open_sum = got[:3]
-        n_late = got[3] if len(got) > 3 and got[3] is not None else 0
+        # NOTE: n_late was added to STATE_SCHEMA after the first
+        # release. A restart from a pre-change checkpoint does NOT
+        # reach this code — Spark's StateSchemaCompatibilityChecker
+        # rejects the query at start-up when the state schema gained a
+        # field (and even with stateStore.stateSchemaCheck=false the
+        # old UnsafeRow layout is not readable under the widened
+        # schema), so schema evolution requires a fresh checkpoint.
+        # No legacy-tuple padding here: it would be unreachable.
+        s, open_day, open_sum, n_late = state.get
+        n_late = n_late if n_late is not None else 0
     else:
         s, open_day, open_sum, n_late = 0, None, 0, 0
 

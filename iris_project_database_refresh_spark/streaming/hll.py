@@ -20,6 +20,7 @@ batched per group.  The per-row md5 replicates
 from __future__ import annotations
 
 import hashlib
+import math
 from typing import Iterable
 
 import pandas as pd
@@ -57,11 +58,16 @@ def _rho_bucket(user_id: int) -> tuple[int, int]:
 
 
 def estimate(regs: list[int]) -> float:
-    """The batch operator's exact integer-denominator estimator."""
+    """The batch operator's exact integer-denominator estimator.
+
+    Rounding is HALF_UP via floor(x*100 + 0.5)/100 — Python's round()
+    is banker's (HALF_EVEN), while the batch operator's F.round and the
+    DuckDB oracle's round() are HALF_UP, so a quotient landing exactly
+    on a half-cent boundary would break bit-for-bit parity (r6 ADVICE)."""
     denom = sum(1 << (30 - r) for r in regs if r > 0) + sum(
         1 << 30 for r in regs if r == 0
     )
-    return round(_HLL_NUM / denom, 2)
+    return math.floor(_HLL_NUM / denom * 100 + 0.5) / 100
 
 
 def _hll_fn(

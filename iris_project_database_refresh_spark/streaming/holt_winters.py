@@ -69,11 +69,16 @@ def _hw_fn(
     days = (events["ts"].astype("int64") // (86_400 * 10**9)).to_numpy()
 
     if state.exists:
-        # n_late was added to STATE_SCHEMA after the first release; pad
-        # legacy 10-tuples so a restart from a pre-change checkpoint survives.
-        got = tuple(state.get)
-        warm, l, b, s, r, i, sae, nsae, open_day, open_cnt = got[:10]
-        n_late = got[10] if len(got) > 10 and got[10] is not None else 0
+        # NOTE: n_late was added to STATE_SCHEMA after the first
+        # release. A restart from a pre-change checkpoint does NOT
+        # reach this code — Spark's StateSchemaCompatibilityChecker
+        # rejects the query at start-up when the state schema gained a
+        # field (and stateSchemaCheck=false wouldn't help: the old
+        # UnsafeRow layout isn't readable under the widened schema).
+        # Schema evolution requires a fresh checkpoint; no unreachable
+        # legacy-tuple padding here.
+        warm, l, b, s, r, i, sae, nsae, open_day, open_cnt, n_late = state.get
+        n_late = n_late if n_late is not None else 0
         warm, s, r = list(warm), list(s), list(r)
     else:
         warm, l, b, s, r = [], 0, 0, [], []

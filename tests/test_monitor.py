@@ -108,3 +108,38 @@ def test_join_ivm_delta_rule_exact(spark):
     assert len(rows) == 25  # every nation present
     # the inclusion-exclusion delta rule reproduces the full recompute
     assert all(r["ivm_matches"] == 1 for r in rows)
+
+
+def test_page_resume_ledger_prefix_semantics(spark):
+    """The resume contract of stage_00's sequential write cursor: durable
+    progress = longest completed page prefix. Re-derive a sample of
+    documents' per-page outcomes with hashlib and check every reported
+    field; plus global invariants on all rows."""
+    import hashlib
+
+    rows = monitor.page_resume_ledger(spark, SF_CORRECT).collect()
+    assert rows
+
+    def ok(doc_id: int, p: int) -> bool:
+        h = hashlib.md5(f"{doc_id}:pg:{p}".encode()).hexdigest()[:8]
+        return int(h, 16) % 10 < 8
+
+    for r in rows:
+        assert 1 <= r.total_pages
+        assert 0 <= r.done_prefix <= r.total_pages
+        if r.is_complete:
+            assert r.done_prefix == r.total_pages
+            assert r.first_failed_page is None and r.resume_from is None
+        else:
+            assert r.resume_from == r.done_prefix + 1
+            assert r.first_failed_page == r.done_prefix + 1
+        assert r.remaining_bp == (r.total_pages - r.done_prefix) * 10000 // r.total_pages
+
+    for r in rows[:40]:
+        outcomes = [ok(r.doc_id, p) for p in range(1, r.total_pages + 1)]
+        prefix = 0
+        while prefix < len(outcomes) and outcomes[prefix]:
+            prefix += 1
+        assert r.done_prefix == prefix, (r.doc_id, prefix, r.done_prefix)
+        lost = sum(outcomes[prefix + 1 :]) if prefix < len(outcomes) else 0
+        assert r.lost_after_gap == lost, (r.doc_id, lost, r.lost_after_gap)

@@ -188,3 +188,31 @@ def test_plans_md_sniff_router_entry_is_fresh():
     assert f"ALL {n} " in m.group("blurb"), (
         f"stale sniff-router blurb: expected 'ALL {n} ' in {m.group('blurb')[:120]}"
     )
+
+
+def test_bench_refuses_on_plan_gaps():
+    """bench.py must REFUSE (non-zero rc), not merely record, when a
+    refresh crosses a query over the 1 s bar with no PLANS.md entry —
+    round-6 verdict: detection without refusal left a red artifact
+    sitting quietly in the tree three rounds running."""
+    import importlib.util
+    import inspect
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+
+    # the sweep itself: a fabricated slow query with no PLANS entry is a gap
+    gaps = bench._plan_gaps({"definitely_not_a_real_query": 2.5}, 0.1)
+    assert gaps == ["definitely_not_a_real_query"]
+    # covered queries and sub-second queries are not gaps
+    assert bench._plan_gaps({"graph_hits": 6.9, "fastq": 0.2}, 0.1) == []
+    # the sweep keys off the committed sf0.1 run only
+    assert bench._plan_gaps({"definitely_not_a_real_query": 2.5}, 0.01) == []
+
+    # the refuse path: main() must propagate gaps into its exit status
+    src = inspect.getsource(bench.main)
+    assert "return 1 if gaps else 0" in src, "bench.main no longer refuses on plan_gaps"

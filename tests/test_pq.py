@@ -149,3 +149,54 @@ def test_refine_promotes_and_orders_exactly(spark):
         dots = [r.exact_dot for r in rs]
         assert dots == sorted(dots, reverse=True), q
         assert all(r.promoted == (1 if r.adc_rank > 10 else 0) for r in rs)
+
+
+def test_hnsw_links_structure(spark):
+    """HNSW construction invariants (Malkov & Yashunin 2016): per-layer
+    degree bounds (2M at layer 0, M above), links only between
+    same-layer members (neighbor level >= layer), ranks dense from 1,
+    layer-0 rank-1 == the exact nearest neighbor (completed-index
+    grain), and exactly one entry node — at the top layer, min vec_id."""
+    from pyspark.sql import functions as F
+
+    links = pq.hnsw_build_links(spark, SF_CORRECT)
+    rows = links.collect()
+    assert rows
+
+    levels = {}  # vec_id -> max layer seen as a SOURCE (== its level)
+    per = {}
+    for r in rows:
+        per.setdefault((r.lyr, r.vec_id), []).append(r)
+        levels[r.vec_id] = max(levels.get(r.vec_id, 0), r.lyr)
+    for (lyr, vid), rs in per.items():
+        cap = 2 * pq.HNSW_M if lyr == 0 else pq.HNSW_M
+        assert len(rs) <= cap, (lyr, vid, len(rs))
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+        # neighbors are same-layer members: their own level >= this layer
+        for r in rs:
+            assert levels.get(r.neighbor_id, 0) >= lyr or lyr == 0, r
+
+    # layer-0 rank-1 neighbor == exact nearest by (6dp cosine desc, id asc)
+    emb = {r.vec_id: r.embedding for r in
+           spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet").collect()}
+    import numpy as np
+
+    ids = sorted(emb)
+    mat = np.array([emb[i] for i in ids], dtype=np.float64)
+    mat /= np.linalg.norm(mat, axis=1, keepdims=True)
+    sims = np.round(mat @ mat.T, 6)
+    for qi, vid in enumerate(ids[:25]):  # spot-check the first 25 nodes
+        row = sims[qi].copy()
+        cand = [(-row[ci], ids[ci]) for ci in range(len(ids)) if ids[ci] != vid]
+        want = min(cand)[1]
+        got = min((r for r in per[(0, vid)]), key=lambda r: r.rank).neighbor_id
+        assert got == want, (vid, got, want)
+
+    # exactly one entry node; its flagged rows sit on the global top layer
+    entries = {r.vec_id for r in rows if r.is_entry == 1}
+    assert len(entries) == 1
+    (evid,) = entries
+    top = max(r.lyr for r in rows)
+    assert {r.lyr for r in rows if r.is_entry == 1} == {top}
+    assert evid == min(v for v, l in levels.items() if l == top)
