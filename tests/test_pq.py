@@ -200,3 +200,55 @@ def test_hnsw_links_structure(spark):
     top = max(r.lyr for r in rows)
     assert {r.lyr for r in rows if r.is_entry == 1} == {top}
     assert evid == min(v for v, l in levels.items() if l == top)
+
+
+def test_hnsw_search_descent_semantics(spark):
+    """Greedy-descent read invariants: K results per query ranked by
+    (cosine desc, id asc); every result is a layer-0 neighbor of the
+    landing node or the landing node itself; the entry node is the
+    build's entry; and the descent finds the exact nearest neighbor
+    for a majority of queries (greedy ef=1 recall sanity — on this
+    corpus the small-world links make the walk reliable)."""
+    from pyspark.sql import functions as F
+
+    res = pq.hnsw_search_sim(spark, SF_CORRECT).collect()
+    links = pq.hnsw_build_links(spark, SF_CORRECT).collect()
+
+    entry_nodes = {r.vec_id for r in links if r.is_entry == 1}
+    assert {r.entry_node for r in res} == entry_nodes
+
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(pq.PQ_QUERIES))
+
+    l0 = {}
+    for r in links:
+        if r.lyr == 0:
+            l0.setdefault(r.vec_id, set()).add(r.neighbor_id)
+
+    from iris_project_database_refresh_spark.operators.embeddings import knn_brute_force
+
+    exact1 = {
+        r.query_id: r.neighbor_id
+        for r in knn_brute_force(spark, SF_CORRECT).collect()
+        if r.rank == 1
+    }
+    hits = 0
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, pq.HNSW_SEARCH_K + 1))
+        assert all(
+            (rs[i].cosine, -rs[i].neighbor_id) >= (rs[i + 1].cosine, -rs[i + 1].neighbor_id)
+            for i in range(len(rs) - 1)
+        )
+        final = rs[0].final_node
+        # candidates were {landing} ∪ its layer-0 link list (the search
+        # recomputes the same lists the build defines, modulo its own
+        # quantization device — allow the landing node itself)
+        for r in rs:
+            assert r.neighbor_id == final or r.neighbor_id in l0.get(final, set()), (
+                q, r.neighbor_id, final)
+        if rs[0].neighbor_id == exact1[q]:
+            hits += 1
+    assert hits >= 3, f"greedy descent found the true NN for only {hits}/5 queries"
