@@ -690,3 +690,134 @@ FROM per_doc p JOIN n_ch n ON p.doc_id = n.doc_id
 
 QUERIES["chapter_summary_rouge"] = chapter_summary_rouge
 ORACLES["chapter_summary_rouge"] = SUMMARY_ROUGE_SQL
+
+
+# --- stage3 summary length/token-budget audit ----------------------------------
+#
+# Reference parity: `catalog search/stage3_generate_summaries.py` ties a
+# per-source `detail_level` (concise/standard/detailed — the
+# DOCUMENT_SOURCES config at :54-66) to the GPT summarizer's `usage`
+# length (:161 "Adapt the length and detail level based on the provided
+# detail_level"), caps generation at max_tokens=2048 (:558), and pins
+# the companion `description` to 1-2 sentences REGARDLESS of
+# detail_level (:166).  This operator is the audit a refresh gate runs
+# over those contracts: per (source, detail_level), how many summaries
+# landed inside the level's token budget, how many under/over-ran, and
+# how many descriptions broke the 1-2 sentence invariant.
+#
+# Plant: detail_level = md5(source) % 3 (the per-source config, derived
+# not configured so both engines agree); the simulated summarizer
+# produces min(doc_tokens, target * (70..130)% ) tokens (md5 jitter per
+# doc — real models under- and over-shoot, which is exactly what the
+# validation loop exists to catch) and a 1..3-sentence description.
+# Budgets: [80%, 120%] of the level target; docs shorter than the lower
+# bound are exempt (the source text cannot be padded).
+#
+# Scale: per-row integer arithmetic on token counts + one bounded
+# (source, level) rollup with map-side combine — no window, no Python.
+
+SUMMARY_TARGETS = {0: ("concise", 40), 1: ("standard", 90), 2: ("detailed", 180)}
+
+
+def summary_budget_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    lvl = F.expr(
+        "cast(conv(substring(md5(source), 1, 8), 16, 10) as bigint) % 3"
+    ).alias("lvl")
+    jit = F.expr(
+        "70 + cast(conv(substring(md5(concat(cast(doc_id as string), ':sum')), 1, 8),"
+        " 16, 10) as bigint) % 61"
+    )
+    dsent = F.expr(
+        "1 + cast(conv(substring(md5(concat(cast(doc_id as string), ':desc')), 1, 8),"
+        " 16, 10) as bigint) % 3"
+    )
+    level_name = "case lvl when 0 then 'concise' when 1 then 'standard' else 'detailed' end"
+    target = "case lvl when 0 then 40 when 1 then 90 else 180 end"
+    per_doc = docs.select(
+        "source",
+        lvl,
+        F.size(tokens(F.col("text"))).alias("ntok"),
+        jit.alias("jit"),
+        dsent.alias("desc_sentences"),
+    ).select(
+        "source",
+        F.expr(level_name).alias("detail_level"),
+        F.expr(f"({target}) * 80 div 100").alias("lo"),
+        F.expr(f"({target}) * 120 div 100").alias("hi"),
+        F.expr(f"least(ntok, ({target}) * jit div 100)").alias("produced"),
+        "ntok",
+        "desc_sentences",
+    )
+    return (
+        per_doc.groupBy("source", "detail_level")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum((F.col("ntok") < F.col("lo")).cast("int")).alias("n_exempt"),
+            F.sum(
+                ((F.col("ntok") >= F.col("lo")) & (F.col("produced") < F.col("lo"))).cast("int")
+            ).alias("n_under"),
+            F.sum((F.col("produced") > F.col("hi")).cast("int")).alias("n_over"),
+            F.sum(F.col("produced")).alias("tok_sum"),
+            F.max(F.col("produced")).alias("max_summary_tokens"),
+            F.sum((F.col("desc_sentences") > 2).cast("int")).alias("n_desc_violations"),
+        )
+        .select(
+            "source",
+            "detail_level",
+            F.col("n_docs").cast("bigint").alias("n_docs"),
+            F.col("n_exempt").cast("bigint").alias("n_exempt"),
+            F.col("n_under").cast("bigint").alias("n_under"),
+            F.expr("n_docs - n_exempt - n_under - n_over").cast("bigint").alias("n_within"),
+            F.col("n_over").cast("bigint").alias("n_over"),
+            F.expr(
+                "(n_docs - n_exempt - n_under - n_over) * 10000"
+                " div greatest(n_docs - n_exempt, 1)"
+            )
+            .cast("bigint")
+            .alias("within_bp"),
+            F.expr("tok_sum div n_docs").cast("bigint").alias("avg_summary_tokens"),
+            F.col("max_summary_tokens").cast("bigint").alias("max_summary_tokens"),
+            F.col("n_desc_violations").cast("bigint").alias("n_desc_violations"),
+        )
+    )
+
+
+SUMMARY_BUDGET_SQL = """
+WITH per_doc AS (
+  SELECT source,
+         CASE lvl WHEN 0 THEN 'concise' WHEN 1 THEN 'standard' ELSE 'detailed' END AS detail_level,
+         (CASE lvl WHEN 0 THEN 40 WHEN 1 THEN 90 ELSE 180 END) * 80 // 100 AS lo,
+         (CASE lvl WHEN 0 THEN 40 WHEN 1 THEN 90 ELSE 180 END) * 120 // 100 AS hi,
+         least(ntok, (CASE lvl WHEN 0 THEN 40 WHEN 1 THEN 90 ELSE 180 END) * jit // 100) AS produced,
+         ntok, desc_sentences
+  FROM (
+    SELECT source,
+           CAST('0x' || substr(md5(source), 1, 8) AS BIGINT) % 3 AS lvl,
+           len(list_filter(string_split_regex(text, '\\s+'), t -> t <> '')) AS ntok,
+           70 + CAST('0x' || substr(md5(doc_id::VARCHAR || ':sum'), 1, 8) AS BIGINT) % 61 AS jit,
+           1 + CAST('0x' || substr(md5(doc_id::VARCHAR || ':desc'), 1, 8) AS BIGINT) % 3 AS desc_sentences
+    FROM documents
+  )
+)
+SELECT source, detail_level,
+       count(*)::BIGINT AS n_docs,
+       CAST(sum(CASE WHEN ntok < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_exempt,
+       CAST(sum(CASE WHEN ntok >= lo AND produced < lo THEN 1 ELSE 0 END) AS BIGINT) AS n_under,
+       CAST(count(*) - sum(CASE WHEN ntok < lo THEN 1 ELSE 0 END)
+            - sum(CASE WHEN ntok >= lo AND produced < lo THEN 1 ELSE 0 END)
+            - sum(CASE WHEN produced > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_within,
+       CAST(sum(CASE WHEN produced > hi THEN 1 ELSE 0 END) AS BIGINT) AS n_over,
+       CAST((count(*) - sum(CASE WHEN ntok < lo THEN 1 ELSE 0 END)
+            - sum(CASE WHEN ntok >= lo AND produced < lo THEN 1 ELSE 0 END)
+            - sum(CASE WHEN produced > hi THEN 1 ELSE 0 END)) * 10000
+            // greatest(count(*) - sum(CASE WHEN ntok < lo THEN 1 ELSE 0 END), 1) AS BIGINT) AS within_bp,
+       CAST(sum(produced) // count(*) AS BIGINT) AS avg_summary_tokens,
+       CAST(max(produced) AS BIGINT) AS max_summary_tokens,
+       CAST(sum(CASE WHEN desc_sentences > 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_desc_violations
+FROM per_doc
+GROUP BY source, detail_level
+"""
+
+QUERIES["summary_budget_audit"] = summary_budget_audit
+ORACLES["summary_budget_audit"] = SUMMARY_BUDGET_SQL

@@ -140,3 +140,32 @@ def test_pack_fragmentation_invariants(spark):
         assert r.largest_doc_share_milli <= 1000
         if r.n_docs == 1:
             assert r.cross_doc_milli == 0 and r.largest_doc_share_milli == 1000
+
+
+def test_summary_budget_audit_contract(spark):
+    """Count identities per (source, level) and a hashlib re-derivation
+    of the level assignment; within_bp guard behaves on empty
+    non-exempt groups; every level target maps to the documented
+    budgets (stage3 detail_level contract)."""
+    import hashlib
+
+    rows = chapters.summary_budget_audit(spark, SF_CORRECT).collect()
+    assert rows
+    targets = {"concise": 40, "standard": 90, "detailed": 180}
+    for r in rows:
+        assert r.detail_level in targets
+        want_lvl = ["concise", "standard", "detailed"][
+            int(hashlib.md5(r.source.encode()).hexdigest()[:8], 16) % 3
+        ]
+        assert r.detail_level == want_lvl, (r.source, r.detail_level, want_lvl)
+        assert r.n_docs == r.n_exempt + r.n_under + r.n_within + r.n_over
+        non_exempt = r.n_docs - r.n_exempt
+        if non_exempt > 0:
+            assert r.within_bp == r.n_within * 10000 // non_exempt
+        assert 0 <= r.n_desc_violations <= r.n_docs
+        # the simulated summarizer can overshoot by at most 130% of target
+        assert r.max_summary_tokens <= targets[r.detail_level] * 130 // 100
+    # the jittered plant must actually exercise the audit: some unders
+    # and overs exist corpus-wide (otherwise the gate tests nothing)
+    assert sum(r.n_under for r in rows) > 0
+    assert sum(r.n_over for r in rows) > 0
