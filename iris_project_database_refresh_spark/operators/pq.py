@@ -1515,3 +1515,58 @@ WHERE rnk <= {HNSW_SEARCH_K}
 
 QUERIES["hnsw_search_sim"] = hnsw_search_sim
 ORACLES["hnsw_search_sim"] = _hnsw_search_sql()
+
+
+# --- HNSW recall vs exact (closes the ANN eval loop for the new family) --------
+#
+# `ann_recall_eval` measures LSH/IVF/PQ against the exact top-K; with
+# `hnsw_build_links` + `hnsw_search_sim` shipped this round, the HNSW
+# read path joins the same harness: recall@K of the greedy ef=1
+# descent per query, the number an operator reads before raising ef or
+# M.  Same device — exact set pinned once, hits are a semi-join,
+# zero-hit queries survive via the left join.
+
+def hnsw_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from .embeddings import knn_brute_force
+
+    exact = (
+        knn_brute_force(spark, sf_dir)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)
+    )
+    qids = exact.select("query_id").distinct()
+    m = hnsw_search_sim(spark, sf_dir).select("query_id", "neighbor_id")
+    hits = (
+        m.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return qids.join(hits, "query_id", "left").select(
+        F.lit("hnsw_ef1").alias("method"),
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / HNSW_SEARCH_K, 4).alias("recall"),
+    )
+
+
+def _hnsw_recall_sql() -> str:
+    from .embeddings import KNN_SQL
+
+    return f"""
+WITH exact AS (SELECT query_id, neighbor_id FROM ({KNN_SQL})),
+qids AS (SELECT DISTINCT query_id FROM exact)
+SELECT 'hnsw_ef1' AS method, q.query_id,
+       count(e.neighbor_id)::BIGINT AS n_hits,
+       round(count(e.neighbor_id) / {HNSW_SEARCH_K}.0, 4) AS recall
+FROM qids q
+LEFT JOIN (
+  SELECT m.query_id, m.neighbor_id
+  FROM (SELECT query_id, neighbor_id FROM ({_hnsw_search_sql()}) ) m
+  JOIN exact e2 ON m.query_id = e2.query_id AND m.neighbor_id = e2.neighbor_id
+) e ON q.query_id = e.query_id
+GROUP BY q.query_id
+"""
+
+
+QUERIES["hnsw_recall_eval"] = hnsw_recall_eval
+ORACLES["hnsw_recall_eval"] = _hnsw_recall_sql()

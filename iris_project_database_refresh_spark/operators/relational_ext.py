@@ -2032,8 +2032,9 @@ ORACLES["lineitem_shipmode_anova"] = SHIPMODE_ANOVA_SQL
 # in milli via floor(x + 0.5).
 #
 # Scale: broadcast part dim, one corpus agg to the distinct-cents
-# grid, then ONE window over that bounded grid (distinct prices, not
-# corpus rows — the user_spend_quartiles device); T and the rank sums
+# grid, then ONE window over that bounded grid (distinct prices — a
+# VALUE SUPPORT, not corpus rows; entity-grain ranks use
+# functions/distributed.global_ordered instead); T and the rank sums
 # are bounded by n^3 — at trillions of rows promote to DECIMAL(38) or
 # pre-bucket cents to a coarser grid.
 

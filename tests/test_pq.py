@@ -252,3 +252,14 @@ def test_hnsw_search_descent_semantics(spark):
         if rs[0].neighbor_id == exact1[q]:
             hits += 1
     assert hits >= 3, f"greedy descent found the true NN for only {hits}/5 queries"
+
+
+def test_hnsw_recall_bounds(spark):
+    rows = pq.hnsw_recall_eval(spark, SF_CORRECT).collect()
+    assert {r.query_id for r in rows} == set(range(pq.PQ_QUERIES))
+    for r in rows:
+        assert r.method == "hnsw_ef1"
+        assert 0 <= r.n_hits <= pq.HNSW_SEARCH_K
+        assert abs(r.recall - r.n_hits / pq.HNSW_SEARCH_K) < 1e-9
+    # greedy ef=1 beats random chance by far (random overlap ~0.2/10)
+    assert sum(r.n_hits for r in rows) / len(rows) >= 2.0
