@@ -1244,3 +1244,37 @@ def test_streaming_hll_matches_batch_sketch(spark):
     for et, (est, n_regs) in got.items():
         assert est == want[et], et
         assert 0 < n_regs <= 64
+
+
+def test_streaming_resume_ledger_equals_batch(spark):
+    """availableNow drain of the stateful page-resume ledger: every
+    document's final row (longest completed prefix, first failure,
+    lost-after-gap, resume point) must equal the batch operator
+    bit-for-bit — out-of-order page completion within the stream is
+    absorbed by the per-doc outcome state."""
+    from iris_project_database_refresh_spark.operators.monitor import (
+        page_resume_ledger,
+    )
+    from iris_project_database_refresh_spark.streaming.resume_ledger import (
+        page_events,
+        streaming_resume_ledger,
+    )
+
+    stream = page_events(spark, SF_CORRECT, streaming=True)
+    q = (
+        streaming_resume_ledger(stream)
+        .writeStream.format("memory")
+        .queryName("resume_ledger_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = (
+        "doc_id total_pages done_prefix first_failed_page lost_after_gap "
+        "resume_from is_complete remaining_bp"
+    ).split()
+    streamed = {tuple(r[c] for c in cols) for r in spark.table("resume_ledger_test").collect()}
+    batch = {tuple(r[c] for c in cols) for r in page_resume_ledger(spark, SF_CORRECT).collect()}
+    assert streamed == batch
+    assert len(batch) > 0
