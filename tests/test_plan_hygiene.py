@@ -216,3 +216,40 @@ def test_bench_refuses_on_plan_gaps():
     # the refuse path: main() must propagate gaps into its exit status
     src = inspect.getsource(bench.main)
     assert "return 1 if gaps else 0" in src, "bench.main no longer refuses on plan_gaps"
+
+
+# The 10 operators the round-6 verdict flagged as the single-task
+# global-window family, all converted to functions/distributed
+# two-pass devices in round 7. Pin the conversion: any SinglePartition
+# exchange left in their plans must feed a HashAggregate/ObjectHash-
+# Aggregate or Window over the tiny per-partition offsets table — never
+# a Sort/Window over the entity-grain stream itself.
+CONVERTED_GLOBAL_WINDOW_QUERIES = [
+    "user_spend_quartiles",
+    "customer_rfm",
+    "customer_segment_migration",
+    "customer_gini_lorenz",
+    "part_abc_xyz_class",
+    "supplier_topsis_rank",
+    "supplier_pareto",
+    "part_skyline_frontier",
+    "part_knapsack_greedy",
+    "quality_threshold_sweep",
+]
+
+
+@pytest.mark.parametrize("name", CONVERTED_GLOBAL_WINDOW_QUERIES)
+def test_no_entity_grain_single_task_window(spark, name):
+    plan = QUERIES[name](spark, SF_CORRECT)._jdf.queryExecution().executedPlan().toString()
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "Exchange SinglePartition" not in line:
+            continue
+        # what flows INTO this exchange (the next plan line down) must be
+        # an aggregate — the bounded per-pid offsets job or a global agg —
+        # not a corpus-grain Sort/Window/Scan
+        below = lines[i + 1] if i + 1 < len(lines) else ""
+        assert "HashAggregate" in below or "TakeOrderedAndProject" in below, (
+            f"{name}: SinglePartition exchange over non-aggregate input:\n"
+            + "\n".join(lines[max(0, i - 2) : i + 3])
+        )
