@@ -1407,12 +1407,15 @@ def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("m")
             )
             .select("query_id", (-F.col("m.negid")).alias("cur_id"))
-            # pin each descent step (the dedup_components round
-            # pattern): the descent is inherently sequential in depth —
-            # 16 bounded stages — and pinning keeps every segment's
-            # plan shallow so planning stays O(levels), not O(2^levels)
-            .localCheckpoint(eager=False)
         )
+        # pin every 4th descent step (the dedup_components round
+        # pattern, thinned): each un-pinned step doubles the cursor's
+        # logical plan (offsets + main), so pin cadence 4 caps segments
+        # at 2^4 copies of a 5-row chain — shallow enough to plan fast,
+        # while 4x fewer pinned RDD sets keeps the ContextCleaner churn
+        # (and its accumulator-GC noise in long bench runs) low
+        if lyr % 4 == 1:
+            cur = cur.localCheckpoint(eager=False)
 
     final_t = scored_step(cur, 0, 2 * HNSW_M)
     cand = final_t.where(F.col("nid").isNotNull()).select("query_id", "nid", "cq")

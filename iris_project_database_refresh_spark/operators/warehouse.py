@@ -183,20 +183,34 @@ def customer_rfm(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         "o_custkey", "o_orderdate", "o_totalprice"
     )
-    per_cust = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("n_orders"),
-        F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+    per_cust = (
+        orders.groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(
+            F.max("o_orderdate").alias("last_order"),
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_spend"),
+        )
+        # pin: each chained two-pass ntile references its input twice
+        # (offsets + main), so three chained passes would otherwise
+        # replicate the orders aggregation subtree up to 8x
+        .localCheckpoint(eager=False)
     )
+    # three INDEPENDENT branches off the pinned customer table, joined
+    # back on custkey — branches schedule concurrently (a chained
+    # version serializes the three range shuffles; measured 2x slower)
     scored = per_cust
     for tile, key in (
         ("r_score", "last_order"),
         ("f_score", "n_orders"),
         ("m_score", "total_spend"),
     ):
-        scored = global_ntile(
-            scored, [F.desc(key), F.asc("custkey")], RFM_TILES, tile_col=tile
-        )
+        t = global_ntile(
+            per_cust.select("custkey", key),
+            [F.desc(key), F.asc("custkey")],
+            RFM_TILES,
+            tile_col=tile,
+        ).select("custkey", tile)
+        scored = scored.join(t, "custkey")
     return scored.select(
         "custkey",
         "last_order",
