@@ -1573,3 +1573,102 @@ GROUP BY q.query_id
 
 QUERIES["hnsw_recall_eval"] = hnsw_recall_eval
 ORACLES["hnsw_recall_eval"] = _hnsw_recall_sql()
+
+
+# --- incremental HNSW insert plan (refresh-grain index maintenance) ------------
+#
+# The refresh contract applied to the ANN index: a NEW batch of vectors
+# arrives (the incremental grain of `dedup_incremental` /
+# `refresh_upsert`), and the index must absorb it WITHOUT re-touching
+# the master corpus pairwise.  For every new vector: its md5-geometric
+# level draw, and per layer <= level, the M (2M at layer 0) nearest
+# MASTER layer members — the link candidates an HNSW insert wires up
+# (Malkov & Yashunin 2016 INSERT, at the deterministic completed-index
+# grain hnsw_build_links models) — plus whether the batch promotes a
+# new entry point (a new vector drawing a level above the master's max
+# — the paper's enterPoint update).
+#
+# Cost shape: |batch| x Σ layer members — the ASYMMETRIC batch-vs-master
+# probe, never master x master; the new batch is the broadcast side
+# exactly as in dedup_incremental.  At 100 TB the same probe runs
+# through the knn_graph blocked-GEMM backend (batch rows replicated to
+# master blocks); the DataFrame form here keeps the scoring JVM-side
+# through the proven _cos device.
+
+HNSW_BATCH_MOD = 50  # vec_id % 50 == 3 -> the arriving ~2% refresh batch
+
+
+def hnsw_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    level_expr = (
+        "size(filter(sequence(1, {cap}), k ->"
+        " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
+        " % shiftleft(1L, k) = 0))".format(cap=HNSW_LEVEL_CAP)
+    )
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        _as_double("embedding").alias("v"),
+        F.expr(level_expr).cast("int").alias("level"),
+    )
+    is_batch = F.pmod(F.col("vec_id"), HNSW_BATCH_MOD) == 3
+    batch = emb.where(is_batch)
+    master = emb.where(~is_batch).select(
+        F.col("vec_id").alias("mid"), F.col("v").alias("mv"), F.col("level").alias("mlvl")
+    )
+    m_max = master.agg(F.max("mlvl").alias("m_max_lvl"))
+
+    new_member = batch.select(
+        F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "level"
+    ).select("nid", "nv", "level", F.explode(F.expr("sequence(0, level)")).alias("lyr"))
+    scored = (
+        F.broadcast(new_member)
+        .join(master, (F.col("mlvl") >= F.col("lyr")) & (F.col("mid") != F.col("nid")))
+        .select("nid", "level", "lyr", "mid", _cos(F.col("nv"), F.col("mv")).alias("cosine"))
+    )
+    w = Window.partitionBy("nid", "lyr").orderBy(F.desc("cosine"), F.asc("mid"))
+    cap = F.when(F.col("lyr") == 0, F.lit(2 * HNSW_M)).otherwise(F.lit(HNSW_M))
+    links = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= cap)
+    return links.crossJoin(F.broadcast(m_max)).select(
+        F.col("lyr").cast("bigint").alias("lyr"),
+        F.col("nid").alias("new_vec_id"),
+        F.col("level").cast("bigint").alias("new_level"),
+        F.col("rnk").cast("bigint").alias("rank"),
+        F.col("mid").alias("master_id"),
+        "cosine",
+        (F.col("level") > F.col("m_max_lvl")).cast("int").alias("promotes_entry"),
+    )
+
+
+HNSW_INSERT_SQL = f"""
+WITH d AS MATERIALIZED (
+  SELECT vec_id, embedding::DOUBLE[] AS v,
+         CAST(len(list_filter(range(1, {HNSW_LEVEL_CAP} + 1), k ->
+              CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
+              % (1::BIGINT << k) = 0)) AS INT) AS level
+  FROM embeddings
+),
+batch AS (SELECT * FROM d WHERE vec_id % {HNSW_BATCH_MOD} = 3),
+master AS (SELECT vec_id AS mid, v AS mv, level AS mlvl FROM d WHERE vec_id % {HNSW_BATCH_MOD} <> 3),
+m_max AS (SELECT max(mlvl) AS m_max_lvl FROM master),
+new_member AS (
+  SELECT b.vec_id AS nid, b.v AS nv, b.level, g.lyr
+  FROM batch b, unnest(generate_series(0, b.level)) AS g(lyr)
+),
+scored AS (
+  SELECT n.nid, n.level, n.lyr, m.mid,
+         round(list_dot_product(n.nv, m.mv) /
+               (sqrt(list_dot_product(n.nv, n.nv)) * sqrt(list_dot_product(m.mv, m.mv))), 6) AS cosine
+  FROM new_member n JOIN master m ON m.mlvl >= n.lyr AND m.mid <> n.nid
+),
+links AS (
+  SELECT *, row_number() OVER (PARTITION BY nid, lyr ORDER BY cosine DESC, mid ASC) AS rnk
+  FROM scored
+)
+SELECT CAST(lyr AS BIGINT) AS lyr, nid AS new_vec_id, CAST(level AS BIGINT) AS new_level,
+       CAST(rnk AS BIGINT) AS rank, mid AS master_id, cosine,
+       CAST(level > m_max_lvl AS INT) AS promotes_entry
+FROM links, m_max
+WHERE rnk <= CASE WHEN lyr = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END
+"""
+
+QUERIES["hnsw_insert_plan"] = hnsw_insert_plan
+ORACLES["hnsw_insert_plan"] = HNSW_INSERT_SQL

@@ -158,7 +158,7 @@ _DRIVER_PRIORITY = [
     "privacy_pii_residual_audit", "pack_attention_fragmentation", "knn_ivf_pq_refine", "tokenizer_unigram_viterbi",
     "graph_louvain_move", "quality_importance_resampling", "events_uplift_qini",
     # round-7 additions:
-    "hnsw_build_links", "page_resume_ledger", "hnsw_search_sim", "summary_budget_audit", "hnsw_recall_eval",
+    "hnsw_build_links", "page_resume_ledger", "hnsw_search_sim", "summary_budget_audit", "hnsw_recall_eval", "hnsw_insert_plan",
 ]
 
 

@@ -263,3 +263,41 @@ def test_hnsw_recall_bounds(spark):
         assert abs(r.recall - r.n_hits / pq.HNSW_SEARCH_K) < 1e-9
     # greedy ef=1 beats random chance by far (random overlap ~0.2/10)
     assert sum(r.n_hits for r in rows) / len(rows) >= 2.0
+
+
+def test_hnsw_insert_plan_semantics(spark):
+    """Insert-plan invariants: batch/master split honored (no batch id
+    on the master side, every link's master level >= its layer), degree
+    caps per layer, rank density, and the entry-promotion flag equals
+    new_level > master max level (re-derived)."""
+    rows = pq.hnsw_insert_plan(spark, SF_CORRECT).collect()
+    assert rows
+    batch_ids = {r.new_vec_id for r in rows}
+    assert all(v % pq.HNSW_BATCH_MOD == 3 for v in batch_ids)
+    assert all(r.master_id % pq.HNSW_BATCH_MOD != 3 for r in rows)
+
+    import hashlib
+
+    def level(vid: int) -> int:
+        h = int(hashlib.md5(str(vid).encode()).hexdigest()[:8], 16)
+        return sum(1 for k in range(1, pq.HNSW_LEVEL_CAP + 1) if h % (1 << k) == 0)
+
+    m_max = max(
+        level(r.vec_id)
+        for r in spark.read.parquet(f"{SF_CORRECT}/embeddings.parquet")
+        .select("vec_id")
+        .collect()
+        if r.vec_id % pq.HNSW_BATCH_MOD != 3
+    )
+    per = {}
+    for r in rows:
+        per.setdefault((r.new_vec_id, r.lyr), []).append(r)
+        assert level(r.master_id) >= r.lyr
+        assert r.new_level == level(r.new_vec_id)
+        assert r.promotes_entry == int(r.new_level > m_max)
+        assert r.lyr <= r.new_level
+    for (nid, lyr), rs in per.items():
+        cap = 2 * pq.HNSW_M if lyr == 0 else pq.HNSW_M
+        assert len(rs) <= cap
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
