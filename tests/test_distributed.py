@@ -139,3 +139,51 @@ def test_bounded_sorted_events_unbinding_cap_matches_sort_array(spark):
     assert all(not r.evs_truncated for r in got.collect())
     w = {r.user_id: r.evs for r in want.collect()}
     assert g == w
+
+
+def test_global_ordered_matches_window_functions(spark):
+    """The distributed two-pass devices must be bit-identical to the
+    single-task window functions they replace, across asc/desc and
+    composite orders, including exact SQL ntile bucket-size semantics
+    (first n % k tiles get one extra row) and k > n."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.functions.distributed import (
+        global_ntile,
+        global_ordered,
+    )
+
+    random.seed(7)
+    df = spark.createDataFrame(
+        [(i, random.randint(0, 50)) for i in range(1, 238)], "id int, v int"
+    )
+
+    for k in (4, 5, 10, 300):
+        ref = df.select("id", F.ntile(k).over(Window.orderBy("v", "id")).alias("t"))
+        got = global_ntile(df, ["v", "id"], k, tile_col="t").select("id", "t")
+        assert ref.alias("a").join(got.alias("b"), "id").where("a.t <> b.t").count() == 0
+
+    ref = df.select("id", F.ntile(4).over(Window.orderBy(F.desc("v"), "id")).alias("t"))
+    got = global_ntile(df, [F.desc("v"), F.col("id")], 4, tile_col="t").select("id", "t")
+    assert ref.alias("a").join(got.alias("b"), "id").where("a.t <> b.t").count() == 0
+
+    w = Window.orderBy("v", "id")
+    ref2 = df.select(
+        "id",
+        F.row_number().over(w).alias("rn"),
+        F.sum("v").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("cs"),
+        F.max("v").over(w.rowsBetween(Window.unboundedPreceding, -1)).alias("cm"),
+    )
+    got2 = global_ordered(
+        df, ["v", "id"], rank_col="rn", cumsum_cols={"cs": "v"}, cummax_excl_cols={"cm": "v"}
+    ).select("id", "rn", "cs", "cm")
+    bad = (
+        ref2.alias("a")
+        .join(got2.alias("b"), "id")
+        .where("a.rn <> b.rn or a.cs <> b.cs or coalesce(a.cm, -1) <> coalesce(b.cm, -1)")
+        .count()
+    )
+    assert bad == 0
