@@ -1393,7 +1393,18 @@ def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     cand_struct = F.when(F.col("nid").isNull(), self_struct).otherwise(
         F.struct(F.col("cq").alias("cq"), (-F.col("nid")).alias("negid"))
     )
-    for lyr in range(HNSW_LEVEL_CAP, 0, -1):
+    # Adaptive unroll depth: every layer ABOVE the corpus' actual max
+    # level is a provable no-op (its membership is empty, the LEFT join
+    # yields one null-nid row, and the struct-compare hop keeps the
+    # cursor at the entry point), so plan only the layers that exist —
+    # one 1-row bounded metadata collect (the drift_monitor midpoint
+    # convention) trims the dead segments and their scheduler latency.
+    # At 100 TB the geometric level draw saturates HNSW_LEVEL_CAP and
+    # nothing is skipped; the DuckDB oracle keeps the full static
+    # unroll — identical results by the no-op argument above.
+    max_lvl = emb.agg(F.max("level")).first()[0]
+    top_lyr = min(HNSW_LEVEL_CAP, int(max_lvl or 0))
+    for lyr in range(top_lyr, 0, -1):
         t = scored_step(cur, lyr, HNSW_M)
         # greedy hop: argmax of cos(q, .) over {cursor} U top-M links —
         # the self option rides every row via a struct-compare CASE
