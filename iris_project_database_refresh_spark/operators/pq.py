@@ -1330,7 +1330,15 @@ ORACLES["hnsw_build_links"] = HNSW_LINKS_SQL
 HNSW_SEARCH_K = PQ_K
 
 
-def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _hnsw_descent(spark: SparkSession, sf_dir: str):
+    """Shared zoom-in phase of the HNSW read (ef=1 above layer 0).
+
+    Returns ``(emb, qs, ent, cur, scored_step)``: the pinned corpus with
+    levels, the query rows, the entry-point aggregate, the layer-1
+    landing cursor, and the on-the-fly link scorer — consumed by both
+    ``hnsw_search_sim`` (ef=1 at layer 0) and ``hnsw_search_ef`` (beam
+    expansion at layer 0).
+    """
     level_expr = (
         "size(filter(sequence(1, {cap}), k ->"
         " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
@@ -1428,6 +1436,11 @@ def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         if lyr % 4 == 1:
             cur = cur.localCheckpoint(eager=False)
 
+    return emb, qs, ent, cur, scored_step
+
+
+def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, qs, ent, cur, scored_step = _hnsw_descent(spark, sf_dir)
     final_t = scored_step(cur, 0, 2 * HNSW_M)
     cand = final_t.where(F.col("nid").isNotNull()).select("query_id", "nid", "cq")
     landing = final_t.select(
@@ -1452,11 +1465,19 @@ def hnsw_search_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _hnsw_search_sql() -> str:
-    cos = (
-        "round(list_dot_product({a}, {b}) /"
-        " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
-    )
+_HNSW_COS = (
+    "round(list_dot_product({a}, {b}) /"
+    " (sqrt(list_dot_product({a}, {a})) * sqrt(list_dot_product({b}, {b}))), 6)"
+)
+
+
+def _hnsw_descent_ctes() -> list[str]:
+    """Shared oracle CTE chain: corpus+levels (d) through the layer-0
+    scored table (t0) — the SQL mirror of ``_hnsw_descent`` + one
+    ``scored_step`` at layer 0. The oracle keeps the FULL static unroll
+    (layers above the actual max level are provable no-op hops, so it
+    matches the Spark side's adaptive depth bit-for-bit)."""
+    cos = _HNSW_COS
     self_struct = "struct_pack(cq := cqs, negid := -cur_id)"
     cand_struct = (
         f"CASE WHEN nid IS NULL THEN {self_struct}"
@@ -1509,11 +1530,15 @@ def _hnsw_search_sql() -> str:
   UNION ALL
   SELECT DISTINCT query_id, cur_id AS nid, cqs AS cq FROM t0
 )""")
+    return ctes
+
+
+def _hnsw_search_sql() -> str:
     # c0/t0 were built FROM s1 — the layer-0 landing cursor after the
     # last descent step — so s1 IS the final node per query
     return (
         "WITH "
-        + ",\n".join(ctes)
+        + ",\n".join(_hnsw_descent_ctes())
         + f"""
 SELECT query_id::BIGINT AS query_id, CAST(rnk AS BIGINT) AS rank,
        nid AS neighbor_id, cq AS cosine,
@@ -1529,6 +1554,145 @@ WHERE rnk <= {HNSW_SEARCH_K}
 
 QUERIES["hnsw_search_sim"] = hnsw_search_sim
 ORACLES["hnsw_search_sim"] = _hnsw_search_sql()
+
+
+# --- HNSW beam read (ef > 1 at layer 0) ----------------------------------------
+#
+# The knob `hnsw_recall_eval` tells an operator to raise: the same ef=1
+# zoom-in descent, but at layer 0 the paper's SEARCH-LAYER runs with
+# ef > 1 — modeled here as ONE bounded beam round (the simulation grain
+# that stays oracle-reproducible): take the ef best layer-0 candidates
+# (landing node + its 2M-link neighborhood, ranked by cos(q, .)),
+# expand each beam node's own top-2M layer-0 link list, and rank the
+# union.  Every expansion hop re-uses `hnsw_build_links`' on-the-fly
+# link definition (top links by 6dp cosine, id tie-break), so the
+# result is exactly what a persisted-index beam read would return.
+# Output marks which hits only the expansion found (`via_expansion`) —
+# recall bought by ef, the number next to `hnsw_recall_eval`'s ef=1 row.
+#
+# Scale: the beam is ef x |queries| rows broadcast against the corpus
+# (one extra pass over the descent's cost); per-(query, beam-node)
+# top-2M goes through WindowGroupLimit partial top-Ks — no stage
+# funnels the corpus through one task.
+
+HNSW_EF = 4
+
+
+def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb, qs, ent, cur, scored_step = _hnsw_descent(spark, sf_dir)
+    final_t = scored_step(cur, 0, 2 * HNSW_M)
+    cand = final_t.where(F.col("nid").isNotNull()).select("query_id", "nid", "cq")
+    landing = final_t.select(
+        "query_id", F.col("cur_id").alias("nid"), F.col("cqs").alias("cq")
+    ).distinct()
+    # pinned: referenced 3x below (beam seed, candidate union, in-base
+    # marker) — without the pin each reference re-runs the descent tail
+    base = cand.unionByName(landing).distinct().localCheckpoint(eager=False)
+
+    wq = Window.partitionBy("query_id").orderBy(F.desc("cq"), F.asc("nid"))
+    beam = (
+        base.withColumn("brk", F.row_number().over(wq))
+        .where(F.col("brk") <= HNSW_EF)
+        .select("query_id", "nid")
+    )
+    # (query_id, beam node, its vector, the query vector): <= ef x |queries| rows
+    bvq = (
+        beam.join(emb.select(F.col("vec_id").alias("nid"), F.col("v").alias("bv")), "nid")
+        .join(F.broadcast(qs), "query_id")
+        .select("query_id", "nid", "bv", "q")
+    )
+    m = emb.select(F.col("vec_id").alias("mid"), F.col("v").alias("mv"))
+    expd = (
+        F.broadcast(bvq)
+        .join(m, F.col("mid") != F.col("nid"))
+        .select(
+            "query_id",
+            "nid",
+            "mid",
+            _cos(F.col("bv"), F.col("mv")).alias("cb"),
+            _cos(F.col("q"), F.col("mv")).alias("cq"),
+        )
+    )
+    wl = Window.partitionBy("query_id", "nid").orderBy(F.desc("cb"), F.asc("mid"))
+    expt = (
+        expd.withColumn("lrk", F.row_number().over(wl))
+        .where(F.col("lrk") <= 2 * HNSW_M)
+        .select("query_id", F.col("mid").alias("nid"), "cq")
+    )
+    u = (
+        base.unionByName(expt)
+        .distinct()
+        .where(F.col("nid") != F.col("query_id"))
+    )
+    in_base = base.select("query_id", "nid").distinct().withColumn("in_base", F.lit(1))
+    wf = Window.partitionBy("query_id").orderBy(F.desc("cq"), F.asc("nid"))
+    return (
+        u.join(F.broadcast(in_base), ["query_id", "nid"], "left")
+        .withColumn("rank", F.row_number().over(wf))
+        .where(F.col("rank") <= HNSW_SEARCH_K)
+        .select(
+            F.col("query_id").cast("bigint").alias("query_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            F.col("nid").alias("neighbor_id"),
+            F.col("cq").alias("cosine"),
+            F.when(F.col("in_base").isNull(), 1).otherwise(0).cast("int").alias("via_expansion"),
+        )
+    )
+
+
+def _hnsw_ef_sql() -> str:
+    cb = _HNSW_COS.format(a="bv.v", b="m.v")
+    cq = _HNSW_COS.format(a="q.qv", b="m.v")
+    ctes = _hnsw_descent_ctes() + [
+        "b AS (SELECT DISTINCT query_id, nid, cq FROM u0)",
+        f"""beam AS (
+  SELECT query_id, nid FROM (
+    SELECT query_id, nid,
+           row_number() OVER (PARTITION BY query_id ORDER BY cq DESC, nid ASC) AS brk
+    FROM b
+  ) WHERE brk <= {HNSW_EF}
+)""",
+        f"""expd AS (
+  SELECT x.query_id, x.nid, m.vec_id AS mid, {cb} AS cb, {cq} AS cq
+  FROM beam x
+  JOIN d bv ON bv.vec_id = x.nid
+  JOIN q ON q.query_id = x.query_id
+  JOIN d m ON m.vec_id <> x.nid
+)""",
+        f"""expt AS (
+  SELECT query_id, mid AS nid, cq FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id, nid ORDER BY cb DESC, mid ASC) AS lrk
+    FROM expd
+  ) WHERE lrk <= {2 * HNSW_M}
+)""",
+        """u AS (
+  SELECT DISTINCT query_id, nid, cq FROM (
+    SELECT query_id, nid, cq FROM b
+    UNION ALL
+    SELECT query_id, nid, cq FROM expt
+  )
+)""",
+    ]
+    return (
+        "WITH "
+        + ",\n".join(ctes)
+        + f"""
+SELECT r.query_id::BIGINT AS query_id, CAST(rnk AS BIGINT) AS rank,
+       r.nid AS neighbor_id, r.cq AS cosine,
+       CAST(ib.nid IS NULL AS INT) AS via_expansion
+FROM (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cq DESC, nid ASC) AS rnk
+  FROM u WHERE nid <> query_id
+) r
+LEFT JOIN (SELECT DISTINCT query_id, nid FROM b) ib
+  ON ib.query_id = r.query_id AND ib.nid = r.nid
+WHERE rnk <= {HNSW_SEARCH_K}
+"""
+    )
+
+
+QUERIES["hnsw_search_ef"] = hnsw_search_ef
+ORACLES["hnsw_search_ef"] = _hnsw_ef_sql()
 
 
 # --- HNSW recall vs exact (closes the ANN eval loop for the new family) --------

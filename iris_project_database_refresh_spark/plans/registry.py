@@ -159,6 +159,7 @@ _DRIVER_PRIORITY = [
     "graph_louvain_move", "quality_importance_resampling", "events_uplift_qini",
     # round-7 additions:
     "hnsw_build_links", "page_resume_ledger", "hnsw_search_sim", "summary_budget_audit", "hnsw_recall_eval", "hnsw_insert_plan",
+    "hnsw_search_ef",
 ]
 
 

@@ -265,6 +265,52 @@ def test_hnsw_recall_bounds(spark):
     assert sum(r.n_hits for r in rows) / len(rows) >= 2.0
 
 
+def test_hnsw_search_ef_beam(spark):
+    """Beam-read invariants: K results per query ranked by (cosine desc,
+    id asc); the ef=1 result set is dominated — every query's beam
+    recall >= its ef=1 recall (the beam's candidate set is a superset
+    of {landing} ∪ layer-0 links, re-ranked by the same key); and the
+    via_expansion flag marks exactly the hits absent from that base
+    set."""
+    res = pq.hnsw_search_ef(spark, SF_CORRECT).collect()
+    per_q = {}
+    for r in res:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(pq.PQ_QUERIES))
+    for q, rs in per_q.items():
+        rs.sort(key=lambda r: r.rank)
+        assert [r.rank for r in rs] == list(range(1, pq.HNSW_SEARCH_K + 1))
+        assert all(
+            (rs[i].cosine, -rs[i].neighbor_id) >= (rs[i + 1].cosine, -rs[i + 1].neighbor_id)
+            for i in range(len(rs) - 1)
+        )
+        assert all(r.via_expansion in (0, 1) for r in rs)
+
+    from iris_project_database_refresh_spark.operators.embeddings import knn_brute_force
+
+    exact = {}
+    for r in knn_brute_force(spark, SF_CORRECT).collect():
+        exact.setdefault(r.query_id, set()).add(r.neighbor_id)
+    sim_rows = pq.hnsw_search_sim(spark, SF_CORRECT).collect()
+    ef1 = {}
+    for r in sim_rows:
+        ef1.setdefault(r.query_id, {})[r.neighbor_id] = r.cosine
+    ef_hits = e1_hits = 0
+    for q, rs in per_q.items():
+        got = {r.neighbor_id for r in rs}
+        ef_hits += len(got & exact[q])
+        e1_hits += len(set(ef1[q]) & exact[q])
+        # ef=1's candidates are a subset of the beam's, and both rank by
+        # the same (cq, id) key, so anything ef=1 ranked into the top-K
+        # that the beam dropped must rank below the beam's worst kept
+        # row — displaced by strictly better expansion hits only
+        kmin = min((r.cosine, -r.neighbor_id) for r in rs)
+        for nid, cos_n in ef1[q].items():
+            if nid not in got:
+                assert (cos_n, -nid) <= kmin, (q, nid)
+    assert ef_hits >= e1_hits, (ef_hits, e1_hits)
+
+
 def test_hnsw_insert_plan_semantics(spark):
     """Insert-plan invariants: batch/master split honored (no batch id
     on the master side, every link's master level >= its layer), degree
