@@ -1888,7 +1888,9 @@ def dedup_sample_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("cluster_size") <= 4, "3-4")
         .otherwise("5+")
     )
-    tot = weighted.agg(F.count(F.lit(1)).alias("n_corpus"))
+    # n_corpus == count(corpus): weighted is corpus LEFT JOIN labels, so
+    # counting the un-joined side skips re-running the join subtree
+    tot = corpus.agg(F.count(F.lit(1)).alias("n_corpus"))
     return (
         weighted.groupBy(band.alias("cluster_band"))
         .agg(
