@@ -1,0 +1,124 @@
+"""Binary-file ingestion source — the reference's NAS media intake.
+
+Reference parity: ``semantic search - ey prep/stage_00_pdf_to_markdown.py``
+lists actual PDF files on the NAS share and reads their raw bytes
+before any parsing, and ``catalog search/stage1_extract_nas_catalog.py``
+walks the same tree for the catalog grain.  ``sources/filecatalog.py``
+models that CATALOG grain (names/sizes/dates); this module models the
+CONTENT intake: Spark's built-in ``binaryFile`` datasource reads each
+file as one row ``(path, modificationTime, length, content)``,
+parallelized BY FILE across executors — payload bytes land on executor
+partitions, never the driver, so the scan shape survives a 100 TB
+media tree (file-level splits are governed by
+``spark.sql.files.maxPartitionBytes``; ``pathGlobFilter`` /
+``recursiveFileLookup`` prune at planning time).
+
+``media_intake_manifest`` then routes every payload through the SAME
+stdlib sniff/parse kernels the in-table multimodal operators use
+(``operators/multimodal.py``) in one Arrow-batched ``mapInPandas``
+pass — the lake-ingest dispatch (``multimodal_sniff_router``) applied
+to real files instead of planted table columns.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+def read_binary_dir(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """One row per file: (path, modificationTime, length, content)."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    if recursive:
+        reader = reader.option("recursiveFileLookup", "true")
+    return reader.load(path)
+
+
+_MANIFEST_SCHEMA = (
+    "file_name string, n_bytes long, sniffed string, parsed_ok int, content_md5 string"
+)
+
+
+def media_intake_manifest(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Sniff + structurally verify every file under ``path``.
+
+    Output: (file_name, n_bytes, sniffed, parsed_ok, content_md5) —
+    ``sniffed`` from the magic-byte router (``sniff_media``), and
+    ``parsed_ok`` = 1 only when the matching container kernel accepts
+    the payload structurally (header fields, CRCs where the kernel
+    checks them) — the accept/quarantine split a real intake runs
+    before anything downstream touches the bytes.
+    """
+    from ..operators import multimodal as mm
+
+    parsers = {
+        "wav": mm.parse_wav_header,
+        "y4m": mm.parse_y4m_stream,
+        "tiff": mm.parse_tiff_header,
+        "png": mm.parse_png,
+        "id3": mm.parse_id3,
+        "jpeg": mm.parse_jpeg,
+        "gif": mm.parse_gif,
+        "flac": mm.parse_flac,
+        "bmp": mm.parse_bmp,
+        "zip": mm.parse_zip,
+        "mp4": mm.parse_mp4,
+        "tar": mm.parse_tar,
+        "pdf": mm.parse_pdf,
+        "ogg": mm.parse_ogg,
+        "webp": mm.parse_webp_vp8l,
+    }
+    files = read_binary_dir(spark, path, glob, recursive).select(
+        F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
+        F.col("length").alias("n_bytes"),
+        "content",
+    )
+
+    def fn(batches):
+        import hashlib
+
+        import pandas as pd
+
+        for pdf in batches:
+            rows = []
+            for name, n, content in zip(
+                pdf["file_name"], pdf["n_bytes"], pdf["content"]
+            ):
+                b = bytes(content)
+                sniffed = mm.sniff_media(b)
+                ok = 0
+                if sniffed in parsers:
+                    ok = 1 if parsers[sniffed](b) is not None else 0
+                rows.append(
+                    {
+                        "file_name": name,
+                        "n_bytes": int(n),
+                        "sniffed": sniffed,
+                        "parsed_ok": ok,
+                        "content_md5": hashlib.md5(b).hexdigest(),
+                    }
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "file_name",
+                    "n_bytes",
+                    "sniffed",
+                    "parsed_ok",
+                    "content_md5",
+                ],
+            )
+
+    return files.mapInPandas(fn, _MANIFEST_SCHEMA)

@@ -1,0 +1,83 @@
+"""Binary-file intake source: real files on disk -> sniffed manifest.
+
+The reference reads actual PDF files off the NAS before parsing
+(`semantic search - ey prep/stage_00_pdf_to_markdown.py`); this drives
+the same intake against a temp directory of REAL container payloads —
+one valid WAV, one valid JPEG, one text impostor, and one truncated
+(structurally invalid) WAV — and asserts the sniff/verify split.
+"""
+
+from __future__ import annotations
+
+import struct
+
+import pytest
+
+from iris_project_database_refresh_spark.session import get_session
+from iris_project_database_refresh_spark.sources.binaryfiles import (
+    media_intake_manifest,
+    read_binary_dir,
+)
+
+
+@pytest.fixture(scope="module")
+def spark():
+    return get_session("test-binaryfiles")
+
+
+def _wav_bytes() -> bytes:
+    data = b"ab" * 10
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
+def _jpeg_bytes() -> bytes:
+    return (
+        b"\xff\xd8"
+        + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+        + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" + struct.pack(">HH", 480, 640)
+        + b"\x03" + b"\x00" * 9
+        + b"\xff\xd9"
+    )
+
+
+@pytest.fixture(scope="module")
+def media_dir(tmp_path_factory):
+    d = tmp_path_factory.mktemp("intake")
+    (d / "good.wav").write_bytes(_wav_bytes())
+    (d / "good.jpg").write_bytes(_jpeg_bytes())
+    (d / "notes.txt").write_bytes(b"plain document text, no magic at all")
+    # sniffs as wav (RIFF/WAVE magic) but the fmt chunk is missing ->
+    # the structural kernel must reject it
+    (d / "trunc.wav").write_bytes(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    return str(d)
+
+
+def test_read_binary_dir_rows(spark, media_dir):
+    rows = read_binary_dir(spark, media_dir).collect()
+    assert len(rows) == 4
+    by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
+    assert by_name["good.wav"].length == len(_wav_bytes())
+    assert bytes(by_name["good.jpg"].content) == _jpeg_bytes()
+
+
+def test_read_binary_dir_glob(spark, media_dir):
+    rows = read_binary_dir(spark, media_dir, glob="*.wav").collect()
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"good.wav", "trunc.wav"}
+
+
+def test_media_intake_manifest(spark, media_dir):
+    got = {r.file_name: r for r in media_intake_manifest(spark, media_dir).collect()}
+    assert set(got) == {"good.wav", "good.jpg", "notes.txt", "trunc.wav"}
+    assert (got["good.wav"].sniffed, got["good.wav"].parsed_ok) == ("wav", 1)
+    assert (got["good.jpg"].sniffed, got["good.jpg"].parsed_ok) == ("jpeg", 1)
+    assert (got["notes.txt"].sniffed, got["notes.txt"].parsed_ok) == ("unknown", 0)
+    # sniff says wav, structure says no — the quarantine row
+    assert (got["trunc.wav"].sniffed, got["trunc.wav"].parsed_ok) == ("wav", 0)
+    import hashlib
+
+    assert got["good.wav"].content_md5 == hashlib.md5(_wav_bytes()).hexdigest()
+    assert got["good.wav"].n_bytes == len(_wav_bytes())
