@@ -345,6 +345,9 @@ def embed_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     for _ in range(PCA_ITERS):
         x = _power_round(gram, x)
+    # pinned: referenced 4x below (both Rayleigh joins, x'x, final) —
+    # each un-pinned reference re-runs the whole power iteration
+    x = x.localCheckpoint(eager=False)
     # Rayleigh quotient as an exact integer pair: lam_num = x'Gx,
     # lam_den = x'x — the dominant-eigenvalue estimate without a
     # cross-engine float division.
@@ -531,7 +534,13 @@ def embed_project_pc1(spark: SparkSession, sf_dir: str) -> DataFrame:
     proj = F.expr(
         "aggregate(zip_with(q, dvec, (a, b) -> a * b), cast(0 as bigint), (acc, v) -> acc + v)"
     )
-    projected = vecs.crossJoin(F.broadcast(direction)).select("vec_id", proj.alias("proj"))
+    # pinned: referenced twice (bounds + final) — un-pinned, each
+    # reference re-runs the corpus pass AND the power-iteration chain
+    projected = (
+        vecs.crossJoin(F.broadcast(direction))
+        .select("vec_id", proj.alias("proj"))
+        .localCheckpoint(eager=False)
+    )
     bounds = projected.groupBy().agg(F.min("proj").alias("lo"), F.max("proj").alias("hi"))
     return projected.crossJoin(F.broadcast(bounds)).select(
         "vec_id",
@@ -711,6 +720,9 @@ def embed_pca_deflate(spark: SparkSession, sf_dir: str) -> DataFrame:
     y = g2.where(F.col("i") == 0).select(F.col("j").alias("pos"), F.lit(1).cast("bigint").alias("w"))
     for _ in range(PCA_ITERS):
         y = _power_round(g2, y)
+    # pinned like x: referenced 4x below (lam2, den2, dot, final) — each
+    # un-pinned reference re-runs the whole second power iteration
+    y = y.localCheckpoint(eager=False)
     lam2 = (
         g2.join(F.broadcast(y.select(F.col("pos").alias("i"), F.col("w").alias("yi"))), "i")
         .join(F.broadcast(y.select(F.col("pos").alias("j"), F.col("w").alias("yj"))), "j")
