@@ -46,20 +46,13 @@ _MANIFEST_SCHEMA = (
 )
 
 
-def media_intake_manifest(
-    spark: SparkSession,
-    path: str,
-    glob: str | None = None,
-    recursive: bool = False,
-) -> DataFrame:
-    """Sniff + structurally verify every file under ``path``.
+def manifest_transform(files: DataFrame) -> DataFrame:
+    """(path, length, content) rows -> the sniffed/verified manifest.
 
-    Output: (file_name, n_bytes, sniffed, parsed_ok, content_md5) —
-    ``sniffed`` from the magic-byte router (``sniff_media``), and
-    ``parsed_ok`` = 1 only when the matching container kernel accepts
-    the payload structurally (header fields, CRCs where the kernel
-    checks them) — the accept/quarantine split a real intake runs
-    before anything downstream touches the bytes.
+    Stateless Arrow-batched mapInPandas — works identically on a batch
+    ``binaryFile`` read and on the streaming file source
+    (``streaming/media_intake.py``), which is what makes the
+    batch == streaming parity bit-exact.
     """
     from ..operators import multimodal as mm
 
@@ -80,7 +73,7 @@ def media_intake_manifest(
         "ogg": mm.parse_ogg,
         "webp": mm.parse_webp_vp8l,
     }
-    files = read_binary_dir(spark, path, glob, recursive).select(
+    rows = files.select(
         F.element_at(F.split(F.col("path"), "/"), -1).alias("file_name"),
         F.col("length").alias("n_bytes"),
         "content",
@@ -121,4 +114,22 @@ def media_intake_manifest(
                 ],
             )
 
-    return files.mapInPandas(fn, _MANIFEST_SCHEMA)
+    return rows.mapInPandas(fn, _MANIFEST_SCHEMA)
+
+
+def media_intake_manifest(
+    spark: SparkSession,
+    path: str,
+    glob: str | None = None,
+    recursive: bool = False,
+) -> DataFrame:
+    """Sniff + structurally verify every file under ``path``.
+
+    Output: (file_name, n_bytes, sniffed, parsed_ok, content_md5) —
+    ``sniffed`` from the magic-byte router (``sniff_media``), and
+    ``parsed_ok`` = 1 only when the matching container kernel accepts
+    the payload structurally (header fields, CRCs where the kernel
+    checks them) — the accept/quarantine split a real intake runs
+    before anything downstream touches the bytes.
+    """
+    return manifest_transform(read_binary_dir(spark, path, glob, recursive))

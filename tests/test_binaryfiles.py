@@ -81,3 +81,63 @@ def test_media_intake_manifest(spark, media_dir):
 
     assert got["good.wav"].content_md5 == hashlib.md5(_wav_bytes()).hexdigest()
     assert got["good.wav"].n_bytes == len(_wav_bytes())
+
+
+def test_streaming_media_intake_equals_batch_and_is_incremental(spark, tmp_path):
+    """availableNow drain of the streaming intake == the batch manifest
+    bit-for-bit; a second drain over the SAME checkpoint after a new
+    file lands emits ONLY the new file's row — the reference's
+    seen-file skip ledger, held by the stream checkpoint."""
+    from iris_project_database_refresh_spark.sources.binaryfiles import (
+        media_intake_manifest,
+    )
+    from iris_project_database_refresh_spark.streaming.media_intake import (
+        stream_binary_dir,
+        streaming_media_manifest,
+    )
+
+    # own dir (NOT the shared media_dir fixture): this test adds a file
+    media_dir = str(tmp_path / "watched")
+    import pathlib
+
+    pathlib.Path(media_dir).mkdir()
+    pathlib.Path(media_dir, "good.wav").write_bytes(_wav_bytes())
+    pathlib.Path(media_dir, "good.jpg").write_bytes(_jpeg_bytes())
+    pathlib.Path(media_dir, "notes.txt").write_bytes(b"plain text")
+    pathlib.Path(media_dir, "trunc.wav").write_bytes(
+        b"RIFF" + struct.pack("<I", 4) + b"WAVE"
+    )
+
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "out")
+
+    def drain(qname):
+        q = (
+            streaming_media_manifest(stream_binary_dir(spark, media_dir))
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .queryName(qname)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    cols = "file_name n_bytes sniffed parsed_ok content_md5".split()
+    drain("intake_drain1")
+    streamed = {tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect()}
+    batch = {
+        tuple(r[c] for c in cols)
+        for r in media_intake_manifest(spark, media_dir).collect()
+    }
+    assert streamed == batch and len(batch) == 4
+
+    # a new file lands between refresh cycles
+    pathlib.Path(media_dir, "late.gif").write_bytes(
+        b"GIF89a" + (7).to_bytes(2, "little") + (9).to_bytes(2, "little") + b"\x00" * 6
+    )
+    drain("intake_drain2")
+    after = {tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect()}
+    new_rows = after - streamed
+    assert {r[0] for r in new_rows} == {"late.gif"}, new_rows
+    assert next(iter(new_rows))[2] == "gif"
