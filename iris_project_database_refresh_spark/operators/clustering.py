@@ -39,6 +39,11 @@ from .advanced import CENTROID_BASE
 
 KMEANS_K = 8
 KMEANS_ITERS = 2
+# semantic_dedup sizes its cell count from the corpus (K = max(KMEANS_K,
+# n_vecs // TARGET)) so per-cell membership — and with it the in-cluster
+# pair join's Σ sizes² — stays bounded as N grows; at the test SFs
+# (N <= 2000) K stays at KMEANS_K, so oracle rows are unchanged there.
+SEMDEDUP_CELL_TARGET = 250
 DIM = 64
 QSCALE = 1000
 
@@ -202,8 +207,18 @@ SEMDEDUP_TAU = 0.4  # PAIR_TAU: same near-dup bar as the LSH/GEMM family
 
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)
+    # Cells scale with the corpus — the SemDeDup contract's load-bearing
+    # half: with FIXED K, per-cell membership grows ∝ N and the
+    # in-cluster pair join goes quadratic (measured 46x wall at a 16x
+    # corpus with K=8; see the BASELINE.md round-7 scale probe). K from
+    # one bounded count (the drift_monitor convention); the DuckDB
+    # oracle computes the SAME K from the same count, so parity holds
+    # at every corpus size — and at the test SFs (N <= 2000 ->
+    # K = KMEANS_K = 8) the verified outputs are bit-unchanged.
+    n_vecs = vecs.count()
+    k = max(KMEANS_K, n_vecs // SEMDEDUP_CELL_TARGET)
     cents = (
-        vecs.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + KMEANS_K))
+        vecs.where((F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + k))
         .select((F.col("vec_id") - CENTROID_BASE).alias("cid"), F.col("q").alias("c"))
     )
     for _ in range(KMEANS_ITERS):
@@ -246,9 +261,12 @@ def _semantic_dedup_sql() -> str:
          list_transform(embedding::DOUBLE[], x -> floor(x * {QSCALE} + (0.5)::DOUBLE)::BIGINT) AS q
   FROM embeddings
 ),
+kk AS (
+  SELECT greatest({KMEANS_K}, count(*) // {SEMDEDUP_CELL_TARGET}) AS k FROM vecs
+),
 c0 AS (
-  SELECT vec_id - {CENTROID_BASE} AS cid, q AS c FROM vecs
-  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE + KMEANS_K}
+  SELECT vec_id - {CENTROID_BASE} AS cid, q AS c FROM vecs, kk
+  WHERE vec_id >= {CENTROID_BASE} AND vec_id < {CENTROID_BASE} + k
 )"""
     ]
     prev = "c0"
