@@ -32,7 +32,63 @@ KNN_K = 10
 N_QUERIES = 5  # vec_id < 5 are the query vectors
 PAIR_TAU = 0.4
 _PREFIX_DIMS = 8  # prefix length for the Cauchy-Schwarz prefilter bound
-LSH_PLANES = 4  # 4-bit buckets → 16 buckets
+LSH_PLANES = 4  # 4-bit buckets → 16 buckets (the FLOOR — see _lsh_planes)
+# Hyperplane count scales with the corpus (round-7 scale-probe fix, the
+# semantic_dedup device): FIXED planes mean bucket membership grows ∝ N
+# and the same-bucket pair join goes quadratic (dedup_embedding_lsh
+# measured 13.7x wall at a 16x corpus). np = smallest plane count whose
+# 2^np buckets hold <= LSH_BUCKET_TARGET rows each, floored at
+# LSH_PLANES — integer-exact (ceil-div + bit_length), so the DuckDB
+# oracle computes the SAME np from the same count and parity holds at
+# every corpus size; at the test SFs (N <= 4000) np stays LSH_PLANES
+# and the verified outputs are bit-unchanged.
+LSH_BUCKET_TARGET = 250
+
+
+def _lsh_planes(n_vecs: int) -> int:
+    m = (n_vecs + LSH_BUCKET_TARGET - 1) // LSH_BUCKET_TARGET
+    return max(LSH_PLANES, (m - 1).bit_length())
+
+
+_NP_CACHE: dict[str, int] = {}
+
+
+def _planes_for(spark: SparkSession, sf_dir: str) -> int:
+    """np for a corpus dir, memoized — the count is footer metadata and
+    the test corpora are immutable, so one job per dir per session; a
+    production refresh would read the row count off its catalog."""
+    if sf_dir not in _NP_CACHE:
+        _NP_CACHE[sf_dir] = _lsh_planes(
+            load_table(spark, sf_dir, "embeddings").count()
+        )
+    return _NP_CACHE[sf_dir]
+
+
+def _npl_sql() -> str:
+    """CTE computing the same np as ``_lsh_planes`` (bin-length device)."""
+    return (
+        f"npl AS (SELECT greatest({LSH_PLANES}, CASE WHEN m <= 1 THEN 0"
+        " ELSE length(bin(m - 1)) END) AS np FROM"
+        f" (SELECT CAST((count(*) + {LSH_BUCKET_TARGET - 1}) // {LSH_BUCKET_TARGET} AS BIGINT) AS m"
+        " FROM embeddings))"
+    )
+
+
+def _bucket_sql_dyn(vcol: str) -> str:
+    """SQL bucket id (dynamic np): same per-(plane, dim) md5
+    weight, plane index from range(np) instead of a compile-time
+    unroll — bit-identical buckets for equal np."""
+    w = (
+        "CASE WHEN CAST('0x' || substr(md5(CAST(p AS VARCHAR) || '_' ||"
+        " CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 THEN 1.0 ELSE -1.0 END"
+    )
+    proj = (
+        f"list_sum(list_transform(generate_series(1, len({vcol})), d -> {vcol}[d] * ({w})))"
+    )
+    return (
+        "CAST(list_sum(list_transform(range(0, np), p ->"
+        f" CASE WHEN {proj} > 0 THEN (1::BIGINT << p) ELSE 0 END)) AS BIGINT)"
+    )
 
 
 def _as_double(col):
@@ -172,14 +228,16 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Same output shape as knn_brute_force; recall is the LSH trade-off
     (measured in tests against the exact result). At 100 TB the bucket
-    join replaces the full cross product — candidate count drops by the
-    bucket fan-in (2^LSH_PLANES) and planes are compile-time constants,
-    so no second table is even read.
+    join replaces the full cross product — the plane count scales with
+    the corpus (np = _lsh_planes(N), one metadata-only count) so bucket
+    membership — the per-query candidate set — stays ~LSH_BUCKET_TARGET
+    rows at any N; planes are plan-time constants, no second table read.
     """
+    np_ = _planes_for(spark, sf_dir)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("bucket", _bucket_expr(F.col("v")))
+        .withColumn("bucket", _bucket_expr(F.col("v"), np_))
         .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
@@ -210,31 +268,13 @@ def knn_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _plane_weight_sql(p: int) -> str:
-    return (
-        f"CASE WHEN CAST('0x' || substr(md5('{p}_' || CAST(d AS VARCHAR)), 1, 8) AS BIGINT) % 2 = 0 "
-        "THEN 1.0 ELSE -1.0 END"
-    )
-
-
-def _bucket_sql(vcol: str) -> str:
-    terms = []
-    for p in range(LSH_PLANES):
-        proj = (
-            f"list_sum(list_transform(generate_series(1, len({vcol})), "
-            f"d -> {vcol}[d] * {_plane_weight_sql(p)}))"
-        )
-        terms.append(f"CASE WHEN {proj} > 0 THEN {1 << p} ELSE 0 END")
-    return " + ".join(terms)
-
-
 KNN_LSH_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), bucketed AS (
-  SELECT vec_id, v, {_bucket_sql("v")} AS bucket,
+), {_npl_sql()}, bucketed AS (
+  SELECT vec_id, v, {_bucket_sql_dyn("v")} AS bucket,
          sqrt(list_dot_product(v, v)) AS nrm
-  FROM d
+  FROM d, npl
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, bucket AS qb, nrm AS qn
   FROM bucketed WHERE vec_id < {N_QUERIES}
@@ -398,10 +438,11 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OR-amplification) the same way dedup_minhash_lsh does to recover
     recall.
     """
+    np_ = _planes_for(spark, sf_dir)
     raw = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("bucket", _bucket_expr(F.col("v")))
+        .withColumn("bucket", _bucket_expr(F.col("v"), np_))
         .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     # u8/rr support the prefix-bound prefilter: for unit vectors,
@@ -446,8 +487,8 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 DEDUP_EMB_LSH_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), bucketed AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql("v")} AS bucket FROM d
+), {_npl_sql()}, bucketed AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql_dyn("v")} AS bucket FROM d, npl
 ), unit AS (
   SELECT vec_id, bucket, list_transform(v, x -> x / nrm) AS u FROM bucketed
 )
@@ -1884,14 +1925,15 @@ ORACLES["knn_shapley_values"] = KNN_SHAPLEY_SQL
 # and brute-force cost, and this table IS the dial's readout.
 
 def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    np_ = _planes_for(spark, sf_dir)
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("bucket", _bucket_expr(F.col("v")))
+        .withColumn("bucket", _bucket_expr(F.col("v"), np_))
         .withColumn("vn", F.sqrt(_dot(F.col("v"), F.col("v"))))
     )
     probes = F.array(
-        F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(LSH_PLANES)]
+        F.col("bucket"), *[F.expr(f"bucket ^ {1 << p}") for p in range(np_)]
     )
     queries = emb.where(F.col("vec_id") < N_QUERIES).select(
         F.col("vec_id").alias("query_id"),
@@ -1955,19 +1997,22 @@ def knn_lsh_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _probe_list_sql() -> str:
-    flips = ", ".join(f"xor(bucket, {1 << p})" for p in range(LSH_PLANES))
-    return f"[bucket, {flips}]"
+def _probe_list_sql_dyn() -> str:
+    """[bucket] + one bit-flip probe per plane, plane count from npl."""
+    return (
+        "list_concat([bucket],"
+        " list_transform(range(0, np), p -> xor(bucket, 1::BIGINT << p)))"
+    )
 
 
 MULTIPROBE_SQL = f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-), e AS (
-  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql("v")} AS bucket FROM d
+), {_npl_sql()}, e AS (
+  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm, {_bucket_sql_dyn("v")} AS bucket, np FROM d, npl
 ), q AS (
   SELECT vec_id AS query_id, v AS qv, nrm AS qn, bucket AS qb,
-         {_probe_list_sql()} AS qprobes
+         {_probe_list_sql_dyn()} AS qprobes
   FROM e WHERE vec_id < {N_QUERIES}
 ), scored AS (
   SELECT query_id, e.vec_id AS neighbor_id,
