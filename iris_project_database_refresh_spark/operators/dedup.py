@@ -328,8 +328,13 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(BANDS)
     ]
+    # NARROW bucket join (round-7): the exploded bucket rows and the
+    # deduplicated candidate pairs carry ONLY ids — the shingle arrays
+    # rejoin for the verify afterwards, so shuffle volume per candidate
+    # is 16 bytes instead of two full shingle sets (at high-dup corpora
+    # candidate pairs >> docs and the fat payload dominated the probe)
     buckets = sigs.select(
-        "doc_id", "hashes", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
     )
     a, b = buckets.alias("a"), buckets.alias("b")
     cand = (
@@ -339,13 +344,13 @@ def _minhash_pairs(sh: DataFrame) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.hashes").alias("sh_a"),
-            F.col("b.hashes").alias("sh_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+    )
+    hs = sh.select("doc_id", "hashes")
+    cand = (
+        cand.join(hs.select(F.col("doc_id").alias("id_a"), F.col("hashes").alias("sh_a")), "id_a")
+        .join(hs.select(F.col("doc_id").alias("id_b"), F.col("hashes").alias("sh_b")), "id_b")
     )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size("sh_a") + F.size("sh_b") - inter
@@ -1746,6 +1751,9 @@ def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(pairs.select(F.col("id_b").alias("doc_id")))
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("degree"))
+        # pinned: referenced twice (totals + histogram) — un-pinned,
+        # each reference re-ran the LSH bucket join + verify
+        .localCheckpoint(eager=False)
     )
     totals = deg.agg(
         F.count(F.lit(1)).alias("n_nodes"),
@@ -1809,6 +1817,9 @@ def dedup_cross_source_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.greatest("src_a", "src_b").alias("source_y"),
             (F.col("src_a") == F.col("src_b")).cast("bigint").alias("within"),
         )
+        # pinned: referenced twice (total + matrix rollup) — un-pinned,
+        # each reference re-ran the LSH bucket join + verify
+        .localCheckpoint(eager=False)
     )
     total = labeled.agg(
         F.count(F.lit(1)).alias("n_pairs_total"),
@@ -1976,6 +1987,9 @@ def split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.greatest("sa", "sb").alias("split_y"),
         (F.col("sa") != F.col("sb")).cast("bigint").alias("leak"),
     )
+    # pinned: referenced twice (total + split matrix) — un-pinned, each
+    # reference re-ran the LSH bucket join + verify
+    labeled = labeled.localCheckpoint(eager=False)
     total = labeled.agg(
         F.count(F.lit(1)).alias("n_pairs_total"),
         F.sum("leak").alias("n_leak_total"),
@@ -2067,10 +2081,16 @@ def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(minhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("m"), F.lit(0).alias("s")))
         .unionByName(simhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(0).alias("m"), F.lit(1).alias("s")))
     )
-    flags = tagged.groupBy("id_a", "id_b").agg(
-        F.max("e").alias("in_exact"),
-        F.max("m").alias("in_minhash"),
-        F.max("s").alias("in_simhash"),
+    # pinned: referenced twice (n_union + the cell rollup) — un-pinned,
+    # each reference re-ran ALL THREE constituent pair pipelines
+    flags = (
+        tagged.groupBy("id_a", "id_b")
+        .agg(
+            F.max("e").alias("in_exact"),
+            F.max("m").alias("in_minhash"),
+            F.max("s").alias("in_simhash"),
+        )
+        .localCheckpoint(eager=False)
     )
     tot = flags.agg(F.count(F.lit(1)).alias("n_union"))
     return (
@@ -2550,13 +2570,19 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias(f"band{b}")
         for b in range(BANDS)
     ]
+    # NARROW bucket join (round-7, the _minhash_pairs shape): candidate
+    # ids only through the explode/join/dedup; shingle sets + signature
+    # arrays rejoin for the estimate columns afterwards
     buckets = sigs.select(
         "doc_id",
-        "hashes",
-        F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)]).alias("sig"),
         F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key"),
     )
     a, b = buckets.alias("a"), buckets.alias("b")
+    payload = sigs.select(
+        "doc_id",
+        "hashes",
+        F.array(*[F.col(f"sig{i}") for i in range(N_HASHES)]).alias("sig"),
+    )
     cand = (
         a.join(
             b,
@@ -2564,15 +2590,24 @@ def dedup_minhash_b_bit(spark: SparkSession, sf_dir: str) -> DataFrame:
             & (F.col("a.band_key") == F.col("b.band_key"))
             & (F.col("a.doc_id") < F.col("b.doc_id")),
         )
-        .select(
-            F.col("a.doc_id").alias("id_a"),
-            F.col("b.doc_id").alias("id_b"),
-            F.col("a.hashes").alias("sh_a"),
-            F.col("b.hashes").alias("sh_b"),
-            F.col("a.sig").alias("sig_a"),
-            F.col("b.sig").alias("sig_b"),
-        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
         .dropDuplicates(["id_a", "id_b"])
+        .join(
+            payload.select(
+                F.col("doc_id").alias("id_a"),
+                F.col("hashes").alias("sh_a"),
+                F.col("sig").alias("sig_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            payload.select(
+                F.col("doc_id").alias("id_b"),
+                F.col("hashes").alias("sh_b"),
+                F.col("sig").alias("sig_b"),
+            ),
+            "id_b",
+        )
     )
     def _matches(mask: int | None):
         if mask is None:
