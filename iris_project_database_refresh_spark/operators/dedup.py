@@ -1556,8 +1556,14 @@ def dedup_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicates(["id_a", "id_b"])
         .withColumn("found", F.lit(1))
     )
-    scored = truth.join(cand, ["id_a", "id_b"], "left").select(
-        "id_a", "id_b", "jaccard", F.coalesce("found", F.lit(0)).alias("found_by_lsh")
+    scored = (
+        truth.join(cand, ["id_a", "id_b"], "left")
+        .select(
+            "id_a", "id_b", "jaccard", F.coalesce("found", F.lit(0)).alias("found_by_lsh")
+        )
+        # pinned: referenced twice (summary + final) — un-pinned, each
+        # reference re-ran the exact-pair truth join AND the bucket join
+        .localCheckpoint(eager=False)
     )
     summary = scored.groupBy().agg(
         F.count(F.lit(1)).alias("n_truth"), F.sum("found_by_lsh").alias("n_found")
@@ -1655,8 +1661,10 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias(f"band{b}")
             for b in range(n_bands)
         ]
+        # narrow bucket join (the _minhash_pairs round-7 shape): ids
+        # through the explode/join/dedup, arrays rejoined for the verify
         buckets = sigs.select(
-            "doc_id", "hashes", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+            "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
         )
         a, b = buckets.alias("a"), buckets.alias("b")
         cand = (
@@ -1666,13 +1674,16 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
                 & (F.col("a.band_key") == F.col("b.band_key"))
                 & (F.col("a.doc_id") < F.col("b.doc_id")),
             )
-            .select(
-                F.col("a.doc_id").alias("id_a"),
-                F.col("b.doc_id").alias("id_b"),
-                F.col("a.hashes").alias("sh_a"),
-                F.col("b.hashes").alias("sh_b"),
-            )
+            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"])
+            .join(
+                sigs.select(F.col("doc_id").alias("id_a"), F.col("hashes").alias("sh_a")),
+                "id_a",
+            )
+            .join(
+                sigs.select(F.col("doc_id").alias("id_b"), F.col("hashes").alias("sh_b")),
+                "id_b",
+            )
         )
         inter = F.size(F.array_intersect("sh_a", "sh_b"))
         union = F.size("sh_a") + F.size("sh_b") - inter
