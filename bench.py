@@ -84,6 +84,7 @@ def main() -> int:
         spark.sparkContext._jvm.System.gc()
 
     timings: dict[str, float] = {}
+    remeasured: list[str] = []
     for qi, (name, fn) in enumerate(sorted(QUERIES.items())):
         best = float("inf")
         for _ in range(repeats):
@@ -95,6 +96,7 @@ def main() -> int:
             t0 = time.perf_counter()
             fn(spark, SF_DIR).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
+            remeasured.append(name)
             print(
                 f"outlier re-measure: {name} {best:.3f}s (prev {prev[name]:.3f}s)",
                 file=sys.stderr,
@@ -113,6 +115,12 @@ def main() -> int:
         "queries": timings,
         "sf": sf,
     }
+    if remeasured:
+        # Apples-to-apples provenance (r7 ADVICE): these entries got the
+        # extra post-GC repeat the fixed-repeat baselines did not, so a
+        # comparison script can see exactly which bests had the larger
+        # budget instead of silently mixing methodologies.
+        full["outlier_remeasured"] = sorted(remeasured)
     # Contract: the driver tail-captures the LAST 2000 chars of stdout and
     # JSON-parses them (BENCH_r02.json: tail len 2000, parsed null).  A
     # single line carrying ~129 per-query timings is ~4 KB, so its head —

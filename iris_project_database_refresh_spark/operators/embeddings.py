@@ -50,18 +50,44 @@ def _lsh_planes(n_vecs: int) -> int:
     return max(LSH_PLANES, (m - 1).bit_length())
 
 
-_NP_CACHE: dict[str, int] = {}
+_NP_CACHE: dict[tuple, int] = {}
+
+
+def _corpus_sig(sf_dir: str) -> tuple:
+    """Cache key for the np memo: (dir, mtime_ns + size of every file
+    under embeddings.parquet). An in-place refresh of the corpus (the
+    incremental-refresh scenario) changes the signature and forces a
+    recount — a key on sf_dir alone would keep a stale np while the
+    DuckDB oracle recomputes count(*) live (r7 ADVICE)."""
+    import os
+
+    p = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        if os.path.isdir(p):
+            sig = tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(p), key=lambda e: e.name)
+            )
+        else:
+            st = os.stat(p)
+            sig = ((p, st.st_mtime_ns, st.st_size),)
+    except OSError:
+        # non-local path (hdfs:/s3:) — no cheap signature; disable the
+        # memo rather than risk staleness
+        sig = None
+    return (sf_dir, sig)
 
 
 def _planes_for(spark: SparkSession, sf_dir: str) -> int:
-    """np for a corpus dir, memoized — the count is footer metadata and
-    the test corpora are immutable, so one job per dir per session; a
-    production refresh would read the row count off its catalog."""
-    if sf_dir not in _NP_CACHE:
-        _NP_CACHE[sf_dir] = _lsh_planes(
+    """np for a corpus dir, memoized per content signature — the count
+    is footer metadata, so one job per (dir, corpus state) per session;
+    a production refresh would read the row count off its catalog."""
+    key = _corpus_sig(sf_dir)
+    if key[1] is None or key not in _NP_CACHE:
+        _NP_CACHE[key] = _lsh_planes(
             load_table(spark, sf_dir, "embeddings").count()
         )
-    return _NP_CACHE[sf_dir]
+    return _NP_CACHE[key]
 
 
 def _npl_sql() -> str:

@@ -3813,9 +3813,16 @@ def multimodal_sniff_router(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ):
                     b = bytes(payload)
                     sniffed = sniff_media(b)
+                    # Same untrusted-bytes guard as the file intake
+                    # (sources/binaryfiles.py): a sniffable-but-malformed
+                    # payload that makes a kernel RAISE is a parse_ok=0
+                    # row, never a batch-killing exception.
                     ok = 0
                     if sniffed in parsers:
-                        ok = 1 if parsers[sniffed](b) is not None else 0
+                        try:
+                            ok = 1 if parsers[sniffed](b) is not None else 0
+                        except Exception:  # noqa: BLE001 — quarantine, not crash
+                            ok = 0
                     rows.append(
                         {
                             "true_type": tt,

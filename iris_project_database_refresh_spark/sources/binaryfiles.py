@@ -42,7 +42,8 @@ def read_binary_dir(
 
 
 _MANIFEST_SCHEMA = (
-    "file_name string, n_bytes long, sniffed string, parsed_ok int, content_md5 string"
+    "file_name string, n_bytes long, sniffed string, parsed_ok int,"
+    " parse_error string, content_md5 string"
 )
 
 
@@ -91,15 +92,25 @@ def manifest_transform(files: DataFrame) -> DataFrame:
             ):
                 b = bytes(content)
                 sniffed = mm.sniff_media(b)
-                ok = 0
+                # The kernels are structural validators over UNTRUSTED
+                # bytes: a payload that sniffs (magic matches) but is
+                # malformed deeper in (e.g. a WAV fmt chunk declaring
+                # bits < 8) may raise instead of returning None.  Either
+                # way it is the same quarantine row — one corrupt file
+                # must never kill the whole intake batch.
+                ok, err = 0, None
                 if sniffed in parsers:
-                    ok = 1 if parsers[sniffed](b) is not None else 0
+                    try:
+                        ok = 1 if parsers[sniffed](b) is not None else 0
+                    except Exception as exc:  # noqa: BLE001 — quarantine, not crash
+                        err = f"{type(exc).__name__}: {exc}"[:200]
                 rows.append(
                     {
                         "file_name": name,
                         "n_bytes": int(n),
                         "sniffed": sniffed,
                         "parsed_ok": ok,
+                        "parse_error": err,
                         "content_md5": hashlib.md5(b).hexdigest(),
                     }
                 )
@@ -110,6 +121,7 @@ def manifest_transform(files: DataFrame) -> DataFrame:
                     "n_bytes",
                     "sniffed",
                     "parsed_ok",
+                    "parse_error",
                     "content_md5",
                 ],
             )

@@ -44,6 +44,19 @@ def _jpeg_bytes() -> bytes:
     )
 
 
+def _adpcm_wav_bytes() -> bytes:
+    """Sniffs as WAV but the fmt chunk declares bits=4 (IMA ADPCM):
+    ``bits // 8 == 0`` makes the frame-count division RAISE inside the
+    kernel — the malformed-but-sniffable class that must quarantine,
+    not crash the batch."""
+    data = b"ab" * 10
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 17, 1, 8000, 4000, 1, 4)
+        + b"data" + struct.pack("<I", len(data)) + data
+    )
+
+
 @pytest.fixture(scope="module")
 def media_dir(tmp_path_factory):
     d = tmp_path_factory.mktemp("intake")
@@ -53,12 +66,15 @@ def media_dir(tmp_path_factory):
     # sniffs as wav (RIFF/WAVE magic) but the fmt chunk is missing ->
     # the structural kernel must reject it
     (d / "trunc.wav").write_bytes(b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    # sniffs as wav and HAS a fmt chunk, but 4-bit ADPCM makes the
+    # kernel raise -> quarantine row with parse_error, batch survives
+    (d / "adpcm.wav").write_bytes(_adpcm_wav_bytes())
     return str(d)
 
 
 def test_read_binary_dir_rows(spark, media_dir):
     rows = read_binary_dir(spark, media_dir).collect()
-    assert len(rows) == 4
+    assert len(rows) == 5
     by_name = {r.path.rsplit("/", 1)[-1]: r for r in rows}
     assert by_name["good.wav"].length == len(_wav_bytes())
     assert bytes(by_name["good.jpg"].content) == _jpeg_bytes()
@@ -66,17 +82,27 @@ def test_read_binary_dir_rows(spark, media_dir):
 
 def test_read_binary_dir_glob(spark, media_dir):
     rows = read_binary_dir(spark, media_dir, glob="*.wav").collect()
-    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {"good.wav", "trunc.wav"}
+    assert {r.path.rsplit("/", 1)[-1] for r in rows} == {
+        "good.wav",
+        "trunc.wav",
+        "adpcm.wav",
+    }
 
 
 def test_media_intake_manifest(spark, media_dir):
     got = {r.file_name: r for r in media_intake_manifest(spark, media_dir).collect()}
-    assert set(got) == {"good.wav", "good.jpg", "notes.txt", "trunc.wav"}
+    assert set(got) == {"good.wav", "good.jpg", "notes.txt", "trunc.wav", "adpcm.wav"}
     assert (got["good.wav"].sniffed, got["good.wav"].parsed_ok) == ("wav", 1)
     assert (got["good.jpg"].sniffed, got["good.jpg"].parsed_ok) == ("jpeg", 1)
     assert (got["notes.txt"].sniffed, got["notes.txt"].parsed_ok) == ("unknown", 0)
     # sniff says wav, structure says no — the quarantine row
     assert (got["trunc.wav"].sniffed, got["trunc.wav"].parsed_ok) == ("wav", 0)
+    assert got["trunc.wav"].parse_error is None  # clean reject, no exception
+    # sniff says wav, kernel RAISES (bits=4 -> bits//8 == 0) — still a
+    # quarantine row, with the exception recorded; the batch survived
+    assert (got["adpcm.wav"].sniffed, got["adpcm.wav"].parsed_ok) == ("wav", 0)
+    assert "ZeroDivisionError" in got["adpcm.wav"].parse_error
+    assert got["good.wav"].parse_error is None
     import hashlib
 
     assert got["good.wav"].content_md5 == hashlib.md5(_wav_bytes()).hexdigest()
@@ -123,7 +149,7 @@ def test_streaming_media_intake_equals_batch_and_is_incremental(spark, tmp_path)
         )
         q.awaitTermination()
 
-    cols = "file_name n_bytes sniffed parsed_ok content_md5".split()
+    cols = "file_name n_bytes sniffed parsed_ok parse_error content_md5".split()
     drain("intake_drain1")
     streamed = {tuple(r[c] for c in cols) for r in spark.read.parquet(out).collect()}
     batch = {

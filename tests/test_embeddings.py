@@ -219,3 +219,19 @@ def test_multiprobe_recall_dominates_single(spark):
         assert 0 <= r["recall_multi_bp"] <= 10000
     # the probes must actually help somewhere, else the op is vacuous
     assert any(r["recall_multi_bp"] > r["recall_single_bp"] for r in rows)
+
+
+def test_planes_memo_invalidates_on_corpus_change(spark, tmp_path):
+    """r7 ADVICE: the np memo must not survive an in-place corpus
+    refresh — key is (dir, file signature), so rewriting
+    embeddings.parquet under the SAME dir forces a recount and the
+    plane count tracks the live corpus exactly like the DuckDB oracle's
+    count(*)."""
+    d = str(tmp_path)
+    p = f"{d}/embeddings.parquet"
+    spark.range(500).write.mode("overwrite").parquet(p)
+    assert embeddings._planes_for(spark, d) == embeddings.LSH_PLANES  # floor
+    # the refresh lands more vectors in place: m = ceil(8000/250) = 32
+    # buckets -> np = 5, one past the floor
+    spark.range(8000).write.mode("overwrite").parquet(p)
+    assert embeddings._planes_for(spark, d) == embeddings._lsh_planes(8000) == 5

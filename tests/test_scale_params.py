@@ -10,17 +10,21 @@ in either formula fails fast without a Spark session.
 
 from __future__ import annotations
 
+import re
+
 import duckdb
 import pytest
 
 from iris_project_database_refresh_spark.operators.clustering import (
     KMEANS_K,
     SEMDEDUP_CELL_TARGET,
+    _semantic_dedup_sql,
 )
 from iris_project_database_refresh_spark.operators.embeddings import (
     LSH_BUCKET_TARGET,
     LSH_PLANES,
     _lsh_planes,
+    _npl_sql,
 )
 
 NS = [
@@ -28,15 +32,30 @@ NS = [
     2251, 4000, 4001, 8000, 32000, 10**6, 10**9,
 ]
 
+# The pin must exercise the EXACT strings the production oracles run
+# (r7 ADVICE: a re-inlined copy can drift silently). Both probes are
+# built by substituting a literal-count relation for the corpus scan in
+# the production SQL; if the production fragment changes shape, the
+# substitution/extraction fails loudly and the pin goes red.
+
+
+def _npl_probe_sql(n: int) -> str:
+    cte = _npl_sql().replace("FROM embeddings", f"FROM range({n})")
+    assert cte != _npl_sql(), "npl CTE no longer scans embeddings — update pin"
+    return f"WITH {cte} SELECT np FROM npl"
+
+
+def _kk_probe_sql(n: int) -> str:
+    m = re.search(
+        r"kk AS \(\s*(SELECT greatest\(.*?\) AS k) FROM vecs", _semantic_dedup_sql()
+    )
+    assert m, "kk CTE shape changed in _semantic_dedup_sql — update pin"
+    return m.group(1) + f" FROM range({n})"
+
 
 @pytest.mark.parametrize("n", NS)
 def test_lsh_planes_matches_oracle_cte(n):
-    sql = f"""
-    SELECT greatest({LSH_PLANES}, CASE WHEN m <= 1 THEN 0
-           ELSE length(bin(m - 1)) END) AS np
-    FROM (SELECT CAST(({n} + {LSH_BUCKET_TARGET - 1}) // {LSH_BUCKET_TARGET} AS BIGINT) AS m)
-    """
-    assert _lsh_planes(n) == duckdb.sql(sql).fetchone()[0]
+    assert _lsh_planes(n) == duckdb.sql(_npl_probe_sql(n)).fetchone()[0]
 
 
 @pytest.mark.parametrize("n", NS)
@@ -50,8 +69,7 @@ def test_lsh_planes_bounds_bucket_size(n):
 @pytest.mark.parametrize("n", NS)
 def test_semdedup_cells_match_oracle(n):
     k_py = max(KMEANS_K, n // SEMDEDUP_CELL_TARGET)
-    sql = f"SELECT greatest({KMEANS_K}, {n} // {SEMDEDUP_CELL_TARGET}) AS k"
-    assert k_py == duckdb.sql(sql).fetchone()[0]
+    assert k_py == duckdb.sql(_kk_probe_sql(n)).fetchone()[0]
 
 
 def test_params_unchanged_at_test_sfs():
