@@ -63,6 +63,80 @@ SIMHASH_BITS = 60
 SIMHASH_BANDS, SIMHASH_BAND_BITS = 4, 15
 HAMMING_TAU = 3  # ≤3 bit flips over 4 bands → ≥1 identical band (pigeonhole)
 
+# --- corpus-scaled combinatorial banding (round-8 scale fix) -----------------
+#
+# With a FIXED 4x15-bit banding, random same-band collisions grow
+# ~N^2/2^15 — the quadratic class the round-7 probe flagged for
+# dedup_simhash / multimodal_phash_dedup. Widening the FINGERPRINT
+# would change the answer set with corpus size; instead the banded
+# join scales its JOIN KEY: at larger N it joins on concatenations of
+# c bands out of B (the published AND-OR LSH construction). Pigeonhole
+# keeps every rung EXACT for hamming <= tau: tau bit flips touch at
+# most tau bands, so whenever B - c >= tau at least one c-subset is
+# untouched and the pair still shares a combo key. The answer set —
+# and therefore the brute-force oracle — is IDENTICAL at every rung;
+# the rung only bounds candidate volume: expected random candidates
+# ~ C(B,c) * N^2 / 2^w with key width w = c*(60/B), linear once
+# 2^w >= N. Rung choice is a pure performance decision driven by an
+# ESTIMATED corpus count (metadata-cheap), so it needs no cross-engine
+# pin — any rung returns the same rows.
+#
+# Rungs (B bands of 60/B bits, combos of c): key widths 15 / 24 / 30
+# cover corpora to ~2^30 rows (~1e9 docs, the 100 TB grain); beyond
+# that the DF-cap / dedup_bloom_prefilter devices compose in front.
+SIMHASH_RUNGS: list[tuple[int, int]] = [(4, 1), (5, 2), (6, 3)]
+
+
+def banding_rung(
+    n_rows: int | None, rungs: list[tuple[int, int]], bits: int, tau: int
+) -> tuple[int, int]:
+    """Smallest rung whose combo-key domain covers ``n_rows``.
+
+    Every rung must satisfy the exactness invariant B - c >= tau
+    (asserted — a bad ladder is a construction bug, not a data bug).
+    ``None`` (unknown count) selects the floor rung = the historical
+    fixed banding, so existing callers are bit-and-plan unchanged.
+    """
+    for B, c in rungs:
+        assert B - c >= tau and bits % B == 0, (B, c, tau, bits)
+    if not n_rows:
+        return rungs[0]
+    need = max(1, (max(n_rows, 2) - 1).bit_length())
+    for B, c in rungs:
+        if (bits // B) * c >= need:
+            return (B, c)
+    return rungs[-1]
+
+
+_NDOCS_CACHE: dict[tuple, int] = {}
+
+
+def corpus_rows_estimate(spark: SparkSession, sf_dir: str) -> int:
+    """~|_corpus| from the documents row count (metadata-fast,
+    memoized per corpus file signature — stale reads would only shift
+    a rung boundary, never an answer). The planted corpus is documents
+    + ~1/7 exact copies + ~1/5 near copies = ~1.35x."""
+    import os
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    try:
+        if os.path.isdir(p):
+            sig = tuple(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in sorted(os.scandir(p), key=lambda e: e.name)
+            )
+        else:
+            st = os.stat(p)
+            sig = ((p, st.st_mtime_ns, st.st_size),)
+    except OSError:
+        sig = None
+    key = (sf_dir, sig)
+    if sig is None or key not in _NDOCS_CACHE:
+        _NDOCS_CACHE[key] = int(
+            load_table(spark, sf_dir, "documents").count() * 1.35
+        )
+    return _NDOCS_CACHE[key]
+
 _M32 = 4294967296  # 2^32
 _LANE = 1048576  # 2^20 — simhash packs three 20-bit lanes into 60 bits
 
@@ -410,16 +484,52 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     The per-bit majority vote runs as explode → one aggregation with 60
     sum(sign) expressions — a single shuffle on doc_id and a flat agg
     plan (a nested 60×array-filter expression tree blows up codegen).
-    Pairs at Hamming distance ≤ HAMMING_TAU share at least one of the
-    SIMHASH_BANDS 15-bit bands (pigeonhole), so the banded join returns
-    exactly the brute-force result — which is what the oracle computes.
+    The Hamming join is combinatorially banded (SIMHASH_RUNGS): pairs
+    at distance ≤ HAMMING_TAU share at least one combo key at every
+    rung (pigeonhole over B − c ≥ tau untouched bands), so the join
+    returns exactly the brute-force result — which is what the oracle
+    computes — while the rung keeps random candidate volume linear in
+    the corpus (the round-7 16x probe's quadratic flag).
     """
-    return _simhash_pairs(_with_hashes(_corpus(spark, sf_dir), _SH60_EXPR))
+    return _simhash_pairs(
+        _with_hashes(_corpus(spark, sf_dir), _SH60_EXPR),
+        n_rows=corpus_rows_estimate(spark, sf_dir),
+    )
 
 
-def _simhash_pairs(sh: DataFrame) -> DataFrame:
+def _combo_bands(
+    df: DataFrame, hash_col: str, rung: tuple[int, int], bits: int
+) -> DataFrame:
+    """Explode one row per combo key: the fingerprint split into B
+    bands of bits/B, joined on every c-subset concatenation. Rung
+    (4, 1) reproduces the historical single-band explode exactly; the
+    key stays a plain bigint (widest rung = 45 bits), so the join is
+    an ordinary hash-shuffle on (band_idx, band_val) at every rung."""
+    from itertools import combinations
+
+    B, c = rung
+    bw = bits // B
+
+    def band(i: int):
+        return F.shiftright(F.col(hash_col), i * bw).bitwiseAND(F.lit((1 << bw) - 1))
+
+    keys = []
+    for subset in combinations(range(B), c):
+        key = band(subset[0]).cast("bigint")
+        for k, i in enumerate(subset[1:], start=1):
+            key = key + F.shiftleft(band(i).cast("bigint"), bw * k)
+        keys.append(key)
+    return df.select(
+        "*", F.posexplode(F.array(*keys)).alias("band_idx", "band_val")
+    )
+
+
+def _simhash_pairs(sh: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Bit votes -> banded Hamming join, over a pinned (doc_id, hashes)
-    frame (shared with dedup_method_venn)."""
+    frame (shared with dedup_method_venn). ``n_rows`` picks the
+    combinatorial-banding rung (see SIMHASH_RUNGS) — every rung returns
+    the identical pair set, larger rungs bound candidate volume at
+    larger corpora."""
     exploded = sh.select("doc_id", F.explode("hashes").alias("h"))
     votes = exploded.groupBy("doc_id").agg(
         *[
@@ -438,19 +548,11 @@ def _simhash_pairs(sh: DataFrame) -> DataFrame:
     simmed = votes.select(
         "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash")
     ).localCheckpoint(eager=False)
-    bands = simmed.select(
-        "doc_id",
+    bands = _combo_bands(
+        simmed,
         "simhash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.shiftright("simhash", b * SIMHASH_BAND_BITS).bitwiseAND(
-                        F.lit((1 << SIMHASH_BAND_BITS) - 1)
-                    )
-                    for b in range(SIMHASH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_val"),
+        banding_rung(n_rows, SIMHASH_RUNGS, SIMHASH_BITS, HAMMING_TAU),
+        SIMHASH_BITS,
     )
     a, b = bands.alias("a"), bands.alias("b")
     return (
@@ -2086,7 +2188,9 @@ def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
         b, (F.col("a.fp") == F.col("b.fp")) & (F.col("a.doc_id") < F.col("b.doc_id"))
     ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     minhash = _minhash_pairs(_hashes_from_th(th, _SH32_EXPR)).select("id_a", "id_b")
-    simhash = _simhash_pairs(_hashes_from_th(th, _SH60_EXPR)).select("id_a", "id_b")
+    simhash = _simhash_pairs(
+        _hashes_from_th(th, _SH60_EXPR), n_rows=corpus_rows_estimate(spark, sf_dir)
+    ).select("id_a", "id_b")
     tagged = (
         exact.select("id_a", "id_b", F.lit(1).alias("e"), F.lit(0).alias("m"), F.lit(0).alias("s"))
         .unionByName(minhash.select("id_a", "id_b", F.lit(0).alias("e"), F.lit(1).alias("m"), F.lit(0).alias("s")))

@@ -381,6 +381,13 @@ PH_BITS = 60
 PH_BANDS = 4
 PH_BAND_BITS = PH_BITS // PH_BANDS  # 15
 PH_TAU = 1  # pairs with Hamming <= 1 < PH_BANDS are guaranteed found
+# Combinatorial-banding ladder (see operators/dedup.SIMHASH_RUNGS for
+# the full derivation): with tau = 1 a single untouched band suffices,
+# so the combo size can grow all the way to B - 1 — key widths
+# 15 / 30 / 45 bits at C(4,c) = 4 / 6 / 4 keys per item. Every rung
+# returns the identical pair set (pigeonhole); the rung only bounds
+# random same-key candidate volume at larger corpora.
+PH_RUNGS = [(4, 1), (4, 2), (4, 3)]
 
 PHASH_SCHEMA = T.StructType(
     [
@@ -420,10 +427,13 @@ def phash_media(media: DataFrame) -> DataFrame:
 
 
 def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Near-dup media pairs via banded Hamming join over the byte-energy
-    pHash. The media set is the dedup corpus (documents + planted
-    copies) as payloads, so exact-copy pairs exist at distance 0."""
-    from .dedup import _corpus
+    """Near-dup media pairs via combinatorially banded Hamming join over
+    the byte-energy pHash. The media set is the dedup corpus (documents
+    + planted copies) as payloads, so exact-copy pairs exist at
+    distance 0. The banding rung scales with the corpus (PH_RUNGS) but
+    never changes the pair set — the round-7 16x probe's quadratic
+    candidate growth fix, same device as dedup_simhash."""
+    from .dedup import _combo_bands, _corpus, banding_rung, corpus_rows_estimate
 
     media = _corpus(spark, sf_dir).select(
         F.col("doc_id").alias("media_id"),
@@ -431,26 +441,18 @@ def multimodal_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit("image").alias("media_type"),
     )
     hashed = phash_media(media).localCheckpoint(eager=False)  # both join sides
-    bands = hashed.select(
-        "media_id",
+    bands = _combo_bands(
+        hashed,
         "phash",
-        F.posexplode(
-            F.array(
-                *[
-                    F.expr(
-                        f"(phash div {1 << (b * PH_BAND_BITS)}) % {1 << PH_BAND_BITS}"
-                    )
-                    for b in range(PH_BANDS)
-                ]
-            )
-        ).alias("band_idx", "band_key"),
+        banding_rung(corpus_rows_estimate(spark, sf_dir), PH_RUNGS, PH_BITS, PH_TAU),
+        PH_BITS,
     )
     a, b = bands.alias("a"), bands.alias("b")
     cand = (
         a.join(
             b,
             (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
             & (F.col("a.media_id") < F.col("b.media_id")),
         )
         .select(

@@ -147,3 +147,65 @@ def test_b_bit_estimates_bracket_exact(spark):
 
     diffs1 = [abs(r["est_b1_bp"] - r["est_full_bp"]) for r in rows]
     assert statistics.mean(diffs1) < 2000
+
+
+def test_simhash_pair_set_identical_at_every_rung(spark):
+    """Combinatorial banding is a pure candidate-volume device: every
+    rung of SIMHASH_RUNGS must return the SAME pairs the brute-force
+    oracle computes (the floor rung is the driver-verified path)."""
+    from .conftest import SF_SMOKE
+
+    sh = dedup._with_hashes(dedup._corpus(spark, SF_SMOKE), dedup._SH60_EXPR)
+    base = {tuple(r) for r in dedup._simhash_pairs(sh, n_rows=None).collect()}
+    assert base, "no simhash pairs at the smoke SF"
+    # corpus sizes that force rungs (5,2) and (6,3)
+    for n_force in (40_000, 50_000_000):
+        rung = dedup.banding_rung(
+            n_force, dedup.SIMHASH_RUNGS, dedup.SIMHASH_BITS, dedup.HAMMING_TAU
+        )
+        assert rung != dedup.SIMHASH_RUNGS[0]
+        got = {tuple(r) for r in dedup._simhash_pairs(sh, n_rows=n_force).collect()}
+        assert got == base, rung
+
+
+def test_phash_pair_set_identical_at_every_rung(spark):
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.operators import multimodal as mm
+
+    from .conftest import SF_SMOKE
+
+    media = dedup._corpus(spark, SF_SMOKE).select(
+        F.col("doc_id").alias("media_id"), F.encode("text", "utf-8").alias("payload")
+    )
+    hashed = mm.phash_media(media).localCheckpoint(eager=False)
+
+    def pairs(rung):
+        bands = dedup._combo_bands(hashed, "phash", rung, mm.PH_BITS)
+        a, b = bands.alias("a"), bands.alias("b")
+        cand = (
+            a.join(
+                b,
+                (F.col("a.band_idx") == F.col("b.band_idx"))
+                & (F.col("a.band_val") == F.col("b.band_val"))
+                & (F.col("a.media_id") < F.col("b.media_id")),
+            )
+            .select(
+                F.col("a.media_id").alias("ia"),
+                F.col("b.media_id").alias("ib"),
+                F.col("a.phash").alias("ha"),
+                F.col("b.phash").alias("hb"),
+            )
+            .dropDuplicates(["ia", "ib"])
+        )
+        return {
+            tuple(r)
+            for r in cand.where(F.bit_count(F.expr("ha ^ hb")) <= mm.PH_TAU)
+            .select("ia", "ib")
+            .collect()
+        }
+
+    base = pairs(mm.PH_RUNGS[0])
+    assert base, "no phash pairs at the smoke SF"
+    for rung in mm.PH_RUNGS[1:]:
+        assert pairs(rung) == base, rung

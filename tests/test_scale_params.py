@@ -78,3 +78,69 @@ def test_params_unchanged_at_test_sfs():
     for n in (500, 2000):  # sf0.001/sf0.01 embeddings = 500, sf0.1 = 2000
         assert _lsh_planes(n) == LSH_PLANES
         assert max(KMEANS_K, n // SEMDEDUP_CELL_TARGET) == KMEANS_K
+
+
+# --- combinatorial-banding rungs (round-8 scale fix) ------------------------
+#
+# The simhash/phash banded joins scale their JOIN KEY with the corpus
+# (combo of c bands out of B) instead of widening the fingerprint, so
+# the answer set — and the brute-force oracle — is identical at every
+# rung. These pins hold the ladder's exactness invariant and the
+# selection boundaries; tests/test_dedup.py holds the Spark-side
+# pair-set invariance.
+
+from iris_project_database_refresh_spark.operators.dedup import (  # noqa: E402
+    HAMMING_TAU,
+    SIMHASH_BITS,
+    SIMHASH_RUNGS,
+    banding_rung,
+)
+from iris_project_database_refresh_spark.operators.multimodal import (  # noqa: E402
+    PH_BITS,
+    PH_RUNGS,
+    PH_TAU,
+)
+
+_LADDERS = [
+    (SIMHASH_RUNGS, SIMHASH_BITS, HAMMING_TAU),
+    (PH_RUNGS, PH_BITS, PH_TAU),
+]
+
+
+@pytest.mark.parametrize("rungs,bits,tau", _LADDERS)
+def test_rung_exactness_invariant(rungs, bits, tau):
+    """tau flips touch <= tau bands; a combo key survives iff some
+    c-subset is untouched, which B - c >= tau guarantees for EVERY
+    possible set of touched bands (not just on average)."""
+    from itertools import combinations
+
+    for B, c in rungs:
+        assert bits % B == 0
+        assert B - c >= tau
+        # exhaustive pigeonhole: every tau-subset of touched bands
+        # leaves at least one c-combo fully intact
+        for touched in combinations(range(B), min(tau, B)):
+            assert any(
+                not set(s) & set(touched) for s in combinations(range(B), c)
+            )
+
+
+@pytest.mark.parametrize("rungs,bits,tau", _LADDERS)
+def test_rung_selection_boundaries(rungs, bits, tau):
+    for n in (None, 0, 1, 2, 32768):
+        assert banding_rung(n, rungs, bits, tau) == rungs[0]
+    # each rung holds exactly while its key domain covers the corpus
+    for B, c in rungs:
+        w = (bits // B) * c
+        assert banding_rung(1 << w, rungs, bits, tau) == (B, c)
+    assert banding_rung(1 << 62, rungs, bits, tau) == rungs[-1]
+
+
+@pytest.mark.parametrize("rungs,bits,tau", _LADDERS)
+def test_rung_key_width_bounds_candidates(rungs, bits, tau):
+    """Once selected, a rung's key domain is at least the corpus size,
+    so expected random same-key pairs stay O(C(B,c) * N)."""
+    for n in (10**5, 10**7, 10**9):
+        B, c = banding_rung(n, rungs, bits, tau)
+        if (B, c) != rungs[-1]:
+            assert (1 << ((bits // B) * c)) >= n
