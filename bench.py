@@ -132,6 +132,49 @@ def main() -> int:
     # that pushes a query over the 1 s bar without a PLANS.md entry has
     # twice landed as a red pytest at the NEXT head (rounds 4 and 5).
     # Catch it at the moment BENCH_LOCAL.json is written, not a round later.
+    # Canonical standing-baseline artifact (round-7 verdict item 3):
+    # seed rows for brand-new queries so BASELINE_STANDING.json never
+    # lags the registry, and surface the >2x rows against it in the
+    # refresh record itself so the gate is mechanically checkable.
+    std_path = os.path.join(
+        os.path.dirname(os.path.abspath(__file__)), "BASELINE_STANDING.json"
+    )
+    if sf == 0.1 and os.path.exists(std_path):
+        try:
+            with open(std_path) as f:
+                std_rec = json.load(f)
+            std = std_rec["queries"]
+            seeded = False
+            for name, secs in timings.items():
+                if name not in std:
+                    std[name] = {
+                        "standing": secs,
+                        "ref": "auto-first-measured (this refresh; curate in BASELINE.md)",
+                        "history": [],
+                    }
+                    seeded = True
+            if seeded:
+                std_rec["n_queries"] = len(std)
+                std_rec["queries"] = {k: std[k] for k in sorted(std)}
+                with open(std_path, "w") as f:
+                    json.dump(std_rec, f, indent=1)
+                    f.write("\n")
+            over = {
+                k: {"sec": v, "standing": std[k]["standing"],
+                    **({"note": std[k]["note"]} if "note" in std[k] else {})}
+                for k, v in timings.items()
+                if v >= 1.0 and std[k]["standing"] > 0 and v > 2 * std[k]["standing"]
+            }
+            if over:
+                full["over_2x"] = over
+                print(
+                    ">2x standing rows this refresh: "
+                    + ", ".join(f"{k} {v['sec']}s vs {v['standing']}s" for k, v in over.items()),
+                    file=sys.stderr,
+                )
+        except Exception as exc:  # the gate must never break the bench contract
+            print(f"standing-baseline gate skipped: {exc}", file=sys.stderr)
+
     gaps = _plan_gaps(timings, sf)
     if gaps:
         print(

@@ -9,6 +9,13 @@ Two modes:
   committed sf0.1 bench (BENCH_LOCAL.json) must have a ``## name`` entry
   in PLANS.md. Exits non-zero listing the gaps. The same sweep backs
   ``tests/test_plan_hygiene.py::test_plans_md_covers_expensive_queries``.
+* ``--gate2x`` — the standing-baseline 2x gate: compare the committed
+  BENCH_LOCAL.json against the canonical BASELINE_STANDING.json (one
+  machine-readable standing value per query — see
+  scripts/baseline_standing.py) and print every >= 1 s row above 2x its
+  standing value with its documented note. Informational (rc 0): a flag
+  needs an idle-host re-measure + a BASELINE.md adjudication, not a
+  build break.
 """
 
 from __future__ import annotations
@@ -60,6 +67,24 @@ def main() -> int:
             print("queries >= 1s at sf0.1 with no PLANS.md entry:", ", ".join(gaps))
             return 1
         print("PLANS.md covers every >= 1s query")
+        return 0
+    if args and args[0] == "--gate2x":
+        bench = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
+        std = json.load(open(os.path.join(REPO, "BASELINE_STANDING.json")))["queries"]
+        if bench.get("sf") != 0.1:
+            raise SystemExit("BENCH_LOCAL.json is not the committed sf0.1 run")
+        missing = sorted(set(bench["queries"]) - set(std))
+        if missing:
+            print("no standing row (run bench.py to seed):", ", ".join(missing))
+        flagged = 0
+        for k, v in sorted(bench["queries"].items(), key=lambda kv: -kv[1]):
+            s = std.get(k, {}).get("standing", 0)
+            if v >= SLOW_SECONDS and s > 0 and v > 2 * s:
+                flagged += 1
+                note = std[k].get("note", "")
+                print(f"{k}: {v:.3f}s vs standing {s:.3f}s = {v / s:.2f}x"
+                      + (f"  [{note}]" if note else ""))
+        print(f"{flagged} rows over 2x standing" if flagged else "no rows over 2x standing")
         return 0
     if args and args[0] == "--dump":
         from iris_project_database_refresh_spark.plans.registry import QUERIES

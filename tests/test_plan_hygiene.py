@@ -253,3 +253,46 @@ def test_no_entity_grain_single_task_window(spark, name):
             f"{name}: SinglePartition exchange over non-aggregate input:\n"
             + "\n".join(lines[max(0, i - 2) : i + 3])
         )
+
+
+def test_baseline_standing_covers_registry():
+    """BASELINE_STANDING.json is the ONE machine-readable standing
+    value per query (r7 verdict item 3): every registered query has a
+    positive standing row with a provenance ref."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..", "BASELINE_STANDING.json")
+    std = json.load(open(path))["queries"]
+    missing = sorted(set(QUERIES) - set(std))
+    assert not missing, f"queries with no standing baseline row: {missing}"
+    for name, ent in std.items():
+        assert ent["standing"] > 0 and ent.get("ref"), name
+
+
+def test_baseline_standing_matches_generator():
+    """The committed artifact must equal what scripts/baseline_standing.py
+    derives from BASELINE.md (narrated rows; bench-auto-seeded rows are
+    exempt until BASELINE.md curates them) — so a BASELINE.md edit that
+    isn't regenerated, or a hand-edit of the JSON, fails here."""
+    import importlib.util
+    import json
+    import os
+
+    root = os.path.join(os.path.dirname(__file__), "..")
+    spec = importlib.util.spec_from_file_location(
+        "baseline_standing", os.path.join(root, "scripts", "baseline_standing.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    derived = mod.parse()
+    committed = json.load(open(os.path.join(root, "BASELINE_STANDING.json")))["queries"]
+    for name, ent in committed.items():
+        if ent.get("ref", "").startswith("auto"):
+            continue
+        assert name in derived, f"{name} committed but not derivable from BASELINE.md"
+        assert derived[name]["standing"] == ent["standing"], (
+            name,
+            derived[name]["standing"],
+            ent["standing"],
+        )
