@@ -145,3 +145,117 @@ def media_intake_manifest(
     before anything downstream touches the bytes.
     """
     return manifest_transform(read_binary_dir(spark, path, glob, recursive))
+
+
+BYTE_CLASS_PREFIX = 4096  # header region; QC never scans whole payloads
+
+_BYTE_FILE_SCHEMA = (
+    "source_dir string, sniffed string, prefix_len long, printable long,"
+    " control long, highbit long, nul long, lead_byte long,"
+    " m0 long, m1 long, m2 long, m3 long"
+)
+
+
+def byte_class_profile(files: DataFrame) -> DataFrame:
+    """Per (source dir, sniffed type) byte-class distribution of the
+    intake — the Benford-style QC an ingest runs beside the manifest to
+    catch a source that silently changed encoding, got truncated to
+    NULs, or started shipping a different container than it sniffs as.
+
+    Classes over a capped header prefix (``BYTE_CLASS_PREFIX`` bytes per
+    file, so QC cost is O(files), never O(corpus bytes)): printable
+    ASCII (0x20–0x7E), control (<0x20 excluding NUL), NUL, and high-bit
+    (>=0x80) shares in basis points, the EXACT distinct-byte-value count
+    (a 256-bit presence mask carried as four longs, merged with bit_or
+    and popcounted), and the EXACT modal leading byte (max_by over the
+    per-lead-byte counts, smallest byte on ties). A WAV source whose
+    high-bit share collapses (text impostors), a "pdf" source whose NUL
+    share spikes (truncated transfers), or a drifting modal lead byte
+    are the classic intake regressions; thresholds belong to the
+    caller, the profile is the artifact.
+
+    Shape: one Arrow-batched ``mapInPandas`` pass emits per-FILE raw
+    counts (payload bytes stay on executors), then plain keyed
+    aggregations merge them exactly — no approximate partition-local
+    merge. Works identically on the batch ``binaryFile`` read and the
+    streaming file source. Reference parity: the NAS intake stages
+    (``semantic search - ey prep/stage_00_pdf_to_markdown.py``,
+    ``catalog search/stage1_extract_nas_catalog.py``) trust file
+    extensions blindly; this is the content-grounded check they lack.
+    """
+    from ..operators import multimodal as mm
+
+    rows = files.select(
+        F.regexp_replace(F.col("path"), "/[^/]+$", "").alias("source_dir"),
+        "content",
+    )
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            out = []
+            for src, content in zip(pdf["source_dir"], pdf["content"]):
+                full = bytes(content)
+                b = full[:BYTE_CLASS_PREFIX]
+                masks = [0, 0, 0, 0]
+                printable = control = highbit = 0
+                for x in b:
+                    masks[x >> 6] |= 1 << (x & 63)
+                    if 0x20 <= x <= 0x7E:
+                        printable += 1
+                    elif x >= 0x80:
+                        highbit += 1
+                    elif x:
+                        control += 1
+                # signed-long safe: bit 63 of each word flips the sign,
+                # which bit_or/bit_count handle; keep the raw two's
+                # complement value
+                masks = [m - (1 << 64) if m >= 1 << 63 else m for m in masks]
+                out.append(
+                    {
+                        "source_dir": src,
+                        "sniffed": mm.sniff_media(full),
+                        "prefix_len": len(b),
+                        "printable": printable,
+                        "control": control,
+                        "highbit": highbit,
+                        "nul": b.count(0),
+                        "lead_byte": b[0] if b else -1,
+                        "m0": masks[0],
+                        "m1": masks[1],
+                        "m2": masks[2],
+                        "m3": masks[3],
+                    }
+                )
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "source_dir", "sniffed", "prefix_len", "printable",
+                    "control", "highbit", "nul", "lead_byte",
+                    "m0", "m1", "m2", "m3",
+                ],
+            )
+
+    per_file = rows.mapInPandas(fn, _BYTE_FILE_SCHEMA)
+    totals = per_file.groupBy("source_dir", "sniffed").agg(
+        F.count(F.lit(1)).alias("n_files"),
+        F.sum("prefix_len").alias("prefix_bytes"),
+        F.expr("sum(printable) * 10000 div greatest(sum(prefix_len), 1)").alias("printable_bp"),
+        F.expr("sum(control) * 10000 div greatest(sum(prefix_len), 1)").alias("control_bp"),
+        F.expr("sum(highbit) * 10000 div greatest(sum(prefix_len), 1)").alias("highbit_bp"),
+        F.expr("sum(nul) * 10000 div greatest(sum(prefix_len), 1)").alias("nul_bp"),
+        F.expr(
+            "bit_count(bit_or(m0)) + bit_count(bit_or(m1))"
+            " + bit_count(bit_or(m2)) + bit_count(bit_or(m3))"
+        ).cast("bigint").alias("distinct_bytes"),
+    )
+    lead_mode = (
+        per_file.groupBy("source_dir", "sniffed", "lead_byte")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("source_dir", "sniffed")
+        .agg(
+            F.expr("max_by(lead_byte, struct(c, -lead_byte))").alias("lead_byte_mode")
+        )
+    )
+    return totals.join(lead_mode, ["source_dir", "sniffed"])

@@ -167,3 +167,57 @@ def test_streaming_media_intake_equals_batch_and_is_incremental(spark, tmp_path)
     new_rows = after - streamed
     assert {r[0] for r in new_rows} == {"late.gif"}, new_rows
     assert next(iter(new_rows))[2] == "gif"
+
+
+def test_byte_class_profile_exact(spark, media_dir):
+    """The intake byte-class QC must equal a plain-python replay of the
+    same classification over the same capped prefixes — per (dir,
+    sniffed type), exact distinct-byte counts (bit_or of presence
+    masks) and exact modal lead byte included."""
+    from iris_project_database_refresh_spark.operators.multimodal import sniff_media
+    from iris_project_database_refresh_spark.sources.binaryfiles import (
+        BYTE_CLASS_PREFIX,
+        byte_class_profile,
+    )
+
+    got = {
+        # binaryFile paths come back as file: URIs; normalize to the
+        # plain filesystem path the replay below uses
+        (r.source_dir.removeprefix("file:"), r.sniffed): r
+        for r in byte_class_profile(read_binary_dir(spark, media_dir)).collect()
+    }
+
+    import collections
+    import pathlib
+
+    expect: dict[tuple, dict] = {}
+    for p in pathlib.Path(media_dir).iterdir():
+        full = p.read_bytes()
+        b = full[:BYTE_CLASS_PREFIX]
+        key = (str(p.parent), sniff_media(full))
+        a = expect.setdefault(
+            key,
+            {"n": 0, "plen": 0, "pr": 0, "ct": 0, "hb": 0, "nul": 0,
+             "seen": set(), "lead": collections.Counter()},
+        )
+        a["n"] += 1
+        a["plen"] += len(b)
+        a["pr"] += sum(1 for x in b if 0x20 <= x <= 0x7E)
+        a["ct"] += sum(1 for x in b if x < 0x20 and x != 0)
+        a["hb"] += sum(1 for x in b if x >= 0x80)
+        a["nul"] += b.count(0)
+        a["seen"].update(b)
+        a["lead"][b[0]] += 1
+
+    assert set(got) == set(expect)
+    for key, a in expect.items():
+        r = got[key]
+        p = max(a["plen"], 1)
+        assert r.n_files == a["n"] and r.prefix_bytes == a["plen"]
+        assert r.printable_bp == a["pr"] * 10000 // p
+        assert r.control_bp == a["ct"] * 10000 // p
+        assert r.highbit_bp == a["hb"] * 10000 // p
+        assert r.nul_bp == a["nul"] * 10000 // p
+        assert r.distinct_bytes == len(a["seen"]), key
+        best = max(a["lead"].values())
+        assert r.lead_byte_mode == min(k for k, v in a["lead"].items() if v == best)
