@@ -2086,3 +2086,51 @@ LEFT JOIN rm ON rm.query_id = c.query_id
 
 QUERIES["knn_lsh_multiprobe"] = knn_lsh_multiprobe
 ORACLES["knn_lsh_multiprobe"] = MULTIPROBE_SQL
+
+
+# --- mutual k-NN graph — the pruning ANN serving stacks apply ------------------
+#
+# Reciprocal/mutual-kNN filtering (the standard hubness counter-device:
+# an edge survives only if BOTH endpoints rank each other in their
+# top-K) — the graph-cleanup step between knn_graph and anything that
+# consumes it (label propagation, diffusion re-ranking, graph dedup).
+# knn_hubness_audit MEASURES the asymmetry; this emits the symmetrized
+# artifact: one row per unordered mutual pair with the cosine and both
+# ranks, so a consumer can threshold on max(rank_ab, rank_ba).
+#
+# Shape: the pinned knn_graph (blocked-GEMM partial top-Ks, bounded
+# merge) self-joined on the reversed (vec_id, neighbor_id) key —
+# K·n rows join K·n rows on an equi-key, one shuffle, output bounded
+# by K·n/2. Rank/cosine are the 6dp-rounded engine-deterministic order.
+
+def knn_mutual_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    g = knn_graph(spark, sf_dir).localCheckpoint(eager=False)  # both sides
+    a, b = g.alias("a"), g.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.vec_id") == F.col("b.neighbor_id"))
+            & (F.col("a.neighbor_id") == F.col("b.vec_id"))
+            & (F.col("a.vec_id") < F.col("a.neighbor_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("a.neighbor_id").alias("id_b"),
+            F.col("a.cosine").alias("cosine"),
+            F.col("a.rank").alias("rank_ab"),
+            F.col("b.rank").alias("rank_ba"),
+        )
+    )
+
+
+KNN_MUTUAL_SQL = f"""
+WITH g AS ({KNN_GRAPH_SQL})
+SELECT a.vec_id AS id_a, a.neighbor_id AS id_b, a.cosine AS cosine,
+       a.rank AS rank_ab, b.rank AS rank_ba
+FROM g a JOIN g b
+  ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+     AND a.vec_id < a.neighbor_id
+"""
+
+QUERIES["knn_mutual_graph"] = knn_mutual_graph
+ORACLES["knn_mutual_graph"] = KNN_MUTUAL_SQL

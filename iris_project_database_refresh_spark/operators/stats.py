@@ -1106,3 +1106,130 @@ FROM grid, totals
 
 QUERIES["feature_binning_woe"] = feature_binning_woe
 ORACLES["feature_binning_woe"] = WOE_SQL
+
+
+# --- isotonic calibration (PAV via the minimax formula) ------------------------
+#
+# The monotone calibration curve (Barlow/Bartholomew/Bremner/Brunk
+# 1972; Zadrozny & Elkan 2002 for classifier calibration): fit the
+# best monotone non-decreasing approximation of P(convert | score) —
+# the calibrator a ranking/reward pipeline trains on top of raw model
+# scores, the constructive artifact next to the DIAGNOSTIC
+# reward_margin_ece bins. Scores are the engine-deterministic md5
+# device (the events_uplift_qini hash % ISO_LEVELS), labels are
+# "user made >= 1 purchase".
+#
+# Exactness device: instead of the sequential pool-adjacent-violators
+# stack (a data-dependent while-loop neither engine's expression layer
+# has), the fit uses the closed-form MINIMAX characterization
+# iso(i) = max_{j<=i} min_{k>=i} mean(y over levels j..k) — exactly
+# the PAV solution. The score support is BOUNDED (ISO_LEVELS), so the
+# whole computation is one triple range-join over <= L^3/6 rows of a
+# 128-row broadcast table: means from integer prefix sums as ONE
+# IEEE-double division each (identical in both engines), min/max over
+# identical doubles (exact), floored into bp at the very end.
+#
+# Scale: the fact scan reduces to the L-row level grid first (one
+# keyed agg over users); everything after runs on broadcast-sized
+# relations — no fact-fact joins, no windows over fact rows. L fixes
+# the post-agg cost regardless of corpus size.
+
+ISO_LEVELS = 128
+
+
+def events_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_int32
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+    )
+    scored = users.select(
+        F.pmod(md5_int32(F.col("user_id").cast("string")), ISO_LEVELS).alias("score"),
+        "y",
+    )
+    levels = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    # bounded value-support window (<= ISO_LEVELS rows): prefix sums +
+    # dense index — the house exception class, never entity-grain
+    w = Window.orderBy("score").rowsBetween(Window.unboundedPreceding, 0)
+    lv = levels.select(
+        "score",
+        "n",
+        "sy",
+        F.row_number().over(Window.orderBy("score")).alias("idx"),
+        F.sum("n").over(w).alias("W"),
+        F.sum("sy").over(w).alias("S"),
+    ).localCheckpoint(eager=False)  # three self-join references below
+
+    j = lv.select(
+        F.col("idx").alias("j"),
+        (F.col("W") - F.col("n")).alias("w_before"),
+        (F.col("S") - F.col("sy")).alias("s_before"),
+    )
+    k = lv.select(F.col("idx").alias("k"), F.col("W").alias("w_k"), F.col("S").alias("s_k"))
+    pairs = j.join(k, F.col("j") <= F.col("k")).select(
+        "j",
+        "k",
+        (
+            (F.col("s_k") - F.col("s_before")).cast("double")
+            / (F.col("w_k") - F.col("w_before")).cast("double")
+        ).alias("avg"),
+    )
+    i = lv.select(F.col("idx").alias("i"))
+    inner = (
+        i.join(pairs, (F.col("j") <= F.col("i")) & (F.col("k") >= F.col("i")))
+        .groupBy("i", "j")
+        .agg(F.min("avg").alias("min_avg"))
+        .groupBy("i")
+        .agg(F.max("min_avg").alias("iso"))
+    )
+    return (
+        lv.join(inner, lv.idx == inner.i)
+        .select(
+            "score",
+            F.col("n").cast("bigint").alias("n_users"),
+            F.expr("sy * 10000 div n").cast("bigint").alias("conv_bp"),
+            F.expr("cast(floor(iso * 10000 + 0.5d) as bigint)").alias("iso_fit_bp"),
+        )
+    )
+
+
+ISO_CALIBRATION_SQL = f"""
+WITH users AS (
+  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT) % {ISO_LEVELS} AS score, y
+  FROM users
+),
+levels AS (SELECT score, count(*) AS n, sum(y) AS sy FROM scored GROUP BY score),
+lv AS (
+  SELECT score, n, sy,
+         row_number() OVER (ORDER BY score) AS idx,
+         sum(n) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS W,
+         sum(sy) OVER (ORDER BY score ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS S
+  FROM levels
+),
+pairs AS (
+  SELECT j.idx AS j, k.idx AS k,
+         CAST(k.S - (j.S - j.sy) AS DOUBLE) / CAST(k.W - (j.W - j.n) AS DOUBLE) AS avg
+  FROM lv j JOIN lv k ON j.idx <= k.idx
+),
+inner_min AS (
+  SELECT i.idx AS i, p.j, min(p.avg) AS min_avg
+  FROM lv i JOIN pairs p ON p.j <= i.idx AND p.k >= i.idx
+  GROUP BY i.idx, p.j
+),
+iso AS (SELECT i, max(min_avg) AS iso FROM inner_min GROUP BY i)
+SELECT lv.score,
+       CAST(lv.n AS BIGINT) AS n_users,
+       CAST(lv.sy * 10000 // lv.n AS BIGINT) AS conv_bp,
+       CAST(floor(iso.iso * 10000 + 0.5) AS BIGINT) AS iso_fit_bp
+FROM lv JOIN iso ON iso.i = lv.idx
+"""
+
+QUERIES["events_isotonic_calibration"] = events_isotonic_calibration
+ORACLES["events_isotonic_calibration"] = ISO_CALIBRATION_SQL

@@ -147,6 +147,8 @@ _DRIVER_PRIORITY = [
     "knn_ivf_pq_refine", "tokenizer_unigram_viterbi", "graph_louvain_move", "quality_importance_resampling",
     "events_uplift_qini", "hnsw_build_links", "page_resume_ledger", "hnsw_search_sim",
     "summary_budget_audit", "hnsw_recall_eval", "hnsw_insert_plan", "hnsw_search_ef",
+    # round-8 additions:
+    "embed_dbscan", "knn_mutual_graph", "events_isotonic_calibration",
 ]
 
 

@@ -71,9 +71,11 @@ OVERRIDES: dict[str, tuple[float, str]] = {
 # (documented host/noise classes — the flag stands, the note explains).
 NOTES: dict[str, str] = {
     "q21_waiting_suppliers": "host class; idle re-measure 1.155 on r7 code, AQE skew shape CI-pinned",
-    "hnsw_search_sim": "17 sequential lineage-pinned segments; +/-25% run-to-run (r7 additions note)",
+    "hnsw_search_sim": "17 sequential lineage-pinned segments; +/-25% run-to-run idle and up to ~2x under host steal (each segment pays the contention; r8 idle best 10.7 on the slow afternoon host)",
     "hnsw_recall_eval": "runs exact brute force + greedy read by definition (r7 additions note)",
     "dedup_substring_stats": "host-drift class; idle best 1.627 (1.5x) on r7 code, plan unchanged since r3",
+    "graph_modularity": "contended-host class (r8): idle best 1.93 morning / 4.42 afternoon on identical code — multi-core steal variance, plan unchanged",
+    "hnsw_insert_plan": "HNSW pair: sequential pinned segments, +/-25% run-to-run (r7 additions note); r8 idle best 2.55",
 }
 
 _ROW = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|([^|]+)\|\s*$")

@@ -46,13 +46,26 @@ def plan_tree(df) -> str:
 
 
 def missing_entries() -> list[str]:
+    """Same rule as bench._plan_gaps: "expensive" = the CURATED standing
+    value when one exists (a single reading on a contended host is not a
+    plan that got expensive), the fresh reading for brand-new queries."""
     bench = json.load(open(os.path.join(REPO, "BENCH_LOCAL.json")))
     if bench.get("sf") != 0.1:
         raise SystemExit(
             f"BENCH_LOCAL.json is at sf={bench.get('sf')}; the completeness "
             "sweep keys off the committed sf0.1 run — restore it first"
         )
-    slow = {k for k, v in bench["queries"].items() if v >= SLOW_SECONDS}
+    standing: dict[str, float] = {}
+    try:
+        with open(os.path.join(REPO, "BASELINE_STANDING.json")) as f:
+            standing = {k: v["standing"] for k, v in json.load(f)["queries"].items()}
+    except Exception:
+        pass
+    slow = {
+        k
+        for k, v in bench["queries"].items()
+        if standing.get(k, v) >= SLOW_SECONDS
+    }
     plans = set(
         re.findall(r"^## (\S+)", open(os.path.join(REPO, "PLANS.md")).read(), re.M)
     )

@@ -87,3 +87,36 @@ def test_pca_deflation_orthogonality(spark):
     lam1 = r1[0].lam_num / r1[0].lam_den
     lam2 = r2[0].lam2_num / r2[0].lam2_den
     assert lam2 <= lam1 + 1e-9
+
+
+def test_dbscan_invariants(spark):
+    """Exact-DBSCAN structure: roles partition the corpus; every core
+    meets the MINPTS bar; borders touch a core; noise touches none;
+    every cluster id is the min vec_id of its own members."""
+    rows = clustering.embed_dbscan(spark, SF_CORRECT).collect()
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        similarity_pairs,
+    )
+
+    pairs = similarity_pairs(spark, SF_CORRECT).select("id_a", "id_b").collect()
+    nbrs: dict[int, set] = {}
+    for r in pairs:
+        nbrs.setdefault(r.id_a, set()).add(r.id_b)
+        nbrs.setdefault(r.id_b, set()).add(r.id_a)
+    by_id = {r.vec_id: r for r in rows}
+    core = {r.vec_id for r in rows if r.role == "core"}
+    assert core, "no core points at the test tau/minpts"
+    clusters: dict[int, list] = {}
+    for r in rows:
+        assert r.degree == len(nbrs.get(r.vec_id, ()))
+        if r.role == "core":
+            assert r.degree >= clustering.DBSCAN_MINPTS
+            clusters.setdefault(r.cluster_id, []).append(r.vec_id)
+        elif r.role == "border":
+            assert nbrs.get(r.vec_id, set()) & core, r.vec_id
+            assert r.cluster_id != -1
+        else:
+            assert not (nbrs.get(r.vec_id, set()) & core)
+            assert r.cluster_id == -1
+    for cid, members in clusters.items():
+        assert cid == min(members), (cid, min(members))

@@ -235,3 +235,24 @@ def test_planes_memo_invalidates_on_corpus_change(spark, tmp_path):
     # buckets -> np = 5, one past the floor
     spark.range(8000).write.mode("overwrite").parquet(p)
     assert embeddings._planes_for(spark, d) == embeddings._lsh_planes(8000) == 5
+
+
+def test_mutual_graph_is_symmetric_subset(spark):
+    """Every mutual edge appears in BOTH directions of knn_graph with
+    the reported ranks; no one-directional edge survives."""
+    g = {
+        (r.vec_id, r.neighbor_id): r.rank
+        for r in embeddings.knn_graph(spark, SF_CORRECT).collect()
+    }
+    mutual = embeddings.knn_mutual_graph(spark, SF_CORRECT).collect()
+    assert mutual
+    seen = set()
+    for r in mutual:
+        assert r.id_a < r.id_b
+        assert g[(r.id_a, r.id_b)] == r.rank_ab
+        assert g[(r.id_b, r.id_a)] == r.rank_ba
+        seen.add((r.id_a, r.id_b))
+    both_dirs = {
+        (a, b) for (a, b) in g if a < b and (b, a) in g
+    }
+    assert seen == both_dirs

@@ -106,5 +106,5 @@ def test_registry_is_complete():
     every oracle belongs to a registered query."""
     from iris_project_database_refresh_spark.plans import ORACLES, QUERIES
 
-    assert len(QUERIES) >= 435, sorted(QUERIES)
+    assert len(QUERIES) >= 439, sorted(QUERIES)
     assert set(ORACLES) <= set(QUERIES)

@@ -92,3 +92,73 @@ def test_woe_shares_and_iv_consistency(spark):
         # IV contribution = share gap x WoE: never negative beyond
         # quantization dust (gap and WoE share a sign)
         assert r["iv_contrib_e10"] >= -10_000
+
+
+def test_isotonic_calibration_is_pav(spark):
+    """The minimax-formula fit must equal a plain-python
+    pool-adjacent-violators replay over the same level grid (same IEEE
+    divisions), be monotone non-decreasing, and preserve the weighted
+    mean (the PAV invariant)."""
+    from iris_project_database_refresh_spark.operators.stats import (
+        events_isotonic_calibration,
+    )
+
+    rows = sorted(
+        events_isotonic_calibration(spark, SF_CORRECT).collect(),
+        key=lambda r: r.score,
+    )
+    assert rows
+    fits = [r.iso_fit_bp for r in rows]
+    assert all(0 <= f <= 10000 for f in fits)
+    assert fits == sorted(fits), "isotonic fit is not monotone"
+
+    # independent PAV replay from the raw per-level (n, sy) grid
+    import math
+
+    from pyspark.sql import functions as F
+
+    from iris_project_database_refresh_spark.functions.text import md5_int32
+    from iris_project_database_refresh_spark.operators.stats import ISO_LEVELS
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    ev = load_table(spark, SF_CORRECT, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+    )
+    lv = (
+        users.select(
+            F.pmod(md5_int32(F.col("user_id").cast("string")), ISO_LEVELS).alias(
+                "score"
+            ),
+            "y",
+        )
+        .groupBy("score")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy"))
+        .collect()
+    )
+    grid = [(r.n, r.sy) for r in sorted(lv, key=lambda r: r.score)]
+    pools: list[list[float]] = []  # [w, s]
+    for n, sy in grid:
+        pools.append([n, sy])
+        while len(pools) > 1 and pools[-2][1] / pools[-2][0] >= pools[-1][1] / pools[-1][0]:
+            w2, s2 = pools.pop()
+            pools[-1][0] += w2
+            pools[-1][1] += s2
+    # expand pools back to levels
+    replay = []
+    it = iter(grid)
+    for w, s in pools:
+        covered = 0
+        fit = math.floor(s / w * 10000 + 0.5)
+        while covered < w:
+            n, _ = next(it)
+            covered += n
+            replay.append(fit)
+        assert covered == w, "pool boundaries must align with levels"
+    assert fits == replay
+
+    # PAV invariant: weighted mean preserved (bp rounding tolerance)
+    total_n = sum(n for n, _ in grid)
+    mean_y = sum(sy for _, sy in grid) / total_n * 10000
+    mean_fit = sum(f * r.n_users for f, r in zip(fits, rows)) / total_n
+    assert abs(mean_fit - mean_y) < 1.0
