@@ -144,3 +144,61 @@ def test_rung_key_width_bounds_candidates(rungs, bits, tau):
         B, c = banding_rung(n, rungs, bits, tau)
         if (B, c) != rungs[-1]:
             assert (1 << ((bits // B) * c)) >= n
+
+
+# --- exact→ANN backend dispatch (round-9 scale mechanization) ----------------
+#
+# similarity_pairs / knn_graph (and knn_mutual_graph through it)
+# dispatch their candidate-generation backend on the corpus row count:
+# exact blocked GEMM <= SIM_EXACT_MAX, SIM_BANDS band-salted LSH
+# bucketings above. The threshold and band count live in BOTH engines;
+# these pins extract them from the PRODUCTION oracle SQL strings (the
+# r7 ADVICE rule: a re-inlined copy can drift silently).
+
+from iris_project_database_refresh_spark.operators.embeddings import (  # noqa: E402
+    ORACLES,
+    SIM_BANDS,
+    SIM_EXACT_MAX,
+)
+
+
+@pytest.mark.parametrize("key", ["similarity_pairs", "knn_graph", "knn_mutual_graph"])
+def test_dispatch_constants_pinned_in_oracle_sql(key):
+    sql = ORACLES[key]
+    le = re.findall(r"WHERE \(SELECT n FROM cnt\) <= (\d+)", sql)
+    gt = re.findall(r"WHERE \(SELECT n FROM cnt\) > (\d+)", sql)
+    assert le and gt, f"{key}: count-gated dispatch branches missing from oracle SQL"
+    assert {int(x) for x in le + gt} == {SIM_EXACT_MAX}
+    bands = re.findall(r"unnest\(range\((\d+)\)\) AS band", sql)
+    assert bands, f"{key}: banded bucketing missing from oracle SQL"
+    assert {int(b) for b in bands} == {SIM_BANDS}
+
+
+def test_dispatch_exact_at_test_sfs():
+    """Every committed test corpus (and the sf0.1 bench corpus) sits on
+    the exact side of the dispatch, so driver hashes and standing
+    values are bit-unchanged; the 16x probe corpus (32000) swaps."""
+    for n in (500, 2000):
+        assert n <= SIM_EXACT_MAX
+    assert 16 * 2000 > SIM_EXACT_MAX
+
+
+def test_banded_bucket_sql_indexes_shared_plane_stream():
+    """Band b must draw planes [b*np, (b+1)*np) of the SAME md5 stream
+    as the single-band bucket: evaluating the band expression at
+    band=0 over a fixed vector must equal the single-band SQL."""
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        _bucket_sql_band,
+        _bucket_sql_dyn,
+    )
+
+    probe = "WITH npl AS (SELECT 5 AS np) SELECT {expr} FROM (SELECT [0.3, -1.2, 0.7, 2.5]::DOUBLE[] AS v), npl"
+    b0 = duckdb.sql(probe.format(expr=_bucket_sql_band("v", "0"))).fetchone()[0]
+    single = duckdb.sql(probe.format(expr=_bucket_sql_dyn("v"))).fetchone()[0]
+    assert b0 == single
+    # bands 1..3 use DISJOINT plane windows -> generically different ids
+    others = [
+        duckdb.sql(probe.format(expr=_bucket_sql_band("v", str(b)))).fetchone()[0]
+        for b in range(1, 4)
+    ]
+    assert len(set([b0] + others)) > 1
