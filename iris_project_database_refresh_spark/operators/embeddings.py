@@ -450,15 +450,18 @@ SIM_EXACT_MAX = 4096  # corpus rows; above → banded-LSH candidate generation
 SIM_BANDS = 4  # OR-amplification bands for the swapped path
 
 
-def _banded_buckets(emb: DataFrame, np_: int, dim: int | None) -> DataFrame:
-    """(vec_id, embedding, band, bucket): SIM_BANDS band-salted
+def _banded_buckets(
+    emb: DataFrame, np_: int, dim: int | None, extra: tuple[str, ...] = ()
+) -> DataFrame:
+    """(vec_id, embedding, *extra, band, bucket): SIM_BANDS band-salted
     hyperplane bucketings computed in ONE pass (array-of-structs then
     explode). Band b draws planes [b·np, (b+1)·np) from the shared md5
     weight stream, so band 0 equals the single-band `_bucket_expr` and
     `_bucket_sql_band` indexes the identical stream. With a known
     ``dim`` the weights are inlined as literals (`_bucket_expr_lit` —
     the fast path); dim=None falls back to the per-row md5 form,
-    bit-identical either way."""
+    bit-identical either way. ``extra`` names passthrough columns
+    (hnsw_build_links threads its layer column through)."""
     v = _as_double(F.col("embedding"))
 
     def bucket_for(b: int):
@@ -475,9 +478,12 @@ def _banded_buckets(emb: DataFrame, np_: int, dim: int | None) -> DataFrame:
             for b in range(SIM_BANDS)
         ]
     )
-    return emb.select("vec_id", "embedding", F.explode(bands).alias("g")).select(
+    return emb.select(
+        "vec_id", "embedding", *extra, F.explode(bands).alias("g")
+    ).select(
         "vec_id",
         "embedding",
+        *extra,
         F.col("g.band").alias("band"),
         F.col("g.bucket").alias("bucket"),
     )

@@ -1130,7 +1130,14 @@ def hnsw_build_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     import numpy as np
     import pandas as pd
 
-    from .embeddings import SIM_BLOCKS
+    from .embeddings import (
+        SIM_BLOCKS,
+        SIM_EXACT_MAX,
+        _banded_buckets,
+        _corpus_rows,
+        _embed_dim,
+        _lsh_planes,
+    )
 
     level_expr = (
         "size(filter(sequence(1, {cap}), k ->"
@@ -1218,7 +1225,58 @@ def hnsw_build_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             {"lyr": "int64", "vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
         ) if len(out) else empty
 
-    partials = replicated.groupBy("pa", "pb").applyInPandas(partial_topk, out_schema)
+    def topk_bucket(key, pdf):
+        """>SIM_EXACT_MAX backend (the round-9 exact→ANN dispatch, see
+        embeddings.SIM_EXACT_MAX): per-(band, bucket) GEMM with the same
+        per-layer masks — candidates restricted to banded-LSH
+        neighbors, exact scoring within the bucket."""
+        empty = pd.DataFrame(
+            {"lyr": [], "vec_id": [], "neighbor_id": [], "cosine": []}
+        ).astype(
+            {"lyr": "int64", "vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        )
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        lvl = pdf["level"].to_numpy()
+        sims = np.round(m @ m.T, 6)
+        nrows = len(ids)
+        idx = np.arange(nrows)
+        out_l, out_q, out_c, out_s = [], [], [], []
+        for qi in range(nrows):
+            row = sims[qi]
+            for lyr in range(int(lvl[qi]) + 1):
+                mask = (idx != qi) & (lvl >= lyr)
+                cand_ids, cand = ids[mask], row[mask]
+                if cand.size == 0:
+                    continue
+                cap = m0 if lyr == 0 else HNSW_M
+                order = np.lexsort((cand_ids, -cand))[:cap]
+                out_l.extend([lyr] * len(order))
+                out_q.extend([ids[qi]] * len(order))
+                out_c.extend(cand_ids[order])
+                out_s.extend(cand[order])
+        out = pd.DataFrame(
+            {"lyr": out_l, "vec_id": out_q, "neighbor_id": out_c, "cosine": out_s}
+        )
+        return out.astype(
+            {"lyr": "int64", "vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"}
+        ) if len(out) else empty
+
+    n_corpus = _corpus_rows(spark, sf_dir)
+    if n_corpus <= SIM_EXACT_MAX:
+        partials = replicated.groupBy("pa", "pb").applyInPandas(partial_topk, out_schema)
+    else:
+        banded = _banded_buckets(
+            emb, _lsh_planes(n_corpus), _embed_dim(sf_dir), extra=("level",)
+        )
+        # same-neighbor hits from several bands collapse before the merge
+        partials = (
+            banded.groupBy("band", "bucket")
+            .applyInPandas(topk_bucket, out_schema)
+            .groupBy("lyr", "vec_id", "neighbor_id")
+            .agg(F.min("cosine").alias("cosine"))
+        )
     # lossless bounded merge: the global per-(node, layer) top under
     # (cosine desc, id asc) is contained in the union of per-block tops
     merged = partials.groupBy("lyr", "vec_id").agg(
@@ -1263,15 +1321,29 @@ def hnsw_build_links(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-HNSW_LINKS_SQL = f"""
+def _hnsw_links_sql() -> str:
+    """Count-gated twin of the Spark dispatch (round-9 exact→ANN swap):
+    the exact branch ranks full per-layer membership, the banded branch
+    ranks only banded-LSH candidate pairs carried through the same
+    per-layer masks — the entry point comes from the ungated corpus
+    either way."""
+    from .embeddings import SIM_BANDS, SIM_EXACT_MAX, _bucket_sql_band, _npl_sql
+
+    cos = (
+        "round(list_dot_product(a.v, b.v) /"
+        " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
+    )
+    return f"""
 WITH d AS (
   SELECT vec_id, embedding::DOUBLE[] AS v,
          CAST(len(list_filter(range(1, {HNSW_LEVEL_CAP} + 1), k ->
               CAST('0x' || substr(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT)
               % (1::BIGINT << k) = 0)) AS INT) AS level
   FROM embeddings
-),
-n AS (SELECT vec_id, level, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+), cnt AS (SELECT count(*) AS n FROM embeddings), {_npl_sql()},
+dx AS (SELECT d.* FROM d WHERE (SELECT n FROM cnt) <= {SIM_EXACT_MAX}),
+db AS (SELECT d.* FROM d WHERE (SELECT n FROM cnt) > {SIM_EXACT_MAX}),
+n AS (SELECT vec_id, level, v, sqrt(list_dot_product(v, v)) AS nrm FROM dx),
 member AS (
   SELECT g.lyr, n.vec_id, n.v, n.nrm, n.level
   FROM n, unnest(generate_series(0, n.level)) AS g(lyr)
@@ -1286,6 +1358,26 @@ ranked AS (
     PARTITION BY lyr, vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
   FROM scored
 ),
+bucketed AS (
+  SELECT vec_id, v, level, b.band, {_bucket_sql_band("v", "b.band")} AS bucket
+  FROM db, npl, (SELECT unnest(range({SIM_BANDS})) AS band) b
+),
+cpair AS (
+  SELECT DISTINCT a.vec_id, a.level AS alevel, b.vec_id AS neighbor_id,
+         b.level AS blevel, {cos} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+mem_b AS (
+  SELECT g.lyr, c.vec_id, c.neighbor_id, c.cosine
+  FROM cpair c, unnest(generate_series(0, c.alevel)) AS g(lyr)
+  WHERE c.blevel >= g.lyr
+),
+ranked_b AS (
+  SELECT *, row_number() OVER (
+    PARTITION BY lyr, vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+  FROM mem_b
+),
 maxl AS (SELECT max(level) AS max_lvl FROM d),
 entry AS (
   SELECT min(vec_id) AS evid, max(level) AS max_lvl
@@ -1296,7 +1388,16 @@ SELECT CAST(lyr AS BIGINT) AS lyr, vec_id, CAST(rank AS BIGINT) AS rank,
        CAST(vec_id = evid AND lyr = max_lvl AS INT) AS is_entry
 FROM ranked, entry
 WHERE rank <= CASE WHEN lyr = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END
+UNION ALL
+SELECT CAST(lyr AS BIGINT) AS lyr, vec_id, CAST(rank AS BIGINT) AS rank,
+       neighbor_id, cosine,
+       CAST(vec_id = evid AND lyr = max_lvl AS INT) AS is_entry
+FROM ranked_b, entry
+WHERE rank <= CASE WHEN lyr = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END
 """
+
+
+HNSW_LINKS_SQL = _hnsw_links_sql()
 
 QUERIES["hnsw_build_links"] = hnsw_build_links
 ORACLES["hnsw_build_links"] = HNSW_LINKS_SQL

@@ -347,3 +347,27 @@ def test_hnsw_insert_plan_semantics(spark):
         assert len(rs) <= cap
         rs.sort(key=lambda r: r.rank)
         assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+
+
+def test_swapped_hnsw_build_links_matches_oracle(spark, tmp_path):
+    """Above SIM_EXACT_MAX (the round-9 exact→ANN dispatch) the banded
+    production paths of both engines must agree exactly — same corpus
+    device as tests/test_embeddings.py's swapped suite."""
+    import duckdb
+
+    from .test_embeddings import _write_big_corpus
+
+    _write_big_corpus(tmp_path, n=5000)
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    try:
+        assert_matches_oracle(
+            pq.hnsw_build_links(spark, str(tmp_path)),
+            con,
+            pq.ORACLES["hnsw_build_links"],
+        )
+    finally:
+        con.close()

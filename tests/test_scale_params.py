@@ -162,9 +162,18 @@ from iris_project_database_refresh_spark.operators.embeddings import (  # noqa: 
 )
 
 
-@pytest.mark.parametrize("key", ["similarity_pairs", "knn_graph", "knn_mutual_graph"])
+@pytest.mark.parametrize(
+    "key", ["similarity_pairs", "knn_graph", "knn_mutual_graph", "hnsw_build_links"]
+)
 def test_dispatch_constants_pinned_in_oracle_sql(key):
-    sql = ORACLES[key]
+    if key == "hnsw_build_links":
+        from iris_project_database_refresh_spark.operators.pq import (
+            ORACLES as PQ_ORACLES,
+        )
+
+        sql = PQ_ORACLES[key]
+    else:
+        sql = ORACLES[key]
     le = re.findall(r"WHERE \(SELECT n FROM cnt\) <= (\d+)", sql)
     gt = re.findall(r"WHERE \(SELECT n FROM cnt\) > (\d+)", sql)
     assert le and gt, f"{key}: count-gated dispatch branches missing from oracle SQL"
