@@ -26,6 +26,34 @@ def _sf_from_dir(d: str) -> float:
     return float(m.group(1)) if m else -1.0
 
 
+ABS_DELTA_FLOOR = 0.75  # seconds; sub-floor deltas are session noise
+
+
+def _flag_level(sec: float, standing: float) -> int:
+    """0 = inside the gate; 2 = informational >2x; 3 = >3x — a hard-gate
+    candidate that FAILS the refresh (rc != 0) when the same query was
+    already >3x in the PREVIOUS refresh record.
+
+    Both levels require sec >= 1.0 AND an absolute delta above
+    ABS_DELTA_FLOOR (round-9 fix): rounds 5–8 each burned adjudication
+    time on sub-second standing rows reading 0.3–0.5 s of session-floor
+    noise at a >2x RATIO (24 such rows in the r8 refresh alone), while
+    every >=1 s flagged row's idle re-measure landed back on standing —
+    a ratio with no absolute movement is measurement debt, not a plan
+    regression. The two-consecutive-refreshes rule on the 3x tier is
+    the hard backstop the r8 ADVICE asked for: standing values only
+    move by manual curation, so a genuine regression keeps re-flagging
+    every refresh and fails on the second, while host contention
+    ROTATES between runs (the r8 signature) and never repeats a row."""
+    if standing <= 0 or sec < 1.0 or sec - standing <= ABS_DELTA_FLOOR:
+        return 0
+    if sec > 3 * standing:
+        return 3
+    if sec > 2 * standing:
+        return 2
+    return 0
+
+
 def _plan_gaps(timings: dict[str, float], sf: float) -> list[str]:
     """Queries over the 1 s bar with no PLANS.md entry.
 
@@ -84,11 +112,13 @@ def main() -> int:
     # not a plan regression — so force the housekeeping GC and take one
     # extra repeat before recording it. Bounded: outliers only.
     prev: dict[str, float] = {}
+    prev_over3: list[str] = []
     try:
         with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_LOCAL.json")) as f:
             _prev_rec = json.load(f)
         if _prev_rec.get("sf") == _sf_from_dir(SF_DIR):
             prev = _prev_rec.get("queries", {})
+            prev_over3 = _prev_rec.get("over_3x", [])
     except Exception:
         pass
 
@@ -163,6 +193,7 @@ def main() -> int:
     std_path = os.path.join(
         os.path.dirname(os.path.abspath(__file__)), "BASELINE_STANDING.json"
     )
+    repeat_fail: list[str] = []
     if sf == 0.1 and os.path.exists(std_path):
         try:
             with open(std_path) as f:
@@ -183,17 +214,33 @@ def main() -> int:
                 with open(std_path, "w") as f:
                     json.dump(std_rec, f, indent=1)
                     f.write("\n")
+            levels = {
+                k: _flag_level(v, std[k]["standing"]) for k, v in timings.items()
+            }
             over = {
                 k: {"sec": v, "standing": std[k]["standing"],
                     **({"note": std[k]["note"]} if "note" in std[k] else {})}
                 for k, v in timings.items()
-                if v >= 1.0 and std[k]["standing"] > 0 and v > 2 * std[k]["standing"]
+                if levels[k] >= 2
             }
             if over:
                 full["over_2x"] = over
                 print(
                     ">2x standing rows this refresh: "
                     + ", ".join(f"{k} {v['sec']}s vs {v['standing']}s" for k, v in over.items()),
+                    file=sys.stderr,
+                )
+            over3 = sorted(k for k, lv in levels.items() if lv == 3)
+            if over3:
+                full["over_3x"] = over3
+            repeat_fail = sorted(set(over3) & set(prev_over3))
+            if repeat_fail:
+                full["regression_fail"] = repeat_fail
+                print(
+                    "REGRESSION FAILURE: >3x standing in two consecutive "
+                    "refreshes: " + ", ".join(repeat_fail) + " — idle "
+                    "re-measure and either fix the plan or curate the "
+                    "standing value in BASELINE.md before committing.",
                     file=sys.stderr,
                 )
         except Exception as exc:  # the gate must never break the bench contract
@@ -234,10 +281,11 @@ def main() -> int:
         line = json.dumps(compact)
     print(line, flush=True)
     spark.stop()
-    # Refuse, don't just detect: a refresh that recorded plan_gaps must not
-    # sit quietly in the tree — rc != 0 makes the gap impossible to miss.
-    # (The artifact is still written above so the gaps are inspectable.)
-    return 1 if gaps else 0
+    # Refuse, don't just detect: a refresh that recorded plan_gaps or a
+    # two-consecutive->3x regression must not sit quietly in the tree —
+    # rc != 0 makes it impossible to miss. (The artifact is still written
+    # above so the rows are inspectable.)
+    return 1 if gaps or repeat_fail else 0
 
 
 if __name__ == "__main__":

@@ -215,7 +215,59 @@ def test_bench_refuses_on_plan_gaps():
 
     # the refuse path: main() must propagate gaps into its exit status
     src = inspect.getsource(bench.main)
-    assert "return 1 if gaps else 0" in src, "bench.main no longer refuses on plan_gaps"
+    assert (
+        "return 1 if gaps or repeat_fail else 0" in src
+    ), "bench.main no longer refuses on plan_gaps / repeated regressions"
+
+
+def test_bench_flag_level_has_absolute_delta_floor():
+    """Round-9 gate rework (r8 verdict item 3 + ADVICE): the >2x ratio
+    flag needs an absolute-delta floor so sub-second session-floor
+    noise stops paging (24 false flags in the r8 refresh), and the >3x
+    tier is the hard backstop — it fails the refresh when repeated in
+    two consecutive refreshes (a genuine regression re-flags every
+    refresh because standing only moves by manual curation; host
+    contention rotates)."""
+    import importlib.util
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    fl = bench._flag_level
+
+    # the r8 false-flag class: sub-second standing, sub-second or
+    # small-delta contended reading — silent now
+    assert fl(0.50, 0.16) == 0  # q6_revenue_change's r8 reading (4.96x!)
+    assert fl(0.96, 0.30) == 0  # sec < 1.0
+    assert fl(1.30, 0.60) == 0  # delta 0.70 <= floor
+    # genuine movement still flags
+    assert fl(4.633, 2.099) == 2  # unigram_prune_scores' r8 reading
+    assert fl(2.875, 0.888) == 3  # q20's r8 contended reading — 3x tier
+    assert fl(9.0, 2.0) == 3
+    # standing-less / zero-standing rows never flag here (seeded first)
+    assert fl(5.0, 0.0) == 0
+
+
+def test_bench_hard_gates_repeated_3x_regressions():
+    """The repeat rule itself: over_3x ∩ previous over_3x fails; a
+    rotating one-off does not — asserted against main()'s source so a
+    refactor can't silently drop the backstop."""
+    import importlib.util
+    import inspect
+    import os
+
+    spec = importlib.util.spec_from_file_location(
+        "bench", os.path.join(os.path.dirname(__file__), "..", "bench.py")
+    )
+    bench = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(bench)
+    src = inspect.getsource(bench.main)
+    assert "set(over3) & set(prev_over3)" in src
+    assert '"regression_fail"' in src
+    assert 'prev_over3 = _prev_rec.get("over_3x", [])' in src
 
 
 # The 10 operators the round-6 verdict flagged as the single-task
