@@ -23,9 +23,13 @@ Rules, in order:
    * wider tables (re-measure adjudications, 16x probes) are NOT
      standing tables and are skipped mechanically.
 2. Explicit overrides for the narrated resets whose standing value
-   lives in prose or in a re-measure table the text declares standing
-   (each carries its BASELINE.md anchor). Overrides lose to any LATER
-   mechanical table row (none today — asserted).
+   lives in prose or in a re-measure table the text declares standing.
+   Each override carries a literal ANCHOR snippet that must occur in
+   BASELINE.md (asserted — a vanished anchor is a curation bug), and an
+   override LOSES to any mechanical table row that appears AFTER its
+   anchor line (r8 ADVICE fix: the old code applied overrides
+   unconditionally, so a later reset row for an overridden query was
+   silently ignored).
 
 Regenerate with ``python scripts/baseline_standing.py`` after editing
 BASELINE.md; bench.py auto-seeds rows for brand-new queries so the
@@ -43,35 +47,68 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 MD = os.path.join(ROOT, "BASELINE.md")
 OUT = os.path.join(ROOT, "BASELINE_STANDING.json")
 
-# Narrated resets: query -> (standing seconds, "BASELINE.md anchor + why").
-# Only entries whose declared-standing value does NOT appear in a later
-# mechanical table row belong here.
-OVERRIDES: dict[str, tuple[float, str]] = {
+# Narrated resets: query -> (standing seconds, why, anchor snippet).
+# The anchor is a LITERAL substring of the BASELINE.md line (or section)
+# the value was declared in; the override applies only while no
+# mechanical table row for the query appears after that line.
+OVERRIDES: dict[str, tuple[float, str, str]] = {
     # r4 re-measure: "The r4 numbers above are the new standing reference"
-    "collocations_pmi": (1.302, "r4 re-measure idle best; testdata-regeneration drift"),
-    "q17_small_qty_revenue": (0.580, "r4 re-measure idle best; within family noise"),
+    "collocations_pmi": (
+        1.302, "r4 re-measure idle best; testdata-regeneration drift",
+        "The r4 numbers above are the new standing reference",
+    ),
+    "q17_small_qty_revenue": (
+        0.580, "r4 re-measure idle best; within family noise",
+        "The r4 numbers above are the new standing reference",
+    ),
     # r5 re-measure: "The steady-state numbers above are the standing
     # reference for these three from round 5 on"
-    "approx_distinct_kmv": (0.723, "r5 re-measure steady-state best"),
-    "heavy_hitters_cms": (0.745, "r5 re-measure steady-state best (in-bench class)"),
-    "events_dedup": (0.384, "r5 re-measure steady-state best"),
+    "approx_distinct_kmv": (
+        0.723, "r5 re-measure steady-state best",
+        "steady-state numbers above are the standing",
+    ),
+    "heavy_hitters_cms": (
+        0.745, "r5 re-measure steady-state best (in-bench class)",
+        "steady-state numbers above are the standing",
+    ),
+    "events_dedup": (
+        0.384, "r5 re-measure steady-state best",
+        "steady-state numbers above are the standing",
+    ),
     # r6 re-measure: "Standing number for the noise protocol going
     # forward: ~0.5 s class" (second warmed session best-of-3)
-    "page_boundaries": (0.522, "r6 re-measure; 0.5 s class standing note"),
+    "page_boundaries": (
+        0.522, "r6 re-measure; 0.5 s class standing note",
+        "Standing number for the noise protocol going",
+    ),
     # intentional reset section: real per-page Ogg CRC verification
-    "multimodal_ogg_pages": (2.412, "intentional reset 0.319 -> 2.412 (Ogg CRC plant)"),
+    "multimodal_ogg_pages": (
+        2.412, "intentional reset 0.319 -> 2.412 (Ogg CRC plant)",
+        "intentional baseline reset (0.319 -> 2.412)",
+    ),
     # r7 second refresh: "New headline rows (effective standing
-    # baselines)" — prose-only, supersede the r7 additions table rows
-    "hnsw_search_ef": (7.664, "r7 second-refresh headline row (post-close addition)"),
-    "hnsw_recall_eval": (7.206, "r7 second-refresh headline row (adaptive depth)"),
-    "hnsw_search_sim": (5.945, "r7 second-refresh headline row (adaptive depth)"),
+    # baselines)" — prose-only, superseded the r7 additions table rows
+    # (and are themselves superseded by the round-9 fused-descent
+    # mechanical table — the anchor rule retires them automatically)
+    "hnsw_search_ef": (
+        7.664, "r7 second-refresh headline row (post-close addition)",
+        "New headline rows (effective standing",
+    ),
+    "hnsw_recall_eval": (
+        7.206, "r7 second-refresh headline row (adaptive depth)",
+        "New headline rows (effective standing",
+    ),
+    "hnsw_search_sim": (
+        5.945, "r7 second-refresh headline row (adaptive depth)",
+        "New headline rows (effective standing",
+    ),
 }
 
 # Non-reset standing NOTES the 2x gate should surface next to a flag
 # (documented host/noise classes — the flag stands, the note explains).
 NOTES: dict[str, str] = {
     "q21_waiting_suppliers": "host class; idle re-measure 1.155 on r7 code, AQE skew shape CI-pinned",
-    "hnsw_search_sim": "17 sequential lineage-pinned segments; +/-25% run-to-run idle and up to ~2x under host steal (each segment pays the contention; r8 idle best 10.7 on the slow afternoon host)",
+    "hnsw_search_sim": "sequential descent segments (r9: fused top hops + join-free probes cut them to ~l_cut-1); each segment pays host steal, +/-25% run-to-run idle",
     "hnsw_recall_eval": "runs exact brute force + greedy read by definition (r7 additions note)",
     "dedup_substring_stats": "host-drift class; idle best 1.627 (1.5x) on r7 code, plan unchanged since r3",
     "graph_modularity": "contended-host class (r8): idle best 1.93 morning / 4.42 afternoon on identical code — multi-core steal variance, plan unchanged",
@@ -84,8 +121,10 @@ _ROW3 = re.compile(r"^\|\s*([a-z0-9_]+)\s*\|[^|]+\|([^|]+)\|\s*$")
 
 def parse(md_path: str = MD) -> dict[str, dict]:
     queries: dict[str, dict] = {}
+    last_row_line: dict[str, int] = {}  # query -> line of its LAST mechanical row
     heading = ""
     conversion_table = False
+    md_lines: list[str] = open(md_path).read().splitlines()
 
     def record(name: str, value: float, line_no: int, how: str) -> None:
         ref = f"BASELINE.md:{line_no} ({heading.strip('# ').strip()}; {how})"
@@ -94,31 +133,51 @@ def parse(md_path: str = MD) -> dict[str, dict]:
             ent["history"].append({"value": ent["standing"], "ref": ent["ref"]})
         ent["standing"] = value
         ent["ref"] = ref
+        last_row_line[name] = line_no
 
-    with open(md_path) as f:
-        for i, line in enumerate(f, start=1):
-            if line.startswith("#"):
-                heading = line.strip()
-                conversion_table = False
-                continue
-            if line.startswith("| query |"):
-                cols = [c.strip() for c in line.strip().strip("|").split("|")]
-                conversion_table = cols == ["query", "r6 (single-task)", "r7 (distributed)"]
-                continue
-            if conversion_table:
-                m = _ROW3.match(line)
-                if m:
-                    record(m.group(1), float(m.group(2)), i, "r7 conversion reset")
-                continue
-            m = _ROW.match(line)
+    for i, line in enumerate(md_lines, start=1):
+        if line.startswith("#"):
+            heading = line.strip()
+            conversion_table = False
+            continue
+        if line.startswith("| query |"):
+            cols = [c.strip() for c in line.strip().strip("|").split("|")]
+            conversion_table = cols == ["query", "r6 (single-task)", "r7 (distributed)"]
+            continue
+        if conversion_table:
+            m = _ROW3.match(line)
             if m:
-                try:
-                    v = float(m.group(2))
-                except ValueError:
-                    continue
-                record(m.group(1), v, i, "first-measured table")
+                record(m.group(1), float(m.group(2)), i, "r7 conversion reset")
+            continue
+        m = _ROW.match(line)
+        if m:
+            try:
+                v = float(m.group(2))
+            except ValueError:
+                continue
+            record(m.group(1), v, i, "first-measured table")
 
-    for name, (v, why) in OVERRIDES.items():
+    for name, (v, why, anchor) in OVERRIDES.items():
+        anchor_line = next(
+            (i for i, ln in enumerate(md_lines, start=1) if anchor in ln), None
+        )
+        assert anchor_line is not None, (
+            f"OVERRIDES[{name!r}]: anchor {anchor!r} not found in BASELINE.md — "
+            "the narrated reset this override cites was edited away"
+        )
+        if last_row_line.get(name, -1) > anchor_line:
+            # a LATER mechanical table row superseded the narrated reset
+            # (r8 ADVICE fix) — the mechanical value stands; keep the
+            # override visible in history so the retirement is auditable
+            queries[name]["history"].append(
+                {"value": v, "ref": f"OVERRIDES retired by later row ({why})"}
+            )
+            print(
+                f"override for {name} retired: mechanical row at line "
+                f"{last_row_line[name]} postdates anchor line {anchor_line}",
+                file=sys.stderr,
+            )
+            continue
         ent = queries.setdefault(name, {"history": []})
         if "standing" in ent:
             ent["history"].append({"value": ent["standing"], "ref": ent["ref"]})
