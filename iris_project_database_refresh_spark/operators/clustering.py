@@ -909,6 +909,24 @@ def embed_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("label"), F.coalesce(F.col("nb_label"), F.col("label"))
             ).alias("label"),
         )
+        # pointer-jump (path halving, r8 ADVICE fix): label <-
+        # label(label). Min-label alone covers only diameter <=
+        # DBSCAN_CC_ROUNDS hops and epsilon-graphs grow long transitive
+        # chains; with the jump each round roughly DOUBLES the covered
+        # radius (~2^8 at 8 rounds — the large-star/small-star bound
+        # dedup_components documents). label values are always core
+        # vec_ids, so the self-join hits; left+coalesce is belt and
+        # braces. The recursive-CTE oracle is the exact fixpoint, so
+        # any residual under-coverage is a hash mismatch, not a silent
+        # fragmentation.
+        jump = labels.select(
+            F.col("vec_id").alias("jv"), F.col("label").alias("jl")
+        )
+        labels = labels.join(
+            jump, labels.label == jump.jv, "left"
+        ).select(
+            "vec_id", F.coalesce(F.col("jl"), F.col("label")).alias("label")
+        )
         # labels feeds BOTH sides of the next round (neighbor_min and
         # the left join) — un-pinned the plan doubles per round
         # (2^rounds re-evaluations: 34 s vs 4.6 s at sf0.1). Pinning
@@ -949,20 +967,17 @@ def embed_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _dbscan_sql() -> str:
-    from .embeddings import PAIR_TAU
+    # the pair CTE is the PRODUCTION similarity_pairs oracle, count-
+    # gated dispatch included (round 9): above SIM_EXACT_MAX the Spark
+    # side's banded pairs and this oracle's banded branch stay in
+    # lockstep — re-inlining the exact all-pairs join here would
+    # hash-mismatch the moment the dispatch swaps.
+    from .embeddings import SIMILARITY_PAIRS_SQL
 
-    cos = (
-        "round(list_dot_product(a.v, b.v) /"
-        " (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)"
-    )
     return f"""
-WITH RECURSIVE d AS (
-  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
-),
+WITH RECURSIVE
 pairs AS (
-  SELECT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM d a JOIN d b ON a.vec_id < b.vec_id
-  WHERE {cos} >= {PAIR_TAU}
+  SELECT id_a, id_b FROM ({SIMILARITY_PAIRS_SQL})
 ),
 edges AS (
   SELECT id_a, id_b FROM pairs UNION ALL SELECT id_b, id_a FROM pairs

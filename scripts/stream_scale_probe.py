@@ -14,10 +14,11 @@ drain:
   Holt-Winters rings): state rows should track the KEY cardinality
   (users / types / docs), never the event volume.
 
-Sinks (snapshot/upsert) write into a throwaway /tmp dir per run; the
+Sinks (snapshot/upsert) write into a throwaway /tmp dir per run. The
 media-intake twin is file-grain (scales with file COUNT by the
-binaryFile source's own parallelism) and has no events-derived 16x
-corpus, so it is out of scope here and noted in BASELINE.md.
+binaryFile source's own parallelism), so it gets its own planted-file
+probe (``probe_media_intake``, round 9): 64 -> 1024 files, drain ==
+batch asserted, wall ratio against the same band.
 
 Usage: python scripts/stream_scale_probe.py [name ...]   (no args = all)
 """
@@ -193,16 +194,114 @@ def _mk(spark, sf_dir, tag):
     }
 
 
+MEDIA_1X = 64  # planted file count at 1x; 16x -> 1024 files
+
+
+def _plant_media(d: str, n_files: int) -> None:
+    """Deterministic media corpus: wav/jpeg/txt round-robin with
+    per-index payload sizes (the intake's three sniff classes)."""
+    import struct
+
+    if os.path.isdir(d) and len(os.listdir(d)) == n_files:
+        return
+    os.makedirs(d, exist_ok=True)
+
+    def wav(i: int) -> bytes:
+        data = b"ab" * (10 + i % 37)
+        return (
+            b"RIFF" + struct.pack("<I", 36 + len(data)) + b"WAVE"
+            + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 16000, 64000, 4, 16)
+            + b"data" + struct.pack("<I", len(data)) + data
+        )
+
+    def jpeg(i: int) -> bytes:
+        return (
+            b"\xff\xd8"
+            + b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00" + b"\x00" * 9
+            + b"\xff\xc0" + struct.pack(">H", 17) + b"\x08"
+            + struct.pack(">HH", 480 + i % 7, 640)
+            + b"\x03" + b"\x00" * 9
+            + b"\xff\xd9"
+        )
+
+    for i in range(n_files):
+        kind = i % 3
+        if kind == 0:
+            payload, ext = wav(i), "wav"
+        elif kind == 1:
+            payload, ext = jpeg(i), "jpg"
+        else:
+            payload, ext = (b"plain text %d " % i) * (1 + i % 5), "txt"
+        with open(os.path.join(d, f"f{i:05d}.{ext}"), "wb") as f:
+            f.write(payload)
+
+
+def probe_media_intake(spark) -> None:
+    """16x FILE-COUNT probe for the media-intake twin (r8 verdict item
+    5 — the one twin the events-derived 16x corpus can't drive): plant
+    MEDIA_1X and 16x MEDIA_1X files, drain the streaming manifest over
+    each, assert drain == batch row-for-count, and report the wall
+    ratio against the same linear-masked band as every other probe."""
+    from iris_project_database_refresh_spark.sources.binaryfiles import (
+        media_intake_manifest,
+    )
+    from iris_project_database_refresh_spark.streaming.media_intake import (
+        stream_binary_dir,
+        streaming_media_manifest,
+    )
+
+    walls = {}
+    for scale, n_files in (("1x", MEDIA_1X), (f"{COPIES}x", MEDIA_1X * COPIES)):
+        d = f"/tmp/media_probe_{n_files}"
+        _plant_media(d, n_files)
+        # untimed warm drain on a throwaway name: session/codegen warmup
+        if scale == "1x":
+            wq = _memory_sink(
+                streaming_media_manifest(stream_binary_dir(spark, d)),
+                "p_media_warm",
+                "append",
+            )
+            wq.awaitTermination()
+        t0 = time.perf_counter()
+        q = _memory_sink(
+            streaming_media_manifest(stream_binary_dir(spark, d)),
+            f"p_media_{scale}",
+            "append",
+        )
+        q.awaitTermination()
+        walls[scale] = round(time.perf_counter() - t0, 2)
+        drained = spark.sql(f"SELECT count(*) FROM p_media_{scale}").first()[0]
+        batch = media_intake_manifest(spark, d).count()
+        assert drained == batch == n_files, (scale, drained, batch, n_files)
+    ratio = walls[f"{COPIES}x"] / max(walls["1x"], 1e-9)
+    print(
+        f"media_intake: {MEDIA_1X} files {walls['1x']}s -> "
+        f"{MEDIA_1X * COPIES} files {walls[f'{COPIES}x']}s"
+        f" ({ratio:.1f}x wall for {COPIES}x files; drain==batch asserted)",
+        flush=True,
+    )
+
+
 def main(names: list[str]) -> int:
     build_corpus()
     from iris_project_database_refresh_spark.session import get_session
 
     spark = get_session("stream-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+    # r8 ADVICE: recentProgress is a ring buffer capped at
+    # numRecentProgressUpdates (default 100) entries — a 16x availableNow
+    # drain that executes more micro-batches would drop its EARLY
+    # progress events and _drain could under-report the peak state
+    # footprint this probe exists to measure. Raise the cap far above
+    # any drain's batch count for the probe session.
+    spark.conf.set("spark.sql.streaming.numRecentProgressUpdates", "10000")
     all_names = list(_mk(spark, SRC, "warm"))
-    names = names or all_names
+    names = names or all_names + ["media_intake"]
     bad = 0
     for name in names:
+        if name == "media_intake":
+            probe_media_intake(spark)
+            continue
         if name not in all_names:
             print(f"{name}: UNKNOWN (choose from {all_names})", flush=True)
             bad += 1

@@ -120,3 +120,51 @@ def test_dbscan_invariants(spark):
             assert r.cluster_id == -1
     for cid, members in clusters.items():
         assert cid == min(members), (cid, min(members))
+
+
+def test_dbscan_long_chain_converges(spark, tmp_path):
+    """r8 ADVICE: epsilon-graphs grow long transitive chains, and
+    min-label alone only covers DBSCAN_CC_ROUNDS hops. Plant a chain of
+    diameter ~22 (>> 8): v_i = (e_i + e_{i+1})/sqrt(2) gives adjacent
+    cosine 0.5 >= tau and skip cosine 0 < tau; tripling each node makes
+    everyone core under MINPTS=3. The pointer-jump rounds must collapse
+    the WHOLE chain to one cluster — checked against the exact
+    recursive-CTE fixpoint oracle, which would hash-mismatch on any
+    silent fragmentation."""
+    import duckdb
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    dim, n_nodes, copies = 24, 23, 3
+    rows = []
+    vid = 0
+    for i in range(n_nodes):
+        v = np.zeros(dim, dtype=np.float32)
+        v[i] = v[i + 1] = 1.0 / np.sqrt(2.0)
+        for _ in range(copies):
+            rows.append((vid, v))
+            vid += 1
+    tbl = pa.table(
+        {
+            "vec_id": pa.array([r[0] for r in rows], pa.int64()),
+            "embedding": pa.array([r[1] for r in rows], pa.list_(pa.float32())),
+            "label": pa.array([0] * len(rows), pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    out = clustering.embed_dbscan(spark, str(tmp_path))
+    got = out.collect()
+    assert all(r.role == "core" for r in got)
+    assert {r.cluster_id for r in got} == {0}, "chain fragmented"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{tmp_path}/embeddings.parquet')"
+    )
+    try:
+        assert_matches_oracle(out, con, clustering.ORACLES["embed_dbscan"])
+    finally:
+        con.close()
