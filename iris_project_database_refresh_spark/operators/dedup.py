@@ -1847,6 +1847,138 @@ QUERIES["dedup_band_sweep"] = dedup_band_sweep
 ORACLES["dedup_band_sweep"] = DEDUP_BAND_SWEEP_SQL
 
 
+# --- MinHash TABLE-COUNT dial (r7 backlog item 8, shipped round 9) -----------
+#
+# The OTHER axis of LSH tuning, complementing dedup_band_sweep: the
+# sweep re-BANDS the same 16 signatures into different (bands x rows)
+# shapes; this dial holds the production shape fixed (4 rows per key,
+# the BANDS x ROWS_PER_BAND config) and measures the MARGINAL value of
+# each additional hash TABLE — the first L of the production bands
+# read as L independent tables, candidates = collide-in-any-of-first-L.
+# Per L: cumulative candidate volume (the memory/shuffle cost a
+# deployment pays per extra table), verified pairs, precision, and
+# recall vs the full 4-table production answer — the "how many tables
+# do I actually need" curve (OR-amplification: recall(L) rises with L,
+# precision falls, cost grows ~linearly).
+#
+# Shape: ONE bucket self-join (the _minhash_pairs narrow-id shape)
+# tagged with min(band_idx) = the FIRST table each pair collides in;
+# the per-table marginal aggregate is <= BANDS rows, broadcast against
+# the L ladder — no per-L re-join, so the dial costs one pass over the
+# production candidate set.  Oracle: same construction, cumulative
+# sums over the same <= BANDS-row grid.
+
+def dedup_minhash_tables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", "hashes", *_minhash_sigs()).localCheckpoint(eager=False)
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{b * ROWS_PER_BAND + r}") for r in range(ROWS_PER_BAND)]
+        ).alias(f"band{b}")
+        for b in range(BANDS)
+    ]
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    first_hit = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.min("a.band_idx").alias("first_table"))
+    )
+    hs = sigs.select("doc_id", "hashes")
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    per_table = (
+        first_hit.join(
+            hs.select(F.col("doc_id").alias("id_a"), F.col("hashes").alias("sh_a")),
+            "id_a",
+        )
+        .join(
+            hs.select(F.col("doc_id").alias("id_b"), F.col("hashes").alias("sh_b")),
+            "id_b",
+        )
+        .groupBy("first_table")
+        .agg(
+            F.count(F.lit(1)).alias("n_cand"),
+            F.sum(((inter / union) >= JACCARD_TAU).cast("bigint")).alias("n_ver"),
+        )
+        # pinned: the <= BANDS-row marginal table feeds BOTH the ladder
+        # join and the recall denominator — un-pinned the whole
+        # candidate pipeline ran twice (4.0 s -> 2.3 s at sf0.1)
+        .localCheckpoint(eager=False)
+    )
+    ladder = spark.range(1, BANDS + 1).select(F.col("id").alias("n_tables"))
+    cum = (
+        ladder.join(F.broadcast(per_table), F.col("first_table") < F.col("n_tables"))
+        .groupBy("n_tables")
+        .agg(
+            F.sum("n_cand").alias("n_candidates"),
+            F.sum("n_ver").alias("n_verified"),
+        )
+    )
+    total = per_table.agg(F.sum("n_ver").alias("total_ver"))
+    return cum.crossJoin(F.broadcast(total)).select(
+        "n_tables",
+        "n_candidates",
+        "n_verified",
+        F.expr("n_verified * 10000 div n_candidates").alias("precision_bp"),
+        F.expr("n_verified * 10000 div total_ver").alias("recall_bp"),
+    )
+
+
+DEDUP_MINHASH_TABLES_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, hashes,
+         {_minhash_sql_sigs()}
+  FROM sh
+),
+buckets AS (
+  SELECT doc_id, band_idx, band_key
+  FROM sigs, LATERAL (VALUES {", ".join(f"({b}, {_band_sql(b)})" for b in range(BANDS))}) AS v(band_idx, band_key)
+),
+first_hit AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, min(a.band_idx) AS first_table
+  FROM buckets a JOIN buckets b
+    ON a.band_idx = b.band_idx AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+),
+per_table AS (
+  SELECT first_table, count(*) AS n_cand,
+         CAST(sum(CASE WHEN len(list_intersect(sa.hashes, sb.hashes))
+              / CAST(len(sa.hashes) + len(sb.hashes) - len(list_intersect(sa.hashes, sb.hashes)) AS DOUBLE)
+              >= {JACCARD_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_ver
+  FROM first_hit
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+  GROUP BY 1
+),
+cum AS (
+  SELECT l.n_tables, CAST(sum(p.n_cand) AS BIGINT) AS n_candidates,
+         CAST(sum(p.n_ver) AS BIGINT) AS n_verified
+  FROM (SELECT unnest(range(1, {BANDS} + 1)) AS n_tables) l
+  JOIN per_table p ON p.first_table < l.n_tables
+  GROUP BY 1
+)
+SELECT n_tables, n_candidates, n_verified,
+       CAST(n_verified * 10000 // n_candidates AS BIGINT) AS precision_bp,
+       CAST(n_verified * 10000 // (SELECT sum(n_ver) FROM per_table) AS BIGINT) AS recall_bp
+FROM cum
+"""
+
+QUERIES["dedup_minhash_tables"] = dedup_minhash_tables
+ORACLES["dedup_minhash_tables"] = DEDUP_MINHASH_TABLES_SQL
+
+
 # --- near-dup graph degree statistics ----------------------------------------
 
 def dedup_graph_degree_stats(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -209,3 +209,23 @@ def test_phash_pair_set_identical_at_every_rung(spark):
     assert base, "no phash pairs at the smoke SF"
     for rung in mm.PH_RUNGS[1:]:
         assert pairs(rung) == base, rung
+
+
+def test_minhash_tables_dial_invariants(spark):
+    """The table-count dial must be cumulative and converge to the
+    production answer: candidates/verified monotone nondecreasing in
+    n_tables, recall_bp == 10000 at L=BANDS, and the L=BANDS verified
+    count equals the production dedup_minhash_lsh pair count (same
+    banding, same tau)."""
+    rows = sorted(
+        dedup.dedup_minhash_tables(spark, SF_CORRECT).collect(),
+        key=lambda r: r.n_tables,
+    )
+    assert [r.n_tables for r in rows] == list(range(1, dedup.BANDS + 1))
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur.n_candidates >= prev.n_candidates
+        assert cur.n_verified >= prev.n_verified
+        assert cur.recall_bp >= prev.recall_bp
+    assert rows[-1].recall_bp == 10000
+    production = dedup.dedup_minhash_lsh(spark, SF_CORRECT).count()
+    assert rows[-1].n_verified == production
