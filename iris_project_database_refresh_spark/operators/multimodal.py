@@ -5637,3 +5637,248 @@ FROM g
 
 QUERIES["multimodal_pdf_merge_write"] = multimodal_pdf_merge_write
 ORACLES["multimodal_pdf_merge_write"] = _pmw_oracle_sql()
+
+
+# --- xlsx multi-sheet SPLIT PLAN (the excel-prep row->document grain) ---------
+#
+# Reference parity: `catalog search - excel prep/excel_to_pdf_prep.py`
+# reads ONE configured sheet of the workbook (EXCEL_SHEET_NAME,
+# excel_to_pdf_prep.py:56), converts EACH ROW to a standalone PDF
+# ("... - Row X.pdf", :52) for the catalog intake, and merely lists the
+# other sheets when the target is missing (:167). The stage_00-class
+# planning decision generalized here: per workbook sheet, decide
+# whether it becomes row-grain documents (a ledger sheet: all-text
+# header row, >= 2 columns, >= 3 data rows — the APG-wiki shape), ONE
+# document (narrative sheet), or nothing (empty or hidden sheets).
+#
+# Plant: multi-sheet workbooks (n_sheets = doc_id % 3 + 1) with four
+# per-sheet classes keyed c = (doc_id + s) % 4 — 0: ledger (text
+# header + doc_id % 7 + 5 numeric rows over 2 + (doc_id+s) % 3 cols),
+# 1: narrative (1 col, 2 text rows), 2: empty, 3: hidden-with-rows.
+# The kernel REALLY walks xl/workbook.xml (sheet names, visibility,
+# order; sheets map positionally to xl/worksheets/sheetN.xml — the
+# plant writes them positionally, so the rels indirection is out of
+# scope) and each worksheet (row count, max cells per row, first-row
+# inlineStr texts, their md5), so a mis-walk hash-mismatches; the
+# oracle recomputes every field from the plant arithmetic.
+# Scale: same contract as every sibling kernel — file-parallel
+# payloads, O(bytes)/row, no shuffle.
+
+XLSX_PLAN_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType()),
+        T.StructField("sheet_idx", T.LongType()),
+        T.StructField("sheet_name", T.StringType()),
+        T.StructField("hidden", T.LongType()),
+        T.StructField("n_rows", T.LongType()),
+        T.StructField("n_cols", T.LongType()),
+        T.StructField("header_text_cells", T.LongType()),
+        T.StructField("header_md5", T.StringType()),
+        T.StructField("decision", T.StringType()),
+        T.StructField("n_docs_planned", T.LongType()),
+        T.StructField("parser", T.StringType()),
+    ]
+)
+
+_XLSX_PLAN_MIN_COLS = 2  # ledger heuristic: at least this many columns
+_XLSX_PLAN_MIN_DATA_ROWS = 3  # ... and this many data rows under the header
+
+
+def xlsx_plan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(media_id, payload): multi-sheet xlsx workbooks (plant above)."""
+    docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 1)
+
+    wb_xml = F.concat(
+        F.lit(f'<?xml version="1.0"?><workbook xmlns="{_OOXML_S_NS}"><sheets>'),
+        F.expr(
+            "array_join(transform(sequence(0, doc_id % 3), s -> concat("
+            "'<sheet name=\"S', s, '_',"
+            " substring(md5(concat(cast(doc_id as string), ':ws:', s)), 1, 8),"
+            " '\" sheetId=\"', s + 1, '\"',"
+            " if((doc_id + s) % 4 = 3, ' state=\"hidden\"', ''),"
+            " '/>')), '')"
+        ),
+        F.lit("</sheets></workbook>"),
+    )
+
+    def sheet_xml(s: int):
+        header = (
+            "array_join(transform(sequence(1, 2 + (doc_id + {s}) % 3), j -> concat("
+            "'<c r=\"', chr(64 + j), '1\" t=\"inlineStr\"><is><t>H', j - 1, '_',"
+            " substring(md5(concat(cast(doc_id as string), ':hd:{s}:', j - 1)), 1, 6),"
+            " '</t></is></c>')), '')"
+        ).format(s=s)
+        data_rows = (
+            "array_join(transform(sequence(2, doc_id % 7 + 6), r -> concat("
+            "'<row r=\"', r, '\">',"
+            " array_join(transform(sequence(1, 2 + (doc_id + {s}) % 3), j -> concat("
+            "'<c r=\"', chr(64 + j), r, '\"><v>',"
+            " (doc_id * 31 + r * 7 + j) % 100000, '</v></c>')), ''),"
+            " '</row>')), '')"
+        ).format(s=s)
+        text_rows = (
+            "array_join(transform(sequence(1, {n}), r -> concat("
+            "'<row r=\"', r, '\"><c r=\"A', r, '\" t=\"inlineStr\"><is><t>T', r, '_',"
+            " substring(md5(concat(cast(doc_id as string), ':{seed}:{s}:', r)), 1, 8),"
+            " '</t></is></c></row>')), '')"
+        )
+        body = (
+            "case when (doc_id + {s}) % 4 = 0 then concat('<row r=\"1\">', {header}, '</row>', {data})"
+            " when (doc_id + {s}) % 4 = 1 then {narr}"
+            " when (doc_id + {s}) % 4 = 2 then ''"
+            " else {hid} end"
+        ).format(
+            s=s,
+            header=header,
+            data=data_rows,
+            narr=text_rows.format(n=2, seed="nr", s=s),
+            hid=text_rows.format(n=3, seed="hr", s=s),
+        )
+        return F.concat(
+            F.lit(f'<?xml version="1.0"?><worksheet xmlns="{_OOXML_S_NS}"><sheetData>'),
+            F.expr(f"if({s} <= doc_id % 3, {body}, '')"),
+            F.lit("</sheetData></worksheet>"),
+        )
+
+    payload_hex = _ooxml_zip(
+        [("xl/workbook.xml", wb_xml)]
+        + [(f"xl/worksheets/sheet{s + 1}.xml", sheet_xml(s)) for s in range(3)]
+    )
+    return docs.select(
+        F.col("doc_id").alias("media_id"), F.unhex(payload_hex).alias("payload")
+    )
+
+
+def parse_xlsx_sheet_plan(payload: bytes) -> list[dict] | None:
+    """zipfile + ElementTree walk of workbook.xml and each referenced
+    worksheet; None for non-zip bytes."""
+    import hashlib
+    import io
+    import xml.etree.ElementTree as ET
+    import zipfile
+
+    if payload[:4] != b"PK\x03\x04":
+        return None
+    zf = zipfile.ZipFile(io.BytesIO(payload))
+    wb = ET.fromstring(zf.read("xl/workbook.xml"))
+    sheets = [
+        (el.get("name"), el.get("state", "visible"))
+        for el in wb.iter()
+        if _local(el.tag) == "sheet"
+    ]
+    out = []
+    for idx, (name, state) in enumerate(sheets):
+        ws = ET.fromstring(zf.read(f"xl/worksheets/sheet{idx + 1}.xml"))
+        rows = [el for el in ws.iter() if _local(el.tag) == "row"]
+        n_rows = len(rows)
+        n_cols = 0
+        header_texts: list[str] = []
+        first_row_cells = 0
+        for ri, row in enumerate(rows):
+            cells = [c for c in row if _local(c.tag) == "c"]
+            n_cols = max(n_cols, len(cells))
+            if ri == 0:
+                first_row_cells = len(cells)
+                for c in cells:
+                    if c.get("t") == "inlineStr":
+                        header_texts.append(
+                            "".join(
+                                t.text or ""
+                                for t in c.iter()
+                                if _local(t.tag) == "t"
+                            )
+                        )
+        hidden = 1 if state == "hidden" else 0
+        if hidden:
+            decision, nd = "skip_hidden", 0
+        elif n_rows == 0:
+            decision, nd = "skip_empty", 0
+        elif (
+            header_texts
+            and len(header_texts) == first_row_cells
+            and n_cols >= _XLSX_PLAN_MIN_COLS
+            and n_rows - 1 >= _XLSX_PLAN_MIN_DATA_ROWS
+        ):
+            decision, nd = "split_rows", n_rows - 1
+        else:
+            decision, nd = "single_doc", 1
+        out.append(
+            {
+                "sheet_idx": idx,
+                "sheet_name": name,
+                "hidden": hidden,
+                "n_rows": n_rows,
+                "n_cols": n_cols,
+                "header_text_cells": len(header_texts),
+                "header_md5": hashlib.md5("".join(header_texts).encode()).hexdigest(),
+                "decision": decision,
+                "n_docs_planned": nd,
+            }
+        )
+    return out
+
+
+def multimodal_xlsx_sheet_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow-batched per-sheet split plan over the planted workbooks."""
+    items = xlsx_plan_table(spark, sf_dir).select("media_id", "payload")
+
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            for start in range(0, len(pdf), MAX_BATCH_ROWS):
+                part = pdf.iloc[start : start + MAX_BATCH_ROWS]
+                rows = []
+                for mid, payload in zip(part["media_id"], part["payload"]):
+                    parsed = parse_xlsx_sheet_plan(bytes(payload))
+                    if parsed is None:
+                        continue
+                    for sheet in parsed:
+                        rows.append(
+                            {"media_id": int(mid), **sheet, "parser": "xlsxplan-stdlib"}
+                        )
+                cols = [f.name for f in XLSX_PLAN_SCHEMA.fields]
+                yield pd.DataFrame(rows, columns=cols).astype(
+                    {
+                        c: "int64"
+                        for c in cols
+                        if c not in ("parser", "sheet_name", "decision", "header_md5")
+                    }
+                )
+
+    return items.mapInPandas(fn, XLSX_PLAN_SCHEMA)
+
+
+def _xlsx_plan_oracle_sql() -> str:
+    name = "'S' || s || '_' || substr(md5(doc_id::VARCHAR || ':ws:' || s::VARCHAR), 1, 8)"
+    ncols = "2 + (doc_id + s) % 3"
+    hdr_concat = (
+        f"list_aggregate(list_transform(range(0, {ncols}), j ->"
+        " 'H' || j || '_' || substr(md5(doc_id::VARCHAR || ':hd:' || s::VARCHAR || ':' || j::VARCHAR), 1, 6)"
+        "), 'string_agg', '')"
+    )
+    narr_t = "'T1_' || substr(md5(doc_id::VARCHAR || ':nr:' || s::VARCHAR || ':1'), 1, 8)"
+    hid_t = "'T1_' || substr(md5(doc_id::VARCHAR || ':hr:' || s::VARCHAR || ':1'), 1, 8)"
+    return f"""
+WITH base AS (
+  SELECT doc_id, s, (doc_id + s) % 4 AS c
+  FROM documents, (SELECT unnest(range(0, 3)) AS s)
+  WHERE doc_id % 5 = 1 AND s <= doc_id % 3
+)
+SELECT doc_id AS media_id, CAST(s AS BIGINT) AS sheet_idx,
+       {name} AS sheet_name,
+       CAST(CASE WHEN c = 3 THEN 1 ELSE 0 END AS BIGINT) AS hidden,
+       CAST(CASE c WHEN 0 THEN doc_id % 7 + 6 WHEN 1 THEN 2 WHEN 2 THEN 0 ELSE 3 END AS BIGINT) AS n_rows,
+       CAST(CASE c WHEN 0 THEN {ncols} WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END AS BIGINT) AS n_cols,
+       CAST(CASE c WHEN 0 THEN {ncols} WHEN 1 THEN 1 WHEN 2 THEN 0 ELSE 1 END AS BIGINT) AS header_text_cells,
+       md5(CASE c WHEN 0 THEN {hdr_concat} WHEN 1 THEN {narr_t} WHEN 2 THEN '' ELSE {hid_t} END) AS header_md5,
+       CASE WHEN c = 3 THEN 'skip_hidden' WHEN c = 2 THEN 'skip_empty'
+            WHEN c = 0 THEN 'split_rows' ELSE 'single_doc' END AS decision,
+       CAST(CASE WHEN c = 0 THEN doc_id % 7 + 5 WHEN c = 1 THEN 1 ELSE 0 END AS BIGINT) AS n_docs_planned,
+       'xlsxplan-stdlib' AS parser
+FROM base
+"""
+
+
+QUERIES["multimodal_xlsx_sheet_plan"] = multimodal_xlsx_sheet_plan
+ORACLES["multimodal_xlsx_sheet_plan"] = _xlsx_plan_oracle_sql()
