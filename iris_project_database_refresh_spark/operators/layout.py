@@ -282,6 +282,36 @@ ORACLES = {
 # bounded (layout, file) rollup.  At 100 TB the identical plan holds —
 # the curve table is still 65536 rows.
 
+def hilbert_expr(ca: str, cb: str, zbits: int = ZBITS) -> "F.Column":
+    """Hilbert curve position of grid cell (ca, cb) as one JVM-side
+    aggregate() fold — shared by `hilbert_layout` (the measurement
+    operator) and `sinks.partitioned.write_hilbert_clustered` (the
+    write path, round 9). Reflection uses the FULL grid bound
+    (2^zbits - 1), not s-1: the s-1 variant is also a valid Hilbert
+    curve but walks through negative intermediates, where SQL
+    truncating division and Python bit masking disagree — full-grid
+    reflection stays in [0, 2^zbits - 1]."""
+    levels = ", ".join(str(1 << (zbits - 1 - i)) for i in range(zbits))
+    full = (1 << zbits) - 1
+    return F.expr(
+        f"""
+        aggregate(
+          array({levels}),
+          named_struct('x', {ca}, 'y', {cb}, 'd', cast(0 as bigint)),
+          (acc, s) -> named_struct(
+            'x', case when (acc.y div s) % 2 = 1 then acc.x
+                      else case when (acc.x div s) % 2 = 1 then {full} - acc.y
+                                else acc.y end end,
+            'y', case when (acc.y div s) % 2 = 1 then acc.y
+                      else case when (acc.x div s) % 2 = 1 then {full} - acc.x
+                                else acc.x end end,
+            'd', acc.d + cast(s as bigint) * s *
+                 ((3 * ((acc.x div s) % 2)) ^ ((acc.y div s) % 2))),
+          acc -> acc.d)
+        """
+    )
+
+
 def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_table(spark, sf_dir, "orders").select(
         F.col("o_custkey").alias("a"),
@@ -300,28 +330,7 @@ def hilbert_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_rows_cell"),
         F.sum(in_box.cast("bigint")).cast("bigint").alias("n_hits_cell"),
     )
-    # reflection uses the FULL grid bound (255 = 2^ZBITS - 1), not s-1:
-    # the s-1 variant is also a valid Hilbert curve but walks through
-    # negative intermediates, where SQL truncating division and Python
-    # bit masking disagree — full-grid reflection stays in [0, 255].
-    levels = ", ".join(str(1 << (ZBITS - 1 - i)) for i in range(ZBITS))
-    hilbert = F.expr(
-        f"""
-        aggregate(
-          array({levels}),
-          named_struct('x', ca, 'y', cb, 'd', cast(0 as bigint)),
-          (acc, s) -> named_struct(
-            'x', case when (acc.y div s) % 2 = 1 then acc.x
-                      else case when (acc.x div s) % 2 = 1 then 255 - acc.y
-                                else acc.y end end,
-            'y', case when (acc.y div s) % 2 = 1 then acc.y
-                      else case when (acc.x div s) % 2 = 1 then 255 - acc.x
-                                else acc.x end end,
-            'd', acc.d + cast(s as bigint) * s *
-                 ((3 * ((acc.x div s) % 2)) ^ ((acc.y div s) % 2))),
-          acc -> acc.d)
-        """
-    )
+    hilbert = hilbert_expr("ca", "cb")
     keyed = cells.select(
         "ca", "cb", "n_rows_cell", "n_hits_cell",
         F.expr(_zkey_terms("spark")).alias("zkey"),

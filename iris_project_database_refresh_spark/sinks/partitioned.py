@@ -88,3 +88,73 @@ def cow_merge(
         )
     finally:
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+
+
+def write_hilbert_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    zbits: int = 8,
+) -> None:
+    """Hilbert-clustered parquet write — the WRITE-PATH companion to
+    `operators.layout.hilbert_layout` (round 9): that operator MEASURES
+    how much a box predicate skips under linear/z-order/hilbert cell
+    assignment; this actually LAYS FILES OUT along the curve, the
+    OPTIMIZE-style multi-dimensional clustering pass a lakehouse runs
+    so per-file min/max stats prune both dimensions at scan time.
+
+    Shape: one broadcast min/max aggregate normalizes both columns to
+    the 2^zbits grid; the shared `hilbert_expr` fold (JVM-side, no UDF)
+    keys every row with its curve position; ``repartitionByRange`` on
+    the key cuts exactly ``n_files`` row-balanced, curve-contiguous
+    files (the range sampler's one extra pass is the standard global-
+    sort cost and is why file sizes stay even under skew — the div
+    assignment hilbert_layout models would inherit the data's density);
+    rows are sorted by the key within each file so column min/max
+    stats stay tight. The key is dropped before the write — the layout
+    is the artifact, not the column.
+    """
+    from ..operators.layout import hilbert_expr
+
+    rng = df.agg(
+        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+    )
+    grid = 1 << zbits
+    coded = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "__ca",
+            F.expr(f"({col_a} - __amin) * {grid} div (__amax - __amin + 1)"),
+        )
+        .withColumn(
+            "__cb",
+            F.expr(f"({col_b} - __bmin) * {grid} div (__bmax - __bmin + 1)"),
+        )
+        .withColumn("__hkey", hilbert_expr("__ca", "__cb", zbits))
+        .drop("__amin", "__amax", "__bmin", "__bmax", "__ca", "__cb")
+    )
+    (
+        coded.repartitionByRange(n_files, "__hkey")
+        .sortWithinPartitions("__hkey")
+        .drop("__hkey")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def file_bounds(spark: SparkSession, path: str, col_a: str, col_b: str) -> DataFrame:
+    """Per-file (min, max) of both clustering columns + row count —
+    what a stats-based scan planner sees; the test harness for any
+    clustered write (file-grain, one pass)."""
+    return (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(col_a).alias("min_a"), F.max(col_a).alias("max_a"),
+            F.min(col_b).alias("min_b"), F.max(col_b).alias("max_b"),
+        )
+    )
