@@ -2456,3 +2456,121 @@ FROM g a JOIN g b
 
 QUERIES["knn_mutual_graph"] = knn_mutual_graph
 ORACLES["knn_mutual_graph"] = KNN_MUTUAL_SQL
+
+
+# --- banded-LSH recall/precision curve (the swapped path, measured) -----------
+#
+# The round-9 exact→ANN dispatch routes similarity_pairs / knn_graph
+# through SIM_BANDS band-salted bucketings above SIM_EXACT_MAX — but at
+# the driver's test SFs the dispatch always picks exact, so the banded
+# machinery itself would only ever be exercised by local tests. This
+# harness runs the banded candidate generation UNCONDITIONALLY (same
+# np formula, same plane stream, same verify threshold) and grades it
+# against the exact blocked-GEMM ground truth, per cumulative band
+# count L = 1..SIM_BANDS — the OR-amplification curve (recall rises
+# with L, precision = verified/candidates falls, candidate volume is
+# the cost axis). The number a deployment reads before trusting the
+# swap — and the driver-checkable twin of the swap tests in
+# tests/test_embeddings.py. Measured at sf0.01: pair recall 12/22/32/
+# 39% at L=1..4 — the documented trade of hyperplane LSH at the LOW
+# PAIR_TAU=0.4 threshold (kNN-grain recall of the same banding is
+# 0.95@K=10 on the clustered swap-test corpus); a deployment that
+# needs pair recall at low tau raises SIM_BANDS, and this harness
+# prices exactly that dial.
+#
+# Scale: candidate generation is the production banded path (linear);
+# the exact denominator is the blocked GEMM — an eval harness cost,
+# run on a sample at 100 TB exactly like ann_recall_eval's brute-force
+# arm.
+
+def embed_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    np_ = _planes_for(spark, sf_dir)
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    b = _banded_buckets(emb, np_, _embed_dim(sf_dir)).select(
+        "vec_id", "band", "bucket"
+    )
+    x, y = b.alias("x"), b.alias("y")
+    first_hit = (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.bucket") == F.col("y.bucket"))
+            & (F.col("x.vec_id") < F.col("y.vec_id")),
+        )
+        .groupBy(
+            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
+        )
+        .agg(F.min("x.band").alias("first_band"))
+    )
+    u = emb.select("vec_id", _as_double("embedding").alias("v"))
+    scored = (
+        first_hit.join(
+            u.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
+        )
+        .join(u.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .select(
+            "first_band",
+            (F.round(_cosine(F.col("va"), F.col("vb")), 6) >= PAIR_TAU)
+            .cast("bigint")
+            .alias("ver"),
+        )
+    )
+    per_band = scored.groupBy("first_band").agg(
+        F.count(F.lit(1)).alias("n_cand"), F.sum("ver").alias("n_ver")
+    ).localCheckpoint(eager=False)  # feeds the ladder join once; cheap pin
+    ladder = spark.range(1, SIM_BANDS + 1).select(F.col("id").alias("n_bands"))
+    cum = (
+        ladder.join(F.broadcast(per_band), F.col("first_band") < F.col("n_bands"))
+        .groupBy("n_bands")
+        .agg(F.sum("n_cand").alias("n_candidates"), F.sum("n_ver").alias("n_verified"))
+    )
+    exact_total = _similarity_pairs_exact(spark, sf_dir).agg(
+        F.count(F.lit(1)).alias("total_exact")
+    )
+    return cum.crossJoin(F.broadcast(exact_total)).select(
+        "n_bands",
+        "n_candidates",
+        "n_verified",
+        F.expr("n_verified * 10000 div n_candidates").alias("precision_bp"),
+        F.expr("n_verified * 10000 div total_exact").alias("recall_bp"),
+    )
+
+
+EMBED_BANDED_RECALL_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+), {_npl_sql()},
+bucketed AS (
+  SELECT vec_id, v, b.band, {_bucket_sql_band("v", "b.band")} AS bucket
+  FROM d, npl, (SELECT unnest(range({SIM_BANDS})) AS band) b
+),
+first_hit AS (
+  SELECT x.vec_id AS id_a, y.vec_id AS id_b, min(x.band) AS first_band
+  FROM bucketed x JOIN bucketed y
+    ON x.band = y.band AND x.bucket = y.bucket AND x.vec_id < y.vec_id
+  GROUP BY 1, 2
+),
+per_band AS (
+  SELECT first_band, count(*) AS n_cand,
+         CAST(sum(CASE WHEN {_COS6} >= {PAIR_TAU} THEN 1 ELSE 0 END) AS BIGINT) AS n_ver
+  FROM first_hit
+  JOIN d a ON a.vec_id = id_a
+  JOIN d b ON b.vec_id = id_b
+  GROUP BY 1
+),
+exact_total AS (
+  SELECT count(*) AS total_exact
+  FROM d a JOIN d b ON a.vec_id < b.vec_id
+  WHERE {_COS6} >= {PAIR_TAU}
+)
+SELECT l.n_bands, CAST(sum(p.n_cand) AS BIGINT) AS n_candidates,
+       CAST(sum(p.n_ver) AS BIGINT) AS n_verified,
+       CAST(CAST(sum(p.n_ver) AS BIGINT) * 10000 // CAST(sum(p.n_cand) AS BIGINT) AS BIGINT) AS precision_bp,
+       CAST(CAST(sum(p.n_ver) AS BIGINT) * 10000 // (SELECT total_exact FROM exact_total) AS BIGINT) AS recall_bp
+FROM (SELECT unnest(range(1, {SIM_BANDS} + 1)) AS n_bands) l
+JOIN per_band p ON p.first_band < l.n_bands
+GROUP BY 1
+"""
+
+QUERIES["embed_banded_recall"] = embed_banded_recall
+ORACLES["embed_banded_recall"] = EMBED_BANDED_RECALL_SQL
