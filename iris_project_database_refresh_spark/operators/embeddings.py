@@ -2484,39 +2484,43 @@ ORACLES["knn_mutual_graph"] = KNN_MUTUAL_SQL
 # arm.
 
 def embed_banded_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+    import pandas as pd
+
     np_ = _planes_for(spark, sf_dir)
     emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    b = _banded_buckets(emb, np_, _embed_dim(sf_dir)).select(
-        "vec_id", "band", "bucket"
+    out_schema = "band bigint, id_a bigint, id_b bigint, cosine double"
+
+    def pairs_in_bucket(key, pdf):
+        # per-bucket BLAS scoring of ALL in-bucket pairs (candidates,
+        # not just verified ones — the cost axis the harness reports);
+        # same normalize/round device as the production bucket kernel
+        band = int(key[0])
+        m = np.array(list(pdf["embedding"]), dtype=np.float64)
+        m /= np.linalg.norm(m, axis=1, keepdims=True)
+        ids = pdf["vec_id"].to_numpy()
+        sims = m @ m.T
+        ia, ib = np.triu_indices(len(ids), k=1)
+        return pd.DataFrame(
+            {
+                "band": band,
+                "id_a": np.minimum(ids[ia], ids[ib]),
+                "id_b": np.maximum(ids[ia], ids[ib]),
+                "cosine": np.round(sims[ia, ib], 6),
+            }
+        ).astype(
+            {"band": "int64", "id_a": "int64", "id_b": "int64", "cosine": "float64"}
+        )
+
+    all_pairs = _banded_buckets(emb, np_, _embed_dim(sf_dir)).groupBy(
+        "band", "bucket"
+    ).applyInPandas(pairs_in_bucket, out_schema)
+    first_hit = all_pairs.groupBy("id_a", "id_b").agg(
+        F.min("band").alias("first_band"), F.min("cosine").alias("cosine")
     )
-    x, y = b.alias("x"), b.alias("y")
-    first_hit = (
-        x.join(
-            y,
-            (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.bucket") == F.col("y.bucket"))
-            & (F.col("x.vec_id") < F.col("y.vec_id")),
-        )
-        .groupBy(
-            F.col("x.vec_id").alias("id_a"), F.col("y.vec_id").alias("id_b")
-        )
-        .agg(F.min("x.band").alias("first_band"))
-    )
-    u = emb.select("vec_id", _as_double("embedding").alias("v"))
-    scored = (
-        first_hit.join(
-            u.select(F.col("vec_id").alias("id_a"), F.col("v").alias("va")), "id_a"
-        )
-        .join(u.select(F.col("vec_id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .select(
-            "first_band",
-            (F.round(_cosine(F.col("va"), F.col("vb")), 6) >= PAIR_TAU)
-            .cast("bigint")
-            .alias("ver"),
-        )
-    )
-    per_band = scored.groupBy("first_band").agg(
-        F.count(F.lit(1)).alias("n_cand"), F.sum("ver").alias("n_ver")
+    per_band = first_hit.groupBy("first_band").agg(
+        F.count(F.lit(1)).alias("n_cand"),
+        F.sum((F.col("cosine") >= PAIR_TAU).cast("bigint")).alias("n_ver"),
     ).localCheckpoint(eager=False)  # feeds the ladder join once; cheap pin
     ladder = spark.range(1, SIM_BANDS + 1).select(F.col("id").alias("n_bands"))
     cum = (

@@ -1795,23 +1795,27 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("lrk") <= 2 * HNSW_M)
         .select("query_id", F.col("mid").alias("nid"), "cq")
     )
+    # one hash-agg replaces the former distinct + in_base broadcast
+    # re-join (r9): base rows carry flag 1, expansion rows 0; max(flag)
+    # per (query, nid, cq) IS the in-base marker — a hit found by both
+    # arms reads 1, exactly the old left-join semantics.
     u = (
-        base.unionByName(expt)
-        .distinct()
+        base.withColumn("in_b", F.lit(1))
+        .unionByName(expt.withColumn("in_b", F.lit(0)))
         .where(F.col("nid") != F.col("query_id"))
+        .groupBy("query_id", "nid", "cq")
+        .agg(F.max("in_b").alias("in_b"))
     )
-    in_base = base.select("query_id", "nid").distinct().withColumn("in_base", F.lit(1))
     wf = Window.partitionBy("query_id").orderBy(F.desc("cq"), F.asc("nid"))
     return (
-        u.join(F.broadcast(in_base), ["query_id", "nid"], "left")
-        .withColumn("rank", F.row_number().over(wf))
+        u.withColumn("rank", F.row_number().over(wf))
         .where(F.col("rank") <= HNSW_SEARCH_K)
         .select(
             F.col("query_id").cast("bigint").alias("query_id"),
             F.col("rank").cast("bigint").alias("rank"),
             F.col("nid").alias("neighbor_id"),
             F.col("cq").alias("cosine"),
-            F.when(F.col("in_base").isNull(), 1).otherwise(0).cast("int").alias("via_expansion"),
+            (1 - F.col("in_b")).cast("int").alias("via_expansion"),
         )
     )
 
