@@ -932,10 +932,16 @@ ORACLES["embed_drift_stats"] = EMBED_DRIFT_SQL
 # (the house device), so ranks are engine-deterministic.
 
 def _knn_graph_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _knn_graph_exact_on(emb)
+
+
+def _knn_graph_exact_on(emb: DataFrame) -> DataFrame:
+    """The exact blocked-GEMM graph over an arbitrary (vec_id,
+    embedding) frame — split out (r9) so `knn_graph_incremental` can
+    build the MASTER-only index artifact from the same backend."""
     import numpy as np
     import pandas as pd
-
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
 
     def assignments(k: int):
         structs = [
@@ -2578,3 +2584,172 @@ GROUP BY 1
 
 QUERIES["embed_banded_recall"] = embed_banded_recall
 ORACLES["embed_banded_recall"] = EMBED_BANDED_RECALL_SQL
+
+
+# --- incremental kNN-graph refresh (batch vs master index) --------------------
+#
+# The refresh contract applied to the knn_graph ARTIFACT (the flat-
+# index sibling of `hnsw_insert_plan`, same batch convention): a new
+# vector batch (vec_id % KNN_BATCH_MOD == 3) arrives against the
+# EXISTING master graph, and the refresh must answer two questions
+# WITHOUT re-pairing master against itself beyond the index it already
+# owns: (1) each batch vector's top-K master neighbors (its own new
+# adjacency rows), and (2) which master rows' top-K lists the batch
+# INVALIDATES — a batch vector enters master m's list iff it ranks
+# ahead of m's current K-th entry under the house (cosine 6dp desc,
+# id asc) order; the emitted rank is the insertion position against
+# the PRE-refresh list (batch entries are ranked against the current
+# index, the per-cycle grain — a full rebuild reconciles multi-entry
+# interactions, exactly like the reference's merge-then-rebuild
+# cycles). Cost shape at 100 TB: |batch| x |master| broadcast probes —
+# proportional to the batch; the master graph g is recomputed here
+# only because the operator is self-contained (a production refresh
+# reads it from the persisted artifact, the sinks/vector_index.py
+# precedent).
+
+KNN_BATCH_MOD = 10  # vec_id % 10 == 3 is the incoming batch (hnsw_insert_plan convention)
+
+
+def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    is_batch = F.pmod(F.col("vec_id"), KNN_BATCH_MOD) == 3
+    master = emb.where(~is_batch)
+    batch = emb.where(is_batch)
+
+    g = _knn_graph_exact_on(master).localCheckpoint(eager=False)  # the index artifact
+
+    mu = master.select(
+        F.col("vec_id").alias("mid"), _as_double("embedding").alias("mv")
+    ).withColumn("mn", F.sqrt(_dot(F.col("mv"), F.col("mv"))))
+    bu = batch.select(
+        F.col("vec_id").alias("bid"), _as_double("embedding").alias("bv")
+    ).withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv"))))
+    scored = mu.join(F.broadcast(bu)).select(
+        "mid",
+        "bid",
+        F.round(_dot(F.col("mv"), F.col("bv")) / (F.col("mn") * F.col("bn")), 6).alias(
+            "cosine"
+        ),
+    ).localCheckpoint(eager=False)  # feeds both arms below
+
+    wb = Window.partitionBy("bid").orderBy(F.desc("cosine"), F.asc("mid"))
+    batch_topk = (
+        scored.withColumn("rank", F.row_number().over(wb))
+        .where(F.col("rank") <= KNN_K)
+        .select(
+            F.lit("batch").alias("kind"),
+            F.col("bid").alias("vec_id"),
+            F.col("mid").alias("neighbor_id"),
+            F.col("rank").cast("bigint").alias("rank"),
+            "cosine",
+        )
+    )
+
+    negc = lambda c: (-F.floor(c * 1000000 + F.lit(0.5))).cast("bigint")  # noqa: E731
+    kth = g.where(F.col("rank") == KNN_K).select(
+        F.col("vec_id").alias("mid"),
+        negc(F.col("cosine")).alias("knegc"),
+        F.col("neighbor_id").alias("knid"),
+    )
+    enters = scored.join(F.broadcast(kth), "mid", "left").where(
+        F.col("knegc").isNull()
+        | (
+            F.struct(negc(F.col("cosine")).alias("n"), F.col("bid").alias("i"))
+            < F.struct(F.col("knegc").alias("n"), F.col("knid").alias("i"))
+        )
+    )
+    gm = g.select(
+        F.col("vec_id").alias("mid"),
+        negc(F.col("cosine")).alias("gnegc"),
+        F.col("neighbor_id").alias("gnid"),
+    )
+    master_updates = (
+        enters.join(gm, "mid", "left")
+        .groupBy("mid", "bid", "cosine")
+        .agg(
+            (
+                F.lit(1)
+                + F.sum(
+                    F.when(
+                        F.struct(F.col("gnegc").alias("n"), F.col("gnid").alias("i"))
+                        < F.struct(
+                            negc(F.col("cosine")).alias("n"), F.col("bid").alias("i")
+                        ),
+                        1,
+                    ).otherwise(0)
+                )
+            )
+            .cast("bigint")
+            .alias("rank")
+        )
+        .select(
+            F.lit("enter").alias("kind"),
+            F.col("mid").alias("vec_id"),
+            F.col("bid").alias("neighbor_id"),
+            "rank",
+            "cosine",
+        )
+    )
+    return batch_topk.unionByName(master_updates)
+
+
+KNN_INCR_SQL = f"""
+WITH d AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+),
+m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d WHERE vec_id % {KNN_BATCH_MOD} <> 3),
+b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d WHERE vec_id % {KNN_BATCH_MOD} = 3),
+gscored AS (
+  SELECT a.vec_id, x.vec_id AS neighbor_id,
+         round(list_dot_product(a.v, x.v) / (a.nrm * x.nrm), 6) AS cosine
+  FROM m a JOIN m x ON a.vec_id <> x.vec_id
+),
+g AS (
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM gscored
+  ) WHERE rank <= {KNN_K}
+),
+sc AS (
+  SELECT m.vec_id AS mid, b.vec_id AS bid,
+         round(list_dot_product(m.v, b.v) / (m.nrm * b.nrm), 6) AS cosine
+  FROM m JOIN b ON true
+),
+bt AS (
+  SELECT 'batch' AS kind, bid AS vec_id, mid AS neighbor_id,
+         CAST(rank AS BIGINT) AS rank, cosine
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY bid ORDER BY cosine DESC, mid ASC) AS rank
+    FROM sc
+  ) WHERE rank <= {KNN_K}
+),
+kth AS (
+  SELECT vec_id AS mid,
+         -CAST(floor(cosine * 1000000 + (0.5)::DOUBLE) AS BIGINT) AS knegc,
+         neighbor_id AS knid
+  FROM g WHERE rank = {KNN_K}
+),
+enters AS (
+  SELECT sc.mid, sc.bid, sc.cosine
+  FROM sc LEFT JOIN kth ON kth.mid = sc.mid
+  WHERE kth.mid IS NULL
+     OR (-CAST(floor(sc.cosine * 1000000 + (0.5)::DOUBLE) AS BIGINT), sc.bid)
+        < (kth.knegc, kth.knid)
+),
+mu AS (
+  SELECT 'enter' AS kind, e.mid AS vec_id, e.bid AS neighbor_id,
+         CAST(1 + sum(CASE WHEN
+              (-CAST(floor(g.cosine * 1000000 + (0.5)::DOUBLE) AS BIGINT), g.neighbor_id)
+              < (-CAST(floor(e.cosine * 1000000 + (0.5)::DOUBLE) AS BIGINT), e.bid)
+              THEN 1 ELSE 0 END) AS BIGINT) AS rank,
+         e.cosine
+  FROM enters e LEFT JOIN g ON g.vec_id = e.mid
+  GROUP BY e.mid, e.bid, e.cosine
+)
+SELECT kind, vec_id, neighbor_id, rank, cosine FROM bt
+UNION ALL
+SELECT kind, vec_id, neighbor_id, rank, cosine FROM mu
+"""
+
+QUERIES["knn_graph_incremental"] = knn_graph_incremental
+ORACLES["knn_graph_incremental"] = KNN_INCR_SQL

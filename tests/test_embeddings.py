@@ -398,3 +398,40 @@ def test_lit_weights_match_md5_stream(spark):
         f"(SELECT {vec}::DOUBLE[] AS v), npl"
     )
     assert duckdb.sql(sql).fetchone()[0] == row.md5_form
+
+
+def test_knn_graph_incremental_semantics(spark):
+    """Python replay of the displacement rule on the sf0.01 corpus:
+    every 'enter' row's (cosine, id) must beat the master's current
+    K-th entry; every batch vector emits exactly K 'batch' rows ranked
+    against master only; no batch id appears as a master vec_id."""
+    from pyspark.sql import functions as F
+
+    rows = embeddings.knn_graph_incremental(spark, SF_CORRECT).collect()
+    batch_rows = [r for r in rows if r.kind == "batch"]
+    enter_rows = [r for r in rows if r.kind == "enter"]
+    assert batch_rows and enter_rows
+    by_b = {}
+    for r in batch_rows:
+        assert r.vec_id % embeddings.KNN_BATCH_MOD == 3
+        assert r.neighbor_id % embeddings.KNN_BATCH_MOD != 3
+        by_b.setdefault(r.vec_id, []).append(r.rank)
+    assert all(sorted(v) == list(range(1, embeddings.KNN_K + 1)) for v in by_b.values())
+    g = {
+        (r.vec_id, r.rank): (r.neighbor_id, r.cosine)
+        for r in embeddings._knn_graph_exact_on(
+            __import__(
+                "iris_project_database_refresh_spark.sources.tables",
+                fromlist=["load_table"],
+            ).load_table(spark, SF_CORRECT, "embeddings")
+            .where(F.pmod(F.col("vec_id"), embeddings.KNN_BATCH_MOD) != 3)
+            .select("vec_id", "embedding")
+        ).collect()
+    }
+    for r in enter_rows:
+        assert r.vec_id % embeddings.KNN_BATCH_MOD != 3
+        assert r.neighbor_id % embeddings.KNN_BATCH_MOD == 3
+        kn, kc = g[(r.vec_id, embeddings.KNN_K)]
+        # ahead of the K-th entry under (cosine desc, id asc)
+        assert (-round(r.cosine * 1e6), r.neighbor_id) < (-round(kc * 1e6), kn)
+        assert 1 <= r.rank <= embeddings.KNN_K
