@@ -1667,3 +1667,138 @@ FROM comm c LEFT JOIN internal2 i ON i.lbl = c.lbl CROSS JOIN m2
 
 QUERIES["graph_louvain_move"] = graph_louvain_move
 ORACLES["graph_louvain_move"] = LOUVAIN_MOVE_SQL
+
+
+# --- community conductance (the quality metric next to LPA/modularity) --------
+#
+# Given the LPA communities, the standard cut-quality readout
+# (Kannan/Vempala/Vetta class): conductance φ(C) = cut(C) /
+# min(vol(C), vol(V∖C)) — how leaky each detected community is, the
+# number that separates a real cluster from a label-propagation
+# artifact, complementing `graph_modularity` (global) with a
+# per-community grade. Volumes and cuts are counted on the directed-
+# row adjacency (each undirected edge contributes both directions, so
+# vol = Σ degree and cut is symmetric), everything integer; φ in
+# basis points via integer div. Same planted graph, same LPA rounds,
+# same top-LPA_TOP output convention as graph_label_propagation —
+# rerun here rather than read from it so the operator is
+# self-contained (the oracle re-derives the identical label chain).
+#
+# Scale: the LPA rounds' shuffles (vertex-id keys) + two keyed aggs
+# over edges; no new quadratic surface.
+
+def graph_conductance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") + 1) % F.col("n"),
+            (F.col("doc_id") + 2) % F.col("n"),
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+        )
+    )
+    directed = with_n.select(F.col("doc_id").alias("u"), F.explode(targets).alias("v"))
+    adj = (
+        directed.where(F.col("u") != F.col("v"))
+        .select(F.col("u").alias("x"), F.col("v").alias("y"))
+        .union(
+            directed.where(F.col("u") != F.col("v")).select(
+                F.col("v").alias("x"), F.col("u").alias("y")
+            )
+        )
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    labels = nodes.select(F.col("doc_id").alias("x"), F.col("doc_id").alias("lbl"))
+    w = Window.partitionBy("x").orderBy(F.desc("cnt"), F.asc("lbl"))
+    for _ in range(LPA_ROUNDS):
+        votes = (
+            adj.join(labels.withColumnRenamed("x", "y"), "y")
+            .groupBy("x", "lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.withColumn("r", F.row_number().over(w))
+            .where(F.col("r") == 1)
+            .select("x", "lbl")
+        )
+    labels = labels.localCheckpoint(eager=False)  # joined on BOTH edge ends
+    total = adj.agg(F.count(F.lit(1)).alias("total_vol"))
+    edge_l = (
+        adj.join(labels, "x")
+        .join(
+            labels.select(F.col("x").alias("y"), F.col("lbl").alias("lbl_y")), "y"
+        )
+        .select("lbl", (F.col("lbl") != F.col("lbl_y")).cast("bigint").alias("is_cut"))
+    )
+    per_c = edge_l.groupBy("lbl").agg(
+        F.count(F.lit(1)).alias("volume"), F.sum("is_cut").alias("cut_edges")
+    )
+    sizes = labels.groupBy("lbl").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        per_c.join(sizes, "lbl")
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("lbl").alias("community_label"),
+            "community_size",
+            F.col("volume").cast("bigint").alias("volume"),
+            F.col("cut_edges").cast("bigint").alias("cut_edges"),
+            F.expr(
+                "cast(case when least(volume, total_vol - volume) = 0 then 0"
+                " else cut_edges * 10000 div least(volume, total_vol - volume) end as bigint)"
+            ).alias("conductance_bp"),
+        )
+        .orderBy(F.desc("community_size"), "community_label")
+        .limit(LPA_TOP)
+    )
+
+
+def _conductance_sql() -> str:
+    rounds = []
+    prev = "l0"
+    for i in range(LPA_ROUNDS):
+        rounds.append(_lpa_round_sql(prev, f"l{i + 1}"))
+        prev = f"l{i + 1}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nn AS (SELECT count(*)::BIGINT AS n FROM documents),
+tlists AS (
+  SELECT doc_id, list_distinct([(doc_id + 1) % n, (doc_id + 2) % n,
+                                (doc_id * 31 + 7) % n]) AS ts
+  FROM documents, nn
+),
+directed AS (SELECT doc_id AS u, unnest(ts) AS v FROM tlists),
+adj AS (
+  SELECT DISTINCT x, y FROM (
+    SELECT u AS x, v AS y FROM directed WHERE u <> v
+    UNION ALL
+    SELECT v AS x, u AS y FROM directed WHERE u <> v
+  )
+),
+l0 AS (SELECT doc_id AS x, doc_id AS lbl FROM documents),
+{body},
+total AS (SELECT count(*)::BIGINT AS total_vol FROM adj),
+edge_l AS (
+  SELECT lx.lbl, CASE WHEN lx.lbl <> ly.lbl THEN 1 ELSE 0 END AS is_cut
+  FROM adj a JOIN {prev} lx ON lx.x = a.x JOIN {prev} ly ON ly.x = a.y
+),
+per_c AS (
+  SELECT lbl, count(*)::BIGINT AS volume, CAST(sum(is_cut) AS BIGINT) AS cut_edges
+  FROM edge_l GROUP BY lbl
+),
+sizes AS (SELECT lbl, count(*)::BIGINT AS community_size FROM {prev} GROUP BY lbl)
+SELECT p.lbl AS community_label, s.community_size, p.volume, p.cut_edges,
+       CAST(CASE WHEN least(p.volume, t.total_vol - p.volume) = 0 THEN 0
+            ELSE p.cut_edges * 10000 // least(p.volume, t.total_vol - p.volume)
+            END AS BIGINT) AS conductance_bp
+FROM per_c p JOIN sizes s ON s.lbl = p.lbl, total t
+ORDER BY s.community_size DESC, p.lbl
+LIMIT {LPA_TOP}
+"""
+
+
+CONDUCTANCE_SQL = _conductance_sql()
+
+QUERIES["graph_conductance"] = graph_conductance
+ORACLES["graph_conductance"] = CONDUCTANCE_SQL

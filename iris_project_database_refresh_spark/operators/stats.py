@@ -1233,3 +1233,126 @@ FROM lv JOIN iso ON iso.i = lv.idx
 
 QUERIES["events_isotonic_calibration"] = events_isotonic_calibration
 ORACLES["events_isotonic_calibration"] = ISO_CALIBRATION_SQL
+
+
+# --- bootstrap confidence interval (deterministic resampling) -----------------
+#
+# The nonparametric CI (Efron 1979) a metrics pipeline quotes when the
+# daily-total distribution is nothing like normal: resample the days
+# WITH replacement B times, recompute the mean each time, read the
+# percentile band off the resample distribution. The house determinism
+# device makes it oracle-reproducible: resample b's i-th draw is day
+# index md5("{type}:{b}:{i}") % n — both engines derive the identical
+# resample matrix, every statistic is integer (cent-scaled daily
+# totals, div means, order-statistic band: lo/hi = the 5th/195th
+# smallest of B=200 means, ties broken by resample id).
+#
+# Scale: the grid is (types × B × days) — resamples over the DAILY
+# aggregate, never the event grain, so it is bounded by the calendar
+# (~5 × 200 × 90 ≈ 90k rows at any corpus size); the per-type day
+# window is the documented bounded-grid class.
+
+BOOT_B = 200
+BOOT_LO_RANK, BOOT_HI_RANK = 5, 195  # ceil(0.025 * B), ceil(0.975 * B)
+
+
+def events_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(
+            F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v")
+        )
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    idxd = daily.withColumn("i", F.row_number().over(wd) - 1).select(
+        "event_type", F.col("i").alias("idx"), "v"
+    ).localCheckpoint(eager=False)  # joined by every resample draw
+    nper = idxd.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("sv")
+    )
+    draws = (
+        nper.select("event_type", "n")
+        .withColumn("b", F.explode(F.expr(f"sequence(0, {BOOT_B - 1})")))
+        .withColumn("i", F.explode(F.expr("sequence(0, n - 1)")))
+        .withColumn(
+            "idx",
+            F.expr(
+                "cast(conv(substring(md5(concat(event_type, ':', cast(b as string),"
+                " ':', cast(i as string))), 1, 8), 16, 10) as bigint) % n"
+            ),
+        )
+    )
+    means = (
+        draws.join(idxd, ["event_type", "idx"])
+        .groupBy("event_type", "b")
+        .agg(F.expr("sum(v) div count(*)").alias("m"))
+    )
+    wb = Window.partitionBy("event_type").orderBy("m", "b")
+    band = (
+        means.withColumn("rn", F.row_number().over(wb))
+        .groupBy("event_type")
+        .agg(
+            F.max(F.when(F.col("rn") == BOOT_LO_RANK, F.col("m"))).alias("boot_lo"),
+            F.max(F.when(F.col("rn") == BOOT_HI_RANK, F.col("m"))).alias("boot_hi"),
+        )
+    )
+    return (
+        nper.join(band, "event_type")
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_days"),
+            F.expr("sv div n").cast("bigint").alias("observed_mean"),
+            F.col("boot_lo").cast("bigint").alias("boot_lo"),
+            F.col("boot_hi").cast("bigint").alias("boot_hi"),
+            F.lit(BOOT_B).cast("bigint").alias("n_resamples"),
+        )
+    )
+
+
+BOOTSTRAP_CI_SQL = f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+),
+idxd AS (
+  SELECT event_type, row_number() OVER (PARTITION BY event_type ORDER BY day) - 1 AS idx, v
+  FROM daily
+),
+nper AS (
+  SELECT event_type, count(*)::BIGINT AS n, CAST(sum(v) AS BIGINT) AS sv
+  FROM idxd GROUP BY 1
+),
+draws AS (
+  SELECT np.event_type, np.n, bb.b, ii.i,
+         CAST('0x' || substr(md5(np.event_type || ':' || bb.b || ':' || ii.i), 1, 8) AS BIGINT) % np.n AS idx
+  FROM nper np,
+       (SELECT unnest(range({BOOT_B})) AS b) bb,
+       LATERAL (SELECT unnest(range(np.n)) AS i) ii
+),
+means AS (
+  SELECT d.event_type, d.b, CAST(sum(x.v) // count(*) AS BIGINT) AS m
+  FROM draws d JOIN idxd x ON x.event_type = d.event_type AND x.idx = d.idx
+  GROUP BY 1, 2
+),
+band AS (
+  SELECT event_type,
+         max(CASE WHEN rn = {BOOT_LO_RANK} THEN m END) AS boot_lo,
+         max(CASE WHEN rn = {BOOT_HI_RANK} THEN m END) AS boot_hi
+  FROM (
+    SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY m, b) AS rn
+    FROM means
+  ) GROUP BY 1
+)
+SELECT np.event_type, np.n AS n_days, CAST(np.sv // np.n AS BIGINT) AS observed_mean,
+       CAST(b.boot_lo AS BIGINT) AS boot_lo, CAST(b.boot_hi AS BIGINT) AS boot_hi,
+       CAST({BOOT_B} AS BIGINT) AS n_resamples
+FROM nper np JOIN band b ON b.event_type = np.event_type
+"""
+
+QUERIES["events_bootstrap_ci"] = events_bootstrap_ci
+ORACLES["events_bootstrap_ci"] = BOOTSTRAP_CI_SQL
