@@ -1942,3 +1942,125 @@ LIMIT {SAX_TOP}
 
 QUERIES["events_sax_motifs"] = events_sax_motifs
 ORACLES["events_sax_motifs"] = SAX_SQL
+
+
+# --- dynamic time warping between event-type daily series ---------------------
+#
+# DTW (Sakoe & Chiba 1978) between every pair of per-type daily-total
+# series — the alignment-tolerant distance `events_type_comovement`'s
+# lag-free correlation can't see (two types tracing the same shape a
+# few days apart score ~0 correlation but a small DTW cost). All
+# integer: cent-scaled daily totals, |a-b| cell costs, bigint DP.
+#
+# The DP's intra-row recursion D(i,j) = c(i,j) + min(D(i-1,j),
+# D(i-1,j-1), D(i,j-1)) looks inherently sequential, but unrolls
+# exactly: with C(j) = Σ_{l<=j} c(i,l) and m(k) = min(D(i-1,k),
+# D(i-1,k-1)),  D(i,j) = C(j) + min_{k<=j} (m(k) - C(k-1))  — prefix
+# sums + a prefix min, so every ROW is pure (slice, transform, min)
+# list ops with NO sequential chain inside it. Spark runs the row
+# recursion as ONE bounded aggregate() fold (state = previous DP row,
+# ~31 entries — the shelf-fold class); the DuckDB twin is a recursive
+# CTE advancing one row per iteration with identical list surgery.
+# Grid is calendar-bounded (≤ ~31 days per side) and the pair count
+# is the type-pair grid — never the event grain.
+
+DTW_INF = 1 << 50
+
+
+def events_dtw_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v"))
+    )
+    series = daily.groupBy("event_type").agg(
+        F.expr("transform(array_sort(collect_list(struct(day, v))), s -> s.v)").alias(
+            "vs"
+        )
+    )
+    a = series.select(
+        F.col("event_type").alias("type_a"), F.col("vs").alias("va")
+    )
+    b = series.select(
+        F.col("event_type").alias("type_b"), F.col("vs").alias("vb")
+    )
+    pairs = a.join(F.broadcast(b), F.col("type_a") < F.col("type_b"))
+    inf = f"cast({DTW_INF} as bigint)"
+    cost_prefix = (
+        "aggregate(transform(sequence(1, {hi}), l ->"
+        " abs(element_at(va, i) - element_at(vb, l))),"
+        " cast(0 as bigint), (a, x) -> a + x)"
+    )
+    dtw = F.expr(
+        f"""
+        aggregate(
+          sequence(1, size(va)),
+          concat(array(cast(0 as bigint)),
+                 transform(sequence(1, size(vb)), j -> {inf})),
+          (prev, i) -> concat(array({inf}),
+            transform(sequence(1, size(vb)), j ->
+              {cost_prefix.format(hi="j")}
+              + array_min(transform(sequence(1, j), k ->
+                  least(element_at(prev, k + 1), element_at(prev, k))
+                  - (case when k = 1 then cast(0 as bigint)
+                          else {cost_prefix.format(hi="k - 1")} end))))),
+          fin -> element_at(fin, size(vb) + 1))
+        """
+    )
+    return pairs.select(
+        "type_a",
+        "type_b",
+        F.size("va").cast("bigint").alias("n_a"),
+        F.size("vb").cast("bigint").alias("n_b"),
+        dtw.alias("dtw_cost"),
+    ).withColumn(
+        "dtw_per_step",
+        F.expr("dtw_cost div greatest(n_a, n_b)").cast("bigint"),
+    )
+
+
+DTW_PAIRS_SQL = f"""
+WITH RECURSIVE ev AS (
+  SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events
+),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+),
+series AS (
+  SELECT event_type, list(v ORDER BY day) AS vs FROM daily GROUP BY 1
+),
+pairs AS (
+  SELECT a.event_type AS type_a, b.event_type AS type_b,
+         a.vs AS va, b.vs AS vb
+  FROM series a JOIN series b ON a.event_type < b.event_type
+),
+dp AS (
+  SELECT type_a, type_b, va, vb, 0 AS i,
+         list_prepend(0::BIGINT,
+           list_transform(range(1, len(vb) + 1), j -> {DTW_INF}::BIGINT)) AS row
+  FROM pairs
+  UNION ALL
+  SELECT type_a, type_b, va, vb, i + 1,
+         list_prepend({DTW_INF}::BIGINT,
+           list_transform(range(1, len(vb) + 1), j ->
+             CAST(coalesce(list_sum(list_transform(range(1, j + 1), l ->
+                    abs(va[i + 1] - vb[l]))), 0) AS BIGINT)
+             + CAST(list_min(list_transform(range(1, j + 1), k ->
+                 least(row[k + 1], row[k])
+                 - CAST(coalesce(list_sum(list_transform(range(1, k), l ->
+                        abs(va[i + 1] - vb[l]))), 0) AS BIGINT))) AS BIGINT)))
+  FROM dp WHERE i < len(va)
+)
+SELECT type_a, type_b,
+       CAST(len(va) AS BIGINT) AS n_a, CAST(len(vb) AS BIGINT) AS n_b,
+       CAST(row[len(vb) + 1] AS BIGINT) AS dtw_cost,
+       CAST(row[len(vb) + 1] // greatest(len(va), len(vb)) AS BIGINT) AS dtw_per_step
+FROM dp WHERE i = len(va)
+"""
+
+QUERIES["events_dtw_pairs"] = events_dtw_pairs
+ORACLES["events_dtw_pairs"] = DTW_PAIRS_SQL

@@ -250,3 +250,43 @@ def test_sax_words_use_full_alphabet(spark):
         seen |= set(r["sax"])
         assert set(r["sax"]) <= set("abcd")
     assert seen == set("abcd")  # quartile breakpoints spread the alphabet
+
+
+def test_dtw_pairs_matches_textbook_dp(spark):
+    """The prefix-sum/prefix-min unrolled DP must equal the classic
+    O(n^2) three-way-min DTW recursion replayed in Python on the same
+    integer series — proves the algebraic unrolling IS DTW, not just
+    cross-engine-consistent."""
+    from pyspark.sql import functions as F
+
+    rows = {
+        (r.type_a, r.type_b): r
+        for r in timeseries.events_dtw_pairs(spark, SF_CORRECT).collect()
+    }
+    assert rows
+    daily = (
+        timeseries.load_table(spark, SF_CORRECT, "events")
+        .groupBy("event_type", F.date_trunc("day", "ts").cast("date").alias("day"))
+        .agg(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v"))
+        .collect()
+    )
+    series: dict[str, list] = {}
+    for r in sorted(daily, key=lambda r: (r.event_type, r.day)):
+        series.setdefault(r.event_type, []).append(r.v)
+
+    def dtw(a, b):
+        INF = 1 << 50
+        prev = [0] + [INF] * len(b)
+        for i in range(1, len(a) + 1):
+            cur = [INF] * (len(b) + 1)
+            for j in range(1, len(b) + 1):
+                c = abs(a[i - 1] - b[j - 1])
+                cur[j] = c + min(prev[j], prev[j - 1], cur[j - 1])
+            prev = cur
+        return prev[len(b)]
+
+    for (ta, tb), r in rows.items():
+        want = dtw(series[ta], series[tb])
+        assert r.dtw_cost == want, (ta, tb, r.dtw_cost, want)
+        assert r.n_a == len(series[ta]) and r.n_b == len(series[tb])
+        assert r.dtw_per_step == want // max(r.n_a, r.n_b)
