@@ -1356,3 +1356,114 @@ FROM nper np JOIN band b ON b.event_type = np.event_type
 
 QUERIES["events_bootstrap_ci"] = events_bootstrap_ci
 ORACLES["events_bootstrap_ci"] = BOOTSTRAP_CI_SQL
+
+
+# --- Brier-score decomposition (Murphy 1973) ----------------------------------
+#
+# The three-way calibration readout next to reward_margin_ece and
+# events_isotonic_calibration (same user-grain label and md5 score
+# plant as the isotonic operator, so the three calibration views grade
+# the SAME model): with predictions binned at the score levels and the
+# level midpoint (2s+1)/(2K) as the predicted probability,
+#   brier = reliability − resolution + uncertainty,
+# reliability = Σ n_l (p_l − o_l)² / N (calibration error),
+# resolution  = Σ n_l (o_l − ō)² / N (how much the bins separate),
+# uncertainty = ō(1 − ō).
+# Determinism: every per-level term is a double computed from the same
+# integers by the same expression tree in both engines, floor-scaled
+# to 1e8 fixed point PER LEVEL, then integer-summed — so the K-bin sum
+# order can't flip a bit; the decomposition identity is asserted on
+# the scaled integers (the definition, exact up to the quantization).
+
+def events_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.text import md5_int32
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "event_type")
+    users = ev.groupBy("user_id").agg(
+        F.max((F.col("event_type") == "purchase").cast("int")).alias("y")
+    )
+    scored = users.select(
+        F.pmod(md5_int32(F.col("user_id").cast("string")), ISO_LEVELS).alias("score"),
+        "y",
+    )
+    levels = scored.groupBy("score").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("y").alias("sy")
+    )
+    tot = levels.agg(
+        F.sum("n").alias("nn"), F.sum("sy").alias("ssy"),
+        F.count(F.lit(1)).alias("n_bins"),
+    )
+    terms = levels.crossJoin(F.broadcast(tot)).select(
+        "n_bins",
+        "nn",
+        "ssy",
+        F.expr(
+            f"cast(floor((n / cast(nn as double)) *"
+            f" pow((2 * score + 1) / cast(2 * {ISO_LEVELS} as double) - sy / cast(n as double), 2)"
+            " * 1e8 + 0.5) as bigint)"
+        ).alias("rel_e8"),
+        F.expr(
+            "cast(floor((n / cast(nn as double)) *"
+            " pow(sy / cast(n as double) - ssy / cast(nn as double), 2)"
+            " * 1e8 + 0.5) as bigint)"
+        ).alias("res_e8"),
+    )
+    return terms.groupBy("n_bins", "nn", "ssy").agg(
+        F.sum("rel_e8").alias("r1"), F.sum("res_e8").alias("r2")
+    ).select(
+        F.col("n_bins").cast("bigint").alias("n_bins"),
+        F.col("nn").cast("bigint").alias("n_users"),
+        F.expr("cast(floor(ssy * 1000000.0 / nn + 0.5) as bigint)").alias(
+            "base_rate_e6"
+        ),
+        F.col("r1").cast("bigint").alias("reliability_e8"),
+        F.col("r2").cast("bigint").alias("resolution_e8"),
+        F.expr(
+            "cast(floor((ssy / cast(nn as double)) * (1 - ssy / cast(nn as double))"
+            " * 1e8 + 0.5) as bigint)"
+        ).alias("uncertainty_e8"),
+    ).withColumn(
+        "brier_e8",
+        (
+            F.col("reliability_e8") - F.col("resolution_e8") + F.col("uncertainty_e8")
+        ).cast("bigint"),
+    )
+
+
+BRIER_SQL = f"""
+WITH users AS (
+  SELECT user_id, max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS y
+  FROM events GROUP BY user_id
+),
+scored AS (
+  SELECT CAST('0x' || substr(md5(user_id::VARCHAR), 1, 8) AS BIGINT) % {ISO_LEVELS} AS score, y
+  FROM users
+),
+levels AS (SELECT score, count(*) AS n, sum(y) AS sy FROM scored GROUP BY score),
+tot AS (SELECT CAST(sum(n) AS BIGINT) AS nn, CAST(sum(sy) AS BIGINT) AS ssy,
+               count(*)::BIGINT AS n_bins FROM levels),
+terms AS (
+  SELECT n_bins, nn, ssy,
+         CAST(floor((n / CAST(nn AS DOUBLE)) *
+              pow((2 * score + 1) / CAST(2 * {ISO_LEVELS} AS DOUBLE) - sy / CAST(n AS DOUBLE), 2)
+              * 1e8 + (0.5)::DOUBLE) AS BIGINT) AS rel_e8,
+         CAST(floor((n / CAST(nn AS DOUBLE)) *
+              pow(sy / CAST(n AS DOUBLE) - ssy / CAST(nn AS DOUBLE), 2)
+              * 1e8 + (0.5)::DOUBLE) AS BIGINT) AS res_e8
+  FROM levels, tot
+)
+SELECT n_bins, nn AS n_users,
+       CAST(floor(ssy * 1000000.0 / nn + (0.5)::DOUBLE) AS BIGINT) AS base_rate_e6,
+       CAST(sum(rel_e8) AS BIGINT) AS reliability_e8,
+       CAST(sum(res_e8) AS BIGINT) AS resolution_e8,
+       CAST(floor((ssy / CAST(nn AS DOUBLE)) * (1 - ssy / CAST(nn AS DOUBLE))
+            * 1e8 + (0.5)::DOUBLE) AS BIGINT) AS uncertainty_e8,
+       CAST(CAST(sum(rel_e8) AS BIGINT) - CAST(sum(res_e8) AS BIGINT)
+            + CAST(floor((ssy / CAST(nn AS DOUBLE)) * (1 - ssy / CAST(nn AS DOUBLE))
+                    * 1e8 + (0.5)::DOUBLE) AS BIGINT) AS BIGINT) AS brier_e8
+FROM terms
+GROUP BY n_bins, nn, ssy
+"""
+
+QUERIES["events_brier_decomposition"] = events_brier_decomposition
+ORACLES["events_brier_decomposition"] = BRIER_SQL

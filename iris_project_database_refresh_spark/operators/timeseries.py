@@ -2064,3 +2064,106 @@ FROM dp WHERE i = len(va)
 
 QUERIES["events_dtw_pairs"] = events_dtw_pairs
 ORACLES["events_dtw_pairs"] = DTW_PAIRS_SQL
+
+
+# --- quantile-forecast pinball loss (the production quantile metric) ----------
+#
+# Quantile forecasts are graded with pinball loss L_q(y,f) =
+# max(q(y−f), (q−1)(y−f)) (Koenker & Bassett 1978; the M5-Uncertainty
+# metric) — the number next to events_forecast_backtest's point-MAE
+# when the deployment ships P10/P50/P90 bands. Split: first
+# PINBALL_TRAIN_DAYS daily totals per type train a CONSTANT quantile
+# forecast (the q-th ORDER STATISTIC of the train window — exact
+# integer k-th smallest, ties to earlier day, no interpolation), the
+# remaining days evaluate. Everything integer: cent-scaled totals,
+# q in tenths so 10·L is exact (max(q10·d, (q10−10)·d)).
+# Scale: calendar-bounded per-type windows (the bounded-grid class),
+# one broadcast forecast join, one agg.
+
+PINBALL_TRAIN_DAYS = 21
+PINBALL_Q10S = (1, 5, 9)  # P10 / P50 / P90
+
+
+def events_pinball_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v"))
+    )
+    wd = Window.partitionBy("event_type").orderBy("day")
+    idxd = daily.withColumn("idx", F.row_number().over(wd)).localCheckpoint(
+        eager=False
+    )  # split consumed by both arms
+    train = idxd.where(F.col("idx") <= PINBALL_TRAIN_DAYS)
+    test = idxd.where(F.col("idx") > PINBALL_TRAIN_DAYS)
+
+    wv = Window.partitionBy("event_type").orderBy("v", "day")
+    ranked = train.withColumn("rn", F.row_number().over(wv))
+    qs = F.array(*[F.lit(q) for q in PINBALL_Q10S])
+    forecasts = (
+        ranked.select("event_type", "rn", "v", F.explode(qs).alias("q10"))
+        .where(
+            F.col("rn")
+            == F.expr(f"(q10 * {PINBALL_TRAIN_DAYS} + 9) div 10")
+        )
+        .select("event_type", "q10", F.col("v").alias("f"))
+    )
+    losses = test.join(F.broadcast(forecasts), "event_type").select(
+        "event_type",
+        "q10",
+        "f",
+        F.expr("greatest(q10 * (v - f), (q10 - 10) * (v - f))").alias("l10"),
+    )
+    return losses.groupBy("event_type", "q10", "f").agg(
+        F.count(F.lit(1)).alias("n_test"),
+        F.sum("l10").alias("total_pinball_x10"),
+    ).select(
+        "event_type",
+        F.col("q10").cast("bigint").alias("q10"),
+        F.lit(PINBALL_TRAIN_DAYS).cast("bigint").alias("n_train"),
+        F.col("n_test").cast("bigint").alias("n_test"),
+        F.col("f").cast("bigint").alias("forecast"),
+        F.col("total_pinball_x10").cast("bigint").alias("total_pinball_x10"),
+        F.expr("total_pinball_x10 div n_test").cast("bigint").alias(
+            "mean_pinball_x10"
+        ),
+    )
+
+
+PINBALL_SQL = f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+),
+idxd AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY day) AS idx
+  FROM daily
+),
+train AS (SELECT * FROM idxd WHERE idx <= {PINBALL_TRAIN_DAYS}),
+test AS (SELECT * FROM idxd WHERE idx > {PINBALL_TRAIN_DAYS}),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY event_type ORDER BY v, day) AS rn
+  FROM train
+),
+forecasts AS (
+  SELECT event_type, q.q10, v AS f
+  FROM ranked, (SELECT unnest([{", ".join(str(q) for q in PINBALL_Q10S)}]) AS q10) q
+  WHERE rn = (q.q10 * {PINBALL_TRAIN_DAYS} + 9) // 10
+)
+SELECT t.event_type, CAST(f.q10 AS BIGINT) AS q10,
+       CAST({PINBALL_TRAIN_DAYS} AS BIGINT) AS n_train,
+       count(*)::BIGINT AS n_test,
+       CAST(f.f AS BIGINT) AS forecast,
+       CAST(sum(greatest(f.q10 * (t.v - f.f), (f.q10 - 10) * (t.v - f.f))) AS BIGINT) AS total_pinball_x10,
+       CAST(CAST(sum(greatest(f.q10 * (t.v - f.f), (f.q10 - 10) * (t.v - f.f))) AS BIGINT)
+            // count(*) AS BIGINT) AS mean_pinball_x10
+FROM test t JOIN forecasts f ON f.event_type = t.event_type
+GROUP BY t.event_type, f.q10, f.f
+"""
+
+QUERIES["events_pinball_eval"] = events_pinball_eval
+ORACLES["events_pinball_eval"] = PINBALL_SQL
