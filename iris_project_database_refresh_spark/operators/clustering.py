@@ -871,7 +871,7 @@ ORACLES["embed_pca_deflate"] = PCA2_SQL
 # under-coverage as a hash mismatch).
 
 DBSCAN_MINPTS = 3  # sf0.01 max degree at tau is 3 — keep the smallest SF non-degenerate
-DBSCAN_CC_ROUNDS = 8
+DBSCAN_CC_ROUNDS = 5  # min-label + pointer-jump: covers radius ~2^5 (r9)
 
 
 def embed_dbscan(spark: SparkSession, sf_dir: str) -> DataFrame:
