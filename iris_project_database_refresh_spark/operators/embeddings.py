@@ -1036,17 +1036,23 @@ def _knn_graph_exact_on(emb: DataFrame) -> DataFrame:
 
 
 def _knn_graph_banded(spark: SparkSession, sf_dir: str, np_: int) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return _knn_graph_banded_on(emb, np_, _embed_dim(sf_dir))
+
+
+def _knn_graph_banded_on(emb: DataFrame, np_: int, dim: int | None) -> DataFrame:
     """The >SIM_EXACT_MAX kNN-graph backend: per-(band, bucket) GEMM
     emits each member's in-bucket top-K (lossless for the candidate
     set: the global top-K among candidates is contained in the union
     of per-bucket top-Ks under the same total order); one hash-agg
     dedups neighbors surfaced by several bands, then the exact path's
     bounded array_sort merge takes the final K. A vector with < K
-    candidates emits fewer rows — mirrored by the oracle branch."""
+    candidates emits fewer rows — mirrored by the oracle branch.
+    Frame-parameterized (r9) so knn_graph_incremental can build the
+    MASTER-only index artifact through the same dispatch."""
     import numpy as np
     import pandas as pd
 
-    emb = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     out_schema = "vec_id bigint, neighbor_id bigint, cosine double"
 
     def topk_bucket(key, pdf):
@@ -1069,7 +1075,7 @@ def _knn_graph_banded(spark: SparkSession, sf_dir: str, np_: int) -> DataFrame:
             {"vec_id": out_q, "neighbor_id": out_c, "cosine": out_s}
         ).astype({"vec_id": "int64", "neighbor_id": "int64", "cosine": "float64"})
 
-    partials = _banded_buckets(emb, np_, _embed_dim(sf_dir)).groupBy(
+    partials = _banded_buckets(emb, np_, dim).groupBy(
         "band", "bucket"
     ).applyInPandas(topk_bucket, out_schema)
     deduped = partials.groupBy("vec_id", "neighbor_id").agg(
@@ -2616,21 +2622,79 @@ def knn_graph_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     master = emb.where(~is_batch)
     batch = emb.where(is_batch)
 
-    g = _knn_graph_exact_on(master).localCheckpoint(eager=False)  # the index artifact
+    # the index-artifact stand-in goes through the SAME exact→ANN
+    # dispatch as knn_graph itself (r9) — otherwise this operator would
+    # quietly re-introduce the quadratic master GEMM the swap retired;
+    # the master count (one filtered count job) gates identically to
+    # the oracle's count-gated branches.
+    n_m = master.count()
+    g = (
+        _knn_graph_exact_on(master)
+        if n_m <= SIM_EXACT_MAX
+        else _knn_graph_banded_on(master, _lsh_planes(n_m), _embed_dim(sf_dir))
+    ).localCheckpoint(eager=False)  # the index artifact
 
-    mu = master.select(
-        F.col("vec_id").alias("mid"), _as_double("embedding").alias("mv")
-    ).withColumn("mn", F.sqrt(_dot(F.col("mv"), F.col("mv"))))
-    bu = batch.select(
-        F.col("vec_id").alias("bid"), _as_double("embedding").alias("bv")
-    ).withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv"))))
-    scored = mu.join(F.broadcast(bu)).select(
-        "mid",
-        "bid",
-        F.round(_dot(F.col("mv"), F.col("bv")) / (F.col("mn") * F.col("bn")), 6).alias(
-            "cosine"
-        ),
-    ).localCheckpoint(eager=False)  # feeds both arms below
+    if n_m <= SIM_EXACT_MAX:
+        # exact probe: batch broadcast against the master scan —
+        # O(|batch| x |master|), the sub-threshold contract
+        mu = master.select(
+            F.col("vec_id").alias("mid"), _as_double("embedding").alias("mv")
+        ).withColumn("mn", F.sqrt(_dot(F.col("mv"), F.col("mv"))))
+        bu = batch.select(
+            F.col("vec_id").alias("bid"), _as_double("embedding").alias("bv")
+        ).withColumn("bn", F.sqrt(_dot(F.col("bv"), F.col("bv"))))
+        scored = mu.join(F.broadcast(bu)).select(
+            "mid",
+            "bid",
+            F.round(
+                _dot(F.col("mv"), F.col("bv")) / (F.col("mn") * F.col("bn")), 6
+            ).alias("cosine"),
+        )
+    else:
+        # above the threshold the probe itself must be banded too — a
+        # constant batch FRACTION makes the exact batch x master scan
+        # grow quadratically with the corpus (the 16x probe caught
+        # exactly this on the first cut): per-(band, bucket) GEMM of
+        # the bucket's batch rows against its master rows, cross-band
+        # dedup — candidates ∝ |batch| x bucket occupancy
+        import numpy as np
+        import pandas as pd
+
+        np_ = _lsh_planes(n_m)
+        dim = _embed_dim(sf_dir)
+        tagged = _banded_buckets(master, np_, dim).withColumn(
+            "role", F.lit("m")
+        ).unionByName(
+            _banded_buckets(batch, np_, dim).withColumn("role", F.lit("b"))
+        )
+        cross_schema = "mid bigint, bid bigint, cosine double"
+
+        def cross_bucket(key, pdf):
+            mrows = pdf[pdf["role"] == "m"]
+            brows = pdf[pdf["role"] == "b"]
+            if mrows.empty or brows.empty:
+                return pd.DataFrame({"mid": [], "bid": [], "cosine": []}).astype(
+                    {"mid": "int64", "bid": "int64", "cosine": "float64"}
+                )
+            mm = np.array(list(mrows["embedding"]), dtype=np.float64)
+            bb = np.array(list(brows["embedding"]), dtype=np.float64)
+            mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+            bb /= np.linalg.norm(bb, axis=1, keepdims=True)
+            sims = np.round(bb @ mm.T, 6)
+            mids = mrows["vec_id"].to_numpy()
+            bids = brows["vec_id"].to_numpy()
+            ib, im = np.nonzero(np.ones_like(sims, dtype=bool))
+            return pd.DataFrame(
+                {"mid": mids[im], "bid": bids[ib], "cosine": sims[ib, im]}
+            ).astype({"mid": "int64", "bid": "int64", "cosine": "float64"})
+
+        scored = (
+            tagged.groupBy("band", "bucket")
+            .applyInPandas(cross_bucket, cross_schema)
+            .groupBy("mid", "bid")
+            .agg(F.min("cosine").alias("cosine"))
+        )
+    scored = scored.localCheckpoint(eager=False)  # feeds both arms below
 
     wb = Window.partitionBy("bid").orderBy(F.desc("cosine"), F.asc("mid"))
     batch_topk = (
@@ -2699,21 +2763,50 @@ WITH d AS (
 ),
 m AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d WHERE vec_id % {KNN_BATCH_MOD} <> 3),
 b AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d WHERE vec_id % {KNN_BATCH_MOD} = 3),
+mcnt AS (SELECT count(*) AS n FROM embeddings WHERE vec_id % {KNN_BATCH_MOD} <> 3),
+npl AS (SELECT greatest({LSH_PLANES}, CASE WHEN mm <= 1 THEN 0
+        ELSE length(bin(mm - 1)) END) AS np FROM
+        (SELECT CAST((n + {LSH_BUCKET_TARGET - 1}) // {LSH_BUCKET_TARGET} AS BIGINT) AS mm FROM mcnt)),
+mx AS (SELECT m.* FROM m WHERE (SELECT n FROM mcnt) <= {SIM_EXACT_MAX}),
+mb AS (SELECT m.* FROM m WHERE (SELECT n FROM mcnt) > {SIM_EXACT_MAX}),
 gscored AS (
   SELECT a.vec_id, x.vec_id AS neighbor_id,
          round(list_dot_product(a.v, x.v) / (a.nrm * x.nrm), 6) AS cosine
-  FROM m a JOIN m x ON a.vec_id <> x.vec_id
+  FROM mx a JOIN mx x ON a.vec_id <> x.vec_id
+),
+bucketed AS (
+  SELECT vec_id, v, bb.band, {_bucket_sql_band("v", "bb.band")} AS bucket
+  FROM mb, npl, (SELECT unnest(range({SIM_BANDS})) AS band) bb
+),
+cand_m AS (
+  SELECT DISTINCT a.vec_id, b.vec_id AS neighbor_id, {_COS6} AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id <> b.vec_id
 ),
 g AS (
   SELECT * FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
     FROM gscored
   ) WHERE rank <= {KNN_K}
+  UNION ALL
+  SELECT * FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY cosine DESC, neighbor_id ASC) AS rank
+    FROM cand_m
+  ) WHERE rank <= {KNN_K}
+),
+bbt AS (SELECT b.* FROM b WHERE (SELECT n FROM mcnt) > {SIM_EXACT_MAX}),
+bucketed_b AS (
+  SELECT vec_id, v, bb.band, {_bucket_sql_band("v", "bb.band")} AS bucket
+  FROM bbt, npl, (SELECT unnest(range({SIM_BANDS})) AS band) bb
 ),
 sc AS (
-  SELECT m.vec_id AS mid, b.vec_id AS bid,
-         round(list_dot_product(m.v, b.v) / (m.nrm * b.nrm), 6) AS cosine
-  FROM m JOIN b ON true
+  SELECT mx.vec_id AS mid, b.vec_id AS bid,
+         round(list_dot_product(mx.v, b.v) / (mx.nrm * b.nrm), 6) AS cosine
+  FROM mx JOIN b ON true
+  UNION ALL
+  SELECT DISTINCT a.vec_id AS mid, b.vec_id AS bid, {_COS6} AS cosine
+  FROM bucketed a JOIN bucketed_b b
+    ON a.band = b.band AND a.bucket = b.bucket
 ),
 bt AS (
   SELECT 'batch' AS kind, bid AS vec_id, mid AS neighbor_id,

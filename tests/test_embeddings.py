@@ -435,3 +435,21 @@ def test_knn_graph_incremental_semantics(spark):
         # ahead of the K-th entry under (cosine desc, id asc)
         assert (-round(r.cosine * 1e6), r.neighbor_id) < (-round(kc * 1e6), kn)
         assert 1 <= r.rank <= embeddings.KNN_K
+
+
+def test_swapped_knn_graph_incremental_matches_oracle(spark, big_corpus):
+    """Above SIM_EXACT_MAX BOTH arms of the incremental refresh swap —
+    the master-index stand-in AND the batch probe (a constant batch
+    fraction makes the exact batch x master scan quadratic in the
+    corpus; the 16x probe caught the first cut) — and the production
+    count-gated oracle must match them exactly."""
+    d, _ = big_corpus
+    con = _oracle_on(d)
+    try:
+        assert_matches_oracle(
+            embeddings.knn_graph_incremental(spark, d),
+            con,
+            embeddings.ORACLES["knn_graph_incremental"],
+        )
+    finally:
+        con.close()
