@@ -90,6 +90,72 @@ def cow_merge(
         spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
 
 
+def _write_curve_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int,
+    zbits: int,
+    key_for,
+) -> None:
+    """Shared curve-clustered write: normalize both columns to the
+    2^zbits grid, key rows with ``key_for(zbits)`` (a fn of the __ca/
+    __cb code columns), range-partition on the key into n_files
+    row-balanced curve-contiguous files, sort within, drop the key."""
+    rng = df.agg(
+        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
+        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
+    )
+    grid = 1 << zbits
+    coded = (
+        df.crossJoin(F.broadcast(rng))
+        .withColumn(
+            "__ca",
+            F.expr(f"({col_a} - __amin) * {grid} div (__amax - __amin + 1)"),
+        )
+        .withColumn(
+            "__cb",
+            F.expr(f"({col_b} - __bmin) * {grid} div (__bmax - __bmin + 1)"),
+        )
+        .withColumn("__key", key_for(zbits))
+        .drop("__amin", "__amax", "__bmin", "__bmax", "__ca", "__cb")
+    )
+    (
+        coded.repartitionByRange(n_files, "__key")
+        .sortWithinPartitions("__key")
+        .drop("__key")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def write_zorder_clustered(
+    df: DataFrame,
+    path: str,
+    col_a: str,
+    col_b: str,
+    n_files: int = 16,
+    zbits: int = 8,
+) -> None:
+    """Morton/z-order sibling of `write_hilbert_clustered` — the same
+    OPTIMIZE-style clustering write with the interleaved-bit key the
+    `zorder_layout` operator measures (z-order matches Hilbert on
+    dyadic-aligned boxes and loses a constant on arbitrary ones —
+    Moon et al. 2001; shipping both lets a deployment A/B the curves
+    on its own predicates with `file_bounds`)."""
+
+    def zkey(zb: int):
+        terms = " + ".join(
+            f"shiftleft(shiftright(__ca, {j}) & 1, {2 * j})"
+            f" + shiftleft(shiftright(__cb, {j}) & 1, {2 * j + 1})"
+            for j in range(zb)
+        )
+        return F.expr(terms).cast("bigint")
+
+    _write_curve_clustered(df, path, col_a, col_b, n_files, zbits, zkey)
+
+
 def write_hilbert_clustered(
     df: DataFrame,
     path: str,
@@ -118,30 +184,9 @@ def write_hilbert_clustered(
     """
     from ..operators.layout import hilbert_expr
 
-    rng = df.agg(
-        F.min(col_a).alias("__amin"), F.max(col_a).alias("__amax"),
-        F.min(col_b).alias("__bmin"), F.max(col_b).alias("__bmax"),
-    )
-    grid = 1 << zbits
-    coded = (
-        df.crossJoin(F.broadcast(rng))
-        .withColumn(
-            "__ca",
-            F.expr(f"({col_a} - __amin) * {grid} div (__amax - __amin + 1)"),
-        )
-        .withColumn(
-            "__cb",
-            F.expr(f"({col_b} - __bmin) * {grid} div (__bmax - __bmin + 1)"),
-        )
-        .withColumn("__hkey", hilbert_expr("__ca", "__cb", zbits))
-        .drop("__amin", "__amax", "__bmin", "__bmax", "__ca", "__cb")
-    )
-    (
-        coded.repartitionByRange(n_files, "__hkey")
-        .sortWithinPartitions("__hkey")
-        .drop("__hkey")
-        .write.mode("overwrite")
-        .parquet(path)
+    _write_curve_clustered(
+        df, path, col_a, col_b, n_files, zbits,
+        lambda zb: hilbert_expr("__ca", "__cb", zb),
     )
 
 

@@ -167,3 +167,42 @@ def test_hilbert_clustered_write_skips_files(spark, tmp_path):
     # whose a-range touches the box must be read. Hilbert bounds both.
     assert h_files < l_files, (h_files, l_files)
     assert h_files < len(hb)  # the box reads a strict subset
+
+
+def test_zorder_clustered_write_skips_files(spark, tmp_path):
+    """The z-order sibling: rows preserved, file count honored, and the
+    2-D box skips more files than the single-column linear layout
+    (z-order matches Hilbert on the aligned box class)."""
+    from iris_project_database_refresh_spark.sinks.partitioned import (
+        file_bounds,
+        write_zorder_clustered,
+    )
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    from .conftest import SF_CORRECT
+
+    orders = load_table(spark, SF_CORRECT, "orders").select(
+        F.col("o_custkey").alias("a"),
+        F.expr("cast(floor(o_totalprice * 100 + 0.5) as bigint)").alias("b"),
+    )
+    n = orders.count()
+    zo, lin = str(tmp_path / "zo"), str(tmp_path / "lin")
+    write_zorder_clustered(orders, zo, "a", "b", n_files=16)
+    orders.repartitionByRange(16, "a").sortWithinPartitions("a").write.parquet(lin)
+    zb = file_bounds(spark, zo, "a", "b").collect()
+    lb = file_bounds(spark, lin, "a", "b").collect()
+    assert sum(r.n_rows for r in zb) == n and len(zb) == 16
+    amin, amax, bmin, bmax = orders.agg(
+        F.min("a"), F.max("a"), F.min("b"), F.max("b")
+    ).first()
+    alo, ahi = amin + (amax - amin) // 4, amin + (amax - amin) // 2
+    blo, bhi = bmin + (bmax - bmin) // 4, bmin + (bmax - bmin) // 2
+
+    def overlapping(bounds):
+        return sum(
+            1
+            for r in bounds
+            if r.min_a <= ahi and r.max_a >= alo and r.min_b <= bhi and r.max_b >= blo
+        )
+
+    assert overlapping(zb) < overlapping(lb)
