@@ -2942,3 +2942,113 @@ FROM scored
 
 QUERIES["dedup_minhash_b_bit"] = dedup_minhash_b_bit
 ORACLES["dedup_minhash_b_bit"] = BBIT_MINHASH_SQL
+
+
+# --- sentence-level LCS alignment of near-dup pairs ---------------------------
+#
+# The sequence-aware verdict next to the Jaccard verify: for every
+# MinHash near-dup pair, the longest common subsequence of SENTENCE
+# fingerprints (each sentence md5-hashed after a literal '.' split +
+# trim) — the edit-grain analysis a dedup reviewer actually reads
+# (which sentences were inserted/dropped between the copies), i.e.
+# ROUGE-L at the sentence granularity where it is meaningful (the
+# corpus' near-copies are token-suffix truncations, so token-level LCS
+# would be trivially the shorter length).
+#
+# The LCS recursion L(i,j) = max(L(i-1,j), L(i,j-1), L(i-1,j-1)+eq)
+# unrolls even more cleanly than DTW's: with m(k) = max(prev[k+1],
+# prev[k] + eq(i,k)), L(i,j) = max_{k<=j} m(k) — a pure prefix MAX, so
+# each DP row is (transform, slice, max) list ops; Spark folds rows in
+# ONE bounded aggregate() (sentence counts are document-bounded, the
+# shelf-fold class), the oracle advances one row per recursive-CTE
+# step. alignment_bp = 2·LCS·10000/(n_a + n_b), the F-style ratio.
+
+def dedup_pair_sentence_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    corpus = _corpus(spark, sf_dir)
+    sents = corpus.select(
+        "doc_id",
+        F.expr(
+            "transform(filter(transform(split(text, '\\\\.'), s -> trim(s)),"
+            " s -> s != ''), s -> md5(s))"
+        ).alias("sh"),
+    )
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    both = (
+        pairs.join(
+            sents.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa")),
+            "id_a",
+        )
+        .join(
+            sents.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb")),
+            "id_b",
+        )
+    )
+    lcs = F.expr(
+        """
+        aggregate(
+          sequence(1, size(sa)),
+          transform(sequence(0, size(sb)), j -> cast(0 as bigint)),
+          (prev, i) -> concat(array(cast(0 as bigint)),
+            transform(sequence(1, size(sb)), j ->
+              array_max(transform(sequence(1, j), k ->
+                greatest(element_at(prev, k + 1),
+                         element_at(prev, k)
+                         + (case when element_at(sa, i) = element_at(sb, k)
+                                 then cast(1 as bigint)
+                                 else cast(0 as bigint) end)))))),
+          fin -> element_at(fin, size(sb) + 1))
+        """
+    )
+    return both.select(
+        "id_a",
+        "id_b",
+        "jaccard",
+        F.size("sa").cast("bigint").alias("n_sent_a"),
+        F.size("sb").cast("bigint").alias("n_sent_b"),
+        lcs.alias("lcs_sentences"),
+    ).withColumn(
+        "alignment_bp",
+        F.expr(
+            "case when n_sent_a + n_sent_b = 0 then cast(0 as bigint)"
+            " else cast(2 * lcs_sentences * 10000 div (n_sent_a + n_sent_b) as bigint) end"
+        ),
+    )
+
+
+PAIR_SENTENCE_LCS_SQL = f"""
+WITH RECURSIVE {CORPUS_SQL.strip()},
+sents AS (
+  SELECT doc_id,
+         list_transform(list_filter(list_transform(string_split(text, '.'),
+             s -> trim(s)), s -> s <> ''), s -> md5(s)) AS sh
+  FROM corpus
+),
+pairs AS (SELECT id_a, id_b, jaccard FROM ({DEDUP_MINHASH_SQL.strip()})),
+pj AS (
+  SELECT p.id_a, p.id_b, p.jaccard, a.sh AS sa, b.sh AS sb
+  FROM pairs p JOIN sents a ON a.doc_id = p.id_a JOIN sents b ON b.doc_id = p.id_b
+),
+dp AS (
+  SELECT id_a, id_b, jaccard, sa, sb, 0 AS i,
+         list_transform(range(0, len(sb) + 1), j -> 0::BIGINT) AS row
+  FROM pj
+  UNION ALL
+  SELECT id_a, id_b, jaccard, sa, sb, i + 1,
+         list_prepend(0::BIGINT,
+           list_transform(range(1, len(sb) + 1), j ->
+             CAST(list_max(list_transform(range(1, j + 1), k ->
+               greatest(row[k + 1],
+                        row[k] + (CASE WHEN sa[i + 1] = sb[k]
+                                       THEN 1 ELSE 0 END)))) AS BIGINT)))
+  FROM dp WHERE i < len(sa)
+)
+SELECT id_a, id_b, jaccard,
+       CAST(len(sa) AS BIGINT) AS n_sent_a, CAST(len(sb) AS BIGINT) AS n_sent_b,
+       CAST(row[len(sb) + 1] AS BIGINT) AS lcs_sentences,
+       CAST(CASE WHEN len(sa) + len(sb) = 0 THEN 0
+            ELSE 2 * row[len(sb) + 1] * 10000 // (len(sa) + len(sb)) END AS BIGINT) AS alignment_bp
+FROM dp WHERE i = len(sa)
+"""
+
+QUERIES["dedup_pair_sentence_lcs"] = dedup_pair_sentence_lcs
+ORACLES["dedup_pair_sentence_lcs"] = PAIR_SENTENCE_LCS_SQL
