@@ -1802,3 +1802,116 @@ CONDUCTANCE_SQL = _conductance_sql()
 
 QUERIES["graph_conductance"] = graph_conductance
 ORACLES["graph_conductance"] = CONDUCTANCE_SQL
+
+
+# --- sampled harmonic centrality (multi-source bounded BFS) -------------------
+#
+# Harmonic centrality (Boldi & Vigna 2014 — the closeness variant that
+# handles disconnected graphs) for a fixed SOURCE SAMPLE: H(s) =
+# Σ_{v reached, v≠s} 1/d(s,v), computed from one MULTI-source bounded
+# BFS — all sources advance together in the same per-round join, so
+# the round count stays BFS_ITERS regardless of sample size (the
+# standard estimator shape: production samples sources, never runs
+# all-pairs BFS). 1/d lands as the exact integer 1e6 div d, summed —
+# engine-identical; nodes beyond the horizon simply don't contribute
+# (the bounded-radius estimate both engines share).
+#
+# Scale: state is (src, node) distances — sample × N rows, keyed
+# shuffles only, per-round lineage pin; the source sample is the knob.
+
+CLOSENESS_SOURCES = (0, 11, 23, 37, 53)
+
+
+def graph_closeness_sampled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nodes = _nodes(spark, sf_dir)
+    n_df = nodes.agg(F.count(F.lit(1)).alias("n"))
+    with_n = nodes.crossJoin(F.broadcast(n_df))
+    targets = F.array_distinct(
+        F.array(
+            (F.col("doc_id") * 31 + 7) % F.col("n"),
+            (F.col("doc_id") * 17 + 3) % F.col("n"),
+            (F.col("doc_id") * 13 + 11) % F.col("n"),
+        )
+    )
+    fwd = with_n.select(
+        F.col("doc_id").alias("eu"), F.explode(targets).alias("ev")
+    )
+    edges = (
+        fwd.union(fwd.select(F.col("ev").alias("eu"), F.col("eu").alias("ev")))
+        .distinct()
+        .localCheckpoint(eager=False)
+    )
+    dist = nodes.where(
+        F.col("doc_id").isin(*CLOSENESS_SOURCES)
+    ).select(
+        F.col("doc_id").alias("src"),
+        F.col("doc_id").alias("node"),
+        F.lit(0).cast("bigint").alias("dist"),
+    )
+    for _ in range(BFS_ITERS):
+        reached = dist.join(edges, dist.node == edges.eu).select(
+            "src", F.col("ev").alias("node"), (F.col("dist") + 1).alias("dist")
+        )
+        dist = (
+            dist.union(reached)
+            .groupBy("src", "node")
+            .agg(F.min("dist").cast("bigint").alias("dist"))
+            .localCheckpoint(eager=False)
+        )
+    return (
+        dist.where(F.col("dist") > 0)
+        .groupBy("src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_reached"),
+            F.max("dist").cast("bigint").alias("max_dist"),
+            F.sum(F.expr("1000000 div dist")).cast("bigint").alias("harmonic_e6"),
+        )
+        .select(
+            F.col("src").alias("source_id"), "n_reached", "max_dist", "harmonic_e6"
+        )
+    )
+
+
+def _closeness_sql() -> str:
+    srcs = ", ".join(str(s) for s in CLOSENESS_SOURCES)
+    rounds = []
+    prev = "d0"
+    for i in range(BFS_ITERS):
+        rounds.append(f"""d{i + 1} AS (
+  SELECT src, node, CAST(min(dist) AS BIGINT) AS dist FROM (
+    SELECT src, node, dist FROM {prev}
+    UNION ALL
+    SELECT d.src, e.dst AS node, d.dist + 1 FROM {prev} d JOIN edges e ON d.node = e.src
+  ) GROUP BY src, node
+)""")
+        prev = f"d{i + 1}"
+    body = ",\n".join(rounds)
+    return f"""
+WITH nodes AS (SELECT doc_id FROM documents),
+nn AS (SELECT count(*)::BIGINT AS n FROM nodes),
+fwd AS (
+  SELECT doc_id AS src, unnest(list_distinct([
+      (doc_id * 31 + 7) % n, (doc_id * 17 + 3) % n, (doc_id * 13 + 11) % n
+  ])) AS dst
+  FROM nodes, nn
+),
+edges AS (
+  SELECT DISTINCT src, dst FROM (
+    SELECT src, dst FROM fwd UNION ALL SELECT dst AS src, src AS dst FROM fwd
+  )
+),
+d0 AS (SELECT doc_id AS src, doc_id AS node, 0::BIGINT AS dist
+       FROM nodes WHERE doc_id IN ({srcs})),
+{body}
+SELECT src AS source_id, count(*)::BIGINT AS n_reached,
+       CAST(max(dist) AS BIGINT) AS max_dist,
+       CAST(sum(1000000 // dist) AS BIGINT) AS harmonic_e6
+FROM {prev} WHERE dist > 0
+GROUP BY src
+"""
+
+
+CLOSENESS_SQL = _closeness_sql()
+
+QUERIES["graph_closeness_sampled"] = graph_closeness_sampled
+ORACLES["graph_closeness_sampled"] = CLOSENESS_SQL
