@@ -2167,3 +2167,100 @@ GROUP BY t.event_type, f.q10, f.f
 
 QUERIES["events_pinball_eval"] = events_pinball_eval
 ORACLES["events_pinball_eval"] = PINBALL_SQL
+
+
+# --- classical seasonal decomposition (trend / seasonal / residual) -----------
+#
+# The moving-average decomposition (the "classical decomposition" of
+# every forecasting text; STL's ancestor) as a graded ARTIFACT — the
+# per-day trend/seasonal/residual table the anomaly and forecasting
+# operators consume, complementing events_holt_winters (which FITS a
+# model) with the model-free view. trend = centered 7-day MA (exact:
+# window sum div 7, only emitted where the full window exists),
+# detrended = v − trend, seasonal = per-(type, day-of-week) mean of
+# the detrended values, residual = detrended − seasonal.
+#
+# Two cross-engine devices: day-of-week as (epoch days) % 7 — engine-
+# independent, unlike the engines' dayofweek() conventions — and the
+# OFFSET floor-division trick for means of possibly-NEGATIVE
+# detrended values: Spark's integer div truncates toward zero while
+# DuckDB's // floors, so (x + OFF·n) div n − OFF computes floor
+# semantics in both (the shifted numerator is always positive).
+
+DECOMP_OFF = 1 << 35
+
+
+def events_classical_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    daily = (
+        load_table(spark, sf_dir, "events")
+        .groupBy(
+            "event_type", F.date_trunc("day", "ts").cast("date").alias("day")
+        )
+        .agg(F.sum(F.expr("cast(floor(value * 100 + 0.5) as bigint)")).alias("v"))
+    )
+    w7 = Window.partitionBy("event_type").orderBy("day").rowsBetween(-3, 3)
+    trended = (
+        daily.withColumn("s7", F.sum("v").over(w7))
+        .withColumn("c7", F.count(F.lit(1)).over(w7))
+        .where(F.col("c7") == 7)
+        .select(
+            "event_type",
+            "day",
+            "v",
+            F.expr("s7 div 7").cast("bigint").alias("trend"),
+            F.expr("datediff(day, date'1970-01-01') % 7").alias("dow"),
+        )
+        .withColumn("detrended", (F.col("v") - F.col("trend")).cast("bigint"))
+        .localCheckpoint(eager=False)  # feeds the seasonal agg AND the output join
+    )
+    seasonal = trended.groupBy("event_type", "dow").agg(
+        F.expr(
+            f"cast((sum(detrended) + {DECOMP_OFF}L * count(*)) div count(*)"
+            f" - {DECOMP_OFF}L as bigint)"
+        ).alias("seasonal")
+    )
+    return (
+        trended.join(seasonal, ["event_type", "dow"])
+        .select(
+            "event_type",
+            "day",
+            "v",
+            "trend",
+            F.col("dow").cast("bigint").alias("dow"),
+            "seasonal",
+            (F.col("detrended") - F.col("seasonal")).cast("bigint").alias("residual"),
+        )
+    )
+
+
+CLASSICAL_DECOMP_SQL = f"""
+WITH ev AS (SELECT * REPLACE (date_trunc('microseconds', ts) AS ts) FROM events),
+daily AS (
+  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+         CAST(sum(CAST(floor(value * 100 + (0.5)::DOUBLE) AS BIGINT)) AS BIGINT) AS v
+  FROM ev GROUP BY 1, 2
+),
+trended AS (
+  SELECT event_type, day, v,
+         CAST(s7 // 7 AS BIGINT) AS trend,
+         CAST((day - DATE '1970-01-01') % 7 AS BIGINT) AS dow,
+         CAST(v - s7 // 7 AS BIGINT) AS detrended
+  FROM (
+    SELECT *, sum(v) OVER w AS s7, count(*) OVER w AS c7
+    FROM daily
+    WINDOW w AS (PARTITION BY event_type ORDER BY day ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+  ) WHERE c7 = 7
+),
+seasonal AS (
+  SELECT event_type, dow,
+         CAST((sum(detrended) + {DECOMP_OFF} * count(*)) // count(*)
+              - {DECOMP_OFF} AS BIGINT) AS seasonal
+  FROM trended GROUP BY 1, 2
+)
+SELECT t.event_type, t.day, t.v, t.trend, t.dow, s.seasonal,
+       CAST(t.detrended - s.seasonal AS BIGINT) AS residual
+FROM trended t JOIN seasonal s ON s.event_type = t.event_type AND s.dow = t.dow
+"""
+
+QUERIES["events_classical_decompose"] = events_classical_decompose
+ORACLES["events_classical_decompose"] = CLASSICAL_DECOMP_SQL
