@@ -2551,3 +2551,78 @@ FROM per_src, tot
 
 QUERIES["quality_importance_resampling"] = quality_importance_resampling
 ORACLES["quality_importance_resampling"] = QUALITY_RESAMPLE_SQL
+
+
+# --- MATTR lexical diversity (moving-average type-token ratio) ----------------
+#
+# Covington & McFall (2010): plain TTR falls with document length by
+# construction, so corpora mixing long and short documents can't be
+# compared on it — MATTR fixes the window (MATTR_W tokens), computes
+# TTR per window, and averages, giving a length-robust lexical-
+# diversity score (the corpus-QC number next to quality_repetition's
+# dup-grams and vocab_stats' global TTR). Windows slide at stride
+# MATTR_S (the sampled-starts estimator); documents shorter than one
+# window fall back to their plain TTR (flagged by n_windows = 0).
+# Integer-exact: per-window distinct counts, basis points via div.
+# Scale: pure per-row JVM list ops over one documents scan — ZERO
+# shuffle, the cheapest plan class in the repo.
+
+MATTR_W = 25
+MATTR_S = 12
+
+
+def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    staged = docs.select(
+        "doc_id",
+        F.expr("filter(split(text, '\\\\s+'), t -> t != '')").alias("toks"),
+    ).select(
+        "doc_id",
+        "toks",
+        F.expr("size(toks)").cast("bigint").alias("n_tokens"),
+        F.expr(
+            f"cast(greatest(0, (size(toks) - {MATTR_W}) div {MATTR_S} + 1) as bigint)"
+        ).alias("n_windows"),
+        F.expr(
+            "case when size(toks) = 0 then cast(0 as bigint)"
+            " else cast(size(array_distinct(toks)) * 10000 div size(toks) as bigint) end"
+        ).alias("ttr_bp"),
+    )
+    return staged.withColumn(
+        "mattr_bp",
+        F.expr(
+            f"""
+            case when n_windows = 0 then ttr_bp
+            else cast(aggregate(
+                   transform(sequence(0, int(n_windows) - 1), k ->
+                     size(array_distinct(slice(toks, k * {MATTR_S} + 1, {MATTR_W})))),
+                   cast(0 as bigint), (a, x) -> a + x)
+                 * 10000 div (n_windows * {MATTR_W}) as bigint) end"""
+        ),
+    ).drop("toks")
+
+
+MATTR_SQL = f"""
+WITH base AS (
+  SELECT doc_id, list_filter(string_split_regex(text, '\\s+'), t -> t <> '') AS toks
+  FROM documents
+),
+staged AS (
+  SELECT doc_id, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(greatest(0, (len(toks) - {MATTR_W}) // {MATTR_S} + 1) AS BIGINT) AS n_windows,
+         CAST(CASE WHEN len(toks) = 0 THEN 0
+              ELSE len(list_distinct(toks)) * 10000 // len(toks) END AS BIGINT) AS ttr_bp
+  FROM base
+)
+SELECT doc_id, n_tokens, n_windows, ttr_bp,
+       CAST(CASE WHEN n_windows = 0 THEN ttr_bp
+            ELSE coalesce(list_sum(list_transform(range(0, n_windows), k ->
+                   len(list_distinct(list_slice(toks, k * {MATTR_S} + 1,
+                                                k * {MATTR_S} + {MATTR_W}))))), 0)
+                 * 10000 // (n_windows * {MATTR_W}) END AS BIGINT) AS mattr_bp
+FROM staged
+"""
+
+QUERIES["text_mattr_diversity"] = text_mattr_diversity
+ORACLES["text_mattr_diversity"] = MATTR_SQL
