@@ -3052,3 +3052,83 @@ FROM dp WHERE i = len(sa)
 
 QUERIES["dedup_pair_sentence_lcs"] = dedup_pair_sentence_lcs
 ORACLES["dedup_pair_sentence_lcs"] = PAIR_SENTENCE_LCS_SQL
+
+
+# --- MinHash estimator-quality audit ------------------------------------------
+#
+# The whole banded family trusts that matched-signatures/16 estimates
+# Jaccard; this audits the estimator ON the corpus it gates: for every
+# verified near-dup pair, the signature estimate (matched permutations
+# / 16, in bp) against the exact shingle Jaccard (the verify's own
+# number), rolled into the error distribution — mean/max absolute
+# error and the share of pairs within one permutation's resolution
+# (10000/16 bp). The number that justifies — or indicts — the 16-
+# permutation budget before anyone re-tunes bands. One sig join over
+# the production pair pipeline; 1-row output.
+
+N_PERM = len(AB)  # 16 permutations, the production signature width
+
+def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sh = _with_hashes(_corpus(spark, sf_dir))
+    sigs = sh.select("doc_id", *_minhash_sigs()).localCheckpoint(eager=False)
+    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    a = sigs.select(
+        F.col("doc_id").alias("id_a"),
+        *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_PERM)],
+    )
+    b = sigs.select(
+        F.col("doc_id").alias("id_b"),
+        *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_PERM)],
+    )
+    matched = sum(
+        (F.col(f"a{i}") == F.col(f"b{i}")).cast("int") for i in range(N_PERM)
+    )
+    per_pair = (
+        pairs.join(a, "id_a")
+        .join(b, "id_b")
+        .select(
+            F.expr(f"cast({N_PERM} as bigint)").alias("n_perm"),
+            (matched * 10000 / F.lit(N_PERM)).cast("bigint").alias("est_bp"),
+            F.expr("cast(floor(jaccard * 10000 + 0.5) as bigint)").alias("true_bp"),
+        )
+        .withColumn("abs_err_bp", F.expr("abs(est_bp - true_bp)"))
+    )
+    return per_pair.groupBy("n_perm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.expr("cast(sum(abs_err_bp) div count(*) as bigint)").alias(
+            "mean_abs_err_bp"
+        ),
+        F.max("abs_err_bp").cast("bigint").alias("max_abs_err_bp"),
+        F.expr(
+            f"cast(sum(case when abs_err_bp <= 10000 div {N_PERM} then 1 else 0 end)"
+            " * 10000 div count(*) as bigint)"
+        ).alias("within_one_perm_bp"),
+    )
+
+
+MINHASH_EST_ERR_SQL = f"""
+WITH {CORPUS_SQL.strip()},
+{_hashes_cte(_SH32_SQL).strip()},
+sigs AS (
+  SELECT doc_id, {_minhash_sql_sigs()}
+  FROM sh
+),
+pairs AS (SELECT id_a, id_b, jaccard FROM ({DEDUP_MINHASH_SQL.strip()})),
+per_pair AS (
+  SELECT CAST({N_PERM} AS BIGINT) AS n_perm,
+         CAST(({" + ".join(f"CASE WHEN a.sig{i} = b.sig{i} THEN 1 ELSE 0 END" for i in range(16))})
+              * 10000 / {N_PERM} AS BIGINT) AS est_bp,
+         CAST(floor(jaccard * 10000 + (0.5)::DOUBLE) AS BIGINT) AS true_bp
+  FROM pairs p JOIN sigs a ON a.doc_id = p.id_a JOIN sigs b ON b.doc_id = p.id_b
+)
+SELECT n_perm, count(*)::BIGINT AS n_pairs,
+       CAST(CAST(sum(abs(est_bp - true_bp)) AS BIGINT) // count(*) AS BIGINT) AS mean_abs_err_bp,
+       CAST(max(abs(est_bp - true_bp)) AS BIGINT) AS max_abs_err_bp,
+       CAST(sum(CASE WHEN abs(est_bp - true_bp) <= 10000 // {N_PERM} THEN 1 ELSE 0 END)
+            * 10000 // count(*) AS BIGINT) AS within_one_perm_bp
+FROM per_pair
+GROUP BY n_perm
+"""
+
+QUERIES["dedup_minhash_estimate_error"] = dedup_minhash_estimate_error
+ORACLES["dedup_minhash_estimate_error"] = MINHASH_EST_ERR_SQL
