@@ -2983,9 +2983,15 @@ def dedup_pair_sentence_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
         )
     )
+    # empty-list guard: Spark's sequence(1, 0) is the DESCENDING [1, 0]
+    # and the fold would then hit element_at(..., 0), which throws — a
+    # whitespace- or dot-only document reaching a MinHash pair must
+    # short-circuit to LCS 0 instead (the DuckDB CTE handles i=0 fine,
+    # so only the Spark side needs the gate)
     lcs = F.expr(
         """
-        aggregate(
+        case when size(sa) = 0 or size(sb) = 0 then cast(0 as bigint)
+        else aggregate(
           sequence(1, size(sa)),
           transform(sequence(0, size(sb)), j -> cast(0 as bigint)),
           (prev, i) -> concat(array(cast(0 as bigint)),
@@ -2996,7 +3002,7 @@ def dedup_pair_sentence_lcs(spark: SparkSession, sf_dir: str) -> DataFrame:
                          + (case when element_at(sa, i) = element_at(sb, k)
                                  then cast(1 as bigint)
                                  else cast(0 as bigint) end)))))),
-          fin -> element_at(fin, size(sb) + 1))
+          fin -> element_at(fin, size(sb) + 1)) end
         """
     )
     return both.select(

@@ -99,11 +99,21 @@ _DIM_CACHE: dict[tuple, int | None] = {}
 
 
 def _embed_dim(sf_dir: str) -> int | None:
-    """Embedding width, read from the FIRST row of the local parquet
-    (one pyarrow batch — no Spark job, so plan construction stays
-    action-free). None for non-local paths or ragged/empty corpora —
-    callers then fall back to the per-row md5 bucket expression, which
-    is bit-identical, just slower (see `_bucket_expr_lit`)."""
+    """Embedding width, proven from the local parquet without a Spark
+    job (plan construction stays action-free). Resolution order:
+
+    * ``fixed_size_list`` schema type — width is uniform by TYPE, no
+      data read at all;
+    * plain ``list`` type — one pyarrow batch (first 64 rows); width
+      is taken only if every valid row in the batch agrees.
+
+    None for non-local paths, empty corpora, or any width disagreement
+    in the verified prefix — callers then fall back to the per-row md5
+    bucket expression, which is bit-identical, just slower (see
+    `_bucket_expr_lit`). Contract: plain-list corpora are assumed
+    fixed-dim past the verified prefix (the testdata generator and the
+    reference's VECTOR(2000) column are both fixed-width); a corpus
+    ragged only beyond row 64 is out of contract for the fast path."""
     import os
 
     key = _corpus_sig(sf_dir)
@@ -111,6 +121,7 @@ def _embed_dim(sf_dir: str) -> int | None:
         return None
     if key not in _DIM_CACHE:
         import pyarrow.parquet as pq
+        import pyarrow.types as pat
 
         dim = None
         p = os.path.join(sf_dir, "embeddings.parquet")
@@ -123,12 +134,19 @@ def _embed_dim(sf_dir: str) -> int | None:
                 )
             else:
                 fp = p
-            for batch in pq.ParquetFile(fp).iter_batches(
-                batch_size=1, columns=["embedding"]
-            ):
-                if len(batch) and batch.column(0)[0].is_valid:
-                    dim = len(batch.column(0)[0].values)
-                break
+            pf = pq.ParquetFile(fp)
+            typ = pf.schema_arrow.field("embedding").type
+            if pat.is_fixed_size_list(typ):
+                dim = typ.list_size
+            else:
+                for batch in pf.iter_batches(batch_size=64, columns=["embedding"]):
+                    widths = {
+                        len(batch.column(0)[i].values)
+                        for i in range(len(batch))
+                        if batch.column(0)[i].is_valid
+                    }
+                    dim = widths.pop() if len(widths) == 1 else None
+                    break
         except (OSError, StopIteration, KeyError):
             dim = None
         _DIM_CACHE[key] = dim

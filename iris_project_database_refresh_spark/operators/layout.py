@@ -723,22 +723,41 @@ def shard_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = assigned.groupBy("node8", "node9").agg(
         F.count(F.lit(1)).cast("bigint").alias("n")
     )
-    before = pairs.groupBy(F.col("node8").alias("node")).agg(
-        F.sum("n").cast("bigint").alias("keys_before"),
-        F.sum(F.when(F.col("node8") != F.col("node9"), F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("moved_out"),
+    # ONE pass over the <=(N+1)^2-row pair table: each pair row feeds
+    # its node8's before-side and its node9's after-side via an
+    # explode-to-roles union, then a single aggregation by node. The
+    # previous form (two aggregated branches full-outer-joined) made
+    # Spark duplicate the whole subtree — the key corpus scanned twice
+    # (r8->r9 drift 2.49 -> 4.64 s); this plan scans it once.
+    moved = F.when(F.col("node8") != F.col("node9"), F.col("n")).otherwise(
+        F.lit(0).cast("bigint")
     )
-    after = pairs.groupBy(F.col("node9").alias("node")).agg(
-        F.sum("n").cast("bigint").alias("keys_after"),
-        F.sum(F.when(F.col("node8") != F.col("node9"), F.col("n")).otherwise(0))
-        .cast("bigint")
-        .alias("moved_in"),
+    zero = F.lit(0).cast("bigint")
+    roles = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("node8").alias("node"),
+                    F.col("n").alias("kb"),
+                    zero.alias("ka"),
+                    moved.alias("mo"),
+                    zero.alias("mi"),
+                ),
+                F.struct(
+                    F.col("node9").alias("node"),
+                    zero.alias("kb"),
+                    F.col("n").alias("ka"),
+                    zero.alias("mo"),
+                    moved.alias("mi"),
+                ),
+            )
+        ).alias("r")
     )
-    return (
-        before.join(after, "node", "full_outer")
-        .na.fill({"keys_before": 0, "moved_out": 0, "keys_after": 0, "moved_in": 0})
-        .select("node", "keys_before", "keys_after", "moved_out", "moved_in")
+    return roles.groupBy(F.col("r.node").alias("node")).agg(
+        F.sum("r.kb").cast("bigint").alias("keys_before"),
+        F.sum("r.ka").cast("bigint").alias("keys_after"),
+        F.sum("r.mo").cast("bigint").alias("moved_out"),
+        F.sum("r.mi").cast("bigint").alias("moved_in"),
     )
 
 

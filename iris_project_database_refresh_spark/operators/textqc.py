@@ -2581,7 +2581,12 @@ def text_mattr_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "toks",
         F.expr("size(toks)").cast("bigint").alias("n_tokens"),
         F.expr(
-            f"cast(greatest(0, (size(toks) - {MATTR_W}) div {MATTR_S} + 1) as bigint)"
+            # explicit < W gate: truncating div yields 0 (not -1) for
+            # sizes in [W-S+1, W-1], so the greatest(0, ...) form alone
+            # would claim one short window for 14..24-token docs and
+            # deflate mattr_bp below the doc's plain TTR
+            f"cast(case when size(toks) < {MATTR_W} then 0"
+            f" else (size(toks) - {MATTR_W}) div {MATTR_S} + 1 end as bigint)"
         ).alias("n_windows"),
         F.expr(
             "case when size(toks) = 0 then cast(0 as bigint)"
@@ -2610,7 +2615,8 @@ WITH base AS (
 staged AS (
   SELECT doc_id, toks,
          CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(greatest(0, (len(toks) - {MATTR_W}) // {MATTR_S} + 1) AS BIGINT) AS n_windows,
+         CAST(CASE WHEN len(toks) < {MATTR_W} THEN 0
+              ELSE (len(toks) - {MATTR_W}) // {MATTR_S} + 1 END AS BIGINT) AS n_windows,
          CAST(CASE WHEN len(toks) = 0 THEN 0
               ELSE len(list_distinct(toks)) * 10000 // len(toks) END AS BIGINT) AS ttr_bp
   FROM base

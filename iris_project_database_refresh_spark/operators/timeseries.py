@@ -2182,10 +2182,12 @@ ORACLES["events_pinball_eval"] = PINBALL_SQL
 #
 # Two cross-engine devices: day-of-week as (epoch days) % 7 — engine-
 # independent, unlike the engines' dayofweek() conventions — and the
-# OFFSET floor-division trick for means of possibly-NEGATIVE
-# detrended values: Spark's integer div truncates toward zero while
-# DuckDB's // floors, so (x + OFF·n) div n − OFF computes floor
-# semantics in both (the shifted numerator is always positive).
+# OFFSET division trick for means of possibly-NEGATIVE detrended
+# values: BOTH engines' integer division truncates toward zero
+# (DuckDB's // included: -11 // 12 = 0, not -1), so neither computes
+# floor for negative numerators; (x + OFF·n) div n − OFF keeps the
+# numerator positive, where truncation and floor coincide, giving
+# deterministic floor semantics in both engines.
 
 DECOMP_OFF = 1 << 35
 

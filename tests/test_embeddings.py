@@ -360,15 +360,25 @@ def test_swapped_knn_graph_matches_oracle_and_recall(spark, big_corpus):
 
 def test_dispatch_threshold_boundary(spark, tmp_path):
     """At exactly SIM_EXACT_MAX rows the exact backend runs (<=), one
-    past it the banded backend runs — probed via the plan: the banded
-    plan groups by (band, bucket), the exact plan by block pair."""
-    import numpy as np
-
+    past it the banded backend runs — probed via the plan on BOTH
+    sides of the boundary: the exact plan carries the block-pair
+    columns (pa/pb with expr ids — bare "pa" would match "parquet"),
+    the banded plan groups by (band, bucket)."""
     n = embeddings.SIM_EXACT_MAX
-    _write_big_corpus(tmp_path, n=n)
-    at = embeddings.knn_graph(spark, str(tmp_path))
+    d_at = tmp_path / "at"
+    d_over = tmp_path / "over"
+    d_at.mkdir()
+    d_over.mkdir()
+    _write_big_corpus(d_at, n=n)
+    _write_big_corpus(d_over, n=n + 1)
+
+    at = embeddings.knn_graph(spark, str(d_at))
     plan_at = at._jdf.queryExecution().analyzed().toString()
-    assert "band" not in plan_at and "pa" in plan_at
+    assert "band" not in plan_at and "pa#" in plan_at and "pb#" in plan_at
+
+    over = embeddings.knn_graph(spark, str(d_over))
+    plan_over = over._jdf.queryExecution().analyzed().toString()
+    assert "band" in plan_over and "pb#" not in plan_over
 
 
 def test_lit_weights_match_md5_stream(spark):

@@ -205,4 +205,19 @@ def test_zorder_clustered_write_skips_files(spark, tmp_path):
             if r.min_a <= ahi and r.max_a >= alo and r.min_b <= bhi and r.max_b >= blo
         )
 
-    assert overlapping(zb) < overlapping(lb)
+    # Arbitrary (sampled-boundary, non-dyadic-aligned) box: z-order can
+    # legitimately TIE linear here — Moon et al. 2001's constant-factor
+    # loss class — and repartitionByRange's sampled file cuts decide
+    # the 1-file margin, so the claim is only "never worse".
+    assert overlapping(zb) <= overlapping(lb)
+
+    # Strict win on a predicate linear provably cannot prune: a box on
+    # `b` alone. Every linear file (clustered on `a`) spans ~the full b
+    # range so it must scan; z-order bounds b per file, so the half of
+    # the curve with high b-bits skips regardless of where the sampled
+    # range cuts land.
+    def overlapping_b(bounds):
+        return sum(1 for r in bounds if r.min_b <= bhi and r.max_b >= blo)
+
+    assert overlapping_b(zb) < overlapping_b(lb)
+    assert overlapping_b(zb) < len(zb)  # the b-box reads a strict subset

@@ -107,3 +107,29 @@ def test_heldout_gap_nonnegative(spark):
     for r in rows:
         assert r.train_tokens > 0 and r.eval_tokens > 0
         assert 0 <= r.eval_oov_bp <= 10000
+
+
+def test_mattr_short_doc_falls_back_to_ttr(spark, tmp_path):
+    """Docs with W-S+1 .. W-1 tokens (14..24 at W=25, S=12) must take
+    the n_windows=0 plain-TTR branch: the truncating-div form claimed
+    one short window for them and deflated mattr_bp (a fully-diverse
+    14-token doc scored 5600 bp instead of its TTR 10000)."""
+    fixtures = [
+        (1, " ".join(f"w{i}" for i in range(14))),   # 14 distinct tokens
+        (2, " ".join(f"w{i}" for i in range(24))),   # 24 distinct tokens
+        (3, " ".join(f"w{i}" for i in range(25))),   # exactly one window
+        (4, "same " * 20),                            # 20 repeats -> TTR 500
+    ]
+    spark.createDataFrame(fixtures, "doc_id long, text string").write.parquet(
+        str(tmp_path / "documents.parquet")
+    )
+    from iris_project_database_refresh_spark.operators import textqc
+
+    got = {
+        r.doc_id: r
+        for r in textqc.text_mattr_diversity(spark, str(tmp_path)).collect()
+    }
+    assert got[1].n_windows == 0 and got[1].mattr_bp == got[1].ttr_bp == 10000
+    assert got[2].n_windows == 0 and got[2].mattr_bp == got[2].ttr_bp == 10000
+    assert got[3].n_windows == 1 and got[3].mattr_bp == 10000
+    assert got[4].n_windows == 0 and got[4].mattr_bp == got[4].ttr_bp == 500
