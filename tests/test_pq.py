@@ -1,5 +1,7 @@
 from __future__ import annotations
 
+import os
+
 import pytest
 
 from iris_project_database_refresh_spark.operators import pq
@@ -371,3 +373,47 @@ def test_swapped_hnsw_build_links_matches_oracle(spark, tmp_path):
         )
     finally:
         con.close()
+
+
+def test_persisted_hnsw_index_serves_identically(spark, tmp_path):
+    """Index-as-artifact for the HNSW family (the IVF-sink convention):
+    build the layer-partitioned link-list layout once, serve the
+    standard query set from it — results must equal the in-query
+    hnsw_search_sim exactly, every links scan must be partition-pruned
+    to one layer (PartitionFilters on lyr), and the descent scans must
+    push the cursor-id filter to the row-group level (PushedFilters
+    In(vec_id, ...)) — no hop touches the corpus table."""
+    import re
+
+    from iris_project_database_refresh_spark.operators.pq import hnsw_search_sim
+    from iris_project_database_refresh_spark.sinks.vector_index import (
+        build_hnsw_index,
+        query_hnsw_index,
+    )
+
+    d = str(tmp_path / "hnsw")
+    manifest = build_hnsw_index(spark, SF_CORRECT, d)
+    assert manifest["m"] == 16 and manifest["m0"] == 32
+    assert sum(manifest["layer_link_rows"].values()) > 0
+    assert str(manifest["max_level"]) in manifest["layer_link_rows"]
+
+    served = query_hnsw_index(spark, d, SF_CORRECT)
+    want = sorted(tuple(r) for r in hnsw_search_sim(spark, SF_CORRECT).collect())
+    got = sorted(tuple(r) for r in served.collect())
+    assert got == want
+
+    # plan shape of one descent hop: layer pruned at planning time,
+    # cursor ids pushed to parquet
+    from iris_project_database_refresh_spark.sources.tables import load_table
+    from pyspark.sql import functions as F
+
+    probe = (
+        spark.read.parquet(os.path.join(d, "links"))
+        .where(F.col("lyr") == 1)
+        .where(F.col("vec_id").isin([int(manifest["entry"])]))
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "lyr" in m.group(1), f"links scan not layer-pruned: {plan[:400]}"
+    m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
+    assert m2 and "vec_id" in m2.group(1), f"cursor filter not pushed: {plan[:400]}"
