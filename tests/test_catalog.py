@@ -90,3 +90,24 @@ def test_three_way_merge_classes_complete(spark):
         "unchanged", "take_local", "take_remote", "convergent", "both_deleted", "conflict"
     }
     assert sum(rows.values()) == load_table(spark, SF_CORRECT, "documents").count()
+
+
+def test_dual_embedding_refresh_column_granular(spark):
+    """Only the changed column re-embeds; every kept vector is still
+    byte-identical to its (unchanged) text's embedding (stale == 0
+    everywhere), and per-doc embed spend is exactly the changed-column
+    count."""
+    from iris_project_database_refresh_spark.operators.catalog import (
+        catalog_dual_embedding_refresh,
+    )
+
+    rows = catalog_dual_embedding_refresh(spark, SF_CORRECT).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r.usage_stale == 0 and r.desc_stale == 0
+        want_u = "reembedded" if r.doc_id % 5 == 1 else "kept"
+        want_d = "reembedded" if r.doc_id % 7 == 2 else "kept"
+        assert r.usage_action == want_u and r.desc_action == want_d
+        assert r.n_embed_calls == int(r.doc_id % 5 == 1) + int(r.doc_id % 7 == 2)
+    # the cycle saved 2N - Σcalls embed calls vs a column-blind refresh
+    assert sum(r.n_embed_calls for r in rows) < 2 * len(rows)
