@@ -477,15 +477,42 @@ BAL_BUCKETS = 64
 def partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_suppkey")
 
-    def audit2(col: str):
+    # Three PARALLEL per-key bucket branches feeding ONE shared tail.
+    # Two adjudicated facts shape this (r9 ledger row, idle re-measure
+    # 1.54 s vs 0.775 standing): (a) the corpus regenerated as one row
+    # group per file, so a single-scan form (posexplode) runs the whole
+    # 3x|fact| md5 pass on ONE task — measured SLOWER (1.8 s) than the
+    # branches, which give Spark three concurrent column-pruned scans
+    # (0.55 s for all three bucket aggs); (b) the former per-branch
+    # tails (three 1-row cross-joins + three final aggs + union) paid
+    # ~1 s of tiny-stage scheduling — folded here into one join + one
+    # agg over the unioned <= 3*BAL_BUCKETS-row bucket grid. At scale
+    # the branches stay right: each reads a DIFFERENT pruned column
+    # (no redundant IO) and row-group counts grow with the data.
+    def bucket_branch(ki: int, col: str):
         b = F.expr(
-            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) as bigint) % {BAL_BUCKETS}"
+            f"cast(conv(substring(md5(cast({col} as string)), 1, 8), 16, 10) as bigint)"
+            f" % {BAL_BUCKETS}"
         )
-        buckets = li.select(b.alias("b")).groupBy("b").agg(F.count(F.lit(1)).alias("o"))
-        tot = buckets.agg(F.sum("o").alias("tot"), F.count(F.lit(1)).alias("nb"))
-        joined = buckets.crossJoin(F.broadcast(tot))
-        return joined.groupBy("tot", "nb").agg(
-            F.lit(col).alias("key_col"),
+        return (
+            li.select(b.alias("b"))
+            .groupBy("b")
+            .agg(F.count(F.lit(1)).alias("o"))
+            .select(F.lit(ki).alias("ki"), "b", "o")
+        )
+
+    buckets = (
+        bucket_branch(0, "l_orderkey")
+        .unionAll(bucket_branch(1, "l_partkey"))
+        .unionAll(bucket_branch(2, "l_suppkey"))
+    )
+    tot = buckets.groupBy("ki").agg(
+        F.sum("o").alias("tot"), F.count(F.lit(1)).alias("nb")
+    )
+    out = (
+        buckets.join(F.broadcast(tot), "ki")  # <= 3*BAL_BUCKETS rows
+        .groupBy("ki", "tot", "nb")
+        .agg(
             F.min("o").alias("min_bucket"),
             F.max("o").alias("max_bucket"),
             F.sum(F.expr("cast(o as decimal(38,0)) * o")).alias("so2"),
@@ -496,8 +523,11 @@ def partition_balance_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("sdev2"),
         )
-
-    out = audit2("l_orderkey").unionAll(audit2("l_partkey")).unionAll(audit2("l_suppkey"))
+        .withColumn(
+            "key_col",
+            F.expr("element_at(array('l_orderkey', 'l_partkey', 'l_suppkey'), ki + 1)"),
+        )
+    )
     return out.select(
         "key_col",
         F.col("tot").cast("bigint").alias("n_rows"),

@@ -1431,6 +1431,26 @@ ORACLES["hnsw_build_links"] = HNSW_LINKS_SQL
 HNSW_SEARCH_K = PQ_K
 
 
+def _cos_sql(a: str, b: str) -> str:
+    """Spark-SQL text of `advanced._cos` — the identical analyzed
+    expression (same zip_with/aggregate fold, same double-typed zero,
+    same 6dp round), built by one parser call instead of dozens of
+    py4j Column-algebra round-trips (the r10 descent-driver-time cut)."""
+
+    def dot(x: str, y: str) -> str:
+        return (
+            f"aggregate(zip_with({x}, {y}, (x, y) -> x * y),"
+            " cast(0.0 as double), (acc, x) -> acc + x)"
+        )
+
+    return f"round({dot(a, b)} / (sqrt({dot(a, a)}) * sqrt({dot(b, b)})), 6)"
+
+
+_COS_QCV = _cos_sql("q", "cv")
+_COS_QNV = _cos_sql("q", "nv")
+_COS_CVNV = _cos_sql("cv", "nv")
+
+
 def _hnsw_descent(spark: SparkSession, sf_dir: str):
     """Shared zoom-in phase of the HNSW read (ef=1 above layer 0).
 
@@ -1445,6 +1465,8 @@ def _hnsw_descent(spark: SparkSession, sf_dir: str):
         " cast(conv(substring(md5(cast(vec_id as string)), 1, 8), 16, 10) as bigint)"
         " % shiftleft(1L, k) = 0))".format(cap=HNSW_LEVEL_CAP)
     )
+    from .embeddings import SIM_EXACT_MAX, _corpus_rows
+
     emb = (
         load_table(spark, sf_dir, "embeddings")
         .select(
@@ -1454,153 +1476,199 @@ def _hnsw_descent(spark: SparkSession, sf_dir: str):
         )
         .localCheckpoint(eager=False)  # pinned: probed once per descent step
     )
+    # Single-slot descent path (r10, the hnsw_search_ef < 5 s item):
+    # below the SIM_EXACT_MAX dispatch line the whole read fits one
+    # task, but the pinned RDD reports UnknownPartitioning, so EVERY
+    # hop's window/groupBy inserted a 32-partition exchange — pure
+    # scheduler latency on a <= 4096-row corpus (the descent is
+    # serialized in depth by design, so each exchange is on the
+    # critical path). coalesce(1) reports SinglePartition, which
+    # satisfies every downstream ClusteredDistribution: the entire
+    # descent + layer-0 tail plans with ZERO exchanges (probed:
+    # 1 -> 0 per window). Above the line the parallel layout is
+    # untouched — at 100 TB the probes keep their per-hop exchanges
+    # and WindowGroupLimit partial top-Ks.
+    n_corpus = _corpus_rows(spark, sf_dir)
+    small = 2 <= n_corpus <= SIM_EXACT_MAX
+    if small:
+        emb = emb.coalesce(1)
     qs = emb.where(F.col("vec_id") < PQ_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
     ml = emb.agg(F.max("level").alias("ml"))
     # entry point WITH its vector (min-struct picks the min-id row), so
-    # the cursor can carry (q, cv) across steps — round-9 descent-
-    # constant cut: the former per-step cv_side + qs joins re-fetched
-    # 5 vectors from the pinned corpus at EVERY layer, two broadcast
-    # materializations of scheduler latency per hop for rows the hop
-    # already had in hand.
+    # the cursor can carry (q, cv) across steps without re-fetching
+    # from the corpus (round-9 descent-constant cut).
     ent2 = (
         emb.crossJoin(F.broadcast(ml))
         .where(F.col("level") == F.col("ml"))
         .agg(F.min(F.struct(F.col("vec_id"), F.col("v"))).alias("e"))
         .select(F.col("e.vec_id").alias("cur_id"), F.col("e.v").alias("cv"))
     )
-    ent = ent2.select("cur_id")
-    cur = qs.crossJoin(F.broadcast(ent2))  # (query_id, q, cur_id, cv)
 
     def scored_step(cur, lyr: int, cap: int):
         """Ranked on-the-fly link candidates of the cursor at `lyr`:
         (query_id, cur_id, cqs=cos(q,cur), nid, cq=cos(q,nid), rnk<=cap),
         ranked by cos(cur, nid) — hnsw_build_links' link definition.
-        LEFT join so a query survives an empty layer (above the actual
-        max level) as one null-nid row; crucially the cursor is
-        referenced exactly ONCE per step — a self-row union here would
-        double the logical plan per level (2^16 nodes by layer 0, the
-        Catalyst explosion the first cut of this operator hit)."""
-        m = emb.where(F.col("level") >= lyr).select(
-            F.col("vec_id").alias("nid"), F.col("v").alias("nv")
-        )
+        Expressions are SQL TEXT, not Column algebra: profiling showed
+        the descent wall was DRIVER time, and a large share of it was
+        the per-hop py4j round-trips building three lambda-heavy `_cos`
+        trees op by op — one parsed string per projection replaces
+        hundreds of JVM calls with identical analyzed plans (r10).
+        Join shape is path-dependent (r10):
+
+        * small path — CartesianProduct (shuffle_replicate_nl hint)
+          over the two SINGLE-partition sides: no broadcast exchange,
+          so a chained hop adds ZERO extra jobs to its segment. Inner
+          is safe here: every probed layer l <= l_cut-1 holds > M+1
+          members (the occupancy trim's own bound) and layer 0 holds
+          the corpus, so with n >= 2 a cursor always has a candidate.
+        * parallel path — broadcast cursor LEFT-joined to the layer
+          membership, the empty-layer-safe form; crucially the cursor
+          is referenced exactly ONCE per step (a self-row union would
+          double the logical plan per level — the Catalyst explosion
+          the first cut of this operator hit)."""
+        m = emb.where(f"level >= {lyr}").selectExpr("vec_id AS nid", "v AS nv")
         # the cursor carries q and cv, so the probe is join-free
-        probe = F.broadcast(cur).withColumn("cqs", _cos(F.col("q"), F.col("cv")))
-        scored = probe.join(m, F.col("nid") != F.col("cur_id"), "left").select(
+        if small:
+            joined = cur.hint("shuffle_replicate_nl").join(
+                m, F.expr("nid != cur_id")
+            )
+        else:
+            joined = F.broadcast(cur).join(m, F.expr("nid != cur_id"), "left")
+        scored = joined.selectExpr(
             "query_id",
             "cur_id",
-            "cqs",
+            f"{_COS_QCV} AS cqs",
             "q",
             "cv",
             "nid",
             "nv",
-            _cos(F.col("cv"), F.col("nv")).alias("cc"),
-            _cos(F.col("q"), F.col("nv")).alias("cq"),
+            f"{_COS_CVNV} AS cc",
+            f"{_COS_QNV} AS cq",
         )
-        w = Window.partitionBy("query_id").orderBy(F.desc("cc"), F.asc("nid"))
-        return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= cap)
+        return scored.selectExpr(
+            "*",
+            "row_number() OVER (PARTITION BY query_id ORDER BY cc DESC, nid ASC)"
+            " AS rnk",
+        ).where(f"rnk <= {cap}")
 
-    # hop structs carry the winner's vector and the query vector as
-    # TRAILING fields: the compare is decided by (cq, negid) — negid is
-    # unique among candidates and differs from the self row whenever cq
-    # ties — so the payload fields never participate in the ordering,
-    # they just ride along so the next step needs no join.
-    self_struct = F.struct(
-        F.col("cqs").alias("cq"),
-        (-F.col("cur_id")).alias("negid"),
-        F.col("cv").alias("nv"),
-        F.col("q").alias("q"),
+    # SEGMENTED descent: chained hops re-rooted by a coordinator every
+    # SEG_HOPS layers (round-10, the hnsw_search_ef < 5 s item).
+    # Profiling the r9 all-chained unroll showed ~3.9 s of the 4.7 s
+    # sim wall was DRIVER time — Catalyst re-analysis + lazy-checkpoint
+    # compiles of the deepening struct-compare plan — with 0.07 s of
+    # execution; a first cut that re-rooted after EVERY hop swapped
+    # that for ~0.45 s of job-floor latency per hop (worse). The
+    # balance point: chain SEG_HOPS hops per plan (compile stays cheap
+    # because every segment roots at a LocalRelation leaf, not the
+    # accumulated chain), then collect the <= |queries|-row cursor and
+    # re-root — an HNSW read is serialized in depth BY DESIGN (the
+    # paper's O(log n) hop cost) and pgvector serves it exactly this
+    # way: a coordinator walks the graph, the engine scans. Python
+    # never computes a score: the cursor rows it carries (ids +
+    # vectors, the round-9 carry trick moved driver-side) are
+    # engine-born, every compare happens in-engine via the same
+    # struct-CASE, so results stay bit-identical to the DuckDB
+    # oracle's full static serial unroll. Two provable trims from the
+    # r9 histogram collect survive unchanged:
+    #  * layers above the actual max level are no-op hops — skipped;
+    #  * the top segment where TOTAL membership <= HNSW_M + 1
+    #    telescopes into ONE argmax over membership(l_cut) (the cap
+    #    never binds and membership(l) ⊇ membership(l+1)).
+    # At 100 TB the probes stay distributed (the cursor is always the
+    # broadcast side); only the segment-boundary cursor rows —
+    # metadata, like the IVF probed-cell list — reach the coordinator.
+    # one bounded job feeds BOTH trims and the entry point: per-level
+    # counts for the occupancy trims, per-level min vec_id so the
+    # max-level row IS the entry (min-id tie-break) — the former
+    # separate max-level + entry-aggregate chain cost two more jobs in
+    # every consumer's execution
+    hist = (
+        emb.groupBy("level")
+        .agg(F.count(F.lit(1)).alias("c"), F.min("vec_id").alias("mn"))
+        .collect()
     )
-    cand_struct = F.when(F.col("nid").isNull(), self_struct).otherwise(
-        F.struct(
-            F.col("cq").alias("cq"),
-            (-F.col("nid")).alias("negid"),
-            F.col("nv").alias("nv"),
-            F.col("q").alias("q"),
-        )
-    )
-    # Adaptive unroll depth + occupancy-aware hop fusing (round-9, the
-    # r8 verdict's descent-constant item). One bounded metadata collect
-    # (<= HNSW_LEVEL_CAP+1 rows — the per-level membership histogram,
-    # extending the former 1-row max-level probe) drives two provable
-    # plan trims; the DuckDB oracle keeps the full static serial unroll
-    # and matches bit-for-bit:
-    #  * layers ABOVE the actual max level are no-op hops (empty
-    #    membership, the LEFT join yields one null-nid row, the
-    #    struct-compare keeps the cursor) — skipped, as before;
-    #  * layers where TOTAL membership <= HNSW_M + 1 fuse into ONE
-    #    argmax: with <= M same-layer candidates the top-M link cap
-    #    never binds, so each hop is argmax of (cq, -id) over the FULL
-    #    layer membership — and since membership(l) ⊇ membership(l+1)
-    #    and every cursor stays a member, the serial chain telescopes
-    #    to a single argmax over membership(l_cut). Membership halves
-    #    per level, so this fuses the ~log2(M) emptiest top segments
-    #    (5 of 11 serialized stages at sf0.1 — pure scheduler-latency
-    #    savings, the suite's two slowest rows).
-    # At 100 TB the level draw saturates HNSW_LEVEL_CAP and the top
-    # layers still hold <= M+1 nodes each — both trims keep applying.
-    hist = emb.groupBy("level").agg(F.count(F.lit(1)).alias("c")).collect()
     by_level = {int(r["level"]): int(r["c"]) for r in hist}
     top_lyr = min(HNSW_LEVEL_CAP, max(by_level, default=0))
+    evid = min(
+        (int(r["mn"]) for r in hist if int(r["level"]) == top_lyr), default=0
+    )
     l_cut = top_lyr + 1
     for lyr in range(top_lyr, 0, -1):
         if sum(c for lv, c in by_level.items() if lv >= lyr) <= HNSW_M + 1:
             l_cut = lyr
         else:
             break
+
+    # hop structs carry the winner's vector and the query vector as
+    # TRAILING fields: the compare is decided by (cq, negid) — negid is
+    # unique among candidates and differs from the self row whenever cq
+    # ties — so the payload fields never participate in the ordering,
+    # they just ride along so the next step needs no join. The NULL arm
+    # keeps the cursor on an empty layer (parallel path's left join).
+    self_s = "struct(cqs AS cq, -cur_id AS negid, cv AS nv, q AS q)"
+    cand_s = (
+        f"CASE WHEN nid IS NULL THEN {self_s}"
+        " ELSE struct(cq AS cq, -nid AS negid, nv AS nv, q AS q) END"
+    )
+    hop_agg = (
+        f"max(CASE WHEN ({cand_s}) >= ({self_s})"
+        f" THEN ({cand_s}) ELSE ({self_s}) END)"
+    )
+
     if l_cut <= top_lyr:
-        mem = emb.where(F.col("level") >= l_cut).select(
-            F.col("vec_id").alias("nid"), F.col("v").alias("nv")
-        )
-        fused = F.struct(
-            _cos(F.col("q"), F.col("nv")).alias("cq"),
-            (-F.col("nid")).alias("negid"),
-            F.col("nv").alias("nv"),
-            F.col("q").alias("q"),
-        )
+        # fused top-segment argmax seeds the cursor directly
+        mem = emb.where(f"level >= {l_cut}").selectExpr("vec_id AS nid", "v AS nv")
+        qside = qs.hint("shuffle_replicate_nl") if small else F.broadcast(qs)
         cur = (
-            qs.crossJoin(F.broadcast(mem))
-            .select("query_id", fused.alias("s"))
+            qside.join(mem, F.expr("true"))
             .groupBy("query_id")
-            .agg(F.max("s").alias("m"))
-            .select(
-                "query_id",
-                (-F.col("m.negid")).alias("cur_id"),
-                F.col("m.nv").alias("cv"),
-                F.col("m.q").alias("q"),
+            .agg(
+                F.expr(
+                    f"max(struct({_COS_QNV} AS cq, -nid AS negid,"
+                    " nv AS nv, q AS q))"
+                ).alias("m")
             )
-            .localCheckpoint(eager=False)
+            .selectExpr("query_id", "m.q AS q", "-m.negid AS cur_id", "m.nv AS cv")
         )
-    for lyr in range(min(l_cut - 1, top_lyr), 0, -1):
+    else:
+        cur = qs.crossJoin(F.broadcast(ent2))  # (query_id, q, cur_id, cv)
+
+    cur_schema = "query_id long, q array<double>, cur_id long, cv array<double>"
+
+    def reroot(cur):
+        """Bounded <= |queries|-row cursor collect + LocalRelation
+        re-root: all values engine-born, Python only ferries them."""
+        rows = [
+            (int(r["query_id"]), list(r["q"]), int(r["cur_id"]), list(r["cv"]))
+            for r in cur.collect()
+        ]
+        return spark.createDataFrame(sorted(rows), cur_schema)
+
+    SEG_HOPS = 4
+    hops = list(range(min(l_cut - 1, top_lyr), 0, -1))
+    for i, lyr in enumerate(hops):
+        if i % SEG_HOPS == 0:
+            cur = reroot(cur)
         t = scored_step(cur, lyr, HNSW_M)
         # greedy hop: argmax of cos(q, .) over {cursor} U top-M links —
         # the self option rides every row via a struct-compare CASE
-        # (DuckDB has no struct greatest), no second
-        # reference to the cursor chain
+        # (DuckDB has no struct greatest), no second reference to the
+        # cursor chain
         cur = (
             t.groupBy("query_id")
-            .agg(
-                F.max(
-                    F.when(cand_struct >= self_struct, cand_struct).otherwise(self_struct)
-                ).alias("m")
-            )
-            .select(
-                "query_id",
-                (-F.col("m.negid")).alias("cur_id"),
-                F.col("m.nv").alias("cv"),
-                F.col("m.q").alias("q"),
-            )
+            .agg(F.expr(hop_agg).alias("m"))
+            .selectExpr("query_id", "m.q AS q", "-m.negid AS cur_id", "m.nv AS cv")
         )
-        # pin every 4th descent step (the dedup_components round
-        # pattern, thinned): each un-pinned step doubles the cursor's
-        # logical plan (offsets + main), so pin cadence 4 caps segments
-        # at 2^4 copies of a 5-row chain — shallow enough to plan fast,
-        # while 4x fewer pinned RDD sets keeps the ContextCleaner churn
-        # (and its accumulator-GC noise in long bench runs) low
-        if lyr % 4 == 1:
-            cur = cur.localCheckpoint(eager=False)
+    # final re-root: consumers (the layer-0 probe, the ef beam tail)
+    # reference the landing cursor more than once — as a LocalRelation
+    # leaf those references are free, no lazy-checkpoint compile needed
+    cur = reroot(cur)
 
+    # entry id came out of the histogram job — a LocalRelation here
+    # keeps the consumers' final broadcast join job-free
+    ent = spark.createDataFrame([(evid,)], "cur_id long")
     return emb, qs, ent, cur, scored_step
 
 
@@ -1756,7 +1824,12 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (q) out of the layer-0 probe, so the beam expansion below needs
     # no corpus or query re-join (round-9 descent-constant cut)
     cand = final_t.where(F.col("nid").isNotNull()).select(
-        "query_id", "nid", "cq", F.col("nv").alias("bv"), "q"
+        "query_id",
+        "nid",
+        "cq",
+        F.col("nv").alias("bv"),
+        "q",
+        F.lit(0).alias("is_landing"),
     )
     landing = final_t.select(
         "query_id",
@@ -1764,17 +1837,28 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cqs").alias("cq"),
         F.col("cv").alias("bv"),
         "q",
+        F.lit(1).alias("is_landing"),
     ).distinct()
-    # pinned: referenced 3x below (beam seed, candidate union, in-base
-    # marker) — without the pin each reference re-runs the descent tail
-    base_v = cand.unionByName(landing).distinct().localCheckpoint(eager=False)
+    # no outer distinct needed: cand excludes the cursor by the probe's
+    # join condition and landing IS the cursor, so the union is
+    # duplicate-free by construction (r10 — the r9 distinct was a
+    # whole extra shuffle). Pinned: referenced 2x below (beam seed,
+    # candidate union) — without the pin each reference re-runs the
+    # descent tail.
+    base_v = cand.unionByName(landing).localCheckpoint(eager=False)
     base = base_v.select("query_id", "nid", "cq")
 
     wq = Window.partitionBy("query_id").orderBy(F.desc("cq"), F.asc("nid"))
-    # (query_id, beam node, its vector, the query vector): <= ef x |queries| rows
+    # (query_id, beam node, its vector, the query vector): <= ef x
+    # |queries| rows. The landing node is ranked INTO the beam (its
+    # slot is real) but EXCLUDED from the expansion scan: its top-2M
+    # layer-0 link list is exactly `cand` — already in `base` — so
+    # re-expanding it provably adds nothing to the union (r10; one
+    # fewer broadcast row per query, and the in-base max-flag still
+    # reads 1 for every such row).
     bvq = (
         base_v.withColumn("brk", F.row_number().over(wq))
-        .where(F.col("brk") <= HNSW_EF)
+        .where((F.col("brk") <= HNSW_EF) & (F.col("is_landing") == 0))
         .select("query_id", "nid", "bv", "q")
     )
     m = emb.select(F.col("vec_id").alias("mid"), F.col("v").alias("mv"))

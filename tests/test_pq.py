@@ -417,3 +417,31 @@ def test_persisted_hnsw_index_serves_identically(spark, tmp_path):
     assert m and "lyr" in m.group(1), f"links scan not layer-pruned: {plan[:400]}"
     m2 = re.search(r"PushedFilters: \[([^\]]*)\]", plan)
     assert m2 and "vec_id" in m2.group(1), f"cursor filter not pushed: {plan[:400]}"
+
+
+def test_hnsw_descent_parallel_path(spark, tmp_path):
+    """Above SIM_EXACT_MAX the descent takes the parallel branch
+    (broadcast cursor + left join, no cartesian hint, no coalesce(1));
+    the read must still produce a complete, well-formed top-K per
+    query — the structural invariants of the small-path sibling."""
+    from tests.test_embeddings import _write_big_corpus
+    from iris_project_database_refresh_spark.operators.embeddings import (
+        SIM_EXACT_MAX,
+        _corpus_rows,
+    )
+
+    _write_big_corpus(tmp_path, n=SIM_EXACT_MAX + 64)
+    assert _corpus_rows(spark, str(tmp_path)) > SIM_EXACT_MAX
+    rows = pq.hnsw_search_sim(spark, str(tmp_path)).collect()
+    per_q = {}
+    for r in rows:
+        per_q.setdefault(r.query_id, []).append(r)
+    assert set(per_q) == set(range(pq.PQ_QUERIES))
+    entries = {r.entry_node for r in rows}
+    assert len(entries) == 1
+    for q, rs in per_q.items():
+        assert sorted(x.rank for x in rs) == list(range(1, pq.HNSW_SEARCH_K + 1))
+        cos_by_rank = [x.cosine for x in sorted(rs, key=lambda x: x.rank)]
+        assert cos_by_rank == sorted(cos_by_rank, reverse=True)
+        assert all(x.neighbor_id != q for x in rs)
+        assert len({x.final_node for x in rs}) == 1
