@@ -2864,3 +2864,153 @@ SELECT kind, vec_id, neighbor_id, rank, cosine FROM mu
 
 QUERIES["knn_graph_incremental"] = knn_graph_incremental
 ORACLES["knn_graph_incremental"] = KNN_INCR_SQL
+
+
+# --- embed_sq8_recall — per-dimension scalar quantization (SQ8) ----------------
+#
+# The compression rung between PQ (knn_pq: M codes per vector) and the
+# sign bit (embed_sign_binarize_recall: 1 bit/dim): FAISS's
+# ScalarQuantizer QT_8bit — an affine per-DIMENSION min/max grid maps
+# every component to one byte (8x memory shrink, no codebook training),
+# and candidates rank by the symmetric quantized dot over CENTERED
+# codes. The train pass is the per-dim (min, max) table — the artifact
+# a deployment persists next to the codebook.
+#
+# Integer-exactness (the house device): components hit the 1e5 floor
+# grid first, so the affine code ((qx - qmin) * 255) div (qmax - qmin)
+# is a BIGINT rational with a NON-NEGATIVE numerator (truncating div ==
+# floor in both engines), and the ranking score is a bounded integer
+# sum — no float summation anywhere on the ranked path. Exact cosine
+# appears only inside the recall harness's ground-truth CTE.
+#
+# Scale: train = one narrow posexplode -> dim-grid aggregation
+# (map-side combinable, grid = dim rows); codes are one projection over
+# a broadcast 1-row stats array; the ranked scan here is the
+# brute-force harness shape (queries broadcast, corpus streamed once) —
+# a 100 TB serving path routes SQ8 scoring through IVF cells
+# (knn_ivf's probe composition) exactly like the PQ family.
+
+SQ8_GRID = 100000
+
+
+def embed_sq8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    qx = emb.select(
+        "vec_id",
+        F.expr(f"transform(v, x -> cast(floor(x * {SQ8_GRID}.0) as bigint))").alias("qx"),
+    )
+    dims = (
+        qx.select(F.posexplode("qx").alias("j", "val"))
+        .groupBy("j")
+        .agg(F.min("val").alias("mn"), F.max("val").alias("mx"))
+    )
+    stats = dims.agg(
+        F.array_sort(F.collect_list(F.struct("j", "mn", "mx"))).alias("st")
+    )  # 1 row, dim-bounded
+    code = (
+        "transform(qx, (x, j) -> case when element_at(st, j + 1).mx = element_at(st, j + 1).mn"
+        " then cast(0 as bigint)"
+        " else ((x - element_at(st, j + 1).mn) * 255) div (element_at(st, j + 1).mx - element_at(st, j + 1).mn) end"
+        " - 128)"
+    )
+    codes = (
+        qx.crossJoin(F.broadcast(stats))
+        .select("vec_id", F.expr(code).alias("c"))
+        .localCheckpoint(eager=False)  # both join sides
+    )
+    q = codes.where(F.col("vec_id") < N_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("c").alias("qc")
+    )
+    scored = codes.join(F.broadcast(q), F.col("vec_id") != F.col("query_id")).select(
+        "query_id",
+        F.col("vec_id").alias("neighbor_id"),
+        F.expr(
+            "aggregate(zip_with(c, qc, (a, b) -> a * b), cast(0 as bigint),"
+            " (acc, x) -> acc + x)"
+        ).alias("qdot"),
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("qdot"), F.asc("neighbor_id"))
+    topb = scored.withColumn("rank", F.row_number().over(wq)).where(
+        F.col("rank") <= KNN_K
+    )
+    exact = knn_brute_force(spark, sf_dir).select(
+        "query_id", F.col("neighbor_id").alias("true_id")
+    )
+    hits = topb.join(
+        exact,
+        (topb.query_id == exact.query_id) & (topb.neighbor_id == exact.true_id),
+        "leftsemi",
+    )
+    return (
+        topb.select("query_id")
+        .distinct()
+        .join(
+            hits.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_hit")),
+            "query_id",
+            "left",
+        )
+        .select(
+            "query_id",
+            F.coalesce("n_hit", F.lit(0)).cast("bigint").alias("overlap_at_k"),
+            F.expr(f"coalesce(n_hit, 0) * 10000 div {KNN_K}")
+            .cast("bigint")
+            .alias("recall_bp"),
+        )
+    )
+
+
+SQ8_RECALL_SQL = f"""
+WITH d AS (
+  SELECT vec_id,
+         list_transform(embedding::DOUBLE[],
+                        x -> CAST(floor(x * {SQ8_GRID}.0) AS BIGINT)) AS qx,
+         embedding::DOUBLE[] AS v
+  FROM embeddings
+),
+dim AS (
+  SELECT j, min(val) AS mn, max(val) AS mx FROM (
+    SELECT unnest(qx) AS val, generate_subscripts(qx, 1) AS j FROM d
+  ) GROUP BY j
+),
+st AS (SELECT list(struct_pack(j := j, mn := mn, mx := mx) ORDER BY j) AS st FROM dim),
+codes AS (
+  SELECT vec_id,
+         list_transform(qx, (x, i) -> CASE WHEN st[i].mx = st[i].mn THEN 0::BIGINT
+              ELSE ((x - st[i].mn) * 255) // (st[i].mx - st[i].mn) END - 128) AS c
+  FROM d, st
+),
+q AS (SELECT vec_id AS query_id, c AS qc FROM codes WHERE vec_id < {N_QUERIES}),
+scored AS (
+  SELECT query_id, p.vec_id AS neighbor_id,
+         CAST(list_dot_product(p.c::DOUBLE[], q.qc::DOUBLE[]) AS BIGINT) AS qdot
+  FROM codes p JOIN q ON p.vec_id <> q.query_id
+),
+topb AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY qdot DESC, neighbor_id) AS rank
+    FROM scored) WHERE rank <= {KNN_K}
+),
+n AS (SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM d),
+qv AS (SELECT vec_id AS query_id, v AS qvec, nrm AS qn FROM n WHERE vec_id < {N_QUERIES}),
+exact AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT query_id, n.vec_id AS neighbor_id,
+           row_number() OVER (PARTITION BY query_id
+             ORDER BY round(list_dot_product(qvec, v) / (qn * nrm), 6) DESC, n.vec_id) AS rank
+    FROM qv JOIN n ON n.vec_id <> qv.query_id) WHERE rank <= {KNN_K}
+),
+hits AS (
+  SELECT t.query_id, count(*)::BIGINT AS n_hit
+  FROM topb t JOIN exact e ON t.query_id = e.query_id AND t.neighbor_id = e.neighbor_id
+  GROUP BY t.query_id
+)
+SELECT q.query_id,
+       CAST(coalesce(h.n_hit, 0) AS BIGINT) AS overlap_at_k,
+       CAST(coalesce(h.n_hit, 0) * 10000 // {KNN_K} AS BIGINT) AS recall_bp
+FROM (SELECT DISTINCT query_id FROM topb) q LEFT JOIN hits h USING (query_id)
+"""
+
+QUERIES["embed_sq8_recall"] = embed_sq8_recall
+ORACLES["embed_sq8_recall"] = SQ8_RECALL_SQL

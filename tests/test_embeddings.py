@@ -463,3 +463,17 @@ def test_swapped_knn_graph_incremental_matches_oracle(spark, big_corpus):
         )
     finally:
         con.close()
+
+
+def test_sq8_recall_bounds(spark):
+    """SQ8 keeps one byte per dimension, so its quantized-dot ranking
+    must recover a solid share of the exact cosine top-K — far above
+    the ~0.02 random floor — with every query covered and the bp
+    arithmetic consistent."""
+    rows = embeddings.embed_sq8_recall(spark, SF_CORRECT).collect()
+    assert {r.query_id for r in rows} == set(range(embeddings.N_QUERIES))
+    for r in rows:
+        assert 0 <= r.overlap_at_k <= embeddings.KNN_K
+        assert r.recall_bp == r.overlap_at_k * 10000 // embeddings.KNN_K
+        assert r.recall_bp >= 3000
+    assert sum(r.overlap_at_k for r in rows) >= embeddings.N_QUERIES * 5
