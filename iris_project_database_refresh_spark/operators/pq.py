@@ -2111,3 +2111,115 @@ WHERE rnk <= CASE WHEN lyr = 0 THEN {2 * HNSW_M} ELSE {HNSW_M} END
 
 QUERIES["hnsw_insert_plan"] = hnsw_insert_plan
 ORACLES["hnsw_insert_plan"] = HNSW_INSERT_SQL
+
+
+# --- HNSW diverse link selection (the paper's Algorithm 4) ---------------------
+#
+# `hnsw_build_links` keeps each node's M nearest neighbors
+# (SELECT-NEIGHBORS-SIMPLE); the quality knob real HNSW builds turn on
+# is SELECT-NEIGHBORS-HEURISTIC (Malkov & Yashunin 2016, Alg. 4): walk
+# the candidates nearest-first and KEEP one only if it is closer to
+# the node than to every already-kept neighbor — pruning candidates
+# that huddle on one side so the link list spans directions, the
+# property that lets the greedy search escape local clusters. This
+# operator runs that selection over each node's layer-0 top-2M
+# candidate list (the completed-index grain, so the greedy is
+# deterministic and oracle-reproducible) and emits the surviving
+# links with both ranks — diverse rank and the plain nearest rank —
+# so the pruning is auditable per link.
+#
+# Engine-exactness: the keep test compares the stored 6dp cq against
+# round(cos(c_i, c_r), 6) computed INSIDE the fold from the raw
+# vectors — the same expression text in Spark (`aggregate` +
+# `forall`) and DuckDB (`list_reduce` + `list_bool_and`, with a
+# sentinel-prepend carrying the empty accumulator since DuckDB's
+# reduce has no init form).
+#
+# Scale: candidate lists are bounded (2M per node), so the pair math
+# inside the fold is O((2M)^2 · dim) per node — constant, no
+# corpus-wide window; the vector attach is one hash join on the
+# neighbor id and the per-node collect carries 2M · dim doubles.
+
+def hnsw_diverse_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        F.col("vec_id").alias("nid"), _as_double("embedding").alias("nv")
+    )
+    cand0 = (
+        hnsw_build_links(spark, sf_dir)
+        .where(F.col("lyr") == 0)
+        .select("vec_id", "rank", F.col("neighbor_id").alias("nid"), "cosine")
+        .join(emb, "nid")
+    )
+    grouped = cand0.groupBy("vec_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("rank", "nid", "nv", F.col("cosine").alias("cq")))
+        ).alias("cands")
+    )
+    cos_ir = _cos_sql("element_at(cands, i).nv", "element_at(cands, r).nv")
+    kept = (
+        f"aggregate(sequence(1, size(cands)), cast(array() as array<int>),"
+        f" (acc, i) -> case when size(acc) >= {HNSW_M} then acc"
+        f" when forall(acc, r -> element_at(cands, i).cq > {cos_ir})"
+        f" then concat(acc, array(i)) else acc end)"
+    )
+    return grouped.selectExpr("vec_id", f"{kept} AS kept", "cands").select(
+        "vec_id",
+        F.posexplode("kept").alias("pos", "k"),
+        F.col("cands"),
+    ).selectExpr(
+        "vec_id",
+        "cast(pos + 1 as bigint) AS rank",
+        "element_at(cands, k).nid AS neighbor_id",
+        "element_at(cands, k).cq AS cosine",
+        "cast(k as bigint) AS simple_rank",
+    )
+
+
+def _hnsw_diverse_sql() -> str:
+    # DuckDB 1.0's list_reduce silently drops LIST-typed fields from a
+    # struct accumulator (probed empirically), so the kept set folds
+    # through a scalar CSV STRING instead — same greedy, same values.
+    cos_ir = (
+        "round(list_dot_product(cands[e::INT].v, cands[r::INT].v) /"
+        " (sqrt(list_dot_product(cands[e::INT].v, cands[e::INT].v)) *"
+        " sqrt(list_dot_product(cands[r::INT].v, cands[r::INT].v))), 6)"
+    )
+    kept_ids = "list_filter(string_split(acc, ','), y -> y <> '')"
+    return f"""
+WITH links AS ({HNSW_LINKS_SQL}),
+vec AS (SELECT vec_id AS nid, embedding::DOUBLE[] AS v FROM embeddings),
+l0 AS (
+  SELECT l.vec_id, l.rank, l.neighbor_id, l.cosine, vec.v
+  FROM links l JOIN vec ON vec.nid = l.neighbor_id
+  WHERE l.lyr = 0
+),
+grouped AS (
+  SELECT vec_id,
+         list(struct_pack(rank := rank, nid := neighbor_id, v := v, cq := cosine)
+              ORDER BY rank) AS cands
+  FROM l0 GROUP BY vec_id
+),
+folded AS (
+  SELECT vec_id, cands,
+         list_transform(
+           list_filter(string_split(list_reduce(
+             list_prepend('', [CAST(x AS VARCHAR) for x in range(1, len(cands) + 1)]),
+             (acc, e) -> CASE
+                WHEN len({kept_ids}) >= {HNSW_M} THEN acc
+                WHEN coalesce(list_bool_and(list_transform({kept_ids},
+                     r -> cands[e::INT].cq > {cos_ir})), TRUE)
+                THEN acc || ',' || e ELSE acc END), ','), y -> y <> ''),
+           y -> y::BIGINT) AS kept
+  FROM grouped
+)
+SELECT vec_id,
+       CAST(generate_subscripts(kept, 1) AS BIGINT) AS rank,
+       cands[CAST(unnest(kept) AS INT)].nid AS neighbor_id,
+       cands[CAST(unnest(kept) AS INT)].cq AS cosine,
+       CAST(unnest(kept) AS BIGINT) AS simple_rank
+FROM folded
+"""
+
+
+QUERIES["hnsw_diverse_links"] = hnsw_diverse_links
+ORACLES["hnsw_diverse_links"] = _hnsw_diverse_sql()

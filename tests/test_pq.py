@@ -445,3 +445,55 @@ def test_hnsw_descent_parallel_path(spark, tmp_path):
         assert cos_by_rank == sorted(cos_by_rank, reverse=True)
         assert all(x.neighbor_id != q for x in rs)
         assert len({x.final_node for x in rs}) == 1
+
+
+def test_hnsw_diverse_links_greedy_property(spark):
+    """Re-derive Algorithm 4 in Python from the layer-0 candidate lists
+    and the raw vectors: the operator's kept set must match the greedy
+    exactly — order, membership, and the <= M cap — and every kept link
+    must be closer to its node than to every earlier-kept link."""
+    import math
+
+    from iris_project_database_refresh_spark.sources.tables import load_table
+
+    got = {}
+    for r in pq.hnsw_diverse_links(spark, SF_CORRECT).collect():
+        got.setdefault(r.vec_id, []).append(r)
+    links0 = [
+        r
+        for r in pq.hnsw_build_links(spark, SF_CORRECT).collect()
+        if r.lyr == 0
+    ]
+    vecs = {
+        r.vec_id: [float(x) for x in r.embedding]
+        for r in load_table(spark, SF_CORRECT, "embeddings").collect()
+    }
+
+    def cos6(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        n = math.sqrt(sum(x * x for x in a)) * math.sqrt(sum(y * y for y in b))
+        return round(d / n, 6)
+
+    cands = {}
+    for r in links0:
+        cands.setdefault(r.vec_id, []).append(r)
+    checked = 0
+    for vid, rs in list(cands.items())[:50]:  # bounded re-derivation
+        rs.sort(key=lambda r: r.rank)
+        kept = []
+        for r in rs:
+            if len(kept) >= pq.HNSW_M:
+                break
+            if all(
+                r.cosine > cos6(vecs[r.neighbor_id], vecs[k.neighbor_id])
+                for k in kept
+            ):
+                kept.append(r)
+        want = [(k.neighbor_id, k.rank) for k in kept]
+        have = [
+            (g.neighbor_id, g.simple_rank)
+            for g in sorted(got.get(vid, []), key=lambda g: g.rank)
+        ]
+        assert have == want, vid
+        checked += 1
+    assert checked == 50
