@@ -2223,3 +2223,139 @@ FROM folded
 
 QUERIES["hnsw_diverse_links"] = hnsw_diverse_links
 ORACLES["hnsw_diverse_links"] = _hnsw_diverse_sql()
+
+
+# --- Matryoshka funnel (adaptive retrieval) ------------------------------------
+#
+# `matryoshka_recall` prices each prefix width in isolation; the way
+# MRL embeddings are actually SERVED is the funnel (Kusupati et al.
+# 2022's adaptive retrieval): shortlist with the cheap 16-dim prefix,
+# then re-rank only the shortlist with the full vector — full-width
+# work drops from |corpus| to R per query while recall approaches the
+# full-width scan. Output per query: funnel recall@K vs the exact
+# full-width top-K, the shortlist's truth coverage (the funnel's
+# ceiling — what a bigger R would buy), and the cost ledger
+# (full-width scores actually needed vs corpus scored by the prefix).
+#
+# Scale: ONE scored pass (queries broadcast, corpus streamed) feeds
+# prefix ranking, funnel re-rank, and the harness's exact truth; in
+# production the prefix pass rides an ANN index (IVF over 16-dim
+# prefixes) and only the R-row re-rank touches full vectors — the
+# ledger columns are exactly that economics. Exact truth per query is
+# the eval harness's job (ann_recall_eval convention: sampled queries
+# at 100 TB).
+
+FUNNEL_PREFIX = 16
+FUNNEL_R = 50
+
+
+def matryoshka_funnel_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    cos_pfx = _cos_sql(f"slice(q, 1, {FUNNEL_PREFIX})", f"slice(v, 1, {FUNNEL_PREFIX})")
+    cos_full = _cos_sql("q", "v")
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{cos_pfx} AS cos_pfx",
+            f"{cos_full} AS cos_full",
+        )
+        .localCheckpoint(eager=False)  # one pass feeds prefix/funnel/truth
+    )
+
+    def topk(col: str, k: int) -> DataFrame:
+        w = Window.partitionBy("query_id").orderBy(F.desc(col), F.asc("neighbor_id"))
+        return scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= k)
+
+    truth = topk("cos_full", PQ_K).select("query_id", "neighbor_id")
+    shortlist = topk("cos_pfx", FUNNEL_R).select("query_id", "neighbor_id", "cos_full")
+    wr = Window.partitionBy("query_id").orderBy(F.desc("cos_full"), F.asc("neighbor_id"))
+    funnel = (
+        shortlist.withColumn("frk", F.row_number().over(wr))
+        .where(F.col("frk") <= PQ_K)
+        .select("query_id", "neighbor_id")
+    )
+    f_hits = (
+        funnel.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("fh"))
+    )
+    ceil_hits = (
+        shortlist.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("ch"))
+    )
+    n_scored = scored.groupBy("query_id").agg(F.count(F.lit(1)).alias("ns"))
+    return (
+        queries.select("query_id")
+        .join(f_hits, "query_id", "left")
+        .join(ceil_hits, "query_id", "left")
+        .join(n_scored, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce("fh", F.lit(0)).cast("bigint").alias("funnel_hits"),
+            F.expr(f"coalesce(fh, 0) * 10000 div {PQ_K}").cast("bigint").alias("recall_bp"),
+            F.coalesce("ch", F.lit(0)).cast("bigint").alias("truth_in_shortlist"),
+            F.lit(FUNNEL_R).cast("bigint").alias("full_scores_needed"),
+            F.coalesce("ns", F.lit(0)).cast("bigint").alias("prefix_scores_needed"),
+        )
+    )
+
+
+MRL_FUNNEL_SQL = f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {PQ_QUERIES}),
+scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qv[1:{FUNNEL_PREFIX}], v[1:{FUNNEL_PREFIX}]) /
+               (sqrt(list_dot_product(qv[1:{FUNNEL_PREFIX}], qv[1:{FUNNEL_PREFIX}])) *
+                sqrt(list_dot_product(v[1:{FUNNEL_PREFIX}], v[1:{FUNNEL_PREFIX}]))), 6) AS cos_pfx,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos_full
+  FROM q JOIN d ON d.vec_id <> q.query_id
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {PQ_K}
+),
+shortlist AS (
+  SELECT query_id, neighbor_id, cos_full FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_pfx DESC, neighbor_id) AS rnk
+    FROM scored) WHERE rnk <= {FUNNEL_R}
+),
+funnel AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos_full DESC, neighbor_id) AS frk
+    FROM shortlist) WHERE frk <= {PQ_K}
+),
+fh AS (
+  SELECT f.query_id, count(*)::BIGINT AS fh FROM funnel f
+  JOIN truth t ON t.query_id = f.query_id AND t.neighbor_id = f.neighbor_id
+  GROUP BY f.query_id
+),
+ch AS (
+  SELECT s.query_id, count(*)::BIGINT AS ch FROM shortlist s
+  JOIN truth t ON t.query_id = s.query_id AND t.neighbor_id = s.neighbor_id
+  GROUP BY s.query_id
+),
+ns AS (SELECT query_id, count(*)::BIGINT AS ns FROM scored GROUP BY query_id)
+SELECT q.query_id,
+       CAST(coalesce(fh.fh, 0) AS BIGINT) AS funnel_hits,
+       CAST(coalesce(fh.fh, 0) * 10000 // {PQ_K} AS BIGINT) AS recall_bp,
+       CAST(coalesce(ch.ch, 0) AS BIGINT) AS truth_in_shortlist,
+       CAST({FUNNEL_R} AS BIGINT) AS full_scores_needed,
+       CAST(coalesce(ns.ns, 0) AS BIGINT) AS prefix_scores_needed
+FROM q LEFT JOIN fh USING (query_id) LEFT JOIN ch USING (query_id)
+LEFT JOIN ns USING (query_id)
+"""
+
+QUERIES["matryoshka_funnel_recall"] = matryoshka_funnel_recall
+ORACLES["matryoshka_funnel_recall"] = MRL_FUNNEL_SQL
