@@ -2359,3 +2359,155 @@ LEFT JOIN ns USING (query_id)
 
 QUERIES["matryoshka_funnel_recall"] = matryoshka_funnel_recall
 ORACLES["matryoshka_funnel_recall"] = MRL_FUNNEL_SQL
+
+
+# --- Filtered ANN: post-filter vs oversampled vs pre-filter --------------------
+#
+# The production ANN problem the plain recall harnesses skip: the query
+# carries a METADATA PREDICATE (tenant, language, date window) and the
+# index doesn't know it. pgvector grew iterative index scans
+# specifically because post-filtering a fixed top-C starves selective
+# predicates (fewer than K allowed rows survive); the standard menu is
+#   * post-filter   — fetch top-K ignoring the filter, drop disallowed
+#                     rows (cheap, recall collapses with selectivity);
+#   * oversample    — fetch top-4K then filter (pgvector's iterative
+#                     scan modeled at the completed-scan grain);
+#   * pre-filter    — rank within the allowed subset only (exact
+#                     recall, pays a subset-wide scan — what a
+#                     partial index / partition buys).
+# One row per (query, strategy) with fetched / surviving / hit counts
+# and recall vs the exact FILTERED truth — the table that says which
+# strategy a deployment picks at a given selectivity.
+#
+# The predicate here is vec_id % 3 = 1 (~1/3 selectivity), planted so
+# both engines agree exactly; candidate fetches use the exact cosine
+# order as the index stand-in (ann_recall_eval convention — the
+# strategies differ in WHAT they rank, not how well the index ranks).
+#
+# Scale: one scored pass (queries broadcast, corpus streamed) pinned
+# once feeds all four rankings through WindowGroupLimit partial
+# top-Ks; at 100 TB the fetches ride a real index and the pre-filter
+# arm becomes a partition-pruned scan — the counts ledger is the same.
+
+FILT_MOD = 3
+FILT_RES = 1
+FILT_OVERSAMPLE = 4
+
+
+def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    queries = emb.where(F.col("vec_id") < PQ_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
+    scored = (
+        emb.select(F.col("vec_id").alias("neighbor_id"), "v")
+        .join(F.broadcast(queries), F.col("neighbor_id") != F.col("query_id"))
+        .selectExpr(
+            "query_id",
+            "neighbor_id",
+            f"{_cos_sql('q', 'v')} AS cos",
+            f"cast(neighbor_id % {FILT_MOD} = {FILT_RES} as int) AS allowed",
+        )
+        .localCheckpoint(eager=False)  # one pass feeds all rankings
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    ranked = scored.withColumn("rnk", F.row_number().over(w))
+    wa = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+    truth = (
+        scored.where(F.col("allowed") == 1)
+        .withColumn("trk", F.row_number().over(wa))
+        .where(F.col("trk") <= PQ_K)
+        .select("query_id", "neighbor_id")
+        .localCheckpoint(eager=False)  # joined by every strategy arm
+    )
+
+    def arm(name: str, cand: DataFrame, fetched_expr) -> DataFrame:
+        surv = cand.where(F.col("allowed") == 1)
+        wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
+        kept = surv.withColumn("krk", F.row_number().over(wk)).where(F.col("krk") <= PQ_K)
+        hits = (
+            kept.join(truth, ["query_id", "neighbor_id"])
+            .groupBy("query_id")
+            .agg(F.count(F.lit(1)).alias("h"))
+        )
+        stats = cand.groupBy("query_id").agg(
+            F.count(F.lit(1)).alias("fetched"),
+            F.sum("allowed").alias("surviving"),
+        )
+        return (
+            queries.select("query_id")
+            .join(stats, "query_id", "left")
+            .join(hits, "query_id", "left")
+            .select(
+                "query_id",
+                F.lit(name).alias("strategy"),
+                F.coalesce("fetched", F.lit(0)).cast("bigint").alias("fetched"),
+                F.least(F.coalesce("surviving", F.lit(0)), F.lit(PQ_K))
+                .cast("bigint")
+                .alias("returned"),
+                F.coalesce("h", F.lit(0)).cast("bigint").alias("hits"),
+                F.expr(f"coalesce(h, 0) * 10000 div {PQ_K}").cast("bigint").alias("recall_bp"),
+            )
+        )
+
+    post = arm("post_filter", ranked.where(F.col("rnk") <= PQ_K), PQ_K)
+    over = arm(
+        "oversample", ranked.where(F.col("rnk") <= FILT_OVERSAMPLE * PQ_K), None
+    )
+    pre = arm("pre_filter", scored.where(F.col("allowed") == 1), None)
+    return post.unionByName(over).unionByName(pre)
+
+
+def _filtered_sql() -> str:
+    def arm(name: str, cand_cte: str) -> str:
+        return f"""
+  SELECT q.query_id, '{name}' AS strategy,
+         CAST(coalesce(st.fetched, 0) AS BIGINT) AS fetched,
+         CAST(least(coalesce(st.surviving, 0), {PQ_K}) AS BIGINT) AS returned,
+         CAST(coalesce(h.h, 0) AS BIGINT) AS hits,
+         CAST(coalesce(h.h, 0) * 10000 // {PQ_K} AS BIGINT) AS recall_bp
+  FROM q
+  LEFT JOIN (SELECT query_id, count(*) AS fetched, sum(allowed) AS surviving
+             FROM {cand_cte} GROUP BY query_id) st USING (query_id)
+  LEFT JOIN (SELECT k.query_id, count(*) AS h FROM (
+               SELECT query_id, neighbor_id FROM (
+                 SELECT *, row_number() OVER (PARTITION BY query_id
+                          ORDER BY cos DESC, neighbor_id) AS krk
+                 FROM {cand_cte} WHERE allowed = 1) WHERE krk <= {PQ_K}) k
+             JOIN truth t ON t.query_id = k.query_id AND t.neighbor_id = k.neighbor_id
+             GROUP BY k.query_id) h USING (query_id)"""
+
+    return f"""
+WITH d AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+q AS (SELECT vec_id AS query_id, v AS qv FROM d WHERE vec_id < {PQ_QUERIES}),
+scored AS (
+  SELECT query_id, d.vec_id AS neighbor_id,
+         round(list_dot_product(qv, v) /
+               (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(v, v))), 6) AS cos,
+         CAST(d.vec_id % {FILT_MOD} = {FILT_RES} AS INT) AS allowed
+  FROM q JOIN d ON d.vec_id <> q.query_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS rnk
+  FROM scored
+),
+truth AS (
+  SELECT query_id, neighbor_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id) AS trk
+    FROM scored WHERE allowed = 1) WHERE trk <= {PQ_K}
+),
+post_c AS (SELECT * FROM ranked WHERE rnk <= {PQ_K}),
+over_c AS (SELECT * FROM ranked WHERE rnk <= {FILT_OVERSAMPLE * PQ_K}),
+pre_c AS (SELECT * FROM scored WHERE allowed = 1)
+{arm("post_filter", "post_c")}
+UNION ALL
+{arm("oversample", "over_c")}
+UNION ALL
+{arm("pre_filter", "pre_c")}
+"""
+
+
+QUERIES["ann_filtered_search"] = ann_filtered_search
+ORACLES["ann_filtered_search"] = _filtered_sql()

@@ -514,3 +514,25 @@ def test_matryoshka_funnel_bounds(spark):
     # far above the random floor (~0.1 hits/query from ~500 vectors);
     # 24/50 measured at sf0.01 on the committed corpus
     assert sum(r.funnel_hits for r in rows) >= 15
+
+
+def test_ann_filtered_strategy_ordering(spark):
+    """Strategy dominance must hold per query: pre-filter is exact
+    (recall 10000), oversampling can only add allowed candidates so its
+    recall >= post-filter's, and post-filter returns at most the
+    allowed survivors of a K-fetch."""
+    rows = pq.ann_filtered_search(spark, SF_CORRECT).collect()
+    by = {}
+    for r in rows:
+        by[(r.query_id, r.strategy)] = r
+    assert len(by) == 3 * pq.PQ_QUERIES
+    for qid in range(pq.PQ_QUERIES):
+        post = by[(qid, "post_filter")]
+        over = by[(qid, "oversample")]
+        pre = by[(qid, "pre_filter")]
+        assert pre.recall_bp == 10000
+        assert over.hits >= post.hits
+        assert post.fetched == pq.PQ_K
+        assert over.fetched == pq.FILT_OVERSAMPLE * pq.PQ_K
+        assert pre.fetched > over.fetched  # subset-wide scan is the price
+        assert post.returned <= pq.PQ_K and post.hits <= post.returned
