@@ -36,7 +36,34 @@ from ..sources.tables import load_table
 MEDIA_TYPES = ("image", "audio", "video")
 MAX_BATCH_ROWS = 256  # keep payload batches bounded for real media sizes
 
+# Session-scoped plant-plan registry (r10, the r9 verdict's "bench pays
+# plant construction once, not per consumer" item). The planted-payload
+# builders assemble payload bytes from hundreds of JVM expression
+# nodes; profiling showed the 15-builder union behind
+# multimodal_sniff_router spends ~4.5 s of DRIVER time (py4j
+# Column-algebra round-trips + eager analysis) REBUILDING plans that
+# are pure functions of (session, corpus dir). Caching the analyzed
+# DataFrame per (application, builder, dir) makes every consumer after
+# the first reuse the same immutable plan — a view registry, the exact
+# analogue of the `_corpus_rows`/`_embed_dim` metadata memos. No data
+# is cached: execution still runs per query.
+_PLANT_CACHE: dict[tuple, DataFrame] = {}
 
+
+def _plant(fn):
+    import functools
+
+    @functools.wraps(fn)
+    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
+        key = (spark.sparkContext.applicationId, fn.__name__, sf_dir)
+        if key not in _PLANT_CACHE:
+            _PLANT_CACHE[key] = fn(spark, sf_dir)
+        return _PLANT_CACHE[key]
+
+    return wrapped
+
+
+@_plant
 def media_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Opaque binary payloads + typed metadata, derived from documents
     (payload = utf-8 bytes; a real pipeline reads files via
@@ -544,6 +571,7 @@ def _le_hex(col, nbytes: int):
     return F.concat(*parts)
 
 
+@_plant
 def audio_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): audio-typed items as real PCM WAV bytes.
 
@@ -700,6 +728,7 @@ VIDEO_SCHEMA = T.StructType(
 VIDEO_MAX_FRAMES = 8  # planted cap: frames available from the text bytes
 
 
+@_plant
 def video_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): video-typed items as real Y4M byte streams.
 
@@ -1715,6 +1744,7 @@ def _be_hex(col, nbytes: int):
     return F.format_string(f"%0{2 * nbytes}X", col.cast("bigint").cast("int"))
 
 
+@_plant
 def tiff_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): image-typed items as real TIFF bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
@@ -1892,6 +1922,7 @@ PNG_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def png_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): PNG-typed media items as real PNG bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 1)
@@ -2065,6 +2096,7 @@ ID3_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def id3_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): audio-typed items with a real ID3v2.3 tag."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
@@ -2248,6 +2280,7 @@ JPEG_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def jpeg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): JPEG-typed media items as real JFIF bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 2)
@@ -2458,6 +2491,7 @@ def _le16(col):
     )
 
 
+@_plant
 def gif_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): GIF-typed media items as real GIF bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 3 == 0)
@@ -2668,6 +2702,7 @@ FLAC_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def flac_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): FLAC-typed media items as real fLaC bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 1)
@@ -2834,6 +2869,7 @@ def _le32(col):
     )
 
 
+@_plant
 def bmp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): BMP-typed media items as real BMP bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 3)
@@ -2979,6 +3015,7 @@ _ZIP_LOCAL_LEN = 30 + _ZIP_NAME_LEN + _ZIP_DATA_LEN
 _ZIP_CENTRAL_LEN = 46 + _ZIP_NAME_LEN
 
 
+@_plant
 def zip_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): ZIP-typed media items as real PK bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 2)
@@ -3183,6 +3220,7 @@ MP4_SCHEMA = T.StructType(
 _MP4_MATRIX = "000100000000000000000000" + "000000000001000000000000" + "000000000000000040000000"
 
 
+@_plant
 def mp4_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): MP4-typed media items as real BMFF bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 4)
@@ -3395,6 +3433,7 @@ TAR_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def tar_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): TAR-typed media items as real ustar bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 3)
@@ -3565,6 +3604,7 @@ _PDF_TEMPLATES = {
 }
 
 
+@_plant
 def pdf_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): PDF-typed media items as real PDF bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 6 == 1)
@@ -3940,6 +3980,7 @@ def _le_hex_expr(val_expr: str, n_bytes: int) -> str:
     return "concat(" + ", ".join(parts) + ")"
 
 
+@_plant
 def ogg_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): Ogg-typed media items as real OggS pages."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 2)
@@ -4171,6 +4212,7 @@ WEBP_SCHEMA = T.StructType(
 )
 
 
+@_plant
 def webp_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): WebP/VP8L-typed media items as real bytes."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 4 == 0)
@@ -4357,6 +4399,7 @@ _PDF_TEXT_TEMPLATES = {
 }
 
 
+@_plant
 def pdf_text_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): text-bearing PDFs; per-doc per-page text is
     spliced into the fixed-width mark slots."""
@@ -4661,6 +4704,7 @@ def _ooxml_zip(entries) -> "F.Column":
     return F.concat(*locals_hex, *centrals_hex, eocd)
 
 
+@_plant
 def ooxml_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): alternating docx / xlsx containers."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 3)
@@ -4935,6 +4979,7 @@ def _pdf_flate_extracted(v: int) -> str:
     return "".join(f"variant {v} line {i} of deflated body" for i in range(6))
 
 
+@_plant
 def pdf_flate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): single-page PDFs with FlateDecode content."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 7 == 5)
@@ -5137,6 +5182,7 @@ _ZDEF_STREAMS = {v: _zdef_raw_deflate(t.encode()) for v, t in _ZDEF_TEXTS.items(
 _ZDEF_CRCS = {v: _zlib.crc32(t.encode()) for v, t in _ZDEF_TEXTS.items()}
 
 
+@_plant
 def zip_deflate_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): two-entry zips — stored meta + deflated body."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 8 == 7)
@@ -5365,6 +5411,7 @@ _PMW_LXH = len("xref\n0 ") + 4 + 1  # "xref\n0 %04d\n"
 _PMW_LT = len(_PMW_TRAIL_A) + 4 + len(_PMW_TRAIL_B) + 10 + 1 + len("%%EOF")
 
 
+@_plant
 def pdf_merge_write_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(grp, payload): one byte-exact merged PDF per source group."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
@@ -5684,6 +5731,7 @@ _XLSX_PLAN_MIN_COLS = 2  # ledger heuristic: at least this many columns
 _XLSX_PLAN_MIN_DATA_ROWS = 3  # ... and this many data rows under the header
 
 
+@_plant
 def xlsx_plan_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(media_id, payload): multi-sheet xlsx workbooks (plant above)."""
     docs = load_table(spark, sf_dir, "documents").where(F.col("doc_id") % 5 == 1)
