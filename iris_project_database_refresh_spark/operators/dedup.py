@@ -41,6 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
+from ..functions.plan_memo import df_memo, plan_memo
 
 # MinHash permutation constants h_i(x) = (a_i*x + b_i) mod P, generated
 # once with seed 20260813; a_i < 2^30 keeps a_i*x < 2^62 (no int64
@@ -143,6 +144,7 @@ _LANE = 1048576  # 2^20 — simhash packs three 20-bit lanes into 60 bits
 
 # --- shared planted corpus ---------------------------------------------------
 
+@plan_memo
 def _corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     exact = docs.where(F.col("doc_id") % 7 == 0).select(
@@ -215,6 +217,7 @@ END
 """
 
 
+@df_memo
 def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
     """(doc_id, hashes): distinct shingle hashes per doc.
 
@@ -235,6 +238,7 @@ def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
+@df_memo
 def _hashes_from_th(th_df: DataFrame, expr: str) -> DataFrame:
     """Derive a shingle-hash family from a PINNED (doc_id, th) frame —
     the sharing hook for composites that need several families (the
@@ -392,6 +396,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(_with_hashes(_corpus(spark, sf_dir)))
 
 
+@df_memo
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
     """Signature -> band -> bucket-join -> verify, over a pinned
     (doc_id, hashes) frame (shared with dedup_method_venn)."""
@@ -524,6 +529,7 @@ def _combo_bands(
     )
 
 
+@df_memo
 def _simhash_pairs(sh: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Bit votes -> banded Hamming join, over a pinned (doc_id, hashes)
     frame (shared with dedup_method_venn). ``n_rows`` picks the
@@ -618,6 +624,7 @@ CC_ROUNDS = 4  # label-propagation rounds: covers component diameter 2^4
 MEMBERS_CAP = 32
 
 
+@plan_memo
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) labels from min-label propagation over
     the MinHash-LSH near-dup edges; shared by the cluster formatting
@@ -2303,17 +2310,26 @@ ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
 # the bounded union of pair sets.  Outputs one row per membership
 # pattern with union share in bp.
 
+@plan_memo
+def _fp_th(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pinned (doc_id, fp, th): the exact-dup fingerprint + token
+    hashes in ONE md5 pass — session-memoized so every composite that
+    derives a shingle family from `th` shares both the plan and the
+    pinned arrays (the staged-intermediate convention)."""
+    return (
+        _corpus(spark, sf_dir)
+        .select("doc_id", F.md5("text").alias("fp"), F.expr(_TH_EXPR).alias("th"))
+        .localCheckpoint(eager=False)
+    )
+
+
 def dedup_method_venn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ONE md5 pass feeds all three methods: the pinned (fp, th) frame
     # carries the exact-dup fingerprint and the token hashes; SH32
     # (minhash) and SH60 (simhash) shingles derive from th
     # arithmetically — the constituent pipelines run standalone with
     # their own _with_hashes pass, the composite shares it.
-    th = (
-        _corpus(spark, sf_dir)
-        .select("doc_id", F.md5("text").alias("fp"), F.expr(_TH_EXPR).alias("th"))
-        .localCheckpoint(eager=False)
-    )
+    th = _fp_th(spark, sf_dir)
     c = th.select("doc_id", "fp")
     a, b = c.alias("a"), c.alias("b")
     exact = a.join(
@@ -2573,6 +2589,7 @@ ORACLES["dedup_drop_explain"] = DROP_EXPLAIN_SQL
 CONTAIN_TAU_BP = 9000
 
 
+@plan_memo
 def _contain_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
     toks = F.split(F.col("text"), r"\s+")
