@@ -8,7 +8,20 @@ from .conftest import SF_CORRECT
 
 # Queries whose semantics genuinely need an all-pairs product: the IVF
 # assignment scores every vector against the (tiny, broadcast) codebook.
-CROSS_OK = {"knn_ivf", "knn_brute_force"}
+# The HNSW reads are allowed INTENDED CartesianProducts on the small
+# path only (r10): below SIM_EXACT_MAX the descent joins the <=5-row
+# cursor to the single-partition layer membership via
+# shuffle_replicate_nl — one task, no broadcast job per hop; the
+# >SIM_EXACT_MAX branch plans broadcast+left-join instead
+# (test_hnsw_descent_parallel_path proves it), so nothing cartesian
+# survives at scale.
+CROSS_OK = {
+    "knn_ivf",
+    "knn_brute_force",
+    "hnsw_search_sim",
+    "hnsw_search_ef",
+    "hnsw_recall_eval",
+}
 
 
 @pytest.mark.parametrize("name", sorted(QUERIES))

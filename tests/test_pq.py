@@ -432,7 +432,12 @@ def test_hnsw_descent_parallel_path(spark, tmp_path):
 
     _write_big_corpus(tmp_path, n=SIM_EXACT_MAX + 64)
     assert _corpus_rows(spark, str(tmp_path)) > SIM_EXACT_MAX
-    rows = pq.hnsw_search_sim(spark, str(tmp_path)).collect()
+    df = pq.hnsw_search_sim(spark, str(tmp_path))
+    # the small path's intended CartesianProduct (CROSS_OK in
+    # test_plan_hygiene) must NOT survive past the dispatch line
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    rows = df.collect()
     per_q = {}
     for r in rows:
         per_q.setdefault(r.query_id, []).append(r)
