@@ -30,16 +30,41 @@ the staged-table behavior a refresh pipeline has in production.
 from __future__ import annotations
 
 import functools
+import os
 
 from pyspark.sql import DataFrame, SparkSession
 
 _CACHE: dict[tuple, tuple] = {}
 
 
+def _dir_sig(sf_dir: str) -> tuple:
+    """Light staleness guard: (name, mtime_ns, size) of the dir's
+    parquet entries — a corpus rewritten in place mid-session (test
+    fixtures) gets a fresh cache slot instead of a stale plan. Non-local
+    or unreadable paths fall back to the bare dir key."""
+    try:
+        return tuple(
+            sorted(
+                (e.name, e.stat().st_mtime_ns, e.stat().st_size)
+                for e in os.scandir(sf_dir)
+                if e.name.endswith(".parquet")
+            )
+        )
+    except OSError:
+        return ()
+
+
 def plan_memo(fn):
     @functools.wraps(fn)
     def wrapped(spark: SparkSession, sf_dir: str, *args):
-        key = (fn.__module__, fn.__qualname__, spark.sparkContext.applicationId, sf_dir, args)
+        key = (
+            fn.__module__,
+            fn.__qualname__,
+            spark.sparkContext.applicationId,
+            sf_dir,
+            _dir_sig(sf_dir),
+            args,
+        )
         if key not in _CACHE:
             _CACHE[key] = ((), fn(spark, sf_dir, *args))
         return _CACHE[key][1]

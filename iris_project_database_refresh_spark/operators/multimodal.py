@@ -47,20 +47,7 @@ MAX_BATCH_ROWS = 256  # keep payload batches bounded for real media sizes
 # the first reuse the same immutable plan — a view registry, the exact
 # analogue of the `_corpus_rows`/`_embed_dim` metadata memos. No data
 # is cached: execution still runs per query.
-_PLANT_CACHE: dict[tuple, DataFrame] = {}
-
-
-def _plant(fn):
-    import functools
-
-    @functools.wraps(fn)
-    def wrapped(spark: SparkSession, sf_dir: str) -> DataFrame:
-        key = (spark.sparkContext.applicationId, fn.__name__, sf_dir)
-        if key not in _PLANT_CACHE:
-            _PLANT_CACHE[key] = fn(spark, sf_dir)
-        return _PLANT_CACHE[key]
-
-    return wrapped
+from ..functions.plan_memo import plan_memo as _plant  # noqa: E402 — shared registry
 
 
 @_plant
