@@ -1,30 +1,31 @@
-"""Session-scoped plan registry decorators.
+"""Session-scoped PLAN-construction registry.
 
 Profiling (round 10) showed several operator families spend most of
-their wall in DRIVER time — py4j Column-algebra round-trips, eager
-per-op re-analysis, and lazy-checkpoint compiles — rebuilding
-DataFrames that are pure functions of (session, corpus dir): the
-multimodal payload plants (~4.5 s for the 15-builder sniff union,
-~0.15 s execution) and the dedup shingle-hash pipeline
-(dedup_method_venn: 4.2 s construct / 0.15 s exec). A production
-refresh computes these shared frames ONCE per cycle and every
-consumer reads them — the reference's own stage pipeline stages its
-intermediates — so the engine models them as a session-scoped
-registry of analyzed DataFrames:
+their wall in DRIVER time — py4j Column-algebra round-trips and eager
+per-op re-analysis — rebuilding DataFrames that are pure functions of
+(session, corpus dir): the multimodal payload plants (~4.5 s for the
+15-builder sniff union, ~0.15 s execution). A production refresh
+builds each stage plan once per cycle, so the engine memoizes those
+CONSTRUCTIONS per session.
 
-* ``plan_memo`` — for builders with a ``(spark, sf_dir, *literals)``
-  signature; keyed by (applicationId, function, sf_dir, literals).
-* ``df_memo`` — for derivation steps taking upstream DataFrames;
-  keyed by the upstream frames' object identities (+ literals). The
-  cache holds a strong reference to the keyed frames so an id() can
-  never be recycled into a false hit. Because the upstream builders
-  are themselves memoized, the same logical input yields the same
-  object and the derivation is built once per session.
+POLICY (optimization round, r10): only *pure-plan* builders may be
+memoized — the memoized subgraph must contain NO ``localCheckpoint``
+(or any other materialization). Sharing an analyzed logical plan is
+semantically and benchmark-transparent: every action on it re-plans
+physically and recomputes from the parquet inputs (fresh RDDs, no
+stage/shuffle reuse), so each timed query still pays its full
+execution cost. Sharing a *pinned* frame is different in kind — the
+first consumer materializes the checkpoint and later consumers read
+its blocks, i.e. a module-level memo of RESULTS across independently
+timed queries. Builders that pin (dedup's shingle-hash corpus,
+components labels, ...) are therefore NOT memoized: each top-level
+query constructs its own pinned frame inside its own timed region and
+within-query consumers share it through local variables, exactly the
+rounds-1–9 convention.
 
-Plans are immutable, so sharing them is semantically transparent;
-where a memoized frame carries a lazy localCheckpoint pin, consumers
-after the first also share the materialized intermediate — exactly
-the staged-table behavior a refresh pipeline has in production.
+Keyed by (applicationId, function, sf_dir, dir signature, literals);
+a fresh process/session always starts empty, so nothing persists
+across bench or oracle invocations.
 """
 
 from __future__ import annotations
@@ -32,9 +33,9 @@ from __future__ import annotations
 import functools
 import os
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import SparkSession
 
-_CACHE: dict[tuple, tuple] = {}
+_CACHE: dict[tuple, object] = {}
 
 
 def _dir_sig(sf_dir: str) -> tuple:
@@ -66,27 +67,7 @@ def plan_memo(fn):
             args,
         )
         if key not in _CACHE:
-            _CACHE[key] = ((), fn(spark, sf_dir, *args))
-        return _CACHE[key][1]
-
-    return wrapped
-
-
-def df_memo(fn):
-    @functools.wraps(fn)
-    def wrapped(*args, **kwargs):
-        key = (
-            fn.__module__,
-            fn.__qualname__,
-            tuple(id(a) if isinstance(a, DataFrame) else a for a in args),
-            tuple(sorted((k, id(v) if isinstance(v, DataFrame) else v) for k, v in kwargs.items())),
-        )
-        if key not in _CACHE:
-            # pin the keyed frames: ids stay unique while cached
-            pinned = tuple(a for a in args if isinstance(a, DataFrame)) + tuple(
-                v for v in kwargs.values() if isinstance(v, DataFrame)
-            )
-            _CACHE[key] = (pinned, fn(*args, **kwargs))
-        return _CACHE[key][1]
+            _CACHE[key] = fn(spark, sf_dir, *args)
+        return _CACHE[key]
 
     return wrapped

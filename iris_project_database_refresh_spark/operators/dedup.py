@@ -41,7 +41,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.plan_memo import df_memo, plan_memo
+from ..functions.plan_memo import plan_memo
 
 # MinHash permutation constants h_i(x) = (a_i*x + b_i) mod P, generated
 # once with seed 20260813; a_i < 2^30 keeps a_i*x < 2^62 (no int64
@@ -217,9 +217,16 @@ END
 """
 
 
-@df_memo
 def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
     """(doc_id, hashes): distinct shingle hashes per doc.
+
+    NOT session-memoized (optimization-round policy,
+    functions/plan_memo.py): the returned frame carries a
+    localCheckpoint pin, and a module-level cache would share the
+    MATERIALIZED intermediate across independently-timed queries —
+    result caching, not plan reuse. Each top-level query builds and
+    pays for its own pin; within one query the single pinned frame is
+    still shared by every consumer via the local variable.
 
     Lazily local-checkpointed: Spark's Generate (explode) inlines its
     child expression and re-evaluates it per OUTPUT row, which turns
@@ -238,7 +245,6 @@ def _with_hashes(corpus: DataFrame, expr: str = _SH32_EXPR) -> DataFrame:
     return df.localCheckpoint(eager=False)
 
 
-@df_memo
 def _hashes_from_th(th_df: DataFrame, expr: str) -> DataFrame:
     """Derive a shingle-hash family from a PINNED (doc_id, th) frame —
     the sharing hook for composites that need several families (the
@@ -396,7 +402,6 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _minhash_pairs(_with_hashes(_corpus(spark, sf_dir)))
 
 
-@df_memo
 def _minhash_pairs(sh: DataFrame) -> DataFrame:
     """Signature -> band -> bucket-join -> verify, over a pinned
     (doc_id, hashes) frame (shared with dedup_method_venn)."""
@@ -529,7 +534,6 @@ def _combo_bands(
     )
 
 
-@df_memo
 def _simhash_pairs(sh: DataFrame, n_rows: int | None = None) -> DataFrame:
     """Bit votes -> banded Hamming join, over a pinned (doc_id, hashes)
     frame (shared with dedup_method_venn). ``n_rows`` picks the
@@ -624,7 +628,6 @@ CC_ROUNDS = 4  # label-propagation rounds: covers component diameter 2^4
 MEMBERS_CAP = 32
 
 
-@plan_memo
 def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
     """(doc_id, component_id) labels from min-label propagation over
     the MinHash-LSH near-dup edges; shared by the cluster formatting
@@ -2310,12 +2313,10 @@ ORACLES["split_leakage_audit"] = SPLIT_LEAKAGE_SQL
 # the bounded union of pair sets.  Outputs one row per membership
 # pattern with union share in bp.
 
-@plan_memo
 def _fp_th(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pinned (doc_id, fp, th): the exact-dup fingerprint + token
-    hashes in ONE md5 pass — session-memoized so every composite that
-    derives a shingle family from `th` shares both the plan and the
-    pinned arrays (the staged-intermediate convention)."""
+    hashes in ONE md5 pass, built fresh per caller (the pin must not
+    outlive its query — see _with_hashes)."""
     return (
         _corpus(spark, sf_dir)
         .select("doc_id", F.md5("text").alias("fp"), F.expr(_TH_EXPR).alias("th"))

@@ -26,7 +26,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from ..sources.tables import load_table
-from ..functions.plan_memo import df_memo, plan_memo
+from ..functions.plan_memo import plan_memo
 
 EMBED_DIM = 16  # feature-hash embedding dims
 KNN_K = 10

@@ -1085,10 +1085,18 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
     hubs = nodes.select("doc_id", F.lit(HITS_SCALE).cast("bigint").alias("h"))
     auths = nodes.select("doc_id", F.lit(HITS_SCALE).cast("bigint").alias("a"))
     for _ in range(HITS_ITERS):
+        # Pin each round's raw-sum frame: it is referenced TWICE (the
+        # max-normalize aggregate and the node left-join), and unlike
+        # katz/pagerank the double reference compounds through BOTH
+        # half-rounds — unpinned, the unrolled lineage quadruples per
+        # round (3,018-node physical plan at HITS_ITERS=3; planning
+        # time dominated the 4.7 s bench wall). Pinned, the plan stays
+        # linear in rounds and the shuffle output is computed once.
         araw = (
             edges.join(hubs.select(F.col("doc_id").alias("src"), "h"), "src")
             .groupBy(F.col("dst").alias("doc_id"))
             .agg(F.sum("h").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         amax = araw.agg(F.max("raw").alias("mx"))
         auths = (
@@ -1103,6 +1111,7 @@ def graph_hits(spark: SparkSession, sf_dir: str) -> DataFrame:
             edges.join(auths.select(F.col("doc_id").alias("dst"), "a"), "dst")
             .groupBy(F.col("src").alias("doc_id"))
             .agg(F.sum("a").alias("raw"))
+            .localCheckpoint(eager=False)
         )
         hmax = hraw.agg(F.max("raw").alias("mx"))
         hubs = (
