@@ -705,7 +705,17 @@ ORACLES["catalog_path_stats"] = CATALOG_PATH_SQL
 # and distinct counts only — no row materialization.
 
 def catalog_merge_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    merged = catalog_merge(spark, sf_dir).select("id", "file_name")
+    # pin the merged master (narrow 2-column projection): the audit
+    # references it three times (missing / extra / stats) and each
+    # unpinned reference re-derives the full merge pipeline — the
+    # full-outer delta join plus sequential_ids' two-pass numbering.
+    # _snapshot stays unpinned: it is a single projected scan, where a
+    # pin measures slower than Spark's own exchange reuse.
+    merged = (
+        catalog_merge(spark, sf_dir)
+        .select("id", "file_name")
+        .localCheckpoint(eager=False)
+    )
     snap = _snapshot(spark, sf_dir).select("file_name")
     missing = snap.join(merged, "file_name", "left_anti").agg(
         F.count(F.lit(1)).alias("missing_from_master")

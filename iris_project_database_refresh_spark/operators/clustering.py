@@ -90,6 +90,11 @@ def _update(assigned: DataFrame, cents_prev: DataFrame) -> DataFrame:
     return (
         cents_prev.join(new, "cid", "left")
         .select("cid", F.coalesce(F.col("c_new"), F.col("c")).alias("c"))
+        # pin the K-row centroid frame per round: every consumer loop
+        # references round r's centroids twice in round r+1 (the assign
+        # broadcast + cents_prev), so unpinned lineage doubles per
+        # round — 2^ITERS assign subtrees in one physical plan.
+        .localCheckpoint(eager=False)
     )
 
 

@@ -653,6 +653,11 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
+            # pin per round: labels is referenced twice next round
+            # (neighbor_min join + the left join), so unpinned lineage
+            # doubles per round — 2^CC_ROUNDS join trees in one plan
+            # (the graph_hits disease; ~30 SortMergeJoins measured).
+            .localCheckpoint(eager=False)
         )
     return labels.select("doc_id", F.col("label").alias("component_id"))
 

@@ -210,7 +210,14 @@ def cube_materialize_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.grouping("pr") + F.grouping("yr") * 2 + F.grouping("st") * 4)
         ).cast("bigint").alias("mask")
     )
-    sizes = g.groupBy("mask").agg(F.count(F.lit(1)).cast("bigint").alias("view_rows"))
+    # pin the 8-row lattice sizes: referenced by base + every greedy
+    # round's candidate set — unpinned, the CUBE pass over orders is
+    # re-planned (and partly re-run) once per reference.
+    sizes = (
+        g.groupBy("mask")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("view_rows"))
+        .localCheckpoint(eager=False)
+    )
     base = sizes.where(F.col("mask") == 7).select(F.col("view_rows").alias("s7"))
     # every lattice query starts out answered by the base cuboid
     costs = sizes.select("mask").crossJoin(F.broadcast(base)).select(
