@@ -726,49 +726,48 @@ def dedup_embedding_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     (OR-amplification) the same way dedup_minhash_lsh does to recover
     recall.
     """
+    # Per-bucket numpy GEMM (guide §4.2): the previous form self-joined
+    # pinned unit vectors on the bucket id and evaluated an interpreted
+    # zip_with/aggregate dot per surviving candidate pair (plus a
+    # Cauchy-Schwarz prefix bound to prune) — Σ bucket_size² pairs of
+    # per-row lambda work. One applyInPandas per bucket normalizes and
+    # scores the whole cell with a single rounded matmul, the same
+    # engine-equivalence device the banded backends and semantic_dedup
+    # use (np.round(·, 6) on unit-vector cosines); the prefix-bound
+    # prefilter is subsumed — the matmul prices every pair at GEMM
+    # speed. Bucket ids stay JVM-computed (_bucket_expr): the plane
+    # sign decisions are float-summation-order sensitive and must not
+    # move across engines.
+    import numpy as np
+    import pandas as pd
+
     np_ = _planes_for(spark, sf_dir)
-    raw = (
+    bucketed = (
         load_table(spark, sf_dir, "embeddings")
-        .select("vec_id", _as_double("embedding").alias("v"))
-        .withColumn("bucket", _bucket_expr(F.col("v"), np_))
-        .withColumn("nrm", F.sqrt(_dot(F.col("v"), F.col("v"))))
+        .select("vec_id", "embedding", _bucket_expr(_as_double("embedding"), np_).alias("bucket"))
     )
-    # u8/rr support the prefix-bound prefilter: for unit vectors,
-    # dot(a,b) <= dot(a8,b8) + ||a_rest|| * ||b_rest|| (Cauchy-Schwarz
-    # on the tail), so an 8-dim dot + one multiply rejects most
-    # candidate pairs before the full-dimension dot. The bound is a
-    # NECESSARY condition (with a 1e-6 margin for the 6dp rounding of
-    # the exact filter), so the result set — and the oracle, which has
-    # no prefilter — is unchanged.
-    emb = (
-        raw.select(
-            "vec_id",
-            "bucket",
-            F.transform("v", lambda x: x / F.col("nrm")).alias("u"),
+
+    def pair_scores(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+            {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
         )
-        .withColumn("u8", F.slice("u", 1, _PREFIX_DIMS))
-        .withColumn(
-            "rr",
-            F.sqrt(F.greatest(1.0 - _dot(F.col("u8"), F.col("u8")), F.lit(0.0))),
-        )
-        .localCheckpoint(eager=False)
-    )
-    a, b = emb.alias("a"), emb.alias("b")
-    bound = _dot(F.col("a.u8"), F.col("b.u8")) + F.col("a.rr") * F.col("b.rr")
-    pair_cos = F.round(_dot(F.col("a.u"), F.col("b.u")), 6)
-    return (
-        a.join(
-            b,
-            (F.col("a.bucket") == F.col("b.bucket"))
-            & (F.col("a.vec_id") < F.col("b.vec_id"))
-            & (bound >= PAIR_TAU - 1e-6),
-        )
-        .select(
-            F.col("a.vec_id").alias("id_a"),
-            F.col("b.vec_id").alias("id_b"),
-            pair_cos.alias("cosine"),
-        )
-        .where(F.col("cosine") >= PAIR_TAU)
+        if len(pdf) < 2:
+            return empty
+        pdf = pdf.sort_values("vec_id")
+        u = np.array(list(pdf["embedding"]), dtype=np.float64)
+        u /= np.linalg.norm(u, axis=1, keepdims=True)
+        sims = np.round(u @ u.T, 6)
+        ids = pdf["vec_id"].to_numpy()
+        iu, ju = np.triu_indices(len(ids), k=1)
+        keep = sims[iu, ju] >= PAIR_TAU
+        if not keep.any():
+            return empty
+        return pd.DataFrame(
+            {"id_a": ids[iu[keep]], "id_b": ids[ju[keep]], "cosine": sims[iu, ju][keep]}
+        ).astype({"id_a": "int64", "id_b": "int64", "cosine": "float64"})
+
+    return bucketed.groupBy("bucket").applyInPandas(
+        pair_scores, "id_a long, id_b long, cosine double"
     )
 
 
