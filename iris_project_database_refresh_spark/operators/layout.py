@@ -717,41 +717,72 @@ _RING_CODE = "cast(conv(substring(md5(concat('ring:', node, ':', v)), 1, 8), 16,
 
 
 def shard_consistent_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ring9 = (
-        spark.range(1)
-        .select(F.explode(F.sequence(F.lit(0), F.lit(N_RING))).alias("node"))
-        .select("node", F.explode(F.sequence(F.lit(0), F.lit(V_RING - 1))).alias("v"))
-        .select(F.expr(_RING_CODE).alias("code"))
-        .agg(F.collect_list("code").alias("arr9"))
-        .select("arr9", F.expr(f"filter(arr9, c -> c % 16 != {N_RING})").alias("arr8"))
-    )
+    # Successor lookup as a vectorized binary search (guide §4.2): the
+    # former pure-expression form evaluated interpreted
+    # array_min(filter(...)) higher-order lambdas over the 144-point
+    # ring per key row (twice for keys landing on the new node) — ~300
+    # interpreted ops/row dominated the query. kpos stays JVM-computed
+    # (codegen'd md5); the ring codes are exact integers derived from
+    # the same md5 formula (hashlib == Spark md5 on identical strings),
+    # and `c div 16 >= kpos` over non-negative codes is equivalent to
+    # `c >= kpos * 16`, so np.searchsorted over the sorted ring
+    # reproduces array_min(filter(...)) bit-for-bit — all-integer, no
+    # float summation anywhere. Each Arrow batch reduces to its
+    # (node8, node9) pair counts in-task, so the shuffle carries <=
+    # (N+1)^2 rows per task instead of one row per key.
+    import hashlib
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
     keys = load_table(spark, sf_dir, "orders").select(
         F.expr(
             "cast(conv(substring(md5(concat('k:', o_orderkey)), 1, 8), 16, 10) as bigint)"
         ).alias("kpos")
     )
-    succ = "coalesce(array_min(filter({arr}, c -> c div 16 >= kpos)), array_min({arr}))"
-    # consistent hashing's own property cuts the work: the two rings
-    # differ only in the new node's points, so succ8 == succ9 unless
-    # the key landed on the new node — the arr8 lookup runs (lazily,
-    # CASE-guarded) for ~1/(N+1) of keys instead of all of them
-    assigned = (
-        keys.crossJoin(F.broadcast(ring9))
-        .select(
-            "kpos", "arr8",
-            F.expr(succ.format(arr="arr9") + " % 16").alias("node9"),
+
+    def pair_counts(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        codes = np.sort(
+            np.array(
+                [
+                    int(hashlib.md5(f"ring:{node}:{v}".encode()).hexdigest()[:8], 16) * 16
+                    + node
+                    for node in range(N_RING + 1)
+                    for v in range(V_RING)
+                ],
+                dtype=np.int64,
+            )
         )
-        .select(
-            F.expr(
-                f"case when node9 != {N_RING} then node9 else "
-                + succ.format(arr="arr8")
-                + " % 16 end"
-            ).alias("node8"),
-            "node9",
-        )
-    )
-    pairs = assigned.groupBy("node8", "node9").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n")
+        codes8 = codes[codes % 16 != N_RING]
+
+        def succ(arr: np.ndarray, kpos: np.ndarray) -> np.ndarray:
+            idx = np.searchsorted(arr, kpos * 16, side="left")
+            return arr[np.where(idx == len(arr), 0, idx)]
+
+        for batch in batches:
+            kpos = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            if kpos.size == 0:
+                continue
+            node9 = succ(codes, kpos) % 16
+            node8 = node9.copy()
+            moved = node9 == N_RING
+            if moved.any():
+                node8[moved] = succ(codes8, kpos[moved]) % 16
+            flat = node8 * 16 + node9
+            uniq, cnt = np.unique(flat, return_counts=True)
+            yield pa.record_batch(
+                {
+                    "node8": (uniq // 16).astype(np.int64),
+                    "node9": (uniq % 16).astype(np.int64),
+                    "n": cnt.astype(np.int64),
+                }
+            )
+
+    pairs = (
+        keys.mapInArrow(pair_counts, "node8 long, node9 long, n long")
+        .groupBy("node8", "node9")
+        .agg(F.sum("n").cast("bigint").alias("n"))
     )
     # ONE pass over the <=(N+1)^2-row pair table: each pair row feeds
     # its node8's before-side and its node9's after-side via an

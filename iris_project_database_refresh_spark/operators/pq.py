@@ -200,26 +200,32 @@ def ann_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # consumed by every method below
     )
     qids = exact.select("query_id").distinct()
-    parts = []
-    for name, fn in (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq)):
-        m = fn(spark, sf_dir).select("query_id", "neighbor_id")
-        hits = (
-            m.join(exact, ["query_id", "neighbor_id"], "leftsemi")
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("n_hits"))
+    # ONE tagged union of the three index outputs, then a single
+    # semi-join + aggregation + left join against the (query, method)
+    # grid — the former per-arm chains ran three copies of each small
+    # shuffle op (6 extra exchanges of composition overhead measured
+    # ~3 s on top of the three index pipelines). Row set is identical:
+    # per-(method, query) hit counts, zero-hit queries kept by the grid.
+    methods = (("lsh", knn_lsh), ("ivf", knn_ivf), ("pq", knn_pq))
+    tagged = None
+    for name, fn in methods:
+        m = fn(spark, sf_dir).select(
+            F.lit(name).alias("method"), "query_id", "neighbor_id"
         )
-        parts.append(
-            qids.join(hits, "query_id", "left").select(
-                F.lit(name).alias("method"),
-                "query_id",
-                F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
-                F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / KNN_K, 4).alias("recall"),
-            )
-        )
-    out = parts[0]
-    for p in parts[1:]:
-        out = out.unionAll(p)
-    return out
+        tagged = m if tagged is None else tagged.unionAll(m)
+    hits = (
+        tagged.join(exact, ["query_id", "neighbor_id"], "leftsemi")
+        .groupBy("method", "query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    names = spark.createDataFrame([(n,) for n, _ in methods], "method string")
+    grid = qids.crossJoin(F.broadcast(names))
+    return grid.join(hits, ["method", "query_id"], "left").select(
+        "method",
+        "query_id",
+        F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+        F.round(F.coalesce(F.col("n_hits"), F.lit(0)) / KNN_K, 4).alias("recall"),
+    )
 
 
 def _recall_sql() -> str:

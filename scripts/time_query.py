@@ -32,9 +32,21 @@ def main() -> int:
     spark.range(64).repartition(32).mapInPandas(lambda it: it, "id long").write.format(
         "noop"
     ).mode("overwrite").save()
+    def _housekeep() -> None:
+        # bench.py's untimed housekeeping: drop Python refs + force a
+        # JVM GC so the ContextCleaner releases dead pinned
+        # localCheckpoint blocks between runs — without it, later
+        # queries read against a block manager full of dead RDDs and
+        # the numbers drift (the round-8 pressure disease).
+        import gc
+
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
+
     for name in names:
         runs = []
         for _ in range(REPEATS):
+            _housekeep()
             spark.sparkContext.setJobDescription(f"time: {name}")
             t0 = time.perf_counter()
             QUERIES[name](spark, SF).write.format("noop").mode("overwrite").save()
