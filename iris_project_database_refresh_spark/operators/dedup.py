@@ -639,7 +639,7 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     members = edges.select(F.col("id_a").alias("doc_id")).distinct()
     labels = members.withColumn("label", F.col("doc_id"))
-    for _ in range(CC_ROUNDS):
+    for r in range(CC_ROUNDS):
         neighbor_min = (
             edges.join(labels, edges.id_b == labels.doc_id)
             .groupBy(F.col("id_a").alias("doc_id"))
@@ -653,12 +653,16 @@ def _components(spark: SparkSession, sf_dir: str) -> DataFrame:
                     "label"
                 ),
             )
-            # pin per round: labels is referenced twice next round
-            # (neighbor_min join + the left join), so unpinned lineage
-            # doubles per round — 2^CC_ROUNDS join trees in one plan
-            # (the graph_hits disease; ~30 SortMergeJoins measured).
-            .localCheckpoint(eager=False)
         )
+        # labels is referenced twice next round (neighbor_min join +
+        # the left join): unpinned lineage doubles per round —
+        # 2^CC_ROUNDS join trees in one plan (the graph_hits disease;
+        # ~30 SortMergeJoins measured). Pin every SECOND round, the
+        # cadence embed_dbscan measured fastest (per-round pins pay a
+        # scheduler barrier each; one unpinned round between pins
+        # bounds re-evaluation at 2x of a cheap pinned-block scan).
+        if r % 2 == 1:
+            labels = labels.localCheckpoint(eager=False)
     return labels.select("doc_id", F.col("label").alias("component_id"))
 
 

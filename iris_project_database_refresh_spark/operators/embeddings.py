@@ -1805,45 +1805,74 @@ def search_mmr_diversify(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("sim_u"),
         )
-        .localCheckpoint(eager=False)
     )
     slim = cand.select("query_id", "id", "rel_u")
-    selected = (
-        slim.withColumn("rn", F.row_number().over(wq))
-        .where(F.col("rn") == 1)
-        .select(
-            "query_id",
-            "id",
-            F.lit(1).cast("bigint").alias("step"),
-            "rel_u",
-            (F.lit(MMR_LAMBDA_DECI) * F.col("rel_u")).alias("mmr_deci"),
+
+    # The greedy recursion itself runs per query over <= MMR_CAND
+    # integer-scored candidates — the former unrolled form paid
+    # 2 joins + agg + window + pin PER STEP (~20 scheduled jobs of
+    # composition overhead for 5 queries x 20 candidates). One cogroup
+    # ships (id, rel_u) and the pairwise sim_u table per query to a
+    # single pandas group and replays the identical integer argmax:
+    # rel_u/sim_u stay JVM-computed micro fixed-point (the engine-
+    # equality device), the greedy is pure integer arithmetic with the
+    # same (mmr_deci desc, id asc) tie-break, so the selection is
+    # bit-identical by construction. At 100 TB the corpus-scale work
+    # (candidate generation) is unchanged; only the bounded per-query
+    # recursion moved.
+    import pandas as pd
+
+    def mmr_greedy(key, cands: pd.DataFrame, sims_pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"query_id": [], "doc_id": [], "step": [], "rel_u": [], "mmr_deci": []}
+        ).astype("int64")
+        if cands.empty:
+            return empty
+        qid = int(key[0])
+        c = cands.sort_values(["rel_u", "id"], ascending=[False, True])
+        ids = [int(i) for i in c["id"]]
+        rel = {int(i): int(r) for i, r in zip(c["id"], c["rel_u"])}
+        sim = {
+            (int(a), int(b)): int(s)
+            for a, b, s in zip(sims_pdf["a"], sims_pdf["b"], sims_pdf["sim_u"])
+        }
+        lam, com = MMR_LAMBDA_DECI, 10 - MMR_LAMBDA_DECI
+        first = ids[0]
+        selected = [first]
+        rows = [(qid, first, 1, rel[first], lam * rel[first])]
+        for step in range(2, MMR_K + 1):
+            best = None
+            for a in ids:
+                if a in selected:
+                    continue
+                ms = max(sim[(a, s)] for s in selected)
+                score = lam * rel[a] - com * ms
+                k2 = (-score, a)
+                if best is None or k2 < best[0]:
+                    best = (k2, a, score)
+            if best is None:
+                break
+            selected.append(best[1])
+            rows.append((qid, best[1], step, rel[best[1]], best[2]))
+        return pd.DataFrame(
+            rows, columns=["query_id", "doc_id", "step", "rel_u", "mmr_deci"]
+        ).astype("int64")
+
+    # the sims side's key is re-aliased to a FRESH attribute: slim and
+    # sims share cand's lineage, and cogrouping two frames whose
+    # grouping attributes carry the same expression id trips the
+    # analyzer's ambiguity check
+    sims_k = sims.select(
+        F.col("query_id").alias("simq"), "a", "b", "sim_u"
+    )
+    return (
+        slim.groupBy("query_id")
+        .cogroup(sims_k.groupBy("simq"))
+        .applyInPandas(
+            mmr_greedy,
+            "query_id long, doc_id long, step long, rel_u long, mmr_deci long",
         )
     )
-    for step in range(2, MMR_K + 1):
-        ms = (
-            sims.join(selected.select("query_id", F.col("id").alias("b")), ["query_id", "b"])
-            .groupBy("query_id", "a")
-            .agg(F.max("sim_u").alias("max_sim_u"))
-        )
-        remaining = slim.join(selected.select("query_id", "id"), ["query_id", "id"], "left_anti")
-        scored = remaining.join(
-            ms, (remaining.query_id == ms.query_id) & (remaining.id == ms.a)
-        ).select(
-            remaining.query_id,
-            "id",
-            "rel_u",
-            (F.lit(MMR_LAMBDA_DECI) * F.col("rel_u") - (10 - MMR_LAMBDA_DECI) * F.col("max_sim_u")).alias(
-                "mmr_deci"
-            ),
-        )
-        wp = Window.partitionBy("query_id").orderBy(F.desc("mmr_deci"), F.asc("id"))
-        pick = (
-            scored.withColumn("rn", F.row_number().over(wp))
-            .where(F.col("rn") == 1)
-            .select("query_id", "id", F.lit(step).cast("bigint").alias("step"), "rel_u", "mmr_deci")
-        )
-        selected = selected.unionByName(pick).localCheckpoint(eager=False)
-    return selected.select("query_id", F.col("id").alias("doc_id"), "step", "rel_u", "mmr_deci")
 
 
 def _mmr_sql() -> str:

@@ -2429,41 +2429,62 @@ def ann_filtered_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)  # joined by every strategy arm
     )
 
-    def arm(name: str, cand: DataFrame, fetched_expr) -> DataFrame:
-        surv = cand.where(F.col("allowed") == 1)
-        wk = Window.partitionBy("query_id").orderBy(F.desc("cos"), F.asc("neighbor_id"))
-        kept = surv.withColumn("krk", F.row_number().over(wk)).where(F.col("krk") <= PQ_K)
-        hits = (
-            kept.join(truth, ["query_id", "neighbor_id"])
-            .groupBy("query_id")
-            .agg(F.count(F.lit(1)).alias("h"))
-        )
-        stats = cand.groupBy("query_id").agg(
-            F.count(F.lit(1)).alias("fetched"),
-            F.sum("allowed").alias("surviving"),
-        )
-        return (
-            queries.select("query_id")
-            .join(stats, "query_id", "left")
-            .join(hits, "query_id", "left")
-            .select(
-                "query_id",
-                F.lit(name).alias("strategy"),
-                F.coalesce("fetched", F.lit(0)).cast("bigint").alias("fetched"),
-                F.least(F.coalesce("surviving", F.lit(0)), F.lit(PQ_K))
-                .cast("bigint")
-                .alias("returned"),
-                F.coalesce("h", F.lit(0)).cast("bigint").alias("hits"),
-                F.expr(f"coalesce(h, 0) * 10000 div {PQ_K}").cast("bigint").alias("recall_bp"),
+    # ONE tagged union of the three strategies' candidate sets, then a
+    # single stats aggregation / kept-window / truth join / grid left
+    # join — the former per-arm chains ran 2 groupBys + 3 joins EACH
+    # (the ann_recall_eval composition disease; ~2 s of overhead on one
+    # pinned scoring pass). Per-strategy numbers are identical: every
+    # operator now just carries `strategy` in its key.
+    names = ("post_filter", "oversample", "pre_filter")
+    cols = ["query_id", "neighbor_id", "cos", "allowed"]
+    cand = (
+        ranked.where(F.col("rnk") <= PQ_K)
+        .select(F.lit(names[0]).alias("strategy"), *cols)
+        .unionByName(
+            ranked.where(F.col("rnk") <= FILT_OVERSAMPLE * PQ_K).select(
+                F.lit(names[1]).alias("strategy"), *cols
             )
         )
-
-    post = arm("post_filter", ranked.where(F.col("rnk") <= PQ_K), PQ_K)
-    over = arm(
-        "oversample", ranked.where(F.col("rnk") <= FILT_OVERSAMPLE * PQ_K), None
+        .unionByName(
+            scored.where(F.col("allowed") == 1).select(
+                F.lit(names[2]).alias("strategy"), *cols
+            )
+        )
     )
-    pre = arm("pre_filter", scored.where(F.col("allowed") == 1), None)
-    return post.unionByName(over).unionByName(pre)
+    stats = cand.groupBy("strategy", "query_id").agg(
+        F.count(F.lit(1)).alias("fetched"),
+        F.sum("allowed").alias("surviving"),
+    )
+    wk = Window.partitionBy("strategy", "query_id").orderBy(
+        F.desc("cos"), F.asc("neighbor_id")
+    )
+    kept = (
+        cand.where(F.col("allowed") == 1)
+        .withColumn("krk", F.row_number().over(wk))
+        .where(F.col("krk") <= PQ_K)
+    )
+    hits = (
+        kept.join(truth, ["query_id", "neighbor_id"])
+        .groupBy("strategy", "query_id")
+        .agg(F.count(F.lit(1)).alias("h"))
+    )
+    grid = queries.select("query_id").crossJoin(
+        F.broadcast(spark.createDataFrame([(n,) for n in names], "strategy string"))
+    )
+    return (
+        grid.join(stats, ["strategy", "query_id"], "left")
+        .join(hits, ["strategy", "query_id"], "left")
+        .select(
+            "query_id",
+            "strategy",
+            F.coalesce("fetched", F.lit(0)).cast("bigint").alias("fetched"),
+            F.least(F.coalesce("surviving", F.lit(0)), F.lit(PQ_K))
+            .cast("bigint")
+            .alias("returned"),
+            F.coalesce("h", F.lit(0)).cast("bigint").alias("hits"),
+            F.expr(f"coalesce(h, 0) * 10000 div {PQ_K}").cast("bigint").alias("recall_bp"),
+        )
+    )
 
 
 def _filtered_sql() -> str:

@@ -603,10 +603,21 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_orders = baskets.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
     marg = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
-    a, b = baskets.alias("a"), baskets.alias("b")
+    # pairs generated INSIDE the per-order sorted array (the
+    # brand_frequent_triples device): one shuffle to baskets, bounded
+    # C(cap,2) structs per order — replaces the inverted-index
+    # self-join, which shuffled the basket rows twice and re-joined
+    # them. Sorted distinct pks make the in-array (a, b) enumeration
+    # with a < b identical to the a.pk < b.pk join condition.
+    pair_structs = F.expr(
+        "flatten(transform(pks, (a, i) -> "
+        "transform(slice(pks, i + 2, size(pks)), b -> struct(a, b))))"
+    )
     pairs = (
-        a.join(b, (F.col("a.ok") == F.col("b.ok")) & (F.col("a.pk") < F.col("b.pk")))
-        .groupBy(F.col("a.pk").alias("part_a"), F.col("b.pk").alias("part_b"))
+        baskets.groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .select(F.explode(pair_structs).alias("p"))
+        .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= BASKET_MIN_PAIR)
     )

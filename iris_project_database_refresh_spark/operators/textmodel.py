@@ -430,19 +430,32 @@ def bigram_greedy_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("w1", F.col("w2").alias("nxt"))
         .localCheckpoint(eager=False)  # pinned: probed every decode step
     )
-    frames = [start.select("source", F.lit(0).cast("bigint").alias("step"), "token")]
-    cur = frames[0]
+    # ONE walk accumulating the whole path, then a single posexplode —
+    # the former per-step frames union re-evaluated every chain prefix
+    # independently (Σ i = 44 probe joins across the 9 frames); the
+    # left-join chain probes `best` once per step (8 scans of the pin)
+    # and null propagation reproduces the early stop exactly: a token
+    # with no outgoing bigram yields NULL, every later hop stays NULL,
+    # and the final filter drops precisely the steps the inner-join
+    # form never emitted.
+    walk = start.select("source", F.col("token").alias("t0"))
     for i in range(1, DECODE_STEPS + 1):
-        cur = (
-            F.broadcast(cur)
-            .join(best, cur.token == best.w1)
-            .select("source", F.lit(i).cast("bigint").alias("step"), F.col("nxt").alias("token"))
+        b_i = best.select(F.col("w1").alias(f"_w{i}"), F.col("nxt").alias(f"t{i}"))
+        walk = (
+            F.broadcast(walk)
+            .join(b_i, F.col(f"t{i - 1}") == F.col(f"_w{i}"), "left")
+            .drop(f"_w{i}")
         )
-        frames.append(cur)
-    out = frames[0]
-    for f in frames[1:]:
-        out = out.unionByName(f)
-    return out
+    return (
+        walk.select(
+            "source",
+            F.posexplode(
+                F.array(*[F.col(f"t{i}") for i in range(DECODE_STEPS + 1)])
+            ).alias("step", "token"),
+        )
+        .where(F.col("token").isNotNull())
+        .select("source", F.col("step").cast("bigint").alias("step"), "token")
+    )
 
 
 def _decode_sql() -> str:
