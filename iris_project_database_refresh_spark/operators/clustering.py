@@ -354,14 +354,51 @@ PCA_NORM = 1024  # renormalization target after each round
 
 
 def _gram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """64x64 integer Gram table g_ij = sum(q_i * q_j) div n.
+
+    The outer-product sum runs as a per-partition numpy matmul
+    (guide §4.2): the former double-posexplode form generated
+    DIM² rows per vector (~20M interpreted-HOF rows at sf0.1) into a
+    hash aggregation; q^T q per Arrow batch is the same exact integer
+    sum — int64 matmul is overflow-safe here (|q| <= ~QSCALE, so a
+    cell is bounded by n·QSCALE², within int64 up to corpus sizes far
+    beyond 100 TB) and integer addition is order-insensitive, so the
+    result is bit-identical whatever the partitioning. Each task
+    emits one 4096-row partial; the shuffle carries partials, not the
+    fan-out."""
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
     vecs = _qvecs(spark, sf_dir).localCheckpoint(eager=False)
     n = vecs.groupBy().agg(F.count(F.lit(1)).alias("n"))
-    outer = (
-        vecs.select(F.posexplode("q").alias("i", "qi"), F.col("q"))
-        .select("i", "qi", F.posexplode("q").alias("j", "qj"))
-        .groupBy("i", "j")
-        .agg(F.sum(F.col("qi") * F.col("qj")).alias("s"))
-    )
+
+    def partial_gram(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        acc = None
+        for batch in batches:
+            col = batch.column(0)
+            if len(col) == 0:
+                continue
+            flat = col.flatten().to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+            arr = flat.reshape(len(col), -1)
+            g = arr.T @ arr
+            acc = g if acc is None else acc + g
+        if acc is not None:
+            d = acc.shape[0]
+            ii, jj = np.meshgrid(
+                np.arange(d, dtype=np.int32), np.arange(d, dtype=np.int32), indexing="ij"
+            )
+            yield pa.record_batch(
+                {
+                    "i": pa.array(ii.ravel(), pa.int32()),
+                    "j": pa.array(jj.ravel(), pa.int32()),
+                    "s": pa.array(acc.ravel(), pa.int64()),
+                }
+            )
+
+    partials = vecs.select("q").mapInArrow(partial_gram, "i int, j int, s long")
+    outer = partials.groupBy("i", "j").agg(F.sum("s").alias("s"))
     return outer.crossJoin(F.broadcast(n)).select("i", "j", F.expr("s div n").alias("g"))
 
 
