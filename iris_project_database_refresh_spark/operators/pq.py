@@ -2061,14 +2061,80 @@ def hnsw_insert_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     m_max = master.agg(F.max("mlvl").alias("m_max_lvl"))
 
-    new_member = batch.select(
-        F.col("vec_id").alias("nid"), F.col("v").alias("nv"), "level"
-    ).select("nid", "nv", "level", F.explode(F.expr("sequence(0, level)")).alias("lyr"))
-    scored = (
-        F.broadcast(new_member)
-        .join(master, (F.col("mlvl") >= F.col("lyr")) & (F.col("mid") != F.col("nid")))
-        .select("nid", "level", "lyr", "mid", _cos(F.col("nv"), F.col("mv")).alias("cosine"))
+    # Blocked numpy GEMM for the batch x master scoring (guide §4.2,
+    # the hnsw_build_links device): the former broadcast nested-loop
+    # join evaluated an interpreted 64-dim zip_with/aggregate cosine
+    # per (new member, layer, master) row — ~1M lambda folds at sf0.1.
+    # Master rows block by mid % SIM_BLOCKS, the ~2% batch replicates
+    # to every block, and one applyInPandas per block scores the whole
+    # cross with a rounded unit matmul, emitting per-block top-cap
+    # partials per (nid, lyr) — the global top-cap is contained in
+    # their union, so the existing window keeps identical links and
+    # ranks. np.round(·, 6) on unit cosines is the same engine-
+    # equivalence class the build path already relies on.
+    import numpy as np
+    import pandas as pd
+
+    from .embeddings import SIM_BLOCKS
+
+    m0 = 2 * HNSW_M
+    mrows = emb.where(~is_batch).select(
+        F.pmod("vec_id", F.lit(SIM_BLOCKS)).cast("int").alias("blk"),
+        F.lit("m").alias("role"),
+        F.col("vec_id").alias("id"),
+        "v",
+        "level",
     )
+    brows = batch.select(
+        F.explode(F.sequence(F.lit(0), F.lit(SIM_BLOCKS - 1))).alias("blk"),
+        F.lit("b").alias("role"),
+        F.col("vec_id").alias("id"),
+        "v",
+        "level",
+    )
+    tagged = mrows.unionByName(brows)
+    out_schema = "nid long, level long, lyr long, mid long, cosine double"
+
+    def block_topk(pdf: pd.DataFrame) -> pd.DataFrame:
+        empty = pd.DataFrame(
+            {"nid": [], "level": [], "lyr": [], "mid": [], "cosine": []}
+        ).astype(
+            {"nid": "int64", "level": "int64", "lyr": "int64", "mid": "int64", "cosine": "float64"}
+        )
+        m = pdf[pdf["role"] == "m"]
+        b = pdf[pdf["role"] == "b"]
+        if m.empty or b.empty:
+            return empty
+        mm = np.array(list(m["v"]), dtype=np.float64)
+        bb = np.array(list(b["v"]), dtype=np.float64)
+        mm /= np.linalg.norm(mm, axis=1, keepdims=True)
+        bb /= np.linalg.norm(bb, axis=1, keepdims=True)
+        sims = np.round(bb @ mm.T, 6)
+        mids, mlvl = m["id"].to_numpy(), m["level"].to_numpy()
+        nids, nlvl = b["id"].to_numpy(), b["level"].to_numpy()
+        out_n, out_l, out_y, out_m, out_c = [], [], [], [], []
+        for qi in range(len(nids)):
+            row = sims[qi]
+            for lyr in range(int(nlvl[qi]) + 1):
+                mask = (mlvl >= lyr) & (mids != nids[qi])
+                cand_ids, cand = mids[mask], row[mask]
+                if cand.size == 0:
+                    continue
+                cap_l = m0 if lyr == 0 else HNSW_M
+                order = np.lexsort((cand_ids, -cand))[:cap_l]
+                out_n.extend([nids[qi]] * len(order))
+                out_l.extend([nlvl[qi]] * len(order))
+                out_y.extend([lyr] * len(order))
+                out_m.extend(cand_ids[order])
+                out_c.extend(cand[order])
+        out = pd.DataFrame(
+            {"nid": out_n, "level": out_l, "lyr": out_y, "mid": out_m, "cosine": out_c}
+        )
+        return out.astype(
+            {"nid": "int64", "level": "int64", "lyr": "int64", "mid": "int64", "cosine": "float64"}
+        ) if len(out) else empty
+
+    scored = tagged.groupBy("blk").applyInPandas(block_topk, out_schema)
     w = Window.partitionBy("nid", "lyr").orderBy(F.desc("cosine"), F.asc("mid"))
     cap = F.when(F.col("lyr") == 0, F.lit(2 * HNSW_M)).otherwise(F.lit(HNSW_M))
     links = scored.withColumn("rnk", F.row_number().over(w)).where(F.col("rnk") <= cap)
