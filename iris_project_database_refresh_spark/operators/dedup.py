@@ -3102,9 +3102,14 @@ ORACLES["dedup_pair_sentence_lcs"] = PAIR_SENTENCE_LCS_SQL
 N_PERM = len(AB)  # 16 permutations, the production signature width
 
 def dedup_minhash_estimate_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # ONE pinned hash corpus shared by the pair pipeline and the
+    # signature table — calling dedup_minhash_lsh() here would build a
+    # second _with_hashes pipeline (md5 token pass + checkpoint) for
+    # the same data; _minhash_pairs over the shared pin is the same
+    # code path dedup_minhash_lsh itself runs.
     sh = _with_hashes(_corpus(spark, sf_dir))
     sigs = sh.select("doc_id", *_minhash_sigs()).localCheckpoint(eager=False)
-    pairs = dedup_minhash_lsh(spark, sf_dir).select("id_a", "id_b", "jaccard")
+    pairs = _minhash_pairs(sh).select("id_a", "id_b", "jaccard")
     a = sigs.select(
         F.col("doc_id").alias("id_a"),
         *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_PERM)],

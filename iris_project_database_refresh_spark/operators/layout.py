@@ -1017,62 +1017,100 @@ ENC_BLOCK = 512  # orders per block; lines of an order never straddle
 
 
 def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One lineitem scan carrying all four candidate values side by side;
+    # the four per-column run windows share one Exchange on blk (same
+    # partitioning, per-column sort key) instead of four per-column
+    # pipelines of 6 scans each.  The block-boundary stitch is a lead()
+    # over the ~n_blocks-row per-block frame (ordered by blk), not a
+    # per-column self-join that doubled the window subtree.
     li = load_table(spark, sf_dir, "lineitem")
-    outs = []
-    for name, expr, width in ENC_COLS:
-        proj = li.select(
-            F.expr(f"l_orderkey div {ENC_BLOCK}").alias("blk"),
-            F.col("l_orderkey").alias("ok"),
-            F.col("l_linenumber").alias("ln"),
-            F.expr(expr).cast("string").alias("v"),
-        )
-        w = Window.partitionBy("blk").orderBy("ok", "ln", "v")
-        runs_in = proj.select(
-            "blk",
-            "v",
-            F.lag("v").over(w).alias("pv"),
-            F.row_number().over(w).alias("rn"),
-            F.count(F.lit(1)).over(Window.partitionBy("blk")).alias("bn"),
-        )
-        per_blk = runs_in.groupBy("blk").agg(
-            F.sum(
-                (F.col("pv").isNull() | (F.col("v") != F.col("pv"))).cast("bigint")
-            ).alias("runs"),
-            F.max(F.when(F.col("rn") == 1, F.col("v"))).alias("first_v"),
-            F.max(F.when(F.col("rn") == F.col("bn"), F.col("v"))).alias("last_v"),
-        )
-        nxt = per_blk.select(
-            (F.col("blk") - 1).alias("blk"), F.col("first_v").alias("next_first")
-        )
-        stitched = per_blk.join(nxt, "blk", "left").agg(
-            F.sum("runs").cast("bigint").alias("runs_raw"),
-            F.sum(
-                (F.col("next_first").isNotNull() & (F.col("last_v") == F.col("next_first")))
-                .cast("bigint")
-            ).alias("boundary_merges"),
-        )
-        stats = proj.agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.countDistinct("v").cast("bigint").alias("ndv"),
-        )
-        outs.append(
-            stats.crossJoin(stitched).select(
-                F.lit(name).alias("column_name"),
-                "n",
-                "ndv",
-                (F.col("runs_raw") - F.col("boundary_merges")).alias("n_runs"),
-                (F.col("n") * width).alias("bits_plain"),
-                F.expr(
-                    f"n * length(bin(greatest(ndv - 1, 1))) + ndv * {width}"
-                ).cast("bigint").alias("bits_dict"),
-                (
-                    (F.col("runs_raw") - F.col("boundary_merges")) * (width + 32)
-                ).alias("bits_rle"),
+    proj = li.select(
+        F.expr(f"l_orderkey div {ENC_BLOCK}").alias("blk"),
+        F.col("l_orderkey").alias("ok"),
+        F.col("l_linenumber").alias("ln"),
+        *[
+            F.expr(expr).cast("string").alias(f"v{i}")
+            for i, (_, expr, _) in enumerate(ENC_COLS)
+        ],
+    )
+    runs_cols = [F.col("blk")]
+    for i in range(len(ENC_COLS)):
+        w = Window.partitionBy("blk").orderBy("ok", "ln", f"v{i}")
+        runs_cols += [
+            F.col(f"v{i}"),
+            F.lag(f"v{i}").over(w).alias(f"pv{i}"),
+            F.row_number().over(w).alias(f"rn{i}"),
+        ]
+    runs_cols.append(
+        F.count(F.lit(1)).over(Window.partitionBy("blk")).alias("bn")
+    )
+    runs_in = proj.select(*runs_cols)
+    per_blk = runs_in.groupBy("blk").agg(
+        *[
+            agg
+            for i in range(len(ENC_COLS))
+            for agg in (
+                F.sum(
+                    (
+                        F.col(f"pv{i}").isNull()
+                        | (F.col(f"v{i}") != F.col(f"pv{i}"))
+                    ).cast("bigint")
+                ).alias(f"runs{i}"),
+                F.max(F.when(F.col(f"rn{i}") == 1, F.col(f"v{i}"))).alias(
+                    f"first{i}"
+                ),
+                F.max(
+                    F.when(F.col(f"rn{i}") == F.col("bn"), F.col(f"v{i}"))
+                ).alias(f"last{i}"),
             )
+        ]
+    )
+    wb = Window.orderBy("blk")
+    stitched_in = per_blk.select(
+        "*",
+        F.lead("blk").over(wb).alias("nb"),
+        *[F.lead(f"first{i}").over(wb).alias(f"nf{i}") for i in range(len(ENC_COLS))],
+    )
+    stitched = stitched_in.agg(
+        *[
+            agg
+            for i in range(len(ENC_COLS))
+            for agg in (
+                F.sum(f"runs{i}").cast("bigint").alias(f"runs_raw{i}"),
+                F.sum(
+                    (
+                        (F.col("nb") == F.col("blk") + 1)
+                        & (F.col(f"last{i}") == F.col(f"nf{i}"))
+                    ).cast("bigint")
+                ).alias(f"merges{i}"),
+            )
+        ]
+    )
+    stats = proj.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        *[
+            F.countDistinct(f"v{i}").cast("bigint").alias(f"ndv{i}")
+            for i in range(len(ENC_COLS))
+        ],
+    )
+    one = stats.crossJoin(stitched)
+    stack_args = []
+    for i, (name, _, width) in enumerate(ENC_COLS):
+        stack_args += [
+            f"'{name}'",
+            "n",
+            f"ndv{i}",
+            f"runs_raw{i} - merges{i}",
+            f"n * {width}",
+            f"cast(n * length(bin(greatest(ndv{i} - 1, 1))) + ndv{i} * {width} as bigint)",
+            f"(runs_raw{i} - merges{i}) * ({width} + 32)",
+        ]
+    allc = one.select(
+        F.expr(
+            f"stack({len(ENC_COLS)}, {', '.join(stack_args)})"
+            " as (column_name, n, ndv, n_runs, bits_plain, bits_dict, bits_rle)"
         )
-    allc = outs[0]
-    for df in outs[1:]:
-        allc = allc.unionByName(df)
+    )
     return allc.select(
         "*",
         F.expr(
