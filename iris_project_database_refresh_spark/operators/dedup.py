@@ -540,23 +540,42 @@ def _simhash_pairs(sh: DataFrame, n_rows: int | None = None) -> DataFrame:
     combinatorial-banding rung (see SIMHASH_RUNGS) — every rung returns
     the identical pair set, larger rungs bound candidate volume at
     larger corpora."""
-    exploded = sh.select("doc_id", F.explode("hashes").alias("h"))
-    votes = exploded.groupBy("doc_id").agg(
-        *[
-            F.sum(
-                F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
-            ).alias(f"v{j}")
-            for j in range(SIMHASH_BITS)
-        ]
-    )
-    bit_terms = [
-        F.when(F.col(f"v{j}") > 0, F.lit(1 << j).cast("bigint")).otherwise(F.lit(0).cast("bigint"))
-        for j in range(SIMHASH_BITS)
-    ]
+    # Per-bit majority vote in numpy over the pinned hash arrays
+    # (guide §4.2): the former explode → 60-conditional-sum hash
+    # aggregation pushed n_docs×n_shingles rows through a shuffle; the
+    # vote is an integer count per (doc, bit) — order-insensitive, so
+    # computing it per Arrow batch is bit-identical (bit j set iff
+    # 2·ones_j > n, exactly the oracle's list_filter test) and needs
+    # no explode and no exchange at all.
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
+    def _sim_batches(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            ids = batch.column(0)
+            la = batch.column(1)
+            if len(ids) == 0:
+                continue
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = offs[:-1] - offs[0]
+            lens = np.diff(offs)
+            flat = la.flatten().to_numpy(zero_copy_only=False).astype(
+                np.int64, copy=False
+            )
+            sim = np.zeros(len(ids), dtype=np.int64)
+            # _SH60_EXPR guarantees >= 1 hash per doc, so reduceat's
+            # equal-consecutive-index quirk (empty segment) is unreachable
+            for j in range(SIMHASH_BITS):
+                ones = np.add.reduceat((flat >> j) & 1, starts)
+                sim |= ((ones * 2 > lens).astype(np.int64)) << j
+            yield pa.record_batch({"doc_id": ids, "simhash": pa.array(sim, pa.int64())})
+
     # pin the tiny (doc_id, simhash) relation so the banded self-join
-    # doesn't run the 60-expression aggregation twice
-    simmed = votes.select(
-        "doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash")
+    # doesn't cross the Arrow boundary twice
+    simmed = sh.select("doc_id", "hashes").mapInArrow(
+        _sim_batches, "doc_id long, simhash long"
     ).localCheckpoint(eager=False)
     bands = _combo_bands(
         simmed,

@@ -498,28 +498,49 @@ def _undirected_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # One e_live evaluation per round: the pinned frame is the DEGREE
+    # table (n_nodes-sized), from which the round's edge count
+    # (sum(deg) == directed live-edge count), the survivor filter, and
+    # the next round's live set all derive — the former shape pinned
+    # `live` and referenced e_live twice (stats count + degree agg), so
+    # every round paid its two semi-joins twice. Round 0 needs no
+    # semi-join at all: the whole edge set is live.
     edges = _undirected_edges(spark, sf_dir)
-    live = edges.select(F.col("a").alias("doc_id")).distinct()
+    deg = (
+        edges.groupBy("a")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)  # pinned: stats sum + survivor filter
+    )
+    # every edge endpoint has a deg row, so round 0's live count is the
+    # degree-table row count (nodes with zero edges are never live)
+    n_nodes = deg.agg(F.count(F.lit(1)).alias("n_nodes"))
     stats = []
     for rnd in range(KCORE_ROUNDS + 1):
-        # pin each round's survivor set: it has THREE consumers (the
-        # stats rows and both semi-joins of the next round) — without
-        # the checkpoint every round re-derives the whole peeling chain
-        # from scratch and the plan goes O(rounds²) (measured 11.6 s →
-        # the pinned loop is linear in rounds)
-        live = live.localCheckpoint(eager=False)
-        e_live = (
-            edges.join(live.select(F.col("doc_id").alias("a")), "a", "semi")
-            .join(live.select(F.col("doc_id").alias("b")), "b", "semi")
-        )
         stats.append(
-            live.agg(F.count(F.lit(1)).alias("n_nodes"))
-            .crossJoin(e_live.agg((F.count(F.lit(1)) / 2).cast("bigint").alias("n_und_edges")))
-            .select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_und_edges")
+            n_nodes.crossJoin(
+                deg.agg(
+                    (F.coalesce(F.sum("deg"), F.lit(0)) / 2)
+                    .cast("bigint")
+                    .alias("n_und_edges")
+                )
+            ).select(F.lit(rnd).cast("bigint").alias("round"), "n_nodes", "n_und_edges")
         )
         if rnd < KCORE_ROUNDS:
-            deg = e_live.groupBy("a").agg(F.count(F.lit(1)).alias("deg"))
+            # survivors: deg >= K against the CURRENT live subgraph; a
+            # survivor may have zero live edges next round (its row
+            # simply vanishes from deg), so n_nodes counts the filter
+            # output, not the next degree table
             live = deg.where(F.col("deg") >= KCORE_K).select(F.col("a").alias("doc_id"))
+            n_nodes = live.agg(F.count(F.lit(1)).alias("n_nodes"))
+            e_live = (
+                edges.join(live.select(F.col("doc_id").alias("a")), "a", "semi")
+                .join(live.select(F.col("doc_id").alias("b")), "b", "semi")
+            )
+            deg = (
+                e_live.groupBy("a")
+                .agg(F.count(F.lit(1)).alias("deg"))
+                .localCheckpoint(eager=False)
+            )
     out = stats[0]
     for s in stats[1:]:
         out = out.unionByName(s)
