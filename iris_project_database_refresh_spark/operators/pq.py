@@ -2201,11 +2201,13 @@ ORACLES["hnsw_insert_plan"] = HNSW_INSERT_SQL
 # so the pruning is auditable per link.
 #
 # Engine-exactness: the keep test compares the stored 6dp cq against
-# round(cos(c_i, c_r), 6) computed INSIDE the fold from the raw
-# vectors — the same expression text in Spark (`aggregate` +
-# `forall`) and DuckDB (`list_reduce` + `list_bool_and`, with a
-# sentinel-prepend carrying the empty accumulator since DuckDB's
-# reduce has no init form).
+# round(cos(c_i, c_r), 6) computed from the raw vectors — on the
+# Spark side a batched numpy GEMM rounded to 6dp (the same device and
+# rounding hnsw_build_links itself uses to price cq, so both sides of
+# the comparison share one arithmetic path), in DuckDB a
+# `list_reduce` + `list_bool_and` fold (with a sentinel-prepend
+# carrying the empty accumulator since DuckDB's reduce has no init
+# form).
 #
 # Scale: candidate lists are bounded (2M per node), so the pair math
 # inside the fold is O((2M)^2 · dim) per node — constant, no
@@ -2213,6 +2215,11 @@ ORACLES["hnsw_insert_plan"] = HNSW_INSERT_SQL
 # neighbor id and the per-node collect carries 2M · dim doubles.
 
 def hnsw_diverse_links(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from typing import Iterator
+
+    import numpy as np
+    import pyarrow as pa
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         F.col("vec_id").alias("nid"), _as_double("embedding").alias("nv")
     )
@@ -2227,23 +2234,76 @@ def hnsw_diverse_links(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.collect_list(F.struct("rank", "nid", "nv", F.col("cosine").alias("cq")))
         ).alias("cands")
     )
-    cos_ir = _cos_sql("element_at(cands, i).nv", "element_at(cands, r).nv")
-    kept = (
-        f"aggregate(sequence(1, size(cands)), cast(array() as array<int>),"
-        f" (acc, i) -> case when size(acc) >= {HNSW_M} then acc"
-        f" when forall(acc, r -> element_at(cands, i).cq > {cos_ir})"
-        f" then concat(acc, array(i)) else acc end)"
-    )
-    return grouped.selectExpr("vec_id", f"{kept} AS kept", "cands").select(
-        "vec_id",
-        F.posexplode("kept").alias("pos", "k"),
-        F.col("cands"),
-    ).selectExpr(
-        "vec_id",
-        "cast(pos + 1 as bigint) AS rank",
-        "element_at(cands, k).nid AS neighbor_id",
-        "element_at(cands, k).cq AS cosine",
-        "cast(k as bigint) AS simple_rank",
+    # Greedy keep-set per node as a vectorized Arrow pass (guide §4.2):
+    # the former interpreted `aggregate`/`forall` fold re-evaluated a
+    # 64-dim zip_with cosine per (candidate × kept) pair per node —
+    # O((2M)² · dim) interpreted ops per node. Here the per-node
+    # candidate block is one batched GEMM (np.round(·, 6), the
+    # hnsw_build_links engine-equivalence device — cosines identical to
+    # the fold's round(dot/(|a||b|), 6) at 6dp) and the greedy itself
+    # iterates over candidate POSITION (≤ 2M steps per batch, all
+    # groups advanced at once). Output values stay engine-born: nid/cq
+    # are carried through from hnsw_build_links, Python only selects
+    # which indices survive — exactly the search_mmr_diversify device.
+    m_cap = HNSW_M
+
+    def _greedy(batches: Iterator[pa.RecordBatch]) -> Iterator[pa.RecordBatch]:
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            la = batch.column(1)
+            offs = la.offsets.to_numpy(zero_copy_only=False).astype(np.int64)
+            starts = offs[:-1] - offs[0]
+            lens = np.diff(offs)
+            st = la.flatten()
+            nid = st.field("nid").to_numpy(zero_copy_only=False).astype(np.int64)
+            cq = st.field("cq").to_numpy(zero_copy_only=False)
+            flat = st.field("nv").flatten().to_numpy(zero_copy_only=False)
+            total = len(nid)
+            dim = flat.size // total
+            with np.errstate(divide="ignore", invalid="ignore"):
+                v = flat.reshape(total, dim)
+                vn = v / np.sqrt((v * v).sum(axis=1, keepdims=True))
+            kmax = int(lens.max())
+            g_idx = np.repeat(np.arange(n), lens)
+            c_idx = np.arange(total) - np.repeat(starts, lens)
+            vp = np.zeros((n, kmax, dim))
+            vp[g_idx, c_idx] = vn
+            cp = np.full((n, kmax), -np.inf)
+            cp[g_idx, c_idx] = cq
+            real = np.zeros((n, kmax), dtype=bool)
+            real[g_idx, c_idx] = True
+            with np.errstate(invalid="ignore"):
+                gram = np.round(np.matmul(vp, vp.transpose(0, 2, 1)), 6)
+            kept = np.zeros((n, kmax), dtype=bool)
+            kcnt = np.zeros(n, dtype=np.int64)
+            for i in range(kmax):
+                cond = np.where(kept, cp[:, i, None] > gram[:, i, :], True).all(
+                    axis=1
+                )
+                ok = cond & real[:, i] & (kcnt < m_cap)
+                kept[:, i] = ok
+                kcnt += ok
+            gk, ik = np.nonzero(kept)  # row-major: ascending (group, i)
+            flat_pos = starts[gk] + ik
+            run_starts = np.flatnonzero(np.r_[True, np.diff(gk) != 0])
+            run_lens = np.diff(np.r_[run_starts, len(gk)])
+            rank = np.arange(len(gk)) - np.repeat(run_starts, run_lens)
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(vid[gk], pa.int64()),
+                    "rank": pa.array(rank + 1, pa.int64()),
+                    "neighbor_id": pa.array(nid[flat_pos], pa.int64()),
+                    "cosine": pa.array(cq[flat_pos], pa.float64()),
+                    "simple_rank": pa.array(ik + 1, pa.int64()),
+                }
+            )
+
+    return grouped.mapInArrow(
+        _greedy,
+        "vec_id long, rank long, neighbor_id long, cosine double, simple_rank long",
     )
 
 
