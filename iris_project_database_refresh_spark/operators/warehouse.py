@@ -2041,7 +2041,17 @@ def orders_chain_ladder(spark: SparkSession, sf_dir: str) -> DataFrame:
             - (F.year("o_orderdate") - 1990) * 12 - F.month("o_orderdate")
         ).alias("lag"),
     )
-    cutoff = j.agg(F.max(F.col("m") + F.col("lag")).alias("cut"))
+    # cut = max(m + lag) = max ship-month index over the JOINED rows;
+    # o_orderkey is the orders PK and every l_orderkey matches it in
+    # these corpora, so each lineitem row survives the inner join
+    # exactly once and the max is computable from lineitem alone —
+    # saving a second pass over the big join (its only other consumer
+    # is `cells`). Value-identity is oracle-checked (driver_sim hash).
+    cutoff = li.agg(
+        F.max(
+            (F.year("l_shipdate") - 1990) * 12 + F.month("l_shipdate")
+        ).alias("cut")
+    )
     cells = (
         j.where((F.col("lag") >= 0) & (F.col("lag") <= CL_MAX_DEV))
         .groupBy("m", F.col("lag").alias("d"))
