@@ -353,12 +353,20 @@ def q21_waiting_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
     supp = load_table(spark, sf_dir, "supplier")
     late = F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS")
+    # distinct counts via collect_set sizes, NOT countDistinct: two
+    # countDistinct columns plan as an Expand (x3 row multiplication)
+    # feeding TWO exchanges; the set-based shape is one
+    # ObjectHashAggregate with map-side partial sets (bounded by
+    # suppliers-per-order) through ONE exchange. collect_set and
+    # countDistinct agree exactly (both ignore NULLs).
     per_order = (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("n_supp"),
-            F.countDistinct(F.when(late, F.col("l_suppkey"))).alias("n_late_supp"),
+            F.size(F.collect_set("l_suppkey")).alias("n_supp"),
+            F.size(F.collect_set(F.when(late, F.col("l_suppkey")))).alias(
+                "n_late_supp"
+            ),
             F.max(F.when(late, F.col("l_suppkey"))).alias("late_suppkey"),
         )
         .where((F.col("n_supp") > 1) & (F.col("n_late_supp") == 1))
