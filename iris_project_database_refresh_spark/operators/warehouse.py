@@ -87,9 +87,19 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max(c), 6).alias(f"{c}_max"),
             F.round(F.avg(c), 6).alias(f"{c}_avg"),
             F.round(F.stddev_samp(c), 6).alias(f"{c}_std"),
-            F.countDistinct(c).alias(f"{c}_nd"),
         ]
+    # moments in ONE Expand-free pass; each exact distinct count as its
+    # own single-distinct subtree (guide §2.2). Four countDistinct in
+    # one agg planned as an Expand (x5 row multiplication) whose
+    # partial-agg shuffle is keyed by the VALUES — ~every distinct
+    # price/tax row crossed the wire carrying 41 mostly-null columns.
+    # Split, each distinct shuffles one skinny column and the five
+    # subtrees overlap as independent stages of the same job.
     wide = li.agg(*aggs)
+    for c in PROFILE_COLS:
+        wide = wide.crossJoin(
+            F.broadcast(li.agg(F.countDistinct(c).alias(f"{c}_nd")))
+        )
     structs = [
         F.struct(
             F.lit(c).alias("col_name"),
