@@ -1395,13 +1395,19 @@ def graph_betweenness(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     visited = levels[0].select("seed", "node")
     for _ in range(BC_ROUNDS):
+        # aggregate BEFORE the visited anti-join: the per-(seed, node)
+        # sigma sum commutes with filtering whole keys out, and the
+        # anti-join then runs on the groupBy's own (seed, node)
+        # partitioning over aggregated rows — one exchange per round
+        # instead of two, and the anti-join input is the frontier
+        # grain, not the raw edge-expansion grain (guide §2.2).
         nxt = (
             levels[-1]
             .join(edges, levels[-1]["node"] == edges["a"])
             .select("seed", F.col("b").alias("node"), "sigma")
-            .join(visited, ["seed", "node"], "left_anti")
             .groupBy("seed", "node")
             .agg(F.sum("sigma").cast("bigint").alias("sigma"))
+            .join(visited, ["seed", "node"], "left_anti")
             .localCheckpoint(eager=False)
         )
         levels.append(nxt)
