@@ -688,62 +688,149 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str):
     probed-cell candidate set -> candidate-gated residual ADC.  Returns
     (emb, adc) where adc = (query_id, vec_id, sadc scaled 1e6) — the
     approximate scores knn_ivf_pq ranks directly and knn_ivf_pq_refine
-    re-scores exactly on the short list."""
+    re-scores exactly on the short list.
+
+    Round-10 shape (guide §4.2): the coarse scoring and the residual
+    encode were interpreted zip_with folds per (vector, centroid) /
+    (vector, subspace, codeword) pair.  Both now run as ONE Arrow pass
+    each against the driver-re-rooted codebooks (centroids and the PQ
+    codebook are constant-bounded rows — NCELLS / KCENT·M — collected
+    once, the HNSW reroot device; every collected value is engine-born
+    parquet data).  BIT-EXACTNESS, not 6dp-bridged: the numpy kernels
+    accumulate per DIMENSION in index order (`acc = acc + d*d` one dim
+    at a time), which replays the fold's exact IEEE addition sequence —
+    same partial sums, same floor-quantized integers, so cells, codes
+    and every downstream argmin are reproduced bit-for-bit.  The coarse
+    argmin rides the same pass (integer di argmin, first-min = min
+    cell), so `assigned` is a filter instead of a groupBy exchange, and
+    the (vector, subspace) explode + codebook join + 256k-row argmin
+    shuffle of the old encode are gone entirely."""
     from .advanced import NCELLS, NPROBE
+
+    import numpy as np
+    import pyarrow as pa
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cents = emb.where(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
-    ).select((F.col("vec_id") - CENTROID_BASE).alias("cell"), F.col("v").alias("cv"))
+    pre = emb.where(
+        (
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+        )
+        | ((F.col("vec_id") >= PQR_BASE) & (F.col("vec_id") < PQR_BASE + KCENT))
+    ).collect()
+    crows = sorted(
+        (int(r["vec_id"]) - CENTROID_BASE, list(r["v"]))
+        for r in pre
+        if CENTROID_BASE <= int(r["vec_id"]) < CENTROID_BASE + NCELLS
+    )
+    prows = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in pre
+        if PQR_BASE <= int(r["vec_id"]) < PQR_BASE + KCENT
+    )
+    if not crows or not prows:
+        # no centroids (or no codebook vectors) -> the old cross joins
+        # were empty and so was every downstream frame
+        return emb, spark.createDataFrame(
+            [], "query_id long, vec_id long, sadc long"
+        )
+    cm = np.array([cv for _, cv in crows], dtype=np.float64)  # (NCELLS, D)
+    cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
+    dim = cm.shape[1]
 
-    # exact-L2 coarse assignment as a groupBy argmin (broadcast cells,
-    # no corpus window); qc_dot is the coarse ADC term, floor-scaled
-    l2 = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: (a - b) * (a - b)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    cdot = F.aggregate(
-        F.zip_with("v", "cv", lambda a, b: a * b),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
-    scored = emb.join(F.broadcast(cents), how="cross").select(
-        "vec_id",
-        "cell",
-        F.floor(l2 * 1e6 + F.lit(0.5)).cast("bigint").alias("di"),
-        F.floor(cdot * 1e6 + F.lit(0.5)).cast("bigint").alias("cdot"),
-    )
-    assigned = (
-        scored.groupBy("vec_id")
-        .agg(F.min(F.struct("di", "cell")).alias("s"))
-        .select("vec_id", F.col("s.cell").alias("cell"))
-    )
+    def _coarse_ints(vmat):
+        """floor-scaled (di, cdot) of every row against every centroid,
+        accumulated per dimension in index order — the fold's exact
+        IEEE addition sequence."""
+        l2 = np.zeros((vmat.shape[0], cm.shape[0]))
+        cd = np.zeros((vmat.shape[0], cm.shape[0]))
+        for i in range(dim):
+            d = vmat[:, i, None] - cm[None, :, i]
+            l2 = l2 + d * d
+            cd = cd + vmat[:, i, None] * cm[None, :, i]
+        return (
+            np.floor(l2 * 1e6 + 0.5).astype(np.int64),
+            np.floor(cd * 1e6 + 0.5).astype(np.int64),
+        )
 
-    # residuals, then the (vector, subspace) encode stream
+    # PQ codebook: residuals of the PQR block, derived driver-side with
+    # the SAME integer assignment (inputs are the collected engine-born
+    # vectors; arithmetic replays the fold order, so cells match)
+    pv = np.array([v for _, v in prows], dtype=np.float64)
+    p_di, _ = _coarse_ints(pv)
+    rv = pv - cm[np.argmin(p_di, axis=1)]
+    cb_rows = sorted(
+        (int(pid - PQR_BASE), m, [float(x) for x in vec[m * SUBD : (m + 1) * SUBD]])
+        for (pid, _), vec in zip(prows, rv)
+        for m in range(M)
+    )
+    cbm = np.stack([vec.reshape(M, SUBD) for vec in rv])  # (KCENT, M, SUBD)
+    k_ids = np.array([pid - PQR_BASE for pid, _ in prows], dtype=np.int64)
+    cents = spark.createDataFrame(
+        [(int(c), v) for c, v in crows], "cell long, cv array<double>"
+    )
+    cb = spark.createDataFrame(cb_rows, "k long, m int, cv array<double>")
+
+    def _coarse(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            vmat = flat.reshape(n, dim)
+            di, cdt = _coarse_ints(vmat)
+            best = cell_ids[np.argmin(di, axis=1)]  # first-min = min cell
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(np.repeat(vid, len(cell_ids)), pa.int64()),
+                    "cell": pa.array(np.tile(cell_ids, n), pa.int64()),
+                    "di": pa.array(di.ravel(), pa.int64()),
+                    "cdot": pa.array(cdt.ravel(), pa.int64()),
+                    "best": pa.array(np.repeat(best, len(cell_ids)), pa.int64()),
+                }
+            )
+
+    scored = emb.mapInArrow(
+        _coarse, "vec_id long, cell long, di long, cdot long, best long"
+    )
+    # the in-pass integer argmin makes assignment a filter, not an agg
+    assigned = scored.where(F.col("cell") == F.col("best")).select("vec_id", "cell")
+
     resid = (
         emb.join(assigned, "vec_id")
         .join(F.broadcast(cents), "cell")
         .select("vec_id", "cell", F.zip_with("v", "cv", lambda a, b: a - b).alias("r"))
     )
-    rsub = resid.select(
-        "vec_id",
-        "cell",
-        F.explode(F.sequence(F.lit(0), F.lit(M - 1))).alias("m"),
-        "r",
-    ).select("vec_id", "cell", "m", F.expr(f"slice(r, m * {SUBD} + 1, {SUBD})").alias("sv"))
-    cb = rsub.where(
-        (F.col("vec_id") >= PQR_BASE) & (F.col("vec_id") < PQR_BASE + KCENT)
-    ).select((F.col("vec_id") - PQR_BASE).alias("k"), "m", F.col("sv").alias("cv"))
 
-    codes = (
-        rsub.join(F.broadcast(cb), "m")
-        .select("vec_id", "m", "k", _sub_l2_scaled().alias("di"))
-        .groupBy("vec_id", "m")
-        .agg(F.min(F.struct("di", "k")).alias("s"))
-        .select("vec_id", "m", F.col("s.k").alias("k"))
+    def _encode(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            rmat = flat.reshape(n, dim)
+            kmat = np.empty((n, M), dtype=np.int64)
+            for m in range(M):
+                acc = np.zeros((n, cbm.shape[0]))
+                for i in range(SUBD):
+                    d = rmat[:, m * SUBD + i, None] - cbm[None, :, m, i]
+                    acc = acc + d * d
+                di = np.floor(acc * 1e6 + 0.5).astype(np.int64)
+                kmat[:, m] = k_ids[np.argmin(di, axis=1)]  # first-min = min k
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(np.repeat(vid, M), pa.int64()),
+                    "m": pa.array(np.tile(np.arange(M, dtype=np.int32), n)),
+                    "k": pa.array(kmat.ravel(), pa.int64()),
+                }
+            )
+
+    codes = resid.select("vec_id", "r").mapInArrow(
+        _encode, "vec_id long, m int, k long"
     )
 
     # query side: probed cells (with the coarse dot) + residual ADC table
@@ -773,7 +860,9 @@ def _ivf_pq_adc(spark: SparkSession, sf_dir: str):
     # work scales with NPROBE/NCELLS of the corpus per query, which is the
     # whole point of the IVF stage (an ungated codes-x-dt join would scan
     # every vector per query: N x Q x M).
-    cand = resid.select("vec_id", "cell").join(qprobe, "cell").where(
+    # assigned IS resid's (vec_id, cell) projection (the residual joins
+    # are key-preserving), so the candidate set reads it directly
+    cand = assigned.join(qprobe, "cell").where(
         F.col("vec_id") != F.col("query_id")
     )
     adc = (
