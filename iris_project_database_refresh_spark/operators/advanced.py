@@ -54,33 +54,73 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     reproduces cells exactly; production would k-means it — assignment
     and probing are identical either way.
     """
+    import numpy as np
+    import pyarrow as pa
+
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cents = emb.where(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
+    # centroids are a constant-bounded NCELLS-row set: collect once and
+    # score every vector against them in ONE Arrow pass (guide §4.2,
+    # the _ivf_pq_adc device) instead of an interpreted 3-fold `_cos`
+    # per (vector, centroid) cross-join row plus a corpus-wide window
+    # (which shuffled every 64-dim vector just to pick its best cell).
+    # ccos is np.round(unit GEMM, 6) — the house 6dp cosine path — and
+    # the argmax rides the pass (first-max = min cell), so assignment
+    # is a filter; the probe ranking stays an engine window over the
+    # rounded scores, same (ccos desc, cell asc) order.
+    crows = sorted(
+        (int(r["vec_id"]), list(r["v"]))
+        for r in emb.where(
+            (F.col("vec_id") >= CENTROID_BASE)
+            & (F.col("vec_id") < CENTROID_BASE + NCELLS)
+        ).collect()
+    )
+    cm = np.array([cv for _, cv in crows], dtype=np.float64)
+    cm /= np.sqrt((cm * cm).sum(axis=1, keepdims=True))
+    cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
 
-    # nearest-cell assignment: broadcast codebook, rank by cosine
-    scored = emb.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "v", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w)).where(F.col("r") == 1).select("vec_id", "v", "cell")
-    )
+    def _cells(batches):
+        for batch in batches:
+            n = batch.num_rows
+            if n == 0:
+                continue
+            vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+            flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+            vmat = flat.reshape(n, cm.shape[1])
+            with np.errstate(divide="ignore", invalid="ignore"):
+                vn = vmat / np.sqrt((vmat * vmat).sum(axis=1, keepdims=True))
+            ccos = np.round(vn @ cm.T, 6)
+            best = cell_ids[np.argmax(ccos, axis=1)]
+            yield pa.record_batch(
+                {
+                    "vec_id": pa.array(np.repeat(vid, len(cell_ids)), pa.int64()),
+                    "cell": pa.array(np.tile(cell_ids, n), pa.int64()),
+                    "ccos": pa.array(ccos.ravel(), pa.float64()),
+                    "best": pa.array(np.repeat(best, len(cell_ids)), pa.int64()),
+                }
+            )
+
+    scored = emb.mapInArrow(_cells, "vec_id long, cell long, ccos double, best long")
+    assigned = scored.where(F.col("cell") == F.col("best")).select("vec_id", "cell")
 
     # queries probe their NPROBE nearest cells
+    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    q_vecs = emb.where(F.col("vec_id") < IVF_QUERIES).select(
+        F.col("vec_id").alias("query_id"), F.col("v").alias("q")
+    )
     probes = (
         scored.where(F.col("vec_id") < IVF_QUERIES)
         .withColumn("r", F.row_number().over(w))
         .where(F.col("r") <= NPROBE)
-        .select(F.col("vec_id").alias("query_id"), F.col("v").alias("q"), "cell")
+        .select(F.col("vec_id").alias("query_id"), "cell")
+        .join(F.broadcast(q_vecs), "query_id")
     )
 
-    cand = assigned.join(
+    av = assigned.join(emb, "vec_id")
+    cand = av.join(
         F.broadcast(probes),
-        (assigned.cell == probes.cell) & (assigned.vec_id != probes.query_id),
+        (av.cell == probes.cell) & (av.vec_id != probes.query_id),
     ).select(
         "query_id",
         F.col("vec_id").alias("neighbor_id"),
