@@ -46,29 +46,21 @@ def _cos(a, b):
     return F.round(_dot(a, b) / (F.sqrt(_dot(a, a)) * F.sqrt(_dot(b, b))), 6)
 
 
-def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """IVF: assign every vector to its nearest codebook centroid, probe
-    the NPROBE nearest cells per query, exact-rerank inside them.
-
-    The codebook here is deterministic (vectors 100..115) so the oracle
-    reproduces cells exactly; production would k-means it — assignment
-    and probing are identical either way.
-    """
+def _ivf_scored_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
+    """(vec_id, cell, ccos, best) for every vector against the IVF
+    codebook, as ONE Arrow pass over the collected centroids (guide
+    §4.2, the _ivf_pq_adc device) — instead of an interpreted 3-fold
+    `_cos` per (vector, centroid) cross-join row plus a corpus-wide
+    window (which shuffled every 64-dim vector just to pick its best
+    cell). Centroids are a constant-bounded NCELLS-row set, so the
+    collect is metadata-sized at any corpus. ccos is np.round(unit
+    GEMM, 6) — the house 6dp cosine path — and the argmax rides the
+    pass (first-max = min cell), so `assigned` is a filter on
+    cell == best; probe rankings stay engine windows over the rounded
+    scores, same (ccos desc, cell asc) order."""
     import numpy as np
     import pyarrow as pa
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", _as_double("embedding").alias("v")
-    )
-    # centroids are a constant-bounded NCELLS-row set: collect once and
-    # score every vector against them in ONE Arrow pass (guide §4.2,
-    # the _ivf_pq_adc device) instead of an interpreted 3-fold `_cos`
-    # per (vector, centroid) cross-join row plus a corpus-wide window
-    # (which shuffled every 64-dim vector just to pick its best cell).
-    # ccos is np.round(unit GEMM, 6) — the house 6dp cosine path — and
-    # the argmax rides the pass (first-max = min cell), so assignment
-    # is a filter; the probe ranking stays an engine window over the
-    # rounded scores, same (ccos desc, cell asc) order.
     crows = sorted(
         (int(r["vec_id"]), list(r["v"]))
         for r in emb.where(
@@ -77,13 +69,14 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).collect()
     )
     cm = np.array([cv for _, cv in crows], dtype=np.float64)
-    cm /= np.sqrt((cm * cm).sum(axis=1, keepdims=True))
+    if len(crows):
+        cm /= np.sqrt((cm * cm).sum(axis=1, keepdims=True))
     cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
 
     def _cells(batches):
         for batch in batches:
             n = batch.num_rows
-            if n == 0:
+            if n == 0 or not len(cell_ids):
                 continue
             vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
@@ -101,7 +94,21 @@ def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    scored = emb.mapInArrow(_cells, "vec_id long, cell long, ccos double, best long")
+    return emb.mapInArrow(_cells, "vec_id long, cell long, ccos double, best long")
+
+
+def knn_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF: assign every vector to its nearest codebook centroid, probe
+    the NPROBE nearest cells per query, exact-rerank inside them.
+
+    The codebook here is deterministic (vectors 100..115) so the oracle
+    reproduces cells exactly; production would k-means it — assignment
+    and probing are identical either way.
+    """
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double("embedding").alias("v")
+    )
+    scored = _ivf_scored_arrow(spark, emb)
     assigned = scored.where(F.col("cell") == F.col("best")).select("vec_id", "cell")
 
     # queries probe their NPROBE nearest cells
@@ -298,16 +305,11 @@ def embed_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cents = emb.where(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    scored = emb.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
-    w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
+    # Arrow cell scoring + in-pass argmax (see _ivf_scored_arrow):
+    # assignment is a filter, not a corpus window
     assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
+        _ivf_scored_arrow(spark, emb)
+        .where(F.col("cell") == F.col("best"))
         .select("vec_id", "cell")
     )
     counts = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n_vecs"))
@@ -457,18 +459,10 @@ def ivf_nprobe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id", _as_double("embedding").alias("v")
     )
-    cents = emb.where(
-        (F.col("vec_id") >= CENTROID_BASE) & (F.col("vec_id") < CENTROID_BASE + NCELLS)
-    ).select(F.col("vec_id").alias("cell"), F.col("v").alias("cv"))
-    scored = emb.join(F.broadcast(cents), how="cross").select(
-        "vec_id", "v", "cell", _cos(F.col("v"), F.col("cv")).alias("ccos")
-    )
+    # Arrow cell scoring + in-pass argmax (see _ivf_scored_arrow)
+    scored = _ivf_scored_arrow(spark, emb)
     w = Window.partitionBy("vec_id").orderBy(F.desc("ccos"), F.asc("cell"))
-    assigned = (
-        scored.withColumn("r", F.row_number().over(w))
-        .where(F.col("r") == 1)
-        .select("vec_id", "cell")
-    )
+    assigned = scored.where(F.col("cell") == F.col("best")).select("vec_id", "cell")
     queries = emb.where(F.col("vec_id") < IVF_QUERIES).select(
         F.col("vec_id").alias("query_id"), F.col("v").alias("q")
     )
