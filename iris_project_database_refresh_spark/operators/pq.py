@@ -1956,18 +1956,63 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where((F.col("brk") <= HNSW_EF) & (F.col("is_landing") == 0))
         .select("query_id", "nid", "bv", "q")
     )
-    m = emb.select(F.col("vec_id").alias("mid"), F.col("v").alias("mv"))
-    expd = (
-        F.broadcast(bvq)
-        .join(m, F.col("mid") != F.col("nid"))
-        .select(
-            "query_id",
-            "nid",
-            "mid",
-            _cos(F.col("bv"), F.col("mv")).alias("cb"),
-            _cos(F.col("q"), F.col("mv")).alias("cq"),
-        )
+    # beam rows are bounded metadata (<= HNSW_EF x PQ_QUERIES, both
+    # constants) — collect them (the descent-coordinator device; the
+    # pinned base_v materializes once and is reused below) and score
+    # the expansion as ONE Arrow GEMM pass over the corpus instead of
+    # two interpreted 64-dim `_cos` folds per (beam, corpus) row
+    # (guide §4.2). np.round(unit matmul, 6) is the house 6dp cosine
+    # path; ranks re-derive engine-side from the rounded scores.
+    import numpy as np
+    import pyarrow as pa
+
+    brows = sorted(
+        (int(r["query_id"]), int(r["nid"]), list(r["bv"]), list(r["q"]))
+        for r in bvq.collect()
     )
+    m = emb.select(F.col("vec_id").alias("mid"), F.col("v").alias("mv"))
+    if not brows:
+        expd = spark.createDataFrame(
+            [], "query_id long, nid long, mid long, cb double, cq double"
+        )
+    else:
+        bmat = np.array([b for _, _, b, _ in brows], dtype=np.float64)
+        qmat = np.array([q for _, _, _, q in brows], dtype=np.float64)
+        with np.errstate(divide="ignore", invalid="ignore"):
+            bmat /= np.sqrt((bmat * bmat).sum(axis=1, keepdims=True))
+            qmat /= np.sqrt((qmat * qmat).sum(axis=1, keepdims=True))
+        b_qid = np.array([a for a, _, _, _ in brows], dtype=np.int64)
+        b_nid = np.array([n for _, n, _, _ in brows], dtype=np.int64)
+        dim_b = bmat.shape[1]
+
+        def _expand(batches):
+            for batch in batches:
+                n = batch.num_rows
+                if n == 0:
+                    continue
+                mid = (
+                    batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
+                )
+                flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
+                vmat = flat.reshape(n, dim_b)
+                with np.errstate(divide="ignore", invalid="ignore"):
+                    vn = vmat / np.sqrt((vmat * vmat).sum(axis=1, keepdims=True))
+                cb = np.round(vn @ bmat.T, 6)
+                cqm = np.round(vn @ qmat.T, 6)
+                r, c = np.nonzero(mid[:, None] != b_nid[None, :])
+                yield pa.record_batch(
+                    {
+                        "query_id": pa.array(b_qid[c], pa.int64()),
+                        "nid": pa.array(b_nid[c], pa.int64()),
+                        "mid": pa.array(mid[r], pa.int64()),
+                        "cb": pa.array(cb[r, c], pa.float64()),
+                        "cq": pa.array(cqm[r, c], pa.float64()),
+                    }
+                )
+
+        expd = m.mapInArrow(
+            _expand, "query_id long, nid long, mid long, cb double, cq double"
+        )
     wl = Window.partitionBy("query_id", "nid").orderBy(F.desc("cb"), F.asc("mid"))
     expt = (
         expd.withColumn("lrk", F.row_number().over(wl))
