@@ -27,3 +27,25 @@ def l2norm(a: Column) -> Column:
 
 def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (l2norm(a) * l2norm(b))
+
+
+def unit_rows_np(m, what: str = "vectors"):
+    """Row-unit-normalize a 2-D numpy array, REFUSING zero-norm rows.
+
+    The Arrow cosine kernels assign cells/links via argmax over rounded
+    unit GEMM scores; a zero-norm row would normalize to all-NaN and
+    np.argmax on an all-NaN row silently returns index 0 — a divergence
+    from the engine/oracle expression paths (which produce NaN cosines
+    with their own ordering). No corpus contains zero vectors, so the
+    honest contract is to fail loudly instead of silently mis-assigning
+    (round-10 ADVICE item).
+    """
+    import numpy as np
+
+    norms = np.sqrt((m * m).sum(axis=1, keepdims=True))
+    if (norms == 0.0).any():
+        raise ValueError(
+            f"zero-norm {what} row(s) in cosine kernel: "
+            f"{int((norms == 0.0).sum())} of {m.shape[0]}"
+        )
+    return m / norms

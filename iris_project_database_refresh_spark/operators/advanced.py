@@ -68,9 +68,11 @@ def _ivf_scored_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
             & (F.col("vec_id") < CENTROID_BASE + NCELLS)
         ).collect()
     )
+    from ..functions.vectors import unit_rows_np
+
     cm = np.array([cv for _, cv in crows], dtype=np.float64)
     if len(crows):
-        cm /= np.sqrt((cm * cm).sum(axis=1, keepdims=True))
+        cm = unit_rows_np(cm, "centroid")
     cell_ids = np.array([c for c, _ in crows], dtype=np.int64)
 
     def _cells(batches):
@@ -81,8 +83,7 @@ def _ivf_scored_arrow(spark: SparkSession, emb: DataFrame) -> DataFrame:
             vid = batch.column(0).to_numpy(zero_copy_only=False).astype(np.int64)
             flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
             vmat = flat.reshape(n, cm.shape[1])
-            with np.errstate(divide="ignore", invalid="ignore"):
-                vn = vmat / np.sqrt((vmat * vmat).sum(axis=1, keepdims=True))
+            vn = unit_rows_np(vmat)
             ccos = np.round(vn @ cm.T, 6)
             best = cell_ids[np.argmax(ccos, axis=1)]
             yield pa.record_batch(

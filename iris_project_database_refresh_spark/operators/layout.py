@@ -1045,6 +1045,8 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).over(Window.partitionBy("blk")).alias("bn")
     )
     runs_in = proj.select(*runs_cols)
+    # pinned so the boundary self-join below reads the ~n_blocks-row
+    # aggregate once instead of doubling the scan+window subtree
     per_blk = runs_in.groupBy("blk").agg(
         *[
             agg
@@ -1065,12 +1067,21 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ]
     )
-    wb = Window.orderBy("blk")
-    stitched_in = per_blk.select(
-        "*",
-        F.lead("blk").over(wb).alias("nb"),
-        *[F.lead(f"first{i}").over(wb).alias(f"nf{i}") for i in range(len(ENC_COLS))],
+    # Block-boundary stitch as a shuffle-parallel self-join on blk+1
+    # over the pinned per-block frame (r10 ADVICE): the former
+    # un-partitioned Window.orderBy("blk") lead() planned a SINGLE-task
+    # global sort over all ~n_orders/512 block rows — a one-task
+    # bottleneck at scale. The join reproduces the lead exactly: a
+    # match exists iff block blk+1 exists (has_nb), nf_i carries its
+    # first values; non-adjacent/last blocks contribute null conditions
+    # which sum() skips, same as the lead's false/null rows.
+    per_blk = per_blk.localCheckpoint(eager=False)
+    nxt = per_blk.select(
+        (F.col("blk") - 1).alias("blk"),
+        F.lit(1).alias("has_nb"),
+        *[F.col(f"first{i}").alias(f"nf{i}") for i in range(len(ENC_COLS))],
     )
+    stitched_in = per_blk.join(nxt, "blk", "left")
     stitched = stitched_in.agg(
         *[
             agg
@@ -1079,7 +1090,7 @@ def column_encoding_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum(f"runs{i}").cast("bigint").alias(f"runs_raw{i}"),
                 F.sum(
                     (
-                        (F.col("nb") == F.col("blk") + 1)
+                        (F.col("has_nb") == 1)
                         & (F.col(f"last{i}") == F.col(f"nf{i}"))
                     ).cast("bigint")
                 ).alias(f"merges{i}"),

@@ -52,6 +52,27 @@ EMBED_RATE_MICRO = 2  # $ 0.000002 per embedded token
 
 _CALLS_SCHEMA = "array<struct<model:string,input_tokens:bigint,output_tokens:bigint>>"
 
+# Planted per-call token formulas — SINGLE SOURCE (round-10 ADVICE): the
+# Column helpers and SQL fragments below all derive from these tuples,
+# so the plant (_planted_calls), the fused operator (llm_call_attempts)
+# and every oracle CTE cannot drift apart when a coefficient changes.
+IN_TOK = (7, 13, 500)  # input_tokens  = (k*7 + i*13) % 500 + 1
+OUT_TOK = (3, 5, 300)  # output_tokens = (k*3 + i*5) % 300 + 1
+
+
+def _in_tokens_col(k, i):
+    a, b, m = IN_TOK
+    return (k * a + i * b) % m + 1
+
+
+def _out_tokens_col(k, i):
+    a, b, m = OUT_TOK
+    return (k * a + i * b) % m + 1
+
+
+IN_TOK_SQL = "(k * {0} + i * {1}) % {2} + 1".format(*IN_TOK)
+OUT_TOK_SQL = "(k * {0} + i * {1}) % {2} + 1".format(*OUT_TOK)
+
 
 def _planted_calls():
     """Deterministic llm_calls array from (event_id, props.k)."""
@@ -63,8 +84,8 @@ def _planted_calls():
             F.concat(F.lit("model_"), ((F.col("event_id") + i) % 2).cast("string")).alias(
                 "model"
             ),
-            ((k * 7 + i * 13) % 500 + 1).alias("input_tokens"),
-            ((k * 3 + i * 5) % 300 + 1).alias("output_tokens"),
+            _in_tokens_col(k, i).alias("input_tokens"),
+            _out_tokens_col(k, i).alias("output_tokens"),
         ),
     )
 
@@ -122,8 +143,8 @@ WITH ev AS (
 calls AS (
   SELECT event_type AS stage_name,
          'model_' || CAST((event_id + i) % 2 AS VARCHAR) AS model,
-         (k * 7 + i * 13) % 500 + 1 AS input_tokens,
-         (k * 3 + i * 5) % 300 + 1 AS output_tokens
+         {IN_TOK_SQL} AS input_tokens,
+         {OUT_TOK_SQL} AS output_tokens
   FROM ev, unnest(generate_series(0, event_id % {MAX_CALLS})) AS t(i)
 )
 SELECT stage_name,
@@ -514,8 +535,8 @@ def llm_call_attempts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(6 * RETRY_DELAY_S)
         .cast("bigint")
         .alias("backoff_s"),
-        ((F.col("k") * 7 + F.col("i") * 13) % 500 + 1).alias("input_tokens"),
-        ((F.col("k") * 3 + F.col("i") * 5) % 300 + 1).alias("output_tokens"),
+        _in_tokens_col(F.col("k"), F.col("i")).alias("input_tokens"),
+        _out_tokens_col(F.col("k"), F.col("i")).alias("output_tokens"),
     )
     return shaped.groupBy("stage_name").agg(
         F.count(F.lit(1)).alias("n_calls"),
@@ -551,8 +572,8 @@ shaped AS (
          CAST(r <> 9 AS BIGINT) AS succeeded,
          CASE WHEN r <= 6 THEN 0 WHEN r = 7 THEN {RETRY_DELAY_S}
               WHEN r = 8 THEN {3 * RETRY_DELAY_S} ELSE {6 * RETRY_DELAY_S} END AS backoff_s,
-         (k * 7 + i * 13) % 500 + 1 AS input_tokens,
-         (k * 3 + i * 5) % 300 + 1 AS output_tokens
+         {IN_TOK_SQL} AS input_tokens,
+         {OUT_TOK_SQL} AS output_tokens
   FROM calls
 )
 SELECT stage_name,
@@ -1084,8 +1105,8 @@ WITH ev AS (
 ),
 calls AS (
   SELECT event_type AS stage_name, day,
-         ((k * 7 + i * 13) % 500 + 1) * {IN_RATE_MICRO}
-         + ((k * 3 + i * 5) % 300 + 1) * {OUT_RATE_MICRO} AS cost_micro
+         ({IN_TOK_SQL}) * {IN_RATE_MICRO}
+         + ({OUT_TOK_SQL}) * {OUT_RATE_MICRO} AS cost_micro
   FROM ev, unnest(generate_series(0, event_id % {MAX_CALLS})) AS t(i)
 ),
 daily AS (

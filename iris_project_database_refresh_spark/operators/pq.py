@@ -1976,11 +1976,14 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
             [], "query_id long, nid long, mid long, cb double, cq double"
         )
     else:
-        bmat = np.array([b for _, _, b, _ in brows], dtype=np.float64)
-        qmat = np.array([q for _, _, _, q in brows], dtype=np.float64)
-        with np.errstate(divide="ignore", invalid="ignore"):
-            bmat /= np.sqrt((bmat * bmat).sum(axis=1, keepdims=True))
-            qmat /= np.sqrt((qmat * qmat).sum(axis=1, keepdims=True))
+        from ..functions.vectors import unit_rows_np
+
+        bmat = unit_rows_np(
+            np.array([b for _, _, b, _ in brows], dtype=np.float64), "beam"
+        )
+        qmat = unit_rows_np(
+            np.array([q for _, _, _, q in brows], dtype=np.float64), "query"
+        )
         b_qid = np.array([a for a, _, _, _ in brows], dtype=np.int64)
         b_nid = np.array([n for _, n, _, _ in brows], dtype=np.int64)
         dim_b = bmat.shape[1]
@@ -1995,8 +1998,7 @@ def hnsw_search_ef(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
                 flat = batch.column(1).flatten().to_numpy(zero_copy_only=False)
                 vmat = flat.reshape(n, dim_b)
-                with np.errstate(divide="ignore", invalid="ignore"):
-                    vn = vmat / np.sqrt((vmat * vmat).sum(axis=1, keepdims=True))
+                vn = unit_rows_np(vmat)
                 cb = np.round(vn @ bmat.T, 6)
                 cqm = np.round(vn @ qmat.T, 6)
                 r, c = np.nonzero(mid[:, None] != b_nid[None, :])

@@ -163,10 +163,22 @@ def test_hilbert_clustered_write_skips_files(spark, tmp_path):
         )
 
     h_files, l_files = overlapping(hb), overlapping(lb)
-    # linear clustering on `a` alone cannot skip on `b`: every file
-    # whose a-range touches the box must be read. Hilbert bounds both.
-    assert h_files < l_files, (h_files, l_files)
+    # Arbitrary (sampled-boundary, non-dyadic-aligned) box: Hilbert can
+    # legitimately TIE linear here (the same constant-factor loss class
+    # as z-order, Moon et al. 2001) and repartitionByRange's sampled
+    # file cuts decide the 1-file margin, so the claim is only "never
+    # worse" — the zorder sibling test's convention.
+    assert h_files <= l_files, (h_files, l_files)
     assert h_files < len(hb)  # the box reads a strict subset
+
+    # Strict win on a predicate linear provably cannot prune: a box on
+    # `b` alone. Every linear file (clustered on `a`) spans ~the full b
+    # range so it must scan; Hilbert bounds b per file.
+    def overlapping_b(bounds):
+        return sum(1 for r in bounds if r.min_b <= bhi and r.max_b >= blo)
+
+    assert overlapping_b(hb) < overlapping_b(lb)
+    assert overlapping_b(hb) < len(hb)  # the b-box reads a strict subset
 
 
 def test_zorder_clustered_write_skips_files(spark, tmp_path):
