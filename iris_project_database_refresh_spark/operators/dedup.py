@@ -1788,54 +1788,97 @@ def dedup_band_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     `dedup_recall_eval` (which measures recall for the production
     4 × 4 config), this is the S-curve trade a deployment tunes:
     bands↑ → recall↑, precision↓, candidate (shuffle) volume↑.
-    Signatures are computed ONCE and pinned; each config adds only a
-    (band_idx, band_key) bucket join over bounded buckets.
+    Signatures are computed ONCE and pinned; the three configs' bucket
+    joins collapse to ONE (r11): over the same permutation set the
+    candidate sets are NESTED — sharing a 4-row band means sig[4b..4b+3]
+    agree, hence both covering 2-row bands agree, so
+    cand(2x8) ⊆ cand(4x4) ⊆ cand(8x2).  One LSH pass at the WIDEST
+    config enumerates every candidate any config sees; each narrower
+    config's membership is then a direct sig-equality test on the pair
+    row (band key strings are '_'-joined digit runs, so string equality
+    ⇔ component equality), and the Jaccard verify prices each distinct
+    pair once instead of once per arm.  Empty-arm semantics match the
+    old per-arm aggregate: n_candidates 0, n_verified/precision NULL.
     """
     sh = _with_hashes(_corpus(spark, sf_dir))
     sigs = sh.select("doc_id", "hashes", *_minhash_sigs()).localCheckpoint(eager=False)
-    out = None
+    n_wide, r_wide = SWEEP_CONFIGS[0]
+    band_cols = [
+        F.concat_ws(
+            "_", *[F.col(f"sig{b * r_wide + r}") for r in range(r_wide)]
+        ).alias(f"band{b}")
+        for b in range(n_wide)
+    ]
+    # narrow bucket join (the _minhash_pairs round-7 shape): ids through
+    # the explode/join/dedup, arrays + sigs rejoined for verify/membership
+    buckets = sigs.select(
+        "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    )
+    a, b = buckets.alias("a"), buckets.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    pairs = cand.join(
+        sigs.select(
+            F.col("doc_id").alias("id_a"),
+            F.col("hashes").alias("sh_a"),
+            *[F.col(f"sig{i}").alias(f"a{i}") for i in range(N_HASHES)],
+        ),
+        "id_a",
+    ).join(
+        sigs.select(
+            F.col("doc_id").alias("id_b"),
+            F.col("hashes").alias("sh_b"),
+            *[F.col(f"sig{i}").alias(f"b{i}") for i in range(N_HASHES)],
+        ),
+        "id_b",
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size("sh_a") + F.size("sh_b") - inter
+    verified = (inter / union) >= JACCARD_TAU
+
+    def in_cfg(n_bands: int, rows: int):
+        """Pair shares >= 1 band of `rows` consecutive equal sigs."""
+        any_band = None
+        for bb in range(n_bands):
+            band_eq = None
+            for r in range(rows):
+                eq = F.col(f"a{bb * rows + r}") == F.col(f"b{bb * rows + r}")
+                band_eq = eq if band_eq is None else (band_eq & eq)
+            any_band = band_eq if any_band is None else (any_band | band_eq)
+        return any_band
+
+    aggs = []
     for n_bands, rows in SWEEP_CONFIGS:
-        band_cols = [
-            F.concat_ws(
-                "_", *[F.col(f"sig{b * rows + r}") for r in range(rows)]
-            ).alias(f"band{b}")
-            for b in range(n_bands)
+        m = in_cfg(n_bands, rows)
+        aggs += [
+            F.sum(m.cast("bigint")).alias(f"nc_{n_bands}"),
+            F.sum((m & verified).cast("bigint")).alias(f"nv_{n_bands}"),
         ]
-        # narrow bucket join (the _minhash_pairs round-7 shape): ids
-        # through the explode/join/dedup, arrays rejoined for the verify
-        buckets = sigs.select(
-            "doc_id", F.posexplode(F.array(*band_cols)).alias("band_idx", "band_key")
+    one = pairs.agg(*aggs)
+    stack_args = []
+    for n_bands, rows in SWEEP_CONFIGS:
+        stack_args += [
+            f"cast({n_bands} as bigint)",
+            f"cast({rows} as bigint)",
+            f"coalesce(nc_{n_bands}, 0L)",
+            f"case when coalesce(nc_{n_bands}, 0L) > 0 then nv_{n_bands} end",
+            f"case when coalesce(nc_{n_bands}, 0L) > 0"
+            f" then nv_{n_bands} * 10000 div nc_{n_bands} end",
+        ]
+    return one.select(
+        F.expr(
+            f"stack({len(SWEEP_CONFIGS)}, {', '.join(stack_args)})"
+            " as (bands, rows_per_band, n_candidates, n_verified, precision_bp)"
         )
-        a, b = buckets.alias("a"), buckets.alias("b")
-        cand = (
-            a.join(
-                b,
-                (F.col("a.band_idx") == F.col("b.band_idx"))
-                & (F.col("a.band_key") == F.col("b.band_key"))
-                & (F.col("a.doc_id") < F.col("b.doc_id")),
-            )
-            .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-            .dropDuplicates(["id_a", "id_b"])
-            .join(
-                sigs.select(F.col("doc_id").alias("id_a"), F.col("hashes").alias("sh_a")),
-                "id_a",
-            )
-            .join(
-                sigs.select(F.col("doc_id").alias("id_b"), F.col("hashes").alias("sh_b")),
-                "id_b",
-            )
-        )
-        inter = F.size(F.array_intersect("sh_a", "sh_b"))
-        union = F.size("sh_a") + F.size("sh_b") - inter
-        row = cand.agg(
-            F.lit(n_bands).cast("bigint").alias("bands"),
-            F.lit(rows).cast("bigint").alias("rows_per_band"),
-            F.count(F.lit(1)).alias("n_candidates"),
-            F.sum(((inter / union) >= JACCARD_TAU).cast("bigint")).alias("n_verified"),
-            F.expr(f"cast(sum(cast(size(array_intersect(sh_a, sh_b)) / (size(sh_a) + size(sh_b) - size(array_intersect(sh_a, sh_b))) >= {JACCARD_TAU} as bigint)) * 10000 div count(1) as bigint)").alias("precision_bp"),
-        )
-        out = row if out is None else out.unionByName(row)
-    return out
+    )
 
 
 def _band_sql_cfg(b: int, rows: int) -> str:

@@ -50,8 +50,6 @@ OUT_RATE_MICRO = 60  # $ 0.000060 per output token
 EMBED_BATCH = 50  # stage_04 max_batch_size
 EMBED_RATE_MICRO = 2  # $ 0.000002 per embedded token
 
-_CALLS_SCHEMA = "array<struct<model:string,input_tokens:bigint,output_tokens:bigint>>"
-
 # Planted per-call token formulas — SINGLE SOURCE (round-10 ADVICE): the
 # Column helpers and SQL fragments below all derive from these tuples,
 # so the plant (_planted_calls), the fused operator (llm_call_attempts)
@@ -91,15 +89,21 @@ def _planted_calls():
 
 
 def llm_cost_rollup(events: DataFrame) -> DataFrame:
-    """The shared rollup transform — ``from_json`` → ``explode`` → sum
+    """The shared rollup transform — explode the planted calls → sum
     per (stage, model); works on both batch and streaming frames (the
-    streaming twin lives in ``streaming/costs.py``)."""
+    streaming twin lives in ``streaming/costs.py``).
+
+    The plant is exploded DIRECTLY instead of through the former
+    ``to_json`` → ``from_json`` round-trip (the r10 llm_call_attempts
+    device): the round trip is byte-exact on the planted
+    bigints/strings, so the rows are value-identical, and dropping it
+    removes a JSON serialize+parse of every call from the hot path —
+    production ingest of a real JSONB column is ONE ``from_json``, which
+    this plan still models (the parse happens at the plant boundary,
+    not twice)."""
     calls = events.select(
         F.col("event_type").alias("stage_name"),
-        F.to_json(_planted_calls()).alias("llm_calls"),  # the JSONB column
-    ).select(
-        "stage_name",
-        F.explode(F.from_json("llm_calls", _CALLS_SCHEMA)).alias("call"),
+        F.explode(_planted_calls()).alias("call"),
     )
     return (
         calls.groupBy("stage_name", F.col("call.model").alias("model"))

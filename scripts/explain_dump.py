@@ -2,7 +2,7 @@
 
 Usage: python scripts/explain_dump.py TAG name [name ...]
 
-Writes ``plans/r10/<name>_<TAG>.txt`` (TAG is e.g. ``before`` /
+Writes ``plans/r11/<name>_<TAG>.txt`` (TAG is e.g. ``before`` /
 ``after``) — the optimization-round evidence convention: the judge
 checks plan claims in OPTIMIZATION_r10.md against these files. Plans
 are captured at sf0.01 (plan SHAPE is scale-invariant; AQE runtime
@@ -18,7 +18,7 @@ import sys
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
 SF = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
-OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r10")
+OUT = os.path.join(os.path.dirname(__file__), "..", "plans", "r11")
 
 
 def main() -> int:
