@@ -601,7 +601,6 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         raw.join(F.broadcast(hot), "ok", "left_anti")
         .localCheckpoint(eager=False)  # pair join + marginals + total
     )
-    n_orders = baskets.select("ok").distinct().agg(F.count(F.lit(1)).alias("n_orders"))
     marg = baskets.groupBy("pk").agg(F.count(F.lit(1)).alias("n_pk"))
     # pairs generated INSIDE the per-order sorted array (the
     # brand_frequent_triples device): one shuffle to baskets, bounded
@@ -609,14 +608,21 @@ def part_copurchase_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     # self-join, which shuffled the basket rows twice and re-joined
     # them. Sorted distinct pks make the in-array (a, b) enumeration
     # with a < b identical to the a.pk < b.pk join condition.
+    # The per-order frame is pinned (it is ~n_orders rows of bounded
+    # arrays) so n_orders reads it as a cheap count instead of paying
+    # its own distinct exchange over the basket rows (r11).
+    per_order = (
+        baskets.groupBy("ok")
+        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
+        .localCheckpoint(eager=False)
+    )
+    n_orders = per_order.agg(F.count(F.lit(1)).alias("n_orders"))
     pair_structs = F.expr(
         "flatten(transform(pks, (a, i) -> "
         "transform(slice(pks, i + 2, size(pks)), b -> struct(a, b))))"
     )
     pairs = (
-        baskets.groupBy("ok")
-        .agg(F.sort_array(F.collect_set("pk")).alias("pks"))
-        .select(F.explode(pair_structs).alias("p"))
+        per_order.select(F.explode(pair_structs).alias("p"))
         .groupBy(F.col("p.a").alias("part_a"), F.col("p.b").alias("part_b"))
         .agg(F.count(F.lit(1)).alias("n_ab"))
         .where(F.col("n_ab") >= BASKET_MIN_PAIR)
